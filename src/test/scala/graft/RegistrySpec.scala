@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.Q
+
+/** Smoke + plan-shape checks for every registered query at sf0.001.
+  *
+  * Value-level correctness is owned by the driver's DuckDB oracle
+  * (Verify + CORRECTNESS_r{N}.json); here we assert the *plan* is the one
+  * we want at scale: pushed filters, pruned schemas, broadcast joins.
+  */
+class RegistrySpec extends SparkSpec {
+
+  private def plan(q: Q): String = {
+    val df = q.fn(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.registry.foreach { q =>
+      val n = q.fn(spark, sf("sf0.001")).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("registry names are unique and every oracle has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("p_filter_predicate pushes its predicate into the parquet scan") {
+    val q = SparkEntry.registry.find(_.name == "p_filter_predicate").get
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
+  }
+
+  test("p_map_project prunes the scan to referenced columns only") {
+    val q = SparkEntry.registry.find(_.name == "p_map_project").get
+    val p = plan(q)
+    // props/ts not referenced — must not be read.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), readSchema)
+  }
+
+  test("q_join_broadcast uses broadcast hash joins (no shuffle join on dims)") {
+    val q = SparkEntry.registry.find(_.name == "q_join_broadcast").get
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q1_agg runs a partial (map-side) aggregate before the shuffle") {
+    val q = SparkEntry.registry.find(_.name == "q1_agg").get
+    val p = plan(q)
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val q = SparkEntry.registry.find(_.name == "q_topk").get
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}
