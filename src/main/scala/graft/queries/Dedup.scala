@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Deduplication family over `documents` / `embeddings` — the core
+  * LLM-training-data operators: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup shuffles a 16-byte digest, never the document text;
+  *  - candidate generation is always an equi-join on a short key (shared
+  *    shingle / LSH band / SimHash band) — there is no O(n²) pair scan
+  *    anywhere; verification runs only on candidates;
+  *  - all hashes are md5 hex strings so the DuckDB oracle reproduces them
+  *    bit-for-bit; Jaccard values are a single double division of exact
+  *    ints (engine-independent);
+  *  - at 100 TB the shared-shingle join needs a document-frequency cap on
+  *    ubiquitous shingles (stopword shingles create quadratic hot keys);
+  *    noted inline where it applies.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles of the lowercased text. */
+  private val shingles3 =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(toks) - 2, 1)),
+      |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin
+
+  private val duckShingles3 =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(toks) - 2, 1) + 1),
+      |  i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
+
+  /** Left-fold dot product — sequential adds in array order, so Spark and
+    * DuckDB produce bitwise-identical doubles (see Similarity for the
+    * DuckDB twin using list_reduce + list_prepend). */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  val all: Seq[Q] = Seq(
+    // -------------------------------------------------------- exact dedup
+    // Group by content digest, keep the smallest doc_id as canonical.
+    // Only the 32-char digest shuffles; text never leaves the map side.
+    Q("x_dedup_exact", (s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))
+    }, Some("""
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
+
+    // ----------------------------------------------- n-gram Jaccard dedup
+    // Candidates = docs sharing ≥1 shingle (equi-join on the shingle, the
+    // scalable inverted-index plan); then exact Jaccard ≥ 0.5.
+    // 100 TB note: add HAVING count(*) <= df_cap on the shingle join key to
+    // cut quadratic blowup on ubiquitous shingles.
+    Q("x_dedup_ngram_jaccard", (s, d) => {
+      val sh = documents(s, d)
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .withColumn("sh", expr(shingles3))
+      val sizes = sh.select(col("doc_id"), expr("size(sh)").as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val inter = ex.as("a")
+        .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          expr("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy(col("da"), col("db"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      d AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+      pairs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY da, db""")),
+
+    // --------------------------------------------------- MinHash+LSH dedup
+    // 12 min-hashes (min md5 over shingles, seeded by index) → 4 bands of 3
+    // → candidates share a band key → verified with exact Jaccard ≥ 0.5.
+    // The band join is the whole point at scale: each doc emits 4 short
+    // keys, near-dups collide, everything else doesn't.
+    Q("x_dedup_minhash_lsh", (s, d) => {
+      val sh = documents(s, d)
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .withColumn("sh", expr(shingles3))
+      val sig = sh.withColumn("sig",
+        expr("""transform(sequence(0, 11),
+                i -> array_min(transform(sh, s -> md5(concat(CAST(i AS STRING), '|', s)))))"""))
+      val bands = sig.select(col("doc_id"),
+        explode(expr("""transform(sequence(0, 3),
+          b -> md5(concat(CAST(b AS STRING), '|', element_at(sig, 3*b+1),
+                          element_at(sig, 3*b+2), element_at(sig, 3*b+3))))"""))
+          .as("band_key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sets = sh.select(col("doc_id"), col("sh"))
+      cand
+        .join(sets.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("db") === col("sb.doc_id"))
+        .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+        .withColumn("jaccard",
+          expr("CAST(inter AS DOUBLE) / (size(sa.sh) + size(sb.sh) - inter)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy(col("da"), col("db"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      d AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
+      sg AS (SELECT doc_id, sh,
+               list_transform(range(0, 12),
+                 i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+             FROM d),
+      bd AS (SELECT doc_id,
+               unnest(list_transform(range(0, 4),
+                 b -> md5(CAST(b AS VARCHAR) || '|' || sig[3*b+1] || sig[3*b+2] || sig[3*b+3]))) AS band_key
+             FROM sg),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      v AS (SELECT da, db,
+              len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+              len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand JOIN d sa ON da = sa.doc_id JOIN d sb ON db = sb.doc_id)
+      SELECT da, db, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      ORDER BY da, db""")),
+
+    // ----------------------------------------------------------- SimHash
+    // 128-bit SimHash over distinct tokens: bit b of hex position p is the
+    // sign of Σ_tokens (±1 by the token-md5's bit). Pure per-row projection
+    // (no shuffle, codegen'd); near-dup docs land within a few bits.
+    // 100 TB note: at scale, compare via banded substrings of the hex
+    // fingerprint (equi-join), same pattern as MinHash bands.
+    Q("x_dedup_simhash", (s, d) => {
+      documents(s, d)
+        .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> md5(t))"))
+        .select(
+          col("doc_id"),
+          expr("""concat_ws('', transform(sequence(0, 31), p ->
+                 substring('0123456789abcdef', 1 +
+                   aggregate(sequence(0, 3), 0, (dv, b) ->
+                     dv + CASE WHEN aggregate(hs, 0, (acc, h) ->
+                                 acc + (CAST(shiftright(CAST(conv(substring(h, p+1, 1), 16, 10) AS INT), b) AS INT) & 1) * 2 - 1) > 0
+                               THEN shiftleft(1, b) ELSE 0 END),
+                   1)))""").as("simhash"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(lower(text), ' ')), t -> md5(t)) AS hs
+        FROM documents)
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, 32), p ->
+               substr('0123456789abcdef', 1 +
+                 list_reduce(list_prepend(0, list_transform(range(0, 4), b ->
+                   CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
+                          (((instr('0123456789abcdef', substr(h, p+1, 1)) - 1) >> b) & 1) * 2 - 1)),
+                          (acc, v) -> acc + v) > 0
+                        THEN (1 << b) ELSE 0 END)), (a, v) -> a + v),
+                 1)), '') AS simhash
+      FROM t ORDER BY doc_id""")),
+
+    // ------------------------------------------- embedding cosine near-dup
+    // Exact all-pairs cosine ≥ 0.45. The fold-based dot (sequential adds in
+    // array order) makes the double bitwise-identical across engines.
+    // 100 TB note: all-pairs is for the oracle; the scale path is the LSH
+    // bucketing in x_ann_lsh (same sign-hyperplane signatures).
+    Q("x_dedup_embedding", (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          expr(s"${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"))
+        .filter(col("cos") >= 0.45)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
+        .orderBy(col("va"), col("vb"))
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (acc, v) -> acc + v) / (a.nrm * b.nrm) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+              (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.45
+      ORDER BY va, vb"""))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table: quality stats, language-ID heuristic, tokenizer-style
+  * token counting, and shingle fingerprinting.
+  *
+  * All are pure per-row projections (no shuffle at all — they scale
+  * linearly to any data size and stay inside whole-stage codegen). The only
+  * shuffle in this file is the final ORDER BY, which exists solely for the
+  * deterministic oracle compare.
+  *
+  * Determinism: ratios are single IEEE double divisions of exact integers —
+  * bit-identical in any engine. Hashes are md5 hex strings (identical in
+  * Spark and DuckDB).
+  */
+object TextAnalysis {
+
+  // Spark-side token array (lowercased, whitespace split).
+  private val toks = "split(lower(text), ' ')"
+
+  private val stopEn = "'the','a','and','of','to','is'"
+  private val stopEs = "'el','la','de','los','y','en'"
+  private val stopFr = "'le','les','des','et','un','une'"
+  private val stopDe = "'der','die','das','und','ein','zu'"
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------ quality stats
+    Q("x_text_stats", (s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(
+          col("doc_id"),
+          expr("size(toks)").as("n_tokens"),
+          expr("length(text)").as("len_chars"),
+          // avg token length: exact int sum / int count, one double divide.
+          expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (a, v) -> a + v) AS DOUBLE) / size(toks)")
+            .as("avg_token_len"),
+          // type-token ratio (lexical diversity quality signal).
+          expr("CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)")
+            .as("ttr"),
+          // stopword ratio (junk/quality signal).
+          expr(s"CAST(size(filter(toks, t -> t IN ($stopEn))) AS DOUBLE) / size(toks)")
+            .as("stopword_ratio"),
+          // non [a-z0-9 space] chars per char (punctuation density).
+          expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text)")
+            .as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             length(text) AS len_chars,
+             CAST(list_reduce(list_prepend(0, list_transform(string_split(lower(text), ' '), t -> length(t))), (a, v) -> a + v) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS avg_token_len,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS ttr,
+             CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($stopEn))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------- language-ID (n-gram/stopword)
+    // Classic fast lang-ID: per-language stopword hit counts, argmax with a
+    // fixed priority tie-break. Per-row only; the language lists would be
+    // broadcast literals at any scale.
+    Q("x_lang_id", (s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($stopEn)))"))
+        .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($stopEs)))"))
+        .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($stopFr)))"))
+        .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($stopDe)))"))
+        .select(
+          col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
+          expr("""CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+                       WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+                       WHEN s_fr >= s_de THEN 'fr'
+                       ELSE 'de' END""").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sc AS (
+        SELECT doc_id,
+               len(list_filter(toks, t -> t IN ($stopEn))) AS s_en,
+               len(list_filter(toks, t -> t IN ($stopEs))) AS s_es,
+               len(list_filter(toks, t -> t IN ($stopFr))) AS s_fr,
+               len(list_filter(toks, t -> t IN ($stopDe))) AS s_de
+        FROM t)
+      SELECT doc_id, s_en, s_es, s_fr, s_de,
+             CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM sc ORDER BY doc_id""")),
+
+    // ----------------------------------------------- tokenizer-style counts
+    // BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+    // (the GPT-2 pre-tokenizer shape, regex kept RE2/Java-compatible).
+    Q("x_token_count", (s, d) => {
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("size(split(text, ' '))").as("n_ws_tokens"),
+          expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+            .as("n_bpe_tokens"),
+          // ~chars-per-token, a compression-quality signal.
+          expr("CAST(length(text) AS DOUBLE) / size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS chars_per_token
+      FROM documents ORDER BY doc_id""")),
+
+    // --------------------------------------------- document fingerprinting
+    // Winnowing-style: hash every 4-word shingle, keep the min and max
+    // digest as the document's fingerprint (min-hash of a rolling shingle
+    // window). Identical/near-identical docs collide on fp_min.
+    Q("x_fingerprint", (s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("shingles",
+          expr("transform(sequence(1, greatest(size(toks) - 3, 1)), i -> md5(concat_ws(' ', slice(toks, i, 4))))"))
+        .select(
+          col("doc_id"),
+          expr("array_min(shingles)").as("fp_min"),
+          expr("array_max(shingles)").as("fp_max"),
+          expr("size(shingles)").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                              i -> md5(array_to_string(toks[i:i+3], ' '))) AS shingles
+        FROM t)
+      SELECT doc_id, list_min(shingles) AS fp_min, list_max(shingles) AS fp_max,
+             len(shingles) AS n_shingles
+      FROM sh ORDER BY doc_id"""))
+  )
+}
