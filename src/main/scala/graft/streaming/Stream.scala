@@ -1,0 +1,235 @@
+package graft.streaming
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Kafka connection options — parity mirror of the reference's
+  * `StreamContextOption` (`/root/reference/src/context.ts:54-62`), mapped to
+  * Structured Streaming source options.
+  *
+  *  - `fromBeginning` → `startingOffsets` earliest/latest
+  *  - `commitInterval` → micro-batch trigger cadence (offset progress is
+  *    owned by the checkpoint, which subsumes the reference's manual
+  *    commit timer, `src/context.ts:111-113`)
+  *  - `startAtTimestamp` → `startingTimestamp` (the reference's
+  *    timestamp seek, `src/context.ts:195-207`, done at source start —
+  *    matching the reference, which also only seeks at stream start)
+  */
+final case class StreamContextOption(
+    brokers: Seq[String],
+    inputTopic: String,
+    groupId: String,
+    fromBeginning: Boolean = false,
+    clientId: Option[String] = None,
+    commitInterval: Long = 60000L,
+    startAtTimestamp: Option[Long] = None)
+
+/** Merged per-query counters — parity mirror of the reference `Statistics`
+  * (`src/context.ts:39-52`), fed by `StreamingQueryListener` progress. */
+final case class Statistics(
+    recvTotal: Long, sendTotal: Long, lastSentMessageTimestamp: Long) {
+  def merge(o: Statistics): Statistics = Statistics(
+    recvTotal + o.recvTotal, sendTotal + o.sendTotal,
+    math.max(lastSentMessageTimestamp, o.lastSentMessageTimestamp))
+}
+
+/** Fluent streaming façade with the reference's operator surface
+  * (`createStream / map / filter / explode / window / union / writeTo /
+  * blackhole / start / stop / flushStatistics` — `src/stream.ts:38-270`),
+  * assembling ONLY declarative DataFrame operations so Catalyst owns the
+  * plan.
+  *
+  * Data shape: every stream is a DataFrame with
+  *   - `value`    — the record payload (any type; struct for JSON objects)
+  *   - `metadata` — struct(topic, partition, offset, timestamp, key),
+  *     the reference's `MessageMetadata` (`src/context.ts:15-26`); Kafka
+  *     meta columns come free from the source, and offset tracking is
+  *     subsumed by checkpointing (no `commit()` needed —
+  *     `src/stream.ts:248-255` has no user-facing equivalent).
+  *
+  * Operators accept Column expressions (optimizer-visible — preferred)
+  * and, where the reference's API is a closure, document the typed
+  * alternative. Execution model notes:
+  *   - the reference's non-empty-batch loop (`filter`,
+  *     `src/stream.ts:63-73`) and union promise-racing
+  *     (`src/stream.ts:203-227`) are pull-engine artifacts with no Spark
+  *     analogue needed — micro-batch planning covers both;
+  *   - late data: the reference drops records older than the current
+  *     window with a re-seek (`src/stream.ts:157-177`); here the watermark
+  *     provides the same observable drop with a monotone global bound.
+  */
+final class Stream private (
+    val df: DataFrame,
+    private val spark: SparkSession,
+    private val queries: ListBuffer[StreamingQuery],
+    private val listener: Stream.StatsListener) {
+
+  private def derive(d: DataFrame): Stream =
+    new Stream(d, spark, queries, listener)
+
+  /** Per-record transform (reference `map`, `src/stream.ts:38-56`): the
+    * new `value` is any expression over `value` / `metadata`; metadata
+    * passes through unchanged. */
+  def map(valueExpr: Column): Stream =
+    derive(df.select(valueExpr.as("value"), col("metadata")))
+
+  /** Predicate over value/metadata (reference `filter`,
+    * `src/stream.ts:57-77`). */
+  def filter(cond: Column): Stream = derive(df.filter(cond))
+
+  /** Array-valued records flatten to N records copying the parent
+    * metadata — exactly the reference's `[meta,[1,2]] → [meta,1],[meta,2]`
+    * (`src/stream.ts:78-90`). */
+  def explode(): Stream =
+    derive(df.select(explode_outer(col("value")).as("value"), col("metadata")))
+
+  /** Aligned tumbling event-time window + whole-window aggregates
+    * (reference `window`, `src/stream.ts:130-200`).
+    *
+    * @param interval window width, e.g. "2 seconds"
+    * @param grace    late-data tolerance → `withWatermark` (the
+    *                 reference's `bufferInterval`, default 60 s)
+    * @param aggs     aggregates over `value` — the reference's arbitrary
+    *                 `collect` closure maps to `collect_list(value)` + a
+    *                 UDF for byte-parity, but decomposable Column
+    *                 aggregates are the scale path (map-side partial agg;
+    *                 `collect_list` on an unbounded window is the known
+    *                 100 TB trap — SURVEY.md §7)
+    *
+    * Output shape: `value` = struct of the aggregates, `metadata` =
+    * struct(window_start, window_end) — the window replaces per-record
+    * provenance just as `_concatMessages` merged it
+    * (`src/stream.ts:91-129`). Un-keyed like the reference (one group per
+    * window); pass key columns via `keyed` for the scale-correct form.
+    */
+  def window(interval: String, grace: String, aggs: Seq[Column],
+             keyed: Seq[Column] = Nil): Stream = {
+    val ts = df.withColumn("__ts", col("metadata.timestamp"))
+      .withWatermark("__ts", grace)
+    val grouped = ts.groupBy(
+      org.apache.spark.sql.functions.window(col("__ts"), interval) +: keyed: _*)
+    val agged = grouped.agg(aggs.head, aggs.tail: _*)
+    derive(agged.select(
+      struct(agged.columns.filter(_ != "window").map(col): _*).as("value"),
+      struct(col("window.start").as("window_start"),
+        col("window.end").as("window_end")).as("metadata")))
+  }
+
+  /** UNION ALL, no dedup (reference `union`, `src/stream.ts:201-230`).
+    * Spark schedules each source independently per micro-batch, so the
+    * reference's promise-racing machinery disappears; a stalled side
+    * cannot block the other. */
+  def union(other: Stream): Stream = derive(df.unionByName(other.df))
+
+  /** Kafka sink (reference `writeTo`, `src/stream.ts:240-247`):
+    * JSON-serialized values, gzip on the broker hop, offsets owned by the
+    * checkpoint. Terminal here (one streaming query per sink) — the
+    * reference's mid-chain sink is its pull-loop shape, not a semantic. */
+  def writeTo(topic: String, brokers: Seq[String], checkpoint: String,
+              trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    start {
+      df.select(to_json(struct(col("value"))).as("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers.mkString(","))
+        .option("topic", topic)
+        .option("kafka.compression.type", "gzip")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+    }
+
+  /** Discard sink (reference `blackhole`, `src/stream.ts:231-239`). */
+  def blackhole(): StreamingQuery =
+    start(df.writeStream.format("noop"))
+
+  /** Memory sink for tests — the analogue of the reference's jest mock
+    * harness (`src/stream.spec.ts`). `outputMode` "append" (finalized
+    * windows only, watermark-gated) or "update"/"complete". */
+  def toMemory(name: String, outputMode: String = "append"): StreamingQuery =
+    start(df.writeStream.format("memory").queryName(name).outputMode(outputMode))
+
+  private def start(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
+    val q = w.start()
+    queries += q
+    q
+  }
+
+  /** Stop every query this stream started (reference `stop`,
+    * `src/stream.ts:267-270`). */
+  def stop(): Unit = { queries.foreach(_.stop()); queries.clear() }
+
+  /** Merge-and-reset counters (reference `flushStatistics`,
+    * `src/stream.ts:256-260`). */
+  def flushStatistics(): Statistics = listener.flush()
+}
+
+object Stream {
+
+  /** Kafka source → JSON-decoded stream (reference `createStream`,
+    * `src/stream.ts:273-276`). Tombstones (null value) are skipped like
+    * `src/context.ts:142-146`. NOTE: needs the spark-sql-kafka connector
+    * on the classpath at runtime (not present in this container — the
+    * plan construction is still exercised by compilation and the option
+    * mapping is the documented contract). */
+  def createStream(spark: SparkSession, option: StreamContextOption,
+                   valueSchema: StructType): Stream = {
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", option.brokers.mkString(","))
+      .option("subscribe", option.inputTopic)
+      .option("kafka.group.id", option.groupId)
+      .option("startingOffsets", if (option.fromBeginning) "earliest" else "latest")
+    option.clientId.foreach(id => r = r.option("kafka.client.id", id))
+    option.startAtTimestamp.foreach(ts => r = r.option("startingTimestamp", ts.toString))
+    fromKafkaShaped(spark, r.load(), valueSchema)
+  }
+
+  /** Wrap any DataFrame with Kafka-source shape (topic, partition, offset,
+    * timestamp, key, value:binary) — used by specs via MemoryStream. */
+  def fromKafkaShaped(spark: SparkSession, raw: DataFrame,
+                      valueSchema: StructType): Stream = {
+    val df = raw
+      .filter(col("value").isNotNull) // tombstone skip
+      .select(
+        from_json(col("value").cast("string"), valueSchema).as("value"),
+        struct(col("topic"), col("partition"), col("offset"),
+          col("timestamp"), col("key")).as("metadata"))
+    mk(spark, df)
+  }
+
+  /** Wrap a DataFrame that already has (value, metadata) columns. */
+  def fromDataFrame(spark: SparkSession, df: DataFrame): Stream = mk(spark, df)
+
+  private def mk(spark: SparkSession, df: DataFrame): Stream = {
+    val listener = new StatsListener
+    spark.streams.addListener(listener)
+    new Stream(df, spark, ListBuffer.empty, listener)
+  }
+
+  /** Progress counters via the listener bus — the Spark-native home of the
+    * reference's recv/send totals (`StreamingQueryProgress.numInputRows` /
+    * sink rows replace the hand-rolled counters in `src/context.ts:39-52`). */
+  final class StatsListener extends StreamingQueryListener {
+    private var recv = 0L
+    private var sent = 0L
+    private var lastTs = 0L
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      synchronized {
+        recv += e.progress.numInputRows
+        val out = e.progress.sink.numOutputRows
+        if (out > 0) sent += out
+        val max = Option(e.progress.eventTime.get("max"))
+        max.foreach(m => lastTs = math.max(lastTs,
+          java.time.Instant.parse(m).toEpochMilli))
+      }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    def flush(): Statistics = synchronized {
+      val s = Statistics(recv, sent, lastTs)
+      recv = 0L; sent = 0L; lastTs = 0L
+      s
+    }
+  }
+}

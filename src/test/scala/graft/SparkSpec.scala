@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession fixture for all specs. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   def sf(name: String): String = s"/root/testdata/$name"
 }
 
