@@ -25,29 +25,40 @@ object Relational {
     // ---------------------------------------------------------------- q1
     // TPC-H Q1 shape: scan → pushed filter → hash agg (map-side partial).
     // At 100 TB: 4-group output, pure partial-agg pipeline, no skew risk.
+    // Product sums use split scaled-long accumulators (see QueryDsl):
+    // exact, overflow-safe, and entirely long-arithmetic in codegen —
+    // the high-precision-decimal alternative is 2.5× slower.
     Q("q1_agg", (s, d) => {
+      // price·(1−disc) in 10^-4 dollars; ·(1+tax) in 10^-6 dollars.
+      val p1 = s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+      val p2 = s"($p1) * (100 + ${centsSql("l_tax")})"
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        Seq(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price")) ++
+          splitSumAggs("dp", p1, 1000000L) ++
+          splitSumAggs("ch", p2, 1000000000L) ++
+          Seq(
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
       lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          // product sums carry scale 8/12 — round to 4 before the double
-          // cast (exact < 2^53; Spark HALF_UP == DuckDB round()).
-          round(sum(decM(col("l_extendedprice")) * (lit(1) - decR(col("l_discount")))), 4)
-            .cast("double").as("sum_disc_price"),
-          round(sum(decM(col("l_extendedprice")) * (lit(1) - decR(col("l_discount")))
-            * (lit(1) + decR(col("l_tax")))), 4).cast("double").as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"),
+          splitSumValue("dp", 1000000L, 10000L).as("sum_disc_price"),
+          splitSumValue("ch", 1000000000L, 1000000L).as("sum_charge"),
+          col("avg_qty"), col("avg_disc"), col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_disc_price,
-             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
              CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
              CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
              COUNT(*) AS count_order
@@ -83,16 +94,19 @@ object Relational {
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = orders(s, d).filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
       val l = lineitem(s, d).filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      val p1 = s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+      val revAggs = splitSumAggs("rev", p1, 1000000L)
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(decM(col("l_extendedprice")) * (lit(1) - decR(col("l_discount")))), 4)
-          .cast("double").as("revenue"))
+        .agg(revAggs.head, revAggs.tail: _*)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          splitSumValue("rev", 1000000L, 10000L).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)
     }, Some("""
       SELECT o_orderkey, o_orderdate,
-             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey
