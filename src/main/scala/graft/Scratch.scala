@@ -59,7 +59,11 @@ object Scratch {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
     time("q1 + repartition(32)")(noop(q1body(l)))
-    time("q1 + repartition again")(noop(q1body(l)))
+    time("ann_brute (native expr)")(noop(SparkEntry.queries("x_ann_brute_topk")(spark, d)))
+    time("dedup_embedding (native)")(noop(SparkEntry.queries("x_dedup_embedding")(spark, d)))
+    time("ann_lsh")(noop(SparkEntry.queries("x_ann_lsh")(spark, d)))
+    time("minhash_lsh")(noop(SparkEntry.queries("x_dedup_minhash_lsh")(spark, d)))
+    time("simhash")(noop(SparkEntry.queries("x_dedup_simhash")(spark, d)))
     spark.stop()
   }
 }

@@ -33,12 +33,6 @@ object Dedup {
       |  range(1, greatest(len(toks) - 2, 1) + 1),
       |  i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
 
-  /** Left-fold dot product — sequential adds in array order, so Spark and
-    * DuckDB produce bitwise-identical doubles (see Similarity for the
-    * DuckDB twin using list_reduce + list_prepend). */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
     // Group by content digest, keep the smallest doc_id as canonical.
@@ -95,12 +89,13 @@ object Dedup {
     // The band join is the whole point at scale: each doc emits 4 short
     // keys, near-dups collide, everything else doesn't.
     Q("x_dedup_minhash_lsh", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val sh = documents(s, d)
         .withColumn("toks", expr("split(lower(text), ' ')"))
         .withColumn("sh", expr(shingles3))
-      val sig = sh.withColumn("sig",
-        expr("""transform(sequence(0, 11),
-                i -> array_min(transform(sh, s -> md5(concat(CAST(i AS STRING), '|', s)))))"""))
+      // native one-pass Expression (graft.functions.MinHashSig) — the SQL
+      // transform/array_min formulation interprets k·|sh| lambda frames.
+      val sig = sh.withColumn("sig", expr("minhash_sig(sh, 12)"))
       val bands = sig.select(col("doc_id"),
         explode(expr("""transform(sequence(0, 3),
           b -> md5(concat(CAST(b AS STRING), '|', element_at(sig, 3*b+1),
@@ -149,17 +144,12 @@ object Dedup {
     // 100 TB note: at scale, compare via banded substrings of the hex
     // fingerprint (equi-join), same pattern as MinHash bands.
     Q("x_dedup_simhash", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       documents(s, d)
         .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> md5(t))"))
-        .select(
-          col("doc_id"),
-          expr("""concat_ws('', transform(sequence(0, 31), p ->
-                 substring('0123456789abcdef', 1 +
-                   aggregate(sequence(0, 3), 0, (dv, b) ->
-                     dv + CASE WHEN aggregate(hs, 0, (acc, h) ->
-                                 acc + (CAST(shiftright(CAST(conv(substring(h, p+1, 1), 16, 10) AS INT), b) AS INT) & 1) * 2 - 1) > 0
-                               THEN shiftleft(1, b) ELSE 0 END),
-                   1)))""").as("simhash"))
+        // native one-pass Expression (graft.functions.SimHash128) — the
+        // SQL nested-lambda formulation interprets 128 lambdas per token.
+        .select(col("doc_id"), expr("simhash128(hs)").as("simhash"))
         .orderBy(col("doc_id"))
     }, Some("""
       WITH t AS (
@@ -183,12 +173,11 @@ object Dedup {
     // 100 TB note: all-pairs is for the oracle; the scale path is the LSH
     // bucketing in x_ann_lsh (same sign-hyperplane signatures).
     Q("x_dedup_embedding", (s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          expr(s"${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"))
+        // native codegen'd Expression, FP-sequence-identical to the fold.
+        .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
         .filter(col("cos") >= 0.45)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
         .orderBy(col("va"), col("vb"))
