@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+import QueryDsl._
+
+/** Relational corpus, part 2 — outer/cross joins, grouping sets, discrete
+  * percentiles, argmax, IN/NOT-IN subqueries, window frames, ordered array
+  * aggregation, conditional aggregation, range join, approx distinct.
+  *
+  * Same determinism contract as [[Relational]]; notes per query describe
+  * the 100 TB plan shape.
+  */
+object Relational2 {
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------- left join
+    // Dim-side broadcast; fact side streams. COALESCE for the null branch.
+    Q("q_join_left", (s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_f"), dsum(col("o_totalprice")).as("spent_f")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("spent_f"), lit(0.0d)).as("spent_f"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey,
+             COALESCE(n_f, 0) AS n_f,
+             COALESCE(spent_f, 0.0) AS spent_f
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spent_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------ full outer join
+    // Nation-level: customers vs suppliers per nation; either side may be
+    // missing. Both sides pre-aggregated to 25 rows → trivially broadcast.
+    Q("q_join_full", (s, d) => {
+      val cn = customer(s, d).groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sn = supplier(s, d).groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }, Some("""
+      SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+             COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.c_nationkey = s.s_nationkey
+      ORDER BY nationkey""")),
+
+    // ----------------------------------------------------------- cross join
+    // Deliberate tiny×tiny (5×5) — the only sane cross join at any scale.
+    Q("q_join_cross", (s, d) => {
+      val r = region(s, d)
+      r.as("a").crossJoin(r.as("b"))
+        .select(col("a.r_name").as("ra"), col("b.r_name").as("rb"))
+        .orderBy(col("ra"), col("rb"))
+    }, Some("""
+      SELECT a.r_name AS ra, b.r_name AS rb
+      FROM region a CROSS JOIN region b
+      ORDER BY ra, rb""")),
+
+    // -------------------------------------------------------- grouping sets
+    Q("q_grouping_sets", (s, d) => {
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // -------------------------------------------- discrete percentiles (topk)
+    // Engine-independent by construction: rank rows, pick exact positions
+    // (no interpolation FP). One shuffle on the group key.
+    Q("q_percentile_disc", (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+        .filter(col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.9))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("p50"), max(col("o_totalprice")).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority,
+             MIN(o_totalprice) AS p50, MAX(o_totalprice) AS p90
+      FROM ranked
+      WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.9)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- argmax
+    // Deterministic arg-max via rank with a unique tie-break (max_by/arg_max
+    // are tie-arbitrary in both engines, so neither is oracle-safe).
+    Q("q_argmax", (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderkey").as("top_order"),
+          col("o_totalprice").as("top_price"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, o_orderkey AS top_order, o_totalprice AS top_price
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders)
+      WHERE rn = 1 ORDER BY o_orderpriority""")),
+
+    // --------------------------------------------------------- IN subquery
+    // IN → left_semi; build side deduped, payload-free.
+    Q("q_in_subquery", (s, d) => {
+      orders(s, d)
+        .join(customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------ NOT IN subquery
+    // Keys are non-null here, so NOT IN ≡ left_anti (the null-poisoning
+    // NOT IN trap is documented; with nullable keys use NOT EXISTS).
+    Q("q_not_in_subquery", (s, d) => {
+      part(s, d)
+        .join(lineitem(s, d).filter(col("l_quantity") >= 49)
+          .select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, p_name FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      ORDER BY p_partkey""")),
+
+    // -------------------------------------------------------- window frames
+    // first/last/nth over explicit ROWS frames with a total order.
+    Q("q_window_frames", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val trailing = w.rowsBetween(-2, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(whole).as("first_price"),
+          last(col("o_totalprice")).over(whole).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(whole).as("second_price"),
+          count(lit(1)).over(trailing).as("trailing3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             FIRST_VALUE(o_totalprice) OVER wfull AS first_price,
+             LAST_VALUE(o_totalprice)  OVER wfull AS last_price,
+             NTH_VALUE(o_totalprice, 2) OVER wfull AS second_price,
+             COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing3
+      FROM orders
+      WINDOW wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------- ordered array agg
+    // Deterministic list aggregation: sort the collected array (collect_list
+    // order is partition-dependent; sort_array makes it canonical).
+    Q("q_array_agg", (s, d) => {
+      nation(s, d)
+        .join(customer(s, d).filter(col("c_acctbal") > 9900),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sort_array(collect_list(col("c_custkey"))).as("rich_custs"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    }, Some("""
+      SELECT n_name, list_sort(list(c_custkey)) AS rich_custs, COUNT(*) AS n
+      FROM nation JOIN customer ON n_nationkey = c_nationkey
+      WHERE c_acctbal > 9900
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // ------------------------------------------------ conditional aggregation
+    // Pivot-style counts/sums via FILTER/CASE — one scan, one tiny group.
+    Q("q_conditional_agg", (s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0d)))
+            .as("purchase_value"))
+        .filter(col("n_purchase") > 0)
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+             COUNT(*) FILTER (event_type = 'click') AS n_click,
+             COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                           AS DECIMAL(12,4))) AS DOUBLE) AS purchase_value
+      FROM events GROUP BY user_id HAVING COUNT(*) FILTER (event_type = 'purchase') > 0
+      ORDER BY user_id""")),
+
+    // ----------------------------------------------------------- range join
+    // Clicks within 60 s after an error by the same user: equi-join on
+    // user_id + range predicate. At 100 TB: bucket both sides by
+    // (user_id, time_bucket) so the range probe stays partition-local.
+    Q("q_range_join", (s, d) => {
+      val ev = events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+          col("event_id").as("e_id"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      err.join(clk,
+        col("e_user") === col("c_user") &&
+          col("c_ts") >= col("e_ts") &&
+          col("c_ts") <= col("e_ts") + expr("INTERVAL 60 SECONDS"))
+        .groupBy(col("e_id"))
+        .agg(count(lit(1)).as("clicks_after"))
+        .orderBy(col("e_id"))
+    }, Some("""
+      SELECT e.event_id AS e_id, COUNT(*) AS clicks_after
+      FROM events e JOIN events c
+        ON e.user_id = c.user_id
+       AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 60 SECOND
+      WHERE e.event_type = 'error' AND c.event_type = 'click'
+      GROUP BY e.event_id ORDER BY e_id""")),
+
+    // ------------------------------------------- approx distinct (sketch)
+    // HLL++ parameters differ per engine, so no SQL oracle — the driver
+    // records a rows-only check. At 100 TB this replaces exact distinct
+    // when a mergeable sketch is enough (error defaults to 5%).
+    Q("q_approx_distinct", (s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }, None)
+  )
+}
