@@ -225,7 +225,7 @@ object Relational2 {
       ORDER BY user_id""")),
 
     // ----------------------------------------------------------- range join
-    // Clicks within 60 s after an error by the same user: equi-join on
+    // Clicks within 1 h after an error by the same user: equi-join on
     // user_id + range predicate. At 100 TB: bucket both sides by
     // (user_id, time_bucket) so the range probe stays partition-local.
     Q("q_range_join", (s, d) => {
@@ -238,7 +238,7 @@ object Relational2 {
       err.join(clk,
         col("e_user") === col("c_user") &&
           col("c_ts") >= col("e_ts") &&
-          col("c_ts") <= col("e_ts") + expr("INTERVAL 60 SECONDS"))
+          col("c_ts") <= col("e_ts") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("e_id"))
         .agg(count(lit(1)).as("clicks_after"))
         .orderBy(col("e_id"))
@@ -246,7 +246,7 @@ object Relational2 {
       SELECT e.event_id AS e_id, COUNT(*) AS clicks_after
       FROM events e JOIN events c
         ON e.user_id = c.user_id
-       AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 60 SECOND
+       AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
       WHERE e.event_type = 'error' AND c.event_type = 'click'
       GROUP BY e.event_id ORDER BY e_id""")),
 

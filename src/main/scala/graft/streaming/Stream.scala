@@ -119,6 +119,73 @@ final class Stream private (
         col("window.end").as("window_end")).as("metadata")))
   }
 
+  /** Sliding event-time window (extension — the reference only has
+    * tumbling, SURVEY §2.3). Same output shape as [[window]]. */
+  def slidingWindow(interval: String, slide: String, grace: String,
+                    aggs: Seq[Column], keyed: Seq[Column] = Nil): Stream = {
+    val ts = df.withColumn("__ts", col("metadata.timestamp"))
+      .withWatermark("__ts", grace)
+    val grouped = ts.groupBy(
+      org.apache.spark.sql.functions.window(col("__ts"), interval, slide) +: keyed: _*)
+    val agged = grouped.agg(aggs.head, aggs.tail: _*)
+    derive(agged.select(
+      struct(agged.columns.filter(_ != "window").map(col): _*).as("value"),
+      struct(col("window.start").as("window_start"),
+        col("window.end").as("window_end")).as("metadata")))
+  }
+
+  /** Session window — groups rows separated by < `gap` of event time
+    * (extension; state-backed, closed by the watermark). Streaming
+    * session aggregation requires at least one key in `keyed` (Spark
+    * does not support un-keyed streaming session windows) and append
+    * output mode. */
+  def sessionWindow(gap: String, grace: String, aggs: Seq[Column],
+                    keyed: Seq[Column] = Nil): Stream = {
+    val ts = df.withColumn("__ts", col("metadata.timestamp"))
+      .withWatermark("__ts", grace)
+    val grouped = ts.groupBy(
+      session_window(col("__ts"), gap).as("window") +: keyed: _*)
+    val agged = grouped.agg(aggs.head, aggs.tail: _*)
+    derive(agged.select(
+      struct(agged.columns.filter(_ != "window").map(col): _*).as("value"),
+      struct(col("window.start").as("window_start"),
+        col("window.end").as("window_end")).as("metadata")))
+  }
+
+  /** Streaming deduplication on value expressions, with state bounded by
+    * the watermark (extension — batch `distinct`'s streaming twin). */
+  def dropDuplicates(keys: Seq[Column], grace: String): Stream = {
+    val ts = df.withColumn("__ts", col("metadata.timestamp"))
+      .withWatermark("__ts", grace)
+      .withColumns(keys.zipWithIndex.map { case (k, i) => s"__k$i" -> k }.toMap)
+    val deduped = ts.dropDuplicatesWithinWatermark(
+      keys.indices.map(i => s"__k$i") :+ "__ts")
+    derive(deduped.select(col("value"), col("metadata")))
+  }
+
+  /** Arbitrary keyed state via mapGroupsWithState (extension): running
+    * per-key record count, emitted as updates. The reference has no keyed
+    * state at all (state = its in-memory window buffer, lost on crash);
+    * here state lives in the checkpointed state store. */
+  def runningCount(key: Column): Stream = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import df.sparkSession.implicits._
+    val counted = df.select(key.cast("string").as("k"))
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          (k, next)
+      }
+      .toDF("key", "count")
+    derive(counted.select(
+      struct(col("key"), col("count")).as("value"),
+      struct(col("key").as("topic")).as("metadata")))
+  }
+
   /** UNION ALL, no dedup (reference `union`, `src/stream.ts:201-230`).
     * Spark schedules each source independently per micro-batch, so the
     * reference's promise-racing machinery disappears; a stalled side

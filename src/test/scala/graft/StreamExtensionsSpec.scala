@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.Stream
+
+/** Specs for the streaming extension surface (beyond reference parity):
+  * sliding/session windows, watermark-bounded dedup, keyed running state. */
+class StreamExtensionsSpec extends SparkSpec {
+
+  private def msg(json: String, tsMillis: Long, offset: Long): KMsg =
+    KMsg("t", 0, offset, new Timestamp(tsMillis), null,
+      if (json == null) null else json.getBytes("UTF-8"))
+
+  private val schema = StructType(Seq(StructField("a", DoubleType)))
+
+  test("sliding window: 4s window / 2s slide assigns rows to two windows") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      .slidingWindow("4 seconds", "2 seconds", "0 seconds",
+        Seq(sum(col("value.a")).as("total")))
+    val q = s.toMemory("sliding_t", outputMode = "update")
+    ms.addData(msg("""{"a":1}""", 1000L, 0), msg("""{"a":2}""", 3000L, 1))
+    q.processAllAvailable()
+    val rows = spark.table("sliding_t")
+      .select(col("metadata.window_start").cast("long"), col("value.total"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // ts=1 → windows [-2,2),[0,4); ts=3 → [0,4),[2,6).
+    assert(rows.toSeq == Seq((-2L, 1.0), (0L, 3.0), (2L, 2.0)))
+    q.stop()
+  }
+
+  test("session window: rows within gap merge; a gap closes the session") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    // session windows only support append mode: sessions emit once the
+    // watermark passes their end.
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      .sessionWindow("5 seconds", "0 seconds",
+        Seq(count(lit(1)).as("n"), sum(col("value.a")).as("total")),
+        keyed = Seq(col("metadata.topic").as("topic")))
+    val q = s.toMemory("session_t", outputMode = "append")
+    ms.addData(
+      msg("""{"a":1}""", 1000L, 0), msg("""{"a":2}""", 3000L, 1),
+      msg("""{"a":10}""", 60000L, 2))
+    q.processAllAvailable()
+    // close both sessions by pushing the watermark far ahead.
+    ms.addData(msg("""{"a":0}""", 500000L, 3))
+    q.processAllAvailable()
+    val rows = spark.table("session_t")
+      .select(col("value.n"), col("value.total")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+    assert(rows.toSeq == Seq((2L, 3.0), (1L, 10.0)))
+    q.stop()
+  }
+
+  test("dropDuplicates within watermark removes same-key re-deliveries") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      .dropDuplicates(Seq(col("metadata.offset")), "10 seconds")
+    val q = s.toMemory("dedup_t")
+    ms.addData(
+      msg("""{"a":1}""", 1000L, 7), msg("""{"a":1}""", 1000L, 7),
+      msg("""{"a":2}""", 2000L, 8))
+    q.processAllAvailable()
+    assert(spark.table("dedup_t").count() == 2)
+    q.stop()
+  }
+
+  test("runningCount keeps per-key state across micro-batches") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      .runningCount(col("value.a"))
+    val q = s.toMemory("running_t", outputMode = "update")
+    ms.addData(msg("""{"a":1}""", 1000L, 0), msg("""{"a":1}""", 2000L, 1))
+    q.processAllAvailable()
+    ms.addData(msg("""{"a":1}""", 3000L, 2), msg("""{"a":2}""", 4000L, 3))
+    q.processAllAvailable()
+    val last = spark.table("running_t")
+      .groupBy(col("value.key")).agg(max(col("value.count")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(last == Map("1.0" -> 3L, "2.0" -> 1L))
+    q.stop()
+  }
+}
