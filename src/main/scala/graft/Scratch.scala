@@ -59,6 +59,18 @@ object Scratch {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
     time("q1 + repartition(32)")(noop(q1body(l)))
+    // bucketed co-located join: shuffle paid once at write, absent at read.
+    graft.sources.Bucketing.writeBucketed(
+      orders(spark, d).select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", 16)
+    graft.sources.Bucketing.writeBucketed(
+      lineitem(spark, d).select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", 16)
+    val bjoin = spark.table("orders_b").hint("merge")
+      .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")))
+    println(s"[scratch] bucketed join exchanges: " +
+      bjoin.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange hashpartitioning")))
+    time("bucketed join")(noop(bjoin))
     time("ann_brute (native expr)")(noop(SparkEntry.queries("x_ann_brute_topk")(spark, d)))
     time("dedup_embedding (native)")(noop(SparkEntry.queries("x_dedup_embedding")(spark, d)))
     time("ann_lsh")(noop(SparkEntry.queries("x_ann_lsh")(spark, d)))

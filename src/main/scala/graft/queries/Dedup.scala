@@ -135,7 +135,7 @@ object Dedup {
             FROM cand JOIN d sa ON da = sa.doc_id JOIN d sb ON db = sb.doc_id)
       SELECT da, db, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
       FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
-      ORDER BY da, db""")),
+      ORDER BY da, db"""), headline = true),
 
     // ----------------------------------------------------------- SimHash
     // 128-bit SimHash over distinct tokens: bit b of hex position p is the

@@ -83,7 +83,7 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         FROM scored)
       SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10
-      ORDER BY q_id, rank""")),
+      ORDER BY q_id, rank"""), headline = true),
 
     // --------------------------------------------------- LSH-bucketed ANN
     // Candidates share ≥1 of 4 signature bands (equi-join on short keys);

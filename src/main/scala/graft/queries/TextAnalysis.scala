@@ -61,7 +61,7 @@ object TextAnalysis {
                / len(string_split(lower(text), ' ')) AS stopword_ratio,
              CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
                / length(text) AS punct_ratio
-      FROM documents ORDER BY doc_id""")),
+      FROM documents ORDER BY doc_id"""), headline = true),
 
     // ------------------------------------------- language-ID (n-gram/stopword)
     // Classic fast lang-ID: per-language stopword hit counts, argmax with a

@@ -99,6 +99,34 @@ class StreamFacadeSpec extends SparkSpec {
     q.stop()
   }
 
+  test("reference composition: map -> window(collect) -> explode -> map") {
+    // reference src/stream.spec.ts:177-197 — per-window collected values
+    // explode back to records and a second map appends a suffix; windows
+    // [0,2)/[2,4)/[4,6) over ts 0..4 yield aa,za | ba,za | ca.
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val s = kafkaShaped(ms, schema)
+      .map(col("value.k"))
+      .window("2 seconds", "0 seconds",
+        Seq(sort_array(collect_list(col("value"))).as("vals")))
+      .map(col("value.vals"))
+      .explode()
+      .map(concat(col("value"), lit("a")))
+    val q = s.toMemory("compose_ref")
+    ms.addData(
+      msg("""{"k":"a"}""", 0L, 0), msg("""{"k":"z"}""", 1000L, 1),
+      msg("""{"k":"b"}""", 2000L, 2), msg("""{"k":"z"}""", 3000L, 3),
+      msg("""{"k":"c"}""", 4000L, 4))
+    q.processAllAvailable()
+    ms.addData(msg("""{"k":"x"}""", 100000L, 5))
+    q.processAllAvailable()
+    val got = spark.table("compose_ref").select(col("value"))
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("aa", "ba", "ca", "za", "za"))
+    q.stop()
+  }
+
   test("tombstones (null Kafka value) are skipped at the source") {
     // reference src/context.ts:142-146.
     import spark.implicits._
