@@ -31,10 +31,12 @@ final case class StreamContextOption(
 /** Merged per-query counters — parity mirror of the reference `Statistics`
   * (`src/context.ts:39-52`), fed by `StreamingQueryListener` progress. */
 final case class Statistics(
-    recvTotal: Long, sendTotal: Long, lastSentMessageTimestamp: Long) {
+    recvTotal: Long, sendTotal: Long, lastSentMessageTimestamp: Long,
+    droppedByWatermark: Long = 0L) {
   def merge(o: Statistics): Statistics = Statistics(
     recvTotal + o.recvTotal, sendTotal + o.sendTotal,
-    math.max(lastSentMessageTimestamp, o.lastSentMessageTimestamp))
+    math.max(lastSentMessageTimestamp, o.lastSentMessageTimestamp),
+    droppedByWatermark + o.droppedByWatermark)
 }
 
 /** Fluent streaming façade with the reference's operator surface
@@ -77,9 +79,25 @@ final class Stream private (
   def map(valueExpr: Column): Stream =
     derive(df.select(valueExpr.as("value"), col("metadata")))
 
+  /** Arbitrary-closure map — full parity with the reference's lambda
+    * `map` (`src/stream.ts:38-56`). Opaque to Catalyst (no pushdown
+    * through it); prefer the Column overload wherever expressible. */
+  def mapWith[I: scala.reflect.runtime.universe.TypeTag, O: scala.reflect.runtime.universe.TypeTag](
+      f: I => O): Stream = {
+    val u = udf(f)
+    derive(df.select(u(col("value")).as("value"), col("metadata")))
+  }
+
   /** Predicate over value/metadata (reference `filter`,
     * `src/stream.ts:57-77`). */
   def filter(cond: Column): Stream = derive(df.filter(cond))
+
+  /** Arbitrary-closure filter — parity with the reference's lambda
+    * `filter`. Same optimizer-opacity caveat as [[mapWith]]. */
+  def filterWith[I: scala.reflect.runtime.universe.TypeTag](f: I => Boolean): Stream = {
+    val u = udf(f)
+    derive(df.filter(u(col("value"))))
+  }
 
   /** Array-valued records flatten to N records copying the parent
     * metadata — exactly the reference's `[meta,[1,2]] → [meta,1],[meta,2]`
@@ -115,6 +133,28 @@ final class Stream private (
     val agged = grouped.agg(aggs.head, aggs.tail: _*)
     derive(agged.select(
       struct(agged.columns.filter(_ != "window").map(col): _*).as("value"),
+      struct(col("window.start").as("window_start"),
+        col("window.end").as("window_end")).as("metadata")))
+  }
+
+  /** Whole-window arbitrary `collect` — byte-parity with the reference's
+    * `window({collect})` closure (`src/stream.ts:133`): the window's
+    * values are gathered and reduced by one user function.
+    *
+    * This is the documented 100 TB trap (`SURVEY.md §7`): `collect_list`
+    * materializes the whole window in one task. It exists for API parity;
+    * every decomposable reduce should use [[window]] with Column
+    * aggregates (map-side partial aggregation) instead. */
+  def windowCollect[I: scala.reflect.runtime.universe.TypeTag, O: scala.reflect.runtime.universe.TypeTag](
+      interval: String, grace: String)(collect: Seq[I] => O): Stream = {
+    val u = udf((xs: Seq[I]) => collect(xs))
+    val ts = df.withColumn("__ts", col("metadata.timestamp"))
+      .withWatermark("__ts", grace)
+    val agged = ts
+      .groupBy(org.apache.spark.sql.functions.window(col("__ts"), interval))
+      .agg(collect_list(col("value")).as("__vals"))
+    derive(agged.select(
+      u(col("__vals")).as("value"),
       struct(col("window.start").as("window_start"),
         col("window.end").as("window_end")).as("metadata")))
   }
@@ -282,6 +322,7 @@ object Stream {
     private var recv = 0L
     private var sent = 0L
     private var lastTs = 0L
+    private var dropped = 0L
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
       synchronized {
@@ -291,11 +332,14 @@ object Stream {
         val max = Option(e.progress.eventTime.get("max"))
         max.foreach(m => lastTs = math.max(lastTs,
           java.time.Instant.parse(m).toEpochMilli))
+        // observable late-drop count — the Spark-native home of the
+        // reference's late-batch warning (src/stream.ts:157-177).
+        e.progress.stateOperators.foreach(so => dropped += so.numRowsDroppedByWatermark)
       }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     def flush(): Statistics = synchronized {
-      val s = Statistics(recv, sent, lastTs)
-      recv = 0L; sent = 0L; lastTs = 0L
+      val s = Statistics(recv, sent, lastTs, dropped)
+      recv = 0L; sent = 0L; lastTs = 0L; dropped = 0L
       s
     }
   }

@@ -127,6 +127,71 @@ class StreamFacadeSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowCollect: arbitrary whole-window closure reproduces the golden sums") {
+    // parity path for the reference's window({collect}) lambda — same
+    // golden case as above, but reduced by a user Scala closure.
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("a", DoubleType)))
+    val s = kafkaShaped(ms, schema)
+      .map(col("value.a"))
+      .windowCollect[Double, Double]("2 seconds", "10 seconds")(xs => xs.sum)
+    val q = s.toMemory("golden_collect")
+    ms.addData(
+      msg("""{"a":1}""", 0L, 0), msg("""{"a":5}""", 7000L, 1),
+      msg("""{"a":2}""", 1000L, 2), msg("""{"a":4}""", 3000L, 3),
+      msg("""{"a":3}""", 2000L, 4))
+    q.processAllAvailable()
+    ms.addData(msg("""{"a":9}""", 15000L, 5))
+    q.processAllAvailable()
+    val rows = spark.table("golden_collect")
+      .select(col("metadata.window_start").cast("long").as("ws"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 3.0), (2L, 7.0)))
+    q.stop()
+  }
+
+  test("mapWith / filterWith closures (reference lambda parity)") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("a", DoubleType)))
+    val s = kafkaShaped(ms, schema)
+      .map(col("value.a"))
+      .filterWith[Double](_ > 1.5)
+      .mapWith[Double, String](v => s"v=$v")
+    val q = s.toMemory("closures_t")
+    ms.addData(msg("""{"a":1}""", 1000L, 0), msg("""{"a":2}""", 2000L, 1))
+    q.processAllAvailable()
+    val got = spark.table("closures_t").select(col("value"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("v=2.0"))
+    q.stop()
+  }
+
+  test("statistics expose rows dropped by the watermark (late-data parity)") {
+    // reference warns + drops whole-late batches (src/stream.ts:157-177);
+    // here the drop is an observable counter.
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("a", DoubleType)))
+    val s = kafkaShaped(ms, schema)
+      .window("2 seconds", "0 seconds", Seq(count(lit(1)).as("n")))
+    val q = s.toMemory("late_t")
+    ms.addData(msg("""{"a":1}""", 60000L, 0))
+    q.processAllAvailable()
+    // far behind the watermark (60s, grace 0) → dropped by state store.
+    ms.addData(msg("""{"a":2}""", 1000L, 1))
+    q.processAllAvailable()
+    val deadline = System.currentTimeMillis() + 10000
+    var st = s.flushStatistics()
+    while (st.droppedByWatermark < 1 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      st = st.merge(s.flushStatistics())
+    }
+    assert(st.droppedByWatermark == 1, st)
+    q.stop()
+  }
+
   test("tombstones (null Kafka value) are skipped at the source") {
     // reference src/context.ts:142-146.
     import spark.implicits._
