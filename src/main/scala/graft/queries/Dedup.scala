@@ -53,7 +53,7 @@ object Dedup {
     // 100 TB note: add HAVING count(*) <= df_cap on the shingle join key to
     // cut quadratic blowup on ubiquitous shingles.
     Q("x_dedup_ngram_jaccard", (s, d) => {
-      val sh = documents(s, d)
+      val sh = fanOut(documents(s, d))
         .withColumn("toks", expr("split(lower(text), ' ')"))
         .withColumn("sh", expr(shingles3))
       val sizes = sh.select(col("doc_id"), expr("size(sh)").as("n"))
@@ -90,7 +90,7 @@ object Dedup {
     // keys, near-dups collide, everything else doesn't.
     Q("x_dedup_minhash_lsh", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sh = documents(s, d)
+      val sh = fanOut(documents(s, d))
         .withColumn("toks", expr("split(lower(text), ' ')"))
         .withColumn("sh", expr(shingles3))
       // native one-pass Expression (graft.functions.MinHashSig) — the SQL
@@ -145,7 +145,7 @@ object Dedup {
     // fingerprint (equi-join), same pattern as MinHash bands.
     Q("x_dedup_simhash", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      documents(s, d)
+      fanOut(documents(s, d))
         .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> md5(t))"))
         // native one-pass Expression (graft.functions.SimHash128) — the
         // SQL nested-lambda formulation interprets 128 lambdas per token.
@@ -174,7 +174,7 @@ object Dedup {
     // bucketing in x_ann_lsh (same sign-hyperplane signatures).
     Q("x_dedup_embedding", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = fanOut(embeddings(s, d)).select(col("vec_id"), col("embedding"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         // native codegen'd Expression, FP-sequence-identical to the fold.
         .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))

@@ -18,7 +18,7 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(
     Q("x_multimodal_meta", (s, d) => {
-      documents(s, d)
+      fanOut(documents(s, d))
         // the opaque payload: utf-8 bytes of text standing in for media.
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("sha", sha2(col("payload"), 256))

@@ -56,7 +56,7 @@ object Similarity {
     // once; rank is a per-group top-k (window + filter), not a global sort.
     Q("x_ann_brute_topk", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = fanOut(embeddings(s, d)).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       val c = e.filter(col("vec_id") >= 10)
@@ -91,7 +91,7 @@ object Similarity {
     // but fully deterministic, so the oracle checks it exactly.
     Q("x_ann_lsh", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val e = embeddings(s, d)
+      val e = fanOut(embeddings(s, d))
         .select(col("vec_id"), col("embedding"))
         .withColumn("sig", expr(sparkSig))
       val bands = e.select(col("vec_id"),

@@ -30,7 +30,7 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------ quality stats
     Q("x_text_stats", (s, d) => {
-      documents(s, d)
+      fanOut(documents(s, d))
         .withColumn("toks", expr(toks))
         .select(
           col("doc_id"),
@@ -68,7 +68,7 @@ object TextAnalysis {
     // fixed priority tie-break. Per-row only; the language lists would be
     // broadcast literals at any scale.
     Q("x_lang_id", (s, d) => {
-      documents(s, d)
+      fanOut(documents(s, d))
         .withColumn("toks", expr(toks))
         .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($stopEn)))"))
         .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($stopEs)))"))
@@ -102,7 +102,7 @@ object TextAnalysis {
     // BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
     // (the GPT-2 pre-tokenizer shape, regex kept RE2/Java-compatible).
     Q("x_token_count", (s, d) => {
-      documents(s, d)
+      fanOut(documents(s, d))
         .select(
           col("doc_id"),
           expr("size(split(text, ' '))").as("n_ws_tokens"),
@@ -125,7 +125,7 @@ object TextAnalysis {
     // digest as the document's fingerprint (min-hash of a rolling shingle
     // window). Identical/near-identical docs collide on fp_min.
     Q("x_fingerprint", (s, d) => {
-      documents(s, d)
+      fanOut(documents(s, d))
         .withColumn("toks", expr(toks))
         .withColumn("shingles",
           expr("transform(sequence(1, greatest(size(toks) - 3, 1)), i -> md5(concat_ws(' ', slice(toks, i, 4))))"))

@@ -41,4 +41,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan a low-parallelism scan out to the cluster's width BEFORE heavy
+    * per-row compute (hashing, signatures). Single-file/single-row-group
+    * parquet yields one scan task no matter how many cores exist; hash-heavy
+    * operators then run serially. The repartition is CONDITIONAL — if the
+    * source already splits to ≥ default parallelism (any real 100 TB
+    * table), it's a no-op and costs nothing; only starved scans pay one
+    * small shuffle to unlock every core. (Same remedy as for gzip/csv
+    * unsplittable sources.) */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
