@@ -136,6 +136,79 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
         FROM scored)
       SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank""")),
+
+    // ------------------------------------------------------------ IVF ANN
+    // Inverted-file variant: vectors are assigned to their nearest
+    // "centroid" (deterministic stand-in: the first 8 corpus vectors —
+    // a real pipeline trains centroids offline with k-means and
+    // broadcasts them); each query probes its nprobe=2 nearest lists and
+    // re-ranks only those candidates exactly. The probe-list join is the
+    // scale story: corpus is PARTITIONED BY list id, a query touches
+    // nprobe partitions instead of all of them.
+    Q("x_ann_ivf", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = fanOut(embeddings(s, d)).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      // nearest centroid per corpus vector (rank over 8 centroids).
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      // nprobe=2 lists per query.
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos").desc, col("cent_id").asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("qcos", expr("cosine_sim(qe, ce)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select(col("q_id"), col("qe"), col("cent_id"))
+      // candidates = corpus vectors in the probed lists; exact re-rank.
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      probes.join(assigned, "cent_id")
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id >= 10 AND vec_id < 18),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS crn
+          FROM e v CROSS JOIN cents c WHERE v.vec_id >= 10)
+        WHERE crn = 1),
+      probes AS (
+        SELECT q_id, qe, qnrm, cent_id FROM (
+          SELECT q.vec_id AS q_id, q.embedding AS qe, q.nrm AS qnrm, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.ce")} / (q.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS prn
+          FROM e q CROSS JOIN cents c WHERE q.vec_id < 10)
+        WHERE prn <= 2),
+      ranked AS (
+        SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM (SELECT p.q_id, a.vec_id,
+                     ${duckDot("p.qe", "a.embedding")} / (p.qnrm * a.nrm) AS cos
+              FROM probes p JOIN assigned a ON p.cent_id = a.cent_id))
+      SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
       ORDER BY q_id, rank"""))
   )
 }

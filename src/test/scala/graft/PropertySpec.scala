@@ -1,0 +1,78 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Property-style invariants (seeded randomized inputs, 25 cases each) —
+  * the ScalaCheck-shaped layer from SURVEY.md §5(c). */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+
+  test("explode conserves elements: |explode(arrays)| == Σ sizes") {
+    import spark.implicits._
+    (1 to 25).foreach { _ =>
+      val arrays = Seq.fill(rnd.nextInt(20) + 1)(
+        Seq.fill(rnd.nextInt(5))(rnd.nextInt(100)))
+      val df = arrays.toDF("arr")
+      val exploded = df.select(explode(col("arr"))).count()
+      assert(exploded == arrays.map(_.size).sum)
+    }
+  }
+
+  test("union all preserves counts: |a ∪ b| == |a| + |b|") {
+    import spark.implicits._
+    (1 to 25).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(10)).toDF("v")
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(10)).toDF("v")
+      assert(a.unionByName(b).count() == a.count() + b.count())
+    }
+  }
+
+  test("minhash_sig is invariant under shingle permutation (min is order-free)") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    (1 to 25).foreach { _ =>
+      val sh = Seq.fill(rnd.nextInt(30) + 1)(rnd.alphanumeric.take(8).mkString)
+      val perm = rnd.shuffle(sh)
+      val df = Seq((sh, perm)).toDF("a", "b")
+        .select(expr("minhash_sig(a, 12)").as("sa"),
+          expr("minhash_sig(b, 12)").as("sb"))
+      val r = df.collect()(0)
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("simhash128 is invariant under token-hash permutation (sum is order-free)") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    (1 to 25).foreach { _ =>
+      val hs = Seq.fill(rnd.nextInt(30) + 1)(
+        (1 to 32).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString)
+      val perm = rnd.shuffle(hs)
+      val df = Seq((hs, perm)).toDF("a", "b")
+        .select(expr("simhash128(a)").as("sa"), expr("simhash128(b)").as("sb"))
+      val r = df.collect()(0)
+      assert(r.getString(0) == r.getString(1))
+    }
+  }
+
+  test("cosine_sim is bitwise symmetric and self-similarity ≈ 1") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    (1 to 25).foreach { _ =>
+      val v = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+      val w = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+      val r = Seq((v, w)).toDF("a", "b")
+        .select(expr("cosine_sim(a, b)"), expr("cosine_sim(b, a)"),
+          expr("cosine_sim(a, a)"))
+        .collect()(0)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+  }
+}
