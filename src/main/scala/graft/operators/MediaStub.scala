@@ -63,4 +63,16 @@ object MediaStub {
 
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     ds.mapPartitions(decodeBatch)(Encoders.product[MediaFeatures])
+
+  /** FAKE resize: a real implementation re-encodes via the codec; the
+    * stub emits a deterministic payload of the target "pixel" budget so
+    * downstream schema/partitioning/size behavior is realistic. */
+  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] =
+    ds.mapPartitions(_.map { r =>
+      val sha = MessageDigest.getInstance("SHA-256").digest(r.payload)
+      val out = new Array[Byte](math.max(1, w * h / 64))
+      var i = 0
+      while (i < out.length) { out(i) = sha(i % 32); i += 1 }
+      r.copy(payload = out)
+    })(Encoders.product[MediaRecord])
 }
