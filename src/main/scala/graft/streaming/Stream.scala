@@ -261,6 +261,7 @@ final class Stream private (
   private def start(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
     val q = w.start()
     queries += q
+    listener.watch(q.id) // only this stream's queries feed its counters
     q
   }
 
@@ -323,9 +324,13 @@ object Stream {
     private var sent = 0L
     private var lastTs = 0L
     private var dropped = 0L
+    private val watched = scala.collection.mutable.Set.empty[java.util.UUID]
+    private[streaming] def watch(id: java.util.UUID): Unit =
+      synchronized { watched += id; () }
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
       synchronized {
+        if (!watched.contains(e.progress.id)) return
         recv += e.progress.numInputRows
         val out = e.progress.sink.numOutputRows
         if (out > 0) sent += out
