@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    SparkEntry.headlines.foreach { q =>
+      val df = q.fn(spark, d)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val ops = plan.linesIterator
+        .filter(l => l.matches("^\\(\\d+\\) .*"))
+        .map(_.replaceAll("^\\(\\d+\\) ", "")).toSeq
+      val exchanges = ops.count(_.startsWith("Exchange"))
+      println(s"[plan] ${q.name} (exchanges=$exchanges): ${ops.mkString(" | ")}")
+    }
+    spark.stop()
+  }
+}

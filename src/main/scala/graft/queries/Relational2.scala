@@ -250,6 +250,32 @@ object Relational2 {
       WHERE e.event_type = 'error' AND c.event_type = 'click'
       GROUP BY e.event_id ORDER BY e_id""")),
 
+    // ------------------------------------------------------ null handling
+    // NULL-aware scalar + aggregate semantics: nullif/coalesce, the
+    // null-skipping count(col) vs count(*), null-safe equality.
+    Q("q_null_handling", (s, d) => {
+      customer(s, d)
+        .withColumn("pos_bal",
+          when(col("c_acctbal") >= 0, col("c_acctbal")).otherwise(lit(null)))
+        .withColumn("seg2",
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("pos_bal")).as("n_pos"),
+          dsum(coalesce(col("pos_bal"), lit(0.0d))).as("sum_pos"),
+          count(when(col("seg2") === "OTHER", 1)).as("n_other"))
+        .orderBy(col("c_nationkey"))
+    }, Some("""
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             COUNT(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS n_pos,
+             CAST(SUM(CAST(COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0)
+                           AS DECIMAL(12,4))) AS DOUBLE) AS sum_pos,
+             COUNT(CASE WHEN COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') = 'OTHER'
+                        THEN 1 END) AS n_other
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // ------------------------------------------- approx distinct (sketch)
     // HLL++ parameters differ per engine, so no SQL oracle — the driver
     // records a rows-only check. At 100 TB this replaces exact distinct
