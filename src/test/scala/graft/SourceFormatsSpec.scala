@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** File-format source coverage beyond parquet (the reference reads Kafka
+  * only — §2.3; Spark's readers make csv/json extension surface free).
+  * Round-trips the events table through each format and checks parity. */
+class SourceFormatsSpec extends SparkSpec {
+
+  private lazy val events =
+    Tables.events(spark, sf("sf0.001")).select("event_id", "event_type", "value")
+
+  test("json round-trip preserves rows and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    events.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == events.count())
+    val a = events.agg(sum(col("value")).cast("decimal(20,2)")).collect()(0).getDecimal(0)
+    val b = back.agg(sum(col("value")).cast("decimal(20,2)")).collect()(0).getDecimal(0)
+    assert(a == b)
+  }
+
+  test("csv round-trip with header + explicit schema preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    events.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(events.schema).csv(dir)
+    assert(back.count() == events.count())
+    assert(back.filter(col("event_type") === "click").count() ==
+      events.filter(col("event_type") === "click").count())
+  }
+}
