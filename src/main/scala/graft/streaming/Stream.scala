@@ -101,9 +101,12 @@ final class Stream private (
 
   /** Array-valued records flatten to N records copying the parent
     * metadata — exactly the reference's `[meta,[1,2]] → [meta,1],[meta,2]`
-    * (`src/stream.ts:78-90`). */
+    * (`src/stream.ts:78-90`). An empty array yields NO rows (flatMap
+    * semantics, matching the reference's per-element fan-out — hence
+    * `explode`, not `explode_outer`). */
   def explode(): Stream =
-    derive(df.select(explode_outer(col("value")).as("value"), col("metadata")))
+    derive(df.select(org.apache.spark.sql.functions.explode(col("value")).as("value"),
+      col("metadata")))
 
   /** Aligned tumbling event-time window + whole-window aggregates
     * (reference `window`, `src/stream.ts:130-200`).

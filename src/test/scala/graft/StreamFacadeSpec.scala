@@ -67,12 +67,15 @@ class StreamFacadeSpec extends SparkSpec {
     val q = s.toMemory("compose", outputMode = "append")
     ms.addData(
       msg("""{"k":1,"arr":[10,11]}""", 1000L, 0),
-      msg("""{"k":2,"arr":[20,21]}""", 2000L, 1))
+      msg("""{"k":2,"arr":[20,21]}""", 2000L, 1),
+      // empty array → no rows at all (reference flatMap semantics).
+      msg("""{"k":3,"arr":[]}""", 3000L, 2))
     q.processAllAvailable()
     val rows = spark.table("compose")
       .select(col("value"), col("metadata.offset"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // only k=2 survives; both exploded rows carry the parent offset 1.
+    // only k=2 survives; both exploded rows carry the parent offset 1;
+    // k=3's empty array contributes nothing.
     assert(rows.toSeq == Seq((20, 1L), (21, 1L)))
     q.stop()
   }
