@@ -26,7 +26,11 @@ final case class StreamContextOption(
     fromBeginning: Boolean = false,
     clientId: Option[String] = None,
     commitInterval: Long = 60000L,
-    startAtTimestamp: Option[Long] = None)
+    startAtTimestamp: Option[Long] = None,
+    /** Backpressure bound per micro-batch — the Spark home of the
+      * reference's bounded channel capacity (1000 messages,
+      * `src/context.ts:75`): `maxOffsetsPerTrigger`. */
+    maxPerPull: Option[Long] = None)
 
 /** Merged per-query counters — parity mirror of the reference `Statistics`
   * (`src/context.ts:39-52`), fed by `StreamingQueryListener` progress. */
@@ -294,6 +298,7 @@ object Stream {
       .option("startingOffsets", if (option.fromBeginning) "earliest" else "latest")
     option.clientId.foreach(id => r = r.option("kafka.client.id", id))
     option.startAtTimestamp.foreach(ts => r = r.option("startingTimestamp", ts.toString))
+    option.maxPerPull.foreach(n => r = r.option("maxOffsetsPerTrigger", n.toString))
     fromKafkaShaped(spark, r.load(), valueSchema)
   }
 
