@@ -233,6 +233,41 @@ final class Stream private (
       struct(col("key").as("topic")).as("metadata")))
   }
 
+  /** Stream-static enrichment join (extension): the static side is
+    * broadcast, so no stream-side shuffle. The new `value` nests the old
+    * one: struct(value, <dim columns>). */
+  def joinStatic(dim: DataFrame, cond: Column, joinType: String = "inner"): Stream = {
+    val joined = df.join(broadcast(dim), cond, joinType)
+    val dimCols = dim.columns.toSeq
+    derive(joined.select(
+      struct(col("value") +: dimCols.map(col): _*).as("value"),
+      col("metadata")))
+  }
+
+  /** Stream-stream equi-join within an event-time bound (extension):
+    * both sides watermarked with `grace`; rows match when keys are equal
+    * and the right event time lies within ±`within` of the left. State is
+    * bounded by watermark + time bound. Output: value =
+    * struct(left, right), metadata = the left side's. */
+  def joinStream(other: Stream, thisKey: Column, otherKey: Column,
+                 grace: String, within: String): Stream = {
+    val l = df
+      .select(col("value").as("left"), col("metadata").as("lmeta"),
+        thisKey.as("__lk"), col("metadata.timestamp").as("__lts"))
+      .withWatermark("__lts", grace)
+    val r = other.df
+      .select(col("value").as("right"), otherKey.as("__rk"),
+        col("metadata.timestamp").as("__rts"))
+      .withWatermark("__rts", grace)
+    val joined = l.join(r,
+      col("__lk") === col("__rk") &&
+        col("__rts") >= col("__lts") - expr(s"INTERVAL $within") &&
+        col("__rts") <= col("__lts") + expr(s"INTERVAL $within"))
+    derive(joined.select(
+      struct(col("left"), col("right")).as("value"),
+      col("lmeta").as("metadata")))
+  }
+
   /** UNION ALL, no dedup (reference `union`, `src/stream.ts:201-230`).
     * Spark schedules each source independently per micro-batch, so the
     * reference's promise-racing machinery disappears; a stalled side

@@ -73,6 +73,47 @@ class StreamExtensionsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("joinStatic enriches the stream from a broadcast dimension") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("uid", IntegerType)))
+    val dim = Seq((1, "alice"), (2, "bob")).toDF("uid_d", "name")
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      .joinStatic(dim, col("value.uid") === col("uid_d"))
+    val q = s.toMemory("enrich_t")
+    ms.addData(msg("""{"uid":1}""", 1000L, 0), msg("""{"uid":3}""", 2000L, 1))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_t")
+      .select(col("value.value.uid"), col("value.name")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "alice"))) // uid=3 has no dim row (inner)
+    q.stop()
+  }
+
+  test("joinStream matches keys within the event-time bound") {
+    import spark.implicits._
+    val m1 = MemoryStream[KMsg]
+    val m2 = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val s = Stream.fromKafkaShaped(spark, m1.toDF(), schema)
+      .joinStream(Stream.fromKafkaShaped(spark, m2.toDF(), schema),
+        col("value.k"), col("value.k"), "10 seconds", "5 seconds")
+    val q = s.toMemory("sjoin_t")
+    m1.addData(msg("""{"k":1}""", 1000L, 0), msg("""{"k":2}""", 1000L, 1))
+    // k=1 within 5s (match), k=2 at +30s (no match), k=9 unmatched key.
+    m2.addData(msg("""{"k":1}""", 3000L, 0), msg("""{"k":2}""", 31000L, 1),
+      msg("""{"k":9}""", 2000L, 2))
+    q.processAllAvailable()
+    m1.addData(msg("""{"k":7}""", 100000L, 2)) // advance both watermarks
+    m2.addData(msg("""{"k":8}""", 100000L, 3))
+    q.processAllAvailable()
+    val rows = spark.table("sjoin_t")
+      .select(col("value.left.k"), col("value.right.k")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1, 1)))
+    q.stop()
+  }
+
   test("runningCount keeps per-key state across micro-batches") {
     import spark.implicits._
     val ms = MemoryStream[KMsg]
