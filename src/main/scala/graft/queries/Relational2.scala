@@ -250,6 +250,42 @@ object Relational2 {
       WHERE e.event_type = 'error' AND c.event_type = 'click'
       GROUP BY e.event_id ORDER BY e_id""")),
 
+    // --------------------------------------------------------------- pivot
+    // Explicit value list ⇒ deterministic output columns AND no extra
+    // values-discovery job — the required form at scale (implicit pivot
+    // first runs a distinct over the whole input).
+    Q("q_pivot", (s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+             COUNT(*) FILTER (event_type = 'click') AS click,
+             COUNT(*) FILTER (event_type = 'error') AS error,
+             COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (event_type = 'signup') AS signup,
+             COUNT(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------- unpivot
+    // Wide → long via stack (Spark's unpivot form); per-row only.
+    Q("q_unpivot", (s, d) => {
+      lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (measure, val)"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber, measure""")),
+
     // ------------------------------------------------------ null handling
     // NULL-aware scalar + aggregate semantics: nullif/coalesce, the
     // null-skipping count(col) vs count(*), null-safe equality.
