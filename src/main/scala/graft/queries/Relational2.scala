@@ -250,6 +250,38 @@ object Relational2 {
       WHERE e.event_type = 'error' AND c.event_type = 'click'
       GROUP BY e.event_id ORDER BY e_id""")),
 
+    // ------------------------------------------------------ array functions
+    Q("q_array_funcs", (s, d) => {
+      documents(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .select(
+          col("doc_id"),
+          expr("size(toks)").as("n"),
+          expr("array_contains(toks, 'spark')").as("has_spark"),
+          expr("array_position(toks, 'data')").as("pos_data"),
+          expr("element_at(toks, 1)").as("first_tok"),
+          expr("element_at(toks, -1)").as("last_tok"),
+          expr("slice(toks, 1, 3)").as("first3"),
+          expr("array_sort(array_distinct(slice(toks, 1, 5)))").as("sorted5"),
+          expr("array_join(slice(toks, 1, 3), '-')").as("joined3"),
+          expr("array_max(transform(toks, t -> length(t)))").as("max_len"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+             len(toks) AS n,
+             list_contains(toks, 'spark') AS has_spark,
+             CAST(COALESCE(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+             toks[1] AS first_tok,
+             toks[-1] AS last_tok,
+             toks[1:3] AS first3,
+             list_sort(list_distinct(toks[1:5])) AS sorted5,
+             array_to_string(toks[1:3], '-') AS joined3,
+             list_max(list_transform(toks, t -> length(t))) AS max_len
+      FROM t ORDER BY doc_id""")),
+
     // --------------------------------------------------------------- pivot
     // Explicit value list ⇒ deterministic output columns AND no extra
     // values-discovery job — the required form at scale (implicit pivot
