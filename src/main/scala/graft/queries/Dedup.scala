@@ -88,6 +88,10 @@ object Dedup {
     // → candidates share a band key → verified with exact Jaccard ≥ 0.5.
     // The band join is the whole point at scale: each doc emits 4 short
     // keys, near-dups collide, everything else doesn't.
+    // Note: the band self-join recomputes the signature subtree (no
+    // automatic subplan reuse across self-join sides); a production
+    // pipeline materializes the signature/band relation once (cache or a
+    // staging table) before the join — the registry form stays stateless.
     Q("x_dedup_minhash_lsh", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val sh = fanOut(documents(s, d))
