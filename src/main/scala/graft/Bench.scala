@@ -31,7 +31,13 @@ object Bench {
     }
     val names = SparkEntry.headlines.map(_.name)
     names.foreach(run) // warm-up: JIT + codegen cache + file listing
-    val results = names.map(n => n -> run(n))
+    // Steady-state per query: best of 3 timed runs. Single-run times at this
+    // scale are dominated by JIT/GC scheduling noise (observed 5× swings on
+    // identical plans); min-of-3 measures the plan, not the JVM's mood.
+    val results = names.map { n =>
+      val ts = (1 to 3).map(_ => run(n))
+      n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

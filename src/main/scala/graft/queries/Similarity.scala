@@ -94,10 +94,13 @@ object Similarity {
       val e = fanOut(embeddings(s, d))
         .select(col("vec_id"), col("embedding"))
         .withColumn("sig", expr(sparkSig))
-      val bands = e.select(col("vec_id"),
+      // Staged (Tables.stage): the band relation feeds both the query and
+      // corpus sides of the candidate join; without materialization the
+      // 16×64-mult hyperplane projection would run twice per vector.
+      val bands = stage(e.select(col("vec_id"),
         explode(expr("""transform(sequence(0, 3),
           b -> concat(CAST(b AS STRING), ':', substring(sig, 4*b + 1, 4)))"""))
-          .as("band"))
+          .as("band")))
       val qb = bands.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("band"))
       val cb = bands.filter(col("vec_id") >= 10)

@@ -54,4 +54,18 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Materialize an expensive intermediate relation ONCE before a self-join.
+    *
+    * Spark has no automatic subplan reuse across the two sides of a
+    * self-join (each side re-executes the whole subtree — verified: zero
+    * `ReusedExchange` nodes in the MinHash band-join plan), so a
+    * signature/band relation built with per-row hashing would be computed
+    * twice. `localCheckpoint(eager = false)` truncates lineage and caches
+    * the partitions on first use — the single-job equivalent of writing the
+    * relation to a staging table, which is exactly what the 100 TB pipeline
+    * does between the signature pass and the band join (multi-TB
+    * intermediates go to a parquet staging table; the semantics are the
+    * same: compute once, join against the materialization). */
+  def stage(df: DataFrame): DataFrame = df.localCheckpoint(false)
 }
