@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+import QueryDsl._
+
+/** Relational corpus, part 3 — event/time-series shapes a stream-derived
+  * engine needs in batch form: sessionization (gaps-and-islands), sliding
+  * windows, keep-latest-per-key (CDC dedup), per-group-average filters
+  * (correlated subquery), gap-filled resampling, and the distribution
+  * window functions (ntile / percent_rank / cume_dist / nth_value).
+  *
+  * Same determinism contract as [[Relational]]: all time arithmetic is
+  * integer microseconds (`unix_micros` ≡ DuckDB `epoch_us`), money goes
+  * through exact decimals, and every output has a total ORDER BY.
+  */
+object Relational3 {
+
+  val all: Seq[Q] = Seq(
+    // -------------------------------------------------------- sessionization
+    // Gaps-and-islands: a new session starts after a >30-minute silence.
+    // One shuffle on user_id serves both the lag() and the running sum; the
+    // session aggregate then groups on (user_id, session_id) — already
+    // co-partitioned, no second exchange. At 100 TB this is THE
+    // sessionization plan: no self-join, no driver state, skew bounded by
+    // the per-user event count.
+    Q("q_sessionize", (s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some("""
+      WITH lagged AS (
+        SELECT user_id, ts, value,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM lagged),
+      sessioned AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS session_value
+      FROM sessioned
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")),
+
+    // ------------------------------------------------------- sliding window
+    // 10-minute windows sliding by 5: every event lands in exactly two
+    // epoch-aligned windows. Spark's window() generator expands them
+    // map-side; the aggregate shuffles on window start — the same partial
+    // aggregation pipeline as a tumbling window, just 2× the rows into the
+    // combine. (The oracle enumerates the two aligned starts explicitly.)
+    Q("q_window_sliding", (s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("w.start").as("w_start"), col("n"), col("total"))
+        .orderBy(col("w_start"))
+    }, Some("""
+      WITH starts AS (
+        SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS s0,
+               value FROM events),
+      expanded AS (
+        SELECT unnest([s0, s0 - INTERVAL 5 MINUTE]) AS w_start, value FROM starts)
+      SELECT w_start, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total
+      FROM expanded
+      GROUP BY w_start
+      ORDER BY w_start""")),
+
+    // ------------------------------------------------- keep-latest (CDC dedup)
+    // The canonical changelog-compaction op: latest record per key by
+    // (ts, event_id). One shuffle on the key; row_number + filter plans as
+    // a single WindowExec with no join. At scale prefer this over
+    // groupBy(max) + self-join (one shuffle instead of two).
+    Q("q_dedup_latest", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id, event_id, ts, value FROM (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id""")),
+
+    // --------------------------------------- correlated subquery (group avg)
+    // Orders above their customer's average price. The correlated scalar
+    // subquery decorrelates to a window aggregate: ONE shuffle on o_custkey
+    // computes the per-group average alongside the rows — vs the naive
+    // aggregate + re-join which shuffles orders twice. The exact decimal
+    // sum / count division is evaluated identically in both engines.
+    Q("q_correlated_subquery", (s, d) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+      orders(s, d)
+        .withColumn("cust_avg",
+          sum(decM(col("o_totalprice"))).over(byCust).cast("double") /
+            count(lit(1)).over(byCust))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders)
+      WHERE o_totalprice > cust_avg
+      ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------- resample + gap fill
+    // Hourly event counts over the full [min, max] hour range with empty
+    // hours zero-filled. The hour dimension is generated from a 1-row
+    // global aggregate (sequence + explode — never a driver-side loop) and
+    // broadcast against the per-hour aggregate; at 100 TB the dimension is
+    // still only ~10^4 rows/year while the fact side keeps its single
+    // group-by-hour shuffle.
+    Q("q_resample_gapfill", (s, d) => {
+      val ev = events(s, d)
+      val perHour = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      val hours = ev
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+        .select(explode(expr(
+          "sequence(date_trunc('hour', mn), date_trunc('hour', mx), interval 1 hour)"))
+          .as("hr"))
+      broadcast(hours)
+        .join(perHour, Seq("hr"), "left")
+        .select(col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0d)).as("total"))
+        .orderBy(col("hr"))
+    }, Some("""
+      WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx
+        FROM events),
+      hours AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM bounds),
+      per_hour AS (
+        SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total
+        FROM events GROUP BY 1)
+      SELECT hours.hr AS hr, COALESCE(n, 0) AS n, COALESCE(total, 0.0) AS total
+      FROM hours LEFT JOIN per_hour ON hours.hr = per_hour.hr
+      ORDER BY hr""")),
+
+    // ------------------------------------- distribution window functions
+    // ntile/percent_rank/cume_dist/nth_value over a total per-customer
+    // order. The frame for nth_value is pinned to ROWS on both engines;
+    // the (o_totalprice DESC, o_orderkey) order is unique, so every rank
+    // and quantile bucket is engine-independent.
+    Q("q_window_ntile", (s, d) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(byPrice).as("quartile"),
+          percent_rank().over(byPrice).as("pct_rank"),
+          cume_dist().over(byPrice).as("cume"),
+          nth_value(col("o_totalprice"), 2)
+            .over(byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             NTILE(4) OVER wp AS quartile,
+             PERCENT_RANK() OVER wp AS pct_rank,
+             CUME_DIST() OVER wp AS cume,
+             NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+      FROM orders
+      WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+  )
+}
