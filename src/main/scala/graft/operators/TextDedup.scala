@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.stage
+
+/** Reusable text-deduplication operators — the library surface behind the
+  * `x_dedup_*` registry queries (graft.queries.Dedup), parameterized so a
+  * pipeline can tune shingle width, signature size, similarity threshold,
+  * and the document-frequency cap.
+  *
+  * Scale design:
+  *  - candidate generation is always an equi-join on a short key (shared
+  *    shingle / LSH band) — no O(n²) pair scan; exact verification runs on
+  *    candidates only, against the full shingle sets, so a pruned index can
+  *    never distort a reported Jaccard value (only recall, see `dfCap`);
+  *  - the shingle / band relations are staged (Tables.stage): they feed
+  *    both sides of a self-join and Spark has no automatic subplan reuse
+  *    across self-join sides;
+  *  - `dfCap` drops shingles shared by more than `cap` documents from the
+  *    inverted index — ubiquitous (stopword) shingles create quadratic hot
+  *    keys: one shingle in k documents emits k² candidate pairs, so at
+  *    100 TB a handful of boilerplate phrases would dominate the whole
+  *    join. The cap is computed with a window count over the shingle key,
+  *    which the subsequent self-join already partitions by — the guard
+  *    costs no additional shuffle. Pairs whose ONLY shared shingles are
+  *    ubiquitous are missed: the standard, documented recall tradeoff.
+  */
+object TextDedup {
+
+  /** Distinct lowercase word `n`-gram shingles: (id, sh: array<string>).
+    * Staged — every consumer self-joins or reuses it. */
+  def shingleRelation(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    stage(docs
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .select(col(idCol).as("id"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
+           |  i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin).as("sh")))
+
+  /** Exact-Jaccard near-duplicate pairs via the inverted-index plan:
+    * candidates share ≥1 (eligible) shingle, then the TRUE Jaccard over the
+    * full shingle sets is computed for candidates only.
+    * Output: (da, db, jaccard), da < db. */
+  def jaccardPairs(shingled: DataFrame, threshold: Double,
+                   dfCap: Option[Int] = None): DataFrame = {
+    val ex = stage(shingled.select(col("id"), explode(col("sh")).as("s")))
+    val index = dfCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        ex.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+      case None => ex
+    }
+    val cand = index.as("a")
+      .join(index.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    verifyJaccard(cand, shingled, threshold)
+  }
+
+  /** MinHash + banded-LSH near-duplicate pairs: `k` min-hashes in `bands`
+    * bands of `k / bands` rows; candidates share ≥1 band key; exact Jaccard
+    * over the full shingle sets verifies candidates.
+    * Requires the graft native function `minhash_sig` (registered via
+    * [[graft.functions.GraftFunctions.ensureRegistered]]).
+    * Output: (da, db, jaccard), da < db. */
+  def minhashLshPairs(shingled: DataFrame, k: Int = 12, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    val sig = shingled.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+    val bandCols = (1 to rows).map(r => s"element_at(sig, $rows*b+$r)").mkString(", ")
+    val banded = stage(sig.select(col("id"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> md5(concat(CAST(b AS STRING), '|', $bandCols)))""".stripMargin))
+        .as("band_key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    verifyJaccard(cand, shingled, threshold)
+  }
+
+  /** Exact verification: true Jaccard over the FULL shingle sets for the
+    * candidate pairs only. */
+  private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(shingled.as("sa"), col("da") === col("sa.id"))
+      .join(shingled.as("sb"), col("db") === col("sb.id"))
+      .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(sa.sh) + size(sb.sh) - inter)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+
+  /** Exact duplicate groups by content digest: only the 16-byte digest
+    * shuffles, never the text. Output: (canonical_id, n_copies). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+}

@@ -22,12 +22,7 @@ import graft.sources.Tables._
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles of the lowercased text. */
-  private val shingles3 =
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(toks) - 2, 1)),
-      |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin
-
+  /** DuckDB twin of TextDedup.shingleRelation's distinct word 3-grams. */
   private val duckShingles3 =
     """list_distinct(list_transform(
       |  range(1, greatest(len(toks) - 2, 1) + 1),
@@ -38,53 +33,39 @@ object Dedup {
     // Group by content digest, keep the smallest doc_id as canonical.
     // Only the 32-char digest shuffles; text never leaves the map side.
     Q("x_dedup_exact", (s, d) => {
-      documents(s, d)
-        .groupBy(md5(col("text")).as("digest"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-        .select(col("canonical_id"), col("n_copies"))
+      graft.operators.TextDedup.exactGroups(documents(s, d), "doc_id", "text")
         .orderBy(col("canonical_id"))
     }, Some("""
       SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
 
     // ----------------------------------------------- n-gram Jaccard dedup
-    // Candidates = docs sharing ≥1 shingle (equi-join on the shingle, the
-    // scalable inverted-index plan); then exact Jaccard ≥ 0.5.
-    // 100 TB note: add HAVING count(*) <= df_cap on the shingle join key to
-    // cut quadratic blowup on ubiquitous shingles.
+    // Inverted-index plan (graft.operators.TextDedup.jaccardPairs):
+    // candidates share ≥1 eligible shingle; TRUE Jaccard over the full
+    // shingle sets verifies candidates only. The document-frequency cap
+    // (df ≤ 5, window-counted over the shingle key the join already
+    // partitions by — no extra shuffle) drops ubiquitous shingles whose k
+    // postings would emit k² candidate pairs: THE quadratic hot-key guard
+    // at 100 TB, mirrored exactly in the oracle's QUALIFY.
     Q("x_dedup_ngram_jaccard", (s, d) => {
-      // Shingle relation is staged (see Tables.stage): the exploded inverted
-      // index feeds BOTH sides of the self-join, and Spark would otherwise
-      // re-tokenize + re-shingle every document twice (measured 2.2× slower).
-      val sh = stage(fanOut(documents(s, d))
-        .withColumn("toks", expr("split(lower(text), ' ')"))
-        .withColumn("sh", expr(shingles3))
-        .select(col("doc_id"), col("sh")))
-      val sizes = sh.select(col("doc_id"), expr("size(sh)").as("n"))
-      val ex = stage(sh.select(col("doc_id"), explode(col("sh")).as("s")))
-      val inter = ex.as("a")
-        .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          expr("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("da"), col("db"), col("jaccard"))
+      val sh = graft.operators.TextDedup
+        .shingleRelation(fanOut(documents(s, d)), "doc_id", "text", n = 3)
+      graft.operators.TextDedup.jaccardPairs(sh, threshold = 0.5, dfCap = Some(5))
         .orderBy(col("da"), col("db"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       d AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
-      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
       ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
-      pairs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
-                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-      SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-      FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      eligible AS (SELECT doc_id, s FROM ex
+                   QUALIFY COUNT(*) OVER (PARTITION BY s) <= 5),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM eligible a JOIN eligible b ON a.s = b.s AND a.doc_id < b.doc_id),
+      v AS (SELECT da, db,
+              len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+              len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand JOIN d sa ON da = sa.doc_id JOIN d sb ON db = sb.doc_id)
+      SELECT da, db, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
       ORDER BY da, db""")),
 
     // --------------------------------------------------- MinHash+LSH dedup
@@ -98,32 +79,13 @@ object Dedup {
     // once is exactly the production staging-table pattern.
     Q("x_dedup_minhash_lsh", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sh = stage(fanOut(documents(s, d))
-        .withColumn("toks", expr("split(lower(text), ' ')"))
-        .withColumn("sh", expr(shingles3))
-        .select(col("doc_id"), col("sh")))
-      // native one-pass Expression (graft.functions.MinHashSig) — the SQL
-      // transform/array_min formulation interprets k·|sh| lambda frames.
-      val sig = sh.withColumn("sig", expr("minhash_sig(sh, 12)"))
-      val bands = stage(sig.select(col("doc_id"),
-        explode(expr("""transform(sequence(0, 3),
-          b -> md5(concat(CAST(b AS STRING), '|', element_at(sig, 3*b+1),
-                          element_at(sig, 3*b+2), element_at(sig, 3*b+3))))"""))
-          .as("band_key")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val sets = sh.select(col("doc_id"), col("sh"))
-      cand
-        .join(sets.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sets.as("sb"), col("db") === col("sb.doc_id"))
-        .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
-        .withColumn("jaccard",
-          expr("CAST(inter AS DOUBLE) / (size(sa.sh) + size(sb.sh) - inter)"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("da"), col("db"), col("jaccard"))
+      // graft.operators.TextDedup.minhashLshPairs: native one-pass
+      // minhash_sig Expression (the SQL transform/array_min formulation
+      // interprets k·|sh| lambda frames), banded keys, exact verify.
+      val sh = graft.operators.TextDedup
+        .shingleRelation(fanOut(documents(s, d)), "doc_id", "text", n = 3)
+      graft.operators.TextDedup
+        .minhashLshPairs(sh, k = 12, bands = 4, threshold = 0.5)
         .orderBy(col("da"), col("db"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

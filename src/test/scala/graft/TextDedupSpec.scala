@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedup
+
+/** Semantics of the reusable dedup operators, especially the
+  * document-frequency cap (the quadratic-hot-key guard). */
+class TextDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // doc 1/2: genuine near-dups (share almost all shingles).
+  // docs 10..15: unrelated, but all contain one ubiquitous boilerplate
+  // phrase ("terms of service apply here") → one hot shingle set.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),
+    (10L, "alpha beta gamma terms of service apply here one"),
+    (11L, "delta epsilon zeta terms of service apply here two"),
+    (12L, "eta theta iota terms of service apply here three"),
+    (13L, "kappa lambda mu terms of service apply here four"),
+    (14L, "nu xi omicron terms of service apply here five"),
+    (15L, "pi rho sigma terms of service apply here six")
+  ).toDF("doc_id", "text")
+
+  test("jaccardPairs finds true near-dups and reports exact Jaccard") {
+    val sh = TextDedup.shingleRelation(docs, "doc_id", "text")
+    val pairs = TextDedup.jaccardPairs(sh, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val j = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    // 10 tokens → 8 shingles each, 7 shared → 7 / (8 + 8 - 7)
+    assert(math.abs(j - 7.0 / 9.0) < 1e-15)
+  }
+
+  test("dfCap prunes hot-shingle candidates but never distorts survivors") {
+    val sh = TextDedup.shingleRelation(docs, "doc_id", "text")
+    // Boilerplate shingles ("terms of service" etc.) have df = 6: without a
+    // cap they generate all 15 cross pairs of docs 10..15 as candidates.
+    val uncapped = TextDedup.jaccardPairs(sh, threshold = 0.0)
+    assert(uncapped.count() >= 16) // 15 boilerplate pairs + the near-dup pair
+
+    val capped = TextDedup.jaccardPairs(sh, threshold = 0.0, dfCap = Some(5))
+    val rows = capped.collect()
+    // hot-shingle-only pairs are gone...
+    assert(rows.forall(r => !(r.getLong(0) >= 10L && r.getLong(1) >= 10L)))
+    // ...and the genuine near-dup survives with its EXACT Jaccard (the cap
+    // only gates candidate generation; verification uses full sets).
+    val j = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(math.abs(j - 7.0 / 9.0) < 1e-15)
+  }
+
+  test("the df-cap window adds no exchange beyond the candidate join's") {
+    // Compare under the at-scale plan (shuffle join): with broadcast
+    // allowed, the tiny uncapped side broadcasts and the counts aren't
+    // comparable. At scale both sides shuffle on the shingle key, and the
+    // df-cap window's hashpartitioning(s) IS that partitioning — the
+    // candidate join reuses it, so capped and uncapped plans shuffle the
+    // same number of times.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = TextDedup.shingleRelation(docs, "doc_id", "text")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+      val base = exchanges(TextDedup.jaccardPairs(sh, 0.5))
+      val withCap = exchanges(TextDedup.jaccardPairs(sh, 0.5, Some(5)))
+      assert(withCap <= base,
+        s"df-cap should reuse the join's shingle partitioning: $base -> $withCap")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("minhashLshPairs agrees with exact Jaccard on the near-dup pair") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sh = TextDedup.shingleRelation(docs, "doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(sh, k = 12, bands = 4, threshold = 0.5)
+      .collect()
+    val hit = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(hit.isDefined, "LSH missed a 0.78-Jaccard pair (12 hashes / 4 bands)")
+    assert(math.abs(hit.get.getDouble(2) - 7.0 / 9.0) < 1e-15)
+  }
+
+  test("exactGroups collapses byte-identical docs to the smallest id") {
+    val dups = docs.union(Seq((99L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text"))
+    val groups = TextDedup.exactGroups(dups, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getLong(0) == 1L && groups.head.getLong(1) == 2L)
+  }
+}
