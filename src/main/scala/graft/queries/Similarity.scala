@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables._
@@ -27,18 +26,10 @@ object Similarity {
        |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  /** 16-bit sign-hyperplane signature; hyperplane weights are ±1 derived
-    * from md5(h_d) so both engines rebuild the identical matrix. At 100 TB
-    * the weight matrix would be materialized once and broadcast instead of
-    * recomputed per row. */
-  private val sparkSig =
-    """concat_ws('', transform(sequence(0, 15), h ->
-      |  CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, dd) ->
-      |         acc + CASE WHEN substring(md5(concat(CAST(h AS STRING), '_', CAST(dd AS STRING))), 1, 1) >= '8'
-      |                    THEN CAST(element_at(embedding, dd) AS DOUBLE)
-      |                    ELSE -CAST(element_at(embedding, dd) AS DOUBLE) END) > 0
-      |  THEN '1' ELSE '0' END))""".stripMargin
-
+  /** DuckDB twin of [[graft.operators.Ann.hyperplaneSigSql]] (16 bits,
+    * 64 dims): hyperplane weights are ±1 derived from md5(h_d) so both
+    * engines rebuild the identical matrix. At 100 TB the weight matrix
+    * would be materialized once and broadcast instead of recomputed. */
   private val duckSig =
     """array_to_string(list_transform(range(0, 16), h ->
       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -55,20 +46,13 @@ object Similarity {
     // per query. The query side is tiny → broadcast; the corpus is scanned
     // once; rank is a per-group top-k (window + filter), not a global sort.
     Q("x_ann_brute_topk", (s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val e = fanOut(embeddings(s, d)).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val c = e.filter(col("vec_id") >= 10)
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(q).crossJoin(c)
-        // native codegen'd Expression — same FP sequence as the fold, ~10×
-        // faster (see graft.functions.CosineSimilarity).
-        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      // graft.operators.Ann.bruteTopK: broadcast query set × one corpus
+      // scan, native codegen'd cosine_sim, per-query top-k (never a global
+      // sort).
+      val e = fanOut(embeddings(s, d))
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann
+        .bruteTopK(e.filter(col("id") < 10), e.filter(col("id") >= 10), k = 10)
         .orderBy(col("q_id"), col("rank"))
     }, Some(s"""
       WITH e AS (
@@ -90,31 +74,14 @@ object Similarity {
     // exact cosine re-ranks candidates only. Approximate by construction,
     // but fully deterministic, so the oracle checks it exactly.
     Q("x_ann_lsh", (s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
+      // graft.operators.Ann.lshTopK: banded sign-hyperplane signatures
+      // (staged — they feed both sides of the candidate join), equi-join
+      // candidate generation, exact cosine re-rank.
       val e = fanOut(embeddings(s, d))
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("sig", expr(sparkSig))
-      // Staged (Tables.stage): the band relation feeds both the query and
-      // corpus sides of the candidate join; without materialization the
-      // 16×64-mult hyperplane projection would run twice per vector.
-      val bands = stage(e.select(col("vec_id"),
-        explode(expr("""transform(sequence(0, 3),
-          b -> concat(CAST(b AS STRING), ':', substring(sig, 4*b + 1, 4)))"""))
-          .as("band")))
-      val qb = bands.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("band"))
-      val cb = bands.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("band"))
-      val cand = qb.join(cb, "band").select(col("q_id"), col("c_id")).distinct()
-      val qv = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val cv = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id").asc)
-      cand.join(qv, "q_id").join(cv, "c_id")
-        .withColumn("cos", expr("cosine_sim(qe, ce)"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann
+        .lshTopK(e.filter(col("id") < 10), e.filter(col("id") >= 10),
+          k = 10, bits = 16, bands = 4, dim = 64)
         .orderBy(col("q_id"), col("rank"))
     }, Some(s"""
       WITH e AS (
@@ -150,37 +117,17 @@ object Similarity {
     // scale story: corpus is PARTITIONED BY list id, a query touches
     // nprobe partitions instead of all of them.
     Q("x_ann_ivf", (s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val e = fanOut(embeddings(s, d)).select(col("vec_id"), col("embedding"))
-      val cents = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      // nearest centroid per corpus vector (rank over 8 centroids).
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id").asc)
-      val assigned = e.filter(col("vec_id") >= 10)
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos", expr("cosine_sim(embedding, ce)"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      // nprobe=2 lists per query.
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val wProbe = Window.partitionBy(col("q_id"))
-        .orderBy(col("qcos").desc, col("cent_id").asc)
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("qcos", expr("cosine_sim(qe, ce)"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 2)
-        .select(col("q_id"), col("qe"), col("cent_id"))
-      // candidates = corpus vectors in the probed lists; exact re-rank.
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      probes.join(assigned, "cent_id")
-        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      // graft.operators.Ann.ivfTopK: centroid assignment → nprobe probe
+      // lists → exact re-rank. Deterministic centroid stand-in: corpus
+      // vectors 10..17 (a real pipeline trains k-means offline and
+      // broadcasts the result).
+      val e = fanOut(embeddings(s, d))
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann.ivfTopK(
+        queries = e.filter(col("id") < 10),
+        corpus = e.filter(col("id") >= 10),
+        centroids = e.filter(col("id") >= 10 && col("id") < 18),
+        k = 10, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
     }, Some(s"""
       WITH e AS (
