@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** End-to-end training-data curation pipeline — the composition every
+  * individual operator in this engine exists for, as ONE oracle-checked
+  * query:
+  *
+  *   1. language gate (stopword lang-ID = 'en')          — per-row, no shuffle
+  *   2. quality gate (length + lexical-diversity floors)  — per-row, no shuffle
+  *   3. exact dedup (keep smallest doc_id per digest)     — 1 shuffle (digest)
+  *   4. near-dup removal (MinHash+LSH pairs → drop the
+  *      larger id of every verified pair)                 — band join on survivors
+  *   5. emit curated ids + quality features               — final order only
+  *
+  * Plan shape at 100 TB: stages 1–2 fuse into the scan projection
+  * (whole-stage codegen, linear); stage 3 shuffles 16-byte digests, never
+  * text; stage 4 runs on the post-gate survivor set (already a fraction of
+  * the corpus) through the staged signature relation and short-key band
+  * join; nothing ever pairs the full corpus quadratically.
+  */
+object Pipeline {
+
+  private val stopEn = "'the','a','and','of','to','is'"
+  private val stopEs = "'el','la','de','los','y','en'"
+  private val stopFr = "'le','les','des','et','un','une'"
+  private val stopDe = "'der','die','das','und','ein','zu'"
+
+  val all: Seq[Q] = Seq(
+    Q("x_pipeline_curate", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      // stages 1+2: per-row gates, fused into the scan projection.
+      val scored = fanOut(documents(s, d))
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($stopEn)))"))
+        .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($stopEs)))"))
+        .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($stopFr)))"))
+        .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($stopDe)))"))
+        .withColumn("n_tokens", expr("size(toks)"))
+        .withColumn("ttr",
+          expr("CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"))
+        .filter(expr("s_en >= greatest(s_es, s_fr, s_de)")) // lang gate
+        .filter(col("n_tokens") >= 20 && col("ttr") >= 0.3) // quality gate
+      // stage 3: exact dedup — only the digest shuffles.
+      val canon = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("ttr"))
+      // stage 4: near-dup removal among survivors (keep the smaller id of
+      // every verified pair — anti-join against the db side).
+      val sh = graft.operators.TextDedup
+        .shingleRelation(canon.select(col("doc_id"), col("text")), "doc_id", "text", n = 3)
+      val dupIds = graft.operators.TextDedup
+        .minhashLshPairs(sh, k = 12, bands = 4, threshold = 0.5)
+        .select(col("db")).distinct()
+      canon.join(dupIds, canon("doc_id") === dupIds("db"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("ttr"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+      sc AS (
+        SELECT doc_id, text, toks,
+               len(list_filter(toks, x -> x IN ($stopEn))) AS s_en,
+               len(list_filter(toks, x -> x IN ($stopEs))) AS s_es,
+               len(list_filter(toks, x -> x IN ($stopFr))) AS s_fr,
+               len(list_filter(toks, x -> x IN ($stopDe))) AS s_de,
+               len(toks) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM t),
+      gated AS (
+        SELECT * FROM sc
+        WHERE s_en >= greatest(s_es, s_fr, s_de)
+          AND n_tokens >= 20 AND ttr >= 0.3),
+      canon AS (
+        SELECT doc_id, text, toks, n_tokens, ttr FROM gated
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM canon),
+      sg AS (SELECT doc_id, sh,
+               list_transform(range(0, 12),
+                 i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+             FROM d),
+      bd AS (SELECT doc_id,
+               unnest(list_transform(range(0, 4),
+                 b -> md5(CAST(b AS VARCHAR) || '|' || sig[3*b+1] || sig[3*b+2] || sig[3*b+3]))) AS band_key
+             FROM sg),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      v AS (SELECT da, db,
+              len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+              len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand JOIN d sa ON da = sa.doc_id JOIN d sb ON db = sb.doc_id),
+      dup AS (SELECT DISTINCT db FROM v
+              WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+      SELECT doc_id, n_tokens, ttr FROM canon
+      WHERE doc_id NOT IN (SELECT db FROM dup)
+      ORDER BY doc_id"""))
+  )
+}
