@@ -188,17 +188,23 @@ object Relational2 {
 
     // ------------------------------------------------- ordered array agg
     // Deterministic list aggregation: sort the collected array (collect_list
-    // order is partition-dependent; sort_array makes it canonical).
+    // order is partition-dependent; sort_array makes it canonical). The
+    // output is serialized to a CSV string — the driver's pandas comparator
+    // can't hash list cells, and a canonical string is engine-portable.
     Q("q_array_agg", (s, d) => {
       nation(s, d)
         .join(customer(s, d).filter(col("c_acctbal") > 9900),
           col("n_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sort_array(collect_list(col("c_custkey"))).as("rich_custs"),
+        .agg(
+          expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> cast(x as string)), ',')")
+            .as("rich_custs"),
           count(lit(1)).as("n"))
         .orderBy(col("n_name"))
     }, Some("""
-      SELECT n_name, list_sort(list(c_custkey)) AS rich_custs, COUNT(*) AS n
+      SELECT n_name,
+             array_to_string(list_sort(list(c_custkey)), ',') AS rich_custs,
+             COUNT(*) AS n
       FROM nation JOIN customer ON n_nationkey = c_nationkey
       WHERE c_acctbal > 9900
       GROUP BY n_name ORDER BY n_name""")),
@@ -251,6 +257,9 @@ object Relational2 {
       GROUP BY e.event_id ORDER BY e_id""")),
 
     // ------------------------------------------------------ array functions
+    // Array-typed intermediates, string-serialized outputs: the driver's
+    // pandas comparator can't hash list cells, so first3/sorted5 go through
+    // array_join (≡ DuckDB array_to_string) — same values, portable hash.
     Q("q_array_funcs", (s, d) => {
       documents(s, d)
         .filter(col("doc_id") < 100)
@@ -262,8 +271,8 @@ object Relational2 {
           expr("array_position(toks, 'data')").as("pos_data"),
           expr("element_at(toks, 1)").as("first_tok"),
           expr("element_at(toks, -1)").as("last_tok"),
-          expr("slice(toks, 1, 3)").as("first3"),
-          expr("array_sort(array_distinct(slice(toks, 1, 5)))").as("sorted5"),
+          expr("array_join(slice(toks, 1, 3), '|')").as("first3"),
+          expr("array_join(array_sort(array_distinct(slice(toks, 1, 5))), '|')").as("sorted5"),
           expr("array_join(slice(toks, 1, 3), '-')").as("joined3"),
           expr("array_max(transform(toks, t -> length(t)))").as("max_len"))
         .orderBy(col("doc_id"))
@@ -276,8 +285,8 @@ object Relational2 {
              CAST(COALESCE(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
              toks[1] AS first_tok,
              toks[-1] AS last_tok,
-             toks[1:3] AS first3,
-             list_sort(list_distinct(toks[1:5])) AS sorted5,
+             array_to_string(toks[1:3], '|') AS first3,
+             array_to_string(list_sort(list_distinct(toks[1:5])), '|') AS sorted5,
              array_to_string(toks[1:3], '-') AS joined3,
              list_max(list_transform(toks, t -> length(t))) AS max_len
       FROM t ORDER BY doc_id""")),
@@ -345,15 +354,29 @@ object Relational2 {
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // ------------------------------------------- approx distinct (sketch)
-    // HLL++ parameters differ per engine, so no SQL oracle — the driver
-    // records a rows-only check. At 100 TB this replaces exact distinct
-    // when a mergeable sketch is enough (error defaults to 5%).
+    // HLL++ parameters differ per engine, so the raw sketch value has no SQL
+    // oracle. Instead the query emits the exact distinct (oracle-checked)
+    // plus a deterministic sketch-sanity flag: Spark's HLL++ is
+    // deterministic for fixed input, so |approx-exact| <= 15%·exact is a
+    // stable boolean the oracle can assert as TRUE. At 100 TB the sketch
+    // replaces exact distinct when mergeability matters (rsd default 5%).
     Q("q_approx_distinct", (s, d) => {
       events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.15).as("approx_ok"),
+          col("n"))
         .orderBy(col("event_type"))
-    }, None)
+    }, Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS approx_ok,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -45,17 +45,17 @@ object Relational3 {
         .orderBy(col("user_id"), col("session_id"))
     }, Some("""
       WITH lagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         FROM events),
       flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM lagged),
       sessioned AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged)
       SELECT user_id, session_id, COUNT(*) AS n_events,
