@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-
-import graft.sources.Tables.stage
 
 /** Reusable approximate-nearest-neighbor operators over embedding columns —
   * the library surface behind the `x_ann_*` registry queries
@@ -17,21 +15,74 @@ import graft.sources.Tables.stage
   * Scale design:
   *  - cosine is the native codegen'd `cosine_sim` Expression (one fused
   *    loop, FP-order-identical to a sequential fold);
-  *  - ranking is per-query-group row_number + filter — never a global sort;
+  *  - ranking is two-phase top-k (map-side per-partition heaps merged as
+  *    k-row buffers — [[TopKNeighbors]]), never a global sort and never a
+  *    rank window that lands one query's whole score vector on a single
+  *    reducer;
   *  - brute force broadcasts the query set and scans the corpus once: the
   *    exact baseline, linear in |corpus|;
   *  - LSH maps each vector to a sign-hyperplane signature banded into
-  *    short keys; candidates come from an equi-join on band keys (staged —
-  *    it feeds both sides), exact cosine re-ranks candidates only;
+  *    short keys; candidates come from an equi-join on band keys, exact
+  *    cosine re-ranks candidates only;
   *  - IVF partitions the corpus by nearest centroid; a query probes its
   *    `nprobe` nearest lists. Centroids are trained offline (k-means) and
-  *    broadcast — at 100 TB the probe join touches nprobe lists per query
-  *    instead of the whole corpus.
+  *    broadcast as a literal — assignment is a shuffle-free per-row
+  *    argmax projection, so at 100 TB the corpus never moves to be
+  *    assigned, and the probe join touches nprobe lists per query.
   */
 object Ann {
 
   private def ensure(df: DataFrame): Unit =
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+
+  /** One (neighbor, score) pair flowing into the top-k aggregation. */
+  final case class ScoredNeighbor(c_id: Long, cos: Double)
+
+  /** Aggregation buffer/result: the current best-k, sorted (cos DESC,
+    * c_id ASC) — the same total order the old rank window used. */
+  final case class NeighborList(items: List[ScoredNeighbor])
+
+  /** Two-phase exact top-k: Spark runs this as a partial (map-side)
+    * aggregate — each input partition reduces to a ≤k-element buffer, and
+    * only those k·P rows cross the shuffle to be merged. The rank-window
+    * formulation (`row_number() OVER (PARTITION BY q_id)`) instead ships
+    * EVERY scored row to one reducer per query — a skew/memory killer when
+    * a query's score vector is the whole corpus.
+    *
+    * Deterministic under any partitioning/merge order: (cos, c_id) is a
+    * total order (c_id is distinct), and insertion keeps the exact best-k
+    * under it. */
+  final class TopKNeighbors(k: Int)
+      extends Aggregator[ScoredNeighbor, NeighborList, NeighborList] {
+    require(k > 0, s"k=$k must be positive")
+    private def beats(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
+      a.cos > b.cos || (a.cos == b.cos && a.c_id < b.c_id)
+    private def insert(items: List[ScoredNeighbor], a: ScoredNeighbor): List[ScoredNeighbor] =
+      if (items.lengthCompare(k) >= 0 && !beats(a, items.last)) items
+      else {
+        val (pre, post) = items.span(beats(_, a))
+        (pre ::: (a :: post)).take(k)
+      }
+    override def zero: NeighborList = NeighborList(Nil)
+    override def reduce(b: NeighborList, a: ScoredNeighbor): NeighborList =
+      NeighborList(insert(b.items, a))
+    override def merge(x: NeighborList, y: NeighborList): NeighborList =
+      NeighborList(y.items.foldLeft(x.items)(insert))
+    override def finish(b: NeighborList): NeighborList = b
+    override def bufferEncoder = Encoders.product[NeighborList]
+    override def outputEncoder = Encoders.product[NeighborList]
+  }
+
+  /** Rank a scored (q_id, c_id, cos) relation to per-query top-k rows
+    * (q_id, rank, neighbor_id, cos) via [[TopKNeighbors]]. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[ScoredNeighbor])
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("cos")).as("top"))
+      .select(col("q_id"), posexplode(col("top.items")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.c_id").as("neighbor_id"), col("col.cos").as("cos"))
+  }
 
   /** Exact top-`k` by cosine per query row (the correctness baseline).
     * Output: (q_id, rank, neighbor_id, cos). */
@@ -39,12 +90,10 @@ object Ann {
     ensure(queries)
     val q = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
     val c = corpus.select(col("id").as("c_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos"))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Sign-hyperplane signature SQL for `bits` hyperplanes over `dim`
@@ -61,64 +110,96 @@ object Ann {
 
   /** LSH-bucketed top-`k`: candidates share ≥1 of `bands` signature bands,
     * exact cosine re-ranks candidates only. Approximate by construction but
-    * fully deterministic. Output: (q_id, rank, neighbor_id, cos). */
+    * fully deterministic. Output: (q_id, rank, neighbor_id, cos).
+    *
+    * Each banded relation is consumed exactly once by the candidate join,
+    * so signatures are computed once per side with no staging needed (the
+    * self-join reuse concern only applies when one relation feeds both
+    * sides — see graft.operators.TextDedup.minhashLshPairs). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val width = bits / bands
     ensure(queries)
     def banded(df: DataFrame, idAlias: String): DataFrame =
-      stage(df
-        .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding")))
+      df.withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding")))
         .select(col("id").as(idAlias),
           explode(expr(
             s"""transform(sequence(0, ${bands - 1}),
                |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
-            .as("band")))
+            .as("band"))
     val qb = banded(queries, "q_id")
     val cb = banded(corpus, "c_id")
     val cand = qb.join(cb, "band").select(col("q_id"), col("c_id")).distinct()
     val qv = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
     val cv = corpus.select(col("id").as("c_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    cand.join(qv, "q_id").join(cv, "c_id")
+    val scored = cand.join(qv, "q_id").join(cv, "c_id")
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos"))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Collect the (small, by contract) centroid relation and inline it as a
+    * literal `array<struct<cent_id, ce>>` column, sorted by cent_id. This
+    * is the "broadcast the offline-trained centroids" step: the list rides
+    * inside the plan, so scoring against it never joins or shuffles. */
+  private def centroidLiteral(centroids: DataFrame): Column = {
+    val rows = centroids
+      .select(col("id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1)
+      .toSeq
+    typedlit(rows)
+  }
+
+  /** Scored centroid list for one vector column: ordered (cent_id ASC)
+    * structs of (cid, cos). Runs entirely inside a projection. */
+  private def centScores(vecCol: String): String =
+    s"transform(cents, c -> named_struct('cid', c._1, 'cos', cosine_sim($vecCol, c._2)))"
+
+  /** Nearest-centroid assignment as a shuffle-free map-side argmax: one
+    * projection per row folds over the broadcast centroid literal with a
+    * strict `>` (list is cent_id-ascending, so first max wins — the same
+    * (cos DESC, cent_id ASC) tie-break as a rank-window formulation, with
+    * zero Exchanges instead of shuffling |corpus|×|centroids| scored rows).
+    * Output: (vec_id, embedding, cent_id). */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    ensure(vectors)
+    vectors.select(col("id").as("vec_id"), col("embedding"))
+      .withColumn("cents", centroidLiteral(centroids))
+      .withColumn("cent_id", expr(
+        s"""aggregate(${centScores("embedding")},
+           |  named_struct('cid', CAST(-1 AS BIGINT), 'cos', CAST('-Infinity' AS DOUBLE)),
+           |  (acc, x) -> IF(x.cos > acc.cos, x, acc)).cid""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
 
   /** IVF top-`k`: corpus vectors are assigned to their nearest centroid;
     * each query probes its `nprobe` nearest lists and re-ranks exactly.
     * `centroids` is an (id, embedding) relation, small enough to broadcast
-    * (trained offline in a real pipeline).
-    * Output: (q_id, rank, neighbor_id, cos). */
+    * (trained offline in a real pipeline). Assignment and probe selection
+    * are both per-row projections over the centroid literal — the corpus
+    * is never shuffled to be assigned. Output: (q_id, rank, neighbor_id, cos). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     ensure(queries)
-    val cents = centroids.select(col("id").as("cent_id"), col("embedding").as("ce"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = corpus.select(col("id").as("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("cosine_sim(embedding, ce)"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcos").desc, col("cent_id").asc)
+    val assigned = assignToCentroids(corpus, centroids)
+    // Top-nprobe centroids per query: sort the per-row scored list with an
+    // explicit (cos DESC, cid ASC) comparator, slice, explode — still a
+    // pure projection; only then does the (tiny) probe relation join out.
     val probes = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("qcos", expr("cosine_sim(qe, ce)"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
+      .withColumn("cents", centroidLiteral(centroids))
+      .withColumn("cent_id", explode(expr(
+        s"""transform(slice(array_sort(${centScores("qe")},
+           |  (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+           |                 WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+           |                 ELSE 0 END),
+           |  1, $nprobe), s -> s.cid)""".stripMargin)))
       .select(col("q_id"), col("qe"), col("cent_id"))
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(assigned, "cent_id")
+    val scored = broadcast(probes).join(assigned, "cent_id")
       .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cos"))
+    rankTopK(scored, k)
   }
 }

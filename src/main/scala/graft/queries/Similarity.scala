@@ -47,8 +47,9 @@ object Similarity {
     // once; rank is a per-group top-k (window + filter), not a global sort.
     Q("x_ann_brute_topk", (s, d) => {
       // graft.operators.Ann.bruteTopK: broadcast query set × one corpus
-      // scan, native codegen'd cosine_sim, per-query top-k (never a global
-      // sort).
+      // scan, native codegen'd cosine_sim, two-phase per-query top-k
+      // (map-side k-heaps, k·P-row merge — never a global sort, never a
+      // whole score vector on one reducer).
       val e = fanOut(embeddings(s, d))
         .select(col("vec_id").as("id"), col("embedding"))
       graft.operators.Ann
@@ -75,8 +76,9 @@ object Similarity {
     // but fully deterministic, so the oracle checks it exactly.
     Q("x_ann_lsh", (s, d) => {
       // graft.operators.Ann.lshTopK: banded sign-hyperplane signatures
-      // (staged — they feed both sides of the candidate join), equi-join
-      // candidate generation, exact cosine re-rank.
+      // (computed once per side — each banded relation feeds exactly one
+      // side of the candidate join), equi-join candidate generation, exact
+      // cosine re-rank.
       val e = fanOut(embeddings(s, d))
         .select(col("vec_id").as("id"), col("embedding"))
       graft.operators.Ann
@@ -117,10 +119,11 @@ object Similarity {
     // scale story: corpus is PARTITIONED BY list id, a query touches
     // nprobe partitions instead of all of them.
     Q("x_ann_ivf", (s, d) => {
-      // graft.operators.Ann.ivfTopK: centroid assignment → nprobe probe
-      // lists → exact re-rank. Deterministic centroid stand-in: corpus
-      // vectors 10..17 (a real pipeline trains k-means offline and
-      // broadcasts the result).
+      // graft.operators.Ann.ivfTopK: shuffle-free map-side argmax
+      // assignment over a broadcast centroid literal → nprobe probe lists
+      // → exact re-rank. Deterministic centroid stand-in: corpus vectors
+      // 10..17 (a real pipeline trains k-means offline and broadcasts the
+      // result).
       val e = fanOut(embeddings(s, d))
         .select(col("vec_id").as("id"), col("embedding"))
       graft.operators.Ann.ivfTopK(

@@ -13,6 +13,12 @@ class PlanSanitySpec extends SparkSpec {
   private val allowedCartesian =
     Set("q_join_cross", "x_dedup_embedding", "x_ann_brute_topk", "q_subquery_scalar")
 
+  // the only queries that stage an intermediate relation (Tables.stage =
+  // localCheckpoint) and therefore legitimately read "Scan ExistingRDD":
+  // all three go through TextDedup's staged shingle/band relations.
+  private val stagedQueries =
+    Set("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_pipeline_curate")
+
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
@@ -25,15 +31,39 @@ class PlanSanitySpec extends SparkSpec {
   test("every query reads via the columnar parquet scan") {
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
-      // Queries that stage an intermediate relation (Tables.stage =
-      // localCheckpoint) truncate lineage: the visible plan reads the
-      // checkpointed RDD and the parquet scan lives in the producing job.
-      // "Scan ExistingRDD" + the staging marker is the expected shape there.
       val scansParquet =
         plan.contains("FileScan parquet") || plan.contains("Scan parquet")
-      val readsStagedRelation = plan.contains("Scan ExistingRDD")
+      // Staging truncates lineage: the visible plan reads the checkpointed
+      // RDD and the parquet scan lives in the producing job. Only the
+      // whitelisted staging queries may rely on that shape — anything else
+      // showing ExistingRDD without a parquet scan stopped reading parquet.
+      val readsStagedRelation =
+        stagedQueries.contains(q.name) && plan.contains("Scan ExistingRDD")
       assert(scansParquet || readsStagedRelation,
         s"${q.name} does not scan parquet:\n${plan.take(800)}")
+    }
+  }
+
+  test("IVF centroid assignment plans zero Exchanges (map-side argmax)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("id"), col("embedding"))
+    val assigned = graft.operators.Ann.assignToCentroids(
+      e.filter(col("id") >= 10),
+      e.filter(col("id") >= 10 && col("id") < 18))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment should be a shuffle-free projection:\n${plan.take(1500)}")
+  }
+
+  test("ANN top-k is two-phase aggregation, not a rank window") {
+    Seq("x_ann_brute_topk", "x_ann_lsh", "x_ann_ivf").foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still ranks via a window (whole score vector on one reducer):\n${plan.take(1500)}")
+      assert(plan.contains("partial_"),
+        s"$name lost its map-side partial top-k aggregation:\n${plan.take(1500)}")
     }
   }
 }
