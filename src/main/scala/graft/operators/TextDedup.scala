@@ -71,6 +71,9 @@ object TextDedup {
   def minhashLshPairs(shingled: DataFrame, k: Int = 12, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    // library contract: register our native functions on whatever session
+    // the caller hands us — minhash_sig below is a graft extension.
+    graft.functions.GraftFunctions.ensureRegistered(shingled.sparkSession)
     val rows = k / bands
     val sig = shingled.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
     val bandCols = (1 to rows).map(r => s"element_at(sig, $rows*b+$r)").mkString(", ")

@@ -52,8 +52,14 @@ object Tables {
     * unsplittable sources.) */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // df.rdd instantiates a second physical plan just to read the partition
+    // count; memoize per analyzed-plan hash so repeated query construction
+    // over the same scan plans it once.
+    val key = df.queryExecution.analyzed.semanticHash()
+    val parts = fanOutParts.getOrElseUpdate(key, df.rdd.getNumPartitions)
+    if (parts < target) df.repartition(target) else df
   }
+  private val fanOutParts = scala.collection.concurrent.TrieMap.empty[Int, Int]
 
   /** Materialize an expensive intermediate relation ONCE before a self-join.
     *
@@ -61,11 +67,25 @@ object Tables {
     * self-join (each side re-executes the whole subtree — verified: zero
     * `ReusedExchange` nodes in the MinHash band-join plan), so a
     * signature/band relation built with per-row hashing would be computed
-    * twice. `localCheckpoint(eager = false)` truncates lineage and caches
-    * the partitions on first use — the single-job equivalent of writing the
-    * relation to a staging table, which is exactly what the 100 TB pipeline
-    * does between the signature pass and the band join (multi-TB
-    * intermediates go to a parquet staging table; the semantics are the
-    * same: compute once, join against the materialization). */
-  def stage(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    * twice.
+    *
+    * Two modes behind one API:
+    *  - default: `localCheckpoint(eager = false)` — truncates lineage and
+    *    caches partitions on executors. Fast, but NOT fault-tolerant: the
+    *    truncated lineage means an executor loss (or cache eviction) in a
+    *    real cluster fails the job unrecoverably. Fine for a single-JVM
+    *    harness or re-runnable batch jobs.
+    *  - `graft.stage.dir` set in the session conf: the relation is written
+    *    to a parquet staging table under that directory and read back —
+    *    the cluster-safe mode for multi-TB intermediates (survives executor
+    *    loss, readable by downstream jobs, columnar scans on reuse). */
+  def stage(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.stage.dir") match {
+      case Some(dir) =>
+        val path = s"$dir/stage_${stageCounter.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(false)
+    }
+  private val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 }

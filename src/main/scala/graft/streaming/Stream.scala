@@ -72,10 +72,15 @@ final class Stream private (
     val df: DataFrame,
     private val spark: SparkSession,
     private val queries: ListBuffer[StreamingQuery],
-    private val listener: Stream.StatsListener) {
+    private val listener: Stream.StatsListener,
+    /** Sink cadence inherited from the source context: `createStream` maps
+      * the reference's 60 s commit timer (`src/context.ts:73,111-113`) to a
+      * `ProcessingTime` micro-batch trigger here; streams built without a
+      * context option run as fast as data arrives (ProcessingTime(0)). */
+    val defaultTrigger: Trigger = Trigger.ProcessingTime(0L)) {
 
   private def derive(d: DataFrame): Stream =
-    new Stream(d, spark, queries, listener)
+    new Stream(d, spark, queries, listener, defaultTrigger)
 
   /** Per-record transform (reference `map`, `src/stream.ts:38-56`): the
     * new `value` is any expression over `value` / `metadata`; metadata
@@ -102,6 +107,17 @@ final class Stream private (
     val u = udf(f)
     derive(df.filter(u(col("value"))))
   }
+
+  /** Engine-side timestamp seek — the in-plan twin of the reference's
+    * broker seek (`window.from`, `src/stream.ts:146-149` /
+    * `src/context.ts:195-207`, mapped to the Kafka source's
+    * `startingTimestamp` by `createStream`): records whose event time
+    * precedes `fromMillis` never surface. For sources that can seek
+    * (Kafka) the source option makes this filter prune to a no-op; for
+    * sources that can't (files, memory), this IS the seek. */
+  def seekTo(fromMillis: Long): Stream =
+    derive(df.filter(col("metadata.timestamp") >=
+      org.apache.spark.sql.functions.timestamp_millis(lit(fromMillis))))
 
   /** Array-valued records flatten to N records copying the parent
     * metadata — exactly the reference's `[meta,[1,2]] → [meta,1],[meta,2]`
@@ -277,28 +293,29 @@ final class Stream private (
   /** Kafka sink (reference `writeTo`, `src/stream.ts:240-247`):
     * JSON-serialized values, gzip on the broker hop, offsets owned by the
     * checkpoint. Terminal here (one streaming query per sink) — the
-    * reference's mid-chain sink is its pull-loop shape, not a semantic. */
+    * reference's mid-chain sink is its pull-loop shape, not a semantic.
+    * The trigger defaults to the stream's [[defaultTrigger]], i.e. the
+    * context option's `commitInterval` when built via `createStream`. */
   def writeTo(topic: String, brokers: Seq[String], checkpoint: String,
-              trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+              trigger: Trigger = null): StreamingQuery =
     start {
-      df.select(to_json(struct(col("value"))).as("value"))
+      var w = df.select(to_json(struct(col("value"))).as("value"))
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers.mkString(","))
-        .option("topic", topic)
-        .option("kafka.compression.type", "gzip")
-        .option("checkpointLocation", checkpoint)
-        .trigger(trigger)
+      Stream.kafkaSinkOptions(topic, brokers, checkpoint)
+        .foreach { case (k, v) => w = w.option(k, v) }
+      w.trigger(Option(trigger).getOrElse(defaultTrigger))
     }
 
   /** Discard sink (reference `blackhole`, `src/stream.ts:231-239`). */
   def blackhole(): StreamingQuery =
-    start(df.writeStream.format("noop"))
+    start(df.writeStream.format("noop").trigger(defaultTrigger))
 
   /** Memory sink for tests — the analogue of the reference's jest mock
     * harness (`src/stream.spec.ts`). `outputMode` "append" (finalized
     * windows only, watermark-gated) or "update"/"complete". */
   def toMemory(name: String, outputMode: String = "append"): StreamingQuery =
-    start(df.writeStream.format("memory").queryName(name).outputMode(outputMode))
+    start(df.writeStream.format("memory").queryName(name).outputMode(outputMode)
+      .trigger(defaultTrigger))
 
   private def start(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
     val q = w.start()
@@ -318,45 +335,72 @@ final class Stream private (
 
 object Stream {
 
+  /** The Kafka source option map `createStream` applies — factored out as
+    * a pure function so the contract is spec-checkable without a broker or
+    * even the connector on the classpath (the spark-sql-kafka connector is
+    * not in this container and can't resolve offline; `r.load()` is the
+    * only step that needs it). Reference contract: `src/context.ts:96-129`. */
+  def kafkaSourceOptions(option: StreamContextOption): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> option.brokers.mkString(","),
+      "subscribe" -> option.inputTopic,
+      "kafka.group.id" -> option.groupId,
+      "startingOffsets" -> (if (option.fromBeginning) "earliest" else "latest"))
+    base ++
+      option.clientId.map("kafka.client.id" -> _) ++
+      option.startAtTimestamp.map("startingTimestamp" -> _.toString) ++
+      option.maxPerPull.map("maxOffsetsPerTrigger" -> _.toString)
+  }
+
+  /** The Kafka sink option map `writeTo` applies (reference
+    * `src/stream.ts:240-247`: JSON + gzip + checkpointed offsets). */
+  def kafkaSinkOptions(topic: String, brokers: Seq[String],
+                       checkpoint: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers.mkString(","),
+    "topic" -> topic,
+    "kafka.compression.type" -> "gzip",
+    "checkpointLocation" -> checkpoint)
+
+  /** Sink cadence for a context option — the reference's commit timer
+    * (`src/context.ts:73,111-113`) becomes the micro-batch trigger. */
+  def triggerFor(option: StreamContextOption): Trigger =
+    Trigger.ProcessingTime(option.commitInterval)
+
   /** Kafka source → JSON-decoded stream (reference `createStream`,
     * `src/stream.ts:273-276`). Tombstones (null value) are skipped like
     * `src/context.ts:142-146`. NOTE: needs the spark-sql-kafka connector
     * on the classpath at runtime (not present in this container — the
-    * plan construction is still exercised by compilation and the option
-    * mapping is the documented contract). */
+    * option/trigger mapping is exercised by specs via [[kafkaSourceOptions]]
+    * and [[triggerFor]]; only `r.load()`'s connector lookup can't run). */
   def createStream(spark: SparkSession, option: StreamContextOption,
                    valueSchema: StructType): Stream = {
     var r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", option.brokers.mkString(","))
-      .option("subscribe", option.inputTopic)
-      .option("kafka.group.id", option.groupId)
-      .option("startingOffsets", if (option.fromBeginning) "earliest" else "latest")
-    option.clientId.foreach(id => r = r.option("kafka.client.id", id))
-    option.startAtTimestamp.foreach(ts => r = r.option("startingTimestamp", ts.toString))
-    option.maxPerPull.foreach(n => r = r.option("maxOffsetsPerTrigger", n.toString))
-    fromKafkaShaped(spark, r.load(), valueSchema)
+    kafkaSourceOptions(option).foreach { case (k, v) => r = r.option(k, v) }
+    fromKafkaShaped(spark, r.load(), valueSchema, triggerFor(option))
   }
 
   /** Wrap any DataFrame with Kafka-source shape (topic, partition, offset,
     * timestamp, key, value:binary) — used by specs via MemoryStream. */
   def fromKafkaShaped(spark: SparkSession, raw: DataFrame,
-                      valueSchema: StructType): Stream = {
+                      valueSchema: StructType,
+                      trigger: Trigger = Trigger.ProcessingTime(0L)): Stream = {
     val df = raw
       .filter(col("value").isNotNull) // tombstone skip
       .select(
         from_json(col("value").cast("string"), valueSchema).as("value"),
         struct(col("topic"), col("partition"), col("offset"),
           col("timestamp"), col("key")).as("metadata"))
-    mk(spark, df)
+    mk(spark, df, trigger)
   }
 
   /** Wrap a DataFrame that already has (value, metadata) columns. */
   def fromDataFrame(spark: SparkSession, df: DataFrame): Stream = mk(spark, df)
 
-  private def mk(spark: SparkSession, df: DataFrame): Stream = {
+  private def mk(spark: SparkSession, df: DataFrame,
+                 trigger: Trigger = Trigger.ProcessingTime(0L)): Stream = {
     val listener = new StatsListener
     spark.streams.addListener(listener)
-    new Stream(df, spark, ListBuffer.empty, listener)
+    new Stream(df, spark, ListBuffer.empty, listener, trigger)
   }
 
   /** Progress counters via the listener bus — the Spark-native home of the

@@ -231,16 +231,81 @@ class StreamFacadeSpec extends SparkSpec {
     q.stop()
   }
 
-  test("createStream assembles the documented Kafka source options") {
-    // No broker/connector in this container — assert the option mapping
-    // (the documented contract) fails only at connector lookup, i.e. the
-    // plan was assembled.
-    val opt = StreamContextOption(Seq("b:9092"), "in", "g", fromBeginning = true)
+  test("createStream maps every context option to its Kafka source option") {
+    // The exact map createStream applies (reference src/context.ts:96-129),
+    // spec-checked directly — the spark-sql-kafka connector is not in this
+    // container (offline resolution), so r.load() itself can't run; the
+    // mapping below is everything createStream does besides that lookup.
+    val opt = StreamContextOption(
+      Seq("b1:9092", "b2:9092"), "in", "g", fromBeginning = true,
+      clientId = Some("c1"), commitInterval = 5000L,
+      startAtTimestamp = Some(1700000000000L), maxPerPull = Some(1000L))
+    val m = Stream.kafkaSourceOptions(opt)
+    assert(m("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(m("subscribe") == "in")
+    assert(m("kafka.group.id") == "g")
+    assert(m("startingOffsets") == "earliest")
+    assert(m("kafka.client.id") == "c1")
+    assert(m("startingTimestamp") == "1700000000000")
+    assert(m("maxOffsetsPerTrigger") == "1000")
+    val defaults = Stream.kafkaSourceOptions(StreamContextOption(Seq("b:9092"), "in", "g"))
+    assert(defaults("startingOffsets") == "latest")
+    assert(!defaults.contains("startingTimestamp"))
+    assert(!defaults.contains("maxOffsetsPerTrigger"))
+    val sink = Stream.kafkaSinkOptions("out", Seq("b:9092"), "/tmp/ckpt")
+    assert(sink("topic") == "out")
+    assert(sink("kafka.compression.type") == "gzip")
+    assert(sink("checkpointLocation") == "/tmp/ckpt")
+    // ...and only the connector lookup fails when the plan is built.
     val e = intercept[Exception] {
       Stream.createStream(spark, opt,
         StructType(Seq(StructField("v", IntegerType)))).df.schema
     }
-    val m = e.toString + Option(e.getMessage).getOrElse("")
-    assert(m.toLowerCase.contains("kafka"), m)
+    val msg = e.toString + Option(e.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("kafka"), msg)
+  }
+
+  test("commitInterval drives the sink trigger cadence") {
+    // reference commit timer (src/context.ts:73,111-113) → ProcessingTime.
+    import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val opt = StreamContextOption(Seq("b:9092"), "in", "g", commitInterval = 5000L)
+    assert(Stream.triggerFor(opt) == Trigger.ProcessingTime(5000L))
+    // run the cadence through a real started query (memory sink stands in
+    // for the Kafka sink — same DataStreamWriter path through start()).
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("v", IntegerType)))
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema, Stream.triggerFor(opt))
+    val q = s.toMemory("cadence_t")
+    try {
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+        .asInstanceOf[StreamExecution]
+      assert(exec.trigger == Trigger.ProcessingTime(5000L), exec.trigger)
+    } finally q.stop()
+    // streams built without a context option keep the run-continuously default.
+    val s0 = kafkaShaped(MemoryStream[KMsg], schema)
+    assert(s0.defaultTrigger == Trigger.ProcessingTime(0L))
+  }
+
+  test("seekTo: history before `from` is never read (timestamp seek twin)") {
+    // reference window.from seek (src/stream.ts:146-149,
+    // src/context.ts:195-207) → startingTimestamp on a Kafka source; for
+    // sources that can't seek, seekTo IS the seek. Records strictly before
+    // `from` must never surface, ties at `from` must.
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("v", IntegerType)))
+    val s = kafkaShaped(ms, schema).seekTo(5000L)
+    val q = s.toMemory("seek_t")
+    ms.addData(
+      msg("""{"v":1}""", 1000L, 0), // history — must not surface
+      msg("""{"v":2}""", 4999L, 1), // history — must not surface
+      msg("""{"v":3}""", 5000L, 2), // exactly `from` — included
+      msg("""{"v":4}""", 9000L, 3))
+    q.processAllAvailable()
+    val got = spark.table("seek_t").select(col("value.v")).as[Int].collect().sorted
+    assert(got.toSeq == Seq(3, 4))
+    q.stop()
   }
 }

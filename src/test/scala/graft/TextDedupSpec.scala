@@ -81,6 +81,27 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(hit.get.getDouble(2) - 7.0 / 9.0) < 1e-15)
   }
 
+  test("stage() parquet-staging mode yields identical results to localCheckpoint") {
+    // graft.stage.dir switches Tables.stage from localCheckpoint (fast,
+    // lineage-truncated, dies with an executor) to a parquet staging table
+    // (the cluster-safe 100 TB mode) — same API, same results.
+    def run(): Seq[(Long, Long, Double)] =
+      TextDedup.minhashLshPairs(
+        TextDedup.shingleRelation(docs, "doc_id", "text"),
+        k = 12, bands = 4, threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val viaCheckpoint = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    val viaParquet =
+      try run()
+      finally spark.conf.unset("graft.stage.dir")
+    assert(viaParquet == viaCheckpoint)
+    // and the staging tables actually landed as parquet.
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("stage_")))
+  }
+
   test("exactGroups collapses byte-identical docs to the smallest id") {
     val dups = docs.union(Seq((99L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text"))
