@@ -90,6 +90,51 @@ object TextDedup {
     verifyJaccard(cand, shingled, threshold)
   }
 
+  /** SimHash banded near-duplicate pairs — the scale path for 128-bit
+    * fingerprint dedup (the per-row `simhash128` projection is the
+    * signature pass; this adds candidate generation + verification).
+    *
+    * Pigeonhole guarantee: fingerprints within `maxHamming` bits differ in
+    * at most `maxHamming` of `maxHamming + 1` equal-width bands, so at
+    * least one band matches EXACTLY → candidates come from an equi-join on
+    * (band index : band substring) — a short key, never an O(n²) scan —
+    * and the exact 128-bit Hamming distance verifies candidates only
+    * (integer-only arithmetic, so no cross-engine FP concerns). The
+    * fingerprint relation is staged: it feeds both sides of the self-join.
+    *
+    * `maxHamming + 1` must divide the 32 hex chars: 0/1/3/7/15/31.
+    * Output: (da, db, hamming), da < db, hamming ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val bands = maxHamming + 1
+    require(32 % bands == 0,
+      s"maxHamming=$maxHamming: need (maxHamming+1) | 32 (0,1,3,7,15,31)")
+    val width = 32 / bands
+    val fp = stage(docs
+      .withColumn("hs",
+        expr(s"transform(array_distinct(split(lower($textCol), ' ')), t -> md5(t))"))
+      .select(col(idCol).as("id"), expr("simhash128(hs)").as("fp")))
+    // fingerprints ride along the band join (32 chars) so verification
+    // needs no second join back to the fingerprint relation.
+    val banded = fp.select(col("id"), col("fp"), explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> concat(CAST(b AS STRING), ':', substring(fp, $width*b + 1, $width)))""".stripMargin))
+      .as("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        """CAST(aggregate(sequence(1, 32), 0, (acc, p) ->
+          |  acc + bit_count(CAST(conv(substring(fa, p, 1), 16, 10) AS INT) ^
+          |                  CAST(conv(substring(fb, p, 1), 16, 10) AS INT))) AS BIGINT)""".stripMargin))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
   /** Exact verification: true Jaccard over the FULL shingle sets for the
     * candidate pairs only. */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame,

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Training-data curation operators beyond dedup/similarity: deterministic
+  * sampling (whole-corpus and per-stratum), token-budget sequence packing,
+  * and text cleaning / PII masking.
+  *
+  * Scale design:
+  *  - hash sampling is a per-row gate fused into the scan (zero shuffles,
+  *    reproducible on any engine — see graft.operators.Sampling);
+  *  - stratified sampling is two-phase min-k by hash (map-side k-buffers),
+  *    never a whole stratum through one reducer;
+  *  - packing shuffles once on the shard key — exactly the parallelism of
+  *    the output training files — and runs one cumulative-sum window per
+  *    shard partition;
+  *  - cleaning is a per-row regexp projection (codegen'd, no shuffle).
+  */
+object Curation {
+
+  private val SampleRate = 0.10
+  private val SampleThreshold = graft.operators.Sampling.hexThreshold(SampleRate)
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------ deterministic sample
+    // Content-hash Bernoulli gate: md5(doc_id) prefix under floor(rate·2³²)
+    // — same rows selected by any engine at any partitioning; re-runs after
+    // appends keep every previously selected row (stable splits).
+    Q("x_sample_hash", (s, d) => {
+      graft.operators.Sampling.hashSample(documents(s, d), "doc_id", SampleRate)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$SampleThreshold'
+      ORDER BY doc_id""")),
+
+    // -------------------------------------------------- stratified sample
+    // Exact k=50 per event_type, chosen as the k smallest id-hashes — the
+    // deterministic equivalent of per-group uniform sampling. Two-phase
+    // min-k aggregation (graft.operators.Sampling.MinKByHash): the oracle's
+    // rank-window formulation is the semantic spec, NOT the plan — a rank
+    // window would land each stratum's every row on one reducer.
+    Q("x_sample_stratified", (s, d) => {
+      graft.operators.Sampling
+        .stratifiedSample(events(s, d), "event_type", "event_id", k = 50)
+        .orderBy(col("event_type"), col("event_id"))
+    }, Some("""
+      SELECT event_type, event_id FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events)
+      WHERE rn <= 50
+      ORDER BY event_type, event_id""")),
+
+    // --------------------------------------------- token-budget packing
+    // Greedy sequential packing of documents into fixed-token-budget bins
+    // within a shard: bin = (running-token-count-before-me) div budget.
+    // Shards (doc_id % 8) are the output-file parallelism: each packs
+    // independently after ONE shuffle on the shard key; the cumulative sum
+    // is integer-only (order fixed by doc_id), so engines agree exactly.
+    Q("x_pack_sequences", (s, d) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      documents(s, d)
+        .withColumn("n_tok", expr("size(split(text, ' '))"))
+        .withColumn("shard", expr("doc_id % 8"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 1024"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .orderBy(col("shard"), col("bin"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok, doc_id % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT shard, (cum - n_tok) // 1024 AS bin,
+             COUNT(*) AS n_docs, SUM(n_tok) AS tokens
+      FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // --------------------------------------------- text clean / PII mask
+    // Masking + whitespace normalization as one codegen'd regexp
+    // projection. The corpus is synthetic (no real PII), so the dirty
+    // input is built deterministically from doc_id — the masking itself is
+    // what's under test. Patterns are deliberately in the common subset of
+    // Java regex (Spark) and RE2 (DuckDB); DuckDB needs the 'g' flag for
+    // replace-all to match Spark's semantics.
+    Q("x_text_clean", (s, d) => {
+      documents(s, d)
+        .withColumn("dirty", expr(
+          """concat(text, '  contact  user', CAST(doc_id AS STRING),
+            |'@mail.example.com  or  http://docs.example.com/d/',
+            |CAST(doc_id AS STRING), ' ')""".stripMargin))
+        .select(col("doc_id"),
+          expr(
+            """trim(regexp_replace(regexp_replace(regexp_replace(dirty,
+              |  'https?://[^ ]+', '<URL>'),
+              |  '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'),
+              |  '  +', ' '))""".stripMargin).as("clean"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               text || '  contact  user' || CAST(doc_id AS VARCHAR) ||
+               '@mail.example.com  or  http://docs.example.com/d/' ||
+               CAST(doc_id AS VARCHAR) || ' ' AS dirty
+        FROM documents)
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(dirty,
+               'https?://[^ ]+', '<URL>', 'g'),
+               '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '  +', ' ', 'g')) AS clean
+      FROM t ORDER BY doc_id"""))
+  )
+}

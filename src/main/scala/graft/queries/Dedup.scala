@@ -112,8 +112,8 @@ object Dedup {
     // 128-bit SimHash over distinct tokens: bit b of hex position p is the
     // sign of Σ_tokens (±1 by the token-md5's bit). Pure per-row projection
     // (no shuffle, codegen'd); near-dup docs land within a few bits.
-    // 100 TB note: at scale, compare via banded substrings of the hex
-    // fingerprint (equi-join), same pattern as MinHash bands.
+    // At scale, comparison goes through the banded equi-join companion —
+    // x_dedup_simhash_pairs / TextDedup.simhashPairs — below.
     Q("x_dedup_simhash", (s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       fanOut(documents(s, d))
@@ -137,6 +137,52 @@ object Dedup {
                         THEN (1 << b) ELSE 0 END)), (a, v) -> a + v),
                  1)), '') AS simhash
       FROM t ORDER BY doc_id""")),
+
+    // ------------------------------------- SimHash banded pairs (scale path)
+    // The banded-compare companion to x_dedup_simhash: Hamming ≤ 7 ⇒ at
+    // least one of 8 16-bit bands matches exactly (pigeonhole), so
+    // candidates come from an equi-join on band keys and the exact 128-bit
+    // Hamming distance (integer xor + popcount — no FP) verifies candidates
+    // only. Same inverted-index shape as the MinHash band join.
+    Q("x_dedup_simhash_pairs", (s, d) => {
+      // graft.operators.TextDedup.simhashPairs: staged fingerprint
+      // relation (feeds both self-join sides), banded short-key candidates,
+      // popcount verify.
+      graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(lower(text), ' ')), t -> md5(t)) AS hs
+        FROM documents),
+      f AS (
+        SELECT doc_id AS id,
+               array_to_string(list_transform(range(0, 32), p ->
+                 substr('0123456789abcdef', 1 +
+                   list_reduce(list_prepend(0, list_transform(range(0, 4), b ->
+                     CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
+                            (((instr('0123456789abcdef', substr(h, p+1, 1)) - 1) >> b) & 1) * 2 - 1)),
+                            (acc, v) -> acc + v) > 0
+                          THEN (1 << b) ELSE 0 END)), (a, v) -> a + v),
+                   1)), '') AS fp
+        FROM t),
+      bd AS (
+        SELECT id, fp,
+               unnest(list_transform(range(0, 8), b ->
+                 CAST(b AS VARCHAR) || ':' || substr(fp, 4*b + 1, 4))) AS bk
+        FROM f),
+      cand AS (
+        SELECT DISTINCT a.id AS da, b.id AS db, a.fp AS fa, b.fp AS fb
+        FROM bd a JOIN bd b ON a.bk = b.bk AND a.id < b.id),
+      h AS (
+        SELECT da, db,
+               CAST(list_reduce(list_prepend(0, list_transform(range(0, 32), p ->
+                 bit_count(xor(instr('0123456789abcdef', substr(fa, p+1, 1)) - 1,
+                               instr('0123456789abcdef', substr(fb, p+1, 1)) - 1)))),
+                 (a, v) -> a + v) AS BIGINT) AS hamming
+        FROM cand)
+      SELECT da, db, hamming FROM h WHERE hamming <= 7 ORDER BY da, db""")),
 
     // ------------------------------------------- embedding cosine near-dup
     // Exact all-pairs cosine ≥ 0.45. The fold-based dot (sequential adds in

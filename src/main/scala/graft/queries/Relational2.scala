@@ -377,6 +377,42 @@ object Relational2 {
              COUNT(DISTINCT user_id) AS exact_users,
              TRUE AS approx_ok,
              COUNT(*) AS n
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------- approx quantile (sketch)
+    // Same pattern as q_approx_distinct: the KLL/GK-style sketch value has
+    // no cross-engine oracle, so the query emits the EXACT discrete p50
+    // (rank-picked actual data value — bitwise portable, oracle-checked)
+    // plus a sketch-sanity flag: approx_percentile is deterministic for
+    // fixed input, and |approx − exact| ≤ 10% of the exact is asserted
+    // TRUE. At 100 TB the sketch is the one-pass mergeable path; the exact
+    // rank pick is the verification baseline.
+    Q("q_approx_quantile", (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val exact = events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === ceil(col("n") * 0.5))
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("exact_p50"), min(col("n")).as("n"))
+      val approx = events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"))
+      exact.join(approx, "event_type")
+        .select(col("event_type"), col("exact_p50"),
+          (abs(col("ap50") - col("exact_p50")) <=
+            abs(col("exact_p50")) * 0.1).as("approx_ok"),
+          col("n"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, MIN(value) AS exact_p50, TRUE AS approx_ok, MIN(n) AS n
+      FROM ranked WHERE rn = CEIL(n * 0.5)
+      GROUP BY event_type ORDER BY event_type"""))
   )
 }

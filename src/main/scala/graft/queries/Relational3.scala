@@ -200,6 +200,65 @@ object Relational3 {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
       FROM orders
       WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------ ordered funnel
+    // Strict sequential funnel view → click → purchase: each stage's first
+    // event must be strictly after the previous stage's. Three keyed
+    // aggregations + joins all on user_id — AQE co-partitions them on one
+    // exchange family, and every stage prunes its input with a pushed
+    // event_type filter. min(timestamp) is order-independent →
+    // engine-exact. Output: users completing the funnel, with stage times.
+    Q("q_funnel", (s, d) => {
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id")
+        .filter(col("e.ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("t_view")).as("t_view"),
+          min(col("e.ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id")
+        .filter(col("e.ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("t_view")).as("t_view"),
+          min(col("t_click")).as("t_click"), min(col("e.ts")).as("t_purchase"))
+      p.orderBy(col("user_id"))
+    }, Some("""
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, MIN(v.t_view) AS t_view, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(c.t_view) AS t_view, MIN(c.t_click) AS t_click,
+               MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT user_id, t_view, t_click, t_purchase FROM p ORDER BY user_id""")),
+
+    // ------------------------------------------------------ SCD2 intervals
+    // Slowly-changing-dimension type-2 build: each event opens a validity
+    // interval closed by the user's next event (lead), open-ended on the
+    // latest. One shuffle on user_id; (ts, event_id) totally orders ties.
+    Q("q_scd2", (s, d) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(byTs).as("valid_to"),
+          (lead(col("ts"), 1).over(byTs).isNull).cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }, Some("""
+      SELECT user_id, event_id, event_type,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to,
+             CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, event_id"""))
   )
 }

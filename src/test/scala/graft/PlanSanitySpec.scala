@@ -17,7 +17,8 @@ class PlanSanitySpec extends SparkSpec {
   // localCheckpoint) and therefore legitimately read "Scan ExistingRDD":
   // all three go through TextDedup's staged shingle/band relations.
   private val stagedQueries =
-    Set("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_pipeline_curate")
+    Set("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_pipeline_curate",
+      "x_dedup_simhash_pairs")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

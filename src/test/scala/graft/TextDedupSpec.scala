@@ -81,6 +81,31 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(hit.get.getDouble(2) - 7.0 / 9.0) < 1e-15)
   }
 
+  test("simhashPairs: banding never misses within maxHamming; verify is exact") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val withExact = docs.union(Seq(
+      (99L, "the quick brown fox jumps over the lazy dog tonight") // = doc 1
+    ).toDF("doc_id", "text"))
+    val pairs = TextDedup.simhashPairs(withExact, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // byte-identical docs → hamming 0, always found (every band equal).
+    assert(pairs.contains((1L, 99L, 0L)))
+    // exhaustive cross-check on this corpus: banding + verify ≡ brute force
+    // for every pair within the threshold (pigeonhole guarantee).
+    val fps = withExact
+      .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> md5(t))"))
+      .select(col("doc_id"), expr("simhash128(hs)").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def ham(a: String, b: String): Int = a.zip(b).map { case (x, y) =>
+      java.lang.Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+    }.sum
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = ham(fa, fb) if h <= 7
+    } yield (ia, ib, h.toLong)).sorted.toSeq
+    assert(pairs.sorted.toSeq == brute)
+  }
+
   test("stage() parquet-staging mode yields identical results to localCheckpoint") {
     // graft.stage.dir switches Tables.stage from localCheckpoint (fast,
     // lineage-truncated, dies with an executor) to a parquet staging table
