@@ -75,4 +75,23 @@ object MediaStub {
       while (i < out.length) { out(i) = sha(i % 32); i += 1 }
       r.copy(payload = out)
     })(Encoders.product[MediaRecord])
+
+  /** One sampled "frame" of a video payload. */
+  final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Video frame sampling: treat the payload as fixed-size frames and keep
+    * every `everyK`-th — the temporal-subsampling stage of a video
+    * pipeline. The frame split is a FAKE for a demuxer, but the flatMap
+    * fan-out (one row in, 0..n frames out, executor-side, no driver
+    * round-trip) is exactly the real operator's shape; output rows carry
+    * (source id, frame index) so downstream stages can re-associate. */
+  def frameSample(ds: Dataset[MediaRecord], frameBytes: Int = FrameBytes,
+                  everyK: Int = 2): Dataset[Frame] = {
+    require(frameBytes > 0 && everyK > 0, s"frameBytes=$frameBytes everyK=$everyK")
+    ds.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, idx) if idx % everyK == 0 => Frame(r.id, idx, bytes)
+      }
+    }(Encoders.product[Frame])
+  }
 }

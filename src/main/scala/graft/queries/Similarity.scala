@@ -162,6 +162,44 @@ object Similarity {
                      ${duckDot("p.qe", "a.embedding")} / (p.qnrm * a.nrm) AS cos
               FROM probes p JOIN assigned a ON p.cent_id = a.cent_id))
       SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
-      ORDER BY q_id, rank"""))
+      ORDER BY q_id, rank""")),
+
+    // ---------------------------------------- embedding quantize/normalize
+    // Int8 symmetric quantization (q = floor(x/maxabs·127 + 0.5)) plus the
+    // L2 norm — the storage-shrink stage before ANN indexing (4 B float →
+    // 1 B int is the difference between a corpus fitting executor memory
+    // or not). Pure per-row projection, no shuffle. All FP steps are the
+    // same IEEE op sequence on both engines (sequential folds, one
+    // divide/multiply chain), so doubles and the quantized ints match
+    // bitwise; the int vector is CSV-serialized for the hash compare.
+    Q("x_embed_quantize", (s, d) => {
+      fanOut(embeddings(s, d))
+        .withColumn("maxabs", expr(
+          """aggregate(embedding, CAST(0 AS DOUBLE),
+            |  (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))""".stripMargin))
+        .withColumn("nrm", expr(
+          s"""sqrt(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+             |  acc + CAST(element_at(embedding, i) AS DOUBLE) * CAST(element_at(embedding, i) AS DOUBLE)))""".stripMargin))
+        .select(col("vec_id"), col("maxabs"), col("nrm"),
+          expr(
+            """array_join(transform(embedding, x ->
+              |  CAST(CAST(floor(CAST(x AS DOUBLE) / nullif(maxabs, CAST(0 AS DOUBLE)) * 127.0d + 0.5d) AS INT) AS STRING)),
+              |  ',')""".stripMargin).as("q8"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT vec_id, embedding,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                 (acc, v) -> greatest(acc, v)) AS maxabs,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings)
+      SELECT vec_id, maxabs, nrm,
+             array_to_string(list_transform(embedding, x ->
+               CAST(CAST(floor(CAST(x AS DOUBLE) / nullif(maxabs, CAST(0 AS DOUBLE)) * 127.0 + 0.5) AS INT) AS VARCHAR)),
+               ',') AS q8
+      FROM t ORDER BY vec_id"""))
   )
 }

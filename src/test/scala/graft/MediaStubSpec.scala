@@ -30,4 +30,16 @@ class MediaStubSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 4)
     assert(out.count() == 100)
   }
+
+  test("frameSample keeps every k-th fixed-size frame with its index") {
+    import spark.implicits._
+    // 40-byte payload, 8-byte frames -> indices 0..4; everyK=2 -> 0,2,4.
+    val payload = Array.tabulate(40)(_.toByte)
+    val ds = spark.createDataset(Seq(MediaRecord(7L, "mp4", payload)))
+    val frames = MediaStub.frameSample(ds, frameBytes = 8, everyK = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.id == 7L))
+    assert(frames(1).payload.toSeq == payload.slice(16, 24).toSeq)
+  }
 }
