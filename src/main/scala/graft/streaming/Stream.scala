@@ -216,13 +216,22 @@ final class Stream private (
   }
 
   /** Streaming deduplication on value expressions, with state bounded by
-    * the watermark (extension — batch `distinct`'s streaming twin). */
-  def dropDuplicates(keys: Seq[Column], grace: String): Stream = {
+    * the watermark (extension — batch `distinct`'s streaming twin).
+    *
+    * `includeEventTime = true` (default) also keys on the event timestamp:
+    * only exact re-deliveries of the same record drop (the Kafka
+    * at-least-once cleanup). `false` dedups on content alone — same keys
+    * at DIFFERENT times collapse to the first arrival while their state
+    * lives (the streaming form of content dedup, e.g. document digests in
+    * a curation pipeline). */
+  def dropDuplicates(keys: Seq[Column], grace: String,
+                     includeEventTime: Boolean = true): Stream = {
     val ts = df.withColumn("__ts", col("metadata.timestamp"))
       .withWatermark("__ts", grace)
       .withColumns(keys.zipWithIndex.map { case (k, i) => s"__k$i" -> k }.toMap)
-    val deduped = ts.dropDuplicatesWithinWatermark(
-      keys.indices.map(i => s"__k$i") :+ "__ts")
+    val dedupKeys = keys.indices.map(i => s"__k$i") ++
+      (if (includeEventTime) Seq("__ts") else Nil)
+    val deduped = ts.dropDuplicatesWithinWatermark(dedupKeys)
     derive(deduped.select(col("value"), col("metadata")))
   }
 

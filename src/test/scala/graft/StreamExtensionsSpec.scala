@@ -130,4 +130,36 @@ class StreamExtensionsSpec extends SparkSpec {
     assert(last == Map("1.0" -> 3L, "2.0" -> 1L))
     q.stop()
   }
+
+  test("curation gates compose on streams: hash-sample + digest dedup") {
+    // The batch curation pipeline's per-row gates are plain Column
+    // predicates, so the SAME expressions run unchanged on a stream:
+    // deterministic md5-gate sampling (graft.operators.Sampling semantics)
+    // + exact-dedup on the content digest within the watermark.
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val txtSchema = StructType(Seq(StructField("id", IntegerType),
+      StructField("text", StringType)))
+    val threshold = graft.operators.Sampling.hexThreshold(0.5)
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), txtSchema)
+      .filter(expr(s"substring(md5(CAST(value.id AS STRING)), 1, 8) < '$threshold'"))
+      .dropDuplicates(Seq(md5(col("value.text"))), grace = "10 seconds",
+        includeEventTime = false)
+    val q = s.toMemory("cur_stream", outputMode = "append")
+    val ids = 0 until 20
+    ms.addData(ids.map(i =>
+      msg(s"""{"id":$i,"text":"doc ${i % 10}"}""", 1000L + i, i)): _*)
+    q.processAllAvailable()
+    val got = spark.table("cur_stream").select(col("value.id")).as[Int].collect().toSet
+    // expected: ids passing the 50% md5 gate, then first-arrival per text.
+    def gate(i: Int): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.substring(0, 8) < threshold
+    }
+    val surviving = ids.filter(gate)
+    val expected = surviving.groupBy(_ % 10).values.map(_.min).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    q.stop()
+  }
 }
