@@ -143,15 +143,16 @@ object Ann {
     * literal `array<struct<cent_id, ce>>` column, sorted by cent_id. This
     * is the "broadcast the offline-trained centroids" step: the list rides
     * inside the plan, so scoring against it never joins or shuffles. */
-  private def centroidLiteral(centroids: DataFrame): Column = {
-    val rows = centroids
+  private def centroidLiteral(centroids: DataFrame): Column =
+    typedlit(collectCentroids(centroids))
+
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Float])] =
+    centroids
       .select(col("id").cast("long"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
       .toSeq
-    typedlit(rows)
-  }
 
   /** Scored centroid list for one vector column: ordered (cent_id ASC)
     * structs of (cid, cos). Runs entirely inside a projection. */
@@ -173,6 +174,62 @@ object Ann {
            |  named_struct('cid', CAST(-1 AS BIGINT), 'cos', CAST('-Infinity' AS DOUBLE)),
            |  (acc, x) -> IF(x.cos > acc.cos, x, acc)).cid""".stripMargin))
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** Aggregation input/buffer shells for [[VecMean]] (product encoders
+    * need a case class around the Seq). */
+  final case class VecIn(v: Seq[Float])
+  final case class VecBuf(n: Long, s: Seq[Double])
+
+  /** Element-wise vector mean as a typed Aggregator: map-side partial
+    * (count, Σ) buffers, only k·P small buffers cross the shuffle — the
+    * scale-correct centroid update (collect_list of a cluster's vectors
+    * would land a whole cluster in one task). Partial-sum merge order is
+    * runtime-dependent, so centroid doubles can differ in the last ulp
+    * across runs — inherent to any parallel mean; k-means is robust to it
+    * and this operator has no bitwise oracle. */
+  final class VecMean(dim: Int) extends Aggregator[VecIn, VecBuf, VecIn] {
+    override def zero: VecBuf = VecBuf(0L, Seq.fill(dim)(0.0))
+    override def reduce(b: VecBuf, a: VecIn): VecBuf =
+      VecBuf(b.n + 1, b.s.lazyZip(a.v).map((s, x) => s + x))
+    override def merge(x: VecBuf, y: VecBuf): VecBuf =
+      VecBuf(x.n + y.n, x.s.lazyZip(y.s).map(_ + _))
+    override def finish(b: VecBuf): VecIn =
+      if (b.n == 0L) VecIn(Seq.fill(dim)(0.0f))
+      else VecIn(b.s.map(s => (s / b.n).toFloat))
+    override def bufferEncoder = Encoders.product[VecBuf]
+    override def outputEncoder = Encoders.product[VecIn]
+  }
+
+  /** Offline centroid training for [[ivfTopK]]: deterministic-init Lloyd
+    * iterations. Init = the k smallest-id corpus vectors; each iteration
+    * runs the shuffle-free argmax assignment against the current broadcast
+    * centroid list, then updates every centroid to its cluster's mean via
+    * [[VecMean]] (k tiny rows collected per iteration — the same
+    * driver-side footprint as broadcasting them). Empty clusters keep
+    * their previous centroid. Returns an (id, embedding) relation shaped
+    * for `ivfTopK(centroids = ...)`. */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
+    ensure(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = collectCentroids(
+      corpus.select(col("id"), col("embedding")).orderBy(col("id")).limit(k))
+    require(cents.nonEmpty, "corpus has no vectors to train on")
+    val dim = cents.head._2.size
+    val vm = udaf(new VecMean(dim), Encoders.product[VecIn])
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(corpus, cents.toDF("id", "embedding"))
+      val means = assigned.groupBy(col("cent_id"))
+        .agg(vm(col("embedding")).as("m"))
+        .select(col("cent_id"), col("m.v").as("me"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+        .toMap
+      cents = cents.map { case (id, e) => (id, means.getOrElse(id, e)) }
+    }
+    cents.toDF("id", "embedding")
   }
 
   /** IVF top-`k`: corpus vectors are assigned to their nearest centroid;

@@ -30,9 +30,12 @@ object Sampling {
     df.filter(expr(s"substring(md5(CAST($idCol AS STRING)), 1, 8) < '${hexThreshold(rate)}'"))
   }
 
-  /** floor(rate·2^32) as 8 lowercase hex chars — shared with oracle SQL. */
+  /** floor(rate·2^32) as 8 lowercase hex chars — shared with oracle SQL.
+    * rate = 1.0 would need 9 hex digits (2^32), which string-compares
+    * BELOW every 8-char prefix; "g" sorts above all hex, so `< "g"` keeps
+    * everything. */
   def hexThreshold(rate: Double): String =
-    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    if (rate >= 1.0) "g" else f"${math.floor(rate * 4294967296.0).toLong}%08x"
 
   /** One (hash, id) pair flowing into the per-stratum min-k selection. */
   final case class HashedId(h: String, id: Long)

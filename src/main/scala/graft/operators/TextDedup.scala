@@ -67,9 +67,18 @@ object TextDedup {
     * over the full shingle sets verifies candidates.
     * Requires the graft native function `minhash_sig` (registered via
     * [[graft.functions.GraftFunctions.ensureRegistered]]).
+    *
+    * `bandCap`: the band-key analogue of [[jaccardPairs]]' `dfCap` — a band
+    * shared by m documents emits m² candidate pairs, so one boilerplate
+    * cluster (or a pile of exact dups that skipped exact-dedup) can
+    * dominate the whole join at 100 TB. The cap drops band keys with more
+    * than `cap` members, window-counted on the join's own partitioning
+    * (no extra shuffle). Pairs whose ONLY shared bands are capped are
+    * missed — the standard recall tradeoff, exact dedup first is the cure.
     * Output: (da, db, jaccard), da < db. */
   def minhashLshPairs(shingled: DataFrame, k: Int = 12, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      bandCap: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     // library contract: register our native functions on whatever session
     // the caller hands us — minhash_sig below is a graft extension.
@@ -82,8 +91,17 @@ object TextDedup {
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> md5(concat(CAST(b AS STRING), '|', $bandCols)))""".stripMargin))
         .as("band_key")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    val index = bandCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        banded
+          .withColumn("__bf", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+          .filter(col("__bf") <= cap)
+          .drop("__bf")
+      case None => banded
+    }
+    val cand = index.as("a")
+      .join(index.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()

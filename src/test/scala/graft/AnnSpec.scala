@@ -1,0 +1,82 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** Operator-level ANN specs (the registry queries oracle-check results;
+  * these pin library behaviors with no SQL twin). */
+class AnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 3 well-separated clusters around axis directions in 8-d, 20 points
+  // each, ids interleaved so the k-smallest-id init spans clusters.
+  private lazy val clustered = {
+    val rnd = new Random(7)
+    val pts = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val base = Array.fill(8)(0.02f * (rnd.nextFloat() - 0.5f))
+      base(c) = 1.0f + 0.05f * rnd.nextFloat()
+      (c + 3L * i, base.toSeq) // ids 0,1,2,3,4,5,... interleave clusters
+    }
+    pts.toDF("id", "embedding")
+  }
+
+  test("trainCentroids recovers well-separated clusters (Lloyd, argmax assignment)") {
+    val cents = Ann.trainCentroids(clustered, k = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(cents.length == 3)
+    // each trained centroid aligns with exactly one axis direction.
+    val axes = cents.map { case (_, e) =>
+      val m = e.map(math.abs).max
+      e.indexWhere(v => math.abs(v) == m)
+    }.toSet
+    assert(axes == Set(0, 1, 2), s"centroids collapsed: ${cents.toSeq}")
+    cents.foreach { case (_, e) =>
+      val nrm = math.sqrt(e.map(v => v.toDouble * v).sum)
+      val peak = e.map(math.abs).max / nrm
+      assert(peak > 0.99, s"centroid not axis-aligned: $e")
+    }
+  }
+
+  test("ivfTopK with trained centroids returns each query's own cluster") {
+    val queries = clustered.filter(col("id") < 3) // one per cluster
+    val corpus = clustered.filter(col("id") >= 3)
+    val cents = Ann.trainCentroids(corpus, k = 3, iters = 4)
+    val out = Ann.ivfTopK(queries, corpus, cents, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == 15, s"expected 3 queries × 5: ${out.length}")
+    // neighbor ids ≡ query id (mod 3) ⇔ same cluster.
+    assert(out.forall { case (q, n) => n % 3 == q % 3 },
+      s"cross-cluster neighbor: ${out.toSeq}")
+  }
+
+  test("bruteTopK two-phase aggregation matches a driver-side exact ranking") {
+    val rnd = new Random(11)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("id", "embedding")
+    val got = Ann.bruteTopK(df.filter(col("id") < 5), df.filter(col("id") >= 5), k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = for {
+      (q, qe) <- vecs.take(5)
+      (((c, _), _), rank) <- vecs.drop(5)
+        .map { case (cid, ce) => ((cid, ce), cos(qe, ce)) }
+        .sortBy { case ((cid, _), s) => (-s, cid) }
+        .take(7).zipWithIndex
+    } yield (q, rank + 1, c)
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.sortBy(t => (t._1, t._2)))
+  }
+}

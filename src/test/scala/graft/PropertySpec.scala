@@ -75,4 +75,50 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
     }
   }
+
+  test("TopKNeighbors equals sort-based top-k under any partitioning/merge order") {
+    import graft.operators.Ann.{NeighborList, ScoredNeighbor, TopKNeighbors}
+    (1 to 25).foreach { _ =>
+      val n = rnd.nextInt(60) + 1
+      val k = rnd.nextInt(10) + 1
+      // duplicate cos values on purpose: ties must break by c_id.
+      val rows = (0 until n).map(i =>
+        ScoredNeighbor(i.toLong, (rnd.nextInt(8) - 4) / 4.0))
+      val agg = new TopKNeighbors(k)
+      // random partitioning into 1..5 buffers, random merge order.
+      val parts = rnd.shuffle(rows).grouped(rnd.nextInt(12) + 12).toSeq
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      val expected = rows.sortBy(r => (-r.cos, r.c_id)).take(k).toList
+      assert(agg.finish(merged) == NeighborList(expected))
+    }
+  }
+
+  test("MinKByHash equals sort-based min-k under any partitioning/merge order") {
+    import graft.operators.Sampling.{HashedId, HashedIdList, MinKByHash}
+    (1 to 25).foreach { _ =>
+      val n = rnd.nextInt(60) + 1
+      val k = rnd.nextInt(10) + 1
+      val rows = (0 until n).map(i =>
+        HashedId(rnd.alphanumeric.take(3).mkString.toLowerCase, i.toLong))
+      val agg = new MinKByHash(k)
+      val parts = rnd.shuffle(rows).grouped(rnd.nextInt(12) + 12).toSeq
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      val expected = rows.sortBy(r => (r.h, r.id)).take(k).toList
+      assert(agg.finish(merged) == HashedIdList(expected))
+    }
+  }
+
+  test("hashSample keeps a stable subset: sample(r1) ⊆ sample(r2) for r1 ≤ r2") {
+    import spark.implicits._
+    val df = (0 until 500).map(_.toLong).toDF("id")
+    def ids(rate: Double): Set[Long] =
+      graft.operators.Sampling.hashSample(df, "id", rate)
+        .collect().map(_.getLong(0)).toSet
+    val s5 = ids(0.05); val s20 = ids(0.20); val s100 = ids(1.0)
+    assert(s5.subsetOf(s20) && s20.subsetOf(s100) && s100.size == 500)
+    // rate is honored within a loose binomial bound.
+    assert(s20.size > 500 * 0.1 && s20.size < 500 * 0.35, s20.size)
+  }
 }

@@ -30,4 +30,17 @@ class SourceFormatsSpec extends SparkSpec {
     assert(back.filter(col("event_type") === "click").count() ==
       events.filter(col("event_type") === "click").count())
   }
+
+  test("orc round-trip preserves rows, schema, and pushes filters down") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == events.schema)
+    assert(back.count() == events.count())
+    // ORC scans participate in predicate pushdown like parquet.
+    val plan = back.filter(col("event_id") < 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]")
+      || plan.contains("LessThan(event_id,100)"), plan.take(600))
+  }
 }

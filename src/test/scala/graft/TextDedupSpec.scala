@@ -81,6 +81,26 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(hit.get.getDouble(2) - 7.0 / 9.0) < 1e-15)
   }
 
+  test("bandCap prunes hot-band candidates but never distorts survivors") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // 6 byte-identical docs share EVERY band -> 15 pairs from one hot
+    // band cluster; the near-dup pair 1/2 shares at least one band of its
+    // own. bandCap=5 kills the identical cluster's bands, keeps 1/2.
+    val withDups = docs.union(
+      (100L to 104L).map(i => (i, "zeta eta theta same same same same body"))
+        .toDF("doc_id", "text"))
+      .union(Seq((105L, "zeta eta theta same same same same body")).toDF("doc_id", "text"))
+    val sh = TextDedup.shingleRelation(withDups, "doc_id", "text")
+    val uncapped = TextDedup.minhashLshPairs(sh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = TextDedup.minhashLshPairs(sh, threshold = 0.5, bandCap = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.contains((1L, 2L)))
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"capped should drop the 6-dup cluster's pairs: $capped")
+    assert(capped.contains((1L, 2L)), s"survivor pair lost: $capped")
+  }
+
   test("simhashPairs: banding never misses within maxHamming; verify is exact") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val withExact = docs.union(Seq(
