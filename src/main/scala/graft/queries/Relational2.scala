@@ -413,6 +413,62 @@ object Relational2 {
         FROM events)
       SELECT event_type, MIN(value) AS exact_p50, TRUE AS approx_ok, MIN(n) AS n
       FROM ranked WHERE rn = CEIL(n * 0.5)
-      GROUP BY event_type ORDER BY event_type"""))
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------- MERGE / upsert
+    // Batch MERGE semantics (the engine's CDC-apply story): a delta of
+    // updates + inserts full-outer-joins the base on the key; COALESCE
+    // picks the surviving value and the action is derivable from the null
+    // sides. One shuffle on the key (or zero with co-bucketed tables —
+    // BucketingSpec); arithmetic is the same single double op both
+    // engines. The delta here is derived deterministically from the base.
+    Q("q_merge_upsert", (s, d) => {
+      val base = customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      val updates = customer(s, d).filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), (col("c_acctbal") + 100.0d).as("new_bal"))
+      val inserts = customer(s, d).filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"), lit(50.0d).as("new_bal"))
+      val delta = updates.unionByName(inserts)
+      base.as("b").join(delta.as("d"), Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("d.new_bal").isNull, "kept")
+            .when(col("b.c_acctbal").isNull, "inserted")
+            .otherwise("updated").as("action"),
+          coalesce(col("d.new_bal"), col("b.c_acctbal")).as("bal"))
+        .orderBy(col("k"))
+    }, Some("""
+      WITH delta AS (
+        SELECT c_custkey AS k, c_acctbal + 100.0 AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS k, 50.0 AS new_bal
+        FROM customer WHERE c_custkey % 97 = 0)
+      SELECT COALESCE(b.c_custkey, d.k) AS k,
+             CASE WHEN d.k IS NULL THEN 'kept'
+                  WHEN b.c_custkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS action,
+             COALESCE(d.new_bal, b.c_acctbal) AS bal
+      FROM customer b FULL OUTER JOIN delta d ON b.c_custkey = d.k
+      ORDER BY k""")),
+
+    // -------------------------------------------------------- histogram
+    // Fixed-bound binning (the portable width_bucket): bucket =
+    // floor((v - lo) / step) clamped to [0, nbins+1] — every step is the
+    // same IEEE double op on both engines, so bucket assignment is exact.
+    // Map-side-combinable groupBy on a small int key: the classic
+    // distribution profile at any scale.
+    Q("q_histogram", (s, d) => {
+      events(s, d)
+        .withColumn("bucket", expr(
+          "greatest(0L, least(11L, CAST(floor((value - 0.0d) / 50.0d) AS BIGINT) + 1))"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      SELECT GREATEST(0, LEAST(11, CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1)) AS bucket,
+             COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -259,6 +259,31 @@ object Relational3 {
              CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, valid_from, event_id"""))
+      ORDER BY user_id, valid_from, event_id""")),
+
+    // ----------------------------------------- RANGE frame (time-based)
+    // Trailing 1-hour per-user activity via a RANGE frame over epoch
+    // seconds — the value-based frame q_window_frames' ROWS variants can't
+    // express (equal timestamps share one frame; the bound is wall-clock,
+    // not row-count). Integer frame bounds, decimal-exact value sum: both
+    // engines agree bitwise. One shuffle on user_id.
+    Q("q_window_range_frame", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3600L, 0L)
+      events(s, d)
+        .withColumn("es", expr("unix_micros(ts) div 1000000"))
+        .select(col("user_id"), col("event_id"), col("es"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(expr("CAST(value AS DECIMAL(12,4))")).over(w)
+            .cast("double").as("val_1h"))
+        .orderBy(col("user_id"), col("es"), col("event_id"))
+    }, Some("""
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+             COUNT(*) OVER w AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS val_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, es, event_id"""))
   )
 }

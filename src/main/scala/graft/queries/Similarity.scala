@@ -50,10 +50,11 @@ object Similarity {
       // scan, native codegen'd cosine_sim, two-phase per-query top-k
       // (map-side k-heaps, k·P-row merge — never a global sort, never a
       // whole score vector on one reducer).
-      val e = fanOut(embeddings(s, d))
-        .select(col("vec_id").as("id"), col("embedding"))
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      // fanOut ONLY the corpus side: the query side is broadcast, so a
+      // repartition there would just prepend a useless exchange.
       graft.operators.Ann
-        .bruteTopK(e.filter(col("id") < 10), e.filter(col("id") >= 10), k = 10)
+        .bruteTopK(e.filter(col("id") < 10), fanOut(e.filter(col("id") >= 10)), k = 10)
         .orderBy(col("q_id"), col("rank"))
     }, Some(s"""
       WITH e AS (
@@ -79,10 +80,9 @@ object Similarity {
       // (computed once per side — each banded relation feeds exactly one
       // side of the candidate join), equi-join candidate generation, exact
       // cosine re-rank.
-      val e = fanOut(embeddings(s, d))
-        .select(col("vec_id").as("id"), col("embedding"))
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
       graft.operators.Ann
-        .lshTopK(e.filter(col("id") < 10), e.filter(col("id") >= 10),
+        .lshTopK(e.filter(col("id") < 10), fanOut(e.filter(col("id") >= 10)),
           k = 10, bits = 16, bands = 4, dim = 64)
         .orderBy(col("q_id"), col("rank"))
     }, Some(s"""
@@ -124,11 +124,10 @@ object Similarity {
       // → exact re-rank. Deterministic centroid stand-in: corpus vectors
       // 10..17 (a real pipeline trains k-means offline and broadcasts the
       // result).
-      val e = fanOut(embeddings(s, d))
-        .select(col("vec_id").as("id"), col("embedding"))
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
       graft.operators.Ann.ivfTopK(
         queries = e.filter(col("id") < 10),
-        corpus = e.filter(col("id") >= 10),
+        corpus = fanOut(e.filter(col("id") >= 10)),
         centroids = e.filter(col("id") >= 10 && col("id") < 18),
         k = 10, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
