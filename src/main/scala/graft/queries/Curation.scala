@@ -119,6 +119,39 @@ object Curation {
                'https?://[^ ]+', '<URL>', 'g'),
                '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
                '  +', ' ', 'g')) AS clean
-      FROM t ORDER BY doc_id"""))
+      FROM t ORDER BY doc_id""")),
+
+    // ------------------------------------------------------ data profile
+    // Per-column profile (row/non-null/distinct counts + min/max) in ONE
+    // scan: stack() unpivots the projected columns to (col_name, v) rows,
+    // then a single grouped aggregation profiles all columns — the
+    // dataset-health gate a curation pipeline runs before training.
+    // Values go through strings (numerics via DECIMAL, which formats
+    // identically on both engines — raw DOUBLE casts don't).
+    Q("x_profile", (s, d) => {
+      orders(s, d)
+        .select(expr(
+          """stack(3,
+            |  'o_orderpriority', CAST(o_orderpriority AS STRING),
+            |  'o_custkey',       CAST(o_custkey AS STRING),
+            |  'o_totalprice',    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)
+            |) AS (col_name, v)""".stripMargin))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
+    }, Some("""
+      WITH stacked AS (
+        SELECT 'o_orderpriority' AS col_name, CAST(o_orderpriority AS VARCHAR) AS v FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) FROM orders)
+      SELECT col_name, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
+             COUNT(DISTINCT v) AS n_distinct, MIN(v) AS min_v, MAX(v) AS max_v
+      FROM stacked GROUP BY col_name ORDER BY col_name"""))
   )
 }

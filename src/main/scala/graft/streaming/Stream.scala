@@ -319,6 +319,17 @@ final class Stream private (
   def blackhole(): StreamingQuery =
     start(df.writeStream.format("noop").trigger(defaultTrigger))
 
+  /** Micro-batch escape hatch (extension): each batch arrives as a plain
+    * DataFrame with its batch id, so any BATCH operator — MERGE/upsert
+    * into a table, the dedup/curation library, multi-sink writes — applies
+    * to a stream unchanged. Exactly-once composition: the checkpoint
+    * records the batch id; an idempotent or transactional `f` (keyed on
+    * `batchId`) makes replays safe after recovery. This is the engine's
+    * CDC-apply story: stream → forEachBatch → q_merge_upsert-shaped join
+    * against the target table. */
+  def forEachBatch(f: (DataFrame, Long) => Unit): StreamingQuery =
+    start(df.writeStream.foreachBatch(f).trigger(defaultTrigger))
+
   /** Memory sink for tests — the analogue of the reference's jest mock
     * harness (`src/stream.spec.ts`). `outputMode` "append" (finalized
     * windows only, watermark-gated) or "update"/"complete". */

@@ -162,4 +162,30 @@ class StreamExtensionsSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
     q.stop()
   }
+
+  test("forEachBatch applies a batch MERGE per micro-batch (CDC-apply shape)") {
+    import spark.implicits._
+    val ms = MemoryStream[KMsg]
+    val kvSchema = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", IntegerType)))
+    // the "target table": upserted by key from each micro-batch.
+    val state = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), kvSchema)
+    val q = s.forEachBatch { (batch, id) =>
+      seenBatches += id
+      // last-writer-wins within the batch, keyed by offset order.
+      batch.select(col("value.k"), col("value.v"), col("metadata.offset"))
+        .orderBy(col("offset"))
+        .collect()
+        .foreach(r => state.put(r.getInt(0), r.getInt(1)))
+    }
+    ms.addData(msg("""{"k":1,"v":10}""", 1000L, 0), msg("""{"k":2,"v":20}""", 2000L, 1))
+    q.processAllAvailable()
+    ms.addData(msg("""{"k":1,"v":11}""", 3000L, 2), msg("""{"k":3,"v":30}""", 4000L, 3))
+    q.processAllAvailable()
+    assert(state.toMap == Map(1 -> 11, 2 -> 20, 3 -> 30), state)
+    assert(seenBatches.distinct.size >= 2, seenBatches)
+    q.stop()
+  }
 }
