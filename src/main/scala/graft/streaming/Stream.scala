@@ -273,9 +273,15 @@ final class Stream private (
     * both sides watermarked with `grace`; rows match when keys are equal
     * and the right event time lies within ±`within` of the left. State is
     * bounded by watermark + time bound. Output: value =
-    * struct(left, right), metadata = the left side's. */
+    * struct(left, right), metadata = the left side's.
+    *
+    * `joinType`: "inner" (default) or "left_outer" — outer rows (left
+    * rows with no match) emit with a null `right` once the watermark
+    * proves no match can still arrive; the time-bound condition is what
+    * makes outer emission possible at all (unbounded state otherwise). */
   def joinStream(other: Stream, thisKey: Column, otherKey: Column,
-                 grace: String, within: String): Stream = {
+                 grace: String, within: String,
+                 joinType: String = "inner"): Stream = {
     val l = df
       .select(col("value").as("left"), col("metadata").as("lmeta"),
         thisKey.as("__lk"), col("metadata.timestamp").as("__lts"))
@@ -287,7 +293,8 @@ final class Stream private (
     val joined = l.join(r,
       col("__lk") === col("__rk") &&
         col("__rts") >= col("__lts") - expr(s"INTERVAL $within") &&
-        col("__rts") <= col("__lts") + expr(s"INTERVAL $within"))
+        col("__rts") <= col("__lts") + expr(s"INTERVAL $within"),
+      joinType)
     derive(joined.select(
       struct(col("left"), col("right")).as("value"),
       col("lmeta").as("metadata")))

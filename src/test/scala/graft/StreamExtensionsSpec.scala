@@ -114,6 +114,34 @@ class StreamExtensionsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("joinStream left_outer emits unmatched left rows with null right after watermark") {
+    import spark.implicits._
+    val m1 = MemoryStream[KMsg]
+    val m2 = MemoryStream[KMsg]
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val s = Stream.fromKafkaShaped(spark, m1.toDF(), schema)
+      .joinStream(Stream.fromKafkaShaped(spark, m2.toDF(), schema),
+        col("value.k"), col("value.k"), "10 seconds", "5 seconds",
+        joinType = "left_outer")
+    val q = s.toMemory("sjoin_lo")
+    m1.addData(msg("""{"k":1}""", 1000L, 0), msg("""{"k":2}""", 1000L, 1))
+    m2.addData(msg("""{"k":1}""", 3000L, 0)) // only k=1 matches
+    q.processAllAvailable()
+    // advance both watermarks far enough to prove k=2 can't match anymore.
+    m1.addData(msg("""{"k":7}""", 100000L, 2))
+    m2.addData(msg("""{"k":8}""", 100000L, 3))
+    q.processAllAvailable()
+    val rows = spark.table("sjoin_lo")
+      .select(col("value.left.k"),
+        col("value.right.k").as("rk"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toSet
+    assert(rows.contains((1, Some(1))), rows)
+    assert(rows.contains((2, None)), s"unmatched left row not emitted: $rows")
+    q.stop()
+  }
+
   test("runningCount keeps per-key state across micro-batches") {
     import spark.implicits._
     val ms = MemoryStream[KMsg]
