@@ -152,6 +152,68 @@ object Curation {
         SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) FROM orders)
       SELECT col_name, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
              COUNT(DISTINCT v) AS n_distinct, MIN(v) AS min_v, MAX(v) AS max_v
-      FROM stacked GROUP BY col_name ORDER BY col_name"""))
+      FROM stacked GROUP BY col_name ORDER BY col_name""")),
+
+    // --------------------------------------------- boilerplate n-grams
+    // Top-30 word bigrams by DOCUMENT frequency (distinct per doc, so one
+    // spammy doc can't inflate a phrase) — the boilerplate detector that
+    // feeds dedup's df-caps and cleaning's kill-lists. Plan: explode →
+    // map-side partial count → one shuffle on the n-gram → global top-k
+    // (TakeOrderedAndProject, never a full sort).
+    Q("x_ngram_topk", (s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .select(explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(toks) - 1, 1)),
+            |  i -> concat_ws(' ', slice(toks, i, 2))))""".stripMargin)).as("ng"))
+        .groupBy(col("ng"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ng"))
+        .limit(30)
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      ng AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1) + 1),
+                 i -> array_to_string(toks[i:i+1], ' ')))) AS ng
+        FROM t)
+      SELECT ng, COUNT(*) AS df FROM ng
+      GROUP BY ng ORDER BY df DESC, ng LIMIT 30""")),
+
+    // ------------------------------------------- text ⟂ embedding join
+    // The multimodal-columns join: quality-gated documents enriched with
+    // their embedding's L2 norm (doc_id ≡ vec_id). At scale this is THE
+    // shape of joining a text table to a sidecar embedding/media table —
+    // equi-join on the id, norm computed as a sequential fold identical on
+    // both engines.
+    Q("x_doc_embedding_join", (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens", expr("size(split(text, ' '))"))
+        .filter(col("n_tokens") >= 20)
+        .select(col("doc_id"), col("n_tokens"))
+      val embs = embeddings(s, d).select(col("vec_id"),
+        expr(
+          """sqrt(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+            |  acc + CAST(element_at(embedding, i) AS DOUBLE) * CAST(element_at(embedding, i) AS DOUBLE)))""".stripMargin)
+          .as("nrm"))
+      docs.join(embs, docs("doc_id") === embs("vec_id"))
+        .select(col("doc_id"), col("n_tokens"), col("nrm"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE len(string_split(text, ' ')) >= 20),
+      embs AS (
+        SELECT vec_id,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings)
+      SELECT doc_id, n_tokens, nrm
+      FROM docs JOIN embs ON doc_id = vec_id
+      ORDER BY doc_id"""))
   )
 }
