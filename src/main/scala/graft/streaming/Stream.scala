@@ -334,8 +334,12 @@ final class Stream private (
     * `batchId`) makes replays safe after recovery. This is the engine's
     * CDC-apply story: stream → forEachBatch → q_merge_upsert-shaped join
     * against the target table. */
-  def forEachBatch(f: (DataFrame, Long) => Unit): StreamingQuery =
-    start(df.writeStream.foreachBatch(f).trigger(defaultTrigger))
+  def forEachBatch(f: (DataFrame, Long) => Unit,
+                   checkpoint: Option[String] = None): StreamingQuery = {
+    var w = df.writeStream.foreachBatch(f).trigger(defaultTrigger)
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    start(w)
+  }
 
   /** Memory sink for tests — the analogue of the reference's jest mock
     * harness (`src/stream.spec.ts`). `outputMode` "append" (finalized
@@ -422,6 +426,21 @@ object Stream {
 
   /** Wrap a DataFrame that already has (value, metadata) columns. */
   def fromDataFrame(spark: SparkSession, df: DataFrame): Stream = mk(spark, df)
+
+  /** Built-in `rate` source shaped like a Kafka stream — a live, runnable
+    * source with zero external dependencies (synthetic load tests, façade
+    * demos where no broker exists). `value` is the rate counter; metadata
+    * mirrors the Kafka shape with the counter as the offset. */
+  def fromRate(spark: SparkSession, rowsPerSecond: Int,
+               trigger: Trigger = Trigger.ProcessingTime(0L)): Stream = {
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+    mk(spark, raw.select(
+      col("value"),
+      struct(lit("rate").as("topic"), lit(0).as("partition"),
+        col("value").as("offset"), col("timestamp"),
+        lit(null).cast("binary").as("key")).as("metadata")), trigger)
+  }
 
   private def mk(spark: SparkSession, df: DataFrame,
                  trigger: Trigger = Trigger.ProcessingTime(0L)): Stream = {

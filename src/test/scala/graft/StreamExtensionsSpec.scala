@@ -191,6 +191,22 @@ class StreamExtensionsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("fromRate: a live dependency-free source flows through the façade") {
+    val s = Stream.fromRate(spark, rowsPerSecond = 100)
+      .filter(col("value") % 2 === 0)
+      .map(struct(col("value").as("v")))
+    val q = s.toMemory("rate_t", outputMode = "append")
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.table("rate_t").isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    val vals = spark.table("rate_t").select(col("value.v")).collect().map(_.getLong(0))
+    assert(vals.nonEmpty, "rate source produced no rows within 30s")
+    assert(vals.forall(_ % 2 == 0), "filter not applied on rate stream")
+    q.stop()
+  }
+
   test("forEachBatch applies a batch MERGE per micro-batch (CDC-apply shape)") {
     import spark.implicits._
     val ms = MemoryStream[KMsg]
