@@ -214,6 +214,55 @@ object Curation {
         FROM embeddings)
       SELECT doc_id, n_tokens, nrm
       FROM docs JOIN embs ON doc_id = vec_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ------------------------------------------------- decontamination
+    // Train/test overlap removal: flag training docs sharing ≥3 distinct
+    // word 3-grams with any benchmark document. The benchmark set (stand-in:
+    // doc_id % 50 = 0) is tiny by nature, so its DISTINCT shingle set
+    // broadcasts and the corpus is scanned once — shingle explode →
+    // broadcast semi-overlap join → per-doc count. Left join keeps
+    // zero-overlap docs with overlap_n = 0. The real pipeline swaps the
+    // stand-in for the actual eval-suite shingle table; everything else is
+    // unchanged.
+    Q("x_decontaminate", (s, d) => {
+      val sh = documents(s, d)
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(toks) - 2, 1)),
+            |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin)).as("sg"))
+      val benchSh = broadcast(
+        sh.filter(col("doc_id") % 50 === 0).select(col("sg")).distinct())
+      val overlaps = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(benchSh, "sg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("overlap_n"))
+      documents(s, d).filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"))
+        .join(overlaps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("overlap_n"), lit(0L)).as("overlap_n"),
+          (coalesce(col("overlap_n"), lit(0L)) >= 3).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                 i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))) AS sg
+        FROM documents),
+      bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 50 = 0),
+      ovl AS (
+        SELECT s.doc_id, COUNT(*) AS overlap_n
+        FROM sh s JOIN bench b ON s.sg = b.sg
+        WHERE s.doc_id % 50 <> 0
+        GROUP BY s.doc_id)
+      SELECT d.doc_id,
+             COALESCE(o.overlap_n, 0) AS overlap_n,
+             COALESCE(o.overlap_n, 0) >= 3 AS contaminated
+      FROM documents d LEFT JOIN ovl o ON d.doc_id = o.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""))
   )
 }
