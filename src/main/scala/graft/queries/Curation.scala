@@ -263,6 +263,36 @@ object Curation {
              COALESCE(o.overlap_n, 0) >= 3 AS contaminated
       FROM documents d LEFT JOIN ovl o ON d.doc_id = o.doc_id
       WHERE d.doc_id % 50 <> 0
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // --------------------------------------------------- document chunking
+    // Overlapping token windows (32-token chunks, stride 16) — the
+    // sequence-windowing stage before tokenization/embedding. Pure per-row
+    // flatMap (posexplode of an in-row transform): no shuffle, output keyed
+    // (doc_id, chunk_idx) so chunks re-associate downstream. Every step is
+    // integer/string — engine-exact.
+    Q("x_chunk", (s, d) => {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, size(toks), 16),
+            |  st -> concat_ws(' ', slice(toks, st, 32)))""".stripMargin)))
+        .select(col("doc_id"), col("pos").cast("bigint").as("chunk_idx"),
+          expr("size(split(col, ' '))").cast("bigint").as("n_tok"),
+          col("col").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) + 1, 16),
+                 st -> array_to_string(toks[st:st+31], ' ')) AS chunks
+        FROM t)
+      SELECT doc_id,
+             unnest(range(0, len(chunks))) AS chunk_idx,
+             CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_tok,
+             unnest(chunks) AS chunk
+      FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }
