@@ -16,6 +16,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS) — see Tables.events (loader
+      // is pure; entry points own this conf).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,16 +44,25 @@ object Bench {
     // Steady-state per query: best of 3 timed runs. Single-run times at this
     // scale are dominated by JIT/GC scheduling noise (observed 5× swings on
     // identical plans); min-of-3 measures the plan, not the JVM's mood.
+    // The repetitions are INTERLEAVED (3 full sweeps over the query list,
+    // not 3 back-to-back runs per query) so a transient external load spike
+    // poisons at most one sweep — never all three samples of one query —
+    // and per-run times are published alongside the min so a noisy record
+    // is diagnosable after the fact.
+    val runs = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to 3; n <- names) runs(n) = runs(n) :+ run(n)
     val results = names.map { n =>
-      val ts = (1 to 3).map(_ => run(n))
+      val ts = runs(n)
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rs = names.map { n => "\"" + n + "\":" + runs(n).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Stop Spark FIRST so no executor/shutdown logging can interleave after
     // the metric line — the driver wants it as the final clean stdout line.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
   }
 }

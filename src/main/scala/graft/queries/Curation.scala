@@ -24,6 +24,31 @@ object Curation {
   private val SampleRate = 0.10
   private val SampleThreshold = graft.operators.Sampling.hexThreshold(SampleRate)
 
+  /** Greedy sequential packing of documents into fixed-token-budget bins.
+    *
+    * `shards` IS the packing parallelism AND the output-file parallelism:
+    * each shard packs independently after ONE shuffle on the shard key,
+    * running one cumulative-sum window per shard partition. At 100 TB set
+    * `shards` ≫ the cluster width (e.g. executors × cores × 4) — a small
+    * constant funnels the whole corpus through that many reducers. The
+    * cumulative sum is integer-only with a total per-shard order (doc_id),
+    * so any engine packs identically.
+    *
+    * Output: one row per (shard, bin) with the doc count and token total.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame,
+                    shards: Int, budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tok", expr("size(split(text, ' '))"))
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budgetTokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------ deterministic sample
     // Content-hash Bernoulli gate: md5(doc_id) prefix under floor(rate·2³²)
@@ -64,15 +89,7 @@ object Curation {
     // independently after ONE shuffle on the shard key; the cumulative sum
     // is integer-only (order fixed by doc_id), so engines agree exactly.
     Q("x_pack_sequences", (s, d) => {
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      documents(s, d)
-        .withColumn("n_tok", expr("size(split(text, ' '))"))
-        .withColumn("shard", expr("doc_id % 8"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("bin", expr("(cum - n_tok) div 1024"))
-        .groupBy(col("shard"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      packSequences(documents(s, d), shards = 8, budgetTokens = 1024)
         .orderBy(col("shard"), col("bin"))
     }, Some("""
       WITH t AS (
@@ -80,11 +97,14 @@ object Curation {
         FROM documents),
       c AS (
         SELECT shard, n_tok,
-               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum
+               -- BIGINT casts here and below: DuckDB SUM(INT) is HUGEINT
+               -- (int128), which the driver comparator can't hash against
+               -- Spark's int64. Token counts fit long trivially.
+               CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         FROM t)
-      SELECT shard, (cum - n_tok) // 1024 AS bin,
-             COUNT(*) AS n_docs, SUM(n_tok) AS tokens
+      SELECT shard, CAST((cum - n_tok) // 1024 AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
       FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
 
     // --------------------------------------------- text clean / PII mask
@@ -226,12 +246,16 @@ object Curation {
     // stand-in for the actual eval-suite shingle table; everything else is
     // unchanged.
     Q("x_decontaminate", (s, d) => {
-      val sh = documents(s, d)
+      // The shingle relation feeds BOTH the benchmark side and the train
+      // side; Spark has no subplan reuse across the two consumers, so stage
+      // it (same discipline as TextDedup's signature relations) — tokenize +
+      // shingle runs once instead of twice.
+      val sh = stage(documents(s, d)
         .withColumn("toks", expr("split(lower(text), ' ')"))
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(
             |  sequence(1, greatest(size(toks) - 2, 1)),
-            |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin)).as("sg"))
+            |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin)).as("sg")))
       val benchSh = broadcast(
         sh.filter(col("doc_id") % 50 === 0).select(col("sg")).distinct())
       val overlaps = sh.filter(col("doc_id") % 50 =!= 0)

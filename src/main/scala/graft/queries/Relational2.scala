@@ -90,6 +90,14 @@ object Relational2 {
     // -------------------------------------------- discrete percentiles (topk)
     // Engine-independent by construction: rank rows, pick exact positions
     // (no interpolation FP). One shuffle on the group key.
+    //
+    // SCALE NOTE: the rank window partitions by o_orderpriority — 5 distinct
+    // values, so the whole table lands on 5 reducers. This query is the
+    // exact SEMANTIC SPEC (and the oracle anchor); the designated 100 TB
+    // path for percentiles over low-cardinality groups is q_approx_quantile:
+    // a one-pass mergeable sketch whose partial aggregation never
+    // concentrates a group on one task. PlanSanitySpec pins the exception
+    // list so new queries can't silently repeat this shape.
     Q("q_percentile_disc", (s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -113,16 +121,20 @@ object Relational2 {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // -------------------------------------------------------------- argmax
-    // Deterministic arg-max via rank with a unique tie-break (max_by/arg_max
-    // are tie-arbitrary in both engines, so neither is oracle-safe).
+    // Deterministic arg-max as a partial-aggregate struct-max: maximizing
+    // (o_totalprice, -o_orderkey) lexicographically ≡ rank 1 under
+    // (o_totalprice DESC, o_orderkey ASC) — but it map-side combines to one
+    // row per group per partition, so only |groups|·P tiny rows shuffle.
+    // The rank-window formulation would land the whole table on 5 reducers
+    // (o_orderpriority has 5 values); max_by/arg_max are tie-arbitrary in
+    // both engines, so neither is oracle-safe. The oracle keeps the window
+    // formulation as the semantic spec — same rows, different plan.
     Q("q_argmax", (s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_orderpriority"), col("o_orderkey").as("top_order"),
-          col("o_totalprice").as("top_price"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(struct(col("o_totalprice").as("p"), (-col("o_orderkey")).as("nk"))).as("m"))
+        .select(col("o_orderpriority"), (-col("m.nk")).as("top_order"),
+          col("m.p").as("top_price"))
         .orderBy(col("o_orderpriority"))
     }, Some("""
       SELECT o_orderpriority, o_orderkey AS top_order, o_totalprice AS top_price

@@ -55,8 +55,11 @@ object Relational3 {
         FROM lagged),
       sessioned AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               -- BIGINT cast: DuckDB SUM(INT) yields HUGEINT (int128), which
+               -- the driver's arrow/pandas bridge renders as object/float and
+               -- hash-mismatches Spark's int64. Values fit long trivially.
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, COUNT(*) AS n_events,
              MIN(ts) AS session_start, MAX(ts) AS session_end,

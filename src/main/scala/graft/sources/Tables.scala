@@ -33,12 +33,18 @@ object Tables {
     * epoch-nanos value ~1.7e18 exceeds double's 2^53 integer range).
     * The driver's data has zero sub-microsecond part, so this is lossless
     * and matches DuckDB, which surfaces the column as µs TIMESTAMP.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set in every entry point: Verify / Bench / ExplainAudit / Scratch /
+    * StreamDemo / the test base). The loader itself is PURE — it must not
+    * mutate shared session conf, which would surprise a concurrent user of
+    * the same session. (A per-read option does NOT work: the task-side
+    * parquet readers consult the session conf, not datasource options —
+    * verified empirically on Spark 4.1.)
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

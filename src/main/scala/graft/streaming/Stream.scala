@@ -314,13 +314,24 @@ final class Stream private (
     * context option's `commitInterval` when built via `createStream`. */
   def writeTo(topic: String, brokers: Seq[String], checkpoint: String,
               trigger: Trigger = null): StreamingQuery =
-    start {
-      var w = df.select(to_json(struct(col("value"))).as("value"))
-        .writeStream.format("kafka")
-      Stream.kafkaSinkOptions(topic, brokers, checkpoint)
-        .foreach { case (k, v) => w = w.option(k, v) }
-      w.trigger(Option(trigger).getOrElse(defaultTrigger))
-    }
+    start(kafkaSinkWriter(topic, brokers, checkpoint, trigger))
+
+  /** Everything [[writeTo]] does before `start()`: the JSON serialization
+    * projection, the full sink option map, and the trigger cadence, as a
+    * fully-configured writer. Factored out so the COMPLETE sink plan is
+    * constructible (and spec-checked, against a live `rate` source) without
+    * the spark-sql-kafka connector on the classpath — `start()`'s
+    * data-source lookup is the only step that needs it (deploy note in
+    * README). */
+  def kafkaSinkWriter(topic: String, brokers: Seq[String], checkpoint: String,
+                      trigger: Trigger = null)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var w = df.select(to_json(struct(col("value"))).as("value"))
+      .writeStream.format("kafka")
+    Stream.kafkaSinkOptions(topic, brokers, checkpoint)
+      .foreach { case (k, v) => w = w.option(k, v) }
+    w.trigger(Option(trigger).getOrElse(defaultTrigger))
+  }
 
   /** Discard sink (reference `blackhole`, `src/stream.ts:231-239`). */
   def blackhole(): StreamingQuery =

@@ -45,6 +45,36 @@ class PlanSanitySpec extends SparkSpec {
     }
   }
 
+  // Window functions partitioned ONLY by a low-cardinality key land the
+  // whole input on |distinct keys| reducers — fine at sf0.1, a skew killer
+  // at 100 TB. Documented exceptions (each names its scale path):
+  //  - q_percentile_disc: exact semantic spec; q_approx_quantile (mergeable
+  //    sketch) is the designated scale path for low-cardinality percentiles;
+  //  - q_approx_quantile: the window computes the EXACT anchor that
+  //    verifies the sketch — at scale only the sketch side runs;
+  //  - x_pack_sequences: shards IS the packing parallelism, a parameter of
+  //    Curation.packSequences pinned to 8 only for the oracle fixture.
+  private val allowedLowCardWindow =
+    Set("q_percentile_disc", "q_approx_quantile", "x_pack_sequences")
+  private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
+    "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
+    "l_linestatus", "shard")
+
+  test("no new query windows over a low-cardinality partition key") {
+    SparkEntry.registry.foreach { q =>
+      val logical = q.fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
+      val offending = logical.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.flatMap(_.references.map(_.name))
+                .forall(lowCardKeys) => w
+      }
+      assert(offending.isEmpty || allowedLowCardWindow.contains(q.name),
+        s"${q.name} windows over a low-cardinality key (whole input onto " +
+          s"|keys| reducers at scale): ${offending.map(_.partitionSpec).mkString("; ")}")
+    }
+  }
+
   test("IVF centroid assignment plans zero Exchanges (map-side argmax)") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))

@@ -32,6 +32,32 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Lint the WHOLE registry against the round-2 bug class: DuckDB returns
+  // HUGEINT (int128) for SUM over any integer type — the driver's
+  // arrow/pandas bridge renders int128 as object/float and hash-mismatches
+  // Spark's int64 even when every value is identical. (A bare SUM(DOUBLE)
+  // is banned for the same reason: FP addition order is engine-dependent.)
+  // The two accepted disciplines, per CLAUDE.md:
+  //   CAST(SUM(...) AS BIGINT/DOUBLE)   — wrap the aggregate, or
+  //   SUM(CAST(... AS DECIMAL(p,s)))    — exact decimal accumulate.
+  test("no oracle emits a bare SUM (DuckDB HUGEINT / double-sum nondeterminism)") {
+    val sumRe = "(?i)\\bSUM\\s*\\(".r
+    val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, rawSql) =>
+      val sql = rawSql.replaceAll("--[^\\n]*", "") // lint code, not comments
+      sumRe.findAllMatchIn(sql).flatMap { m =>
+        val before = sql.substring(0, m.start).reverse.dropWhile(_.isWhitespace).reverse
+        val wrappedInCast = before.toUpperCase.endsWith("CAST(")
+        // Argument must begin with a CAST to DECIMAL (window of 120 chars
+        // keeps the regex from wandering past the aggregate's argument).
+        val argIsDecimalCast = "(?is)^\\s*CAST\\s*\\(.{0,80}?AS\\s+DECIMAL".r
+          .findFirstIn(sql.substring(m.end).take(120)).isDefined
+        if (wrappedInCast || argIsDecimalCast) None
+        else Some(s"$name @${m.start}: …${sql.slice(math.max(0, m.start - 20), m.end + 50).replaceAll("\\s+", " ")}…")
+      }
+    }
+    assert(bad.isEmpty, s"bare SUMs found:\n${bad.mkString("\n")}")
+  }
+
   test("p_filter_predicate pushes its predicate into the parquet scan") {
     val q = SparkEntry.registry.find(_.name == "p_filter_predicate").get
     val p = plan(q)

