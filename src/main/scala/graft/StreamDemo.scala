@@ -18,13 +18,15 @@ object StreamDemo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // must be set before ANY read of events.parquet (TIMESTAMP(NANOS))
+      // or Spark 4 throws ILLEGAL_PARQUET_TYPE at schema inference.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // File-streaming source with the events schema; shape it like a
     // (value, metadata) stream for the façade.
     val schema = Tables.events(spark, sfDir).schema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source takes a directory; select just events.parquet.
     val raw = spark.readStream.schema(
       spark.read.parquet(s"$sfDir/events.parquet").schema)

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.stage
+
+/** Distributed connected components over an undirected edge list — the
+  * operator that turns near-duplicate PAIRS (TextDedup's output) into
+  * dedup CLUSTERS, so a pipeline can keep one canonical document per
+  * cluster. At 100 TB this is the standard follow-on to MinHash/SimHash
+  * dedup (pair lists alone under-merge: near-dup is not transitive, the
+  * cluster closure is what dedup actually removes).
+  *
+  * Algorithm: alternating large-star / small-star contractions (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  * converges in O(log n) rounds regardless of graph diameter, unlike plain
+  * min-label propagation whose round count is the component DIAMETER (a
+  * chain of pairwise near-dups at 100 TB can be arbitrarily long).
+  * Each phase is one aggregation plus one self-equi-join on the node key:
+  * both shuffle on the SAME key, so AQE plans them as one exchange each —
+  * ~2 shuffles per round, O(log n) rounds, edges only ever shrink toward
+  * the star forest.
+  *
+  * Determinism: labels are integer minima over integer node ids — no FP
+  * anywhere, so any engine (and the DuckDB recursive-CTE oracle) agrees
+  * bit-for-bit.
+  *
+  * Scale notes:
+  *  - every round's edge relation is staged ([[graft.sources.Tables.stage]]):
+  *    iterative DataFrame loops otherwise accrete lineage until planning
+  *    itself dominates, and each round's result feeds BOTH the next round's
+  *    aggregation and its join side;
+  *  - convergence is detected with an order-independent checksum
+  *    (count + bit_xor of xxhash64(src,dst)) — one tiny action per round,
+  *    never a full `except` anti-join;
+  *  - a skewed star (one hub in millions of edges) is exactly what
+  *    large-star is designed to flatten; AQE's skew-join handling covers
+  *    the transient rounds.
+  */
+object Graph {
+
+  /** (node, component) for every node incident to ≥1 edge; `component` is
+    * the smallest node id in the connected component. Edges are undirected;
+    * self-loops and duplicates are tolerated. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    var e = stage(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct())
+    var sig = checksum(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = stage(smallStar(largeStar(e)))
+      val nsig = checksum(next)
+      converged = nsig == sig
+      sig = nsig
+      e = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // fixed point = star forest: every non-root points DIRECTLY at its
+    // component's minimum; roots/isolated nodes appear only as dst.
+    e.select(col("src").as("node"), col("dst").as("component"))
+      .union(e.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** [[connectedComponents]] extended to a full vertex relation: vertices
+    * with no edge become singleton components (component = own id).
+    * Output: (node, component). */
+  def componentsForVertices(vertices: DataFrame, idCol: String,
+                            edges: DataFrame, srcCol: String, dstCol: String,
+                            maxIter: Int = 50): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol, maxIter)
+    vertices.select(col(idCol).cast("long").as("node"))
+      .join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u}).
+    * Emitted edges keep dst < src (m ≤ u < v). Connectivity-preserving;
+    * flattens high-degree hubs in one round. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star(u): over the big→small directed edges, connect u and all
+    * its smaller neighbors to m = min — turning every local cluster into a
+    * star on the minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+    val reattached = dir.join(mins, "src")
+      .filter(col("dst") =!= col("__mn"))
+      .select(col("dst").as("src"), col("__mn").as("dst"))
+    val selfEdge = mins.select(col("src"), col("__mn").as("dst"))
+    reattached.union(selfEdge).distinct()
+  }
+
+  /** Order-independent edge-set fingerprint: (row count, xor of per-edge
+    * 64-bit hashes). One small action per round; xor commutes so the
+    * physical row order never matters. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val row = e.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(src, dst))").as("x")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+}

@@ -45,8 +45,11 @@ class RegistrySpec extends SparkSpec {
     val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, rawSql) =>
       val sql = rawSql.replaceAll("--[^\\n]*", "") // lint code, not comments
       sumRe.findAllMatchIn(sql).flatMap { m =>
-        val before = sql.substring(0, m.start).reverse.dropWhile(_.isWhitespace).reverse
-        val wrappedInCast = before.toUpperCase.endsWith("CAST(")
+        val before = sql.substring(0, m.start)
+        // word-boundary + tolerant spacing: matches `CAST(` and `CAST (`,
+        // rejects identifiers that merely end in ...CAST.
+        val wrappedInCast =
+          "(?is)\\bCAST\\s*\\(\\s*$".r.findFirstIn(before).isDefined
         // Argument must begin with a CAST to DECIMAL (window of 120 chars
         // keeps the regex from wandering past the aggregate's argument).
         val argIsDecimalCast = "(?is)^\\s*CAST\\s*\\(.{0,80}?AS\\s+DECIMAL".r

@@ -300,9 +300,22 @@ class StreamFacadeSpec extends SparkSpec {
     val s = Stream.fromRate(spark, rowsPerSecond = 100, Stream.triggerFor(opt))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-sink").toString
     val w = s.kafkaSinkWriter("out", Seq("b:9092"), ckpt, Trigger.ProcessingTime(100L))
-    val e = intercept[Exception] { w.start() }
-    val msg = e.toString + Option(e.getMessage).getOrElse("")
-    assert(msg.toLowerCase.contains("kafka"), msg)
+    val connectorAbsent = scala.util.Try(
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")).isFailure
+    if (connectorAbsent) {
+      // no connector on the classpath: start() must fail at the data-source
+      // lookup, and no query may leak if it unexpectedly succeeds.
+      var leaked: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        val e = intercept[Exception] { leaked = w.start() }
+        val msg = e.toString + Option(e.getMessage).getOrElse("")
+        assert(msg.toLowerCase.contains("kafka"), msg)
+      } finally if (leaked != null) leaked.stop()
+    } else {
+      // connector present (cluster classpath): the same plan starts cleanly.
+      val q = w.start()
+      try assert(q.isActive) finally q.stop()
+    }
     // The identical stream runs live end-to-end through the same start()
     // path on a dependency-free sink — everything upstream of the
     // connector lookup is executable, not just constructible.
