@@ -28,6 +28,42 @@ object Dedup {
       |  range(1, greatest(len(toks) - 2, 1) + 1),
       |  i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
 
+  /** DuckDB twin of TextDedup.simhashPairs (maxHamming = 7): CTE chain
+    * ending in `pairs(da, db)` / `h(da, db, hamming)` — shared by the pair
+    * query and the connected-components closure built on top of it. */
+  private val duckSimhashPairCtes = """
+      t AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(lower(text), ' ')), t -> md5(t)) AS hs
+        FROM documents),
+      f AS (
+        SELECT doc_id AS id,
+               array_to_string(list_transform(range(0, 32), p ->
+                 substr('0123456789abcdef', 1 +
+                   list_reduce(list_prepend(0, list_transform(range(0, 4), b ->
+                     CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
+                            (((instr('0123456789abcdef', substr(h, p+1, 1)) - 1) >> b) & 1) * 2 - 1)),
+                            (acc, v) -> acc + v) > 0
+                          THEN (1 << b) ELSE 0 END)), (a, v) -> a + v),
+                   1)), '') AS fp
+        FROM t),
+      bd AS (
+        SELECT id, fp,
+               unnest(list_transform(range(0, 8), b ->
+                 CAST(b AS VARCHAR) || ':' || substr(fp, 4*b + 1, 4))) AS bk
+        FROM f),
+      cand AS (
+        SELECT DISTINCT a.id AS da, b.id AS db, a.fp AS fa, b.fp AS fb
+        FROM bd a JOIN bd b ON a.bk = b.bk AND a.id < b.id),
+      h AS (
+        SELECT da, db,
+               CAST(list_reduce(list_prepend(0, list_transform(range(0, 32), p ->
+                 bit_count(xor(instr('0123456789abcdef', substr(fa, p+1, 1)) - 1,
+                               instr('0123456789abcdef', substr(fb, p+1, 1)) - 1)))),
+                 (a, v) -> a + v) AS BIGINT) AS hamming
+        FROM cand),
+      pairs AS (SELECT da, db FROM h WHERE hamming <= 7)"""
+
   val all: Seq[Q] = Seq(
     // -------------------------------------------------------- exact dedup
     // Group by content digest, keep the smallest doc_id as canonical.
@@ -151,38 +187,63 @@ object Dedup {
       graft.operators.TextDedup
         .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
         .orderBy(col("da"), col("db"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id,
-               list_transform(list_distinct(string_split(lower(text), ' ')), t -> md5(t)) AS hs
-        FROM documents),
-      f AS (
-        SELECT doc_id AS id,
-               array_to_string(list_transform(range(0, 32), p ->
-                 substr('0123456789abcdef', 1 +
-                   list_reduce(list_prepend(0, list_transform(range(0, 4), b ->
-                     CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
-                            (((instr('0123456789abcdef', substr(h, p+1, 1)) - 1) >> b) & 1) * 2 - 1)),
-                            (acc, v) -> acc + v) > 0
-                          THEN (1 << b) ELSE 0 END)), (a, v) -> a + v),
-                   1)), '') AS fp
-        FROM t),
-      bd AS (
-        SELECT id, fp,
-               unnest(list_transform(range(0, 8), b ->
-                 CAST(b AS VARCHAR) || ':' || substr(fp, 4*b + 1, 4))) AS bk
-        FROM f),
-      cand AS (
-        SELECT DISTINCT a.id AS da, b.id AS db, a.fp AS fa, b.fp AS fb
-        FROM bd a JOIN bd b ON a.bk = b.bk AND a.id < b.id),
-      h AS (
-        SELECT da, db,
-               CAST(list_reduce(list_prepend(0, list_transform(range(0, 32), p ->
-                 bit_count(xor(instr('0123456789abcdef', substr(fa, p+1, 1)) - 1,
-                               instr('0123456789abcdef', substr(fb, p+1, 1)) - 1)))),
-                 (a, v) -> a + v) AS BIGINT) AS hamming
-        FROM cand)
+    }, Some(s"""
+      WITH $duckSimhashPairCtes
       SELECT da, db, hamming FROM h WHERE hamming <= 7 ORDER BY da, db""")),
+
+    // --------------------------------------- near-dup clusters (components)
+    // Pairs alone under-merge: near-duplication is NOT transitive, and what
+    // dedup actually removes is the transitive CLUSTER. Connected components
+    // over the SimHash pair graph (graft.operators.Graph — alternating
+    // large-star/small-star, O(log n) rounds of 2 shuffles, every round's
+    // edge relation staged) labels each doc with the smallest doc_id
+    // reachable through near-dup pairs; isolated docs are their own
+    // singleton component. The oracle computes the same closure with a
+    // recursive CTE — integer minima only, so both engines agree exactly.
+    Q("x_cc_components", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      graft.operators.Graph
+        .componentsForVertices(documents(s, d), "doc_id", pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("component").as("component_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckSimhashPairCtes,
+      edges AS (SELECT da AS s, db AS d FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s)
+      SELECT n AS doc_id, MIN(m) AS component_id
+      FROM reach GROUP BY n ORDER BY doc_id""")),
+
+    // ------------------------------------- cluster dedup (keep canonical)
+    // The end state of the dedup pipeline: one row per near-dup cluster,
+    // keeping the smallest doc_id as canonical — pairs → components →
+    // per-cluster size. At 100 TB the same plan re-joined to `documents`
+    // on component_id = doc_id yields the deduplicated corpus.
+    Q("x_dedup_cluster", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      graft.operators.Graph
+        .componentsForVertices(documents(s, d), "doc_id", pairs, "da", "db")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("canonical_id"), col("n_members"))
+        .orderBy(col("canonical_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckSimhashPairCtes,
+      edges AS (SELECT da AS s, db AS d FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+      comp AS (SELECT n AS doc_id, MIN(m) AS component_id
+               FROM reach GROUP BY n)
+      SELECT component_id AS canonical_id, COUNT(*) AS n_members
+      FROM comp GROUP BY component_id ORDER BY canonical_id""")),
 
     // ------------------------------------------- embedding cosine near-dup
     // Exact all-pairs cosine ≥ 0.45. The fold-based dot (sequential adds in
