@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables.stage
+import graft.sources.Tables.stageTracked
 
 /** Distributed connected components over an undirected edge list — the
   * operator that turns near-duplicate PAIRS (TextDedup's output) into
@@ -27,39 +27,50 @@ import graft.sources.Tables.stage
   * bit-for-bit.
   *
   * Scale notes:
-  *  - every round's edge relation is staged ([[graft.sources.Tables.stage]]):
-  *    iterative DataFrame loops otherwise accrete lineage until planning
-  *    itself dominates, and each round's result feeds BOTH the next round's
-  *    aggregation and its join side;
-  *  - convergence is detected with an order-independent checksum
-  *    (count + bit_xor of xxhash64(src,dst)) — one tiny action per round,
-  *    never a full `except` anti-join;
+  *  - every round's edge relation is staged
+  *    ([[graft.sources.Tables.stageTracked]]): iterative DataFrame loops
+  *    otherwise accrete lineage until planning itself dominates, and each
+  *    round's result feeds BOTH the next round's aggregation and its join
+  *    side. In parquet-staging mode a round's directory is DROPPED as soon
+  *    as the next round is materialized, so disk usage stays O(1) rounds,
+  *    not O(log n);
+  *  - convergence is detected with an order-independent 128-bit checksum
+  *    (count + bit_xor of two independently-keyed 64-bit edge hashes) —
+  *    one tiny action per round, never a full `except` anti-join. A false
+  *    convergence needs both xors AND the count to collide between
+  *    consecutive non-equal edge sets (~2^-128 given the count matches);
   *  - a skewed star (one hub in millions of edges) is exactly what
   *    large-star is designed to flatten; AQE's skew-join handling covers
   *    the transient rounds.
   */
 object Graph {
 
-  /** (node, component) for every node incident to ≥1 edge; `component` is
-    * the smallest node id in the connected component. Edges are undirected;
-    * self-loops and duplicates are tolerated. */
+  /** (node, component) for every node incident to ≥1 NON-self-loop edge;
+    * `component` is the smallest node id in the connected component. Edges
+    * are undirected; duplicates are tolerated; self-loops are dropped up
+    * front, so a node whose ONLY edges are self-loops gets no row here —
+    * use [[componentsForVertices]] to retain such nodes (and fully isolated
+    * ones) as singleton components. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
-    var e = stage(edges
+    var cur = stageTracked(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct())
-    var sig = checksum(e)
+    var sig = checksum(cur.df)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = stage(smallStar(largeStar(e)))
-      val nsig = checksum(next)
+      val next = stageTracked(smallStar(largeStar(cur.df)))
+      val nsig = checksum(next.df)
+      // `next` is fully materialized (staging writes eagerly; the checksum
+      // action read it back), so the superseded round's storage can go now.
+      cur.drop()
       converged = nsig == sig
       sig = nsig
-      e = next
+      cur = next
       rounds += 1
     }
     if (!converged)
@@ -67,6 +78,7 @@ object Graph {
         s"connectedComponents did not converge in $maxIter rounds")
     // fixed point = star forest: every non-root points DIRECTLY at its
     // component's minimum; roots/isolated nodes appear only as dst.
+    val e = cur.df
     e.select(col("src").as("node"), col("dst").as("component"))
       .union(e.select(col("dst").as("node"), col("dst").as("component")))
       .distinct()
@@ -115,12 +127,21 @@ object Graph {
   }
 
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
-    * 64-bit hashes). One small action per round; xor commutes so the
-    * physical row order never matters. */
-  private def checksum(e: DataFrame): (Long, Long) = {
+    * 64-bit hashes, xor of INDEPENDENTLY-keyed 64-bit hashes). One small
+    * action per round; xor commutes so the physical row order never
+    * matters. Two independent hash families take the silent-collision
+    * probability between consecutive non-equal edge sets from ~2^-64 to
+    * ~2^-128 — a collision would falsely declare convergence and emit an
+    * under-contracted (wrong) labeling with no error. */
+  private def checksum(e: DataFrame): (Long, Long, Long) = {
     val row = e.agg(
       count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(src, dst))").as("x")).head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      expr("bit_xor(xxhash64(src, dst))").as("x"),
+      // swapping the argument order re-keys xxhash64's per-field seeds, so
+      // the two xors are independent functions of the same edge.
+      expr("bit_xor(xxhash64(dst, src))").as("y")).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
   }
 }

@@ -85,13 +85,37 @@ object Tables {
     *    to a parquet staging table under that directory and read back —
     *    the cluster-safe mode for multi-TB intermediates (survives executor
     *    loss, readable by downstream jobs, columnar scans on reuse). */
-  def stage(df: DataFrame): DataFrame =
+  def stage(df: DataFrame): DataFrame = stageTracked(df).df
+
+  /** [[stage]] with a cleanup handle — for ITERATIVE operators (e.g.
+    * [[graft.operators.Graph.connectedComponents]]) that stage a relation
+    * per round: without cleanup, parquet-staging mode accretes one
+    * `stage_N` directory per round that is never reclaimed. Call
+    * [[Staged.drop]] on a round's handle once the NEXT round is fully
+    * materialized (the write in staging mode is eager, so "next staged"
+    * = "previous dir no longer referenced by any live plan").
+    *
+    * In `localCheckpoint` mode `drop()` is a no-op: a checkpointed
+    * relation's lineage is truncated, so its cached partitions must NOT be
+    * unpersisted while any derived plan might still read it; executor-side
+    * cache eviction is the reclaim path there. */
+  def stageTracked(df: DataFrame): Staged =
     df.sparkSession.conf.getOption("graft.stage.dir") match {
       case Some(dir) =>
         val path = s"$dir/stage_${stageCounter.incrementAndGet()}"
         df.write.mode("overwrite").parquet(path)
-        df.sparkSession.read.parquet(path)
-      case None => df.localCheckpoint(false)
+        Staged(df.sparkSession.read.parquet(path), Some(path))
+      case None => Staged(df.localCheckpoint(false), None)
     }
   private val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A staged relation plus the handle to reclaim its backing storage once
+    * superseded (parquet-staging mode only — see [[stageTracked]]). */
+  final case class Staged(df: DataFrame, path: Option[String]) {
+    def drop(): Unit = path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Connected components (alternating star contraction, Graph.scala):
+  * label correctness on a known fixture, self-loop semantics, and the
+  * staging-mode disk contract (superseded round dirs are reclaimed). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two components {1,2,3,5} (a 4-chain — exercises >0 contraction
+  // rounds) and {10,20}; 7↔7 is a self-loop-only node; 99 has no edges.
+  private def edges = Seq(
+    (2L, 1L), (3L, 2L), (5L, 3L), (10L, 20L), (7L, 7L), (1L, 2L))
+    .toDF("a", "b")
+
+  test("connectedComponents labels every chained node with the minimum") {
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L),
+      (10L, 10L), (20L, 10L)))
+    // self-loop-only node 7 is excluded by contract (see scaladoc).
+    assert(!got.exists(_._1 == 7L))
+  }
+
+  test("componentsForVertices retains self-loop-only and isolated nodes") {
+    val verts = Seq(1L, 2L, 3L, 5L, 7L, 10L, 20L, 99L).toDF("id")
+    val got = Graph.componentsForVertices(verts, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L),
+      (7L, 7L), (10L, 10L), (20L, 10L), (99L, 99L)))
+  }
+
+  test("parquet-staging mode reclaims superseded round directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val got = Graph.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(got.size == 6)
+      // every superseded stage_N was dropped; only the final round's edge
+      // relation (which backs the returned DataFrame) may remain.
+      val left = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      assert(left.count(_.startsWith("stage_")) <= 1, left.toString)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}

@@ -312,9 +312,14 @@ class StreamFacadeSpec extends SparkSpec {
         assert(msg.toLowerCase.contains("kafka"), msg)
       } finally if (leaked != null) leaked.stop()
     } else {
-      // connector present (cluster classpath): the same plan starts cleanly.
+      // connector present (cluster classpath): the same plan must RESOLVE —
+      // start() returning is the assertion. Don't assert isActive: against
+      // this fixture's nonexistent broker the first micro-batch fails fast,
+      // so the query may legitimately have terminated already; only a
+      // data-source-lookup failure (what this test pins) throws from
+      // start() itself.
       val q = w.start()
-      try assert(q.isActive) finally q.stop()
+      q.stop()
     }
     // The identical stream runs live end-to-end through the same start()
     // path on a dependency-free sink — everything upstream of the
