@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.stage
+
+/** Lexical ranking / retrieval operators over a document corpus: term
+  * frequencies, TF-IDF keyword extraction, a capped inverted index, and
+  * BM25 term scoring. These are the search-side companions to the dedup
+  * family — a curation pipeline uses them for keyword tagging, quality
+  * filtering, and retrieval-based decontamination.
+  *
+  * Scale design (the 100 TB contract):
+  *  - per-document term frequencies are computed MAP-SIDE from the token
+  *    array (distinct-token × count projection, no explode→groupBy
+  *    shuffle of one row per token occurrence — at 100 TB that explode is
+  *    ~10^13 rows through a shuffle for no reason);
+  *  - document frequencies aggregate the tf relation (one row per
+  *    doc×distinct-term) with map-side partial counts; the resulting
+  *    vocabulary relation is small (vocab ≪ corpus) and is BROADCAST back
+  *    onto the tf relation — the corpus-sized side never shuffles on the
+  *    hot token key (stopword tokens are exactly the skewed keys a
+  *    shuffle join would die on);
+  *  - the tf relation feeds both the df aggregate and the join probe, and
+  *    Spark has no automatic subplan reuse across the two — it is staged
+  *    once ([[graft.sources.Tables.stage]]), same discipline as the dedup
+  *    signature relations;
+  *  - per-document top-k uses a rank window partitioned by doc_id — a
+  *    HIGH-cardinality partition key (one partition per document), so no
+  *    reducer ever sees more than one document's terms; this is the case
+  *    where a window IS the scale-correct plan (contrast Ann.TopKNeighbors,
+  *    where the partition count is the small query count);
+  *  - inverted-index postings are capped via a typed min-k Aggregator
+  *    (map-side k-buffers, k·P merge) — NEVER collect_list of a hot
+  *    token's every posting into one buffer (a stopword's posting list is
+  *    the whole corpus).
+  *
+  * Determinism: every emitted double is a single IEEE division (or one
+  * product of two such divisions) of exact 64-bit integers — bit-identical
+  * in any engine, no transcendental functions (log-free BM25 variant: the
+  * idf odds-ratio (N−df+½)/(df+½) is emitted unlogged; ln is NOT
+  * bit-portable across libm implementations).
+  */
+object Ranking {
+
+  /** (doc_id, token, tf) — one row per document × DISTINCT token, computed
+    * entirely map-side from the token array (no per-occurrence explode
+    * through a shuffle). O(distinct·len) comparisons per document, inside
+    * whole-stage codegen. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(expr(
+          """transform(array_distinct(__toks),
+            |  t -> named_struct('token', t,
+            |                    'tf', size(filter(__toks, x -> x = t))))""".stripMargin))
+          .as("__tt"))
+      .select(col("doc_id"), col("__tt.token").as("token"), col("__tt.tf").as("tf"))
+
+  /** Top-`k` TF-IDF keywords per document. Score = tf · N / df as ONE
+    * double division of exact longs (the classic idf log is monotone in
+    * N/df, so top-k by N/df ≡ top-k by idf — and stays bit-portable).
+    * Ties break on token asc. Output: (doc_id, token, tf, df, score). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val tf = stage(termFrequencies(docs, idCol, textCol))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(broadcast(n))
+      .withColumn("score", expr("CAST(tf * n_docs AS DOUBLE) / df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Newtype for the min-k posting buffer (Encoders need a product). */
+  final case class Postings(items: List[Long])
+
+  /** Keep the `k` smallest doc ids — map-side k-buffers, k·P-row merge.
+    * The capped replacement for collect_list on posting lists: a stopword
+    * token's full posting list is the entire corpus, and this aggregator
+    * never holds more than k longs per partial buffer. */
+  final class MinKLongs(k: Int) extends Aggregator[Long, Postings, Postings] {
+    require(k > 0, s"k=$k must be positive")
+    private def insert(items: List[Long], a: Long): List[Long] =
+      if (items.lengthCompare(k) >= 0 && a >= items.last) items
+      else {
+        val (pre, post) = items.span(_ < a)
+        // distinct ids by contract (one row per doc×token), so no dedup.
+        (pre ::: (a :: post)).take(k)
+      }
+    override def zero: Postings = Postings(Nil)
+    override def reduce(b: Postings, a: Long): Postings = Postings(insert(b.items, a))
+    override def merge(x: Postings, y: Postings): Postings =
+      Postings(y.items.foldLeft(x.items)(insert))
+    override def finish(b: Postings): Postings = b
+    override def bufferEncoder = Encoders.product[Postings]
+    override def outputEncoder = Encoders.product[Postings]
+  }
+
+  /** Inverted index with bounded postings: (token, df, first
+    * `maxPostings` doc ids ascending). df is exact (count over the
+    * doc×distinct-token relation); the posting cap is the min-k
+    * aggregator above. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    val mink = udaf(new MinKLongs(maxPostings), Encoders.scalaLong)
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), mink(col("doc_id")).as("__p"))
+      .select(col("token"), col("df"),
+        array_join(col("__p.items"), ",").as("postings"))
+  }
+
+  /** BM25 term scores (k1 = 1.2, b = 0.75) for each document × query term
+    * with tf > 0, in exact-integer arithmetic:
+    *
+    *   tf_norm = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *           = 22·tf·total / (10·total·tf + 3·total + 9·dl·N)
+    *   idf_odds = (N − df + ½) / (df + ½) = (2N − 2df + 1) / (2df + 1)
+    *   score = tf_norm · idf_odds
+    *
+    * (avgdl = total/N folded in exactly; each factor is one double
+    * division of longs, the score one double product — all bit-portable.
+    * The standard ln(idf_odds) is monotone, so ranking is unchanged.)
+    *
+    * Corpus stats (N, total token count) and per-term document frequencies
+    * are tiny aggregates broadcast onto the per-row scored relation — the
+    * corpus never shuffles. Output: (doc_id, term, tf, df, dl, tf_norm,
+    * idf_odds, score). */
+  def bm25TermScores(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val termsLit = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val tf = docs
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        expr("size(__toks)").cast("long").as("dl"),
+        explode(expr(
+          s"""transform(array($termsLit),
+             |  t -> named_struct('term', t,
+             |                    'tf', size(filter(__toks, x -> x = t))))""".stripMargin))
+          .as("__tt"))
+      .select(col("doc_id"), col("__tt.term").as("term"),
+        col("__tt.tf").cast("long").as("tf"), col("dl"))
+    val matched = stage(tf.filter(col("tf") > 0))
+    val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr(s"size(split(lower($textCol), ' '))").cast("long")).as("total_len"))
+    matched
+      .join(broadcast(df), "term")
+      .join(broadcast(st))
+      .withColumn("tf_norm", expr(
+        "CAST(22 * tf * total_len AS DOUBLE) / (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"))
+      .withColumn("idf_odds", expr(
+        "CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("tf_norm"), col("idf_odds"),
+        (col("tf_norm") * col("idf_odds")).as("score"))
+  }
+}

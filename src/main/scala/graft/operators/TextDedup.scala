@@ -166,6 +166,67 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
 
+  /** C4-style cross-document line deduplication: remove every "line" that
+    * occurs (by content hash) in ≥ `minDocs` distinct documents, keeping
+    * surviving lines in document order — the boilerplate-removal step
+    * (navigation chrome, cookie banners, license headers) that runs BEFORE
+    * document-level dedup in a training-data pipeline.
+    *
+    * The corpus here has no newlines, so a "line" is a fixed-width run of
+    * `width` consecutive tokens (non-overlapping windows) — the same
+    * segmentation both engines can reproduce exactly; with real text,
+    * pass-through on '\n' segmentation is the one-line variant.
+    *
+    * Scale shape:
+    *  - documents explode to (doc_id, pos, line) — linear, no shuffle;
+    *  - the banned-line relation (count distinct docs per line HASH ≥
+    *    `minDocs`, only the 16-byte digest aggregates — text stays on the
+    *    map side) is tiny (boilerplate is by definition a small fraction
+    *    of distinct lines) and BROADCAST back as an anti-join — the
+    *    corpus-sized line relation never shuffles to filter;
+    *  - the only full shuffle is the per-document reassembly groupBy, on
+    *    doc_id (maximum-cardinality key, no skew);
+    *  - the line relation feeds both the banned aggregate and the
+    *    anti-join probe → staged once (no automatic subplan reuse).
+    *
+    * Output: (doc_id, n_lines_kept, text_clean) for EVERY input document —
+    * a doc whose every line is boilerplate survives with empty text, so a
+    * downstream length gate can drop it explicitly. */
+  def stripCommonLines(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int, minDocs: Int): DataFrame = {
+    require(width > 0 && minDocs > 1, s"width=$width, minDocs=$minDocs")
+    val lines = stage(docs
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .select(
+        col(idCol).as("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, (size(__toks) + ${width - 1}) div $width - 1),
+             |  i -> named_struct('pos', i,
+             |                    'line', concat_ws(' ', slice(__toks, i * $width + 1, $width))))""".stripMargin))
+          .as("__l"))
+      .select(col("doc_id"), col("__l.pos").as("pos"), col("__l.line").as("line")))
+    val banned = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val kept = lines
+      .join(broadcast(banned), md5(col("line")) === col("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        // deterministic reassembly: sort the (pos, line) structs by pos,
+        // then join — collect_list order is partition-dependent otherwise.
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"))
+          .as("text_clean"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Exact duplicate groups by content digest: only the 16-byte digest
     * shuffles, never the text. Output: (canonical_id, n_copies). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

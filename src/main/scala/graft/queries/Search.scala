@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Lexical search / ranking extension queries over `documents`
+  * (operators in [[graft.operators.Ranking]]) plus C4-style cross-document
+  * line dedup ([[graft.operators.TextDedup.stripCommonLines]]) — the
+  * retrieval-and-boilerplate side of a training-data pipeline.
+  *
+  * Determinism: every double is a single IEEE division of exact longs (or
+  * one product of two such divisions); no logs (ln is not bit-portable
+  * across libm implementations — rankings by N/df are identical because ln
+  * is monotone). Hashes are md5 hex strings.
+  */
+object Search {
+
+  private val duckToks = "string_split(lower(text), ' ')"
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------- TF-IDF keyword top-k
+    // Map-side term frequencies (no per-occurrence explode shuffle),
+    // broadcast vocabulary df, rank window on the max-cardinality doc_id
+    // key. Score = tf·N/df — one exact-long division per row.
+    Q("x_tfidf_topk", (s, d) => {
+      graft.operators.Ranking.tfidfTopK(fanOut(documents(s, d)), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("token"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, token, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / df AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, token) <= 3
+      ORDER BY doc_id, score DESC, token""")),
+
+    // ------------------------------------------------ capped inverted index
+    // (token, exact df, first-10 postings). The posting cap is a typed
+    // min-k Aggregator (map-side k-buffers) — never collect_list of a
+    // stopword's whole-corpus posting list. Postings serialize to a csv
+    // string for the driver comparator.
+    Q("x_inverted_index", (s, d) => {
+      graft.operators.Ranking.invertedIndex(fanOut(documents(s, d)), "doc_id", "text",
+        maxPostings = 10)
+        .orderBy(col("token"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      ex AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
+      SELECT token, COUNT(*) AS df,
+             array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+      FROM ex GROUP BY token ORDER BY token""")),
+
+    // ----------------------------------------------------- BM25 term scores
+    // Log-free BM25 (k1=1.2, b=0.75): tf_norm and the idf odds-ratio are
+    // each ONE double division of exact longs, the score their product —
+    // bit-portable, rank-identical to the ln form. Corpus stats and df are
+    // tiny broadcast aggregates; the corpus itself never shuffles.
+    Q("x_bm25_terms", (s, d) => {
+      graft.operators.Ranking.bm25TermScores(fanOut(documents(s, d)), "doc_id", "text",
+        terms = Seq("data", "query", "stream"))
+        .orderBy(col("doc_id"), col("term"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      q AS (SELECT unnest(['data','query','stream']) AS term),
+      tf AS (SELECT doc_id, term, len(toks) AS dl,
+                    len(list_filter(toks, x -> x = term)) AS tf
+             FROM t CROSS JOIN q),
+      df AS (SELECT term, COUNT(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+      st AS (SELECT COUNT(*) AS n_docs,
+                    CAST(SUM(len($duckToks)) AS BIGINT) AS total_len
+             FROM documents)
+      SELECT doc_id, term, tf, df, dl,
+             CAST(22 * tf * total_len AS DOUBLE)
+               / (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs) AS tf_norm,
+             CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1) AS idf_odds,
+             (CAST(22 * tf * total_len AS DOUBLE)
+               / (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs))
+              * (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN st
+      WHERE tf > 0
+      ORDER BY doc_id, term""")),
+
+    // --------------------------------------- C4-style cross-doc line dedup
+    // Remove every 4-token "line" occurring in ≥2 distinct documents;
+    // reassemble survivors in order. Banned lines aggregate by 16-byte
+    // digest and broadcast back as an anti-join — the corpus-sized line
+    // relation never shuffles to filter; reassembly is the only full
+    // shuffle (on doc_id).
+    Q("x_line_dedup", (s, d) => {
+      graft.operators.TextDedup.stripCommonLines(fanOut(documents(s, d)),
+        "doc_id", "text", width = 4, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      l AS (SELECT doc_id,
+                   unnest(range(0, (len(toks) + 3) // 4)) AS pos,
+                   unnest(list_transform(range(0, (len(toks) + 3) // 4),
+                     i -> array_to_string(toks[4*i+1 : 4*i+4], ' '))) AS line
+            FROM t),
+      banned AS (SELECT md5(line) AS h FROM l
+                 GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 2),
+      clean AS (SELECT doc_id, COUNT(*) AS n_lines_kept,
+                       string_agg(line, ' ' ORDER BY pos) AS text_clean
+                FROM l WHERE md5(line) NOT IN (SELECT h FROM banned)
+                GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(c.n_lines_kept, 0) AS n_lines_kept,
+             COALESCE(c.text_clean, '') AS text_clean
+      FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""))
+  )
+}

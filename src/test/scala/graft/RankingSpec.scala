@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ranking, TextDedup}
+
+/** Ranking operators (Ranking.scala) + C4-style line dedup
+  * (TextDedup.stripCommonLines): value fixtures small enough to check by
+  * hand, plus the plan-shape claims (map-side tf, broadcast df, capped
+  * postings aggregator). */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b a c"),
+    (2L, "a b d d"),
+    (3L, "e e e a")).toDF("doc_id", "text")
+
+  test("termFrequencies computes per-doc distinct-token counts map-side") {
+    val tf = Ranking.termFrequencies(docs, "doc_id", "text")
+    val got = tf.as[(Long, String, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 2), (1L, "b", 1), (1L, "c", 1),
+      (2L, "a", 1), (2L, "b", 1), (2L, "d", 2),
+      (3L, "e", 3), (3L, "a", 1)))
+    // the whole tf relation is a projection + generator — zero Exchanges.
+    val plan = tf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("tfidfTopK ranks rare-but-frequent tokens first, token tie-break") {
+    // N=3. df: a=3, b=2, c=1, d=1, e=1.
+    // doc 3 scores: e = 3*3/1 = 9, a = 1*3/3 = 1 → top2 = e, a.
+    val got = Ranking.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 3L)
+      .orderBy(col("score").desc)
+      .select(col("token"), col("score"))
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("e", 9.0), ("a", 1.0)))
+  }
+
+  test("invertedIndex caps postings at k smallest doc ids") {
+    val got = Ranking.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((3L, "1,2")))  // df exact, postings capped to 2
+    assert(got("d") == ((1L, "2")))
+    assert(got("e") == ((1L, "3")))
+  }
+
+  test("MinKLongs merge keeps global minima under any partitioning") {
+    val agg = new Ranking.MinKLongs(3)
+    val left = List(7L, 9L, 12L).foldLeft(agg.zero)(agg.reduce)
+    val right = List(1L, 8L, 30L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(left, right).items == List(1L, 7L, 8L))
+    assert(agg.merge(right, left).items == List(1L, 7L, 8L))
+  }
+
+  test("bm25TermScores emits exact-rational factors, matched terms only") {
+    val got = Ranking.bm25TermScores(docs, "doc_id", "text", Seq("d", "e"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("tf_norm"), col("idf_odds"))
+      .as[(Long, String, Long, Long, Long, Double, Double)].collect().toSet
+    // N=3, total=12. d: doc2 tf=2 dl=4; e: doc3 tf=3 dl=4.
+    // tf_norm(d) = 22*2*12 / (10*12*2 + 3*12 + 9*4*3) = 528/384
+    // tf_norm(e) = 22*3*12 / (10*12*3 + 3*12 + 9*4*3) = 792/504
+    // idf_odds (df=1 both) = (2*3 - 2 + 1) / 3 = 5/3
+    assert(got == Set(
+      (2L, "d", 2L, 1L, 4L, 528.0 / 384.0, 5.0 / 3.0),
+      (3L, "e", 3L, 1L, 4L, 792.0 / 504.0, 5.0 / 3.0)))
+  }
+
+  test("stripCommonLines removes cross-doc lines, keeps singletons in order") {
+    // width=2 lines: d1 = ["x y", "z w"], d2 = ["x y", "q r"],
+    // d3 = ["x y"] → "x y" banned (3 docs), everything else kept.
+    val d = Seq((1L, "x y z w"), (2L, "x y q r"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.stripCommonLines(d, "doc_id", "text", width = 2, minDocs = 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, "z w"), (2L, 1L, "q r"), (3L, 0L, "")))
+  }
+
+  test("line reassembly preserves original line order") {
+    // no banned lines (minDocs=2, all lines unique) → text round-trips.
+    val d = Seq((1L, "a1 a2 b1 b2 c1 c2")).toDF("doc_id", "text")
+    val got = TextDedup.stripCommonLines(d, "doc_id", "text", width = 2, minDocs = 2)
+      .as[(Long, Long, String)].collect().head
+    assert(got == ((1L, 3L, "a1 a2 b1 b2 c1 c2")))
+  }
+
+  test("tfidf/bm25 plans broadcast the df side; banned lines broadcast anti") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val tfidfPlan = Ranking.tfidfTopK(sfDocs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(tfidfPlan.contains("BroadcastHashJoin"), tfidfPlan.take(2000))
+    val linePlan = TextDedup.stripCommonLines(sfDocs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(linePlan.contains("BroadcastHashJoin") &&
+      linePlan.contains("LeftAnti"), linePlan.take(3000))
+  }
+}
