@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, Dedup, Multimodal, Parity, Pipeline, Q, Relational, Relational2, Relational3, Search, Similarity, TextAnalysis}
+import graft.queries.{Curation, Dedup, Multimodal, Parity, Pipeline, Q, Quality, Relational, Relational2, Relational3, Search, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Parity.all ++ Relational.all ++ Relational2.all ++ Relational3.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
-      Pipeline.all ++ Curation.all ++ Search.all
+      Pipeline.all ++ Curation.all ++ Search.all ++ Quality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

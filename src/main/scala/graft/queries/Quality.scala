@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Corpus-quality gating queries — the filter stage of a training-data
+  * pipeline: per-language percentile gates, Gopher-style heuristic rules,
+  * and deterministic source-mixing rates.
+  *
+  * Determinism: thresholds are actual data VALUES picked by integer rank
+  * (no interpolation); ratios are single IEEE divisions of exact integers;
+  * the mixing gate reuses the md5-prefix hash gate from
+  * [[graft.operators.Sampling]] (floor(rate·2^32) in fixed-width lowercase
+  * hex — both engines compute the identical double, floor, and hex
+  * string).
+  */
+object Quality {
+
+  private val duckToks = "string_split(lower(text), ' ')"
+  private val stopEn = "'the','a','and','of','to','is'"
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------- per-language quality gate
+    // Keep documents at/above their language's 10th-percentile length.
+    // The threshold comes from graft.operators.Quantiles — the (lang,
+    // n_chars) HISTOGRAM path, NOT a rank window over the full table
+    // partitioned by 5 languages (the low-cardinality-window shape
+    // PlanSanitySpec bans). The 5-row threshold relation broadcasts back
+    // onto the scan-fused filter. The oracle states the same semantics in
+    // its natural rank-window form — same rows, scale-safe plan.
+    Q("x_quality_gate", (s, d) => {
+      val th = graft.operators.Quantiles.groupPercentilesDisc(
+        documents(s, d), "lang", "n_chars", Seq("th" -> 0.1))
+      documents(s, d)
+        .join(broadcast(th), "lang")
+        .filter(col("n_chars") >= col("th"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("th"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents),
+      th AS (SELECT lang, MIN(n_chars) AS th FROM ranked
+             WHERE rn = CAST(ceil(n * 0.1) AS BIGINT) GROUP BY lang)
+      SELECT d.doc_id, d.lang, d.n_chars, t.th
+      FROM documents d JOIN th t USING (lang)
+      WHERE d.n_chars >= t.th
+      ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------- Gopher-style rules
+    // Heuristic quality rules (Rae et al., Gopher §A1.1 shape): token
+    // count bounds, mean word length bounds, most-common-word fraction
+    // cap, ≥1 stopword. Pure per-row projection — no shuffle, scales
+    // linearly; `keep` emitted as 0/1 BIGINT (cross-engine bool hashing
+    // is comparator-dependent).
+    Q("x_gopher_rules", (s, d) => {
+      fanOut(documents(s, d))
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .withColumn("n_tokens", expr("size(toks)").cast("long"))
+        .withColumn("mean_word_len", expr(
+          "CAST(aggregate(transform(toks, x -> length(x)), 0, (a, v) -> a + v) AS DOUBLE) / size(toks)"))
+        .withColumn("max_tf", expr(
+          "CAST(array_max(transform(array_distinct(toks), u -> size(filter(toks, x -> x = u)))) AS BIGINT)"))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, x -> x IN ($stopEn)))").cast("long"))
+        .withColumn("top_word_frac", expr("CAST(max_tf AS DOUBLE) / n_tokens"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("mean_word_len"), col("max_tf"),
+          col("n_stop"), col("top_word_frac"),
+          expr("""CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000
+                             AND mean_word_len >= 3 AND mean_word_len <= 10
+                             AND top_word_frac <= 0.2
+                             AND n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT)""")
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, v) -> a + v) AS DOUBLE)
+                     / len(toks) AS mean_word_len,
+                   CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS BIGINT) AS max_tf,
+                   len(list_filter(toks, x -> x IN ($stopEn))) AS n_stop
+            FROM t)
+      SELECT doc_id, n_tokens, mean_word_len, max_tf, n_stop,
+             CAST(max_tf AS DOUBLE) / n_tokens AS top_word_frac,
+             CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND CAST(max_tf AS DOUBLE) / n_tokens <= 0.2
+                        AND n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM m ORDER BY doc_id""")),
+
+    // ------------------------------------------- deterministic source mix
+    // Rebalance the corpus toward uniform tokens-per-source: each source's
+    // keep-rate is min_source_tokens / its_tokens, applied as the
+    // deterministic md5-prefix gate (Sampling.hashSample's formula with a
+    // per-source rate). Per-source stats are a tiny broadcast aggregate;
+    // the gate stays fused into the corpus scan — no corpus shuffle.
+    // Output: per-source audit (docs, tokens, rate, kept docs/tokens).
+    Q("x_source_mix", (s, d) => {
+      val tok = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("size(split(lower(text), ' '))").cast("long").as("n_tok"))
+      val per = tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val rates = per
+        .join(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
+        .withColumn("rate", expr("CAST(min_tokens AS DOUBLE) / n_tokens"))
+        .withColumn("th", expr(
+          """CASE WHEN n_tokens = min_tokens THEN 'g'
+            |     ELSE lower(lpad(hex(CAST(floor(CAST(min_tokens AS DOUBLE) / n_tokens * 4294967296) AS BIGINT)), 8, '0')) END""".stripMargin))
+      val kept = tok
+        .join(broadcast(rates.select(col("source"), col("th"))), "source")
+        .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 8) < th"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      rates
+        .join(kept, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"),
+          col("n_kept"), col("kept_tokens"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tok AS (SELECT source, doc_id, len($duckToks) AS n_tok FROM documents),
+      per AS (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY source),
+      mn AS (SELECT MIN(n_tokens) AS min_tokens FROM per),
+      rates AS (SELECT source, n_docs, n_tokens,
+                       CAST(min_tokens AS DOUBLE) / n_tokens AS rate,
+                       CASE WHEN n_tokens = min_tokens THEN 'g'
+                            ELSE lower(lpad(hex(CAST(floor(CAST(min_tokens AS DOUBLE) / n_tokens * 4294967296) AS BIGINT)), 8, '0')) END AS th
+                FROM per CROSS JOIN mn),
+      kept AS (SELECT t.source, COUNT(*) AS n_kept,
+                      CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
+               FROM tok t JOIN rates r USING (source)
+               WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.th
+               GROUP BY t.source)
+      SELECT r.source, r.n_docs, r.n_tokens, r.rate, k.n_kept, k.kept_tokens
+      FROM rates r JOIN kept k USING (source) ORDER BY r.source"""))
+  )
+}

@@ -53,12 +53,17 @@ class PlanSanitySpec extends SparkSpec {
   //  - q_approx_quantile: the window computes the EXACT anchor that
   //    verifies the sketch — at scale only the sketch side runs;
   //  - x_pack_sequences: shards IS the packing parallelism, a parameter of
-  //    Curation.packSequences pinned to 8 only for the oracle fixture.
+  //    Curation.packSequences pinned to 8 only for the oracle fixture;
+  //  - x_quality_gate: its window runs over the (lang, n_chars) HISTOGRAM
+  //    (one row per distinct value — operators.Quantiles), never the
+  //    corpus; partition size is bounded by the value domain. This IS the
+  //    exact scale path the other exceptions point at.
   private val allowedLowCardWindow =
-    Set("q_percentile_disc", "q_approx_quantile", "x_pack_sequences")
+    Set("q_percentile_disc", "q_approx_quantile", "x_pack_sequences",
+      "x_quality_gate")
   private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
     "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
-    "l_linestatus", "shard")
+    "l_linestatus", "shard", "lang", "source")
 
   test("no new query windows over a low-cardinality partition key") {
     SparkEntry.registry.foreach { q =>
