@@ -62,11 +62,31 @@ object TextDedup {
     verifyJaccard(cand, shingled, threshold)
   }
 
+  /** Staged (id, band_key) relation: `k` min-hashes in `bands` bands of
+    * `k / bands` rows, one md5 band key per (id, band). The shared
+    * candidate-generation index behind [[minhashLshPairs]] (self-join) and
+    * [[minhashLshPairsAgainst]] (incremental new-vs-corpus join); in
+    * production the corpus side is persisted once (`graft.stage.dir`) and
+    * reused across ingest batches. */
+  def minhashBandKeys(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    // library contract: register our native functions on whatever session
+    // the caller hands us — minhash_sig is a graft extension.
+    graft.functions.GraftFunctions.ensureRegistered(shingled.sparkSession)
+    val rows = k / bands
+    val sig = shingled.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+    val bandCols = (1 to rows).map(r => s"element_at(sig, $rows*b+$r)").mkString(", ")
+    stage(sig.select(col("id"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> md5(concat(CAST(b AS STRING), '|', $bandCols)))""".stripMargin))
+        .as("band_key")))
+  }
+
   /** MinHash + banded-LSH near-duplicate pairs: `k` min-hashes in `bands`
-    * bands of `k / bands` rows; candidates share ≥1 band key; exact Jaccard
-    * over the full shingle sets verifies candidates.
-    * Requires the graft native function `minhash_sig` (registered via
-    * [[graft.functions.GraftFunctions.ensureRegistered]]).
+    * bands of `k / bands` rows ([[minhashBandKeys]]); candidates share ≥1
+    * band key; exact Jaccard over the full shingle sets verifies
+    * candidates.
     *
     * `bandCap`: the band-key analogue of [[jaccardPairs]]' `dfCap` — a band
     * shared by m documents emits m² candidate pairs, so one boilerplate
@@ -79,18 +99,7 @@ object TextDedup {
   def minhashLshPairs(shingled: DataFrame, k: Int = 12, bands: Int = 4,
                       threshold: Double = 0.5,
                       bandCap: Option[Int] = None): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    // library contract: register our native functions on whatever session
-    // the caller hands us — minhash_sig below is a graft extension.
-    graft.functions.GraftFunctions.ensureRegistered(shingled.sparkSession)
-    val rows = k / bands
-    val sig = shingled.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
-    val bandCols = (1 to rows).map(r => s"element_at(sig, $rows*b+$r)").mkString(", ")
-    val banded = stage(sig.select(col("id"),
-      explode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  b -> md5(concat(CAST(b AS STRING), '|', $bandCols)))""".stripMargin))
-        .as("band_key")))
+    val banded = minhashBandKeys(shingled, k, bands)
     val index = bandCap match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
@@ -106,6 +115,52 @@ object TextDedup {
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
     verifyJaccard(cand, shingled, threshold)
+  }
+
+  /** INCREMENTAL MinHash+LSH dedup: near-duplicate pairs between a small
+    * new ingest batch and the existing corpus — the production shape at
+    * 100 TB, where re-self-joining the whole corpus per ingest is absurd.
+    *
+    * Scale contract (and why this is not just a filtered self-join):
+    *  - the corpus band index is computed once per corpus version (in
+    *    `graft.stage.dir` mode it's a persisted staging table — rerunning
+    *    this operator per batch reuses it, matching a production LSH
+    *    index);
+    *  - the NEW side (a daily batch ≪ corpus) is BROADCAST onto the
+    *    corpus index, so the corpus-sized relation never shuffles — the
+    *    per-batch cost is one corpus scan, zero corpus exchanges;
+    *  - `bandCap` guards the corpus index's hot bands exactly as in the
+    *    self-join case;
+    *  - verification joins the (small) candidate set back to the two
+    *    shingle relations; the candidate side broadcasts.
+    *
+    * Output: (da = new id, db = corpus id, jaccard ≥ threshold). */
+  def minhashLshPairsAgainst(newShingled: DataFrame, refShingled: DataFrame,
+                             k: Int = 12, bands: Int = 4,
+                             threshold: Double = 0.5,
+                             bandCap: Option[Int] = None): DataFrame = {
+    val nb = minhashBandKeys(newShingled, k, bands)
+    val rb = minhashBandKeys(refShingled, k, bands)
+    val index = bandCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        rb.withColumn("__bf", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+          .filter(col("__bf") <= cap)
+          .drop("__bf")
+      case None => rb
+    }
+    val cand = index.as("b")
+      .join(broadcast(nb.as("a")), col("a.band_key") === col("b.band_key"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    cand
+      .join(broadcast(newShingled.as("sa")), col("da") === col("sa.id"))
+      .join(refShingled.as("sb"), col("db") === col("sb.id"))
+      .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(sa.sh) + size(sb.sh) - inter)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
   }
 
   /** SimHash banded near-duplicate pairs — the scale path for 128-bit

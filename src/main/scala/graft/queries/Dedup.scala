@@ -144,6 +144,43 @@ object Dedup {
       FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
       ORDER BY da, db"""), headline = true),
 
+    // ------------------------------------------- incremental MinHash+LSH
+    // The production ingest shape: near-dups of a NEW batch (doc_id%10=0
+    // stands in for today's ingest) against the existing corpus. The
+    // corpus band index is computed once (staged/persisted); the small
+    // batch side BROADCASTS onto it — the corpus never shuffles, so the
+    // per-batch cost at 100 TB is one corpus scan, not a corpus self-join.
+    Q("x_dedup_incremental", (s, d) => {
+      val docs = fanOut(documents(s, d))
+      val newSh = graft.operators.TextDedup.shingleRelation(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+      val refSh = graft.operators.TextDedup.shingleRelation(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
+      graft.operators.TextDedup
+        .minhashLshPairsAgainst(newSh, refSh, k = 12, bands = 4, threshold = 0.5)
+        .orderBy(col("da"), col("db"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      d AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
+      sg AS (SELECT doc_id, sh,
+               list_transform(range(0, 12),
+                 i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+             FROM d),
+      bd AS (SELECT doc_id,
+               unnest(list_transform(range(0, 4),
+                 b -> md5(CAST(b AS VARCHAR) || '|' || sig[3*b+1] || sig[3*b+2] || sig[3*b+3]))) AS band_key
+             FROM sg),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM bd a JOIN bd b ON a.band_key = b.band_key
+               WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      v AS (SELECT da, db,
+              len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+              len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand JOIN d sa ON da = sa.doc_id JOIN d sb ON db = sb.doc_id)
+      SELECT da, db, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      ORDER BY da, db""")),
+
     // ----------------------------------------------------------- SimHash
     // 128-bit SimHash over distinct tokens: bit b of hex position p is the
     // sign of Σ_tokens (±1 by the token-md5's bit). Pure per-row projection

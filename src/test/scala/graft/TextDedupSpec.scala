@@ -147,6 +147,24 @@ class TextDedupSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("stage_")))
   }
 
+  test("minhashLshPairsAgainst finds new-vs-corpus pairs, broadcasts the batch") {
+    // "new batch" = doc 2 (near-dup of corpus doc 1) + doc 20 (unrelated).
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (20L, "completely unrelated fresh content about nothing at all"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 2L)
+    val newSh = TextDedup.shingleRelation(batch, "doc_id", "text", n = 3)
+    val refSh = TextDedup.shingleRelation(corpus, "doc_id", "text", n = 3)
+    val pairs = TextDedup.minhashLshPairsAgainst(newSh, refSh, threshold = 0.5)
+    val got = pairs.select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L)))
+    // the batch side (band keys AND shingle verify) joins as broadcast —
+    // the corpus relation never shuffles for the join.
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("exactGroups collapses byte-identical docs to the smallest id") {
     val dups = docs.union(Seq((99L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text"))
