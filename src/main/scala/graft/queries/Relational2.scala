@@ -88,25 +88,21 @@ object Relational2 {
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
     // -------------------------------------------- discrete percentiles (topk)
-    // Engine-independent by construction: rank rows, pick exact positions
-    // (no interpolation FP). One shuffle on the group key.
+    // Engine-independent by construction: the ceil(p·n)-th smallest VALUE
+    // per group — integer ranks, no interpolation FP.
     //
-    // SCALE NOTE: the rank window partitions by o_orderpriority — 5 distinct
-    // values, so the whole table lands on 5 reducers. This query is the
-    // exact SEMANTIC SPEC (and the oracle anchor); the designated 100 TB
-    // path for percentiles over low-cardinality groups is q_approx_quantile:
-    // a one-pass mergeable sketch whose partial aggregation never
-    // concentrates a group on one task. PlanSanitySpec pins the exception
-    // list so new queries can't silently repeat this shape.
+    // SCALE: computed via operators.Quantiles — the (group, value)
+    // HISTOGRAM path. o_orderpriority has 5 values, so a rank window over
+    // the raw rows would land the whole table on 5 reducers; instead only
+    // distinct (priority, price) pairs shuffle and the cumulative window
+    // runs over the histogram (bounded by the price domain, not the row
+    // count). QuantilesSpec proves value-equality with the rank-window
+    // SEMANTIC SPEC, which the oracle below states directly; the sketch
+    // companion for when approximation is acceptable is q_approx_quantile.
     Q("q_percentile_disc", (s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
-        .filter(col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.9))
-        .groupBy(col("o_orderpriority"))
-        .agg(min(col("o_totalprice")).as("p50"), max(col("o_totalprice")).as("p90"))
+      graft.operators.Quantiles.groupPercentilesDisc(
+        orders(s, d), "o_orderpriority", "o_totalprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
         .orderBy(col("o_orderpriority"))
     }, Some("""
       WITH ranked AS (

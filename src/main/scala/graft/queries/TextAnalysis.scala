@@ -124,6 +124,37 @@ object TextAnalysis {
     // Winnowing-style: hash every 4-word shingle, keep the min and max
     // digest as the document's fingerprint (min-hash of a rolling shingle
     // window). Identical/near-identical docs collide on fp_min.
+    Q("x_winnow", (s, d) => {
+      // Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+      // 4-word shingle, slide a window of 5 consecutive hashes, keep each
+      // window's MIN — guaranteed-coverage fingerprints at ~2/(w+1)
+      // density. The MOSS-style scale path for substring-level overlap
+      // detection: downstream, fingerprints join on equality (the same
+      // inverted-index shape as the shingle/band joins). Per-row
+      // projection, no shuffle.
+      fanOut(documents(s, d))
+        .withColumn("toks", expr(toks))
+        .withColumn("hs",
+          expr("transform(sequence(1, greatest(size(toks) - 3, 1)), i -> md5(concat_ws(' ', slice(toks, i, 4))))"))
+        .withColumn("fps",
+          expr("array_sort(array_distinct(transform(sequence(1, greatest(size(hs) - 4, 1)), j -> array_min(slice(hs, j, 5)))))"))
+        .select(col("doc_id"), expr("size(fps)").as("n_fps"),
+          expr("array_join(fps, ',')").as("fingerprints"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      h AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                     i -> md5(array_to_string(toks[i:i+3], ' '))) AS hs
+            FROM t),
+      w AS (SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                     range(1, greatest(len(hs) - 4, 1) + 1),
+                     j -> list_min(hs[j:j+4])))) AS fps
+            FROM h)
+      SELECT doc_id, len(fps) AS n_fps, array_to_string(fps, ',') AS fingerprints
+      FROM w ORDER BY doc_id""")),
+
     Q("x_fingerprint", (s, d) => {
       fanOut(documents(s, d))
         .withColumn("toks", expr(toks))

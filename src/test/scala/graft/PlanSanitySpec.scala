@@ -48,8 +48,10 @@ class PlanSanitySpec extends SparkSpec {
   // Window functions partitioned ONLY by a low-cardinality key land the
   // whole input on |distinct keys| reducers — fine at sf0.1, a skew killer
   // at 100 TB. Documented exceptions (each names its scale path):
-  //  - q_percentile_disc: exact semantic spec; q_approx_quantile (mergeable
-  //    sketch) is the designated scale path for low-cardinality percentiles;
+  //  - q_percentile_disc: since round 5 its window runs over the (group,
+  //    value) histogram (operators.Quantiles), not the raw rows — the
+  //    partition key is still low-cardinality but its input is bounded by
+  //    the value domain;
   //  - q_approx_quantile: the window computes the EXACT anchor that
   //    verifies the sketch — at scale only the sketch side runs;
   //  - x_pack_sequences: shards IS the packing parallelism, a parameter of
