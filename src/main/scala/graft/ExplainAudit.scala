@@ -9,7 +9,13 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    SparkEntry.headlines.foreach { q =>
+    // headline bench queries + the non-headline heavy hitters worth
+    // eyeballing after every change (staged dedup joins, iterative CC
+    // feeders, the new ranking/line-dedup shapes).
+    val extra = Set("x_dedup_incremental", "x_line_dedup", "x_tfidf_topk",
+      "x_inverted_index", "x_quality_gate", "x_source_mix")
+    (SparkEntry.headlines ++
+      SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val ops = plan.linesIterator

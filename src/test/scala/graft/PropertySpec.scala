@@ -110,6 +110,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MinKLongs equals sort-based min-k under any partitioning/merge order") {
+    import graft.operators.Ranking.{MinKLongs, Postings}
+    (1 to 25).foreach { _ =>
+      val n = rnd.nextInt(60) + 1
+      val k = rnd.nextInt(10) + 1
+      // distinct ids (the operator's contract: one row per doc×token).
+      val rows = rnd.shuffle((0 until n).map(_.toLong * 3))
+      val agg = new MinKLongs(k)
+      val parts = rows.grouped(rnd.nextInt(12) + 12).toSeq
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == Postings(rows.sorted.take(k).toList))
+    }
+  }
+
+  test("groupPercentilesDisc equals the sorted ceil(p*n)-th element") {
+    import spark.implicits._
+    (1 to 10).foreach { _ =>
+      val vals = Seq.fill(rnd.nextInt(80) + 1)(rnd.nextInt(20))
+      val p = (rnd.nextInt(9) + 1) / 10.0
+      val got = graft.operators.Quantiles.groupPercentilesDisc(
+        vals.map(("g", _)).toDF("g", "v"), "g", "v", Seq("th" -> p))
+        .as[(String, Int)].collect().head._2
+      val expected = vals.sorted.apply(math.ceil(p * vals.size).toInt - 1)
+      assert(got == expected, s"p=$p vals=${vals.sorted}")
+    }
+  }
+
   test("hashSample keeps a stable subset: sample(r1) ⊆ sample(r2) for r1 ≤ r2") {
     import spark.implicits._
     val df = (0 until 500).map(_.toLong).toDF("id")
