@@ -159,6 +159,33 @@ class StreamExtensionsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("typed min-k aggregator runs inside a streaming window (deterministic sample)") {
+    // the typed-Aggregator claim made for batch top-k/sampling holds in
+    // Structured Streaming too: udaf(MinKByHash) as a windowed agg gives a
+    // deterministic k-per-window sample with map-side partial buffers in
+    // the state store — the streaming twin of x_sample_stratified.
+    import spark.implicits._
+    import graft.operators.Sampling.{HashedId, MinKByHash}
+    val mink = udaf(new MinKByHash(2), org.apache.spark.sql.Encoders.product[HashedId])
+    val ms = MemoryStream[KMsg]
+    val idSchema = StructType(Seq(StructField("id", LongType)))
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), idSchema)
+      .window("4 seconds", "0 seconds",
+        Seq(mink(md5(col("value.id").cast("string")), col("value.id")).as("sample")))
+    val q = s.toMemory("minkwin_t", outputMode = "update")
+    ms.addData((0 until 6).map(i => msg(s"""{"id":$i}""", 1000L + i, i)): _*)
+    q.processAllAvailable()
+    val got = spark.table("minkwin_t")
+      .select(expr("value.sample.items.id")).as[Seq[Long]].collect()
+    assert(got.length == 1)
+    // expected: the 2 ids with the smallest md5(id) among 0..5 — fixed.
+    val expected = (0L until 6L)
+      .sortBy(i => org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString))
+      .take(2)
+    assert(got.head.toSet == expected.toSet, s"got ${got.head}, want $expected")
+    q.stop()
+  }
+
   test("curation gates compose on streams: hash-sample + digest dedup") {
     // The batch curation pipeline's per-row gates are plain Column
     // predicates, so the SAME expressions run unchanged on a stream:
