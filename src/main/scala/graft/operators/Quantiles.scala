@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** One row per group: (groupCol, p_<label> ...) discrete thresholds, one
-    * column per requested percentile. `ps` maps column label -> p. */
+    * column per requested percentile. `ps` maps column label -> p.
+    * NULL values are excluded (standard SQL percentile semantics): they
+    * would otherwise inflate n while never being returnable as a
+    * threshold, silently shifting every percentile upward. */
   def groupPercentilesDisc(df: DataFrame, groupCol: String, valCol: String,
                            ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 }, ps.toString)
-    val hist = df.groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("__c"))
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("__c"))
     val cum = hist
       .withColumn("__cum",
         sum(col("__c")).over(Window.partitionBy(col(groupCol))

@@ -140,16 +140,18 @@ object Ranking {
   def bm25TermScores(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val termsLit = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    // terms enter as Column literals, never spliced into SQL text — a term
+    // containing a quote would otherwise be mangled by the SQL lexer
+    // (Spark has no doubled-'' escape; adjacent literals concatenate).
+    val termsArr = array(terms.map(lit): _*)
     val tf = docs
       .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
       .select(
         col(idCol).cast("long").as("doc_id"),
         expr("size(__toks)").cast("long").as("dl"),
-        explode(expr(
-          s"""transform(array($termsLit),
-             |  t -> named_struct('term', t,
-             |                    'tf', size(filter(__toks, x -> x = t))))""".stripMargin))
+        explode(transform(termsArr, t => struct(
+          t.as("term"),
+          size(filter(col("__toks"), x => x === t)).as("tf"))))
           .as("__tt"))
       .select(col("doc_id"), col("__tt.term").as("term"),
         col("__tt.tf").cast("long").as("tf"), col("dl"))

@@ -153,8 +153,11 @@ object TextDedup {
       .join(broadcast(nb.as("a")), col("a.band_key") === col("b.band_key"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
-    cand
-      .join(broadcast(newShingled.as("sa")), col("da") === col("sa.id"))
+    // the candidate side stays hinted through BOTH verify joins — without
+    // the second broadcast, Catalyst's default stats on the staged corpus
+    // relation pick a sort-merge join and the corpus shuffles after all.
+    broadcast(cand
+      .join(broadcast(newShingled.as("sa")), col("da") === col("sa.id")))
       .join(refShingled.as("sb"), col("db") === col("sb.id"))
       .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
       .withColumn("jaccard",
@@ -259,14 +262,18 @@ object TextDedup {
              |  i -> named_struct('pos', i,
              |                    'line', concat_ws(' ', slice(__toks, i * $width + 1, $width))))""".stripMargin))
           .as("__l"))
-      .select(col("doc_id"), col("__l.pos").as("pos"), col("__l.line").as("line")))
+      // the digest is projected INTO the staged relation: both consumers
+      // (banned aggregate + anti-join probe) reuse the stored 16-byte
+      // hash rather than re-hashing every corpus line a second time.
+      .select(col("doc_id"), col("__l.pos").as("pos"), col("__l.line").as("line"),
+        md5(col("__l.line")).as("__h")))
     val banned = lines
-      .groupBy(md5(col("line")).as("h"))
+      .groupBy(col("__h").as("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("h"))
     val kept = lines
-      .join(broadcast(banned), md5(col("line")) === col("h"), "left_anti")
+      .join(broadcast(banned), col("__h") === col("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines_kept"),

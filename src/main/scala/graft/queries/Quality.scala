@@ -116,10 +116,14 @@ object Quality {
         .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 8) < th"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      // LEFT join: a source whose gate keeps zero documents must still
+      // appear in the audit (with zeros) — that row is the one an audit
+      // exists to surface.
       rates
-        .join(kept, "source")
+        .join(kept, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"),
-          col("n_kept"), col("kept_tokens"))
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }, Some(s"""
       WITH tok AS (SELECT source, doc_id, len($duckToks) AS n_tok FROM documents),
@@ -137,7 +141,9 @@ object Quality {
                FROM tok t JOIN rates r USING (source)
                WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.th
                GROUP BY t.source)
-      SELECT r.source, r.n_docs, r.n_tokens, r.rate, k.n_kept, k.kept_tokens
-      FROM rates r JOIN kept k USING (source) ORDER BY r.source"""))
+      SELECT r.source, r.n_docs, r.n_tokens, r.rate,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.kept_tokens, 0) AS kept_tokens
+      FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source"""))
   )
 }

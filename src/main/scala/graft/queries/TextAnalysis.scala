@@ -120,18 +120,14 @@ object TextAnalysis {
                / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS chars_per_token
       FROM documents ORDER BY doc_id""")),
 
-    // --------------------------------------------- document fingerprinting
-    // Winnowing-style: hash every 4-word shingle, keep the min and max
-    // digest as the document's fingerprint (min-hash of a rolling shingle
-    // window). Identical/near-identical docs collide on fp_min.
+    // ------------------------------------------------ winnowing (SIGMOD'03)
+    // Winnowing (Schleimer/Wilkerson/Aiken): hash every 4-word shingle,
+    // slide a window of 5 consecutive hashes, keep each window's MIN —
+    // guaranteed-coverage fingerprints at ~2/(w+1) density. The MOSS-style
+    // scale path for substring-level overlap detection: downstream,
+    // fingerprints join on equality (the same inverted-index shape as the
+    // shingle/band joins). Per-row projection, no shuffle.
     Q("x_winnow", (s, d) => {
-      // Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
-      // 4-word shingle, slide a window of 5 consecutive hashes, keep each
-      // window's MIN — guaranteed-coverage fingerprints at ~2/(w+1)
-      // density. The MOSS-style scale path for substring-level overlap
-      // detection: downstream, fingerprints join on equality (the same
-      // inverted-index shape as the shingle/band joins). Per-row
-      // projection, no shuffle.
       fanOut(documents(s, d))
         .withColumn("toks", expr(toks))
         .withColumn("hs",
@@ -155,6 +151,10 @@ object TextAnalysis {
       SELECT doc_id, len(fps) AS n_fps, array_to_string(fps, ',') AS fingerprints
       FROM w ORDER BY doc_id""")),
 
+    // --------------------------------------------- document fingerprinting
+    // Min/max shingle digests as a 2-value document fingerprint (min-hash
+    // of a rolling shingle window). Identical/near-identical docs collide
+    // on fp_min; x_winnow above is the full-coverage variant.
     Q("x_fingerprint", (s, d) => {
       fanOut(documents(s, d))
         .withColumn("toks", expr(toks))

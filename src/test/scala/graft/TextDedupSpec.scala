@@ -160,9 +160,11 @@ class TextDedupSpec extends SparkSpec {
     val got = pairs.select(col("da"), col("db")).as[(Long, Long)].collect().toSet
     assert(got == Set((2L, 1L)))
     // the batch side (band keys AND shingle verify) joins as broadcast —
-    // the corpus relation never shuffles for the join.
+    // the corpus relation never shuffles for any join: every join must be
+    // broadcast (a SortMergeJoin would mean a corpus-side Exchange).
     val plan = pairs.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
   test("exactGroups collapses byte-identical docs to the smallest id") {
