@@ -64,14 +64,24 @@ object Ranking {
   /** Top-`k` TF-IDF keywords per document. Score = tf · N / df as ONE
     * double division of exact longs (the classic idf log is monotone in
     * N/df, so top-k by N/df ≡ top-k by idf — and stays bit-portable).
-    * Ties break on token asc. Output: (doc_id, token, tf, df, score). */
-  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    * Ties break on token asc. Output: (doc_id, token, tf, df, score).
+    *
+    * `broadcastVocab`: the df relation is one row per distinct token.
+    * For corpora whose vocabulary fits an executor (the common case —
+    * tens of millions of tokens), broadcasting it keeps the corpus-sized
+    * tf relation from ever shuffling on the skewed token key. For
+    * open-web vocabularies (URLs/typos → billions of distinct tokens),
+    * set false: the join becomes a shuffle join on token and AQE's
+    * skew-join splitting owns the stopword hot keys. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                broadcastVocab: Boolean = true): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val tf = stage(termFrequencies(docs, idCol, textCol))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df = if (broadcastVocab) broadcast(df0) else df0
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "token")
+      .join(df, "token")
       .join(broadcast(n))
       .withColumn("score", expr("CAST(tf * n_docs AS DOUBLE) / df"))
     val w = Window.partitionBy(col("doc_id"))

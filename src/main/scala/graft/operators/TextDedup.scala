@@ -249,9 +249,16 @@ object TextDedup {
     *
     * Output: (doc_id, n_lines_kept, text_clean) for EVERY input document —
     * a doc whose every line is boilerplate survives with empty text, so a
-    * downstream length gate can drop it explicitly. */
+    * downstream length gate can drop it explicitly.
+    *
+    * `broadcastBanned`: boilerplate is normally a small fraction of
+    * DISTINCT lines, so the banned set broadcasts. For a pathologically
+    * boilerplate-heavy corpus (banned set beyond executor memory), set
+    * false — the anti-join becomes a shuffle join on the line digest,
+    * which is uniform by construction (no skew concern). */
   def stripCommonLines(docs: DataFrame, idCol: String, textCol: String,
-                       width: Int, minDocs: Int): DataFrame = {
+                       width: Int, minDocs: Int,
+                       broadcastBanned: Boolean = true): DataFrame = {
     require(width > 0 && minDocs > 1, s"width=$width, minDocs=$minDocs")
     val lines = stage(docs
       .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
@@ -273,7 +280,8 @@ object TextDedup {
       .filter(col("df") >= minDocs)
       .select(col("h"))
     val kept = lines
-      .join(broadcast(banned), col("__h") === col("h"), "left_anti")
+      .join(if (broadcastBanned) broadcast(banned) else banned,
+        col("__h") === col("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines_kept"),
