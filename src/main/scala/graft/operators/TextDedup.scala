@@ -117,6 +117,42 @@ object TextDedup {
     verifyJaccard(cand, shingled, threshold)
   }
 
+  /** CONTAINMENT near-duplicate pairs: directional overlap
+    * c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the metric for SUBSET
+    * duplication (doc A quoted/embedded inside larger doc B), which
+    * symmetric Jaccard misses: a page fully contained in a 10× larger
+    * page has Jaccard ≤ 0.1 but containment 1.0.
+    *
+    * Same inverted-index plan as [[jaccardPairs]] (shared-shingle
+    * candidates under the same `dfCap` hot-key guard, exact verification
+    * on candidates only); emits both directions so the caller can drop
+    * the contained side. Output: (da, db, c_ab, c_ba), da < db, kept when
+    * max(c_ab, c_ba) ≥ threshold. */
+  def containmentPairs(shingled: DataFrame, threshold: Double,
+                       dfCap: Option[Int] = None): DataFrame = {
+    val ex = stage(shingled.select(col("id"), explode(col("sh")).as("s")))
+    val index = dfCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        ex.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+      case None => ex
+    }
+    val cand = index.as("a")
+      .join(index.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    cand
+      .join(shingled.as("sa"), col("da") === col("sa.id"))
+      .join(shingled.as("sb"), col("db") === col("sb.id"))
+      .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+      .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / size(sa.sh)"))
+      .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / size(sb.sh)"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
+  }
+
   /** INCREMENTAL MinHash+LSH dedup: near-duplicate pairs between a small
     * new ingest batch and the existing corpus — the production shape at
     * 100 TB, where re-self-joining the whole corpus per ingest is absurd.

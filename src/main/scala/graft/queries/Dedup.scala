@@ -144,6 +144,35 @@ object Dedup {
       FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
       ORDER BY da, db"""), headline = true),
 
+    // ------------------------------------------------- containment dedup
+    // Directional overlap |A∩B|/|A| — catches subset duplication (a doc
+    // quoted/embedded inside a larger one) that symmetric Jaccard's
+    // union denominator dilutes away. Same inverted-index candidates and
+    // df-cap hot-key guard as x_dedup_ngram_jaccard; exact verify on
+    // candidates only; both directions emitted.
+    Q("x_dedup_containment", (s, d) => {
+      val sh = graft.operators.TextDedup
+        .shingleRelation(fanOut(documents(s, d)), "doc_id", "text", n = 3)
+      graft.operators.TextDedup.containmentPairs(sh, threshold = 0.6, dfCap = Some(5))
+        .orderBy(col("da"), col("db"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      d AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+      eligible AS (SELECT doc_id, s FROM ex
+                   QUALIFY COUNT(*) OVER (PARTITION BY s) <= 5),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM eligible a JOIN eligible b ON a.s = b.s AND a.doc_id < b.doc_id),
+      v AS (SELECT da, db,
+              len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+              len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand JOIN d sa ON da = sa.doc_id JOIN d sb ON db = sb.doc_id)
+      SELECT da, db, CAST(inter AS DOUBLE) / na AS c_ab,
+             CAST(inter AS DOUBLE) / nb AS c_ba
+      FROM v
+      WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.6
+      ORDER BY da, db""")),
+
     // ------------------------------------------- incremental MinHash+LSH
     // The production ingest shape: near-dups of a NEW batch (doc_id%10=0
     // stands in for today's ingest) against the existing corpus. The

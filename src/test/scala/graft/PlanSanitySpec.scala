@@ -18,7 +18,7 @@ class PlanSanitySpec extends SparkSpec {
   // all three go through TextDedup's staged shingle/band relations.
   private val stagedQueries =
     Set("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_pipeline_curate",
-      "x_dedup_simhash_pairs", "x_dedup_incremental")
+      "x_dedup_simhash_pairs", "x_dedup_incremental", "x_dedup_containment")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

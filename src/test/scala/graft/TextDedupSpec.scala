@@ -167,6 +167,23 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("containmentPairs catches subset duplication that Jaccard misses") {
+    // doc 30 is fully contained in the much larger doc 31: containment
+    // c(30→31) = 1.0 but Jaccard ≈ |30|/|31| ≪ threshold.
+    val d = Seq(
+      (30L, "one two three four five six"),
+      (31L, "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val sh = TextDedup.shingleRelation(d, "doc_id", "text", n = 3)
+    val cont = TextDedup.containmentPairs(sh, threshold = 0.9)
+      .select(col("da"), col("db"), col("c_ab")).as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((30L, 31L, 1.0)))
+    val jac = TextDedup.jaccardPairs(sh, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+
   test("exactGroups collapses byte-identical docs to the smallest id") {
     val dups = docs.union(Seq((99L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text"))
