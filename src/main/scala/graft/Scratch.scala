@@ -51,6 +51,25 @@ object Scratch {
           .orderBy(col("l_returnflag"), col("l_linestatus"))))
     }
 
+    // ---- token counting: quadratic distinct×filter vs sorted run-length ---
+    // Long synthetic docs are where the O(distinct·len) pattern cliffs: the
+    // per-document cost is distinct×len string comparisons on ONE task.
+    locally {
+      val docs = graft.sources.Tables.stage(
+        spark.range(200).select(col("id").as("doc_id"),
+          expr("""concat_ws(' ', transform(sequence(1, 8192),
+                 |  i -> concat('w', CAST(pmod(xxhash64(id, i), 1024) AS STRING))))""".stripMargin)
+            .as("text")))
+      time("tf long-docs quadratic (old)")(noop(docs
+        .withColumn("__toks", expr("split(lower(text), ' ')"))
+        .select(col("doc_id"), explode(expr(
+          """transform(array_distinct(__toks),
+            |  t -> named_struct('token', t,
+            |                    'tf', size(filter(__toks, x -> x = t))))""".stripMargin)).as("tt"))))
+      time("tf long-docs run-length (new)")(noop(
+        graft.operators.Ranking.termFrequencies(docs, "doc_id", "text")))
+    }
+
     // ---- minhash: stage cost vs join cost ---------------------------------
     locally {
       graft.functions.GraftFunctions.ensureRegistered(spark)

@@ -45,19 +45,40 @@ import graft.sources.Tables.stage
   */
 object Ranking {
 
+  /** Run-end positions (1-based, ascending) of the sorted array in
+    * `sortedCol`: position i is a run end iff it is the last element or
+    * differs from its successor. One O(len) pass over an O(len·log len)
+    * sort — the one-pass replacement for the quadratic
+    * `transform(array_distinct(t), u -> size(filter(t, x -> x = u)))`
+    * count, whose distinct·len comparisons put ~10^9 serial ops on a
+    * single 100k-token document's task. The `i = size` guard short-circuits
+    * before the out-of-bounds `element_at(s, i + 1)` is evaluated. */
+  def runEndsSql(sortedCol: String): String =
+    s"""filter(sequence(1, size($sortedCol)),
+       |  i -> i = size($sortedCol)
+       |       OR element_at($sortedCol, i) != element_at($sortedCol, i + 1))""".stripMargin
+
+  /** Per-run counts from [[runEndsSql]]'s output: run j's length is
+    * ends[j] − ends[j−1] (0 for the first). transform's 0-based index `j`
+    * makes `element_at(ends, j)` exactly the previous (1-based) entry. */
+  def runCountsSql(endsCol: String): String =
+    s"transform($endsCol, (e, j) -> e - if(j = 0, 0, element_at($endsCol, j)))"
+
   /** (doc_id, token, tf) — one row per document × DISTINCT token, computed
     * entirely map-side from the token array (no per-occurrence explode
-    * through a shuffle). O(distinct·len) comparisons per document, inside
-    * whole-stage codegen. */
+    * through a shuffle): sort the tokens once, then counts are the gaps
+    * between run-end positions — O(len·log len) per document, inside
+    * whole-stage codegen, with no length cliff for long documents. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .withColumn("__s", expr(s"array_sort(split(lower($textCol), ' '))"))
+      .withColumn("__e", expr(runEndsSql("__s")))
       .select(
         col(idCol).cast("long").as("doc_id"),
         explode(expr(
-          """transform(array_distinct(__toks),
-            |  t -> named_struct('token', t,
-            |                    'tf', size(filter(__toks, x -> x = t))))""".stripMargin))
+          """transform(__e, (e, j) ->
+            |  named_struct('token', element_at(__s, e),
+            |               'tf', e - if(j = 0, 0, element_at(__e, j))))""".stripMargin))
           .as("__tt"))
       .select(col("doc_id"), col("__tt.token").as("token"), col("__tt.tf").as("tf"))
 

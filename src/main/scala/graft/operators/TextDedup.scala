@@ -146,7 +146,9 @@ object TextDedup {
     cand
       .join(shingled.as("sa"), col("da") === col("sa.id"))
       .join(shingled.as("sb"), col("db") === col("sb.id"))
-      .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+      // hash-based O(|A|+|B|); ≡ counting A's members in B because shingle
+      // arrays are distinct by construction (shingleRelation).
+      .withColumn("inter", expr("size(array_intersect(sa.sh, sb.sh))"))
       .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / size(sa.sh)"))
       .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / size(sb.sh)"))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
@@ -195,7 +197,7 @@ object TextDedup {
     broadcast(cand
       .join(broadcast(newShingled.as("sa")), col("da") === col("sa.id")))
       .join(refShingled.as("sb"), col("db") === col("sb.id"))
-      .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+      .withColumn("inter", expr("size(array_intersect(sa.sh, sb.sh))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(sa.sh) + size(sb.sh) - inter)"))
       .filter(col("jaccard") >= threshold)
@@ -248,13 +250,17 @@ object TextDedup {
   }
 
   /** Exact verification: true Jaccard over the FULL shingle sets for the
-    * candidate pairs only. */
+    * candidate pairs only. The intersection is `array_intersect` —
+    * hash-based O(|A|+|B|) per pair, and ≡ counting A's members in B
+    * because shingle arrays are distinct by construction (the former
+    * per-element `array_contains` scan was O(|A|·|B|), the dominant
+    * per-pair cost in every dedup verify). */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
                             threshold: Double): DataFrame =
     cand
       .join(shingled.as("sa"), col("da") === col("sa.id"))
       .join(shingled.as("sb"), col("db") === col("sb.id"))
-      .withColumn("inter", expr("size(filter(sa.sh, x -> array_contains(sb.sh, x)))"))
+      .withColumn("inter", expr("size(array_intersect(sa.sh, sb.sh))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(sa.sh) + size(sb.sh) - inter)"))
       .filter(col("jaccard") >= threshold)

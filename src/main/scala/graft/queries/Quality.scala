@@ -62,8 +62,13 @@ object Quality {
         .withColumn("n_tokens", expr("size(toks)").cast("long"))
         .withColumn("mean_word_len", expr(
           "CAST(aggregate(transform(toks, x -> length(x)), 0, (a, v) -> a + v) AS DOUBLE) / size(toks)"))
+        // max term frequency = longest run in the sorted token array —
+        // O(len·log len) per document (the quadratic distinct×filter count
+        // is PlanSanitySpec-linted; the oracle states the naive form).
+        .withColumn("__sx", expr("array_sort(toks)"))
+        .withColumn("__ex", expr(graft.operators.Ranking.runEndsSql("__sx")))
         .withColumn("max_tf", expr(
-          "CAST(array_max(transform(array_distinct(toks), u -> size(filter(toks, x -> x = u)))) AS BIGINT)"))
+          s"CAST(array_max(${graft.operators.Ranking.runCountsSql("__ex")}) AS BIGINT)"))
         .withColumn("n_stop",
           expr(s"size(filter(toks, x -> x IN ($stopEn)))").cast("long"))
         .withColumn("top_word_frac", expr("CAST(max_tf AS DOUBLE) / n_tokens"))

@@ -82,6 +82,37 @@ class PlanSanitySpec extends SparkSpec {
     }
   }
 
+  // Per-row array-expression CPU lints (round-5 verdict): shapes that are
+  // hash-correct but quadratic per row, which at 100 TB burn cores and put
+  // a single long document's ~10^9 serial comparisons on one task.
+  //  - `filter(a, x -> array_contains(b, x))` is an O(|A|·|B|) per-pair
+  //    scan; `array_intersect` (hash-based, ≡ for distinct arrays) is the
+  //    replacement — TextDedup.verifyJaccard et al.
+  //  - `transform(array_distinct(t), u -> … filter(t, …))` is the
+  //    O(distinct·len) token count; sort + run-length (Ranking.runEndsSql)
+  //    is the one-pass plan. (Staging hides upstream expressions from the
+  //    analyzed plan, so unstaged consumers — x_inverted_index,
+  //    x_gopher_rules — are the sentinels for shared helpers.)
+  test("no per-element array_contains scan in any registered plan") {
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.analyzed.toString
+      assert(!plan.contains("lambdafunction(array_contains("),
+        s"${q.name} scans an array per element (O(|A|·|B|)); use " +
+          s"array_intersect/array_except:\n${plan.take(1200)}")
+    }
+  }
+
+  test("no quadratic distinct-x-filter token count in any registered plan") {
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.analyzed.toString
+      val quadratic =
+        plan.contains("transform(array_distinct(") && plan.contains("size(filter(")
+      assert(!quadratic,
+        s"${q.name} counts tokens via distinct×filter (O(distinct·len) per " +
+          s"row); use the sorted run-length plan (Ranking.runEndsSql):\n${plan.take(1200)}")
+    }
+  }
+
   test("IVF centroid assignment plans zero Exchanges (map-side argmax)") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
