@@ -161,8 +161,16 @@ object Ranking {
     *   score = tf_norm · idf_odds
     *
     * (avgdl = total/N folded in exactly; each factor is one double
-    * division of longs, the score one double product — all bit-portable.
-    * The standard ln(idf_odds) is monotone, so ranking is unchanged.)
+    * division, the score one double product — all bit-portable. The
+    * standard ln(idf_odds) is monotone, so ranking is unchanged.)
+    *
+    * tf_norm's numerator/denominator are computed in DECIMAL(38,0), NOT
+    * BIGINT: at the 100 TB contract total_len is ~1e13, so the 10·total·tf
+    * term overflows int64 once tf ≳ 90 — and non-ANSI Spark would WRAP
+    * silently (garbage/negative scores, no error). The decimal products
+    * are exact to 38 digits; each side then converts to double once
+    * (correctly-rounded IEEE conversion in both engines — the oracle
+    * mirrors this with HUGEINT) before the single division.
     *
     * Corpus stats (N, total token count) and per-term document frequencies
     * are tiny aggregates broadcast onto the per-row scored relation — the
@@ -195,7 +203,10 @@ object Ranking {
       .join(broadcast(df), "term")
       .join(broadcast(st))
       .withColumn("tf_norm", expr(
-        "CAST(22 * tf * total_len AS DOUBLE) / (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"))
+        """CAST(CAST(22 AS DECIMAL(38,0)) * tf * total_len AS DOUBLE)
+          | / CAST(CAST(10 AS DECIMAL(38,0)) * total_len * tf
+          |        + CAST(3 AS DECIMAL(38,0)) * total_len
+          |        + CAST(9 AS DECIMAL(38,0)) * dl * n_docs AS DOUBLE)""".stripMargin))
       .withColumn("idf_odds", expr(
         "CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),

@@ -75,11 +75,13 @@ object Search {
                     CAST(SUM(len($duckToks)) AS BIGINT) AS total_len
              FROM documents)
       SELECT doc_id, term, tf, df, dl,
-             CAST(22 * tf * total_len AS DOUBLE)
-               / (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs) AS tf_norm,
+             CAST(CAST(22 AS HUGEINT) * tf * total_len AS DOUBLE)
+               / CAST(CAST(10 AS HUGEINT) * total_len * tf + CAST(3 AS HUGEINT) * total_len
+                      + CAST(9 AS HUGEINT) * dl * n_docs AS DOUBLE) AS tf_norm,
              CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1) AS idf_odds,
-             (CAST(22 * tf * total_len AS DOUBLE)
-               / (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs))
+             (CAST(CAST(22 AS HUGEINT) * tf * total_len AS DOUBLE)
+               / CAST(CAST(10 AS HUGEINT) * total_len * tf + CAST(3 AS HUGEINT) * total_len
+                      + CAST(9 AS HUGEINT) * dl * n_docs AS DOUBLE))
               * (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) AS score
       FROM tf JOIN df USING (term) CROSS JOIN st
       WHERE tf > 0
