@@ -33,12 +33,21 @@ object TextDedup {
     * Staged — every consumer self-joins or reuses it. */
   def shingleRelation(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame =
-    stage(docs
+    stage(shingleProjection(docs, idCol, textCol, n))
+
+  /** The UNSTAGED shingle projection behind [[shingleRelation]] — for
+    * relations that feed exactly one consumer chain and are small (a
+    * streaming micro-batch), where staging would pay a parquet write (or
+    * checkpoint) per call for no reuse. Anything self-joined or consumed
+    * twice at corpus scale should go through [[shingleRelation]]. */
+  def shingleProjection(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame =
+    docs
       .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
       .select(col(idCol).as("id"), expr(
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
-           |  i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin).as("sh")))
+           |  i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin).as("sh"))
 
   /** Exact-Jaccard near-duplicate pairs via the inverted-index plan:
     * candidates share ≥1 (eligible) shingle, then the TRUE Jaccard over the
@@ -68,7 +77,13 @@ object TextDedup {
     * [[minhashLshPairsAgainst]] (incremental new-vs-corpus join); in
     * production the corpus side is persisted once (`graft.stage.dir`) and
     * reused across ingest batches. */
-  def minhashBandKeys(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+  def minhashBandKeys(shingled: DataFrame, k: Int, bands: Int): DataFrame =
+    stage(bandKeyProjection(shingled, k, bands))
+
+  /** The UNSTAGED band-key projection behind [[minhashBandKeys]] — same
+    * single-consumer/small-relation contract as [[shingleProjection]]
+    * (a streaming micro-batch's band keys feed one join and are gone). */
+  def bandKeyProjection(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     // library contract: register our native functions on whatever session
     // the caller hands us — minhash_sig is a graft extension.
@@ -76,11 +91,11 @@ object TextDedup {
     val rows = k / bands
     val sig = shingled.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
     val bandCols = (1 to rows).map(r => s"element_at(sig, $rows*b+$r)").mkString(", ")
-    stage(sig.select(col("id"),
+    sig.select(col("id"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> md5(concat(CAST(b AS STRING), '|', $bandCols)))""".stripMargin))
-        .as("band_key")))
+        .as("band_key"))
   }
 
   /** MinHash + banded-LSH near-duplicate pairs: `k` min-hashes in `bands`
@@ -159,14 +174,20 @@ object TextDedup {
     * new ingest batch and the existing corpus — the production shape at
     * 100 TB, where re-self-joining the whole corpus per ingest is absurd.
     *
+    * THIS overload builds the corpus band index itself (staged once for
+    * this call); it does NOT persist it across calls. For the per-batch
+    * production loop (N ingest batches against one corpus version), build
+    * the index ONCE with [[shingleRelation]] + [[minhashBandKeys]] in
+    * `graft.stage.dir` mode and pass it to
+    * [[minhashLshPairsAgainstIndex]] — the streaming driver
+    * [[graft.streaming.DedupIngest]] wires exactly that shape.
+    *
     * Scale contract (and why this is not just a filtered self-join):
-    *  - the corpus band index is computed once per corpus version (in
-    *    `graft.stage.dir` mode it's a persisted staging table — rerunning
-    *    this operator per batch reuses it, matching a production LSH
-    *    index);
     *  - the NEW side (a daily batch ≪ corpus) is BROADCAST onto the
     *    corpus index, so the corpus-sized relation never shuffles — the
-    *    per-batch cost is one corpus scan, zero corpus exchanges;
+    *    per-batch cost is one corpus scan, zero corpus exchanges; the
+    *    batch's band keys are a plain unstaged projection (one consumer,
+    *    no reuse to buy);
     *  - `bandCap` guards the corpus index's hot bands exactly as in the
     *    self-join case;
     *  - verification joins the (small) candidate set back to the two
@@ -176,16 +197,35 @@ object TextDedup {
   def minhashLshPairsAgainst(newShingled: DataFrame, refShingled: DataFrame,
                              k: Int = 12, bands: Int = 4,
                              threshold: Double = 0.5,
-                             bandCap: Option[Int] = None): DataFrame = {
-    val nb = minhashBandKeys(newShingled, k, bands)
-    val rb = minhashBandKeys(refShingled, k, bands)
+                             bandCap: Option[Int] = None): DataFrame =
+    minhashLshPairsAgainstIndex(newShingled, refShingled,
+      minhashBandKeys(refShingled, k, bands), k, bands, threshold, bandCap)
+
+  /** [[minhashLshPairsAgainst]] with a CALLER-OWNED corpus band index —
+    * the reuse overload for per-batch ingest: `refBandKeys` is the output
+    * of `minhashBandKeys(refShingled, k, bands)` (in `graft.stage.dir`
+    * mode, a persisted parquet staging table), built once per corpus
+    * version and handed to every batch. Each call then costs one scan of
+    * the persisted index + the batch-sized projections: zero corpus-side
+    * recompute, zero corpus shuffles.
+    *
+    * `k`/`bands` MUST match the values the index was built with (they
+    * parameterize the batch side's signatures so its band keys land in the
+    * same key space). `bandCap` filters the index's hot bands per call. */
+  def minhashLshPairsAgainstIndex(newShingled: DataFrame, refShingled: DataFrame,
+                                  refBandKeys: DataFrame,
+                                  k: Int = 12, bands: Int = 4,
+                                  threshold: Double = 0.5,
+                                  bandCap: Option[Int] = None): DataFrame = {
+    val nb = bandKeyProjection(newShingled, k, bands)
     val index = bandCap match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
-        rb.withColumn("__bf", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+        refBandKeys
+          .withColumn("__bf", count(lit(1)).over(Window.partitionBy(col("band_key"))))
           .filter(col("__bf") <= cap)
           .drop("__bf")
-      case None => rb
+      case None => refBandKeys
     }
     val cand = index.as("b")
       .join(broadcast(nb.as("a")), col("a.band_key") === col("b.band_key"))
