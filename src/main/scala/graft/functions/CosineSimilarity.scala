@@ -110,13 +110,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
     (children: Seq[Expression]) => SimHash128(children.head))
 
+  val simHashWordsDescriptor: Descriptor = (
+    FunctionIdentifier("simhash128_words"),
+    new ExpressionInfo(classOf[SimHash128Words].getName, "simhash128_words"),
+    (children: Seq[Expression]) => SimHash128Words(children.head))
+
   val minHashDescriptor: Descriptor = (
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (children: Seq[Expression]) => MinHashSig(children(0), children(1)))
 
   val all: Seq[Descriptor] =
-    Seq(cosineSimDescriptor, simHashDescriptor, minHashDescriptor)
+    Seq(cosineSimDescriptor, simHashDescriptor, simHashWordsDescriptor,
+      minHashDescriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -282,7 +282,7 @@ object Dedup {
         UNION
         SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s)
       SELECT n AS doc_id, MIN(m) AS component_id
-      FROM reach GROUP BY n ORDER BY doc_id""")),
+      FROM reach GROUP BY n ORDER BY doc_id"""), headline = true),
 
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,

@@ -37,7 +37,7 @@ object Search {
       FROM tf JOIN df USING (token) CROSS JOIN n
       QUALIFY row_number() OVER (PARTITION BY doc_id
         ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, token) <= 3
-      ORDER BY doc_id, score DESC, token""")),
+      ORDER BY doc_id, score DESC, token"""), headline = true),
 
     // ------------------------------------------------ capped inverted index
     // (token, exact df, first-10 postings). The posting cap is a typed
@@ -113,6 +113,6 @@ object Search {
       SELECT d.doc_id, COALESCE(c.n_lines_kept, 0) AS n_lines_kept,
              COALESCE(c.text_clean, '') AS text_clean
       FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""), headline = true)
   )
 }

@@ -25,6 +25,26 @@ class SimHashSpec extends SparkSpec {
     both.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("simhash128_words packs the hex fingerprint digit-for-digit") {
+    // the claim simhashPairs' banding + verify rest on: hex char p of
+    // simhash128 == nibble (15 - p%16)*4 of word p/16, so re-formatting the
+    // words reproduces the hex string exactly — bands and Hamming distances
+    // computed on either representation agree.
+    GraftFunctions.ensureRegistered(spark)
+    val both = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .limit(50)
+      .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> md5(t))"))
+      .select(
+        expr("simhash128(hs)").as("hexfp"),
+        expr("""concat(lpad(lower(hex(simhash128_words(hs)[0])), 16, '0'),
+               |       lpad(lower(hex(simhash128_words(hs)[1])), 16, '0'))""".stripMargin)
+          .as("fromwords"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} != ${r.getString(1)}"))
+  }
+
   test("near-identical token sets land within a few bits") {
     GraftFunctions.ensureRegistered(spark)
     val df = spark.sql(
