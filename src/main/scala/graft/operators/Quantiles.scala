@@ -33,7 +33,14 @@ object Quantiles {
     * column per requested percentile. `ps` maps column label -> p.
     * NULL values are excluded (standard SQL percentile semantics): they
     * would otherwise inflate n while never being returnable as a
-    * threshold, silently shifting every percentile upward. */
+    * threshold, silently shifting every percentile upward.
+    *
+    * DOMAIN CONTRACT: the histogram bounds the window partition by the
+    * number of DISTINCT values per group. For a near-continuous domain
+    * (timestamps in nanos, raw doubles — distinct ≈ rows) that bound is
+    * vacuous and the low-cardinality-group window skew returns; use
+    * [[groupPercentilesDiscBucketed]] there — same exact answer, partition
+    * sizes bounded by the bucket count / per-bucket distincts instead. */
   def groupPercentilesDisc(df: DataFrame, groupCol: String, valCol: String,
                            ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 }, ps.toString)
@@ -49,5 +56,85 @@ object Quantiles {
       min(when(col("__cum") >= ceil(col("__n") * p), col(valCol))).as(label)
     }
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[groupPercentilesDisc]] for NEAR-CONTINUOUS domains (distinct values
+    * ≈ rows, where the one-level histogram degenerates back into
+    * whole-group window skew): the same exact discrete percentile via a
+    * two-level histogram.
+    *
+    *   1. per-group (min, max, n) — one tiny broadcast aggregate;
+    *   2. COARSE pass: rows map monotonically onto `buckets` equal-width
+    *      buckets; groupBy(group, bucket).count shuffles ≤ `buckets` rows
+    *      per group, and the cumulative window partition is ≤ `buckets`
+    *      rows regardless of the value domain;
+    *   3. per (group, percentile): the TARGET bucket where the
+    *      ceil(p·n)-th value lands + the exact row count before it — a
+    *      tiny broadcast relation;
+    *   4. REFINE pass: only rows INSIDE a target bucket (≈ n/buckets of
+    *      the group under any non-degenerate mass distribution) build the
+    *      exact per-value histogram; its window partition is the distinct
+    *      values of ONE bucket.
+    *
+    * Exactness does not depend on the bucketing: bucket assignment only
+    * PARTITIONS the ordered domain (floor of a monotone map is monotone —
+    * FP rounding in the width division cannot reorder values), and the
+    * coarse cumulative count gives the exact number of rows preceding the
+    * target bucket. Both passes are map-side partial aggregations; the
+    * input is scanned twice (the price of not shipping whole groups to
+    * single reducers).
+    *
+    * Worst case: a group whose entire mass lies inside ONE bucket width
+    * (e.g. a constant plus FP dust) refines over that whole group — one
+    * recursion level covers every practical domain; nest manually if not. */
+  def groupPercentilesDiscBucketed(df: DataFrame, groupCol: String, valCol: String,
+                                   ps: Seq[(String, Double)],
+                                   buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 }, ps.toString)
+    require(buckets > 1, s"buckets=$buckets")
+    val spark = df.sparkSession
+    val base = df.filter(col(valCol).isNotNull)
+    val stats = base.groupBy(col(groupCol))
+      .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
+    val bucketed = base.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__b",
+        when(col("__lo") === col("__hi"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col(valCol) - col("__lo")).cast("double") /
+              ((col("__hi") - col("__lo")).cast("double") / buckets)).cast("int"))))
+    val coarse = bucketed.groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    import spark.implicits._
+    val psDf = ps.toDF("__label", "__p")
+    // per (group, percentile): k = ceil(p·n), its bucket, rows before it.
+    val targets = coarse.crossJoin(broadcast(psDf))
+      .withColumn("__k", ceil(col("__n") * col("__p")).cast("long"))
+      .groupBy(col(groupCol), col("__label"))
+      .agg(
+        min(when(col("__cum") >= col("__k"), col("__b"))).as("__tb"),
+        coalesce(max(when(col("__cum") < col("__k"), col("__cum"))), lit(0L))
+          .as("__prior"),
+        first(col("__k")).as("__k"))
+    val thresholds = bucketed.as("r")
+      .join(broadcast(targets).as("t"),
+        col(s"r.$groupCol") === col(s"t.$groupCol") && col("r.__b") === col("t.__tb"))
+      .groupBy(col(s"r.$groupCol").as(groupCol), col("t.__label").as("__label"),
+        col("t.__prior").as("__prior"), col("t.__k").as("__k"), col(s"r.$valCol").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol), col("__label"))
+          .orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__prior") + col("__cum") >= col("__k"))
+      .groupBy(col(groupCol), col("__label"))
+      .agg(min(col("__v")).as("__v"))
+    val aggs: Seq[Column] = ps.map { case (label, _) =>
+      min(when(col("__label") === label, col("__v"))).as(label)
+    }
+    thresholds.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

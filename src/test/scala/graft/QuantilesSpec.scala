@@ -44,6 +44,45 @@ class QuantilesSpec extends SparkSpec {
     assert(hist == spec)
   }
 
+  test("bucketed two-level path: exact on a near-unique double domain") {
+    // distinct ≈ rows — the domain where the one-level histogram
+    // degenerates. 5000 near-unique doubles in 2 groups, irregular mass
+    // (cube root skews values toward the top end).
+    val rows = (0 until 5000).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, math.cbrt(i.toDouble) * 1000.0 + i * 1e-7)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
+    val got = Quantiles.groupPercentilesDiscBucketed(df, "g", "v", ps, buckets = 64)
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def kth(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+      g -> ((kth(0.1), kth(0.5), kth(0.99)))
+    }
+    assert(got == expected)
+    // and it agrees with the one-level path (same discrete definition).
+    val oneLevel = Quantiles.groupPercentilesDisc(df, "g", "v", ps)
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got == oneLevel)
+  }
+
+  test("bucketed path: single-valued and duplicate-heavy groups survive") {
+    // lo == hi (constant group) exercises the degenerate-width branch;
+    // duplicates across bucket boundaries exercise exact prior counts.
+    val df = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0),
+      ("d", 1.0), ("d", 2.0), ("d", 2.0), ("d", 3.0), ("d", 10.0))
+      .toDF("g", "v")
+    val got = Quantiles.groupPercentilesDiscBucketed(df, "g", "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9), buckets = 4)
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got == Map("c" -> ((7.0, 7.0)), "d" -> ((2.0, 10.0))))
+  }
+
   test("the window input is the histogram, not the raw rows") {
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
     val plan = Quantiles.groupPercentilesDisc(
