@@ -42,4 +42,57 @@ class LayoutSpec extends SparkSpec {
       scan.take(1500))
     assert(narrow.count() > 0)
   }
+
+  /** Rows the parquet scan MATERIALIZED (post zone-map skipping, pre the
+    * residual Filter node) while computing `df` — the metric the layout
+    * claim is about. */
+  private def rowsReadByScan(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    val scans = unwrap(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no parquet scan in the plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("zone maps actually skip: sorted layout reads one shard, unsorted reads all") {
+    // The pruning claim, PROVEN with scan metrics instead of asserted from
+    // plan text: the same narrow range predicate over the same rows
+    // materializes ~1/shards of the data from a range-sorted layout and
+    // ALL of it from a randomly-ordered one (every row group's min/max
+    // spans the whole domain, so nothing can be skipped).
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val o = Tables.orders(spark, sf("sf0.001")).select("o_orderkey", "o_totalprice")
+    val total = o.count()
+
+    Layout.writeSorted(o, s"$dir/sorted", shards = 4, "o_orderkey")
+    // the anti-layout: same data, same shard count, key order destroyed.
+    o.withColumn("__r", md5(col("o_orderkey").cast("string")))
+      .repartitionByRange(4, col("__r")).drop("__r")
+      .write.mode("overwrite").parquet(s"$dir/unsorted")
+
+    // narrow predicate = the first sorted shard's key band.
+    val cut = spark.read.parquet(s"$dir/sorted")
+      .agg(expr("approx_percentile(o_orderkey, 0.25)")).head().getLong(0)
+    def narrow(path: String) =
+      spark.read.parquet(path).filter(col("o_orderkey") <= cut)
+
+    val matching = narrow(s"$dir/sorted").count()
+    assert(narrow(s"$dir/sorted").count() == narrow(s"$dir/unsorted").count())
+
+    val readSorted = rowsReadByScan(narrow(s"$dir/sorted"))
+    val readUnsorted = rowsReadByScan(narrow(s"$dir/unsorted"))
+    // unsorted: zone maps are useless — every row materializes.
+    assert(readUnsorted == total,
+      s"unsorted layout should read all $total rows, read $readUnsorted")
+    // sorted: at most the shards containing the band (±1 boundary shard);
+    // concretely under half the table instead of all of it.
+    assert(readSorted >= matching && readSorted <= total / 2,
+      s"sorted layout read $readSorted rows for $matching matches (total $total)")
+  }
 }
