@@ -35,10 +35,11 @@ import graft.sources.Tables.stageTracked
   *    as the next round is materialized, so disk usage stays O(1) rounds,
   *    not O(log n);
   *  - convergence is detected with an order-independent 128-bit checksum
-  *    (count + bit_xor of two independently-keyed 64-bit edge hashes) —
+  *    (count + bit_xor of two differently-seeded 64-bit edge hashes) —
   *    one tiny action per round, never a full `except` anti-join. A false
-  *    convergence needs both xors AND the count to collide between
-  *    consecutive non-equal edge sets (~2^-128 given the count matches);
+  *    convergence needs both keyed xors AND the count to collide between
+  *    consecutive non-equal edge sets — far beyond a single family's
+  *    ~2^-64 (see [[checksum]] for the exact claim);
   *  - a skewed star (one hub in millions of edges) is exactly what
   *    large-star is designed to flatten; AQE's skew-join handling covers
   *    the transient rounds.
@@ -52,36 +53,59 @@ object Graph {
     * use [[componentsForVertices]] to retain such nodes (and fully isolated
     * ones) as singleton components. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsTracked(edges, srcCol, dstCol, maxIter).df
+
+  /** [[connectedComponents]] returning a [[graft.sources.Tables.Staged]]
+    * handle: `.df` is the (node, component) result; in parquet-staging
+    * mode it reads the FINAL round's staging directory, and `.drop()`
+    * reclaims that directory once the result has been consumed
+    * (materialized downstream) — the plain overload necessarily leaves
+    * that one directory behind (the returned DataFrame is lazy, so the
+    * operator cannot know when deletion is safe). Every SUPERSEDED round
+    * is reclaimed as the loop advances, and every staged directory is
+    * reclaimed on ANY exception path (including non-convergence) — an
+    * aborted run leaks nothing. */
+  def connectedComponentsTracked(edges: DataFrame, srcCol: String, dstCol: String,
+                                 maxIter: Int = 50): graft.sources.Tables.Staged = {
     var cur = stageTracked(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct())
-    var sig = checksum(cur.df)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxIter) {
-      val next = stageTracked(smallStar(largeStar(cur.df)))
-      val nsig = checksum(next.df)
-      // `next` is fully materialized (staging writes eagerly; the checksum
-      // action read it back), so the superseded round's storage can go now.
-      cur.drop()
-      converged = nsig == sig
-      sig = nsig
-      cur = next
-      rounds += 1
+    try {
+      var sig = checksum(cur.df)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxIter) {
+        val next = stageTracked(smallStar(largeStar(cur.df)))
+        // `next` is fully materialized (staging writes eagerly; the
+        // checksum action reads it back), so the superseded round's
+        // storage can go as soon as the checksum lands — and `next`'s
+        // must go if the checksum action itself dies.
+        val nsig =
+          try checksum(next.df)
+          catch { case t: Throwable => next.drop(); throw t }
+        cur.drop()
+        converged = nsig == sig
+        sig = nsig
+        cur = next
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
+      // fixed point = star forest: every non-root points DIRECTLY at its
+      // component's minimum; roots/isolated nodes appear only as dst.
+      val e = cur.df
+      val result = e.select(col("src").as("node"), col("dst").as("component"))
+        .union(e.select(col("dst").as("node"), col("dst").as("component")))
+        .distinct()
+      graft.sources.Tables.Staged(result, cur.path)
+    } catch {
+      case t: Throwable => cur.drop(); throw t
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds")
-    // fixed point = star forest: every non-root points DIRECTLY at its
-    // component's minimum; roots/isolated nodes appear only as dst.
-    val e = cur.df
-    e.select(col("src").as("node"), col("dst").as("component"))
-      .union(e.select(col("dst").as("node"), col("dst").as("component")))
-      .distinct()
   }
 
   /** [[connectedComponents]] extended to a full vertex relation: vertices
@@ -127,19 +151,22 @@ object Graph {
   }
 
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
-    * 64-bit hashes, xor of INDEPENDENTLY-keyed 64-bit hashes). One small
+    * 64-bit hashes under two DIFFERENTLY-SEEDED keyings). One small
     * action per round; xor commutes so the physical row order never
-    * matters. Two independent hash families take the silent-collision
-    * probability between consecutive non-equal edge sets from ~2^-64 to
-    * ~2^-128 — a collision would falsely declare convergence and emit an
-    * under-contracted (wrong) labeling with no error. */
+    * matters. The second xor appends a literal salt column, which changes
+    * the hash chaining state before the edge fields mix in — a genuinely
+    * different keyed function, not a permutation of the first's input.
+    * The families are still both xxhash64, so the pair is not provably
+    * independent; heuristically a false convergence (both xors AND the
+    * count colliding between consecutive non-equal edge sets) needs a
+    * simultaneous collision of both keyed sums — far beyond the single
+    * family's ~2^-64, and a collision would falsely declare convergence
+    * and emit an under-contracted (wrong) labeling with no error. */
   private def checksum(e: DataFrame): (Long, Long, Long) = {
     val row = e.agg(
       count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(src, dst))").as("x"),
-      // swapping the argument order re-keys xxhash64's per-field seeds, so
-      // the two xors are independent functions of the same edge.
-      expr("bit_xor(xxhash64(dst, src))").as("y")).head()
+      expr("bit_xor(xxhash64(src, dst, 1))").as("y")).head()
     (row.getLong(0),
       if (row.isNullAt(1)) 0L else row.getLong(1),
       if (row.isNullAt(2)) 0L else row.getLong(2))

@@ -110,9 +110,20 @@ object Tables {
   private val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** A staged relation plus the handle to reclaim its backing storage once
-    * superseded (parquet-staging mode only — see [[stageTracked]]). */
+    * superseded (parquet-staging mode only — see [[stageTracked]]).
+    *
+    * `drop()` REFUSES to delete a path that does not lie under the
+    * session's CURRENT `graft.stage.dir`: the handle holds a raw path and
+    * recursively deletes it, so a conf change between staging and dropping
+    * (or a hand-constructed handle) must not be able to aim the delete at
+    * arbitrary data. Refusal throws — silently keeping the dir would hide
+    * a leak, silently deleting would be worse. */
   final case class Staged(df: DataFrame, path: Option[String]) {
     def drop(): Unit = path.foreach { p =>
+      val stageDir = df.sparkSession.conf.getOption("graft.stage.dir")
+      require(stageDir.exists(d => p.startsWith(d.stripSuffix("/") + "/")),
+        s"Staged.drop refused: '$p' is not under the current graft.stage.dir " +
+          s"(${stageDir.getOrElse("<unset>")})")
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
         .delete(hp, true)

@@ -48,4 +48,30 @@ class GraphSpec extends SparkSpec {
       assert(left.count(_.startsWith("stage_")) <= 1, left.toString)
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("tracked variant reclaims the FINAL round's directory on drop()") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val tracked = Graph.connectedComponentsTracked(edges, "a", "b")
+      val got = tracked.df.as[(Long, Long)].collect().toSet
+      assert(got.size == 6)
+      tracked.drop() // result consumed — release the last staging dir
+      val left = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      assert(left.count(_.startsWith("stage_")) == 0, left.toString)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("non-convergence leaks no staging directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // the 4-chain needs >1 contraction round — maxIter=1 must throw.
+      intercept[IllegalStateException] {
+        Graph.connectedComponents(edges, "a", "b", maxIter = 1)
+      }
+      val left = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      assert(left.count(_.startsWith("stage_")) == 0, left.toString)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.Tables
+
+/** Staging-table lifecycle guards (Tables.Staged): the recursive delete in
+  * drop() must only ever aim at the session's current graft.stage.dir. */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Staged.drop refuses paths outside the current stage dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val victim = java.nio.file.Files.createTempDirectory("graft-victim")
+    java.nio.file.Files.writeString(victim.resolve("keep.txt"), "do not delete")
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // a handle whose path escaped the stage dir (conf drift, bad caller).
+      val rogue = Tables.Staged(Seq(1).toDF("x"), Some(victim.toString))
+      intercept[IllegalArgumentException] { rogue.drop() }
+      assert(java.nio.file.Files.exists(victim.resolve("keep.txt")))
+
+      // a genuine handle still drops fine.
+      val real = Tables.stageTracked(Seq(1, 2, 3).toDF("x"))
+      assert(real.path.exists(_.startsWith(dir)))
+      assert(real.df.count() == 3)
+      real.drop()
+      assert(!real.path.exists(p => new java.io.File(p).exists()))
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("Staged.drop refuses when the stage dir is no longer configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    val staged =
+      try Tables.stageTracked(Seq(1).toDF("x"))
+      finally spark.conf.unset("graft.stage.dir")
+    intercept[IllegalArgumentException] { staged.drop() }
+    assert(staged.path.exists(p => new java.io.File(p).exists()))
+  }
+
+  test("localCheckpoint mode: drop() is a no-op with no path to guard") {
+    val staged = Tables.stageTracked(Seq(1).toDF("x"))
+    assert(staged.path.isEmpty)
+    staged.drop() // must not throw
+    assert(staged.df.count() == 1)
+  }
+}
