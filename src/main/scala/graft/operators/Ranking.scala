@@ -52,11 +52,19 @@ object Ranking {
     * `transform(array_distinct(t), u -> size(filter(t, x -> x = u)))`
     * count, whose distinct·len comparisons put ~10^9 serial ops on a
     * single 100k-token document's task. The `i = size` guard short-circuits
-    * before the out-of-bounds `element_at(s, i + 1)` is evaluated. */
+    * before the out-of-bounds `element_at(s, i + 1)` is evaluated.
+    *
+    * A size-0 array yields an empty run list — guarded explicitly, because
+    * `sequence(1, 0)` is the DESCENDING sequence [1, 0] and its index 0
+    * would survive the predicate (the `i = size` disjunct holds) only for
+    * `element_at(s, 0)` to throw in the consuming transform. No in-repo
+    * caller can feed one (split of non-null input is never empty), but the
+    * helper is public. */
   def runEndsSql(sortedCol: String): String =
-    s"""filter(sequence(1, size($sortedCol)),
-       |  i -> i = size($sortedCol)
-       |       OR element_at($sortedCol, i) != element_at($sortedCol, i + 1))""".stripMargin
+    s"""if(size($sortedCol) = 0, array(),
+       |  filter(sequence(1, size($sortedCol)),
+       |    i -> i = size($sortedCol)
+       |         OR element_at($sortedCol, i) != element_at($sortedCol, i + 1)))""".stripMargin
 
   /** Per-run counts from [[runEndsSql]]'s output: run j's length is
     * ends[j] − ends[j−1] (0 for the first). transform's 0-based index `j`

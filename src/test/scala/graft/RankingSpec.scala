@@ -28,6 +28,20 @@ class RankingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("runEndsSql: empty arrays yield empty runs, not an index-0 error") {
+    // sequence(1, 0) is DESCENDING [1, 0]; unguarded, index 0 survives the
+    // filter (the `i = size` disjunct holds) and the consuming transform's
+    // element_at(s, 0) throws. The helper is public — pin the guard.
+    val got = spark.sql(
+      s"""SELECT ${Ranking.runEndsSql("s")} AS ends,
+         |       ${Ranking.runCountsSql(s"(${Ranking.runEndsSql("s")})")} AS counts
+         |FROM VALUES (array()), (array('x')), (array('x','x','y'))
+         |  AS t(s)""".stripMargin)
+      .collect().map(r => (r.getSeq[Int](0).toList, r.getSeq[Int](1).toList))
+    assert(got.toSeq == Seq(
+      (Nil, Nil), (List(1), List(1)), (List(2, 3), List(2, 1))))
+  }
+
   test("tfidfTopK ranks rare-but-frequent tokens first, token tie-break") {
     // N=3. df: a=3, b=2, c=1, d=1, e=1.
     // doc 3 scores: e = 3*3/1 = 9, a = 1*3/3 = 1 → top2 = e, a.
