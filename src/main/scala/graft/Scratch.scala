@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -25,21 +26,9 @@ object Scratch {
     val l = lineitem(spark, d)
     time("warmup")(noop(l.select("l_quantity")))
 
-    // ---- x_cc_components decomposition ------------------------------------
+    // ---- x_cc_components after window-min star phases ---------------------
     locally {
       graft.functions.GraftFunctions.ensureRegistered(spark)
-      val docs = fanOut(documents(spark, d))
-      time("simhash pairs only") {
-        noop(graft.operators.TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7))
-      }
-      locally {
-        val pairs = graft.operators.TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
-        time("cc loop only (pairs prestaged)") {
-          val staged = stage(pairs)
-          noop(graft.operators.Graph.componentsForVertices(
-            documents(spark, d), "doc_id", staged, "da", "db"))
-        }
-      }
       time("x_cc_components (current)")(noop(SparkEntry.queries("x_cc_components")(spark, d)))
     }
     spark.stop()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables.stageTracked
@@ -17,10 +18,10 @@ import graft.sources.Tables.stageTracked
   * converges in O(log n) rounds regardless of graph diameter, unlike plain
   * min-label propagation whose round count is the component DIAMETER (a
   * chain of pairwise near-dups at 100 TB can be arbitrarily long).
-  * Each phase is one aggregation plus one self-equi-join on the node key:
-  * both shuffle on the SAME key, so AQE plans them as one exchange each —
-  * ~2 shuffles per round, O(log n) rounds, edges only ever shrink toward
-  * the star forest.
+  * Each phase computes the per-node minimum as a window aggregate over the
+  * node key — ONE shuffle of the edge list per phase (plus the dedup
+  * exchange), O(log n) rounds, edges only ever shrink toward the star
+  * forest.
   *
   * Determinism: labels are integer minima over integer node ids — no FP
   * anywhere, so any engine (and the DuckDB recursive-CTE oracle) agrees
@@ -122,14 +123,20 @@ object Graph {
 
   /** large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u}).
     * Emitted edges keep dst < src (m ≤ u < v). Connectivity-preserving;
-    * flattens high-degree hubs in one round. */
+    * flattens high-degree hubs in one round.
+    *
+    * The per-node minimum is a whole-partition window aggregate over the
+    * node key — ONE shuffle of the symmetric edge list, versus the
+    * groupBy-then-self-join formulation's two (same key twice). The
+    * window partitions on `src`, the graph's maximum-cardinality key, and
+    * min() over an unbounded frame is a constant-memory running aggregate
+    * — a hub's partition streams, it never buffers. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = sym.groupBy(col("src"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("src"), least(col("src"), col("__mn")).as("__m"))
-    sym.join(mins, "src")
+    sym
+      .withColumn("__m", least(col("src"),
+        min(col("dst")).over(Window.partitionBy(col("src")))))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("__m").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -138,15 +145,20 @@ object Graph {
 
   /** small-star(u): over the big→small directed edges, connect u and all
     * its smaller neighbors to m = min — turning every local cluster into a
-    * star on the minimum. */
+    * star on the minimum. Same one-shuffle window-min shape as
+    * [[largeStar]]; the node's self-edge (u, m) replaces the removed
+    * (u, m) original so m itself stays attached. */
   private def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
-    val reattached = dir.join(mins, "src")
+    val withMin = dir.withColumn("__mn",
+      min(col("dst")).over(Window.partitionBy(col("src"))))
+    val reattached = withMin
       .filter(col("dst") =!= col("__mn"))
       .select(col("dst").as("src"), col("__mn").as("dst"))
-    val selfEdge = mins.select(col("src"), col("__mn").as("dst"))
+    // one self-edge per node: (src, min) — emitted per row, deduplicated
+    // by the final distinct (no point paying a second exchange first).
+    val selfEdge = withMin.select(col("src"), col("__mn").as("dst"))
     reattached.union(selfEdge).distinct()
   }
 
