@@ -37,6 +37,30 @@ object Sampling {
   def hexThreshold(rate: Double): String =
     if (rate >= 1.0) "g" else f"${math.floor(rate * 4294967296.0).toLong}%08x"
 
+  /** Deterministic GLOBAL SHUFFLE for training output: every row gets a
+    * content-hash sort key and a shard id derived from it — the
+    * reproducible replacement for `ORDER BY rand()` when a data loader
+    * needs a fixed, resumable example order.
+    *
+    * Scale shape: this is a pure per-row projection (no shuffle, no
+    * window — the ORDER itself is materialized by the writer, not here):
+    * pipe the result into `Layout.writeSorted(path, shards, "shard",
+    * "sort_key")` and each shard lands as one range-partitioned,
+    * internally-sorted file set that a loader streams in deterministic
+    * order. `shards` must divide 256 (the shard is the first hash BYTE
+    * mod `shards`, so divisors of 256 give an exactly uniform bucket map;
+    * md5 uniformity gives each shard n/shards ± noise rows).
+    *
+    * Output: (idCol, sort_key = md5(id), shard). */
+  def deterministicShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0 && 256 % shards == 0,
+      s"shards=$shards must divide 256 (first-hash-byte bucketing)")
+    df.select(col(idCol),
+        md5(col(idCol).cast("string")).as("sort_key"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(sort_key, 1, 2), 16, 10) AS INT) % $shards"))
+  }
+
   /** One (hash, id) pair flowing into the per-stratum min-k selection. */
   final case class HashedId(h: String, id: Long)
   final case class HashedIdList(items: List[HashedId])

@@ -317,6 +317,24 @@ object Curation {
              unnest(range(0, len(chunks))) AS chunk_idx,
              CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_tok,
              unnest(chunks) AS chunk
-      FROM c ORDER BY doc_id, chunk_idx"""))
+      FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // --------------------------------------- deterministic global shuffle
+    // Reproducible training-example order: content-hash sort key + shard
+    // from the first hash byte (Sampling.deterministicShuffle). A pure
+    // per-row projection — the physical ordering is the WRITER's job
+    // (Layout.writeSorted on (shard, sort_key)), so no shuffle, window, or
+    // rand() appears here and the same order comes out on any engine, any
+    // partitioning, any re-run.
+    Q("x_shuffle_shard", (s, d) => {
+      graft.operators.Sampling
+        .deterministicShuffle(documents(s, d), "doc_id", shards = 8)
+        .orderBy(col("sort_key"), col("doc_id"))
+    }, Some("""
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+             CAST(((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8
+               AS INT) AS shard
+      FROM documents ORDER BY sort_key, doc_id"""))
   )
 }

@@ -340,6 +340,43 @@ object Dedup {
       WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
               (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.45
-      ORDER BY va, vb"""))
+      ORDER BY va, vb""")),
+
+    // ------------------------------------- near-dup analytics by source
+    // WHERE duplication comes from: the near-dup pair relation joined back
+    // to document metadata, aggregated into an (unordered) source-pair
+    // matrix — the audit that tells a pipeline which feeds re-crawl each
+    // other before any dedup policy is chosen. The tiny pair relation
+    // BROADCASTS onto the corpus-sized metadata scan twice (da then db) —
+    // the corpus never shuffles; counts and min-Hamming are exact
+    // integers, so engines agree bit-for-bit.
+    Q("x_dedup_source_matrix", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      val meta = documents(s, d).select(col("doc_id"), col("source"))
+      val withA = meta
+        .join(broadcast(pairs), col("doc_id") === col("da"))
+        .select(col("source").as("__sa"), col("db"), col("hamming"))
+      val withB = meta
+        .join(broadcast(withA), col("doc_id") === col("db"))
+        .select(col("__sa"), col("source").as("__sb"), col("hamming"))
+      withB
+        .groupBy(
+          least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("hamming")).as("min_hamming"))
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH $duckSimhashPairCtes,
+      sp AS (SELECT least(ma.source, mb.source) AS source_a,
+                    greatest(ma.source, mb.source) AS source_b,
+                    h.hamming
+             FROM h JOIN documents ma ON h.da = ma.doc_id
+                    JOIN documents mb ON h.db = mb.doc_id
+             WHERE h.hamming <= 7)
+      SELECT source_a, source_b, COUNT(*) AS n_pairs,
+             MIN(hamming) AS min_hamming
+      FROM sp GROUP BY source_a, source_b
+      ORDER BY source_a, source_b"""))
   )
 }

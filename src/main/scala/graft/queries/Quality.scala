@@ -149,6 +149,70 @@ object Quality {
       SELECT r.source, r.n_docs, r.n_tokens, r.rate,
              COALESCE(k.n_kept, 0) AS n_kept,
              COALESCE(k.kept_tokens, 0) AS kept_tokens
-      FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source"""))
+      FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""")),
+
+    // --------------------------------------- Gopher repetition filters
+    // The n-gram repetition signals Gopher/MassiveText gate on: fraction
+    // of characters covered by the most frequent 2-gram and by ALL
+    // duplicated (count ≥ 2) 3-grams. Entirely map-side per document —
+    // overlapping n-grams, one array_sort + run-length pass per width
+    // (the linted one-pass plan, same as max_tf in x_gopher_rules) — so
+    // the corpus never shuffles; char counts are exact longs and each
+    // fraction is ONE double division, bit-identical cross-engine.
+    // "Most frequent" is made tie-proof by taking MAX over count·len
+    // directly (the gated quantity), not argmax of count.
+    Q("x_repetition", (s, d) => {
+      def grams(n: Int) =
+        if (n == 1) "toks"
+        else s"""if(size(toks) < $n, array(),
+                |  transform(sequence(1, size(toks) - ${n - 1}),
+                |    i -> concat_ws(' ', slice(toks, i, $n))))""".stripMargin
+      fanOut(documents(s, d))
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .withColumn("total_chars", expr("length(lower(text))").cast("long"))
+        .withColumn("__s2", expr(s"array_sort(${grams(2)})"))
+        .withColumn("__e2", expr(graft.operators.Ranking.runEndsSql("__s2")))
+        .withColumn("top2_chars", expr(
+          s"""CAST(coalesce(array_max(transform(__e2, (e, j) ->
+             |  CAST(e - if(j = 0, 0, element_at(__e2, j)) AS BIGINT)
+             |    * length(element_at(__s2, e)))), 0L) AS BIGINT)""".stripMargin))
+        .withColumn("__s3", expr(s"array_sort(${grams(3)})"))
+        .withColumn("__e3", expr(graft.operators.Ranking.runEndsSql("__s3")))
+        .withColumn("dup3_chars", expr(
+          s"""CAST(aggregate(transform(__e3, (e, j) ->
+             |    named_struct('c', e - if(j = 0, 0, element_at(__e3, j)),
+             |                 'l', length(element_at(__s3, e)))),
+             |    0L, (acc, r) -> acc + if(r.c >= 2, CAST(r.c AS BIGINT) * r.l, 0L))
+             |  AS BIGINT)""".stripMargin))
+        .select(col("doc_id"), col("total_chars"), col("top2_chars"),
+          col("dup3_chars"),
+          expr("CAST(top2_chars AS DOUBLE) / total_chars").as("frac_top2"),
+          expr("CAST(dup3_chars AS DOUBLE) / total_chars").as("frac_dup3"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks,
+                        CAST(length(lower(text)) AS BIGINT) AS total_chars
+                 FROM documents),
+      g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+      m2 AS (SELECT doc_id, CAST(MAX(cnt * length(g)) AS BIGINT) AS top2_chars
+             FROM c2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+      c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g),
+      m3 AS (SELECT doc_id,
+                    COALESCE(CAST(SUM(CASE WHEN cnt >= 2
+                                           THEN cnt * length(g) END) AS BIGINT), 0)
+                      AS dup3_chars
+             FROM c3 GROUP BY doc_id)
+      SELECT t.doc_id, t.total_chars,
+             COALESCE(m2.top2_chars, 0) AS top2_chars,
+             COALESCE(m3.dup3_chars, 0) AS dup3_chars,
+             CAST(COALESCE(m2.top2_chars, 0) AS DOUBLE) / t.total_chars AS frac_top2,
+             CAST(COALESCE(m3.dup3_chars, 0) AS DOUBLE) / t.total_chars AS frac_dup3
+      FROM t LEFT JOIN m2 ON t.doc_id = m2.doc_id
+             LEFT JOIN m3 ON t.doc_id = m3.doc_id
+      ORDER BY t.doc_id"""))
   )
 }
