@@ -120,9 +120,34 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (children: Seq[Expression]) => MinHashSig(children(0), children(1)))
 
+  /** Spark's OWN runtime-filter expressions (BloomFilterAggregate /
+    * BloomFilterMightContain — the machinery behind
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`), surfaced as
+    * registered functions so the dedup library can build and probe bloom
+    * filters declaratively (graft.operators.BloomDedup). Not graft code —
+    * just a registry door onto public Catalyst classes the SQL registry
+    * doesn't expose by default. */
+  val bloomAggDescriptor: Descriptor = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_agg"),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children(0), children(1), children(2)))
+
+  val bloomContainsDescriptor: Descriptor = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_contains"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   val all: Seq[Descriptor] =
     Seq(cosineSimDescriptor, simHashDescriptor, simHashWordsDescriptor,
-      minHashDescriptor)
+      minHashDescriptor, bloomAggDescriptor, bloomContainsDescriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

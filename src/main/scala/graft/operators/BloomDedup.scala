@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Bloom-filter pre-gate for INCREMENTAL EXACT dedup: "has this content
+  * digest been seen in the corpus?" answered per ingest row with zero
+  * per-batch corpus work.
+  *
+  * The per-batch shapes for exact membership, fastest first:
+  *   1. THIS: a bloom filter over the corpus digests, built ONCE per
+  *      corpus version (one corpus scan), probed as a scan-fused Filter
+  *      expression on each batch — no join, no shuffle, no corpus access
+  *      at all per batch;
+  *   2. broadcast anti/semi-join against the corpus digest relation
+  *      (stripCommonLines' banned-set shape) — exact, but re-ships the
+  *      whole digest set per executor and query;
+  *   3. shuffle join — the only option once the digest set exceeds
+  *      executor memory.
+  *
+  * Bloom semantics make (1) sound as a PRE-gate: NO false negatives, so
+  * `probe` keeps every true duplicate (spec-pinned); false positives
+  * (rate `fpp`) pass the gate and must be settled by an exact check over
+  * the (tiny) surviving set — [[graft.operators.TextDedup.exactGroups]]
+  * or a semi-join. Used the other way around (`keepNew`), a false
+  * positive DROPS a genuinely-new row: acceptable for dedup (losing
+  * ~fpp of new rows to over-dedup is usually fine) but it is a recall
+  * tradeoff the caller opts into.
+  *
+  * Scale contract: the filter bytes live in the PLAN (a literal, like
+  * Spark's own runtime bloom joins and the ANN centroid broadcast):
+  * `maxBytes` refuses filters beyond a broadcastable bound (default
+  * 128 MiB ≈ 700M items at 1%). Beyond that, shape (2)/(3) applies.
+  *
+  * Built on Spark's own runtime-filter expressions
+  * (`BloomFilterAggregate`/`BloomFilterMightContain`, registered as
+  * `bloom_agg`/`bloom_contains` by [[GraftFunctions]]) — identical
+  * bit-layout and hashing to the engine's adaptive bloom joins.
+  */
+object BloomDedup {
+
+  /** Standard optimal sizing: bits = −n·ln(p) / ln(2)². Driver-side FP
+    * math sizes the filter only — membership semantics are exact either
+    * way, so cross-engine determinism is not at stake. */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Long = {
+    require(expectedItems > 0, s"expectedItems=$expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp")
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+  }
+
+  /** Build the corpus digest filter ONCE (one scan, partial-aggregated
+    * map-side; the merged filter — the single aggregate value — is the
+    * only thing the driver holds). Key rows are hashed with `xxhash64`
+    * of the key's string form; [[probe]]/[[keepNew]] apply the same
+    * hashing, so any key type round-trips consistently. */
+  def buildFilter(corpus: DataFrame, keyCol: String, expectedItems: Long,
+                  fpp: Double = 0.01,
+                  maxBytes: Long = 128L << 20): Array[Byte] = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val bits = optimalNumBits(expectedItems, fpp)
+    require(bits / 8 <= maxBytes,
+      s"bloom filter would be ${bits / 8} bytes (> $maxBytes): " +
+        "use the broadcast/shuffle anti-join shape instead")
+    corpus
+      .select(xxhash64(col(keyCol).cast("string")).as("__h"))
+      .agg(expr(s"bloom_agg(__h, ${expectedItems}L, ${bits}L)").as("__bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Rows whose key MIGHT be in the corpus (all true members + ~fpp of
+    * the rest) — the candidate set for an exact duplicate check. A pure
+    * scan-fused Filter: no join, no shuffle, no exchange (spec-pinned). */
+  def probe(batch: DataFrame, keyCol: String, filter: Array[Byte]): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    batch.filter(call_function("bloom_contains",
+      lit(filter), xxhash64(col(keyCol).cast("string"))))
+  }
+
+  /** Rows whose key is DEFINITELY not in the corpus — the keep-side gate
+    * (over-dedups by ~fpp; see the class doc for the tradeoff). */
+  def keepNew(batch: DataFrame, keyCol: String, filter: Array[Byte]): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    batch.filter(!call_function("bloom_contains",
+      lit(filter), xxhash64(col(keyCol).cast("string"))))
+  }
+}

@@ -43,6 +43,27 @@ class LayoutSpec extends SparkSpec {
     assert(narrow.count() > 0)
   }
 
+  test("deterministicShuffle + writeSorted = reproducible training order") {
+    // the full training-output path: hash order assigned as a projection,
+    // materialized by the range-sorted writer; a re-read streams the SAME
+    // global (shard, sort_key) order on any run.
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id")
+    val shuffled = graft.operators.Sampling.deterministicShuffle(docs, "doc_id", shards = 4)
+    Layout.writeSorted(shuffled, s"$dir/train", shards = 4, "shard", "sort_key")
+    val back = Layout.read(spark, s"$dir/train")
+    // deterministic: the written order equals the declarative order.
+    val expected = shuffled.orderBy(col("shard"), col("sort_key"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = back.orderBy(col("shard"), col("sort_key"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    assert(got.toSet.size == expected.size) // every doc exactly once
+    // shards are reasonably balanced under md5 uniformity (4 × ~125).
+    val sizes = back.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.forall(s => s > 60 && s < 190), sizes.toSeq)
+  }
+
   /** Rows the parquet scan MATERIALIZED (post zone-map skipping, pre the
     * residual Filter node) while computing `df` — the metric the layout
     * claim is about. */
