@@ -111,11 +111,21 @@ object Graph {
 
   /** [[connectedComponents]] extended to a full vertex relation: vertices
     * with no edge become singleton components (component = own id).
-    * Output: (node, component). */
+    * Output: (node, component).
+    *
+    * `broadcastComponents` (default true): in the dedup regime the edge
+    * list — and therefore the component relation, ≤ 2·|edges| rows of two
+    * longs — is orders of magnitude smaller than the vertex corpus, so
+    * broadcasting it keeps the corpus-sized vertex relation from
+    * shuffling for the join (the staged relation has no stats, so the
+    * planner would otherwise default to sort-merge). Set false for DENSE
+    * graphs whose component relation rivals the vertex set. */
   def componentsForVertices(vertices: DataFrame, idCol: String,
                             edges: DataFrame, srcCol: String, dstCol: String,
-                            maxIter: Int = 50): DataFrame = {
-    val comp = connectedComponents(edges, srcCol, dstCol, maxIter)
+                            maxIter: Int = 50,
+                            broadcastComponents: Boolean = true): DataFrame = {
+    val comp0 = connectedComponents(edges, srcCol, dstCol, maxIter)
+    val comp = if (broadcastComponents) broadcast(comp0) else comp0
     vertices.select(col(idCol).cast("long").as("node"))
       .join(comp, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))

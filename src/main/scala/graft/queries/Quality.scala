@@ -108,8 +108,12 @@ object Quality {
       val tok = documents(s, d)
         .select(col("source"), col("doc_id"),
           expr("size(split(lower(text), ' '))").cast("long").as("n_tok"))
-      val per = tok.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // the per-source stats relation is TINY (one row per source) but
+      // feeds rates twice and the gate once — staged, or every consumer
+      // re-scans the corpus to rebuild it (measured: 5 corpus scans
+      // without, 2 with — stats pass + gate pass, the two-pass minimum).
+      val per = graft.sources.Tables.stage(tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
       val rates = per
         .join(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
         .withColumn("rate", expr("CAST(min_tokens AS DOUBLE) / n_tokens"))
@@ -125,7 +129,7 @@ object Quality {
       // appear in the audit (with zeros) — that row is the one an audit
       // exists to surface.
       rates
-        .join(kept, Seq("source"), "left")
+        .join(broadcast(kept), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
