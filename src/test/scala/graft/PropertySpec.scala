@@ -149,4 +149,67 @@ class PropertySpec extends SparkSpec {
     // rate is honored within a loose binomial bound.
     assert(s20.size > 500 * 0.1 && s20.size < 500 * 0.35, s20.size)
   }
+
+  test("deterministicShuffle is a permutation: bijective, stable, shard-consistent") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val ids = Seq.fill(rnd.nextInt(200) + 50)(rnd.nextLong()).distinct
+      val df = ids.toDF("id")
+      val once = graft.operators.Sampling.deterministicShuffle(df, "id", shards = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      // bijection over the input ids; re-run identical (no rand anywhere).
+      assert(once.map(_._1).toSet == ids.toSet && once.length == ids.size)
+      val again = graft.operators.Sampling.deterministicShuffle(df, "id", shards = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(once.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+      // shard is a pure function of the sort key's first byte.
+      once.foreach { case (_, k, s) =>
+        assert(s == Integer.parseInt(k.substring(0, 2), 16) % 4, s"$k -> $s") }
+    }
+  }
+
+  test("repetition counters: nonnegative, bounded by overlap, zero for distinct docs") {
+    // overlapping grams cover each char ≤ n times, so cnt·len sums are
+    // bounded by ~n× total_chars (fractions CAN exceed 1 by design —
+    // Gopher thresholds sit well below that); all-distinct docs must
+    // report zero duplicated-3-gram chars.
+    val q = SparkEntry.registry.find(_.name == "x_repetition").get
+    val rows = q.fn(spark, sf("sf0.001"))
+      .select(col("total_chars"), col("top2_chars"), col("dup3_chars"),
+        col("frac_top2"), col("frac_dup3")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 3 * r.getLong(0), r.toString)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 4 * r.getLong(0), r.toString)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0, r.toString)
+    }
+    import spark.implicits._
+    val distinctDoc = Seq((1L, (1 to 50).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // run the same expressions over a doc with zero repeated n-grams by
+    // reusing the registry fn on a temp parquet dir shaped like testdata.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    distinctDoc.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = q.fn(spark, dir).select("top2_chars", "dup3_chars").head()
+    assert(z.getLong(0) > 0)  // the max 2-gram occurs once: chars = its length
+    assert(z.getLong(1) == 0L, s"all-distinct doc reported dup3=${z.getLong(1)}")
+  }
+
+  test("bucketed percentiles ≡ one-level histogram percentiles on random data") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(400) + 100)(
+        ("g" + rnd.nextInt(3), rnd.nextInt(50) + rnd.nextDouble()))
+      val df = rows.toDF("g", "v")
+      val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      val a = graft.operators.Quantiles.groupPercentilesDisc(df, "g", "v", ps)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val b = graft.operators.Quantiles
+        .groupPercentilesDiscBucketed(df, "g", "v", ps, buckets = 7)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(a == b)
+    }
+  }
 }

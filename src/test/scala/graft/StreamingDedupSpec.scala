@@ -72,4 +72,58 @@ class StreamingDedupSpec extends SparkSpec {
         s"micro-batches staged new dirs: $afterBuild → $stageDirs — batch side must stay unstaged")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("DedupIngest resumes from checkpoint: no pair lost or re-emitted") {
+    // the exactly-once composition the operator's doc promises: the
+    // checkpoint replays unacknowledged batches only, so a keyed sink
+    // sees every pair exactly once across a stop/restart.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      val index = DedupIngest.buildIndex(corpus, "doc_id", "text")
+      val expected = TextDedup.minhashLshPairsAgainstIndex(
+          TextDedup.shingleProjection(fresh, "doc_id", "text", 3),
+          index.shingled, index.bandKeys)
+        .select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+
+      val payloads = fresh
+        .select(to_json(struct(col("doc_id"), col("text"))).as("j")).as[String].collect()
+      val (half1, half2) = payloads.zipWithIndex.splitAt(payloads.length / 2)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      // keyed sink: replays overwrite, so duplicates would be visible as
+      // nothing while LOSES would — count arrivals per pair instead.
+      val arrivals = scala.collection.concurrent.TrieMap.empty[(Long, Long), Int]
+      def mkStream = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        DedupIngest.start(mkStream, index, "value.doc_id", "value.text",
+          checkpoint = Some(ckpt)) { (pairs, _) =>
+          pairs.select(col("da"), col("db")).as[(Long, Long)].collect()
+            .foreach(p => arrivals.updateWith(p) { c => Some(c.getOrElse(0) + 1) })
+        }
+      val q1 = run()
+      ms.addData(half1.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new java.sql.Timestamp(1000L + i), null,
+          j.getBytes("UTF-8")) }.toIndexedSeq: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      ms.addData(half2.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new java.sql.Timestamp(1000L + i), null,
+          j.getBytes("UTF-8")) }.toIndexedSeq: _*)
+      val q2 = run()
+      q2.processAllAvailable()
+      q2.stop()
+
+      assert(arrivals.keySet == expected,
+        s"pairs after restart diverge: got=${arrivals.keySet} want=$expected")
+      val replayed = arrivals.filter(_._2 > 1)
+      assert(replayed.isEmpty, s"pairs emitted more than once: $replayed")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
