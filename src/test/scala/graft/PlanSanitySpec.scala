@@ -135,4 +135,23 @@ class PlanSanitySpec extends SparkSpec {
         s"$name lost its map-side partial top-k aggregation:\n${plan.take(1500)}")
     }
   }
+
+  test("x_cc_components joins components as broadcast (vertex corpus never shuffles)") {
+    val q = SparkEntry.registry.find(_.name == "x_cc_components").get
+    val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"componentsForVertices regressed to SMJ (corpus-side Exchange):\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("x_source_mix scans the corpus at most twice (stats pass + gate pass)") {
+    val q = SparkEntry.registry.find(_.name == "x_source_mix").get
+    val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).length +
+      "FileScan parquet".r.findAllMatchIn(plan).length
+    assert(scans <= 2,
+      s"x_source_mix re-derives its per-source stats per consumer ($scans corpus scans):\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tiny per-source relations joined via SMJ:\n${plan.take(1500)}")
+  }
 }
