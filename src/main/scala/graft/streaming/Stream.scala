@@ -422,16 +422,36 @@ object Stream {
   }
 
   /** Wrap any DataFrame with Kafka-source shape (topic, partition, offset,
-    * timestamp, key, value:binary) — used by specs via MemoryStream. */
+    * timestamp, key, value:binary) — used by specs via MemoryStream.
+    *
+    * Malformed JSON: `from_json` is PERMISSIVE — an unparseable payload
+    * yields a row whose `value` struct has all-null fields (metadata
+    * intact), so one poison message can never take the stream down. This
+    * is a deliberate divergence from the reference, whose bare
+    * `JSON.parse` (`src/context.ts:143`) throws and kills the consumer
+    * loop on the first bad record. `dropMalformed = true` parses with a
+    * corrupt-record column and filters those rows out at the source
+    * (tombstones are skipped BEFORE the parse either way, and a
+    * legitimately-empty `{}` payload is NOT malformed and survives). */
   def fromKafkaShaped(spark: SparkSession, raw: DataFrame,
                       valueSchema: StructType,
-                      trigger: Trigger = Trigger.ProcessingTime(0L)): Stream = {
-    val df = raw
-      .filter(col("value").isNotNull) // tombstone skip
-      .select(
-        from_json(col("value").cast("string"), valueSchema).as("value"),
-        struct(col("topic"), col("partition"), col("offset"),
-          col("timestamp"), col("key")).as("metadata"))
+                      trigger: Trigger = Trigger.ProcessingTime(0L),
+                      dropMalformed: Boolean = false): Stream = {
+    val live = raw.filter(col("value").isNotNull) // tombstone skip
+    val meta = struct(col("topic"), col("partition"), col("offset"),
+      col("timestamp"), col("key")).as("metadata")
+    val df =
+      if (!dropMalformed)
+        live.select(from_json(col("value").cast("string"), valueSchema).as("value"), meta)
+      else {
+        val corrupt = "__graft_corrupt"
+        val ext = valueSchema.add(corrupt, org.apache.spark.sql.types.StringType)
+        live
+          .select(from_json(col("value").cast("string"), ext,
+            Map("columnNameOfCorruptRecord" -> corrupt)).as("__v"), meta)
+          .filter(col(s"__v.$corrupt").isNull)
+          .select(col("__v").dropFields(corrupt).as("value"), col("metadata"))
+      }
     mk(spark, df, trigger)
   }
 

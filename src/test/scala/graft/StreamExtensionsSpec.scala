@@ -218,6 +218,43 @@ class StreamExtensionsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("malformed JSON never kills the stream: null value row, droppable") {
+    // divergence from the reference pinned here: its bare JSON.parse
+    // throws on the first poison message and the consumer loop dies; we
+    // surface a null-value row (metadata intact) and keep consuming —
+    // or drop it at the source with dropMalformed.
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    val ms = MemoryStream[KMsg]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+    val q = s.toMemory("mal_t", outputMode = "append")
+    ms.addData(msg("""{"a":1}""", 1000L, 0), msg("not json at all", 2000L, 1),
+      msg("""{"a":3}""", 3000L, 2))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("mal_t")
+      .select(col("value.a"), col("metadata.offset")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1)))
+      .sortBy(_._2)
+    assert(rows.length == 3, s"stream dropped rows: ${rows.toSeq}")
+    assert(rows.map(_._1).toSeq == Seq(Some(1), None, Some(3)), rows.toSeq)
+    // a legitimately-empty JSON object is NOT malformed: it must survive
+    // dropMalformed (null FIELDS, not a corrupt record).
+
+    val ms2 = MemoryStream[KMsg]
+    val s2 = Stream.fromKafkaShaped(spark, ms2.toDF(), schema, dropMalformed = true)
+    val q2 = s2.toMemory("mal_drop_t", outputMode = "append")
+    ms2.addData(msg("""{"a":1}""", 1000L, 0), msg("garbage", 2000L, 1),
+      msg("{}", 3000L, 2))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.table("mal_drop_t")
+      .select(col("value.a"), col("metadata.offset")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1)))
+      .sortBy(_._2)
+    assert(kept.toSeq == Seq((Some(1), 0L), (None, 2L)), kept.toSeq)
+  }
+
   test("fromRate: a live dependency-free source flows through the façade") {
     val s = Stream.fromRate(spark, rowsPerSecond = 100)
       .filter(col("value") % 2 === 0)
