@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -13,23 +12,13 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Unit = {
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[scratch] $name%-36s min ${runs.min}%.3f s  med ${runs.sorted.apply(1)}%.3f s")
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    val l = lineitem(spark, d)
-    time("warmup")(noop(l.select("l_quantity")))
-
-    // ---- x_cc_components after window-min star phases ---------------------
-    locally {
-      graft.functions.GraftFunctions.ensureRegistered(spark)
-      time("x_cc_components (current)")(noop(SparkEntry.queries("x_cc_components")(spark, d)))
+    val d = "/root/testdata/sf0.01"
+    Seq("q_percentile_bucketed", "x_dedup_bloom_gate").foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, d)
+        println(s"[scratch] $n rows=" + df.count())
+      } catch { case t: Throwable =>
+        println(s"[scratch] $n FAILED: " + t.toString.take(400)) }
     }
     spark.stop()
   }

@@ -377,6 +377,41 @@ object Dedup {
       SELECT source_a, source_b, COUNT(*) AS n_pairs,
              MIN(hamming) AS min_hamming
       FROM sp GROUP BY source_a, source_b
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b""")),
+
+    // ------------------------------------------ bloom-gated line overlap
+    // "Which ingest docs share boilerplate with the corpus?" — the bloom
+    // pre-gate shape end-to-end (operators.BloomDedup): a digest filter
+    // over the corpus's 4-token lines is built ONCE (driver-held literal,
+    // like the ANN centroids), each batch line probes it as a scan-fused
+    // Filter, and only the (tiny) might-contain survivors pay the exact
+    // semi-join. The bloom can only ADD candidates (no false negatives),
+    // and the semi-join removes its false positives — so the OUTPUT is
+    // exact and the oracle is the plain join, blind to the bloom.
+    Q("x_dedup_bloom_gate", (s, d) => {
+      def lineKeys(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("__toks", expr("split(lower(text), ' ')"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, (size(__toks) + 3) div 4 - 1),
+            |  i -> md5(concat_ws(' ', slice(__toks, i * 4 + 1, 4))))""".stripMargin))
+          .as("k"))
+      val docs = fanOut(documents(s, d))
+      val corpusK = lineKeys(docs.filter(col("doc_id") % 10 =!= 0)).select(col("k"))
+      val batchK = lineKeys(docs.filter(col("doc_id") % 10 === 0))
+      val filter = graft.operators.BloomDedup
+        .buildFilter(corpusK, "k", expectedItems = 100000)
+      graft.operators.BloomDedup.probe(batchK, "k", filter)
+        .join(corpusK, Seq("k"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      l AS (SELECT doc_id,
+                   unnest(list_transform(range(0, (len(toks) + 3) // 4),
+                     i -> md5(array_to_string(toks[4*i+1 : 4*i+4], ' ')))) AS k
+            FROM t),
+      b AS (SELECT doc_id, k FROM l WHERE doc_id % 10 = 0),
+      c AS (SELECT DISTINCT k FROM l WHERE doc_id % 10 <> 0)
+      SELECT DISTINCT b.doc_id FROM b JOIN c USING (k) ORDER BY doc_id"""))
   )
 }

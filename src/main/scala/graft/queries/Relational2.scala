@@ -116,6 +116,30 @@ object Relational2 {
       WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.9)
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ------------------------------------ percentiles, bucketed two-level
+    // The NEAR-CONTINUOUS-domain path (Quantiles.groupPercentilesDiscBucketed):
+    // o_totalprice is near-unique per group, exactly where the one-level
+    // histogram degenerates — coarse bucket counts bound the window at
+    // `buckets` rows per group, exact refinement runs only inside each
+    // percentile's target bucket. Same discrete definition, so the SAME
+    // rank-window oracle as q_percentile_disc applies verbatim.
+    Q("q_percentile_bucketed", (s, d) => {
+      graft.operators.Quantiles.groupPercentilesDiscBucketed(
+        orders(s, d), "o_orderpriority", "o_totalprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9), buckets = 64)
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority,
+             MIN(o_totalprice) AS p50, MAX(o_totalprice) AS p90
+      FROM ranked
+      WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.9)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // -------------------------------------------------------------- argmax
     // Deterministic arg-max as a partial-aggregate struct-max: maximizing
     // (o_totalprice, -o_orderkey) lexicographically ≡ rank 1 under

@@ -60,9 +60,13 @@ class PlanSanitySpec extends SparkSpec {
   //    (one row per distinct value — operators.Quantiles), never the
   //    corpus; partition size is bounded by the value domain. This IS the
   //    exact scale path the other exceptions point at.
+  //  - q_percentile_bucketed: BOTH its windows run over bounded
+  //    aggregates — the coarse one over ≤ `buckets` rows per group, the
+  //    refine one over one bucket's distinct values (the two-level path
+  //    that exists precisely to keep low-card windows off raw rows).
   private val allowedLowCardWindow =
     Set("q_percentile_disc", "q_approx_quantile", "x_pack_sequences",
-      "x_quality_gate")
+      "x_quality_gate", "q_percentile_bucketed")
   private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
     "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
     "l_linestatus", "shard", "lang", "source")
