@@ -108,7 +108,12 @@ object Ranking {
     val tf = stage(termFrequencies(docs, idCol, textCol))
     val df0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val df = if (broadcastVocab) broadcast(df0) else df0
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // N from the STAGED tf relation, not `docs`: counting the corpus again
+    // would re-run its whole scan chain (including any caller-side fanOut
+    // repartition — a full-table exchange to count rows). Every non-null
+    // text yields ≥1 token row (split of "" is [""]), so distinct doc_id
+    // in tf ≡ the document count.
+    val n = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val scored = tf
       .join(df, "token")
       .join(broadcast(n))

@@ -18,7 +18,10 @@ class PlanSanitySpec extends SparkSpec {
   // all three go through TextDedup's staged shingle/band relations.
   private val stagedQueries =
     Set("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_pipeline_curate",
-      "x_dedup_simhash_pairs", "x_dedup_incremental", "x_dedup_containment")
+      "x_dedup_simhash_pairs", "x_dedup_incremental", "x_dedup_containment",
+      // reads ONLY the staged tf relation since n_docs moved off the
+      // corpus scan (a rescan existed solely to count rows).
+      "x_tfidf_topk")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
