@@ -207,11 +207,17 @@ object Ranking {
           .as("__tt"))
       .select(col("doc_id"), col("__tt.term").as("term"),
         col("__tt.tf").cast("long").as("tf"), col("dl"))
-    val matched = stage(tf.filter(col("tf") > 0))
+    // stage the UNFILTERED per-(doc, term) relation: it carries dl for
+    // every document, so the corpus stats aggregate reads one term's
+    // slice of the staged rows instead of re-scanning and re-tokenizing
+    // the whole corpus a second time (tf>0 filtering would lose the
+    // unmatched docs the stats must count). One corpus scan total.
+    val tfAll = stage(tf)
+    val matched = tfAll.filter(col("tf") > 0)
     val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val st = docs.agg(
+    val st = tfAll.filter(col("term") === lit(terms.head)).agg(
       count(lit(1)).as("n_docs"),
-      sum(expr(s"size(split(lower($textCol), ' '))").cast("long")).as("total_len"))
+      sum(col("dl")).as("total_len"))
     matched
       .join(broadcast(df), "term")
       .join(broadcast(st))

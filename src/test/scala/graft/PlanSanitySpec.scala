@@ -19,9 +19,9 @@ class PlanSanitySpec extends SparkSpec {
   private val stagedQueries =
     Set("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_pipeline_curate",
       "x_dedup_simhash_pairs", "x_dedup_incremental", "x_dedup_containment",
-      // reads ONLY the staged tf relation since n_docs moved off the
-      // corpus scan (a rescan existed solely to count rows).
-      "x_tfidf_topk")
+      // read ONLY their staged tf relations since corpus stats moved off
+      // the second corpus scan (rescans existed solely to count/sum).
+      "x_tfidf_topk", "x_bm25_terms")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
