@@ -151,6 +151,20 @@ class PlanSanitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("ranking queries never rescan the corpus for stats (staged tf only)") {
+    // tfidf's n_docs and bm25's n_docs/total_len read slices of their
+    // staged tf relations; a parquet scan reappearing means a stats
+    // aggregate regressed to a second corpus pass.
+    Seq("x_tfidf_topk", "x_bm25_terms").foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllMatchIn(plan).length +
+        "FileScan parquet".r.findAllMatchIn(plan).length
+      assert(scans == 0,
+        s"$name re-scans the corpus ($scans parquet scans):\n${plan.take(1200)}")
+    }
+  }
+
   test("x_source_mix scans the corpus at most twice (stats pass + gate pass)") {
     val q = SparkEntry.registry.find(_.name == "x_source_mix").get
     val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
