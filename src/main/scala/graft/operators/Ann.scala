@@ -121,21 +121,27 @@ object Ann {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val width = bits / bands
     ensure(queries)
-    def banded(df: DataFrame, idAlias: String): DataFrame =
+    // embeddings RIDE the band relation (same move as simhashPairs' words):
+    // each side is scanned ONCE, candidates score immediately on the raw
+    // band join, and the dedup distinct runs on the NARROW scored rows
+    // (two ids + a double — a multi-band duplicate pair produces an
+    // identical cosine, so distinct-after-score ≡ distinct-before-join).
+    // The alternative (distinct candidate ids, then join both vector
+    // relations back) costs a second full scan of each side; recomputing
+    // a ≤`bands`× duplicated 64-dim dot product is far cheaper.
+    def banded(df: DataFrame, idAlias: String, vecAlias: String): DataFrame =
       df.withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding")))
-        .select(col("id").as(idAlias),
+        .select(col("id").as(idAlias), col("embedding").as(vecAlias),
           explode(expr(
             s"""transform(sequence(0, ${bands - 1}),
                |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
             .as("band"))
-    val qb = banded(queries, "q_id")
-    val cb = banded(corpus, "c_id")
-    val cand = qb.join(cb, "band").select(col("q_id"), col("c_id")).distinct()
-    val qv = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
-    val cv = corpus.select(col("id").as("c_id"), col("embedding").as("ce"))
-    val scored = cand.join(qv, "q_id").join(cv, "c_id")
+    val qb = banded(queries, "q_id", "qe")
+    val cb = banded(corpus, "c_id", "ce")
+    val scored = qb.join(cb, "band")
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
       .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
     rankTopK(scored, k)
   }
 

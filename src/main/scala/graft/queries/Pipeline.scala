@@ -57,7 +57,10 @@ object Pipeline {
       val dupIds = graft.operators.TextDedup
         .minhashLshPairs(sh, k = 12, bands = 4, threshold = 0.5)
         .select(col("db")).distinct()
-      canon.join(dupIds, canon("doc_id") === dupIds("db"), "left_anti")
+      // near-dup ids are by-contract sparse (≪ survivors): broadcast the
+      // anti-join's tiny side or the planner SMJs two stats-less staged
+      // relations and shuffles every survivor.
+      canon.join(broadcast(dupIds), canon("doc_id") === dupIds("db"), "left_anti")
         .select(col("doc_id"), col("n_tokens"), col("ttr"))
         .orderBy(col("doc_id"))
     }, Some(s"""
