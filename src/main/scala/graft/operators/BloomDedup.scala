@@ -33,6 +33,14 @@ import graft.functions.GraftFunctions
   * Spark's own runtime bloom joins and the ANN centroid broadcast):
   * `maxBytes` refuses filters beyond a broadcastable bound (default
   * 128 MiB ≈ 700M items at 1%). Beyond that, shape (2)/(3) applies.
+  * Spark's `BloomFilterAggregate` additionally caps items/bits via the
+  * session confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+  * (default 4M) and `.maxNumBits` (default 67,108,864 bits = 8 MiB);
+  * [[buildFilter]] raises both for the duration of the build action and
+  * restores them after, so the full `maxBytes` envelope is actually
+  * reachable. The raise is session-scoped — a concurrent query on the
+  * SAME session during the build sees the relaxed caps (harmless: they
+  * only bound Spark's own adaptive bloom-join sizing).
   *
   * Built on Spark's own runtime-filter expressions
   * (`BloomFilterAggregate`/`BloomFilterMightContain`, registered as
@@ -63,10 +71,30 @@ object BloomDedup {
     require(bits / 8 <= maxBytes,
       s"bloom filter would be ${bits / 8} bytes (> $maxBytes): " +
         "use the broadcast/shuffle anti-join shape instead")
-    corpus
-      .select(xxhash64(col(keyCol).cast("string")).as("__h"))
-      .agg(expr(s"bloom_agg(__h, ${expectedItems}L, ${bits}L)").as("__bf"))
-      .head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate require()s items/bits under these session confs
+    // (defaults 4M items / 8 MiB) — raise them for the build, restore after.
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = conf.getOption(itemsKey)
+    val prevBits = conf.getOption(bitsKey)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+    try {
+      conf.set(itemsKey,
+        math.max(conf.get(itemsKey, "4000000").toLong, expectedItems).toString)
+      conf.set(bitsKey,
+        math.max(conf.get(bitsKey, "67108864").toLong, bits).toString)
+      corpus
+        .select(xxhash64(col(keyCol).cast("string")).as("__h"))
+        .agg(expr(s"bloom_agg(__h, ${expectedItems}L, ${bits}L)").as("__bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally {
+      restore(itemsKey, prevItems)
+      restore(bitsKey, prevBits)
+    }
   }
 
   /** Rows whose key MIGHT be in the corpus (all true members + ~fpp of

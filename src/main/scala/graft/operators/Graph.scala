@@ -173,22 +173,28 @@ object Graph {
   }
 
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
-    * 64-bit hashes under two DIFFERENTLY-SEEDED keyings). One small
+    * 64-bit hashes under two DIFFERENTLY-KEYED hashings). One small
     * action per round; xor commutes so the physical row order never
-    * matters. The second xor appends a literal salt column, which changes
-    * the hash chaining state before the edge fields mix in — a genuinely
-    * different keyed function, not a permutation of the first's input.
-    * The families are still both xxhash64, so the pair is not provably
-    * independent; heuristically a false convergence (both xors AND the
-    * count colliding between consecutive non-equal edge sets) needs a
-    * simultaneous collision of both keyed sums — far beyond the single
-    * family's ~2^-64, and a collision would falsely declare convergence
-    * and emit an under-contracted (wrong) labeling with no error. */
+    * matters. The second xor puts a literal salt FIRST, so the hash
+    * chaining state already differs before the edge fields mix in — a
+    * per-edge collision under one keying does not force a collision under
+    * the other (a TRAILING salt would: xxhash64 chains state left to
+    * right, making H(src,dst,1) a pure per-edge function of H(src,dst)).
+    * Both families are still xxhash64, so the pair is not provably
+    * independent; heuristically, for non-adversarial data, a false
+    * convergence needs both keyed xors AND the count to collide between
+    * consecutive non-equal edge sets — roughly 2^-128, not the single
+    * family's ~2^-64. xxhash64 is NON-cryptographic: an adversarially
+    * crafted corpus could engineer per-edge collisions (~2^32 birthday
+    * work per 64-bit family), so for hostile inputs substitute an exact
+    * `except().isEmpty` check or a cryptographic digest; a collision
+    * falsely declares convergence and emits an under-contracted labeling
+    * with no error. */
   private def checksum(e: DataFrame): (Long, Long, Long) = {
     val row = e.agg(
       count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(src, dst))").as("x"),
-      expr("bit_xor(xxhash64(src, dst, 1))").as("y")).head()
+      expr("bit_xor(xxhash64(1, src, dst))").as("y")).head()
     (row.getLong(0),
       if (row.isNullAt(1)) 0L else row.getLong(1),
       if (row.isNullAt(2)) 0L else row.getLong(2))

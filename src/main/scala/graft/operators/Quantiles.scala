@@ -101,7 +101,13 @@ object Quantiles {
     // minimum.
     val stats = graft.sources.Tables.stage(base.groupBy(col(groupCol))
       .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi")))
-    val bucketed = base.join(broadcast(stats), Seq(groupCol))
+    // null-safe group equality (<=>): a NULL group key is a group like any
+    // other to groupBy, and the one-level histogram path returns a row for
+    // it — plain `===` joins here would silently drop those rows and make
+    // the two "same exact answer" paths diverge on null keys.
+    val bucketed = base.as("b")
+      .join(broadcast(stats).as("s"), col(s"b.$groupCol") <=> col(s"s.$groupCol"))
+      .select(col("b.*"), col("s.__lo"), col("s.__hi"))
       .withColumn("__b",
         when(col("__lo") === col("__hi"), lit(0))
           .otherwise(least(lit(buckets - 1),
@@ -126,7 +132,7 @@ object Quantiles {
         first(col("__k")).as("__k"))
     val thresholds = bucketed.as("r")
       .join(broadcast(targets).as("t"),
-        col(s"r.$groupCol") === col(s"t.$groupCol") && col("r.__b") === col("t.__tb"))
+        col(s"r.$groupCol") <=> col(s"t.$groupCol") && col("r.__b") === col("t.__tb"))
       .groupBy(col(s"r.$groupCol").as(groupCol), col("t.__label").as("__label"),
         col("t.__prior").as("__prior"), col("t.__k").as("__k"), col(s"r.$valCol").as("__v"))
       .agg(count(lit(1)).as("__c"))

@@ -101,18 +101,28 @@ object Ranking {
     * tf relation from ever shuffling on the skewed token key. For
     * open-web vocabularies (URLs/typos → billions of distinct tokens),
     * set false: the join becomes a shuffle join on token and AQE's
-    * skew-join splitting owns the stopword hot keys. */
+    * skew-join splitting owns the stopword hot keys.
+    *
+    * Corpus-size contract: N = number of DISTINCT doc ids with non-null
+    * text. Null-text rows are filtered up front (they produce no tf rows
+    * anyway — split(lower(NULL)) is NULL — so counting them into N would
+    * shift every idf without ever scoring them). Doc ids must be unique
+    * per document (as in any tf relation: a repeated id duplicates its tf
+    * rows and inflates df); N's count_distinct makes the N term robust to
+    * a violation, the per-term stats are not. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
                 broadcastVocab: Boolean = true): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val tf = stage(termFrequencies(docs, idCol, textCol))
+    val tf = stage(termFrequencies(
+      docs.filter(col(textCol).isNotNull), idCol, textCol))
     val df0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val df = if (broadcastVocab) broadcast(df0) else df0
     // N from the STAGED tf relation, not `docs`: counting the corpus again
     // would re-run its whole scan chain (including any caller-side fanOut
     // repartition — a full-table exchange to count rows). Every non-null
     // text yields ≥1 token row (split of "" is [""]), so distinct doc_id
-    // in tf ≡ the document count.
+    // in tf ≡ the distinct non-null-text document count (the documented
+    // N contract above).
     val n = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val scored = tf
       .join(df, "token")
@@ -192,6 +202,12 @@ object Ranking {
   def bm25TermScores(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    // A duplicated term would emit duplicate (doc, term) rows, doubling df
+    // and multiplying the n_docs/total_len stats (computed from the
+    // terms.head slice) by its multiplicity — every score silently wrong.
+    require(terms.distinct.size == terms.size,
+      s"terms must be distinct (got ${terms.size} with " +
+        s"${terms.size - terms.distinct.size} duplicate(s))")
     // terms enter as Column literals, never spliced into SQL text — a term
     // containing a quote would otherwise be mangled by the SQL lexer
     // (Spark has no doubled-'' escape; adjacent literals concatenate).

@@ -31,7 +31,8 @@ object Search {
       ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
       tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
       df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+            WHERE text IS NOT NULL)
       SELECT doc_id, token, tf, df,
              CAST(tf * n_docs AS DOUBLE) / df AS score
       FROM tf JOIN df USING (token) CROSS JOIN n

@@ -52,6 +52,25 @@ class BloomDedupSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
+  test("builds beyond Spark's 4M-item runtime-bloom cap, restores the confs") {
+    // BloomFilterAggregate require()s items/bits under the session confs
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    // (defaults 4M / 8 MiB) — buildFilter must raise them for the build
+    // (else the advertised 128 MiB envelope is unreachable: corpora past
+    // ~4M digests die with an opaque Spark error) and put them back after.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = (spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey))
+    val corpus = spark.range(0, 1000).select(md5(col("id").cast("string")).as("k"))
+    val filter = BloomDedup.buildFilter(corpus, "k", expectedItems = 5_000_000L)
+    assert(filter.nonEmpty)
+    assert((spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey)) == before,
+      "runtime-bloom-filter confs not restored after the build")
+    // the oversized filter still answers membership for the actual corpus.
+    val kept = BloomDedup.probe(corpus, "k", filter).count()
+    assert(kept == 1000L)
+  }
+
   test("oversized filters are refused with the escalation path named") {
     val corpus = spark.range(1).select(col("id").cast("string").as("k"))
     val e = intercept[IllegalArgumentException] {

@@ -83,6 +83,24 @@ class QuantilesSpec extends SparkSpec {
     assert(got == Map("c" -> ((7.0, 7.0)), "d" -> ((2.0, 10.0))))
   }
 
+  test("NULL group keys: one-level and bucketed paths agree (null-safe joins)") {
+    // groupBy treats NULL as a group; the bucketed path's equi-joins must
+    // be null-safe (<=>) or the NULL group's rows silently vanish and the
+    // two "same exact answer" paths diverge.
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 5.0), (None, 6.0), (None, 7.0), (None, 8.0))
+      .toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    def toMap(r: Array[(Option[String], Double, Double)]) =
+      r.map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val one = toMap(Quantiles.groupPercentilesDisc(df, "g", "v", ps)
+      .as[(Option[String], Double, Double)].collect())
+    val two = toMap(Quantiles.groupPercentilesDiscBucketed(df, "g", "v", ps, buckets = 4)
+      .as[(Option[String], Double, Double)].collect())
+    assert(one == Map(Some("a") -> ((2.0, 3.0)), None -> ((6.0, 8.0))))
+    assert(two == one)
+  }
+
   test("the window input is the histogram, not the raw rows") {
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
     val plan = Quantiles.groupPercentilesDisc(

@@ -84,6 +84,27 @@ class RankingSpec extends SparkSpec {
       (3L, "e", 3L, 1L, 4L, 792.0 / 504.0, 5.0 / 3.0)))
   }
 
+  test("bm25TermScores refuses duplicated query terms") {
+    // a duplicate term doubles df and multiplies the terms.head-slice
+    // corpus stats by its multiplicity — every score silently wrong.
+    val e = intercept[IllegalArgumentException] {
+      Ranking.bm25TermScores(docs, "doc_id", "text", Seq("a", "a", "b"))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("tfidfTopK: N counts distinct non-null-text docs (contract)") {
+    // a null-text row produces no tf rows; counting it into N would shift
+    // every idf while never scoring the row. The operator filters it up
+    // front, so adding null-text rows must not change any surviving score.
+    val clean = Ranking.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val dirty0 = docs.union(Seq((4L, null: String)).toDF("doc_id", "text"))
+    val dirty = Ranking.tfidfTopK(dirty0, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(dirty == clean)
+  }
+
   test("stripCommonLines removes cross-doc lines, keeps singletons in order") {
     // width=2 lines: d1 = ["x y", "z w"], d2 = ["x y", "q r"],
     // d3 = ["x y"] → "x y" banned (3 docs), everything else kept.
