@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+import graft.sources.Tables._
+
+/** Recall@k sweep for the approximate ANN paths (library surface in
+  * [[graft.operators.Ann]]).
+  *
+  * The driver's hash oracle proves `x_ann_lsh` / `x_ann_ivf` compute their
+  * own (deterministic) definitions exactly — it cannot say whether those
+  * definitions RETRIEVE anything. At 100 TB brute force is off the table,
+  * so the approximate paths are the product: a parameter default with
+  * silently-bad recall is a correctness bug the gate can't see. This main
+  * measures recall@10 against [[Ann.bruteTopK]] across the (bits, bands)
+  * LSH grid and the (centroids, nprobe) IVF grid, with the scored-pair
+  * count as the cost axis (pairs scored ≈ work a 1000-executor run pays).
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.AnnRecall"`
+  * Results are recorded in README.md (§ANN recall) and the floor at the
+  * documented defaults is pinned by AnnRecallSpec.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    val e = embeddings(spark, d).select(col("vec_id").as("id"), col("embedding"))
+    val nq = 50
+    val queries = e.filter(col("id") < nq)
+    val corpus = fanOut(e.filter(col("id") >= nq))
+    val k = 10
+    val nCorpus = corpus.count()
+    println(s"[ann-recall] dir=$d queries=$nq corpus=$nCorpus k=$k")
+
+    // exact baseline once, staged (every grid point joins against it).
+    val exact = stage(Ann.bruteTopK(queries, corpus, k))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(f"| path | params | recall@$k | scored pairs | pairs/exhaustive | sec |")
+    println(s"|---|---|---|---|---|---|")
+    val exhaustive = (nq.toLong * nCorpus).toDouble
+
+    for ((bits, bands) <- Seq((8, 2), (16, 4), (16, 8), (32, 8), (32, 16), (64, 16), (128, 16), (128, 32))) {
+      val (approx, sec) = timed(stage(Ann.lshTopK(queries, corpus, k, bits, bands)))
+      val pairs = lshScoredPairs(queries, corpus, bits, bands)
+      val r = Ann.meanRecall(approx, exact)
+      println(f"| lsh | bits=$bits bands=$bands | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
+    }
+
+    for (nc <- Seq(4, 8, 16); np <- Seq(1, 2, 4) if np <= nc) {
+      val cents = Ann.trainCentroids(corpus, nc)
+      val (approx, sec) = timed(stage(Ann.ivfTopK(queries, corpus, cents, k, np)))
+      // IVF scores every vector of the probed lists: nprobe/centroids of
+      // the corpus per query under balanced lists — measure the real count.
+      val pairs = ivfScoredPairs(queries, corpus, cents, np)
+      val r = Ann.meanRecall(approx, exact)
+      println(f"| ivf | cents=$nc nprobe=$np | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
+    }
+    spark.stop()
+  }
+
+  /** Distinct (q, c) candidate pairs the LSH path scores. */
+  def lshScoredPairs(queries: DataFrame, corpus: DataFrame,
+                     bits: Int, bands: Int, dim: Int = 64): Long = {
+    val width = bits / bands
+    def banded(df: DataFrame, idAlias: String): DataFrame =
+      df.withColumn("__w", typedlit(Ann.hyperplaneWeights(bits, dim)))
+        .withColumn("sig", expr(Ann.hyperplaneSigSql(bits, dim, "embedding", "__w")))
+        .select(col("id").as(idAlias),
+          explode(expr(
+            s"""transform(sequence(0, ${bands - 1}),
+               |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
+            .as("band"))
+    banded(queries, "q_id").join(banded(corpus, "c_id"), "band")
+      .select("q_id", "c_id").distinct().count()
+  }
+
+  /** (q, c) pairs the IVF path scores (probed lists' members per query). */
+  def ivfScoredPairs(queries: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, nprobe: Int): Long = {
+    val assigned = Ann.assignToCentroids(corpus, centroids)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+    val probes = Ann.ivfProbes(queries, centroids, nprobe)
+    probes.join(assigned, "cent_id").agg(sum(col("n"))).head().getLong(0)
+  }
+}

@@ -96,28 +96,65 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** ±1 hyperplane weight for (hyperplane `h`, 1-based dim `d`): the sign
+    * convention is `first hex digit of md5("h_d") >= '8'` — the exact rule
+    * the DuckDB oracle twin recomputes per row, evaluated HERE once on the
+    * driver. */
+  def hyperplaneWeight(h: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${h}_${d}".getBytes("UTF-8"))
+    // first hex char >= '8'  ⇔  high nibble of byte 0 >= 8.
+    if (((digest(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
+
+  /** The flat ±1 weight matrix for ([[hyperplaneWeight]]), indexed
+    * h·dim + (d−1) with 1-based d — attach with `typedlit` and feed the
+    * column name to [[hyperplaneSigSql]]. */
+  def hyperplaneWeights(bits: Int, dim: Int): Seq[Double] =
+    (0 until bits).flatMap(h => (1 to dim).map(d => hyperplaneWeight(h, d)))
+
   /** Sign-hyperplane signature SQL for `bits` hyperplanes over `dim`
-    * dimensions; ±1 weights derived from md5 so the "matrix" is
-    * reproducible anywhere. (A production pipeline materializes trained
-    * hyperplanes once and broadcasts them instead.) */
-  def hyperplaneSigSql(bits: Int, dim: Int, embeddingCol: String): String =
+    * dimensions. `weightsCol` must hold [[hyperplaneWeights]] attached as
+    * `typedlit(...)` — a true Literal. Materializing the matrix once on
+    * the driver replaces an md5 per row × bit × dim inside the projection
+    * (~1000× more hashing than arithmetic); it must enter the plan via
+    * typedlit because an `array(...)` SQL literal inside a higher-order-
+    * function lambda is NOT constant-folded — Spark rebuilds the bits·dim
+    * array per element access, which measured ~150× SLOWER than the md5
+    * form at bits=64. Bit-identical to the md5-in-SQL form the oracle
+    * uses: the weights are the same ±1 values, `w*x` with w = ±1.0 is an
+    * exact IEEE sign flip / identity, and the fold order over dims is
+    * unchanged. */
+  def hyperplaneSigSql(bits: Int, dim: Int, embeddingCol: String,
+                       weightsCol: String): String =
     s"""concat_ws('', transform(sequence(0, ${bits - 1}), h ->
        |  CASE WHEN aggregate(sequence(1, $dim), CAST(0 AS DOUBLE), (acc, dd) ->
-       |         acc + CASE WHEN substring(md5(concat(CAST(h AS STRING), '_', CAST(dd AS STRING))), 1, 1) >= '8'
-       |                    THEN CAST(element_at($embeddingCol, dd) AS DOUBLE)
-       |                    ELSE -CAST(element_at($embeddingCol, dd) AS DOUBLE) END) > 0
+       |         acc + element_at($weightsCol, h * $dim + dd)
+       |               * CAST(element_at($embeddingCol, dd) AS DOUBLE)) > 0
        |  THEN '1' ELSE '0' END))""".stripMargin
 
   /** LSH-bucketed top-`k`: candidates share ≥1 of `bands` signature bands,
     * exact cosine re-ranks candidates only. Approximate by construction but
     * fully deterministic. Output: (q_id, rank, neighbor_id, cos).
     *
+    * Parameter guidance (measured — see `graft.AnnRecall` and README's
+    * recall table): band width `bits/bands` sets per-band collision
+    * selectivity (~2^-width for unrelated vectors), `bands` multiplies
+    * chances for true neighbors. The defaults (64, 16) clear recall@10 ≈
+    * 0.9 on ISOTROPIC RANDOM vectors — the worst-case geometry, where any
+    * sub-exhaustive method is near its information bound and candidate
+    * volume is ~64% of exhaustive. Real embedding corpora are far more
+    * clustered: the same defaults prune much harder at higher recall
+    * (AnnRecallSpec pins ≥0.95 recall at a fraction of exhaustive cost on
+    * a clustered fixture). Tune DOWN (fewer/wider bands) only with
+    * measured recall on your corpus.
+    *
     * Each banded relation is consumed exactly once by the candidate join,
     * so signatures are computed once per side with no staging needed (the
     * self-join reuse concern only applies when one relation feeds both
     * sides — see graft.operators.TextDedup.minhashLshPairs). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+              bits: Int = 64, bands: Int = 16, dim: Int = 64): DataFrame = {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val width = bits / bands
     ensure(queries)
@@ -130,7 +167,8 @@ object Ann {
     // relations back) costs a second full scan of each side; recomputing
     // a ≤`bands`× duplicated 64-dim dot product is far cheaper.
     def banded(df: DataFrame, idAlias: String, vecAlias: String): DataFrame =
-      df.withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding")))
+      df.withColumn("__w", typedlit(hyperplaneWeights(bits, dim)))
+        .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding", "__w")))
         .select(col("id").as(idAlias), col("embedding").as(vecAlias),
           explode(expr(
             s"""transform(sequence(0, ${bands - 1}),
@@ -243,15 +281,34 @@ object Ann {
     * `centroids` is an (id, embedding) relation, small enough to broadcast
     * (trained offline in a real pipeline). Assignment and probe selection
     * are both per-row projections over the centroid literal — the corpus
-    * is never shuffled to be assigned. Output: (q_id, rank, neighbor_id, cos). */
+    * is never shuffled to be assigned. Output: (q_id, rank, neighbor_id, cos).
+    *
+    * Retrieval quality is GEOMETRY-DEPENDENT by construction: IVF prunes
+    * by cluster locality, so on isotropic random vectors recall ≈ the
+    * fraction of the corpus probed (nprobe/centroids — no better than
+    * random pruning; measured in `graft.AnnRecall`), while on clustered
+    * corpora (the regime real embeddings live in) recall at the defaults
+    * is near-1 at nprobe/centroids of the cost (AnnRecallSpec pins it on
+    * a clustered fixture). If recall matters and the corpus may lack
+    * cluster structure, use [[lshTopK]] or raise nprobe. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     ensure(queries)
     val assigned = assignToCentroids(corpus, centroids)
-    // Top-nprobe centroids per query: sort the per-row scored list with an
-    // explicit (cos DESC, cid ASC) comparator, slice, explode — still a
-    // pure projection; only then does the (tiny) probe relation join out.
-    val probes = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
+    val probes = ivfProbes(queries, centroids, nprobe)
+    val scored = broadcast(probes).join(assigned, "cent_id")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Top-`nprobe` centroid lists per query: sort the per-row scored list
+    * with an explicit (cos DESC, cid ASC) comparator, slice, explode — a
+    * pure projection over the broadcast centroid literal. Output:
+    * (q_id, qe, cent_id), one row per probed list. */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    ensure(queries)
+    queries.select(col("id").as("q_id"), col("embedding").as("qe"))
       .withColumn("cents", centroidLiteral(centroids))
       .withColumn("cent_id", explode(expr(
         s"""transform(slice(array_sort(${centScores("qe")},
@@ -260,9 +317,34 @@ object Ann {
            |                 ELSE 0 END),
            |  1, $nprobe), s -> s.cid)""".stripMargin)))
       .select(col("q_id"), col("qe"), col("cent_id"))
-    val scored = broadcast(probes).join(assigned, "cent_id")
-      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-      .select(col("q_id"), col("vec_id").as("c_id"), col("cos"))
-    rankTopK(scored, k)
   }
+
+  /** Per-query recall of an approximate top-k result against the exact
+    * one: |approx ∩ exact| / |exact| over neighbor ids, per q_id. Both
+    * inputs are (q_id, rank, neighbor_id, cos) relations as produced by
+    * [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]]. Queries the approximate path
+    * missed entirely still appear (recall 0). Output: (q_id, hits, k,
+    * recall) — a distributed semi-join + count, no collect.
+    *
+    * This is the measurement the hash oracle cannot make: LSH/IVF are
+    * deterministic, so the driver gate proves they compute their own
+    * definition — only recall against [[bruteTopK]] proves the definition
+    * retrieves anything. At 100 TB brute force is off the table, so the
+    * approximate paths ARE the product; see AnnRecallSpec for the asserted
+    * floor at the documented defaults and README for the parameter sweep. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("q_id"), col("neighbor_id"))
+    val e = exact.select(col("q_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    e.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall"))
+  }
+
+  /** Mean of [[recallAtK]] over all queries — the single sweep/gate
+    * number. */
+  def meanRecall(approx: DataFrame, exact: DataFrame): Double =
+    recallAtK(approx, exact).agg(avg(col("recall"))).head().getDouble(0)
 }

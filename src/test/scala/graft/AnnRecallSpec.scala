@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** Retrieval QUALITY of the approximate ANN paths — the dimension the
+  * driver's hash oracle cannot see (LSH/IVF are deterministic, so the
+  * oracle only proves they compute their own definition). At 100 TB brute
+  * force is off the table and the approximate paths are the product:
+  * these floors make silently-bad defaults a test failure.
+  *
+  * Two geometries, because ANN quality is geometry-dependent:
+  *  - a CLUSTERED fixture (the regime real embedding corpora live in):
+  *    both paths must retrieve near-exactly while scoring a small
+  *    fraction of the exhaustive pair count — recall AND pruning;
+  *  - the ISOTROPIC RANDOM sf0.01 embeddings table (worst case — neighbors
+  *    are barely separated from the bulk): the documented LSH defaults
+  *    must still clear a 0.85 floor.
+  * Everything here is deterministic (fixed fixture, md5-derived
+  * hyperplanes, deterministic k-means init), so the floors are exact
+  * pins, not flaky statistical tests. */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 10 well-separated unit-ish centers + per-vector noise, cluster =
+    * id % 10 (so trainCentroids' first-k init sees every cluster).
+    * Deterministic: seeded per-id PRNG. */
+  private def clustered(n: Int, dim: Int = 64, noise: Double = 0.35): DataFrame = {
+    val centers = Array.tabulate(10) { c =>
+      val r = new scala.util.Random(1000 + c)
+      Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val rows = (0 until n).map { i =>
+      val r = new scala.util.Random(i)
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + noise * (r.nextDouble() * 2 - 1)).toFloat).toSeq)
+    }
+    rows.toDF("id", "embedding")
+  }
+
+  private def split(e: DataFrame, nq: Int): (DataFrame, DataFrame) =
+    (e.filter(col("id") < nq), e.filter(col("id") >= nq))
+
+  test("clustered corpus: LSH defaults retrieve near-exactly, sub-exhaustively") {
+    // the (64, 16) defaults are RECALL-SAFE: width-4 bands collide at
+    // ~1/16 per band for unrelated vectors, so the cost floor is
+    // 1-(15/16)^16 ≈ 0.64 of exhaustive on any geometry — the price of
+    // clearing 0.9 recall on isotropic random data (the worst case).
+    val (q, c) = split(clustered(520), 20)
+    val exact = Ann.bruteTopK(q, c, k = 10)
+    val approx = Ann.lshTopK(q, c, k = 10)
+    val recall = Ann.meanRecall(approx, exact)
+    assert(recall >= 0.95, f"LSH recall@10 on clustered data: $recall%.3f < 0.95")
+    val pairs = AnnRecall.lshScoredPairs(q, c, bits = 64, bands = 16)
+    val exhaustive = 20L * 500L
+    assert(pairs <= (exhaustive * 7) / 10,
+      s"LSH scored $pairs of $exhaustive pairs — above the documented cost ceiling")
+  }
+
+  test("clustered corpus: WIDE bands (corpus-tuned) prune hard at high recall") {
+    // width-8 bands: unrelated pairs collide at ~2^-8 per band — the
+    // production tuning when the corpus has cluster structure (same-
+    // cluster pairs at cos≈0.9 agree per band with prob ~0.86^8 ≈ 0.29,
+    // caught by ≥1 of 16 bands with prob ≈ 0.996). This is the measured
+    // claim behind the scaladoc's "tune width to your corpus" guidance.
+    val (q, c) = split(clustered(520), 20)
+    val exact = Ann.bruteTopK(q, c, k = 10)
+    val approx = Ann.lshTopK(q, c, k = 10, bits = 128, bands = 16)
+    val recall = Ann.meanRecall(approx, exact)
+    assert(recall >= 0.9, f"wide-band LSH recall@10: $recall%.3f < 0.9")
+    val pairs = AnnRecall.lshScoredPairs(q, c, bits = 128, bands = 16)
+    val exhaustive = 20L * 500L
+    assert(pairs <= exhaustive / 4,
+      s"wide-band LSH scored $pairs of $exhaustive pairs — pruning claim broken")
+  }
+
+  test("clustered corpus: trained IVF retrieves near-exactly at nprobe/cents cost") {
+    val (q, c) = split(clustered(520), 20)
+    val exact = Ann.bruteTopK(q, c, k = 10)
+    val cents = Ann.trainCentroids(c, k = 10)
+    val approx = Ann.ivfTopK(q, c, cents, k = 10, nprobe = 2)
+    val recall = Ann.meanRecall(approx, exact)
+    assert(recall >= 0.9, f"IVF recall@10 on clustered data: $recall%.3f < 0.9")
+    val pairs = AnnRecall.ivfScoredPairs(q, c, cents, nprobe = 2)
+    val exhaustive = 20L * 500L
+    assert(pairs <= (exhaustive * 2) / 5,
+      s"IVF scored $pairs of $exhaustive pairs — probing did not prune")
+  }
+
+  test("isotropic random corpus (worst case): LSH defaults clear the floor") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id").as("id"), col("embedding"))
+    val (q, c) = split(e, 10)
+    val exact = Ann.bruteTopK(q, c, k = 10)
+    val approx = Ann.lshTopK(q, c, k = 10)
+    val recall = Ann.meanRecall(approx, exact)
+    assert(recall >= 0.85, f"LSH recall@10 on random data: $recall%.3f < 0.85")
+  }
+
+  test("recallAtK: missed queries appear with recall 0") {
+    val exact = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8),
+      (2L, 1L, 12L, 0.7)).toDF("q_id", "rank", "neighbor_id", "cos")
+    val approx = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 99L, 0.5))
+      .toDF("q_id", "rank", "neighbor_id", "cos")
+    val got = Ann.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 0.5), (2L, 0L, 1L, 0.0)))
+  }
+}
