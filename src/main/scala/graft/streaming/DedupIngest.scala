@@ -1,9 +1,12 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicReference
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.TextDedup
+import graft.operators.{BloomDedup, TextDedup}
 
 /** Streaming incremental near-duplicate detection: the production ingest
   * shape that `TextDedup.minhashLshPairsAgainstIndex` exists for — a
@@ -27,6 +30,10 @@ import graft.operators.TextDedup
   * This is the streaming twin of the batch registry query
   * `x_dedup_incremental` (same operator, same semantics — the spec drives
   * both from the same corpus and asserts identical pairs).
+  *
+  * [[startGated]] is the COMPOSED production pipeline: a bloom exact-dedup
+  * pre-gate ([[graft.operators.BloomDedup]]) in front of the LSH join,
+  * with atomic corpus-version rotation between micro-batches.
   */
 object DedupIngest {
 
@@ -64,5 +71,82 @@ object DedupIngest {
         sh, index.shingled, index.bandKeys,
         index.k, index.bands, threshold, bandCap)
       onBatch(pairs, batchId)
+    }, checkpoint)
+
+  /** One corpus version's FULL dedup state for the combined gate: the LSH
+    * near-dup index, the staged (db, __digest) exact-content relation, and
+    * the bloom filter over those digests (a plan literal — zero per-batch
+    * corpus work for the exact gate). `version` tags emitted batches so a
+    * sink can attribute pairs to the corpus they were deduped against. */
+  final case class CorpusState(index: CorpusIndex, digests: DataFrame,
+                               exactFilter: Array[Byte], version: Long)
+
+  /** Build a [[CorpusState]] (once per corpus version): stages the shingle
+    * relation, the band index, and the md5 content-digest relation, then
+    * folds the digests into a bloom filter ([[BloomDedup.buildFilter]]).
+    * `expectedItems` ≤ 0 sizes the filter from an exact count of the
+    * (tiny, staged) digest relation — one extra scan of 16-byte rows. */
+  def buildState(corpus: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 12, bands: Int = 4,
+                 fpp: Double = 0.01, expectedItems: Long = 0L,
+                 version: Long = 0L): CorpusState = {
+    val index = buildIndex(corpus, idCol, textCol, n, k, bands)
+    val digests = graft.sources.Tables.stage(corpus.select(
+      col(idCol).cast("long").as("db"), md5(col(textCol)).as("__digest")))
+    val items = if (expectedItems > 0L) expectedItems else digests.count()
+    CorpusState(index, digests,
+      BloomDedup.buildFilter(digests, "__digest", items, fpp), version)
+  }
+
+  /** The COMPOSED per-batch production gate: exact dedup first (bloom
+    * pre-gate + exact settle), then near-dup LSH on the survivors only.
+    * Per micro-batch:
+    *
+    *   1. the bloom filter — a scan-fused literal Filter, no join, no
+    *      corpus access — passes only rows whose md5 content digest MIGHT
+    *      be in the corpus (all true exact dups + ~fpp false positives);
+    *   2. those few candidates broadcast onto the staged corpus digest
+    *      relation to settle EXACTLY → `exactPairs` (da = batch id,
+    *      db = corpus id with identical content; no false drops — a bloom
+    *      false positive simply fails the settle join);
+    *   3. rows with an exact match skip shingling entirely (their LSH
+    *      pairs are foregone conclusions); the SURVIVORS run
+    *      [[TextDedup.minhashLshPairsAgainstIndex]] against the persisted
+    *      band index → `nearPairs` (da, db, jaccard).
+    *
+    * `state` is an [[AtomicReference]] so the corpus can ROTATE between
+    * batches without stopping the stream: build the next version with
+    * [[buildState]] (staging + filter build run OUTSIDE the stream), then
+    * `state.set(next)` — foreachBatch bodies run sequentially and read the
+    * reference once at batch start, so every batch sees exactly one
+    * consistent (index, digests, filter) triple and the swap is atomic at
+    * a batch boundary. Rebuild cost is paid once per corpus version, never
+    * per batch (spec-pinned: micro-batches create no staging dirs).
+    *
+    * Within-batch duplicates are out of scope here (two identical NEW
+    * documents emit no pair — neither is in the corpus yet); run
+    * [[TextDedup.exactGroups]] on the batch first if that matters.
+    * `onBatch` receives (exactPairs, nearPairs, corpusVersion, batchId). */
+  def startGated(stream: Stream, state: AtomicReference[CorpusState],
+                 idCol: String, textCol: String,
+                 threshold: Double = 0.5, bandCap: Option[Int] = None,
+                 checkpoint: Option[String] = None)(
+                 onBatch: (DataFrame, DataFrame, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      val withDigest = batch.withColumn("__digest", md5(col(textCol)))
+      val cand = BloomDedup.probe(withDigest, "__digest", st.exactFilter)
+      val exactPairs = broadcast(
+          cand.select(col(idCol).cast("long").as("da"), col("__digest")))
+        .join(st.digests, "__digest")
+        .select(col("da"), col("db"))
+      val exactIds = exactPairs.select(col("da")).distinct()
+      val survivors = withDigest.join(broadcast(exactIds),
+        col(idCol).cast("long") === col("da"), "left_anti")
+      val nearPairs = TextDedup.minhashLshPairsAgainstIndex(
+        TextDedup.shingleProjection(survivors, idCol, textCol, st.index.n),
+        st.index.shingled, st.index.bandKeys,
+        st.index.k, st.index.bands, threshold, bandCap)
+      onBatch(exactPairs, nearPairs, st.version, batchId)
     }, checkpoint)
 }

@@ -126,4 +126,96 @@ class StreamingDedupSpec extends SparkSpec {
       assert(replayed.isEmpty, s"pairs emitted more than once: $replayed")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("startGated: bloom exact gate + LSH survivors ≡ batch ops; rotation swaps once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val fresh0 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      // exact copies of 10 corpus docs under new ids → guaranteed exact hits.
+      val copies = corpus.orderBy(col("doc_id")).limit(10)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val fresh = fresh0.union(copies)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        DedupIngest.buildState(corpus, "doc_id", "text"))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      val afterBuild = stageDirs
+      assert(afterBuild == 3, s"state = shingles + band keys + digests, got $afterBuild")
+
+      // batch-mode truth for version 0: exact pairs on content digest...
+      def digests(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("doc_id").as(idAs), md5(col("text")).as("d"))
+      val expectedExact = digests(fresh, "da").join(digests(corpus, "db"), "d")
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      assert(expectedExact.size >= 10, s"fixture: $expectedExact")
+      // ...and LSH pairs over the exact-surviving rows only.
+      val exactIds = expectedExact.map(_._1).toSeq
+      val survivors = fresh.filter(!col("doc_id").isin(exactIds: _*))
+      val st0 = state.get()
+      val expectedNear = TextDedup.minhashLshPairsAgainstIndex(
+          TextDedup.shingleProjection(survivors, "doc_id", "text", 3),
+          st0.index.shingled, st0.index.bandKeys)
+        .select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+      assert(expectedNear.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val gotExact = scala.collection.mutable.Set.empty[(Long, Long)]
+      val gotNear = scala.collection.mutable.Set.empty[(Long, Long)]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = DedupIngest.startGated(s, state, "value.doc_id", "value.text") {
+        (exact, near, version, _) =>
+          versions += version
+          gotExact ++= exact.as[(Long, Long)].collect()
+          gotNear ++= near.select(col("da"), col("db")).as[(Long, Long)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df.select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // two micro-batches under version 0.
+      send(fresh.filter(col("doc_id") % 2 === 0))
+      send(fresh.filter(col("doc_id") % 2 =!= 0))
+      assert(gotExact.toSet == expectedExact,
+        s"exact gate diverges:\n got=${gotExact.toSet}\n want=$expectedExact")
+      assert(gotNear.toSet == expectedNear,
+        s"near pairs diverge:\n got=${gotNear.toSet}\n want=$expectedNear")
+      assert(stageDirs == afterBuild,
+        "micro-batches staged new dirs — per-batch work must stay unstaged")
+
+      // ROTATE: corpus v1 additionally contains everything streamed so far.
+      // Re-sent copies of fresh0 docs exact-hit ONLY after the rotation.
+      state.set(DedupIngest.buildState(
+        corpus.union(fresh), "doc_id", "text", version = 1L))
+      val afterRotate = stageDirs
+      assert(afterRotate == 6, s"rotation rebuilds exactly one state: $afterRotate")
+      gotExact.clear(); gotNear.clear()
+      val resent = fresh0.limit(5)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val expectedV1 = digests(resent, "da")
+        .join(digests(corpus.union(fresh), "db"), "d")
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      send(resent)
+      assert(gotExact.toSet == expectedV1,
+        s"post-rotation exact pairs:\n got=${gotExact.toSet}\n want=$expectedV1")
+      assert(expectedV1.exists { case (_, db) => db % 10 == 0 },
+        "fixture: no re-sent doc hit a v1-only corpus row — rotation unproven")
+      assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
+      assert(stageDirs == afterRotate,
+        "post-rotation micro-batch staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
