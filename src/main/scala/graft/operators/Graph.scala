@@ -131,6 +131,68 @@ object Graph {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** INCREMENTAL connected components — the per-batch cluster-maintenance
+    * step of a daily-ingest dedup pipeline: fold a (small) batch of new
+    * edges into an existing labeling without re-contracting the full pair
+    * set. `prevComponents` is a (node, component) relation as produced by
+    * [[connectedComponents]]/[[componentsForVertices]] (labels = smallest
+    * node id in the component — the invariant this operator preserves);
+    * `newEdges` is the batch. Output: the updated (node, component)
+    * relation covering every prior node plus the new edges' endpoints
+    * (a new node whose only new edges are self-loops is dropped, matching
+    * [[connectedComponents]]' contract).
+    *
+    * Plan shape (the 100 TB contract — `prevComponents` is corpus-sized,
+    * the batch is not): the batch's endpoint ids broadcast onto prev to
+    * look up prior labels (corpus scan 1, nothing shuffles); each new edge
+    * CONTRACTS to its endpoints' prior components, so the star-contraction
+    * loop runs on a ≤|batch|-edge graph of component representatives —
+    * never on the corpus; the resulting (tiny) relabeling broadcasts back
+    * onto prev (corpus scan 2). Exactly two passes over the corpus-sized
+    * relation, both broadcast joins, regardless of cluster sizes.
+    *
+    * Equivalence (GraphSpec, randomized splits): merged-cluster labels are
+    * minima over contracted representatives = minima over all member node
+    * ids, so the result is bit-identical to a full recompute over the
+    * union edge set — and `x_cc_incremental`'s oracle checks the
+    * incremental path against the full recursive-CTE closure.
+    *
+    * In `graft.stage.dir` mode the inner delta contraction leaves its
+    * final round directory behind (same contract as the plain
+    * [[connectedComponents]] overload). */
+  def incrementalComponents(prevComponents: DataFrame, newEdges: DataFrame,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            maxIter: Int = 50): DataFrame = {
+    val e = newEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val ids = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val prev = prevComponents.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    // prior labels for the batch's endpoints only: ≤ 2|batch| rows.
+    val hits = prev.join(broadcast(ids), Seq("node"))
+    val mapped = e
+      .join(broadcast(hits.select(col("node").as("src"), col("component").as("__sc"))),
+        Seq("src"), "left")
+      .join(broadcast(hits.select(col("node").as("dst"), col("component").as("__dc"))),
+        Seq("dst"), "left")
+      .select(coalesce(col("__sc"), col("src")).as("src"),
+        coalesce(col("__dc"), col("dst")).as("dst"))
+    // contract the delta graph: nodes are prior component representatives
+    // and brand-new ids; an edge inside one prior component self-loops
+    // away. Representatives are their components' minimum node ids, so
+    // the delta labels are global minima over the merged memberships.
+    val delta = connectedComponents(mapped, "src", "dst", maxIter)
+    val prior = prev
+      .join(broadcast(delta.select(col("node").as("component"), col("component").as("__nc"))),
+        Seq("component"), "left")
+      .select(col("node"), coalesce(col("__nc"), col("component")).as("component"))
+    // new nodes = batch endpoints absent from prev (both relations tiny).
+    val newRows = delta.join(broadcast(ids.join(broadcast(hits.select("node")),
+      Seq("node"), "left_anti")), Seq("node"))
+      .select(col("node"), col("component"))
+    prior.unionByName(newRows)
+  }
+
   /** large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u}).
     * Emitted edges keep dst < src (m ≤ u < v). Connectivity-preserving;
     * flattens high-degree hubs in one round.

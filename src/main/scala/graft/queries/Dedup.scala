@@ -284,6 +284,34 @@ object Dedup {
       SELECT n AS doc_id, MIN(m) AS component_id
       FROM reach GROUP BY n ORDER BY doc_id"""), headline = true),
 
+    // ------------------------------- incremental CC (per-batch maintenance)
+    // The daily-ingest shape: half the near-dup pairs (deterministic
+    // (da+db) parity split) build the prior labeling, the other half folds
+    // in via Graph.incrementalComponents — contraction runs on the
+    // delta-sized contracted graph only, prev is touched by exactly two
+    // broadcast joins. The oracle is the FULL recursive-CTE closure over
+    // all pairs: the incremental path must land on identical labels.
+    Q("x_cc_incremental", (s, d) => {
+      val pairs = stage(graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7))
+      val base = pairs.filter((col("da") + col("db")) % 2 === 0)
+      val delta = pairs.filter((col("da") + col("db")) % 2 =!= 0)
+      val prev = graft.operators.Graph
+        .componentsForVertices(documents(s, d), "doc_id", base, "da", "db")
+      graft.operators.Graph.incrementalComponents(prev, delta, "da", "db")
+        .select(col("node").as("doc_id"), col("component").as("component_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckSimhashPairCtes,
+      edges AS (SELECT da AS s, db AS d FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s)
+      SELECT n AS doc_id, MIN(m) AS component_id
+      FROM reach GROUP BY n ORDER BY doc_id""")),
+
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,
     // keeping the smallest doc_id as canonical — pairs → components →

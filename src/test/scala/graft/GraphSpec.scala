@@ -35,6 +35,51 @@ class GraphSpec extends SparkSpec {
       (7L, 7L), (10L, 10L), (20L, 10L), (99L, 99L)))
   }
 
+  test("incrementalComponents merges, splits nothing, keeps new singles") {
+    // prev: {1,2,3} and {10,20}; batch merges them via 3–10, adds new
+    // chain 30–31, and a within-component edge (2,3) that must be a no-op.
+    val prev = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (20L, 10L))
+      .toDF("node", "component")
+    val batch = Seq((3L, 10L), (30L, 31L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.incrementalComponents(prev, batch)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (20L, 1L),
+      (30L, 30L), (31L, 30L)))
+  }
+
+  test("incrementalComponents ≡ full recompute on randomized edge splits") {
+    // seeded random graphs folded in over THREE batches — the labels after
+    // each fold must equal a full recompute over the edges seen so far.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val all = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parts = all.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1).map(_._2)
+      var labels = Graph.connectedComponents(parts.head.toDF("a", "b"), "a", "b")
+      var seen = parts.head
+      for (batch <- parts.tail) {
+        labels = Graph.incrementalComponents(labels, batch.toDF("src", "dst"))
+        seen = seen ++ batch
+        val full = Graph.connectedComponents(seen.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toSet
+        val inc = labels.as[(Long, Long)].collect().toSet
+        assert(inc == full, s"trial $trial diverged after a fold")
+        labels = inc.toSeq.toDF("node", "component")
+      }
+    }
+  }
+
+  test("incrementalComponents: the corpus-sized side never shuffles") {
+    val prev = Seq((1L, 1L), (2L, 1L), (10L, 10L)).toDF("node", "component")
+    val batch = Seq((2L, 10L)).toDF("src", "dst")
+    val plan = Graph.incrementalComponents(prev, batch)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"prev must join via broadcast only:\n${plan.take(2000)}")
+  }
+
   test("parquet-staging mode reclaims superseded round directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
     spark.conf.set("graft.stage.dir", dir)
