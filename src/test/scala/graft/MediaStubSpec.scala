@@ -21,6 +21,44 @@ class MediaStubSpec extends SparkSpec {
     assert(again(0).width == a.width && again(0).height == a.height)
   }
 
+  test("REAL header parsing: JPEG marker walk, PNG IHDR, GIF descriptor") {
+    // the JPEG builder inserts APP0 + DQT segments BEFORE SOF0: a parser
+    // that reads a fixed offset instead of walking markers fails here.
+    assert(MediaStub.jpegDimensions(MediaStub.jpegBytes(641, 480)) == Some((641, 480)))
+    assert(MediaStub.pngDimensions(MediaStub.pngBytes(1920, 1080)) == Some((1920, 1080)))
+    assert(MediaStub.gifDimensions(MediaStub.gifBytes(320, 200)) == Some((320, 200)))
+    // dispatch by magic, regardless of the caller's format label.
+    assert(MediaStub.headerDimensions(MediaStub.jpegBytes(7, 9)) == Some((7, 9)))
+    assert(MediaStub.headerDimensions(MediaStub.pngBytes(7, 9)) == Some((7, 9)))
+    assert(MediaStub.headerDimensions(MediaStub.gifBytes(7, 9)) == Some((7, 9)))
+    // content after the header does not disturb the parse.
+    assert(MediaStub.pngDimensions(
+      MediaStub.pngBytes(33, 44, Array.fill[Byte](100)(1))) == Some((33, 44)))
+    // truncated and corrupt payloads are None, never garbage or a throw.
+    assert(MediaStub.jpegDimensions(MediaStub.jpegBytes(641, 480).take(20)).isEmpty)
+    assert(MediaStub.jpegDimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
+    assert(MediaStub.pngDimensions("not a png at all".getBytes("UTF-8")).isEmpty)
+    assert(MediaStub.headerDimensions(Array.empty[Byte]).isEmpty)
+    // SOS (scan data) before any SOF aborts the walk.
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 1, 2).map(_.toByte)
+    assert(MediaStub.jpegDimensions(sosFirst).isEmpty)
+  }
+
+  test("extractFeatures uses the real parse for recognized containers") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "jpeg", MediaStub.jpegBytes(800, 600)),
+      MediaRecord(2L, "png", MediaStub.pngBytes(1024, 768)),
+      MediaRecord(3L, "gif", MediaStub.gifBytes(99, 66)),
+      MediaRecord(4L, "bin", "no header here".getBytes("UTF-8"))))
+    val out = MediaStub.extractFeatures(ds).collect().sortBy(_.id)
+    assert((out(0).width, out(0).height) == (800, 600))
+    assert((out(1).width, out(1).height) == (1024, 768))
+    assert((out(2).width, out(2).height) == (99, 66))
+    // unrecognized payloads keep the deterministic fallback range.
+    assert(out(3).width >= 64 && out(3).width < 320)
+  }
+
   test("decode runs per-partition (mapPartitions), preserving distribution") {
     import spark.implicits._
     val ds = spark.createDataset(
