@@ -43,9 +43,23 @@ import graft.sources.Tables.stageTracked
   *    ~2^-64 (see [[checksum]] for the exact claim);
   *  - a skewed star (one hub in millions of edges) is exactly what
   *    large-star is designed to flatten; AQE's skew-join handling covers
-  *    the transient rounds.
+  *    the transient rounds;
+  *  - the contraction ENDS on the driver: once the (geometrically
+  *    shrinking) edge set drops under [[Graph.DefaultLocalThreshold]]
+  *    (~8 MiB), one collect + union-find replaces the last ~log(bound)
+  *    distributed rounds of near-empty shuffle stages — a documented,
+  *    by-contract-bounded collect, identical labels.
   */
 object Graph {
+
+  /** Edge-count bound below which the contraction finishes on the driver
+    * (collect + union-find): ~8 MiB of edge pairs. Star contraction
+    * shrinks the edge set geometrically, so every run ENDS in this regime;
+    * finishing locally replaces the last ~log(threshold) distributed
+    * rounds (each 3–4 shuffle stages of near-empty partitions) with one
+    * collect — the same hybrid ending GraphFrames uses. Set 0 to force
+    * the pure distributed fixed point. */
+  val DefaultLocalThreshold: Long = 1L << 19
 
   /** (node, component) for every node incident to ≥1 NON-self-loop edge;
     * `component` is the smallest node id in the connected component. Edges
@@ -54,8 +68,9 @@ object Graph {
     * use [[componentsForVertices]] to retain such nodes (and fully isolated
     * ones) as singleton components. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame =
-    connectedComponentsTracked(edges, srcCol, dstCol, maxIter).df
+                          maxIter: Int = 50,
+                          localThreshold: Long = DefaultLocalThreshold): DataFrame =
+    connectedComponentsTracked(edges, srcCol, dstCol, maxIter, localThreshold).df
 
   /** [[connectedComponents]] returning a [[graft.sources.Tables.Staged]]
     * handle: `.df` is the (node, component) result; in parquet-staging
@@ -66,33 +81,44 @@ object Graph {
     * operator cannot know when deletion is safe). Every SUPERSEDED round
     * is reclaimed as the loop advances, and every staged directory is
     * reclaimed on ANY exception path (including non-convergence) — an
-    * aborted run leaks nothing. */
+    * aborted run leaks nothing. When the run ENDS via the local terminal
+    * path (edge count ≤ `localThreshold`), the result is a driver-local
+    * relation: every staging directory is already reclaimed and the
+    * handle's path is None (`drop()` is a no-op). */
   def connectedComponentsTracked(edges: DataFrame, srcCol: String, dstCol: String,
-                                 maxIter: Int = 50): graft.sources.Tables.Staged = {
-    var cur = stageTracked(edges
+                                 maxIter: Int = 50,
+                                 localThreshold: Long = DefaultLocalThreshold)
+      : graft.sources.Tables.Staged = {
+    var (cur, sig) = stageWithChecksum(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct())
     try {
-      var sig = checksum(cur.df)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < maxIter) {
-        val next = stageTracked(smallStar(largeStar(cur.df)))
-        // `next` is fully materialized (staging writes eagerly; the
-        // checksum action reads it back), so the superseded round's
-        // storage can go as soon as the checksum lands — and `next`'s
-        // must go if the checksum action itself dies.
-        val nsig =
-          try checksum(next.df)
-          catch { case t: Throwable => next.drop(); throw t }
+      while (!converged && sig._1 > localThreshold && rounds < maxIter) {
+        // one action per round: in staging mode the write carries the
+        // checksum as observed metrics; in localCheckpoint mode the
+        // checksum aggregate is the materializing action.
+        val (next, nsig) = stageWithChecksum(smallStar(largeStar(cur.df)))
+        // `next` is fully materialized, so the superseded round's storage
+        // can go as soon as its checksum lands.
         cur.drop()
         converged = nsig == sig
         sig = nsig
         cur = next
         rounds += 1
+      }
+      if (sig._1 <= localThreshold) {
+        // the edge set fits the driver: finish with union-find. Star
+        // contraction preserves node sets and connectivity every round,
+        // so components over the CURRENT edges = components over the
+        // input, and min-root union keeps labels = member minima.
+        val result = localComponents(cur.df)
+        cur.drop()
+        return graft.sources.Tables.Staged(result, None)
       }
       if (!converged)
         throw new IllegalStateException(
@@ -109,6 +135,62 @@ object Graph {
     }
   }
 
+  /** Stage one round's edge relation AND compute its checksum in a single
+    * action. Parquet-staging mode: the checksum rides the eager write as
+    * `observe`d metrics (CollectMetrics — no second read-back scan of the
+    * staged files). localCheckpoint mode: the checkpoint is lazy, so the
+    * checksum aggregate IS the (one) materializing action, guarded so a
+    * dying action reclaims the round's storage. */
+  private def stageWithChecksum(df: DataFrame): (graft.sources.Tables.Staged, (Long, Long, Long)) =
+    df.sparkSession.conf.getOption("graft.stage.dir") match {
+      case Some(_) =>
+        val obs = org.apache.spark.sql.Observation()
+        val staged = stageTracked(df.observe(obs,
+          count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(src, dst))").as("x"),
+          expr("bit_xor(xxhash64(1, src, dst))").as("y")))
+        val m = obs.get
+        def g(k: String): Long = m.get(k) match {
+          case Some(v: Long) => v
+          case _ => 0L // bit_xor over zero rows observes null
+        }
+        (staged, (g("n"), g("x"), g("y")))
+      case None =>
+        val staged = stageTracked(df)
+        val sig =
+          try checksum(staged.df)
+          catch { case t: Throwable => staged.drop(); throw t }
+        (staged, sig)
+    }
+
+  /** Driver union-find over a ≤[[DefaultLocalThreshold]]-edge relation:
+    * path compression + union-by-minimum (attaching the larger root under
+    * the smaller keeps every root the minimum of its set — the same label
+    * convention as the distributed contraction, bit-for-bit). */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val edges = e.select(col("src"), col("dst")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(n => rows += ((n, find(n))))
+    spark.createDataset(rows.toSeq)(org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("node", "component")
+  }
+
   /** [[connectedComponents]] extended to a full vertex relation: vertices
     * with no edge become singleton components (component = own id).
     * Output: (node, component).
@@ -123,8 +205,9 @@ object Graph {
   def componentsForVertices(vertices: DataFrame, idCol: String,
                             edges: DataFrame, srcCol: String, dstCol: String,
                             maxIter: Int = 50,
-                            broadcastComponents: Boolean = true): DataFrame = {
-    val comp0 = connectedComponents(edges, srcCol, dstCol, maxIter)
+                            broadcastComponents: Boolean = true,
+                            localThreshold: Long = DefaultLocalThreshold): DataFrame = {
+    val comp0 = connectedComponents(edges, srcCol, dstCol, maxIter, localThreshold)
     val comp = if (broadcastComponents) broadcast(comp0) else comp0
     vertices.select(col(idCol).cast("long").as("node"))
       .join(comp, Seq("node"), "left")

@@ -80,11 +80,36 @@ class GraphSpec extends SparkSpec {
       s"prev must join via broadcast only:\n${plan.take(2000)}")
   }
 
+  test("local terminal path ≡ pure distributed fixed point (seeded graphs)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2) {
+      val es = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .toDF("a", "b")
+      val local = Graph.connectedComponents(es, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      val dist = Graph.connectedComponents(es, "a", "b", localThreshold = 0)
+        .as[(Long, Long)].collect().toSet
+      assert(local == dist)
+    }
+  }
+
+  test("local terminal path reclaims every staging dir (path is None)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val tracked = Graph.connectedComponentsTracked(edges, "a", "b")
+      assert(tracked.path.isEmpty, "local-path result must not reference staging")
+      assert(tracked.df.as[(Long, Long)].collect().toSet.size == 6)
+      val left = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      assert(left.count(_.startsWith("stage_")) == 0, left.toString)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("parquet-staging mode reclaims superseded round directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
     spark.conf.set("graft.stage.dir", dir)
     try {
-      val got = Graph.connectedComponents(edges, "a", "b")
+      val got = Graph.connectedComponents(edges, "a", "b", localThreshold = 0)
         .as[(Long, Long)].collect().toSet
       assert(got.size == 6)
       // every superseded stage_N was dropped; only the final round's edge
@@ -98,7 +123,7 @@ class GraphSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
     spark.conf.set("graft.stage.dir", dir)
     try {
-      val tracked = Graph.connectedComponentsTracked(edges, "a", "b")
+      val tracked = Graph.connectedComponentsTracked(edges, "a", "b", localThreshold = 0)
       val got = tracked.df.as[(Long, Long)].collect().toSet
       assert(got.size == 6)
       tracked.drop() // result consumed — release the last staging dir
@@ -113,7 +138,7 @@ class GraphSpec extends SparkSpec {
     try {
       // the 4-chain needs >1 contraction round — maxIter=1 must throw.
       intercept[IllegalStateException] {
-        Graph.connectedComponents(edges, "a", "b", maxIter = 1)
+        Graph.connectedComponents(edges, "a", "b", maxIter = 1, localThreshold = 0)
       }
       val left = new java.io.File(dir).listFiles().toSeq.map(_.getName)
       assert(left.count(_.startsWith("stage_")) == 0, left.toString)
