@@ -84,12 +84,23 @@ object Quantiles {
     * input is scanned twice (the price of not shipping whole groups to
     * single reducers).
     *
-    * Worst case: a group whose entire mass lies inside ONE bucket width
-    * (e.g. a constant plus FP dust) refines over that whole group — one
-    * recursion level covers every practical domain; nest manually if not. */
+    * Degenerate mass (a group's whole weight inside ONE bucket width —
+    * e.g. a constant plus FP dust next to an outlier that stretches the
+    * domain) is handled AUTOMATICALLY: any percentile whose target bucket
+    * holds more than `refineBound` rows gets one RE-BUCKETING level inside
+    * that bucket (same monotone-map argument, bounds recomputed from the
+    * bucket's own min/max), so no refinement window ever runs over a
+    * whole group. The oversized-bucket rows are staged once (they feed
+    * the re-bucket stats, the level-2 coarse pass, and the final refine),
+    * costing one extra input scan ONLY when recursion triggers. The
+    * per-(group, percentile) target relation is collected to the driver to
+    * route easy/hard refinement — ≤ |groups|·|ps| rows, bounded by this
+    * operator's low-cardinality-group domain contract (same documented
+    * by-contract-tiny collect as the ANN centroid literal). */
   def groupPercentilesDiscBucketed(df: DataFrame, groupCol: String, valCol: String,
                                    ps: Seq[(String, Double)],
-                                   buckets: Int = 4096): DataFrame = {
+                                   buckets: Int = 4096,
+                                   refineBound: Long = 1L << 20): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 }, ps.toString)
     require(buckets > 1, s"buckets=$buckets")
     val spark = df.sparkSession
@@ -121,20 +132,32 @@ object Quantiles {
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
     import spark.implicits._
     val psDf = ps.toDF("__label", "__p")
-    // per (group, percentile): k = ceil(p·n), its bucket, rows before it.
+    // per (group, percentile): k = ceil(p·n), its bucket + that bucket's
+    // row count (min over the (bucket, count) struct = first bucket whose
+    // cumulative reaches k, carrying its own count), rows before it.
     val targets = coarse.crossJoin(broadcast(psDf))
       .withColumn("__k", ceil(col("__n") * col("__p")).cast("long"))
       .groupBy(col(groupCol), col("__label"))
       .agg(
-        min(when(col("__cum") >= col("__k"), col("__b"))).as("__tb"),
+        min(when(col("__cum") >= col("__k"), struct(col("__b"), col("__c")))).as("__t"),
         coalesce(max(when(col("__cum") < col("__k"), col("__cum"))), lit(0L))
           .as("__prior"),
         first(col("__k")).as("__k"))
-    val thresholds = bucketed.as("r")
-      .join(broadcast(targets).as("t"),
-        col(s"r.$groupCol") <=> col(s"t.$groupCol") && col("r.__b") === col("t.__tb"))
-      .groupBy(col(s"r.$groupCol").as(groupCol), col("t.__label").as("__label"),
-        col("t.__prior").as("__prior"), col("t.__k").as("__k"), col(s"r.$valCol").as("__v"))
+      .select(col(groupCol), col("__label"), col("__t.__b").as("__tb"),
+        col("__t.__c").as("__tc"), col("__prior"), col("__k"))
+    // by-contract-tiny collect (see scaladoc): route each (group, label)
+    // to direct refinement or the one-level re-bucketing.
+    val targetRows = targets.collect()
+    val spark2 = spark
+    def literal(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark2.createDataFrame(java.util.Arrays.asList(rows: _*), targets.schema)
+    val tcIdx = targets.schema.fieldIndex("__tc")
+    val (hardRowsArr, easyRowsArr) = targetRows.partition(_.getLong(tcIdx) > refineBound)
+
+    // the exact value-histogram refinement, partitioned by (group, label):
+    // `rows` carries (groupCol, __label, __prior, __k, __v).
+    def refine(rows: DataFrame): DataFrame = rows
+      .groupBy(col(groupCol), col("__label"), col("__prior"), col("__k"), col("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum",
         sum(col("__c")).over(Window.partitionBy(col(groupCol), col("__label"))
@@ -143,6 +166,60 @@ object Quantiles {
       .filter(col("__prior") + col("__cum") >= col("__k"))
       .groupBy(col(groupCol), col("__label"))
       .agg(min(col("__v")).as("__v"))
+
+    def targetBucketRows(t: DataFrame): DataFrame = bucketed.as("r")
+      .join(broadcast(t).as("t"),
+        col(s"r.$groupCol") <=> col(s"t.$groupCol") && col("r.__b") === col("t.__tb"))
+      .select(col(s"r.$groupCol").as(groupCol), col("t.__label").as("__label"),
+        col("t.__prior").as("__prior"), col("t.__k").as("__k"),
+        col(s"r.$valCol").as("__v"))
+
+    val easy = refine(targetBucketRows(literal(easyRowsArr)))
+    val thresholds = if (hardRowsArr.isEmpty) easy else {
+      // ONE re-bucketing level inside each oversized target bucket: staged
+      // once (feeds its own stats, the level-2 coarse pass, and the final
+      // refine), bounds recomputed from the bucket's own min/max.
+      val hardRows = graft.sources.Tables.stage(
+        targetBucketRows(literal(hardRowsArr)))
+      val hstats = hardRows.groupBy(col(groupCol), col("__label"))
+        .agg(min(col("__v")).as("__lo2"), max(col("__v")).as("__hi2"))
+      val hb = hardRows.as("h")
+        .join(broadcast(hstats).as("s"),
+          col(s"h.$groupCol") <=> col(s"s.$groupCol") &&
+            col("h.__label") === col("s.__label"))
+        .select(col(s"h.$groupCol").as(groupCol), col("h.__label").as("__label"),
+          col("h.__prior").as("__prior"), col("h.__k").as("__k"),
+          col("h.__v").as("__v"), col("s.__lo2").as("__lo2"), col("s.__hi2").as("__hi2"))
+        .withColumn("__b2",
+          when(col("__lo2") === col("__hi2"), lit(0))
+            .otherwise(least(lit(buckets - 1),
+              floor((col("__v") - col("__lo2")).cast("double") /
+                ((col("__hi2") - col("__lo2")).cast("double") / buckets)).cast("int"))))
+      val coarse2 = hb
+        .groupBy(col(groupCol), col("__label"), col("__b2"))
+        .agg(count(lit(1)).as("__c2"), first(col("__prior")).as("__prior"),
+          first(col("__k")).as("__k"))
+        .withColumn("__cum2",
+          sum(col("__c2")).over(Window.partitionBy(col(groupCol), col("__label"))
+            .orderBy(col("__b2"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val targets2 = coarse2
+        .groupBy(col(groupCol), col("__label"))
+        .agg(
+          min(when(col("__prior") + col("__cum2") >= col("__k"), col("__b2"))).as("__tb2"),
+          (first(col("__prior")) + coalesce(
+            max(when(col("__prior") + col("__cum2") < col("__k"), col("__cum2"))),
+            lit(0L))).as("__prior2"),
+          first(col("__k")).as("__k"))
+      val hard = refine(hb.as("r")
+        .join(broadcast(targets2).as("t"),
+          col(s"r.$groupCol") <=> col(s"t.$groupCol") &&
+            col("r.__label") === col("t.__label") && col("r.__b2") === col("t.__tb2"))
+        .select(col(s"r.$groupCol").as(groupCol), col("r.__label").as("__label"),
+          col("t.__prior2").as("__prior"), col("t.__k").as("__k"),
+          col("r.__v").as("__v")))
+      easy.unionByName(hard)
+    }
     val aggs: Seq[Column] = ps.map { case (label, _) =>
       min(when(col("__label") === label, col("__v"))).as(label)
     }

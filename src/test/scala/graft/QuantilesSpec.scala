@@ -83,6 +83,34 @@ class QuantilesSpec extends SparkSpec {
     assert(got == Map("c" -> ((7.0, 7.0)), "d" -> ((2.0, 10.0))))
   }
 
+  test("auto-recursion: oversized target bucket re-buckets, never whole-group") {
+    // group "e" is the documented degenerate case: 2000 near-constant
+    // doubles (FP dust apart) plus one outlier that stretches the domain,
+    // so the ENTIRE mass lands in level-1 bucket 0 (target-bucket count
+    // 2000 > refineBound 100 → the one-level re-bucketing must engage and
+    // split the dust by its own min/max). Group "f" stays on the easy
+    // path in the same call — the union of both routes must be exact.
+    val rows = (0 until 2000).map(i => ("e", 1e9 + i * 1e-4)) ++
+      Seq(("e", 9e12)) ++ (0 until 100).map(i => ("f", i.toDouble))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p99" -> 0.99)
+    val got = Quantiles.groupPercentilesDiscBucketed(df, "g", "v", ps,
+      buckets = 64, refineBound = 100)
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def kth(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+      g -> ((kth(0.5), kth(0.99)))
+    }
+    assert(got == expected)
+    // and ≡ the one-level histogram path (the exactness cross-check).
+    val one = Quantiles.groupPercentilesDisc(df, "g", "v", ps)
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got == one)
+  }
+
   test("NULL group keys: one-level and bucketed paths agree (null-safe joins)") {
     // groupBy treats NULL as a group; the bucketed path's equi-joins must
     // be null-safe (<=>) or the NULL group's rows silently vanish and the
