@@ -5,12 +5,14 @@ import graft.sources.Tables._
 
 /** Throwaway profiling harness (not part of the library surface).
   *
-  * Current experiment: SCALING evidence for the dedup family — replicate
-  * the sf0.1 documents 20× (ids offset, text perturbed with replica-unique
-  * suffix tokens so near-dup structure stays per-replica and pair counts
-  * scale LINEARLY), then time the banded pipelines at 5k vs 100k docs.
-  * Near-linear wall-clock growth = the candidate-generation claims hold
-  * off the toy scale. */
+  * Current experiment: CHARACTERIZE the MinHash-LSH 20× growth curve —
+  * the round-7 stress run showed 9.9× wall for 20× docs at bandCap 50;
+  * this splits that into CANDIDATE-PAIR growth vs VERIFY cost and sweeps
+  * bandCap, producing the tuning table a 100 TB operator needs (recorded
+  * in SURVEY §8 / README). Corpus = sf0.1 documents replicated 20× with
+  * replica-unique suffix tokens (near-dup structure stays per-replica, so
+  * true pairs scale linearly; growth beyond linear is hot-band fan-out).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -21,11 +23,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    def time(name: String)(f: => Unit): Unit = {
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[scratch] $name%-40s min ${runs.min}%.3f s")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -46,25 +45,39 @@ object Scratch {
       .write.mode("overwrite").parquet(s"$bigPath/documents.parquet")
     val big = documents(spark, bigPath)
     println(s"[scratch] docs: base=$n big=${big.count()} (${reps}x)")
+    println("| docs | bandCap | candidates | true pairs | cand s | full s | verify s |")
+    println("|---|---|---|---|---|---|---|")
 
-    time(s"simhashPairs  ${n} docs")(noop(
-      graft.operators.TextDedup.simhashPairs(fanOut(base), "doc_id", "text", 7)))
-    time(s"simhashPairs  ${n * reps} docs")(noop(
-      graft.operators.TextDedup.simhashPairs(fanOut(big), "doc_id", "text", 7)))
-
-    def mh(df: org.apache.spark.sql.DataFrame) = {
-      val sh = graft.operators.TextDedup.shingleRelation(fanOut(df), "doc_id", "text", 3)
-      graft.operators.TextDedup.minhashLshPairs(sh, 12, 4, 0.5, bandCap = Some(50))
+    val (k, bands) = (12, 4)
+    for ((label, docs) <- Seq(("1x", base), ("20x", big));
+         cap <- Seq(Some(25), Some(50), Some(100), None)) {
+      val sh = graft.operators.TextDedup.shingleRelation(
+        fanOut(docs), "doc_id", "text", 3)
+      val bk = graft.operators.TextDedup.minhashBandKeys(sh, k, bands)
+      // candidate generation alone: the capped band self-join, distinct.
+      def candidates = {
+        val capped = cap match {
+          case Some(c) =>
+            import org.apache.spark.sql.expressions.Window
+            bk.withColumn("__bf",
+                count(lit(1)).over(Window.partitionBy(col("band_key"))))
+              .filter(col("__bf") <= c).drop("__bf")
+          case None => bk
+        }
+        capped.as("a").join(capped.as("b"), "band_key")
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("da"), col("b.id").as("db")).distinct()
+      }
+      candidates.count() // warm-up: JIT + shuffle-file reuse parity
+      val (nc, candSec) = timed(candidates.count())
+      val (np, fullSec) = timed {
+        val pairs = graft.operators.TextDedup.minhashLshPairs(
+          sh, k, bands, 0.5, bandCap = cap)
+        pairs.count()
+      }
+      println(f"| $label (${n * (if (label == "1x") 1 else reps)}%d docs) | ${cap.map(_.toString).getOrElse("none")} " +
+        f"| $nc | $np | $candSec%.2f | $fullSec%.2f | ${fullSec - candSec}%.2f |")
     }
-    time(s"minhashLsh    ${n} docs")(noop(mh(base)))
-    time(s"minhashLsh    ${n * reps} docs")(noop(mh(big)))
-
-    def cc(df: org.apache.spark.sql.DataFrame) = {
-      val pairs = graft.operators.TextDedup.simhashPairs(fanOut(df), "doc_id", "text", 7)
-      graft.operators.Graph.componentsForVertices(df, "doc_id", pairs, "da", "db")
-    }
-    time(s"cc pipeline   ${n} docs")(noop(cc(base)))
-    time(s"cc pipeline   ${n * reps} docs")(noop(cc(big)))
     spark.stop()
   }
 }

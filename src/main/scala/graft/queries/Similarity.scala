@@ -75,6 +75,11 @@ object Similarity {
     // Candidates share ≥1 of 4 signature bands (equi-join on short keys);
     // exact cosine re-ranks candidates only. Approximate by construction,
     // but fully deterministic, so the oracle checks it exactly.
+    // (16, 4) here is DELIBERATELY small: this query verifies the banding
+    // MACHINERY bit-for-bit against a DuckDB twin that recomputes the md5
+    // hyperplanes in SQL — retrieval QUALITY is the recall harness's job
+    // (graft.AnnRecall / AnnRecallSpec; production defaults are (64, 16),
+    // chosen from the measured sweep in README §ANN recall).
     Q("x_ann_lsh", (s, d) => {
       // graft.operators.Ann.lshTopK: banded sign-hyperplane signatures
       // (computed once per side — each banded relation feeds exactly one

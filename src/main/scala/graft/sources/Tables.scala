@@ -59,13 +59,38 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // df.rdd instantiates a second physical plan just to read the partition
-    // count; memoize per analyzed-plan hash so repeated query construction
-    // over the same scan plans it once.
-    val key = df.queryExecution.analyzed.semanticHash()
+    // count; memoize per (analyzed-plan hash, scan signature) so repeated
+    // query construction over the same scan plans it once. The signature
+    // folds in each file-source root's modification time, so a staging
+    // directory REWRITTEN within one JVM (different file count → different
+    // split) changes the key instead of serving a stale partition count —
+    // one driver-side getFileStatus per root, far cheaper than the
+    // physical plan the memo avoids.
+    val key = (df.queryExecution.analyzed.semanticHash(), scanSignature(df))
     val parts = fanOutParts.getOrElseUpdate(key, df.rdd.getNumPartitions)
     if (parts < target) df.repartition(target) else df
   }
-  private val fanOutParts = scala.collection.concurrent.TrieMap.empty[Int, Int]
+  private val fanOutParts = scala.collection.concurrent.TrieMap.empty[(Int, Long), Int]
+
+  /** Order-independent fingerprint of the plan's file-source roots and
+    * their directory modification times (local FS and HDFS both bump a
+    * dir's mtime when files are created or replaced inside it). 0 for
+    * plans with no file scan (local relations, memory streams). */
+  private[graft] def scanSignature(df: DataFrame): Long =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map { p =>
+              val mtime =
+                try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+                  .getFileStatus(p).getModificationTime
+                catch { case _: java.io.IOException => -1L }
+              p.toString.hashCode.toLong * 31L + mtime
+            }.sum
+          case _ => 0L
+        }
+    }.sum
 
   /** Materialize an expensive intermediate relation ONCE before a self-join.
     *

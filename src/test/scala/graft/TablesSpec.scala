@@ -7,6 +7,25 @@ import graft.sources.Tables
 class TablesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fanOut memo key tracks file-layout rewrites (scan signature)") {
+    // the memoized partition count must not survive a staging-dir rewrite
+    // within one JVM: the key folds in the root dir's mtime, so a rewrite
+    // (new file count => new split) changes the key.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(dir)
+    val sig1 = Tables.scanSignature(spark.read.parquet(dir))
+    assert(sig1 != 0L)
+    assert(Tables.scanSignature(spark.read.parquet(dir)) == sig1,
+      "signature must be stable while the layout is unchanged")
+    Thread.sleep(1100) // local-FS mtime granularity can be one second
+    spark.range(100).repartition(4).write.mode("overwrite").parquet(dir)
+    val sig2 = Tables.scanSignature(spark.read.parquet(dir))
+    assert(sig2 != sig1, "rewritten dir must change the fanOut memo key")
+    // non-file plans have no signature (memo keyed on plan hash alone).
+    import spark.implicits._
+    assert(Tables.scanSignature(Seq(1, 2).toDF("x")) == 0L)
+  }
+
   test("Staged.drop refuses paths outside the current stage dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     val victim = java.nio.file.Files.createTempDirectory("graft-victim")
