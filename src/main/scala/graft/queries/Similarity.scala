@@ -26,19 +26,21 @@ object Similarity {
        |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  /** DuckDB twin of [[graft.operators.Ann.hyperplaneSigSql]] (16 bits,
-    * 64 dims): hyperplane weights are ±1 derived from md5(h_d) so both
-    * engines rebuild the identical matrix. At 100 TB the weight matrix
-    * would be materialized once and broadcast instead of recomputed. */
-  private val duckSig =
-    """array_to_string(list_transform(range(0, 16), h ->
-      |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |         list_transform(range(1, 65), dd ->
-      |           CASE WHEN substr(md5(CAST(h AS VARCHAR) || '_' || CAST(dd AS VARCHAR)), 1, 1) >= '8'
-      |                THEN CAST(embedding[dd] AS DOUBLE)
-      |                ELSE -CAST(embedding[dd] AS DOUBLE) END)),
-      |         (acc, v) -> acc + v) > 0
-      |  THEN '1' ELSE '0' END), '')""".stripMargin
+  /** DuckDB twin of [[graft.operators.Ann.hyperplaneSigSql]] over 64
+    * dims: hyperplane weights are ±1 derived from md5(h_d), the same rule
+    * the engine evaluates ONCE on the driver into a typedlit weight
+    * matrix — the oracle recomputing md5 per row proves the materialized
+    * matrix is the identical function. */
+  private def duckSigBits(bits: Int): String =
+    s"""array_to_string(list_transform(range(0, $bits), h ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, 65), dd ->
+       |           CASE WHEN substr(md5(CAST(h AS VARCHAR) || '_' || CAST(dd AS VARCHAR)), 1, 1) >= '8'
+       |                THEN CAST(embedding[dd] AS DOUBLE)
+       |                ELSE -CAST(embedding[dd] AS DOUBLE) END)),
+       |         (acc, v) -> acc + v) > 0
+       |  THEN '1' ELSE '0' END), '')""".stripMargin
+  private val duckSig = duckSigBits(16)
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------ brute-force top-k ANN
@@ -98,6 +100,42 @@ object Similarity {
       bands AS (
         SELECT vec_id,
                unnest(list_transform(range(0, 4),
+                 b -> CAST(b AS VARCHAR) || ':' || substr(sig, 4*b + 1, 4))) AS band
+        FROM e),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM bands q JOIN bands c ON q.band = c.band
+        WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      scored AS (
+        SELECT cand.q_id, cand.c_id,
+               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+        FROM cand JOIN e q ON cand.q_id = q.vec_id JOIN e c ON cand.c_id = c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank""")),
+
+    // ------------------------------------ LSH ANN at the PRODUCTION params
+    // Same machinery at lshTopK's measured defaults (64 bits, 16 bands —
+    // recall@10 0.90 on the worst-case isotropic corpus, README §ANN
+    // recall): the oracle recomputes all 64 md5 hyperplanes in SQL, so the
+    // engine's driver-materialized typedlit weight matrix is proven the
+    // identical function at full production width.
+    Q("x_ann_lsh_tuned", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann
+        .lshTopK(e.filter(col("id") < 10), fanOut(e.filter(col("id") >= 10)), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+               ${duckSigBits(64)} AS sig
+        FROM embeddings),
+      bands AS (
+        SELECT vec_id,
+               unnest(list_transform(range(0, 16),
                  b -> CAST(b AS VARCHAR) || ':' || substr(sig, 4*b + 1, 4))) AS band
         FROM e),
       cand AS (

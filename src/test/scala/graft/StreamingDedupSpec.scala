@@ -218,4 +218,65 @@ class StreamingDedupSpec extends SparkSpec {
         "post-rotation micro-batch staged new dirs")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("per-batch cluster maintenance: gate pairs + incrementalComponents ≡ full CC") {
+    // the complete daily-ingest loop: the streaming gate emits per-batch
+    // exact + near-dup pairs, and Graph.incrementalComponents folds each
+    // batch's pairs into the live cluster labeling — after all batches the
+    // labels must equal one full recompute over every pair ever seen.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .union(corpus.orderBy(col("doc_id")).limit(10)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      DedupIngest.buildState(corpus, "doc_id", "text"))
+    // corpus-internal near-dup pairs seed the labeling (self near-dups are
+    // the batch operator family's job; the gate only emits batch-vs-corpus).
+    val corpusPairs = TextDedup.minhashLshPairs(
+      TextDedup.shingleRelation(corpus, "doc_id", "text", 3))
+      .select(col("da"), col("db"))
+    var labels = graft.operators.Graph
+      .connectedComponents(corpusPairs, "da", "db")
+    val allPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    allPairs ++= corpusPairs.as[(Long, Long)].collect()
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ms = MemoryStream[KMsg]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+    val q = DedupIngest.startGated(s, state, "value.doc_id", "value.text") {
+      (exact, near, _, _) =>
+        val batchPairs = exact.as[(Long, Long)].collect() ++
+          near.select(col("da"), col("db")).as[(Long, Long)].collect()
+        if (batchPairs.nonEmpty) {
+          allPairs ++= batchPairs
+          labels = graft.operators.Graph.incrementalComponents(
+            labels, batchPairs.toSeq.toDF("src", "dst"))
+          // materialize the labeling each fold (a real pipeline persists it).
+          labels = labels.as[(Long, Long)].collect().toSeq.toDF("node", "component")
+        }
+    }
+    fresh.select(to_json(struct(col("doc_id"), col("text"))).as("j")).as[String]
+      .collect().zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .foreach { case (_, grp) =>
+        ms.addData(grp.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    q.stop()
+
+    val full = graft.operators.Graph
+      .connectedComponents(allPairs.toSeq.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val inc = labels.as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty, "no pairs at all — vacuous")
+    assert(inc == full,
+      s"incremental cluster labels diverge from full recompute after streaming")
+  }
 }
