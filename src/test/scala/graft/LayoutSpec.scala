@@ -81,6 +81,37 @@ class LayoutSpec extends SparkSpec {
     scans.map(_.metrics("numOutputRows").value).sum
   }
 
+  test("IVF lists persisted range-sorted: a probe scans only its lists") {
+    // the 100 TB ANN serving shape: the assigned corpus is WRITTEN
+    // range-sorted on cent_id, so a query's nprobe list-id filter prunes
+    // whole files via zone maps — probe cost ∝ the probed lists, not the
+    // corpus. Ties Ann.assignToCentroids to Layout.writeSorted with scan
+    // metrics, not plan text.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id").as("id"), col("embedding"))
+    val corpus = e.filter(col("id") >= 10)
+    val cents = graft.operators.Ann.trainCentroids(corpus, k = 8)
+    val assigned = graft.operators.Ann.assignToCentroids(corpus, cents)
+    Layout.writeSorted(assigned.drop("embedding"), s"$dir/ivf", shards = 8, "cent_id")
+    val total = corpus.count()
+
+    // one query's nprobe=2 probe lists.
+    val probeIds = graft.operators.Ann
+      .ivfProbes(e.filter(col("id") === 0), cents, nprobe = 2)
+      .select("cent_id").collect().map(_.getLong(0)).toSeq
+    assert(probeIds.size == 2)
+    val narrow = Layout.read(spark, s"$dir/ivf")
+      .filter(col("cent_id").isin(probeIds: _*))
+    val matching = narrow.count()
+    assert(matching > 0, "probed lists are empty — vacuous")
+    val read = rowsReadByScan(
+      Layout.read(spark, s"$dir/ivf").filter(col("cent_id").isin(probeIds: _*)))
+    assert(read >= matching && read <= total / 2,
+      s"probe materialized $read of $total rows for $matching list members " +
+        "— zone maps did not prune the unprobed lists")
+  }
+
   test("zone maps actually skip: sorted layout reads one shard, unsorted reads all") {
     // The pruning claim, PROVEN with scan metrics instead of asserted from
     // plan text: the same narrow range predicate over the same rows
