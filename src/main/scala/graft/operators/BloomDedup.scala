@@ -40,7 +40,9 @@ import graft.functions.GraftFunctions
   * restores them after, so the full `maxBytes` envelope is actually
   * reachable. The raise is session-scoped — a concurrent query on the
   * SAME session during the build sees the relaxed caps (harmless: they
-  * only bound Spark's own adaptive bloom-join sizing).
+  * only bound Spark's own adaptive bloom-join sizing); concurrent
+  * buildFilter calls are serialized under a JVM-wide lock so interleaved
+  * set/restore can never leave the raised caps behind.
   *
   * Built on Spark's own runtime-filter expressions
   * (`BloomFilterAggregate`/`BloomFilterMightContain`, registered as
@@ -73,6 +75,11 @@ object BloomDedup {
         "use the broadcast/shuffle anti-join shape instead")
     // BloomFilterAggregate require()s items/bits under these session confs
     // (defaults 4M items / 8 MiB) — raise them for the build, restore after.
+    // The raise/restore is serialized under a JVM-wide lock: two concurrent
+    // builds on one session could otherwise interleave set/restore and
+    // leave the raised caps in place permanently (the restore snapshot of
+    // the second build would capture the first build's raised values).
+    buildLock.synchronized {
     val conf = corpus.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
@@ -95,7 +102,13 @@ object BloomDedup {
       restore(itemsKey, prevItems)
       restore(bitsKey, prevBits)
     }
+    }
   }
+
+  /** Serializes the conf raise/restore window in [[buildFilter]] (JVM-wide:
+    * sessions share the underlying SQLConf when forked, and one lock is
+    * cheap — filter builds are per-corpus-version, never per-row). */
+  private val buildLock = new Object
 
   /** Rows whose key MIGHT be in the corpus (all true members + ~fpp of
     * the rest) — the candidate set for an exact duplicate check. A pure

@@ -149,7 +149,14 @@ object Graph {
           count(lit(1)).as("n"),
           expr("bit_xor(xxhash64(src, dst))").as("x"),
           expr("bit_xor(xxhash64(1, src, dst))").as("y")))
-        val m = obs.get
+        // guarded like the localCheckpoint branch: a metrics-retrieval
+        // failure after the directory exists must reclaim it, or the
+        // "aborted run leaks nothing" contract breaks (the caller's catch
+        // only drops the PREVIOUS round). A failure inside the write
+        // itself is cleaned up by stageTracked.
+        val m =
+          try obs.get
+          catch { case t: Throwable => staged.drop(); throw t }
         def g(k: String): Long = m.get(k) match {
           case Some(v: Long) => v
           case _ => 0L // bit_xor over zero rows observes null
@@ -227,12 +234,18 @@ object Graph {
     *
     * Plan shape (the 100 TB contract — `prevComponents` is corpus-sized,
     * the batch is not): the batch's endpoint ids broadcast onto prev to
-    * look up prior labels (corpus scan 1, nothing shuffles); each new edge
-    * CONTRACTS to its endpoints' prior components, so the star-contraction
-    * loop runs on a ≤|batch|-edge graph of component representatives —
-    * never on the corpus; the resulting (tiny) relabeling broadcasts back
-    * onto prev (corpus scan 2). Exactly two passes over the corpus-sized
-    * relation, both broadcast joins, regardless of cluster sizes.
+    * look up prior labels (corpus pass 1, nothing shuffles), and the
+    * ≤ 2·|batch|-row result is MATERIALIZED to the driver as a local
+    * relation — left lazy, the lookup subplan would re-evaluate inside
+    * each of its three consuming broadcasts, i.e. three more corpus
+    * scans (a documented by-contract-bounded collect, like the CC
+    * terminal); each new edge CONTRACTS to its endpoints' prior
+    * components, so the star-contraction loop runs on a ≤|batch|-edge
+    * graph of component representatives — never on the corpus; the
+    * resulting (tiny) relabeling broadcasts back onto prev (corpus pass
+    * 2). Exactly two passes over the corpus-sized relation — GraphSpec
+    * pins the second as the result plan's ONLY corpus scan — both
+    * broadcast joins, regardless of cluster sizes.
     *
     * Equivalence (GraphSpec, randomized splits): merged-cluster labels are
     * minima over contracted representatives = minima over all member node
@@ -251,8 +264,15 @@ object Graph {
     val ids = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
     val prev = prevComponents.select(col("node").cast("long").as("node"),
       col("component").cast("long").as("component"))
-    // prior labels for the batch's endpoints only: ≤ 2|batch| rows.
-    val hits = prev.join(broadcast(ids), Seq("node"))
+    // prior labels for the batch's endpoints only: ≤ 2|batch| rows, fanned
+    // into THREE broadcast subplans below — materialize once (corpus pass
+    // 1) instead of re-running the corpus lookup per consumer.
+    val spark = prevComponents.sparkSession
+    val hits = spark.createDataset(
+      prev.join(broadcast(ids), Seq("node"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("node", "component")
     val mapped = e
       .join(broadcast(hits.select(col("node").as("src"), col("component").as("__sc"))),
         Seq("src"), "left")

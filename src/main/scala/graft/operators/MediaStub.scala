@@ -71,7 +71,11 @@ object MediaStub {
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
-          if (i + 8 >= b.length) return None
+          // the SOF payload is [precision:1, height:2, width:2, …] — a
+          // declared length under 7 cannot contain it, and without this
+          // check a corrupt SOF would read the NEXT segment's bytes as
+          // dimensions whenever the buffer happens to extend past it.
+          if (len < 7 || i + 8 >= b.length) return None
           return Some((be16(b, i + 7), be16(b, i + 5)))
         }
         i += 2 + len

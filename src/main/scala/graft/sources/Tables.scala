@@ -72,21 +72,30 @@ object Tables {
   }
   private val fanOutParts = scala.collection.concurrent.TrieMap.empty[(Int, Long), Int]
 
-  /** Order-independent fingerprint of the plan's file-source roots and
-    * their directory modification times (local FS and HDFS both bump a
-    * dir's mtime when files are created or replaced inside it). 0 for
-    * plans with no file scan (local relations, memory streams). */
+  /** Order-independent fingerprint of the plan's file-source roots: per
+    * root, the direct-child file count, total length, and max child mtime
+    * (one driver-side `listStatus` per root). Child count + length are
+    * what make same-second rewrites distinguishable — local-FS mtime
+    * granularity can be a full second, so a root-dir mtime alone would
+    * serve a stale memoized partition count for a staging-dir rewrite
+    * within one timestamp tick. 0 for plans with no file scan (local
+    * relations, memory streams). */
   private[graft] def scanSignature(df: DataFrame): Long =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             fs.location.rootPaths.map { p =>
-              val mtime =
-                try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-                  .getFileStatus(p).getModificationTime
-                catch { case _: java.io.IOException => -1L }
-              p.toString.hashCode.toLong * 31L + mtime
+              val stat =
+                try {
+                  val children = p
+                    .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+                    .listStatus(p)
+                  // order-independent: listStatus ordering is not contractual.
+                  children.map(c => c.getLen * 31L + c.getModificationTime).sum *
+                    31L + children.length
+                } catch { case _: java.io.IOException => -1L }
+              p.toString.hashCode.toLong * 31L + stat
             }.sum
           case _ => 0L
         }
@@ -128,7 +137,18 @@ object Tables {
     df.sparkSession.conf.getOption("graft.stage.dir") match {
       case Some(dir) =>
         val path = s"$dir/stage_${stageCounter.incrementAndGet()}"
-        df.write.mode("overwrite").parquet(path)
+        // a failed write can leave a partial directory behind — reclaim it
+        // before rethrowing so aborted stagings never leak storage.
+        try df.write.mode("overwrite").parquet(path)
+        catch {
+          case t: Throwable =>
+            try {
+              val hp = new org.apache.hadoop.fs.Path(path)
+              hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+                .delete(hp, true)
+            } catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+            throw t
+        }
         Staged(df.sparkSession.read.parquet(path), Some(path))
       case None => Staged(df.localCheckpoint(false), None)
     }

@@ -80,6 +80,26 @@ class GraphSpec extends SparkSpec {
       s"prev must join via broadcast only:\n${plan.take(2000)}")
   }
 
+  test("incrementalComponents: ONE corpus scan in the result plan (two-pass contract)") {
+    // the scaladoc promises exactly two passes over the corpus-sized prev:
+    // pass 1 is the eager endpoint-label lookup (collected — tiny by
+    // contract), pass 2 the relabeling join. With prev backed by parquet,
+    // the returned plan must therefore contain exactly ONE parquet scan —
+    // a lazily-shared `hits` subplan would instead re-scan prev inside
+    // each of its three consuming broadcasts.
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-prev").toString
+    Seq((1L, 1L), (2L, 1L), (10L, 10L)).toDF("node", "component")
+      .write.mode("overwrite").parquet(dir)
+    val prev = spark.read.parquet(dir)
+    val batch = Seq((2L, 10L), (30L, 31L)).toDF("src", "dst")
+    val res = Graph.incrementalComponents(prev, batch)
+    val plan = res.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n${plan.take(3000)}")
+    assert(res.as[(Long, Long)].collect().toSet == Set(
+      (1L, 1L), (2L, 1L), (10L, 1L), (30L, 30L), (31L, 30L)))
+  }
+
   test("local terminal path ≡ pure distributed fixed point (seeded graphs)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 2) {

@@ -42,6 +42,13 @@ class MediaStubSpec extends SparkSpec {
     // SOS (scan data) before any SOF aborts the walk.
     val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 1, 2).map(_.toByte)
     assert(MediaStub.jpegDimensions(sosFirst).isEmpty)
+    // a corrupt SOF whose declared length (< 7) cannot hold the dimension
+    // fields must be None even when TRAILING bytes exist in the buffer —
+    // not garbage dimensions read from the next segment's bytes.
+    val shortSof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x03, 0x08).map(_.toByte) ++
+      Array(0xff, 0xdb, 0x00, 0x06, 0, 1, 2, 3).map(_.toByte) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    assert(MediaStub.jpegDimensions(shortSof).isEmpty)
   }
 
   test("extractFeatures uses the real parse for recognized containers") {

@@ -9,18 +9,23 @@ class TablesSpec extends SparkSpec {
 
   test("fanOut memo key tracks file-layout rewrites (scan signature)") {
     // the memoized partition count must not survive a staging-dir rewrite
-    // within one JVM: the key folds in the root dir's mtime, so a rewrite
-    // (new file count => new split) changes the key.
+    // within one JVM: the key folds in the root's child file count, total
+    // length, and mtimes — so a rewrite changes the key EVEN within one
+    // local-FS mtime tick (no sleep needed; same-second rewrites were the
+    // stale-memo hole when the key was the root dir's mtime alone).
     val dir = java.nio.file.Files.createTempDirectory("graft-fanout").toString
     spark.range(100).coalesce(1).write.mode("overwrite").parquet(dir)
     val sig1 = Tables.scanSignature(spark.read.parquet(dir))
     assert(sig1 != 0L)
     assert(Tables.scanSignature(spark.read.parquet(dir)) == sig1,
       "signature must be stable while the layout is unchanged")
-    Thread.sleep(1100) // local-FS mtime granularity can be one second
     spark.range(100).repartition(4).write.mode("overwrite").parquet(dir)
     val sig2 = Tables.scanSignature(spark.read.parquet(dir))
     assert(sig2 != sig1, "rewritten dir must change the fanOut memo key")
+    // same file count, different content length — still a new key.
+    spark.range(200).repartition(4).write.mode("overwrite").parquet(dir)
+    val sig3 = Tables.scanSignature(spark.read.parquet(dir))
+    assert(sig3 != sig2, "same-count rewrite must change the fanOut memo key")
     // non-file plans have no signature (memo keyed on plan hash alone).
     import spark.implicits._
     assert(Tables.scanSignature(Seq(1, 2).toDF("x")) == 0L)
