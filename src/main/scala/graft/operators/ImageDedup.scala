@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.stage
+
+/** Perceptual near-duplicate IMAGE detection: dHash fingerprints over REAL
+  * decoded pixels ([[MediaStub.dhash64]]) + banded Hamming candidate
+  * generation — the image-modality twin of
+  * [[TextDedup.simhashPairs]] (same pigeonhole banding, one 64-bit word
+  * instead of two).
+  *
+  * Why dHash: resize/re-encode/minor-edit copies of an image keep almost
+  * the same luma gradient structure, so their difference hashes land
+  * within a few bits — exactly the near-dup class an LLM image-data
+  * pipeline must collapse (byte-exact dedup misses every re-encode).
+  * Every step is exact integer arithmetic, so the whole operator is
+  * bit-deterministic and a SQL oracle can recompute it from known
+  * synthetic pixels (`x_dedup_image`).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - the hash pass is a linear mapPartitions over the payload column —
+  *    decode each image ONCE, emit 8 bytes; payloads never shuffle;
+  *  - candidates come from an equi-join on (band index, band bit-chunk)
+  *    short keys — never an all-pairs scan. Pigeonhole: ≤ `maxHamming`
+  *    differing bits touch at most `maxHamming` of the `maxHamming + 1`
+  *    bands, so one band always matches exactly and banding is LOSSLESS
+  *    (the oracle checks the full quadratic ground truth against it);
+  *  - the hash relation is staged (it feeds both sides of the self-join);
+  *  - verification is `bit_count(xor)` on the raw join output, distinct
+  *    only on the surviving pairs (verify-before-distinct, the measured
+  *    simhashPairs discipline).
+  */
+object ImageDedup {
+
+  /** (id, dhash) for every DECODABLE record — a linear scan-and-hash
+    * projection. Undecodable or sub-9×8 images drop out here (they have
+    * no perceptual fingerprint; route them via [[MediaStub.decodeBatch]]'s
+    * sentinel if they need accounting). */
+  def dhashRelation(ds: Dataset[MediaRecord]): DataFrame =
+    ds.mapPartitions(_.flatMap { r =>
+      MediaStub.dhash64(r.payload).map(h => (r.id, h))
+    })(Encoders.product[(Long, Long)]).toDF("id", "h")
+
+  /** Near-duplicate image pairs (da, db, hamming), da < db, over a
+    * (id, h) dHash relation. `maxHamming + 1` must divide 64
+    * (maxHamming ∈ {0, 1, 3, 7, 15, 31}) so bands are aligned bit-chunks
+    * of the hash word. */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"maxHamming=$maxHamming: need (maxHamming+1) | 64 (0,1,3,7,15,31)")
+    val chunkBits = 64 / bands
+    val fp = stage(hashes.select(col("id"), col("h")))
+    val chunks = (0 until bands).map { b =>
+      val chunk =
+        if (chunkBits == 64) "h"
+        else s"shiftrightunsigned(h, ${64 - chunkBits * (b + 1)}) & ${(1L << chunkBits) - 1}L"
+      s"named_struct('b', $b, 'c', $chunk)"
+    }
+    val banded = fp.select(col("id"), col("h"),
+      explode(expr(s"array(${chunks.mkString(", ")})")).as("bk"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        expr("bit_count(a.h ^ b.h)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** End-to-end: decode → dHash → banded pairs. */
+  def pairs(ds: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    dhashPairs(dhashRelation(ds), maxHamming)
+}

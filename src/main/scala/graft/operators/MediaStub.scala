@@ -16,15 +16,25 @@ final case class MediaFeatures(
 
 /** Typed media feature-extraction pipeline.
   *
-  * Dimension extraction is REAL: [[MediaStub.headerDimensions]] walks
-  * JPEG markers to the SOF frame header and reads PNG IHDR / GIF logical
-  * screen descriptors — pure-JVM byte-walking over the binary column, no
-  * codec dependency. Full pixel decode/resize remains a clearly-marked
-  * deterministic FAKE (the container ships no codecs). Everything around
-  * it is the real Spark plumbing a codec-backed version would use
-  * unchanged:
-  *   - `mapPartitions` so a native decoder is initialized once per
-  *     partition (not per row) and rows stream through in batches;
+  * Everything here is REAL:
+  *   - [[MediaStub.headerDimensions]] walks JPEG markers to the SOF frame
+  *     header and reads PNG IHDR / GIF logical screen descriptors —
+  *     pure-JVM byte-walking over the binary column (works on payloads a
+  *     full decoder would reject, e.g. header-only fixtures);
+  *   - [[MediaStub.decodePixels]] is a FULL pixel decode via the JDK's
+  *     own `javax.imageio` (PNG/JPEG/GIF/BMP, headless, no external
+  *     codec); [[extractPixelFeatures]] turns decoded pixels into exact
+  *     integer channel/luma statistics, [[dhash64]] into a 64-bit
+  *     perceptual difference hash, and [[resize]] performs true
+  *     nearest-neighbor resampling with a lossless PNG re-encode;
+  *   - payloads with neither a parseable header nor a decodable stream
+  *     report sentinel dimensions (−1, −1) — quarantine routing, never a
+  *     synthesized value.
+  *
+  * Spark plumbing shape (what a native-codec version would keep
+  * unchanged):
+  *   - `mapPartitions` so decoder state is initialized once per partition
+  *     (not per row) and rows stream through in batches;
   *   - typed `Dataset[MediaRecord] → Dataset[MediaFeatures]` with product
   *     encoders (schema is explicit and stable);
   *   - all work executor-side; nothing is collected to the driver.
@@ -35,6 +45,11 @@ final case class MediaFeatures(
   * bounds decoder memory per task.
   */
 object MediaStub {
+
+  // ImageIO's default decode path spools through a temp-file cache — pure
+  // overhead for in-memory byte-array payloads, and disk-contention-prone
+  // at 32 concurrent tasks. Static, thread-safe, process-wide.
+  javax.imageio.ImageIO.setUseCache(false)
 
   val FrameBytes = 16
 
@@ -109,22 +124,43 @@ object MediaStub {
   def headerDimensions(b: Array[Byte]): Option[(Int, Int)] =
     pngDimensions(b).orElse(gifDimensions(b)).orElse(jpegDimensions(b))
 
-  /** FAKE decode for payloads with no parseable header: a real pipeline
-    * would route these to a codec or a quarantine; the stub derives
-    * deterministic pseudo-dimensions from the content hash so tests and
-    * the oracle can pin outputs. */
-  private def fakeDecode(sha: Array[Byte]): (Int, Int) =
-    (64 + (sha(0) & 0xff), 64 + (sha(1) & 0xff))
+  /** A fully decoded image: dimensions + row-major ARGB pixels (the
+    * packed ints `BufferedImage.getRGB` yields — alpha in the top byte,
+    * then red, green, blue). */
+  final case class Pixels(width: Int, height: Int, argb: Array[Int])
+
+  /** REAL full pixel decode via the JDK's headless `javax.imageio`
+    * (PNG/JPEG/GIF/BMP). None when no installed reader accepts the
+    * stream (corrupt payloads, header-only fixtures, unknown formats) —
+    * the quarantine route, never a synthesized image. PNG and BMP are
+    * lossless, so an encode→decode round-trip reproduces pixels exactly
+    * (the property every pixel oracle in graft.queries.Multimodal is
+    * built on). */
+  def decodePixels(b: Array[Byte]): Option[Pixels] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        Some(Pixels(w, h, px))
+      }
+    } catch { case _: Exception => None }
 
   /** Per-partition batch decode — the shape a native codec needs (init
     * once, stream rows). Dimensions come from the REAL header parse when
-    * the payload carries a recognized container, else the deterministic
-    * fake. */
+    * the payload carries a recognized container (cheap: no pixel work,
+    * and it accepts header-only fixtures), else from a REAL full
+    * `javax.imageio` decode (covers containers the header walk doesn't,
+    * e.g. BMP), else the (−1, −1) undecodable sentinel. */
   def decodeBatch(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
-    // (a real decoder would be constructed here, once per partition)
     records.map { r =>
       val sha = MessageDigest.getInstance("SHA-256").digest(r.payload)
-      val (w, h) = headerDimensions(r.payload).getOrElse(fakeDecode(sha))
+      val (w, h) = headerDimensions(r.payload)
+        .orElse(decodePixels(r.payload).map(p => (p.width, p.height)))
+        .getOrElse((-1, -1))
       MediaFeatures(
         id = r.id,
         format = r.format,
@@ -135,6 +171,90 @@ object MediaStub {
         frameSample = r.payload.take(FrameBytes))
     }
   }
+
+  /** Integer luma for one packed ARGB pixel: 2126·R + 7152·G + 722·B —
+    * the BT.709 weights scaled by 10⁴ so everything stays in exact long
+    * arithmetic (no FP, bit-identical across engines). */
+  def luma(argb: Int): Long =
+    2126L * ((argb >> 16) & 0xff) + 7152L * ((argb >> 8) & 0xff) +
+      722L * (argb & 0xff)
+
+  /** Exact per-image pixel statistics from a REAL decode. `decoded=false`
+    * rows (no reader accepted the payload) carry −1 dims and zero sums. */
+  final case class PixelStats(
+      id: Long, format: String, width: Int, height: Int, pixCount: Long,
+      sumR: Long, sumG: Long, sumB: Long, lumaSum: Long, decoded: Boolean)
+
+  /** Dataset[MediaRecord] → Dataset[PixelStats]: full `javax.imageio`
+    * decode + exact integer channel/luma sums, per-partition, all
+    * executor-side. The sums are longs (a 2⁶⁴ overflow needs ~10¹⁶
+    * pixels per image), so cross-engine comparison is exact. */
+  def extractPixelFeatures(ds: Dataset[MediaRecord]): Dataset[PixelStats] =
+    ds.mapPartitions(_.map { r =>
+      decodePixels(r.payload) match {
+        case Some(p) =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+          var i = 0
+          while (i < p.argb.length) {
+            val c = p.argb(i)
+            sr += (c >> 16) & 0xff
+            sg += (c >> 8) & 0xff
+            sb += c & 0xff
+            sl += luma(c)
+            i += 1
+          }
+          PixelStats(r.id, r.format, p.width, p.height, p.argb.length.toLong,
+            sr, sg, sb, sl, decoded = true)
+        case None =>
+          PixelStats(r.id, r.format, -1, -1, 0L, 0L, 0L, 0L, 0L, decoded = false)
+      }
+    })(Encoders.product[PixelStats])
+
+  /** 64-bit perceptual difference hash (dHash) over REAL decoded pixels:
+    * block-average the integer luma plane onto a 9×8 grid (cell (gx, gy)
+    * covers pixels [⌊gx·w/9⌋, ⌊(gx+1)·w/9⌋) × [⌊gy·h/8⌋, ⌊(gy+1)·h/8⌋),
+    * cell value = Σluma / area in integer division), then bit
+    * p = gy·8 + gx (MSB-first) is 1 iff cell (gx, gy) < cell (gx+1, gy).
+    * Every step is exact integer arithmetic — deterministic across
+    * engines, which is what lets a SQL oracle recompute it from known
+    * synthetic pixels. None when the image is undecodable or too small
+    * to populate every grid cell (width < 9 or height < 8). */
+  def dhash64(b: Array[Byte]): Option[Long] =
+    decodePixels(b).flatMap { p =>
+      if (p.width < 9 || p.height < 8) None
+      else {
+        val grid = Array.ofDim[Long](9, 8)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * p.width / 9; val x1 = (gx + 1) * p.width / 9
+          var gy = 0
+          while (gy < 8) {
+            val y0 = gy * p.height / 8; val y1 = (gy + 1) * p.height / 8
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += luma(p.argb(y * p.width + x)); x += 1 }
+              y += 1
+            }
+            grid(gx)(gy) = s / ((x1 - x0).toLong * (y1 - y0))
+            gy += 1
+          }
+          gx += 1
+        }
+        var h = 0L
+        var gy = 0
+        while (gy < 8) {
+          var x = 0
+          while (x < 8) {
+            h = (h << 1) | (if (grid(x)(gy) < grid(x + 1)(gy)) 1L else 0L)
+            x += 1
+          }
+          gy += 1
+        }
+        Some(h)
+      }
+    }
 
   private def be2(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   private def be4(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
@@ -170,17 +290,55 @@ object MediaStub {
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     ds.mapPartitions(decodeBatch)(Encoders.product[MediaFeatures])
 
-  /** FAKE resize: a real implementation re-encodes via the codec; the
-    * stub emits a deterministic payload of the target "pixel" budget so
-    * downstream schema/partitioning/size behavior is realistic. */
-  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] =
+  /** REAL resize: full decode, exact nearest-neighbor resampling
+    * (source pixel (⌊x·srcW/w⌋, ⌊y·srcH/h⌋) — integer arithmetic, fully
+    * deterministic, unlike interpolating scalers whose FP rounding is
+    * implementation-defined), lossless PNG re-encode. Undecodable
+    * payloads pass through unchanged (the quarantine route — dropping
+    * them silently would hide data loss). */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    require(w > 0 && h > 0, s"w=$w h=$h")
     ds.mapPartitions(_.map { r =>
-      val sha = MessageDigest.getInstance("SHA-256").digest(r.payload)
-      val out = new Array[Byte](math.max(1, w * h / 64))
-      var i = 0
-      while (i < out.length) { out(i) = sha(i % 32); i += 1 }
-      r.copy(payload = out)
+      decodePixels(r.payload) match {
+        case Some(p) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val sy = y * p.height / h
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, p.argb(sy * p.width + x * p.width / w) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          r.copy(payload = bos.toByteArray)
+        case None => r
+      }
     })(Encoders.product[MediaRecord])
+  }
+
+  /** Encode a REAL PNG from a pixel function ((x, y) → packed 24-bit
+    * RGB) via `javax.imageio` — the fixture builder behind the pixel
+    * oracles: PNG is lossless, so the engine's decode must reproduce
+    * exactly the pixels stated here, which a SQL oracle can restate in
+    * closed form. */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** One sampled "frame" of a video payload. */
   final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])

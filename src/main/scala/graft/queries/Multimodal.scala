@@ -6,19 +6,25 @@ import graft.operators.{MediaRecord, MediaStub}
 import graft.sources.Tables._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
-  * with typed metadata.
+  * with typed metadata — and REAL pixel decoding on top.
   *
-  * Dimension extraction is REAL ([[graft.operators.MediaStub]]): JPEG
-  * marker-walking to SOF, PNG IHDR, GIF logical screen descriptor — pure
-  * byte-walking, no codec. The oracle design makes the parse load-bearing:
-  * payloads are synthesized with KNOWN dimensions embedded in real
-  * container headers, the engine must parse them back out of the bytes,
-  * and the DuckDB oracle states the ground-truth arithmetic — any parsing
-  * bug hash-mismatches. Full pixel decode stays a documented fake (no
-  * codecs in the container).
+  * Two layers, both real ([[graft.operators.MediaStub]]):
+  *  - header parsing: JPEG marker-walking to SOF, PNG IHDR, GIF logical
+  *    screen descriptor — pure byte-walking over the binary column;
+  *  - full pixel decode via the JDK's headless `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP — no external codec needed), feeding exact
+  *    integer pixel statistics and the dHash perceptual fingerprint.
+  *
+  * The oracle design makes every stage load-bearing: payloads are
+  * synthesized with KNOWN content (dimensions embedded in real container
+  * headers; pixel gradients encoded through a real lossless PNG encode),
+  * the engine must parse/decode them back out of the bytes, and the
+  * DuckDB oracle states the ground-truth arithmetic in closed form — any
+  * parsing or decoding bug hash-mismatches.
   *
   * Scale shape: per-row projection / typed mapPartitions only — no
-  * shuffle, linear, executor-side.
+  * shuffle, linear, executor-side (the dedup query adds the banded
+  * self-join, see [[graft.operators.ImageDedup]]).
   */
 object Multimodal {
 
@@ -90,6 +96,115 @@ object Multimodal {
                WHEN 0 THEN ${MediaStub.jpegBytes(1, 1).length}
                WHEN 1 THEN ${MediaStub.pngBytes(1, 1).length}
                ELSE ${MediaStub.gifBytes(1, 1).length} END AS INT) AS byte_len
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ------------------------- REAL pixel decode → exact channel statistics
+    // Payloads are REAL PNGs (ImageIO-encoded executor-side) carrying a
+    // known per-pixel RGB gradient; the engine must FULLY DECODE the
+    // compressed stream (zlib scanlines, filters — javax.imageio) to
+    // reproduce the per-channel and luma sums the oracle states in closed
+    // form. PNG is lossless, so any decode bug hash-mismatches. All sums
+    // are exact integers — no FP anywhere.
+    Q("x_media_pixels", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (9 + id % 8).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          MediaRecord(id, "png", MediaStub.encodePng(w, h, (x, y) =>
+            ((((x * 3 + y * 5 + id) % 256) << 16) |
+              (((x * 7 + y * 11 + id * 3) % 256) << 8) |
+              ((x * 13 + y + id * 5) % 256)).toInt))
+        }
+      MediaStub.extractPixelFeatures(recs)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("pixCount").as("pix_count"), col("sumR").as("sum_r"),
+          col("sumG").as("sum_g"), col("sumB").as("sum_b"),
+          col("lumaSum").as("luma_sum"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH dims AS (
+        SELECT doc_id, CAST(9 + doc_id % 8 AS INT) AS width,
+               CAST(8 + (doc_id * 3) % 9 AS INT) AS height
+        FROM documents),
+      xs AS (SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM dims),
+      px AS (SELECT doc_id, width, height, x, unnest(range(0, height)) AS y FROM xs),
+      c AS (SELECT doc_id, width, height,
+              (x*3 + y*5 + doc_id) % 256 AS r,
+              (x*7 + y*11 + doc_id*3) % 256 AS g,
+              (x*13 + y + doc_id*5) % 256 AS b
+            FROM px)
+      SELECT doc_id, width, height,
+             CAST(COUNT(*) AS BIGINT) AS pix_count,
+             CAST(SUM(r) AS BIGINT) AS sum_r,
+             CAST(SUM(g) AS BIGINT) AS sum_g,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(2126*r + 7152*g + 722*b) AS BIGINT) AS luma_sum
+      FROM c GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
+    // ------------------------------- perceptual image dedup (dHash pairs)
+    // Groups of 4 docs share a base gradient; variants perturb the red
+    // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are
+    // gentle NEAR-duplicates, v=3 is a heavy edit that usually exceeds
+    // the Hamming budget). The engine decodes the real PNGs, block-
+    // averages luma onto the 9×8 dHash grid, and finds pairs within
+    // Hamming ≤ 3 via LOSSLESS 4-band candidate generation
+    // (graft.operators.ImageDedup); the oracle recomputes the identical
+    // integer pipeline from the closed-form pixels and checks against the
+    // FULL quadratic ground truth — proving both the decode and that
+    // banding loses nothing.
+    Q("x_dedup_image", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 4
+          val v = (id % 4).toInt
+          MediaRecord(id, "png", MediaStub.encodePng(16, 16, (x, y) => {
+            val r0 = ((x * 3 + y * 5 + base * 11) % 256).toInt
+            val r =
+              if (v == 3 && x < 5) math.min(r0 + 120, 255)
+              else if ((v == 1 || v == 2) && x < 2)
+                math.min(r0 + (if (v == 1) 8 else 30), 255)
+              else r0
+            val g = ((x * 7 + y * 11 + base * 3) % 256).toInt
+            val b = ((x * 13 + y + base * 5) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }))
+        }
+      graft.operators.ImageDedup.pairs(recs, maxHamming = 3)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v FROM documents),
+      xs AS (SELECT doc_id, base, v, unnest(range(0, 16)) AS x FROM d),
+      px AS (SELECT doc_id, base, v, x, unnest(range(0, 16)) AS y FROM xs),
+      lum AS (
+        SELECT doc_id, x, y,
+          2126 * (CASE WHEN v = 3 AND x < 5
+                       THEN least((x*3 + y*5 + base*11) % 256 + 120, 255)
+                       WHEN v IN (1, 2) AND x < 2
+                       THEN least((x*3 + y*5 + base*11) % 256 +
+                                  CASE v WHEN 1 THEN 8 ELSE 30 END, 255)
+                       ELSE (x*3 + y*5 + base*11) % 256 END)
+          + 7152 * ((x*7 + y*11 + base*3) % 256)
+          +  722 * ((x*13 + y + base*5) % 256) AS luma
+        FROM px),
+      cells AS (
+        SELECT doc_id, (9*(x+1)-1) // 16 AS gx, y // 2 AS gy,
+               CAST(SUM(luma) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cell
+        FROM lum GROUP BY doc_id, (9*(x+1)-1) // 16, y // 2),
+      bits AS (
+        SELECT a.doc_id, a.gy * 8 + a.gx AS pos,
+               CASE WHEN a.cell < b.cell THEN '1' ELSE '0' END AS bit
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        WHERE a.gx < 8),
+      hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS bs
+             FROM bits GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_filter(range(1, 65),
+                 i -> substr(a.bs, i, 1) != substr(b.bs, i, 1))) AS BIGINT) AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db"""))
   )
 }

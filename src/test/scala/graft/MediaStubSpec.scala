@@ -14,11 +14,11 @@ class MediaStubSpec extends SparkSpec {
     val a = out(0)
     assert(a.byteLen == 17)
     assert(a.sha256.length == 64 && a.sha256.matches("[0-9a-f]+"))
-    assert(a.width >= 64 && a.width < 320 && a.height >= 64 && a.height < 320)
+    // neither payload has a parseable header or a decodable stream —
+    // the undecodable sentinel, never a synthesized dimension.
+    assert(a.width == -1 && a.height == -1)
+    assert(out(1).width == -1 && out(1).height == -1)
     assert(a.frameSample.length == MediaStub.FrameBytes)
-    // deterministic fake decode: same payload → same dims.
-    val again = MediaStub.extractFeatures(ds).collect().sortBy(_.id)
-    assert(again(0).width == a.width && again(0).height == a.height)
   }
 
   test("REAL header parsing: JPEG marker walk, PNG IHDR, GIF descriptor") {
@@ -62,8 +62,51 @@ class MediaStubSpec extends SparkSpec {
     assert((out(0).width, out(0).height) == (800, 600))
     assert((out(1).width, out(1).height) == (1024, 768))
     assert((out(2).width, out(2).height) == (99, 66))
-    // unrecognized payloads keep the deterministic fallback range.
-    assert(out(3).width >= 64 && out(3).width < 320)
+    // unrecognized payloads report the undecodable sentinel.
+    assert((out(3).width, out(3).height) == (-1, -1))
+  }
+
+  test("REAL pixel decode: ImageIO round-trips an encoded gradient exactly") {
+    val w = 13; val h = 11
+    def rgb(x: Int, y: Int): Int =
+      (((x * 3 + y * 5) % 256) << 16) | (((x * 7 + y) % 256) << 8) | ((x + y * 11) % 256)
+    val p = MediaStub.decodePixels(MediaStub.encodePng(w, h, rgb)).get
+    assert((p.width, p.height) == (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((p.argb(y * w + x) & 0xffffff) == rgb(x, y), s"pixel ($x,$y)")
+    // a full decode also yields dimensions for containers the header walk
+    // does not cover (decodeBatch's second chance) — and garbage is None.
+    assert(MediaStub.decodePixels("garbage".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("dhash64: exact grid arithmetic, locality, and edge sensitivity") {
+    // constant image: every cell equal -> no '<' comparison fires -> 0L.
+    assert(MediaStub.dhash64(MediaStub.encodePng(16, 16, (_, _) => 0x808080)) ==
+      Some(0L))
+    // strictly increasing luma left-to-right: every comparison fires.
+    assert(MediaStub.dhash64(MediaStub.encodePng(18, 16, (x, _) => {
+      val v = x * 14; (v << 16) | (v << 8) | v
+    })) == Some(-1L)) // all 64 bits set
+    // too small for the 9x8 grid, or undecodable: None.
+    assert(MediaStub.dhash64(MediaStub.encodePng(8, 8, (_, _) => 0)).isEmpty)
+    assert(MediaStub.dhash64("nope".getBytes("UTF-8")).isEmpty)
+    // locality: a small perturbation moves few bits; an unrelated
+    // gradient moves many.
+    def grad(seed: Int)(x: Int, y: Int): Int = {
+      val v = (x * 17 + y * 29 + seed * 37) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val a = MediaStub.dhash64(MediaStub.encodePng(16, 16, grad(1))).get
+    val tweaked = MediaStub.dhash64(MediaStub.encodePng(16, 16, (x, y) =>
+      if (x == 0 && y == 0) grad(1)(x, y) ^ 0x040404 else grad(1)(x, y))).get
+    // different spatial structure (not a constant luma offset, which
+    // dHash is deliberately invariant to): different multipliers.
+    val other = MediaStub.dhash64(MediaStub.encodePng(16, 16, (x, y) => {
+      val v = (x * 53 + y * 7 + 101) % 256
+      (v << 16) | (v << 8) | v
+    })).get
+    assert(java.lang.Long.bitCount(a ^ tweaked) <= 3)
+    assert(java.lang.Long.bitCount(a ^ other) > 3)
   }
 
   test("decode runs per-partition (mapPartitions), preserving distribution") {

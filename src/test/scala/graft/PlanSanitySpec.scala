@@ -21,7 +21,10 @@ class PlanSanitySpec extends SparkSpec {
       "x_dedup_simhash_pairs", "x_dedup_incremental", "x_dedup_containment",
       // read ONLY their staged tf relations since corpus stats moved off
       // the second corpus scan (rescans existed solely to count/sum).
-      "x_tfidf_topk", "x_bm25_terms")
+      "x_tfidf_topk", "x_bm25_terms",
+      // ImageDedup stages the (id, dhash) relation — it feeds both sides
+      // of the banded self-join, so the visible plan starts there.
+      "x_dedup_image")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

@@ -25,14 +25,25 @@ class TypedAggregatorSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan.take(1500))
   }
 
-  test("resizeStub yields the target payload budget deterministically") {
+  test("resize performs real nearest-neighbor resampling; undecodable passes through") {
     import spark.implicits._
+    // 4×4 image of four 2×2 solid quadrants — nearest-neighbor to 2×2
+    // must pick the top-left pixel of each quadrant exactly.
+    val quad = MediaStub.encodePng(4, 4, (x, y) =>
+      (if (y < 2) (if (x < 2) 0xff0000 else 0x00ff00)
+       else (if (x < 2) 0x0000ff else 0x102030)))
     val ds = spark.createDataset(Seq(
-      MediaRecord(1L, "jpeg", "payload-one".getBytes("UTF-8")),
-      MediaRecord(2L, "jpeg", "payload-two".getBytes("UTF-8"))))
-    val out = MediaStub.resizeStub(ds, 64, 64).collect().sortBy(_.id)
-    assert(out.forall(_.payload.length == 64 * 64 / 64))
-    val again = MediaStub.resizeStub(ds, 64, 64).collect().sortBy(_.id)
+      MediaRecord(1L, "png", quad),
+      MediaRecord(2L, "bin", "not an image".getBytes("UTF-8"))))
+    val out = MediaStub.resize(ds, 2, 2).collect().sortBy(_.id)
+    val p = MediaStub.decodePixels(out(0).payload).get
+    assert((p.width, p.height) == (2, 2))
+    assert(p.argb.map(_ & 0xffffff).toSeq ==
+      Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030))
+    // deterministic: identical bytes on re-run (exact integer sampling).
+    val again = MediaStub.resize(ds, 2, 2).collect().sortBy(_.id)
     assert(out(0).payload.toSeq == again(0).payload.toSeq)
+    // the quarantine route: undecodable payloads are passed through.
+    assert(out(1).payload.toSeq == "not an image".getBytes("UTF-8").toSeq)
   }
 }
