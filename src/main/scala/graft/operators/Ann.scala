@@ -183,6 +183,49 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Near-duplicate vector pairs within ONE corpus — the LSH scale path
+    * for embedding self-dedup (`x_dedup_embedding`'s all-pairs cosine is
+    * the oracle baseline; THIS is what runs at 100 TB). Candidates are
+    * generated by the banded sign-hyperplane self-join, exact cosine
+    * verifies candidates only, and the result is every candidate pair
+    * with cosine ≥ `threshold` (va < vb). Approximate by construction —
+    * a true near-dup pair colliding in no band is missed (the defaults
+    * give ~0.95 candidate recall at cos 0.45 even on isotropic vectors,
+    * higher on real clustered corpora; measured in graft.AnnRecall) —
+    * but fully deterministic, so a SQL twin recomputes it exactly.
+    *
+    * Scale shape (TextDedup's staged self-join discipline): the
+    * signature pass is STAGED — one relation feeds both sides of the
+    * candidate join, and Spark has no subplan reuse across self-join
+    * sides, so unstaged the bits·dim dot products would run twice per
+    * vector. Embeddings ride the band relation (each side scanned once,
+    * candidates score on the raw join output), verification precedes the
+    * distinct so the dedup exchange carries only narrow surviving rows
+    * (two ids + a double), and the join itself is a short-key equi-join —
+    * never an all-pairs product. */
+  def lshSelfPairs(corpus: DataFrame, threshold: Double,
+                   bits: Int = 64, bands: Int = 16, dim: Int = 64): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val width = bits / bands
+    ensure(corpus)
+    val sigRel = graft.sources.Tables.stage(
+      corpus.withColumn("__w", typedlit(hyperplaneWeights(bits, dim)))
+        .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding", "__w")))
+        .select(col("id"), col("embedding"), col("sig")))
+    def banded(idAlias: String, vecAlias: String): DataFrame =
+      sigRel.select(col("id").as(idAlias), col("embedding").as(vecAlias),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
+          .as("band"))
+    banded("va", "ea").join(banded("vb", "eb"), Seq("band"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+      .distinct()
+  }
+
   /** Collect the (small, by contract) centroid relation and inline it as a
     * literal `array<struct<cent_id, ce>>` column, sorted by cent_id. This
     * is the "broadcast the offline-trained centroids" step: the list rides

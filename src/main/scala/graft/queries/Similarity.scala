@@ -153,6 +153,38 @@ object Similarity {
       SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
       ORDER BY q_id, rank""")),
 
+    // ----------------------------- embedding SELF-dedup via LSH (scale path)
+    // x_dedup_embedding (queries/Dedup.scala) is the all-pairs oracle
+    // baseline — a whitelisted cartesian that cannot run at 100 TB. THIS
+    // is the scale path for the same job: banded sign-hyperplane SELF-join
+    // at the production LSH width (64 bits, 16 bands), exact cosine on
+    // candidates only, threshold 0.45 — approximate by construction (a
+    // pair colliding in no band is missed; ~0.95 candidate recall here)
+    // but fully deterministic, so the oracle recomputes the identical
+    // banding + scoring in SQL and the comparison is exact.
+    Q("x_dedup_embedding_lsh", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann.lshSelfPairs(fanOut(e), threshold = 0.45)
+        .orderBy(col("va"), col("vb"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+               ${duckSigBits(64)} AS sig
+        FROM embeddings),
+      bands AS (
+        SELECT vec_id,
+               unnest(list_transform(range(0, 16),
+                 b -> CAST(b AS VARCHAR) || ':' || substr(sig, 4*b + 1, 4))) AS band
+        FROM e),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT cand.va, cand.vb,
+               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM cand JOIN e a ON cand.va = a.vec_id JOIN e b ON cand.vb = b.vec_id)
+      SELECT va, vb, cos FROM scored WHERE cos >= 0.45 ORDER BY va, vb""")),
+
     // ------------------------------------------------------------ IVF ANN
     // Inverted-file variant: vectors are assigned to their nearest
     // "centroid" (deterministic stand-in: the first 8 corpus vectors —

@@ -56,6 +56,20 @@ class AnnSpec extends SparkSpec {
       s"cross-cluster neighbor: ${out.toSeq}")
   }
 
+  test("lshSelfPairs finds exactly the within-cluster pairs, no cartesian") {
+    // well-separated clusters: within-cluster cosine ≈ 1 (caught), cross ≈ 0
+    // (scored out even when a band collides). 3 clusters × C(20,2) pairs.
+    val pairs = Ann.lshSelfPairs(clustered, threshold = 0.9, dim = 8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"self-dedup must stay a banded equi-join:\n${plan.take(1500)}")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3 * 190, s"expected 570 within-cluster pairs: ${got.length}")
+    assert(got.forall { case (va, vb, _) => va % 3 == vb % 3 },
+      "cross-cluster pair survived the cosine verify")
+    assert(got.forall { case (va, vb, c) => va < vb && c >= 0.9 })
+  }
+
   test("bruteTopK two-phase aggregation matches a driver-side exact ranking") {
     val rnd = new Random(11)
     val vecs = (0L until 50L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))

@@ -24,7 +24,10 @@ class PlanSanitySpec extends SparkSpec {
       "x_tfidf_topk", "x_bm25_terms",
       // ImageDedup stages the (id, dhash) relation — it feeds both sides
       // of the banded self-join, so the visible plan starts there.
-      "x_dedup_image")
+      "x_dedup_image",
+      // Ann.lshSelfPairs stages the signature relation for the same
+      // one-relation-feeds-both-sides reason.
+      "x_dedup_embedding_lsh")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
