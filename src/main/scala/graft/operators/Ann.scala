@@ -155,8 +155,6 @@ object Ann {
     * sides — see graft.operators.TextDedup.minhashLshPairs). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 64, bands: Int = 16, dim: Int = 64): DataFrame = {
-    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
-    val width = bits / bands
     ensure(queries)
     // embeddings RIDE the band relation (same move as simhashPairs' words):
     // each side is scanned ONCE, candidates score immediately on the raw
@@ -166,17 +164,45 @@ object Ann {
     // The alternative (distinct candidate ids, then join both vector
     // relations back) costs a second full scan of each side; recomputing
     // a ≤`bands`× duplicated 64-dim dot product is far cheaper.
-    def banded(df: DataFrame, idAlias: String, vecAlias: String): DataFrame =
-      df.withColumn("__w", typedlit(hyperplaneWeights(bits, dim)))
-        .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding", "__w")))
-        .select(col("id").as(idAlias), col("embedding").as(vecAlias),
-          explode(expr(
-            s"""transform(sequence(0, ${bands - 1}),
-               |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
-            .as("band"))
-    val qb = banded(queries, "q_id", "qe")
-    val cb = banded(corpus, "c_id", "ce")
+    val qb = bandedRelation(queries, "q_id", "qe", bits, bands, dim)
+    val cb = bandedRelation(corpus, "c_id", "ce", bits, bands, dim)
     val scored = qb.join(cb, "band")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
+    rankTopK(scored, k)
+  }
+
+  /** The banded-signature projection for one side of an LSH join:
+    * (idAlias, vecAlias, band), `bands` rows per input vector. Exposed so
+    * a CORPUS side can be computed once, staged, and probed repeatedly
+    * ([[lshTopKAgainstIndex]] / graft.streaming.AnnIngest). */
+  def bandedRelation(df: DataFrame, idAlias: String, vecAlias: String,
+                     bits: Int = 64, bands: Int = 16, dim: Int = 64): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val width = bits / bands
+    ensure(df)
+    df.withColumn("__w", typedlit(hyperplaneWeights(bits, dim)))
+      .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding", "__w")))
+      .select(col("id").as(idAlias), col("embedding").as(vecAlias),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
+          .as("band"))
+  }
+
+  /** [[lshTopK]] against a PREBUILT corpus band relation — the ingest
+    * shape: `corpusBanded` is [[bandedRelation]]`(corpus, "c_id", "ce")`
+    * staged once per corpus version, and each (small) query batch pays
+    * only its own banding. The batch side is explicitly BROADCAST onto
+    * the persisted index, so the corpus relation never shuffles and the
+    * only exchange is the per-query top-k merge over the batch's scored
+    * rows. Same parameters must be used for index and probe (signatures
+    * must land in the same key space). */
+  def lshTopKAgainstIndex(queries: DataFrame, corpusBanded: DataFrame, k: Int,
+                          bits: Int = 64, bands: Int = 16, dim: Int = 64): DataFrame = {
+    val qb = bandedRelation(queries, "q_id", "qe", bits, bands, dim)
+    val scored = broadcast(qb).join(corpusBanded, "band")
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
       .select(col("q_id"), col("c_id"), col("cos"))
       .distinct()

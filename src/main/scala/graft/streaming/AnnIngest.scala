@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Ann
+
+/** Streaming ANN ingest — the vector twin of [[DedupIngest]]: an embedding
+  * stream retrieves its per-batch top-k nearest corpus neighbors against
+  * ONE persisted LSH signature index (e.g. to attach "most similar
+  * existing documents" to every newly-ingested record, or to flag
+  * embedding-level near-duplicates at ingest time).
+  *
+  * Scale contract (mirrors DedupIngest point for point):
+  *  - [[buildIndex]] runs once per corpus version: the corpus banded
+  *    signature relation ([[Ann.bandedRelation]]) is staged
+  *    (`Tables.stage`), so in `graft.stage.dir` mode every micro-batch
+  *    scans a persisted parquet index and recomputes zero corpus
+  *    signatures;
+  *  - each micro-batch pays only its own (tiny, unstaged) banding
+  *    projection plus one scan of the index; the batch side BROADCASTS
+  *    ([[Ann.lshTopKAgainstIndex]]), the corpus never shuffles;
+  *  - the corpus ROTATES between batches via the [[AtomicReference]]:
+  *    build the next version outside the stream, then `state.set(next)` —
+  *    foreachBatch bodies run sequentially and read the reference once at
+  *    batch start, so the swap is atomic at a batch boundary and rebuild
+  *    cost is paid once per version, never per batch (spec-pinned:
+  *    micro-batches create no staging dirs).
+  */
+object AnnIngest {
+
+  /** One corpus version's staged LSH index + the parameters it was built
+    * under (probe signatures must land in the same key space). */
+  final case class CorpusAnnIndex(banded: DataFrame, bits: Int, bands: Int,
+                                  dim: Int, version: Long)
+
+  /** Stage the corpus banded signature relation ONCE (per corpus
+    * version). `corpus` is an (id, embedding) relation. */
+  def buildIndex(corpus: DataFrame, bits: Int = 64, bands: Int = 16,
+                 dim: Int = 64, version: Long = 0L): CorpusAnnIndex =
+    CorpusAnnIndex(
+      graft.sources.Tables.stage(
+        Ann.bandedRelation(corpus, "c_id", "ce", bits, bands, dim)),
+      bits, bands, dim, version)
+
+  /** Start the per-batch retrieval loop: each micro-batch's vectors probe
+    * the persisted index and `onBatch` receives the (q_id, rank,
+    * neighbor_id, cos) top-k relation plus (corpusVersion, batchId).
+    *
+    * `idCol`/`embCol` address the stream's payload (e.g. `value.vec_id`,
+    * `value.embedding` for a JSON Kafka stream). */
+  def start(stream: Stream, state: AtomicReference[CorpusAnnIndex],
+            idCol: String, embCol: String, k: Int,
+            checkpoint: Option[String] = None)(
+            onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      val q = batch.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("embedding"))
+      onBatch(Ann.lshTopKAgainstIndex(q, st.banded, k, st.bits, st.bands, st.dim),
+        st.version, batchId)
+    }, checkpoint)
+}

@@ -108,7 +108,10 @@ object DedupIngest {
     *   2. those few candidates broadcast onto the staged corpus digest
     *      relation to settle EXACTLY → `exactPairs` (da = batch id,
     *      db = corpus id with identical content; no false drops — a bloom
-    *      false positive simply fails the settle join);
+    *      false positive simply fails the settle join). The settle join
+    *      runs ONCE per micro-batch: its (tiny) result is materialized
+    *      and feeds both the sink and the survivor anti-join as a local
+    *      relation (see [[gateBatch]]);
     *   3. rows with an exact match skip shingling entirely (their LSH
     *      pairs are foregone conclusions); the SURVIVORS run
     *      [[TextDedup.minhashLshPairsAgainstIndex]] against the persisted
@@ -134,19 +137,41 @@ object DedupIngest {
                  onBatch: (DataFrame, DataFrame, Long, Long) => Unit): StreamingQuery =
     stream.forEachBatch({ (batch, batchId) =>
       val st = state.get()
-      val withDigest = batch.withColumn("__digest", md5(col(textCol)))
-      val cand = BloomDedup.probe(withDigest, "__digest", st.exactFilter)
-      val exactPairs = broadcast(
-          cand.select(col(idCol).cast("long").as("da"), col("__digest")))
-        .join(st.digests, "__digest")
-        .select(col("da"), col("db"))
-      val exactIds = exactPairs.select(col("da")).distinct()
-      val survivors = withDigest.join(broadcast(exactIds),
-        col(idCol).cast("long") === col("da"), "left_anti")
-      val nearPairs = TextDedup.minhashLshPairsAgainstIndex(
-        TextDedup.shingleProjection(survivors, idCol, textCol, st.index.n),
-        st.index.shingled, st.index.bandKeys,
-        st.index.k, st.index.bands, threshold, bandCap)
+      val (exactPairs, nearPairs) =
+        gateBatch(batch, st, idCol, textCol, threshold, bandCap)
       onBatch(exactPairs, nearPairs, st.version, batchId)
     }, checkpoint)
+
+  /** One micro-batch through the gate (see [[startGated]]) — exposed so
+    * specs and the bench harness drive the exact per-batch plan the
+    * stream runs. Single-pass settle: the exact-pair set is bounded by
+    * |batch| × content-duplicate multiplicity (tiny by contract — the
+    * corpus digest relation is near-unique), so the settle join is
+    * materialized ONCE to the driver and re-enters BOTH consumers (the
+    * caller's sink and the survivor anti-join) as a local relation —
+    * previously the lazy `exactPairs` subplan re-ran the settle join in
+    * each consumer, i.e. twice per micro-batch. */
+  def gateBatch(batch: DataFrame, st: CorpusState, idCol: String, textCol: String,
+                threshold: Double = 0.5, bandCap: Option[Int] = None)
+      : (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val withDigest = batch.withColumn("__digest", md5(col(textCol)))
+    val cand = BloomDedup.probe(withDigest, "__digest", st.exactFilter)
+    val pairRows = broadcast(
+        cand.select(col(idCol).cast("long").as("da"), col("__digest")))
+      .join(st.digests, "__digest")
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exactPairs = spark.createDataset(pairRows)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)]).toDF("da", "db")
+    val exactIds = spark.createDataset(pairRows.map(_._1).distinct)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("da")
+    val survivors = withDigest.join(broadcast(exactIds),
+      col(idCol).cast("long") === col("da"), "left_anti")
+    val nearPairs = TextDedup.minhashLshPairsAgainstIndex(
+      TextDedup.shingleProjection(survivors, idCol, textCol, st.index.n),
+      st.index.shingled, st.index.bandKeys,
+      st.index.k, st.index.bands, threshold, bandCap)
+    (exactPairs, nearPairs)
+  }
 }

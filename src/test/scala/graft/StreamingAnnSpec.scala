@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Ann
+import graft.sources.Tables
+import graft.streaming.{AnnIngest, Stream}
+
+/** Streaming ANN ingest end-to-end (graft.streaming.AnnIngest): an
+  * embedding stream retrieves per-batch top-k neighbors against ONE
+  * persisted corpus LSH signature index. Asserts the load-bearing claims:
+  *  1. per-batch results ≡ the batch operator (Ann.lshTopK) on the same
+  *     query vectors — bitwise, cosines included;
+  *  2. the corpus banding is staged EXACTLY once; micro-batches create no
+  *     staging dirs;
+  *  3. version rotation swaps the index atomically between batches. */
+class StreamingAnnSpec extends SparkSpec {
+
+  test("AnnIngest: per-batch top-k ≡ batch lshTopK; staged once; rotation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val e = Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.filter(col("id") >= 10)
+      val queries = e.filter(col("id") < 10)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        AnnIngest.buildIndex(corpus))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"index = one staged banded relation, got $stageDirs")
+
+      // batch-mode truth, same params, same corpus.
+      val expected = Ann.lshTopK(queries, corpus, k = 5)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no neighbors — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = AnnIngest.start(s, state, "value.vec_id", "value.embedding", k = 5) {
+        (topk, version, _) =>
+          versions += version
+          got ++= topk.as[(Long, Int, Long, Double)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("id").as("vec_id"), col("embedding"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // two micro-batches; union must equal the batch operator bitwise
+      // (JSON float round-trip is exact: Float.toString round-trips).
+      send(queries.filter(col("id") < 5))
+      send(queries.filter(col("id") >= 5))
+      assert(got.toSet == expected,
+        s"streamed top-k diverges from batch operator:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+
+      // ROTATE: v1 corpus additionally holds an exact copy of query 0's
+      // vector under a new id — identical signature lands in every band,
+      // so after the swap it MUST surface as a cos=1 rank-1 neighbor.
+      val clone = queries.filter(col("id") === 0)
+        .select(lit(99999L).as("id"), col("embedding"))
+      state.set(AnnIngest.buildIndex(corpus.unionByName(clone), version = 1L))
+      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      got.clear()
+      send(queries.filter(col("id") === 0))
+      val top1 = got.toSeq.filter(r => r._1 == 0L && r._2 == 1)
+      assert(top1.map(_._3) == Seq(99999L),
+        s"post-rotation rank-1 must be the planted clone: $got")
+      assert(top1.head._4 > 0.999999) // self-cosine up to sqrt rounding
+      assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
+      assert(stageDirs == 2, "post-rotation micro-batch staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("lshTopKAgainstIndex: corpus never shuffles; batch side broadcasts") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("id"), col("embedding"))
+    val idx = Ann.bandedRelation(e.filter(col("id") >= 10), "c_id", "ce")
+    val plan = Ann.lshTopKAgainstIndex(e.filter(col("id") < 10), idx, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe must broadcast the batch side:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the join:\n${plan.take(2000)}")
+  }
+}

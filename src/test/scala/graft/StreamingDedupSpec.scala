@@ -219,6 +219,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("gateBatch settles exactly once: emitted pair relations are LOCAL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+      val st = DedupIngest.buildState(corpus, "doc_id", "text")
+      // batch = 5 exact copies + 5 fresh docs.
+      val batch = corpus.orderBy(col("doc_id")).limit(5)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 10 === 0).limit(5)
+          .select(col("doc_id"), col("text")))
+      val (exact, near) = DedupIngest.gateBatch(batch, st, "doc_id", "text")
+      // the settle join ran during gateBatch (once); what the caller gets
+      // is a LOCAL relation — were it the lazy settle subplan, the sink
+      // and the survivor anti-join would each re-run it.
+      val ep = exact.queryExecution.executedPlan.toString
+      assert(!ep.contains("Join") && !ep.contains("Scan parquet"),
+        s"exactPairs must be local (settled once):\n$ep")
+      assert(exact.as[(Long, Long)].collect().toSet ==
+        batch.select(col("doc_id").as("da"), md5(col("text")).as("d"))
+          .join(corpus.select(col("doc_id").as("db"), md5(col("text")).as("d")), "d")
+          .select("da", "db").as[(Long, Long)].collect().toSet)
+      // survivors feed LSH against the staged index — still streamable.
+      assert(near.count() >= 0)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("per-batch cluster maintenance: gate pairs + incrementalComponents ≡ full CC") {
     // the complete daily-ingest loop: the streaming gate emits per-batch
     // exact + near-dup pairs, and Graph.incrementalComponents folds each
