@@ -142,6 +142,47 @@ object Multimodal {
              CAST(SUM(2126*r + 7152*g + 722*b) AS BIGINT) AS luma_sum
       FROM c GROUP BY doc_id, width, height ORDER BY doc_id""")),
 
+    // ------------------------------------- REAL resize, proven end-to-end
+    // encode(gradient) → nearest-neighbor resize to 8×8 (exact integer
+    // sampling: source pixel (⌊x·srcW/8⌋, ⌊y·srcH/8⌋)) → lossless PNG
+    // re-encode → decode → channel sums. The oracle restates the sampled
+    // pixels in closed form, so the whole decode→resample→encode→decode
+    // chain must be exact to hash-match.
+    Q("x_media_resize", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (9 + id % 8).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          MediaRecord(id, "png", MediaStub.encodePng(w, h, (x, y) =>
+            ((((x * 3 + y * 5 + id) % 256) << 16) |
+              (((x * 7 + y * 11 + id * 3) % 256) << 8) |
+              ((x * 13 + y + id * 5) % 256)).toInt))
+        }
+      MediaStub.extractPixelFeatures(MediaStub.resize(recs, 8, 8))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"), col("lumaSum").as("luma_sum"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH dims AS (
+        SELECT doc_id, 9 + doc_id % 8 AS sw, 8 + (doc_id * 3) % 9 AS sh
+        FROM documents),
+      xs AS (SELECT doc_id, sw, sh, unnest(range(0, 8)) AS x FROM dims),
+      px AS (SELECT doc_id, sw, sh, x, unnest(range(0, 8)) AS y FROM xs),
+      src AS (SELECT doc_id, (x * sw) // 8 AS sx, (y * sh) // 8 AS sy FROM px),
+      c AS (SELECT doc_id,
+              (sx*3 + sy*5 + doc_id) % 256 AS r,
+              (sx*7 + sy*11 + doc_id*3) % 256 AS g,
+              (sx*13 + sy + doc_id*5) % 256 AS b
+            FROM src)
+      SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             CAST(SUM(r) AS BIGINT) AS sum_r,
+             CAST(SUM(g) AS BIGINT) AS sum_g,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(2126*r + 7152*g + 722*b) AS BIGINT) AS luma_sum
+      FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are
@@ -173,7 +214,7 @@ object Multimodal {
         }
       graft.operators.ImageDedup.pairs(recs, maxHamming = 3)
         .orderBy(col("da"), col("db"))
-    }, Some("""
+    }, headline = true, oracle = Some("""
       WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v FROM documents),
       xs AS (SELECT doc_id, base, v, unnest(range(0, 16)) AS x FROM d),
       px AS (SELECT doc_id, base, v, x, unnest(range(0, 16)) AS y FROM xs),
