@@ -68,7 +68,43 @@ object AnnRecall {
       val r = Ann.meanRecall(approx, exact)
       println(f"| ivf | cents=$nc nprobe=$np | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
     }
+
+    // ---- embedding SELF-dedup pair recall (the x_dedup_embedding_lsh
+    // regime): fraction of the full-quadratic cos ≥ τ pair set that the
+    // banded self-join recovers, vs candidate pairs as the cost axis.
+    val tau = 0.45
+    val allE = fanOut(e)
+    val nAll = allE.count()
+    val fullPairs = stage(allE.as("a")
+      .join(allE.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
+      .filter(col("cos") >= tau)
+      .select(col("a.id").as("va"), col("b.id").as("vb")))
+    val nFull = fullPairs.count()
+    val selfExhaustive = nAll.toDouble * (nAll - 1) / 2.0
+    println(s"[self-dedup] vectors=$nAll true pairs at cos>=$tau: $nFull")
+    println(s"| path | params | pair recall | candidate pairs | cand/exhaustive | sec |")
+    println(s"|---|---|---|---|---|---|")
+    for ((bits, bands) <- Seq((16, 4), (32, 8), (64, 16), (64, 32), (128, 32))) {
+      val (got, sec) = timed(stage(Ann.lshSelfPairs(allE, tau, bits, bands)))
+      val hit = got.select(col("va"), col("vb"))
+        .join(fullPairs, Seq("va", "vb"), "left_semi").count()
+      val cand = selfCandidatePairs(allE, bits, bands)
+      println(f"| lsh-self | bits=$bits bands=$bands | ${hit.toDouble / nFull}%.3f " +
+        f"| $cand | ${cand / selfExhaustive}%.3f | $sec%.1f |")
+    }
     spark.stop()
+  }
+
+  /** Distinct (va < vb) candidate pairs the banded self-join generates. */
+  def selfCandidatePairs(corpus: DataFrame, bits: Int, bands: Int,
+                         dim: Int = 64): Long = {
+    val a = Ann.bandedRelation(corpus, "va", "ea", bits, bands, dim)
+      .select("va", "band")
+    val b = Ann.bandedRelation(corpus, "vb", "eb", bits, bands, dim)
+      .select("vb", "band")
+    a.join(b, "band").filter(col("va") < col("vb"))
+      .select("va", "vb").distinct().count()
   }
 
   /** Distinct (q, c) candidate pairs the LSH path scores. */

@@ -13,7 +13,8 @@ object ExplainAudit {
     // eyeballing after every change (staged dedup joins, iterative CC
     // feeders, the new ranking/line-dedup shapes).
     val extra = Set("x_dedup_incremental", "x_line_dedup", "x_tfidf_topk",
-      "x_inverted_index", "x_quality_gate", "x_source_mix")
+      "x_inverted_index", "x_quality_gate", "x_source_mix",
+      "x_dedup_embedding_lsh", "x_media_pixels")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

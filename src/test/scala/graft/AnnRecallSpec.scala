@@ -99,6 +99,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.85, f"LSH recall@10 on random data: $recall%.3f < 0.85")
   }
 
+  test("isotropic corpus: self-dedup pair recall at the defaults clears the floor") {
+    // the x_dedup_embedding_lsh regime: fraction of the full-quadratic
+    // cos ≥ 0.45 pair set the banded self-join recovers. Measured 0.972
+    // at sf0.1 (README §ANN recall); deterministic, so a floor pins it.
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val full = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.id").as("va"), col("b.id").as("vb"))
+    val nFull = full.count()
+    assert(nFull > 0, "fixture has no true pairs — vacuous")
+    val hit = Ann.lshSelfPairs(e, threshold = 0.45).select("va", "vb")
+      .join(full, Seq("va", "vb"), "left_semi").count()
+    assert(hit.toDouble / nFull >= 0.85,
+      f"self-dedup pair recall ${hit.toDouble / nFull}%.3f < 0.85 ($hit/$nFull)")
+  }
+
   test("recallAtK: missed queries appear with recall 0") {
     val exact = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8),
       (2L, 1L, 12L, 0.7)).toDF("q_id", "rank", "neighbor_id", "cos")
