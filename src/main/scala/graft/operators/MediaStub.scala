@@ -340,6 +340,128 @@ object MediaStub {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------ audio
+  // PCM WAV is uncompressed, so the AUDIO modality needs no codec at
+  // all: a real RIFF chunk walk + little-endian sample reads cover
+  // parse AND "decode" exactly — the audio twin of the image pipeline.
+
+  /** Parsed WAV stream header: format fields from the `fmt ` chunk +
+    * the sample count implied by the `data` chunk. */
+  final case class WavInfo(channels: Int, sampleRate: Int,
+                           bitsPerSample: Int, nSamples: Long)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b.length >= i + 4 && b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+      b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+  /** REAL WAV parse: RIFF/WAVE signature, then a genuine chunk walk —
+    * unknown chunks (LIST, fact, …) are skipped by their declared size
+    * (+ the RIFF odd-size pad byte) until `fmt ` and `data` are both
+    * seen. None for truncated/corrupt streams or non-PCM (compressed)
+    * formats. */
+  def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataLen = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val size = le32(b, i + 4).toLong & 0xffffffffL
+      if (size > b.length) return None // corrupt declared size
+      if (tag(b, i, "fmt ")) {
+        // PCM needs ≥16 bytes: audioFormat(2) channels(2) rate(4)
+        // byteRate(4) blockAlign(2) bits(2); audioFormat must be 1.
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        val audioFormat = (b(i + 8) & 0xff) | ((b(i + 9) & 0xff) << 8)
+        if (audioFormat != 1) return None
+        fmt = Some((
+          (b(i + 10) & 0xff) | ((b(i + 11) & 0xff) << 8),
+          le32(b, i + 12),
+          (b(i + 22) & 0xff) | ((b(i + 23) & 0xff) << 8)))
+      } else if (tag(b, i, "data")) {
+        if (i + 8 + size > b.length) return None // declared data truncated
+        dataLen = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+    }
+    fmt match {
+      case Some((ch, rate, bits)) if dataLen >= 0 && ch > 0 && bits > 0 =>
+        Some(WavInfo(ch, rate, bits, dataLen / (ch.toLong * (bits / 8))))
+      case _ => None
+    }
+  }
+
+  /** Exact integer statistics over a 16-bit PCM WAV's samples (all
+    * channels interleaved): (count, Σ|s|, max|s|, Σs²) — the amplitude /
+    * energy features an audio curation pipeline gates on (silence,
+    * clipping, loudness), with no FP anywhere. None when [[wavInfo]]
+    * rejects the stream or it isn't 16-bit. */
+  def pcmStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    wavInfo(b).filter(_.bitsPerSample == 16).flatMap { info =>
+      // find the data chunk again (cheap — headers are tiny; sizes were
+      // already bounds-validated by the wavInfo walk above).
+      var i = 12
+      while (i + 8 <= b.length && !tag(b, i, "data")) {
+        val sz = le32(b, i + 4)
+        if (sz < 0 || sz > b.length) return None
+        i += 8 + sz + (sz & 1)
+      }
+      if (i + 8 > b.length) return None
+      val size = le32(b, i + 4)
+      var p = i + 8
+      val end = i + 8 + size
+      var n = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
+      while (p + 1 < end) {
+        val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toLong
+        val a = math.abs(s)
+        n += 1; sumAbs += a; sumSq += s * s
+        if (a > maxAbs) maxAbs = a
+        p += 2
+      }
+      Some((n, sumAbs, maxAbs, sumSq))
+    }
+
+  /** Structurally-real PCM16 WAV builder (RIFF + fmt + an ignorable LIST
+    * chunk so parsers must actually WALK chunks + data) — the audio
+    * fixture twin of [[pngBytes]]/[[encodePng]]. */
+  def wavBytes(sampleRate: Int, samples: Array[Short],
+               channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val byteRate = sampleRate * channels * 2
+    def le2(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le4(4 + 24 + 12 + 8 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le4(16) ++ le2(1) ++ le2(channels) ++
+      le4(sampleRate) ++ le4(byteRate) ++ le2(channels * 2) ++ le2(16) ++
+      "LIST".getBytes("US-ASCII") ++ le4(4) ++ "INFO".getBytes("US-ASCII") ++
+      "data".getBytes("US-ASCII") ++ le4(dataLen) ++
+      samples.flatMap(s => le2(s & 0xffff))
+  }
+
+  /** Exact audio features for one record. `decoded=false` rows (not a
+    * parseable PCM WAV) carry −1 format fields and zero sums. */
+  final case class AudioFeatures(
+      id: Long, channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long, sumAbs: Long, maxAbs: Long, sumSq: Long, decoded: Boolean)
+
+  /** Dataset[MediaRecord] → Dataset[AudioFeatures]: REAL RIFF chunk walk
+    * + exact integer PCM statistics, per-partition, executor-side — the
+    * audio twin of [[extractPixelFeatures]]. */
+  def extractAudioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] =
+    ds.mapPartitions(_.map { r =>
+      (wavInfo(r.payload), pcmStats(r.payload)) match {
+        case (Some(w), Some((n, sumAbs, maxAbs, sumSq))) =>
+          AudioFeatures(r.id, w.channels, w.sampleRate, w.bitsPerSample,
+            n, sumAbs, maxAbs, sumSq, decoded = true)
+        case _ =>
+          AudioFeatures(r.id, -1, -1, -1, 0L, 0L, 0L, 0L, decoded = false)
+      }
+    })(Encoders.product[AudioFeatures])
+
   /** One sampled "frame" of a video payload. */
   final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
 

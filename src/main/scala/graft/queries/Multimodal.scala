@@ -183,6 +183,44 @@ object Multimodal {
              CAST(SUM(2126*r + 7152*g + 722*b) AS BIGINT) AS luma_sum
       FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ----------------------------- REAL audio parse → exact PCM statistics
+    // The audio modality needs no codec at all: PCM WAV is uncompressed,
+    // so a genuine RIFF chunk walk (the fixture embeds an ignorable LIST
+    // chunk the parser must skip) + little-endian sample reads ARE the
+    // decode. Samples are synthesized in closed form; the oracle restates
+    // the amplitude/energy sums — the features an audio curation pipeline
+    // gates on (silence, clipping, loudness) — all exact integers.
+    Q("x_media_audio", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (200 + id % 300).toInt
+          val rate = (8000 + (id % 5) * 1000).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((i * 7L + id * 13L) % 65536L - 32768L).toShort)
+          MediaRecord(id, "wav", MediaStub.wavBytes(rate, samples))
+        }
+      MediaStub.extractAudioFeatures(recs)
+        .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("sumAbs").as("sum_abs"),
+          col("maxAbs").as("max_abs"), col("sumSq").as("sum_sq"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 200 + doc_id % 300 AS n,
+               CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate
+        FROM documents),
+      s AS (SELECT doc_id, sample_rate, unnest(range(0, n)) AS i FROM d),
+      v AS (SELECT doc_id, sample_rate,
+              (i*7 + doc_id*13) % 65536 - 32768 AS smp
+            FROM s)
+      SELECT doc_id, sample_rate,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
+             CAST(MAX(abs(smp)) AS BIGINT) AS max_abs,
+             CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
+      FROM v GROUP BY doc_id, sample_rate ORDER BY doc_id""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are

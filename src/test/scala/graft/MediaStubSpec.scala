@@ -109,6 +109,28 @@ class MediaStubSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ other) > 3)
   }
 
+  test("REAL WAV parse: RIFF chunk walk, PCM stats, corrupt streams are None") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 5)
+    val wav = MediaStub.wavBytes(44100, samples)
+    // the builder embeds a LIST chunk between fmt and data — a parser
+    // that assumes data at a fixed offset fails here.
+    assert(MediaStub.wavInfo(wav) == Some(MediaStub.WavInfo(1, 44100, 16, 6)))
+    val (n, sumAbs, maxAbs, sumSq) = MediaStub.pcmStats(wav).get
+    assert(n == 6 && sumAbs == 0L + 100 + 100 + 32767 + 32768 + 5)
+    assert(maxAbs == 32768)
+    assert(sumSq == samples.map(s => s.toLong * s).sum)
+    // stereo: sample count divides by channels.
+    assert(MediaStub.wavInfo(MediaStub.wavBytes(8000, samples, channels = 2))
+      .get.nSamples == 3)
+    // truncated data chunk, non-RIFF, and declared-size overrun → None.
+    assert(MediaStub.wavInfo(wav.dropRight(4)).isEmpty)
+    assert(MediaStub.wavInfo("not audio".getBytes("UTF-8")).isEmpty)
+    // non-PCM audioFormat (IEEE float = 3) is rejected, not misread.
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(MediaStub.wavInfo(nonPcm).isEmpty)
+    assert(MediaStub.pcmStats(nonPcm).isEmpty)
+  }
+
   test("decode runs per-partition (mapPartitions), preserving distribution") {
     import spark.implicits._
     val ds = spark.createDataset(
