@@ -462,15 +462,123 @@ object MediaStub {
       }
     })(Encoders.product[AudioFeatures])
 
+  // ------------------------------------------------------------ video
+  // AVI is RIFF-based, so the SAME chunk-walk machinery gives a REAL
+  // video demux with no codec: LIST/hdrl carries the main header, the
+  // LIST/movi sub-chunks carry one encoded frame each ('##dc'/'##db'),
+  // and for MJPEG those frames are plain JPEGs our marker walk (or a
+  // full ImageIO decode) already handles.
+
+  /** Parsed AVI main header (`avih`): frame cadence + declared geometry. */
+  final case class AviInfo(microSecPerFrame: Int, totalFrames: Int,
+                           width: Int, height: Int)
+
+  /** REAL AVI parse: RIFF/'AVI ' signature, walk the top-level chunks to
+    * LIST/'hdrl', walk its sub-chunks to `avih`, read the header fields.
+    * None for truncated/corrupt streams. */
+  def aviInfo(b: Array[Byte]): Option[AviInfo] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    var i = 12
+    while (i + 12 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > b.length) return None
+      if (tag(b, i, "LIST") && tag(b, i + 8, "hdrl")) {
+        var j = i + 12
+        val end = math.min(i + 8 + size, b.length)
+        while (j + 8 <= end) {
+          val sz = le32(b, j + 4)
+          if (sz < 0 || sz > b.length) return None
+          if (tag(b, j, "avih")) {
+            if (sz < 40 || j + 8 + 40 > b.length) return None
+            return Some(AviInfo(le32(b, j + 8), le32(b, j + 8 + 16),
+              le32(b, j + 8 + 32), le32(b, j + 8 + 36)))
+          }
+          j += 8 + sz + (sz & 1)
+        }
+        return None // hdrl without avih is corrupt
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** REAL video demux: walk to LIST/'movi' and return every video-stream
+    * frame chunk ('##dc' compressed / '##db' uncompressed) in stream
+    * order — for MJPEG each element is one complete JPEG. Non-video
+    * sub-chunks (audio '##wb', index, JUNK) are skipped by declared
+    * size. None when the container is not a parseable AVI. */
+  def aviVideoFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    var i = 12
+    while (i + 12 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > b.length) return None
+      if (tag(b, i, "LIST") && tag(b, i + 8, "movi")) {
+        val frames = Vector.newBuilder[Array[Byte]]
+        var j = i + 12
+        val end = math.min(i + 8 + size, b.length)
+        while (j + 8 <= end) {
+          val sz = le32(b, j + 4)
+          if (sz < 0 || j + 8 + sz > b.length) return None
+          val isDigits = Character.isDigit(b(j) & 0xff) && Character.isDigit(b(j + 1) & 0xff)
+          val isVideo = isDigits && (b(j + 2) == 'd') &&
+            (b(j + 3) == 'c' || b(j + 3) == 'b')
+          if (isVideo) frames += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + sz)
+          j += 8 + sz + (sz & 1)
+        }
+        return Some(frames.result())
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Structurally-real MJPEG AVI builder: RIFF('AVI ') + LIST(hdrl(avih))
+    * + a JUNK chunk (so parsers must walk, not seek) + LIST(movi) with
+    * one '00dc' chunk per frame (odd sizes padded per RIFF). */
+  def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+               microSecPerFrame: Int = 33333): Array[Byte] = {
+    def le4(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] =
+      fourcc.getBytes("US-ASCII") ++ le4(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val avih = le4(microSecPerFrame) ++ le4(0) ++ le4(0) ++ le4(0) ++
+      le4(frames.length) ++ le4(0) ++ le4(1) ++ le4(0) ++
+      le4(w) ++ le4(h) ++ le4(0) ++ le4(0) ++ le4(0) ++ le4(0)
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+    val junk = chunk("JUNK", Array.fill[Byte](5)(0x7f))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ junk ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le4(body.length) ++ body
+  }
+
   /** One sampled "frame" of a video payload. */
   final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
 
-  /** Video frame sampling: treat the payload as fixed-size frames and keep
-    * every `everyK`-th — the temporal-subsampling stage of a video
-    * pipeline. The frame split is a FAKE for a demuxer, but the flatMap
-    * fan-out (one row in, 0..n frames out, executor-side, no driver
-    * round-trip) is exactly the real operator's shape; output rows carry
-    * (source id, frame index) so downstream stages can re-associate. */
+  /** REAL every-k-th frame sampling over AVI payloads: demux each
+    * record's container ([[aviVideoFrames]]), keep frames whose index ≡ 0
+    * (mod `everyK`), emit (source id, frame index, frame bytes) — the
+    * temporal-subsampling stage of a video pipeline with a genuine
+    * demuxer in front. Records that are not parseable AVIs emit nothing
+    * (route them via [[aviInfo]]'s None for accounting). */
+  def sampleVideoFrames(ds: Dataset[MediaRecord], everyK: Int = 2): Dataset[Frame] = {
+    require(everyK > 0, s"everyK=$everyK")
+    ds.flatMap { r =>
+      aviVideoFrames(r.payload).toSeq.flatMap(_.zipWithIndex.collect {
+        case (bytes, idx) if idx % everyK == 0 => Frame(r.id, idx, bytes)
+      })
+    }(Encoders.product[Frame])
+  }
+
+  /** Raw-payload frame sampling: treat the payload as FIXED-SIZE frames
+    * and keep every `everyK`-th — for headerless raw formats (planar
+    * YUV dumps, fixed-stride sensor captures) where the frame length IS
+    * the format contract. For CONTAINERIZED video use
+    * [[sampleVideoFrames]], which demuxes the AVI chunk structure for
+    * real. Output rows carry (source id, frame index) so downstream
+    * stages can re-associate. */
   def frameSample(ds: Dataset[MediaRecord], frameBytes: Int = FrameBytes,
                   everyK: Int = 2): Dataset[Frame] = {
     require(frameBytes > 0 && everyK > 0, s"frameBytes=$frameBytes everyK=$everyK")

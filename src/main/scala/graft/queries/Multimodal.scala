@@ -221,6 +221,42 @@ object Multimodal {
              CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
       FROM v GROUP BY doc_id, sample_rate ORDER BY doc_id""")),
 
+    // --------------------------- REAL video demux → frame sample → parse
+    // MJPEG AVI is RIFF + JPEG — both already parsed for real, so the
+    // video pipeline composes genuine pieces end to end: demux the AVI
+    // chunk walk (skipping the builder's JUNK chunk), keep every 2nd
+    // frame, and read each sampled frame's dimensions back out of its
+    // JPEG markers. Frame dims are synthesized in closed form per
+    // (doc, frame); the oracle restates them — a demux bug (wrong frame
+    // order, pad-byte drift, JUNK misparse) or a JPEG-walk bug
+    // hash-mismatches.
+    Q("x_media_video", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (3 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            MediaStub.jpegBytes(
+              (40 + (id + f * 7) % 100).toInt,
+              (30 + (id * 3 + f) % 80).toInt)
+          }
+          MediaRecord(id, "avi", MediaStub.aviBytes(frames, 100, 80))
+        }
+      MediaStub.sampleVideoFrames(recs, everyK = 2)
+        .map { fr =>
+          val (w, h) = MediaStub.headerDimensions(fr.payload).getOrElse((-1, -1))
+          (fr.id, fr.frameIdx, w, h)
+        }
+        .toDF("doc_id", "frame_idx", "width", "height")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+      f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM d)
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(40 + (doc_id + frame_idx*7) % 100 AS INT) AS width,
+             CAST(30 + (doc_id*3 + frame_idx) % 80 AS INT) AS height
+      FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are

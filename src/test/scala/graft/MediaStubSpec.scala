@@ -131,6 +131,52 @@ class MediaStubSpec extends SparkSpec {
     assert(MediaStub.pcmStats(nonPcm).isEmpty)
   }
 
+  test("REAL AVI demux: header, frame chunks, pad bytes, non-video skip") {
+    val f0 = Array[Byte](1, 2, 3)          // odd size → RIFF pad byte
+    val f1 = Array[Byte](4, 5, 6, 7)
+    val avi = MediaStub.aviBytes(Seq(f0, f1), 640, 480, microSecPerFrame = 40000)
+    assert(MediaStub.aviInfo(avi) == Some(MediaStub.AviInfo(40000, 2, 640, 480)))
+    val frames = MediaStub.aviVideoFrames(avi).get
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq, "odd-size frame must round-trip (pad honored)")
+    assert(frames(1).toSeq == f1.toSeq)
+    // a hand-built movi with an interleaved AUDIO chunk ('01wb') — the
+    // demux must skip it by size, not absorb it as a frame.
+    def le4(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, body: Array[Byte]) =
+      cc.getBytes("US-ASCII") ++ le4(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("00dc", f0) ++ chunk("01wb", Array[Byte](9, 9)) ++ chunk("00dc", f1))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++
+      chunk("avih", le4(33333) ++ le4(0) ++ le4(0) ++ le4(0) ++ le4(2) ++
+        le4(0) ++ le4(2) ++ le4(0) ++ le4(8) ++ le4(8) ++ Array.fill[Byte](16)(0)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val mixed = "RIFF".getBytes("US-ASCII") ++ le4(body.length) ++ body
+    assert(MediaStub.aviVideoFrames(mixed).get.map(_.toSeq) == Vector(f0.toSeq, f1.toSeq))
+    // corrupt streams are None, not garbage.
+    assert(MediaStub.aviInfo(avi.take(20)).isEmpty)
+    assert(MediaStub.aviVideoFrames("not a video".getBytes("UTF-8")).isEmpty)
+    // MJPEG composition: demuxed frames are REAL JPEGs the marker walk reads.
+    val mjpeg = MediaStub.aviBytes(
+      Seq(MediaStub.jpegBytes(111, 222), MediaStub.jpegBytes(33, 44)), 111, 222)
+    val dims = MediaStub.aviVideoFrames(mjpeg).get.map(MediaStub.headerDimensions)
+    assert(dims == Vector(Some((111, 222)), Some((33, 44))))
+  }
+
+  test("sampleVideoFrames keeps every k-th demuxed frame with its index") {
+    import spark.implicits._
+    val frames = (0 until 5).map(i => MediaStub.jpegBytes(10 + i, 20 + i))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(7L, "avi", MediaStub.aviBytes(frames, 10, 20)),
+      MediaRecord(8L, "bin", "not a container".getBytes("UTF-8"))))
+    val got = MediaStub.sampleVideoFrames(ds, everyK = 2).collect().sortBy(_.frameIdx)
+    assert(got.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(got.forall(_.id == 7L), "unparseable payloads must emit nothing")
+    assert(MediaStub.headerDimensions(got(1).payload) == Some((12, 22)))
+  }
+
   test("decode runs per-partition (mapPartitions), preserving distribution") {
     import spark.implicits._
     val ds = spark.createDataset(
