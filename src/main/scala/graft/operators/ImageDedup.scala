@@ -43,28 +43,54 @@ object ImageDedup {
       MediaStub.dhash64(r.payload).map(h => (r.id, h))
     })(Encoders.product[(Long, Long)]).toDF("id", "h")
 
-  /** Near-duplicate image pairs (da, db, hamming), da < db, over a
-    * (id, h) dHash relation. `maxHamming + 1` must divide 64
-    * (maxHamming ∈ {0, 1, 3, 7, 15, 31}) so bands are aligned bit-chunks
-    * of the hash word. */
-  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Banded (id, h, bk) relation for one side of a dHash join: one row
+    * per (hash, band), band key = (band index, aligned bit-chunk).
+    * `maxHamming + 1` must divide 64 (maxHamming ∈ {0, 1, 3, 7, 15, 31}).
+    * Exposed so a CORPUS side can be staged once and probed repeatedly
+    * ([[dhashPairsAgainstIndex]] / graft.streaming.ImageIngest). */
+  def bandedKeys(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     require(64 % bands == 0,
       s"maxHamming=$maxHamming: need (maxHamming+1) | 64 (0,1,3,7,15,31)")
     val chunkBits = 64 / bands
-    val fp = stage(hashes.select(col("id"), col("h")))
     val chunks = (0 until bands).map { b =>
       val chunk =
         if (chunkBits == 64) "h"
         else s"shiftrightunsigned(h, ${64 - chunkBits * (b + 1)}) & ${(1L << chunkBits) - 1}L"
       s"named_struct('b', $b, 'c', $chunk)"
     }
-    val banded = fp.select(col("id"), col("h"),
+    hashes.select(col("id"), col("h"),
       explode(expr(s"array(${chunks.mkString(", ")})")).as("bk"))
+  }
+
+  /** Near-duplicate image pairs (da, db, hamming), da < db, over a
+    * (id, h) dHash relation (corpus SELF-join; the hash relation is
+    * staged — it feeds both sides). */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = bandedKeys(stage(hashes.select(col("id"), col("h"))), maxHamming)
     banded.as("a")
       .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"),
         expr("bit_count(a.h ^ b.h)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Near-duplicate pairs of a (small) BATCH against a prebuilt corpus
+    * band relation ([[bandedKeys]], staged once per corpus version) —
+    * the ingest shape: the batch side is banded on the fly and BROADCAST
+    * onto the persisted index, the corpus never shuffles. Output:
+    * (da = batch id, db = corpus id, hamming ≤ maxHamming). The same
+    * `maxHamming` must have built the index (same band key space). */
+  def dhashPairsAgainstIndex(batchHashes: DataFrame, corpusBanded: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    val b = bandedKeys(batchHashes, maxHamming)
+      .select(col("id").as("da"), col("h").as("__ha"), col("bk"))
+    broadcast(b)
+      .join(corpusBanded.select(col("id").as("db"), col("h").as("__hb"), col("bk")),
+        "bk")
+      .select(col("da"), col("db"),
+        expr("bit_count(__ha ^ __hb)").cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.ImageDedup
+
+/** Streaming perceptual IMAGE dedup — the third modality of the ingest
+  * gate family ([[DedupIngest]] text, [[AnnIngest]] vectors): an image
+  * stream finds its near-duplicate corpus images per micro-batch against
+  * ONE persisted dHash band index, so re-encoded/resized re-uploads are
+  * flagged at ingest time instead of by a corpus re-self-join.
+  *
+  * Scale contract (identical to the siblings):
+  *  - [[buildIndex]] runs once per corpus version: every corpus image is
+  *    decoded ONCE ([[graft.operators.MediaStub.dhash64]]) and the banded
+  *    8-byte fingerprints are staged (`Tables.stage`) — micro-batches
+  *    scan the tiny index, never the corpus payloads;
+  *  - each micro-batch decodes only its own images and broadcasts its
+  *    banded hashes onto the index
+  *    ([[ImageDedup.dhashPairsAgainstIndex]]); the corpus never shuffles;
+  *  - corpus versions ROTATE atomically between batches via the
+  *    [[AtomicReference]] (foreachBatch bodies run sequentially and read
+  *    the state once per batch); rebuild cost is per VERSION, never per
+  *    batch (spec-pinned: no per-batch staging dirs).
+  */
+object ImageIngest {
+
+  /** One corpus version's staged dHash band index. */
+  final case class CorpusImageIndex(banded: DataFrame, maxHamming: Int,
+                                    version: Long)
+
+  /** Decode + hash the corpus once and stage its banded fingerprints.
+    * `corpus` is an (id, payload) relation addressed by the two column
+    * names. */
+  def buildIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+                 maxHamming: Int = 3, version: Long = 0L): CorpusImageIndex =
+    CorpusImageIndex(
+      graft.sources.Tables.stage(
+        ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol), maxHamming)),
+      maxHamming, version)
+
+  /** (id, h) dHash relation for an (id, payload) relation; undecodable
+    * or sub-grid images drop out (no perceptual fingerprint). */
+  def dhashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .flatMap { case (id, payload) =>
+        graft.operators.MediaStub.dhash64(payload).map(h => (id, h))
+      }(Encoders.product[(Long, Long)])
+      .toDF("id", "h")
+
+  /** Start the per-batch dedup loop: each micro-batch's images are
+    * decoded, hashed, and probed against the persisted index; `onBatch`
+    * receives the (da = batch id, db = corpus id, hamming) pair relation
+    * plus (corpusVersion, batchId). */
+  def start(stream: Stream, state: AtomicReference[CorpusImageIndex],
+            idCol: String, payloadCol: String,
+            checkpoint: Option[String] = None)(
+            onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      onBatch(ImageDedup.dhashPairsAgainstIndex(
+        dhashes(batch, idCol, payloadCol), st.banded, st.maxHamming),
+        st.version, batchId)
+    }, checkpoint)
+}

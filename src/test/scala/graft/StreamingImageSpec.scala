@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.MediaStub
+import graft.streaming.{ImageIngest, Stream}
+
+/** Streaming perceptual image dedup end-to-end (graft.streaming
+  * .ImageIngest): an image stream probed per micro-batch against ONE
+  * persisted corpus dHash band index. Asserts:
+  *  1. per-batch pairs ≡ the full quadratic Hamming ground truth
+  *     (banding at budget 7 = 8 bands is pigeonhole-lossless);
+  *  2. the corpus is decoded + staged EXACTLY once; micro-batches create
+  *     no staging dirs;
+  *  3. version rotation swaps the index atomically between batches. */
+class StreamingImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blockImage(base: Long): Array[Byte] =
+    MediaStub.encodePng(32, 32, (x, y) => {
+      val v = scala.util.hashing.MurmurHash3
+        .productHash((base, x * 8 / 32, y * 8 / 32)).abs % 256
+      (v << 16) | (v << 8) | v
+    })
+
+  /** Driver-side NN resample (the "republished copy" transform). */
+  private def resized(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val p = MediaStub.decodePixels(b).get
+    MediaStub.encodePng(w, h, (x, y) =>
+      p.argb((y * p.height / h) * p.width + x * p.width / w) & 0xffffff)
+  }
+
+  test("ImageIngest: per-batch pairs ≡ quadratic truth; staged once; rotation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpusImgs = (0 until 24).map(b => (b.toLong, blockImage(b.toLong)))
+      val corpus = corpusImgs.toDF("img_id", "payload")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ImageIngest.buildIndex(corpus, "img_id", "payload", maxHamming = 7))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"index = one staged band relation, got $stageDirs")
+
+      // batch: resized copies of corpus images 0..9 + 5 fresh images.
+      val batchImgs =
+        (0 until 10).map(b => (100L + b, resized(blockImage(b.toLong), 48, 32))) ++
+        (0 until 5).map(j => (200L + j, blockImage(1000L + j)))
+      // ground truth: FULL quadratic Hamming ≤ 7 over the real hashes.
+      val corpusH = corpusImgs.map { case (id, p) => id -> MediaStub.dhash64(p).get }
+      val batchH = batchImgs.map { case (id, p) => id -> MediaStub.dhash64(p).get }
+      val expected = (for {
+        (da, ha) <- batchH; (db, hb) <- corpusH
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+      } yield (da, db, d.toLong)).toSet
+      assert(expected.size >= 10, s"fixture: every resized copy must hit: $expected")
+
+      val schema = StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = ImageIngest.start(s, state, "value.img_id", "value.payload") {
+        (pairs, version, _) =>
+          versions += version
+          got ++= pairs.as[(Long, Long, Long)].collect()
+      }
+      def send(rows: Seq[(Long, Array[Byte])]): Unit = {
+        val payloads = rows.toDF("img_id", "payload")
+          .select(to_json(struct(col("img_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(batchImgs.take(7))
+      send(batchImgs.drop(7))
+      assert(got.toSet == expected,
+        s"streamed pairs diverge:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+
+      // ROTATE: v1 corpus additionally holds an exact byte copy of fresh
+      // image 200 under id 500 — hamming 0, must surface after the swap.
+      val v1 = corpusImgs ++ Seq((500L, batchImgs.find(_._1 == 200L).get._2))
+      state.set(ImageIngest.buildIndex(
+        v1.toDF("img_id", "payload"), "img_id", "payload",
+        maxHamming = 7, version = 1L))
+      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      got.clear()
+      send(batchImgs.filter(_._1 == 200L))
+      assert(got.exists(p => p._1 == 200L && p._2 == 500L && p._3 == 0L),
+        s"post-rotation exact copy not found: $got")
+      assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
+      assert(stageDirs == 2, "post-rotation micro-batch staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("dhashPairsAgainstIndex: batch broadcasts, corpus side never shuffles") {
+    val hashes = (0 until 50).map(i => (i.toLong, i.toLong * 1234567L)).toDF("id", "h")
+    val idx = graft.operators.ImageDedup.bandedKeys(hashes, maxHamming = 7)
+    val batch = Seq((1000L, 1234567L)).toDF("id", "h")
+    val plan = graft.operators.ImageDedup
+      .dhashPairsAgainstIndex(batch, idx, maxHamming = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+}
