@@ -442,6 +442,50 @@ object MediaStub {
       samples.flatMap(s => le2(s & 0xffff))
   }
 
+  /** 64-bit audio fingerprint over a 16-bit PCM WAV: split the samples
+    * into 65 equal windows (window j covers [⌊j·n/65⌋, ⌊(j+1)·n/65⌋)),
+    * sum each window's energy Σs² exactly, and set bit p = j (MSB-first,
+    * j = 0..63) iff energy(j) < energy(j+1) — the audio twin of
+    * [[dhash64]]'s neighbor compare. VOLUME-INVARIANT by construction:
+    * scaling every sample by a constant scales every window energy by
+    * its square, so all comparisons — and the fingerprint — are
+    * unchanged. All integer arithmetic; None when the stream is not
+    * 16-bit PCM or has fewer than 65 samples. */
+  def audioFingerprint64(b: Array[Byte]): Option[Long] =
+    wavInfo(b).filter(w => w.bitsPerSample == 16 && w.nSamples >= 65).flatMap { _ =>
+      var i = 12
+      while (i + 8 <= b.length && !tag(b, i, "data")) {
+        val sz = le32(b, i + 4)
+        if (sz < 0 || sz > b.length) return None
+        i += 8 + sz + (sz & 1)
+      }
+      if (i + 8 > b.length) return None
+      val size = le32(b, i + 4)
+      val base = i + 8
+      val n = size / 2
+      val energies = new Array[Long](65)
+      var j = 0
+      while (j < 65) {
+        var p = j * n / 65
+        val end = (j + 1) * n / 65
+        var e = 0L
+        while (p < end) {
+          val s = ((b(base + 2 * p) & 0xff) | (b(base + 2 * p + 1) << 8)).toShort.toLong
+          e += s * s
+          p += 1
+        }
+        energies(j) = e
+        j += 1
+      }
+      var h = 0L
+      var k = 0
+      while (k < 64) {
+        h = (h << 1) | (if (energies(k) < energies(k + 1)) 1L else 0L)
+        k += 1
+      }
+      Some(h)
+    }
+
   /** Exact audio features for one record. `decoded=false` rows (not a
     * parseable PCM WAV) carry −1 format fields and zero sums. */
   final case class AudioFeatures(

@@ -257,6 +257,68 @@ object Multimodal {
              CAST(30 + (doc_id*3 + frame_idx) % 80 AS INT) AS height
       FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")),
 
+    // ------------------------------ perceptual AUDIO dedup (energy contour)
+    // Near-duplicate audio via the 64-bit energy-contour fingerprint
+    // (MediaStub.audioFingerprint64) — VOLUME-INVARIANT by construction,
+    // so each group's re-mastered variants (samples scaled ×(1+v)) keep
+    // the base fingerprint exactly, while a small additive edit in the
+    // first two windows moves ≤ 2 bits. Pair generation reuses the
+    // generic banded-Hamming machinery (ImageDedup.dhashPairs operates
+    // on any (id, 64-bit hash) relation); the oracle recomputes windows,
+    // energies, bits, and the FULL quadratic pair set from the
+    // closed-form samples — all exact integers.
+    Q("x_dedup_audio", (s, d) => {
+      import s.implicits._
+      val hashes = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 4
+          val v = (id % 4).toInt
+          // per-WINDOW md5-derived amplitude (constant within each
+          // 4-sample window) — bases get structurally INDEPENDENT energy
+          // contours. Affine formulas are not enough here: a value-space
+          // shift between bases preserves most neighbor comparisons, so
+          // "(a·base + b·w) mod m" fixtures made half the corpus collide.
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = Array.tabulate(260) { i =>
+            val dig = md.digest(s"$base:${i / 4}".getBytes("UTF-8"))
+            val h16 = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+            val sb = h16 % 16384 - 8192
+            val p = if (v > 0 && i < 8) v * 300 else 0
+            math.max(-32768, math.min(32767, sb * (1 + v) + p)).toShort
+          }
+          (id, MediaStub.audioFingerprint64(
+            MediaStub.wavBytes(16000, samples)).get)
+        }.toDF("id", "h")
+      graft.operators.ImageDedup.dhashPairs(hashes, maxHamming = 3)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v FROM documents),
+      idx AS (SELECT doc_id, base, v, unnest(range(0, 260)) AS i FROM d),
+      smp AS (SELECT doc_id, i // 4 AS w,
+                GREATEST(-32768, LEAST(32767,
+                  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 5), k ->
+                       CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                    CAST(i // 4 AS VARCHAR)), k, 1)) - 1 AS BIGINT))),
+                     (acc, hv) -> acc * 16 + hv) % 16384 - 8192) * (1 + v) +
+                  CASE WHEN v > 0 AND i < 8 THEN v*300 ELSE 0 END)) AS s
+              FROM idx),
+      e AS (SELECT doc_id, w, CAST(SUM(s*s) AS BIGINT) AS e
+            FROM smp GROUP BY doc_id, w),
+      bits AS (SELECT a.doc_id, a.w AS pos,
+                 CASE WHEN a.e < b.e THEN '1' ELSE '0' END AS bit
+               FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+               WHERE a.w < 64),
+      hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS bs
+             FROM bits GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_filter(range(1, 65),
+                 i -> substr(a.bs, i, 1) != substr(b.bs, i, 1))) AS BIGINT) AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are

@@ -131,6 +131,28 @@ class MediaStubSpec extends SparkSpec {
     assert(MediaStub.pcmStats(nonPcm).isEmpty)
   }
 
+  test("audioFingerprint64: volume invariance, locality, degenerate streams") {
+    def wav(f: Int => Int): Array[Byte] = MediaStub.wavBytes(8000,
+      Array.tabulate(260)(i => f(i).toShort))
+    def base(i: Int): Int = (i * 11 + 5) % 16384 - 8192
+    val h = MediaStub.audioFingerprint64(wav(base)).get
+    // scaling every sample (re-mastered volume) keeps the fingerprint.
+    assert(MediaStub.audioFingerprint64(wav(i => base(i) * 3)) == Some(h))
+    assert(MediaStub.audioFingerprint64(wav(i => base(i) / 2)) != None)
+    // an edit confined to the first window moves at most 2 bits
+    // (energies 0..1 → comparisons (0,1) and (1,2)).
+    val edited = MediaStub.audioFingerprint64(
+      wav(i => if (i < 4) base(i) + 500 else base(i))).get
+    assert(java.lang.Long.bitCount(h ^ edited) <= 2)
+    // a different signal lands well past the dedup budget (measured 9).
+    val other = MediaStub.audioFingerprint64(wav(i => (i * 37 + 9) % 16384 - 8192)).get
+    assert(java.lang.Long.bitCount(h ^ other) > 3)
+    // fewer than 65 samples, or not a WAV: None.
+    assert(MediaStub.audioFingerprint64(
+      MediaStub.wavBytes(8000, Array.fill[Short](64)(1))).isEmpty)
+    assert(MediaStub.audioFingerprint64("nope".getBytes("UTF-8")).isEmpty)
+  }
+
   test("REAL AVI demux: header, frame chunks, pad bytes, non-video skip") {
     val f0 = Array[Byte](1, 2, 3)          // odd size → RIFF pad byte
     val f1 = Array[Byte](4, 5, 6, 7)

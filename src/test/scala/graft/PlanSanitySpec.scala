@@ -22,9 +22,10 @@ class PlanSanitySpec extends SparkSpec {
       // read ONLY their staged tf relations since corpus stats moved off
       // the second corpus scan (rescans existed solely to count/sum).
       "x_tfidf_topk", "x_bm25_terms",
-      // ImageDedup stages the (id, dhash) relation — it feeds both sides
-      // of the banded self-join, so the visible plan starts there.
-      "x_dedup_image",
+      // ImageDedup stages the (id, hash) relation — it feeds both sides
+      // of the banded self-join, so the visible plan starts there
+      // (x_dedup_audio reuses the same generic pair machinery).
+      "x_dedup_image", "x_dedup_audio",
       // Ann.lshSelfPairs stages the signature relation for the same
       // one-relation-feeds-both-sides reason.
       "x_dedup_embedding_lsh")
