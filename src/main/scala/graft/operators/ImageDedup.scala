@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables.stage
 
 /** Perceptual near-duplicate IMAGE detection: dHash fingerprints over REAL
-  * decoded pixels ([[MediaStub.dhash64]]) + banded Hamming candidate
+  * decoded pixels ([[Media.dhash64]]) + banded Hamming candidate
   * generation — the image-modality twin of
   * [[TextDedup.simhashPairs]] (same pigeonhole banding, one 64-bit word
   * instead of two).
@@ -36,11 +36,11 @@ object ImageDedup {
 
   /** (id, dhash) for every DECODABLE record — a linear scan-and-hash
     * projection. Undecodable or sub-9×8 images drop out here (they have
-    * no perceptual fingerprint; route them via [[MediaStub.decodeBatch]]'s
+    * no perceptual fingerprint; route them via [[Media.decodeBatch]]'s
     * sentinel if they need accounting). */
   def dhashRelation(ds: Dataset[MediaRecord]): DataFrame =
     ds.mapPartitions(_.flatMap { r =>
-      MediaStub.dhash64(r.payload).map(h => (r.id, h))
+      Media.dhash64(r.payload).map(h => (r.id, h))
     })(Encoders.product[(Long, Long)]).toDF("id", "h")
 
   /** Banded (id, h, bk) relation for one side of a dHash join: one row

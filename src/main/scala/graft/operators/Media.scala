@@ -17,11 +17,11 @@ final case class MediaFeatures(
 /** Typed media feature-extraction pipeline.
   *
   * Everything here is REAL:
-  *   - [[MediaStub.headerDimensions]] walks JPEG markers to the SOF frame
+  *   - [[Media.headerDimensions]] walks JPEG markers to the SOF frame
   *     header and reads PNG IHDR / GIF logical screen descriptors —
   *     pure-JVM byte-walking over the binary column (works on payloads a
   *     full decoder would reject, e.g. header-only fixtures);
-  *   - [[MediaStub.decodePixels]] is a FULL pixel decode via the JDK's
+  *   - [[Media.decodePixels]] is a FULL pixel decode via the JDK's
   *     own `javax.imageio` (PNG/JPEG/GIF/BMP, headless, no external
   *     codec); [[extractPixelFeatures]] turns decoded pixels into exact
   *     integer channel/luma statistics, [[dhash64]] into a 64-bit
@@ -44,7 +44,7 @@ final case class MediaFeatures(
   * metadata out of the shuffle — and `spark.sql.files.maxPartitionBytes`
   * bounds decoder memory per task.
   */
-object MediaStub {
+object Media {
 
   // ImageIO's default decode path spools through a temp-file cache — pure
   // overhead for in-memory byte-array payloads, and disk-contention-prone

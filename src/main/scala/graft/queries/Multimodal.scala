@@ -2,13 +2,13 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MediaRecord, MediaStub}
+import graft.operators.{MediaRecord, Media}
 import graft.sources.Tables._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata — and REAL pixel decoding on top.
   *
-  * Two layers, both real ([[graft.operators.MediaStub]]):
+  * Two layers, both real ([[graft.operators.Media]]):
   *  - header parsing: JPEG marker-walking to SOF, PNG IHDR, GIF logical
   *    screen descriptor — pure byte-walking over the binary column;
   *  - full pixel decode via the JDK's headless `javax.imageio`
@@ -78,12 +78,12 @@ object Multimodal {
           val w = (100 + id % 200).toInt
           val h = (100 + (id * 7) % 300).toInt
           (id % 3) match {
-            case 0 => MediaRecord(id, "jpeg", MediaStub.jpegBytes(w, h))
-            case 1 => MediaRecord(id, "png", MediaStub.pngBytes(w, h))
-            case _ => MediaRecord(id, "gif", MediaStub.gifBytes(w, h))
+            case 0 => MediaRecord(id, "jpeg", Media.jpegBytes(w, h))
+            case 1 => MediaRecord(id, "png", Media.pngBytes(w, h))
+            case _ => MediaRecord(id, "gif", Media.gifBytes(w, h))
           }
         }
-      MediaStub.extractFeatures(recs)
+      Media.extractFeatures(recs)
         .select(col("id").as("doc_id"), col("format"),
           col("width"), col("height"), col("byteLen").as("byte_len"))
         .orderBy(col("doc_id"))
@@ -93,9 +93,9 @@ object Multimodal {
              CAST(100 + doc_id % 200 AS INT) AS width,
              CAST(100 + (doc_id * 7) % 300 AS INT) AS height,
              CAST(CASE CAST(doc_id % 3 AS INT)
-               WHEN 0 THEN ${MediaStub.jpegBytes(1, 1).length}
-               WHEN 1 THEN ${MediaStub.pngBytes(1, 1).length}
-               ELSE ${MediaStub.gifBytes(1, 1).length} END AS INT) AS byte_len
+               WHEN 0 THEN ${Media.jpegBytes(1, 1).length}
+               WHEN 1 THEN ${Media.pngBytes(1, 1).length}
+               ELSE ${Media.gifBytes(1, 1).length} END AS INT) AS byte_len
       FROM documents ORDER BY doc_id""")),
 
     // ------------------------- REAL pixel decode → exact channel statistics
@@ -111,12 +111,12 @@ object Multimodal {
         .map { id =>
           val w = (9 + id % 8).toInt
           val h = (8 + (id * 3) % 9).toInt
-          MediaRecord(id, "png", MediaStub.encodePng(w, h, (x, y) =>
+          MediaRecord(id, "png", Media.encodePng(w, h, (x, y) =>
             ((((x * 3 + y * 5 + id) % 256) << 16) |
               (((x * 7 + y * 11 + id * 3) % 256) << 8) |
               ((x * 13 + y + id * 5) % 256)).toInt))
         }
-      MediaStub.extractPixelFeatures(recs)
+      Media.extractPixelFeatures(recs)
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("pixCount").as("pix_count"), col("sumR").as("sum_r"),
           col("sumG").as("sum_g"), col("sumB").as("sum_b"),
@@ -154,12 +154,12 @@ object Multimodal {
         .map { id =>
           val w = (9 + id % 8).toInt
           val h = (8 + (id * 3) % 9).toInt
-          MediaRecord(id, "png", MediaStub.encodePng(w, h, (x, y) =>
+          MediaRecord(id, "png", Media.encodePng(w, h, (x, y) =>
             ((((x * 3 + y * 5 + id) % 256) << 16) |
               (((x * 7 + y * 11 + id * 3) % 256) << 8) |
               ((x * 13 + y + id * 5) % 256)).toInt))
         }
-      MediaStub.extractPixelFeatures(MediaStub.resize(recs, 8, 8))
+      Media.extractPixelFeatures(Media.resize(recs, 8, 8))
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("sumR").as("sum_r"), col("sumG").as("sum_g"),
           col("sumB").as("sum_b"), col("lumaSum").as("luma_sum"))
@@ -198,9 +198,9 @@ object Multimodal {
           val rate = (8000 + (id % 5) * 1000).toInt
           val samples = Array.tabulate(n)(i =>
             ((i * 7L + id * 13L) % 65536L - 32768L).toShort)
-          MediaRecord(id, "wav", MediaStub.wavBytes(rate, samples))
+          MediaRecord(id, "wav", Media.wavBytes(rate, samples))
         }
-      MediaStub.extractAudioFeatures(recs)
+      Media.extractAudioFeatures(recs)
         .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
           col("nSamples").as("n_samples"), col("sumAbs").as("sum_abs"),
           col("maxAbs").as("max_abs"), col("sumSq").as("sum_sq"))
@@ -236,15 +236,15 @@ object Multimodal {
         .map { id =>
           val nf = (3 + id % 4).toInt
           val frames = (0 until nf).map { f =>
-            MediaStub.jpegBytes(
+            Media.jpegBytes(
               (40 + (id + f * 7) % 100).toInt,
               (30 + (id * 3 + f) % 80).toInt)
           }
-          MediaRecord(id, "avi", MediaStub.aviBytes(frames, 100, 80))
+          MediaRecord(id, "avi", Media.aviBytes(frames, 100, 80))
         }
-      MediaStub.sampleVideoFrames(recs, everyK = 2)
+      Media.sampleVideoFrames(recs, everyK = 2)
         .map { fr =>
-          val (w, h) = MediaStub.headerDimensions(fr.payload).getOrElse((-1, -1))
+          val (w, h) = Media.headerDimensions(fr.payload).getOrElse((-1, -1))
           (fr.id, fr.frameIdx, w, h)
         }
         .toDF("doc_id", "frame_idx", "width", "height")
@@ -259,7 +259,7 @@ object Multimodal {
 
     // ------------------------------ perceptual AUDIO dedup (energy contour)
     // Near-duplicate audio via the 64-bit energy-contour fingerprint
-    // (MediaStub.audioFingerprint64) — VOLUME-INVARIANT by construction,
+    // (Media.audioFingerprint64) — VOLUME-INVARIANT by construction,
     // so each group's re-mastered variants (samples scaled ×(1+v)) keep
     // the base fingerprint exactly, while a small additive edit in the
     // first two windows moves ≤ 2 bits. Pair generation reuses the
@@ -286,8 +286,8 @@ object Multimodal {
             val p = if (v > 0 && i < 8) v * 300 else 0
             math.max(-32768, math.min(32767, sb * (1 + v) + p)).toShort
           }
-          (id, MediaStub.audioFingerprint64(
-            MediaStub.wavBytes(16000, samples)).get)
+          (id, Media.audioFingerprint64(
+            Media.wavBytes(16000, samples)).get)
         }.toDF("id", "h")
       graft.operators.ImageDedup.dhashPairs(hashes, maxHamming = 3)
         .orderBy(col("da"), col("db"))
@@ -336,7 +336,7 @@ object Multimodal {
         .map { id =>
           val base = id / 4
           val v = (id % 4).toInt
-          MediaRecord(id, "png", MediaStub.encodePng(16, 16, (x, y) => {
+          MediaRecord(id, "png", Media.encodePng(16, 16, (x, y) => {
             val r0 = ((x * 3 + y * 5 + base * 11) % 256).toInt
             val r =
               if (v == 3 && x < 5) math.min(r0 + 120, 255)

@@ -16,7 +16,7 @@ import graft.operators.ImageDedup
   *
   * Scale contract (identical to the siblings):
   *  - [[buildIndex]] runs once per corpus version: every corpus image is
-  *    decoded ONCE ([[graft.operators.MediaStub.dhash64]]) and the banded
+  *    decoded ONCE ([[graft.operators.Media.dhash64]]) and the banded
   *    8-byte fingerprints are staged (`Tables.stage`) — micro-batches
   *    scan the tiny index, never the corpus payloads;
   *  - each micro-batch decodes only its own images and broadcasts its
@@ -49,7 +49,7 @@ object ImageIngest {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
       .flatMap { case (id, payload) =>
-        graft.operators.MediaStub.dhash64(payload).map(h => (id, h))
+        graft.operators.Media.dhash64(payload).map(h => (id, h))
       }(Encoders.product[(Long, Long)])
       .toDF("id", "h")
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ImageDedup, MediaRecord, MediaStub}
+import graft.operators.{ImageDedup, MediaRecord, Media}
 
 /** Operator-level perceptual-dedup specs (the registry query
   * `x_dedup_image` oracle-checks values; these pin the library claims):
@@ -17,7 +17,7 @@ class ImageDedupSpec extends SparkSpec {
     * is what perceptual hashing keys on; it survives resampling, unlike
     * per-pixel noise. */
   private def blockImage(base: Long, w: Int = 32, h: Int = 32): Array[Byte] =
-    MediaStub.encodePng(w, h, (x, y) => {
+    Media.encodePng(w, h, (x, y) => {
       val bx = x * 8 / w; val by = y * 8 / h
       val v = scala.util.hashing.MurmurHash3
         .productHash((base, bx, by)).abs % 256
@@ -62,7 +62,7 @@ class ImageDedupSpec extends SparkSpec {
     // each "republished" copy: NN-resized 32×32 → 48×32 under id+1000.
     val ds = spark.createDataset(originals)(
       org.apache.spark.sql.Encoders.product[MediaRecord])
-    val copies = MediaStub.resize(ds, 48, 32)
+    val copies = Media.resize(ds, 48, 32)
       .map(r => r.copy(id = r.id + 1000L))(
         org.apache.spark.sql.Encoders.product[MediaRecord])
     val all = ds.unionByName(copies)

@@ -1,15 +1,15 @@
 package graft
 
-import graft.operators.{MediaRecord, MediaStub}
+import graft.operators.{MediaRecord, Media}
 
-class MediaStubSpec extends SparkSpec {
+class MediaSpec extends SparkSpec {
 
   test("typed media pipeline: Dataset[MediaRecord] -> Dataset[MediaFeatures]") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
       MediaRecord(1L, "jpeg", "hello-media-bytes".getBytes("UTF-8")),
       MediaRecord(2L, "png", Array.fill[Byte](64)(7))))
-    val out = MediaStub.extractFeatures(ds).collect().sortBy(_.id)
+    val out = Media.extractFeatures(ds).collect().sortBy(_.id)
     assert(out.length == 2)
     val a = out(0)
     assert(a.byteLen == 17)
@@ -18,47 +18,47 @@ class MediaStubSpec extends SparkSpec {
     // the undecodable sentinel, never a synthesized dimension.
     assert(a.width == -1 && a.height == -1)
     assert(out(1).width == -1 && out(1).height == -1)
-    assert(a.frameSample.length == MediaStub.FrameBytes)
+    assert(a.frameSample.length == Media.FrameBytes)
   }
 
   test("REAL header parsing: JPEG marker walk, PNG IHDR, GIF descriptor") {
     // the JPEG builder inserts APP0 + DQT segments BEFORE SOF0: a parser
     // that reads a fixed offset instead of walking markers fails here.
-    assert(MediaStub.jpegDimensions(MediaStub.jpegBytes(641, 480)) == Some((641, 480)))
-    assert(MediaStub.pngDimensions(MediaStub.pngBytes(1920, 1080)) == Some((1920, 1080)))
-    assert(MediaStub.gifDimensions(MediaStub.gifBytes(320, 200)) == Some((320, 200)))
+    assert(Media.jpegDimensions(Media.jpegBytes(641, 480)) == Some((641, 480)))
+    assert(Media.pngDimensions(Media.pngBytes(1920, 1080)) == Some((1920, 1080)))
+    assert(Media.gifDimensions(Media.gifBytes(320, 200)) == Some((320, 200)))
     // dispatch by magic, regardless of the caller's format label.
-    assert(MediaStub.headerDimensions(MediaStub.jpegBytes(7, 9)) == Some((7, 9)))
-    assert(MediaStub.headerDimensions(MediaStub.pngBytes(7, 9)) == Some((7, 9)))
-    assert(MediaStub.headerDimensions(MediaStub.gifBytes(7, 9)) == Some((7, 9)))
+    assert(Media.headerDimensions(Media.jpegBytes(7, 9)) == Some((7, 9)))
+    assert(Media.headerDimensions(Media.pngBytes(7, 9)) == Some((7, 9)))
+    assert(Media.headerDimensions(Media.gifBytes(7, 9)) == Some((7, 9)))
     // content after the header does not disturb the parse.
-    assert(MediaStub.pngDimensions(
-      MediaStub.pngBytes(33, 44, Array.fill[Byte](100)(1))) == Some((33, 44)))
+    assert(Media.pngDimensions(
+      Media.pngBytes(33, 44, Array.fill[Byte](100)(1))) == Some((33, 44)))
     // truncated and corrupt payloads are None, never garbage or a throw.
-    assert(MediaStub.jpegDimensions(MediaStub.jpegBytes(641, 480).take(20)).isEmpty)
-    assert(MediaStub.jpegDimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
-    assert(MediaStub.pngDimensions("not a png at all".getBytes("UTF-8")).isEmpty)
-    assert(MediaStub.headerDimensions(Array.empty[Byte]).isEmpty)
+    assert(Media.jpegDimensions(Media.jpegBytes(641, 480).take(20)).isEmpty)
+    assert(Media.jpegDimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
+    assert(Media.pngDimensions("not a png at all".getBytes("UTF-8")).isEmpty)
+    assert(Media.headerDimensions(Array.empty[Byte]).isEmpty)
     // SOS (scan data) before any SOF aborts the walk.
     val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 1, 2).map(_.toByte)
-    assert(MediaStub.jpegDimensions(sosFirst).isEmpty)
+    assert(Media.jpegDimensions(sosFirst).isEmpty)
     // a corrupt SOF whose declared length (< 7) cannot hold the dimension
     // fields must be None even when TRAILING bytes exist in the buffer —
     // not garbage dimensions read from the next segment's bytes.
     val shortSof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x03, 0x08).map(_.toByte) ++
       Array(0xff, 0xdb, 0x00, 0x06, 0, 1, 2, 3).map(_.toByte) ++
       Array(0xff, 0xd9).map(_.toByte)
-    assert(MediaStub.jpegDimensions(shortSof).isEmpty)
+    assert(Media.jpegDimensions(shortSof).isEmpty)
   }
 
   test("extractFeatures uses the real parse for recognized containers") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
-      MediaRecord(1L, "jpeg", MediaStub.jpegBytes(800, 600)),
-      MediaRecord(2L, "png", MediaStub.pngBytes(1024, 768)),
-      MediaRecord(3L, "gif", MediaStub.gifBytes(99, 66)),
+      MediaRecord(1L, "jpeg", Media.jpegBytes(800, 600)),
+      MediaRecord(2L, "png", Media.pngBytes(1024, 768)),
+      MediaRecord(3L, "gif", Media.gifBytes(99, 66)),
       MediaRecord(4L, "bin", "no header here".getBytes("UTF-8"))))
-    val out = MediaStub.extractFeatures(ds).collect().sortBy(_.id)
+    val out = Media.extractFeatures(ds).collect().sortBy(_.id)
     assert((out(0).width, out(0).height) == (800, 600))
     assert((out(1).width, out(1).height) == (1024, 768))
     assert((out(2).width, out(2).height) == (99, 66))
@@ -70,38 +70,38 @@ class MediaStubSpec extends SparkSpec {
     val w = 13; val h = 11
     def rgb(x: Int, y: Int): Int =
       (((x * 3 + y * 5) % 256) << 16) | (((x * 7 + y) % 256) << 8) | ((x + y * 11) % 256)
-    val p = MediaStub.decodePixels(MediaStub.encodePng(w, h, rgb)).get
+    val p = Media.decodePixels(Media.encodePng(w, h, rgb)).get
     assert((p.width, p.height) == (w, h))
     for (y <- 0 until h; x <- 0 until w)
       assert((p.argb(y * w + x) & 0xffffff) == rgb(x, y), s"pixel ($x,$y)")
     // a full decode also yields dimensions for containers the header walk
     // does not cover (decodeBatch's second chance) — and garbage is None.
-    assert(MediaStub.decodePixels("garbage".getBytes("UTF-8")).isEmpty)
+    assert(Media.decodePixels("garbage".getBytes("UTF-8")).isEmpty)
   }
 
   test("dhash64: exact grid arithmetic, locality, and edge sensitivity") {
     // constant image: every cell equal -> no '<' comparison fires -> 0L.
-    assert(MediaStub.dhash64(MediaStub.encodePng(16, 16, (_, _) => 0x808080)) ==
+    assert(Media.dhash64(Media.encodePng(16, 16, (_, _) => 0x808080)) ==
       Some(0L))
     // strictly increasing luma left-to-right: every comparison fires.
-    assert(MediaStub.dhash64(MediaStub.encodePng(18, 16, (x, _) => {
+    assert(Media.dhash64(Media.encodePng(18, 16, (x, _) => {
       val v = x * 14; (v << 16) | (v << 8) | v
     })) == Some(-1L)) // all 64 bits set
     // too small for the 9x8 grid, or undecodable: None.
-    assert(MediaStub.dhash64(MediaStub.encodePng(8, 8, (_, _) => 0)).isEmpty)
-    assert(MediaStub.dhash64("nope".getBytes("UTF-8")).isEmpty)
+    assert(Media.dhash64(Media.encodePng(8, 8, (_, _) => 0)).isEmpty)
+    assert(Media.dhash64("nope".getBytes("UTF-8")).isEmpty)
     // locality: a small perturbation moves few bits; an unrelated
     // gradient moves many.
     def grad(seed: Int)(x: Int, y: Int): Int = {
       val v = (x * 17 + y * 29 + seed * 37) % 256
       (v << 16) | (v << 8) | v
     }
-    val a = MediaStub.dhash64(MediaStub.encodePng(16, 16, grad(1))).get
-    val tweaked = MediaStub.dhash64(MediaStub.encodePng(16, 16, (x, y) =>
+    val a = Media.dhash64(Media.encodePng(16, 16, grad(1))).get
+    val tweaked = Media.dhash64(Media.encodePng(16, 16, (x, y) =>
       if (x == 0 && y == 0) grad(1)(x, y) ^ 0x040404 else grad(1)(x, y))).get
     // different spatial structure (not a constant luma offset, which
     // dHash is deliberately invariant to): different multipliers.
-    val other = MediaStub.dhash64(MediaStub.encodePng(16, 16, (x, y) => {
+    val other = Media.dhash64(Media.encodePng(16, 16, (x, y) => {
       val v = (x * 53 + y * 7 + 101) % 256
       (v << 16) | (v << 8) | v
     })).get
@@ -111,54 +111,54 @@ class MediaStubSpec extends SparkSpec {
 
   test("REAL WAV parse: RIFF chunk walk, PCM stats, corrupt streams are None") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 5)
-    val wav = MediaStub.wavBytes(44100, samples)
+    val wav = Media.wavBytes(44100, samples)
     // the builder embeds a LIST chunk between fmt and data — a parser
     // that assumes data at a fixed offset fails here.
-    assert(MediaStub.wavInfo(wav) == Some(MediaStub.WavInfo(1, 44100, 16, 6)))
-    val (n, sumAbs, maxAbs, sumSq) = MediaStub.pcmStats(wav).get
+    assert(Media.wavInfo(wav) == Some(Media.WavInfo(1, 44100, 16, 6)))
+    val (n, sumAbs, maxAbs, sumSq) = Media.pcmStats(wav).get
     assert(n == 6 && sumAbs == 0L + 100 + 100 + 32767 + 32768 + 5)
     assert(maxAbs == 32768)
     assert(sumSq == samples.map(s => s.toLong * s).sum)
     // stereo: sample count divides by channels.
-    assert(MediaStub.wavInfo(MediaStub.wavBytes(8000, samples, channels = 2))
+    assert(Media.wavInfo(Media.wavBytes(8000, samples, channels = 2))
       .get.nSamples == 3)
     // truncated data chunk, non-RIFF, and declared-size overrun → None.
-    assert(MediaStub.wavInfo(wav.dropRight(4)).isEmpty)
-    assert(MediaStub.wavInfo("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Media.wavInfo(wav.dropRight(4)).isEmpty)
+    assert(Media.wavInfo("not audio".getBytes("UTF-8")).isEmpty)
     // non-PCM audioFormat (IEEE float = 3) is rejected, not misread.
     val nonPcm = wav.clone(); nonPcm(20) = 3
-    assert(MediaStub.wavInfo(nonPcm).isEmpty)
-    assert(MediaStub.pcmStats(nonPcm).isEmpty)
+    assert(Media.wavInfo(nonPcm).isEmpty)
+    assert(Media.pcmStats(nonPcm).isEmpty)
   }
 
   test("audioFingerprint64: volume invariance, locality, degenerate streams") {
-    def wav(f: Int => Int): Array[Byte] = MediaStub.wavBytes(8000,
+    def wav(f: Int => Int): Array[Byte] = Media.wavBytes(8000,
       Array.tabulate(260)(i => f(i).toShort))
     def base(i: Int): Int = (i * 11 + 5) % 16384 - 8192
-    val h = MediaStub.audioFingerprint64(wav(base)).get
+    val h = Media.audioFingerprint64(wav(base)).get
     // scaling every sample (re-mastered volume) keeps the fingerprint.
-    assert(MediaStub.audioFingerprint64(wav(i => base(i) * 3)) == Some(h))
-    assert(MediaStub.audioFingerprint64(wav(i => base(i) / 2)) != None)
+    assert(Media.audioFingerprint64(wav(i => base(i) * 3)) == Some(h))
+    assert(Media.audioFingerprint64(wav(i => base(i) / 2)) != None)
     // an edit confined to the first window moves at most 2 bits
     // (energies 0..1 → comparisons (0,1) and (1,2)).
-    val edited = MediaStub.audioFingerprint64(
+    val edited = Media.audioFingerprint64(
       wav(i => if (i < 4) base(i) + 500 else base(i))).get
     assert(java.lang.Long.bitCount(h ^ edited) <= 2)
     // a different signal lands well past the dedup budget (measured 9).
-    val other = MediaStub.audioFingerprint64(wav(i => (i * 37 + 9) % 16384 - 8192)).get
+    val other = Media.audioFingerprint64(wav(i => (i * 37 + 9) % 16384 - 8192)).get
     assert(java.lang.Long.bitCount(h ^ other) > 3)
     // fewer than 65 samples, or not a WAV: None.
-    assert(MediaStub.audioFingerprint64(
-      MediaStub.wavBytes(8000, Array.fill[Short](64)(1))).isEmpty)
-    assert(MediaStub.audioFingerprint64("nope".getBytes("UTF-8")).isEmpty)
+    assert(Media.audioFingerprint64(
+      Media.wavBytes(8000, Array.fill[Short](64)(1))).isEmpty)
+    assert(Media.audioFingerprint64("nope".getBytes("UTF-8")).isEmpty)
   }
 
   test("REAL AVI demux: header, frame chunks, pad bytes, non-video skip") {
     val f0 = Array[Byte](1, 2, 3)          // odd size → RIFF pad byte
     val f1 = Array[Byte](4, 5, 6, 7)
-    val avi = MediaStub.aviBytes(Seq(f0, f1), 640, 480, microSecPerFrame = 40000)
-    assert(MediaStub.aviInfo(avi) == Some(MediaStub.AviInfo(40000, 2, 640, 480)))
-    val frames = MediaStub.aviVideoFrames(avi).get
+    val avi = Media.aviBytes(Seq(f0, f1), 640, 480, microSecPerFrame = 40000)
+    assert(Media.aviInfo(avi) == Some(Media.AviInfo(40000, 2, 640, 480)))
+    val frames = Media.aviVideoFrames(avi).get
     assert(frames.length == 2)
     assert(frames(0).toSeq == f0.toSeq, "odd-size frame must round-trip (pad honored)")
     assert(frames(1).toSeq == f1.toSeq)
@@ -176,27 +176,27 @@ class MediaStubSpec extends SparkSpec {
         le4(0) ++ le4(2) ++ le4(0) ++ le4(8) ++ le4(8) ++ Array.fill[Byte](16)(0)))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val mixed = "RIFF".getBytes("US-ASCII") ++ le4(body.length) ++ body
-    assert(MediaStub.aviVideoFrames(mixed).get.map(_.toSeq) == Vector(f0.toSeq, f1.toSeq))
+    assert(Media.aviVideoFrames(mixed).get.map(_.toSeq) == Vector(f0.toSeq, f1.toSeq))
     // corrupt streams are None, not garbage.
-    assert(MediaStub.aviInfo(avi.take(20)).isEmpty)
-    assert(MediaStub.aviVideoFrames("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Media.aviInfo(avi.take(20)).isEmpty)
+    assert(Media.aviVideoFrames("not a video".getBytes("UTF-8")).isEmpty)
     // MJPEG composition: demuxed frames are REAL JPEGs the marker walk reads.
-    val mjpeg = MediaStub.aviBytes(
-      Seq(MediaStub.jpegBytes(111, 222), MediaStub.jpegBytes(33, 44)), 111, 222)
-    val dims = MediaStub.aviVideoFrames(mjpeg).get.map(MediaStub.headerDimensions)
+    val mjpeg = Media.aviBytes(
+      Seq(Media.jpegBytes(111, 222), Media.jpegBytes(33, 44)), 111, 222)
+    val dims = Media.aviVideoFrames(mjpeg).get.map(Media.headerDimensions)
     assert(dims == Vector(Some((111, 222)), Some((33, 44))))
   }
 
   test("sampleVideoFrames keeps every k-th demuxed frame with its index") {
     import spark.implicits._
-    val frames = (0 until 5).map(i => MediaStub.jpegBytes(10 + i, 20 + i))
+    val frames = (0 until 5).map(i => Media.jpegBytes(10 + i, 20 + i))
     val ds = spark.createDataset(Seq(
-      MediaRecord(7L, "avi", MediaStub.aviBytes(frames, 10, 20)),
+      MediaRecord(7L, "avi", Media.aviBytes(frames, 10, 20)),
       MediaRecord(8L, "bin", "not a container".getBytes("UTF-8"))))
-    val got = MediaStub.sampleVideoFrames(ds, everyK = 2).collect().sortBy(_.frameIdx)
+    val got = Media.sampleVideoFrames(ds, everyK = 2).collect().sortBy(_.frameIdx)
     assert(got.map(_.frameIdx).toSeq == Seq(0, 2, 4))
     assert(got.forall(_.id == 7L), "unparseable payloads must emit nothing")
-    assert(MediaStub.headerDimensions(got(1).payload) == Some((12, 22)))
+    assert(Media.headerDimensions(got(1).payload) == Some((12, 22)))
   }
 
   test("decode runs per-partition (mapPartitions), preserving distribution") {
@@ -204,7 +204,7 @@ class MediaStubSpec extends SparkSpec {
     val ds = spark.createDataset(
       (1L to 100L).map(i => MediaRecord(i, "webp", Array.fill[Byte](8)(i.toByte))))
       .repartition(4)
-    val out = MediaStub.extractFeatures(ds)
+    val out = Media.extractFeatures(ds)
     assert(out.rdd.getNumPartitions == 4)
     assert(out.count() == 100)
   }
@@ -214,7 +214,7 @@ class MediaStubSpec extends SparkSpec {
     // 40-byte payload, 8-byte frames -> indices 0..4; everyK=2 -> 0,2,4.
     val payload = Array.tabulate(40)(_.toByte)
     val ds = spark.createDataset(Seq(MediaRecord(7L, "mp4", payload)))
-    val frames = MediaStub.frameSample(ds, frameBytes = 8, everyK = 2)
+    val frames = Media.frameSample(ds, frameBytes = 8, everyK = 2)
       .collect().sortBy(_.frameIdx)
     assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4))
     assert(frames.forall(_.id == 7L))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.MediaStub
+import graft.operators.Media
 import graft.streaming.{ImageIngest, Stream}
 
 /** Streaming perceptual image dedup end-to-end (graft.streaming
@@ -21,7 +21,7 @@ class StreamingImageSpec extends SparkSpec {
   import spark.implicits._
 
   private def blockImage(base: Long): Array[Byte] =
-    MediaStub.encodePng(32, 32, (x, y) => {
+    Media.encodePng(32, 32, (x, y) => {
       val v = scala.util.hashing.MurmurHash3
         .productHash((base, x * 8 / 32, y * 8 / 32)).abs % 256
       (v << 16) | (v << 8) | v
@@ -29,8 +29,8 @@ class StreamingImageSpec extends SparkSpec {
 
   /** Driver-side NN resample (the "republished copy" transform). */
   private def resized(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val p = MediaStub.decodePixels(b).get
-    MediaStub.encodePng(w, h, (x, y) =>
+    val p = Media.decodePixels(b).get
+    Media.encodePng(w, h, (x, y) =>
       p.argb((y * p.height / h) * p.width + x * p.width / w) & 0xffffff)
   }
 
@@ -51,8 +51,8 @@ class StreamingImageSpec extends SparkSpec {
         (0 until 10).map(b => (100L + b, resized(blockImage(b.toLong), 48, 32))) ++
         (0 until 5).map(j => (200L + j, blockImage(1000L + j)))
       // ground truth: FULL quadratic Hamming ≤ 7 over the real hashes.
-      val corpusH = corpusImgs.map { case (id, p) => id -> MediaStub.dhash64(p).get }
-      val batchH = batchImgs.map { case (id, p) => id -> MediaStub.dhash64(p).get }
+      val corpusH = corpusImgs.map { case (id, p) => id -> Media.dhash64(p).get }
+      val batchH = batchImgs.map { case (id, p) => id -> Media.dhash64(p).get }
       val expected = (for {
         (da, ha) <- batchH; (db, hb) <- corpusH
         d = java.lang.Long.bitCount(ha ^ hb) if d <= 7

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MediaRecord, MediaStub, TypedAggregators}
+import graft.operators.{MediaRecord, Media, TypedAggregators}
 
 class TypedAggregatorSpec extends SparkSpec {
 
@@ -29,19 +29,19 @@ class TypedAggregatorSpec extends SparkSpec {
     import spark.implicits._
     // 4×4 image of four 2×2 solid quadrants — nearest-neighbor to 2×2
     // must pick the top-left pixel of each quadrant exactly.
-    val quad = MediaStub.encodePng(4, 4, (x, y) =>
+    val quad = Media.encodePng(4, 4, (x, y) =>
       (if (y < 2) (if (x < 2) 0xff0000 else 0x00ff00)
        else (if (x < 2) 0x0000ff else 0x102030)))
     val ds = spark.createDataset(Seq(
       MediaRecord(1L, "png", quad),
       MediaRecord(2L, "bin", "not an image".getBytes("UTF-8"))))
-    val out = MediaStub.resize(ds, 2, 2).collect().sortBy(_.id)
-    val p = MediaStub.decodePixels(out(0).payload).get
+    val out = Media.resize(ds, 2, 2).collect().sortBy(_.id)
+    val p = Media.decodePixels(out(0).payload).get
     assert((p.width, p.height) == (2, 2))
     assert(p.argb.map(_ & 0xffffff).toSeq ==
       Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030))
     // deterministic: identical bytes on re-run (exact integer sampling).
-    val again = MediaStub.resize(ds, 2, 2).collect().sortBy(_.id)
+    val again = Media.resize(ds, 2, 2).collect().sortBy(_.id)
     assert(out(0).payload.toSeq == again(0).payload.toSeq)
     // the quarantine route: undecodable payloads are passed through.
     assert(out(1).payload.toSeq == "not an image".getBytes("UTF-8").toSeq)
