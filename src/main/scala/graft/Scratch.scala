@@ -113,28 +113,38 @@ object Scratch {
         expr("concat('v_', CAST(id AS STRING))")).as("text"))
     val skewed = base.select(col("doc_id"), col("text")).unionByName(hot)
 
-    // task-duration listener: max vs median task ms of the heaviest stage.
+    // task-duration listener: max vs median task ms of the heaviest
+    // stage. Events arrive on the listener-bus thread AFTER the driving
+    // action returns, so (a) appends are synchronized and (b) a settle
+    // sleep runs before each read/clear — otherwise run N+1's cleared
+    // map can swallow run N's stragglers and the sorted read can race
+    // an in-flight append.
     val taskMs = scala.collection.concurrent.TrieMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        taskMs.getOrElseUpdate(te.stageId,
-          scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
+        taskMs.synchronized {
+          taskMs.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
+        }
     })
     println("| skew handling | wall s | pairs | heaviest stage max task s | median task s | tasks |")
     println("|---|---|---|---|---|---|")
     for ((label, conf) <- Seq(
         ("AQE skew ON", "true"), ("AQE skew OFF", "false"))) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", conf)
-      taskMs.clear()
+      Thread.sleep(1000) // drain stragglers from the previous run
+      taskMs.synchronized { taskMs.clear() }
       val (np, wall) = timed {
         graft.operators.TextDedup.minhashLshPairs(
           graft.operators.TextDedup.shingleRelation(
             fanOut(skewed), "doc_id", "text", 3),
           12, 4, 0.5, bandCap = None).count()
       }
-      val heaviest = taskMs.values.maxBy(ts => ts.max)
-      val sorted = heaviest.sorted
+      Thread.sleep(1000) // let the listener bus deliver this run's tail
+      val sorted = taskMs.synchronized {
+        taskMs.values.maxBy(ts => ts.max).sorted.toIndexedSeq
+      }
       println(f"| $label | $wall%.1f | $np | ${sorted.last / 1e3}%.1f " +
         f"| ${sorted(sorted.size / 2) / 1e3}%.2f | ${sorted.size} |")
     }

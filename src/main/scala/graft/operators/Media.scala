@@ -104,12 +104,16 @@ object Media {
 
   /** REAL (width, height) from a PNG payload: the 8-byte signature must
     * be followed by the IHDR chunk (the spec requires it first), whose
-    * data starts with big-endian width and height. */
+    * data starts with big-endian width and height. The PNG spec caps
+    * both at 2^31−1 and forbids 0 — a field outside that range is a
+    * corrupt stream and must be None, not a negative dimension (which
+    * could even forge the (−1, −1) undecodable sentinel). */
   def pngDimensions(b: Array[Byte]): Option[(Int, Int)] =
     if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
-      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-      Some((be32(b, 16), be32(b, 20)))
-    else None
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
 
   /** REAL (width, height) from a GIF payload: GIF87a/GIF89a signature,
     * then the little-endian logical screen descriptor. */
@@ -276,7 +280,10 @@ object Media {
       "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
       Array(0xff, 0xdb).map(_.toByte) ++ be2(6) ++ Array[Byte](0, 1, 2, 3) ++
       Array(0xff, 0xc0).map(_.toByte) ++ be2(11) ++
-      (Array[Byte](8) ++ be2(h) ++ be2(w) ++ Array[Byte](1, 0x11, 0)) ++
+      // SOF0 payload: precision, h:2, w:2, ncomp=1, then per-component
+      // (id, sampling, quant table) — 9 bytes, declared length 11
+      // (the length field counts itself).
+      (Array[Byte](8) ++ be2(h) ++ be2(w) ++ Array[Byte](1, 1, 0x11, 0)) ++
       Array(0xff, 0xd9).map(_.toByte)
 
   /** Structurally-real minimal GIF89a: signature + logical screen
@@ -387,10 +394,29 @@ object Media {
       i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
     }
     fmt match {
-      case Some((ch, rate, bits)) if dataLen >= 0 && ch > 0 && bits > 0 =>
+      // bits must be a positive multiple of 8: a corrupt 1–7-bit field
+      // would make the bytes-per-sample divisor zero.
+      case Some((ch, rate, bits))
+          if dataLen >= 0 && ch > 0 && bits >= 8 && bits % 8 == 0 =>
         Some(WavInfo(ch, rate, bits, dataLen / (ch.toLong * (bits / 8))))
       case _ => None
     }
+  }
+
+  /** (payload offset, payload size) of the RIFF `data` chunk — the ONE
+    * shared walk behind [[pcmStats]] and [[audioFingerprint64]] (guards
+    * in one place; callers gate on [[wavInfo]] first for format checks). */
+  private def dataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 12
+    while (i + 8 <= b.length && !tag(b, i, "data")) {
+      val sz = le32(b, i + 4)
+      if (sz < 0 || sz > b.length) return None
+      i += 8 + sz + (sz & 1)
+    }
+    if (i + 8 > b.length) return None
+    val size = le32(b, i + 4)
+    if (size < 0 || i + 8 + size > b.length) return None
+    Some((i + 8, size))
   }
 
   /** Exact integer statistics over a 16-bit PCM WAV's samples (all
@@ -399,28 +425,20 @@ object Media {
     * clipping, loudness), with no FP anywhere. None when [[wavInfo]]
     * rejects the stream or it isn't 16-bit. */
   def pcmStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
-    wavInfo(b).filter(_.bitsPerSample == 16).flatMap { info =>
-      // find the data chunk again (cheap — headers are tiny; sizes were
-      // already bounds-validated by the wavInfo walk above).
-      var i = 12
-      while (i + 8 <= b.length && !tag(b, i, "data")) {
-        val sz = le32(b, i + 4)
-        if (sz < 0 || sz > b.length) return None
-        i += 8 + sz + (sz & 1)
+    wavInfo(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+      dataChunk(b).map { case (base, size) =>
+        var p = base
+        val end = base + size
+        var n = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
+        while (p + 1 < end) {
+          val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toLong
+          val a = math.abs(s)
+          n += 1; sumAbs += a; sumSq += s * s
+          if (a > maxAbs) maxAbs = a
+          p += 2
+        }
+        (n, sumAbs, maxAbs, sumSq)
       }
-      if (i + 8 > b.length) return None
-      val size = le32(b, i + 4)
-      var p = i + 8
-      val end = i + 8 + size
-      var n = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
-      while (p + 1 < end) {
-        val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toLong
-        val a = math.abs(s)
-        n += 1; sumAbs += a; sumSq += s * s
-        if (a > maxAbs) maxAbs = a
-        p += 2
-      }
-      Some((n, sumAbs, maxAbs, sumSq))
     }
 
   /** Structurally-real PCM16 WAV builder (RIFF + fmt + an ignorable LIST
@@ -453,15 +471,10 @@ object Media {
     * 16-bit PCM or has fewer than 65 samples. */
   def audioFingerprint64(b: Array[Byte]): Option[Long] =
     wavInfo(b).filter(w => w.bitsPerSample == 16 && w.nSamples >= 65).flatMap { _ =>
-      var i = 12
-      while (i + 8 <= b.length && !tag(b, i, "data")) {
-        val sz = le32(b, i + 4)
-        if (sz < 0 || sz > b.length) return None
-        i += 8 + sz + (sz & 1)
+      val (base, size) = dataChunk(b) match {
+        case Some(bs) => bs
+        case None => return None
       }
-      if (i + 8 > b.length) return None
-      val size = le32(b, i + 4)
-      val base = i + 8
       val n = size / 2
       val energies = new Array[Long](65)
       var j = 0
@@ -563,7 +576,10 @@ object Media {
         val end = math.min(i + 8 + size, b.length)
         while (j + 8 <= end) {
           val sz = le32(b, j + 4)
-          if (sz < 0 || j + 8 + sz > b.length) return None
+          // `sz > b.length` must be checked FIRST: a declared size near
+          // 2^31 would overflow `j + 8 + sz` negative and pass the
+          // bounds check, then crash the copy instead of returning None.
+          if (sz < 0 || sz > b.length || j + 8 + sz > b.length) return None
           val isDigits = Character.isDigit(b(j) & 0xff) && Character.isDigit(b(j + 1) & 0xff)
           val isVideo = isDigits && (b(j + 2) == 'd') &&
             (b(j + 3) == 'c' || b(j + 3) == 'b')

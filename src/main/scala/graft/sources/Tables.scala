@@ -73,13 +73,13 @@ object Tables {
   private val fanOutParts = scala.collection.concurrent.TrieMap.empty[(Int, Long), Int]
 
   /** Order-independent fingerprint of the plan's file-source roots: per
-    * root, the direct-child file count, total length, and max child mtime
-    * (one driver-side `listStatus` per root). Child count + length are
-    * what make same-second rewrites distinguishable — local-FS mtime
-    * granularity can be a full second, so a root-dir mtime alone would
-    * serve a stale memoized partition count for a staging-dir rewrite
-    * within one timestamp tick. 0 for plans with no file scan (local
-    * relations, memory streams). */
+    * root, the direct-child count plus a commutative sum of per-child
+    * `len·31 + mtime` terms (one driver-side `listStatus` per root).
+    * Folding child lengths and count is what makes same-second rewrites
+    * distinguishable — local-FS mtime granularity can be a full second,
+    * so a root-dir mtime alone would serve a stale memoized partition
+    * count for a staging-dir rewrite within one timestamp tick. 0 for
+    * plans with no file scan (local relations, memory streams). */
   private[graft] def scanSignature(df: DataFrame): Long =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>

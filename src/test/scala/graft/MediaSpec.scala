@@ -153,6 +153,33 @@ class MediaSpec extends SparkSpec {
     assert(Media.audioFingerprint64("nope".getBytes("UTF-8")).isEmpty)
   }
 
+  test("corrupt container fields are None, never a crash or forged value") {
+    // WAV declaring 4 bits per sample: the bytes-per-sample divisor
+    // would be zero — must reject, not throw ArithmeticException.
+    val wav = Media.wavBytes(8000, Array[Short](1, 2, 3))
+    val subByte = wav.clone(); subByte(34) = 4; subByte(35) = 0
+    assert(Media.wavInfo(subByte).isEmpty)
+    assert(Media.pcmStats(subByte).isEmpty)
+    // PNG with a dimension field >= 2^31 (reads negative as signed):
+    // must be None — 0xFFFFFFFF would otherwise FORGE the (-1, -1)
+    // undecodable sentinel.
+    val png = Media.pngBytes(10, 10)
+    val hugeDims = png.clone()
+    for (k <- 16 until 24) hugeDims(k) = 0xff.toByte
+    assert(Media.pngDimensions(hugeDims).isEmpty)
+    assert(Media.pngDimensions(png.clone()).contains((10, 10)))
+    // AVI movi sub-chunk declaring a size near 2^31: the bounds check
+    // must not overflow into a crash.
+    val avi = Media.aviBytes(Seq(Array[Byte](1, 2, 3, 4)), 8, 8)
+    // locate the '00dc' chunk and corrupt its declared size.
+    val idx = (0 until avi.length - 4).find(k =>
+      avi(k) == '0' && avi(k + 1) == '0' && avi(k + 2) == 'd' && avi(k + 3) == 'c').get
+    val hugeChunk = avi.clone()
+    hugeChunk(idx + 4) = 0xf0.toByte; hugeChunk(idx + 5) = 0xff.toByte
+    hugeChunk(idx + 6) = 0xff.toByte; hugeChunk(idx + 7) = 0x7f.toByte
+    assert(Media.aviVideoFrames(hugeChunk).isEmpty)
+  }
+
   test("REAL AVI demux: header, frame chunks, pad bytes, non-video skip") {
     val f0 = Array[Byte](1, 2, 3)          // odd size → RIFF pad byte
     val f1 = Array[Byte](4, 5, 6, 7)
