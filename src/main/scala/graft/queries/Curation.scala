@@ -236,6 +236,55 @@ object Curation {
       FROM docs JOIN embs ON doc_id = vec_id
       ORDER BY doc_id""")),
 
+    // --------------------------------- chunk → document embedding pooling
+    // The aggregation stage between chunk-level embeddings and a
+    // document-level vector (RAG indexing, doc-level dedup/clustering):
+    // element-wise MEAN over each doc's chunks. Determinism across
+    // engines: chunks are collected per doc, SORTED by chunk id, and
+    // folded sequentially (sort_array(collect_list(struct)) ≡ DuckDB
+    // `list(e ORDER BY id)`), with ONE divide at the end — the same IEEE
+    // op sequence both sides, so the pooled doubles match bitwise. The
+    // per-group collect is bounded by chunks-per-document (a format
+    // contract, ~doc_len/chunk_len — never corpus-scaled). Stand-in
+    // grouping: vec_id // 4 = the "document", 4 chunks each. Output
+    // pins the pooled vector's first/last components and its L2 norm.
+    Q("x_embed_pool", (s, d) => {
+      def pooled(i: Int) =
+        s"""aggregate(chunks, CAST(0 AS DOUBLE),
+           |  (acc, c) -> acc + CAST(element_at(c.embedding, $i) AS DOUBLE))
+           |  / CAST(size(chunks) AS DOUBLE)""".stripMargin
+      fanOut(embeddings(s, d))
+        .select(expr("vec_id div 4").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("chunks"))
+        .select(col("doc_id"),
+          expr("CAST(size(chunks) AS INT)").as("n_chunks"),
+          expr(pooled(1)).as("p_first"),
+          expr(pooled(64)).as("p_last"),
+          expr(
+            s"""sqrt(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+               |  acc + (${"aggregate(chunks, CAST(0 AS DOUBLE), (a2, c) -> a2 + CAST(element_at(c.embedding, i) AS DOUBLE)) / CAST(size(chunks) AS DOUBLE)"})
+               |      * (${"aggregate(chunks, CAST(0 AS DOUBLE), (a3, c) -> a3 + CAST(element_at(c.embedding, i) AS DOUBLE)) / CAST(size(chunks) AS DOUBLE)"})))""".stripMargin)
+            .as("p_norm"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH c AS (SELECT vec_id // 4 AS doc_id, vec_id, embedding FROM embeddings),
+      g AS (SELECT doc_id, list(embedding ORDER BY vec_id) AS chunks
+            FROM c GROUP BY doc_id),
+      p AS (SELECT doc_id, chunks, len(chunks) AS n,
+              list_transform(range(1, 65), i ->
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(chunks, e -> CAST(e[i] AS DOUBLE))),
+                  (acc, v) -> acc + v) / CAST(len(chunks) AS DOUBLE)) AS pooled
+            FROM g)
+      SELECT doc_id, CAST(n AS INT) AS n_chunks,
+             pooled[1] AS p_first, pooled[64] AS p_last,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(pooled, v -> v * v)), (acc, v) -> acc + v)) AS p_norm
+      FROM p ORDER BY doc_id""")),
+
     // ------------------------------------------------- decontamination
     // Train/test overlap removal: flag training docs sharing ≥3 distinct
     // word 3-grams with any benchmark document. The benchmark set (stand-in:
