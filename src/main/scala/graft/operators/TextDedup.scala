@@ -401,6 +401,75 @@ object TextDedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Exact repeated-substring spans, token-granular — the Spark-first
+    * re-expression of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove any
+    * span that appears verbatim more than once in the corpus). A suffix
+    * array is a single-machine structure; the distributed equivalent is
+    * duplicated fixed-width window detection + per-document interval
+    * merging, which finds exactly the maximal duplicated spans of ≥ `k`
+    * tokens (every length-≥k duplicated span is a run of duplicated
+    * k-windows, and conversely).
+    *
+    * Plan shape (mirrors [[stripCommonLines]]):
+    *  - documents explode to one row per k-token window (doc_id, pos,
+    *    md5(window)) — linear in corpus tokens, no shuffle; staged, because
+    *    the relation feeds both the duplicate aggregate and the probe;
+    *  - duplicated hashes = groupBy the 16-byte digest, count ≥ `minCount`
+    *    (total occurrences — within-document repeats count, as in the
+    *    paper). Only the digest shuffles, never window text;
+    *  - marked positions = semi-join back. Unlike boilerplate lines the
+    *    duplicated-hash relation is bounded by duplicated VOLUME, not by a
+    *    small banned set — `broadcastDup = false` switches the probe to a
+    *    shuffle join on the digest (uniform key, no skew) for corpora whose
+    *    duplicated content exceeds executor memory;
+    *  - interval merge: lag/running-sum windows partitioned by doc_id (the
+    *    max-cardinality key) over marked positions only. Windows at pos p
+    *    and q merge iff q ≤ p + k (overlapping or exactly adjacent
+    *    coverage).
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) per maximal
+    * duplicated span, token positions 0-based inclusive. Removal/masking is
+    * a trivial downstream projection over these intervals. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minCount: Long = 2L,
+                    broadcastDup: Boolean = true): DataFrame = {
+    require(k > 0 && minCount > 1, s"k=$k, minCount=$minCount")
+    import org.apache.spark.sql.expressions.Window
+    val wins = stage(docs
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"""IF(size(__toks) >= $k,
+             |  transform(sequence(0, size(__toks) - $k),
+             |    i -> named_struct('pos', i,
+             |                      'h', md5(concat_ws(' ', slice(__toks, i + 1, $k))))),
+             |  array())""".stripMargin)).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("__h")))
+    val dup = wins
+      .groupBy(col("__h").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("h"))
+    val marked = wins
+      .join(if (broadcastDup) broadcast(dup) else dup,
+        col("__h") === col("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(byPos)
+    marked
+      .withColumn("__new",
+        when(prev.isNull.or(col("pos") > prev + k), lit(1)).otherwise(lit(0)))
+      .withColumn("__span",
+        sum(col("__new")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Exact duplicate groups by content digest: only the 16-byte digest
     * shuffles, never the text. Output: (canonical_id, n_copies). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -440,6 +440,41 @@ object Dedup {
             FROM t),
       b AS (SELECT doc_id, k FROM l WHERE doc_id % 10 = 0),
       c AS (SELECT DISTINCT k FROM l WHERE doc_id % 10 <> 0)
-      SELECT DISTINCT b.doc_id FROM b JOIN c USING (k) ORDER BY doc_id"""))
+      SELECT DISTINCT b.doc_id FROM b JOIN c USING (k) ORDER BY doc_id""")),
+
+    // ------------------------------------- exact repeated-substring spans
+    // Suffix-array substring dedup (Lee et al. 2022), re-expressed for a
+    // cluster (operators.TextDedup.repeatedSpans): duplicated k-token
+    // window hashes (count ≥ 2 corpus-wide, within-doc repeats included)
+    // merged into maximal per-document spans with lag/running-sum windows
+    // partitioned on doc_id — the max-cardinality key. Only 16-byte
+    // digests shuffle; the interval merge is exactly restatable in SQL, so
+    // the oracle replays the full construction.
+    Q("x_dedup_substring", (s, d) => {
+      graft.operators.TextDedup.repeatedSpans(fanOut(documents(s, d)),
+        "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      w AS (SELECT doc_id,
+                   unnest(range(0, len(toks) - 7)) AS pos,
+                   unnest(list_transform(range(0, len(toks) - 7),
+                     i -> md5(array_to_string(toks[i+1 : i+8], ' ')))) AS h
+            FROM t),
+      dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      m AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+      f AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS ns
+            FROM m),
+      sp AS (SELECT doc_id, pos,
+                    CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+             FROM f)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+             COUNT(*) AS n_windows
+      FROM sp GROUP BY doc_id, span
+      ORDER BY doc_id, span_start"""))
   )
 }

@@ -184,6 +184,52 @@ class TextDedupSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  // repeatedSpans fixture: disjoint vocab families per document except the
+  // deliberately shared material, so no accidental duplicated windows.
+  private lazy val spanCorpus = Seq(
+    // docs 1/2 share a 10-token passage (sh1..sh10) at different offsets.
+    (1L, "p1 p2 p3 sh1 sh2 sh3 sh4 sh5 sh6 sh7 sh8 sh9 sh10 s1 s2"),
+    (2L, "q1 q2 sh1 sh2 sh3 sh4 sh5 sh6 sh7 sh8 sh9 sh10 r1 r2 r3"),
+    // shorter than k=4 → zero windows, zero rows.
+    (3L, "one two three"),
+    // within-document repetition: "z1 z2 z3 z4" occurs twice in doc 4
+    // (minCount counts total occurrences, not distinct documents).
+    (4L, "a b c d e f z1 z2 z3 z4 g h i j z1 z2 z3 z4 k l"),
+    // adjacency merge: doc 5's duplicated windows sit at pos 0 and pos 4
+    // (coverage exactly adjacent) → one merged span; in doc 6 the same two
+    // phrases are separated by 5 unique tokens → two spans.
+    (5L, "m1 m2 m3 m4 u1 u2 u3 u4"),
+    (6L, "m1 m2 m3 m4 v1 v2 v3 v4 w1 u1 u2 u3 u4"),
+    // byte-identical documents → one span covering every token.
+    (7L, "c1 c2 c3 c4 c5 c6"),
+    (8L, "c1 c2 c3 c4 c5 c6")
+  ).toDF("doc_id", "text")
+
+  test("repeatedSpans merges duplicated windows into maximal spans") {
+    val spans = TextDedup.repeatedSpans(spanCorpus, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 3L, 12L, 7L),   // shared passage at offset 3: window starts 3..9
+      (2L, 2L, 11L, 7L),   // same passage at offset 2
+      (4L, 6L, 9L, 1L),    // within-doc repeat, first occurrence
+      (4L, 14L, 17L, 1L),  // within-doc repeat, second occurrence
+      (5L, 0L, 7L, 2L),    // adjacent coverage (pos 0 + pos 4) merged
+      (6L, 0L, 3L, 1L),    // separated phrases stay separate spans
+      (6L, 9L, 12L, 1L),
+      (7L, 0L, 5L, 3L),    // whole-document duplicate
+      (8L, 0L, 5L, 3L)))
+  }
+
+  test("repeatedSpans shuffle-join probe path matches the broadcast path") {
+    val b = TextDedup.repeatedSpans(spanCorpus, "doc_id", "text", k = 4)
+      .collect().toSet
+    val s = TextDedup.repeatedSpans(spanCorpus, "doc_id", "text", k = 4,
+      broadcastDup = false).collect().toSet
+    assert(b == s)
+  }
+
   test("exactGroups collapses byte-identical docs to the smallest id") {
     val dups = docs.union(Seq((99L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text"))
