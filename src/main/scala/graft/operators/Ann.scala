@@ -231,6 +231,20 @@ object Ann {
     * never an all-pairs product. */
   def lshSelfPairs(corpus: DataFrame, threshold: Double,
                    bits: Int = 64, bands: Int = 16, dim: Int = 64): DataFrame = {
+    val banded = stagedBandedSides(corpus, bits, bands, dim)
+    banded("va", "ea").join(banded("vb", "eb"), Seq("band"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+      .distinct()
+  }
+
+  /** Staged banded projection factory for SELF-joins: the signature pass
+    * runs once (Tables.stage — no subplan reuse across self-join sides),
+    * each returned side re-aliases the same staged relation. */
+  private def stagedBandedSides(corpus: DataFrame, bits: Int, bands: Int,
+                                dim: Int): (String, String) => DataFrame = {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val width = bits / bands
     ensure(corpus)
@@ -238,18 +252,76 @@ object Ann {
       corpus.withColumn("__w", typedlit(hyperplaneWeights(bits, dim)))
         .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding", "__w")))
         .select(col("id"), col("embedding"), col("sig")))
-    def banded(idAlias: String, vecAlias: String): DataFrame =
+    (idAlias: String, vecAlias: String) =>
       sigRel.select(col("id").as(idAlias), col("embedding").as(vecAlias),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}),
              |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
           .as("band"))
-    banded("va", "ea").join(banded("vb", "eb"), Seq("band"))
-      .filter(col("va") < col("vb"))
-      .withColumn("cos", expr("cosine_sim(ea, eb)"))
-      .filter(col("cos") >= threshold)
-      .select(col("va"), col("vb"), col("cos"))
+  }
+
+  /** Approximate k-NN GRAPH over one corpus — every vector gets its top-k
+    * LSH-candidate neighbors (directed edges; cosine re-ranks exactly).
+    * The primitive under semantic clustering, graph-based dedup
+    * (pairs → [[Graph]] components), and RAG link building — the
+    * self-join twin of [[lshTopK]]: same staged banding discipline as
+    * [[lshSelfPairs]], same two-phase typed top-k as every ANN path
+    * (map-side k-heaps — no rank window, no global sort). A vector whose
+    * true neighbor collides in no band misses it (same measured recall
+    * story as lshTopK); deterministic, so a SQL twin replays it exactly.
+    * Output: (q_id, rank, neighbor_id, cos). */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 64, bands: Int = 16,
+               dim: Int = 64): DataFrame = {
+    val banded = stagedBandedSides(corpus, bits, bands, dim)
+    val scored = banded("q_id", "qe").join(banded("c_id", "ce"), Seq("band"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .select(col("q_id"), col("c_id"), col("cos"))
       .distinct()
+    rankTopK(scored, k)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication scoped to k-means clusters — the published scale path
+    * that replaces the O(n²) embedding all-pairs with per-cluster
+    * comparisons. A vector is DROPPED iff some same-cluster vector with a
+    * smaller id has cosine ≥ `threshold` (the deterministic stand-in for
+    * the paper's keep-one-per-similar-group rule; min-id is the same
+    * canonical-representative convention the exact-dedup operators use).
+    *
+    * Plan shape:
+    *  - assignment is [[assignToCentroids]]: a shuffle-free map-side
+    *    argmax over the broadcast centroid literal — the corpus never
+    *    moves to be clustered;
+    *  - the assigned relation feeds both sides of the within-cluster pair
+    *    join → staged once ([[graft.sources.Tables.stage]]);
+    *  - the pair join is an equi-join on cent_id. Its parallelism equals
+    *    the centroid count: production runs k ≈ |corpus| / target-cluster
+    *    size (the paper uses 50k clusters for 100M docs), so cluster
+    *    fan-in stays bounded and the per-cluster quadratic term is the
+    *    budget the operator deliberately pays — k is the knob;
+    *  - the dropped-id relation joins back by vec_id (uniform key) to
+    *    flag every corpus row.
+    *
+    * Output: (vec_id, cent_id, kept 0/1) for EVERY corpus vector.
+    * Centroids come in as (id, embedding) — trained offline via
+    * [[trainCentroids]] in production; tests/oracles pin determinism with
+    * fixed corpus vectors. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val assigned = graft.sources.Tables.stage(assignToCentroids(corpus, centroids))
+    def side(idAlias: String, vecAlias: String): DataFrame =
+      assigned.select(col("vec_id").as(idAlias), col("embedding").as(vecAlias),
+        col("cent_id"))
+    val dropped = side("a_id", "a_emb").join(side("b_id", "b_emb"), Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("cosine_sim(a_emb, b_emb)") >= threshold)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        when(col("__drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
   /** Collect the (small, by contract) centroid relation and inline it as a

@@ -274,6 +274,86 @@ object Similarity {
              array_to_string(list_transform(embedding, x ->
                CAST(CAST(floor(CAST(x AS DOUBLE) / nullif(maxabs, CAST(0 AS DOUBLE)) * 127.0 + 0.5) AS INT) AS VARCHAR)),
                ',') AS q8
-      FROM t ORDER BY vec_id"""))
+      FROM t ORDER BY vec_id""")),
+
+    // ------------------------------------------------ SemDeDup (clustered)
+    // graft.operators.Ann.semanticDedup: the published scale path for
+    // embedding-space dedup (Abbas et al. 2023) — k-means clusters bound
+    // the comparison set, so the quadratic term is per-cluster, never
+    // corpus-wide (x_dedup_embedding's whitelisted all-pairs is the oracle
+    // shape; THIS is the production shape). Assignment is the shuffle-free
+    // broadcast-centroid argmax shared with x_ann_ivf; drop rule = some
+    // same-cluster smaller-id vector with cosine ≥ 0.45. Deterministic
+    // centroid stand-in: corpus vectors 0..7 (production trains k-means
+    // offline via Ann.trainCentroids and k scales with the corpus).
+    Q("x_dedup_semantic", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann.semanticDedup(
+        corpus = fanOut(e),
+        centroids = e.filter(col("id") < 8),
+        threshold = 0.45)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS crn
+          FROM e v CROSS JOIN cents c)
+        WHERE crn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45)
+      SELECT s.vec_id, s.cent_id,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+      ORDER BY s.vec_id"""))
+  ,
+
+    // ----------------------------------------------- approximate kNN graph
+    // graft.operators.Ann.knnGraph: every corpus vector's top-k neighbors
+    // from the banded self-join — the primitive under semantic clustering
+    // and graph dedup (edges → Graph.connectedComponents). Same staged
+    // banding as x_dedup_embedding_lsh, same typed two-phase top-k as all
+    // ANN paths. 16-bit/4-band here keeps the SQL twin cheap; the
+    // machinery is width-generic and x_ann_lsh_tuned already proves the
+    // production 64-bit width bit-for-bit.
+    Q("x_knn_graph", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann.knnGraph(fanOut(e), k = 5, bits = 16, bands = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+               ${duckSig} AS sig
+        FROM embeddings),
+      bands AS (
+        SELECT vec_id,
+               unnest(list_transform(range(0, 4),
+                 b -> CAST(b AS VARCHAR) || ':' || substr(sig, 4*b + 1, 4))) AS band
+        FROM e),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM bands q JOIN bands c ON q.band = c.band
+        WHERE q.vec_id <> c.vec_id),
+      scored AS (
+        SELECT cand.q_id, cand.c_id,
+               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+        FROM cand JOIN e q ON cand.q_id = q.vec_id JOIN e c ON cand.c_id = c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank"""))
   )
 }

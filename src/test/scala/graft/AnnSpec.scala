@@ -70,6 +70,36 @@ class AnnSpec extends SparkSpec {
     assert(got.forall { case (va, vb, c) => va < vb && c >= 0.9 })
   }
 
+  test("semanticDedup keeps exactly one representative per semantic cluster") {
+    val cents = Ann.trainCentroids(clustered, k = 3, iters = 4)
+    val out = Ann.semanticDedup(clustered, cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 60) // every corpus vector is flagged, none vanish
+    // within-cluster cosine ≈ 1 ≫ 0.9, cross ≈ 0: the min id of each of
+    // the three clusters (ids ≡ c mod 3 → mins 0, 1, 2) survives, all
+    // other members are dropped by a smaller-id similar neighbor.
+    val kept = out.filter(_._3 == 1L).map(_._1).toSet
+    assert(kept == Set(0L, 1L, 2L), s"kept: $kept")
+    // assignment is cluster-faithful: each mod-3 family lands on one
+    // centroid, three distinct centroids overall.
+    val byFamily = out.groupBy(_._1 % 3).map { case (f, rows) => f -> rows.map(_._2).toSet }
+    assert(byFamily.values.forall(_.size == 1), s"family split across centroids: $byFamily")
+    assert(byFamily.values.flatten.toSet.size == 3)
+  }
+
+  test("knnGraph links every vector to its own cluster") {
+    val out = Ann.knnGraph(clustered, k = 3, bits = 16, bands = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // well-separated clusters: within-cluster cosine ≈ 1 — every reported
+    // edge stays inside the source's cluster (ids ≡ c mod 3), and every
+    // vector appears as a source (its 19 same-cluster twins collide in
+    // at least one band at these widths on this fixture).
+    assert(out.forall { case (q, n) => q % 3 == n % 3 },
+      s"cross-cluster edge: ${out.toSeq.filter { case (q, n) => q % 3 != n % 3 }}")
+    assert(out.map(_._1).distinct.length == 60, s"sources: ${out.map(_._1).distinct.length}")
+    assert(out.groupBy(_._1).values.forall(_.length == 3))
+  }
+
   test("bruteTopK two-phase aggregation matches a driver-side exact ranking") {
     val rnd = new Random(11)
     val vecs = (0L until 50L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))

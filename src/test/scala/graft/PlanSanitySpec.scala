@@ -28,7 +28,15 @@ class PlanSanitySpec extends SparkSpec {
       "x_dedup_image", "x_dedup_audio",
       // Ann.lshSelfPairs stages the signature relation for the same
       // one-relation-feeds-both-sides reason.
-      "x_dedup_embedding_lsh")
+      "x_dedup_embedding_lsh",
+      // TextDedup.repeatedSpans stages the window-hash relation (feeds the
+      // duplicate aggregate AND the probe); the visible plan starts there.
+      "x_dedup_substring",
+      // Ann.semanticDedup stages the assigned relation (feeds both sides
+      // of the within-cluster pair join and the final flag join).
+      "x_dedup_semantic",
+      // Ann.knnGraph stages the signature relation (both self-join sides).
+      "x_knn_graph")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
