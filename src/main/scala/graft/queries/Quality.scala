@@ -155,6 +155,61 @@ object Quality {
              COALESCE(k.kept_tokens, 0) AS kept_tokens
       FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""")),
 
+    // ------------------------------------ temperature (α) source sampling
+    // The multilingual-LM mixing rule (Conneau & Lample 2019; the same
+    // α-smoothed multinomial the LLaMA/XLM-R data recipes use): target
+    // share ∝ n_s^α, 0 < α < 1 — flatten the source distribution PART of
+    // the way to uniform instead of all the way (x_source_mix is the α=0
+    // endpoint). Subsampling form: keep-rate r_s = (min_tokens/n_s)^(1−α),
+    // so the smallest source keeps 100% and kept tokens scale as n_s^α.
+    // α = 0.5 makes the exponent a sqrt — correctly-rounded IEEE in both
+    // engines, so rates and the md5 gate are bit-deterministic. Same
+    // two-pass plan as x_source_mix: tiny staged stats + broadcast gate
+    // fused into the corpus scan.
+    Q("x_source_temperature", (s, d) => {
+      val tok = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("size(split(lower(text), ' '))").cast("long").as("n_tok"))
+      val per = graft.sources.Tables.stage(tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
+      val rates = per
+        .join(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
+        .withColumn("rate", expr("sqrt(CAST(min_tokens AS DOUBLE) / n_tokens)"))
+        .withColumn("th", expr(
+          """CASE WHEN n_tokens = min_tokens THEN 'g'
+            |     ELSE lower(lpad(hex(CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) * 4294967296) AS BIGINT)), 8, '0')) END""".stripMargin))
+      val kept = tok
+        .join(broadcast(rates.select(col("source"), col("th"))), "source")
+        .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 8) < th"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      rates
+        .join(broadcast(kept), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tok AS (SELECT source, doc_id, len($duckToks) AS n_tok FROM documents),
+      per AS (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY source),
+      mn AS (SELECT MIN(n_tokens) AS min_tokens FROM per),
+      rates AS (SELECT source, n_docs, n_tokens,
+                       sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) AS rate,
+                       CASE WHEN n_tokens = min_tokens THEN 'g'
+                            ELSE lower(lpad(hex(CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) * 4294967296) AS BIGINT)), 8, '0')) END AS th
+                FROM per CROSS JOIN mn),
+      kept AS (SELECT t.source, COUNT(*) AS n_kept,
+                      CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
+               FROM tok t JOIN rates r USING (source)
+               WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.th
+               GROUP BY t.source)
+      SELECT r.source, r.n_docs, r.n_tokens, r.rate,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.kept_tokens, 0) AS kept_tokens
+      FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""")),
+
     // --------------------------------------- Gopher repetition filters
     // The n-gram repetition signals Gopher/MassiveText gate on: fraction
     // of characters covered by the most frequent 2-gram and by ALL
