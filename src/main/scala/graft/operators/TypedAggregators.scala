@@ -30,6 +30,61 @@ object TypedAggregators {
     override def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
     override def outputEncoder: Encoder[MeanStdResult] = Encoders.product[MeanStdResult]
   }
+
+  final case class MgBuf(m: Map[String, Long])
+  final case class FreqItem(item: String, est: Long)
+  final case class FreqItems(items: Seq[FreqItem])
+
+  /** Bounded-memory frequent items (Misra–Gries 1982), mergeable form
+    * (Agarwal et al. 2013, "Mergeable Summaries"): at most `capacity`
+    * counters per buffer no matter the stream, so the aggregation state is
+    * CONSTANT-SIZE — the guard for hot-key detection when the key domain
+    * itself is too large to count exactly (an exact groupBy-count of a
+    * 100 TB token stream shuffles the whole distinct domain; this ships
+    * `capacity` counters per partition).
+    *
+    * reduce: counted item → increment; room → insert at 1; full →
+    * decrement every counter (the new item is discarded with them).
+    * merge: counter-wise sum, then subtract the (capacity+1)-th largest
+    * count from all and keep positives — at most `capacity` survive.
+    *
+    * Guarantees after ANY merge tree over a stream of n items:
+    * est(x) ≤ true(x) ≤ est(x) + n/(capacity+1), and every item with
+    * true(x) > n/(capacity+1) is present in the output. Counter VALUES
+    * depend on partitioning (inherent to the sketch — pinned only as
+    * bounds, see TypedAggregatorSpec); for exact hot-key counts over a
+    * small survivor set, follow with an exact count of the reported items
+    * (the same two-phase shape as the dedup df-cap). Output is sorted
+    * (est DESC, item ASC). */
+  final class FrequentItems(capacity: Int)
+      extends Aggregator[String, MgBuf, FreqItems] {
+    require(capacity > 0, s"capacity=$capacity")
+    override def zero: MgBuf = MgBuf(Map.empty)
+    override def reduce(b: MgBuf, x: String): MgBuf = {
+      val m = b.m
+      m.get(x) match {
+        case Some(c) => MgBuf(m.updated(x, c + 1))
+        case None if m.size < capacity => MgBuf(m.updated(x, 1L))
+        case None => MgBuf(m.transform((_, v) => v - 1).filter(_._2 > 0))
+      }
+    }
+    override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val s = y.m.foldLeft(x.m) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      if (s.size <= capacity) MgBuf(s)
+      else {
+        // (capacity+1)-th largest count; values > cut number ≤ capacity.
+        val cut = s.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        MgBuf(s.transform((_, v) => v - cut).filter(_._2 > 0))
+      }
+    }
+    override def finish(b: MgBuf): FreqItems =
+      FreqItems(b.m.toSeq.sortBy { case (k, v) => (-v, k) }
+        .map { case (k, v) => FreqItem(k, v) })
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[FreqItems] = Encoders.product[FreqItems]
+  }
 }
 
 final case class MeanStdResult(mean: Double, std: Double)

@@ -25,6 +25,39 @@ class TypedAggregatorSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan.take(1500))
   }
 
+  test("FrequentItems: Misra-Gries bounds hold under arbitrary partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    // skewed synthetic stream: two heavy hitters over a long cold tail.
+    val stream: Seq[String] =
+      Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+        (0 until 250).flatMap(i => Seq(s"cold_$i", s"cold_$i")) // 500 items
+    val n = stream.length                   // 920
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cap = 16
+    val slack = n / (cap + 1)               // 54
+    val agg = udaf(new TypedAggregators.FrequentItems(cap), Encoders.STRING)
+    for (parts <- Seq(1, 3, 32)) {
+      // deterministic interleaving varies with the partitioning → counter
+      // values may differ; the GUARANTEES must not.
+      val out = stream.toDF("w").repartition(parts)
+        .agg(agg(col("w")).as("fi"))
+        .select(explode(col("fi.items")).as("x"))
+        .select(col("x.item"), col("x.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size <= cap, s"parts=$parts: ${out.size} counters")
+      out.foreach { case (k, est) =>
+        val t = truth(k)
+        assert(est <= t && t <= est + slack,
+          s"parts=$parts: $k est=$est true=$t slack=$slack")
+      }
+      // every item above the frequency threshold is reported.
+      truth.filter(_._2 > slack).keys.foreach { k =>
+        assert(out.contains(k), s"parts=$parts: heavy hitter $k missing")
+      }
+    }
+  }
+
   test("resize performs real nearest-neighbor resampling; undecodable passes through") {
     import spark.implicits._
     // 4×4 image of four 2×2 solid quadrants — nearest-neighbor to 2×2
