@@ -14,7 +14,9 @@ object ExplainAudit {
     // feeders, the new ranking/line-dedup shapes).
     val extra = Set("x_dedup_incremental", "x_line_dedup", "x_tfidf_topk",
       "x_inverted_index", "x_quality_gate", "x_source_mix",
-      "x_dedup_embedding_lsh", "x_media_pixels")
+      "x_dedup_embedding_lsh", "x_media_pixels",
+      "x_dedup_substring", "x_dedup_semantic", "x_knn_graph",
+      "x_source_temperature")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

@@ -475,6 +475,6 @@ object Dedup {
       SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
              COUNT(*) AS n_windows
       FROM sp GROUP BY doc_id, span
-      ORDER BY doc_id, span_start"""))
+      ORDER BY doc_id, span_start"""), headline = true)
   )
 }

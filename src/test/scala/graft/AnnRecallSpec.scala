@@ -76,6 +76,18 @@ class AnnRecallSpec extends SparkSpec {
       s"wide-band LSH scored $pairs of $exhaustive pairs — pruning claim broken")
   }
 
+  test("knnGraph at the defaults retrieves the clustered corpus near-exactly") {
+    // the self-join graph inherits lshTopK's recall story; pin it so a
+    // banding regression in the graph path (e.g. a lost band key) fails
+    // loudly. Ground truth: brute self top-11 minus the self edge.
+    val c = clustered(520)
+    val g = Ann.knnGraph(c, k = 10)
+    val exact = Ann.bruteTopK(c, c, k = 11)
+      .filter(col("q_id") =!= col("neighbor_id"))
+    val recall = Ann.meanRecall(g, exact)
+    assert(recall >= 0.95, f"knnGraph recall@10 on clustered data: $recall%.3f < 0.95")
+  }
+
   test("clustered corpus: trained IVF retrieves near-exactly at nprobe/cents cost") {
     val (q, c) = split(clustered(520), 20)
     val exact = Ann.bruteTopK(q, c, k = 10)

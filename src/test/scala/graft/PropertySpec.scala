@@ -212,4 +212,44 @@ class PropertySpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("repeatedSpans ≡ a driver-side reference on random small-vocab corpora") {
+    import spark.implicits._
+    (1 to 8).foreach { _ =>
+      val k = rnd.nextInt(3) + 2 // 2..4
+      val vocab = Vector("a", "b", "c", "d") // tiny vocab forces collisions
+      val docs = (0 until rnd.nextInt(6) + 2).map { id =>
+        (id.toLong,
+          Seq.fill(rnd.nextInt(25) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: duplicated k-windows (total count ≥ 2), intervals merged
+      // when the next start ≤ prev + k.
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val wins = toks.flatMap { case (id, ts) =>
+        if (ts.size < k) Nil
+        else (0 to ts.size - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).map { case (w, occ) => w -> occ.size }
+      val expected = wins.filter(w => counts(w._3) >= 2).map(w => (w._1, w._2))
+        .groupBy(_._1).flatMap { case (id, ps0) =>
+          val ps = ps0.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var start = ps.head; var prev = ps.head; var n = 1L
+          for (p <- ps.tail) {
+            if (p <= prev + k) { prev = p; n += 1 }
+            else {
+              spans += ((id, start.toLong, (prev + k - 1).toLong, n))
+              start = p; prev = p; n = 1
+            }
+          }
+          spans += ((id, start.toLong, (prev + k - 1).toLong, n))
+          spans
+        }.toSet
+      val got = graft.operators.TextDedup
+        .repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"k=$k docs=$docs")
+    }
+  }
 }
