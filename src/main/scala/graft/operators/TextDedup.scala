@@ -434,18 +434,8 @@ object TextDedup {
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minCount: Long = 2L,
                     broadcastDup: Boolean = true): DataFrame = {
-    require(k > 0 && minCount > 1, s"k=$k, minCount=$minCount")
-    import org.apache.spark.sql.expressions.Window
-    val wins = stage(docs
-      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
-      .select(col(idCol).as("doc_id"),
-        explode(expr(
-          s"""IF(size(__toks) >= $k,
-             |  transform(sequence(0, size(__toks) - $k),
-             |    i -> named_struct('pos', i,
-             |                      'h', md5(concat_ws(' ', slice(__toks, i + 1, $k))))),
-             |  array())""".stripMargin)).as("__w"))
-      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("__h")))
+    require(minCount > 1, s"minCount=$minCount")
+    val wins = stage(windowProjection(docs, idCol, textCol, k))
     val dup = wins
       .groupBy(col("__h").as("h"))
       .agg(count(lit(1)).as("n"))
@@ -455,6 +445,32 @@ object TextDedup {
       .join(if (broadcastDup) broadcast(dup) else dup,
         col("__h") === col("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    mergeSpans(marked, k)
+  }
+
+  /** One row per k-token window: (doc_id, pos, __h) — UNSTAGED (a batch
+    * probing a prebuilt index consumes it once; [[repeatedSpans]] stages
+    * it because both the duplicate aggregate and the probe read it). */
+  def windowProjection(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    docs
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"""IF(size(__toks) >= $k,
+             |  transform(sequence(0, size(__toks) - $k),
+             |    i -> named_struct('pos', i,
+             |                      'h', md5(concat_ws(' ', slice(__toks, i + 1, $k))))),
+             |  array())""".stripMargin)).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("__h"))
+  }
+
+  /** Merge marked window positions into maximal spans (merge iff the next
+    * start ≤ prev + k: overlapping or exactly adjacent coverage). The
+    * windows partition on doc_id — the max-cardinality key. */
+  private def mergeSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(byPos)
     marked
@@ -468,6 +484,38 @@ object TextDedup {
         (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** The staged distinct-window-digest index of a REFERENCE corpus (an
+    * eval benchmark, or yesterday's training set): build once, probe per
+    * batch with [[spansAgainstIndex]] — the same caller-owned-index
+    * discipline as [[minhashBandKeys]]/[[minhashLshPairsAgainstIndex]].
+    * Only 16-byte digests are stored; reference text never leaves the
+    * map side. */
+  def spanIndex(ref: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    stage(windowProjection(ref, idCol, textCol, k).select(col("__h").as("h")).distinct())
+
+  /** Span-level cross-corpus detection: maximal spans of `docs` whose
+    * every k-token window also appears in the reference index — WHERE a
+    * document overlaps a benchmark (span-level decontamination, Lee et
+    * al.'s cross-set variant) or copies the existing corpus (ingest
+    * gating). The batch side stays an unstaged projection (consumed
+    * once); the index is the caller-staged [[spanIndex]], broadcast by
+    * default (distinct digests of an eval set are small); for a
+    * corpus-sized reference set `broadcastIndex = false` degrades to a
+    * shuffle join on the uniform digest key. Output is
+    * [[repeatedSpans]]-shaped: (doc_id, span_start, span_end,
+    * n_windows). */
+  def spansAgainstIndex(docs: DataFrame, index: DataFrame, idCol: String,
+                        textCol: String, k: Int,
+                        broadcastIndex: Boolean = true): DataFrame = {
+    val wins = windowProjection(docs, idCol, textCol, k)
+    val marked = wins
+      .join(if (broadcastIndex) broadcast(index) else index,
+        col("__h") === col("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(marked, k)
   }
 
   /** Exact duplicate groups by content digest: only the 16-byte digest

@@ -475,6 +475,45 @@ object Dedup {
       SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
              COUNT(*) AS n_windows
       FROM sp GROUP BY doc_id, span
-      ORDER BY doc_id, span_start"""), headline = true)
+      ORDER BY doc_id, span_start"""), headline = true),
+
+    // ---------------------------------- span-level decontamination
+    // WHERE a training document overlaps the benchmark, not just how
+    // much (x_decontaminate counts shingle overlap; this emits the
+    // maximal copied spans): the eval set's distinct window digests
+    // become a staged broadcast index (TextDedup.spanIndex), the
+    // training side stays an unstaged window projection probed with a
+    // semi-join, intervals merge exactly as x_dedup_substring. Eval
+    // stand-in: doc_id % 10 = 0.
+    Q("x_decontaminate_spans", (s, d) => {
+      val docs = fanOut(documents(s, d))
+      val idx = graft.operators.TextDedup.spanIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", k = 8)
+      graft.operators.TextDedup.spansAgainstIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), idx, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      w AS (SELECT doc_id,
+                   unnest(range(0, len(toks) - 7)) AS pos,
+                   unnest(list_transform(range(0, len(toks) - 7),
+                     i -> md5(array_to_string(toks[i+1 : i+8], ' ')))) AS h
+            FROM t),
+      ref AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+      m AS (SELECT doc_id, pos FROM w
+            WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM ref)),
+      f AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS ns
+            FROM m),
+      sp AS (SELECT doc_id, pos,
+                    CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+             FROM f)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+             COUNT(*) AS n_windows
+      FROM sp GROUP BY doc_id, span
+      ORDER BY doc_id, span_start"""))
   )
 }

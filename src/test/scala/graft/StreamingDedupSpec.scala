@@ -308,4 +308,55 @@ class StreamingDedupSpec extends SparkSpec {
     assert(inc == full,
       s"incremental cluster labels diverge from full recompute after streaming")
   }
+
+  test("span index gate: per-batch copied spans ≡ batch operator; index staged once") {
+    // the ingest form of x_decontaminate_spans: the reference span index
+    // is staged ONCE, every micro-batch probes it with an unstaged window
+    // projection. Spans are per-document, so the union over micro-batches
+    // must equal the batch operator on the union exactly.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val ref = docs.filter(col("doc_id") % 10 === 0)
+      val fresh = docs.filter(col("doc_id") % 10 =!= 0)
+      val idx = TextDedup.spanIndex(ref, "doc_id", "text", k = 4)
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      val afterBuild = stageDirs
+      assert(afterBuild == 1, s"span index = one staged digest relation, got $afterBuild")
+
+      val expected = TextDedup
+        .spansAgainstIndex(fresh, idx, "doc_id", "text", k = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no copied spans — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      val q = s.forEachBatch({ (batch, _) =>
+        got ++= TextDedup.spansAgainstIndex(
+          batch.select(col("value.doc_id").as("doc_id"), col("value.text").as("text")),
+          idx, "doc_id", "text", k = 4)
+          .as[(Long, Long, Long, Long)].collect()
+      })
+      fresh.select(to_json(struct(col("doc_id"), col("text"))).as("j")).as[String]
+        .collect().zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+        .foreach { case (_, grp) =>
+          ms.addData(grp.map { case (j, i) =>
+            KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+          }.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      q.stop()
+
+      assert(got.toSet == expected,
+        s"streamed spans diverge from batch: got=${got.toSet}\n want=$expected")
+      assert(stageDirs == afterBuild,
+        s"micro-batches staged new dirs: $afterBuild → $stageDirs — batch side must stay unstaged")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }

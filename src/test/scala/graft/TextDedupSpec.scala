@@ -230,6 +230,22 @@ class TextDedupSpec extends SparkSpec {
     assert(b == s)
   }
 
+  test("spansAgainstIndex finds exactly the spans copied from the reference") {
+    val ref = spanCorpus.filter(col("doc_id") === 2)
+    val batch = spanCorpus.filter(col("doc_id") === 1 || col("doc_id") === 3)
+    val idx = TextDedup.spanIndex(ref, "doc_id", "text", k = 4)
+    val got = TextDedup.spansAgainstIndex(batch, idx, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1's shared passage against ref doc 2; doc 3 is shorter than k.
+    assert(got == Set((1L, 3L, 12L, 7L)))
+    val shuffled = TextDedup.spansAgainstIndex(batch, idx, "doc_id", "text",
+      k = 4, broadcastIndex = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(shuffled == got)
+  }
+
   test("exactGroups collapses byte-identical docs to the smallest id") {
     val dups = docs.union(Seq((99L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text"))
