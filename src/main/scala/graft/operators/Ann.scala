@@ -324,6 +324,33 @@ object Ann {
         when(col("__drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
+  /** The ingest form of [[semanticDedup]]: flag each BATCH vector that is
+    * semantically redundant with the EXISTING corpus — some same-cluster
+    * corpus vector has cosine ≥ `threshold`. `corpusAssigned` is the
+    * staged [[assignToCentroids]] output (one staging per corpus version,
+    * the caller-owned-index discipline of the whole ingest-gate family);
+    * the batch assigns itself with the same broadcast-centroid argmax
+    * (pure projection) and BROADCASTS onto the index join, so the corpus
+    * relation is scanned once per batch and never shuffles — only the
+    * (batch-bounded) similar-pair survivors shuffle into the per-vector
+    * aggregate. Output, one row per batch vector: (vec_id, cent_id,
+    * n_similar, witness_id) — witness = smallest similar corpus id, NULL
+    * when the vector is novel. */
+  def semanticFlagAgainst(batch: DataFrame, corpusAssigned: DataFrame,
+                          centroids: DataFrame, threshold: Double): DataFrame = {
+    val b = assignToCentroids(batch, centroids)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cent_id"))
+    val hits = broadcast(b)
+      .join(corpusAssigned.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("cent_id")), Seq("cent_id"))
+      .filter(expr("cosine_sim(b_emb, c_emb)") >= threshold)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_similar"), min(col("c_id")).as("witness_id"))
+    b.join(hits, Seq("b_id"), "left")
+      .select(col("b_id").as("vec_id"), col("cent_id"),
+        coalesce(col("n_similar"), lit(0L)).as("n_similar"), col("witness_id"))
+  }
+
   /** Collect the (small, by contract) centroid relation and inline it as a
     * literal `array<struct<cent_id, ce>>` column, sorted by cent_id. This
     * is the "broadcast the offline-trained centroids" step: the list rides

@@ -319,6 +319,48 @@ object Similarity {
       ORDER BY s.vec_id"""))
   ,
 
+    // ---------------------------------- semantic redundancy gate (ingest)
+    // graft.operators.Ann.semanticFlagAgainst — SemDeDup against the
+    // EXISTING corpus: the staged corpus cluster assignment is the
+    // caller-owned index (one staging per corpus version,
+    // streaming.AnnIngest.startSemanticGate drives it per micro-batch),
+    // each batch assigns itself with the same broadcast-centroid argmax
+    // and broadcasts onto the index join — the corpus never shuffles.
+    // Batch stand-in: vec_id % 10 = 0 probes the rest.
+    Q("x_dedup_semantic_incremental", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val cents = e.filter(col("id") < 8)
+      val idx = graft.sources.Tables.stage(graft.operators.Ann
+        .assignToCentroids(fanOut(e.filter(col("id") % 10 =!= 0)), cents))
+      graft.operators.Ann.semanticFlagAgainst(
+        e.filter(col("id") % 10 === 0), idx, cents, threshold = 0.45)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS crn
+          FROM e v CROSS JOIN cents c)
+        WHERE crn = 1)
+      SELECT b.vec_id, b.cent_id,
+             CAST(COUNT(c.vec_id) AS BIGINT) AS n_similar,
+             MIN(c.vec_id) AS witness_id
+      FROM (SELECT * FROM assigned WHERE vec_id % 10 = 0) b
+      LEFT JOIN (SELECT * FROM assigned WHERE vec_id % 10 <> 0) c
+        ON b.cent_id = c.cent_id
+       AND ${duckDot("b.embedding", "c.embedding")} / (b.nrm * c.nrm) >= 0.45
+      GROUP BY b.vec_id, b.cent_id
+      ORDER BY b.vec_id"""))
+  ,
+
     // ----------------------------------------------- approximate kNN graph
     // graft.operators.Ann.knnGraph: every corpus vector's top-k neighbors
     // from the banded self-join — the primitive under semantic clustering

@@ -63,4 +63,37 @@ object AnnIngest {
       onBatch(Ann.lshTopKAgainstIndex(q, st.banded, k, st.bits, st.bands, st.dim),
         st.version, batchId)
     }, checkpoint)
+
+  /** One corpus version's staged SEMANTIC index: the
+    * [[Ann.assignToCentroids]] output plus the (driver-small) centroid
+    * relation and threshold it was built under. */
+  final case class CorpusSemanticIndex(assigned: DataFrame, centroids: DataFrame,
+                                       threshold: Double, version: Long)
+
+  /** Stage the corpus cluster assignment ONCE (per corpus version) for
+    * the semantic redundancy gate. `corpus`/`centroids` are
+    * (id, embedding) relations; centroids come from an offline
+    * [[Ann.trainCentroids]] in production. */
+  def buildSemanticIndex(corpus: DataFrame, centroids: DataFrame,
+                         threshold: Double, version: Long = 0L): CorpusSemanticIndex =
+    CorpusSemanticIndex(
+      graft.sources.Tables.stage(Ann.assignToCentroids(corpus, centroids)),
+      centroids, threshold, version)
+
+  /** Per-batch SemDeDup-against-the-corpus gate ([[Ann.semanticFlagAgainst]]):
+    * `onBatch` receives (vec_id, cent_id, n_similar, witness_id) for every
+    * batch vector — n_similar = 0 ⇔ semantically novel. Same rotation
+    * contract as [[start]]: rebuild outside the stream, `state.set(next)`
+    * swaps atomically at a batch boundary, micro-batches stage nothing. */
+  def startSemanticGate(stream: Stream, state: AtomicReference[CorpusSemanticIndex],
+                        idCol: String, embCol: String,
+                        checkpoint: Option[String] = None)(
+                        onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      val q = batch.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("embedding"))
+      onBatch(Ann.semanticFlagAgainst(q, st.assigned, st.centroids, st.threshold),
+        st.version, batchId)
+    }, checkpoint)
 }

@@ -87,6 +87,29 @@ class AnnSpec extends SparkSpec {
     assert(byFamily.values.flatten.toSet.size == 3)
   }
 
+  test("semanticFlagAgainst flags corpus-redundant vectors, passes novel ones") {
+    import spark.implicits._
+    val corpus = clustered.filter(col("id") >= 3)
+    val cents = Ann.trainCentroids(corpus, k = 3, iters = 4)
+    val idx = Ann.assignToCentroids(corpus, cents)
+    // a vector on an axis no cluster occupies — semantically novel.
+    val novel = Seq((100L, Seq.fill(8)(0.0f).updated(5, 1.0f)))
+      .toDF("id", "embedding")
+    val batch = clustered.filter(col("id") < 3).unionByName(novel)
+    val out = Ann.semanticFlagAgainst(batch, idx, cents, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 100L)) // every batch vector reported
+    (0 to 2).foreach { c =>
+      val (n, w) = out(c.toLong)
+      assert(n == 19L, s"cluster $c: expected all 19 corpus twins, got $n")
+      assert(w.contains(c + 3L), s"cluster $c: witness should be min id ${c + 3}, got $w")
+    }
+    assert(out(100L) == ((0L, None)), s"novel vector flagged: ${out(100L)}")
+  }
+
   test("knnGraph links every vector to its own cluster") {
     val out = Ann.knnGraph(clustered, k = 3, bits = 16, bands = 4, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2)))

@@ -88,6 +88,73 @@ class StreamingAnnSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("startSemanticGate: per-batch flags ≡ batch operator; staged once; rotation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val e = Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.filter(col("id") % 10 =!= 0)
+      val fresh = e.filter(col("id") % 10 === 0)
+      val cents = e.filter(col("id") < 8)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        AnnIngest.buildSemanticIndex(corpus, cents, threshold = 0.45))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"semantic index = one staged assignment, got $stageDirs")
+
+      val expected = Ann
+        .semanticFlagAgainst(fresh, state.get().assigned, cents, threshold = 0.45)
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no batch rows — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Option[Long])]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = AnnIngest.startSemanticGate(s, state, "value.vec_id", "value.embedding") {
+        (flags, version, _) =>
+          versions += version
+          got ++= flags.as[(Long, Long, Long, Option[Long])].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("id").as("vec_id"), col("embedding"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(fresh.filter(col("id") < 25))
+      send(fresh.filter(col("id") >= 25))
+      assert(got.toSet == expected,
+        s"streamed flags diverge from batch operator:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+
+      // ROTATE: v1 corpus gains an exact copy of batch vector 0 — after
+      // the swap, vector 0's similar count must rise by exactly one.
+      val preN = expected.find(_._1 == 0L).get._3
+      val clone = fresh.filter(col("id") === 0)
+        .select(lit(99999L).as("id"), col("embedding"))
+      state.set(AnnIngest.buildSemanticIndex(corpus.unionByName(clone), cents,
+        threshold = 0.45, version = 1L))
+      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      got.clear()
+      send(fresh.filter(col("id") === 0))
+      val post = got.toSeq.filter(_._1 == 0L)
+      assert(post.map(_._3) == Seq(preN + 1),
+        s"post-rotation similar count for vec 0: ${post.map(_._3)} vs pre $preN")
+      assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
+      assert(stageDirs == 2, "post-rotation micro-batch staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("lshTopKAgainstIndex: corpus never shuffles; batch side broadcasts") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf("sf0.001"))
