@@ -120,6 +120,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (children: Seq[Expression]) => MinHashSig(children(0), children(1)))
 
+  val nfcNormalizeDescriptor: Descriptor = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => NfcNormalize(children.head))
+
   /** Spark's OWN runtime-filter expressions (BloomFilterAggregate /
     * BloomFilterMightContain — the machinery behind
     * `spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`), surfaced as
@@ -147,7 +152,8 @@ object GraftFunctions {
 
   val all: Seq[Descriptor] =
     Seq(cosineSimDescriptor, simHashDescriptor, simHashWordsDescriptor,
-      minHashDescriptor, bloomAggDescriptor, bloomContainsDescriptor)
+      minHashDescriptor, nfcNormalizeDescriptor, bloomAggDescriptor,
+      bloomContainsDescriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

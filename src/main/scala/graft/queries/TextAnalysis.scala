@@ -177,5 +177,40 @@ object TextAnalysis {
       SELECT doc_id, list_min(shingles) AS fp_min, list_max(shingles) AS fp_max,
              len(shingles) AS n_shingles
       FROM sh ORDER BY doc_id"""))
+  ,
+
+    // ------------------------------------- Unicode NFC canonicalization
+    // graft.functions.NfcNormalize (native codegen'd expression; DuckDB
+    // twin = its built-in nfc_normalize, both implementing UAX #15):
+    // decomposed codepoint sequences hash apart from their precomposed
+    // equivalents through EVERY digest-keyed operator, so canonicalization
+    // is the mandatory first pass of a multilingual pipeline. The oracle
+    // is load-bearing: each document gets a DECOMPOSED "café" suffix
+    // (e + U+0301 built from raw UTF-8 bytes), and both engines must
+    // (a) change the digest by normalizing, (b) produce byte-identical
+    // normalized digests, (c) land exactly on the precomposed form.
+    Q("x_text_normalize", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      fanOut(documents(s, d))
+        .withColumn("dec", expr("concat(text, ' caf', decode(unhex('65CC81'), 'UTF-8'))"))
+        .withColumn("pre", expr("concat(text, ' caf', decode(unhex('C3A9'), 'UTF-8'))"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN md5(dec) <> md5(nfc_normalize(dec)) THEN 1 ELSE 0 END AS BIGINT)")
+            .as("changed"),
+          expr("md5(nfc_normalize(dec))").as("digest_norm"),
+          expr("CAST(CASE WHEN nfc_normalize(dec) = pre THEN 1 ELSE 0 END AS BIGINT)")
+            .as("composed"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' caf' || decode(unhex('65CC81')) AS dec,
+               text || ' caf' || decode(unhex('C3A9')) AS pre
+        FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN md5(dec) <> md5(nfc_normalize(dec)) THEN 1 ELSE 0 END AS BIGINT) AS changed,
+             md5(nfc_normalize(dec)) AS digest_norm,
+             CAST(CASE WHEN nfc_normalize(dec) = pre THEN 1 ELSE 0 END AS BIGINT) AS composed
+      FROM t ORDER BY doc_id"""))
   )
 }

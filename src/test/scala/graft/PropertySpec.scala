@@ -252,4 +252,48 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"k=$k docs=$docs")
     }
   }
+
+  test("spansAgainstIndex ≡ a driver-side reference on random split corpora") {
+    import spark.implicits._
+    (1 to 6).foreach { _ =>
+      val k = rnd.nextInt(3) + 2
+      val vocab = Vector("a", "b", "c", "d")
+      def mkDocs(n: Int, idBase: Long) = (0 until n).map { i =>
+        (idBase + i,
+          Seq.fill(rnd.nextInt(25) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val refDocs = mkDocs(rnd.nextInt(4) + 1, 100L)
+      val batchDocs = mkDocs(rnd.nextInt(5) + 2, 0L)
+      def windows(t: String): Seq[(Int, String)] = {
+        val ts = t.split(" ").toSeq
+        if (ts.size < k) Nil
+        else (0 to ts.size - k).map(i => i -> ts.slice(i, i + k).mkString(" "))
+      }
+      val refSet = refDocs.flatMap(d => windows(d._2).map(_._2)).toSet
+      val expected = batchDocs.flatMap { case (id, t) =>
+        val ps = windows(t).filter(w => refSet(w._2)).map(_._1)
+        if (ps.isEmpty) Nil
+        else {
+          val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var start = ps.head; var prev = ps.head; var n = 1L
+          for (p <- ps.tail) {
+            if (p <= prev + k) { prev = p; n += 1 }
+            else {
+              spans += ((id, start.toLong, (prev + k - 1).toLong, n))
+              start = p; prev = p; n = 1
+            }
+          }
+          spans += ((id, start.toLong, (prev + k - 1).toLong, n))
+          spans
+        }
+      }.toSet
+      val idx = graft.operators.TextDedup
+        .spanIndex(refDocs.toDF("doc_id", "text"), "doc_id", "text", k)
+      val got = graft.operators.TextDedup
+        .spansAgainstIndex(batchDocs.toDF("doc_id", "text"), idx, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"k=$k ref=$refDocs batch=$batchDocs")
+    }
+  }
 }
