@@ -16,7 +16,8 @@ object ExplainAudit {
       "x_inverted_index", "x_quality_gate", "x_source_mix",
       "x_dedup_embedding_lsh", "x_media_pixels",
       "x_dedup_substring", "x_dedup_semantic", "x_knn_graph",
-      "x_source_temperature")
+      "x_source_temperature", "x_decontaminate_spans",
+      "x_dedup_semantic_incremental")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)
