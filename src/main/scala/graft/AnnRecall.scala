@@ -93,6 +93,21 @@ object AnnRecall {
       println(f"| lsh-self | bits=$bits bands=$bands | ${hit.toDouble / nFull}%.3f " +
         f"| $cand | ${cand / selfExhaustive}%.3f | $sec%.1f |")
     }
+
+    // ---- kNN GRAPH recall (the x_knn_graph regime): every vector's
+    // top-k from the banded self-join vs the exact self top-k (self-edge
+    // excluded). Same cost axis as self-dedup: distinct candidate pairs.
+    val exactGraph = stage(Ann.bruteTopK(allE, allE, k + 1)
+      .filter(col("q_id") =!= col("neighbor_id")))
+    println(s"| path | params | recall@$k | candidate pairs | cand/exhaustive | sec |")
+    println(s"|---|---|---|---|---|---|")
+    for ((bits, bands) <- Seq((16, 4), (64, 16), (128, 32))) {
+      val (g, sec) = timed(stage(Ann.knnGraph(allE, k, bits, bands)))
+      val r = Ann.meanRecall(g, exactGraph)
+      val cand = selfCandidatePairs(allE, bits, bands)
+      println(f"| knn-graph | bits=$bits bands=$bands | $r%.3f | $cand " +
+        f"| ${cand / selfExhaustive}%.3f | $sec%.1f |")
+    }
     spark.stop()
   }
 
