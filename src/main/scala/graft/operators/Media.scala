@@ -617,6 +617,10 @@ object Media {
   /** One sampled "frame" of a video payload. */
   final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
 
+  /** One video's sorted distinct frame-digest set
+    * ([[videoFrameDigestSets]]). */
+  final case class FrameDigests(id: Long, sh: Seq[String])
+
   /** REAL every-k-th frame sampling over AVI payloads: demux each
     * record's container ([[aviVideoFrames]]), keep frames whose index ≡ 0
     * (mod `everyK`), emit (source id, frame index, frame bytes) — the
@@ -631,6 +635,24 @@ object Media {
       })
     }(Encoders.product[Frame])
   }
+
+  /** Distinct per-video frame digests, shaped for the
+    * [[TextDedup]] set operators ((id, sh) like `shingleRelation`):
+    * demux each AVI for real, md5 every frame's exact bytes, emit the
+    * sorted distinct digest set. VIDEO-LEVEL exact-frame dedup rides
+    * this: re-containerized copies (same frames, different muxing /
+    * fps / chunk layout) and trimmed cuts share byte-identical frames,
+    * so `containmentPairs` over these sets flags them — the container
+    * never matters, only the demuxed frame bytes do. Pure per-row
+    * projection (no shuffle); unparseable payloads emit an empty set
+    * and can never become pair candidates. */
+  def videoFrameDigestSets(ds: Dataset[MediaRecord]): Dataset[FrameDigests] =
+    ds.map { r =>
+      val fs = aviVideoFrames(r.payload).getOrElse(Vector.empty)
+      val md = MessageDigest.getInstance("MD5")
+      FrameDigests(r.id,
+        fs.map(f => md.digest(f).map("%02x".format(_)).mkString).distinct.sorted)
+    }(Encoders.product[FrameDigests])
 
   /** Raw-payload frame sampling: treat the payload as FIXED-SIZE frames
     * and keep every `everyK`-th — for headerless raw formats (planar

@@ -382,6 +382,62 @@ object Multimodal {
                CAST(len(list_filter(range(1, 65),
                  i -> substr(a.bs, i, 1) != substr(b.bs, i, 1))) AS BIGINT) AS hamming
         FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
-      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db"""))
+      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db""")),
+
+    // --------------------------------- VIDEO dedup (exact frame overlap)
+    // Re-containerized copies and trimmed cuts of a video share
+    // byte-identical FRAMES even though the container bytes differ
+    // (muxing, fps, chunk layout) — so video-level dedup = set overlap
+    // of demuxed frame digests (Media.videoFrameDigestSets) through the
+    // EXISTING containment machinery (TextDedup.containmentPairs: the
+    // trimmed-cut case is directional, exactly what containment catches
+    // and Jaccard dilutes). Groups of 3: v0 original, v1 re-muxed at a
+    // different fps (same frames), v2 trimmed (drops the first 2
+    // frames). The oracle can't recompute md5 of container internals —
+    // it doesn't need to: frame bytes are a bijection of the closed-form
+    // (w, h) dims, so it restates the overlap on 'w:h' tokens; a demux
+    // bug (frame order, pad bytes, JUNK misparse) breaks the digest
+    // bijection and hash-mismatches.
+    Q("x_dedup_video", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          val nf = (4 + base % 3).toInt
+          val all = (0 until nf).map { f =>
+            Media.jpegBytes(
+              (40 + (base * 5 + f * 7) % 100).toInt,
+              (30 + (base * 3 + f * 11) % 80).toInt)
+          }
+          val frames = if (v == 2) all.drop(2) else all
+          val fps = if (v == 1) 40000 else 33333
+          MediaRecord(id, "avi", Media.aviBytes(frames, 100, 80, fps))
+        }
+      graft.operators.TextDedup.containmentPairs(
+        Media.videoFrameDigestSets(recs).toDF(), threshold = 0.9)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v FROM documents),
+      n AS (SELECT doc_id, base, v, 4 + base % 3 AS nf FROM d),
+      f AS (SELECT doc_id, base,
+                   unnest(range(CASE WHEN v = 2 THEN 2 ELSE 0 END, nf)) AS fr
+            FROM n),
+      tok AS (SELECT DISTINCT doc_id,
+                CAST(40 + (base*5 + fr*7) % 100 AS VARCHAR) || ':' ||
+                CAST(30 + (base*3 + fr*11) % 80 AS VARCHAR) AS t
+              FROM f),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT da, db,
+             CAST(i AS DOUBLE) / sa.sz AS c_ab,
+             CAST(i AS DOUBLE) / sb.sz AS c_ba
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
+      ORDER BY da, db"""))
   )
 }

@@ -247,4 +247,22 @@ class MediaSpec extends SparkSpec {
     assert(frames.forall(_.id == 7L))
     assert(frames(1).payload.toSeq == payload.slice(16, 24).toSeq)
   }
+
+  test("videoFrameDigestSets: remux-invariant, trim is a subset, junk is empty") {
+    import spark.implicits._
+    val frames = (0 until 4).map(f => Media.jpegBytes(40 + f, 30 + f))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(0L, "avi", Media.aviBytes(frames, 100, 80)),
+      // same frames, different fps → different container bytes.
+      MediaRecord(1L, "avi", Media.aviBytes(frames, 100, 80, microSecPerFrame = 40000)),
+      // trimmed cut: first two frames dropped.
+      MediaRecord(2L, "avi", Media.aviBytes(frames.drop(2), 100, 80)),
+      MediaRecord(3L, "avi", Array.fill[Byte](64)(0x55))))
+    val sets = Media.videoFrameDigestSets(ds).collect().map(r => r.id -> r.sh).toMap
+    assert(sets(0L).size == 4 && sets(0L) == sets(0L).distinct.sorted)
+    assert(sets(1L) == sets(0L), "re-muxed copy must share every frame digest")
+    assert(sets(2L).size == 2 && sets(2L).forall(sets(0L).contains),
+      "trimmed cut must be a digest subset")
+    assert(sets(3L).isEmpty, "unparseable payload must yield an empty set")
+  }
 }
