@@ -175,6 +175,68 @@ object Ranking {
         array_join(col("__p.items"), ",").as("postings"))
   }
 
+  /** Top-`k` PMI-ranked bigram collocations — the phrase-mining /
+    * tokenizer-vocab-induction primitive: bigrams whose observed count
+    * most exceeds what their parts' unigram frequencies predict.
+    *
+    *   score = P(ab) / (P(a)·P(b)) = c(ab)·N / (c(a)·c(b))
+    *
+    * (the classic PMI is log of this — monotone, so ranking is unchanged
+    * and the value stays bit-portable: both products run in exact
+    * DECIMAL(38,0)/HUGEINT — at the 100 TB contract c(ab)·N is ~1e13·1e13
+    * and would WRAP silently in int64 — then ONE correctly-rounded
+    * conversion per side and ONE double division.)
+    *
+    * Plan shape: unigram and bigram counts are both map-side run-length
+    * projections (sort + gap-count per document, no per-occurrence explode
+    * through a shuffle — [[termFrequencies]]' trick applied to the bigram
+    * array); each shuffles only its distinct-gram partial counts. Two
+    * corpus scans total — one per gram order (materializing a shared
+    * tokenized projection would stage ~3× the text volume; a second
+    * columnar scan of one string column is the cheaper trade at 100 TB).
+    * The `minCount` floor cuts the candidate set BEFORE the vocabulary joins;
+    * the unigram relation broadcasts (same vocabulary-fits-an-executor
+    * contract as [[tfidfTopK]]); global top-k is TakeOrderedAndProject,
+    * never a full sort. Output: (ng, c12, ca, cb, score). */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    require(k > 0, s"k=$k must be positive")
+    val base = docs.filter(col(textCol).isNotNull)
+    val tf = stage(termFrequencies(base, idCol, textCol))
+    val uni = tf.groupBy(col("token")).agg(sum(col("tf")).cast("long").as("c1"))
+    // total tokens from the STAGED tf relation — never a THIRD corpus
+    // scan just to count (same no-rescan discipline as tfidfTopK's N).
+    val nTok = tf.agg(sum(col("tf")).cast("long").as("n_tok"))
+    val bg = base
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .withColumn("__bg", expr(
+        """if(size(__toks) < 2, array(),
+          |  array_sort(transform(sequence(1, size(__toks) - 1),
+          |    i -> concat_ws(' ', slice(__toks, i, 2)))))""".stripMargin))
+      .withColumn("__e", expr(runEndsSql("__bg")))
+      .select(explode(expr(
+        """transform(__e, (e, j) ->
+          |  named_struct('ng', element_at(__bg, e),
+          |               'c', CAST(e - if(j = 0, 0, element_at(__e, j)) AS BIGINT)))""".stripMargin))
+        .as("__t"))
+      .groupBy(col("__t.ng").as("ng"))
+      .agg(sum(col("__t.c")).cast("long").as("c12"))
+      .filter(col("c12") >= minCount)
+    bg
+      .withColumn("__a", expr("split(ng, ' ')[0]"))
+      .withColumn("__b", expr("split(ng, ' ')[1]"))
+      .join(broadcast(uni.select(col("token").as("__a"), col("c1").as("ca"))), "__a")
+      .join(broadcast(uni.select(col("token").as("__b"), col("c1").as("cb"))), "__b")
+      .join(broadcast(nTok))
+      .withColumn("score", expr(
+        """CAST(CAST(c12 AS DECIMAL(38,0)) * n_tok AS DOUBLE)
+          | / CAST(CAST(ca AS DECIMAL(38,0)) * cb AS DOUBLE)""".stripMargin))
+      .orderBy(col("score").desc, col("ng").asc)
+      .limit(k)
+      .select(col("ng"), col("c12"), col("ca"), col("cb"), col("score"))
+  }
+
   /** BM25 term scores (k1 = 1.2, b = 0.75) for each document × query term
     * with tf > 0, in exact-integer arithmetic:
     *

@@ -61,6 +61,40 @@ object Sampling {
         expr(s"CAST(conv(substring(sort_key, 1, 2), 16, 10) AS INT) % $shards"))
   }
 
+  /** Deterministic train/val/test (or arbitrary) split assignment: each
+    * row's split is decided by where the md5 of `"split:" + id` falls in
+    * the cumulative-fraction ladder, compared as fixed-width hex exactly
+    * like [[hashSample]]. Stable splits: adding data never moves an
+    * existing row's split, and the same row lands in the same split on
+    * any engine or partitioning.
+    *
+    * The `"split:"` salt decorrelates this hash from [[hashSample]]'s
+    * bare-id hash — without it, a 10 % `hashSample` would fall entirely
+    * inside the first split (the two gates would share one hash ladder).
+    *
+    * Scale shape: a pure per-row projection (one md5 + a CASE ladder),
+    * shuffle-free, fused into the scan; at 100 TB this is a zero-cost
+    * column the writer partitions by.
+    *
+    * `splits` are (name, fraction) with fractions summing to ~1.0 (the
+    * last split absorbs the hex-granularity remainder: it is the CASE
+    * ladder's ELSE). Output: input columns + `split`. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0.0), "fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions sum to $total, not 1")
+    val cums = splits.init.scanLeft(0.0)(_ + _._2).tail // cumulative, no last
+    val whens = splits.init.zip(cums).map { case ((name, _), cum) =>
+      s"WHEN __h < '${hexThreshold(cum)}' THEN '$name'"
+    }
+    df.withColumn("__h", expr(s"substring(md5(concat('split:', CAST($idCol AS STRING))), 1, 8)"))
+      .withColumn("split",
+        expr(s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"))
+      .drop("__h")
+  }
+
   /** One (hash, id) pair flowing into the per-stratum min-k selection. */
   final case class HashedId(h: String, id: Long)
   final case class HashedIdList(items: List[HashedId])

@@ -82,6 +82,36 @@ object Curation {
       WHERE rn <= 50
       ORDER BY event_type, event_id""")),
 
+    // ------------------------------------------ train/val/test assignment
+    // Deterministic 90/5/5 split by salted id-hash ladder (stable under
+    // appends, identical on any engine/partitioning); the report shape is
+    // the per-(source, split) audit a curation run emits. The assignment
+    // itself is a shuffle-free per-row projection — the one groupBy here
+    // is the AUDIT, not the operator.
+    Q("x_split_assign", (s, d) => {
+      graft.operators.Sampling
+        .assignSplits(documents(s, d), "doc_id",
+          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"), col("split"))
+    }, Some(s"""
+      WITH a AS (
+        SELECT source, n_chars, doc_id,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '${graft.operators.Sampling.hexThreshold(0.90)}' THEN 'train'
+                    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '${graft.operators.Sampling.hexThreshold(0.95)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT source, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM a GROUP BY source, split ORDER BY source, split""")),
+
     // --------------------------------------------- token-budget packing
     // Greedy sequential packing of documents into fixed-token-budget bins
     // within a shard: bin = (running-token-count-before-me) div budget.

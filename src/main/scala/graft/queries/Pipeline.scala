@@ -106,6 +106,30 @@ object Pipeline {
               WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
       SELECT doc_id, n_tokens, ttr FROM canon
       WHERE doc_id NOT IN (SELECT db FROM dup)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ------------------------------------------- JSONL interchange source
+    // The corpus round-trips through gzip JSONL (the format LLM corpora
+    // ship in; also the reference's gzip-JSON wire format) and every field
+    // is verified against the parquet original via a null-safe equi-join —
+    // a lossy escape/decode anywhere emits 0s and hash-mismatches. The
+    // digest column ties the check to actual content. Four output files =
+    // four scan tasks on re-ingest (gzip is non-splittable; the file count
+    // IS the ingest parallelism — sources/Jsonl.scala contract).
+    Q("x_source_jsonl", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_stage/${new java.io.File(d).getName}"
+      val back = graft.sources.Jsonl.roundTrip(docs, tmp, files = 4)
+      docs.alias("o").join(back.alias("j"), col("o.doc_id") === col("j.doc_id"))
+        .select(col("o.doc_id").as("doc_id"),
+          expr("CAST(CASE WHEN o.text <=> j.text THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN o.lang <=> j.lang AND o.source <=> j.source THEN 1 ELSE 0 END AS BIGINT)").as("meta_ok"),
+          expr("CAST(CASE WHEN o.n_chars <=> j.n_chars THEN 1 ELSE 0 END AS BIGINT)").as("chars_ok"),
+          expr("md5(j.text)").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS meta_ok,
+             CAST(1 AS BIGINT) AS chars_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -40,6 +40,34 @@ object Search {
         ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, token) <= 3
       ORDER BY doc_id, score DESC, token"""), headline = true),
 
+    // ---------------------------------------------- PMI collocation mining
+    // Top-30 bigrams by PMI odds c(ab)·N / (c(a)·c(b)) with a min-count
+    // floor — phrase mining for tokenizer vocab induction. Both gram
+    // orders count map-side (run-length over the sorted gram array, no
+    // per-occurrence explode shuffle); exact DECIMAL/HUGEINT products,
+    // one double division; global top-k is TakeOrderedAndProject.
+    Q("x_collocations", (s, d) => {
+      graft.operators.Ranking.collocations(fanOut(documents(s, d)),
+        "doc_id", "text", minCount = 5, k = 30)
+    }, Some(s"""
+      WITH t AS (SELECT $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+      uo AS (SELECT unnest(toks) AS token FROM t),
+      u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM uo GROUP BY token),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM uo),
+      bo AS (SELECT unnest(list_transform(range(1, len(toks)),
+               i -> array_to_string(toks[i:i+1], ' '))) AS ng
+             FROM t WHERE len(toks) >= 2),
+      b AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS c12 FROM bo
+            GROUP BY ng HAVING COUNT(*) >= 5)
+      SELECT b.ng, b.c12, ua.c AS ca, ub.c AS cb,
+             CAST(CAST(b.c12 AS HUGEINT) * n.n_tok AS DOUBLE)
+               / CAST(CAST(ua.c AS HUGEINT) * ub.c AS DOUBLE) AS score
+      FROM b
+      JOIN u ua ON string_split(b.ng, ' ')[1] = ua.token
+      JOIN u ub ON string_split(b.ng, ' ')[2] = ub.token
+      CROSS JOIN n
+      ORDER BY score DESC, b.ng LIMIT 30""")),
+
     // ------------------------------------------------ capped inverted index
     // (token, exact df, first-10 postings). The posting cap is a typed
     // min-k Aggregator (map-side k-buffers) — never collect_list of a

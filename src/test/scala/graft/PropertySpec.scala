@@ -150,6 +150,35 @@ class PropertySpec extends SparkSpec {
     assert(s20.size > 500 * 0.1 && s20.size < 500 * 0.35, s20.size)
   }
 
+  test("assignSplits: full coverage, append-stable, fractions honored, salted") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = (0 until 1000).map(_.toLong).toDF("id")
+    val got = graft.operators.Sampling.assignSplits(df, "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 1000)
+    assert(got.values.forall(Set("train", "val", "test")))
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 700 && n("train") < 900, n)
+    assert(n("val") > 40 && n("val") < 170, n)
+    // appending data never moves an existing row's split.
+    val small = graft.operators.Sampling
+      .assignSplits((0 until 300).map(_.toLong).toDF("id"), "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    small.foreach { case (k, v) => assert(got(k) == v, s"id=$k moved") }
+    // the "split:" salt decorrelates from hashSample's bare-id ladder: a
+    // 10 % hash sample must NOT land entirely in one split.
+    val sampledSplits = graft.operators.Sampling.hashSample(df, "id", 0.10)
+      .collect().map(r => got(r.getLong(0))).toSet
+    assert(sampledSplits.size >= 2, s"sample correlated with splits: $sampledSplits")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.assignSplits(df, "id", Seq("only" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.assignSplits(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("deterministicShuffle is a permutation: bijective, stable, shard-consistent") {
     import spark.implicits._
     (1 to 5).foreach { _ =>

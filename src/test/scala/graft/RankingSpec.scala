@@ -124,6 +124,44 @@ class RankingSpec extends SparkSpec {
     assert(got == ((1L, 3L, "a1 a2 b1 b2 c1 c2")))
   }
 
+  test("collocations: bound phrase outranks frequent independent pair") {
+    // "new york" always co-occurs (10×, each part 10× total) → score N/10.
+    // "of the" also appears 10× but its parts are everywhere (of=20,
+    // the=30) → score N/60. PMI must rank the bound phrase first.
+    val d = (0 until 10).map { i =>
+      (i.toLong, s"new york of the w$i of x$i the y$i the z$i")
+    }.toDF("doc_id", "text")
+    val got = Ranking.collocations(d, "doc_id", "text", minCount = 5, k = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.head._1 == "new york", got.map(_._1).mkString(","))
+    val ny = got.find(_._1 == "new york").get
+    assert(ny._2 == 10 && ny._3 == 10 && ny._4 == 10, ny)
+    val ofThe = got.find(_._1 == "of the").get
+    assert(ofThe._2 == 10 && ofThe._3 == 20 && ofThe._4 == 30, ofThe)
+    assert(ny._5 > ofThe._5)
+  }
+
+  test("collocations bigram counts match brute force, incl. <2-token docs") {
+    val rnd = new scala.util.Random(7)
+    val alpha = Vector("a", "b", "c", "d")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(8))(alpha(rnd.nextInt(4))).mkString(" "))
+    }
+    // split("") = [""], a 1-token doc — no bigrams; 0-token impossible.
+    val toks = docs.map(_._2.split(" ", -1).toSeq)
+    val expUni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expBg = toks.flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Ranking.collocations(docs.toDF("doc_id", "text"), "doc_id", "text",
+      minCount = 1, k = 10000)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.map(g => g._1 -> g._2).toMap == expBg)
+    got.foreach { g =>
+      val Array(a, b) = g._1.split(" ", -1)
+      assert(g._3 == expUni(a) && g._4 == expUni(b), g)
+    }
+  }
+
   test("tfidf/bm25 plans broadcast the df side; banned lines broadcast anti") {
     val sfDocs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val tfidfPlan = Ranking.tfidfTopK(sfDocs, "doc_id", "text", 3)

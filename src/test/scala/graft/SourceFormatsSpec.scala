@@ -43,4 +43,30 @@ class SourceFormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]")
       || plan.contains("LessThan(event_id,100)"), plan.take(600))
   }
+
+  test("Jsonl.roundTrip: gzip JSONL is lossless on hostile text") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line\nbreak\ttab\rcr"),
+      (2L, "quote\"back\\slash/fwd"),
+      (3L, "caf\u00e9 \u65e5\u672c\u8a9e non-BMP \ud83d\ude00 \u2028ls\u2029ps"),
+      (4L, "ctrl\u0001\u0002 nul\u0000 bell\u0007"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val back = graft.sources.Jsonl.roundTrip(nasty, dir, files = 2)
+    // the files on disk really are gzip members.
+    val gz = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".json.gz"))
+    assert(gz.nonEmpty, new java.io.File(dir).listFiles.map(_.getName).mkString(","))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows(back) == rows(nasty))
+    // JSON scans surface every field nullable (a row may omit any key) —
+    // names and types survive, nullability intentionally does not.
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      nasty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.sources.Jsonl.roundTrip(nasty, dir, files = 0)
+    }
+  }
 }
