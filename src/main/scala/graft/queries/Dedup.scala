@@ -312,6 +312,38 @@ object Dedup {
       SELECT n AS doc_id, MIN(m) AS component_id
       FROM reach GROUP BY n ORDER BY doc_id""")),
 
+    // --------------------------------------- triangle counts (graph audit)
+    // Per-node triangle participation over the same near-dup pair graph CC
+    // consumes: clique-like clusters (high triangles) are safe to collapse,
+    // low-triangle chains are transitive overreach worth auditing. Spark
+    // plan is the degree-oriented wedge join (out-degree ≤ O(√m)); the
+    // oracle enumerates a < b < c directly — same triangle set, any
+    // counting order.
+    Q("x_graph_triangles", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      graft.operators.Graph.triangleCounts(pairs, "da", "db")
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $duckSimhashPairCtes,
+      e AS (SELECT DISTINCT least(da, db) AS lo, greatest(da, db) AS hi
+            FROM pairs WHERE da <> db),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+              GROUP BY node),
+      tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.hi
+              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+      tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+             FROM (SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+             GROUP BY node)
+      SELECT d.node, d.degree, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
+      FROM deg d LEFT JOIN tn t ON d.node = t.node
+      ORDER BY d.node""")),
+
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,
     // keeping the smallest doc_id as canonical — pairs → components →

@@ -152,6 +152,47 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("triangleCounts matches brute force on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = rnd.nextInt(20) + 5
+      // random multigraph with both directions, dupes, and self-loops —
+      // the operator must canonicalize all of it away.
+      val raw = Seq.fill(rnd.nextInt(80) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a != b }.toSet
+      def linked(a: Long, b: Long) = canon.contains((a min b, a max b))
+      val nodes = canon.flatMap(e => Seq(e._1, e._2))
+      val expTri = nodes.map { v =>
+        val nbrs = canon.collect {
+          case (a, b) if a == v => b
+          case (a, b) if b == v => a
+        }.toSeq
+        v -> nbrs.combinations(2).count { case Seq(x, y) => linked(x, y) }
+      }.toMap
+      val expDeg = nodes.map { v =>
+        v -> canon.count(e => e._1 == v || e._2 == v)
+      }.toMap
+      val got = Graph.triangleCounts(raw.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(_._1).toSet == nodes, "node coverage")
+      got.foreach { case (v, d, t) =>
+        assert(d == expDeg(v), s"degree($v)")
+        assert(t == expTri(v), s"tri($v): got $t want ${expTri(v)}")
+      }
+    }
+  }
+
+  test("triangleCounts plans only equi-joins (no cartesian, no SMJ on legs)") {
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val plan = Graph.triangleCounts(df, "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(1500))
+  }
+
   test("non-convergence leaks no staging directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-stage").toString
     spark.conf.set("graft.stage.dir", dir)

@@ -36,7 +36,11 @@ class PlanSanitySpec extends SparkSpec {
       // of the within-cluster pair join and the final flag join).
       "x_dedup_semantic",
       // Ann.knnGraph stages the signature relation (both self-join sides).
-      "x_knn_graph")
+      "x_knn_graph",
+      // Graph.triangleCounts stages the canonical edge and oriented
+      // relations (each feeds 2-3 join sides) — the visible plan starts
+      // at the staged edges.
+      "x_graph_triangles")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
