@@ -5,16 +5,15 @@ import graft.sources.Tables._
 
 /** Throwaway profiling harness (not part of the library surface).
   *
-  * Current experiment (round 9, continuation): SUBSTRING-SPAN DEDUP SCALE
-  * — how `TextDedup.repeatedSpans`' wall decomposes as duplicated VOLUME
-  * grows (clean corpus / +10 % docs replicated 20× / whole corpus ×2),
-  * and the span-index gate's per-batch steady-state cost
-  * (`spanIndex` once + `spansAgainstIndex` per batch). Recorded in
-  * README §substring-span scale / SURVEY §8.
+  * Current experiment (round 9, late continuation): TRIANGLE-COUNT SCALE —
+  * the degree-orientation wedge bound of `Graph.triangleCounts` measured
+  * against the naive id-orientation on a hot-hub graph (the shape a
+  * replica-heavy near-dup corpus produces), plus the registry shape at
+  * sf0.1. Recorded in README §triangle scale / SURVEY §8.
   *
-  * Prior recorded experiments (streaming gate cost split, verify-join
-  * skew with the hot-cluster listener) live at git history of this file;
-  * their numbers stand in README §streaming gate / §verify-join skew.
+  * Prior recorded experiments (substring-span scale, span-index gate
+  * steady state, streaming gate cost split, verify-join skew) live in git
+  * history of this file; their numbers stand in README.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,74 +23,65 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
     graft.functions.GraftFunctions.ensureRegistered(spark)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     import spark.implicits._
 
-    val base = documents(spark, d).select(col("doc_id"), col("text"))
-    val k = 8
+    // ------------------------------------------------------------------
+    // Fixtures.
+    //  hub-star : node 0 joined to 1..50000, leaves chained i—(i+1) — the
+    //             worst case for id-orientation (hub has the SMALLEST id,
+    //             so lo→hi orientation gives it out-degree 50k and
+    //             C(50k,2) = 1.25e9 wedges); degree orientation points
+    //             every star edge INTO the hub → ~0 hub wedges.
+    //  random   : G(n=200k, m=1M) seeded uniform — the organic-pair regime.
+    //  sf0.1    : the registry's simhash near-dup graph at bench scale.
+    // ------------------------------------------------------------------
+    val hub = spark.range(1, 50001).select(lit(0L).as("a"), col("id").as("b"))
+      .unionByName(spark.range(1, 50000)
+        .select(col("id").as("a"), (col("id") + 1).as("b")))
+    val rnd = spark.range(1000000).select(
+      (xxhash64(col("id")) % 200000).as("a"),
+      (xxhash64(col("id"), lit(1)) % 200000).as("b"))
+      .select(abs(col("a")).as("a"), abs(col("b")).as("b"))
+    val sf01 = graft.operators.TextDedup.simhashPairs(
+      fanOut(documents(spark, "/root/testdata/sf0.1")), "doc_id", "text",
+      maxHamming = 7).select(col("da").as("a"), col("db").as("b"))
 
-    // ------------------------------------------------------------------
-    // Experiment 1: repeatedSpans wall vs duplicated volume.
-    //  clean    = sf0.1 as-is (organic duplication only);
-    //  frac20x  = + the 10% of docs with doc_id%10=0, replicated 19 more
-    //             times under fresh ids (duplicated volume ~20x on that
-    //             slice, the rest untouched);
-    //  all2x    = every document exactly twice (100% duplicated volume).
-    // ------------------------------------------------------------------
-    def replicas(src: org.apache.spark.sql.DataFrame, copies: Int, idBase: Long) =
-      src.crossJoin(spark.range(copies).select(col("id").as("__r")))
-        .select((col("doc_id") + lit(idBase) + col("__r") * lit(1000000L)).as("doc_id"),
-          col("text"))
-    val corpora = Seq(
-      ("clean 1x (cold)", base),
-      ("+10% docs 20x", base.unionByName(
-        replicas(base.filter(col("doc_id") % 10 === 0), 19, 10000000L))),
-      ("all docs 2x", base.unionByName(replicas(base, 1, 50000000L))),
-      // warm repeat of the clean corpus: the first row pays JIT/staging
-      // warmup; this one is the comparable steady-state number.
-      ("clean 1x (warm)", base))
-    println("| corpus | docs | windows | marked | spans | wall s |")
+    // wedge volume under each orientation: Σ_u C(outdeg(u), 2).
+    def wedgeCounts(edges: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val e = edges.select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .filter(col("lo") < col("hi")).distinct()
+      val idW = e.groupBy(col("lo")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))).as[Long].head()
+      val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      val o = e.join(deg.select(col("n").as("lo"), col("degree").as("dlo")), "lo")
+        .join(deg.select(col("n").as("hi"), col("degree").as("dhi")), "hi")
+        .select(when(col("dlo") <= col("dhi"), col("lo")).otherwise(col("hi")).as("u"))
+      val degW = o.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))).as[Long].head()
+      (idW, degW)
+    }
+
+    println("| graph | edges | wedges id-orient | wedges deg-orient | triangles | wall s |")
     println("|---|---|---|---|---|---|")
-    for ((label, docs) <- corpora) {
-      val nDocs = docs.count()
-      val wins = graft.operators.TextDedup
-        .windowProjection(docs, "doc_id", "text", k).count()
-      val (res, wall) = timed {
-        val sp = graft.operators.TextDedup
-          .repeatedSpans(docs, "doc_id", "text", k)
-        sp.agg(count(lit(1)), coalesce(sum(col("n_windows")), lit(0L)))
-          .as[(Long, Long)].head()
+    for ((label, edges) <- Seq(("hub-star 50k", hub), ("random 200k/1M", rnd),
+                               ("sf0.1 simhash pairs", sf01))) {
+      val staged = graft.sources.Tables.stage(
+        edges.select(col("a").cast("long"), col("b").cast("long")))
+      val nE = staged.select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .filter(col("lo") < col("hi")).distinct().count()
+      val (idW, degW) = wedgeCounts(staged)
+      val (nTri, wall) = timed {
+        graft.operators.Graph.triangleCounts(staged, "a", "b")
+          .agg(coalesce(sum(col("n_tri")), lit(0L))).as[Long].head() / 3
       }
-      println(f"| $label | $nDocs | $wins | ${res._2} | ${res._1} | $wall%.2f |")
-    }
-
-    // ------------------------------------------------------------------
-    // Experiment 2: span-index gate steady state — index once, probe per
-    // 1000-doc batch (500 copied-from-corpus + 500 fresh).
-    // ------------------------------------------------------------------
-    val (idx, idxSec) = timed {
-      val i = graft.operators.TextDedup.spanIndex(base, "doc_id", "text", k)
-      i.count(); i
-    }
-    println(f"[scratch] spanIndex over sf0.1 (once per corpus version): $idxSec%.2f s")
-    val corpusSlice = base.orderBy(col("doc_id")).limit(500)
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    println("| batch | spans | probe wall s |")
-    println("|---|---|---|")
-    for (b <- 1 to 5) {
-      val rows =
-        corpusSlice.map { case (id, t) => (id + 80000000L + b * 10000L, t) } ++
-        (1 to 500).map { i =>
-          (90000000L + b * 10000L + i,
-           (1 to 40).map(j => s"fresh_${b}_${i}_$j").mkString(" ")) }
-      val batch = rows.toSeq.toDF("doc_id", "text")
-      val (ns, wall) = timed(graft.operators.TextDedup
-        .spansAgainstIndex(batch, idx, "doc_id", "text", k).count())
-      println(f"| $b | $ns | $wall%.2f |")
+      println(f"| $label | $nE | $idW | $degW | $nTri | $wall%.2f |")
     }
     spark.stop()
   }

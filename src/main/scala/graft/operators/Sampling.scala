@@ -61,6 +61,32 @@ object Sampling {
         expr(s"CAST(conv(substring(sort_key, 1, 2), 16, 10) AS INT) % $shards"))
   }
 
+  /** Per-row-RATE deterministic gate — weighted/importance sampling for
+    * curation (e.g. keep long or high-quality documents with higher
+    * probability): row kept iff md5(id) prefix < floor(num·2³²/den),
+    * where `numCol`/`denCol` are INTEGER columns encoding the per-row
+    * rate num/den exactly (never a double rate — exact integer threshold
+    * arithmetic is what keeps the gate bit-identical across engines).
+    * num ≥ den keeps the row always (the threshold renders as "g", which
+    * sorts above all hex — [[hexThreshold]]'s trick); num ≤ 0 drops it.
+    *
+    * Deliberately UNSALTED, same ladder as [[hashSample]]: the gates are
+    * coordinated (weightedSample ⊆ hashSample(r) wherever num/den ≤ r,
+    * and raising a row's weight can only ADD it, never swap it) — the
+    * property that makes re-curation with tweaked weights incremental.
+    * Salt the id upstream if independence from other gates is wanted.
+    *
+    * Scale: pure per-row projection fused into the scan, zero shuffles.
+    * `den` must stay < 2³¹ so num·2³² fits a long. */
+  def weightedSample(df: DataFrame, idCol: String,
+                     numCol: String, denCol: String): DataFrame =
+    df.filter(expr(
+      s"""substring(md5(CAST($idCol AS STRING)), 1, 8) <
+         |CASE WHEN $numCol >= $denCol THEN 'g'
+         |     ELSE lower(lpad(hex(CAST($numCol AS BIGINT) * 4294967296
+         |                         div CAST($denCol AS BIGINT)), 8, '0'))
+         |END""".stripMargin))
+
   /** Deterministic train/val/test (or arbitrary) split assignment: each
     * row's split is decided by where the md5 of `"split:" + id` falls in
     * the cumulative-fraction ladder, compared as fixed-width hex exactly

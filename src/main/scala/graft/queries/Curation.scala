@@ -24,6 +24,18 @@ object Curation {
   private val SampleRate = 0.10
   private val SampleThreshold = graft.operators.Sampling.hexThreshold(SampleRate)
 
+  /** DuckDB twin of [[graft.sources.Layout.zValue]]'s shift/mask rounds
+    * (operators only — every step parenthesized, `//` for `div`). */
+  private def duckSpread(v0: String): String = {
+    val s1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+  private def duckZ(x: String, xb: Long, y: String, yb: Long): String =
+    s"(${duckSpread(s"((($x) * 65536) // $xb)")}" +
+      s" | (${duckSpread(s"((($y) * 65536) // $yb)")} << 1))"
+
   /** Greedy sequential packing of documents into fixed-token-budget bins.
     *
     * `shards` IS the packing parallelism AND the output-file parallelism:
@@ -82,6 +94,23 @@ object Curation {
       WHERE rn <= 50
       ORDER BY event_type, event_id""")),
 
+    // ------------------------------------------------- weighted sampling
+    // Length-weighted keep gate: rate = n_chars/2000 capped at 1 — the
+    // quality/importance-weighted selection step of a curation recipe,
+    // exact integer threshold per row, shuffle-free, coordinated with the
+    // unweighted hash gate (raising a weight only ever ADDS rows).
+    Q("x_sample_weighted", (s, d) => {
+      graft.operators.Sampling
+        .weightedSample(documents(s, d), "doc_id", "n_chars", "2000")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, n_chars FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE WHEN n_chars >= 2000 THEN 'g'
+             ELSE lower(lpad(hex((n_chars * 4294967296) // 2000), 8, '0')) END
+      ORDER BY doc_id""")),
+
     // ------------------------------------------ train/val/test assignment
     // Deterministic 90/5/5 split by salted id-hash ladder (stable under
     // appends, identical on any engine/partitioning); the report shape is
@@ -111,6 +140,39 @@ object Curation {
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM a GROUP BY source, split ORDER BY source, split""")),
+
+    // ------------------------------------------------- z-order layout key
+    // Morton interleave of (o_custkey, order-day) — the two-dimensional
+    // layout key writeZOrdered sorts by so parquet zone maps prune on
+    // EITHER column. The audit groups by the top-4-bit z prefix: every
+    // bucket must be a quadrant-shaped bounding box (min/max narrow in
+    // BOTH dimensions at once — the property scan pruning depends on;
+    // LayoutSpec asserts it per written file too). Exact shift/mask
+    // integer arithmetic, bit-identical in any engine.
+    Q("x_zorder", (s, d) => {
+      orders(s, d)
+        .withColumn("day",
+          expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)"))
+        .withColumn("z",
+          graft.sources.Layout.zValue("o_custkey", 16384, "day", 4096))
+        .withColumn("bucket", expr("z div 268435456"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day
+        FROM orders),
+      z AS (SELECT o_custkey, day,
+                   ${duckZ("o_custkey", 16384, "day", 4096)} AS zv
+            FROM t)
+      SELECT (zv // 268435456) AS bucket, COUNT(*) AS n,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             MIN(day) AS min_day, MAX(day) AS max_day
+      FROM z GROUP BY 1 ORDER BY bucket""")),
 
     // --------------------------------------------- token-budget packing
     // Greedy sequential packing of documents into fixed-token-budget bins

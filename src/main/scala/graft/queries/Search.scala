@@ -66,7 +66,7 @@ object Search {
       JOIN u ua ON string_split(b.ng, ' ')[1] = ua.token
       JOIN u ub ON string_split(b.ng, ' ')[2] = ub.token
       CROSS JOIN n
-      ORDER BY score DESC, b.ng LIMIT 30""")),
+      ORDER BY score DESC, b.ng LIMIT 30"""), headline = true),
 
     // ------------------------------------------------ capped inverted index
     // (token, exact df, first-10 postings). The posting cap is a typed

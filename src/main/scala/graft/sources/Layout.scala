@@ -37,4 +37,47 @@ object Layout {
     * via zone maps automatically. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Morton/Z-value of two bounded non-negative integer columns — the
+    * TWO-dimensional layout key. [[writeSorted]] on one key gives each
+    * file a narrow band on THAT column only; sorting by the z-value gives
+    * every file a narrow bounding BOX on both columns (each extra z-prefix
+    * bit halves one side, alternating), so parquet min/max zone maps prune
+    * scans filtered on EITHER column — the standard lakehouse remedy when
+    * a table serves two predicate families (e.g. customer-keyed AND
+    * time-ranged) at 100 TB.
+    *
+    * Exact integer arithmetic only, identical in any engine: each input is
+    * range-normalized to 16 bits as `x·65536 div bound` (caller supplies
+    * the domain bound; values MUST lie in [0, bound) — values at ≥ bound
+    * fold deterministically but destroy locality), then spread by four
+    * shift/mask rounds and interleaved (x even bits, y odd). Pure
+    * projection: no shuffle, no UDF, whole-stage-codegen arithmetic. */
+  def zValue(xCol: String, xBound: Long, yCol: String, yBound: Long): org.apache.spark.sql.Column = {
+    require(xBound > 0 && yBound > 0, "bounds must be positive")
+    def norm(c: String, bound: Long) = s"((($c) * 65536) div $bound)"
+    def spread(v0: String): String = {
+      val s1 = s"(($v0 | shiftleft($v0, 8)) & 16711935)"    // 0x00FF00FF
+      val s2 = s"(($s1 | shiftleft($s1, 4)) & 252645135)"   // 0x0F0F0F0F
+      val s3 = s"(($s2 | shiftleft($s2, 2)) & 858993459)"   // 0x33333333
+      s"(($s3 | shiftleft($s3, 1)) & 1431655765)"           // 0x55555555
+    }
+    org.apache.spark.sql.functions.expr(
+      s"${spread(norm(xCol, xBound))} | shiftleft(${spread(norm(yCol, yBound))}, 1)")
+  }
+
+  /** The z-curve twin of [[writeSorted]]: range-partition and sort by the
+    * interleaved key so every output file covers a quadrant-shaped box in
+    * (x, y) space. Predicates on either column then prune files/row
+    * groups by zone map; `LayoutSpec` asserts the per-file bounding-box
+    * property the pruning depends on. */
+  def writeZOrdered(df: DataFrame, path: String, shards: Int,
+                    xCol: String, xBound: Long,
+                    yCol: String, yBound: Long): Unit = {
+    df.withColumn("__z", zValue(xCol, xBound, yCol, yBound))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

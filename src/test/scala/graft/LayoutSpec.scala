@@ -112,6 +112,56 @@ class LayoutSpec extends SparkSpec {
         "— zone maps did not prune the unprobed lists")
   }
 
+  test("zValue matches the reference Morton interleave bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.fill(300)((rnd.nextInt(16384).toLong, rnd.nextInt(4096).toLong))
+    def spread(v: Long): Long =
+      (0 until 16).foldLeft(0L)((a, i) => a | (((v >> i) & 1L) << (2 * i)))
+    def ref(x: Long, y: Long): Long =
+      spread(x * 65536 / 16384) | (spread(y * 65536 / 4096) << 1)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Layout.zValue("x", 16384, "y", 4096))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x, $y)") }
+  }
+
+  test("writeZOrdered prunes on EITHER column; single-key layout only on its own") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val n = 128L
+    val grid = spark.range(n * n)
+      .select(expr(s"id div $n").as("x"), (col("id") % n).as("y"))
+    Layout.writeZOrdered(grid, s"$dir/z", shards = 16, "x", n, "y", n)
+    Layout.writeSorted(grid, s"$dir/xsorted", shards = 16, "x")
+    val total = n * n
+
+    // most files cover a quadrant-shaped box (narrow in BOTH dims at
+    // once); range-sampled shard boundaries may straddle a z-curve jump,
+    // so a minority of boundary files can span wider.
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 8, s"want many files, got ${files.length}")
+    val tight = files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      r.getLong(1) - r.getLong(0) <= n / 2 && r.getLong(3) - r.getLong(2) <= n / 2
+    }
+    assert(tight >= files.length - 4,
+      s"only $tight of ${files.length} z-files are bounding-box tight")
+
+    // scan metrics: the z layout prunes predicates on EITHER column; the
+    // x-sorted layout cannot skip anything for a y predicate.
+    val readZy = rowsReadByScan(
+      spark.read.parquet(s"$dir/z").filter(col("y") < n / 8))
+    val readZx = rowsReadByScan(
+      spark.read.parquet(s"$dir/z").filter(col("x") < n / 8))
+    val readXy = rowsReadByScan(
+      spark.read.parquet(s"$dir/xsorted").filter(col("y") < n / 8))
+    assert(readXy == total, s"x-sorted layout should read all $total, read $readXy")
+    assert(readZy <= total / 2, s"z layout read $readZy of $total for the y band")
+    assert(readZx <= total / 2, s"z layout read $readZx of $total for the x band")
+  }
+
   test("zone maps actually skip: sorted layout reads one shard, unsorted reads all") {
     // The pruning claim, PROVEN with scan metrics instead of asserted from
     // plan text: the same narrow range predicate over the same rows

@@ -150,6 +150,24 @@ class PropertySpec extends SparkSpec {
     assert(s20.size > 500 * 0.1 && s20.size < 500 * 0.35, s20.size)
   }
 
+  test("weightedSample: ≡ hashSample at constant rate, monotone, exact edges") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, (i % 30).toLong)).toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) = d.select("id").collect().map(_.getLong(0)).toSet
+    // constant rate 1/10 coincides with the unweighted gate (coordinated
+    // ladders: floor(2^32/10) = floor(0.1 * 2^32)).
+    assert(ids(graft.operators.Sampling.weightedSample(df, "id", "1", "10")) ==
+      ids(graft.operators.Sampling.hashSample(df, "id", 0.1)))
+    // raising a weight only ever ADDS rows.
+    val lo = ids(graft.operators.Sampling.weightedSample(df, "id", "w", "30"))
+    val hi = ids(graft.operators.Sampling.weightedSample(
+      df.withColumn("w5", col("w") + 5), "id", "w5", "30"))
+    assert(lo.subsetOf(hi), s"${(lo -- hi).take(5)} dropped by a weight raise")
+    // num >= den keeps everything; num = 0 keeps nothing.
+    assert(ids(graft.operators.Sampling.weightedSample(df, "id", "99", "30")).size == 500)
+    assert(ids(graft.operators.Sampling.weightedSample(df, "id", "0", "30")).isEmpty)
+  }
+
   test("assignSplits: full coverage, append-stable, fractions honored, salted") {
     import spark.implicits._
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
