@@ -17,7 +17,9 @@ object ExplainAudit {
       "x_dedup_embedding_lsh", "x_media_pixels",
       "x_dedup_substring", "x_dedup_semantic", "x_knn_graph",
       "x_source_temperature", "x_decontaminate_spans",
-      "x_dedup_semantic_incremental")
+      "x_dedup_semantic_incremental",
+      "x_graph_triangles", "x_zorder", "x_split_assign", "x_sample_weighted",
+      "x_source_jsonl")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

@@ -61,6 +61,45 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
   }
 
+  /** Content-defined chunking — the dedup-stable chunker: a boundary falls
+    * after token i wherever the md5 of the `w`-token window ENDING at i
+    * string-compares under `thresholdHex` (2 fixed-width hex chars, so
+    * P(boundary) = threshold/256 and expected chunk length ≈ 256/threshold
+    * tokens past the w−1 warm-up). Because the test reads only the local
+    * window, an edit reshapes at most the chunks overlapping it — unlike
+    * fixed-stride chunking (x_chunk), where one inserted token shifts
+    * every later chunk and defeats chunk-level dedup and embedding caches
+    * (Muthitacharoen et al., LBFS SOSP'01, applied to token streams).
+    *
+    * Plan shape: one per-token explode, ONE shuffle on doc_id feeding both
+    * the running boundary-count window and the per-(doc, chunk)
+    * reassembly — the x_line_dedup cost envelope; the per-group collect is
+    * bounded by document length (format contract). Output:
+    * (doc_id, chunk, n_tokens, chunk_text). */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, w: Int,
+                thresholdHex: String): org.apache.spark.sql.DataFrame = {
+    require(w >= 2, s"w=$w must be >= 2")
+    require(thresholdHex.matches("[0-9a-f]{2}"),
+      s"thresholdHex='$thresholdHex' must be 2 lowercase hex chars")
+    val w1 = w - 1
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("__p0"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol).cast("long").as("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__p0", "tok")))
+      .withColumn("__b", expr(
+        s"""IF(__p0 >= $w1 AND substring(md5(concat_ws(' ',
+           |  slice(__toks, __p0 - $w1 + 1, $w))), 1, 2) < '$thresholdHex',
+           |  CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin))
+      .withColumn("chunk", coalesce(sum(col("__b")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(__p0, tok))), x -> x.tok), ' ')")
+          .as("chunk_text"))
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------ deterministic sample
     // Content-hash Bernoulli gate: md5(doc_id) prefix under floor(rate·2³²)
@@ -459,6 +498,33 @@ object Curation {
              CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_tok,
              unnest(chunks) AS chunk
       FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // --------------------------------- content-defined chunking (rolling)
+    // Rolling-hash boundaries (w = 4, threshold '20' → P = 1/8): chunk
+    // edges move with CONTENT, so a prefix edit leaves every downstream
+    // chunk byte-identical — the chunker to use when chunks feed dedup or
+    // an embedding cache. Stability pinned in PropertySpec; fixed-stride
+    // x_chunk above is the contrast case.
+    Q("x_chunk_cdc", (s, d) => {
+      cdcChunks(documents(s, d), "doc_id", "text", w = 4, thresholdHex = "20")
+        .orderBy(col("doc_id"), col("chunk"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      e AS (SELECT doc_id, toks,
+              unnest(range(0, len(toks))) AS p0,
+              unnest(toks) AS tok
+            FROM t),
+      f AS (SELECT doc_id, p0, tok,
+              CASE WHEN p0 >= 3 AND substr(md5(array_to_string(toks[p0-2:p0+1], ' ')), 1, 2) < '20'
+                   THEN 1 ELSE 0 END AS b
+            FROM e),
+      c AS (SELECT doc_id, p0, tok,
+              COALESCE(CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY p0
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk
+            FROM f)
+      SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY p0) AS chunk_text
+      FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk""")),
 
     // --------------------------------------- deterministic global shuffle
     // Reproducible training-example order: content-hash sort key + shard

@@ -192,9 +192,11 @@ class LayoutSpec extends SparkSpec {
     // unsorted: zone maps are useless — every row materializes.
     assert(readUnsorted == total,
       s"unsorted layout should read all $total rows, read $readUnsorted")
-    // sorted: at most the shards containing the band (±1 boundary shard);
-    // concretely under half the table instead of all of it.
-    assert(readSorted >= matching && readSorted <= total / 2,
+    // sorted: at most the shards containing the band (±1 boundary shard).
+    // repartitionByRange SAMPLES boundaries, so shard sizes carry a few
+    // percent of skew — 2 of 4 shards is the shape, 60 % the safe bound
+    // (observed 755/1500 when the boundary shard ran ~1 % over quota).
+    assert(readSorted >= matching && readSorted <= total * 6 / 10,
       s"sorted layout read $readSorted rows for $matching matches (total $total)")
   }
 }

@@ -150,6 +150,36 @@ class PropertySpec extends SparkSpec {
     assert(s20.size > 500 * 0.1 && s20.size < 500 * 0.35, s20.size)
   }
 
+  test("cdcChunks: prefix edits leave downstream chunks byte-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val toks = Seq.fill(300)(s"t${rnd.nextInt(50)}")
+    val edited = Seq("ins1", "ins2", "ins3") ++ toks
+    def chunks(text: String): Seq[String] =
+      graft.queries.Curation
+        .cdcChunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          w = 4, thresholdHex = "20")
+        .orderBy(col("chunk")).select("chunk_text")
+        .collect().map(_.getString(0)).toSeq
+    val a = chunks(toks.mkString(" "))
+    val b = chunks(edited.mkString(" "))
+    // every token lands in exactly one chunk, in order.
+    assert(a.mkString(" ") == toks.mkString(" "))
+    assert(b.mkString(" ") == edited.mkString(" "))
+    // content-defined: once past the first boundary after the edit, chunk
+    // boundaries re-align — the shared suffix is identical chunk-for-chunk.
+    val m = math.min(a.size, b.size) - 2
+    assert(m > 5, s"degenerate fixture: ${a.size}/${b.size} chunks")
+    assert(a.takeRight(m) == b.takeRight(m),
+      s"downstream chunks diverged (a=${a.size}, b=${b.size})")
+    // the contrast: fixed-stride chunking shares almost NO chunk after a
+    // 3-token prefix insert (every window shifts).
+    def strided(ts: Seq[String]): Seq[String] =
+      ts.grouped(32).map(_.mkString(" ")).toSeq
+    val shared = strided(toks).toSet.intersect(strided(edited).toSet)
+    assert(shared.size <= 1, s"stride unexpectedly stable: $shared")
+  }
+
   test("weightedSample: ≡ hashSample at constant rate, monotone, exact edges") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong, (i % 30).toLong)).toDF("id", "w")
