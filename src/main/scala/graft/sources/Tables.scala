@@ -27,24 +27,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert to a
-    * microsecond timestamp with integer division (`div`, not `/` — an
-    * epoch-nanos value ~1.7e18 exceeds double's 2^53 integer range).
-    * The driver's data has zero sub-microsecond part, so this is lossless
-    * and matches DuckDB, which surfaces the column as µs TIMESTAMP.
-    *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set in every entry point: Verify / Bench / ExplainAudit / Scratch /
-    * StreamDemo / the test base). The loader itself is PURE — it must not
-    * mutate shared session conf, which would surprise a concurrent user of
-    * the same session. (A per-read option does NOT work: the task-side
-    * parquet readers consult the session conf, not datasource options —
-    * verified empirically on Spark 4.1.)
+  /** `events.ts` arrives in one of two physical layouts depending on the
+    * testdata generation:
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    *    ([PARQUET_TYPE_ILLEGAL]) unless read as long
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every entry
+    *    point: Verify / Bench / ExplainAudit / Scratch / StreamDemo / the
+    *    test base) — then converted with integer division (`div`, not
+    *    `/`: epoch-nanos ~1.7e18 exceeds double's 2^53 integer range);
+    *  - parquet TIMESTAMP(MICROS) without timezone, which Spark surfaces
+    *    as TIMESTAMP_NTZ — cast to the session-zoned TimestampType (all
+    *    entry points pin UTC, so the cast is value-identical and matches
+    *    DuckDB, which surfaces the column as naive µs TIMESTAMP).
+    * Both normalize to the same µs TimestampType column; downstream code
+    * never sees the difference. The loader is PURE — it must not mutate
+    * shared session conf, which would surprise a concurrent user of the
+    * same session. (A per-read option does NOT work for the nanos case:
+    * the task-side parquet readers consult the session conf, not
+    * datasource options — verified empirically on Spark 4.1.)
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
