@@ -397,6 +397,70 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Fixed-iteration PageRank over an undirected edge list, in EXACT
+    * integer arithmetic — the centrality follow-on to [[triangleCounts]]:
+    * inside a near-dup cluster the high-rank node is the hub every other
+    * member resembles (the natural canonical pick), and across the corpus
+    * rank separates template hubs (boilerplate re-crawled everywhere)
+    * from leaf duplicates.
+    *
+    * Arithmetic: ranks are BIGINTs scaled by `scale`; damping 0.85 is the
+    * exact rational 17/20, so one iteration is
+    * `r'(v) = (3·scale) div 20 + Σ_{u→v} (r(u)·17) div (20·deg(u))`
+    * with truncating integer division at every step — no floats anywhere,
+    * so any engine (and the DuckDB unrolled-CTE oracle) agrees bitwise.
+    * This is floor-quantized PageRank: each node's value sits within
+    * |edges|/scale of the real-valued iterate, and the quantization is
+    * part of the operator contract, not noise.
+    *
+    * Scale notes (the 100 TB plan):
+    *  - iteration state lives on the EDGE-INCIDENT nodes only — a
+    *    near-dup graph is orders of magnitude smaller than the corpus, so
+    *    every per-iteration join is subgraph-sized; the corpus is touched
+    *    exactly once, by the final broadcast join that attaches ranks to
+    *    `vertices` (isolated nodes converge to the base term after one
+    *    iteration, so they never need to enter the loop);
+    *  - the symmetrized edge relation is staged once (it feeds every
+    *    iteration); degrees are staged with it. Iteration results chain
+    *    lazily — each rank relation feeds exactly one join in the next
+    *    round, so lineage grows linearly in `iterations`, not
+    *    exponentially;
+    *  - overflow headroom: Σ ranks ≈ |edge nodes|·scale, and the widest
+    *    intermediate is r(u)·17 — keep |edge nodes|·scale·17 < 2^63
+    *    (the default 1e9 scale leaves room for ~5×10^8 edge nodes).
+    *
+    * Output: (node, pr) for EVERY vertex, pr at `scale` fixed-point. */
+  def pageRank(vertices: DataFrame, idCol: String,
+               edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
+    val base = scale * 3 / 20
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("s"),
+        col(srcCol).cast("long").as("d"))
+        .filter(col("s") =!= col("d")))
+      .distinct())
+    val deg = stage(e.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .select(col("node"), col("degree")))
+    var nr = deg.select(col("node"), col("degree"), lit(scale).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(nr, col("s") === col("node"))
+        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
+      val in = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
+      nr = deg.join(in, col("node") === col("d"), "left")
+        .select(col("node"), col("degree"),
+          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    vertices.select(col(idCol).cast("long").as("__v"))
+      .join(broadcast(nr.select(col("node"), col("r"))),
+        col("__v") === col("node"), "left")
+      .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+  }
+
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
     * 64-bit hashes under two DIFFERENTLY-KEYED hashings). One small
     * action per round; xor commutes so the physical row order never

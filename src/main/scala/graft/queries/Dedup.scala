@@ -344,6 +344,56 @@ object Dedup {
       FROM deg d LEFT JOIN tn t ON d.node = t.node
       ORDER BY d.node""")),
 
+    // ----------------------------------------- PageRank (graph centrality)
+    // Fixed-point integer PageRank (3 iterations, scale 1e9, damping
+    // 17/20) over the same near-dup pair graph: rank separates template
+    // hubs from leaf duplicates before a dedup policy picks canonicals.
+    // Iteration state is edge-subgraph-sized; the corpus joins ONCE at the
+    // end (broadcast). The oracle unrolls the three iterations as chained
+    // CTEs with identical truncating integer arithmetic.
+    Q("x_graph_pagerank", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      graft.operators.Graph
+        .pageRank(documents(s, d), "doc_id", pairs, "da", "db",
+          iterations = 3, scale = 1000000000L)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $duckSimhashPairCtes,
+      e AS (SELECT da AS s, db AS d FROM pairs
+            UNION SELECT db, da FROM pairs),
+      deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM e GROUP BY s),
+      r0 AS (SELECT node, degree, CAST(1000000000 AS BIGINT) AS r FROM deg),
+      r1 AS (SELECT dg.node, dg.degree,
+                    CAST(150000000 AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r0.r, r0.degree
+                        FROM e JOIN r0 ON e.s = r0.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree),
+      r2 AS (SELECT dg.node, dg.degree,
+                    CAST(150000000 AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r1.r, r1.degree
+                        FROM e JOIN r1 ON e.s = r1.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree),
+      r3 AS (SELECT dg.node, dg.degree,
+                    CAST(150000000 AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r2.r, r2.degree
+                        FROM e JOIN r2 ON e.s = r2.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree)
+      SELECT v.doc_id AS node,
+             COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
+      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
+      ORDER BY node""")),
+
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,
     // keeping the smallest doc_id as canonical — pairs → components →
@@ -370,6 +420,52 @@ object Dedup {
                FROM reach GROUP BY n)
       SELECT component_id AS canonical_id, COUNT(*) AS n_members
       FROM comp GROUP BY component_id ORDER BY canonical_id""")),
+
+    // --------------------------- canonical selection (quality-aware keep)
+    // The dedup POLICY step x_dedup_cluster stops short of: per near-dup
+    // cluster (≥2 members — singletons are the untouched corpus), keep the
+    // highest-quality member (longest n_chars, doc_id tie-break) instead
+    // of the arbitrary smallest id. Plan: the edge-incident CC relation is
+    // subgraph-sized, so it BROADCASTS onto the one corpus metadata scan;
+    // the argmax is a per-cluster max(struct(quality, -id)) — exact
+    // integer ordering, no window over raw rows, one subgraph-sized
+    // shuffle. The oracle recomputes the closure and takes the same argmax
+    // via ROW_NUMBER.
+    Q("x_dedup_canonical", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      val cc = graft.operators.Graph.connectedComponents(pairs, "da", "db")
+      documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(broadcast(cc), col("doc_id") === col("node"))
+        .groupBy(col("component"))
+        .agg(
+          max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("__m"),
+          count(lit(1)).as("n_members"))
+        .select(col("component").as("cluster_id"),
+          (-col("__m.nd")).as("canonical_doc"),
+          col("__m.n_chars").as("canonical_chars"),
+          col("n_members"))
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckSimhashPairCtes,
+      edges AS (SELECT da AS s, db AS d FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(n, m) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+      comp AS (SELECT n AS doc_id, MIN(m) AS component_id
+               FROM reach GROUP BY n),
+      j AS (SELECT c.component_id, dd.doc_id, dd.n_chars
+            FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id),
+      rk AS (SELECT component_id, doc_id, n_chars,
+                    ROW_NUMBER() OVER (PARTITION BY component_id
+                                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                    COUNT(*) OVER (PARTITION BY component_id) AS n_members
+             FROM j)
+      SELECT component_id AS cluster_id, doc_id AS canonical_doc,
+             n_chars AS canonical_chars, CAST(n_members AS BIGINT) AS n_members
+      FROM rk WHERE rn = 1 ORDER BY cluster_id""")),
 
     // ------------------------------------------- embedding cosine near-dup
     // Exact all-pairs cosine ≥ 0.45. The fold-based dot (sequential adds in
