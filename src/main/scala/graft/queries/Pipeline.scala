@@ -130,6 +130,29 @@ object Pipeline {
     }, Some("""
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS meta_ok,
              CAST(1 AS BIGINT) AS chars_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------- CSV interchange (egress)
+    // RFC-4180 CSV round trip over the HARD case — free text with commas,
+    // quotes, and (potentially) newlines — same losslessness design as
+    // x_source_jsonl: the round-tripped copy JOINS back to the parquet
+    // original, per-column <=> flags make any write/read loss a hash
+    // mismatch, and the oracle states flags = 1 from the original alone.
+    // The query keeps its parquet scan via the original side of the join.
+    Q("x_source_csv", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage/${new java.io.File(d).getName}"
+      val back = graft.sources.Csv.roundTrip(docs, tmp, files = 4)
+      docs.alias("o").join(back.alias("c"), col("o.doc_id") === col("c.doc_id"))
+        .select(col("o.doc_id").as("doc_id"),
+          expr("CAST(CASE WHEN o.text <=> c.text THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN o.lang <=> c.lang AND o.source <=> c.source THEN 1 ELSE 0 END AS BIGINT)").as("meta_ok"),
+          expr("CAST(CASE WHEN o.n_chars <=> c.n_chars THEN 1 ELSE 0 END AS BIGINT)").as("chars_ok"),
+          expr("md5(c.text)").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS meta_ok,
+             CAST(1 AS BIGINT) AS chars_ok, md5(text) AS digest
       FROM documents ORDER BY doc_id"""))
   )
 }

@@ -69,4 +69,34 @@ class SourceFormatsSpec extends SparkSpec {
       graft.sources.Jsonl.roundTrip(nasty, dir, files = 0)
     }
   }
+
+  test("Csv.roundTrip: RFC-4180 CSV is lossless on hostile text") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "comma, separated, values"),
+      (2L, "embedded \"quotes\" and \"\"doubled\"\""),
+      (3L, "line\nbreak and\r\ncrlf"),
+      (4L, "café 日本語 non-BMP 😀"),
+      (5L, null.asInstanceOf[String]),
+      (6L, ""),
+      (7L, "trailing space  "),
+      (8L, "\"leading quote")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvrt").toString
+    val back = graft.sources.Csv.roundTrip(nasty, dir, files = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // exact, INCLUDING null vs empty string staying distinct.
+    assert(rows(back) == rows(nasty))
+    // the quote dialect on disk is doubled quotes (RFC 4180), not
+    // Spark's default backslash escaping — what external readers parse.
+    val text = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+      .mkString("\n")
+    assert(text.contains("\"\"quotes\"\""), text.take(400))
+    assert(!text.contains("\\\""), text.take(400))
+    intercept[IllegalArgumentException] {
+      graft.sources.Csv.roundTrip(nasty, dir, files = 0)
+    }
+  }
 }
