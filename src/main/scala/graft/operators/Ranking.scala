@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -309,5 +309,66 @@ object Ranking {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
         col("tf_norm"), col("idf_odds"),
         (col("tf_norm") * col("idf_odds")).as("score"))
+  }
+
+  /** DSIR-style hashed-token importance scores (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023 — the hashed n-gram feature space, §3): bucket every token into
+    * 16^`hexDigits` hash buckets, learn per-bucket importance weights
+    * from a TARGET subset of the corpus, then score every document by its
+    * weighted token mass. Downstream, sampling ∝ score ranks data by
+    * similarity to the target distribution (e.g. "more like the English
+    * subset", "more like Wikipedia").
+    *
+    * Arithmetic is EXACT integer end to end (the published estimator's
+    * log-ratio sum is replaced by fixed-point ratio weights — same
+    * feature space, engine-portable values):
+    *   w(b)    = (target_occurrences(b) · scale) div occurrences(b)
+    *   raw(d)  = Σ_tokens tf · w(bucket(token))
+    *   avg_w(d)= raw(d) div n_tokens(d)   — the length-normalized score.
+    *
+    * Plan shape (the 100 TB contract): the (doc, target-flag, bucket, tf)
+    * projection is computed MAP-SIDE (termFrequencies' run-length trick —
+    * no per-occurrence explode) and STAGED once; bucket weights aggregate
+    * to ≤16^hexDigits rows (map-side combine) and BROADCAST back onto the
+    * staged projection; the only full shuffle is the per-doc score
+    * aggregation. The corpus text is scanned exactly once.
+    *
+    * Overflow: raw(d) ≤ n_tokens(d)·scale — far under 2^63 for any real
+    * document at the default 1e6 scale.
+    *
+    * Output: (doc_id, raw, n_tokens, avg_w), one row per non-null-text
+    * document. */
+  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, hexDigits: Int = 3,
+                       scale: Long = 1000000L): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits=$hexDigits must be in [1, 8]")
+    require(scale > 0, s"scale=$scale must be positive")
+    val rel = stage(docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__tgt", isTarget.cast("boolean"))
+      .withColumn("__s", expr(s"array_sort(split(lower($textCol), ' '))"))
+      .withColumn("__e", expr(runEndsSql("__s")))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(col("__tgt"), lit(false)).as("tgt"),
+        explode(expr(
+          """transform(__e, (e, j) ->
+            |  named_struct('token', element_at(__s, e),
+            |               'tf', CAST(e - if(j = 0, 0, element_at(__e, j)) AS BIGINT)))""".stripMargin))
+          .as("__tt"))
+      .select(col("doc_id"), col("tgt"),
+        substring(md5(col("__tt.token")), 1, hexDigits).as("bk"),
+        col("__tt.tf").as("tf")))
+    val w = rel.groupBy(col("bk")).agg(
+      sum(col("tf")).as("a"),
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("t"))
+      .select(col("bk"), expr(s"(t * ${scale}L) div a").as("w"))
+    rel.join(broadcast(w), "bk")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("tf * w")).as("raw"), sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("raw"), col("n_tokens"),
+        expr("raw div n_tokens").as("avg_w"))
   }
 }

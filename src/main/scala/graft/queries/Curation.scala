@@ -150,6 +150,36 @@ object Curation {
              ELSE lower(lpad(hex((n_chars * 4294967296) // 2000), 8, '0')) END
       ORDER BY doc_id""")),
 
+    // ------------------------------------- DSIR importance scores (hashed)
+    // Importance-resampling weights toward a target distribution (here:
+    // the English subset) over 4096 hashed token buckets — the data-
+    // selection step before weighted sampling. Exact fixed-point ratio
+    // weights (no logs — not bit-portable); the (doc, bucket, tf)
+    // projection computes map-side and stages ONCE, weights broadcast
+    // back, one per-doc shuffle. The oracle recomputes the same buckets
+    // per token occurrence.
+    Q("x_importance_weights", (s, d) => {
+      graft.operators.Ranking.importanceScores(fanOut(documents(s, d)),
+        "doc_id", "text", isTarget = col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                        string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      ex AS (SELECT doc_id, tgt, substr(md5(unnest(toks)), 1, 3) AS bk FROM t),
+      w AS (SELECT bk,
+                   (COALESCE(CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS w
+            FROM ex GROUP BY bk),
+      sc AS (SELECT e.doc_id,
+                    CAST(SUM(w.w) AS BIGINT) AS raw,
+                    CAST(COUNT(*) AS BIGINT) AS n_tokens
+             FROM ex e JOIN w USING (bk)
+             GROUP BY e.doc_id)
+      SELECT doc_id, raw, n_tokens, raw // n_tokens AS avg_w
+      FROM sc ORDER BY doc_id""")),
+
     // ------------------------------------------ train/val/test assignment
     // Deterministic 90/5/5 split by salted id-hash ladder (stable under
     // appends, identical on any engine/partitioning); the report shape is

@@ -40,7 +40,10 @@ class PlanSanitySpec extends SparkSpec {
       // Graph.triangleCounts stages the canonical edge and oriented
       // relations (each feeds 2-3 join sides) — the visible plan starts
       // at the staged edges.
-      "x_graph_triangles")
+      "x_graph_triangles",
+      // Ranking.importanceScores stages the (doc, bucket, tf) projection
+      // (feeds the bucket-weight aggregate AND the scoring probe).
+      "x_importance_weights")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

@@ -162,6 +162,46 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("importanceScores: exact reference, bounds, and target separation") {
+    import spark.implicits._
+    val scale = 1000000L
+    // disjoint vocabularies: target docs should score ~scale, the alien
+    // doc ~0, and a half-half doc in between.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "beta gamma delta", true),
+      (3L, "zork quux blarg", false),
+      (4L, "alpha beta zork quux", false),
+      (5L, null.asInstanceOf[String], false)).toDF("doc_id", "text", "tgt")
+    val got = graft.operators.Ranking
+      .importanceScores(docs, "doc_id", "text", col("tgt"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // null text excluded
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // driver-side reference with identical truncating integer math
+    val corpus = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "alpha"), true),
+      (2L, Seq("beta", "gamma", "delta"), true),
+      (3L, Seq("zork", "quux", "blarg"), false),
+      (4L, Seq("alpha", "beta", "zork", "quux"), false))
+    def bk(t: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString.take(3)
+    }
+    val all = corpus.flatMap { case (_, ts, tg) => ts.map(t => (bk(t), tg)) }
+    val w = all.groupBy(_._1).map { case (b, os) =>
+      b -> os.count(_._2).toLong * scale / os.size }
+    corpus.foreach { case (id, ts, _) =>
+      val raw = ts.map(t => w(bk(t))).sum
+      val (gid, graw, gn, gavg) = got(id)
+      assert(gid == id && graw == raw && gn == ts.size &&
+        gavg == raw / ts.size, s"doc $id: got $graw/$gn/$gavg want $raw")
+    }
+    // separation: pure-target docs outscore the alien doc
+    assert(got(1L)._4 > got(3L)._4 && got(2L)._4 > got(3L)._4)
+    assert(got(4L)._4 > got(3L)._4 && got(4L)._4 < got(1L)._4)
+  }
+
   test("tfidf/bm25 plans broadcast the df side; banned lines broadcast anti") {
     val sfDocs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val tfidfPlan = Ranking.tfidfTopK(sfDocs, "doc_id", "text", 3)
