@@ -515,4 +515,87 @@ object Ann {
     * number. */
   def meanRecall(approx: DataFrame, exact: DataFrame): Double =
     recallAtK(approx, exact).agg(avg(col("recall"))).head().getDouble(0)
+
+  /** Squared-L2 between `sd`-wide slices of vector columns `a` and `b` at
+    * element offset `off` (an expression, e.g. `j*8`), as an ORDERED
+    * sequential fold — per-dim subtract/multiply then left-to-right adds,
+    * so any engine reproduces the double bitwise (same discipline as
+    * `cosine_sim`). Lambda variables are suffixed `2` so the expression
+    * can nest inside an outer HOF without name collisions. */
+  private def l2sqSql(a: String, b: String, off: String, sd: Int): String =
+    s"""aggregate(transform(sequence(1, $sd), i2 ->
+       |    (CAST(element_at($a, $off + i2) AS DOUBLE)
+       |       - CAST(element_at($b, $off + i2) AS DOUBLE))
+       |    * (CAST(element_at($a, $off + i2) AS DOUBLE)
+       |       - CAST(element_at($b, $off + i2) AS DOUBLE))),
+       |  CAST(0.0 AS DOUBLE), (a2, z2) -> a2 + z2)""".stripMargin
+
+  /** Product-quantization codes (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    * vector into `m` subspaces and store, per subspace, the POSITION of
+    * the nearest codebook entry's slice (squared-L2, ties to the smaller
+    * position). `codebook` is a small (id, embedding) relation of FULL
+    * vectors — subspace j's codebook is their j-th slices (a real
+    * pipeline trains per-subspace k-means offline; positions index the
+    * id-ASCENDING order, the contract [[pqTopK]] decodes against).
+    *
+    * The encode is a shuffle-free map-side projection over the broadcast
+    * codebook literal — the corpus never shuffles, mirroring
+    * [[assignToCentroids]]. Output: (vec_id, codes array<int> of length
+    * `m`). At 100 TB the point is MEMORY: m bytes-ish per vector instead
+    * of 4·dim — the compressed codes relation is what a scan-heavy ANN
+    * serving layer keeps hot. */
+  def pqCodes(vectors: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
+    val cents = collectCentroids(codebook)
+    require(cents.nonEmpty, "codebook has no vectors")
+    val dim = cents.head._2.size
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    val kk = cents.size
+    vectors.select(col("id").as("vec_id"), col("embedding"))
+      .withColumn("cbs", typedlit(cents))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  aggregate(
+           |    transform(sequence(0, ${kk - 1}), c ->
+           |      named_struct('pos', c,
+           |        'd', ${l2sqSql("embedding", "element_at(cbs, c+1)._2", s"j*$sd", sd)})),
+           |    named_struct('pos', -1, 'd', CAST('Infinity' AS DOUBLE)),
+           |    (acc, x) -> IF(x.d < acc.d, x, acc)).pos)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ top-`k` by asymmetric distance (ADC): corpus vectors are encoded
+    * with [[pqCodes]]; each query scores a corpus row by summing, over
+    * subspaces, the exact squared-L2 from the query's slice to the slice
+    * of the CODEBOOK entry the row's code names — an ordered fold over
+    * j = 0..m−1, bitwise-portable. Scoring reads only (vec_id, codes):
+    * the scan that at 100 TB touches m small ints per row instead of the
+    * 4·dim-byte embedding (the whole point of PQ — the approximation
+    * quality is bounded by quantization error, measured like IVF/LSH via
+    * [[recallAtK]]). Queries broadcast onto the codes relation exactly
+    * like [[bruteTopK]]; top-k is the typed map-side-heap aggregator.
+    * Output: (q_id, rank, neighbor_id, adc), rank by (adc ASC, id ASC). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+             k: Int, m: Int = 8): DataFrame = {
+    val cents = collectCentroids(codebook)
+    require(cents.nonEmpty, "codebook has no vectors")
+    val dim = cents.head._2.size
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    val codes = pqCodes(corpus, codebook, m)
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
+    val scored = broadcast(q).crossJoin(codes)
+      .withColumn("cbs", typedlit(cents))
+      // negate so the shared (score DESC, id ASC) top-k aggregator ranks
+      // by distance ASC; negation of a finite double is exact.
+      .withColumn("cos", expr(
+        s"""-aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, j) -> acc + ${l2sqSql("qe",
+               "element_at(cbs, element_at(codes, j+1)+1)._2", s"j*$sd", sd)})""".stripMargin))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cos"))
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("adc"))
+  }
 }

@@ -26,6 +26,17 @@ object Similarity {
        |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  /** DuckDB twin of Ann.l2sqSql: squared-L2 between `sd`-wide slices at
+    * element offset `off`, as the same ordered fold. Lambda variables are
+    * suffixed `2` so the expression nests inside an outer list_reduce
+    * without shadowing its (acc, v). */
+  private def duckL2(a: String, b: String, off: String, sd: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${sd + 1}), i2 ->
+       |    (CAST($a[$off + i2] AS DOUBLE) - CAST($b[$off + i2] AS DOUBLE))
+       |    * (CAST($a[$off + i2] AS DOUBLE) - CAST($b[$off + i2] AS DOUBLE)))),
+       |  (a2, z2) -> a2 + z2)""".stripMargin
+
   /** DuckDB twin of [[graft.operators.Ann.hyperplaneSigSql]] over 64
     * dims: hyperplane weights are ±1 derived from md5(h_d), the same rule
     * the engine evaluates ONCE on the driver into a typedlit weight
@@ -236,6 +247,51 @@ object Similarity {
                      ${duckDot("p.qe", "a.embedding")} / (p.qnrm * a.nrm) AS cos
               FROM probes p JOIN assigned a ON p.cent_id = a.cent_id))
       SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank""")),
+
+    // ------------------------------------------- product quantization ADC
+    // PQ encode (8 subspaces × 8-entry codebook = 8 small ints per
+    // vector) + asymmetric-distance top-k — the memory-compression ANN
+    // path: at 100 TB the scored scan reads codes, never embeddings.
+    // Deterministic codebook stand-in: corpus vectors 0..7 (production
+    // trains per-subspace k-means offline). Every distance is an ordered
+    // squared-L2 fold, so ADC doubles match DuckDB bitwise.
+    Q("x_ann_pq", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann.pqTopK(
+        queries = e.filter(col("id") < 5),
+        corpus = fanOut(e.filter(col("id") >= 8)),
+        codebook = e.filter(col("id") < 8),
+        k = 10, m = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH cb AS (SELECT vec_id AS pos, embedding AS ce
+                  FROM embeddings WHERE vec_id < 8),
+      js AS (SELECT unnest(range(0, 8)) AS j),
+      cd AS (
+        SELECT vec_id, j, pos FROM (
+          SELECT v.vec_id, js.j, c.pos,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id, js.j
+                   ORDER BY ${duckL2("v.embedding", "c.ce", "js.j*8", 8)} ASC,
+                            c.pos ASC) AS rn
+          FROM embeddings v CROSS JOIN js CROSS JOIN cb c
+          WHERE v.vec_id >= 8)
+        WHERE rn = 1),
+      ca AS (SELECT vec_id, list(pos ORDER BY j) AS codes FROM cd GROUP BY vec_id),
+      cbl AS (SELECT list(ce ORDER BY pos) AS cbs FROM cb),
+      adc AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(0, 8), j ->
+                   ${duckL2("q.embedding", "cbl.cbs[c.codes[j+1]+1]", "j*8", 8)})),
+                 (acc, v) -> acc + v) AS adc
+        FROM embeddings q CROSS JOIN ca c CROSS JOIN cbl
+        WHERE q.vec_id < 5),
+      rk AS (SELECT q_id, neighbor_id, adc,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY adc ASC, neighbor_id ASC) AS rank
+             FROM adc)
+      SELECT q_id, rank, neighbor_id, adc FROM rk WHERE rank <= 10
       ORDER BY q_id, rank""")),
 
     // ---------------------------------------- embedding quantize/normalize

@@ -146,4 +146,48 @@ class AnnSpec extends SparkSpec {
     } yield (q, rank + 1, c)
     assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.sortBy(t => (t._1, t._2)))
   }
+
+  test("pqCodes recovers the assembling codebook positions exactly") {
+    // 4-entry codebook over 8 dims, m = 4 subspaces of width 2, with
+    // well-separated per-slice values; corpus vectors are ASSEMBLED from
+    // codebook slices, so the nearest-slice argmin must return exactly
+    // the assembling positions (distance 0 beats every other entry).
+    val cb = (0 until 4).map(c => (c.toLong, Seq.fill(8)((10f * c) + 1f)))
+    val pick = Seq(Seq(0, 1, 2, 3), Seq(3, 3, 0, 0), Seq(2, 0, 2, 1))
+    val corpus = pick.zipWithIndex.map { case (ps, i) =>
+      ((i + 100).toLong, ps.zipWithIndex.flatMap { case (p, j) =>
+        cb(p)._2.slice(j * 2, j * 2 + 2) })
+    }
+    val got = Ann.pqCodes(corpus.toDF("id", "embedding"),
+      cb.toDF("id", "embedding"), m = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    pick.zipWithIndex.foreach { case (ps, i) =>
+      assert(got((i + 100).toLong) == ps, s"codes of vec ${i + 100}")
+    }
+  }
+
+  test("pqTopK: ADC retrieval stays within the query's cluster") {
+    // 10 well-separated centers (the AnnRecallSpec geometry), codebook =
+    // the pure centers: every subspace code lands on the vector's own
+    // cluster, so ADC ≈ 0 within the cluster and ≈ the center separation
+    // across — top-10 must be dominated by same-cluster neighbors.
+    val centers = Array.tabulate(10) { c =>
+      val r = new Random(1000 + c)
+      Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val rows = (0 until 320).map { i =>
+      val r = new Random(i)
+      (i.toLong, centers(i % 10).map(x =>
+        (x + 0.35 * (r.nextDouble() * 2 - 1)).toFloat).toSeq)
+    }
+    val e = rows.toDF("id", "embedding")
+    val cbDf = centers.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("id", "embedding")
+    val res = Ann.pqTopK(e.filter(col("id") < 16), e.filter(col("id") >= 16),
+      cbDf, k = 10, m = 8).collect()
+    assert(res.length == 160, s"16 queries × 10 = ${res.length}")
+    val same = res.count(r => r.getLong(2) % 10 == r.getLong(0) % 10)
+    assert(same >= (res.length * 0.9).toInt,
+      s"same-cluster fraction ${same.toDouble / res.length}")
+  }
 }

@@ -10,8 +10,11 @@ class PlanSanitySpec extends SparkSpec {
   //  - x_dedup_embedding: all-pairs oracle baseline (LSH is the scale path)
   //  - x_ann_brute_topk: broadcast query set × corpus (BroadcastNestedLoop)
   //  - q_subquery_scalar: broadcast 1-row aggregate
+  // x_ann_pq broadcast-scans queries × CODES (8 ints/row, the PQ point) —
+  // same shape as brute, so it shares the exemption.
   private val allowedCartesian =
-    Set("q_join_cross", "x_dedup_embedding", "x_ann_brute_topk", "q_subquery_scalar")
+    Set("q_join_cross", "x_dedup_embedding", "x_ann_brute_topk",
+      "q_subquery_scalar", "x_ann_pq")
 
   // the only queries that stage an intermediate relation (Tables.stage =
   // localCheckpoint) and therefore legitimately read "Scan ExistingRDD":
