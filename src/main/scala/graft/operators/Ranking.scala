@@ -342,10 +342,19 @@ object Ranking {
   def importanceScores(docs: DataFrame, idCol: String, textCol: String,
                        isTarget: Column, hexDigits: Int = 3,
                        scale: Long = 1000000L): DataFrame = {
+    val rel = stage(importanceRelation(docs, idCol, textCol, isTarget, hexDigits))
+    scoreAgainstWeights(rel, bucketWeights(rel, scale))
+  }
+
+  /** The (doc_id, tgt, bk, tf) bucket projection [[importanceScores]] is
+    * built from — computed entirely map-side (termFrequencies' run-length
+    * trick), UNSTAGED so streaming callers can apply it to micro-batches
+    * without a staging write. */
+  def importanceRelation(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, hexDigits: Int = 3): DataFrame = {
     require(hexDigits >= 1 && hexDigits <= 8,
       s"hexDigits=$hexDigits must be in [1, 8]")
-    require(scale > 0, s"scale=$scale must be positive")
-    val rel = stage(docs
+    docs
       .filter(col(textCol).isNotNull)
       .withColumn("__tgt", isTarget.cast("boolean"))
       .withColumn("__s", expr(s"array_sort(split(lower($textCol), ' '))"))
@@ -360,15 +369,31 @@ object Ranking {
           .as("__tt"))
       .select(col("doc_id"), col("tgt"),
         substring(md5(col("__tt.token")), 1, hexDigits).as("bk"),
-        col("__tt.tf").as("tf")))
-    val w = rel.groupBy(col("bk")).agg(
+        col("__tt.tf").as("tf"))
+  }
+
+  /** Per-bucket fixed-point importance weights from an
+    * [[importanceRelation]]: w(b) = (target_mass(b) · scale) div mass(b).
+    * ≤16^hexDigits rows — map-side combine, broadcastable. */
+  def bucketWeights(rel: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale=$scale must be positive")
+    rel.groupBy(col("bk")).agg(
       sum(col("tf")).as("a"),
       sum(when(col("tgt"), col("tf")).otherwise(0L)).as("t"))
       .select(col("bk"), expr(s"(t * ${scale}L) div a").as("w"))
-    rel.join(broadcast(w), "bk")
+  }
+
+  /** Score a (doc_id, bk, tf) relation against a FROZEN (bk, w) weight
+    * relation — the weights broadcast, one per-doc shuffle. A bucket the
+    * weights never saw scores 0 but still counts toward n_tokens (left
+    * join + coalesce), so streamed batches with novel vocabulary are
+    * length-normalized identically to the batch operator. */
+  def scoreAgainstWeights(rel: DataFrame, weights: DataFrame): DataFrame =
+    rel.join(broadcast(weights), Seq("bk"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(expr("tf * w")).as("raw"), sum(col("tf")).as("n_tokens"))
+      .agg(sum(expr("tf * coalesce(w, 0L)")).as("raw"),
+        sum(col("tf")).as("n_tokens"))
       .select(col("doc_id"), col("raw"), col("n_tokens"),
         expr("raw div n_tokens").as("avg_w"))
-  }
 }
+

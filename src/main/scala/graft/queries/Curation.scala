@@ -180,6 +180,43 @@ object Curation {
       SELECT doc_id, raw, n_tokens, raw // n_tokens AS avg_w
       FROM sc ORDER BY doc_id""")),
 
+    // --------------------------- importance scoring gate (ingest variant)
+    // The streaming-gate shape (streaming.ScoreIngest drives it per
+    // micro-batch): bucket weights learned from the EXISTING corpus are
+    // the caller-owned staged index; the batch projects map-side and
+    // joins the broadcast weights. Novel batch vocabulary scores 0 but
+    // still length-normalizes (left join) — the oracle restates that.
+    // Batch stand-in: doc_id % 10 = 0 scored against the rest.
+    Q("x_importance_incremental", (s, d) => {
+      val docs = documents(s, d)
+      val w = graft.sources.Tables.stage(graft.operators.Ranking.bucketWeights(
+        graft.operators.Ranking.importanceRelation(
+          fanOut(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text",
+          isTarget = col("lang") === "en")))
+      graft.operators.Ranking.scoreAgainstWeights(
+        graft.operators.Ranking.importanceRelation(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", lit(false)),
+        w)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                        string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      ex AS (SELECT doc_id, tgt, substr(md5(unnest(toks)), 1, 3) AS bk FROM t),
+      w AS (SELECT bk,
+                   (COALESCE(CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS w
+            FROM ex WHERE doc_id % 10 <> 0 GROUP BY bk),
+      sc AS (SELECT e.doc_id,
+                    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS raw,
+                    CAST(COUNT(*) AS BIGINT) AS n_tokens
+             FROM (SELECT * FROM ex WHERE doc_id % 10 = 0) e
+             LEFT JOIN w USING (bk)
+             GROUP BY e.doc_id)
+      SELECT doc_id, raw, n_tokens, raw // n_tokens AS avg_w
+      FROM sc ORDER BY doc_id""")),
+
     // ------------------------------------------ train/val/test assignment
     // Deterministic 90/5/5 split by salted id-hash ladder (stable under
     // appends, identical on any engine/partitioning); the report shape is

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Ranking
+import graft.sources.Tables
+import graft.streaming.{ScoreIngest, Stream}
+
+/** Streaming importance-scoring ingest end-to-end
+  * (graft.streaming.ScoreIngest). Asserts the load-bearing claims:
+  *  1. per-batch scores ≡ the batch operator's scoring of the same rows
+  *     against the same frozen weights — exact integers;
+  *  2. the corpus weights are staged EXACTLY once; micro-batches create
+  *     no staging dirs;
+  *  3. novel vocabulary scores 0 weight but still length-normalizes;
+  *  4. version rotation swaps the weights atomically between batches. */
+class StreamingScoreSpec extends SparkSpec {
+
+  test("ScoreIngest: per-batch ≡ batch scoring; staged once; rotation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildWeights(corpus, "doc_id", "text",
+          isTarget = col("lang") === "en"))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"weights = one staged relation, got $stageDirs")
+
+      // batch-mode truth: the same fresh rows scored against the same
+      // frozen weights.
+      val expected = Ranking.scoreAgainstWeights(
+        Ranking.importanceRelation(fresh, "doc_id", "text", lit(false)),
+        state.get().weights)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no scores — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = ScoreIngest.start(s, state, "value.doc_id", "value.text") {
+        (scores, version, _) =>
+          versions += version
+          got ++= scores.as[(Long, Long, Long, Long)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(fresh.filter(col("doc_id") % 20 === 0))
+      send(fresh.filter(col("doc_id") % 20 =!= 0))
+      assert(got.toSet == expected,
+        s"streamed scores diverge from batch operator:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+
+      // novel vocabulary: every token unseen → raw = 0, n_tokens still
+      // counted, avg_w = 0 (left join + coalesce, not dropped rows).
+      got.clear()
+      Seq((777L, "qqqxyzzy wwwplugh qqqxyzzy")).toDF("doc_id", "text")
+        .createOrReplaceTempView("novel_rows")
+      send(spark.table("novel_rows"))
+      val novel = got.toSeq.filter(_._1 == 777L)
+      assert(novel == Seq((777L, 0L, 3L, 0L)),
+        s"novel-vocab doc must score (0, 3, 0): $novel")
+
+      // ROTATE: retrain with the TARGET INVERTED — scores must flip to
+      // the new weights at the next batch, not mid-stream.
+      state.set(ScoreIngest.buildWeights(corpus, "doc_id", "text",
+        isTarget = col("lang") =!= "en", version = 1L))
+      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      val expected1 = Ranking.scoreAgainstWeights(
+        Ranking.importanceRelation(fresh, "doc_id", "text", lit(false)),
+        state.get().weights)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      got.clear()
+      send(fresh)
+      assert(got.toSet == expected1,
+        "post-rotation scores must match the v1 weights")
+      assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
+      assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}
