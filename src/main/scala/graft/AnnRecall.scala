@@ -69,6 +69,22 @@ object AnnRecall {
       println(f"| ivf | cents=$nc nprobe=$np | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
     }
 
+    // ---- PQ ADC recall (the x_ann_pq regime). PQ is COMPRESSION, not
+    // pruning: every pair is scored, so the cost axis is bytes the scan
+    // reads per corpus vector (m·log2(cb)/8 for packed codes vs 256 B of
+    // raw floats) — the baseline is the exact ranking of PQ's OWN metric
+    // (bruteTopKL2; cosine orders unnormalized vectors differently).
+    val exactL2 = stage(Ann.bruteTopKL2(queries, corpus, k))
+    println(s"| path | params | recall@$k | code bytes/vec | vs raw 256 B | sec |")
+    println(s"|---|---|---|---|---|---|")
+    for ((m, cb) <- Seq((4, 8), (8, 8), (8, 64), (16, 64), (16, 256))) {
+      val codebook = Ann.trainCentroids(corpus, cb)
+      val (approx, sec) = timed(stage(Ann.pqTopK(queries, corpus, codebook, k, m)))
+      val r = Ann.meanRecall(approx, exactL2)
+      val bytes = m * (31 - Integer.numberOfLeadingZeros(cb)) / 8.0
+      println(f"| pq | m=$m cb=$cb | $r%.3f | $bytes%.0f | ${bytes / 256.0}%.3f | $sec%.1f |")
+    }
+
     // ---- embedding SELF-dedup pair recall (the x_dedup_embedding_lsh
     // regime): fraction of the full-quadratic cos ≥ τ pair set that the
     // banded self-join recovers, vs candidate pairs as the cost axis.

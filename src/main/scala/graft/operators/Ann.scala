@@ -530,6 +530,28 @@ object Ann {
        |       - CAST(element_at($b, $off + i2) AS DOUBLE))),
        |  CAST(0.0 AS DOUBLE), (a2, z2) -> a2 + z2)""".stripMargin
 
+  /** Exact top-`k` by squared-L2 distance per query row — the correctness
+    * baseline for the metric [[pqTopK]] approximates (cosine ranks
+    * differently on unnormalized vectors, so PQ recall must be measured
+    * against ITS OWN metric's exact ranking). Same shape as [[bruteTopK]]:
+    * queries broadcast over the corpus scan, ordered zip-fold distance
+    * (bitwise-portable), typed two-phase top-k. Output: (q_id, rank,
+    * neighbor_id, dist), rank by (dist ASC, id ASC). */
+  def bruteTopKL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("id").as("c_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .withColumn("cos", expr(
+        """-aggregate(zip_with(qe, ce, (x, y) ->
+          |    (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          |    * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("dist"))
+  }
+
   /** Product-quantization codes (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
     * vector into `m` subspaces and store, per subspace, the POSITION of

@@ -84,6 +84,29 @@ object Similarity {
       SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10
       ORDER BY q_id, rank"""), headline = true),
 
+    // ----------------------------------------------- exact L2 brute top-k
+    // graft.operators.Ann.bruteTopKL2 — the exact baseline for the metric
+    // PQ approximates (squared-L2 ranks differently from cosine on
+    // unnormalized vectors). Same broadcast × scan shape as cosine brute;
+    // the ordered zip-fold distance hash-matches DuckDB bitwise.
+    Q("x_ann_brute_l2", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann
+        .bruteTopKL2(e.filter(col("id") < 10), fanOut(e.filter(col("id") >= 10)), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ${duckL2("q.embedding", "c.embedding", "0", 64)} AS dist
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id >= 10),
+      ranked AS (
+        SELECT q_id, neighbor_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, neighbor_id, dist FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank""")),
+
     // --------------------------------------------------- LSH-bucketed ANN
     // Candidates share ≥1 of 4 signature bands (equi-join on short keys);
     // exact cosine re-ranks candidates only. Approximate by construction,

@@ -14,7 +14,7 @@ class PlanSanitySpec extends SparkSpec {
   // same shape as brute, so it shares the exemption.
   private val allowedCartesian =
     Set("q_join_cross", "x_dedup_embedding", "x_ann_brute_topk",
-      "q_subquery_scalar", "x_ann_pq")
+      "q_subquery_scalar", "x_ann_pq", "x_ann_brute_l2")
 
   // the only queries that stage an intermediate relation (Tables.stage =
   // localCheckpoint) and therefore legitimately read "Scan ExistingRDD":
