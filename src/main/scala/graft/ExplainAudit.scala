@@ -19,7 +19,10 @@ object ExplainAudit {
       "x_source_temperature", "x_decontaminate_spans",
       "x_dedup_semantic_incremental",
       "x_graph_triangles", "x_zorder", "x_split_assign", "x_sample_weighted",
-      "x_source_jsonl")
+      "x_source_jsonl",
+      "x_graph_pagerank", "x_dedup_canonical", "x_importance_weights",
+      "x_importance_incremental", "x_ann_pq", "x_source_csv",
+      "q_retention_cohort")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

@@ -242,6 +242,39 @@ object Relational3 {
         WHERE e.event_type = 'purchase' GROUP BY e.user_id)
       SELECT user_id, t_view, t_click, t_purchase FROM p ORDER BY user_id""")),
 
+    // ------------------------------------------------- cohort retention
+    // The weekly retention matrix: users grouped by their FIRST active
+    // week (cohort), counted per week-offset of later activity. Weeks are
+    // epoch-second integer buckets (ts div 604800) — no calendar
+    // truncation semantics to diverge between engines. Plan: ONE per-user
+    // aggregation to the distinct week set (collect_set is bounded by the
+    // corpus timespan in weeks, not by event volume — a user has at most
+    // ~520 distinct weeks in a decade), cohort = array_min, explode,
+    // then one small aggregation: two shuffles total, and the raw event
+    // volume crosses neither (map-side partial sets).
+    Q("q_retention_cohort", (s, d) => {
+      events(s, d)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800L").as("week"))
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("week")).as("__weeks"))
+        .select(explode(col("__weeks")).as("week"),
+          array_min(col("__weeks")).as("cohort"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }, Some("""
+      WITH wk AS (
+        SELECT DISTINCT user_id, CAST(epoch(ts) AS BIGINT) // 604800 AS week
+        FROM events),
+      c AS (SELECT user_id, week,
+                   MIN(week) OVER (PARTITION BY user_id) AS cohort
+            FROM wk)
+      SELECT cohort, week - cohort AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM c GROUP BY cohort, week - cohort
+      ORDER BY cohort, week_offset""")),
+
     // ------------------------------------------------------ SCD2 intervals
     // Slowly-changing-dimension type-2 build: each event opens a validity
     // interval closed by the user's next event (lead), open-ended on the
