@@ -436,12 +436,16 @@ object Graph {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
     val base = scale * 3 / 20
+    // symmetrize by exploding both orientations out of ONE pass over the
+    // (possibly expensive) edge subplan — a union of two selects would
+    // evaluate it twice inside the staging job.
     val e = stage(edges
-      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .filter(col("s") =!= col("d"))
-      .unionByName(edges.select(col(dstCol).cast("long").as("s"),
-        col(srcCol).cast("long").as("d"))
-        .filter(col("s") =!= col("d")))
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
       .distinct())
     val deg = stage(e.groupBy(col("s").as("node"))
       .agg(count(lit(1)).as("degree"))
