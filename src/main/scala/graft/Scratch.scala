@@ -5,15 +5,16 @@ import graft.sources.Tables._
 
 /** Throwaway profiling harness (not part of the library surface).
   *
-  * Current experiment (round 9, late continuation): TRIANGLE-COUNT SCALE —
-  * the degree-orientation wedge bound of `Graph.triangleCounts` measured
-  * against the naive id-orientation on a hot-hub graph (the shape a
-  * replica-heavy near-dup corpus produces), plus the registry shape at
-  * sf0.1. Recorded in README §triangle scale / SURVEY §8.
+  * Current experiment (round 9, third continuation): NEW-OPERATOR WALL at
+  * sf0.1 — PageRank over the near-dup graph (vs the CC closure it rides
+  * next to), DSIR importance scoring (vs the tf-shaped corpus scans it
+  * resembles), and PQ encode + ADC scan (vs the brute scans it
+  * compresses). Recorded in README §new-operator cost / SURVEY §8.
   *
-  * Prior recorded experiments (substring-span scale, span-index gate
-  * steady state, streaming gate cost split, verify-join skew) live in git
-  * history of this file; their numbers stand in README.
+  * Prior recorded experiments (triangle wedge bound, substring-span
+  * scale, span-index gate steady state, streaming gate cost split,
+  * verify-join skew) live in git history of this file; their numbers
+  * stand in README.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -28,61 +29,53 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     import spark.implicits._
+    val d = "/root/testdata/sf0.1"
 
-    // ------------------------------------------------------------------
-    // Fixtures.
-    //  hub-star : node 0 joined to 1..50000, leaves chained i—(i+1) — the
-    //             worst case for id-orientation (hub has the SMALLEST id,
-    //             so lo→hi orientation gives it out-degree 50k and
-    //             C(50k,2) = 1.25e9 wedges); degree orientation points
-    //             every star edge INTO the hub → ~0 hub wedges.
-    //  random   : G(n=200k, m=1M) seeded uniform — the organic-pair regime.
-    //  sf0.1    : the registry's simhash near-dup graph at bench scale.
-    // ------------------------------------------------------------------
-    val hub = spark.range(1, 50001).select(lit(0L).as("a"), col("id").as("b"))
-      .unionByName(spark.range(1, 50000)
-        .select(col("id").as("a"), (col("id") + 1).as("b")))
-    val rnd = spark.range(1000000).select(
-      (xxhash64(col("id")) % 200000).as("a"),
-      (xxhash64(col("id"), lit(1)) % 200000).as("b"))
-      .select(abs(col("a")).as("a"), abs(col("b")).as("b"))
-    val sf01 = graft.operators.TextDedup.simhashPairs(
-      fanOut(documents(spark, "/root/testdata/sf0.1")), "doc_id", "text",
-      maxHamming = 7).select(col("da").as("a"), col("db").as("b"))
+    println("| op | detail | rows | wall s |")
+    println("|---|---|---|---|")
 
-    // wedge volume under each orientation: Σ_u C(outdeg(u), 2).
-    def wedgeCounts(edges: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val e = edges.select(least(col("a"), col("b")).as("lo"),
-          greatest(col("a"), col("b")).as("hi"))
-        .filter(col("lo") < col("hi")).distinct()
-      val idW = e.groupBy(col("lo")).agg(count(lit(1)).as("d"))
-        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))).as[Long].head()
-      val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
-      val o = e.join(deg.select(col("n").as("lo"), col("degree").as("dlo")), "lo")
-        .join(deg.select(col("n").as("hi"), col("degree").as("dhi")), "hi")
-        .select(when(col("dlo") <= col("dhi"), col("lo")).otherwise(col("hi")).as("u"))
-      val degW = o.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))).as[Long].head()
-      (idW, degW)
+    // ---- graph family over the same staged near-dup pair relation.
+    val pairs = graft.sources.Tables.stage(
+      graft.operators.TextDedup.simhashPairs(
+        fanOut(documents(spark, d)), "doc_id", "text", maxHamming = 7))
+    val (nPairs, tPairs) = timed(pairs.count())
+    println(f"| simhash pairs (input) | maxHamming=7 | $nPairs | $tPairs%.2f |")
+    val (nCc, tCc) = timed(graft.operators.Graph
+      .componentsForVertices(documents(spark, d), "doc_id", pairs, "da", "db")
+      .count())
+    println(f"| cc closure | componentsForVertices | $nCc | $tCc%.2f |")
+    val (nPr, tPr) = timed(graft.operators.Graph
+      .pageRank(documents(spark, d), "doc_id", pairs, "da", "db").count())
+    println(f"| pagerank | 3 iter, scale 1e9 | $nPr | $tPr%.2f |")
+
+    // ---- importance scoring vs the tf-shaped scan it resembles.
+    val (nTf, tTf) = timed(graft.operators.Ranking
+      .tfidfTopK(fanOut(documents(spark, d)), "doc_id", "text", k = 3).count())
+    println(f"| tfidf top-k (reference) | k=3 | $nTf | $tTf%.2f |")
+    val (nIw, tIw) = timed(graft.operators.Ranking
+      .importanceScores(fanOut(documents(spark, d)), "doc_id", "text",
+        isTarget = col("lang") === "en").count())
+    println(f"| importance scores | 4096 buckets | $nIw | $tIw%.2f |")
+
+    // ---- PQ: encode cost, then ADC scan vs the brute scans.
+    val e = embeddings(spark, d).select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 50)
+    val c = fanOut(e.filter(col("id") >= 50))
+    val cb = e.filter(col("id") >= 50 && col("id") < 114)
+    val (staged, tCodes) = timed {
+      val s0 = graft.sources.Tables.stage(
+        graft.operators.Ann.pqCodes(c, cb, m = 8))
+      s0.count(); s0
     }
+    println(f"| pq encode (once per corpus version) | m=8 cb=64 | ${staged.count()} | $tCodes%.2f |")
+    val (nPq, tPq) = timed(graft.operators.Ann
+      .pqTopKAgainstCodes(q, staged, cb, k = 10, m = 8).count())
+    println(f"| pq adc scan (per query batch) | m=8 cb=64, 50 q | $nPq | $tPq%.2f |")
+    val (nBr, tBr) = timed(graft.operators.Ann.bruteTopKL2(q, c, k = 10).count())
+    println(f"| brute L2 top-k (reference) | 50 q | $nBr | $tBr%.2f |")
+    val (nBc, tBc) = timed(graft.operators.Ann.bruteTopK(q, c, k = 10).count())
+    println(f"| brute cosine top-k (reference) | 50 q | $nBc | $tBc%.2f |")
 
-    println("| graph | edges | wedges id-orient | wedges deg-orient | triangles | wall s |")
-    println("|---|---|---|---|---|---|")
-    for ((label, edges) <- Seq(("hub-star 50k", hub), ("random 200k/1M", rnd),
-                               ("sf0.1 simhash pairs", sf01))) {
-      val staged = graft.sources.Tables.stage(
-        edges.select(col("a").cast("long"), col("b").cast("long")))
-      val nE = staged.select(least(col("a"), col("b")).as("lo"),
-          greatest(col("a"), col("b")).as("hi"))
-        .filter(col("lo") < col("hi")).distinct().count()
-      val (idW, degW) = wedgeCounts(staged)
-      val (nTri, wall) = timed {
-        graft.operators.Graph.triangleCounts(staged, "a", "b")
-          .agg(coalesce(sum(col("n_tri")), lit(0L))).as[Long].head() / 3
-      }
-      println(f"| $label | $nE | $idW | $degW | $nTri | $wall%.2f |")
-    }
     spark.stop()
   }
 }

@@ -605,16 +605,51 @@ object Ann {
     val dim = cents.head._2.size
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sd = dim / m
-    val codes = pqCodes(corpus, codebook, m)
+    require(sd > 0, s"m=$m must not exceed dim=$dim")
+    pqTopKAgainstCodes(queries, pqCodes(corpus, codebook, m), codebook, k, m)
+  }
+
+  /** [[pqTopK]] against a PRE-ENCODED codes relation — the production
+    * split: encode once per corpus version ([[pqCodes]], staged by the
+    * caller), scan many. `codes` is a (vec_id, codes) relation as
+    * produced by [[pqCodes]] under the SAME codebook and `m`. */
+  def pqTopKAgainstCodes(queries: DataFrame, codes: DataFrame,
+                         codebook: DataFrame, k: Int, m: Int = 8): DataFrame = {
+    val cents = collectCentroids(codebook)
+    require(cents.nonEmpty, "codebook has no vectors")
+    val dim = cents.head._2.size
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    val kk = cents.size
+    // The ADC lookup table — dist(query slice j, codebook entry c slice j)
+    // for all (j, c) — is computed ONCE PER QUERY on the broadcast side
+    // (m·kk folds per query row). The corpus-row expression is then m
+    // array lookups + m adds, not m slice folds: the arithmetic-density
+    // inversion that makes the code scan memory-bound, which is the whole
+    // PQ deal. Values are bitwise-unchanged vs inlining (the same fold
+    // runs either way, just hoisted), so the DuckDB twin may state it
+    // inline.
     val q = queries.select(col("id").as("q_id"), col("embedding").as("qe"))
-    val scored = broadcast(q).crossJoin(codes)
       .withColumn("cbs", typedlit(cents))
+      .withColumn("dts", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  transform(sequence(0, ${kk - 1}), c ->
+           |    ${l2sqSql("qe", "element_at(cbs, c+1)._2", s"j*$sd", sd)}))""".stripMargin))
+      .select(col("q_id"), col("dts"))
+    // The per-pair sum is UNROLLED into a static m-term expression rather
+    // than an `aggregate` HOF: higher-order functions drop out of
+    // whole-stage codegen into interpreted eval, which would make the hot
+    // scan pay lambda dispatch per pair. Left-to-right + is the same
+    // summation order as the fold (bitwise-identical, starting from the
+    // first term instead of +0.0 — adding 0.0 to a finite double is
+    // exact).
+    val adcTerms = (0 until m).map(j =>
+      s"element_at(element_at(dts, ${j + 1}), element_at(codes, ${j + 1}) + 1)")
+      .mkString(" + ")
+    val scored = broadcast(q).crossJoin(codes)
       // negate so the shared (score DESC, id ASC) top-k aggregator ranks
       // by distance ASC; negation of a finite double is exact.
-      .withColumn("cos", expr(
-        s"""-aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
-           |  (acc, j) -> acc + ${l2sqSql("qe",
-               "element_at(cbs, element_at(codes, j+1)+1)._2", s"j*$sd", sd)})""".stripMargin))
+      .withColumn("cos", expr(s"-($adcTerms)"))
       .select(col("q_id"), col("vec_id").as("c_id"), col("cos"))
     rankTopK(scored, k)
       .select(col("q_id"), col("rank"), col("neighbor_id"),
