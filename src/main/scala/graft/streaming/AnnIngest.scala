@@ -96,4 +96,33 @@ object AnnIngest {
       onBatch(Ann.semanticFlagAgainst(q, st.assigned, st.centroids, st.threshold),
         st.version, batchId)
     }, checkpoint)
+
+  /** One corpus version's staged PQ code relation plus the (driver-small)
+    * codebook it was encoded under — [[Ann.pqCodes]] output. */
+  final case class CorpusPqIndex(codes: DataFrame, codebook: DataFrame,
+                                 m: Int, version: Long)
+
+  /** Encode and stage the corpus PQ codes ONCE (per corpus version). */
+  def buildPqIndex(corpus: DataFrame, codebook: DataFrame, m: Int = 8,
+                   version: Long = 0L): CorpusPqIndex =
+    CorpusPqIndex(
+      graft.sources.Tables.stage(Ann.pqCodes(corpus, codebook, m)),
+      codebook, m, version)
+
+  /** Per-batch PQ retrieval against the pre-encoded corpus
+    * ([[Ann.pqTopKAgainstCodes]]): each micro-batch's vectors get their
+    * ADC top-k over the staged code relation — the corpus embeddings are
+    * never read at probe time, only m small ints per row. Same rotation
+    * contract as [[start]]. */
+  def startPqGate(stream: Stream, state: AtomicReference[CorpusPqIndex],
+                  idCol: String, embCol: String, k: Int,
+                  checkpoint: Option[String] = None)(
+                  onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      val q = batch.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("embedding"))
+      onBatch(Ann.pqTopKAgainstCodes(q, st.codes, st.codebook, k, st.m),
+        st.version, batchId)
+    }, checkpoint)
 }

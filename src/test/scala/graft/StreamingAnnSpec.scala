@@ -167,4 +167,72 @@ class StreamingAnnSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus side must not shuffle for the join:\n${plan.take(2000)}")
   }
+
+  test("startPqGate: per-batch ADC top-k ≡ batch pqTopK; staged once; rotation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val e = Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.filter(col("id") >= 10)
+      val queries = e.filter(col("id") < 10)
+      val cb = e.filter(col("id") >= 10 && col("id") < 26)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        AnnIngest.buildPqIndex(corpus, cb, m = 8))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"PQ index = one staged code relation, got $stageDirs")
+
+      // batch-mode truth: the all-in-one operator on the same inputs.
+      val expected = Ann.pqTopK(queries, corpus, cb, k = 5, m = 8)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no neighbors — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = AnnIngest.startPqGate(s, state, "value.vec_id", "value.embedding", k = 5) {
+        (topk, version, _) =>
+          versions += version
+          got ++= topk.as[(Long, Int, Long, Double)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("id").as("vec_id"), col("embedding"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(queries.filter(col("id") < 5))
+      send(queries.filter(col("id") >= 5))
+      assert(got.toSet == expected,
+        s"streamed PQ top-k diverges from batch operator:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+
+      // ROTATE: v1 corpus gains a CLONE of query 0 under a new id. The
+      // clone's codes are query 0's own quantization, so its ADC against
+      // query 0 is the MINIMUM possible (every subspace term is the
+      // codebook minimum) — it must surface in query 0's top-k.
+      val planted = queries.filter(col("id") === 0)
+        .select(lit(99999L).as("id"), col("embedding"))
+      state.set(AnnIngest.buildPqIndex(corpus.unionByName(planted), cb,
+        m = 8, version = 1L))
+      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      got.clear()
+      send(queries)
+      assert(got.exists(r => r._1 == 0L && r._3 == 99999L),
+        s"post-rotation top-k of query 0 must surface its planted clone: " +
+          got.filter(_._1 == 0L).toString)
+      assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
+      assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
