@@ -57,6 +57,22 @@ object Scratch {
         isTarget = col("lang") === "en").count())
     println(f"| importance scores | 4096 buckets | $nIw | $tIw%.2f |")
 
+    // ---- importance gate: build-once cost + per-batch probe cost (the
+    // ScoreIngest steady state: map-side batch projection + broadcast
+    // weights join; corpus untouched).
+    val (w, tW) = timed {
+      val w0 = graft.streaming.ScoreIngest.buildWeights(
+        fanOut(documents(spark, d)), "doc_id", "text",
+        isTarget = col("lang") === "en")
+      w0.weights.count(); w0
+    }
+    println(f"| importance gate: buildWeights (once/version) | 4096 buckets | ${w.weights.count()} | $tW%.2f |")
+    val batch = documents(spark, d).filter(col("doc_id") % 5 === 0).limit(1000)
+    val (nB, tB) = timed(graft.operators.Ranking.scoreAgainstWeights(
+      graft.operators.Ranking.importanceRelation(batch, "doc_id", "text",
+        lit(false)), w.weights).count())
+    println(f"| importance gate: per-batch probe | 1000-doc batch | $nB | $tB%.2f |")
+
     // ---- PQ: encode cost, then ADC scan vs the brute scans.
     val e = embeddings(spark, d).select(col("vec_id").as("id"), col("embedding"))
     val q = e.filter(col("id") < 50)
