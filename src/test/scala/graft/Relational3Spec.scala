@@ -70,4 +70,37 @@ class Relational3Spec extends SparkSpec {
     assert(!p.contains("Window"), s"rank window found:\n$p")
     assert(p.contains("partial_"), s"no map-side partial min-k:\n$p")
   }
+
+  test("retention cohort matches a hand-computed matrix; no raw-event shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // users: 1 starts week 0, active 0/1/3; 2 starts week 1, active 1/2;
+    // 3 starts week 0, active 0 only (plus a same-week duplicate event).
+    val wk = 604800L
+    val rows = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 0L), (3L, 0L)).map { case (u, w) =>
+      (u, new java.sql.Timestamp(w * wk * 1000L + 1000L))
+    }
+    rows.toDF("user_id", "ts").createOrReplaceTempView("__ret_events")
+    val got = spark.table("__ret_events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 604800L").as("week"))
+      .groupBy(col("user_id")).agg(collect_set(col("week")).as("__weeks"))
+      .select(explode(col("__weeks")).as("week"),
+        array_min(col("__weeks")).as("cohort"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L),  // users 1 and 3 in their first week
+      (0L, 1L, 1L), (0L, 3L, 1L),  // user 1 retained at +1 and +3
+      (1L, 0L, 1L), (1L, 1L, 1L)), // user 2's cohort
+      s"retention matrix: $got")
+    // plan claim: raw events cross no shuffle (set-aggregated per user
+    // map-side first); two hash exchanges total (user agg + final agg).
+    val p = plan("q_retention_cohort")
+    assert(hashExchanges(p) == 2, s"expected 2 hash exchanges:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
 }
