@@ -210,6 +210,58 @@ object Quality {
              COALESCE(k.kept_tokens, 0) AS kept_tokens
       FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""")),
 
+    // ------------------------------------------- training-mix manifest
+    // The step that ASSEMBLES a mix: per-source quotas from the same
+    // α = 0.5 temperature weights x_source_temperature rates with
+    // (quota_s = floor(n_docs_s · sqrt(min_tokens / n_tokens_s)) — sqrt
+    // is correctly-rounded in both engines), then the quota_s
+    // smallest-md5 documents per source — an append-stable, engine-free
+    // manifest a writer partitions by. Spark side selects via the typed
+    // min-k aggregator (map-side k-buffers — no rank window over the
+    // low-cardinality source key, the PlanSanitySpec lint); the max
+    // quota bound for the buffers comes from the by-contract-tiny
+    // per-source stats relation (one driver row per source). The oracle
+    // is the window restatement.
+    Q("x_mix_manifest", (s, d) => {
+      val tok = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("size(split(lower(text), ' '))").cast("long").as("n_tok"))
+      val per = graft.sources.Tables.stage(tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
+      val quotas = per
+        .join(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
+        .select(col("source"), expr(
+          "CAST(floor(n_docs * sqrt(CAST(min_tokens AS DOUBLE) / n_tokens)) AS BIGINT)")
+          .as("quota"))
+      val kMax = quotas.agg(max(col("quota"))).head().getLong(0).toInt
+      val mink = org.apache.spark.sql.functions.udaf(
+        new graft.operators.Sampling.MinKByHash(math.max(kMax, 1)),
+        org.apache.spark.sql.Encoders.product[graft.operators.Sampling.HashedId])
+      tok
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .groupBy(col("source"))
+        .agg(mink(col("__h"), col("doc_id")).as("__top"))
+        .select(col("source"), posexplode(col("__top.items.id")))
+        .join(broadcast(quotas), "source")
+        .filter(col("pos") < col("quota"))
+        .select(col("source"), col("col").as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }, Some(s"""
+      WITH tok AS (SELECT source, doc_id FROM documents),
+      per AS (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(len($duckToks)) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+      mn AS (SELECT MIN(n_tokens) AS min_tokens FROM per),
+      q AS (SELECT source,
+                   CAST(floor(n_docs * sqrt(CAST(min_tokens AS DOUBLE) / n_tokens)) AS BIGINT) AS quota
+            FROM per CROSS JOIN mn),
+      r AS (SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM tok)
+      SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+      WHERE r.rn <= q.quota ORDER BY r.source, r.doc_id""")),
+
     // --------------------------------------- Gopher repetition filters
     // The n-gram repetition signals Gopher/MassiveText gate on: fraction
     // of characters covered by the most frequent 2-gram and by ALL
