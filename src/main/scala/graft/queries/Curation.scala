@@ -178,7 +178,7 @@ object Curation {
              FROM ex e JOIN w USING (bk)
              GROUP BY e.doc_id)
       SELECT doc_id, raw, n_tokens, raw // n_tokens AS avg_w
-      FROM sc ORDER BY doc_id""")),
+      FROM sc ORDER BY doc_id"""), headline = true),
 
     // --------------------------- importance scoring gate (ingest variant)
     // The streaming-gate shape (streaming.ScoreIngest drives it per

@@ -392,7 +392,7 @@ object Dedup {
       SELECT v.doc_id AS node,
              COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
       FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
-      ORDER BY node""")),
+      ORDER BY node"""), headline = true),
 
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,
