@@ -64,9 +64,24 @@ object AnnIngest {
         st.version, batchId)
     }, checkpoint)
 
+  /** Materialize a (id, embedding) relation to a DRIVER-LOCAL relation
+    * (LocalTableScan). Gate state holds centroid/codebook relations that
+    * every micro-batch re-collects into a plan literal — left as a view
+    * over the source, that collect re-runs the source scan per batch;
+    * localized once at build time it reads driver memory. By-contract
+    * tiny (centroids/codebook, not the corpus). */
+  private def localized(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val rows = df.select(col("id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    import s.implicits._
+    rows.toDF("id", "embedding")
+  }
+
   /** One corpus version's staged SEMANTIC index: the
-    * [[Ann.assignToCentroids]] output plus the (driver-small) centroid
-    * relation and threshold it was built under. */
+    * [[Ann.assignToCentroids]] output plus the (driver-small, LOCALIZED)
+    * centroid relation and threshold it was built under. */
   final case class CorpusSemanticIndex(assigned: DataFrame, centroids: DataFrame,
                                        threshold: Double, version: Long)
 
@@ -78,7 +93,7 @@ object AnnIngest {
                          threshold: Double, version: Long = 0L): CorpusSemanticIndex =
     CorpusSemanticIndex(
       graft.sources.Tables.stage(Ann.assignToCentroids(corpus, centroids)),
-      centroids, threshold, version)
+      localized(centroids), threshold, version)
 
   /** Per-batch SemDeDup-against-the-corpus gate ([[Ann.semanticFlagAgainst]]):
     * `onBatch` receives (vec_id, cent_id, n_similar, witness_id) for every
@@ -107,7 +122,7 @@ object AnnIngest {
                    version: Long = 0L): CorpusPqIndex =
     CorpusPqIndex(
       graft.sources.Tables.stage(Ann.pqCodes(corpus, codebook, m)),
-      codebook, m, version)
+      localized(codebook), m, version)
 
   /** Per-batch PQ retrieval against the pre-encoded corpus
     * ([[Ann.pqTopKAgainstCodes]]): each micro-batch's vectors get their
