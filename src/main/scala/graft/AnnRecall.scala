@@ -82,7 +82,28 @@ object AnnRecall {
       val (approx, sec) = timed(stage(Ann.pqTopK(queries, corpus, codebook, k, m)))
       val r = Ann.meanRecall(approx, exactL2)
       val bytes = m * (31 - Integer.numberOfLeadingZeros(cb)) / 8.0
-      println(f"| pq | m=$m cb=$cb | $r%.3f | $bytes%.0f | ${bytes / 256.0}%.3f | $sec%.1f |")
+      // %.1f: sub-byte-aligned configs (e.g. m=4, cb=8 → 1.5 B) must not
+      // round up and misstate the compression ratio.
+      println(f"| pq | m=$m cb=$cb | $r%.3f | $bytes%.1f | ${bytes / 256.0}%.3f | $sec%.1f |")
+    }
+
+    // ---- IVFADC (the x_ann_ivfpq regime): IVF pruning × residual-PQ
+    // codes — ADC runs only over probed cells, so unlike plain PQ the
+    // cost axis is the FRACTION OF CODES SCANNED (plain ADC always scans
+    // 1.0). The codebook is trained on RESIDUALS (cluster offset removed
+    // → the same budget quantizes tighter); baseline is exact L2, same as
+    // plain PQ.
+    println(s"| path | params | recall@$k | codes scanned | vs all codes | sec |")
+    println(s"|---|---|---|---|---|---|")
+    for ((nc, np) <- Seq((8, 1), (8, 2), (16, 2), (16, 4))) {
+      val cents = Ann.trainCentroids(corpus, nc)
+      val codebook = Ann.trainCentroids(Ann.residualRelation(corpus, cents), 64)
+      val (approx, sec) = timed(stage(
+        Ann.ivfPqTopK(queries, corpus, cents, codebook, k, np, m = 8)))
+      val r = Ann.meanRecall(approx, exactL2)
+      val scanned = ivfScoredPairs(queries, corpus, cents, np)
+      println(f"| ivfpq | cents=$nc nprobe=$np m=8 cb=64 | $r%.3f | $scanned " +
+        f"| ${scanned / exhaustive}%.3f | $sec%.1f |")
     }
 
     // ---- embedding SELF-dedup pair recall (the x_dedup_embedding_lsh

@@ -576,15 +576,145 @@ object Ann {
     val kk = cents.size
     vectors.select(col("id").as("vec_id"), col("embedding"))
       .withColumn("cbs", typedlit(cents))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), j ->
-           |  aggregate(
-           |    transform(sequence(0, ${kk - 1}), c ->
-           |      named_struct('pos', c,
-           |        'd', ${l2sqSql("embedding", "element_at(cbs, c+1)._2", s"j*$sd", sd)})),
-           |    named_struct('pos', -1, 'd', CAST('Infinity' AS DOUBLE)),
-           |    (acc, x) -> IF(x.d < acc.d, x, acc)).pos)""".stripMargin))
+      .withColumn("codes", expr(pqEncodeSql("embedding", m, kk, sd)))
       .select(col("vec_id"), col("codes"))
+  }
+
+  /** The per-row PQ encode expression over a broadcast codebook literal in
+    * column `cbs`: per subspace j, the position of the nearest codebook
+    * slice (squared-L2, ties to the smaller position) — shared by
+    * [[pqCodes]] (raw vectors) and [[ivfPqCodes]] (residuals). */
+  private def pqEncodeSql(vecCol: String, m: Int, kk: Int, sd: Int): String =
+    s"""transform(sequence(0, ${m - 1}), j ->
+       |  aggregate(
+       |    transform(sequence(0, ${kk - 1}), c ->
+       |      named_struct('pos', c,
+       |        'd', ${l2sqSql(vecCol, "element_at(cbs, c+1)._2", s"j*$sd", sd)})),
+       |    named_struct('pos', -1, 'd', CAST('Infinity' AS DOUBLE)),
+       |    (acc, x) -> IF(x.d < acc.d, x, acc)).pos)""".stripMargin
+
+  /** The assigned centroid's vector, looked up by `cent_id` in the
+    * broadcast literal in column `cents` — a ≤|centroids| scan once per
+    * row, never a join. */
+  private val centVecSql =
+    "element_at(filter(cents, c3 -> c3._1 = cent_id), 1)._2"
+
+  /** Residual (vector − assigned centroid) as array<double>: per-dim exact
+    * IEEE double subtraction, so any engine reproduces it bitwise. `cvec`
+    * must hold the assigned centroid's vector ([[centVecSql]]). */
+  private def residualSql(vecCol: String, dim: Int): String =
+    s"""transform(sequence(1, $dim), i3 ->
+       |  CAST(element_at($vecCol, i3) AS DOUBLE)
+       |  - CAST(element_at(cvec, i3) AS DOUBLE))""".stripMargin
+
+  /** IVFADC encode (Jégou, Douze & Schmid, TPAMI 2011 §V): assign each
+    * corpus vector to its nearest centroid ([[assignToCentroids]]) and
+    * product-quantize the RESIDUAL (vector − centroid) against `codebook`
+    * — residuals concentrate around 0 once the cluster offset is removed,
+    * so the same codebook budget quantizes far more accurately than coding
+    * raw vectors (measured in graft.AnnRecall). The output carries the
+    * cell id, which is the whole point: an ADC scan joins on `cent_id` and
+    * prices only the probed lists ([[ivfPqTopKAgainstCodes]]).
+    *
+    * Pure shuffle-free projection over broadcast centroid/codebook
+    * literals — the corpus never moves to be encoded. In production the
+    * output is written PARTITIONED BY cent_id, so probe-time partition
+    * pruning skips unprobed lists at the scan. Codebook semantics match
+    * [[pqCodes]] (full vectors whose slices form per-subspace codebooks;
+    * train on [[residualRelation]] output). Output: (vec_id, cent_id,
+    * codes array<int> of length `m`). */
+  def ivfPqCodes(corpus: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame, m: Int = 8): DataFrame = {
+    val cb = collectCentroids(codebook)
+    require(cb.nonEmpty, "codebook has no vectors")
+    val dim = cb.head._2.size
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    val kk = cb.size
+    assignToCentroids(corpus, centroids)
+      .withColumn("cents", centroidLiteral(centroids))
+      .withColumn("cvec", expr(centVecSql))
+      .withColumn("res", expr(residualSql("embedding", dim)))
+      .withColumn("cbs", typedlit(cb))
+      .withColumn("codes", expr(pqEncodeSql("res", m, kk, sd)))
+      .select(col("vec_id"), col("cent_id"), col("codes"))
+  }
+
+  /** Residual vectors (float) for codebook training: (id, embedding) where
+    * embedding = vector − its assigned centroid, narrowed back to float so
+    * [[trainCentroids]] consumes it directly. Training-side only — the
+    * exact-double residual the encode/ADC paths share is recomputed there. */
+  def residualRelation(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(vectors, centroids)
+      .withColumn("cents", centroidLiteral(centroids))
+      .withColumn("cvec", expr(centVecSql))
+      .select(col("vec_id").as("id"),
+        expr("""zip_with(embedding, cvec, (x3, y3) ->
+               |  CAST(CAST(x3 AS DOUBLE) - CAST(y3 AS DOUBLE) AS FLOAT))""".stripMargin)
+          .as("embedding"))
+
+  /** IVFADC serving: IVF pruning composed with residual-PQ ADC — each
+    * query probes its `nprobe` nearest cells ([[ivfProbes]]) and
+    * ADC-scans ONLY those cells' codes, so the scored volume is
+    * ~nprobe/|centroids| of the code relation instead of all of it (the
+    * composition [[pqTopKAgainstCodes]]' whitelisted full scan lacks).
+    * Encodes the corpus inline; the production split is
+    * [[ivfPqTopKAgainstCodes]] over staged [[ivfPqCodes]] output. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, k: Int, nprobe: Int = 2,
+                m: Int = 8): DataFrame =
+    ivfPqTopKAgainstCodes(queries, ivfPqCodes(corpus, centroids, codebook, m),
+      centroids, codebook, k, nprobe, m)
+
+  /** [[ivfPqTopK]] against a PRE-ENCODED (vec_id, cent_id, codes) relation
+    * ([[ivfPqCodes]] under the SAME centroids/codebook/`m` — encode once
+    * per corpus version, probe many).
+    *
+    * Plan shape: the probe side carries, per (query, probed cell), the
+    * ADC lookup table for the QUERY'S RESIDUAL in that cell (r_q = q −
+    * centroid; both the LUT fold and the per-dim subtraction are ordered
+    * double arithmetic — bitwise-portable). That whole relation is
+    * nq·nprobe rows and BROADCASTS onto an equi-join with the codes
+    * relation on cent_id — a BroadcastHashJoin, never a cartesian: a code
+    * row outside every probed cell is dropped by the hash probe before
+    * any ADC arithmetic runs, and when the codes relation is stored
+    * partitioned by cent_id the caller can additionally pre-filter to
+    * `cent_id IN (probed cells)` (a by-contract-tiny driver list) so
+    * partition pruning skips unprobed lists at the scan itself. The
+    * per-pair sum is the same unrolled static m-term expression as
+    * [[pqTopKAgainstCodes]] (HOFs run interpreted — kept out of the hot
+    * path). Output: (q_id, rank, neighbor_id, adc), rank by (adc ASC,
+    * id ASC). */
+  def ivfPqTopKAgainstCodes(queries: DataFrame, codes: DataFrame,
+                            centroids: DataFrame, codebook: DataFrame,
+                            k: Int, nprobe: Int = 2, m: Int = 8): DataFrame = {
+    val cb = collectCentroids(codebook)
+    require(cb.nonEmpty, "codebook has no vectors")
+    val dim = cb.head._2.size
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    val kk = cb.size
+    val lut = ivfProbes(queries, centroids, nprobe)
+      .withColumn("cents", centroidLiteral(centroids))
+      .withColumn("cvec", expr(centVecSql))
+      .withColumn("qr", expr(residualSql("qe", dim)))
+      .withColumn("cbs", typedlit(cb))
+      .withColumn("dts", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  transform(sequence(0, ${kk - 1}), c ->
+           |    ${l2sqSql("qr", "element_at(cbs, c+1)._2", s"j*$sd", sd)}))""".stripMargin))
+      .select(col("q_id"), col("cent_id"), col("dts"))
+    val adcTerms = (0 until m).map(j =>
+      s"element_at(element_at(dts, ${j + 1}), element_at(codes, ${j + 1}) + 1)")
+      .mkString(" + ")
+    val scored = broadcast(lut).join(codes, Seq("cent_id"))
+      // negate so the shared (score DESC, id ASC) top-k aggregator ranks
+      // by distance ASC; negation of a finite double is exact.
+      .withColumn("cos", expr(s"-($adcTerms)"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cos"))
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("adc"))
   }
 
   /** PQ top-`k` by asymmetric distance (ADC): corpus vectors are encoded

@@ -317,6 +317,89 @@ object Similarity {
       SELECT q_id, rank, neighbor_id, adc FROM rk WHERE rank <= 10
       ORDER BY q_id, rank""")),
 
+    // ----------------------------------------------- IVFADC (IVF × PQ)
+    // graft.operators.Ann.ivfPqTopK — the Jégou et al. §V composition:
+    // corpus codes carry their IVF cell id and quantize the RESIDUAL
+    // (vector − centroid); a query ADC-scans ONLY its nprobe probed
+    // cells, so the scored volume is nprobe/|centroids| of the code
+    // relation (x_ann_pq's full-relation scan is the whitelisted ADC
+    // baseline; THIS is the serving shape). The probe join is a broadcast
+    // equi-join on cent_id — no cartesian anywhere in the plan. Every
+    // distance is an ordered double fold over exact residuals, so ADC
+    // values match DuckDB bitwise. Deterministic stand-ins: centroids =
+    // corpus vectors 10..17 (as x_ann_ivf), codebook = vectors 0..7 (as
+    // x_ann_pq); production trains both offline (Ann.trainCentroids over
+    // Ann.residualRelation for the codebook).
+    Q("x_ann_ivfpq", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann.ivfPqTopK(
+        queries = e.filter(col("id") < 5),
+        corpus = fanOut(e.filter(col("id") >= 10)),
+        centroids = e.filter(col("id") >= 10 && col("id") < 18),
+        codebook = e.filter(col("id") < 8),
+        k = 10, nprobe = 2, m = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id >= 10 AND vec_id < 18),
+      cb AS (SELECT vec_id AS pos, embedding AS cbe
+             FROM embeddings WHERE vec_id < 8),
+      cbl AS (SELECT list(cbe ORDER BY pos) AS cbs FROM cb),
+      assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+          SELECT v.vec_id, v.embedding, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS crn
+          FROM e v CROSS JOIN cents c WHERE v.vec_id >= 10)
+        WHERE crn = 1),
+      resid AS (
+        SELECT a.vec_id, a.cent_id,
+               list_transform(range(1, 65), i3 ->
+                 CAST(a.embedding[i3] AS DOUBLE) - CAST(c.ce[i3] AS DOUBLE)) AS res
+        FROM assigned a JOIN cents c ON a.cent_id = c.cent_id),
+      js AS (SELECT unnest(range(0, 8)) AS j),
+      cd AS (
+        SELECT vec_id, cent_id, j, pos FROM (
+          SELECT r.vec_id, r.cent_id, js.j, c.pos,
+                 ROW_NUMBER() OVER (PARTITION BY r.vec_id, js.j
+                   ORDER BY ${duckL2("r.res", "c.cbe", "js.j*8", 8)} ASC,
+                            c.pos ASC) AS rn
+          FROM resid r CROSS JOIN js CROSS JOIN cb c)
+        WHERE rn = 1),
+      ca AS (SELECT vec_id, cent_id, list(pos ORDER BY j) AS codes
+             FROM cd GROUP BY vec_id, cent_id),
+      probes AS (
+        SELECT q_id, qe, cent_id FROM (
+          SELECT q.vec_id AS q_id, q.embedding AS qe, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.ce")} / (q.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS prn
+          FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
+        WHERE prn <= 2),
+      qres AS (
+        SELECT p.q_id, p.cent_id,
+               list_transform(range(1, 65), i3 ->
+                 CAST(p.qe[i3] AS DOUBLE) - CAST(c.ce[i3] AS DOUBLE)) AS qr
+        FROM probes p JOIN cents c ON p.cent_id = c.cent_id),
+      adc AS (
+        SELECT qr.q_id, ca.vec_id AS neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(0, 8), j ->
+                   ${duckL2("qr.qr", "cbl.cbs[ca.codes[j+1]+1]", "j*8", 8)})),
+                 (acc, v) -> acc + v) AS adc
+        FROM qres qr JOIN ca ON qr.cent_id = ca.cent_id CROSS JOIN cbl),
+      rk AS (SELECT q_id, neighbor_id, adc,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY adc ASC, neighbor_id ASC) AS rank
+             FROM adc)
+      SELECT q_id, rank, neighbor_id, adc FROM rk WHERE rank <= 10
+      ORDER BY q_id, rank""")),
+
     // ---------------------------------------- embedding quantize/normalize
     // Int8 symmetric quantization (q = floor(x/maxabs·127 + 0.5)) plus the
     // L2 norm — the storage-shrink stage before ANN indexing (4 B float →

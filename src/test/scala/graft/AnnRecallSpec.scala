@@ -155,6 +155,33 @@ class AnnRecallSpec extends SparkSpec {
       s"recall not improving with m: $recalls")
   }
 
+  test("clustered corpus: IVFADC beats plain ADC while scanning a fraction of the codes") {
+    // the x_ann_ivfpq composition: same exact-L2 baseline and clustered
+    // regime as the plain-PQ test, both codebooks TRAINED (plain on raw
+    // vectors, IVFADC on residuals — the Jégou residual claim is exactly
+    // that the latter quantizes tighter at equal budget), same m/cb. Two
+    // pins: (a) recall does not drop vs the full-scan ADC baseline even
+    // though only nprobe/cents of the codes are scored; (b) the probed
+    // volume really is a fraction (the pruning is real, not a no-op).
+    val e = clustered(584)
+    val q = e.filter(col("id") < 20 && col("id") >= 10)
+    val c = e.filter(col("id") >= 20 && col("id") < 520)
+    val exact = Ann.bruteTopKL2(q, c, k = 10)
+    val cents = Ann.trainCentroids(c, k = 10)
+    val cbRaw = Ann.trainCentroids(c, 64)
+    val cbRes = Ann.trainCentroids(Ann.residualRelation(c, cents), 64)
+    val rPlain = Ann.meanRecall(Ann.pqTopK(q, c, cbRaw, k = 10, m = 16), exact)
+    val rIvf = Ann.meanRecall(
+      Ann.ivfPqTopK(q, c, cents, cbRes, k = 10, nprobe = 2, m = 16), exact)
+    assert(rIvf >= rPlain,
+      f"IVFADC recall $rIvf%.3f fell below plain ADC $rPlain%.3f — residual coding should dominate")
+    assert(rIvf >= 0.5, f"IVFADC recall@10: $rIvf%.3f < 0.5")
+    val scanned = AnnRecall.ivfScoredPairs(q, c, cents, nprobe = 2)
+    val exhaustive = 10L * 500L
+    assert(scanned <= (exhaustive * 2) / 5,
+      s"IVFADC scored $scanned of $exhaustive codes — probing did not prune")
+  }
+
   test("recallAtK: missed queries appear with recall 0") {
     val exact = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8),
       (2L, 1L, 12L, 0.7)).toDF("q_id", "rank", "neighbor_id", "cos")

@@ -168,6 +168,20 @@ class PlanSanitySpec extends SparkSpec {
     }
   }
 
+  test("x_ann_ivfpq probes via broadcast equi-join — no cartesian, codes never shuffle") {
+    // the whole point of the composition: the probe LUT broadcasts onto a
+    // hash join on cent_id, replacing x_ann_pq's whitelisted crossJoin. A
+    // CartesianProduct or a codes-side Exchange here means the pruning
+    // regressed to a full-scan ADC.
+    val q = SparkEntry.registry.find(_.name == "x_ann_ivfpq").get
+    val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"),
+      s"x_ann_ivfpq regressed to a cartesian ADC scan:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"codes relation shuffled into an SMJ:\n${plan.take(1500)}")
+  }
+
   test("x_cc_components joins components as broadcast (vertex corpus never shuffles)") {
     val q = SparkEntry.registry.find(_.name == "x_cc_components").get
     val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
