@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic subword (wordpiece) tokenization over a FROZEN vocab —
+  * greedy longest-match, the Wu et al. 2016 / BERT convention: a vocab
+  * entry is either an initial piece (`abc`) or a continuation piece
+  * (`##bc`); each word is consumed left-to-right, at every position the
+  * LONGEST vocab entry of the right class that matches wins, and a word
+  * with no match at some position tokenizes to the single `[UNK]` piece.
+  *
+  * Why it exists here: every token-level operator in a training pipeline
+  * (packing budgets, token counts, length gates) should budget by what the
+  * MODEL'S tokenizer will produce, not by whitespace words — a
+  * whitespace-packed 1024-"token" sequence can blow a 1024-subword model
+  * context. The vocab is a frozen artifact (trained offline, shipped with
+  * the model); the operator takes it as a plain `Seq[String]`.
+  *
+  * Scale design — tokenize the DICTIONARY, not the corpus:
+  *  - the greedy fold runs once per DISTINCT word ([[wordpieceTable]] —
+  *    corpus word counts follow Zipf, so distinct words are orders of
+  *    magnitude fewer than occurrences), and per-document counts come from
+  *    the map-side (doc, token, tf) run-length projection
+  *    ([[Ranking.termFrequencies]]) broadcast-joined against that table —
+  *    the corpus text is scanned once and never re-tokenized per
+  *    occurrence;
+  *  - the vocab rides the plan as a broadcast literal (`typedlit`), like
+  *    the ANN centroid/codebook literals — no join to look up pieces;
+  *  - the fold itself is a bounded higher-order expression (≤ |word|
+  *    steps, each a filter over the vocab literal): HOFs evaluate
+  *    interpreted, which is exactly why the fold is confined to the
+  *    distinct-word relation instead of the corpus-sized hot path.
+  *
+  * Determinism: pure string/integer operations, no hashing, no floats —
+  * a SQL twin replays it exactly (greedy ties are impossible: two
+  * same-length pieces matching the same position would be the same
+  * string). Contract: vocab pieces are non-empty after stripping `##`,
+  * and corpus words contain no `#` (the convention's escape hatch — same
+  * contract as the published wordpiece vocabularies).
+  */
+object Subword {
+
+  /** The greedy longest-match fold as one SQL expression over `wordCol`
+    * (a non-empty word) and `vocabCol` (the vocab as an array<string>
+    * literal — attach with `typedlit`). Result: struct(pos, pieces,
+    * unk) — `pieces` in display form (`##`-prefixed continuations), `unk`
+    * true iff some position had no match.
+    *
+    * Shape notes: the inner `aggregate(array(best), acc, …)` is a
+    * let-binding (fold over a one-element array), so the best-match
+    * reduction is evaluated once per step instead of three times; lambda
+    * variables are suffixed (p4/a6/v6/a7/b7/s9) so the expression nests
+    * without shadowing — the same discipline as Ann.l2sqSql. */
+  def wordpieceFoldSql(wordCol: String, vocabCol: String): String = {
+    val best =
+      s"""aggregate(
+         |  filter($vocabCol, p4 ->
+         |    IF(acc.pos > 1, substring(p4, 1, 2) = '##', substring(p4, 1, 2) != '##')
+         |    AND substring($wordCol, acc.pos, length(p4) - IF(acc.pos > 1, 2, 0))
+         |        = IF(acc.pos > 1, substring(p4, 3), p4)),
+         |  '', (a6, v6) -> IF(length(v6) > length(a6), v6, a6))""".stripMargin
+    s"""aggregate(sequence(1, length($wordCol)),
+       |  named_struct('pos', 1, 'pieces', array_repeat('', 0), 'unk', false),
+       |  (acc, s9) -> IF(acc.unk OR acc.pos > length($wordCol), acc,
+       |    aggregate(array($best), acc, (a7, b7) -> IF(b7 = '',
+       |      named_struct('pos', a7.pos, 'pieces', a7.pieces, 'unk', true),
+       |      named_struct('pos', a7.pos + length(b7) - IF(a7.pos > 1, 2, 0),
+       |        'pieces', concat(a7.pieces, array(b7)), 'unk', false)))))""".stripMargin
+  }
+
+  /** Tokenize a DISTINCT-word relation (column `word`, non-empty) against
+    * the frozen vocab. Output: (word, pieces — space-joined display form
+    * or '[UNK]', n_pieces, is_unk). This is the dictionary table the
+    * corpus-sized paths broadcast-join against. */
+  def wordpieceTable(words: DataFrame, vocab: Seq[String]): DataFrame =
+    words
+      .withColumn("__v", typedlit(vocab))
+      .withColumn("__st", expr(wordpieceFoldSql("word", "__v")))
+      .select(col("word"),
+        expr("IF(__st.unk, '[UNK]', array_join(__st.pieces, ' '))").as("pieces"),
+        expr("IF(__st.unk, 1, size(__st.pieces))").cast("long").as("n_pieces"),
+        col("__st.unk").as("is_unk"))
+
+  /** Per-document subword statistics: (doc_id, n_words, n_subwords,
+    * n_unk_words). One corpus scan: the staged termFrequencies projection
+    * feeds BOTH the distinct-word relation the fold runs on and the
+    * per-document aggregate (an unstaged plan would re-run the tokenize
+    * scan chain per consumer — the same discipline as tfidf's staged tf);
+    * the wordpiece table broadcasts onto the tf join, so corpus-sized
+    * rows never shuffle on the skewed token key. */
+  def docSubwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Seq[String]): DataFrame = {
+    val tf = graft.sources.Tables.stage(
+      Ranking.termFrequencies(docs, idCol, textCol))
+    val wp = wordpieceTable(
+      tf.select(col("token").as("word")).distinct(), vocab)
+    tf.join(broadcast(wp), tf("token") === wp("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_pieces")).as("n_subwords"),
+        sum(col("tf") * col("is_unk").cast("long")).as("n_unk_words"))
+  }
+
+  /** Token-budget packing where the budget is SUBWORDS, not whitespace
+    * words — the variant that matches what a model tokenizer will charge
+    * (`[UNK]` counts 1, multi-piece words count their pieces). Same
+    * greedy sequential bin assignment as Curation.packSequences: shard =
+    * doc_id % `shards` (the output-file parallelism), bin = running
+    * subword count before me div `budget`, cumulative sum integer-exact
+    * in doc_id order. Output: (shard, bin, n_docs, subwords). */
+  def packBySubwords(docs: DataFrame, shards: Int, budgetSubwords: Int,
+                     vocab: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docSubwordCounts(docs, "doc_id", "text", vocab)
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("cum", sum(col("n_subwords")).over(w))
+      .withColumn("bin", expr(s"(cum - n_subwords) div $budgetSubwords"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("subwords"))
+  }
+}

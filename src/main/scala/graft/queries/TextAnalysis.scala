@@ -211,6 +211,129 @@ object TextAnalysis {
              CAST(CASE WHEN md5(dec) <> md5(nfc_normalize(dec)) THEN 1 ELSE 0 END AS BIGINT) AS changed,
              md5(nfc_normalize(dec)) AS digest_norm,
              CAST(CASE WHEN nfc_normalize(dec) = pre THEN 1 ELSE 0 END AS BIGINT) AS composed
-      FROM t ORDER BY doc_id"""))
+      FROM t ORDER BY doc_id""")),
+
+    // -------------------------------------- subword (wordpiece) tokenize
+    // graft.operators.Subword: greedy longest-match wordpiece over a
+    // FROZEN vocab (the Wu et al. 2016 convention) — whole-word pieces
+    // win over prefixes, `##` continuation pieces match past position 1,
+    // no-match words collapse to [UNK]. The fixture vocab is chosen so
+    // the corpus exercises every branch: whole-word hits (table/value/
+    // scan/a/the), a multi-piece split through a prefix + continuation
+    // (window → wind ##ow, agg → a ##gg), char-level fallback over a
+    // PARTIAL alphabet, and [UNK] for words touching uncovered letters
+    // (fast/hash/key/merge/query/…). The oracle replays the identical
+    // fold in DuckDB (list_reduce over a prepended-state list), so every
+    // piece sequence is string-compared exactly. The fold runs on the
+    // DISTINCT word relation — the scale contract: tokenize the
+    // dictionary, broadcast it, never re-tokenize per occurrence.
+    Q("x_token_subword", (s, d) => {
+      val words = fanOut(documents(s, d))
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      graft.operators.Subword.wordpieceTable(words, demoVocab)
+        .orderBy(col("word"))
+    }, Some(s"""
+      ${duckWordpiecePrefix}
+      SELECT word,
+             CASE WHEN unk THEN '[UNK]'
+                  ELSE array_to_string(pieces, ' ') END AS pieces,
+             CAST(CASE WHEN unk THEN 1 ELSE len(pieces) END AS BIGINT) AS n_pieces,
+             unk AS is_unk
+      FROM fin ORDER BY word""")),
+
+    // ------------------------------------- pack by SUBWORD budget
+    // The x_pack_sequences twin with the budget in model-tokenizer
+    // subwords instead of whitespace words — what a real training mix
+    // must budget by ([UNK] charges 1, multi-piece words charge their
+    // pieces, so whitespace-packed bins can silently blow a model
+    // context). Same greedy sequential bin rule; per-doc subword counts
+    // ride the staged map-side tf projection joined against the
+    // broadcast wordpiece table — one corpus scan, no per-occurrence
+    // re-tokenization.
+    Q("x_pack_subword", (s, d) => {
+      graft.operators.Subword
+        .packBySubwords(documents(s, d), shards = 8, budgetSubwords = 1024,
+          vocab = demoVocab)
+        .orderBy(col("shard"), col("bin"))
+    }, Some(s"""
+      ${duckWordpiecePrefix},
+      np AS (
+        SELECT word,
+               CAST(CASE WHEN unk THEN 1 ELSE len(pieces) END AS BIGINT) AS n_pieces
+        FROM fin),
+      occ AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      cnt AS (
+        SELECT occ.doc_id, CAST(SUM(np.n_pieces) AS BIGINT) AS n_subwords
+        FROM occ JOIN np ON occ.word = np.word
+        GROUP BY occ.doc_id),
+      c AS (
+        SELECT doc_id % 8 AS shard, n_subwords,
+               CAST(SUM(n_subwords) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM cnt)
+      SELECT shard, CAST((cum - n_subwords) // 1024 AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(n_subwords) AS BIGINT) AS subwords
+      FROM c GROUP BY shard, bin ORDER BY shard, bin"""))
   )
+
+  /** The frozen fixture vocab for the subword queries: five whole words,
+    * one initial prefix (`wind`), two multi-char continuations (`##ow`,
+    * `##gg`), and a PARTIAL character alphabet (both forms) — partial so
+    * the corpus deterministically produces [UNK] words. A production
+    * vocab is a trained artifact loaded the same way. */
+  // defs, not vals: `all` above is initialized first and builds its oracle
+  // strings from these eagerly — a val here would still be null then.
+  private def demoVocabChars = "abcdegilnorstuw"
+  private[queries] def demoVocab: Seq[String] =
+    (Seq("table", "value", "scan", "a", "the", "wind", "##ow", "##gg") ++
+      demoVocabChars.map(_.toString) ++
+      demoVocabChars.map(c => s"##$c")).distinct
+
+  private def duckVocab: String =
+    demoVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[graft.operators.Subword.wordpieceFoldSql]] as a
+    * RECURSIVE-CTE prefix (vocab + distinct words + the greedy chain +
+    * `fin(word, pieces, unk)`): the identical algorithm, but expressed as
+    * joins because DuckDB 1.0's list_reduce corrupts a struct
+    * accumulator captured inside nested lambdas (measured: a nested
+    * lambda saw pos=3 while the outer accumulator held 2). One step per
+    * recursion level; the best match is a correlated `arg_max(piece,
+    * length)` over the non-recursive vocab (ties impossible — two
+    * same-length pieces matching one position would be equal strings);
+    * NULL best → the [UNK] terminal. */
+  private def duckWordpiecePrefix: String = {
+    val match2 =
+      """(CASE WHEN s.pos > 1 THEN substr(v2.p, 1, 2) = '##'
+        |      ELSE substr(v2.p, 1, 2) <> '##' END)
+        |AND substr(s.word, s.pos,
+        |      length(v2.p) - CASE WHEN s.pos > 1 THEN 2 ELSE 0 END)
+        |    = CASE WHEN s.pos > 1 THEN substr(v2.p, 3) ELSE v2.p END""".stripMargin
+    s"""WITH RECURSIVE vocab AS (SELECT unnest($duckVocab) AS p),
+       |w2 AS (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  WHERE word <> ''),
+       |steps AS (
+       |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, false AS unk
+       |  FROM w2
+       |  UNION ALL
+       |  SELECT t.word,
+       |         CASE WHEN t.bp IS NULL THEN t.pos
+       |              ELSE t.pos + length(t.bp)
+       |                   - CASE WHEN t.pos > 1 THEN 2 ELSE 0 END END,
+       |         CASE WHEN t.bp IS NULL THEN t.pieces
+       |              ELSE list_append(t.pieces, t.bp) END,
+       |         t.bp IS NULL
+       |  FROM (
+       |    SELECT s.word, s.pos, s.pieces,
+       |           (SELECT arg_max(v2.p, length(v2.p)) FROM vocab v2
+       |            WHERE $match2) AS bp
+       |    FROM steps s WHERE NOT s.unk AND s.pos <= length(s.word)) t),
+       |fin AS (SELECT word, pieces, unk FROM steps
+       |        WHERE unk OR pos > length(word))""".stripMargin
+  }
 }

@@ -46,7 +46,10 @@ class PlanSanitySpec extends SparkSpec {
       "x_graph_triangles",
       // Ranking.importanceScores stages the (doc, bucket, tf) projection
       // (feeds the bucket-weight aggregate AND the scoring probe).
-      "x_importance_weights")
+      "x_importance_weights",
+      // Subword.docSubwordCounts stages the tf projection (feeds the
+      // distinct-word tokenize relation AND the per-doc aggregate).
+      "x_pack_subword")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
@@ -94,7 +97,10 @@ class PlanSanitySpec extends SparkSpec {
   //    that exists precisely to keep low-card windows off raw rows).
   private val allowedLowCardWindow =
     Set("q_percentile_disc", "q_approx_quantile", "x_pack_sequences",
-      "x_quality_gate", "q_percentile_bucketed")
+      // x_pack_subword: same shard-window shape as x_pack_sequences —
+      // shards IS the packing parallelism parameter (8 only for the
+      // oracle fixture).
+      "x_quality_gate", "q_percentile_bucketed", "x_pack_subword")
   private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
     "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
     "l_linestatus", "shard", "lang", "source")

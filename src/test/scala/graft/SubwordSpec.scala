@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Subword
+
+/** Algorithm pins for the greedy longest-match wordpiece fold — crafted
+  * vocab cases the synthetic-corpus registry query can't exercise as
+  * pointedly, plus the plan shape of the corpus-sized composition. */
+class SubwordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Seq(
+    "un", "afford", "able", "##afford", "##able", "##a", "##b", "##le",
+    "a", "b", "l", "e")
+
+  private def tok(words: String*): Map[String, (String, Long, Boolean)] =
+    Subword.wordpieceTable(words.toDF("word"), vocab)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("greedy longest match: whole word beats prefix, long continuation beats short") {
+    val t = tok("able", "unaffordable", "ba")
+    // whole-word piece wins over the char pieces.
+    assert(t("able") == (("able", 1L, false)))
+    // un + ##afford + ##able: at pos 3 both ##a and ##afford match — the
+    // longest wins; at pos 9 both ##a/##able match — ##able wins.
+    assert(t("unaffordable") == (("un ##afford ##able", 3L, false)))
+    // continuation pieces only match PAST position 1: 'b' initial, then ##a.
+    assert(t("ba") == (("b ##a", 2L, false)))
+  }
+
+  test("no match at any position collapses the whole word to [UNK]") {
+    val t = tok("xyz", "ablex")
+    assert(t("xyz") == (("[UNK]", 1L, true)))
+    // prefix tokenizes fine, then 'x' has no piece → the WORD is [UNK],
+    // not a partial sequence (the wordpiece contract).
+    assert(t("ablex") == (("[UNK]", 1L, true)))
+  }
+
+  test("docSubwordCounts: per-doc sums over occurrences, one broadcast join") {
+    val docs = Seq(
+      (1L, "able able unaffordable"),
+      (2L, "xyz ba")).toDF("doc_id", "text")
+    val got = Subword.docSubwordCounts(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: 3 words, 1+1+3 subwords, 0 unk; doc 2: 2 words, 1+2, 1 unk.
+    assert(got(1L) == ((3L, 5L, 0L)))
+    assert(got(2L) == ((2L, 3L, 1L)))
+    val plan = Subword.docSubwordCounts(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"wordpiece table must broadcast onto the tf relation:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("packBySubwords bins by the subword budget, not whitespace words") {
+    // 4 docs in one shard, 3 subwords each, budget 6 → bins {0,0,1,1}.
+    val docs = Seq.tabulate(4)(i => (i.toLong * 8, "unaffordable"))
+      .toDF("doc_id", "text")
+    val got = Subword.packBySubwords(docs, shards = 8, budgetSubwords = 6, vocab)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((0L, 0L, 2L, 6L), (0L, 1L, 2L, 6L)))
+  }
+
+  test("fold is insensitive to vocab list order (longest match, not first match)") {
+    val shuffled = scala.util.Random.shuffle(vocab)
+    val a = Subword.wordpieceTable(Seq("unaffordable").toDF("word"), vocab)
+      .as[(String, String, Long, Boolean)].collect().head
+    val b = Subword.wordpieceTable(Seq("unaffordable").toDF("word"), shuffled)
+      .as[(String, String, Long, Boolean)].collect().head
+    assert(a == b)
+  }
+}
