@@ -374,13 +374,27 @@ object Ranking {
 
   /** Per-bucket fixed-point importance weights from an
     * [[importanceRelation]]: w(b) = (target_mass(b) · scale) div mass(b).
-    * ≤16^hexDigits rows — map-side combine, broadcastable. */
+    * ≤16^hexDigits rows — map-side combine, broadcastable.
+    *
+    * Headroom contract (same discipline as [[Graph.pageRank]]'s
+    * |edge nodes|·scale·17 bound): the hottest bucket's target token mass
+    * times `scale` must stay below 2^63 — Spark long multiply wraps
+    * silently. At the default scale 1e6 that allows ~9.2e12 target tokens
+    * per bucket; a 100 TB corpus concentrating more mass than that into
+    * one of the 16^hexDigits buckets needs a larger `hexDigits` (spreads
+    * mass) or a smaller `scale`. Enforced with a runtime guard below. */
   def bucketWeights(rel: DataFrame, scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"scale=$scale must be positive")
+    val maxT = Long.MaxValue / scale
     rel.groupBy(col("bk")).agg(
       sum(col("tf")).as("a"),
       sum(when(col("tgt"), col("tf")).otherwise(0L)).as("t"))
-      .select(col("bk"), expr(s"(t * ${scale}L) div a").as("w"))
+      .select(col("bk"), expr(
+        s"""if(t > ${maxT}L,
+           |   raise_error(concat('bucketWeights overflow: bucket ', bk,
+           |     ' target mass ', CAST(t AS STRING),
+           |     ' * scale $scale exceeds 2^63; raise hexDigits or lower scale')),
+           |   (t * ${scale}L) div a)""".stripMargin).as("w"))
   }
 
   /** Score a (doc_id, bk, tf) relation against a FROZEN (bk, w) weight
@@ -395,5 +409,100 @@ object Ranking {
         sum(col("tf")).as("n_tokens"))
       .select(col("doc_id"), col("raw"), col("n_tokens"),
         expr("raw div n_tokens").as("avg_w"))
+
+  // ------------------------------------------------- quality classifier
+
+  /** (doc_id, pos, bk, tf) hashed FEATURE projection for the linear
+    * quality classifier ([[qualityClassifier]]): unigram AND bigram
+    * features hashed to 16^hexDigits buckets — the fastText feature space
+    * (Joulin et al., "Bag of Tricks for Efficient Text Classification")
+    * that published web-quality gates (C4's badwords-free Wikipedia-vs-
+    * crawl filter, RefinedWeb) train linear models over. Computed entirely
+    * map-side (one sorted feature array + run-length gaps — never a
+    * per-occurrence explode through a shuffle); a bigram carries an
+    * internal space, so it can never collide with a unigram BEFORE
+    * hashing (split-on-space tokens contain no space). UNSTAGED so
+    * streaming callers can project micro-batches without a staging
+    * write — [[qualityClassifier]] stages it once for the batch path. */
+  def classifierRelation(docs: DataFrame, idCol: String, textCol: String,
+                         isPositive: Column, hexDigits: Int = 3): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits=$hexDigits must be in [1, 8]")
+    docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__pos", isPositive.cast("boolean"))
+      .withColumn("__t", expr(s"split(lower($textCol), ' ')"))
+      .withColumn("__f", expr(
+        """array_sort(concat(__t,
+          |  if(size(__t) < 2, array(),
+          |    transform(sequence(1, size(__t) - 1),
+          |      i -> concat_ws(' ', slice(__t, i, 2))))))""".stripMargin))
+      .withColumn("__e", expr(runEndsSql("__f")))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(col("__pos"), lit(false)).as("pos"),
+        explode(expr(
+          """transform(__e, (e, j) ->
+            |  named_struct('feat', element_at(__f, e),
+            |               'tf', CAST(e - if(j = 0, 0, element_at(__e, j)) AS BIGINT)))""".stripMargin))
+          .as("__ft"))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("__ft.feat")), 1, hexDigits).as("bk"),
+        col("__ft.tf").as("tf"))
+  }
+
+  /** Per-bucket SIGNED fixed-point classifier weights from a
+    * [[classifierRelation]]:
+    * `w(b) = (pos_mass(b) · scale) div mass(b) − scale/2` — the
+    * exact-integer stand-in for a trained log-odds weight (no ln/exp:
+    * libm is not bit-portable): positive iff the bucket's feature mass is
+    * majority-positive, monotone in the positive ratio, zero-centered so
+    * the decision threshold is a plain `score ≥ 0`. ≤16^hexDigits rows —
+    * map-side combine, broadcastable. Same t·scale < 2^63 headroom
+    * contract as [[bucketWeights]], with the same runtime guard. */
+  def classifierWeights(rel: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0 && scale % 2 == 0,
+      s"scale=$scale must be positive and even")
+    val maxP = Long.MaxValue / scale
+    rel.groupBy(col("bk")).agg(
+      sum(col("tf")).as("a"),
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("p"))
+      .select(col("bk"), expr(
+        s"""if(p > ${maxP}L,
+           |   raise_error(concat('classifierWeights overflow: bucket ', bk,
+           |     ' positive mass ', CAST(p AS STRING),
+           |     ' * scale $scale exceeds 2^63; raise hexDigits or lower scale')),
+           |   (p * ${scale}L) div a - ${scale / 2}L)""".stripMargin).as("w"))
+  }
+
+  /** Score a feature relation against a FROZEN (bk, w) weight relation:
+    * `score = Σ tf·w(bk)` in exact BIGINT arithmetic, `keep ⇔ score ≥ 0`.
+    * The weights broadcast; one per-doc shuffle; a bucket the weights
+    * never saw contributes 0 (left join + coalesce) but still counts
+    * toward n_feats — streamed batches with novel vocabulary score
+    * exactly what the batch operator would emit. */
+  def classifyAgainstWeights(rel: DataFrame, weights: DataFrame): DataFrame =
+    rel.join(broadcast(weights), Seq("bk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("tf * coalesce(w, 0L)")).as("score"),
+        sum(col("tf")).as("n_feats"))
+      .select(col("doc_id"), col("score"), col("n_feats"),
+        (col("score") >= 0L).as("keep"))
+
+  /** fastText-style linear quality classifier, trained AND applied in
+    * exact integer arithmetic: `isPositive` labels the curated reference
+    * subset (the Wikipedia-side of C4's classifier), features are hashed
+    * uni+bigram buckets, weights the zero-centered positive-ratio, and a
+    * document keeps iff its tf-weighted bucket score is ≥ 0. One corpus
+    * scan: the feature projection stages ONCE and feeds both the weight
+    * aggregation and the scoring join (weights broadcast back).
+    * Output: (doc_id, score, n_feats, keep), one row per non-null-text
+    * document. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        isPositive: Column, hexDigits: Int = 3,
+                        scale: Long = 1000000L): DataFrame = {
+    val rel = stage(classifierRelation(docs, idCol, textCol, isPositive, hexDigits))
+    classifyAgainstWeights(rel, classifierWeights(rel, scale))
+  }
 }
 

@@ -217,6 +217,44 @@ object Curation {
       SELECT doc_id, raw, n_tokens, raw // n_tokens AS avg_w
       FROM sc ORDER BY doc_id""")),
 
+    // --------------------------------------- linear quality classifier
+    // The fastText-style quality gate published pipelines (C4,
+    // RefinedWeb) actually run: a linear model over hashed uni+bigram
+    // features, trained on a curated-vs-rest label (here: sources
+    // src0-src2 as the reference subset) and applied as a keep/drop
+    // threshold — all in exact integer arithmetic (zero-centered
+    // positive-ratio weights, score = Σ tf·w, keep ⇔ score ≥ 0). One
+    // corpus scan: the staged feature projection feeds both training and
+    // scoring; weights (≤4096 rows) broadcast back. The oracle recomputes
+    // features per occurrence.
+    Q("x_quality_classifier", (s, d) => {
+      graft.operators.Ranking.qualityClassifier(fanOut(documents(s, d)),
+        "doc_id", "text",
+        isPositive = col("source").isin("src0", "src1", "src2"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
+                        string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, pos,
+                   unnest(list_concat(toks,
+                     list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')))) AS feat
+            FROM t),
+      ex AS (SELECT doc_id, pos, substr(md5(feat), 1, 3) AS bk FROM f),
+      w AS (SELECT bk,
+                   (COALESCE(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) - 500000 AS w
+            FROM ex GROUP BY bk),
+      sc AS (SELECT e.doc_id,
+                    CAST(SUM(w.w) AS BIGINT) AS score,
+                    CAST(COUNT(*) AS BIGINT) AS n_feats
+             FROM ex e JOIN w USING (bk)
+             GROUP BY e.doc_id)
+      SELECT doc_id, score, n_feats, score >= 0 AS keep
+      FROM sc ORDER BY doc_id""")),
+
     // ------------------------------------------ train/val/test assignment
     // Deterministic 90/5/5 split by salted id-hash ladder (stable under
     // appends, identical on any engine/partitioning); the report shape is

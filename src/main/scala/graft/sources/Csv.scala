@@ -49,10 +49,13 @@ object Csv {
       // unquoting (default nullValue = ""), so both would collapse to
       // null; only the parser-level distinction survives: a bare empty
       // field parses to null BEFORE the nullValue comparison, a quoted
-      // empty parses to "". Pointing nullValue at NUL (which cannot
-      // appear: the writer quotes but never emits a lone NUL cell for a
-      // non-NUL value) disables the post-unquote collapse and keeps
-      // null vs empty string distinct on the trip.
+      // empty parses to "". Pointing nullValue at NUL disables the
+      // post-unquote collapse and keeps null vs empty string distinct.
+      // EXCLUSION: a cell whose actual value is the lone string NUL (U+0000)
+      // is written unquoted (NUL is not a quote-trigger char) and reads
+      // back as null — that one value is outside the losslessness
+      // contract. Callers with adversarial binary-ish text should route
+      // through Jsonl (base64-exact) instead.
       .option("nullValue", "\u0000")
       .csv(path)
   }

@@ -8,24 +8,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{BloomDedup, TextDedup}
 
-/** Streaming incremental near-duplicate detection: the production ingest
-  * shape that `TextDedup.minhashLshPairsAgainstIndex` exists for — a
-  * document stream deduplicated per micro-batch against ONE persisted
-  * corpus LSH index.
-  *
-  * Scale contract:
-  *  - [[buildIndex]] runs once per corpus version: corpus shingles + band
-  *    keys are staged (`Tables.stage`), so in `graft.stage.dir` mode they
-  *    are parquet staging tables that EVERY subsequent micro-batch scans
-  *    without recomputing a single corpus signature;
-  *  - each micro-batch pays only its own (tiny) shingle/band projections —
-  *    deliberately UNSTAGED (`shingleProjection`/`bandKeyProjection`): a
-  *    staged batch side would write one parquet dir per micro-batch for
-  *    zero reuse — plus one scan of the persisted index; the batch side
-  *    broadcasts, the corpus never shuffles;
-  *  - exactly-once: the batch id rides into `onBatch`, and the stream
-  *    checkpoint replays unacknowledged batches — an idempotent sink
-  *    (e.g. overwrite-by-batch-id) completes the guarantee.
+/** Streaming incremental near-duplicate detection — the text members of
+  * the [[Gate]] family: a document stream deduplicated per micro-batch
+  * against ONE persisted corpus LSH index (see [[Gate]] for the shared
+  * staged-index / broadcast-probe / atomic-rotation contract).
   *
   * This is the streaming twin of the batch registry query
   * `x_dedup_incremental` (same operator, same semantics — the spec drives
@@ -53,6 +39,12 @@ object DedupIngest {
     CorpusIndex(sh, TextDedup.minhashBandKeys(sh, k, bands), n, k, bands)
   }
 
+  /** Adapter for the PINNED-corpus loop ([[start]] takes an index, not a
+    * rotating reference — the caller has one frozen corpus version). */
+  private final case class Pinned(index: CorpusIndex) extends Gate.Versioned {
+    def version: Long = 0L
+  }
+
   /** Start the per-batch dedup loop on a document stream: each micro-batch
     * is shingled (unstaged), joined against the persisted corpus index,
     * and its near-duplicate pairs (da = batch id, db = corpus id, jaccard)
@@ -65,13 +57,13 @@ object DedupIngest {
             threshold: Double = 0.5, bandCap: Option[Int] = None,
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long) => Unit): StreamingQuery =
-    stream.forEachBatch({ (batch, batchId) =>
-      val sh = TextDedup.shingleProjection(batch, idCol, textCol, index.n)
-      val pairs = TextDedup.minhashLshPairsAgainstIndex(
-        sh, index.shingled, index.bandKeys,
-        index.k, index.bands, threshold, bandCap)
-      onBatch(pairs, batchId)
-    }, checkpoint)
+    Gate.start(stream, new AtomicReference(Pinned(index)), checkpoint) {
+      (batch, st) =>
+        val sh = TextDedup.shingleProjection(batch, idCol, textCol, st.index.n)
+        TextDedup.minhashLshPairsAgainstIndex(
+          sh, st.index.shingled, st.index.bandKeys,
+          st.index.k, st.index.bands, threshold, bandCap)
+    } { (pairs, _, batchId) => onBatch(pairs, batchId) }
 
   /** One corpus version's FULL dedup state for the combined gate: the LSH
     * near-dup index, the staged (db, __digest) exact-content relation, and
@@ -80,6 +72,7 @@ object DedupIngest {
     * sink can attribute pairs to the corpus they were deduped against. */
   final case class CorpusState(index: CorpusIndex, digests: DataFrame,
                                exactFilter: Array[Byte], version: Long)
+    extends Gate.Versioned
 
   /** Build a [[CorpusState]] (once per corpus version): stages the shingle
     * relation, the band index, and the md5 content-digest relation, then
@@ -117,30 +110,21 @@ object DedupIngest {
     *      [[TextDedup.minhashLshPairsAgainstIndex]] against the persisted
     *      band index → `nearPairs` (da, db, jaccard).
     *
-    * `state` is an [[AtomicReference]] so the corpus can ROTATE between
-    * batches without stopping the stream: build the next version with
-    * [[buildState]] (staging + filter build run OUTSIDE the stream), then
-    * `state.set(next)` — foreachBatch bodies run sequentially and read the
-    * reference once at batch start, so every batch sees exactly one
-    * consistent (index, digests, filter) triple and the swap is atomic at
-    * a batch boundary. Rebuild cost is paid once per corpus version, never
-    * per batch (spec-pinned: micro-batches create no staging dirs).
-    *
-    * Within-batch duplicates are out of scope here (two identical NEW
-    * documents emit no pair — neither is in the corpus yet); run
-    * [[TextDedup.exactGroups]] on the batch first if that matters.
+    * Corpus rotation per the [[Gate]] contract. Within-batch duplicates
+    * are out of scope here (two identical NEW documents emit no pair —
+    * neither is in the corpus yet); run [[TextDedup.exactGroups]] on the
+    * batch first if that matters.
     * `onBatch` receives (exactPairs, nearPairs, corpusVersion, batchId). */
   def startGated(stream: Stream, state: AtomicReference[CorpusState],
                  idCol: String, textCol: String,
                  threshold: Double = 0.5, bandCap: Option[Int] = None,
                  checkpoint: Option[String] = None)(
                  onBatch: (DataFrame, DataFrame, Long, Long) => Unit): StreamingQuery =
-    stream.forEachBatch({ (batch, batchId) =>
-      val st = state.get()
-      val (exactPairs, nearPairs) =
-        gateBatch(batch, st, idCol, textCol, threshold, bandCap)
-      onBatch(exactPairs, nearPairs, st.version, batchId)
-    }, checkpoint)
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      gateBatch(batch, st, idCol, textCol, threshold, bandCap)
+    } { case ((exactPairs, nearPairs), version, batchId) =>
+      onBatch(exactPairs, nearPairs, version, batchId)
+    }
 
   /** One micro-batch through the gate (see [[startGated]]) — exposed so
     * specs and the bench harness drive the exact per-batch plan the

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The shared skeleton of the streaming ingest-gate family —
+  * [[DedupIngest]] (exact/bloom/LSH text dedup), [[AnnIngest]] (vector
+  * retrieval, SemDeDup, PQ), [[ImageIngest]] (perceptual dHash),
+  * [[ScoreIngest]] (DSIR importance selection). Seven gates, one contract,
+  * stated once here and spec-pinned per gate in the `Streaming*Spec`s:
+  *
+  *  - the corpus-side INDEX is built and staged ONCE per corpus version
+  *    (`Tables.stage` truncates the corpus-scan lineage, so in
+  *    `graft.stage.dir` mode micro-batches scan a persisted parquet table
+  *    and recompute zero corpus state);
+  *  - each micro-batch pays only its own (tiny, deliberately UNSTAGED)
+  *    projection, BROADCAST onto the index join — the corpus never
+  *    shuffles and no per-batch staging dir is ever written (a staged
+  *    batch side would write one parquet dir per micro-batch for zero
+  *    reuse);
+  *  - corpus versions ROTATE atomically between batches via an
+  *    [[AtomicReference]]: build the next version OUTSIDE the stream, then
+  *    `state.set(next)` — foreachBatch bodies run sequentially and
+  *    [[start]] reads the reference exactly once at batch start, so every
+  *    batch sees one consistent index and the swap lands at a batch
+  *    boundary; rebuild cost is paid per corpus version, never per batch;
+  *  - driver-small relations a probe re-collects into plan literals
+  *    (centroids, codebooks) are LOCALIZED at build time
+  *    ([[localizedVectors]]) so per-batch collects read driver memory, not
+  *    the source scan;
+  *  - exactly-once: the batch id rides into `onBatch` and the stream
+  *    checkpoint replays unacknowledged batches — an idempotent sink
+  *    (e.g. overwrite-by-batch-id) completes the guarantee.
+  *
+  * Streamed results are bitwise-identical to the batch operators they
+  * delegate to: every gate's probe IS the batch operator's
+  * `*AgainstIndex`/`*Against*` form, fed the same staged index.
+  */
+object Gate {
+
+  /** Gate state: one immutable per-corpus-version index. Implementations
+    * carry the staged relation(s) plus the parameters they were built
+    * under (probe projections must land in the same key space). */
+  trait Versioned { def version: Long }
+
+  /** The rotation + probe loop every gate runs: read the state once at
+    * batch start, run the batch through `probe` (the batch operator's
+    * against-index form), hand the result to `onBatch` with the corpus
+    * version it was computed against and the micro-batch id.
+    *
+    * `R` is the probe result type — a single relation for most gates, an
+    * (exactPairs, nearPairs) pair for [[DedupIngest.startGated]]. */
+  def start[S <: Versioned, R](stream: Stream, state: AtomicReference[S],
+                               checkpoint: Option[String])(
+                               probe: (DataFrame, S) => R)(
+                               onBatch: (R, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      onBatch(probe(batch, st), st.version, batchId)
+    }, checkpoint)
+
+  /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation
+    * (LocalTableScan). Gate state holds centroid/codebook relations that
+    * every micro-batch re-collects into a plan literal — left as a view
+    * over the source, that collect re-runs the source scan per batch;
+    * localized once at build time it reads driver memory. By-contract
+    * tiny (centroids/codebook, not the corpus). */
+  def localizedVectors(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val rows = df.select(col("id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    import s.implicits._
+    rows.toDF("id", "embedding")
+  }
+}

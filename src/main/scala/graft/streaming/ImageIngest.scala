@@ -8,30 +8,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.ImageDedup
 
-/** Streaming perceptual IMAGE dedup — the third modality of the ingest
-  * gate family ([[DedupIngest]] text, [[AnnIngest]] vectors): an image
-  * stream finds its near-duplicate corpus images per micro-batch against
-  * ONE persisted dHash band index, so re-encoded/resized re-uploads are
-  * flagged at ingest time instead of by a corpus re-self-join.
-  *
-  * Scale contract (identical to the siblings):
-  *  - [[buildIndex]] runs once per corpus version: every corpus image is
-  *    decoded ONCE ([[graft.operators.Media.dhash64]]) and the banded
-  *    8-byte fingerprints are staged (`Tables.stage`) — micro-batches
-  *    scan the tiny index, never the corpus payloads;
-  *  - each micro-batch decodes only its own images and broadcasts its
-  *    banded hashes onto the index
-  *    ([[ImageDedup.dhashPairsAgainstIndex]]); the corpus never shuffles;
-  *  - corpus versions ROTATE atomically between batches via the
-  *    [[AtomicReference]] (foreachBatch bodies run sequentially and read
-  *    the state once per batch); rebuild cost is per VERSION, never per
-  *    batch (spec-pinned: no per-batch staging dirs).
+/** Streaming perceptual IMAGE dedup — the image modality of the [[Gate]]
+  * family: an image stream finds its near-duplicate corpus images per
+  * micro-batch against ONE persisted dHash band index, so
+  * re-encoded/resized re-uploads are flagged at ingest time instead of by
+  * a corpus re-self-join. Gate specifics on top of the family contract:
+  * every corpus image is decoded ONCE at [[buildIndex]] time
+  * ([[graft.operators.Media.dhash64]]) and only the banded 8-byte
+  * fingerprints are staged — micro-batches decode their own images only
+  * and never touch corpus payloads.
   */
 object ImageIngest {
 
   /** One corpus version's staged dHash band index. */
   final case class CorpusImageIndex(banded: DataFrame, maxHamming: Int,
-                                    version: Long)
+                                    version: Long) extends Gate.Versioned
 
   /** Decode + hash the corpus once and stage its banded fingerprints.
     * `corpus` is an (id, payload) relation addressed by the two column
@@ -54,17 +45,16 @@ object ImageIngest {
       .toDF("id", "h")
 
   /** Start the per-batch dedup loop: each micro-batch's images are
-    * decoded, hashed, and probed against the persisted index; `onBatch`
-    * receives the (da = batch id, db = corpus id, hamming) pair relation
-    * plus (corpusVersion, batchId). */
+    * decoded, hashed, and probed against the persisted index
+    * ([[ImageDedup.dhashPairsAgainstIndex]] — batch side broadcasts);
+    * `onBatch` receives the (da = batch id, db = corpus id, hamming) pair
+    * relation plus (corpusVersion, batchId). */
   def start(stream: Stream, state: AtomicReference[CorpusImageIndex],
             idCol: String, payloadCol: String,
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
-    stream.forEachBatch({ (batch, batchId) =>
-      val st = state.get()
-      onBatch(ImageDedup.dhashPairsAgainstIndex(
-        dhashes(batch, idCol, payloadCol), st.banded, st.maxHamming),
-        st.version, batchId)
-    }, checkpoint)
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      ImageDedup.dhashPairsAgainstIndex(
+        dhashes(batch, idCol, payloadCol), st.banded, st.maxHamming)
+    }(onBatch)
 }

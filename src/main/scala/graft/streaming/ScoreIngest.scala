@@ -9,37 +9,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.Ranking
 
 /** Streaming importance-scoring ingest — the data-SELECTION member of the
-  * gate family ([[DedupIngest]] exact/LSH, [[AnnIngest]] vector/semantic,
-  * [[ImageIngest]] perceptual): every incoming document is scored against
-  * DSIR-style bucket weights learned ONCE from the current corpus
+  * [[Gate]] family: every incoming document is scored against DSIR-style
+  * bucket weights learned ONCE from the current corpus
   * ([[Ranking.importanceScores]]' weights), so the ingest loop can keep /
   * downweight documents by similarity to the target distribution as they
-  * arrive, not in a nightly sweep.
-  *
-  * Scale contract (mirrors the family point for point):
-  *  - [[buildWeights]] runs once per corpus version: the ≤16^hexDigits-row
-  *    weight relation is staged, which TRUNCATES the corpus-scan lineage —
-  *    left lazy, every micro-batch's broadcast would re-run the full
-  *    corpus tokenize/aggregate;
-  *  - each micro-batch pays only its own map-side bucket projection
-  *    ([[Ranking.importanceRelation]], unstaged) plus a broadcast join
-  *    against the frozen weights — zero per-batch corpus work, nothing
-  *    corpus-sized ever shuffles;
-  *  - novel vocabulary in a batch (buckets the corpus never saw) scores 0
-  *    weight but still counts toward length normalization
-  *    ([[Ranking.scoreAgainstWeights]]'s left join), so streamed scores
-  *    are EXACTLY what the batch operator would emit for the same rows;
-  *  - the corpus ROTATES between batches via the [[AtomicReference]] —
-  *    foreachBatch bodies run sequentially and read the reference once
-  *    per batch, so the swap is atomic at a batch boundary.
+  * arrive, not in a nightly sweep. Gate specifics on top of the family
+  * contract: staging the ≤16^hexDigits-row weight relation TRUNCATES the
+  * corpus-scan lineage (left lazy, every micro-batch's broadcast would
+  * re-run the full corpus tokenize/aggregate), and novel vocabulary in a
+  * batch scores 0 weight but still counts toward length normalization
+  * ([[Ranking.scoreAgainstWeights]]'s left join) — so streamed scores are
+  * EXACTLY what the batch operator would emit for the same rows.
   */
 object ScoreIngest {
 
-  /** One corpus version's staged bucket-weight relation plus the
-    * parameters it was built under (probe buckets must land in the same
-    * key space). */
+  /** One corpus version's staged bucket-weight relation. */
   final case class CorpusWeights(weights: DataFrame, hexDigits: Int,
-                                 scale: Long, version: Long)
+                                 scale: Long, version: Long) extends Gate.Versioned
 
   /** Learn and stage the per-bucket importance weights ONCE (per corpus
     * version). `corpus` is a document relation; `isTarget` selects the
@@ -62,14 +48,12 @@ object ScoreIngest {
             idCol: String, textCol: String,
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
-    stream.forEachBatch({ (batch, batchId) =>
-      val st = state.get()
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
       val docs = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       // target flag is irrelevant at probe time (weights are frozen).
-      val rel = Ranking.importanceRelation(docs, "doc_id", "text",
-        lit(false), st.hexDigits)
-      onBatch(Ranking.scoreAgainstWeights(rel, st.weights),
-        st.version, batchId)
-    }, checkpoint)
+      Ranking.scoreAgainstWeights(
+        Ranking.importanceRelation(docs, "doc_id", "text", lit(false), st.hexDigits),
+        st.weights)
+    }(onBatch)
 }
