@@ -49,7 +49,10 @@ class PlanSanitySpec extends SparkSpec {
       "x_importance_weights",
       // Subword.docSubwordCounts stages the tf projection (feeds the
       // distinct-word tokenize relation AND the per-doc aggregate).
-      "x_pack_subword")
+      "x_pack_subword",
+      // Ranking.qualityClassifier stages the feature projection (feeds
+      // the weight aggregate AND the scoring probe).
+      "x_quality_classifier")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

@@ -202,6 +202,60 @@ class RankingSpec extends SparkSpec {
     assert(got(4L)._4 > got(3L)._4 && got(4L)._4 < got(1L)._4)
   }
 
+  test("qualityClassifier: exact reference, keep threshold, novel vocab") {
+    import spark.implicits._
+    val scale = 1000000L
+    // disjoint vocabularies: positive docs should keep, the alien doc
+    // drop, and the mixed doc sit between.
+    val cdocs = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "clean prose good good", true),
+      (3L, "spam junk spam junk", false),
+      (4L, "good clean spam junk", false),
+      (5L, null.asInstanceOf[String], false)).toDF("doc_id", "text", "pos")
+    val got = graft.operators.Ranking
+      .qualityClassifier(cdocs, "doc_id", "text", col("pos"))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // driver-side reference with identical truncating integer math over
+    // unigram + bigram features.
+    def feats(ts: Seq[String]) =
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    val corpus = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "clean prose good good", true),
+      (3L, "spam junk spam junk", false),
+      (4L, "good clean spam junk", false))
+      .map { case (id, t, p) => (id, feats(t.split(" ", -1).toSeq), p) }
+    def bk(t: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString.take(3)
+    }
+    val all = corpus.flatMap { case (_, fs, p) => fs.map(f => (bk(f), p)) }
+    val w = all.groupBy(_._1).map { case (b, os) =>
+      b -> (os.count(_._2).toLong * scale / os.size - scale / 2) }
+    corpus.foreach { case (id, fs, _) =>
+      val score = fs.map(f => w(bk(f))).sum
+      val (gid, gscore, gn, gkeep) = got(id)
+      assert(gid == id && gscore == score && gn == fs.size &&
+        gkeep == (score >= 0), s"doc $id: got $gscore/$gn/$gkeep want $score")
+    }
+    // separation: pure-positive docs keep, the alien doc drops.
+    assert(got(1L)._4 && got(2L)._4 && !got(3L)._4)
+    // novel vocabulary scores 0 but still counts toward n_feats (left
+    // join + coalesce) — the streamed-batch ≡ batch equivalence hinge.
+    val weights = graft.operators.Ranking.classifierWeights(
+      graft.operators.Ranking.classifierRelation(
+        cdocs, "doc_id", "text", col("pos")))
+    val novel = graft.operators.Ranking.classifyAgainstWeights(
+      graft.operators.Ranking.classifierRelation(
+        Seq((9L, "utterly unseen tokens")).toDF("doc_id", "text"),
+        "doc_id", "text", lit(false)),
+      weights)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(novel.toSeq == Seq((9L, 0L, 5L, true)), novel.toSeq)
+  }
+
   test("tfidf/bm25 plans broadcast the df side; banned lines broadcast anti") {
     val sfDocs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val tfidfPlan = Ranking.tfidfTopK(sfDocs, "doc_id", "text", 3)
