@@ -362,12 +362,19 @@ object Graph {
     * Output: (node, degree, n_tri) for every node with ≥1 non-loop edge
     * (n_tri = triangles containing the node; labels are exact integers,
     * so any engine agrees bitwise). */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = stage(edges
+  /** Canonical undirected edge relation: (lo, hi) with lo < hi, distinct,
+    * self-loops dropped — the normal form [[triangleCounts]] and
+    * [[incrementalTriangles]] operate on (and the state the latter's
+    * caller persists between batches). */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") < col("hi"))
-      .distinct())
+      .distinct()
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = stage(canonicalEdges(edges, srcCol, dstCol))
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     // Orient toward the (degree, id)-larger endpoint. lo < hi already, so
@@ -395,6 +402,71 @@ object Graph {
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** INCREMENTAL triangle maintenance — fold a (small) batch of new edges
+    * into an existing [[triangleCounts]] result without re-running the
+    * full wedge join. `prev` is the prior (node, degree, n_tri) relation;
+    * `prevEdges` the prior [[canonicalEdges]] relation it was computed
+    * over (caller-staged: it feeds two joins here); `newEdges` the batch.
+    *
+    * Every NEW triangle contains ≥1 truly-new edge (all-old triangles are
+    * already in `prev`), so the delta enumerates from the batch: per new
+    * canonical edge (lo, hi), the common union-graph neighbors of lo and
+    * hi close new triangles. Each new triangle surfaces once per new edge
+    * it contains (1–3×) — deduplicated by its sorted node triple.
+    *
+    * Plan shape (the per-batch contract — `prevEdges` is subgraph-sized,
+    * the batch is not): the batch BROADCASTS onto the staged union
+    * adjacency to pull lo's neighbors, and the resulting candidate wedges
+    * (≤ |batch| × max-degree rows, the operator's working-set bound —
+    * for batches touching million-degree hubs, fall back to the full
+    * recompute) broadcast back onto the second adjacency scan to close;
+    * `prev` is touched by exactly one merge join at the end. No wedge is
+    * ever enumerated at an untouched node.
+    *
+    * Equivalence: bit-identical to `triangleCounts(prevEdges ∪ newEdges)`
+    * (GraphSpec, randomized splits; `x_triangles_incremental` checks the
+    * incremental path against the full-enumeration oracle). */
+  def incrementalTriangles(prev: DataFrame, prevEdges: DataFrame,
+                           newEdges: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val pe = prevEdges.select(col("lo"), col("hi"))
+    val delta = stage(canonicalEdges(newEdges, srcCol, dstCol)
+      .join(pe, Seq("lo", "hi"), "left_anti"))
+    val adj = stage(pe.union(delta)
+      .select(explode(array(
+        struct(col("lo").as("x"), col("hi").as("y")),
+        struct(col("hi").as("x"), col("lo").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y")))
+    // candidate wedges: per new edge (lo, hi), every union-graph neighbor
+    // c of lo (the batch side broadcasts; c = hi is impossible — adj has
+    // no self-loops and (lo, hi) pairs c with lo's OTHER neighbors, but
+    // guard anyway for clarity).
+    val cand = adj.join(broadcast(delta.withColumnRenamed("lo", "x")), Seq("x"))
+      .select(col("x").as("lo"), col("hi"), col("y").as("c"))
+      .filter(col("c") =!= col("hi"))
+    // close: (hi, c) must also be a union edge — the delta-sized candidate
+    // relation broadcasts onto the second adjacency scan.
+    val closed = adj.join(broadcast(cand),
+        adj("x") === cand("hi") && adj("y") === cand("c"))
+      .select(col("lo"), col("hi"), col("c"))
+    val dTri = closed
+      .select(array_sort(array(col("lo"), col("hi"), col("c"))).as("t"))
+      .distinct()
+      .select(explode(col("t")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dt"))
+    val dDeg = delta.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dd"))
+    // merge: untouched nodes pass through; batch endpoints bump degree;
+    // triangle nodes bump n_tri (every triangle node has an edge, so the
+    // left join after the full-outer merge loses nothing).
+    prev.select(col("node"), col("degree"), col("n_tri"))
+      .join(dDeg, Seq("node"), "full_outer")
+      .join(dTri, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("degree"),
+        (coalesce(col("n_tri"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("n_tri"))
   }
 
   /** Fixed-iteration PageRank over an undirected edge list, in EXACT
@@ -462,6 +534,149 @@ object Graph {
     vertices.select(col(idCol).cast("long").as("__v"))
       .join(broadcast(nr.select(col("node"), col("r"))),
         col("__v") === col("node"), "left")
+      .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+  }
+
+  /** Reusable [[pageRank]] state for [[pageRankRefresh]]: the staged
+    * symmetric edge relation and the staged per-node ITERATE HISTORY
+    * `ranks` = (node, degree, rs) with `rs[i]` (1-based) the exact rank
+    * after iteration i — fixed-iteration PageRank makes r_k(v) a function
+    * of v's k-hop in-neighborhood only, so a refresh can splice stored
+    * iterates for every node outside the batch's k-hop ball. */
+  final case class PageRankState(edges: DataFrame, ranks: DataFrame,
+                                 iterations: Int, scale: Long)
+
+  /** Run [[pageRank]]'s exact loop once, keeping every iterate — the
+    * build-once step of the incremental-refresh pair (same staging and
+    * overflow contract as [[pageRank]]; history costs `iterations` extra
+    * BIGINTs per edge-incident node). */
+  def pageRankState(edges: DataFrame, srcCol: String, dstCol: String,
+                    iterations: Int = 3, scale: Long = 1000000000L): PageRankState = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
+    val base = scale * 3 / 20
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+      .distinct())
+    val deg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
+    var nr = deg.select(col("node"), col("degree"), lit(scale).as("r"),
+      array().cast("array<long>").as("rs"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(nr.select(col("node"), col("degree"), col("r")),
+          col("s") === col("node"))
+        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
+      val in = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
+      nr = nr.join(in, col("node") === col("d"), "left")
+        .select(col("node"), col("degree"),
+          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"),
+          concat(col("rs"),
+            array(lit(base) + coalesce(col("cin"), lit(0L)))).as("rs"))
+    }
+    PageRankState(e, stage(nr.select(col("node"), col("degree"), col("rs"))),
+      iterations, scale)
+  }
+
+  /** INCREMENTAL PageRank refresh under a batch of new edges — re-iterate
+    * only the batch's expanding neighborhood against frozen stored
+    * iterates, landing on ranks BIT-IDENTICAL to a full recompute over
+    * the union edge set.
+    *
+    * Why exact: r_i(v) changes only if some in-neighbor u had a changed
+    * r_{i-1} or a changed degree, or the edge u→v is new. Degrees change
+    * only at batch endpoints (B_0); both endpoints of every new edge are
+    * in B_0; so with B_i = union-graph neighbors of B_{i-1} (monotone:
+    * B_0 ⊆ B_1 ⊆ …), every node OUTSIDE B_i keeps its stored r_i
+    * verbatim. The refresh recomputes r_i for B_i only, reading frozen
+    * history (`rs[i-1]`, stored degree) for boundary in-neighbors.
+    *
+    * Plan shape (the per-batch contract): the batch's ≤2|batch| endpoint
+    * degrees are settled once via one broadcast lookup and MATERIALIZED
+    * to a local relation (same by-contract-bounded collect as
+    * [[incrementalComponents]]); each iteration scans the staged union
+    * edges twice (frontier + in-edges, both against a broadcast frontier)
+    * and the staged rank history twice (boundary ranks + frontier
+    * degrees, both broadcast-probed) — every OTHER relation in flight is
+    * ball-sized (≤ |batch| × max-degree^i; for batches touching massive
+    * hubs the ball approaches the subgraph and a full [[pageRank]] is the
+    * better plan). The corpus-sized `vertices` is touched exactly once,
+    * by the final broadcast attach.
+    *
+    * Output: (node, pr) for EVERY vertex — the [[pageRank]] contract. */
+  def pageRankRefresh(vertices: DataFrame, idCol: String, st: PageRankState,
+                      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val k = st.iterations
+    val scale = st.scale
+    val base = scale * 3 / 20
+    val spark = vertices.sparkSession
+    val delta = stage(newEdges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+      .distinct()
+      .join(st.edges, Seq("s", "d"), "left_anti"))
+    val allE = stage(st.edges.union(delta))
+    // B_0 with NEW degrees: stored degree (0 for brand-new nodes) + batch
+    // incidence — settled once, driver-local (≤ 2|batch| rows by
+    // contract, fanned into every iteration below).
+    val dInc = delta.groupBy(col("s").as("node")).agg(count(lit(1)).as("di"))
+    val hits = st.ranks.select(col("node"), col("degree"))
+      .join(broadcast(dInc), Seq("node"))
+    val a0Rows = hits.select(col("node"), (col("degree") + col("di")).as("degree"))
+      .union(dInc.join(hits.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("di").as("degree")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a0Deg = spark.createDataset(a0Rows)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)]).toDF("node", "degree")
+    var rec = a0Deg.select(col("node"), col("degree"), lit(scale).as("r"))
+    var bPrev = a0Deg.select(col("node").as("n"))
+    var bi = bPrev
+    for (i <- 1 to k) {
+      // frontier: B_i = union-graph neighbors of B_{i-1} (⊇ B_{i-1} —
+      // every batch endpoint has a symmetric delta edge back into B_0).
+      bi = stage(allE.join(broadcast(bPrev.withColumnRenamed("n", "s")), Seq("s"))
+        .select(col("d").as("n")).distinct())
+      val into = allE.join(broadcast(bi.withColumnRenamed("n", "d")), Seq("d"))
+        .select(col("s"), col("d"))
+      // boundary sources: in-neighbors of B_i outside B_{i-1} read frozen
+      // history (r_{i-1} = rs[i-1], r_0 = scale; degree unchanged —
+      // degree changes only inside B_0 ⊆ B_{i-1}).
+      val needOld = into.select(col("s")).distinct()
+        .join(rec.select(col("node").as("s")), Seq("s"), "left_anti")
+      val oldSrc = st.ranks
+        .select(col("node").as("s"), col("degree"),
+          (if (i == 1) lit(scale) else element_at(col("rs"), i - 1)).as("r"))
+        .join(broadcast(needOld), Seq("s"))
+      val srcRank = rec.select(col("node").as("s"), col("degree"), col("r"))
+        .union(oldSrc)
+      val contrib = into.join(srcRank, Seq("s"))
+        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
+      val cin = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
+      // recompute targets: B_i nodes with their CURRENT degrees (batch
+      // endpoints from the settled local relation, the rest stored).
+      val biDeg = st.ranks.select(col("node"), col("degree"))
+        .join(broadcast(bi.withColumnRenamed("n", "node")
+          .join(a0Deg.select(col("node")), Seq("node"), "left_anti")), Seq("node"))
+        .union(a0Deg)
+      rec = biDeg.join(cin, col("node") === col("d"), "left")
+        .select(col("node"), col("degree"),
+          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+      bPrev = bi
+    }
+    // splice: recomputed ball ranks over stored finals outside the ball.
+    val merged = rec.select(col("node"), col("r"))
+      .union(st.ranks
+        .select(col("node"), element_at(col("rs"), k).as("r"))
+        .join(broadcast(bi.withColumnRenamed("n", "node")), Seq("node"), "left_anti"))
+    vertices.select(col(idCol).cast("long").as("__v"))
+      .join(broadcast(merged), col("__v") === col("node"), "left")
       .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
   }
 

@@ -344,6 +344,46 @@ object Dedup {
       FROM deg d LEFT JOIN tn t ON d.node = t.node
       ORDER BY d.node""")),
 
+    // --------------------------- incremental triangles (per-batch audit)
+    // The per-batch twin of x_graph_triangles (same split discipline as
+    // x_cc_incremental): half the pair graph builds the prior counts +
+    // canonical edge state, the other half folds in via
+    // Graph.incrementalTriangles — new triangles enumerate from the batch
+    // edges only (batch broadcasts onto the union adjacency twice), prev
+    // is touched by one merge join. The oracle is the FULL a<b<c
+    // enumeration over all pairs: the incremental path must land on
+    // identical counts.
+    Q("x_triangles_incremental", (s, d) => {
+      val pairs = stage(graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7))
+      val base = pairs.filter((col("da") + col("db")) % 2 === 0)
+      val delta = pairs.filter((col("da") + col("db")) % 2 =!= 0)
+      val prevEdges = stage(graft.operators.Graph
+        .canonicalEdges(base, "da", "db"))
+      val prev = graft.operators.Graph.triangleCounts(base, "da", "db")
+      graft.operators.Graph
+        .incrementalTriangles(prev, prevEdges, delta, "da", "db")
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $duckSimhashPairCtes,
+      e AS (SELECT DISTINCT least(da, db) AS lo, greatest(da, db) AS hi
+            FROM pairs WHERE da <> db),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+              GROUP BY node),
+      tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.hi
+              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+      tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+             FROM (SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+             GROUP BY node)
+      SELECT d.node, d.degree, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
+      FROM deg d LEFT JOIN tn t ON d.node = t.node
+      ORDER BY d.node""")),
+
     // ----------------------------------------- PageRank (graph centrality)
     // Fixed-point integer PageRank (3 iterations, scale 1e9, damping
     // 17/20) over the same near-dup pair graph: rank separates template
@@ -393,6 +433,60 @@ object Dedup {
              COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
       FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
       ORDER BY node"""), headline = true),
+
+    // ------------------------- incremental PageRank (per-batch refresh)
+    // The per-batch twin of x_graph_pagerank: prior iterate HISTORY
+    // (Graph.pageRankState) is the persisted state; the odd-parity half
+    // of the pair graph folds in via Graph.pageRankRefresh — only the
+    // batch's 3-hop ball re-iterates, boundary nodes read frozen
+    // iterates, and the corpus attaches once by broadcast. Fixed-
+    // iteration PageRank makes the splice EXACT, so the oracle is the
+    // same full 3-iteration unrolled CTE over all pairs.
+    Q("x_pagerank_incremental", (s, d) => {
+      val pairs = stage(graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7))
+      val base = pairs.filter((col("da") + col("db")) % 2 === 0)
+      val delta = pairs.filter((col("da") + col("db")) % 2 =!= 0)
+      val st = graft.operators.Graph.pageRankState(base, "da", "db",
+        iterations = 3, scale = 1000000000L)
+      graft.operators.Graph
+        .pageRankRefresh(documents(s, d), "doc_id", st, delta, "da", "db")
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $duckSimhashPairCtes,
+      e AS (SELECT da AS s, db AS d FROM pairs
+            UNION SELECT db, da FROM pairs),
+      deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM e GROUP BY s),
+      r0 AS (SELECT node, degree, CAST(1000000000 AS BIGINT) AS r FROM deg),
+      r1 AS (SELECT dg.node, dg.degree,
+                    CAST(150000000 AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r0.r, r0.degree
+                        FROM e JOIN r0 ON e.s = r0.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree),
+      r2 AS (SELECT dg.node, dg.degree,
+                    CAST(150000000 AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r1.r, r1.degree
+                        FROM e JOIN r1 ON e.s = r1.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree),
+      r3 AS (SELECT dg.node, dg.degree,
+                    CAST(150000000 AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r2.r, r2.degree
+                        FROM e JOIN r2 ON e.s = r2.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree)
+      SELECT v.doc_id AS node,
+             COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
+      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
+      ORDER BY node""")),
 
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,

@@ -238,6 +238,76 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("incrementalTriangles ≡ full recompute on randomized edge splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val all = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // batch deliberately overlaps prev (duplicate folds must be no-ops)
+      val (prevRaw, batchRaw) = all.splitAt(100)
+      val batch = batchRaw ++ prevRaw.take(10)
+      val prevEdges = Graph.canonicalEdges(prevRaw.toDF("a", "b"), "a", "b")
+      val prev = Graph.triangleCounts(prevRaw.toDF("a", "b"), "a", "b")
+      val inc = Graph.incrementalTriangles(prev, prevEdges,
+        batch.toDF("src", "dst"))
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Graph.triangleCounts((prevRaw ++ batch).toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(inc == full, s"trial $trial diverged")
+    }
+  }
+
+  test("incrementalTriangles: batch broadcasts, adjacency never shuffles for the wedge joins") {
+    import spark.implicits._
+    val prevRaw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val prevEdges = Graph.canonicalEdges(prevRaw, "a", "b")
+    val prev = Graph.triangleCounts(prevRaw, "a", "b")
+    val plan = Graph.incrementalTriangles(prev, prevEdges,
+      Seq((2L, 4L)).toDF("src", "dst"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // both wedge joins build the (delta-sized) broadcast side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("pageRankRefresh ≡ full recompute on randomized edge splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val all = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (prevRaw, batchRaw) = all.splitAt(60)
+      // overlap + a brand-new node only the batch knows about
+      val batch = batchRaw ++ prevRaw.take(5) :+ (100L, rnd.nextInt(n).toLong)
+      val vertices = ((0L until n.toLong) :+ 100L).toDF("doc_id")
+      val st = Graph.pageRankState(prevRaw.toDF("a", "b"), "a", "b",
+        iterations = 3, scale = 1000000000L)
+      val inc = Graph.pageRankRefresh(vertices, "doc_id", st,
+        batch.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toSet
+      val full = Graph.pageRank(vertices, "doc_id",
+        (prevRaw ++ batch).toDF("a", "b"), "a", "b",
+        iterations = 3, scale = 1000000000L)
+        .as[(Long, Long)].collect().toSet
+      assert(inc == full, s"trial $trial diverged")
+    }
+  }
+
+  test("pageRankRefresh: empty batch returns stored ranks; corpus attaches by broadcast") {
+    import spark.implicits._
+    val vertices = (0L to 50L).toDF("doc_id")
+    val prevRaw = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val st = Graph.pageRankState(prevRaw, "a", "b")
+    val refreshed = Graph.pageRankRefresh(vertices, "doc_id", st,
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst") // already present
+    val full = Graph.pageRank(vertices, "doc_id", prevRaw, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(refreshed.as[(Long, Long)].collect().toSet == full)
+    val plan = refreshed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [__v#"), plan.take(1500))
+  }
+
   test("pageRank: corpus joins once, by broadcast (no corpus shuffle)") {
     import spark.implicits._
     val vs = (0L to 100L).toDF("doc_id")

@@ -52,7 +52,10 @@ class PlanSanitySpec extends SparkSpec {
       "x_pack_subword",
       // Ranking.qualityClassifier stages the feature projection (feeds
       // the weight aggregate AND the scoring probe).
-      "x_quality_classifier")
+      "x_quality_classifier",
+      // Graph.incrementalTriangles reads staged pair/edge/adjacency
+      // relations only (no corpus attach in the triangle contract).
+      "x_triangles_incremental")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
