@@ -9,6 +9,33 @@ import org.apache.spark.sql.SparkSession
   * would benchmark nothing. noop executes the full plan and discards rows.
   */
 object Bench {
+
+  /** Fixed CPU-bound calibration probe: xorshift-fill then sort 10M longs
+    * on ONE thread — no Spark, no IO, nothing allocated in the timed
+    * region. Cross-round ratios of this number measure MACHINE state
+    * (background contention, CPU frequency), so per-query comparisons
+    * between rounds can divide out environment drift instead of
+    * explaining it in prose (the observed ~25% cross-round swings on
+    * unchanged plans). Best of `reps` after one warm-up. */
+  def calibrate(reps: Int = 3): (Double, Seq[Double]) = {
+    def once(): Double = {
+      val n = 10000000
+      val a = new Array[Long](n)
+      var x = 88172645463325252L
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x; i += 1
+      }
+      val t0 = System.nanoTime()
+      java.util.Arrays.sort(a)
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up (JIT)
+    val ts = (1 to reps).map(_ => once())
+    (ts.min, ts)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,6 +67,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.headlines.map(_.name)
+    // calibration sample 1: machine state at sweep start (see calibrate).
+    val calibBefore = calibrate()
     names.foreach(run) // warm-up: JIT + codegen cache + file listing
     // Steady-state per query: best of 3 timed runs. Single-run times at this
     // scale are dominated by JIT/GC scheduling noise (observed 5× swings on
@@ -60,9 +89,14 @@ object Bench {
     val rs = names.map { n => "\"" + n + "\":" + runs(n).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // calibration sample 2: machine state at sweep end — a large spread
+    // between the two flags contention ARRIVING mid-run.
+    val calibAfter = calibrate()
+    val calib = math.min(calibBefore._1, calibAfter._1)
+    val cruns = (calibBefore._2 ++ calibAfter._2).mkString("[", ",", "]")
     // Stop Spark FIRST so no executor/shutdown logging can interleave after
     // the metric line — the driver wants it as the final clean stdout line.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"calib":$calib,"calib_runs":$cruns,"sf":"$sfDir"}""")
   }
 }

@@ -499,6 +499,69 @@ object Media {
       Some(h)
     }
 
+  /** Trim-tolerant audio fingerprint SHINGLES over a 16-bit PCM WAV —
+    * the landmark upgrade of [[audioFingerprint64]], whose 65
+    * length-relative windows make it volume-invariant but NOT
+    * trim-invariant (cutting samples moves every window boundary).
+    * Here energies are summed over FIXED-SIZE windows (`win` samples,
+    * spaced `hop` samples apart over the interleaved stream), the
+    * neighbor-compare contour bits c_j = e_j < e_{j+1} pack into SLIDING
+    * 64-bit shingles, and the recording is represented by its distinct
+    * shingle set. Cutting k·hop samples off either end shifts the window
+    * grid by whole hops, so every interior shingle survives verbatim and
+    * [[TextDedup.containmentPairs]] over these sets catches trimmed
+    * copies (spec-pinned); cuts that are NOT hop-aligned need a smaller
+    * hop — the standard alignment/robustness trade, part of the
+    * contract, not a bug. Volume-invariant like the aligned fingerprint
+    * (energies scale by the square, comparisons are unchanged). All
+    * integer arithmetic; None when the stream is not 16-bit PCM or has
+    * fewer than 64 + win/hop windows (need ≥65 contour bits). */
+  def audioShingles64(b: Array[Byte], win: Int = 1024, hop: Int = 256): Option[Array[Long]] = {
+    require(win > 0 && hop > 0, s"win=$win hop=$hop must be positive")
+    wavInfo(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+      dataChunk(b).flatMap { case (base, size) =>
+        val n = size / 2
+        val m = if (n < win) 0 else (n - win) / hop + 1
+        if (m < 65) None else {
+          val e = new Array[Long](m)
+          var j = 0
+          while (j < m) {
+            var p = j * hop
+            val end = p + win
+            var acc = 0L
+            while (p < end) {
+              val s = ((b(base + 2 * p) & 0xff) | (b(base + 2 * p + 1) << 8)).toShort.toLong
+              acc += s * s
+              p += 1
+            }
+            e(j) = acc
+            j += 1
+          }
+          val sh = new Array[Long](m - 64)
+          var h = 0L
+          var k = 0
+          while (k < m - 1) {
+            h = (h << 1) | (if (e(k) < e(k + 1)) 1L else 0L)
+            if (k >= 63) sh(k - 63) = h // bits k-63 .. k (earlier bits shift out)
+            k += 1
+          }
+          Some(sh.distinct)
+        }
+      }
+    }
+  }
+
+  /** (id, distinct shingle set) for a media relation — feed to
+    * [[TextDedup.containmentPairs]] for trim/volume-robust audio dedup. */
+  final case class AudioShingles(id: Long, sh: Array[Long])
+
+  /** Dataset[MediaRecord] → Dataset[AudioShingles]; records that are not
+    * parseable 16-bit PCM (or are too short for one shingle) drop out. */
+  def audioShingleSets(ds: Dataset[MediaRecord],
+                       win: Int = 1024, hop: Int = 256): Dataset[AudioShingles] =
+    ds.flatMap(r => audioShingles64(r.payload, win, hop)
+      .map(sh => AudioShingles(r.id, sh)))(Encoders.product[AudioShingles])
+
   /** Exact audio features for one record. `decoded=false` rows (not a
     * parseable PCM WAV) carry −1 format fields and zero sums. */
   final case class AudioFeatures(

@@ -319,6 +319,81 @@ object Multimodal {
         FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
       SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db""")),
 
+    // ------------------- trim-robust AUDIO dedup (contour shingle sets)
+    // The trim gap x_dedup_audio cannot cover: its length-relative
+    // 65-window fingerprint breaks when a copy is CUT (every boundary
+    // shifts). Media.audioShingles64 uses fixed-size windows + sliding
+    // 64-bit contour shingles, so hop-aligned cuts shift the window grid
+    // by whole hops and interior shingles survive verbatim; containment
+    // over the shingle SETS (TextDedup.containmentPairs — the same
+    // machinery as video dedup) catches trimmed AND re-volumed copies.
+    // Fixture: groups of 3 docs share an md5-derived per-window signal —
+    // v1 = front-trimmed by 8 hops, v2 = trimmed 4 hops AND exactly
+    // half volume (even amplitudes, so /2 is exact and energies scale by
+    // exactly 1/4). The oracle rebuilds contours from the closed-form
+    // windows and restates containment on the bit-string shingles (a
+    // bijection of the packed longs).
+    Q("x_dedup_audio_trim", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          val off = if (v == 1) 8 else if (v == 2) 4 else 0
+          val m = 130 - off
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = Array.tabulate(m * 4) { i =>
+            val dig = md.digest(s"$base:${i / 4 + off}".getBytes("UTF-8"))
+            val h16 = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+            val a = h16 % 8192 - 4096
+            (if (v == 2) a else a * 2).toShort
+          }
+          MediaRecord(id, "wav", Media.wavBytes(16000, samples))
+        }
+      graft.operators.TextDedup.containmentPairs(
+        Media.audioShingleSets(recs, win = 4, hop = 4).toDF(),
+        threshold = 0.85)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v,
+                        CASE doc_id % 3 WHEN 1 THEN 8 WHEN 2 THEN 4
+                             ELSE 0 END AS woff
+                 FROM documents),
+      w AS (SELECT doc_id, base, v, woff,
+                   unnest(range(0, 130 - woff)) AS j
+            FROM d),
+      a AS (SELECT doc_id, v, j,
+                   (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 5), k ->
+                        CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                     CAST(woff + j AS VARCHAR)), k, 1)) - 1
+                          AS BIGINT))),
+                      (acc, hv) -> acc * 16 + hv) % 8192 - 4096) AS amp
+            FROM w),
+      e AS (SELECT doc_id, j,
+                   4 * (CASE WHEN v = 2 THEN amp ELSE amp * 2 END)
+                     * (CASE WHEN v = 2 THEN amp ELSE amp * 2 END) AS e
+            FROM a),
+      bits AS (SELECT x.doc_id, x.j AS pos,
+                      CASE WHEN x.e < y.e THEN '1' ELSE '0' END AS bit
+               FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.j = x.j + 1),
+      bs AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS bs
+             FROM bits GROUP BY doc_id),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(bs) - 62),
+                      i -> substr(bs, i, 64))) AS sh
+             FROM bs),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh) AS c_ab,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh) AS c_ba
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT da, db, c_ab, c_ba FROM p
+      WHERE GREATEST(c_ab, c_ba) >= 0.85
+      ORDER BY da, db""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are

@@ -153,6 +153,46 @@ class MediaSpec extends SparkSpec {
     assert(Media.audioFingerprint64("nope".getBytes("UTF-8")).isEmpty)
   }
 
+  test("audioShingles64: trimmed and re-volumed copies are contained; aligned fingerprint breaks on trim") {
+    // md5-derived per-window amplitude (constant per 4-sample window, even
+    // so /2 is exact) — neighbor comparisons are structurally independent
+    // across windows (the affine-formula trap, see x_dedup_audio).
+    def amp(w: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(s"trimfix:$w".getBytes("UTF-8"))
+      val h16 = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+      (h16 % 8192 - 4096) * 2
+    }
+    def wav(off: Int, windows: Int, f: Int => Int = identity): Array[Byte] =
+      Media.wavBytes(8000,
+        Array.tabulate(windows * 4)(i => f(amp(i / 4 + off)).toShort))
+    val full = Media.audioShingles64(wav(0, 130), win = 4, hop = 4).get
+    // front-trim by 8 whole hops: every surviving shingle is in the full
+    // set (containment 1.0 from the trimmed side).
+    val trimmed = Media.audioShingles64(wav(8, 122), win = 4, hop = 4).get
+    assert(trimmed.toSet.subsetOf(full.toSet) && trimmed.length >= 50)
+    assert(full.toSet.intersect(trimmed.toSet).size == trimmed.toSet.size)
+    // trim + exact half volume together: still fully contained.
+    val halved = Media.audioShingles64(wav(4, 126, _ / 2), win = 4, hop = 4).get
+    assert(halved.toSet.subsetOf(full.toSet))
+    // the ALIGNED fingerprint loses the same trimmed copy — the gap this
+    // operator exists for (length-relative windows shift under trimming).
+    val hFull = Media.audioFingerprint64(wav(0, 130)).get
+    val hTrim = Media.audioFingerprint64(wav(8, 122)).get
+    assert(java.lang.Long.bitCount(hFull ^ hTrim) > 3)
+    // a different signal shares (essentially) nothing.
+    def amp2(w: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(s"otherfix:$w".getBytes("UTF-8"))
+      (((dig(0) & 0xff) << 8 | (dig(1) & 0xff)) % 8192 - 4096) * 2
+    }
+    val other = Media.audioShingles64(Media.wavBytes(8000,
+      Array.tabulate(130 * 4)(i => amp2(i / 4).toShort)), win = 4, hop = 4).get
+    assert(full.toSet.intersect(other.toSet).size < 3)
+    // too short for 65 contour bits: None.
+    assert(Media.audioShingles64(wav(0, 64), win = 4, hop = 4).isEmpty)
+  }
+
   test("corrupt container fields are None, never a crash or forged value") {
     // WAV declaring 4 bits per sample: the bytes-per-sample divisor
     // would be zero — must reject, not throw ArithmeticException.
