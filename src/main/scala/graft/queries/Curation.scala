@@ -242,15 +242,65 @@ object Curation {
                        i -> array_to_string(toks[i:i+1], ' ')))) AS feat
             FROM t),
       ex AS (SELECT doc_id, pos, substr(md5(feat), 1, 3) AS bk FROM f),
+      g AS (SELECT (COALESCE(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS prior FROM ex),
       w AS (SELECT bk,
                    (COALESCE(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT),
                              CAST(0 AS BIGINT)) * 1000000)
-                     // CAST(COUNT(*) AS BIGINT) - 500000 AS w
+                     // CAST(COUNT(*) AS BIGINT) - (SELECT prior FROM g) AS w
             FROM ex GROUP BY bk),
       sc AS (SELECT e.doc_id,
                     CAST(SUM(w.w) AS BIGINT) AS score,
                     CAST(COUNT(*) AS BIGINT) AS n_feats
              FROM ex e JOIN w USING (bk)
+             GROUP BY e.doc_id)
+      SELECT doc_id, score, n_feats, score >= 0 AS keep
+      FROM sc ORDER BY doc_id""")),
+
+    // ------------------------ classifier gate (streaming-ingest variant)
+    // The streaming-gate shape (streaming.ScoreIngest.startClassifierGate
+    // drives it per micro-batch): classifier weights trained on the
+    // EXISTING corpus are the caller-owned staged index; the batch
+    // projects its uni+bigram features map-side and joins the broadcast
+    // weights. Novel batch vocabulary contributes 0 but still counts
+    // toward n_feats (left join) — the oracle restates that. Batch
+    // stand-in: doc_id % 10 = 0 classified against the rest.
+    Q("x_classifier_incremental", (s, d) => {
+      val docs = documents(s, d)
+      val w = graft.sources.Tables.stage(graft.operators.Ranking.classifierWeights(
+        graft.operators.Ranking.classifierRelation(
+          fanOut(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text",
+          isPositive = col("source").isin("src0", "src1", "src2"))))
+      graft.operators.Ranking.classifyAgainstWeights(
+        graft.operators.Ranking.classifierRelation(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", lit(false)),
+        w)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
+                        string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, pos,
+                   unnest(list_concat(toks,
+                     list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')))) AS feat
+            FROM t),
+      ex AS (SELECT doc_id, pos, substr(md5(feat), 1, 3) AS bk FROM f),
+      g AS (SELECT (COALESCE(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS prior
+            FROM ex WHERE doc_id % 10 <> 0),
+      w AS (SELECT bk,
+                   (COALESCE(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) - (SELECT prior FROM g) AS w
+            FROM ex WHERE doc_id % 10 <> 0 GROUP BY bk),
+      sc AS (SELECT e.doc_id,
+                    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score,
+                    CAST(COUNT(*) AS BIGINT) AS n_feats
+             FROM (SELECT * FROM ex WHERE doc_id % 10 = 0) e
+             LEFT JOIN w USING (bk)
              GROUP BY e.doc_id)
       SELECT doc_id, score, n_feats, score >= 0 AS keep
       FROM sc ORDER BY doc_id""")),

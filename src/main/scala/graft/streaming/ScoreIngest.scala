@@ -56,4 +56,40 @@ object ScoreIngest {
         Ranking.importanceRelation(docs, "doc_id", "text", lit(false), st.hexDigits),
         st.weights)
     }(onBatch)
+
+  /** One corpus version's staged CLASSIFIER weight relation
+    * ([[Ranking.classifierWeights]] over uni+bigram feature buckets). */
+  final case class ClassifierWeights(weights: DataFrame, hexDigits: Int,
+                                     scale: Long, version: Long)
+    extends Gate.Versioned
+
+  /** Train and stage the linear quality-classifier weights ONCE (per
+    * corpus version); `isPositive` labels the curated reference subset. */
+  def buildClassifier(corpus: DataFrame, idCol: String, textCol: String,
+                      isPositive: Column, hexDigits: Int = 3,
+                      scale: Long = 1000000L, version: Long = 0L): ClassifierWeights =
+    ClassifierWeights(
+      graft.sources.Tables.stage(Ranking.classifierWeights(
+        Ranking.classifierRelation(corpus, idCol, textCol, isPositive, hexDigits),
+        scale)),
+      hexDigits, scale, version)
+
+  /** Per-batch keep/drop gate ([[Ranking.classifyAgainstWeights]]):
+    * `onBatch` receives (doc_id, score, n_feats, keep) for every batch
+    * document — the fastText-style quality filter applied AT INGEST
+    * rather than in a nightly sweep. Novel batch vocabulary contributes
+    * 0 weight but still counts toward n_feats, so streamed verdicts are
+    * exactly the batch operator's. */
+  def startClassifierGate(stream: Stream, state: AtomicReference[ClassifierWeights],
+                          idCol: String, textCol: String,
+                          checkpoint: Option[String] = None)(
+                          onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      // the label is irrelevant at probe time (weights are frozen).
+      Ranking.classifyAgainstWeights(
+        Ranking.classifierRelation(docs, "doc_id", "text", lit(false), st.hexDigits),
+        st.weights)
+    }(onBatch)
 }

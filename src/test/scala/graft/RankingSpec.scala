@@ -232,8 +232,11 @@ class RankingSpec extends SparkSpec {
       d.digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString.take(3)
     }
     val all = corpus.flatMap { case (_, fs, p) => fs.map(f => (bk(f), p)) }
+    // weights center at the CORPUS positive prior, not 1/2 — the implicit
+    // bias that keeps the 0 threshold discriminative for minority labels.
+    val prior = all.count(_._2).toLong * scale / all.size
     val w = all.groupBy(_._1).map { case (b, os) =>
-      b -> (os.count(_._2).toLong * scale / os.size - scale / 2) }
+      b -> (os.count(_._2).toLong * scale / os.size - prior) }
     corpus.foreach { case (id, fs, _) =>
       val score = fs.map(f => w(bk(f))).sum
       val (gid, gscore, gn, gkeep) = got(id)

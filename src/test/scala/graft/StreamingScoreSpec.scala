@@ -98,4 +98,67 @@ class StreamingScoreSpec extends SparkSpec {
       assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("classifier gate: per-batch ≡ batch verdicts; staged once; rotation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildClassifier(corpus, "doc_id", "text",
+          isPositive = col("source").isin("src0", "src1", "src2")))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"classifier = one staged relation, got $stageDirs")
+
+      val expected = Ranking.classifyAgainstWeights(
+        Ranking.classifierRelation(fresh, "doc_id", "text", lit(false)),
+        state.get().weights)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(expected.nonEmpty && expected.exists(_._4) && expected.exists(!_._4),
+        "fixture must produce both keeps and drops — vacuous otherwise")
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Boolean)]
+      val q = ScoreIngest.startClassifierGate(s, state, "value.doc_id", "value.text") {
+        (verdicts, _, _) =>
+          got ++= verdicts.as[(Long, Long, Long, Boolean)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(fresh.filter(col("doc_id") % 20 === 0))
+      send(fresh.filter(col("doc_id") % 20 =!= 0))
+      assert(got.toSet == expected,
+        s"streamed verdicts diverge:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+
+      // ROTATE with the label inverted: verdicts must flip to the new
+      // weights at the next batch.
+      state.set(ScoreIngest.buildClassifier(corpus, "doc_id", "text",
+        isPositive = !col("source").isin("src0", "src1", "src2"), version = 1L))
+      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      val expected1 = Ranking.classifyAgainstWeights(
+        Ranking.classifierRelation(fresh, "doc_id", "text", lit(false)),
+        state.get().weights)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      got.clear()
+      send(fresh)
+      assert(got.toSet == expected1, "post-rotation verdicts must match v1")
+      assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
