@@ -170,6 +170,40 @@ object TextDedup {
       .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
   }
 
+  /** Containment pairs of a (small) batch against a persisted corpus
+    * shingle index — the against-index split of [[containmentPairs]] for
+    * the streaming ingest gates (audio/video dedup at ingest time).
+    * `corpusShingled` is the caller-staged (id, sh) relation and
+    * `corpusEx` its caller-staged exploded (id, s) index (df-cap the
+    * index at BUILD time if hot shingles need guarding — per-batch
+    * re-counting would rescan the corpus). Per batch: the batch explodes
+    * unstaged and BROADCASTS onto the index join; the surviving
+    * candidate ids + batch shingle arrays broadcast onto one scan of the
+    * corpus shingle relation — the corpus never shuffles. Output:
+    * (da = batch id, db = corpus id, c_ab = |∩|/|batch sh|,
+    * c_ba = |∩|/|corpus sh|), thresholded on the larger containment —
+    * identical arithmetic to the batch operator, so per-batch results
+    * are bitwise what [[containmentPairs]] would emit for those pairs. */
+  def containmentPairsAgainstIndex(batchShingled: DataFrame,
+                                   corpusShingled: DataFrame,
+                                   corpusEx: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val bex = batchShingled.select(col("id").as("da"), explode(col("sh")).as("s"))
+    val cand = corpusEx.join(broadcast(bex), Seq("s"))
+      .select(col("da"), col("id").as("db"))
+      .distinct()
+    val withB = cand.join(
+      broadcast(batchShingled.select(col("id").as("da"), col("sh").as("bsh"))),
+      Seq("da"))
+    corpusShingled.select(col("id").as("db"), col("sh").as("csh"))
+      .join(broadcast(withB), Seq("db"))
+      .withColumn("inter", expr("size(array_intersect(bsh, csh))"))
+      .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / size(bsh)"))
+      .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / size(csh)"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
+  }
+
   /** INCREMENTAL MinHash+LSH dedup: near-duplicate pairs between a small
     * new ingest batch and the existing corpus — the production shape at
     * 100 TB, where re-self-joining the whole corpus per ingest is absurd.

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Media, TextDedup}
+
+/** Streaming perceptual AUDIO dedup — the audio modality of the [[Gate]]
+  * family: a recording stream finds its trimmed/re-volumed near-duplicate
+  * corpus recordings per micro-batch against ONE persisted contour-shingle
+  * index ([[Media.audioShingles64]] +
+  * [[TextDedup.containmentPairsAgainstIndex]]), so re-uploads of cut or
+  * re-mastered audio are flagged at ingest time. Gate specifics on top of
+  * the family contract: every corpus recording is parsed ONCE at
+  * [[buildIndex]] time and only the 8-byte shingles are staged (the
+  * shingle arrays plus their exploded index — both relations the probe
+  * needs); micro-batches parse their own payloads only.
+  */
+object AudioIngest {
+
+  /** One corpus version's staged shingle relation + exploded index, with
+    * the window parameters probes must match. */
+  final case class CorpusAudioIndex(shingled: DataFrame, ex: DataFrame,
+                                    win: Int, hop: Int, version: Long)
+    extends Gate.Versioned
+
+  /** Parse + shingle the corpus once and stage the (id, sh) relation and
+    * its exploded (id, s) index. `corpus` is an (id, payload) relation
+    * addressed by the two column names. */
+  def buildIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+                 win: Int = 1024, hop: Int = 256,
+                 version: Long = 0L): CorpusAudioIndex = {
+    val sh = graft.sources.Tables.stage(
+      shingles(corpus, idCol, payloadCol, win, hop))
+    CorpusAudioIndex(sh,
+      graft.sources.Tables.stage(
+        sh.select(col("id"), explode(col("sh")).as("s"))),
+      win, hop, version)
+  }
+
+  /** (id, sh) contour-shingle relation for an (id, payload) relation;
+    * unparseable or too-short recordings drop out. */
+  def shingles(df: DataFrame, idCol: String, payloadCol: String,
+               win: Int, hop: Int): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .flatMap { case (id, payload) =>
+        Media.audioShingles64(payload, win, hop).map(sh => (id, sh))
+      }(Encoders.product[(Long, Array[Long])])
+      .toDF("id", "sh")
+
+  /** Start the per-batch dedup loop: each micro-batch's recordings are
+    * parsed, shingled, and probed against the persisted index; `onBatch`
+    * receives the (da = batch id, db = corpus id, c_ab, c_ba) containment
+    * pair relation plus (corpusVersion, batchId). */
+  def start(stream: Stream, state: AtomicReference[CorpusAudioIndex],
+            idCol: String, payloadCol: String, threshold: Double,
+            checkpoint: Option[String] = None)(
+            onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      TextDedup.containmentPairsAgainstIndex(
+        shingles(batch, idCol, payloadCol, st.win, st.hop),
+        st.shingled, st.ex, threshold)
+    }(onBatch)
+}
