@@ -607,12 +607,19 @@ object Graph {
     * by the final broadcast attach.
     *
     * Output: (node, pr) for EVERY vertex — the [[pageRank]] contract. */
-  def pageRankRefresh(vertices: DataFrame, idCol: String, st: PageRankState,
-                      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  /** The shared re-iteration core of [[pageRankRefresh]] and
+    * [[pageRankRefreshState]]: staged union edges, the settled B_0
+    * degree relation, the per-iteration recomputed (node, degree, r)
+    * relations (rec(i-1) covers B_i), and the final ball B_k. */
+  private final case class RefreshCore(allE: DataFrame, a0Deg: DataFrame,
+                                       recs: Vector[DataFrame], ball: DataFrame)
+
+  private def refreshCore(spark: org.apache.spark.sql.SparkSession,
+                          st: PageRankState, newEdges: DataFrame,
+                          srcCol: String, dstCol: String): RefreshCore = {
     val k = st.iterations
     val scale = st.scale
     val base = scale * 3 / 20
-    val spark = vertices.sparkSession
     val delta = stage(newEdges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -638,6 +645,7 @@ object Graph {
     var rec = a0Deg.select(col("node"), col("degree"), lit(scale).as("r"))
     var bPrev = a0Deg.select(col("node").as("n"))
     var bi = bPrev
+    var recs = Vector.empty[DataFrame]
     for (i <- 1 to k) {
       // frontier: B_i = union-graph neighbors of B_{i-1} (⊇ B_{i-1} —
       // every batch endpoint has a symmetric delta edge back into B_0).
@@ -668,16 +676,55 @@ object Graph {
       rec = biDeg.join(cin, col("node") === col("d"), "left")
         .select(col("node"), col("degree"),
           (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+      recs = recs :+ rec
       bPrev = bi
     }
+    RefreshCore(allE, a0Deg, recs, bi.withColumnRenamed("n", "node"))
+  }
+
+  def pageRankRefresh(vertices: DataFrame, idCol: String, st: PageRankState,
+                      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val base = st.scale * 3 / 20
+    val c = refreshCore(vertices.sparkSession, st, newEdges, srcCol, dstCol)
     // splice: recomputed ball ranks over stored finals outside the ball.
-    val merged = rec.select(col("node"), col("r"))
+    val merged = c.recs.last.select(col("node"), col("r"))
       .union(st.ranks
-        .select(col("node"), element_at(col("rs"), k).as("r"))
-        .join(broadcast(bi.withColumnRenamed("n", "node")), Seq("node"), "left_anti"))
+        .select(col("node"), element_at(col("rs"), st.iterations).as("r"))
+        .join(broadcast(c.ball), Seq("node"), "left_anti"))
     vertices.select(col(idCol).cast("long").as("__v"))
       .join(broadcast(merged), col("__v") === col("node"), "left")
       .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+  }
+
+  /** [[pageRankRefresh]]'s FOLDING twin: fold the batch in and return the
+    * updated [[PageRankState]] (union edges + spliced per-iteration
+    * history), so refreshes CHAIN — the state a streaming graph gate
+    * advances every micro-batch ([[graft.streaming.GraphIngest]]).
+    * History splice: a ball node's rs'[i] is its recomputed r_i where the
+    * iteration touched it (rec(i) covers B_i ⊆ B_k; brand-new nodes are
+    * in every B_i) and its stored rs[i] otherwise; nodes outside the
+    * ball keep their rows verbatim. Equivalence (GraphSpec): chained
+    * folds ≡ [[pageRankState]] over the union edge set, bitwise. */
+  def pageRankRefreshState(st: PageRankState, newEdges: DataFrame,
+                           srcCol: String, dstCol: String): PageRankState = {
+    val spark = st.ranks.sparkSession
+    val c = refreshCore(spark, st, newEdges, srcCol, dstCol)
+    // ball rows rebuilt: rec(k-1) covers ALL of B_k with new degrees.
+    var ballRows = c.recs.last.select(col("node"), col("degree"))
+    for (i <- 1 to st.iterations)
+      ballRows = ballRows.join(
+        c.recs(i - 1).select(col("node"), col("r").as(s"__r$i")),
+        Seq("node"), "left")
+    val ballStored = st.ranks.select(col("node"), col("rs").as("__olds"))
+      .join(broadcast(c.ball), Seq("node"))
+    val ballRanks = ballRows
+      .join(ballStored, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        array((1 to st.iterations).map(i =>
+          coalesce(col(s"__r$i"), element_at(col("__olds"), i))): _*).as("rs"))
+    val untouched = st.ranks.join(broadcast(c.ball), Seq("node"), "left_anti")
+    PageRankState(c.allE,
+      stage(untouched.unionByName(ballRanks)), st.iterations, st.scale)
   }
 
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge

@@ -62,6 +62,27 @@ object Gate {
       onBatch(probe(batch, st), st.version, batchId)
     }, checkpoint)
 
+  /** FOLDING variant of [[start]] for gates whose state EVOLVES with
+    * every batch (graph maintenance: the batch's edges permanently join
+    * the graph) rather than staying frozen per corpus version: `step`
+    * computes both the batch result and the NEXT state, and the
+    * reference is advanced before `onBatch` runs — foreachBatch bodies
+    * execute sequentially, so the fold is race-free and each batch sees
+    * exactly the state its predecessor produced. External rotation still
+    * works the same way as for frozen gates (swap the reference between
+    * batches with a freshly rebuilt state); `step` owns the version bump
+    * so rotated and folded versions stay distinguishable. */
+  def startFolding[S <: Versioned, R](stream: Stream, state: AtomicReference[S],
+                                      checkpoint: Option[String])(
+                                      step: (DataFrame, S) => (R, S))(
+                                      onBatch: (R, Long, Long) => Unit): StreamingQuery =
+    stream.forEachBatch({ (batch, batchId) =>
+      val st = state.get()
+      val (r, next) = step(batch, st)
+      state.set(next)
+      onBatch(r, next.version, batchId)
+    }, checkpoint)
+
   /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation
     * (LocalTableScan). Gate state holds centroid/codebook relations that
     * every micro-batch re-collects into a plan literal — left as a view

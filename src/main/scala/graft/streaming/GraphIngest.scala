@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Streaming GRAPH maintenance — the FOLDING members of the [[Gate]]
+  * family ([[Gate.startFolding]]): where every other gate probes a frozen
+  * per-version index, a graph gate's batch PERMANENTLY joins the graph,
+  * so each micro-batch advances the state (labels / counts / rank
+  * history) that the next batch folds into. Three gates:
+  *
+  *  - [[startComponents]]: near-dup cluster labels maintained per batch
+  *    ([[Graph.incrementalComponents]] — the contraction runs delta-sized,
+  *    the corpus-sized labeling is touched by two broadcast passes);
+  *  - [[startTriangles]]: per-node triangle counts
+  *    ([[Graph.incrementalTriangles]] — new triangles enumerate from the
+  *    batch edges only);
+  *  - [[startPageRank]]: exact fixed-iteration rank history
+  *    ([[Graph.pageRankRefreshState]] — only the batch's k-hop ball
+  *    re-iterates).
+  *
+  * Every fold's result is bit-identical to a full recompute over all
+  * edges seen so far (the batch operators' spec-pinned equivalences carry
+  * over verbatim; `StreamingGraphSpec` re-pins them through the stream).
+  *
+  * State storage: each fold stages the updated state
+  * ([[Tables.stageTracked]]) and DROPS the superseded version's directory
+  * once the new one is materialized — in `graft.stage.dir` mode exactly
+  * one state directory per gate is live at any time (spec-pinned for the
+  * components gate); in the default localCheckpoint mode nothing touches
+  * disk. The inner incremental operators' working stagings are per-batch
+  * temporaries (batch-sized contractions resolve on the driver below the
+  * local threshold and reclaim their rounds).
+  */
+object GraphIngest {
+
+  /** Evolving CC state: the staged (node, component) labeling. */
+  final case class ComponentsState(components: Tables.Staged, version: Long)
+    extends Gate.Versioned
+
+  /** Label the initial edge set once ([[Graph.connectedComponents]]). */
+  def buildComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                      version: Long = 0L): ComponentsState =
+    ComponentsState(
+      Tables.stageTracked(Graph.connectedComponents(edges, srcCol, dstCol)),
+      version)
+
+  /** Fold each micro-batch's edges into the labeling; `onBatch` receives
+    * the UPDATED (node, component) relation plus (version, batchId) —
+    * version increments per fold. `srcCol`/`dstCol` address the stream's
+    * payload (e.g. `value.src`, `value.dst`). */
+  def startComponents(stream: Stream, state: AtomicReference[ComponentsState],
+                      srcCol: String, dstCol: String,
+                      checkpoint: Option[String] = None)(
+                      onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st) =>
+      val edges = batch.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      val next = Tables.stageTracked(
+        Graph.incrementalComponents(st.components.df, edges))
+      st.components.drop() // superseded state dir reclaimed (staging mode)
+      (next.df, ComponentsState(next, st.version + 1))
+    }(onBatch)
+
+  /** Evolving triangle state: staged per-node counts + the staged
+    * canonical edge relation they were computed over. */
+  final case class TrianglesState(counts: Tables.Staged, edges: Tables.Staged,
+                                  version: Long) extends Gate.Versioned
+
+  /** Count the initial edge set once ([[Graph.triangleCounts]]). */
+  def buildTriangles(edges: DataFrame, srcCol: String, dstCol: String,
+                     version: Long = 0L): TrianglesState = {
+    val canon = Tables.stageTracked(Graph.canonicalEdges(edges, srcCol, dstCol))
+    TrianglesState(
+      Tables.stageTracked(Graph.triangleCounts(canon.df, "lo", "hi")),
+      canon, version)
+  }
+
+  /** Fold each micro-batch's edges into the counts; `onBatch` receives
+    * the UPDATED (node, degree, n_tri) relation. */
+  def startTriangles(stream: Stream, state: AtomicReference[TrianglesState],
+                     srcCol: String, dstCol: String,
+                     checkpoint: Option[String] = None)(
+                     onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st) =>
+      val edges = batch.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      val nextCounts = Tables.stageTracked(
+        Graph.incrementalTriangles(st.counts.df, st.edges.df, edges))
+      val nextEdges = Tables.stageTracked(
+        st.edges.df.unionByName(Graph.canonicalEdges(edges, "src", "dst"))
+          .distinct())
+      st.counts.drop(); st.edges.drop()
+      (nextCounts.df, TrianglesState(nextCounts, nextEdges, st.version + 1))
+    }(onBatch)
+
+  /** Evolving PageRank state: [[Graph.PageRankState]] (already staged by
+    * its builders) plus the fold version. */
+  final case class RankState(pr: Graph.PageRankState, version: Long)
+    extends Gate.Versioned
+
+  /** Build the initial rank history once ([[Graph.pageRankState]]). */
+  def buildPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                    iterations: Int = 3, scale: Long = 1000000000L,
+                    version: Long = 0L): RankState =
+    RankState(Graph.pageRankState(edges, srcCol, dstCol, iterations, scale),
+      version)
+
+  /** Fold each micro-batch's edges into the rank history
+    * ([[Graph.pageRankRefreshState]] — only the batch's k-hop ball
+    * re-iterates); `onBatch` receives the updated (node, degree, rs)
+    * history relation (`rs[iterations]` = current rank; attach to a
+    * vertex corpus with one broadcast join as [[Graph.pageRank]] does). */
+  def startPageRank(stream: Stream, state: AtomicReference[RankState],
+                    srcCol: String, dstCol: String,
+                    checkpoint: Option[String] = None)(
+                    onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st) =>
+      val edges = batch.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      val next = Graph.pageRankRefreshState(st.pr, edges, "src", "dst")
+      (next.ranks, RankState(next, st.version + 1))
+    }(onBatch)
+}

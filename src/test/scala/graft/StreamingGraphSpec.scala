@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Graph
+import graft.streaming.{GraphIngest, Stream}
+
+/** Streaming graph maintenance end-to-end (graft.streaming.GraphIngest —
+  * the FOLDING gates): edge batches arrive on a stream and each fold's
+  * result must be bit-identical to a full recompute over every edge seen
+  * so far; the components gate additionally pins the one-live-state-dir
+  * staging contract. */
+class StreamingGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(31)
+  private def randomEdges(n: Int, nodes: Int): Seq[(Long, Long)] =
+    Seq.fill(n)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+
+  private def mkStream(ms: MemoryStream[KMsg]): Stream = {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+  }
+  private def send(ms: MemoryStream[KMsg],
+                   q: org.apache.spark.sql.streaming.StreamingQuery,
+                   rows: Seq[(Long, Long)]): Unit = {
+    val payloads = rows.toDF("src", "dst")
+      .select(to_json(struct(col("src"), col("dst"))).as("j"))
+      .as[String].collect()
+    ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+      KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+    }.toIndexedSeq: _*)
+    q.processAllAvailable()
+  }
+
+  test("components gate: folds ≡ full recompute; one live state dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val initial = randomEdges(40, 30)
+      val batches = Seq(randomEdges(15, 30), randomEdges(15, 35))
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        GraphIngest.buildComponents(initial.toDF("a", "b"), "a", "b"))
+      def stateDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stateDirs == 1, s"initial state = one dir, got $stateDirs")
+
+      val ms = MemoryStream[KMsg]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = GraphIngest.startComponents(mkStream(ms), state,
+        "value.src", "value.dst") { (labels, version, _) =>
+          versions += version
+          got += labels.as[(Long, Long)].collect().toSet
+      }
+      var seen = initial
+      for (b <- batches) {
+        send(ms, q, b)
+        seen = seen ++ b
+        val full = Graph.connectedComponents(seen.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toSet
+        assert(got.last == full, s"fold diverged after ${got.size} batches")
+        assert(stateDirs == 1,
+          s"superseded state dirs must be reclaimed, got $stateDirs")
+      }
+      assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("triangles gate: folds ≡ full recompute over edges seen so far") {
+    val initial = randomEdges(60, 25)
+    val batches = Seq(randomEdges(20, 25), randomEdges(20, 28))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      GraphIngest.buildTriangles(initial.toDF("a", "b"), "a", "b"))
+    val ms = MemoryStream[KMsg]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long)]]
+    val q = GraphIngest.startTriangles(mkStream(ms), state,
+      "value.src", "value.dst") { (counts, _, _) =>
+        got += counts.as[(Long, Long, Long)].collect().toSet
+    }
+    var seen = initial
+    for (b <- batches) {
+      send(ms, q, b)
+      seen = seen ++ b
+      val full = Graph.triangleCounts(seen.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.last == full, s"fold diverged after ${got.size} batches")
+    }
+  }
+
+  test("pageRank gate: folded history ≡ pageRankState over the union") {
+    val initial = randomEdges(50, 20)
+    val batches = Seq(randomEdges(15, 20), randomEdges(15, 24))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      GraphIngest.buildPageRank(initial.toDF("a", "b"), "a", "b"))
+    val ms = MemoryStream[KMsg]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Seq[Long])]]
+    val q = GraphIngest.startPageRank(mkStream(ms), state,
+      "value.src", "value.dst") { (ranks, _, _) =>
+        got += ranks.as[(Long, Long, Seq[Long])].collect().toSet
+    }
+    var seen = initial
+    for (b <- batches) {
+      send(ms, q, b)
+      seen = seen ++ b
+      val full = Graph.pageRankState(seen.toDF("a", "b"), "a", "b")
+        .ranks.as[(Long, Long, Seq[Long])].collect().toSet
+      assert(got.last == full, s"fold diverged after ${got.size} batches")
+    }
+  }
+}
