@@ -110,6 +110,26 @@ object BloomDedup {
     * cheap — filter builds are per-corpus-version, never per-row). */
   private val buildLock = new Object
 
+  /** Merge two filters built with IDENTICAL (expectedItems, fpp) sizing —
+    * the fold step of a self-growing exact gate
+    * ([[graft.streaming.DedupIngest]]'s growing state): membership is a
+    * bitwise OR, so folding per-batch filters one at a time is
+    * byte-identical to one build over the union (insertion order never
+    * matters; spec-pinned). Incompatible shapes (different sizing) throw.
+    * FPP degrades once TOTAL inserted items exceed the sizing's
+    * expectedItems — capacity-plan the ingest horizon at build time and
+    * rotate a fresh corpus version when it fills. */
+  def mergeFilters(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
   /** Rows whose key MIGHT be in the corpus (all true members + ~fpp of
     * the rest) — the candidate set for an exact duplicate check. A pure
     * scan-fused Filter: no join, no shuffle, no exchange (spec-pinned). */

@@ -256,7 +256,7 @@ object Curation {
              FROM ex e JOIN w USING (bk)
              GROUP BY e.doc_id)
       SELECT doc_id, score, n_feats, score >= 0 AS keep
-      FROM sc ORDER BY doc_id""")),
+      FROM sc ORDER BY doc_id"""), headline = true),
 
     // ------------------------ classifier gate (streaming-ingest variant)
     // The streaming-gate shape (streaming.ScoreIngest.startClassifierGate

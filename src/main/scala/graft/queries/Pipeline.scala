@@ -153,6 +153,28 @@ object Pipeline {
     }, Some("""
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS meta_ok,
              CAST(1 AS BIGINT) AS chars_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id""")),
+
+    // --------------------------------------- ORC interchange (columnar)
+    // The columnar egress for Hive/Trino-stack neighbors: typed,
+    // splittable, pushdown-preserving (sources/Orc contract;
+    // SourceFormatsSpec pins the pushed filter on re-ingest). Same
+    // losslessness design as the text formats — the round-tripped copy
+    // joins back to the parquet original with null-safe flags.
+    Q("x_source_orc", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_stage/${new java.io.File(d).getName}"
+      val back = graft.sources.Orc.roundTrip(docs, tmp, files = 4)
+      docs.alias("o").join(back.alias("c"), col("o.doc_id") === col("c.doc_id"))
+        .select(col("o.doc_id").as("doc_id"),
+          expr("CAST(CASE WHEN o.text <=> c.text THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN o.lang <=> c.lang AND o.source <=> c.source THEN 1 ELSE 0 END AS BIGINT)").as("meta_ok"),
+          expr("CAST(CASE WHEN o.n_chars <=> c.n_chars THEN 1 ELSE 0 END AS BIGINT)").as("chars_ok"),
+          expr("md5(c.text)").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS meta_ok,
+             CAST(1 AS BIGINT) AS chars_ok, md5(text) AS digest
       FROM documents ORDER BY doc_id"""))
   )
 }

@@ -126,6 +126,104 @@ object DedupIngest {
       onBatch(exactPairs, nearPairs, version, batchId)
     }
 
+  /** SELF-GROWING gate state: a [[CorpusState]] plus the staged directory
+    * paths fold appends go to and the bloom sizing every fold must reuse
+    * ([[graft.operators.BloomDedup.mergeFilters]] needs identical
+    * shapes). Requires parquet staging mode (`graft.stage.dir`) — the
+    * whole point of the fold is batch-sized APPENDS to persisted index
+    * directories; localCheckpoint mode would rewrite the corpus per
+    * batch. `expectedItems` is the bloom CAPACITY for the ingest horizon
+    * (fpp degrades past it — rotate a fresh version when filled). */
+  final case class GrowingState(cs: CorpusState,
+                                shingledPath: String, bandPath: String,
+                                digestsPath: String,
+                                expectedItems: Long, fpp: Double,
+                                foldedBatch: Long = -1L) extends Gate.Folded {
+    def version: Long = cs.version
+  }
+
+  /** Build a [[GrowingState]] once: stages the shingle / band-key /
+    * digest relations (capturing their directories for fold appends) and
+    * sizes the bloom filter for `capacityItems` — the TOTAL corpus size
+    * this version is expected to grow to, not the current count. */
+  def buildGrowingState(corpus: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 12, bands: Int = 4,
+                        fpp: Double = 0.01, capacityItems: Long = 1000000L,
+                        version: Long = 0L): GrowingState = {
+    val sh = graft.sources.Tables.stageTracked(
+      TextDedup.shingleProjection(corpus, idCol, textCol, n))
+    val bk = graft.sources.Tables.stageTracked(
+      TextDedup.bandKeyProjection(sh.df, k, bands))
+    val dg = graft.sources.Tables.stageTracked(corpus.select(
+      col(idCol).cast("long").as("db"), md5(col(textCol)).as("__digest")))
+    require(sh.path.isDefined && bk.path.isDefined && dg.path.isDefined,
+      "buildGrowingState requires parquet staging mode (set graft.stage.dir): " +
+        "the growing gate folds by appending to persisted index directories")
+    val filter = BloomDedup.buildFilter(dg.df, "__digest", capacityItems, fpp)
+    GrowingState(
+      CorpusState(CorpusIndex(sh.df, bk.df, n, k, bands), dg.df, filter, version),
+      sh.path.get, bk.path.get, dg.path.get, capacityItems, fpp)
+  }
+
+  /** The SELF-GROWING production ingest loop — [[startGated]] plus the
+    * missing half of real ingest: after each micro-batch is deduped
+    * against the corpus, its NOVEL rows (no exact content match; near
+    * duplicates are distinct content and do join) BECOME corpus. Per
+    * batch, beyond [[gateBatch]]:
+    *
+    *   1. the novel rows' shingle / band-key / digest projections APPEND
+    *      to the staged index directories (batch-sized writes — zero
+    *      corpus work; the in-flight batch's own probe plans hold the
+    *      pre-append file snapshot, so results stay consistent);
+    *   2. a batch bloom filter built under the state's FIXED sizing
+    *      merges into the corpus filter
+    *      ([[BloomDedup.mergeFilters]] — byte-identical to one build
+    *      over the union);
+    *   3. the state advances to fresh reads of the grown directories, so
+    *      the NEXT batch dedups against everything ingested so far.
+    *
+    * Equivalence (StreamingDedupSpec): after any number of folds, the
+    * grown state's filter and probe results are bitwise what
+    * [[buildGrowingState]] over (corpus ∪ all folded novel rows) would
+    * produce. Replay safety: [[Gate.startFolding]]'s batch-id fence —
+    * a restart-replayed batch is not re-folded. Within-batch duplicates
+    * remain out of scope (two identical NEW documents both enter; run
+    * [[TextDedup.exactGroups]] on the batch first if that matters). */
+  def startGatedGrowing(stream: Stream, state: AtomicReference[GrowingState],
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.5, bandCap: Option[Int] = None,
+                        checkpoint: Option[String] = None)(
+                        onBatch: (DataFrame, DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      val spark = batch.sparkSession
+      val (exactPairs, nearPairs) =
+        gateBatch(batch, st.cs, idCol, textCol, threshold, bandCap)
+      // exactPairs is a driver-local relation (gateBatch settles once).
+      val dupIds = exactPairs.select(col("da")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val novel =
+        if (dupIds.isEmpty) batch
+        else batch.filter(!col(idCol).cast("long").isInCollection(dupIds))
+      val novSh = TextDedup.shingleProjection(novel, idCol, textCol, st.cs.index.n)
+      novSh.write.mode("append").parquet(st.shingledPath)
+      TextDedup.bandKeyProjection(novSh, st.cs.index.k, st.cs.index.bands)
+        .write.mode("append").parquet(st.bandPath)
+      val novDg = novel.select(col(idCol).cast("long").as("db"),
+        md5(col(textCol)).as("__digest"))
+      novDg.write.mode("append").parquet(st.digestsPath)
+      val merged = BloomDedup.mergeFilters(st.cs.exactFilter,
+        BloomDedup.buildFilter(novDg, "__digest", st.expectedItems, st.fpp))
+      val nextCs = CorpusState(
+        CorpusIndex(spark.read.parquet(st.shingledPath),
+          spark.read.parquet(st.bandPath),
+          st.cs.index.n, st.cs.index.k, st.cs.index.bands),
+        spark.read.parquet(st.digestsPath), merged, st.cs.version + 1)
+      ((exactPairs, nearPairs),
+        st.copy(cs = nextCs, foldedBatch = batchId))
+    } { case ((exactPairs, nearPairs), version, batchId) =>
+      onBatch(exactPairs, nearPairs, version, batchId)
+    }
+
   /** One micro-batch through the gate (see [[startGated]]) — exposed so
     * specs and the bench harness drive the exact per-batch plan the
     * stream runs. Single-pass settle: the exact-pair set is bounded by

@@ -62,25 +62,41 @@ object Gate {
       onBatch(probe(batch, st), st.version, batchId)
     }, checkpoint)
 
+  /** Folding-gate state: a [[Versioned]] index that also records the
+    * HIGHEST batch id already folded into it — the replay fence below. */
+  trait Folded extends Versioned { def foldedBatch: Long }
+
   /** FOLDING variant of [[start]] for gates whose state EVOLVES with
-    * every batch (graph maintenance: the batch's edges permanently join
-    * the graph) rather than staying frozen per corpus version: `step`
-    * computes both the batch result and the NEXT state, and the
-    * reference is advanced before `onBatch` runs — foreachBatch bodies
-    * execute sequentially, so the fold is race-free and each batch sees
-    * exactly the state its predecessor produced. External rotation still
-    * works the same way as for frozen gates (swap the reference between
-    * batches with a freshly rebuilt state); `step` owns the version bump
-    * so rotated and folded versions stay distinguishable. */
-  def startFolding[S <: Versioned, R](stream: Stream, state: AtomicReference[S],
-                                      checkpoint: Option[String])(
-                                      step: (DataFrame, S) => (R, S))(
-                                      onBatch: (R, Long, Long) => Unit): StreamingQuery =
+    * every batch (graph maintenance, a growing dedup corpus) rather than
+    * staying frozen per corpus version: `step` computes both the batch
+    * result and the NEXT state, and the reference is advanced before
+    * `onBatch` runs — foreachBatch bodies execute sequentially, so the
+    * fold is race-free and each batch sees exactly the state its
+    * predecessor produced.
+    *
+    * Exactly-once across restarts: the stream checkpoint REPLAYS
+    * unacknowledged batches, and a fold is not idempotent (the state may
+    * already contain a replayed batch's rows). States therefore record
+    * the last folded batch id ([[Folded.foldedBatch]], persisted by the
+    * caller alongside the state's staged relations); a replayed batch at
+    * or below it is SKIPPED here — no re-fold, no duplicate emission —
+    * and an idempotent sink (overwrite-by-batch-id) completes the
+    * guarantee for the result side, exactly as with the frozen gates.
+    * External rotation still works (swap the reference between batches
+    * with a freshly rebuilt state); `step` owns the version bump and the
+    * foldedBatch stamp so rotated and folded versions stay
+    * distinguishable. */
+  def startFolding[S <: Folded, R](stream: Stream, state: AtomicReference[S],
+                                   checkpoint: Option[String])(
+                                   step: (DataFrame, S, Long) => (R, S))(
+                                   onBatch: (R, Long, Long) => Unit): StreamingQuery =
     stream.forEachBatch({ (batch, batchId) =>
       val st = state.get()
-      val (r, next) = step(batch, st)
-      state.set(next)
-      onBatch(r, next.version, batchId)
+      if (batchId > st.foldedBatch) {
+        val (r, next) = step(batch, st, batchId)
+        state.set(next)
+        onBatch(r, next.version, batchId)
+      }
     }, checkpoint)
 
   /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation

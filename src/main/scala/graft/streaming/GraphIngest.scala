@@ -41,8 +41,9 @@ import graft.sources.Tables
 object GraphIngest {
 
   /** Evolving CC state: the staged (node, component) labeling. */
-  final case class ComponentsState(components: Tables.Staged, version: Long)
-    extends Gate.Versioned
+  final case class ComponentsState(components: Tables.Staged, version: Long,
+                                   foldedBatch: Long = -1L)
+    extends Gate.Folded
 
   /** Label the initial edge set once ([[Graph.connectedComponents]]). */
   def buildComponents(edges: DataFrame, srcCol: String, dstCol: String,
@@ -59,19 +60,20 @@ object GraphIngest {
                       srcCol: String, dstCol: String,
                       checkpoint: Option[String] = None)(
                       onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
-    Gate.startFolding(stream, state, checkpoint) { (batch, st) =>
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val edges = batch.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       val next = Tables.stageTracked(
         Graph.incrementalComponents(st.components.df, edges))
       st.components.drop() // superseded state dir reclaimed (staging mode)
-      (next.df, ComponentsState(next, st.version + 1))
+      (next.df, ComponentsState(next, st.version + 1, batchId))
     }(onBatch)
 
   /** Evolving triangle state: staged per-node counts + the staged
     * canonical edge relation they were computed over. */
   final case class TrianglesState(counts: Tables.Staged, edges: Tables.Staged,
-                                  version: Long) extends Gate.Versioned
+                                  version: Long, foldedBatch: Long = -1L)
+    extends Gate.Folded
 
   /** Count the initial edge set once ([[Graph.triangleCounts]]). */
   def buildTriangles(edges: DataFrame, srcCol: String, dstCol: String,
@@ -88,7 +90,7 @@ object GraphIngest {
                      srcCol: String, dstCol: String,
                      checkpoint: Option[String] = None)(
                      onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
-    Gate.startFolding(stream, state, checkpoint) { (batch, st) =>
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val edges = batch.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       val nextCounts = Tables.stageTracked(
@@ -97,13 +99,14 @@ object GraphIngest {
         st.edges.df.unionByName(Graph.canonicalEdges(edges, "src", "dst"))
           .distinct())
       st.counts.drop(); st.edges.drop()
-      (nextCounts.df, TrianglesState(nextCounts, nextEdges, st.version + 1))
+      (nextCounts.df, TrianglesState(nextCounts, nextEdges, st.version + 1, batchId))
     }(onBatch)
 
   /** Evolving PageRank state: [[Graph.PageRankState]] (already staged by
     * its builders) plus the fold version. */
-  final case class RankState(pr: Graph.PageRankState, version: Long)
-    extends Gate.Versioned
+  final case class RankState(pr: Graph.PageRankState, version: Long,
+                             foldedBatch: Long = -1L)
+    extends Gate.Folded
 
   /** Build the initial rank history once ([[Graph.pageRankState]]). */
   def buildPageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -121,10 +124,10 @@ object GraphIngest {
                     srcCol: String, dstCol: String,
                     checkpoint: Option[String] = None)(
                     onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
-    Gate.startFolding(stream, state, checkpoint) { (batch, st) =>
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val edges = batch.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       val next = Graph.pageRankRefreshState(st.pr, edges, "src", "dst")
-      (next.ranks, RankState(next, st.version + 1))
+      (next.ranks, RankState(next, st.version + 1, batchId))
     }(onBatch)
 }

@@ -33,8 +33,7 @@ class SourceFormatsSpec extends SparkSpec {
 
   test("orc round-trip preserves rows, schema, and pushes filters down") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
-    events.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir)
+    val back = graft.sources.Orc.roundTrip(events, dir, files = 2)
     assert(back.schema == events.schema)
     assert(back.count() == events.count())
     // ORC scans participate in predicate pushdown like parquet.

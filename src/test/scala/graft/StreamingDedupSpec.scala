@@ -219,6 +219,96 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("startGatedGrowing: batches become corpus; grown state ≡ fresh build; replay fenced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id")).limit(40).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // b1: 20 novel docs + an exact copy of a corpus doc (must NOT fold).
+      val corpusCopy = corpus.orderBy(col("doc_id")).limit(1).collect()
+        .map(r => (100001L, r.getString(1))).toSeq
+      val b1 = fresh.take(20).toSeq ++ corpusCopy
+      // b2: an exact copy of a b1 NOVEL doc (cross-batch dedup — only
+      // works if b1's novel rows became corpus) + 20 more novel docs.
+      val b1NovelCopy = Seq((200001L, fresh.head._2))
+      val b2 = b1NovelCopy ++ fresh.drop(20).toSeq
+
+      val capacity = 10000L
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        DedupIngest.buildGrowingState(corpus, "doc_id", "text",
+          capacityItems = capacity))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val exactGot = scala.collection.mutable.Set.empty[(Long, Long)]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = DedupIngest.startGatedGrowing(s, state, "value.doc_id", "value.text") {
+        (exact, _, version, _) =>
+          versions += version
+          exactGot ++= exact.as[(Long, Long)].collect()
+      }
+      def send(rows: Seq[(Long, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "text")
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      // the corpus copy was flagged and NOT folded.
+      assert(exactGot.exists(_._1 == 100001L), s"corpus copy missed: $exactGot")
+      send(b2)
+      // cross-batch: b2's copy of a b1 NOVEL doc is an exact hit against
+      // the GROWN corpus — the claim the whole gate exists for.
+      assert(exactGot.contains((200001L, fresh.head._1)),
+        s"b1-novel copy not caught by the grown index: $exactGot")
+      assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+
+      // grown state ≡ a fresh build over corpus ∪ all folded novel rows:
+      // bloom filter BYTES and shingle-relation content both match.
+      val novel = (b1 ++ b2).filterNot(r => r._1 == 100001L || r._1 == 200001L)
+      val union = corpus.union(novel.toDF("doc_id", "text"))
+      val freshState = DedupIngest.buildGrowingState(union, "doc_id", "text",
+        capacityItems = capacity)
+      val grown = state.get()
+      assert(java.util.Arrays.equals(grown.cs.exactFilter, freshState.cs.exactFilter),
+        "grown bloom filter must be byte-identical to a fresh union build")
+      def shSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id").cast("long"), expr("array_join(sh, '')"))
+          .as[(Long, String)].collect().toSet
+      assert(shSet(grown.cs.index.shingled) == shSet(freshState.cs.index.shingled),
+        "grown shingle relation must equal the fresh union build's")
+      // probe equivalence on a third batch: identical pairs from both.
+      val b3 = docs.filter(col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id").desc).limit(30)
+      def pairsOf(st: DedupIngest.GrowingState) = {
+        val (e, nr) = DedupIngest.gateBatch(b3, st.cs, "doc_id", "text")
+        (e.as[(Long, Long)].collect().toSet,
+          nr.select(col("da"), col("db")).as[(Long, Long)].collect().toSet)
+      }
+      assert(pairsOf(grown) == pairsOf(freshState),
+        "grown-state probe must equal fresh-union-state probe")
+
+      // replay fence: a batch id at/below foldedBatch must be skipped.
+      val fenced = grown.copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      val before = versions.size
+      send(Seq((300001L, "never folded text")))
+      assert(versions.size == before, "fenced batch must not fold or emit")
+      assert(state.get() eq fenced, "fenced batch must not advance state")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("gateBatch settles exactly once: emitted pair relations are LOCAL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
