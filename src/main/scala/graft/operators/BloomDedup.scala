@@ -94,10 +94,22 @@ object BloomDedup {
         math.max(conf.get(itemsKey, "4000000").toLong, expectedItems).toString)
       conf.set(bitsKey,
         math.max(conf.get(bitsKey, "67108864").toLong, bits).toString)
-      corpus
+      val built = corpus
         .select(xxhash64(col(keyCol).cast("string")).as("__h"))
         .agg(expr(s"bloom_agg(__h, ${expectedItems}L, ${bits}L)").as("__bf"))
         .head().getAs[Array[Byte]](0)
+      if (built != null) built
+      else {
+        // bloom_agg over ZERO rows returns NULL. An EMPTY relation still
+        // has a well-defined filter — the all-zero bit array at the SAME
+        // (items, bits) shape, so it keeps the [[mergeFilters]] identity
+        // (merging it changes nothing, byte-identically) — which the
+        // growing gate hits whenever a whole batch is duplicates.
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, bits).writeTo(out)
+        out.toByteArray
+      }
     } finally {
       restore(itemsKey, prevItems)
       restore(bitsKey, prevBits)

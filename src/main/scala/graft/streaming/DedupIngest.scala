@@ -195,34 +195,44 @@ object DedupIngest {
                         checkpoint: Option[String] = None)(
                         onBatch: (DataFrame, DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
-      val spark = batch.sparkSession
-      val (exactPairs, nearPairs) =
-        gateBatch(batch, st.cs, idCol, textCol, threshold, bandCap)
-      // exactPairs is a driver-local relation (gateBatch settles once).
-      val dupIds = exactPairs.select(col("da")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      val novel =
-        if (dupIds.isEmpty) batch
-        else batch.filter(!col(idCol).cast("long").isInCollection(dupIds))
-      val novSh = TextDedup.shingleProjection(novel, idCol, textCol, st.cs.index.n)
-      novSh.write.mode("append").parquet(st.shingledPath)
-      TextDedup.bandKeyProjection(novSh, st.cs.index.k, st.cs.index.bands)
-        .write.mode("append").parquet(st.bandPath)
-      val novDg = novel.select(col(idCol).cast("long").as("db"),
-        md5(col(textCol)).as("__digest"))
-      novDg.write.mode("append").parquet(st.digestsPath)
-      val merged = BloomDedup.mergeFilters(st.cs.exactFilter,
-        BloomDedup.buildFilter(novDg, "__digest", st.expectedItems, st.fpp))
-      val nextCs = CorpusState(
-        CorpusIndex(spark.read.parquet(st.shingledPath),
-          spark.read.parquet(st.bandPath),
-          st.cs.index.n, st.cs.index.k, st.cs.index.bands),
-        spark.read.parquet(st.digestsPath), merged, st.cs.version + 1)
-      ((exactPairs, nearPairs),
-        st.copy(cs = nextCs, foldedBatch = batchId))
+      foldBatch(batch, st, idCol, textCol, threshold, bandCap, batchId)
     } { case ((exactPairs, nearPairs), version, batchId) =>
       onBatch(exactPairs, nearPairs, version, batchId)
     }
+
+  /** One micro-batch through the gate-then-grow step (see
+    * [[startGatedGrowing]]) — exposed so composed loops
+    * ([[CurateIngest]]) and specs can run the exact fold the stream
+    * runs. Returns ((exactPairs, nearPairs), the advanced state). */
+  def foldBatch(batch: DataFrame, st: GrowingState,
+                idCol: String, textCol: String,
+                threshold: Double, bandCap: Option[Int],
+                batchId: Long): ((DataFrame, DataFrame), GrowingState) = {
+    val spark = batch.sparkSession
+    val (exactPairs, nearPairs) =
+      gateBatch(batch, st.cs, idCol, textCol, threshold, bandCap)
+    // exactPairs is a driver-local relation (gateBatch settles once).
+    val dupIds = exactPairs.select(col("da")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val novel =
+      if (dupIds.isEmpty) batch
+      else batch.filter(!col(idCol).cast("long").isInCollection(dupIds))
+    val novSh = TextDedup.shingleProjection(novel, idCol, textCol, st.cs.index.n)
+    novSh.write.mode("append").parquet(st.shingledPath)
+    TextDedup.bandKeyProjection(novSh, st.cs.index.k, st.cs.index.bands)
+      .write.mode("append").parquet(st.bandPath)
+    val novDg = novel.select(col(idCol).cast("long").as("db"),
+      md5(col(textCol)).as("__digest"))
+    novDg.write.mode("append").parquet(st.digestsPath)
+    val merged = BloomDedup.mergeFilters(st.cs.exactFilter,
+      BloomDedup.buildFilter(novDg, "__digest", st.expectedItems, st.fpp))
+    val nextCs = CorpusState(
+      CorpusIndex(spark.read.parquet(st.shingledPath),
+        spark.read.parquet(st.bandPath),
+        st.cs.index.n, st.cs.index.k, st.cs.index.bands),
+      spark.read.parquet(st.digestsPath), merged, st.cs.version + 1)
+    ((exactPairs, nearPairs), st.copy(cs = nextCs, foldedBatch = batchId))
+  }
 
   /** One micro-batch through the gate (see [[startGated]]) — exposed so
     * specs and the bench harness drive the exact per-batch plan the

@@ -78,4 +78,25 @@ class BloomDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("anti-join"))
   }
+
+  test("empty-relation filter is the all-zero shape; merge is fold-exact") {
+    val corpus = spark.range(0, 500).select(md5(col("id").cast("string")).as("k"))
+    val empty = corpus.filter(col("k") === "never")
+    // bloom_agg over zero rows is NULL — buildFilter substitutes the
+    // all-zero filter at the SAME shape, so an all-duplicate micro-batch
+    // folds as the merge identity (the growing gate's edge case).
+    val ef = BloomDedup.buildFilter(empty, "k", expectedItems = 10000L)
+    assert(BloomDedup.probe(corpus, "k", ef).count() == 0L,
+      "empty filter must match nothing")
+    val full = BloomDedup.buildFilter(corpus, "k", expectedItems = 10000L)
+    assert(java.util.Arrays.equals(BloomDedup.mergeFilters(full, ef), full),
+      "merging the empty filter must be a byte-identity")
+    // fold-exactness: merging two half filters ≡ one build over the union.
+    val loF = BloomDedup.buildFilter(
+      corpus.filter(substring(col("k"), 1, 1) < "8"), "k", expectedItems = 10000L)
+    val hiF = BloomDedup.buildFilter(
+      corpus.filter(substring(col("k"), 1, 1) >= "8"), "k", expectedItems = 10000L)
+    assert(java.util.Arrays.equals(BloomDedup.mergeFilters(loF, hiF), full),
+      "merged per-part filters must be byte-identical to the union build")
+  }
 }
