@@ -51,9 +51,53 @@ object AnnIngest {
         st.banded, k, st.bits, st.bands, st.dim)
     }(onBatch)
 
-  /** The (id, embedding) probe projection shared by the three gates. */
+  /** The (id, embedding) probe projection shared by the gates here. */
   private def vectors(batch: DataFrame, idCol: String, embCol: String): DataFrame =
     batch.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+
+  /** SELF-GROWING ANN index state: the staged banded-signature directory
+    * fold appends go to, plus the signature parameters every fold must
+    * reuse. Requires parquet staging mode (`graft.stage.dir`) — the fold
+    * is a batch-sized APPEND to the persisted index (the vector-database
+    * ingest shape: every accepted vector is immediately searchable by
+    * later batches). */
+  final case class GrowingAnnIndex(banded: DataFrame, path: String,
+                                   bits: Int, bands: Int, dim: Int,
+                                   version: Long, foldedBatch: Long = -1L)
+    extends Gate.Folded
+
+  /** Stage the initial corpus banding once, capturing its directory for
+    * fold appends. `corpus` is an (id, embedding) relation. */
+  def buildGrowingIndex(corpus: DataFrame, bits: Int = 64, bands: Int = 16,
+                        dim: Int = 64, version: Long = 0L): GrowingAnnIndex = {
+    val st = graft.sources.Tables.stageTracked(
+      Ann.bandedRelation(corpus, "c_id", "ce", bits, bands, dim))
+    require(st.path.isDefined,
+      "buildGrowingIndex requires parquet staging mode (set graft.stage.dir): " +
+        "the growing gate folds by appending to the persisted index directory")
+    GrowingAnnIndex(st.df, st.path.get, bits, bands, dim, version)
+  }
+
+  /** PROBE-THEN-GROW retrieval loop: each micro-batch's vectors first
+    * retrieve their top-k against everything ingested so far, then the
+    * batch's own banded signatures APPEND to the index (the in-flight
+    * probe holds the pre-append file snapshot, so its results are
+    * consistent) — batch N+1 can retrieve batch N's vectors. Replay
+    * safety via [[Gate.Folded]]'s batch-id fence. Spec pins the grown
+    * index content identical to a fresh build over all ingested vectors
+    * and cross-batch retrievability. */
+  def startGrowing(stream: Stream, state: AtomicReference[GrowingAnnIndex],
+                   idCol: String, embCol: String, k: Int,
+                   checkpoint: Option[String] = None)(
+                   onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      val q = vectors(batch, idCol, embCol)
+      val topk = Ann.lshTopKAgainstIndex(q, st.banded, k, st.bits, st.bands, st.dim)
+      Ann.bandedRelation(q, "c_id", "ce", st.bits, st.bands, st.dim)
+        .write.mode("append").parquet(st.path)
+      (topk, st.copy(banded = batch.sparkSession.read.parquet(st.path),
+        version = st.version + 1, foldedBatch = batchId))
+    }(onBatch)
 
   /** One corpus version's staged SEMANTIC index: the
     * [[Ann.assignToCentroids]] output plus the (driver-small, LOCALIZED —

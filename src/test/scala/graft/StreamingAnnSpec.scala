@@ -235,4 +235,69 @@ class StreamingAnnSpec extends SparkSpec {
       assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("startGrowing: probe-then-grow; cross-batch retrieval; grown ≡ fresh; fenced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val e = Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.filter(col("id") >= 20)
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        AnnIngest.buildGrowingIndex(corpus))
+
+      // b1 plants a DISTINCTIVE vector (id 9001): a clone of vector 0,
+      // which is NOT in the corpus — only the fold makes it findable.
+      val v0 = e.filter(col("id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val b1 = e.filter(col("id") >= 10 && col("id") < 20)
+        .union(Seq((9001L, v0)).toDF("id", "embedding"))
+      // b2 queries with vector 0 itself — its clone from b1 must be the
+      // cos = 1.0 top neighbor.
+      val b2 = e.filter(col("id") === 0)
+
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Int, Long, Double)]]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = AnnIngest.startGrowing(s, state, "value.vec_id", "value.embedding",
+        k = 3) { (topk, version, _) =>
+          versions += version
+          got += topk.as[(Long, Int, Long, Double)].collect().toSet
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("id").as("vec_id"), col("embedding"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+      // cross-batch: the b1 clone is vector 0's rank-1, cos 1.0 neighbor.
+      assert(got.last.exists(r => r._1 == 0L && r._2 == 1 && r._3 == 9001L),
+        s"b1 clone not retrievable by b2: ${got.last}")
+      // grown index content ≡ a fresh build over corpus + b1 + b2 vectors.
+      val union = corpus.union(b1).union(b2)
+      val freshIdx = AnnIngest.buildGrowingIndex(union)
+      def bandSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("c_id"), col("band")).as[(Long, String)].collect().toSet
+      assert(bandSet(state.get().banded) == bandSet(freshIdx.banded),
+        "grown banded relation must equal the fresh union build's")
+      // replay fence: a batch at/below foldedBatch is skipped entirely.
+      val fenced = state.get().copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      val before = versions.size
+      send(b2)
+      assert(versions.size == before && (state.get() eq fenced),
+        "fenced batch must neither fold nor emit")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
