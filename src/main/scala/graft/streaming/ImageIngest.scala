@@ -57,4 +57,44 @@ object ImageIngest {
       ImageDedup.dhashPairsAgainstIndex(
         dhashes(batch, idCol, payloadCol), st.banded, st.maxHamming)
     }(onBatch)
+
+  /** SELF-GROWING image index state: the staged banded-fingerprint
+    * directory fold appends go to. Requires parquet staging mode
+    * (`graft.stage.dir`) — same contract as the text and ANN growing
+    * gates. */
+  final case class GrowingImageIndex(banded: DataFrame, path: String,
+                                     maxHamming: Int, version: Long,
+                                     foldedBatch: Long = -1L)
+    extends Gate.Folded
+
+  /** Decode + hash the initial corpus once, capturing the banded index's
+    * directory for fold appends. */
+  def buildGrowingIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 3, version: Long = 0L): GrowingImageIndex = {
+    val st = graft.sources.Tables.stageTracked(
+      ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol), maxHamming))
+    require(st.path.isDefined,
+      "buildGrowingIndex requires parquet staging mode (set graft.stage.dir): " +
+        "the growing gate folds by appending to the persisted index directory")
+    GrowingImageIndex(st.df, st.path.get, maxHamming, version)
+  }
+
+  /** PROBE-THEN-GROW image dedup: each micro-batch's images are probed
+    * against everything ingested so far, then their banded fingerprints
+    * APPEND to the index (pre-append snapshot keeps the in-flight probe
+    * consistent) — a re-upload of an earlier batch's image is flagged by
+    * the next batch. Replay safety via [[Gate.Folded]]'s batch-id
+    * fence. */
+  def startGrowing(stream: Stream, state: AtomicReference[GrowingImageIndex],
+                   idCol: String, payloadCol: String,
+                   checkpoint: Option[String] = None)(
+                   onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      val h = dhashes(batch, idCol, payloadCol)
+      val pairs = ImageDedup.dhashPairsAgainstIndex(h, st.banded, st.maxHamming)
+      ImageDedup.bandedKeys(h, st.maxHamming)
+        .write.mode("append").parquet(st.path)
+      (pairs, st.copy(banded = batch.sparkSession.read.parquet(st.path),
+        version = st.version + 1, foldedBatch = batchId))
+    }(onBatch)
 }

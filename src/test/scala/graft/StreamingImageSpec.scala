@@ -111,4 +111,61 @@ class StreamingImageSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("startGrowing: probe-then-grow; re-upload of an earlier batch flagged; fenced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpus = (0 until 10).map(b => (b.toLong, blockImage(b.toLong)))
+        .toDF("img_id", "payload")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ImageIngest.buildGrowingIndex(corpus, "img_id", "payload", maxHamming = 7))
+
+      // b1: 5 fresh images (not in the corpus); b2: an exact re-upload of
+      // a b1 image — only the fold makes it a pair.
+      val b1 = (0 until 5).map(j => (100L + j, blockImage(500L + j)))
+      val b2 = Seq((900L, blockImage(500L)))
+
+      val schema = StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long)]]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = ImageIngest.startGrowing(s, state, "value.img_id", "value.payload") {
+        (pairs, version, _) =>
+          versions += version
+          got += pairs.as[(Long, Long, Long)].collect().toSet
+      }
+      def send(rows: Seq[(Long, Array[Byte])]): Unit = {
+        val payloads = rows.toDF("img_id", "payload")
+          .select(to_json(struct(col("img_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+      assert(got.last.contains((900L, 100L, 0L)),
+        s"re-upload of a b1 image not flagged by the grown index: ${got.last}")
+      // grown index content ≡ a fresh build over all ingested images.
+      val union = corpus.union((b1 ++ b2).toDF("img_id", "payload"))
+      val freshIdx = ImageIngest.buildGrowingIndex(union, "img_id", "payload",
+        maxHamming = 7)
+      def keySet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(keySet(state.get().banded) == keySet(freshIdx.banded),
+        "grown banded relation must equal the fresh union build's")
+      // replay fence.
+      val fenced = state.get().copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      val before = versions.size
+      send(b2)
+      assert(versions.size == before && (state.get() eq fenced),
+        "fenced batch must neither fold nor emit")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
