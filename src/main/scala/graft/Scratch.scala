@@ -5,16 +5,15 @@ import graft.sources.Tables._
 
 /** Throwaway profiling harness (not part of the library surface).
   *
-  * Current experiment (round 9, third continuation): NEW-OPERATOR WALL at
-  * sf0.1 — PageRank over the near-dup graph (vs the CC closure it rides
-  * next to), DSIR importance scoring (vs the tf-shaped corpus scans it
-  * resembles), and PQ encode + ADC scan (vs the brute scans it
-  * compresses). Recorded in README §new-operator cost / SURVEY §8.
+  * Current experiment (round 10): INCREMENTAL GRAPH UPKEEP at sf0.1 —
+  * fold a ~1% edge batch into prior triangle/PageRank/CC state vs the
+  * full recompute the fold replaces, plus the classifier train/probe
+  * split. Recorded in README §incremental upkeep / SURVEY §8.
   *
-  * Prior recorded experiments (triangle wedge bound, substring-span
-  * scale, span-index gate steady state, streaming gate cost split,
-  * verify-join skew) live in git history of this file; their numbers
-  * stand in README.
+  * Prior recorded experiments (new-operator wall, triangle wedge bound,
+  * substring-span scale, span-index gate steady state, streaming gate
+  * cost split, verify-join skew) live in git history of this file; their
+  * numbers stand in README.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -28,69 +27,151 @@ object Scratch {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    import spark.implicits._
     val d = "/root/testdata/sf0.1"
+    val docs = documents(spark, d)
 
     println("| op | detail | rows | wall s |")
     println("|---|---|---|---|")
 
-    // ---- graph family over the same staged near-dup pair relation.
-    val pairs = graft.sources.Tables.stage(
-      graft.operators.TextDedup.simhashPairs(
-        fanOut(documents(spark, d)), "doc_id", "text", maxHamming = 7))
+    // ---- shared near-dup pair graph; base = 99%, delta = ~1% batch.
+    val pairs = stage(graft.operators.TextDedup.simhashPairs(
+      fanOut(docs), "doc_id", "text", maxHamming = 7))
     val (nPairs, tPairs) = timed(pairs.count())
     println(f"| simhash pairs (input) | maxHamming=7 | $nPairs | $tPairs%.2f |")
-    val (nCc, tCc) = timed(graft.operators.Graph
-      .componentsForVertices(documents(spark, d), "doc_id", pairs, "da", "db")
-      .count())
-    println(f"| cc closure | componentsForVertices | $nCc | $tCc%.2f |")
-    val (nPr, tPr) = timed(graft.operators.Graph
-      .pageRank(documents(spark, d), "doc_id", pairs, "da", "db").count())
-    println(f"| pagerank | 3 iter, scale 1e9 | $nPr | $tPr%.2f |")
+    val base = stage(pairs.filter((col("da") + col("db")) % 100 =!= 0))
+    val delta = pairs.filter((col("da") + col("db")) % 100 === 0)
+    val nDelta = delta.count()
 
-    // ---- importance scoring vs the tf-shaped scan it resembles.
-    val (nTf, tTf) = timed(graft.operators.Ranking
-      .tfidfTopK(fanOut(documents(spark, d)), "doc_id", "text", k = 3).count())
-    println(f"| tfidf top-k (reference) | k=3 | $nTf | $tTf%.2f |")
-    val (nIw, tIw) = timed(graft.operators.Ranking
-      .importanceScores(fanOut(documents(spark, d)), "doc_id", "text",
-        isTarget = col("lang") === "en").count())
-    println(f"| importance scores | 4096 buckets | $nIw | $tIw%.2f |")
-
-    // ---- importance gate: build-once cost + per-batch probe cost (the
-    // ScoreIngest steady state: map-side batch projection + broadcast
-    // weights join; corpus untouched).
-    val (w, tW) = timed {
-      val w0 = graft.streaming.ScoreIngest.buildWeights(
-        fanOut(documents(spark, d)), "doc_id", "text",
-        isTarget = col("lang") === "en")
-      w0.weights.count(); w0
+    // ---- triangles: full vs (build state once) + fold.
+    val (nTriFull, tTriFull) = timed(
+      graft.operators.Graph.triangleCounts(pairs, "da", "db").count())
+    println(f"| triangles FULL (what the fold replaces) | all pairs | $nTriFull | $tTriFull%.2f |")
+    val (prevState, tTriBuild) = timed {
+      val pe = stage(graft.operators.Graph.canonicalEdges(base, "da", "db"))
+      val pc = stage(graft.operators.Graph.triangleCounts(base, "da", "db"))
+      pc.count(); (pc, pe)
     }
-    println(f"| importance gate: buildWeights (once/version) | 4096 buckets | ${w.weights.count()} | $tW%.2f |")
-    val batch = documents(spark, d).filter(col("doc_id") % 5 === 0).limit(1000)
-    val (nB, tB) = timed(graft.operators.Ranking.scoreAgainstWeights(
-      graft.operators.Ranking.importanceRelation(batch, "doc_id", "text",
-        lit(false)), w.weights).count())
-    println(f"| importance gate: per-batch probe | 1000-doc batch | $nB | $tB%.2f |")
+    println(f"| triangles state build (once) | 99%% base | ${prevState._1.count()} | $tTriBuild%.2f |")
+    val (nTriInc, tTriInc) = timed(graft.operators.Graph
+      .incrementalTriangles(prevState._1, prevState._2, delta, "da", "db").count())
+    println(f"| triangles FOLD (per batch) | $nDelta-edge batch | $nTriInc | $tTriInc%.2f |")
 
-    // ---- PQ: encode cost, then ADC scan vs the brute scans.
-    val e = embeddings(spark, d).select(col("vec_id").as("id"), col("embedding"))
-    val q = e.filter(col("id") < 50)
-    val c = fanOut(e.filter(col("id") >= 50))
-    val cb = e.filter(col("id") >= 50 && col("id") < 114)
-    val (staged, tCodes) = timed {
-      val s0 = graft.sources.Tables.stage(
-        graft.operators.Ann.pqCodes(c, cb, m = 8))
-      s0.count(); s0
+    // ---- pagerank: full vs (state once) + refresh.
+    val (nPrFull, tPrFull) = timed(graft.operators.Graph
+      .pageRank(docs, "doc_id", pairs, "da", "db").count())
+    println(f"| pagerank FULL (what the refresh replaces) | 3 iter | $nPrFull | $tPrFull%.2f |")
+    val (prState, tPrBuild) = timed {
+      val st = graft.operators.Graph.pageRankState(base, "da", "db")
+      st.ranks.count(); st
     }
-    println(f"| pq encode (once per corpus version) | m=8 cb=64 | ${staged.count()} | $tCodes%.2f |")
-    val (nPq, tPq) = timed(graft.operators.Ann
-      .pqTopKAgainstCodes(q, staged, cb, k = 10, m = 8).count())
-    println(f"| pq adc scan (per query batch) | m=8 cb=64, 50 q | $nPq | $tPq%.2f |")
-    val (nBr, tBr) = timed(graft.operators.Ann.bruteTopKL2(q, c, k = 10).count())
-    println(f"| brute L2 top-k (reference) | 50 q | $nBr | $tBr%.2f |")
-    val (nBc, tBc) = timed(graft.operators.Ann.bruteTopK(q, c, k = 10).count())
-    println(f"| brute cosine top-k (reference) | 50 q | $nBc | $tBc%.2f |")
+    println(f"| pagerank state build (once) | 99%% base | ${prState.ranks.count()} | $tPrBuild%.2f |")
+    val (nPrInc, tPrInc) = timed(graft.operators.Graph
+      .pageRankRefresh(docs, "doc_id", prState, delta, "da", "db").count())
+    println(f"| pagerank REFRESH (per batch) | $nDelta-edge batch | $nPrInc | $tPrInc%.2f |")
+    val (stNext, tPrFold) = timed {
+      val s = graft.operators.Graph.pageRankRefreshState(prState, delta, "da", "db")
+      s.ranks.count(); s
+    }
+    println(f"| pagerank FOLD state (per batch, chains) | $nDelta-edge batch | ${stNext.ranks.count()} | $tPrFold%.2f |")
+
+    // ---- cc (the round-8 incremental, same split, for the family table).
+    val (prevCc, tCcBuild) = timed {
+      val c = stage(graft.operators.Graph
+        .componentsForVertices(docs, "doc_id", base, "da", "db"))
+      c.count(); c
+    }
+    println(f"| cc state build (once) | 99%% base | ${prevCc.count()} | $tCcBuild%.2f |")
+    val (nCcInc, tCcInc) = timed(graft.operators.Graph
+      .incrementalComponents(prevCc, delta, "da", "db").count())
+    println(f"| cc FOLD (per batch) | $nDelta-edge batch | $nCcInc | $tCcInc%.2f |")
+
+    // ---- classifier: train+score (one staged scan) vs per-batch probe.
+    val (nQc, tQc) = timed(graft.operators.Ranking
+      .qualityClassifier(fanOut(docs), "doc_id", "text",
+        isPositive = col("source").isin("src0", "src1", "src2")).count())
+    println(f"| quality classifier train+score | uni+bigram, 4096 buckets | $nQc | $tQc%.2f |")
+    val (wts, tWts) = timed {
+      val w = graft.streaming.ScoreIngest.buildClassifier(
+        fanOut(docs), "doc_id", "text",
+        isPositive = col("source").isin("src0", "src1", "src2"))
+      w.weights.count(); w
+    }
+    println(f"| classifier gate: build (once/version) | 4096 buckets | ${wts.weights.count()} | $tWts%.2f |")
+    val batch = docs.filter(col("doc_id") % 5 === 0).limit(1000)
+    val (nCl, tCl) = timed(graft.operators.Ranking.classifyAgainstWeights(
+      graft.operators.Ranking.classifierRelation(batch, "doc_id", "text",
+        lit(false)), wts.weights).count())
+    println(f"| classifier gate: per-batch probe | 1000-doc batch | $nCl | $tCl%.2f |")
+
+    // ---- growing-gate fold cost: per-fold wall as the corpus grows
+    // (the claim: fold cost is batch-sized appends + an index probe that
+    // scans the grown index — NOT corpus-sized recompute).
+    {
+      val gdir = java.nio.file.Files.createTempDirectory("graft-grow").toString
+      spark.conf.set("graft.stage.dir", gdir)
+      try {
+        val (g0, tG) = timed {
+          val g = graft.streaming.DedupIngest.buildGrowingState(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            capacityItems = 100000L)
+          g.cs.digests.count(); g
+        }
+        println(f"| text grow: build (once) | 5000-doc corpus, cap 100k | - | $tG%.2f |")
+        var st = g0
+        for (i <- 1 to 6) {
+          val batch = docs.select(
+            (col("doc_id") + 1000000L * i).as("doc_id"),
+            concat(col("text"), lit(s" fold$i")).as("text"))
+            .filter(col("doc_id") % 10 === 0)
+          val (_, tF) = timed {
+            val (pairs, next) = graft.streaming.DedupIngest.foldBatch(
+              batch, st, "doc_id", "text", 0.5, None, i.toLong)
+            pairs._2.count(); st = next
+          }
+          println(f"| text grow: fold $i | 500-doc batch, corpus ${5000 + (i - 1) * 500} | - | $tF%.2f |")
+        }
+      } finally spark.conf.unset("graft.stage.dir")
+    }
+
+    // ---- SCALE DEMO: the crossover the sf0.1 numbers can't show (the
+    // near-dup subgraph there is 165k edges — graph-sized recompute is
+    // already sub-second, so the fold's constant overhead dominates).
+    // A 10M-edge lattice (5M nodes, degree ~4) with a LOCALIZED 1000-edge
+    // batch (new documents join near their duplicates): full recompute is
+    // graph-sized, the refresh is ball-sized.
+    val n = 5000000L
+    val lattice = stage(spark.range(n).toDF("i")
+      .select(explode(array(
+        struct(col("i").as("src"), ((col("i") + 1) % n).as("dst")),
+        struct(col("i").as("src"), ((col("i") + 1000) % n).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst")))
+    println(f"| lattice (input) | 5M nodes, ${lattice.count()} edges | - | - |")
+    val vertices = spark.range(n).toDF("doc_id")
+    val deltaL = spark.range(1000).toDF("i")
+      .select(col("i").as("src"), (col("i") + 7).as("dst"))
+    val (nLF, tLF) = timed(graft.operators.Graph
+      .pageRank(vertices, "doc_id", lattice, "src", "dst").count())
+    println(f"| pagerank FULL | 10M edges | $nLF | $tLF%.2f |")
+    val (stL, tLB) = timed {
+      val s = graft.operators.Graph.pageRankState(lattice, "src", "dst")
+      s.ranks.count(); s
+    }
+    println(f"| pagerank state build (once) | 10M edges | ${stL.ranks.count()} | $tLB%.2f |")
+    val (nLR, tLR) = timed(graft.operators.Graph
+      .pageRankRefresh(vertices, "doc_id", stL, deltaL, "src", "dst").count())
+    println(f"| pagerank REFRESH (per batch) | 1000-edge localized batch | $nLR | $tLR%.2f |")
+    val (nTF, tTF) = timed(graft.operators.Graph
+      .triangleCounts(lattice, "src", "dst").count())
+    println(f"| triangles FULL | 10M edges | $nTF | $tTF%.2f |")
+    val (stT, tTB) = timed {
+      val pe = stage(graft.operators.Graph.canonicalEdges(lattice, "src", "dst"))
+      val pc = stage(graft.operators.Graph.triangleCounts(pe, "lo", "hi"))
+      pc.count(); (pc, pe)
+    }
+    println(f"| triangles state build (once) | 10M edges | ${stT._1.count()} | $tTB%.2f |")
+    val (nTI, tTI) = timed(graft.operators.Graph
+      .incrementalTriangles(stT._1, stT._2, deltaL, "src", "dst").count())
+    println(f"| triangles FOLD (per batch) | 1000-edge localized batch | $nTI | $tTI%.2f |")
 
     spark.stop()
   }

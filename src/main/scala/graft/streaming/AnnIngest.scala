@@ -93,9 +93,9 @@ object AnnIngest {
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val q = vectors(batch, idCol, embCol)
       val topk = Ann.lshTopKAgainstIndex(q, st.banded, k, st.bits, st.bands, st.dim)
-      Ann.bandedRelation(q, "c_id", "ce", st.bits, st.bands, st.dim)
-        .write.mode("append").parquet(st.path)
-      (topk, st.copy(banded = batch.sparkSession.read.parquet(st.path),
+      Gate.growDir(Ann.bandedRelation(q, "c_id", "ce", st.bits, st.bands, st.dim),
+        st.path, batchId)
+      (topk, st.copy(banded = Gate.readGrown(batch.sparkSession, st.path),
         version = st.version + 1, foldedBatch = batchId))
     }(onBatch)
 

@@ -203,7 +203,16 @@ object DedupIngest {
   /** One micro-batch through the gate-then-grow step (see
     * [[startGatedGrowing]]) — exposed so composed loops
     * ([[CurateIngest]]) and specs can run the exact fold the stream
-    * runs. Returns ((exactPairs, nearPairs), the advanced state). */
+    * runs. Returns ((exactPairs, nearPairs), the advanced state).
+    *
+    * FOLD ATOMICITY: each batch's appends land in per-batch
+    * subdirectories written with OVERWRITE ([[Gate.growDir]]) — a crash
+    * mid-fold followed by a checkpoint replay (the state reference never
+    * advanced, so the replay fence does NOT skip it) simply overwrites
+    * the partial attempt instead of duplicating index rows; the bloom
+    * merge recomputes from the unchanged pre-fold base. The same layout
+    * maps directly onto a transactional table format's appends at
+    * cluster scale (batchId as the idempotence key). */
   def foldBatch(batch: DataFrame, st: GrowingState,
                 idCol: String, textCol: String,
                 threshold: Double, bandCap: Option[Int],
@@ -218,19 +227,20 @@ object DedupIngest {
       if (dupIds.isEmpty) batch
       else batch.filter(!col(idCol).cast("long").isInCollection(dupIds))
     val novSh = TextDedup.shingleProjection(novel, idCol, textCol, st.cs.index.n)
-    novSh.write.mode("append").parquet(st.shingledPath)
-    TextDedup.bandKeyProjection(novSh, st.cs.index.k, st.cs.index.bands)
-      .write.mode("append").parquet(st.bandPath)
+    Gate.growDir(novSh, st.shingledPath, batchId)
+    Gate.growDir(
+      TextDedup.bandKeyProjection(novSh, st.cs.index.k, st.cs.index.bands),
+      st.bandPath, batchId)
     val novDg = novel.select(col(idCol).cast("long").as("db"),
       md5(col(textCol)).as("__digest"))
-    novDg.write.mode("append").parquet(st.digestsPath)
+    Gate.growDir(novDg, st.digestsPath, batchId)
     val merged = BloomDedup.mergeFilters(st.cs.exactFilter,
       BloomDedup.buildFilter(novDg, "__digest", st.expectedItems, st.fpp))
     val nextCs = CorpusState(
-      CorpusIndex(spark.read.parquet(st.shingledPath),
-        spark.read.parquet(st.bandPath),
+      CorpusIndex(Gate.readGrown(spark, st.shingledPath),
+        Gate.readGrown(spark, st.bandPath),
         st.cs.index.n, st.cs.index.k, st.cs.index.bands),
-      spark.read.parquet(st.digestsPath), merged, st.cs.version + 1)
+      Gate.readGrown(spark, st.digestsPath), merged, st.cs.version + 1)
     ((exactPairs, nearPairs), st.copy(cs = nextCs, foldedBatch = batchId))
   }
 

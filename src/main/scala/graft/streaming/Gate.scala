@@ -99,6 +99,22 @@ object Gate {
       }
     }, checkpoint)
 
+  /** Append a batch's index projection to a growing staged directory —
+    * written as an OVERWRITE of the per-batch subdirectory
+    * `<root>/batch_<id>`, so a checkpoint replay of a crashed mid-fold
+    * batch overwrites its partial attempt instead of duplicating rows
+    * (plain append-mode writes are not transactional; this layout is the
+    * idempotent equivalent, and maps onto a transactional table format's
+    * batchId-keyed appends at cluster scale). */
+  def growDir(projection: DataFrame, root: String, batchId: Long): Unit =
+    projection.write.mode("overwrite").parquet(s"$root/batch_$batchId")
+
+  /** Re-open a grown directory: the initial staged files at the root
+    * plus every `batch_*` subdirectory ([[growDir]]'s layout) via a
+    * recursive file lookup (no partition inference). */
+  def readGrown(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(root)
+
   /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation
     * (LocalTableScan). Gate state holds centroid/codebook relations that
     * every micro-batch re-collects into a plan literal — left as a view

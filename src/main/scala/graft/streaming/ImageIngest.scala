@@ -92,9 +92,8 @@ object ImageIngest {
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val h = dhashes(batch, idCol, payloadCol)
       val pairs = ImageDedup.dhashPairsAgainstIndex(h, st.banded, st.maxHamming)
-      ImageDedup.bandedKeys(h, st.maxHamming)
-        .write.mode("append").parquet(st.path)
-      (pairs, st.copy(banded = batch.sparkSession.read.parquet(st.path),
+      Gate.growDir(ImageDedup.bandedKeys(h, st.maxHamming), st.path, batchId)
+      (pairs, st.copy(banded = Gate.readGrown(batch.sparkSession, st.path),
         version = st.version + 1, foldedBatch = batchId))
     }(onBatch)
 }
