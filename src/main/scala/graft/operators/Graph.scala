@@ -537,6 +537,67 @@ object Graph {
       .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
   }
 
+  /** PERSONALIZED PageRank — the seed-expansion form of [[pageRank]]
+    * (same exact integer arithmetic): restart mass concentrates on a
+    * SEED set instead of spreading uniformly, so rank measures proximity
+    * to the seeds through the near-dup/citation graph — the "find more
+    * documents like this curated set" step of a data-curation recipe.
+    *
+    * Arithmetic (damping 17/20 exact, truncating division throughout):
+    * `r_0(v) = scale·[v ∈ S]`,
+    * `r_{i+1}(v) = [v ∈ S]·((3·scale) div 20) + Σ_{u→v} (r_i(u)·17) div (20·deg(u))`
+    * — bitwise on any engine. Non-seed nodes far from every seed stay 0;
+    * an isolated seed converges to the base term. Same scale/overflow
+    * contract as [[pageRank]].
+    *
+    * `seeds` is a (by-contract-small) single-column relation of node
+    * ids; it broadcasts onto the edge-incident node relation once and
+    * onto the final vertex attach once — the corpus never shuffles.
+    * Output: (node, pr) for EVERY vertex. */
+  def personalizedPageRank(vertices: DataFrame, idCol: String,
+                           edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame,
+                           iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
+    val base = scale * 3 / 20
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().withColumn("__seed", lit(true))
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+      .distinct())
+    val deg = stage(e.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .join(broadcast(sd), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("__seed"), lit(false)).as("seed")))
+    var nr = deg.select(col("node"), col("degree"),
+      when(col("seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(nr, col("s") === col("node"))
+        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
+      val in = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
+      nr = deg.join(in, col("node") === col("d"), "left")
+        .select(col("node"), col("degree"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    vertices.select(col(idCol).cast("long").as("__v"))
+      .join(broadcast(nr.select(col("node"), col("r"))),
+        col("__v") === col("node"), "left")
+      .join(broadcast(sd.select(col("node").as("__v"), col("__seed"))),
+        Seq("__v"), "left")
+      .select(col("__v").as("node"),
+        coalesce(col("r"),
+          when(coalesce(col("__seed"), lit(false)), lit(base))
+            .otherwise(lit(0L))).as("pr"))
+  }
+
   /** Reusable [[pageRank]] state for [[pageRankRefresh]]: the staged
     * symmetric edge relation and the staged per-node ITERATE HISTORY
     * `ranks` = (node, degree, rs) with `rs[i]` (1-based) the exact rank

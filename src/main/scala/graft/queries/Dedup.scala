@@ -488,6 +488,66 @@ object Dedup {
       FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
       ORDER BY node""")),
 
+    // --------------------- personalized PageRank (seed-set expansion)
+    // "Find more documents like this curated set": restart mass
+    // concentrates on the seed docs (doc_id % 50 = 0), so rank measures
+    // graph proximity to the seeds — the expansion step a curation
+    // recipe runs after hand-picking exemplars. Same exact integer
+    // arithmetic as x_graph_pagerank (seeded base term, truncating div);
+    // the seed relation broadcasts twice, the corpus never shuffles.
+    Q("x_graph_ppr", (s, d) => {
+      val pairs = graft.operators.TextDedup
+        .simhashPairs(fanOut(documents(s, d)), "doc_id", "text", maxHamming = 7)
+      val seeds = documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"))
+      graft.operators.Graph
+        .personalizedPageRank(documents(s, d), "doc_id", pairs, "da", "db",
+          seeds, iterations = 3, scale = 1000000000L)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $duckSimhashPairCtes,
+      e AS (SELECT da AS s, db AS d FROM pairs
+            UNION SELECT db, da FROM pairs),
+      deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM e GROUP BY s),
+      r0 AS (SELECT node, degree,
+                    CAST(CASE WHEN node % 50 = 0 THEN 1000000000
+                         ELSE 0 END AS BIGINT) AS r
+             FROM deg),
+      r1 AS (SELECT dg.node, dg.degree,
+                    CAST(CASE WHEN dg.node % 50 = 0 THEN 150000000
+                         ELSE 0 END AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r0.r, r0.degree
+                        FROM e JOIN r0 ON e.s = r0.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree),
+      r2 AS (SELECT dg.node, dg.degree,
+                    CAST(CASE WHEN dg.node % 50 = 0 THEN 150000000
+                         ELSE 0 END AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r1.r, r1.degree
+                        FROM e JOIN r1 ON e.s = r1.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree),
+      r3 AS (SELECT dg.node, dg.degree,
+                    CAST(CASE WHEN dg.node % 50 = 0 THEN 150000000
+                         ELSE 0 END AS BIGINT) +
+                    COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                             CAST(0 AS BIGINT)) AS r
+             FROM deg dg
+             LEFT JOIN (SELECT e.d AS dst, r2.r, r2.degree
+                        FROM e JOIN r2 ON e.s = r2.node) p ON p.dst = dg.node
+             GROUP BY dg.node, dg.degree)
+      SELECT v.doc_id AS node,
+             COALESCE(r3.r,
+               CAST(CASE WHEN v.doc_id % 50 = 0 THEN 150000000
+                    ELSE 0 END AS BIGINT)) AS pr
+      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
+      ORDER BY node""")),
+
     // ------------------------------------- cluster dedup (keep canonical)
     // The end state of the dedup pipeline: one row per near-dup cluster,
     // keeping the smallest doc_id as canonical — pairs → components →

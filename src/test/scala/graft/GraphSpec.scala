@@ -308,6 +308,50 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin [__v#"), plan.take(1500))
   }
 
+  test("personalizedPageRank matches the exact seeded integer reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val scale = 1000000000L
+    val base = scale * 3 / 20
+    (1 to 3).foreach { _ =>
+      val n = rnd.nextInt(16) + 6
+      val raw = Seq.fill(rnd.nextInt(50) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter { case (a, b) => a != b }.distinct
+      val deg = canon.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val seedSet = (0L until n.toLong).filter(_ % 3 == 0).toSet
+      def sb(v: Long, full: Long) = if (seedSet.contains(v)) full else 0L
+      var r: Map[Long, Long] = deg.map { case (v, _) => v -> sb(v, scale) }.toMap
+      (1 to 3).foreach { _ =>
+        r = deg.map { case (v, _) =>
+          val in = canon.collect { case (u, w) if w == v =>
+            r(u) * 17L / (20L * deg(u)) }.sum
+          v -> (sb(v, base) + in)
+        }.toMap
+      }
+      val exp = (0L until n.toLong).map(v => v -> r.getOrElse(v, sb(v, base))).toMap
+      val got = Graph.personalizedPageRank(
+        (0L until n.toLong).toDF("doc_id"), "doc_id",
+        raw.toDF("a", "b"), "a", "b",
+        seedSet.toSeq.toDF("doc_id"), iterations = 3, scale = scale)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == exp.keySet, "vertex coverage")
+      got.foreach { case (v, pr) => assert(pr == exp(v), s"ppr($v)") }
+      // locality theorem of the seeded fixed-iteration form: a node more
+      // than `iterations` hops from every seed holds exactly zero mass
+      // (implied by the exact equality above; asserted for the doc).
+      var reach = seedSet
+      (1 to 3).foreach { _ =>
+        reach = reach ++ canon.collect { case (u, w) if reach.contains(u) => w }
+      }
+      got.foreach { case (v, pr) =>
+        if (!reach.contains(v) && !seedSet.contains(v))
+          assert(pr == 0L, s"node $v outside the seed ball must hold 0")
+      }
+    }
+  }
+
   test("pageRank: corpus joins once, by broadcast (no corpus shuffle)") {
     import spark.implicits._
     val vs = (0L to 100L).toDF("doc_id")
