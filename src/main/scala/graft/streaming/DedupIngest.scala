@@ -200,6 +200,25 @@ object DedupIngest {
       onBatch(exactPairs, nearPairs, version, batchId)
     }
 
+  /** Compact a [[GrowingState]]'s three grown directories into fresh
+    * consolidated staged relations ([[Gate.compactGrown]] per dir) —
+    * the periodic maintenance a long-running growing gate needs before
+    * per-batch subdirectories dominate file listing. Filter, sizing, and
+    * replay fence carry over; the version bumps. Swap the result into
+    * the state reference between batches; delete the superseded roots
+    * once nothing references them. Probe results are identical before
+    * and after (same rows, consolidated files — spec-pinned). */
+  def compactGrowingState(st: GrowingState): GrowingState = {
+    val spark = st.cs.digests.sparkSession
+    val (sh, shp) = Gate.compactGrown(spark, st.shingledPath)
+    val (bk, bkp) = Gate.compactGrown(spark, st.bandPath)
+    val (dg, dgp) = Gate.compactGrown(spark, st.digestsPath)
+    GrowingState(
+      CorpusState(CorpusIndex(sh, bk, st.cs.index.n, st.cs.index.k, st.cs.index.bands),
+        dg, st.cs.exactFilter, st.cs.version + 1),
+      shp, bkp, dgp, st.expectedItems, st.fpp, st.foldedBatch)
+  }
+
   /** One micro-batch through the gate-then-grow step (see
     * [[startGatedGrowing]]) — exposed so composed loops
     * ([[CurateIngest]]) and specs can run the exact fold the stream

@@ -115,6 +115,22 @@ object Gate {
   def readGrown(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(root)
 
+  /** COMPACT a grown directory into a fresh consolidated staged relation
+    * — the OPTIMIZE step of the growing gates: folds accumulate one
+    * small-file subdirectory per batch, and at scale the FILE COUNT (not
+    * the data) eventually dominates scan planning and listing. Run it
+    * between batches under the usual rotation discipline (build outside
+    * the stream, swap the state reference at a batch boundary); the
+    * superseded root can be deleted once no live state references it.
+    * Returns the consolidated relation and its new directory. */
+  def compactGrown(spark: org.apache.spark.sql.SparkSession,
+                   root: String): (DataFrame, String) = {
+    val consolidated = graft.sources.Tables.stageTracked(readGrown(spark, root))
+    require(consolidated.path.isDefined,
+      "compactGrown requires parquet staging mode (set graft.stage.dir)")
+    (consolidated.df, consolidated.path.get)
+  }
+
   /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation
     * (LocalTableScan). Gate state holds centroid/codebook relations that
     * every micro-batch re-collects into a plan literal — left as a view

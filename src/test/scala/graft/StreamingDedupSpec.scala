@@ -299,8 +299,25 @@ class StreamingDedupSpec extends SparkSpec {
       assert(pairsOf(grown) == pairsOf(freshState),
         "grown-state probe must equal fresh-union-state probe")
 
+      // COMPACTION: consolidating the per-batch subdirectories must
+      // change files only, never rows or probe results.
+      val compacted = DedupIngest.compactGrowingState(grown)
+      assert(new java.io.File(compacted.shingledPath)
+        .listFiles().forall(!_.getName.startsWith("batch_")),
+        "compacted dir must hold plain consolidated files")
+      assert(shSet(compacted.cs.index.shingled) == shSet(grown.cs.index.shingled),
+        "compaction must preserve the shingle relation exactly")
+      assert(pairsOf(compacted) == pairsOf(grown),
+        "compacted-state probe must equal grown-state probe")
+      // folds continue against the compacted state.
+      state.set(compacted)
+      send(Seq((400001L, fresh.head._2)))
+      assert(exactGot.exists(p => p._1 == 400001L),
+        "post-compaction fold must still catch exact copies")
+
       // replay fence: a batch id at/below foldedBatch must be skipped.
-      val fenced = grown.copy(foldedBatch = Long.MaxValue)
+      val grown2 = state.get()
+      val fenced = grown2.copy(foldedBatch = Long.MaxValue)
       state.set(fenced)
       val before = versions.size
       send(Seq((300001L, "never folded text")))
