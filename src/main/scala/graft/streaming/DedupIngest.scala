@@ -136,33 +136,79 @@ object DedupIngest {
     * (fpp degrades past it — rotate a fresh version when filled). */
   final case class GrowingState(cs: CorpusState,
                                 shingledPath: String, bandPath: String,
-                                digestsPath: String,
+                                digestsPath: String, tombstonesPath: String,
                                 expectedItems: Long, fpp: Double,
                                 foldedBatch: Long = -1L) extends Gate.Folded {
     def version: Long = cs.version
   }
 
   /** Build a [[GrowingState]] once: stages the shingle / band-key /
-    * digest relations (capturing their directories for fold appends) and
-    * sizes the bloom filter for `capacityItems` — the TOTAL corpus size
-    * this version is expected to grow to, not the current count. */
+    * digest relations (capturing their directories for fold appends),
+    * an (empty) tombstone relation for [[retire]], and sizes the bloom
+    * filter for `capacityItems` — the TOTAL corpus size this version is
+    * expected to grow to, not the current count. */
   def buildGrowingState(corpus: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 12, bands: Int = 4,
                         fpp: Double = 0.01, capacityItems: Long = 1000000L,
                         version: Long = 0L): GrowingState = {
+    val spark = corpus.sparkSession
     val sh = graft.sources.Tables.stageTracked(
       TextDedup.shingleProjection(corpus, idCol, textCol, n))
     val bk = graft.sources.Tables.stageTracked(
       TextDedup.bandKeyProjection(sh.df, k, bands))
     val dg = graft.sources.Tables.stageTracked(corpus.select(
       col(idCol).cast("long").as("db"), md5(col(textCol)).as("__digest")))
-    require(sh.path.isDefined && bk.path.isDefined && dg.path.isDefined,
+    val tb = graft.sources.Tables.stageTracked(
+      spark.createDataset(Seq.empty[Long])(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
+    require(sh.path.isDefined && bk.path.isDefined && dg.path.isDefined &&
+        tb.path.isDefined,
       "buildGrowingState requires parquet staging mode (set graft.stage.dir): " +
         "the growing gate folds by appending to persisted index directories")
     val filter = BloomDedup.buildFilter(dg.df, "__digest", capacityItems, fpp)
     GrowingState(
       CorpusState(CorpusIndex(sh.df, bk.df, n, k, bands), dg.df, filter, version),
-      sh.path.get, bk.path.get, dg.path.get, capacityItems, fpp)
+      sh.path.get, bk.path.get, dg.path.get, tb.path.get, capacityItems, fpp)
+  }
+
+  /** Re-open a growing state's index relations: the grown directories
+    * with the tombstone anti-filter applied (retired ids drop out of
+    * every probe-visible relation; the tombstone relation itself is
+    * by-contract tiny and broadcasts). */
+  private def liveCorpusState(spark: org.apache.spark.sql.SparkSession,
+                              st: GrowingState, filter: Array[Byte],
+                              version: Long): CorpusState = {
+    val tombs = Gate.readGrown(spark, st.tombstonesPath)
+    CorpusState(
+      CorpusIndex(
+        Gate.readGrown(spark, st.shingledPath)
+          .join(broadcast(tombs), Seq("id"), "left_anti"),
+        Gate.readGrown(spark, st.bandPath)
+          .join(broadcast(tombs), Seq("id"), "left_anti"),
+        st.cs.index.n, st.cs.index.k, st.cs.index.bands),
+      Gate.readGrown(spark, st.digestsPath)
+        .join(broadcast(tombs.select(col("id").as("db"))), Seq("db"), "left_anti"),
+      filter, version)
+  }
+
+  /** RETIRE documents (takedowns — the delete half of the ingest
+    * lifecycle): append their ids to the tombstone relation and return a
+    * state whose index views exclude them — retired docs stop appearing
+    * in exact or near pairs immediately, without rewriting any index
+    * directory. The bloom filter's bits for retired content PERSIST
+    * until the next full rotation: a stale positive only sends the row
+    * to the settle join, which now finds no live digest — never a false
+    * pair (the filter's one-sidedness absorbs deletion, which is exactly
+    * why tombstones suffice). Re-ingesting retired content later is
+    * treated as NOVEL and re-folds under its new id. `tag` must be
+    * unique per retire call on this state lineage (it keys the
+    * tombstone subdirectory — reusing one overwrites the earlier
+    * batch). Swap the result into the state reference between batches. */
+  def retire(st: GrowingState, ids: DataFrame, tag: Long): GrowingState = {
+    val spark = ids.sparkSession
+    Gate.growDir(ids.select(col(ids.columns.head).cast("long").as("id")),
+      st.tombstonesPath, tag)
+    st.copy(cs = liveCorpusState(spark, st, st.cs.exactFilter, st.cs.version + 1))
   }
 
   /** The SELF-GROWING production ingest loop — [[startGated]] plus the
@@ -210,13 +256,20 @@ object DedupIngest {
     * and after (same rows, consolidated files — spec-pinned). */
   def compactGrowingState(st: GrowingState): GrowingState = {
     val spark = st.cs.digests.sparkSession
-    val (sh, shp) = Gate.compactGrown(spark, st.shingledPath)
-    val (bk, bkp) = Gate.compactGrown(spark, st.bandPath)
-    val (dg, dgp) = Gate.compactGrown(spark, st.digestsPath)
+    // materialize the LIVE views (tombstone filter applied) — retired
+    // rows drop out of storage for good and the tombstones reset empty.
+    val sh = graft.sources.Tables.stageTracked(st.cs.index.shingled)
+    val bk = graft.sources.Tables.stageTracked(st.cs.index.bandKeys)
+    val dg = graft.sources.Tables.stageTracked(st.cs.digests)
+    val tb = graft.sources.Tables.stageTracked(
+      spark.createDataset(Seq.empty[Long])(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
     GrowingState(
-      CorpusState(CorpusIndex(sh, bk, st.cs.index.n, st.cs.index.k, st.cs.index.bands),
-        dg, st.cs.exactFilter, st.cs.version + 1),
-      shp, bkp, dgp, st.expectedItems, st.fpp, st.foldedBatch)
+      CorpusState(
+        CorpusIndex(sh.df, bk.df, st.cs.index.n, st.cs.index.k, st.cs.index.bands),
+        dg.df, st.cs.exactFilter, st.cs.version + 1),
+      sh.path.get, bk.path.get, dg.path.get, tb.path.get,
+      st.expectedItems, st.fpp, st.foldedBatch)
   }
 
   /** One micro-batch through the gate-then-grow step (see
@@ -255,11 +308,7 @@ object DedupIngest {
     Gate.growDir(novDg, st.digestsPath, batchId)
     val merged = BloomDedup.mergeFilters(st.cs.exactFilter,
       BloomDedup.buildFilter(novDg, "__digest", st.expectedItems, st.fpp))
-    val nextCs = CorpusState(
-      CorpusIndex(Gate.readGrown(spark, st.shingledPath),
-        Gate.readGrown(spark, st.bandPath),
-        st.cs.index.n, st.cs.index.k, st.cs.index.bands),
-      Gate.readGrown(spark, st.digestsPath), merged, st.cs.version + 1)
+    val nextCs = liveCorpusState(spark, st, merged, st.cs.version + 1)
     ((exactPairs, nearPairs), st.copy(cs = nextCs, foldedBatch = batchId))
   }
 

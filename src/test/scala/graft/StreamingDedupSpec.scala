@@ -326,6 +326,55 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("retire: tombstoned docs leave every probe; re-ingest is novel; compaction purges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val target = corpus.orderBy(col("doc_id")).limit(1).collect().head
+      val (tid, ttext) = (target.getLong(0), target.getString(1))
+      var st = DedupIngest.buildGrowingState(corpus, "doc_id", "text",
+        capacityItems = 10000L)
+
+      def exactHits(batch: Seq[(Long, String)]) =
+        DedupIngest.gateBatch(batch.toDF("doc_id", "text"), st.cs,
+          "doc_id", "text")._1.as[(Long, Long)].collect().toSet
+      // sanity: a copy of the target is an exact hit pre-retirement.
+      assert(exactHits(Seq((900L, ttext))) == Set((900L, tid)))
+
+      // retire the target: it must leave the exact AND near probes.
+      st = DedupIngest.retire(st, Seq(tid).toDF("id"), tag = 100L)
+      assert(exactHits(Seq((901L, ttext))).isEmpty,
+        "retired doc must not surface as an exact duplicate")
+      val near = DedupIngest.gateBatch(
+        Seq((902L, ttext)).toDF("doc_id", "text"), st.cs, "doc_id", "text")
+        ._2.select(col("db")).as[Long].collect()
+      assert(!near.contains(tid), "retired doc must not surface as a near dup")
+
+      // re-ingest of the retired CONTENT is novel — it folds under its
+      // new id and a later copy hits THAT id.
+      val (_, st2) = DedupIngest.foldBatch(
+        Seq((903L, ttext)).toDF("doc_id", "text"), st, "doc_id", "text",
+        0.5, None, batchId = 0L)
+      st = st2
+      assert(exactHits(Seq((904L, ttext))) == Set((904L, 903L)),
+        "re-ingested content must dedup against its NEW id")
+
+      // compaction purges tombstoned rows from storage and resets the
+      // tombstone relation; probes are unchanged.
+      val compacted = DedupIngest.compactGrowingState(st)
+      assert(compacted.cs.index.shingled.filter(col("id") === tid).count() == 0L,
+        "compaction must drop retired rows from storage")
+      val before = exactHits(Seq((905L, ttext)))
+      st = compacted
+      assert(exactHits(Seq((905L, ttext))) == before,
+        "compaction must not change probe results")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("gateBatch settles exactly once: emitted pair relations are LOCAL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
