@@ -62,20 +62,47 @@ object AnnIngest {
     * ingest shape: every accepted vector is immediately searchable by
     * later batches). */
   final case class GrowingAnnIndex(banded: DataFrame, path: String,
+                                   tombstonesPath: String,
                                    bits: Int, bands: Int, dim: Int,
                                    version: Long, foldedBatch: Long = -1L)
     extends Gate.Folded
 
   /** Stage the initial corpus banding once, capturing its directory for
-    * fold appends. `corpus` is an (id, embedding) relation. */
+    * fold appends (plus an empty tombstone relation for [[retire]]).
+    * `corpus` is an (id, embedding) relation. */
   def buildGrowingIndex(corpus: DataFrame, bits: Int = 64, bands: Int = 16,
                         dim: Int = 64, version: Long = 0L): GrowingAnnIndex = {
+    val spark = corpus.sparkSession
     val st = graft.sources.Tables.stageTracked(
       Ann.bandedRelation(corpus, "c_id", "ce", bits, bands, dim))
-    require(st.path.isDefined,
+    val tb = graft.sources.Tables.stageTracked(
+      spark.createDataset(Seq.empty[Long])(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("c_id"))
+    require(st.path.isDefined && tb.path.isDefined,
       "buildGrowingIndex requires parquet staging mode (set graft.stage.dir): " +
         "the growing gate folds by appending to the persisted index directory")
-    GrowingAnnIndex(st.df, st.path.get, bits, bands, dim, version)
+    GrowingAnnIndex(st.df, st.path.get, tb.path.get, bits, bands, dim, version)
+  }
+
+  /** The probe-visible index: the grown banding with the tombstone
+    * anti-filter applied (the by-contract-tiny retired-id relation
+    * broadcasts). */
+  private def liveBanded(spark: org.apache.spark.sql.SparkSession,
+                         st: GrowingAnnIndex): DataFrame =
+    Gate.readGrown(spark, st.path)
+      .join(broadcast(Gate.readGrown(spark, st.tombstonesPath)),
+        Seq("c_id"), "left_anti")
+
+  /** RETIRE vectors (the delete half of a vector store): append the ids
+    * to the tombstone relation — retired vectors stop being retrievable
+    * immediately, with no index rewrite; re-ingesting an embedding later
+    * folds as novel under its new id. `tag` must be unique per retire on
+    * this state lineage. Swap the result in between batches. */
+  def retire(st: GrowingAnnIndex, ids: DataFrame, tag: Long): GrowingAnnIndex = {
+    val spark = ids.sparkSession
+    Gate.growDir(ids.select(col(ids.columns.head).cast("long").as("c_id")),
+      st.tombstonesPath, tag)
+    st.copy(banded = liveBanded(spark, st), version = st.version + 1)
   }
 
   /** PROBE-THEN-GROW retrieval loop: each micro-batch's vectors first
@@ -95,7 +122,7 @@ object AnnIngest {
       val topk = Ann.lshTopKAgainstIndex(q, st.banded, k, st.bits, st.bands, st.dim)
       Gate.growDir(Ann.bandedRelation(q, "c_id", "ce", st.bits, st.bands, st.dim),
         st.path, batchId)
-      (topk, st.copy(banded = Gate.readGrown(batch.sparkSession, st.path),
+      (topk, st.copy(banded = liveBanded(batch.sparkSession, st),
         version = st.version + 1, foldedBatch = batchId))
     }(onBatch)
 

@@ -291,6 +291,13 @@ class StreamingAnnSpec extends SparkSpec {
         df.select(col("c_id"), col("band")).as[(Long, String)].collect().toSet
       assert(bandSet(state.get().banded) == bandSet(freshIdx.banded),
         "grown banded relation must equal the fresh union build's")
+      // RETIRE the clone: it must stop being retrievable immediately.
+      val retired = AnnIngest.retire(state.get(), Seq(9001L).toDF("c_id"), tag = 500L)
+      val after = Ann.lshTopKAgainstIndex(b2, retired.banded, 3)
+        .select(col("neighbor_id")).as[Long].collect()
+      assert(!after.contains(9001L), s"retired vector still retrieved: ${after.toSeq}")
+      state.set(retired)
+
       // replay fence: a batch at/below foldedBatch is skipped entirely.
       val fenced = state.get().copy(foldedBatch = Long.MaxValue)
       state.set(fenced)
