@@ -63,20 +63,44 @@ object ImageIngest {
     * (`graft.stage.dir`) — same contract as the text and ANN growing
     * gates. */
   final case class GrowingImageIndex(banded: DataFrame, path: String,
+                                     tombstonesPath: String,
                                      maxHamming: Int, version: Long,
                                      foldedBatch: Long = -1L)
     extends Gate.Folded
 
   /** Decode + hash the initial corpus once, capturing the banded index's
-    * directory for fold appends. */
+    * directory for fold appends (plus an empty tombstone relation for
+    * [[retire]]). */
   def buildGrowingIndex(corpus: DataFrame, idCol: String, payloadCol: String,
                         maxHamming: Int = 3, version: Long = 0L): GrowingImageIndex = {
+    val spark = corpus.sparkSession
     val st = graft.sources.Tables.stageTracked(
       ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol), maxHamming))
-    require(st.path.isDefined,
+    val tb = graft.sources.Tables.stageTracked(
+      spark.createDataset(Seq.empty[Long])(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
+    require(st.path.isDefined && tb.path.isDefined,
       "buildGrowingIndex requires parquet staging mode (set graft.stage.dir): " +
         "the growing gate folds by appending to the persisted index directory")
-    GrowingImageIndex(st.df, st.path.get, maxHamming, version)
+    GrowingImageIndex(st.df, st.path.get, tb.path.get, maxHamming, version)
+  }
+
+  /** The probe-visible index: grown banding minus tombstoned ids (the
+    * tiny retired-id relation broadcasts). */
+  private def liveBanded(spark: org.apache.spark.sql.SparkSession,
+                         st: GrowingImageIndex): DataFrame =
+    Gate.readGrown(spark, st.path)
+      .join(broadcast(Gate.readGrown(spark, st.tombstonesPath)),
+        Seq("id"), "left_anti")
+
+  /** RETIRE images (takedowns): tombstoned ids stop pairing immediately,
+    * no index rewrite; a re-upload later folds as novel under its new
+    * id. `tag` must be unique per retire on this state lineage. */
+  def retire(st: GrowingImageIndex, ids: DataFrame, tag: Long): GrowingImageIndex = {
+    val spark = ids.sparkSession
+    Gate.growDir(ids.select(col(ids.columns.head).cast("long").as("id")),
+      st.tombstonesPath, tag)
+    st.copy(banded = liveBanded(spark, st), version = st.version + 1)
   }
 
   /** PROBE-THEN-GROW image dedup: each micro-batch's images are probed
@@ -93,7 +117,7 @@ object ImageIngest {
       val h = dhashes(batch, idCol, payloadCol)
       val pairs = ImageDedup.dhashPairsAgainstIndex(h, st.banded, st.maxHamming)
       Gate.growDir(ImageDedup.bandedKeys(h, st.maxHamming), st.path, batchId)
-      (pairs, st.copy(banded = Gate.readGrown(batch.sparkSession, st.path),
+      (pairs, st.copy(banded = liveBanded(batch.sparkSession, st),
         version = st.version + 1, foldedBatch = batchId))
     }(onBatch)
 }

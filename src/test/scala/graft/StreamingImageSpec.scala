@@ -159,6 +159,15 @@ class StreamingImageSpec extends SparkSpec {
         df.collect().map(_.toSeq).toSet
       assert(keySet(state.get().banded) == keySet(freshIdx.banded),
         "grown banded relation must equal the fresh union build's")
+      // RETIRE the b1 image: its re-upload must stop pairing.
+      val retired = ImageIngest.retire(state.get(), Seq(100L).toDF("img_id"), tag = 500L)
+      val pairsAfter = graft.operators.ImageDedup.dhashPairsAgainstIndex(
+        ImageIngest.dhashes(b2.toDF("img_id", "payload"), "img_id", "payload"),
+        retired.banded, retired.maxHamming)
+        .select(col("db")).as[Long].collect()
+      assert(!pairsAfter.contains(100L), s"retired image still pairs: ${pairsAfter.toSeq}")
+      state.set(retired)
+
       // replay fence.
       val fenced = state.get().copy(foldedBatch = Long.MaxValue)
       state.set(fenced)
