@@ -373,4 +373,72 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"k=$k ref=$refDocs batch=$batchDocs")
     }
   }
+
+  test("audioShingles64: hop-aligned trims are always contained (randomized)") {
+    (1 to 25).foreach { _ =>
+      // random even amplitudes (exact under halving), constant per
+      // 4-sample window, 70-130 windows; random hop-aligned trims.
+      val m = rnd.nextInt(60) + 70
+      val amps = Array.fill(m)((rnd.nextInt(8192) - 4096) * 2)
+      def wav(off: Int, take: Int, f: Int => Int = identity): Array[Byte] =
+        graft.operators.Media.wavBytes(8000,
+          Array.tabulate(take * 4)(i => f(amps(off + i / 4)).toShort))
+      val full = graft.operators.Media.audioShingles64(wav(0, m), 4, 4).get.toSet
+      val front = rnd.nextInt((m - 66) / 2)
+      val back = rnd.nextInt((m - 66) / 2)
+      val trimmed = graft.operators.Media
+        .audioShingles64(wav(front, m - front - back), 4, 4).get.toSet
+      assert(trimmed.subsetOf(full),
+        s"m=$m front=$front back=$back: trimmed shingles must be contained")
+      // half volume on top of the trim: still contained (even amps).
+      val halved = graft.operators.Media
+        .audioShingles64(wav(front, m - front - back, _ / 2), 4, 4).get.toSet
+      assert(halved == trimmed, "exact half volume must not move a single bit")
+    }
+  }
+
+  test("classifierWeights: bounded by the prior; score ≡ brute reference") {
+    import spark.implicits._
+    val scale = 1000000L
+    (1 to 10).foreach { _ =>
+      val nDocs = rnd.nextInt(12) + 6
+      val vocab = Vector.fill(10)(rnd.alphanumeric.take(5).mkString.toLowerCase)
+      val docs = (1 to nDocs).map { i =>
+        (i.toLong,
+          Seq.fill(rnd.nextInt(8) + 2)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          rnd.nextBoolean())
+      }
+      val df = docs.toDF("doc_id", "text", "pos")
+      val rel = graft.operators.Ranking
+        .classifierRelation(df, "doc_id", "text", col("pos"))
+      val w = graft.operators.Ranking.classifierWeights(rel)
+        .as[(String, Long)].collect().toMap
+      // driver-side brute reference over the SAME feature stream.
+      def feats(t: String) = {
+        val ts = t.split(" ", -1).toSeq
+        ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      }
+      def bk(f: String) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(f.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString.take(3)
+      }
+      val all = docs.flatMap { case (_, t, p) => feats(t).map(f => (bk(f), p)) }
+      val prior = all.count(_._2).toLong * scale / all.size
+      val expW = all.groupBy(_._1).map { case (b, os) =>
+        b -> (os.count(_._2).toLong * scale / os.size - prior) }
+      assert(w == expW, "weights must equal the brute reference")
+      // bounds: w ∈ [-prior, scale - prior] (ratio ∈ [0, scale]).
+      w.values.foreach(v => assert(v >= -prior && v <= scale - prior, s"w=$v"))
+      // score identity: per-doc score = Σ tf·w over its features.
+      val got = graft.operators.Ranking.classifyAgainstWeights(rel,
+        graft.operators.Ranking.classifierWeights(rel))
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      docs.foreach { case (id, t, _) =>
+        val fs = feats(t)
+        val score = fs.map(f => expW(bk(f))).sum
+        assert(got(id) == ((score, fs.size.toLong, score >= 0L)), s"doc $id")
+      }
+    }
+  }
 }
