@@ -171,6 +171,34 @@ object DedupIngest {
       sh.path.get, bk.path.get, dg.path.get, tb.path.get, capacityItems, fpp)
   }
 
+  /** Reconstruct a [[GrowingState]] from its persisted directories after
+    * a RESTART — the durable half of the growing gate's exactly-once
+    * story: the index/tombstone dirs and the last folded batch id are
+    * what the operator persists (alongside the stream checkpoint); the
+    * in-memory state reference is rebuilt from them, the replay fence
+    * then skips checkpoint-replayed batches at or below `foldedBatch`,
+    * and the stream resumes exactly where it stopped. The bloom filter
+    * rebuilds from the LIVE digests (one scan of 16-byte rows — retired
+    * content's stale bits drop out as a bonus). */
+  def restoreGrowingState(spark: org.apache.spark.sql.SparkSession,
+                          shingledPath: String, bandPath: String,
+                          digestsPath: String, tombstonesPath: String,
+                          n: Int = 3, k: Int = 12, bands: Int = 4,
+                          fpp: Double = 0.01, capacityItems: Long = 1000000L,
+                          version: Long = 0L, foldedBatch: Long = -1L): GrowingState = {
+    val skeleton = GrowingState(
+      CorpusState(CorpusIndex(null, null, n, k, bands), null,
+        Array.emptyByteArray, version),
+      shingledPath, bandPath, digestsPath, tombstonesPath,
+      capacityItems, fpp, foldedBatch)
+    val liveDigests = Gate.readGrown(spark, digestsPath)
+      .join(broadcast(Gate.readGrown(spark, tombstonesPath)
+        .select(col("id").as("db"))), Seq("db"), "left_anti")
+    val filter = BloomDedup.buildFilter(liveDigests, "__digest",
+      capacityItems, fpp)
+    skeleton.copy(cs = liveCorpusState(spark, skeleton, filter, version))
+  }
+
   /** Re-open a growing state's index relations: the grown directories
     * with the tombstone anti-filter applied (retired ids drop out of
     * every probe-visible relation; the tombstone relation itself is

@@ -372,6 +372,18 @@ class StreamingDedupSpec extends SparkSpec {
       st = compacted
       assert(exactHits(Seq((905L, ttext))) == before,
         "compaction must not change probe results")
+
+      // RESTART: rebuild the state from the persisted directories alone —
+      // probes identical, fold high-water restored.
+      val restored = DedupIngest.restoreGrowingState(spark,
+        st.shingledPath, st.bandPath, st.digestsPath, st.tombstonesPath,
+        capacityItems = 10000L, foldedBatch = st.foldedBatch)
+      val live = st
+      st = restored
+      assert(exactHits(Seq((906L, ttext))) == Set((906L, 903L)),
+        "restored state must answer probes like the live state")
+      assert(restored.foldedBatch == live.foldedBatch,
+        "restored replay fence must carry the persisted high-water")
     } finally spark.conf.unset("graft.stage.dir")
   }
 
