@@ -93,6 +93,18 @@ object AnnIngest {
       .join(broadcast(Gate.readGrown(spark, st.tombstonesPath)),
         Seq("c_id"), "left_anti")
 
+  /** Reconstruct a [[GrowingAnnIndex]] from its persisted directories
+    * after a restart (the durable half; see
+    * [[DedupIngest.restoreGrowingState]] for the contract). */
+  def restoreGrowingIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, tombstonesPath: String,
+                          bits: Int = 64, bands: Int = 16, dim: Int = 64,
+                          version: Long = 0L, foldedBatch: Long = -1L): GrowingAnnIndex = {
+    val skeleton = GrowingAnnIndex(null, path, tombstonesPath,
+      bits, bands, dim, version, foldedBatch)
+    skeleton.copy(banded = liveBanded(spark, skeleton))
+  }
+
   /** RETIRE vectors (the delete half of a vector store): append the ids
     * to the tombstone relation — retired vectors stop being retrievable
     * immediately, with no index rewrite; re-ingesting an embedding later

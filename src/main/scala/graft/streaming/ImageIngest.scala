@@ -93,6 +93,18 @@ object ImageIngest {
       .join(broadcast(Gate.readGrown(spark, st.tombstonesPath)),
         Seq("id"), "left_anti")
 
+  /** Reconstruct a [[GrowingImageIndex]] from its persisted directories
+    * after a restart (the durable half; see
+    * [[DedupIngest.restoreGrowingState]] for the contract). */
+  def restoreGrowingIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, tombstonesPath: String,
+                          maxHamming: Int = 3,
+                          version: Long = 0L, foldedBatch: Long = -1L): GrowingImageIndex = {
+    val skeleton = GrowingImageIndex(null, path, tombstonesPath,
+      maxHamming, version, foldedBatch)
+    skeleton.copy(banded = liveBanded(spark, skeleton))
+  }
+
   /** RETIRE images (takedowns): tombstoned ids stop pairing immediately,
     * no index rewrite; a re-upload later folds as novel under its new
     * id. `tag` must be unique per retire on this state lineage. */

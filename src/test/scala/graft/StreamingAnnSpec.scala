@@ -298,6 +298,13 @@ class StreamingAnnSpec extends SparkSpec {
       assert(!after.contains(9001L), s"retired vector still retrieved: ${after.toSeq}")
       state.set(retired)
 
+      // RESTART: rebuilt-from-dirs index answers identically.
+      val restoredIdx = AnnIngest.restoreGrowingIndex(spark,
+        state.get().path, state.get().tombstonesPath,
+        foldedBatch = state.get().foldedBatch)
+      assert(bandSet(restoredIdx.banded) == bandSet(state.get().banded),
+        "restored index must equal the live index")
+
       // replay fence: a batch at/below foldedBatch is skipped entirely.
       val fenced = state.get().copy(foldedBatch = Long.MaxValue)
       state.set(fenced)

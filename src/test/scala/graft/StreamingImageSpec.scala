@@ -168,6 +168,13 @@ class StreamingImageSpec extends SparkSpec {
       assert(!pairsAfter.contains(100L), s"retired image still pairs: ${pairsAfter.toSeq}")
       state.set(retired)
 
+      // RESTART: rebuilt-from-dirs index answers identically.
+      val restoredIdx = ImageIngest.restoreGrowingIndex(spark,
+        state.get().path, state.get().tombstonesPath, maxHamming = 7,
+        foldedBatch = state.get().foldedBatch)
+      assert(keySet(restoredIdx.banded) == keySet(state.get().banded),
+        "restored index must equal the live index")
+
       // replay fence.
       val fenced = state.get().copy(foldedBatch = Long.MaxValue)
       state.set(fenced)
