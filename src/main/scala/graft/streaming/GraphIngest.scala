@@ -69,6 +69,17 @@ object GraphIngest {
       (next.df, ComponentsState(next, st.version + 1, batchId))
     }(onBatch)
 
+  /** Reconstruct a [[ComponentsState]] from its persisted labeling
+    * directory after a restart (durable half = the state dir +
+    * the fold high-water; same contract as
+    * [[DedupIngest.restoreGrowingState]]). */
+  def restoreComponents(spark: org.apache.spark.sql.SparkSession,
+                        componentsPath: String, version: Long,
+                        foldedBatch: Long): ComponentsState =
+    ComponentsState(
+      Tables.Staged(spark.read.parquet(componentsPath), Some(componentsPath)),
+      version, foldedBatch)
+
   /** Evolving triangle state: staged per-node counts + the staged
     * canonical edge relation they were computed over. */
   final case class TrianglesState(counts: Tables.Staged, edges: Tables.Staged,
@@ -101,6 +112,16 @@ object GraphIngest {
       st.counts.drop(); st.edges.drop()
       (nextCounts.df, TrianglesState(nextCounts, nextEdges, st.version + 1, batchId))
     }(onBatch)
+
+  /** Reconstruct a [[TrianglesState]] from its persisted directories
+    * after a restart. */
+  def restoreTriangles(spark: org.apache.spark.sql.SparkSession,
+                       countsPath: String, edgesPath: String, version: Long,
+                       foldedBatch: Long): TrianglesState =
+    TrianglesState(
+      Tables.Staged(spark.read.parquet(countsPath), Some(countsPath)),
+      Tables.Staged(spark.read.parquet(edgesPath), Some(edgesPath)),
+      version, foldedBatch)
 
   /** Evolving PageRank state: [[Graph.PageRankState]] (already staged by
     * its builders) plus the fold version. */

@@ -69,6 +69,14 @@ class StreamingGraphSpec extends SparkSpec {
           s"superseded state dirs must be reclaimed, got $stateDirs")
       }
       assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+
+      // RESTART: rebuild from the persisted labeling dir alone.
+      val live = state.get()
+      val restored = GraphIngest.restoreComponents(spark,
+        live.components.path.get, live.version, live.foldedBatch)
+      assert(restored.components.df.as[(Long, Long)].collect().toSet == got.last,
+        "restored labeling must equal the live state")
+      assert(restored.foldedBatch == live.foldedBatch)
     } finally spark.conf.unset("graft.stage.dir")
   }
 
