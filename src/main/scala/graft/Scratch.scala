@@ -130,10 +130,50 @@ object Scratch {
           }
           println(f"| text grow: fold $i | 500-doc batch, corpus ${5000 + (i - 1) * 500} | - | $tF%.2f |")
         }
+        // composed curated-ingest step (CurateIngest body): classify the
+        // batch against frozen weights, fold the keepers.
+        val cw = graft.streaming.ScoreIngest.buildClassifier(
+          docs, "doc_id", "text",
+          isPositive = col("source").isin("src0", "src1", "src2"))
+        val cBatch = docs.select(
+          (col("doc_id") + 50000000L).as("doc_id"),
+          concat(col("text"), lit(" curated")).as("text"))
+          .filter(col("doc_id") % 10 === 1).limit(1000)
+        val (_, tCur) = timed {
+          val verdicts = graft.operators.Ranking.classifyAgainstWeights(
+            graft.operators.Ranking.classifierRelation(
+              cBatch, "doc_id", "text", lit(false), cw.hexDigits), cw.weights)
+            .collect()
+          val keep = verdicts.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+          val kept =
+            if (keep.isEmpty) cBatch.limit(0)
+            else cBatch.filter(col("doc_id").isInCollection(keep))
+          val (pairs, next) = graft.streaming.DedupIngest.foldBatch(
+            kept, st, "doc_id", "text", 0.5, None, 99L)
+          pairs._2.count(); st = next
+        }
+        println(f"| curated ingest: classify+gate+fold | 1000-doc batch | - | $tCur%.2f |")
+        // lifecycle: retire 100 docs; compact the grown state.
+        val retireIds = spark.range(0, 100).select((col("id") * 10 + 1).as("id"))
+        val (_, tRet) = timed {
+          st = graft.streaming.DedupIngest.retire(st, retireIds, tag = 777L)
+          st.cs.digests.count()
+        }
+        println(f"| retire (tombstone 100 docs) | broadcast anti-filter | - | $tRet%.2f |")
+        val (_, tCmp) = timed {
+          st = graft.streaming.DedupIngest.compactGrowingState(st)
+          st.cs.digests.count()
+        }
+        println(f"| compact grown state (3 dirs) | purges tombstones | - | $tCmp%.2f |")
       } finally spark.conf.unset("graft.stage.dir")
     }
 
-    // ---- SCALE DEMO: the crossover the sf0.1 numbers can't show (the
+    if (!sys.env.get("SPARK_GRAFT_SCALEDEMO").contains("1")) {
+      spark.stop(); return
+    }
+    // ---- SCALE DEMO (SPARK_GRAFT_SCALEDEMO=1; recorded in README — the
+    // 10M-edge lattice run takes minutes): the crossover the sf0.1
+    // numbers can't show (the
     // near-dup subgraph there is 165k edges — graph-sized recompute is
     // already sub-second, so the fold's constant overhead dominates).
     // A 10M-edge lattice (5M nodes, degree ~4) with a LOCALIZED 1000-edge
