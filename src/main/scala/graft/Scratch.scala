@@ -168,6 +168,32 @@ object Scratch {
       } finally spark.conf.unset("graft.stage.dir")
     }
 
+    // ---- facade streaming throughput: rate source → map → filter →
+    // blackhole, processedRowsPerSecond from query progress after
+    // warm-up. The honest single-node comparison point: the reference
+    // architecture is one Node process pulling ≤1 message per tick with
+    // per-message JS closures — its ceiling is tens of thousands of
+    // messages/s; a Catalyst plan over the same shape sustains millions.
+    {
+      import org.apache.spark.sql.streaming.Trigger
+      val s = graft.streaming.Stream.fromRate(spark,
+        rowsPerSecond = 20000000, Trigger.ProcessingTime(500L))
+        .map(struct((col("value") * 3 + 1).as("v"),
+          (col("value") % 97).as("k")))
+        .filter(col("value.k") =!= 0)
+      val q = s.blackhole()
+      try {
+        Thread.sleep(15000)
+        val rates = q.recentProgress.toSeq
+          .map(p => p.processedRowsPerSecond)
+          .filter(r => !r.isNaN && r > 0)
+        // drop the warm-up half, report the median of the steady tail.
+        val tail = rates.drop(rates.size / 2).sorted
+        val med = if (tail.isEmpty) 0.0 else tail(tail.size / 2)
+        println(f"| facade throughput (map+filter) | rate source, steady median | - | ${med / 1e6}%.2f M rows/s |")
+      } finally q.stop()
+    }
+
     if (!sys.env.get("SPARK_GRAFT_SCALEDEMO").contains("1")) {
       spark.stop(); return
     }
