@@ -95,11 +95,15 @@ object AnnIngest {
 
   /** Reconstruct a [[GrowingAnnIndex]] from its persisted directories
     * after a restart (the durable half; see
-    * [[DedupIngest.restoreGrowingState]] for the contract). */
+    * [[DedupIngest.restoreGrowingState]] for the contract, including the
+    * [[Gate.pruneGrown]] crash repair: without it a checkpoint-replayed
+    * batch probes its own already-appended signatures and a rank-1
+    * cos-1.0 self neighbor eats one of the k slots). */
   def restoreGrowingIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, tombstonesPath: String,
                           bits: Int = 64, bands: Int = 16, dim: Int = 64,
                           version: Long = 0L, foldedBatch: Long = -1L): GrowingAnnIndex = {
+    Gate.pruneGrown(spark, path, foldedBatch)
     val skeleton = GrowingAnnIndex(null, path, tombstonesPath,
       bits, bands, dim, version, foldedBatch)
     skeleton.copy(banded = liveBanded(spark, skeleton))

@@ -179,13 +179,22 @@ object DedupIngest {
     * then skips checkpoint-replayed batches at or below `foldedBatch`,
     * and the stream resumes exactly where it stopped. The bloom filter
     * rebuilds from the LIVE digests (one scan of 16-byte rows — retired
-    * content's stale bits drop out as a bonus). */
+    * content's stale bits drop out as a bonus).
+    *
+    * CRASH REPAIR: subdirs a mid-fold crash appended ABOVE `foldedBatch`
+    * are DELETED first ([[Gate.pruneGrown]]) — otherwise the replayed
+    * batch would probe an index containing its own partial fold,
+    * self-match every row, and overwrite its subdirs with empty
+    * relations (permanently losing the batch from the corpus). The
+    * tombstone dir is never pruned (retire tags are not batch-fenced). */
   def restoreGrowingState(spark: org.apache.spark.sql.SparkSession,
                           shingledPath: String, bandPath: String,
                           digestsPath: String, tombstonesPath: String,
                           n: Int = 3, k: Int = 12, bands: Int = 4,
                           fpp: Double = 0.01, capacityItems: Long = 1000000L,
                           version: Long = 0L, foldedBatch: Long = -1L): GrowingState = {
+    Seq(shingledPath, bandPath, digestsPath)
+      .foreach(Gate.pruneGrown(spark, _, foldedBatch))
     val skeleton = GrowingState(
       CorpusState(CorpusIndex(null, null, n, k, bands), null,
         Array.emptyByteArray, version),
@@ -292,6 +301,9 @@ object DedupIngest {
     val tb = graft.sources.Tables.stageTracked(
       spark.createDataset(Seq.empty[Long])(
         org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
+    require(sh.path.isDefined && bk.path.isDefined && dg.path.isDefined &&
+        tb.path.isDefined,
+      "compactGrowingState requires parquet staging mode (set graft.stage.dir)")
     GrowingState(
       CorpusState(
         CorpusIndex(sh.df, bk.df, st.cs.index.n, st.cs.index.k, st.cs.index.bands),

@@ -115,6 +115,34 @@ object Gate {
   def readGrown(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(root)
 
+  /** DELETE orphaned `batch_<id>` subdirectories with id ABOVE the
+    * persisted replay fence — the restart-repair step every growing
+    * gate's `restore*` must run before building its live views. A crash
+    * between [[growDir]]'s appends and the caller durably recording the
+    * new `foldedBatch` leaves the batch's subdirs on disk while the fence
+    * still points below them; restored unpruned, the checkpoint-replayed
+    * batch would probe an index already containing its OWN rows — every
+    * row exact-matches itself, the batch folds as all-duplicate, and the
+    * overwrite leaves EMPTY subdirs (the rows silently vanish from the
+    * corpus). Deleting the orphans restores the exact pre-fold snapshot;
+    * the replay then re-runs the fold and rewrites them. Returns the
+    * pruned batch ids (normally empty — only a mid-fold crash leaves
+    * any). Tombstone directories are NOT pruned by restores: retire tags
+    * are caller-chosen, not batch-fenced. */
+  def pruneGrown(spark: org.apache.spark.sql.SparkSession, root: String,
+                 maxBatch: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+      val nm = s.getPath.getName
+      if (!nm.startsWith("batch_")) None
+      else scala.util.Try(nm.stripPrefix("batch_").toLong).toOption
+        .filter(_ > maxBatch)
+        .map { id => fs.delete(s.getPath, true); id }
+    }.sorted
+  }
+
   /** COMPACT a grown directory into a fresh consolidated staged relation
     * — the OPTIMIZE step of the growing gates: folds accumulate one
     * small-file subdirectory per batch, and at scale the FILE COUNT (not

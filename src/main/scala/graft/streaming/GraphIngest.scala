@@ -30,20 +30,36 @@ import graft.sources.Tables
   * over verbatim; `StreamingGraphSpec` re-pins them through the stream).
   *
   * State storage: each fold stages the updated state
-  * ([[Tables.stageTracked]]) and DROPS the superseded version's directory
-  * once the new one is materialized — in `graft.stage.dir` mode exactly
-  * one state directory per gate is live at any time (spec-pinned for the
-  * components gate); in the default localCheckpoint mode nothing touches
-  * disk. The inner incremental operators' working stagings are per-batch
+  * ([[Tables.stageTracked]]); the SUPERSEDED version's directory is NOT
+  * dropped inside the fold — it rides in the new state's `superseded`
+  * handles and is reclaimed at the START of the next fold (or explicitly
+  * via `reclaim()` once the caller has durably recorded the new state
+  * path). Dropping inside the fold would open an unrecoverable crash
+  * window: between the drop and the caller persisting the new path,
+  * neither directory is both live and recorded — for the components gate
+  * fatally so, since the labeling alone cannot be rebuilt without the
+  * historical edges. Deferring to the next fold keeps at most TWO dirs
+  * live per gate (spec-pinned for the components gate) and guarantees the
+  * caller's onBatch — its durable-record window — completed before the
+  * old dir goes (foreachBatch bodies are sequential). In the default
+  * localCheckpoint mode nothing touches disk (`drop()` is a no-op). The
+  * inner incremental operators' working stagings are per-batch
   * temporaries (batch-sized contractions resolve on the driver below the
   * local threshold and reclaim their rounds).
   */
 object GraphIngest {
 
-  /** Evolving CC state: the staged (node, component) labeling. */
+  /** Evolving CC state: the staged (node, component) labeling, plus the
+    * previous fold's superseded directory handles (reclaimed by the next
+    * fold, or by the caller once the new path is durably recorded). */
   final case class ComponentsState(components: Tables.Staged, version: Long,
-                                   foldedBatch: Long = -1L)
-    extends Gate.Folded
+                                   foldedBatch: Long = -1L,
+                                   superseded: Seq[Tables.Staged] = Nil)
+    extends Gate.Folded {
+    /** Drop the superseded state dirs — call AFTER durably recording
+      * `components.path`; the next fold calls it as the backstop. */
+    def reclaim(): Unit = superseded.foreach(_.drop())
+  }
 
   /** Label the initial edge set once ([[Graph.connectedComponents]]). */
   def buildComponents(edges: DataFrame, srcCol: String, dstCol: String,
@@ -61,12 +77,13 @@ object GraphIngest {
                       checkpoint: Option[String] = None)(
                       onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      st.reclaim() // predecessor's dir — its durable-record window closed
       val edges = batch.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       val next = Tables.stageTracked(
         Graph.incrementalComponents(st.components.df, edges))
-      st.components.drop() // superseded state dir reclaimed (staging mode)
-      (next.df, ComponentsState(next, st.version + 1, batchId))
+      (next.df,
+        ComponentsState(next, st.version + 1, batchId, Seq(st.components)))
     }(onBatch)
 
   /** Reconstruct a [[ComponentsState]] from its persisted labeling
@@ -81,10 +98,17 @@ object GraphIngest {
       version, foldedBatch)
 
   /** Evolving triangle state: staged per-node counts + the staged
-    * canonical edge relation they were computed over. */
+    * canonical edge relation they were computed over, plus the previous
+    * fold's superseded handles (same deferred-reclaim contract as
+    * [[ComponentsState]]). */
   final case class TrianglesState(counts: Tables.Staged, edges: Tables.Staged,
-                                  version: Long, foldedBatch: Long = -1L)
-    extends Gate.Folded
+                                  version: Long, foldedBatch: Long = -1L,
+                                  superseded: Seq[Tables.Staged] = Nil)
+    extends Gate.Folded {
+    /** Drop the superseded state dirs — call AFTER durably recording
+      * the new paths; the next fold calls it as the backstop. */
+    def reclaim(): Unit = superseded.foreach(_.drop())
+  }
 
   /** Count the initial edge set once ([[Graph.triangleCounts]]). */
   def buildTriangles(edges: DataFrame, srcCol: String, dstCol: String,
@@ -102,6 +126,7 @@ object GraphIngest {
                      checkpoint: Option[String] = None)(
                      onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      st.reclaim() // predecessor's dirs — durable-record window closed
       val edges = batch.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       val nextCounts = Tables.stageTracked(
@@ -109,8 +134,8 @@ object GraphIngest {
       val nextEdges = Tables.stageTracked(
         st.edges.df.unionByName(Graph.canonicalEdges(edges, "src", "dst"))
           .distinct())
-      st.counts.drop(); st.edges.drop()
-      (nextCounts.df, TrianglesState(nextCounts, nextEdges, st.version + 1, batchId))
+      (nextCounts.df, TrianglesState(nextCounts, nextEdges, st.version + 1,
+        batchId, Seq(st.counts, st.edges)))
     }(onBatch)
 
   /** Reconstruct a [[TrianglesState]] from its persisted directories

@@ -95,11 +95,15 @@ object ImageIngest {
 
   /** Reconstruct a [[GrowingImageIndex]] from its persisted directories
     * after a restart (the durable half; see
-    * [[DedupIngest.restoreGrowingState]] for the contract). */
+    * [[DedupIngest.restoreGrowingState]] for the contract, including the
+    * [[Gate.pruneGrown]] crash repair: without it a checkpoint-replayed
+    * batch probes its own already-appended fingerprints and emits
+    * spurious (id, id, hamming = 0) self pairs). */
   def restoreGrowingIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, tombstonesPath: String,
                           maxHamming: Int = 3,
                           version: Long = 0L, foldedBatch: Long = -1L): GrowingImageIndex = {
+    Gate.pruneGrown(spark, path, foldedBatch)
     val skeleton = GrowingImageIndex(null, path, tombstonesPath,
       maxHamming, version, foldedBatch)
     skeleton.copy(banded = liveBanded(spark, skeleton))

@@ -527,4 +527,62 @@ class StreamingDedupSpec extends SparkSpec {
         s"micro-batches staged new dirs: $afterBuild → $stageDirs — batch side must stay unstaged")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("pruneGrown: deletes only batch subdirs above the fence") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-grown").toString
+    Seq(1L).toDF("id").write.parquet(s"$root/base")
+    for (b <- Seq(0L, 1L, 2L, 7L))
+      graft.streaming.Gate.growDir(Seq(b).toDF("id"), root, b)
+    val pruned = graft.streaming.Gate.pruneGrown(spark, root, maxBatch = 1L)
+    assert(pruned == Seq(2L, 7L), s"pruned: $pruned")
+    val left = graft.streaming.Gate.readGrown(spark, root)
+      .as[Long].collect().toSet
+    assert(left == Set(0L, 1L),
+      s"base files and fenced batches must survive: $left")
+    assert(graft.streaming.Gate.pruneGrown(spark, root, 1L).isEmpty,
+      "second prune must be a no-op")
+  }
+
+  test("restore after mid-fold crash: orphan subdirs pruned, replay folds cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val st0 = DedupIngest.buildGrowingState(corpus, "doc_id", "text",
+        capacityItems = 10000L)
+      val preDigests = st0.cs.digests.select("db").as[Long].collect().toSet
+
+      // the batch: two brand-new documents.
+      val batch = Seq((500001L, "crash replay text one"),
+        (500002L, "crash replay text two")).toDF("doc_id", "text")
+
+      // CRASH SIMULATION: foldBatch writes the batch_0 subdirs, but the
+      // caller never persists foldedBatch = 0 (crash before the durable
+      // record) — on disk: orphan subdirs; persisted fence: -1.
+      DedupIngest.foldBatch(batch, st0, "doc_id", "text", 0.5, None, 0L)
+
+      // RESTORE with the PERSISTED fence: orphans must be pruned so the
+      // replayed batch probes the exact pre-fold snapshot.
+      val restored = DedupIngest.restoreGrowingState(spark,
+        st0.shingledPath, st0.bandPath, st0.digestsPath, st0.tombstonesPath,
+        capacityItems = 10000L, foldedBatch = -1L)
+      assert(restored.cs.digests.select("db").as[Long].collect().toSet ==
+        preDigests, "restored digests must equal the pre-fold corpus")
+
+      // CHECKPOINT REPLAY of the same batch: no self exact-matches, the
+      // rows fold as NOVEL (the unpruned bug folded them as duplicates
+      // and overwrote the subdirs with empty relations — data loss).
+      val ((exact, _), st1) = DedupIngest.foldBatch(batch, restored,
+        "doc_id", "text", 0.5, None, 0L)
+      assert(exact.count() == 0L,
+        "replayed batch must not exact-match its own partial fold")
+      assert(st1.cs.digests.select("db").as[Long].collect().toSet ==
+        preDigests ++ Set(500001L, 500002L),
+        "replayed fold must append the batch rows to the corpus")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }

@@ -65,10 +65,16 @@ class StreamingGraphSpec extends SparkSpec {
         val full = Graph.connectedComponents(seen.toDF("a", "b"), "a", "b")
           .as[(Long, Long)].collect().toSet
         assert(got.last == full, s"fold diverged after ${got.size} batches")
-        assert(stateDirs == 1,
-          s"superseded state dirs must be reclaimed, got $stateDirs")
+        // Deferred reclaim: the superseded dir stays live until the NEXT
+        // fold (the caller's durable-record window) — never more than two.
+        assert(stateDirs <= 2,
+          s"at most new + superseded state dirs may be live, got $stateDirs")
       }
       assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+      // Caller reclaims after durably recording the new path → one dir.
+      state.get().reclaim()
+      assert(stateDirs == 1,
+        s"reclaim() must leave exactly the live state dir, got $stateDirs")
 
       // RESTART: rebuild from the persisted labeling dir alone.
       val live = state.get()
