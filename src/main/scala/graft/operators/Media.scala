@@ -347,6 +347,41 @@ object Media {
     bos.toByteArray
   }
 
+  /** Encode a REAL JPEG from a pixel function at an explicit compression
+    * quality — the fixture builder behind the RE-ENCODE-robust
+    * perceptual oracles. JPEG is LOSSY, so unlike [[encodePng]] the
+    * decoded pixels are NOT bitwise the stated ones; fixtures built here
+    * must keep every decision margin (adjacent dHash cell separation)
+    * far above the codec's worst-case error. The safe construction, used
+    * by `x_dedup_video_percept`: gray 8×8-pixel-aligned flat cells (one
+    * JPEG DCT block each — flat blocks survive as a quantized DC
+    * coefficient, error ≲ ±10 gray levels even at quality 0.45) with
+    * ≥ 60 gray levels between adjacent cells, so no block-average
+    * comparison can ever flip and the exact-arithmetic oracle stays
+    * valid across any re-encode quality. */
+  def encodeJpeg(w: Int, h: Int, quality: Float,
+                 rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------ audio
   // PCM WAV is uncompressed, so the AUDIO modality needs no codec at
   // all: a real RIFF chunk walk + little-endian sample reads cover
@@ -715,6 +750,27 @@ object Media {
       val md = MessageDigest.getInstance("MD5")
       FrameDigests(r.id,
         fs.map(f => md.digest(f).map("%02x".format(_)).mkString).distinct.sorted)
+    }(Encoders.product[FrameDigests])
+
+  /** Distinct per-video PERCEPTUAL frame digests — the re-encode-robust
+    * upgrade of [[videoFrameDigestSets]]: demux each AVI for real, fully
+    * DECODE each MJPEG frame and take its 64-bit [[dhash64]] (as a 16-hex
+    * token, a bijection of the long), emit the sorted distinct set.
+    * Byte digests break under ANY lossy re-encode — the most common
+    * transformation in crawled video — because re-compressed frames
+    * share zero bytes with the originals; the dHash of the DECODED
+    * pixels survives it (dHash compares block-average luma, and codec
+    * error is far below real images' cell contrast), so
+    * `containmentPairs` over these sets catches re-encoded copies and
+    * hop-frame trims alike. Same scale shape as the byte variant: a pure
+    * per-row projection (decode cost rides the scan, no shuffle);
+    * undecodable frames are skipped, unparseable payloads emit an empty
+    * set and can never become pair candidates. */
+  def videoPerceptualDigestSets(ds: Dataset[MediaRecord]): Dataset[FrameDigests] =
+    ds.map { r =>
+      val fs = aviVideoFrames(r.payload).getOrElse(Vector.empty)
+      FrameDigests(r.id,
+        fs.flatMap(dhash64(_)).map(h => f"$h%016x").distinct.sorted)
     }(Encoders.product[FrameDigests])
 
   /** Raw-payload frame sampling: treat the payload as FIXED-SIZE frames

@@ -513,6 +513,78 @@ object Multimodal {
       JOIN sizes sa ON da = sa.doc_id
       JOIN sizes sb ON db = sb.doc_id
       WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
+      ORDER BY da, db""")),
+
+    // ------------------- VIDEO dedup, RE-ENCODE-ROBUST (perceptual frames)
+    // x_dedup_video keys on byte-identical frames, so ANY lossy re-encode
+    // (the most common transformation in crawled video) produces zero
+    // overlap. This variant decodes every demuxed MJPEG frame and hashes
+    // its PIXELS (Media.videoPerceptualDigestSets: per-frame dHash →
+    // distinct set → containment). Groups of 3: v0 original (quality
+    // 0.9), v1 full RE-ENCODE at quality 0.45 (shares zero bytes with
+    // v0 — MediaSpec proves the byte-digest operator loses it), v2
+    // trimmed re-encode (drops the first 2 frames, quality 0.7). Frames
+    // are gray 5-level staircases on 8×8-px cells (one JPEG DCT block
+    // each; adjacent cells ≥ 60 gray apart, ≫ codec error at any
+    // quality), with an md5-derived per-row offset, so each frame's
+    // dHash is a CLOSED-FORM function of (base, frame) that the oracle
+    // recomputes exactly — the lossy codec cannot flip a bit, which is
+    // precisely the robustness property being shipped.
+    Q("x_dedup_video_percept", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          val nf = (4 + base % 3).toInt
+          def rowOffset(f: Int, gy: Int): Int = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            ((md.digest(s"$base:$f:$gy".getBytes("US-ASCII"))(0) >> 4) & 0xf) % 5
+          }
+          val drop = if (v == 2) 2 else 0
+          val q = if (v == 0) 0.9f else if (v == 1) 0.45f else 0.7f
+          val frames = (drop until nf).map { f =>
+            Media.encodeJpeg(72, 64, q, (x, y) => {
+              val g = ((x / 8 + rowOffset(f, y / 8)) % 5) * 60
+              (g << 16) | (g << 8) | g
+            })
+          }
+          MediaRecord(id, "avi", Media.aviBytes(frames, 72, 64))
+        }
+      graft.operators.TextDedup.containmentPairs(
+        Media.videoPerceptualDigestSets(recs).toDF(), threshold = 0.9)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v FROM documents),
+      n AS (SELECT doc_id, base, v, 4 + base % 3 AS nf FROM d),
+      f AS (SELECT doc_id, base,
+                   unnest(range(CASE WHEN v = 2 THEN 2 ELSE 0 END, nf)) AS fr
+            FROM n),
+      g AS (SELECT doc_id, base, fr, unnest(range(0, 8)) AS gy FROM f),
+      r AS (SELECT doc_id, fr, gy,
+                   (strpos('0123456789abcdef',
+                      substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                 CAST(fr AS VARCHAR) || ':' ||
+                                 CAST(gy AS VARCHAR)), 1, 1)) - 1) % 5 AS t
+            FROM g),
+      b AS (SELECT doc_id, fr, gy, t, unnest(range(0, 8)) AS gx FROM r),
+      bits AS (SELECT doc_id, fr, gy * 8 + gx AS pos,
+                      CASE WHEN (gx + t) % 5 = 4 THEN '0' ELSE '1' END AS bit
+               FROM b),
+      toks AS (SELECT doc_id, fr, string_agg(bit, '' ORDER BY pos) AS t
+               FROM bits GROUP BY doc_id, fr),
+      tok AS (SELECT DISTINCT doc_id, t FROM toks),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT da, db,
+             CAST(i AS DOUBLE) / sa.sz AS c_ab,
+             CAST(i AS DOUBLE) / sb.sz AS c_ba
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
       ORDER BY da, db"""))
   )
 }

@@ -22,44 +22,58 @@ import graft.operators.{Media, MediaRecord, TextDedup}
   */
 object VideoIngest {
 
-  /** One corpus version's staged digest-set relation + exploded index. */
+  /** One corpus version's staged digest-set relation + exploded index.
+    * `perceptual` records which digester built it, so probes are
+    * guaranteed to land in the same key space (byte md5 tokens and
+    * dHash hex tokens can never legitimately join). */
   final case class CorpusVideoIndex(digests: DataFrame, ex: DataFrame,
+                                    perceptual: Boolean,
                                     version: Long) extends Gate.Versioned
 
   /** Demux + digest the corpus once and stage the (id, sh) relation and
     * its exploded (id, s) index. `corpus` is an (id, payload) relation
-    * addressed by the two column names. */
+    * addressed by the two column names. `perceptual = true` switches
+    * from byte digests ([[Media.videoFrameDigestSets]]) to decoded-frame
+    * dHashes ([[Media.videoPerceptualDigestSets]]) — the re-encode-robust
+    * variant: corpus videos that later arrive re-compressed at a
+    * different quality still containment-match, which byte digests
+    * provably cannot (MediaSpec). Decode cost is paid once per corpus
+    * version, at build time. */
   def buildIndex(corpus: DataFrame, idCol: String, payloadCol: String,
-                 version: Long = 0L): CorpusVideoIndex = {
+                 version: Long = 0L,
+                 perceptual: Boolean = false): CorpusVideoIndex = {
     val sets = graft.sources.Tables.stage(
-      digestSets(corpus, idCol, payloadCol).toDF())
+      digestSets(corpus, idCol, payloadCol, perceptual).toDF())
     CorpusVideoIndex(sets,
       graft.sources.Tables.stage(
         sets.select(col("id"), explode(col("sh")).as("s"))),
-      version)
+      perceptual, version)
   }
 
   /** (id, sh) frame-digest relation for an (id, payload) relation;
     * unparseable payloads emit empty sets (never pair candidates). */
-  def digestSets(df: DataFrame, idCol: String,
-                 payloadCol: String): Dataset[Media.FrameDigests] =
-    Media.videoFrameDigestSets(
-      df.select(col(idCol).cast("long"), col(payloadCol))
-        .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
-        .map { case (id, p) => MediaRecord(id, "avi", p) }(
-          Encoders.product[MediaRecord]))
+  def digestSets(df: DataFrame, idCol: String, payloadCol: String,
+                 perceptual: Boolean = false): Dataset[Media.FrameDigests] = {
+    val recs = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .map { case (id, p) => MediaRecord(id, "avi", p) }(
+        Encoders.product[MediaRecord])
+    if (perceptual) Media.videoPerceptualDigestSets(recs)
+    else Media.videoFrameDigestSets(recs)
+  }
 
   /** Start the per-batch dedup loop: each micro-batch's videos are
-    * demuxed, digested, and probed against the persisted index; `onBatch`
-    * receives the (da = batch id, db = corpus id, c_ab, c_ba) containment
-    * pair relation plus (corpusVersion, batchId). */
+    * demuxed, digested (with the digester the index was built with), and
+    * probed against the persisted index; `onBatch` receives the
+    * (da = batch id, db = corpus id, c_ab, c_ba) containment pair
+    * relation plus (corpusVersion, batchId). */
   def start(stream: Stream, state: AtomicReference[CorpusVideoIndex],
             idCol: String, payloadCol: String, threshold: Double,
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.start(stream, state, checkpoint) { (batch, st) =>
       TextDedup.containmentPairsAgainstIndex(
-        digestSets(batch, idCol, payloadCol).toDF(),
+        digestSets(batch, idCol, payloadCol, st.perceptual).toDF(),
         st.digests, st.ex, threshold)
     }(onBatch)
 }

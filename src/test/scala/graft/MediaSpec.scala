@@ -305,4 +305,66 @@ class MediaSpec extends SparkSpec {
       "trimmed cut must be a digest subset")
     assert(sets(3L).isEmpty, "unparseable payload must yield an empty set")
   }
+
+  // ---- shared staircase fixture machinery for the perceptual video path
+  // (the exact construction x_dedup_video_percept's oracle replays): gray
+  // 8×8-px flat cells, 5 levels × 60 gray apart, level = (gx + t) % 5
+  // with t an md5-derived per-row offset — adjacent cells always differ
+  // by ≥ 60 gray (≫ JPEG error), so the dHash is a closed-form function
+  // of (base, f) at ANY encode quality.
+  private def rowOffset(base: Long, f: Int, gy: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ((md.digest(s"$base:$f:$gy".getBytes("US-ASCII"))(0) >> 4) & 0xf) % 5
+  }
+  private def closedFormDhash(base: Long, f: Int): Long = {
+    var h = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      h = (h << 1) | (if ((gx + rowOffset(base, f, gy)) % 5 != 4) 1L else 0L)
+    h
+  }
+  private def staircaseJpeg(base: Long, f: Int, q: Float): Array[Byte] =
+    Media.encodeJpeg(72, 64, q, (x, y) => {
+      val g = ((x / 8 + rowOffset(base, f, y / 8)) % 5) * 60
+      (g << 16) | (g << 8) | g
+    })
+
+  test("encodeJpeg staircase: dHash is quality-invariant and closed-form exact") {
+    for (base <- 0L until 25L; f <- 0 until 3; q <- Seq(0.45f, 0.7f, 0.9f)) {
+      val got = Media.dhash64(staircaseJpeg(base, f, q))
+      assert(got == Some(closedFormDhash(base, f)),
+        s"dHash flip at base=$base f=$f q=$q: got=$got want=${closedFormDhash(base, f)}")
+    }
+  }
+
+  test("videoPerceptualDigestSets catches re-encodes where byte digests provably lose them") {
+    val nf = 5
+    def video(id: Long, base: Long, drop: Int, q: Float) = MediaRecord(id, "avi",
+      Media.aviBytes((drop until nf).map(staircaseJpeg(base, _, q)), 72, 64))
+    val ds = spark.createDataset(Seq(
+      video(0L, 7L, 0, 0.9f),   // original
+      video(1L, 7L, 0, 0.45f),  // lossy re-encode — zero shared bytes
+      video(2L, 7L, 2, 0.7f),   // trimmed re-encode
+      video(3L, 8L, 0, 0.9f)))( // different content
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    // byte digests: the re-encoded copies share NO frame digest with the
+    // original — the byte-level operator finds nothing to pair.
+    val byteSets = Media.videoFrameDigestSets(ds).collect()
+      .map(r => r.id -> r.sh.toSet).toMap
+    assert(byteSets(0L).intersect(byteSets(1L)).isEmpty &&
+      byteSets(0L).intersect(byteSets(2L)).isEmpty,
+      "lossy re-encode must break every byte digest (else this fixture proves nothing)")
+    // perceptual digests: re-encode preserves every frame hash; the trim
+    // is a strict subset; different content shares nothing.
+    val p = Media.videoPerceptualDigestSets(ds).collect()
+      .map(r => r.id -> r.sh.toSet).toMap
+    assert(p(0L) == p(1L), "re-encode must preserve the perceptual digest set")
+    assert(p(2L).subsetOf(p(0L)) && p(2L).size == nf - 2,
+      "trimmed re-encode must be a perceptual subset")
+    assert(p(0L).intersect(p(3L)).isEmpty, "different content must not collide")
+    // end-to-end: containment flags exactly the three within-group pairs.
+    val pairs = graft.operators.TextDedup.containmentPairs(
+      Media.videoPerceptualDigestSets(ds).toDF(), threshold = 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"pairs: $pairs")
+  }
 }

@@ -101,4 +101,62 @@ class StreamingVideoSpec extends SparkSpec {
       assert(versions.distinct == Seq(0L, 1L), s"versions seen: $versions")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  // Staircase MJPEG frames (the x_dedup_video_percept construction):
+  // closed-form dHash at any encode quality, so re-encoded copies share
+  // every perceptual digest while sharing zero bytes.
+  private def stairFrame(base: Long, f: Int, q: Float): Array[Byte] = {
+    def t(gy: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ((md.digest(s"$base:$f:$gy".getBytes("US-ASCII"))(0) >> 4) & 0xf) % 5
+    }
+    Media.encodeJpeg(72, 64, q, (x, y) => {
+      val g = ((x / 8 + t(y / 8)) % 5) * 60
+      (g << 16) | (g << 8) | g
+    })
+  }
+
+  test("VideoIngest perceptual gate: re-encoded uploads match; byte gate loses them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      def vid(base: Long, drop: Int, q: Float): Array[Byte] =
+        Media.aviBytes((drop until 5).map(stairFrame(base, _, q)), 72, 64)
+      val corpus = (0L until 8L).map(b => (b, vid(b, 0, 0.9f))).toDF("vid_id", "payload")
+      // batch: re-encoded copies of 0 and 1, a trimmed re-encode of 2, one fresh.
+      val batch = Seq((100L, vid(0L, 0, 0.45f)), (101L, vid(1L, 0, 0.45f)),
+        (102L, vid(2L, 2, 0.7f)), (200L, vid(60L, 0, 0.9f)))
+      val expected = Set((100L, 0L), (101L, 1L), (102L, 2L))
+
+      val byteState = new java.util.concurrent.atomic.AtomicReference(
+        VideoIngest.buildIndex(corpus, "vid_id", "payload"))
+      val percState = new java.util.concurrent.atomic.AtomicReference(
+        VideoIngest.buildIndex(corpus, "vid_id", "payload", perceptual = true))
+
+      val schema = StructType(Seq(
+        StructField("vid_id", LongType), StructField("payload", BinaryType)))
+      def run(state: java.util.concurrent.atomic.AtomicReference[
+          VideoIngest.CorpusVideoIndex]): Set[(Long, Long)] = {
+        val ms = MemoryStream[KMsg]
+        val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+        val got = scala.collection.mutable.Set.empty[(Long, Long)]
+        val q = VideoIngest.start(s, state, "value.vid_id", "value.payload",
+          threshold = 0.9) { (pairs, _, _) =>
+            got ++= pairs.select(col("da"), col("db")).as[(Long, Long)].collect()
+        }
+        val payloads = batch.toDF("vid_id", "payload")
+          .select(to_json(struct(col("vid_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable(); q.stop()
+        got.toSet
+      }
+      assert(run(byteState).isEmpty,
+        "byte-digest gate must lose every lossy re-encode (the gap being closed)")
+      assert(run(percState) == expected,
+        s"perceptual gate must catch the re-encoded uploads")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
