@@ -98,4 +98,50 @@ object ImageDedup {
   /** End-to-end: decode → dHash → banded pairs. */
   def pairs(ds: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
     dhashPairs(dhashRelation(ds), maxHamming)
+
+  /** CROP-ROBUST image shingles — the image analog of
+    * [[Media.audioShingles64]]'s aligned-fingerprint → sliding-shingles
+    * upgrade: the whole-image dHash survives resize and luma shift but
+    * ANY crop or pad re-frames the 9×8 grid and scrambles every bit
+    * (`ImageDedupSpec` proves the loss). Instead, hash OVERLAPPING
+    * TILES: every `tileW`×`tileH` window at hop-aligned positions
+    * (multiples of `hop` in both axes) gets its own
+    * [[Media.dhashWindow]], and an image's fingerprint is the distinct
+    * SET of tile hashes — a crop/pad by hop multiples leaves the
+    * surviving tiles' pixels (hence hashes) untouched, so
+    * [[TextDedup.containmentPairs]] over these sets flags the pair with
+    * the same directional containment the audio and video paths use.
+    *
+    * Contract (stated, not hidden — the audio-trim prose verbatim):
+    * crops must be HOP multiples; an arbitrary-offset crop shifts every
+    * tile window and needs a smaller hop (cost grows as the tile count
+    * ~ (w·h)/hop², the usual shingle-resolution trade).
+    *
+    * Scale shape: one decode per image, (w/hop)·(h/hop) tile hashes of 8
+    * bytes each emitted from a linear scan — payloads never shuffle;
+    * pair generation is the containment machinery's staged token
+    * equi-join, never all-pairs. */
+  def dhashShingles(ds: Dataset[MediaRecord], tileW: Int = 18,
+                    tileH: Int = 16, hop: Int = 8): Dataset[Media.FrameDigests] = {
+    require(tileW >= 9 && tileH >= 8 && hop > 0,
+      s"tileW=$tileW tileH=$tileH hop=$hop")
+    ds.map { r =>
+      val sh = Media.decodePixels(r.payload) match {
+        case Some(p) if p.width >= tileW && p.height >= tileH =>
+          (for {
+            ty <- 0 to (p.height - tileH) / hop
+            tx <- 0 to (p.width - tileW) / hop
+          } yield f"${Media.dhashWindow(p, tx * hop, ty * hop, tileW, tileH)}%016x")
+            .distinct.sorted
+        case _ => Seq.empty[String]
+      }
+      Media.FrameDigests(r.id, sh)
+    }(Encoders.product[Media.FrameDigests])
+  }
+
+  /** End-to-end crop-robust pairs: tiled shingles → set containment. */
+  def shinglePairs(ds: Dataset[MediaRecord], threshold: Double,
+                   tileW: Int = 18, tileH: Int = 16, hop: Int = 8): DataFrame =
+    TextDedup.containmentPairs(dhashShingles(ds, tileW, tileH, hop).toDF(),
+      threshold)
 }

@@ -226,39 +226,46 @@ object Media {
   def dhash64(b: Array[Byte]): Option[Long] =
     decodePixels(b).flatMap { p =>
       if (p.width < 9 || p.height < 8) None
-      else {
-        val grid = Array.ofDim[Long](9, 8)
-        var gx = 0
-        while (gx < 9) {
-          val x0 = gx * p.width / 9; val x1 = (gx + 1) * p.width / 9
-          var gy = 0
-          while (gy < 8) {
-            val y0 = gy * p.height / 8; val y1 = (gy + 1) * p.height / 8
-            var s = 0L
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) { s += luma(p.argb(y * p.width + x)); x += 1 }
-              y += 1
-            }
-            grid(gx)(gy) = s / ((x1 - x0).toLong * (y1 - y0))
-            gy += 1
-          }
-          gx += 1
-        }
-        var h = 0L
-        var gy = 0
-        while (gy < 8) {
-          var x = 0
-          while (x < 8) {
-            h = (h << 1) | (if (grid(x)(gy) < grid(x + 1)(gy)) 1L else 0L)
-            x += 1
-          }
-          gy += 1
-        }
-        Some(h)
-      }
+      else Some(dhashWindow(p, 0, 0, p.width, p.height))
     }
+
+  /** The [[dhash64]] core over an arbitrary pixel WINDOW [wx, wx+ww) ×
+    * [wy, wy+wh) of a decoded image — the building block of the
+    * crop-robust tiled shingles ([[ImageDedup.dhashShingles]]). Same
+    * exact integer arithmetic as the whole-image hash; callers must
+    * ensure ww ≥ 9, wh ≥ 8 and the window lies inside the image. */
+  def dhashWindow(p: Pixels, wx: Int, wy: Int, ww: Int, wh: Int): Long = {
+    val grid = Array.ofDim[Long](9, 8)
+    var gx = 0
+    while (gx < 9) {
+      val x0 = wx + gx * ww / 9; val x1 = wx + (gx + 1) * ww / 9
+      var gy = 0
+      while (gy < 8) {
+        val y0 = wy + gy * wh / 8; val y1 = wy + (gy + 1) * wh / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(p.argb(y * p.width + x)); x += 1 }
+          y += 1
+        }
+        grid(gx)(gy) = s / ((x1 - x0).toLong * (y1 - y0))
+        gy += 1
+      }
+      gx += 1
+    }
+    var h = 0L
+    var gy = 0
+    while (gy < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (grid(x)(gy) < grid(x + 1)(gy)) 1L else 0L)
+        x += 1
+      }
+      gy += 1
+    }
+    h
+  }
 
   private def be2(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   private def be4(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,

@@ -459,6 +459,97 @@ object Multimodal {
         FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
       SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db""")),
 
+    // ------------------------ CROP-ROBUST image dedup (tiled dHash shingles)
+    // Whole-image dHash (x_dedup_image) survives resize and luma shift
+    // but ANY crop or pad re-frames the 9×8 grid and scrambles every bit
+    // (ImageDedupSpec proves the loss at the shipped Hamming budget).
+    // The image analog of the audio aligned-fingerprint → sliding-
+    // shingles upgrade: hash OVERLAPPING 18×16 TILES at hop 8
+    // (ImageDedup.dhashShingles) and flag via set containment — a
+    // hop-aligned crop/pad leaves surviving tiles' pixels untouched.
+    // Groups of 3: v0 = 26×24 original, v1 = crop (left 8 px removed),
+    // v2 = pad (8 px of fresh content prepended). Pixels are flat
+    // 2×2-px gray cells with md5-derived values — PNG is lossless and
+    // tiles are 2-px aligned, so each tile hash is exact integer
+    // arithmetic over the stated cells, which the oracle recomputes
+    // cell-for-cell. Contract (stated, as for audio trims): crops must
+    // be hop multiples; arbitrary offsets need a smaller hop.
+    Q("x_dedup_image_crop", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          def cell(tag: String, cx: Int, cy: Int): Int = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.digest(s"$tag:$base:$cx:$cy".getBytes("US-ASCII"))(0) & 0xff
+          }
+          val w = v match { case 0 => 26; case 1 => 18; case _ => 34 }
+          MediaRecord(id, "png", Media.encodePng(w, 24, (x, y) => {
+            val (cx, cy) = (x / 2, y / 2)
+            val g =
+              if (v == 2 && cx < 4) cell("p", cx, cy)
+              else if (v == 1) cell("i", cx + 4, cy)
+              else if (v == 2) cell("i", cx - 4, cy)
+              else cell("i", cx, cy)
+            (g << 16) | (g << 8) | g
+          }))
+        }
+      graft.operators.ImageDedup.shinglePairs(recs, threshold = 0.9)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v FROM documents),
+      dims AS (SELECT doc_id, base, v,
+                      CASE v WHEN 0 THEN 13 WHEN 1 THEN 9 ELSE 17 END AS ncx
+               FROM d),
+      cxs AS (SELECT doc_id, base, v, unnest(range(0, ncx)) AS cx FROM dims),
+      cg AS (SELECT doc_id, base, v, cx, unnest(range(0, 12)) AS cy FROM cxs),
+      cells AS (SELECT doc_id,
+                       CASE v WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 3 END AS ntx,
+                       cx, cy,
+        (strpos('0123456789abcdef', substr(md5(
+           CASE WHEN v = 2 AND cx < 4 THEN 'p' ELSE 'i' END || ':' ||
+           CAST(base AS VARCHAR) || ':' ||
+           CAST(CASE WHEN v = 1 THEN cx + 4
+                     WHEN v = 2 AND cx >= 4 THEN cx - 4
+                     ELSE cx END AS VARCHAR) || ':' ||
+           CAST(cy AS VARCHAR)), 1, 1)) - 1) * 16 +
+        (strpos('0123456789abcdef', substr(md5(
+           CASE WHEN v = 2 AND cx < 4 THEN 'p' ELSE 'i' END || ':' ||
+           CAST(base AS VARCHAR) || ':' ||
+           CAST(CASE WHEN v = 1 THEN cx + 4
+                     WHEN v = 2 AND cx >= 4 THEN cx - 4
+                     ELSE cx END AS VARCHAR) || ':' ||
+           CAST(cy AS VARCHAR)), 2, 1)) - 1) AS g
+        FROM cg),
+      tx AS (SELECT DISTINCT doc_id, ntx FROM cells),
+      tp0 AS (SELECT doc_id, unnest(range(0, ntx)) AS ti FROM tx),
+      tp AS (SELECT doc_id, ti, unnest(range(0, 2)) AS tj FROM tp0),
+      gp0 AS (SELECT doc_id, ti, tj, unnest(range(0, 8)) AS gx FROM tp),
+      gp AS (SELECT doc_id, ti, tj, gx, unnest(range(0, 8)) AS gy FROM gp0),
+      bits AS (SELECT p.doc_id, p.ti, p.tj, p.gy * 8 + p.gx AS pos,
+                      CASE WHEN a.g < b.g THEN '1' ELSE '0' END AS bit
+               FROM gp p
+               JOIN cells a ON a.doc_id = p.doc_id
+                 AND a.cx = 4 * p.ti + p.gx AND a.cy = 4 * p.tj + p.gy
+               JOIN cells b ON b.doc_id = p.doc_id
+                 AND b.cx = 4 * p.ti + p.gx + 1 AND b.cy = 4 * p.tj + p.gy),
+      toks AS (SELECT doc_id, ti, tj, string_agg(bit, '' ORDER BY pos) AS t
+               FROM bits GROUP BY doc_id, ti, tj),
+      tok AS (SELECT DISTINCT doc_id, t FROM toks),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT da, db,
+             CAST(i AS DOUBLE) / sa.sz AS c_ab,
+             CAST(i AS DOUBLE) / sb.sz AS c_ba
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
+      ORDER BY da, db""")),
+
     // --------------------------------- VIDEO dedup (exact frame overlap)
     // Re-containerized copies and trimmed cuts of a video share
     // byte-identical FRAMES even though the container bytes differ

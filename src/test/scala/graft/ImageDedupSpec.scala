@@ -76,4 +76,56 @@ class ImageDedupSpec extends SparkSpec {
     val cross = pairs.filter(p => p._1 % 1000L != p._2 % 1000L)
     assert(cross.isEmpty, s"unrelated images paired: $cross")
   }
+
+  // ---- crop-robust tiled shingles (x_dedup_image_crop's construction):
+  // 2×2-px flat cells with md5-derived grays; v0 = 26×24 original,
+  // v1 = hop-aligned crop (left 8 px removed), v2 = hop-aligned pad
+  // (8 px of new content prepended). PNG is lossless, so every tile
+  // hash is exact integer arithmetic over the stated cells.
+  private def cellGray(tag: String, base: Long, cx: Int, cy: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$tag:$base:$cx:$cy".getBytes("US-ASCII"))(0) & 0xff
+  }
+  private def cropPng(base: Long, v: Int): Array[Byte] = {
+    val w = v match { case 0 => 26; case 1 => 18; case _ => 34 }
+    Media.encodePng(w, 24, (x, y) => {
+      val (cx, cy) = (x / 2, y / 2)
+      val g =
+        if (v == 2 && cx < 4) cellGray("p", base, cx, cy)
+        else if (v == 1) cellGray("i", base, cx + 4, cy)
+        else if (v == 2) cellGray("i", base, cx - 4, cy)
+        else cellGray("i", base, cx, cy)
+      (g << 16) | (g << 8) | g
+    })
+  }
+
+  test("dhashShingles: hop-aligned crops/pads caught where whole-image dHash provably loses them") {
+    val recs = spark.createDataset(for {
+      base <- 0L until 20L; v <- 0 until 3
+    } yield MediaRecord(base * 3 + v, "png", cropPng(base, v)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+
+    // whole-image dHash at the shipped budget: the crop re-frames the
+    // 9×8 grid — NO within-group pair survives Hamming ≤ 3.
+    val whole = ImageDedup.pairs(recs, maxHamming = 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(whole.forall { case (a, b) => a / 3 != b / 3 } || whole.isEmpty,
+      s"whole-image dHash unexpectedly caught a crop: $whole")
+
+    // tiled shingles: every within-group pair flagged at containment 0.9.
+    val got = ImageDedup.shinglePairs(recs, threshold = 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 20L).flatMap(b =>
+      Seq((b * 3, b * 3 + 1), (b * 3, b * 3 + 2), (b * 3 + 1, b * 3 + 2))).toSet
+    assert(got == want,
+      s"extra=${got -- want} missing=${want -- got}")
+
+    // shingle-set structure: crop ⊂ original ⊂ pad's shared region.
+    val sets = ImageDedup.dhashShingles(recs).collect()
+      .map(r => r.id -> r.sh.toSet).toMap
+    assert(sets(1L).subsetOf(sets(0L)) && sets(1L).size == 2 && sets(0L).size == 4,
+      "crop tiles must be a subset of the original's")
+    assert(sets(0L).subsetOf(sets(2L)) && sets(2L).size == 6,
+      "pad must contain every original tile")
+  }
 }
