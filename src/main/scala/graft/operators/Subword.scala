@@ -121,4 +121,107 @@ object Subword {
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("subwords"))
   }
+
+  // --------------------------------------------------------------- BPE
+  // Byte-pair-encoding MERGE-RANK application (the Sennrich et al. 2016
+  // convention GPT/Llama tokenizers follow) — a different algorithm from
+  // wordpiece's longest-match: the frozen artifact is an ORDERED list of
+  // merges ("a b" → "ab", rank = list position), and tokenization
+  // repeatedly merges the lowest-RANK adjacent symbol pair until no pair
+  // in the sequence is in the table. Budgeting a GPT/Llama pack with the
+  // wordpiece counts mis-charges multi-piece words — this is the missing
+  // half of the tokenizer surface.
+  //
+  // Step semantics (the exact contract both engines replay): each step
+  // merges the LEFTMOST occurrence of the minimum-rank adjacent pair.
+  // For a well-formed trained table this is iteration-for-iteration
+  // equivalent to the usual "merge ALL occurrences of the best pair"
+  // loop (a pair involving a merged symbol was necessarily created
+  // later in training, so its rank is higher and can't preempt the
+  // remaining occurrences); stating it one-occurrence-per-step makes the
+  // algorithm deterministic for ARBITRARY tables too, so the DuckDB twin
+  // agrees bitwise regardless. No [UNK]: unmerged characters simply
+  // remain single-character tokens (the byte-level-BPE convention).
+  //
+  // Scale: same dictionary-not-corpus discipline as wordpiece — the fold
+  // (≤ |word| interpreted HOF steps, each O(|word|·|merges|) over the
+  // typedlit merge literal) runs once per DISTINCT word; corpus text is
+  // scanned once into the staged map-side tf projection and the token
+  // table broadcasts onto it.
+
+  /** The merge-rank fold as one SQL expression over `wordCol` (non-empty
+    * word) and `mergesCol` (the ranked merges as an array<string>
+    * literal of "left right" pairs — attach with `typedlit`; rank =
+    * 1-based array position). Result: array<string> of final symbols.
+    *
+    * Same let-binding shape as [[wordpieceFoldSql]]: `aggregate(array(v),
+    * acc, …)` binds the best-rank / leftmost-position sub-expressions
+    * once per step; lambda variables are suffixed so nesting never
+    * shadows. `length(word)` outer steps suffice — each real step shrinks
+    * the symbol count by one, and a no-merge step is the identity. */
+  def bpeFoldSql(wordCol: String, mergesCol: String): String = {
+    // lowest rank among adjacent pairs present in the table (NULL if none)
+    val bestRank =
+      s"""array_min(filter(transform(sequence(1, size(acc) - 1),
+         |  i2 -> array_position($mergesCol,
+         |          concat(element_at(acc, i2), ' ', element_at(acc, i2 + 1)))),
+         |  r3 -> r3 > 0))""".stripMargin
+    // leftmost position of that pair
+    val leftPos =
+      s"""array_min(filter(transform(sequence(1, size(a7) - 1),
+         |  i4 -> IF(concat(element_at(a7, i4), ' ', element_at(a7, i4 + 1))
+         |             = element_at($mergesCol, cast(br7 as int)), i4, cast(null as int))),
+         |  p5 -> p5 IS NOT NULL))""".stripMargin
+    s"""aggregate(sequence(1, length($wordCol)),
+       |  transform(sequence(1, length($wordCol)), c0 -> substring($wordCol, c0, 1)),
+       |  (acc, s9) -> IF(size(acc) < 2, acc,
+       |    aggregate(array($bestRank), acc, (a7, br7) -> IF(br7 IS NULL, a7,
+       |      aggregate(array($leftPos), a7, (a8, ps8) -> concat(
+       |        slice(a8, 1, ps8 - 1),
+       |        array(concat(element_at(a8, ps8), element_at(a8, ps8 + 1))),
+       |        slice(a8, ps8 + 2, size(a8) - ps8 - 1)))))))""".stripMargin
+  }
+
+  /** Tokenize a DISTINCT-word relation (column `word`, non-empty) with
+    * the frozen ranked merge table. Output: (word, tokens — space-joined,
+    * n_tokens). The dictionary table corpus-sized paths broadcast-join
+    * against. Contract: words contain no space (the merge-pair
+    * separator — guaranteed by whitespace tokenization upstream). */
+  def bpeTable(words: DataFrame, merges: Seq[String]): DataFrame =
+    words
+      .withColumn("__m", typedlit(merges))
+      .withColumn("__sy", expr(bpeFoldSql("word", "__m")))
+      .select(col("word"),
+        expr("array_join(__sy, ' ')").as("tokens"),
+        expr("size(__sy)").cast("long").as("n_tokens"))
+
+  /** Per-document BPE statistics: (doc_id, n_words, n_bpe_tokens). Same
+    * one-corpus-scan shape as [[docSubwordCounts]] — the staged tf
+    * projection feeds both the distinct-word fold and the per-doc
+    * aggregate, with the token table broadcast. */
+  def docBpeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[String]): DataFrame = {
+    val tf = graft.sources.Tables.stage(
+      Ranking.termFrequencies(docs, idCol, textCol))
+    val bp = bpeTable(tf.select(col("token").as("word")).distinct(), merges)
+    tf.join(broadcast(bp), tf("token") === bp("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_tokens")).as("n_bpe_tokens"))
+  }
+
+  /** [[packBySubwords]] with the budget in BPE tokens — what a GPT/Llama
+    * training mix must budget by. Output: (shard, bin, n_docs, bpe_tokens). */
+  def packByBpe(docs: DataFrame, shards: Int, budgetTokens: Int,
+                merges: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docBpeCounts(docs, "doc_id", "text", merges)
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("cum", sum(col("n_bpe_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_bpe_tokens) div $budgetTokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"))
+  }
 }

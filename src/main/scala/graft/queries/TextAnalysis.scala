@@ -276,6 +276,59 @@ object TextAnalysis {
         FROM cnt)
       SELECT shard, CAST((cum - n_subwords) // 1024 AS BIGINT) AS bin,
              COUNT(*) AS n_docs, CAST(SUM(n_subwords) AS BIGINT) AS subwords
+      FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // ------------------------------------- BPE merge-rank tokenize
+    // graft.operators.Subword.bpeTable: the OTHER tokenizer family —
+    // byte-pair-encoding merge-rank application (Sennrich et al. 2016,
+    // the GPT/Llama convention): a frozen ORDERED merge list; each step
+    // merges the leftmost occurrence of the minimum-RANK adjacent pair
+    // until no pair is in the table; unmerged chars stay as tokens (no
+    // [UNK]). The fixture exercises rank-beats-position ('ther': t+h
+    // first, then e+r beats the later-created th+e), full-chain merges
+    // ('the' → one token), merged-symbol merges (t+er, or+t), and
+    // untouched words. The oracle replays the identical one-step-per-
+    // recursion loop in DuckDB (list_reduce's struct-accumulator
+    // corruption rules out a lambda fold — same recursive-CTE discipline
+    // as the wordpiece twin). Fold runs on the DISTINCT word relation.
+    Q("x_token_bpe", (s, d) => {
+      val words = fanOut(documents(s, d))
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      graft.operators.Subword.bpeTable(words, demoMerges)
+        .orderBy(col("word"))
+    }, Some(s"""
+      ${duckBpePrefix}
+      SELECT word, array_to_string(syms, ' ') AS tokens,
+             CAST(len(syms) AS BIGINT) AS n_tokens
+      FROM fin ORDER BY word""")),
+
+    // ------------------------------------- pack by BPE-token budget
+    // x_pack_subword's GPT/Llama twin: the bin budget counted in
+    // merge-rank BPE tokens. Same staged-tf + broadcast-token-table
+    // single-corpus-scan shape; same greedy sequential bin rule.
+    Q("x_pack_bpe", (s, d) => {
+      graft.operators.Subword
+        .packByBpe(documents(s, d), shards = 8, budgetTokens = 1024,
+          merges = demoMerges)
+        .orderBy(col("shard"), col("bin"))
+    }, Some(s"""
+      ${duckBpePrefix},
+      np AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tokens FROM fin),
+      occ AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      cnt AS (
+        SELECT occ.doc_id, CAST(SUM(np.n_tokens) AS BIGINT) AS n_bpe
+        FROM occ JOIN np ON occ.word = np.word
+        GROUP BY occ.doc_id),
+      c AS (
+        SELECT doc_id % 8 AS shard, n_bpe,
+               CAST(SUM(n_bpe) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM cnt)
+      SELECT shard, CAST((cum - n_bpe) // 1024 AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
       FROM c GROUP BY shard, bin ORDER BY shard, bin"""))
   )
 
@@ -294,6 +347,65 @@ object TextAnalysis {
 
   private def duckVocab: String =
     demoVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** The frozen fixture merge table for the BPE queries, rank = position.
+    * Chosen so the corpus exercises every branch: chains through merged
+    * symbols (t+h → th, th+e → the; o+r → or, or+t → ort), rank priority
+    * over word position ('batch': c+h at rank 12 fires before a+t at 13
+    * even though a+t sits earlier in the word), and words no merge
+    * touches (dup, key, row …). A production table is a trained artifact
+    * loaded the same way. */
+  private[queries] def demoMerges: Seq[String] = Seq(
+    "t h", "e r", "th e", "o r", "t er", "a n", "s t",
+    "or t", "r e", "q u", "g e", "c h", "a t")
+
+  private def duckMerges: String =
+    demoMerges.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[graft.operators.Subword.bpeFoldSql]] as a
+    * RECURSIVE-CTE prefix ending in `fin(word, syms)` — the identical
+    * leftmost-minimum-rank one-merge-per-step loop, expressed as
+    * recursion for the same reason as the wordpiece twin (list_reduce
+    * corrupts struct accumulators in nested lambdas). Each level: find
+    * the lowest-rank adjacent pair present in the table (correlated MIN
+    * over the non-recursive merges relation), locate its leftmost
+    * occurrence with list_position, splice. NULL rank → the terminal. */
+  private def duckBpePrefix: String =
+    s"""WITH RECURSIVE merges AS (
+       |  SELECT unnest($duckMerges) AS p,
+       |         unnest(range(1, ${demoMerges.size + 1})) AS r),
+       |w3 AS (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  WHERE word <> ''),
+       |bsteps AS (
+       |  SELECT word,
+       |         list_transform(range(1, length(word) + 1),
+       |                        c0 -> substr(word, c0, 1)) AS syms,
+       |         false AS done
+       |  FROM w3
+       |  UNION ALL
+       |  SELECT t.word,
+       |         CASE WHEN t.br IS NULL THEN t.syms
+       |              ELSE t.syms[1:t.pos - 1]
+       |                   || [t.syms[t.pos] || t.syms[t.pos + 1]]
+       |                   || t.syms[t.pos + 2:len(t.syms)] END,
+       |         t.br IS NULL
+       |  FROM (
+       |    SELECT t0.word, t0.syms, t0.br,
+       |           CASE WHEN t0.br IS NULL THEN NULL
+       |                ELSE list_position(
+       |                  list_transform(range(1, len(t0.syms)),
+       |                    i4 -> t0.syms[i4] || ' ' || t0.syms[i4 + 1]),
+       |                  (SELECT m3.p FROM merges m3 WHERE m3.r = t0.br)) END AS pos
+       |    FROM (
+       |      SELECT s.word, s.syms,
+       |             (SELECT MIN(m2.r) FROM merges m2 WHERE list_contains(
+       |                list_transform(range(1, len(s.syms)),
+       |                  i2 -> s.syms[i2] || ' ' || s.syms[i2 + 1]),
+       |                m2.p)) AS br
+       |      FROM bsteps s WHERE NOT s.done) t0) t),
+       |fin AS (SELECT word, syms FROM bsteps WHERE done)""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Subword.wordpieceFoldSql]] as a
     * RECURSIVE-CTE prefix (vocab + distinct words + the greedy chain +

@@ -48,8 +48,9 @@ class PlanSanitySpec extends SparkSpec {
       // (feeds the bucket-weight aggregate AND the scoring probe).
       "x_importance_weights",
       // Subword.docSubwordCounts stages the tf projection (feeds the
-      // distinct-word tokenize relation AND the per-doc aggregate).
-      "x_pack_subword",
+      // distinct-word tokenize relation AND the per-doc aggregate);
+      // docBpeCounts is the same shape with the BPE token table.
+      "x_pack_subword", "x_pack_bpe",
       // Ranking.qualityClassifier stages the feature projection (feeds
       // the weight aggregate AND the scoring probe).
       "x_quality_classifier",

@@ -72,4 +72,58 @@ class SubwordSpec extends SparkSpec {
       .as[(String, String, Long, Boolean)].collect().head
     assert(a == b)
   }
+
+  // ------------------------------------------- BPE merge-rank application
+
+  private def bpe(merges: Seq[String], words: String*): Map[String, (String, Long)] =
+    Subword.bpeTable(words.toDF("word"), merges)
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("BPE applies merges in RANK order, not position order") {
+    val merges = Seq("t h", "e r", "th e")
+    val t = bpe(merges, "ther", "the", "xyz", "a")
+    // t,h,e,r: (t,h)=r1 wins → [th,e,r]; then (e,r)=r2 BEATS (th,e)=r3
+    // even though (th,e) sits first in the word → [th, er].
+    assert(t("ther") == (("th er", 2L)))
+    // full chain: t+h=th, th+e=the — a merged symbol merging again.
+    assert(t("the") == (("the", 1L)))
+    // no applicable merge: characters remain (byte-level convention, no UNK).
+    assert(t("xyz") == (("x y z", 3L)))
+    assert(t("a") == (("a", 1L)))
+  }
+
+  test("BPE merges the LEFTMOST occurrence first (the pinned step contract)") {
+    // 'aaa' with a single 'a a' merge: leftmost → [aa, a], never [a, aa].
+    assert(bpe(Seq("a a"), "aaa")("aaa") == (("aa a", 2L)))
+    // 'papa': (p,a) at 1 then at 2 → [pa, pa].
+    assert(bpe(Seq("p a"), "papa")("papa") == (("pa pa", 2L)))
+  }
+
+  test("docBpeCounts sums over occurrences; token table broadcasts") {
+    val merges = Seq("t h", "e r", "th e")
+    val docs = Seq(
+      (1L, "the ther the"),
+      (2L, "xyz a")).toDF("doc_id", "text")
+    val got = Subword.docBpeCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 3 words, 1+2+1 tokens; doc 2: 2 words, 3+1 tokens.
+    assert(got(1L) == ((3L, 4L)))
+    assert(got(2L) == ((2L, 4L)))
+    val plan = Subword.docBpeCounts(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"BPE table must broadcast onto the tf relation:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("packByBpe bins by the BPE budget") {
+    // 4 docs in one shard, 'ther ther' = 4 tokens each, budget 8 → bins {0,0,1,1}.
+    val merges = Seq("t h", "e r", "th e")
+    val docs = Seq.tabulate(4)(i => (i.toLong * 8, "ther ther"))
+      .toDF("doc_id", "text")
+    val got = Subword.packByBpe(docs, shards = 8, budgetTokens = 8, merges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((0L, 0L, 2L, 8L), (0L, 1L, 2L, 8L)))
+  }
 }
