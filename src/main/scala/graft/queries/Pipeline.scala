@@ -24,6 +24,13 @@ import graft.sources.Tables._
   */
 object Pipeline {
 
+  /** Same sequential-fold dot product as Similarity.duckDot (64-dim) —
+    * the FP op sequence both engines share bitwise. */
+  private def dot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
   private val stopEn = "'the','a','and','of','to','is'"
   private val stopEs = "'el','la','de','los','y','en'"
   private val stopFr = "'le','les','des','et','un','une'"
@@ -107,6 +114,249 @@ object Pipeline {
       SELECT doc_id, n_tokens, ttr FROM canon
       WHERE doc_id NOT IN (SELECT db FROM dup)
       ORDER BY doc_id""")),
+
+    // --------------------------- MODERN end-to-end curation recipe
+    // x_pipeline_curate predates the round-5..10 operator additions; this
+    // is the current best-practice chain, composed so the STAGE
+    // INTERACTIONS are oracle-pinned (span removal changes classifier
+    // features and shingles; canonical selection changes the semantic and
+    // mix populations; the mix changes the pack bins):
+    //
+    //   A. repeated-substring-span REMOVAL (k=8 windows, Lee et al.) —
+    //      cleaned text = tokens outside every duplicated span; documents
+    //      whose entire content is duplicated spans exit here.
+    //   B. fastText-style quality classifier trained AND applied on the
+    //      CLEANED text (srcs 0-2 as the curated label) — keep score ≥ 0.
+    //   C. MinHash+LSH near-dup clusters on survivors + quality-aware
+    //      canonical keep (longest cleaned doc, doc_id tie-break).
+    //   D. SemDeDup on the canonical survivors' embeddings (fixed
+    //      centroid stand-in vec_id < 8, cosine ≥ 0.45, smaller-id wins).
+    //   E. temperature (α=0.5) source mix over the SURVIVOR token mass.
+    //   F. BPE-budget pack (budget 512, 8 shards) → per-doc manifest.
+    //
+    // Plan shape at 100 TB: the cleaned relation stages ONCE (one corpus
+    // scan through the span machinery) and every stage reads it or a
+    // staged derivative; candidate generation is banded/clustered
+    // (never all-pairs); per-stage survivor filters are broadcast
+    // semi/anti-joins (pair- and cluster-bounded relations); the output
+    // is integer-only, so the oracle compare is exact end-to-end.
+    Q("x_pipeline_modern", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = fanOut(documents(s, d))
+      // A: span removal. Span relation is duplicated-volume-bounded →
+      // broadcast back onto the one corpus scan.
+      val spans = graft.operators.TextDedup
+        .repeatedSpans(docs, "doc_id", "text", k = 8)
+      val spanSets = spans.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e"))).as("sp"))
+      val clean = stage(docs
+        .join(broadcast(spanSets), Seq("doc_id"), "left")
+        .withColumn("toks", expr("split(lower(text), ' ')"))
+        .withColumn("ctoks", expr(
+          """IF(sp IS NULL, toks,
+            |   filter(toks, (t, i) -> NOT exists(sp, z -> i >= z.s AND i <= z.e)))""".stripMargin))
+        .filter(size(col("ctoks")) > 0)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", col("ctoks")).as("text_clean"),
+          size(col("ctoks")).cast("long").as("n_tokens_clean")))
+      // B: classifier on the cleaned text (staged features feed weights
+      // AND scoring inside qualityClassifier).
+      val scored = graft.operators.Ranking.qualityClassifier(clean,
+        "doc_id", "text_clean",
+        isPositive = col("source").isin("src0", "src1", "src2"))
+      val kept1 = clean.join(
+        scored.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // C: near-dup clusters + canonical keep.
+      val sh = graft.operators.TextDedup.shingleRelation(
+        kept1.select(col("doc_id"), col("text_clean")), "doc_id", "text_clean", n = 3)
+      val pairs = graft.operators.TextDedup
+        .minhashLshPairs(sh, k = 12, bands = 4, threshold = 0.5)
+      val cc = graft.operators.Graph.connectedComponents(pairs, "da", "db")
+      val members = kept1.select(col("doc_id"), col("n_tokens_clean"))
+        .join(broadcast(cc), col("doc_id") === col("node"))
+      val nonCanon = members
+        .groupBy(col("component"))
+        .agg(max(struct(col("n_tokens_clean"), (-col("doc_id")).as("nd"))).as("__m"),
+          collect_list(col("doc_id")).as("ids"))
+        .select(explode(expr("filter(ids, x -> x != -__m.nd)")).as("doc_id"))
+      val kept2 = kept1.join(broadcast(nonCanon), Seq("doc_id"), "left_anti")
+      // D: SemDeDup over survivor embeddings (1:1 doc_id = vec_id).
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val eSurv = e.join(kept2.select(col("doc_id")),
+        col("id") === col("doc_id"), "left_semi")
+      val sem = graft.operators.Ann.semanticDedup(
+        corpus = eSurv, centroids = e.filter(col("id") < 8), threshold = 0.45)
+      val kept3 = kept2.join(
+        sem.filter(col("kept") === 1L).select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left_semi")
+      // E: temperature mix (α = 0.5) over the survivor token mass.
+      val per = stage(kept3.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_clean")).as("n_tokens")))
+      val rates = per
+        .join(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
+        .withColumn("th", expr(
+          """CASE WHEN n_tokens = min_tokens THEN 'g'
+            |     ELSE lower(lpad(hex(CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) * 4294967296) AS BIGINT)), 8, '0')) END""".stripMargin))
+      val kept4 = kept3
+        .join(broadcast(rates.select(col("source"), col("th"))), "source")
+        .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 8) < th"))
+      // F: BPE-budget pack → per-doc manifest rows.
+      val counts = graft.operators.Subword.docBpeCounts(
+        kept4.select(col("doc_id"), col("text_clean")), "doc_id", "text_clean",
+        TextAnalysis.demoMerges)
+      val w9 = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      counts
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("cum", sum(col("n_bpe_tokens")).over(w9))
+        .withColumn("bin", expr("(cum - n_bpe_tokens) div 512"))
+        .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+        .select(col("doc_id"), col("score"), col("n_words"),
+          col("n_bpe_tokens"), col("shard"), col("bin"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE
+      -- A: repeated spans (x_dedup_substring CTEs) + token-drop cleaning
+      t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+      w AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos,
+                   unnest(list_transform(range(0, len(toks) - 7),
+                     i -> md5(array_to_string(toks[i+1 : i+8], ' ')))) AS h
+            FROM t),
+      dupw AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      mk AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dupw)),
+      fl AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                         THEN 1 ELSE 0 END AS ns
+             FROM mk),
+      spw AS (SELECT doc_id, pos,
+                     CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+              FROM fl),
+      spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+                FROM spw GROUP BY doc_id, span),
+      toku AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(range(0, len(toks))) AS p
+               FROM t),
+      keptt AS (SELECT k.doc_id, k.tok, k.p FROM toku k
+                WHERE NOT EXISTS (SELECT 1 FROM spans z
+                                  WHERE z.doc_id = k.doc_id
+                                    AND k.p BETWEEN z.s AND z.e)),
+      clean AS (SELECT c0.doc_id, d0.source, c0.text_clean, c0.ntc FROM (
+                  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                         CAST(COUNT(*) AS BIGINT) AS ntc
+                  FROM keptt GROUP BY doc_id) c0
+                JOIN documents d0 ON c0.doc_id = d0.doc_id),
+      -- B: quality classifier on the CLEANED text (x_quality_classifier CTEs)
+      ctk AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos2,
+                     string_split(text_clean, ' ') AS ctoks
+              FROM clean),
+      fx AS (SELECT doc_id, pos2,
+                    unnest(list_concat(ctoks,
+                      list_transform(range(1, len(ctoks)),
+                        i -> array_to_string(ctoks[i:i+1], ' ')))) AS feat
+             FROM ctk),
+      ex AS (SELECT doc_id, pos2, substr(md5(feat), 1, 3) AS bk FROM fx),
+      g AS (SELECT (COALESCE(CAST(SUM(CASE WHEN pos2 THEN 1 ELSE 0 END) AS BIGINT),
+                             CAST(0 AS BIGINT)) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS prior FROM ex),
+      wc AS (SELECT bk,
+                    (COALESCE(CAST(SUM(CASE WHEN pos2 THEN 1 ELSE 0 END) AS BIGINT),
+                              CAST(0 AS BIGINT)) * 1000000)
+                      // CAST(COUNT(*) AS BIGINT) - (SELECT prior FROM g) AS wt
+             FROM ex GROUP BY bk),
+      sc AS (SELECT e2.doc_id, CAST(SUM(w2.wt) AS BIGINT) AS score
+             FROM ex e2 JOIN wc w2 USING (bk) GROUP BY e2.doc_id),
+      k1 AS (SELECT c1.doc_id, c1.source, c1.text_clean, c1.ntc, s1.score
+             FROM clean c1 JOIN sc s1 ON c1.doc_id = s1.doc_id
+             WHERE s1.score >= 0),
+      -- C: MinHash+LSH pairs (x_pipeline_curate CTEs) + CC + canonical keep
+      d3 AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      range(1, greatest(len(ctoks3) - 2, 1) + 1),
+                      i -> array_to_string(ctoks3[i:i+2], ' '))) AS sh3
+             FROM (SELECT doc_id, string_split(text_clean, ' ') AS ctoks3 FROM k1)),
+      sg AS (SELECT doc_id, sh3,
+                    list_transform(range(0, 12),
+                      i -> list_min(list_transform(sh3,
+                        s2 -> md5(CAST(i AS VARCHAR) || '|' || s2)))) AS sig
+             FROM d3),
+      bd AS (SELECT doc_id,
+                    unnest(list_transform(range(0, 4),
+                      b -> md5(CAST(b AS VARCHAR) || '|' || sig[3*b+1] || sig[3*b+2] || sig[3*b+3]))) AS band_key
+             FROM sg),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      vp AS (SELECT da, db FROM (
+               SELECT da, db,
+                      len(list_filter(sa.sh3, x -> list_contains(sb.sh3, x))) AS inter,
+                      len(sa.sh3) AS na, len(sb.sh3) AS nb
+               FROM cand JOIN d3 sa ON da = sa.doc_id JOIN d3 sb ON db = sb.doc_id)
+             WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      edges AS (SELECT da AS s3, db AS d4 FROM vp UNION SELECT db, da FROM vp),
+      reach(n, m2) AS (
+        SELECT s3, s3 FROM edges
+        UNION
+        SELECT r.n, e3.d4 FROM reach r JOIN edges e3 ON r.m2 = e3.s3),
+      comp AS (SELECT n AS doc_id, MIN(m2) AS component FROM reach GROUP BY n),
+      rk AS (SELECT c2.doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY c2.component
+                                       ORDER BY k.ntc DESC, c2.doc_id ASC) AS rn
+             FROM comp c2 JOIN k1 k ON c2.doc_id = k.doc_id),
+      k2 AS (SELECT * FROM k1
+             WHERE doc_id NOT IN (SELECT doc_id FROM rk WHERE rn > 1)),
+      -- D: SemDeDup on survivor embeddings (x_dedup_semantic CTEs)
+      e4 AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+             FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+                FROM e4 WHERE vec_id < 8),
+      surv AS (SELECT e4.* FROM e4 JOIN k2 ON e4.vec_id = k2.doc_id),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${dot("v.embedding", "c.ce")} / (v.nrm * c.cnrm) DESC,
+                            c.cent_id ASC) AS crn
+          FROM surv v CROSS JOIN cents c)
+        WHERE crn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45),
+      k3 AS (SELECT k2.* FROM k2
+             WHERE k2.doc_id IN (SELECT vec_id FROM assigned)
+               AND k2.doc_id NOT IN (SELECT vec_id FROM dropped)),
+      -- E: temperature mix (x_source_temperature CTEs over survivors)
+      per AS (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(ntc) AS BIGINT) AS n_tokens
+              FROM k3 GROUP BY source),
+      mn AS (SELECT MIN(n_tokens) AS min_tokens FROM per),
+      rates AS (SELECT source,
+                       CASE WHEN n_tokens = min_tokens THEN 'g'
+                            ELSE lower(lpad(hex(CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) * 4294967296) AS BIGINT)), 8, '0')) END AS th
+                FROM per CROSS JOIN mn),
+      k4 AS (SELECT k3.* FROM k3 JOIN rates r USING (source)
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < r.th),
+      -- F: BPE-budget pack (x_token_bpe CTEs; dictionary from the full
+      -- corpus, a superset of any cleaned text's vocabulary)
+      ${TextAnalysis.duckBpeCtes},
+      np AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tokens FROM fin),
+      occ AS (SELECT doc_id, unnest(string_split(text_clean, ' ')) AS word FROM k4),
+      cnt AS (SELECT occ.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(np.n_tokens) AS BIGINT) AS n_bpe_tokens
+              FROM occ JOIN np ON occ.word = np.word
+              GROUP BY occ.doc_id),
+      c9 AS (SELECT doc_id, n_words, n_bpe_tokens, doc_id % 8 AS shard,
+                    CAST(SUM(n_bpe_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM cnt)
+      SELECT c9.doc_id, k1.score, c9.n_words, c9.n_bpe_tokens, c9.shard,
+             CAST((c9.cum - c9.n_bpe_tokens) // 512 AS BIGINT) AS bin
+      FROM c9 JOIN k1 ON c9.doc_id = k1.doc_id
+      ORDER BY c9.doc_id"""), headline = true),
 
     // ------------------------------------------- JSONL interchange source
     // The corpus round-trips through gzip JSONL (the format LLM corpora

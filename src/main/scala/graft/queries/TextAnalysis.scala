@@ -370,8 +370,16 @@ object TextAnalysis {
     * the lowest-rank adjacent pair present in the table (correlated MIN
     * over the non-recursive merges relation), locate its leftmost
     * occurrence with list_position, splice. NULL rank → the terminal. */
-  private def duckBpePrefix: String =
-    s"""WITH RECURSIVE merges AS (
+  private def duckBpePrefix: String = "WITH RECURSIVE " + duckBpeCtes
+
+  /** The CTE chunk of [[duckBpePrefix]] without the `WITH RECURSIVE`
+    * keyword, so other queries (x_pipeline_modern) can splice it into a
+    * larger recursive WITH. Defines merges/w3/bsteps/fin; the dictionary
+    * comes from the FULL documents corpus, which is a superset of any
+    * cleaned/filtered text's vocabulary (cleaning only deletes whole
+    * tokens), so downstream joins against `fin` are unaffected. */
+  private[queries] def duckBpeCtes: String =
+    s"""merges AS (
        |  SELECT unnest($duckMerges) AS p,
        |         unnest(range(1, ${demoMerges.size + 1})) AS r),
        |w3 AS (

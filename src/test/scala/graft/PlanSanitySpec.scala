@@ -56,7 +56,12 @@ class PlanSanitySpec extends SparkSpec {
       "x_quality_classifier",
       // Graph.incrementalTriangles reads staged pair/edge/adjacency
       // relations only (no corpus attach in the triangle contract).
-      "x_triangles_incremental")
+      "x_triangles_incremental",
+      // x_pipeline_modern stages the cleaned corpus once (the one corpus
+      // scan, through the span machinery); every later stage reads it or
+      // a staged derivative, so the visible plan starts at staged
+      // relations.
+      "x_pipeline_modern")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
@@ -107,7 +112,10 @@ class PlanSanitySpec extends SparkSpec {
       // x_pack_subword: same shard-window shape as x_pack_sequences —
       // shards IS the packing parallelism parameter (8 only for the
       // oracle fixture).
-      "x_quality_gate", "q_percentile_bucketed", "x_pack_subword")
+      "x_quality_gate", "q_percentile_bucketed", "x_pack_subword",
+      // x_pack_bpe / x_pipeline_modern: the same shard-window pack step
+      // (shards = the packing parallelism parameter, 8 for the fixture).
+      "x_pack_bpe", "x_pipeline_modern")
   private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
     "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
     "l_linestatus", "shard", "lang", "source")
