@@ -3,6 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.sinks.SinkFileStatus
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -105,13 +106,104 @@ object Gate {
     * batch overwrites its partial attempt instead of duplicating rows
     * (plain append-mode writes are not transactional; this layout is the
     * idempotent equivalent, and maps onto a transactional table format's
-    * batchId-keyed appends at cluster scale). */
-  def growDir(projection: DataFrame, root: String, batchId: Long): Unit =
-    projection.write.mode("overwrite").parquet(s"$root/batch_$batchId")
+    * batchId-keyed appends at cluster scale).
+    *
+    * MANIFEST: alongside the data, the subdirectory's files are recorded
+    * in the root's `_spark_metadata` sink log (Spark's own
+    * [[org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog]]
+    * — the transactional-format mapping the growing gates document,
+    * already built into the engine). Once the log exists,
+    * `spark.read.parquet(root)` plans from the LOG (MetadataLogFileIndex)
+    * instead of listing directories: at 10⁴ folds a probe pays one log
+    * read, not one listStatus per batch subdirectory, and the log
+    * self-compacts every `spark.sql.streaming.fileSink.log.compactInterval`
+    * batches. The first call BOOTSTRAPS the log with the root's
+    * pre-existing files (initial staged relation + any pre-manifest
+    * folds) — one recursive listing, paid once.
+    *
+    * The log's own entry ids are an internal SEQUENTIAL counter (the
+    * CompactibleFileStreamLog requires contiguity from 0 for its
+    * self-compaction) — fold ids live in the `batch_<id>` path segment
+    * of the logged files. A fold id already present in the log is only
+    * legal after [[pruneGrown]] has repaired the fence — the add would
+    * otherwise leave entries referencing the overwritten attempt's
+    * vanished files, so it fails fast here instead. */
+  def growDir(projection: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = projection.sparkSession
+    val dir = s"$root/batch_$batchId"
+    // order matters: the log CONSTRUCTOR eagerly mkdirs _spark_metadata,
+    // so the had-a-manifest probe must run first or bootstrap never fires.
+    val hadManifest = manifestExists(spark, root)
+    val log = sinkLog(spark, root)
+    if (hadManifest)
+      require(!log.allFiles().exists(f => foldIdOf(f.path).contains(batchId)),
+        s"growDir: manifest at $root already contains fold $batchId — " +
+          "a replayed fold must run Gate.pruneGrown(root, fence) first " +
+          "(restore* does) so the log matches the rewritten files")
+    projection.write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap =
+      if (hadManifest) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else dataFiles(fs, new org.apache.hadoop.fs.Path(root),
+        exclude = Some(s"batch_$batchId"))
+    val batchFiles = dataFiles(fs, new org.apache.hadoop.fs.Path(dir), None)
+    val logId = log.getLatestBatchId().map(_ + 1L).getOrElse(0L)
+    require(log.add(logId, (bootstrap ++ batchFiles).map(SinkFileStatus.apply)),
+      s"growDir: sequential manifest id $logId at $root cannot collide")
+  }
 
-  /** Re-open a grown directory: the initial staged files at the root
-    * plus every `batch_*` subdirectory ([[growDir]]'s layout) via a
-    * recursive file lookup (no partition inference). */
+  /** The fold id a logged file belongs to — its `batch_<id>` path
+    * segment (absent for bootstrap-logged root files). */
+  private def foldIdOf(path: String): Option[Long] =
+    path.split('/').find(_.startsWith("batch_")).flatMap(s =>
+      scala.util.Try(s.stripPrefix("batch_").toLong).toOption)
+
+  private def sinkLog(spark: org.apache.spark.sql.SparkSession, root: String) =
+    new org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog(
+      org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog.VERSION,
+      spark, s"$root/$MetadataDir", scala.None)
+
+  private val MetadataDir = "_spark_metadata"
+
+  /** Whether `root` carries a NON-EMPTY sink-log manifest. Emptiness
+    * matters twice over: the log constructor mkdirs its directory before
+    * the first add (an empty dir must not suppress [[growDir]]'s
+    * bootstrap), and Spark's read path treats any `_spark_metadata` dir
+    * as authoritative — an empty one reads as zero files
+    * ([[pruneGrown]] deletes such crash leftovers). */
+  def manifestExists(spark: org.apache.spark.sql.SparkSession,
+                     root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, MetadataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Recursively list the DATA files under `path` (skips `_`-prefixed
+    * metadata like `_SUCCESS`/`_spark_metadata` and, optionally, one
+    * excluded subdirectory name). Used for manifest bootstrap/repair —
+    * normal probes never list. */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        path: org.apache.hadoop.fs.Path,
+                        exclude: Option[String]): Array[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path).flatMap { s =>
+      val nm = s.getPath.getName
+      if (nm.startsWith("_") || nm.startsWith(".") || exclude.contains(nm))
+        Array.empty[org.apache.hadoop.fs.FileStatus]
+      else if (s.isDirectory) dataFiles(fs, s.getPath, None)
+      else Array(s)
+    }
+
+  /** Re-open a grown directory. With a manifest ([[growDir]] writes one)
+    * Spark's MetadataLogFileIndex plans from the `_spark_metadata` log —
+    * zero directory listing (the spec proves it: unlogged orphan subdirs
+    * are invisible); without one (a freshly staged or freshly
+    * [[compactGrown]]-consolidated root) the same read recursively
+    * lists, and the next fold's [[growDir]] bootstraps the log. The
+    * recursiveFileLookup option serves both paths: with the log it
+    * widens allFiles past the unpartitioned root-parent restriction;
+    * without it, it IS the listing. */
   def readGrown(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(root)
 
@@ -133,14 +225,39 @@ object Gate {
                  maxBatch: Long): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
-      val nm = s.getPath.getName
-      if (!nm.startsWith("batch_")) None
-      else scala.util.Try(nm.stripPrefix("batch_").toLong).toOption
-        .filter(_ > maxBatch)
-        .map { id => fs.delete(s.getPath, true); id }
-    }.sorted
+    val pruned =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+        val nm = s.getPath.getName
+        if (!nm.startsWith("batch_")) None
+        else scala.util.Try(nm.stripPrefix("batch_").toLong).toOption
+          .filter(_ > maxBatch)
+          .map { id => fs.delete(s.getPath, true); id }
+      }.sorted
+    // MANIFEST REPAIR: a log referencing any fold above the fence holds
+    // entries for the deleted orphans (and, once the replay rewrites
+    // them, stale pre-crash file names). Purging individual log entries
+    // is unsafe across the log's own compaction boundaries, so repair
+    // rebuilds it whole: drop the log, re-list the surviving files once
+    // (crash repair only — normal probes never list), and re-seed a
+    // fresh log at entry 0.
+    val meta = new org.apache.hadoop.fs.Path(root, MetadataDir)
+    if (manifestExists(spark, root)) {
+      if (sinkLog(spark, root).allFiles()
+            .exists(f => foldIdOf(f.path).exists(_ > maxBatch))) {
+        fs.delete(meta, true)
+        val files = dataFiles(fs, p, None)
+        if (files.nonEmpty)
+          require(sinkLog(spark, root).add(0L, files.map(SinkFileStatus.apply)),
+            s"pruneGrown: re-seeding a fresh manifest at $root cannot collide")
+      }
+    } else if (fs.exists(meta)) {
+      // constructor-mkdir'd but never added to (crash before the first
+      // fold's log write): Spark's read path would treat the empty log
+      // as authoritative and read zero files — remove it.
+      fs.delete(meta, true)
+    }
+    pruned
   }
 
   /** COMPACT a grown directory into a fresh consolidated staged relation

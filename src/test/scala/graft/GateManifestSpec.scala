@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Gate
+
+/** The growing-directory MANIFEST (round-11): Gate.growDir records each
+  * fold's files in the root's `_spark_metadata` sink log — Spark's own
+  * FileStreamSinkLog — so probes plan from the log
+  * (MetadataLogFileIndex) instead of one listStatus per batch
+  * subdirectory. Pinned here: reads identical to the listing path, the
+  * log (not listing) is what the reader consults, crash repair
+  * (pruneGrown) across the log's own compaction boundary, and the
+  * fail-fast on un-pruned replays. */
+class GateManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val root = Files.createTempDirectory("graft-grown").toString
+    // the initial staged relation lives at the root top level.
+    Seq((0L, "seed0"), (1L, "seed1")).toDF("id", "v")
+      .write.mode("overwrite").parquet(root)
+    root
+  }
+
+  private def rows(root: String): Set[(Long, String)] =
+    Gate.readGrown(spark, root).as[(Long, String)].collect().toSet
+
+  private def batchDf(b: Long) = Seq((10 * b, s"b$b")).toDF("id", "v")
+
+  test("manifested reads ≡ listing reads; the plan uses the metadata log") {
+    val root = freshRoot()
+    assert(!Gate.manifestExists(spark, root))
+    val preManifest = rows(root) // recursive-listing path
+    assert(preManifest == Set((0L, "seed0"), (1L, "seed1")))
+
+    (0L to 3L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    assert(Gate.manifestExists(spark, root))
+    val expected = preManifest ++ (0L to 3L).map(b => (10 * b, s"b$b"))
+    assert(rows(root) == expected)
+
+    // the reader's file index IS the log, not a directory listing.
+    val scans = Gate.readGrown(spark, root).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { case r: HadoopFsRelation =>
+      assert(r.location.getClass.getSimpleName == "MetadataLogFileIndex",
+        s"expected MetadataLogFileIndex, got ${r.location.getClass}")
+    }
+  }
+
+  test("the reader consults the log, not the directory tree: unlogged orphans are invisible") {
+    val root = freshRoot()
+    (0L to 1L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    // a crash BETWEEN the data write and the log add leaves an unlogged
+    // subdir — exactly what a listing-based reader would wrongly surface.
+    Seq((999L, "orphan")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/batch_7")
+    assert(!rows(root).contains((999L, "orphan")))
+    // restore-repair deletes it (above the fence) and the log survives.
+    assert(Gate.pruneGrown(spark, root, maxBatch = 1L) == Seq(7L))
+    assert(rows(root) == Set((0L, "seed0"), (1L, "seed1"), (0L, "b0"), (10L, "b1")))
+  }
+
+  test("crash replay: pruneGrown repairs the log at the fence; the re-fold re-adds") {
+    val root = freshRoot()
+    (0L to 2L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    // crash after batch 2's fold, fence persisted at 1 → batch 2 is an
+    // orphan: dir deleted AND log rebuilt at the fence.
+    assert(Gate.pruneGrown(spark, root, maxBatch = 1L) == Seq(2L))
+    assert(Gate.manifestExists(spark, root))
+    assert(rows(root) ==
+      Set((0L, "seed0"), (1L, "seed1"), (0L, "b0"), (10L, "b1")))
+    // the checkpoint replay re-folds batch 2 — with DIFFERENT file
+    // contents than the crashed attempt; the log must pick up the rewrite.
+    Gate.growDir(Seq((20L, "b2-replayed")).toDF("id", "v"), root, 2L)
+    assert(rows(root) ==
+      Set((0L, "seed0"), (1L, "seed1"), (0L, "b0"), (10L, "b1"), (20L, "b2-replayed")))
+  }
+
+  test("replaying a logged batch without pruning fails fast") {
+    val root = freshRoot()
+    Gate.growDir(batchDf(0), root, 0L)
+    val e = intercept[IllegalArgumentException] {
+      Gate.growDir(batchDf(0), root, 0L)
+    }
+    assert(e.getMessage.contains("pruneGrown"))
+  }
+
+  test("repair works across the log's own compaction boundary") {
+    val root = freshRoot()
+    // default fileSink.log.compactInterval = 10 → the log compacts at
+    // batch 9; fold past it, then fence BELOW the compaction.
+    (0L to 11L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    val expected = Set((0L, "seed0"), (1L, "seed1")) ++
+      (0L to 11L).map(b => (10 * b, s"b$b"))
+    assert(rows(root) == expected)
+    assert(Gate.pruneGrown(spark, root, maxBatch = 5L) == (6L to 11L))
+    assert(rows(root) ==
+      Set((0L, "seed0"), (1L, "seed1")) ++ (0L to 5L).map(b => (10 * b, s"b$b")))
+    // and the rebuilt log keeps accepting folds above the fence.
+    Gate.growDir(batchDf(6), root, 6L)
+    assert(rows(root).contains((60L, "b6")))
+  }
+
+  test("fence below every fold re-seeds the log to the bare root; replay from 0 works") {
+    val root = freshRoot()
+    (0L to 1L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    assert(Gate.pruneGrown(spark, root, maxBatch = -1L) == Seq(0L, 1L))
+    assert(Gate.manifestExists(spark, root))
+    assert(rows(root) == Set((0L, "seed0"), (1L, "seed1")))
+    Gate.growDir(batchDf(0), root, 0L)
+    assert(rows(root) == Set((0L, "seed0"), (1L, "seed1"), (0L, "b0")))
+  }
+}
