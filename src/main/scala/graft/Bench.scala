@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** One Kafka-source-shaped record for the gate bench's MemoryStream. */
+case class BenchMsg(topic: String, partition: Int, offset: Long,
+                    timestamp: java.sql.Timestamp,
+                    key: Array[Byte], value: Array[Byte])
+
 /** Benchmark main — times each headline query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver's BENCH_r{N}.json.
   *
@@ -34,6 +39,71 @@ object Bench {
     once() // warm-up (JIT)
     val ts = (1 to reps).map(_ => once())
     (ts.min, ts)
+  }
+
+  /** The STREAMING half of the engine under the perf gate: one full pass
+    * of the dedup ingest gate ([[graft.streaming.DedupIngest.startGated]]
+    * — bloom exact pre-gate → settle join → LSH on survivors) over a
+    * deterministic workload derived from the SF corpus. State builds ONCE
+    * outside the timed region (per-corpus-version cost, not per-batch);
+    * each repetition streams the same 3 micro-batches — the held-out
+    * tenth of the corpus re-ingested twice, once as byte-exact copies
+    * under shifted ids (the bloom+settle path) and once with a perturbed
+    * tail (the LSH path) — through a fresh MemoryStream-backed query.
+    * Returns (wall seconds per repetition list, corpus-state build
+    * seconds). */
+  def gateBench(spark: SparkSession, sfDir: String,
+                reps: Int = 3): (Seq[Double], Double) = {
+    import java.util.concurrent.atomic.AtomicReference
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.{DedupIngest, Stream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val msgEnc: org.apache.spark.sql.Encoder[BenchMsg] =
+      org.apache.spark.sql.Encoders.product[BenchMsg]
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val tBuild0 = System.nanoTime()
+    val state = new AtomicReference(DedupIngest.buildState(corpus, "doc_id", "text"))
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val workload = fresh
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      .union(fresh.select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" benchnovel")).as("text")))
+    val payloads = workload
+      .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def rep(): Double = {
+      val ms = MemoryStream[BenchMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      var sink = 0L
+      val q = DedupIngest.startGated(s, state, "value.doc_id", "value.text") {
+        (exact, near, _, _) => sink += exact.count() + near.count()
+      }
+      val t0 = System.nanoTime()
+      (0 until 3).foreach { b =>
+        val batch = payloads.filter(_._1 % 3 == b).zipWithIndex.map {
+          case ((_, j), i) => BenchMsg("bench", 0, i.toLong,
+            new java.sql.Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }
+        ms.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      require(sink > 0L, "gate bench produced no pairs — workload broken")
+      t
+    }
+    rep() // warm-up (JIT + codegen for the probe plans)
+    ((1 to reps).map(_ => rep()), buildSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,13 +150,23 @@ object Bench {
     // is diagnosable after the fact.
     val runs = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
     for (_ <- 1 to 3; n <- names) runs(n) = runs(n) :+ run(n)
-    val results = names.map { n =>
+    // the streaming gate rides the same best-of-3 discipline (state build
+    // excluded — a per-corpus-version cost, reported separately below).
+    val (gateRuns, gateBuild) =
+      try gateBench(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] gate failed: ${e.getMessage}")
+        (Seq(-1.0), -1.0)
+      }
+    runs("x_gate_dedup_stream") = gateRuns.toVector
+    val allNames = names :+ "x_gate_dedup_stream"
+    val results = allNames.map { n =>
       val ts = runs(n)
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rs = names.map { n => "\"" + n + "\":" + runs(n).mkString("[", ",", "]") }
+    val rs = allNames.map { n => "\"" + n + "\":" + runs(n).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // calibration sample 2: machine state at sweep end — a large spread
@@ -97,6 +177,6 @@ object Bench {
     // Stop Spark FIRST so no executor/shutdown logging can interleave after
     // the metric line — the driver wants it as the final clean stdout line.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"calib":$calib,"calib_runs":$cruns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gate_build":$gateBuild,"calib":$calib,"calib_runs":$cruns,"sf":"$sfDir"}""")
   }
 }
