@@ -85,6 +85,47 @@ object TypedAggregators {
     override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
     override def outputEncoder: Encoder[FreqItems] = Encoders.product[FreqItems]
   }
+
+  final case class HistBuf(m: Map[Long, Long])
+
+  /** EXACT mergeable value histogram over a BOUNDED integer domain — the
+    * quantile state folding gates maintain incrementally
+    * ([[graft.streaming.QuantileIngest]]): per-batch histograms fold into
+    * a running one by counter-wise addition, and any exact quantile reads
+    * off the merged counts — so a per-batch threshold is IDENTICAL to a
+    * full recompute over everything seen, not approximate (merge of exact
+    * histograms is exact; the same domain contract as
+    * Quantiles.groupPercentilesDisc's histogram path).
+    *
+    * The bound is a CONTRACT, not a collapse rule: exceeding `maxBins`
+    * distinct values fails fast (the FrequentItems-style honesty — a
+    * silently degraded exact structure would claim exactness it no longer
+    * has). Integer-exact engine scores (classifier scores, token/char
+    * counts, scaled ratios) satisfy it by construction; a genuinely
+    * unbounded domain needs a sketch (KLL), which trades the exactness
+    * this gate's spec pins. */
+  final class BoundedHistogram(maxBins: Int)
+      extends Aggregator[Long, HistBuf, Map[Long, Long]] {
+    require(maxBins > 0, s"maxBins=$maxBins")
+    private def checked(m: Map[Long, Long]): HistBuf = {
+      if (m.size > maxBins)
+        throw new IllegalStateException(
+          s"BoundedHistogram: ${m.size} distinct values exceed maxBins=$maxBins " +
+            "— the bounded-domain contract is violated (coarsen the value, " +
+            "or use a sketch and give up exactness)")
+      HistBuf(m)
+    }
+    override def zero: HistBuf = HistBuf(Map.empty)
+    override def reduce(b: HistBuf, v: Long): HistBuf =
+      checked(b.m.updated(v, b.m.getOrElse(v, 0L) + 1L))
+    override def merge(x: HistBuf, y: HistBuf): HistBuf =
+      checked(y.m.foldLeft(x.m) { case (acc, (v, c)) =>
+        acc.updated(v, acc.getOrElse(v, 0L) + c) })
+    override def finish(b: HistBuf): Map[Long, Long] = b.m
+    override def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+    override def outputEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  }
 }
 
 final case class MeanStdResult(mean: Double, std: Double)
