@@ -6,6 +6,10 @@ object ExplainAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // point-set probes on range-sorted state (Graph.stageSorted) need
+      // the In filter pushed as points, not a min/max range — scattered
+      // ball ids make the range fallback prune nothing.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"

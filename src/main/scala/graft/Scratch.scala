@@ -21,6 +21,10 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // point-set probes on range-sorted state (Graph.stageSorted) need
+      // the In filter pushed as points, not a min/max range — scattered
+      // ball ids make the range fallback prune nothing.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -56,7 +60,12 @@ object Scratch {
       .incrementalTriangles(prevState._1, prevState._2, delta, "da", "db").count())
     println(f"| triangles FOLD (per batch) | $nDelta-edge batch | $nTriInc | $tTriInc%.2f |")
 
-    // ---- pagerank: full vs (state once) + refresh.
+    // ---- pagerank: full vs (state once) + refresh. The state paths run
+    // in PARQUET-STAGING mode — the production fold shape, and the mode
+    // where the round-11 sorted-state probe pruning applies (zone maps
+    // need files; localCheckpoint staging has none).
+    val prDir = java.nio.file.Files.createTempDirectory("graft-prstage").toString
+    spark.conf.set("graft.stage.dir", prDir)
     val (nPrFull, tPrFull) = timed(graft.operators.Graph
       .pageRank(docs, "doc_id", pairs, "da", "db").count())
     println(f"| pagerank FULL (what the refresh replaces) | 3 iter | $nPrFull | $tPrFull%.2f |")
@@ -73,6 +82,22 @@ object Scratch {
       s.ranks.count(); s
     }
     println(f"| pagerank FOLD state (per batch, chains) | $nDelta-edge batch | ${stNext.ranks.count()} | $tPrFold%.2f |")
+    // the CONTRACT regime: a small batch on the same dense graph — the
+    // ball stays far below the graph and the sorted-state point probes
+    // prune (the 1666-edge batch above touches half the 66-avg-degree
+    // pair graph in one hop, so its ball IS the graph; the honesty table
+    // reports both).
+    val deltaSmall = pairs.filter((col("da") + col("db")) % 1000 === 0)
+    val nDeltaSmall = deltaSmall.count()
+    val (_, tPrIncS) = timed(graft.operators.Graph
+      .pageRankRefresh(docs, "doc_id", prState, deltaSmall, "da", "db").count())
+    println(f"| pagerank REFRESH (small batch) | $nDeltaSmall-edge batch | 5000 | $tPrIncS%.2f |")
+    val (_, tPrFoldS) = timed {
+      val s = graft.operators.Graph.pageRankRefreshState(prState, deltaSmall, "da", "db")
+      s.ranks.count(); s
+    }
+    println(f"| pagerank FOLD state (small batch) | $nDeltaSmall-edge batch | - | $tPrFoldS%.2f |")
+    spark.conf.unset("graft.stage.dir")
 
     // ---- cc (the round-8 incremental, same split, for the family table).
     val (prevCc, tCcBuild) = timed {
@@ -215,6 +240,11 @@ object Scratch {
     val vertices = spark.range(n).toDF("doc_id")
     val deltaL = spark.range(1000).toDF("i")
       .select(col("i").as("src"), (col("i") + 7).as("dst"))
+    // parquet staging: the production state mode, and the mode where the
+    // round-11 sorted-state probe pruning applies — the LOCALIZED batch's
+    // contiguous ball ids are exactly what zone maps prune best.
+    val latDir = java.nio.file.Files.createTempDirectory("graft-latstage").toString
+    spark.conf.set("graft.stage.dir", latDir)
     val (nLF, tLF) = timed(graft.operators.Graph
       .pageRank(vertices, "doc_id", lattice, "src", "dst").count())
     println(f"| pagerank FULL | 10M edges | $nLF | $tLF%.2f |")
@@ -226,6 +256,12 @@ object Scratch {
     val (nLR, tLR) = timed(graft.operators.Graph
       .pageRankRefresh(vertices, "doc_id", stL, deltaL, "src", "dst").count())
     println(f"| pagerank REFRESH (per batch) | 1000-edge localized batch | $nLR | $tLR%.2f |")
+    val (_, tLFo) = timed {
+      val s = graft.operators.Graph.pageRankRefreshState(stL, deltaL, "src", "dst")
+      s.ranks.count(); s
+    }
+    println(f"| pagerank FOLD state (per batch) | 1000-edge localized batch | - | $tLFo%.2f |")
+    spark.conf.unset("graft.stage.dir")
     val (nTF, tTF) = timed(graft.operators.Graph
       .triangleCounts(lattice, "src", "dst").count())
     println(f"| triangles FULL | 10M edges | $nTF | $tTF%.2f |")

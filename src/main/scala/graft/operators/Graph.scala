@@ -611,19 +611,40 @@ object Graph {
     * build-once step of the incremental-refresh pair (same staging and
     * overflow contract as [[pageRank]]; history costs `iterations` extra
     * BIGINTs per edge-incident node). */
+  /** Stage a relation RANGE-SORTED on `key`: each staged file covers a
+    * disjoint key range, so a refresh probe's pushed `In`/range filter
+    * prunes whole row groups via parquet zone maps — the
+    * [[graft.sources.Layout.writeSorted]] discipline applied to the
+    * PageRank state relations. Pruning granularity = file count =
+    * `spark.sql.shuffle.partitions`; pushing a many-value `In` as points
+    * (not a min/max range) additionally needs
+    * `spark.sql.parquet.pushdown.inFilterThreshold` ≥ the ball size (the
+    * entry points set 256 — scattered ball ids make the range fallback
+    * prune nothing, but the pushed or-chain evaluates RECURSIVELY in the
+    * parquet reader, so thousands-deep chains overflow the task stack;
+    * balls past the threshold degrade gracefully to the range form). In localCheckpoint staging mode there is no file
+    * layout — correctness is unchanged, pruning just doesn't apply. */
+  private def stageSorted(df: DataFrame, key: String): DataFrame = {
+    // EXPLICIT shard count: a bare repartitionByRange is an AQE-coalesce
+    // target — small states collapse to one file and zone maps have
+    // nothing to prune (measured: 1 file, full-scan probes).
+    val shards = df.sparkSession.sessionState.conf.numShufflePartitions
+    stage(df.repartitionByRange(shards, col(key)).sortWithinPartitions(col(key)))
+  }
+
   def pageRankState(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 3, scale: Long = 1000000000L): PageRankState = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
     val base = scale * 3 / 20
-    val e = stage(edges
+    val e = stageSorted(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(explode(array(
         struct(col("a").as("s"), col("b").as("d")),
         struct(col("b").as("s"), col("a").as("d")))).as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
-      .distinct())
+      .distinct(), "s")
     val deg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
     var nr = deg.select(col("node"), col("degree"), lit(scale).as("r"),
       array().cast("array<long>").as("rs"))
@@ -638,7 +659,7 @@ object Graph {
           concat(col("rs"),
             array(lit(base) + coalesce(col("cin"), lit(0L)))).as("rs"))
     }
-    PageRankState(e, stage(nr.select(col("node"), col("degree"), col("rs"))),
+    PageRankState(e, stageSorted(nr.select(col("node"), col("degree"), col("rs")), "node"),
       iterations, scale)
   }
 
@@ -668,20 +689,70 @@ object Graph {
     * by the final broadcast attach.
     *
     * Output: (node, pr) for EVERY vertex — the [[pageRank]] contract. */
+  /** Compress a sorted-or-not id set into at most `maxRanges` inclusive
+    * [lo, hi] ranges by closing the smallest inter-id gaps first —
+    * localized balls collapse to a few tight spans, scattered ones
+    * degrade gracefully toward one wide span (never worse than the
+    * single min/max a pushed many-value In falls back to). */
+  private[operators] def compressRanges(ids: Seq[Long], maxRanges: Int): Seq[(Long, Long)] = {
+    val s = ids.distinct.sorted
+    if (s.size <= maxRanges) s.map(v => (v, v))
+    else {
+      // keep the (maxRanges - 1) LARGEST gaps as range boundaries.
+      val gaps = s.sliding(2).zipWithIndex
+        .map { case (Seq(a, b), i) => (b - a, i) }.toSeq
+        .sortBy(-_._1).take(maxRanges - 1).map(_._2).toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var lo = s.head
+      s.indices.dropRight(1).foreach { i =>
+        if (gaps(i)) { out += ((lo, s(i))); lo = s(i + 1) }
+      }
+      out += ((lo, s.last))
+      out.toSeq
+    }
+  }
+
+  /** Ball fraction of the (stored) node set past which the refresh HANDS
+    * OFF to the full recompute: once one hop from the batch covers more
+    * than half the graph, ball-sized bookkeeping is graph-sized
+    * bookkeeping plus overhead — the operator picks the right plan
+    * instead of documenting that the caller should (measured: the dense
+    * sf0.1 pair-graph batch, avg degree 66, whose B_1 IS the graph). */
+  val RefreshDenseFraction: Double = 0.5
+
   /** The shared re-iteration core of [[pageRankRefresh]] and
-    * [[pageRankRefreshState]]: staged union edges, the settled B_0
-    * degree relation, the per-iteration recomputed (node, degree, r)
-    * relations (rec(i-1) covers B_i), and the final ball B_k. */
-  private final case class RefreshCore(allE: DataFrame, a0Deg: DataFrame,
+    * [[pageRankRefreshState]]: the staged novel-edge delta, the settled
+    * B_0 degree relation, the per-iteration recomputed (node, degree, r)
+    * relations (rec(i-1) covers B_i), and the final ball B_k. Returned
+    * as Left(unionEdgeView) when the one-hop ball is DENSE
+    * ([[RefreshDenseFraction]]) — callers fall back to the full
+    * recompute over that view. */
+  private final case class RefreshCore(delta: DataFrame, a0Deg: DataFrame,
                                        recs: Vector[DataFrame], ball: DataFrame)
 
   private def refreshCore(spark: org.apache.spark.sql.SparkSession,
                           st: PageRankState, newEdges: DataFrame,
-                          srcCol: String, dstCol: String): RefreshCore = {
+                          srcCol: String, dstCol: String): Either[DataFrame, RefreshCore] = {
     val k = st.iterations
     val scale = st.scale
     val base = scale * 3 / 20
-    val delta = stage(newEdges
+    // Point-set probe, zone-map-aligned and stack-safe — see inIds below;
+    // defined up front because the batch settle already needs it.
+    def inIds(c: org.apache.spark.sql.Column, ids: Seq[Long]): org.apache.spark.sql.Column =
+      if (ids.isEmpty) lit(false)
+      else {
+        val ranges = compressRanges(ids, maxRanges = 32)
+        ranges.map { case (lo, hi) => c.between(lo, hi) }.reduce(_ || _) &&
+          c.isInCollection(ids)
+      }
+    // NOVELTY SETTLES DRIVER-SIDE: the batch is by contract tiny, so its
+    // symmetrized pairs collect, and existing duplicates are looked up
+    // via a PRUNED probe of the sorted edge state (incident edges of the
+    // batch endpoints — ball-sized). Round 10 anti-joined the batch
+    // against the FULL edge relation instead, and that SMJ sorted all
+    // 20M stored rows at the 10M-edge lattice — most of the refresh wall
+    // after the other probes were pruned.
+    val batchPairs = newEdges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(explode(array(
@@ -689,72 +760,146 @@ object Graph {
         struct(col("b").as("s"), col("a").as("d")))).as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
       .distinct()
-      .join(st.edges, Seq("s", "d"), "left_anti"))
-    val allE = stage(st.edges.union(delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val existing = st.edges
+      .filter(inIds(col("s"), batchPairs.map(_._1).distinct))
+      .select(col("s"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val novel = batchPairs.filterNot(existing)
+    // the delta persists as a TINY staged relation (the growing-union
+    // edge pattern: the state's edge relation is the sorted base plus
+    // one small staged delta per fold — compactPageRankState re-sorts).
+    val delta = stage(spark.createDataset(novel)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)]).toDF("s", "d"))
+    val allE = st.edges.union(delta)
+    // THE BALL IS DRIVER-MATERIALIZED: the refresh is the small-batch
+    // plan (the operator contract since round 10 — hub-touching batches
+    // whose ball approaches the subgraph should run full pageRank), so
+    // frontier/boundary id sets collect to the driver and re-enter every
+    // probe as a pushed `In` FILTER on the range-sorted state relations.
+    // Round-10's broadcast-join probes scanned the full staged edge and
+    // history relations 4× per iteration and STAGED the frontier each
+    // round — the measured refresh wall (README §incremental upkeep).
+    // A pushed point-set filter reads only the row groups whose zone
+    // maps cover ball ids; the rest of the arithmetic is unchanged, so
+    // refresh ≡ full recompute stays bitwise (GraphSpec).
+    // The pushed probe shape: a bounded DISJUNCTION of compressed id
+    // ranges reaches parquet (Or-trees of Betweens push precisely at any
+    // ball size — a many-value In either overflows the reader's
+    // recursive or-chain past ~1k values or degrades to ONE min/max
+    // span, which a single far-flung ball id widens to the whole key
+    // space: the 10M-lattice batch's wrap neighbor did exactly that),
+    // AND the exact membership filter evaluates post-scan (InSet — hash
+    // set, no recursion).
+    def neighborsOf(ids: Seq[Long]): Seq[Long] =
+      allE.filter(inIds(col("s"), ids)).select(col("d"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // B_0 with NEW degrees: stored degree (0 for brand-new nodes) + batch
     // incidence — settled once, driver-local (≤ 2|batch| rows by
-    // contract, fanned into every iteration below).
-    val dInc = delta.groupBy(col("s").as("node")).agg(count(lit(1)).as("di"))
-    val hits = st.ranks.select(col("node"), col("degree"))
-      .join(broadcast(dInc), Seq("node"))
-    val a0Rows = hits.select(col("node"), (col("degree") + col("di")).as("degree"))
-      .union(dInc.join(hits.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), col("di").as("degree")))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // contract, fanned into every iteration below; `novel` is already
+    // driver-side, so the increment needs no job at all).
+    val dIncRows = novel.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .map { case (n, di) => (n, di) }.sortBy(_._1)
+    val b0Ids = dIncRows.map(_._1)
+    // stored degrees of the batch endpoints come free from the settle
+    // probe: `existing` holds EVERY stored edge out of each endpoint.
+    val storedDeg = existing.toSeq.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val a0Rows = dIncRows.map { case (n, di) =>
+      (n, storedDeg.getOrElse(n, 0L) + di) }
     val a0Deg = spark.createDataset(a0Rows)(
       org.apache.spark.sql.Encoders.product[(Long, Long)]).toDF("node", "degree")
-    var rec = a0Deg.select(col("node"), col("degree"), lit(scale).as("r"))
-    var bPrev = a0Deg.select(col("node").as("n"))
-    var bi = bPrev
-    var recs = Vector.empty[DataFrame]
+    val a0Map = a0Rows.toMap
+    val b0Set = b0Ids.toSet
+    // B_1 = union-graph neighbors of B_0 (⊇ B_0 — every batch endpoint
+    // has a symmetric delta edge back into B_0) — derivable from the
+    // settle probe's data with NO extra job: `existing` holds every
+    // stored edge out of the batch endpoints, `novel` the new ones.
+    var biIds: Seq[Long] =
+      (existing.toSeq.filter(e => b0Set(e._1)).map(_._2) ++ novel.map(_._2))
+        .distinct.sorted
+    // DENSE HANDOFF: parquet footers make the stored-node count a
+    // metadata read, and B_1 is already driver-side.
+    if (biIds.size > st.ranks.count() * RefreshDenseFraction)
+      return Left(allE)
+    // THE ITERATIONS RUN ON THE DRIVER: every in-flight relation is
+    // ball-sized by contract, so each iteration is exactly TWO pruned
+    // parquet probes (the ball's out-edges; the boundary's frozen
+    // history) and in-memory exact integer arithmetic — round 10's
+    // distributed formulation spent its wall on ~40 small
+    // driver-coordinated jobs (scheduling, not IO, after the probes
+    // were pruned). Scala `/` on non-negative longs ≡ SQL `div`, and
+    // long addition commutes, so the splice stays bit-identical to the
+    // distributed full recompute (GraphSpec).
+    // recMap: node -> (current degree, r_{i-1}) over B_{i-1}; r_0 = scale.
+    var recMap: Map[Long, (Long, Long)] =
+      a0Rows.map { case (n, dg) => n -> (dg, scale) }.toMap
+    var bPrevIds = b0Ids
+    var recMaps = Vector.empty[Seq[(Long, Long, Long)]]
     for (i <- 1 to k) {
-      // frontier: B_i = union-graph neighbors of B_{i-1} (⊇ B_{i-1} —
-      // every batch endpoint has a symmetric delta edge back into B_0).
-      bi = stage(allE.join(broadcast(bPrev.withColumnRenamed("n", "s")), Seq("s"))
-        .select(col("d").as("n")).distinct())
-      val into = allE.join(broadcast(bi.withColumnRenamed("n", "d")), Seq("d"))
+      // ONE pruned probe: all out-edges of B_i. By symmetry their
+      // reverses are exactly the edges INTO B_i, their sources are
+      // neighbors(B_i) = B_{i+1}, and their per-node counts are the
+      // union-graph degrees of B_i — one scan serves all three.
+      val ballEdges = allE.filter(inIds(col("s"), biIds))
         .select(col("s"), col("d"))
-      // boundary sources: in-neighbors of B_i outside B_{i-1} read frozen
-      // history (r_{i-1} = rs[i-1], r_0 = scale; degree unchanged —
-      // degree changes only inside B_0 ⊆ B_{i-1}).
-      val needOld = into.select(col("s")).distinct()
-        .join(rec.select(col("node").as("s")), Seq("s"), "left_anti")
-      val oldSrc = st.ranks
-        .select(col("node").as("s"), col("degree"),
-          (if (i == 1) lit(scale) else element_at(col("rs"), i - 1)).as("r"))
-        .join(broadcast(needOld), Seq("s"))
-      val srcRank = rec.select(col("node").as("s"), col("degree"), col("r"))
-        .union(oldSrc)
-      val contrib = into.join(srcRank, Seq("s"))
-        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
-      val cin = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
-      // recompute targets: B_i nodes with their CURRENT degrees (batch
-      // endpoints from the settled local relation, the rest stored).
-      val biDeg = st.ranks.select(col("node"), col("degree"))
-        .join(broadcast(bi.withColumnRenamed("n", "node")
-          .join(a0Deg.select(col("node")), Seq("node"), "left_anti")), Seq("node"))
-        .union(a0Deg)
-      rec = biDeg.join(cin, col("node") === col("d"), "left")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degCount = ballEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nbIds = ballEdges.map(_._2).distinct.sorted.toSeq
+      // boundary sources: in-neighbors of B_i outside B_{i-1} (= recMap's
+      // cover) read frozen history (r_{i-1} = rs[i-1], r_0 = scale;
+      // degree unchanged — degree changes only inside B_0 ⊆ B_{i-1}).
+      val needOldIds = nbIds.filterNot(recMap.contains)
+      val oldRows = st.ranks.filter(inIds(col("node"), needOldIds))
         .select(col("node"), col("degree"),
-          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
-      recs = recs :+ rec
-      bPrev = bi
+          (if (i == 1) lit(scale) else element_at(col("rs"), i - 1)).as("r"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val contrib = new scala.collection.mutable.HashMap[Long, Long]()
+      ballEdges.foreach { case (x, y) =>
+        val (dy, ry) = recMap.getOrElse(y, oldRows(y))
+        contrib.update(x, contrib.getOrElse(x, 0L) + (ry * 17L) / (20L * dy))
+      }
+      val next = biIds.map { x =>
+        (x, a0Map.getOrElse(x, degCount(x)), base + contrib.getOrElse(x, 0L))
+      }
+      recMaps = recMaps :+ next
+      recMap = next.map { case (n, dg, r) => n -> ((dg, r)) }.toMap
+      bPrevIds = biIds
+      biIds = nbIds
     }
-    RefreshCore(allE, a0Deg, recs, bi.withColumnRenamed("n", "node"))
+    val recs = recMaps.map(rows => spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .toDF("node", "degree", "r"))
+    val ball = spark.createDataset(bPrevIds.map(Tuple1(_)))(
+      org.apache.spark.sql.Encoders.product[Tuple1[Long]]).toDF("node")
+    Right(RefreshCore(delta, a0Deg, recs, ball))
   }
 
   def pageRankRefresh(vertices: DataFrame, idCol: String, st: PageRankState,
                       newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val base = st.scale * 3 / 20
-    val c = refreshCore(vertices.sparkSession, st, newEdges, srcCol, dstCol)
-    // splice: recomputed ball ranks over stored finals outside the ball.
-    val merged = c.recs.last.select(col("node"), col("r"))
-      .union(st.ranks
-        .select(col("node"), element_at(col("rs"), st.iterations).as("r"))
-        .join(broadcast(c.ball), Seq("node"), "left_anti"))
-    vertices.select(col(idCol).cast("long").as("__v"))
-      .join(broadcast(merged), col("__v") === col("node"), "left")
-      .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+    refreshCore(vertices.sparkSession, st, newEdges, srcCol, dstCol) match {
+      case Left(unionView) =>
+        // dense ball: the full recompute IS the refresh (bit-identical by
+        // the refresh's own equivalence contract; re-symmetrizing the
+        // already-symmetric view is idempotent).
+        pageRank(vertices, idCol, unionView, "s", "d", st.iterations, st.scale)
+      case Right(c) =>
+        // splice: recomputed ball ranks over stored finals outside the ball.
+        // The BALL broadcasts (small by contract); `merged` is
+        // CORPUS-sized (every stored node rides through), so the final
+        // 1:1 node attach must NOT broadcast it — round 10 did, and at
+        // the 10M-edge lattice the 5M-row broadcast build was most of
+        // the refresh wall (the planner's shuffle join is the right
+        // plan for corpus × corpus on one key).
+        val merged = c.recs.last.select(col("node"), col("r"))
+          .union(st.ranks
+            .select(col("node"), element_at(col("rs"), st.iterations).as("r"))
+            .join(broadcast(c.ball), Seq("node"), "left_anti"))
+        vertices.select(col(idCol).cast("long").as("__v"))
+          .join(merged, col("__v") === col("node"), "left")
+          .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+    }
   }
 
   /** [[pageRankRefresh]]'s FOLDING twin: fold the batch in and return the
@@ -769,24 +914,49 @@ object Graph {
   def pageRankRefreshState(st: PageRankState, newEdges: DataFrame,
                            srcCol: String, dstCol: String): PageRankState = {
     val spark = st.ranks.sparkSession
-    val c = refreshCore(spark, st, newEdges, srcCol, dstCol)
-    // ball rows rebuilt: rec(k-1) covers ALL of B_k with new degrees.
-    var ballRows = c.recs.last.select(col("node"), col("degree"))
-    for (i <- 1 to st.iterations)
-      ballRows = ballRows.join(
-        c.recs(i - 1).select(col("node"), col("r").as(s"__r$i")),
-        Seq("node"), "left")
-    val ballStored = st.ranks.select(col("node"), col("rs").as("__olds"))
-      .join(broadcast(c.ball), Seq("node"))
-    val ballRanks = ballRows
-      .join(ballStored, Seq("node"), "left")
-      .select(col("node"), col("degree"),
-        array((1 to st.iterations).map(i =>
-          coalesce(col(s"__r$i"), element_at(col("__olds"), i))): _*).as("rs"))
-    val untouched = st.ranks.join(broadcast(c.ball), Seq("node"), "left_anti")
-    PageRankState(c.allE,
-      stage(untouched.unionByName(ballRanks)), st.iterations, st.scale)
+    refreshCore(spark, st, newEdges, srcCol, dstCol) match {
+      case Left(unionView) =>
+        // dense ball: fold = rebuild the state whole over the union (the
+        // splice would rewrite everything anyway, with more bookkeeping).
+        pageRankState(unionView, "s", "d", st.iterations, st.scale)
+      case Right(c) =>
+        // ball rows rebuilt: rec(k-1) covers ALL of B_k with new degrees.
+        var ballRows = c.recs.last.select(col("node"), col("degree"))
+        for (i <- 1 to st.iterations)
+          ballRows = ballRows.join(
+            c.recs(i - 1).select(col("node"), col("r").as(s"__r$i")),
+            Seq("node"), "left")
+        val ballStored = st.ranks.select(col("node"), col("rs").as("__olds"))
+          .join(broadcast(c.ball), Seq("node"))
+        val ballRanks = ballRows
+          .join(ballStored, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            array((1 to st.iterations).map(i =>
+              coalesce(col(s"__r$i"), element_at(col("__olds"), i))): _*).as("rs"))
+        val untouched = st.ranks.join(broadcast(c.ball), Seq("node"), "left_anti")
+        // GROWING-UNION edge state: the sorted base plus one tiny staged
+        // delta per fold (probes prune the base; deltas are batch-sized
+        // scans) — the same append discipline as incrementalTriangles'
+        // caller-kept edges. A full re-sort per fold re-shuffled the
+        // whole edge relation for nothing; [[compactPageRankState]] is
+        // the periodic OPTIMIZE that re-sorts the accumulated unions.
+        // The ranks history IS rewritten (sorted) each fold — ball rows
+        // change in place, which an immutable staged layout can only
+        // express as a rewrite.
+        PageRankState(st.edges.union(c.delta),
+          stageSorted(untouched.unionByName(ballRanks), "node"),
+          st.iterations, st.scale)
+    }
   }
+
+  /** Re-sort a [[PageRankState]] whose edge relation has accumulated
+    * per-fold delta unions ([[pageRankRefreshState]]) back into one
+    * range-sorted staged relation per side — the periodic OPTIMIZE of
+    * the chaining fold (run it every ~rotation, like
+    * [[graft.streaming.Gate.compactGrown]]). */
+  def compactPageRankState(st: PageRankState): PageRankState =
+    PageRankState(stageSorted(st.edges, "s"), stageSorted(st.ranks, "node"),
+      st.iterations, st.scale)
 
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
     * 64-bit hashes under two DIFFERENTLY-KEYED hashings). One small

@@ -294,7 +294,7 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("pageRankRefresh: empty batch returns stored ranks; corpus attaches by broadcast") {
+  test("pageRankRefresh: empty batch returns stored ranks; no broadcast HINT on the corpus attach") {
     import spark.implicits._
     val vertices = (0L to 50L).toDF("doc_id")
     val prevRaw = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
@@ -304,8 +304,17 @@ class GraphSpec extends SparkSpec {
     val full = Graph.pageRank(vertices, "doc_id", prevRaw, "a", "b")
       .as[(Long, Long)].collect().toSet
     assert(refreshed.as[(Long, Long)].collect().toSet == full)
-    val plan = refreshed.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin [__v#"), plan.take(1500))
+    // round 11: the spliced `merged` relation is CORPUS-sized (every
+    // stored node rides through it), so the final node attach carries no
+    // broadcast hint — forcing one built a 5M-row broadcast at the
+    // 10M-edge lattice and was most of the refresh wall. The planner may
+    // still pick a broadcast at this toy scale from stats; the pinned
+    // property is that the logical plan carries no ResolvedHint on it.
+    val hinted = refreshed.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.output.exists(_.name == "r") => h
+    }
+    assert(hinted.isEmpty, s"corpus-sized merged must not be hint-broadcast: $hinted")
   }
 
   test("personalizedPageRank matches the exact seeded integer reference") {

@@ -24,6 +24,10 @@ object SparkSpec {
       // events.ts is parquet TIMESTAMP(NANOS) — see Tables.events (loader
       // is pure; entry points own this conf).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // point-set probes on range-sorted state (Graph.stageSorted) need
+      // the In filter pushed as points, not a min/max range — scattered
+      // ball ids make the range fallback prune nothing.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
