@@ -126,6 +126,96 @@ object TypedAggregators {
     override def outputEncoder: Encoder[Map[Long, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
   }
+
+  final case class KllBuf(levels: Seq[Seq[Double]], parity: Seq[Boolean], n: Long)
+  final case class KllItem(v: Double, w: Long)
+  final case class KllSummary(items: Seq[KllItem], n: Long) {
+    /** Weighted percentile_disc over the summary: the smallest value
+      * whose cumulative weight reaches ceil(n·q). */
+    def quantile(q: Double): Double = {
+      require(q > 0.0 && q <= 1.0 && items.nonEmpty, s"q=$q items=${items.size}")
+      val rank = math.ceil(n * q).toLong
+      var cum = 0L
+      items.collectFirst { case KllItem(v, w) if { cum += w; cum >= rank } => v }.get
+    }
+  }
+
+  /** Bounded-memory quantile SKETCH over an UNBOUNDED value domain — the
+    * escape hatch [[BoundedHistogram]]'s contract points at when the
+    * domain can't be bounded (continuous scores, raw measurements): a
+    * KLL-style compactor hierarchy (Karnin–Lang–Liberty 2016) in its
+    * DETERMINISTIC alternating-parity form (Manku et al.'s classical
+    * collapse rule): level i holds items of weight 2^i, ≤ `k` each; a
+    * full level sorts, keeps every second item (the kept offset
+    * alternates per compaction instead of a coin flip), and promotes
+    * them. Each compaction of level i displaces any fixed rank by at
+    * most 2^i, so after any merge tree over n items the rank error is
+    * bounded by Σ (compactions at level i)·2^i ≤ n·(levels)/k with
+    * levels ≈ log2(n/k) — the O(log(n/k)/k)·n deterministic bound
+    * (randomized KLL trades this for √log/k in expectation; the
+    * deterministic form keeps replay/debugging sane and the spec pins
+    * the bound empirically at the shipped parameters).
+    *
+    * Like [[FrequentItems]], the summary's exact contents are
+    * partitioning-dependent — never oracle/hash-check them; the spec
+    * pins rank-error and memory bounds only. Exactness-critical paths
+    * keep using the exact structures ([[BoundedHistogram]],
+    * Quantiles.groupPercentilesDisc). */
+  final class QuantileSketch(k: Int) extends Aggregator[Double, KllBuf, KllSummary] {
+    require(k >= 8, s"k=$k")
+    override def zero: KllBuf = KllBuf(Seq(Vector.empty), Seq(false), 0L)
+
+    private def compacted(levels0: Seq[Seq[Double]], parity0: Seq[Boolean]): (Seq[Seq[Double]], Seq[Boolean]) = {
+      var levels = levels0.toVector
+      var parity = parity0.toVector
+      var i = 0
+      while (i < levels.size) {
+        if (levels(i).size >= k) {
+          if (i + 1 >= levels.size) { levels = levels :+ Vector.empty; parity = parity :+ false }
+          val sorted = levels(i).sorted
+          // compact an EVEN count so total weight is conserved exactly
+          // (Σ item-weights ≡ n, spec-pinned); an odd straggler stays.
+          val (leftover, toCompact) =
+            if (sorted.size % 2 == 0) (Vector.empty[Double], sorted)
+            else (Vector(sorted.head), sorted.tail)
+          val offset = if (parity(i)) 1 else 0
+          val kept = toCompact.zipWithIndex.collect {
+            case (v, j) if j % 2 == offset => v }
+          levels = levels
+            .updated(i, leftover)
+            .updated(i + 1, levels(i + 1) ++ kept)
+          parity = parity.updated(i, !parity(i))
+        }
+        i += 1
+      }
+      (levels, parity)
+    }
+
+    override def reduce(b: KllBuf, v: Double): KllBuf = {
+      val withV = b.levels.updated(0, b.levels.head :+ v)
+      val (ls, ps) = compacted(withV, b.parity)
+      KllBuf(ls, ps, b.n + 1)
+    }
+    override def merge(x: KllBuf, y: KllBuf): KllBuf = {
+      val depth = math.max(x.levels.size, y.levels.size)
+      val ls0 = (0 until depth).map { i =>
+        x.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
+          y.levels.applyOrElse(i, (_: Int) => Seq.empty[Double])
+      }
+      val ps0 = (0 until depth).map(i =>
+        x.parity.applyOrElse(i, (_: Int) => false))
+      val (ls, ps) = compacted(ls0, ps0)
+      KllBuf(ls, ps, x.n + y.n)
+    }
+    override def finish(b: KllBuf): KllSummary =
+      KllSummary(
+        b.levels.zipWithIndex
+          .flatMap { case (vs, i) => vs.map(v => KllItem(v, 1L << i)) }
+          .sortBy(it => (it.v, it.w)),
+        b.n)
+    override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    override def outputEncoder: Encoder[KllSummary] = Encoders.product[KllSummary]
+  }
 }
 
 final case class MeanStdResult(mean: Double, std: Double)

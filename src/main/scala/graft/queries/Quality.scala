@@ -324,6 +324,54 @@ object Quality {
              CAST(COALESCE(m3.dup3_chars, 0) AS DOUBLE) / t.total_chars AS frac_dup3
       FROM t LEFT JOIN m2 ON t.doc_id = m2.doc_id
              LEFT JOIN m3 ON t.doc_id = m3.doc_id
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id""")),
+
+    // -------------------------- incremental quantile threshold (gate twin)
+    // graft.streaming.QuantileIngest's batch-expressible core, oracle-
+    // pinned like the other *_incremental gate queries: the corpus
+    // (doc_id % 10 <> 0) builds an EXACT mergeable length histogram
+    // (TypedAggregators.BoundedHistogram), the batch (doc_id % 10 = 0)
+    // is gated on that PRE-batch percentile_disc threshold and then
+    // FOLDS in — the post-fold threshold must be IDENTICAL to a full
+    // recompute over corpus ∪ batch, which is exactly what the oracle
+    // restates (the merged-histogram read-off vs DuckDB's cumulative
+    // count over everything). Integer-exact end to end: values are
+    // n_chars, the rank is ceil(n·p) with p = 0.5 (exact in both
+    // engines' doubles), thresholds are actual data values.
+    Q("x_quantile_incremental", (s, d) => {
+      import graft.streaming.QuantileIngest
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val st = QuantileIngest.buildState(corpus, "score", p = 0.5)
+      val thrPre = st.threshold.get
+      val (_, next) = QuantileIngest.foldBatch(batch, st, "score", batchId = 0L)
+      batch
+        .withColumn("kept",
+          expr(s"CAST(CASE WHEN score >= ${thrPre}L THEN 1 ELSE 0 END AS BIGINT)"))
+        .withColumn("thr_pre", lit(thrPre))
+        .withColumn("thr_post", lit(next.threshold.get))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents),
+      corp AS (SELECT score FROM sc WHERE doc_id % 10 <> 0),
+      tpre AS (SELECT MIN(score) AS t FROM (
+        SELECT score,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               (SELECT COUNT(*) FROM corp) AS n
+        FROM corp GROUP BY score)
+        WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)),
+      tpost AS (SELECT MIN(score) AS t FROM (
+        SELECT score,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               (SELECT COUNT(*) FROM sc) AS n
+        FROM sc GROUP BY score)
+        WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT))
+      SELECT doc_id, score,
+             CAST(CASE WHEN score >= (SELECT t FROM tpre) THEN 1 ELSE 0 END AS BIGINT) AS kept,
+             (SELECT t FROM tpre) AS thr_pre,
+             (SELECT t FROM tpost) AS thr_post
+      FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id"""))
   )
 }

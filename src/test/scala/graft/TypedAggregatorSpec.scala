@@ -58,6 +58,48 @@ class TypedAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("QuantileSketch: rank-error and memory bounds hold under any partitioning; weight ≡ n") {
+    import spark.implicits._
+    // a hostile-ish distribution for a sketch: half clustered tightly,
+    // half spread over a long tail — and shuffled so insertion order is
+    // not sorted.
+    val rnd = new scala.util.Random(42)
+    val values: Seq[Double] =
+      rnd.shuffle(Seq.tabulate(60000)(i =>
+        if (i % 2 == 0) 1000.0 + (i % 97) * 0.25 else i.toDouble * 7.3))
+    val n = values.size
+    val sorted = values.sorted
+    def exactRank(v: Double): Long = sorted.count(_ <= v).toLong
+    val k = 200
+    val levels = (math.log(n.toDouble / k) / math.log(2.0)).ceil.toInt + 2
+    // the deterministic compactor bound: each level-i compaction shifts
+    // any rank by ≤ 2^i; ≤ n/(k·2^i) compactions per level.
+    val bound = (n.toLong * levels) / k
+    val agg = udaf(new TypedAggregators.QuantileSketch(k),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    for (parts <- Seq(1, 4, 32)) {
+      val row = values.toDF("v").repartition(parts)
+        .agg(agg(col("v")).as("s")).select(col("s.items"), col("s.n")).head()
+      val items = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(row.getLong(1) == n.toLong)
+      // weight conservation: Σ weights ≡ n exactly (even-compaction rule).
+      assert(items.map(_._2).sum == n.toLong, s"parts=$parts")
+      // memory: ≤ k live items per level (+1 cascade slack per level).
+      assert(items.size <= k * (levels + 2),
+        s"parts=$parts: ${items.size} summary items")
+      // rank error at every decile.
+      val summary = TypedAggregators.KllSummary(
+        items.map { case (v, w) => TypedAggregators.KllItem(v, w) }, n.toLong)
+      for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val est = summary.quantile(q)
+        val err = math.abs(exactRank(est) - math.ceil(n * q).toLong)
+        assert(err <= bound,
+          s"parts=$parts q=$q: rank error $err > bound $bound (est=$est)")
+      }
+    }
+  }
+
   test("resize performs real nearest-neighbor resampling; undecodable passes through") {
     import spark.implicits._
     // 4×4 image of four 2×2 solid quadrants — nearest-neighbor to 2×2
