@@ -207,6 +207,46 @@ object Gate {
   def readGrown(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(root)
 
+  /** The fold lineage of a grown directory: the distinct fold ids the
+    * manifest records, ascending — the valid arguments to
+    * [[readGrownAsOf]]. One log read, no directory listing. Empty when
+    * the root has no manifest yet (nothing has folded; the only
+    * readable snapshot is "now" via [[readGrown]]). */
+  def grownFolds(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Seq[Long] =
+    if (!manifestExists(spark, root)) Seq.empty
+    else sinkLog(spark, root).allFiles().toSeq
+      .flatMap(f => foldIdOf(f.path)).distinct.sorted
+
+  /** TIME-TRAVEL read: the grown directory AS OF fold `asOf` — exactly
+    * the snapshot the live views saw once fold `asOf` had folded.
+    * Bootstrap-logged root files (the initial staged relation) belong to
+    * every snapshot; `batch_<id>` folds with id > `asOf` are excluded
+    * (`asOf = -1` reads the pre-fold seed alone). Plans from the
+    * manifest ALONE — one log read collects the surviving file paths,
+    * zero directory listing — which is what makes historical snapshots
+    * readable at all: the data files of superseded snapshots are still
+    * on disk (folds only ever ADD subdirectories) and the log says
+    * which of them each snapshot comprised. This is the snapshot-read
+    * half of the transactional-format mapping the growing gates
+    * document (an OPTIMIZE via [[compactGrown]] starts a fresh root and
+    * therefore truncates time travel, exactly as VACUUM does).
+    *
+    * Requires a manifest: time travel is a log feature, and a freshly
+    * staged root has only "now". Folds that predate the manifest are
+    * bootstrap-logged WITH their `batch_<id>` paths, so their ids
+    * time-travel correctly too. */
+  def readGrownAsOf(spark: org.apache.spark.sql.SparkSession, root: String,
+                    asOf: Long): DataFrame = {
+    require(manifestExists(spark, root),
+      s"readGrownAsOf: no manifest at $root — time travel reads plan from " +
+        "the sink log, which the first Gate.growDir fold bootstraps")
+    val files = sinkLog(spark, root).allFiles().toSeq
+      .filter(f => foldIdOf(f.path).forall(_ <= asOf))
+    if (files.isEmpty) readGrown(spark, root).limit(0)
+    else spark.read.parquet(files.map(_.path): _*)
+  }
+
   /** DELETE orphaned `batch_<id>` subdirectories with id ABOVE the
     * persisted replay fence — the restart-repair step every growing
     * gate's `restore*` must run before building its live views. A crash

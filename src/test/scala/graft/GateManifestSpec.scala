@@ -108,6 +108,43 @@ class GateManifestSpec extends SparkSpec {
     assert(rows(root).contains((60L, "b6")))
   }
 
+  test("time travel: readGrownAsOf reconstructs every historical snapshot from the log") {
+    val root = freshRoot()
+    (0L to 3L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    val seed = Set((0L, "seed0"), (1L, "seed1"))
+    assert(Gate.grownFolds(spark, root) == (0L to 3L))
+    // every fold boundary is a readable snapshot; -1 = the pre-fold seed.
+    assert(Gate.readGrownAsOf(spark, root, -1L)
+      .as[(Long, String)].collect().toSet == seed)
+    (0L to 3L).foreach { b =>
+      val expected = seed ++ (0L to b).map(i => (10 * i, s"b$i"))
+      assert(Gate.readGrownAsOf(spark, root, b)
+        .as[(Long, String)].collect().toSet == expected,
+        s"snapshot as of fold $b")
+    }
+    // an as-of beyond the newest fold is just "now".
+    assert(Gate.readGrownAsOf(spark, root, 99L)
+      .as[(Long, String)].collect().toSet == rows(root))
+  }
+
+  test("time travel requires a manifest; survives the pruneGrown log rebuild") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      Gate.readGrownAsOf(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("manifest"))
+    assert(Gate.grownFolds(spark, root).isEmpty)
+
+    (0L to 2L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    // crash repair rebuilds the log whole — the re-seeded entries keep
+    // their batch_<id> paths, so history below the fence stays readable.
+    assert(Gate.pruneGrown(spark, root, maxBatch = 1L) == Seq(2L))
+    assert(Gate.grownFolds(spark, root) == (0L to 1L))
+    assert(Gate.readGrownAsOf(spark, root, 0L)
+      .as[(Long, String)].collect().toSet ==
+      Set((0L, "seed0"), (1L, "seed1"), (0L, "b0")))
+  }
+
   test("fence below every fold re-seeds the log to the bare root; replay from 0 works") {
     val root = freshRoot()
     (0L to 1L).foreach(b => Gate.growDir(batchDf(b), root, b))
