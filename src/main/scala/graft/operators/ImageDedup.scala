@@ -144,4 +144,104 @@ object ImageDedup {
                    tileW: Int = 18, tileH: Int = 16, hop: Int = 8): DataFrame =
     TextDedup.containmentPairs(dhashShingles(ds, tileW, tileH, hop).toDF(),
       threshold)
+
+  /** Rotate a decoded pixel grid 90° clockwise (the old left column
+    * becomes the new top row; dims swap). */
+  private def rot90(p: Media.Pixels): Media.Pixels = {
+    val out = new Array[Int](p.width * p.height)
+    val w2 = p.height // new width = old height
+    var ny = 0
+    while (ny < p.width) { // new height = old width
+      var nx = 0
+      while (nx < w2) {
+        out(ny * w2 + nx) = p.argb((p.height - 1 - nx) * p.width + ny)
+        nx += 1
+      }
+      ny += 1
+    }
+    Media.Pixels(w2, p.width, out)
+  }
+
+  /** Mirror a decoded pixel grid horizontally (x flips, dims keep). */
+  private def mirror(p: Media.Pixels): Media.Pixels = {
+    val out = new Array[Int](p.width * p.height)
+    var y = 0
+    while (y < p.height) {
+      var x = 0
+      while (x < p.width) {
+        out(y * p.width + (p.width - 1 - x)) = p.argb(y * p.width + x)
+        x += 1
+      }
+      y += 1
+    }
+    Media.Pixels(p.width, p.height, out)
+  }
+
+  /** The dHashes of all 8 DIHEDRAL (D4) transforms of an image — the 4
+    * rotations and their mirrors, hashed with the same exact integer
+    * [[Media.dhashWindow]] arithmetic over the transformed pixel grids.
+    * Because a lossless rotation/flip of the PAYLOAD decodes to exactly
+    * the transformed pixel grid, the 8-hash multiset is a D4-orbit
+    * INVARIANT: every rotated/flipped copy of an image produces the
+    * identical multiset. None when the image is undecodable or either
+    * side is under 9 px (some orientation could not fill the 9×8 grid). */
+  def d4Hashes(b: Array[Byte]): Option[Seq[Long]] =
+    Media.decodePixels(b).flatMap { p =>
+      if (p.width < 9 || p.height < 9) None
+      else {
+        val rots = Iterator.iterate(p)(rot90).take(4).toSeq
+        Some((rots ++ rots.map(mirror)).map(q =>
+          Media.dhashWindow(q, 0, 0, q.width, q.height)))
+      }
+    }
+
+  /** ROTATION/FLIP-ROBUST canonical dHash: the UNSIGNED-minimum of the 8
+    * dihedral hashes ([[d4Hashes]]). Rotated/flipped copies share the
+    * hash orbit, hence the exact same canonical hash — the invariance the
+    * whole-image dHash lacks (a 90° rotation re-frames the gradient grid
+    * and scrambles every bit; `ImageDedupSpec` proves the loss).
+    *
+    * Contract (the canonical-hash trade, stated): near-duplicate
+    * tolerance on TOP of a rotation holds when the canonicalization is
+    * stable — i.e. the perturbation does not change WHICH of the 8
+    * hashes is the minimum (the argmin switches only when a flipped bit
+    * changes the min hash past another orbit member, so high-order-bit
+    * damage to the winning orientation is the failure mode). When both
+    * heavy perturbation and rotation must be survived, use [[d4Pairs]] —
+    * the exploded-orbit variant that compares all orientations and
+    * cannot lose to an argmin switch, at 8× the index size. */
+  def dhashCanonical(b: Array[Byte]): Option[Long] =
+    d4Hashes(b).map(_.minBy(_ ^ Long.MinValue))
+
+  /** (id, h = canonical D4 dHash) for every decodable ≥9×9 record. */
+  def canonicalRelation(ds: Dataset[MediaRecord]): DataFrame =
+    ds.mapPartitions(_.flatMap { r =>
+      dhashCanonical(r.payload).map(h => (r.id, h))
+    })(Encoders.product[(Long, Long)]).toDF("id", "h")
+
+  /** Rotation/flip-robust near-duplicate pairs: canonical hashes through
+    * the same staged, pigeonhole-lossless banded join as [[dhashPairs]]. */
+  def rotationRobustPairs(ds: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    dhashPairs(canonicalRelation(ds), maxHamming)
+
+  /** The exploded-orbit variant for rotation PLUS heavy perturbation:
+    * every record contributes its full 8-hash orbit to the banded join
+    * (distinct per id), and a pair's score is the MINIMUM Hamming over
+    * all orientation combinations — immune to the canonical argmin
+    * switch, at 8× the index size (the usual robustness/cost trade; same
+    * shape as the audio/image shingle sets). Banding stays lossless per
+    * orientation pair, so the minimum is exact. */
+  def d4Pairs(ds: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
+    val hashes = ds.mapPartitions(_.flatMap { r =>
+      d4Hashes(r.payload).toSeq.flatMap(_.distinct.map(h => (r.id, h)))
+    })(Encoders.product[(Long, Long)]).toDF("id", "h")
+    val banded = bandedKeys(stage(hashes), maxHamming)
+    banded.as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        expr("bit_count(a.h ^ b.h)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("da"), col("db"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
 }

@@ -676,6 +676,109 @@ object Multimodal {
       JOIN sizes sa ON da = sa.doc_id
       JOIN sizes sb ON db = sb.doc_id
       WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
-      ORDER BY da, db"""))
+      ORDER BY da, db""")),
+
+    // ---------------- ROTATION/FLIP-ROBUST image dedup (canonical D4 dHash)
+    // Whole-image dHash (x_dedup_image) survives resize/luma shift and
+    // the tiled shingles (x_dedup_image_crop) survive crops, but a 90°
+    // rotation or mirror re-frames the gradient grid and scrambles every
+    // bit of both (ImageDedupSpec proves the loss). Canonicalize instead:
+    // hash all 8 dihedral transforms of the decoded pixels
+    // (ImageDedup.d4Hashes — the orbit is a D4 invariant, so every
+    // lossless rotated/flipped copy shares it) and band on the
+    // unsigned-minimum hash. Groups of 4 on 16×16 gray PNGs of 2×2
+    // md5-derived cells: v1 = exact rot90 of v0 (canonical hamming 0 by
+    // construction), v2 = mirror with one bottom-row cell nudged +10
+    // (low-order-bit damage — the argmin-stability contract the operator
+    // documents), v3 = fresh content. The oracle recomputes all 8
+    // transform bitstrings per doc from the closed-form pixels (source
+    // coordinates under each inverse transform), takes MIN as canonical,
+    // and checks the FULL quadratic ground truth — banding again proven
+    // lossless.
+    Q("x_dedup_image_rot", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 4
+          val v = (id % 4).toInt
+          def cell(tag: String, cx: Int, cy: Int): Int = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.digest(s"$tag:$base:$cx:$cy".getBytes("US-ASCII"))(0) & 0xff
+          }
+          MediaRecord(id, "png", Media.encodePng(16, 16, (x, y) => {
+            val (pcx, pcy) = (x / 2, y / 2)
+            val g = v match {
+              case 0 => cell("i", pcx, pcy)
+              case 1 => cell("i", pcy, 7 - pcx) // exact 90° rotation of v0
+              case 2 => // mirror of v0 + one bottom-row cell nudged
+                val g0 = cell("i", 7 - pcx, pcy)
+                if (7 - pcx == 5 && pcy == 7) math.min(g0 + 10, 255) else g0
+              case _ => cell("z", pcx, pcy)
+            }
+            (g << 16) | (g << 8) | g
+          }))
+        }
+      graft.operators.ImageDedup.rotationRobustPairs(recs, maxHamming = 3)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v FROM documents),
+      ts AS (SELECT doc_id, base, v, unnest(range(0, 8)) AS t FROM d),
+      xs AS (SELECT doc_id, base, v, t, unnest(range(0, 16)) AS x FROM ts),
+      px AS (SELECT doc_id, base, v, t, x, unnest(range(0, 16)) AS y FROM xs),
+      -- payload-pixel source coordinate of transform t's pixel (x, y)
+      sc AS (SELECT doc_id, base, v, t, x, y,
+               CASE t WHEN 0 THEN x WHEN 1 THEN y WHEN 2 THEN 15 - x
+                      WHEN 3 THEN 15 - y WHEN 4 THEN 15 - x WHEN 5 THEN y
+                      WHEN 6 THEN x ELSE 15 - y END AS sx,
+               CASE t WHEN 0 THEN y WHEN 1 THEN 15 - x WHEN 2 THEN 15 - y
+                      WHEN 3 THEN x WHEN 4 THEN y WHEN 5 THEN x
+                      WHEN 6 THEN 15 - y ELSE 15 - x END AS sy
+             FROM px),
+      -- content cell the payload references at (sx, sy), per variant
+      cc AS (SELECT doc_id, base, v, t, x, y,
+               CASE v WHEN 1 THEN sy // 2 WHEN 2 THEN 7 - sx // 2
+                      ELSE sx // 2 END AS cx,
+               CASE v WHEN 1 THEN 7 - sx // 2 ELSE sy // 2 END AS cy
+             FROM sc),
+      lum AS (SELECT doc_id, v, t, x, y, 10000 * (
+               CASE WHEN v = 2 AND cx = 5 AND cy = 7
+                 THEN LEAST(
+                   (strpos('0123456789abcdef', substr(md5('i:' ||
+                      CAST(base AS VARCHAR) || ':' || CAST(cx AS VARCHAR) ||
+                      ':' || CAST(cy AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5('i:' ||
+                      CAST(base AS VARCHAR) || ':' || CAST(cx AS VARCHAR) ||
+                      ':' || CAST(cy AS VARCHAR)), 2, 1)) - 1) + 10, 255)
+                 ELSE
+                   (strpos('0123456789abcdef', substr(md5(
+                      CASE WHEN v = 3 THEN 'z:' ELSE 'i:' END ||
+                      CAST(base AS VARCHAR) || ':' || CAST(cx AS VARCHAR) ||
+                      ':' || CAST(cy AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(
+                      CASE WHEN v = 3 THEN 'z:' ELSE 'i:' END ||
+                      CAST(base AS VARCHAR) || ':' || CAST(cx AS VARCHAR) ||
+                      ':' || CAST(cy AS VARCHAR)), 2, 1)) - 1)
+               END) AS luma
+             FROM cc),
+      cells AS (
+        SELECT doc_id, t, (9*(x+1)-1) // 16 AS gx, y // 2 AS gy,
+               CAST(SUM(luma) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cell
+        FROM lum GROUP BY doc_id, t, (9*(x+1)-1) // 16, y // 2),
+      bits AS (
+        SELECT a.doc_id, a.t, a.gy * 8 + a.gx AS pos,
+               CASE WHEN a.cell < b.cell THEN '1' ELSE '0' END AS bit
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.t = b.t
+         AND b.gx = a.gx + 1 AND b.gy = a.gy
+        WHERE a.gx < 8),
+      hs AS (SELECT doc_id, t, string_agg(bit, '' ORDER BY pos) AS bs
+             FROM bits GROUP BY doc_id, t),
+      canon AS (SELECT doc_id, MIN(bs) AS bs FROM hs GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_filter(range(1, 65),
+                 i -> substr(a.bs, i, 1) != substr(b.bs, i, 1))) AS BIGINT) AS hamming
+        FROM canon a JOIN canon b ON a.doc_id < b.doc_id)
+      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db"""))
   )
 }

@@ -128,4 +128,76 @@ class ImageDedupSpec extends SparkSpec {
     assert(sets(0L).subsetOf(sets(2L)) && sets(2L).size == 6,
       "pad must contain every original tile")
   }
+
+  // ---- rotation/flip robustness (x_dedup_image_rot's construction):
+  // 32×32 gray squares of 4×4-px coarse-random blocks; `map` re-frames
+  // the payload's pixel lookup so rotated/mirrored COPIES are encoded as
+  // their own lossless PNGs (what a republished rotated image is).
+  private def sqImage(base: Long, map: (Int, Int) => (Int, Int) = (x, y) => (x, y),
+                      perturb: Option[(Int, Int)] = None): Array[Byte] =
+    Media.encodePng(32, 32, (x, y) => {
+      val (sx, sy) = map(x, y)
+      val (bx, by) = (sx / 4, sy / 4)
+      val v0 = scala.util.hashing.MurmurHash3
+        .productHash((base, bx, by)).abs % 256
+      val v = if (perturb.contains((bx, by))) (v0 + 128) % 256 else v0
+      (v << 16) | (v << 8) | v
+    })
+
+  test("d4Hashes is a D4-orbit invariant; whole-image dHash provably loses rotations") {
+    val orig = sqImage(7L)
+    val rot = sqImage(7L, (x, y) => (y, 31 - x)) // payload rotated 90°
+    val mir = sqImage(7L, (x, y) => (31 - x, y))
+    // the rotation scrambles the whole-image hash far past any budget...
+    val d = java.lang.Long.bitCount(Media.dhash64(orig).get ^ Media.dhash64(rot).get)
+    assert(d > 7, s"rotation moved the whole-image dHash only $d bits")
+    // ...but the 8-hash orbit (hence the canonical min) is identical.
+    assert(ImageDedup.d4Hashes(rot).get.toSet == ImageDedup.d4Hashes(orig).get.toSet)
+    assert(ImageDedup.d4Hashes(mir).get.toSet == ImageDedup.d4Hashes(orig).get.toSet)
+    assert(ImageDedup.dhashCanonical(rot) == ImageDedup.dhashCanonical(orig))
+  }
+
+  test("rotationRobustPairs: rotated/flipped republications caught at Hamming 0, zero cross-noise") {
+    val recs = spark.createDataset(for {
+      base <- 0L until 12L
+      (mapped, v) <- Seq[((Int, Int) => (Int, Int), Long)](
+        ((x, y) => (x, y), 0L), ((x, y) => (y, 31 - x), 1L),
+        ((x, y) => (31 - x, y), 2L), ((x, y) => (31 - x, 31 - y), 3L))
+    } yield MediaRecord(base * 4 + v, "png", sqImage(base, mapped)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = ImageDedup.rotationRobustPairs(recs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      b <- 0L until 12L; i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (b * 4 + i, b * 4 + j, 0L)).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("d4Pairs: rotation PLUS perturbation caught at the exact orbit-minimum Hamming") {
+    // copy = rotated AND one block re-valued — the case the canonical
+    // hash only catches while its argmin stays put; the exploded orbit
+    // compares every orientation combination. Whether a given block's
+    // shift flips a gradient comparison depends on the neighboring cell
+    // values, so the fixture SEARCHES for a block whose perturbation
+    // lands in 1..7 flipped bits (deterministic: fixed seed, first hit).
+    def orbitMin(ia: Array[Byte], ib: Array[Byte]): Long = (for {
+      ha <- ImageDedup.d4Hashes(ia).get; hb <- ImageDedup.d4Hashes(ib).get
+    } yield java.lang.Long.bitCount(ha ^ hb).toLong).min
+    val a = sqImage(3L)
+    val rotated = (for {
+      bx <- 0 until 8; by <- 0 until 8
+      img = sqImage(3L, (x, y) => (y, 31 - x), perturb = Some((bx, by)))
+      m = orbitMin(a, img) if m > 0 && m <= 7
+    } yield img).headOption.getOrElse(
+      fail("no single-block perturbation lands in the 1..7 bit range"))
+    val b = rotated
+    val expected = orbitMin(a, b)
+    val recs = spark.createDataset(Seq(
+      MediaRecord(1L, "png", a), MediaRecord(2L, "png", b),
+      MediaRecord(3L, "png", sqImage(99L))))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = ImageDedup.d4Pairs(recs, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, expected)), s"got=$got want min=$expected")
+  }
 }

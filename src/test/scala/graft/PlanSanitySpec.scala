@@ -27,8 +27,9 @@ class PlanSanitySpec extends SparkSpec {
       "x_tfidf_topk", "x_bm25_terms",
       // ImageDedup stages the (id, hash) relation — it feeds both sides
       // of the banded self-join, so the visible plan starts there
-      // (x_dedup_audio reuses the same generic pair machinery).
-      "x_dedup_image", "x_dedup_audio",
+      // (x_dedup_audio reuses the same generic pair machinery;
+      // x_dedup_image_rot is the same join over canonical D4 hashes).
+      "x_dedup_image", "x_dedup_audio", "x_dedup_image_rot",
       // Ann.lshSelfPairs stages the signature relation for the same
       // one-relation-feeds-both-sides reason.
       "x_dedup_embedding_lsh",
