@@ -216,6 +216,73 @@ object TypedAggregators {
     override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
     override def outputEncoder: Encoder[KllSummary] = Encoders.product[KllSummary]
   }
+
+  /** The md5-derived 60-bit hash every HLL register computation keys on:
+    * the first 15 lowercase-hex characters of md5(UTF-8 bytes), parsed
+    * base 16 — chosen over a faster hash because BOTH engines can state
+    * it exactly (DuckDB `md5` + digit fold), which is what makes the
+    * register state oracle-checkable. 60 bits keeps the parse inside a
+    * positive BIGINT in both engines. */
+  def hash60(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+
+  final case class HllBuf(m: Map[Long, Long])
+
+  /** Mergeable DISTINCT-COUNT sketch: classic HyperLogLog registers
+    * (Flajolet et al. 2007) over the deterministic [[hash60]]. Register
+    * j ∈ [0, 2^p) keeps the MAXIMUM rank (position of the highest set
+    * bit from the top, + 1) seen among hashes routed to it — and unlike
+    * most sketches here, the register STATE is a pure, order- and
+    * partitioning-independent function of the input SET (max is
+    * commutative/idempotent), so it can be oracle-checked bitwise and
+    * folded per-batch with fold ≡ recompute EXACTLY (the property
+    * streaming.CardinalityIngest builds on; contrast [[FrequentItems]]
+    * and [[QuantileSketch]], whose buffers are partitioning-dependent).
+    *
+    * The float estimate α·m²/Σ2^(−M_j) never leaves the engine (no-libm
+    * discipline): [[scaleSum]] emits Σ 2^(maxRank − M_j) as an exact
+    * BIGINT — a strictly monotone proxy (smaller sum = more distincts)
+    * the consumer can rank/threshold on, or feed to the float formula
+    * off-engine. Bounded by m·2^maxRank = 2^61 < 2^63 for every p. */
+  final class HllRegisters(p: Int)
+      extends Aggregator[String, HllBuf, Seq[Long]] {
+    require(p >= 2 && p <= 12, s"p=$p")
+    private val m = 1 << p
+    private val maxBits = 60 - p
+    override def zero: HllBuf = HllBuf(Map.empty)
+    override def reduce(b: HllBuf, s: String): HllBuf = {
+      val h = hash60(s)
+      val j = h % m
+      val w = h / m
+      val rho =
+        if (w == 0L) (maxBits + 1).toLong
+        else (maxBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toLong
+      if (rho <= b.m.getOrElse(j, 0L)) b
+      else HllBuf(b.m.updated(j, rho))
+    }
+    override def merge(x: HllBuf, y: HllBuf): HllBuf =
+      HllBuf(y.m.foldLeft(x.m) { case (acc, (j, r)) =>
+        if (r > acc.getOrElse(j, 0L)) acc.updated(j, r) else acc
+      })
+    override def finish(b: HllBuf): Seq[Long] =
+      Seq.tabulate(m)(j => b.m.getOrElse(j.toLong, 0L))
+    override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Σ 2^(maxRank − M_j) over a dense register vector — the exact-integer
+    * monotone cardinality proxy (see [[HllRegisters]]). */
+  def hllScaleSum(registers: Seq[Long], p: Int): Long = {
+    val maxRank = 60 - p + 1
+    registers.iterator.map(r => 1L << (maxRank - r)).sum
+  }
 }
 
 final case class MeanStdResult(mean: Double, std: Double)

@@ -329,7 +329,59 @@ object TextAnalysis {
         FROM cnt)
       SELECT shard, CAST((cum - n_bpe) // 1024 AS BIGINT) AS bin,
              COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
-      FROM c GROUP BY shard, bin ORDER BY shard, bin"""))
+      FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // ----------------------- mergeable distinct-count sketch (HLL registers)
+    // Per-language distinct-token cardinality via HyperLogLog registers
+    // (TypedAggregators.HllRegisters, p = 6 → 64 registers): register j
+    // keeps the max rank among md5-derived 60-bit hashes routed to it.
+    // Unlike Misra–Gries or KLL, the register STATE is a pure function of
+    // the input SET (max is commutative + idempotent, partitioning can't
+    // move it) — so the sketch itself is oracle-checked BITWISE here, and
+    // per-batch folding is exactly ≡ recompute (the property
+    // streaming.CardinalityIngest's gate builds on). scale_sum =
+    // Σ 2^(55 − M_j) is the exact-BIGINT monotone cardinality proxy (the
+    // float α·m²/sum estimate stays off-engine — no-libm discipline).
+    // Scale shape: the aggregator runs as a map-side partial (64-entry
+    // buffers merge across the shuffle); the corpus never shuffles rows.
+    Q("x_distinct_sketch", (s, d) => {
+      import s.implicits._
+      val toks = fanOut(documents(s, d))
+        .select(col("lang"), explode(expr("split(text, ' ')")).as("t"))
+        .as[(String, String)]
+      toks.groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.operators.TypedAggregators.HllRegisters(6)
+          .toColumn.name("registers"))
+        .toDF("lang", "registers")
+        .select(col("lang"), col("registers"),
+          expr("""aggregate(registers, CAST(0 AS BIGINT),
+                   (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT),
+                                               CAST(55 - r AS INT)))""")
+            .as("scale_sum"))
+        .orderBy(col("lang"))
+    }, Some("""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      h AS (SELECT lang,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 16), k ->
+                       CAST(strpos('0123456789abcdef',
+                         substr(md5(t), k, 1)) - 1 AS BIGINT))),
+                     (acc, hv) -> acc * 16 + hv) AS h
+            FROM tok),
+      r AS (SELECT lang, h % 64 AS j,
+                   CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END AS rho
+            FROM h),
+      regs AS (SELECT lang, j, MAX(rho) AS m FROM r GROUP BY lang, j),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      idx AS (SELECT lang, unnest(range(0, 64)) AS j FROM langs),
+      dense AS (SELECT idx.lang, idx.j, COALESCE(regs.m, CAST(0 AS BIGINT)) AS m
+                FROM idx LEFT JOIN regs
+                  ON idx.lang = regs.lang AND idx.j = regs.j)
+      SELECT lang, list(m ORDER BY j) AS registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT) AS scale_sum
+      FROM dense GROUP BY lang ORDER BY lang"""))
   )
 
   /** The frozen fixture vocab for the subword queries: five whole words,
