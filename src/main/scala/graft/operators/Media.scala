@@ -604,6 +604,46 @@ object Media {
     ds.flatMap(r => audioShingles64(r.payload, win, hop)
       .map(sh => AudioShingles(r.id, sh)))(Encoders.product[AudioShingles])
 
+  /** RESAMPLE-robust audio shingles: [[audioShingles64]] with the window
+    * grid sized in TIME instead of samples — hop = sampleRate /
+    * `hopsPerSec` samples (1/hopsPerSec seconds), window = `winHops`
+    * hops — so two encodings of the same recording at DIFFERENT sample
+    * rates aggregate energy over the SAME time windows. Fixed
+    * sample-count windows provably lose a resampled copy (each window
+    * then spans a different time slice of the signal; `MediaSpec` pins
+    * the loss); time-normalized windows make the contour — hence the
+    * shingle set — identical whenever the resampler preserves each
+    * window's energy ORDER. That holds exactly for integer
+    * decimation/duplication of window-constant content (the oracle
+    * fixture: every energy scales by one constant factor, comparisons
+    * untouched) and is what window-aggregated energies are FOR under
+    * real resamplers (per-sample error cancels in Σs²; a flipped bit
+    * needs two adjacent windows with nearly tied energy). Composes with
+    * the trim contract: cuts must be whole hops — now 1/hopsPerSec
+    * SECONDS, rate-independent. None when the payload is not 16-bit PCM
+    * or `hopsPerSec` does not divide its sample rate (a window grid
+    * that cannot align across rates would silently break the
+    * invariance, so it refuses instead). */
+  def audioShinglesRate(b: Array[Byte], hopsPerSec: Int = 4000,
+                        winHops: Int = 1): Option[Array[Long]] = {
+    require(hopsPerSec > 0 && winHops > 0, s"hopsPerSec=$hopsPerSec winHops=$winHops")
+    wavInfo(b).flatMap { w =>
+      if (w.sampleRate <= 0 || w.sampleRate % hopsPerSec != 0) None
+      else {
+        val hop = w.sampleRate / hopsPerSec
+        audioShingles64(b, win = hop * winHops, hop = hop)
+      }
+    }
+  }
+
+  /** Dataset form of [[audioShinglesRate]] — feed to
+    * [[TextDedup.containmentPairs]] for resample/trim/volume-robust
+    * audio dedup. */
+  def audioShingleSetsRate(ds: Dataset[MediaRecord], hopsPerSec: Int = 4000,
+                           winHops: Int = 1): Dataset[AudioShingles] =
+    ds.flatMap(r => audioShinglesRate(r.payload, hopsPerSec, winHops)
+      .map(sh => AudioShingles(r.id, sh)))(Encoders.product[AudioShingles])
+
   /** Exact audio features for one record. `decoded=false` rows (not a
     * parseable PCM WAV) carry −1 format fields and zero sums. */
   final case class AudioFeatures(

@@ -394,6 +394,82 @@ object Multimodal {
       WHERE GREATEST(c_ab, c_ba) >= 0.85
       ORDER BY da, db""")),
 
+    // --------------- RESAMPLE-robust audio dedup (time-normalized shingles)
+    // The gap x_dedup_audio_trim leaves open: its windows are sized in
+    // SAMPLES, so a resampled copy (8 kHz re-encode of a 16 kHz
+    // recording — ubiquitous in crawled audio) aggregates different time
+    // slices per window and the contour scrambles (MediaSpec pins the
+    // loss). Media.audioShinglesRate sizes the window grid in TIME
+    // (sampleRate/hopsPerSec samples per hop): both encodings compare
+    // the SAME time windows, and any resampler that preserves per-window
+    // energy order preserves every contour bit. Groups of 3 share
+    // md5-derived per-window amplitudes: v0 = 16 kHz original, v1 = its
+    // exact 2× decimation at 8 kHz AND half volume (window-constant even
+    // amplitudes ⇒ every energy scales by exactly 1/16, comparisons
+    // untouched), v2 = 8 kHz + front-trim of 6 hops (trim robustness
+    // now composes rate-independently — hops are 1/4000 s at EITHER
+    // rate). The oracle rebuilds contours from the closed-form window
+    // amplitudes (energy ∝ amp², positive scale factors cancel in the
+    // comparisons) and restates containment on bit-string shingles.
+    Q("x_dedup_audio_resample", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          val woff = if (v == 2) 6 else 0
+          val m = 130 - woff
+          val perWin = if (v == 0) 4 else 2 // samples per 1/4000 s hop
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = Array.tabulate(m * perWin) { i =>
+            val dig = md.digest(s"$base:${i / perWin + woff}".getBytes("UTF-8"))
+            val h16 = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+            val a = h16 % 8192 - 4096
+            (if (v == 1) a else a * 2).toShort
+          }
+          MediaRecord(id, "wav",
+            Media.wavBytes(if (v == 0) 16000 else 8000, samples))
+        }
+      graft.operators.TextDedup.containmentPairs(
+        Media.audioShingleSetsRate(recs, hopsPerSec = 4000).toDF(),
+        threshold = 0.85)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v,
+                        CASE WHEN doc_id % 3 = 2 THEN 6 ELSE 0 END AS woff
+                 FROM documents),
+      w AS (SELECT doc_id, base, woff,
+                   unnest(range(0, 130 - woff)) AS j
+            FROM d),
+      a AS (SELECT doc_id, j,
+                   (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 5), k ->
+                        CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                     CAST(woff + j AS VARCHAR)), k, 1)) - 1
+                          AS BIGINT))),
+                      (acc, hv) -> acc * 16 + hv) % 8192 - 4096) AS amp
+            FROM w),
+      e AS (SELECT doc_id, j, amp * amp AS e FROM a),
+      bits AS (SELECT x.doc_id, x.j AS pos,
+                      CASE WHEN x.e < y.e THEN '1' ELSE '0' END AS bit
+               FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.j = x.j + 1),
+      bs AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS bs
+             FROM bits GROUP BY doc_id),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(bs) - 62),
+                      i -> substr(bs, i, 64))) AS sh
+             FROM bs),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh) AS c_ab,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh) AS c_ba
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT da, db, c_ab, c_ba FROM p
+      WHERE GREATEST(c_ab, c_ba) >= 0.85
+      ORDER BY da, db""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are

@@ -193,6 +193,39 @@ class MediaSpec extends SparkSpec {
     assert(Media.audioShingles64(wav(0, 64), win = 4, hop = 4).isEmpty)
   }
 
+  test("audioShinglesRate: resampled copies identical where sample-count windows provably lose them") {
+    // window-constant md5-derived amplitudes at two rates: the 16 kHz
+    // original holds each amplitude for 4 samples, its exact 2×
+    // decimation at 8 kHz for 2 — same signal, same time windows.
+    def amp(w: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(s"ratefix:$w".getBytes("UTF-8"))
+      (((dig(0) & 0xff) << 8 | (dig(1) & 0xff)) % 8192 - 4096) * 2
+    }
+    def wav(rate: Int, perWin: Int, off: Int, windows: Int,
+            f: Int => Int = identity): Array[Byte] =
+      Media.wavBytes(rate,
+        Array.tabulate(windows * perWin)(i => f(amp(i / perWin + off)).toShort))
+    val hi = wav(16000, 4, 0, 130)
+    val lo = wav(8000, 2, 0, 130)
+    // time-normalized grid (1/4000 s hops): identical shingle sets.
+    val shHi = Media.audioShinglesRate(hi, hopsPerSec = 4000).get
+    val shLo = Media.audioShinglesRate(lo, hopsPerSec = 4000).get
+    assert(shHi.toSet == shLo.toSet && shHi.length >= 60)
+    // ...where the SAMPLE-sized grid provably loses the pair: 4-sample
+    // windows on the 8 kHz copy span two time windows each.
+    val fixedLo = Media.audioShingles64(lo, win = 4, hop = 4).get
+    assert(Media.audioShingles64(hi, win = 4, hop = 4).get
+      .toSet.intersect(fixedLo.toSet).size < 3)
+    // composes with the trim + volume contracts, rate-independently:
+    // 8 kHz + 6-hop front-trim + half volume stays fully contained.
+    val cut = Media.audioShinglesRate(
+      wav(8000, 2, 6, 124, _ / 2), hopsPerSec = 4000).get
+    assert(cut.toSet.subsetOf(shHi.toSet) && cut.length >= 55)
+    // a rate the hop grid cannot align to is refused, not mis-hashed.
+    assert(Media.audioShinglesRate(wav(11025, 4, 0, 130), hopsPerSec = 4000).isEmpty)
+  }
+
   test("corrupt container fields are None, never a crash or forged value") {
     // WAV declaring 4 bits per sample: the bytes-per-sample divisor
     // would be zero — must reject, not throw ArithmeticException.
