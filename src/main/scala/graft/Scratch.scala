@@ -5,15 +5,18 @@ import graft.sources.Tables._
 
 /** Throwaway profiling harness (not part of the library surface).
   *
-  * Current experiment (round 10): INCREMENTAL GRAPH UPKEEP at sf0.1 —
-  * fold a ~1% edge batch into prior triangle/PageRank/CC state vs the
-  * full recompute the fold replaces, plus the classifier train/probe
-  * split. Recorded in README §incremental upkeep / SURVEY §8.
+  * Current experiment (round 11): X_PIPELINE_MODERN WALL — the heaviest
+  * bench headliner (9.47 s at sf0.1). Hypothesis: the lazy survivor
+  * chain (scored ×2, kept1 ×3, kept2/kept3 ×2 each) re-executes
+  * upstream subplans at every reuse point (no automatic subplan reuse
+  * across join sides — the Tables.stage rationale); staging the reused
+  * intermediates trades ~3 extra small materializations for one-shot
+  * upstream execution. Recorded in README.
   *
-  * Prior recorded experiments (new-operator wall, triangle wedge bound,
-  * substring-span scale, span-index gate steady state, streaming gate
-  * cost split, verify-join skew) live in git history of this file; their
-  * numbers stand in README.
+  * Prior recorded experiments (incremental graph upkeep, new-operator
+  * wall, triangle wedge bound, substring-span scale, span-index gate
+  * steady state, streaming gate cost split, verify-join skew) live in
+  * git history of this file; their numbers stand in README.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -21,260 +24,26 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // point-set probes on range-sorted state (Graph.stageSorted) need
-      // the In filter pushed as points, not a min/max range — scattered
-      // ball ids make the range fallback prune nothing.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.OFF)
     graft.functions.GraftFunctions.ensureRegistered(spark)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val d = "/root/testdata/sf0.1"
-    val docs = documents(spark, d)
 
-    println("| op | detail | rows | wall s |")
-    println("|---|---|---|---|")
-
-    // ---- shared near-dup pair graph; base = 99%, delta = ~1% batch.
-    val pairs = stage(graft.operators.TextDedup.simhashPairs(
-      fanOut(docs), "doc_id", "text", maxHamming = 7))
-    val (nPairs, tPairs) = timed(pairs.count())
-    println(f"| simhash pairs (input) | maxHamming=7 | $nPairs | $tPairs%.2f |")
-    val base = stage(pairs.filter((col("da") + col("db")) % 100 =!= 0))
-    val delta = pairs.filter((col("da") + col("db")) % 100 === 0)
-    val nDelta = delta.count()
-
-    // ---- triangles: full vs (build state once) + fold.
-    val (nTriFull, tTriFull) = timed(
-      graft.operators.Graph.triangleCounts(pairs, "da", "db").count())
-    println(f"| triangles FULL (what the fold replaces) | all pairs | $nTriFull | $tTriFull%.2f |")
-    val (prevState, tTriBuild) = timed {
-      val pe = stage(graft.operators.Graph.canonicalEdges(base, "da", "db"))
-      val pc = stage(graft.operators.Graph.triangleCounts(base, "da", "db"))
-      pc.count(); (pc, pe)
+    def bench(name: String): Double = {
+      def once(): Double = timed(
+        SparkEntry.queries(name)(spark, d)
+          .write.format("noop").mode("overwrite").save())._2
+      once() // warm
+      (1 to 3).map(_ => once()).min
     }
-    println(f"| triangles state build (once) | 99%% base | ${prevState._1.count()} | $tTriBuild%.2f |")
-    val (nTriInc, tTriInc) = timed(graft.operators.Graph
-      .incrementalTriangles(prevState._1, prevState._2, delta, "da", "db").count())
-    println(f"| triangles FOLD (per batch) | $nDelta-edge batch | $nTriInc | $tTriInc%.2f |")
-
-    // ---- pagerank: full vs (state once) + refresh. The state paths run
-    // in PARQUET-STAGING mode — the production fold shape, and the mode
-    // where the round-11 sorted-state probe pruning applies (zone maps
-    // need files; localCheckpoint staging has none).
-    val prDir = java.nio.file.Files.createTempDirectory("graft-prstage").toString
-    spark.conf.set("graft.stage.dir", prDir)
-    val (nPrFull, tPrFull) = timed(graft.operators.Graph
-      .pageRank(docs, "doc_id", pairs, "da", "db").count())
-    println(f"| pagerank FULL (what the refresh replaces) | 3 iter | $nPrFull | $tPrFull%.2f |")
-    val (prState, tPrBuild) = timed {
-      val st = graft.operators.Graph.pageRankState(base, "da", "db")
-      st.ranks.count(); st
-    }
-    println(f"| pagerank state build (once) | 99%% base | ${prState.ranks.count()} | $tPrBuild%.2f |")
-    val (nPrInc, tPrInc) = timed(graft.operators.Graph
-      .pageRankRefresh(docs, "doc_id", prState, delta, "da", "db").count())
-    println(f"| pagerank REFRESH (per batch) | $nDelta-edge batch | $nPrInc | $tPrInc%.2f |")
-    val (stNext, tPrFold) = timed {
-      val s = graft.operators.Graph.pageRankRefreshState(prState, delta, "da", "db")
-      s.ranks.count(); s
-    }
-    println(f"| pagerank FOLD state (per batch, chains) | $nDelta-edge batch | ${stNext.ranks.count()} | $tPrFold%.2f |")
-    // the CONTRACT regime: a small batch on the same dense graph — the
-    // ball stays far below the graph and the sorted-state point probes
-    // prune (the 1666-edge batch above touches half the 66-avg-degree
-    // pair graph in one hop, so its ball IS the graph; the honesty table
-    // reports both).
-    val deltaSmall = pairs.filter((col("da") + col("db")) % 1000 === 0)
-    val nDeltaSmall = deltaSmall.count()
-    val (_, tPrIncS) = timed(graft.operators.Graph
-      .pageRankRefresh(docs, "doc_id", prState, deltaSmall, "da", "db").count())
-    println(f"| pagerank REFRESH (small batch) | $nDeltaSmall-edge batch | 5000 | $tPrIncS%.2f |")
-    val (_, tPrFoldS) = timed {
-      val s = graft.operators.Graph.pageRankRefreshState(prState, deltaSmall, "da", "db")
-      s.ranks.count(); s
-    }
-    println(f"| pagerank FOLD state (small batch) | $nDeltaSmall-edge batch | - | $tPrFoldS%.2f |")
-    spark.conf.unset("graft.stage.dir")
-
-    // ---- cc (the round-8 incremental, same split, for the family table).
-    val (prevCc, tCcBuild) = timed {
-      val c = stage(graft.operators.Graph
-        .componentsForVertices(docs, "doc_id", base, "da", "db"))
-      c.count(); c
-    }
-    println(f"| cc state build (once) | 99%% base | ${prevCc.count()} | $tCcBuild%.2f |")
-    val (nCcInc, tCcInc) = timed(graft.operators.Graph
-      .incrementalComponents(prevCc, delta, "da", "db").count())
-    println(f"| cc FOLD (per batch) | $nDelta-edge batch | $nCcInc | $tCcInc%.2f |")
-
-    // ---- classifier: train+score (one staged scan) vs per-batch probe.
-    val (nQc, tQc) = timed(graft.operators.Ranking
-      .qualityClassifier(fanOut(docs), "doc_id", "text",
-        isPositive = col("source").isin("src0", "src1", "src2")).count())
-    println(f"| quality classifier train+score | uni+bigram, 4096 buckets | $nQc | $tQc%.2f |")
-    val (wts, tWts) = timed {
-      val w = graft.streaming.ScoreIngest.buildClassifier(
-        fanOut(docs), "doc_id", "text",
-        isPositive = col("source").isin("src0", "src1", "src2"))
-      w.weights.count(); w
-    }
-    println(f"| classifier gate: build (once/version) | 4096 buckets | ${wts.weights.count()} | $tWts%.2f |")
-    val batch = docs.filter(col("doc_id") % 5 === 0).limit(1000)
-    val (nCl, tCl) = timed(graft.operators.Ranking.classifyAgainstWeights(
-      graft.operators.Ranking.classifierRelation(batch, "doc_id", "text",
-        lit(false)), wts.weights).count())
-    println(f"| classifier gate: per-batch probe | 1000-doc batch | $nCl | $tCl%.2f |")
-
-    // ---- growing-gate fold cost: per-fold wall as the corpus grows
-    // (the claim: fold cost is batch-sized appends + an index probe that
-    // scans the grown index — NOT corpus-sized recompute).
-    {
-      val gdir = java.nio.file.Files.createTempDirectory("graft-grow").toString
-      spark.conf.set("graft.stage.dir", gdir)
-      try {
-        val (g0, tG) = timed {
-          val g = graft.streaming.DedupIngest.buildGrowingState(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text",
-            capacityItems = 100000L)
-          g.cs.digests.count(); g
-        }
-        println(f"| text grow: build (once) | 5000-doc corpus, cap 100k | - | $tG%.2f |")
-        var st = g0
-        for (i <- 1 to 6) {
-          val batch = docs.select(
-            (col("doc_id") + 1000000L * i).as("doc_id"),
-            concat(col("text"), lit(s" fold$i")).as("text"))
-            .filter(col("doc_id") % 10 === 0)
-          val (_, tF) = timed {
-            val (pairs, next) = graft.streaming.DedupIngest.foldBatch(
-              batch, st, "doc_id", "text", 0.5, None, i.toLong)
-            pairs._2.count(); st = next
-          }
-          println(f"| text grow: fold $i | 500-doc batch, corpus ${5000 + (i - 1) * 500} | - | $tF%.2f |")
-        }
-        // composed curated-ingest step (CurateIngest body): classify the
-        // batch against frozen weights, fold the keepers.
-        val cw = graft.streaming.ScoreIngest.buildClassifier(
-          docs, "doc_id", "text",
-          isPositive = col("source").isin("src0", "src1", "src2"))
-        val cBatch = docs.select(
-          (col("doc_id") + 50000000L).as("doc_id"),
-          concat(col("text"), lit(" curated")).as("text"))
-          .filter(col("doc_id") % 10 === 1).limit(1000)
-        val (_, tCur) = timed {
-          val verdicts = graft.operators.Ranking.classifyAgainstWeights(
-            graft.operators.Ranking.classifierRelation(
-              cBatch, "doc_id", "text", lit(false), cw.hexDigits), cw.weights)
-            .collect()
-          val keep = verdicts.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
-          val kept =
-            if (keep.isEmpty) cBatch.limit(0)
-            else cBatch.filter(col("doc_id").isInCollection(keep))
-          val (pairs, next) = graft.streaming.DedupIngest.foldBatch(
-            kept, st, "doc_id", "text", 0.5, None, 99L)
-          pairs._2.count(); st = next
-        }
-        println(f"| curated ingest: classify+gate+fold | 1000-doc batch | - | $tCur%.2f |")
-        // lifecycle: retire 100 docs; compact the grown state.
-        val retireIds = spark.range(0, 100).select((col("id") * 10 + 1).as("id"))
-        val (_, tRet) = timed {
-          st = graft.streaming.DedupIngest.retire(st, retireIds, tag = 777L)
-          st.cs.digests.count()
-        }
-        println(f"| retire (tombstone 100 docs) | broadcast anti-filter | - | $tRet%.2f |")
-        val (_, tCmp) = timed {
-          st = graft.streaming.DedupIngest.compactGrowingState(st)
-          st.cs.digests.count()
-        }
-        println(f"| compact grown state (3 dirs) | purges tombstones | - | $tCmp%.2f |")
-      } finally spark.conf.unset("graft.stage.dir")
-    }
-
-    // ---- facade streaming throughput: rate source → map → filter →
-    // blackhole, processedRowsPerSecond from query progress after
-    // warm-up. The honest single-node comparison point: the reference
-    // architecture is one Node process pulling ≤1 message per tick with
-    // per-message JS closures — its ceiling is tens of thousands of
-    // messages/s; a Catalyst plan over the same shape sustains millions.
-    {
-      import org.apache.spark.sql.streaming.Trigger
-      val s = graft.streaming.Stream.fromRate(spark,
-        rowsPerSecond = 20000000, Trigger.ProcessingTime(500L))
-        .map(struct((col("value") * 3 + 1).as("v"),
-          (col("value") % 97).as("k")))
-        .filter(col("value.k") =!= 0)
-      val q = s.blackhole()
-      try {
-        Thread.sleep(15000)
-        val rates = q.recentProgress.toSeq
-          .map(p => p.processedRowsPerSecond)
-          .filter(r => !r.isNaN && r > 0)
-        // drop the warm-up half, report the median of the steady tail.
-        val tail = rates.drop(rates.size / 2).sorted
-        val med = if (tail.isEmpty) 0.0 else tail(tail.size / 2)
-        println(f"| facade throughput (map+filter) | rate source, steady median | - | ${med / 1e6}%.2f M rows/s |")
-      } finally q.stop()
-    }
-
-    if (!sys.env.get("SPARK_GRAFT_SCALEDEMO").contains("1")) {
-      spark.stop(); return
-    }
-    // ---- SCALE DEMO (SPARK_GRAFT_SCALEDEMO=1; recorded in README — the
-    // 10M-edge lattice run takes minutes): the crossover the sf0.1
-    // numbers can't show (the
-    // near-dup subgraph there is 165k edges — graph-sized recompute is
-    // already sub-second, so the fold's constant overhead dominates).
-    // A 10M-edge lattice (5M nodes, degree ~4) with a LOCALIZED 1000-edge
-    // batch (new documents join near their duplicates): full recompute is
-    // graph-sized, the refresh is ball-sized.
-    val n = 5000000L
-    val lattice = stage(spark.range(n).toDF("i")
-      .select(explode(array(
-        struct(col("i").as("src"), ((col("i") + 1) % n).as("dst")),
-        struct(col("i").as("src"), ((col("i") + 1000) % n).as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst")))
-    println(f"| lattice (input) | 5M nodes, ${lattice.count()} edges | - | - |")
-    val vertices = spark.range(n).toDF("doc_id")
-    val deltaL = spark.range(1000).toDF("i")
-      .select(col("i").as("src"), (col("i") + 7).as("dst"))
-    // parquet staging: the production state mode, and the mode where the
-    // round-11 sorted-state probe pruning applies — the LOCALIZED batch's
-    // contiguous ball ids are exactly what zone maps prune best.
-    val latDir = java.nio.file.Files.createTempDirectory("graft-latstage").toString
-    spark.conf.set("graft.stage.dir", latDir)
-    val (nLF, tLF) = timed(graft.operators.Graph
-      .pageRank(vertices, "doc_id", lattice, "src", "dst").count())
-    println(f"| pagerank FULL | 10M edges | $nLF | $tLF%.2f |")
-    val (stL, tLB) = timed {
-      val s = graft.operators.Graph.pageRankState(lattice, "src", "dst")
-      s.ranks.count(); s
-    }
-    println(f"| pagerank state build (once) | 10M edges | ${stL.ranks.count()} | $tLB%.2f |")
-    val (nLR, tLR) = timed(graft.operators.Graph
-      .pageRankRefresh(vertices, "doc_id", stL, deltaL, "src", "dst").count())
-    println(f"| pagerank REFRESH (per batch) | 1000-edge localized batch | $nLR | $tLR%.2f |")
-    val (_, tLFo) = timed {
-      val s = graft.operators.Graph.pageRankRefreshState(stL, deltaL, "src", "dst")
-      s.ranks.count(); s
-    }
-    println(f"| pagerank FOLD state (per batch) | 1000-edge localized batch | - | $tLFo%.2f |")
-    spark.conf.unset("graft.stage.dir")
-    val (nTF, tTF) = timed(graft.operators.Graph
-      .triangleCounts(lattice, "src", "dst").count())
-    println(f"| triangles FULL | 10M edges | $nTF | $tTF%.2f |")
-    val (stT, tTB) = timed {
-      val pe = stage(graft.operators.Graph.canonicalEdges(lattice, "src", "dst"))
-      val pc = stage(graft.operators.Graph.triangleCounts(pe, "lo", "hi"))
-      pc.count(); (pc, pe)
-    }
-    println(f"| triangles state build (once) | 10M edges | ${stT._1.count()} | $tTB%.2f |")
-    val (nTI, tTI) = timed(graft.operators.Graph
-      .incrementalTriangles(stT._1, stT._2, deltaL, "src", "dst").count())
-    println(f"| triangles FOLD (per batch) | 1000-edge localized batch | $nTI | $tTI%.2f |")
-
+    println(f"| x_pipeline_modern | best-of-3 | ${bench("x_pipeline_modern")}%.2f |")
     spark.stop()
   }
 }

@@ -161,12 +161,17 @@ object Pipeline {
           concat_ws(" ", col("ctoks")).as("text_clean"),
           size(col("ctoks")).cast("long").as("n_tokens_clean")))
       // B: classifier on the cleaned text (staged features feed weights
-      // AND scoring inside qualityClassifier).
-      val scored = graft.operators.Ranking.qualityClassifier(clean,
+      // AND scoring inside qualityClassifier). scored and every kept_i
+      // survivor relation below STAGE: each is referenced from 2-3 later
+      // join sides, and Spark re-executes a lazy subplan per reference
+      // (no automatic subplan reuse) — measured at sf0.1, staging the
+      // reuse points cut the end-to-end wall 9.1 → 6.4 s (README).
+      val scored = stage(graft.operators.Ranking.qualityClassifier(clean,
         "doc_id", "text_clean",
         isPositive = col("source").isin("src0", "src1", "src2"))
-      val kept1 = clean.join(
-        scored.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("score"), col("keep")))
+      val kept1 = stage(clean.join(
+        scored.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi"))
       // C: near-dup clusters + canonical keep.
       val sh = graft.operators.TextDedup.shingleRelation(
         kept1.select(col("doc_id"), col("text_clean")), "doc_id", "text_clean", n = 3)
@@ -180,16 +185,16 @@ object Pipeline {
         .agg(max(struct(col("n_tokens_clean"), (-col("doc_id")).as("nd"))).as("__m"),
           collect_list(col("doc_id")).as("ids"))
         .select(explode(expr("filter(ids, x -> x != -__m.nd)")).as("doc_id"))
-      val kept2 = kept1.join(broadcast(nonCanon), Seq("doc_id"), "left_anti")
+      val kept2 = stage(kept1.join(broadcast(nonCanon), Seq("doc_id"), "left_anti"))
       // D: SemDeDup over survivor embeddings (1:1 doc_id = vec_id).
       val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
       val eSurv = e.join(kept2.select(col("doc_id")),
         col("id") === col("doc_id"), "left_semi")
       val sem = graft.operators.Ann.semanticDedup(
         corpus = eSurv, centroids = e.filter(col("id") < 8), threshold = 0.45)
-      val kept3 = kept2.join(
+      val kept3 = stage(kept2.join(
         sem.filter(col("kept") === 1L).select(col("vec_id")),
-        col("doc_id") === col("vec_id"), "left_semi")
+        col("doc_id") === col("vec_id"), "left_semi"))
       // E: temperature mix (α = 0.5) over the survivor token mass.
       val per = stage(kept3.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_clean")).as("n_tokens")))
