@@ -373,6 +373,74 @@ object Graph {
       .filter(col("lo") < col("hi"))
       .distinct()
 
+  /** k-CORE: the maximal subgraph in which every node has degree ≥ k —
+    * the classic graph-quality gate (a near-dup cluster's 2-core is its
+    * genuinely inter-linked part; degree-1 chains are transitive
+    * overreach). Computed by iterative PEELING: drop every node with
+    * current degree < k, re-count, repeat to fixpoint — each round's
+    * removals can lower surviving degrees, so the loop (not a single
+    * filter) IS the semantics. Output: (node, deg) — surviving nodes
+    * with their in-core degree.
+    *
+    * Scale shape (the CC loop discipline): the symmetric arc relation
+    * stages per round ([[graft.sources.Tables.stageTracked]], superseded
+    * rounds reclaimed); each round is one degree aggregate over the
+    * staged arcs plus one pass removing arcs incident to the peel front
+    * (two anti-joins in a single plan — AQE broadcasts the front when
+    * small, shuffles otherwise, since round-1 fronts can be a large
+    * fraction of sparse graphs). Rounds = peel depth of the graph (the
+    * longest chain of cascading removals); `maxRounds` fail-fasts
+    * pathological depth instead of silently stopping early. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 100): DataFrame =
+    kCoreTracked(edges, srcCol, dstCol, k, maxRounds).df
+
+  /** [[kCore]] returning the Staged handle of the final arc relation —
+    * callers in parquet-staging mode `.drop()` it once consumed (the CC
+    * tracked-variant convention). */
+  def kCoreTracked(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+                   maxRounds: Int = 100): graft.sources.Tables.Staged = {
+    require(k >= 1, s"k=$k")
+    val ce = canonicalEdges(edges, srcCol, dstCol)
+    var cur = stageTracked(
+      ce.select(col("lo").as("src"), col("hi").as("dst"))
+        .union(ce.select(col("hi").as("src"), col("lo").as("dst"))))
+    try {
+      var rounds = 0
+      while (true) {
+        val front = stageTracked(
+          cur.df.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") < k).select(col("src").as("peel")))
+        if (front.df.isEmpty) {
+          front.drop()
+          val result = cur.df.groupBy(col("src"))
+            .agg(count(lit(1)).cast("bigint").as("deg"))
+            .select(col("src").as("node"), col("deg"))
+          return graft.sources.Tables.Staged(result, cur.path)
+        }
+        rounds += 1
+        if (rounds > maxRounds) {
+          front.drop()
+          throw new IllegalStateException(
+            s"kCore: peel did not converge in $maxRounds rounds")
+        }
+        val next = stageTracked(
+          cur.df
+            .join(front.df, col("src") === col("peel"), "left_anti")
+            .join(front.df.select(col("peel").as("__p2")),
+              col("dst") === col("__p2"), "left_anti"))
+        // advance BEFORE reclaiming, so the catch-all always drops the
+        // live round, never a superseded one twice.
+        val old = cur
+        cur = next
+        old.drop(); front.drop()
+      }
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case t: Throwable => cur.drop(); throw t
+    }
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = stage(canonicalEdges(edges, srcCol, dstCol))
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("node"))

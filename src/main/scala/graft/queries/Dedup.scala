@@ -384,6 +384,62 @@ object Dedup {
       FROM deg d LEFT JOIN tn t ON d.node = t.node
       ORDER BY d.node""")),
 
+    // -------------------------------------------- k-core (graph pruning)
+    // The maximal subgraph of minimum degree ≥ k, by iterative peeling
+    // (Graph.kCore — each round's removals can lower surviving degrees,
+    // so the LOOP is the semantics; a single degree filter under-peels).
+    // The dedup use: a cluster's 2-core is its genuinely inter-linked
+    // part; degree-1 chains are transitive overreach. Fixture graph with
+    // a PROVABLE peel depth (the oracle unrolls the loop, so its depth
+    // must dominate the fixpoint): one global ring over doc_ids with
+    // id % 8 < 4 (every ring node keeps degree ≥ 2 forever), 4-node
+    // chains hanging off each full group's ring (peel rounds 1-4 exactly
+    // — chain position = distance from the free end), and a cross chord
+    // in every third group (degree variety in the surviving core). Six
+    // unrolled oracle rounds ≥ the 4-round fixpoint; extra rounds are
+    // idempotent, so engine-to-fixpoint ≡ oracle-at-depth-6 exactly.
+    Q("x_graph_kcore", (s, d) => {
+      val docs = fanOut(documents(s, d)).select(col("doc_id"))
+      // the ring wrap needs the graph size — one driver-scalar count.
+      val n = documents(s, d).count()
+      val edges = docs.select(col("doc_id").as("a"),
+        expr(s"""CASE WHEN doc_id % 8 < 3 THEN doc_id + 1
+                 |     WHEN doc_id % 8 = 3 THEN IF(doc_id + 5 < ${n}L, doc_id + 5, 0L)
+                 |     WHEN doc_id % 8 = 4 THEN doc_id - 4
+                 |     ELSE doc_id - 1 END""".stripMargin).as("b"))
+        .union(docs
+          .filter(expr(s"doc_id % 8 = 0 AND (doc_id div 8) % 3 = 0 AND doc_id + 2 < ${n}L"))
+          .select(col("doc_id").as("a"), (col("doc_id") + 2).as("b")))
+      graft.operators.Graph.kCore(edges, "a", "b", k = 2)
+        .orderBy(col("node"))
+    }, Some {
+      val peels = (1 to 6).map(i => s"""
+        d$i AS (SELECT s, COUNT(*) AS c FROM a${i - 1} GROUP BY s),
+        a$i AS (SELECT a${i - 1}.s, a${i - 1}.t FROM a${i - 1}
+                JOIN d$i x ON a${i - 1}.s = x.s
+                JOIN d$i y ON a${i - 1}.t = y.s
+                WHERE x.c >= 2 AND y.c >= 2)""").mkString(",")
+      s"""
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      base AS (
+        SELECT doc_id AS a,
+               CASE WHEN doc_id % 8 < 3 THEN doc_id + 1
+                    WHEN doc_id % 8 = 3 THEN
+                      CASE WHEN doc_id + 5 < nn.n THEN doc_id + 5 ELSE 0 END
+                    WHEN doc_id % 8 = 4 THEN doc_id - 4
+                    ELSE doc_id - 1 END AS b
+        FROM documents CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents CROSS JOIN nn
+        WHERE doc_id % 8 = 0 AND (doc_id // 8) % 3 = 0 AND doc_id + 2 < nn.n),
+      e0 AS (SELECT DISTINCT least(a, b) AS s, greatest(a, b) AS t
+             FROM base WHERE a <> b),
+      a0 AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+      $peels
+      SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM a6 GROUP BY s ORDER BY node"""
+    }),
+
     // ----------------------------------------- PageRank (graph centrality)
     // Fixed-point integer PageRank (3 iterations, scale 1e9, damping
     // 17/20) over the same near-dup pair graph: rank separates template

@@ -152,6 +152,48 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("kCore matches the brute-force peel on seeded random graphs") {
+    def brute(canon: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var e = canon
+      var changed = true
+      while (changed) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (v, vs) => v -> vs.size }
+        val low = deg.collect { case (v, c) if c < k => v }.toSet
+        changed = low.nonEmpty
+        e = e.filterNot(p => low(p._1) || low(p._2))
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (v, vs) => v -> vs.size }
+    }
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { _ =>
+      val n = rnd.nextInt(20) + 8
+      val raw = Seq.fill(rnd.nextInt(60) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a != b }.toSet
+      for (k <- Seq(2, 3)) {
+        val got = Graph.kCore(raw.toDF("a", "b"), "a", "b", k)
+          .as[(Long, Long)].collect().toMap
+        val want = brute(canon, k).map { case (v, c) => v -> c.toLong }
+        assert(got == want, s"k=$k canon=$canon")
+      }
+    }
+    // the loop IS the semantics: a chain hanging off a triangle peels
+    // COMPLETELY under k=2, though only its free end starts at degree 1.
+    val chainy = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got2 = Graph.kCore(chainy.toDF("a", "b"), "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"chain must cascade-peel: $got2")
+    // fail-fast, never silent under-peeling.
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(chainy.toDF("a", "b"), "a", "b", k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("triangleCounts matches brute force on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
