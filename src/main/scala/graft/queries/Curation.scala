@@ -36,6 +36,29 @@ object Curation {
     s"(${duckSpread(s"((($x) * 65536) // $xb)")}" +
       s" | (${duckSpread(s"((($y) * 65536) // $yb)")} << 1))"
 
+  /** DuckDB twin of [[graft.sources.Layout.withHilbert]]'s 16 xy→d
+    * rounds, as chained CTEs h15..h0 over a `src` CTE (which must expose
+    * the `carry` columns plus normalized BIGINT `hx`, `hy` and a zero
+    * BIGINT `hd`). Chained CTEs mirror Spark's chained column
+    * definitions — textually nesting the conditional rotation would
+    * blow up exponentially. */
+  private def duckHilbert(src: String, carry: Seq[String]): String = {
+    val cols = carry.mkString(", ")
+    (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == 15) src else s"h${i + 1}"
+      s"""h$i AS (SELECT $cols,
+         |  hd + CAST(${s * s} AS BIGINT) *
+         |    xor(3 * (CASE WHEN (hx & $s) != 0 THEN 1 ELSE 0 END),
+         |        (CASE WHEN (hy & $s) != 0 THEN 1 ELSE 0 END)) AS hd,
+         |  CASE WHEN (hy & $s) != 0 THEN hx
+         |       WHEN (hx & $s) != 0 THEN ${s - 1} - hy ELSE hy END AS hx,
+         |  CASE WHEN (hy & $s) != 0 THEN hy
+         |       WHEN (hx & $s) != 0 THEN ${s - 1} - hx ELSE hx END AS hy
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** Greedy sequential packing of documents into fixed-token-budget bins.
     *
     * `shards` IS the packing parallelism AND the output-file parallelism:
@@ -367,6 +390,41 @@ object Curation {
              MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
              MIN(day) AS min_day, MAX(day) AS max_day
       FROM z GROUP BY 1 ORDER BY bucket""")),
+
+    // --------------------------------------------- Hilbert layout key
+    // x_zorder's space-filling sibling (Layout.withHilbert): consecutive
+    // Hilbert cells are always ADJACENT in (x, y) — no quadrant seams —
+    // so equal key ranges cover tighter, always-connected boxes (the
+    // locality LayoutSpec measures against z-order on identical data).
+    // Same audit shape as x_zorder: group by the top-4-bit prefix, emit
+    // each bucket's bounding box. The oracle replays the 16 reflect/
+    // rotate rounds as chained CTEs with identical integer arithmetic.
+    Q("x_hilbert", (s, d) => {
+      graft.sources.Layout.withHilbert(
+        orders(s, d).withColumn("day",
+          expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)")),
+        "h", "o_custkey", 16384, "day", 4096)
+        .withColumn("bucket", expr("h div 268435456"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day
+        FROM orders),
+      h16 AS (SELECT o_custkey, day,
+                     CAST(0 AS BIGINT) AS hd,
+                     CAST(((o_custkey) * 65536) // 16384 AS BIGINT) AS hx,
+                     CAST(((day) * 65536) // 4096 AS BIGINT) AS hy
+              FROM t),
+      ${duckHilbert("h16", Seq("o_custkey", "day"))}
+      SELECT (hd // 268435456) AS bucket, COUNT(*) AS n,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             MIN(day) AS min_day, MAX(day) AS max_day
+      FROM h0 GROUP BY 1 ORDER BY bucket""")),
 
     // --------------------------------------------- token-budget packing
     // Greedy sequential packing of documents into fixed-token-budget bins

@@ -162,6 +162,81 @@ class LayoutSpec extends SparkSpec {
     assert(readZx <= total / 2, s"z layout read $readZx of $total for the x band")
   }
 
+  test("withHilbert round-trips the reference d2xy walk; consecutive cells are adjacent") {
+    import spark.implicits._
+    // reference d→(x,y) at order 16 (the standard inverse walk).
+    def d2xy(d0: Long): (Long, Long) = {
+      var t = d0; var x = 0L; var y = 0L; var s = 1L
+      while (s < 65536L) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(13)
+    val ds = Seq.fill(100)(math.abs(rnd.nextLong()) % (65536L * 65536L - 1))
+    val pts = ds.flatMap(dv => Seq(dv -> d2xy(dv), (dv + 1) -> d2xy(dv + 1)))
+    // adjacency: consecutive Hilbert indices are always neighboring cells
+    // (|dx| + |dy| = 1) — the locality property z-order lacks at seams.
+    ds.foreach { dv =>
+      val (x1, y1) = d2xy(dv); val (x2, y2) = d2xy(dv + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"d=$dv")
+    }
+    // engine round-trip: bounds 65536 make normalization the identity, so
+    // withHilbert must invert d2xy exactly.
+    val got = Layout.withHilbert(
+      pts.map { case (dv, (x, y)) => (dv, x, y) }.toDF("d", "x", "y"),
+      "h", "x", 65536L, "y", 65536L)
+      .select("d", "h").as[(Long, Long)].collect()
+    got.foreach { case (dv, h) => assert(h == dv, s"d=$dv got h=$h") }
+  }
+
+  test("writeHilbertOrdered prunes on either column; boxes no looser than z-order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    val n = 128L
+    val grid = spark.range(n * n)
+      .select(expr(s"id div $n").as("x"), (col("id") % n).as("y"))
+    Layout.writeHilbertOrdered(grid, s"$dir/h", shards = 16, "x", n, "y", n)
+    Layout.writeZOrdered(grid, s"$dir/z", shards = 16, "x", n, "y", n)
+    val total = n * n
+
+    def boxes(path: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val hb = boxes(s"$dir/h")
+    assert(hb.size >= 8)
+    val tight = hb.count { case (x0, x1, y0, y1) =>
+      x1 - x0 <= n / 2 && y1 - y0 <= n / 2 }
+    assert(tight >= hb.size - 4,
+      s"only $tight of ${hb.size} hilbert files are bounding-box tight")
+
+    // locality: total covered box area at the same shard count must not
+    // exceed z-order's (the curve has no quadrant seams to straddle).
+    def area(bs: Seq[(Long, Long, Long, Long)]): Long =
+      bs.map { case (x0, x1, y0, y1) => (x1 - x0 + 1) * (y1 - y0 + 1) }.sum
+    val zb = boxes(s"$dir/z")
+    assert(area(hb) <= area(zb),
+      s"hilbert boxes cover ${area(hb)} cells vs z-order ${area(zb)}")
+
+    // scan metrics: pruning works on EITHER column.
+    val readY = rowsReadByScan(
+      spark.read.parquet(s"$dir/h").filter(col("y") < n / 8))
+    val readX = rowsReadByScan(
+      spark.read.parquet(s"$dir/h").filter(col("x") < n / 8))
+    assert(readY <= total / 2, s"hilbert read $readY of $total for the y band")
+    assert(readX <= total / 2, s"hilbert read $readX of $total for the x band")
+  }
+
   test("zone maps actually skip: sorted layout reads one shard, unsorted reads all") {
     // The pruning claim, PROVEN with scan metrics instead of asserted from
     // plan text: the same narrow range predicate over the same rows
