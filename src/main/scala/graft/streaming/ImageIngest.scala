@@ -20,42 +20,54 @@ import graft.operators.ImageDedup
   */
 object ImageIngest {
 
-  /** One corpus version's staged dHash band index. */
+  /** One corpus version's staged dHash band index. `canonical` records
+    * which hash family built it — probes MUST hash the same way, so the
+    * flag rides the state, not the start call. */
   final case class CorpusImageIndex(banded: DataFrame, maxHamming: Int,
-                                    version: Long) extends Gate.Versioned
+                                    version: Long,
+                                    canonical: Boolean = false) extends Gate.Versioned
 
   /** Decode + hash the corpus once and stage its banded fingerprints.
     * `corpus` is an (id, payload) relation addressed by the two column
-    * names. */
+    * names. `canonical = true` builds the ROTATION/FLIP-robust gate: the
+    * index holds [[ImageDedup.dhashCanonical]] D4-minimum hashes, so a
+    * rotated or mirrored re-upload pairs at Hamming 0 where the plain
+    * dHash gate provably misses it (`StreamingImageSpec`); images under
+    * 9×9 px drop out instead of 9×8. */
   def buildIndex(corpus: DataFrame, idCol: String, payloadCol: String,
-                 maxHamming: Int = 3, version: Long = 0L): CorpusImageIndex =
+                 maxHamming: Int = 3, version: Long = 0L,
+                 canonical: Boolean = false): CorpusImageIndex =
     CorpusImageIndex(
       graft.sources.Tables.stage(
-        ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol), maxHamming)),
-      maxHamming, version)
+        ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol, canonical),
+          maxHamming)),
+      maxHamming, version, canonical)
 
-  /** (id, h) dHash relation for an (id, payload) relation; undecodable
-    * or sub-grid images drop out (no perceptual fingerprint). */
-  def dhashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+  /** (id, h) hash relation for an (id, payload) relation — plain dHash,
+    * or the canonical D4 minimum when `canonical`; undecodable or
+    * sub-grid images drop out (no perceptual fingerprint). */
+  def dhashes(df: DataFrame, idCol: String, payloadCol: String,
+              canonical: Boolean = false): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
       .flatMap { case (id, payload) =>
-        graft.operators.Media.dhash64(payload).map(h => (id, h))
+        (if (canonical) ImageDedup.dhashCanonical(payload)
+         else graft.operators.Media.dhash64(payload)).map(h => (id, h))
       }(Encoders.product[(Long, Long)])
       .toDF("id", "h")
 
   /** Start the per-batch dedup loop: each micro-batch's images are
-    * decoded, hashed, and probed against the persisted index
-    * ([[ImageDedup.dhashPairsAgainstIndex]] — batch side broadcasts);
-    * `onBatch` receives the (da = batch id, db = corpus id, hamming) pair
-    * relation plus (corpusVersion, batchId). */
+    * decoded, hashed with the INDEX's hash family, and probed against the
+    * persisted index ([[ImageDedup.dhashPairsAgainstIndex]] — batch side
+    * broadcasts); `onBatch` receives the (da = batch id, db = corpus id,
+    * hamming) pair relation plus (corpusVersion, batchId). */
   def start(stream: Stream, state: AtomicReference[CorpusImageIndex],
             idCol: String, payloadCol: String,
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.start(stream, state, checkpoint) { (batch, st) =>
       ImageDedup.dhashPairsAgainstIndex(
-        dhashes(batch, idCol, payloadCol), st.banded, st.maxHamming)
+        dhashes(batch, idCol, payloadCol, st.canonical), st.banded, st.maxHamming)
     }(onBatch)
 
   /** SELF-GROWING image index state: the staged banded-fingerprint
@@ -65,24 +77,29 @@ object ImageIngest {
   final case class GrowingImageIndex(banded: DataFrame, path: String,
                                      tombstonesPath: String,
                                      maxHamming: Int, version: Long,
-                                     foldedBatch: Long = -1L)
+                                     foldedBatch: Long = -1L,
+                                     canonical: Boolean = false)
     extends Gate.Folded
 
   /** Decode + hash the initial corpus once, capturing the banded index's
     * directory for fold appends (plus an empty tombstone relation for
-    * [[retire]]). */
+    * [[retire]]). `canonical` selects the rotation/flip-robust D4 hash
+    * family (see [[buildIndex]]); folds hash with the same family. */
   def buildGrowingIndex(corpus: DataFrame, idCol: String, payloadCol: String,
-                        maxHamming: Int = 3, version: Long = 0L): GrowingImageIndex = {
+                        maxHamming: Int = 3, version: Long = 0L,
+                        canonical: Boolean = false): GrowingImageIndex = {
     val spark = corpus.sparkSession
     val st = graft.sources.Tables.stageTracked(
-      ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol), maxHamming))
+      ImageDedup.bandedKeys(dhashes(corpus, idCol, payloadCol, canonical),
+        maxHamming))
     val tb = graft.sources.Tables.stageTracked(
       spark.createDataset(Seq.empty[Long])(
         org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
     require(st.path.isDefined && tb.path.isDefined,
       "buildGrowingIndex requires parquet staging mode (set graft.stage.dir): " +
         "the growing gate folds by appending to the persisted index directory")
-    GrowingImageIndex(st.df, st.path.get, tb.path.get, maxHamming, version)
+    GrowingImageIndex(st.df, st.path.get, tb.path.get, maxHamming, version,
+      canonical = canonical)
   }
 
   /** The probe-visible index: grown banding minus tombstoned ids (the
@@ -102,10 +119,11 @@ object ImageIngest {
   def restoreGrowingIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, tombstonesPath: String,
                           maxHamming: Int = 3,
-                          version: Long = 0L, foldedBatch: Long = -1L): GrowingImageIndex = {
+                          version: Long = 0L, foldedBatch: Long = -1L,
+                          canonical: Boolean = false): GrowingImageIndex = {
     Gate.pruneGrown(spark, path, foldedBatch)
     val skeleton = GrowingImageIndex(null, path, tombstonesPath,
-      maxHamming, version, foldedBatch)
+      maxHamming, version, foldedBatch, canonical)
     skeleton.copy(banded = liveBanded(spark, skeleton))
   }
 
@@ -130,7 +148,7 @@ object ImageIngest {
                    checkpoint: Option[String] = None)(
                    onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
-      val h = dhashes(batch, idCol, payloadCol)
+      val h = dhashes(batch, idCol, payloadCol, st.canonical)
       val pairs = ImageDedup.dhashPairsAgainstIndex(h, st.banded, st.maxHamming)
       Gate.growDir(ImageDedup.bandedKeys(h, st.maxHamming), st.path, batchId)
       (pairs, st.copy(banded = liveBanded(batch.sparkSession, st),

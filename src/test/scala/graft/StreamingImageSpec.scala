@@ -101,6 +101,52 @@ class StreamingImageSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("canonical gate: a rotated re-upload pairs at Hamming 0 where the plain gate misses it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // rotated payload: pixel (x, y) of the copy = original (y, 31-x) —
+      // a lossless 90° republication.
+      def rotated(b: Array[Byte]): Array[Byte] = {
+        val p = Media.decodePixels(b).get
+        Media.encodePng(p.height, p.width, (x, y) =>
+          p.argb((p.width - 1 - x) * p.width + y) & 0xffffff)
+      }
+      val corpus = (0 until 12).map(b => (b.toLong, blockImage(b.toLong)))
+        .toDF("img_id", "payload")
+      val plain = new java.util.concurrent.atomic.AtomicReference(
+        ImageIngest.buildIndex(corpus, "img_id", "payload", maxHamming = 7))
+      val canon = new java.util.concurrent.atomic.AtomicReference(
+        ImageIngest.buildIndex(corpus, "img_id", "payload", maxHamming = 7,
+          canonical = true))
+
+      val batch = Seq((700L, rotated(blockImage(3L))))
+      val schema = StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType)))
+      def run(state: java.util.concurrent.atomic.AtomicReference[ImageIngest.CorpusImageIndex]): Set[(Long, Long, Long)] = {
+        val ms = MemoryStream[KMsg]
+        val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+        val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+        val q = ImageIngest.start(s, state, "value.img_id", "value.payload") {
+          (pairs, _, _) => got ++= pairs.as[(Long, Long, Long)].collect()
+        }
+        val payloads = batch.toDF("img_id", "payload")
+          .select(to_json(struct(col("img_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+        q.stop()
+        got.toSet
+      }
+      assert(run(plain).isEmpty,
+        "the plain dHash gate must provably lose the rotated copy")
+      assert(run(canon) == Set((700L, 3L, 0L)),
+        "the canonical gate must flag the rotation at Hamming 0")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("dhashPairsAgainstIndex: batch broadcasts, corpus side never shuffles") {
     val hashes = (0 until 50).map(i => (i.toLong, i.toLong * 1234567L)).toDF("id", "h")
     val idx = graft.operators.ImageDedup.bandedKeys(hashes, maxHamming = 7)
