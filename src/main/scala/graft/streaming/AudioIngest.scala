@@ -22,9 +22,15 @@ import graft.operators.{Media, TextDedup}
 object AudioIngest {
 
   /** One corpus version's staged shingle relation + exploded index, with
-    * the window parameters probes must match. */
+    * the window parameters probes must match. `rateNorm = Some((hopsPerSec,
+    * winHops))` selects the RESAMPLE-robust time-normalized grid
+    * ([[Media.audioShinglesRate]] — win/hop are then ignored): a re-upload
+    * at a different sample rate pairs where the sample-sized grid provably
+    * misses it. The flag rides the state so probes always hash the way the
+    * index was built. */
   final case class CorpusAudioIndex(shingled: DataFrame, ex: DataFrame,
-                                    win: Int, hop: Int, version: Long)
+                                    win: Int, hop: Int, version: Long,
+                                    rateNorm: Option[(Int, Int)] = None)
     extends Gate.Versioned
 
   /** Parse + shingle the corpus once and stage the (id, sh) relation and
@@ -32,37 +38,44 @@ object AudioIngest {
     * addressed by the two column names. */
   def buildIndex(corpus: DataFrame, idCol: String, payloadCol: String,
                  win: Int = 1024, hop: Int = 256,
-                 version: Long = 0L): CorpusAudioIndex = {
+                 version: Long = 0L,
+                 rateNorm: Option[(Int, Int)] = None): CorpusAudioIndex = {
     val sh = graft.sources.Tables.stage(
-      shingles(corpus, idCol, payloadCol, win, hop))
+      shingles(corpus, idCol, payloadCol, win, hop, rateNorm))
     CorpusAudioIndex(sh,
       graft.sources.Tables.stage(
         sh.select(col("id"), explode(col("sh")).as("s"))),
-      win, hop, version)
+      win, hop, version, rateNorm)
   }
 
   /** (id, sh) contour-shingle relation for an (id, payload) relation;
-    * unparseable or too-short recordings drop out. */
+    * unparseable or too-short recordings drop out (as do, in rate mode,
+    * recordings whose sample rate the hop grid cannot align to). */
   def shingles(df: DataFrame, idCol: String, payloadCol: String,
-               win: Int, hop: Int): DataFrame =
+               win: Int, hop: Int,
+               rateNorm: Option[(Int, Int)] = None): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
       .flatMap { case (id, payload) =>
-        Media.audioShingles64(payload, win, hop).map(sh => (id, sh))
+        (rateNorm match {
+          case Some((hps, wh)) => Media.audioShinglesRate(payload, hps, wh)
+          case None            => Media.audioShingles64(payload, win, hop)
+        }).map(sh => (id, sh))
       }(Encoders.product[(Long, Array[Long])])
       .toDF("id", "sh")
 
   /** Start the per-batch dedup loop: each micro-batch's recordings are
-    * parsed, shingled, and probed against the persisted index; `onBatch`
-    * receives the (da = batch id, db = corpus id, c_ab, c_ba) containment
-    * pair relation plus (corpusVersion, batchId). */
+    * parsed, shingled with the INDEX's grid, and probed against the
+    * persisted index; `onBatch` receives the (da = batch id, db = corpus
+    * id, c_ab, c_ba) containment pair relation plus (corpusVersion,
+    * batchId). */
   def start(stream: Stream, state: AtomicReference[CorpusAudioIndex],
             idCol: String, payloadCol: String, threshold: Double,
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.start(stream, state, checkpoint) { (batch, st) =>
       TextDedup.containmentPairsAgainstIndex(
-        shingles(batch, idCol, payloadCol, st.win, st.hop),
+        shingles(batch, idCol, payloadCol, st.win, st.hop, st.rateNorm),
         st.shingled, st.ex, threshold)
     }(onBatch)
 }

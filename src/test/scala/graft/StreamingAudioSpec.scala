@@ -111,6 +111,52 @@ class StreamingAudioSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("rate-normalized gate: a resampled re-upload is flagged where the sample grid misses it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // corpus at 16 kHz (4 samples per 1/4000 s hop); the re-upload is
+      // its exact 2× decimation at 8 kHz AND half volume.
+      def wavAt(rate: Int, perWin: Int, base: Long, windows: Int,
+                f: Int => Int = identity): Array[Byte] =
+        Media.wavBytes(rate,
+          Array.tabulate(windows * perWin)(i => f(amp(base, i / perWin)).toShort))
+      val corpus = (0L until 8L).map(b => (b, wavAt(16000, 4, b, 130)))
+        .toDF("rec_id", "payload")
+      val rateState = new java.util.concurrent.atomic.AtomicReference(
+        AudioIngest.buildIndex(corpus, "rec_id", "payload",
+          rateNorm = Some((4000, 1))))
+      val sampleState = new java.util.concurrent.atomic.AtomicReference(
+        AudioIngest.buildIndex(corpus, "rec_id", "payload", win = 4, hop = 4))
+
+      val batch = Seq((700L, wavAt(8000, 2, 3L, 130, _ / 2)))
+      val schema = StructType(Seq(
+        StructField("rec_id", LongType), StructField("payload", BinaryType)))
+      def run(state: java.util.concurrent.atomic.AtomicReference[AudioIngest.CorpusAudioIndex]): Set[(Long, Long)] = {
+        val ms = MemoryStream[KMsg]
+        val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+        val got = scala.collection.mutable.Set.empty[(Long, Long)]
+        val q = AudioIngest.start(s, state, "value.rec_id", "value.payload",
+          threshold = 0.85) { (pairs, _, _) =>
+          got ++= pairs.select("da", "db").as[(Long, Long)].collect()
+        }
+        val payloads = batch.toDF("rec_id", "payload")
+          .select(to_json(struct(col("rec_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+        q.stop()
+        got.toSet
+      }
+      assert(run(sampleState).isEmpty,
+        "the sample-sized grid must provably lose the resampled copy")
+      assert(run(rateState) == Set((700L, 3L)),
+        "the time-normalized gate must flag the resampled re-upload")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("containmentPairsAgainstIndex: batch broadcasts, corpus never shuffles") {
     val corpusSh = (0 until 40)
       .map(i => (i.toLong, Array.tabulate(10)(j => (i * 100 + j).toLong)))
