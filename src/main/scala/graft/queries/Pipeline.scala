@@ -223,8 +223,8 @@ object Pipeline {
     }, Some(s"""
       WITH RECURSIVE
       -- A: repeated spans (x_dedup_substring CTEs) + token-drop cleaning
-      t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
-      w AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos,
+      t AS MATERIALIZED (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+      w AS MATERIALIZED (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos,
                    unnest(list_transform(range(0, len(toks) - 7),
                      i -> md5(array_to_string(toks[i+1 : i+8], ' ')))) AS h
             FROM t),
@@ -248,7 +248,7 @@ object Pipeline {
                 WHERE NOT EXISTS (SELECT 1 FROM spans z
                                   WHERE z.doc_id = k.doc_id
                                     AND k.p BETWEEN z.s AND z.e)),
-      clean AS (SELECT c0.doc_id, d0.source, c0.text_clean, c0.ntc FROM (
+      clean AS MATERIALIZED (SELECT c0.doc_id, d0.source, c0.text_clean, c0.ntc FROM (
                   SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
                          CAST(COUNT(*) AS BIGINT) AS ntc
                   FROM keptt GROUP BY doc_id) c0
@@ -262,7 +262,7 @@ object Pipeline {
                       list_transform(range(1, len(ctoks)),
                         i -> array_to_string(ctoks[i:i+1], ' ')))) AS feat
              FROM ctk),
-      ex AS (SELECT doc_id, pos2, substr(md5(feat), 1, 3) AS bk FROM fx),
+      ex AS MATERIALIZED (SELECT doc_id, pos2, substr(md5(feat), 1, 3) AS bk FROM fx),
       g AS (SELECT (COALESCE(CAST(SUM(CASE WHEN pos2 THEN 1 ELSE 0 END) AS BIGINT),
                              CAST(0 AS BIGINT)) * 1000000)
                      // CAST(COUNT(*) AS BIGINT) AS prior FROM ex),
@@ -273,27 +273,27 @@ object Pipeline {
              FROM ex GROUP BY bk),
       sc AS (SELECT e2.doc_id, CAST(SUM(w2.wt) AS BIGINT) AS score
              FROM ex e2 JOIN wc w2 USING (bk) GROUP BY e2.doc_id),
-      k1 AS (SELECT c1.doc_id, c1.source, c1.text_clean, c1.ntc, s1.score
+      k1 AS MATERIALIZED (SELECT c1.doc_id, c1.source, c1.text_clean, c1.ntc, s1.score
              FROM clean c1 JOIN sc s1 ON c1.doc_id = s1.doc_id
              WHERE s1.score >= 0),
       -- C: MinHash+LSH pairs (x_pipeline_curate CTEs) + CC + canonical keep
-      d3 AS (SELECT doc_id,
+      d3 AS MATERIALIZED (SELECT doc_id,
                     list_distinct(list_transform(
                       range(1, greatest(len(ctoks3) - 2, 1) + 1),
                       i -> array_to_string(ctoks3[i:i+2], ' '))) AS sh3
              FROM (SELECT doc_id, string_split(text_clean, ' ') AS ctoks3 FROM k1)),
-      sg AS (SELECT doc_id, sh3,
+      sg AS MATERIALIZED (SELECT doc_id, sh3,
                     list_transform(range(0, 12),
                       i -> list_min(list_transform(sh3,
                         s2 -> md5(CAST(i AS VARCHAR) || '|' || s2)))) AS sig
              FROM d3),
-      bd AS (SELECT doc_id,
+      bd AS MATERIALIZED (SELECT doc_id,
                     unnest(list_transform(range(0, 4),
                       b -> md5(CAST(b AS VARCHAR) || '|' || sig[3*b+1] || sig[3*b+2] || sig[3*b+3]))) AS band_key
              FROM sg),
       cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
                FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      vp AS (SELECT da, db FROM (
+      vp AS MATERIALIZED (SELECT da, db FROM (
                SELECT da, db,
                       len(list_filter(sa.sh3, x -> list_contains(sb.sh3, x))) AS inter,
                       len(sa.sh3) AS na, len(sb.sh3) AS nb
@@ -309,15 +309,15 @@ object Pipeline {
                     ROW_NUMBER() OVER (PARTITION BY c2.component
                                        ORDER BY k.ntc DESC, c2.doc_id ASC) AS rn
              FROM comp c2 JOIN k1 k ON c2.doc_id = k.doc_id),
-      k2 AS (SELECT * FROM k1
+      k2 AS MATERIALIZED (SELECT * FROM k1
              WHERE doc_id NOT IN (SELECT doc_id FROM rk WHERE rn > 1)),
       -- D: SemDeDup on survivor embeddings (x_dedup_semantic CTEs)
-      e4 AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+      e4 AS MATERIALIZED (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
              FROM embeddings),
       cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
                 FROM e4 WHERE vec_id < 8),
-      surv AS (SELECT e4.* FROM e4 JOIN k2 ON e4.vec_id = k2.doc_id),
-      assigned AS (
+      surv AS MATERIALIZED (SELECT e4.* FROM e4 JOIN k2 ON e4.vec_id = k2.doc_id),
+      assigned AS MATERIALIZED (
         SELECT vec_id, embedding, nrm, cent_id FROM (
           SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
                  ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -330,7 +330,7 @@ object Pipeline {
         FROM assigned a JOIN assigned b
           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
         WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45),
-      k3 AS (SELECT k2.* FROM k2
+      k3 AS MATERIALIZED (SELECT k2.* FROM k2
              WHERE k2.doc_id IN (SELECT vec_id FROM assigned)
                AND k2.doc_id NOT IN (SELECT vec_id FROM dropped)),
       -- E: temperature mix (x_source_temperature CTEs over survivors)
@@ -342,7 +342,7 @@ object Pipeline {
                        CASE WHEN n_tokens = min_tokens THEN 'g'
                             ELSE lower(lpad(hex(CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) * 4294967296) AS BIGINT)), 8, '0')) END AS th
                 FROM per CROSS JOIN mn),
-      k4 AS (SELECT k3.* FROM k3 JOIN rates r USING (source)
+      k4 AS MATERIALIZED (SELECT k3.* FROM k3 JOIN rates r USING (source)
              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < r.th),
       -- F: BPE-budget pack (x_token_bpe CTEs; dictionary from the full
       -- corpus, a superset of any cleaned text's vocabulary)
