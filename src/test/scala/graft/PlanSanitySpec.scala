@@ -58,6 +58,10 @@ class PlanSanitySpec extends SparkSpec {
       // Graph.incrementalTriangles reads staged pair/edge/adjacency
       // relations only (no corpus attach in the triangle contract).
       "x_triangles_incremental",
+      // Graph.kCore's result is the degree aggregate over the FINAL
+      // peel round's staged arc relation — the loop stages per round
+      // (the CC discipline), so the visible plan starts there.
+      "x_graph_kcore",
       // x_pipeline_modern stages the cleaned corpus once (the one corpus
       // scan, through the span machinery); every later stage reads it or
       // a staged derivative, so the visible plan starts at staged
