@@ -312,6 +312,44 @@ object DedupIngest {
       st.expectedItems, st.fpp, st.foldedBatch)
   }
 
+  /** AUDIT-REPLAY: the probe-visible [[CorpusState]] AS OF fold `fold`,
+    * reconstructed purely from the growing directories' sink-log
+    * manifests ([[Gate.readGrownAsOf]]; `fold = -1` is the pre-fold
+    * initial corpus). [[gateBatch]] against `auditState(st, b - 1)`
+    * replays the exact verdicts batch `b` received when it was ingested
+    * (spec-pinned bitwise) — the "why was this document dropped three
+    * weeks ago" question every growing corpus accumulates, answered
+    * without having persisted any per-fold state beyond what the folds
+    * already wrote. The bloom filter rebuilds from the as-of digests
+    * under the state's fixed sizing — the filter the live gate held at
+    * that fold (grown filters are spec-pinned byte-identical to fresh
+    * union builds), and any bit drift is verdict-irrelevant anyway (a
+    * bloom positive only routes rows to the exact settle).
+    *
+    * TOMBSTONES ARE ALWAYS CURRENT, never time-traveled: a takedown is
+    * retroactive by intent — an audit must not resurface retired
+    * content — so verdicts involving since-retired documents replay as
+    * if those documents never existed (the one documented divergence
+    * from the historical record). `compactGrowingState` starts fresh
+    * roots and therefore truncates auditability to post-compaction
+    * folds (the VACUUM trade, stated at [[Gate.readGrownAsOf]]). */
+  def auditState(spark: org.apache.spark.sql.SparkSession,
+                 st: GrowingState, fold: Long): CorpusState = {
+    val tombs = Gate.readGrown(spark, st.tombstonesPath)
+    val dg = Gate.readGrownAsOf(spark, st.digestsPath, fold)
+      .join(broadcast(tombs.select(col("id").as("db"))), Seq("db"), "left_anti")
+    CorpusState(
+      CorpusIndex(
+        Gate.readGrownAsOf(spark, st.shingledPath, fold)
+          .join(broadcast(tombs), Seq("id"), "left_anti"),
+        Gate.readGrownAsOf(spark, st.bandPath, fold)
+          .join(broadcast(tombs), Seq("id"), "left_anti"),
+        st.cs.index.n, st.cs.index.k, st.cs.index.bands),
+      dg,
+      BloomDedup.buildFilter(dg, "__digest", st.expectedItems, st.fpp),
+      fold)
+  }
+
   /** One micro-batch through the gate-then-grow step (see
     * [[startGatedGrowing]]) — exposed so composed loops
     * ([[CurateIngest]]) and specs can run the exact fold the stream

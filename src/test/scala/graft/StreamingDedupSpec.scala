@@ -326,6 +326,61 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("auditState: any past fold's verdicts replay from the manifests alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id")).limit(30).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // planted cross-batch copies make each fold's verdict set distinct.
+      val b0 = fresh.take(10).toSeq
+      val b1 = Seq((500001L, fresh.head._2)) ++ fresh.slice(10, 20).toSeq
+      val b2 = Seq((600001L, fresh(10)._2)) ++ fresh.drop(20).toSeq
+      var st = DedupIngest.buildGrowingState(corpus, "doc_id", "text",
+        capacityItems = 10000L)
+      def verdicts(e: org.apache.spark.sql.DataFrame,
+                   nr: org.apache.spark.sql.DataFrame) =
+        (e.as[(Long, Long)].collect().toSet,
+          nr.select(col("da"), col("db")).as[(Long, Long)].collect().toSet)
+      val recorded = Seq(b0, b1, b2).zipWithIndex.map { case (b, i) =>
+        val ((e, nr), next) = DedupIngest.foldBatch(
+          b.toDF("doc_id", "text"), st, "doc_id", "text", 0.5, None, i.toLong)
+        val v = verdicts(e, nr)
+        st = next
+        v
+      }
+      assert(recorded.map(_._1).distinct.size == 3,
+        s"fixture must give each fold a distinct exact-verdict set: $recorded")
+      assert(recorded(1)._1.contains((500001L, fresh.head._1)))
+
+      // audit replay: batch i against auditState(st, i-1) — bitwise the
+      // recorded verdicts, reconstructed from the manifests alone (no
+      // per-fold state was persisted anywhere else).
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        val audit = DedupIngest.auditState(spark, st, i - 1L)
+        val (e, nr) = DedupIngest.gateBatch(
+          b.toDF("doc_id", "text"), audit, "doc_id", "text")
+        assert(verdicts(e, nr) == recorded(i), s"audit replay of fold $i")
+      }
+
+      // retroactive takedown: retiring the doc b1's copy matched ERASES
+      // that verdict from b1's audit replay — tombstones are always
+      // current by design (an audit must not resurface retired content).
+      val st2 = DedupIngest.retire(st, Seq(fresh.head._1).toDF("id"), tag = 77L)
+      val audit1 = DedupIngest.auditState(spark, st2, 0L)
+      val (e1, _) = DedupIngest.gateBatch(
+        b1.toDF("doc_id", "text"), audit1, "doc_id", "text")
+      assert(!e1.as[(Long, Long)].collect().toSet
+        .contains((500001L, fresh.head._1)),
+        "retired content must not resurface in audit replays")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("retire: tombstoned docs leave every probe; re-ingest is novel; compaction purges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
