@@ -283,6 +283,78 @@ object TypedAggregators {
     val maxRank = 60 - p + 1
     registers.iterator.map(r => 1L << (maxRank - r)).sum
   }
+
+  final case class CmsBuf(m: Map[Long, Long])
+
+  /** Mergeable FREQUENCY sketch: count–min (Cormode & Muthukrishnan 2005)
+    * over [[hash60]]. `depth` rows of 2^`widthBits` counters; item x with
+    * weight w adds w to cell (j, h_j(x)) in every row j, where h_j(x) is
+    * bit-slice j of the one md5-derived hash: (h >> j·widthBits) mod 2^
+    * widthBits (depth·widthBits ≤ 60, so the slices are disjoint bits of
+    * one uniform hash — and each slice is floor-div/mod arithmetic both
+    * engines can state exactly). Like [[HllRegisters]] — and unlike
+    * [[FrequentItems]] — the cell state is a pure order/partitioning-
+    * independent function of the input MULTISET (sums commute), so the
+    * sketch is oracle-checked BITWISE (x_sketch_cms) and per-batch folding
+    * is cell-wise addition ≡ full recompute exactly. One contrast worth
+    * stating: HLL's max is idempotent (a double-folded batch is harmless);
+    * CMS addition is NOT — the [[graft.streaming.Gate.Folded]] replay
+    * fence is load-bearing for the frequency gate.
+    *
+    * Estimates ([[cmsEstimate]]: min over rows of the item's cells) are
+    * ONE-SIDED: est(x) ≥ true(x) always (cells only ever gain mass), with
+    * the usual ε = e/width overestimate bound in expectation. So
+    * `est(x) < T` PROVES x is not a heavy hitter — the pruning direction
+    * x_heavy_hitters and the frequency gate build on: the sketch filter
+    * can only pass false POSITIVES, which an exact count-then-HAVING pass
+    * removes, leaving the final answer exact. */
+  final class CmsCounts(depth: Int, widthBits: Int)
+      extends Aggregator[(String, Long), CmsBuf, Seq[Long]] {
+    require(depth >= 1 && depth <= 6, s"depth=$depth")
+    require(widthBits >= 4 && widthBits <= 12, s"widthBits=$widthBits")
+    require(depth * widthBits <= 60, s"depth*widthBits must fit hash60")
+    private val width = 1 << widthBits
+    private val mask = (width - 1).toLong
+    override def zero: CmsBuf = CmsBuf(Map.empty)
+    override def reduce(b: CmsBuf, a: (String, Long)): CmsBuf = {
+      val h = hash60(a._1)
+      var m = b.m
+      var j = 0
+      while (j < depth) {
+        val idx = j.toLong * width + ((h >>> (j * widthBits)) & mask)
+        m = m.updated(idx, m.getOrElse(idx, 0L) + a._2)
+        j += 1
+      }
+      CmsBuf(m)
+    }
+    override def merge(x: CmsBuf, y: CmsBuf): CmsBuf =
+      CmsBuf(y.m.foldLeft(x.m) { case (acc, (i, c)) =>
+        acc.updated(i, acc.getOrElse(i, 0L) + c)
+      })
+    override def finish(b: CmsBuf): Seq[Long] =
+      Seq.tabulate(depth * width)(i => b.m.getOrElse(i.toLong, 0L))
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** min over rows of `item`'s cells — the (over-estimating) count–min
+    * point estimate; see [[CmsCounts]]. */
+  def cmsEstimate(cells: Seq[Long], depth: Int, widthBits: Int,
+                  item: String): Long = {
+    val width = 1 << widthBits
+    val mask = (width - 1).toLong
+    val h = hash60(item)
+    (0 until depth).iterator
+      .map(j => cells(j * width + ((h >>> (j * widthBits)) & mask).toInt))
+      .min
+  }
+
+  /** Cell-wise sum of two same-shape sketches — the exact CMS merge. */
+  def cmsMerge(x: Seq[Long], y: Seq[Long]): Seq[Long] = {
+    require(x.size == y.size, s"shape mismatch: ${x.size} vs ${y.size}")
+    x.lazyZip(y).map(_ + _)
+  }
 }
 
 final case class MeanStdResult(mean: Double, std: Double)

@@ -381,8 +381,138 @@ object TextAnalysis {
                   ON idx.lang = regs.lang AND idx.j = regs.j)
       SELECT lang, list(m ORDER BY j) AS registers,
              CAST(SUM(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT) AS scale_sum
-      FROM dense GROUP BY lang ORDER BY lang"""))
+      FROM dense GROUP BY lang ORDER BY lang""")),
+
+    // ----------------------- mergeable frequency sketch (count–min cells)
+    // Per-language count–min sketch (TypedAggregators.CmsCounts, depth 4 ×
+    // width 256) over token occurrences. Like the HLL registers — and
+    // unlike Misra–Gries — the cell state is a pure order/partitioning-
+    // independent function of the input MULTISET (cell-wise sums commute),
+    // so the sketch itself is oracle-checked BITWISE. Row j's hash is bit
+    // slice j of ONE md5-derived 60-bit hash (floor-div/mod arithmetic
+    // both engines state exactly); the point estimate (min over rows of
+    // the probed cells) is one-sided: est ≥ true count always — est_join
+    // upper-bounds a common token, est_absent shows the absent-token
+    // floor. Scale shape: map-side partial 1024-cell buffers merge across
+    // the shuffle; token rows never shuffle.
+    Q("x_sketch_cms", (s, d) => {
+      import s.implicits._
+      val toks = fanOut(documents(s, d))
+        .select(col("lang"), explode(expr("split(text, ' ')")).as("t"))
+        .as[(String, String)]
+      toks.groupByKey(_._1).mapValues(p => (p._2, 1L))
+        .agg(new graft.operators.TypedAggregators.CmsCounts(4, 8)
+          .toColumn.name("cells"))
+        .toDF("lang", "cells")
+        .select(col("lang"), col("cells"),
+          expr("CAST(aggregate(cells, CAST(0 AS BIGINT), (acc, c) -> acc + c) div 4 AS BIGINT)")
+            .as("total_weight"),
+          expr(sparkCmsEst("cells", "'join'")).as("est_join"),
+          expr(sparkCmsEst("cells", "'zzz-absent'")).as("est_absent"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      hh AS (SELECT lang, ${duckHash60("t")} AS h FROM tok),
+      js AS (SELECT unnest(range(0, 4)) AS j),
+      cidx AS (SELECT lang,
+                      CAST(j * 256 + (h // (CASE j WHEN 0 THEN 1
+                                                   WHEN 1 THEN 256
+                                                   WHEN 2 THEN 65536
+                                                   ELSE 16777216 END)) % 256
+                           AS BIGINT) AS idx
+               FROM hh CROSS JOIN js),
+      sums AS (SELECT lang, idx, COUNT(*) AS cnt FROM cidx GROUP BY lang, idx),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      grid AS (SELECT lang, unnest(range(0, 1024)) AS idx FROM langs),
+      dense AS (SELECT grid.lang, grid.idx,
+                       COALESCE(sums.cnt, CAST(0 AS BIGINT)) AS cnt
+                FROM grid LEFT JOIN sums
+                  ON grid.lang = sums.lang AND grid.idx = sums.idx),
+      cl AS (SELECT lang, list(cnt ORDER BY idx) AS cells,
+                    CAST(SUM(cnt) // 4 AS BIGINT) AS total_weight
+             FROM dense GROUP BY lang),
+      ph AS (SELECT ${duckHash60("'join'")} AS hj,
+                    ${duckHash60("'zzz-absent'")} AS ha)
+      SELECT lang, cells, total_weight,
+             ${duckCmsEst("cells", "hj")} AS est_join,
+             ${duckCmsEst("cells", "ha")} AS est_absent
+      FROM cl CROSS JOIN ph ORDER BY lang""")),
+
+    // ------------------------ exact heavy hitters with a count–min prune
+    // Global tokens with count ≥ 900, answered EXACTLY: the count–min
+    // sketch (collected once — 1024 longs, by-contract driver-tiny) is a
+    // map-side PRE-FILTER, and because CMS only over-estimates, the filter
+    // admits a superset of the true heavy hitters; the exact
+    // count-then-HAVING pass removes the false positives, so the sketch
+    // never changes the answer — only what shuffles. Scale story: the
+    // groupBy shuffle carries ONLY candidate tokens' partial counts
+    // instead of the whole distinct token domain (the two-phase shape the
+    // Misra–Gries doc points at, made exact). The staged tf relation
+    // feeds both the sketch build and the candidate scan — one corpus
+    // scan + tokenization total.
+    Q("x_heavy_hitters", (s, d) => {
+      import s.implicits._
+      val T = 900L
+      val tf = graft.sources.Tables.stage(
+        graft.operators.Ranking.termFrequencies(
+          fanOut(documents(s, d)), "doc_id", "text"))
+      val cells = tf.select(col("token"), col("tf").cast("long"))
+        .as[(String, Long)]
+        .select(new graft.operators.TypedAggregators.CmsCounts(4, 8)
+          .toColumn.name("cells"))
+        .head()
+      tf.withColumn("__h",
+          expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("__cms", typedlit(cells))
+        .filter(expr(sparkCmsEst("__cms", "__h", hashed = true)) >= T)
+        .groupBy(col("token"))
+        .agg(sum(col("tf").cast("long")).as("n"))
+        .filter(col("n") >= T)
+        .orderBy(desc("n"), col("token"))
+        .select(col("token"), col("n"))
+    }, Some("""
+      WITH occ AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM occ GROUP BY token HAVING COUNT(*) >= 900
+      ORDER BY n DESC, token"""))
   )
+
+  /** Spark-side count–min point estimate over array column `cellsCol`
+    * (depth 4 × width 256): least over rows of element_at at bit-slice
+    * indexes of the md5-derived 60-bit hash (≡
+    * [[graft.operators.TypedAggregators.hash60]]: the md5 hex prefix of
+    * 15 digits parsed base 16 — `conv` states it in one call; DuckDB's
+    * twin is the digit fold in [[duckHash60]]). `hashed = true` means
+    * `probe` is already the hash column, not a string expression. */
+  private def sparkCmsEst(cellsCol: String, probe: String,
+                          hashed: Boolean = false): String = {
+    val h =
+      if (hashed) probe
+      else s"CAST(conv(substr(md5($probe), 1, 15), 16, 10) AS BIGINT)"
+    s"""least(
+       |  element_at($cellsCol, CAST(1 + ($h % 256) AS INT)),
+       |  element_at($cellsCol, CAST(257 + (($h div 256) % 256) AS INT)),
+       |  element_at($cellsCol, CAST(513 + (($h div 65536) % 256) AS INT)),
+       |  element_at($cellsCol, CAST(769 + (($h div 16777216) % 256) AS INT)))""".stripMargin
+  }
+
+  /** DuckDB md5-derived 60-bit hash of expression `e` — the digit-fold
+    * twin of hash60 (same form as the x_distinct_sketch oracle). */
+  private def duckHash60(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, 16), k ->
+       |    CAST(strpos('0123456789abcdef', substr(md5($e), k, 1)) - 1 AS BIGINT))),
+       |  (acc, hv) -> acc * 16 + hv)""".stripMargin
+
+  /** DuckDB twin of [[sparkCmsEst]] over list column `cellsCol` (1-based
+    * list indexing) and a precomputed hash column `hCol`. */
+  private def duckCmsEst(cellsCol: String, hCol: String): String =
+    s"""least($cellsCol[CAST(1 + ($hCol % 256) AS BIGINT)],
+       |      $cellsCol[CAST(257 + (($hCol // 256) % 256) AS BIGINT)],
+       |      $cellsCol[CAST(513 + (($hCol // 65536) % 256) AS BIGINT)],
+       |      $cellsCol[CAST(769 + (($hCol // 16777216) % 256) AS BIGINT)])""".stripMargin
 
   /** The frozen fixture vocab for the subword queries: five whole words,
     * one initial prefix (`wind`), two multi-char continuations (`##ow`,

@@ -66,7 +66,11 @@ class PlanSanitySpec extends SparkSpec {
       // scan, through the span machinery); every later stage reads it or
       // a staged derivative, so the visible plan starts at staged
       // relations.
-      "x_pipeline_modern")
+      "x_pipeline_modern",
+      // x_heavy_hitters stages the tf projection (feeds the count–min
+      // sketch build AND the candidate scan — one corpus scan total), so
+      // the visible plan starts there.
+      "x_heavy_hitters")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
