@@ -224,4 +224,117 @@ object Subword {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bpe_tokens")).as("bpe_tokens"))
   }
+
+  // ----------------------------------------------------------- unigram LM
+  // Unigram-language-model segmentation (Kudo 2018 — the SentencePiece
+  // convention T5/ALBERT/mBART tokenizers follow), the third and last of
+  // the deployed subword families: the frozen artifact is a vocabulary of
+  // pieces with SCORES, and a word tokenizes to the segmentation
+  // minimizing total cost (cost ∝ −log p, here pre-scaled frozen
+  // INTEGERS — the trained artifact ships them; no floats enter either
+  // engine). Wordpiece is a greedy heuristic and BPE replays merge
+  // history; unigram is the only one that OPTIMIZES, so its budgets can
+  // differ from both on the same vocab.
+  //
+  // Pinned determinism contract (what both engines replay bitwise):
+  // Viterbi DP over word positions, best[i] = min over piece lengths
+  // L ≤ maxLen with word[i−L+1..i] ∈ vocab of best[i−L] + cost(piece);
+  // ties break toward the LONGEST final piece. Both rules ride ONE
+  // integer: candidates compare by combo = cost·32 + (32 − L) (valid
+  // while maxLen < 32 — asserted), so the argmin is total and the winner
+  // decodes arithmetically (L = 32 − combo mod 32) — which is also what
+  // lets the DuckDB twin take a plain scalar MIN instead of an
+  // arg_min-of-struct (a correlated arg_min(struct) trips a DuckDB 1.0
+  // binder bug). A position with NO matching piece consumes one
+  // character at the frozen `unkCost` (the UNK fallback — fires exactly
+  // where the vocab's character coverage ends).
+  //
+  // Scale: same dictionary-not-corpus discipline as the other two — the
+  // DP (≤ |word| interpreted HOF steps, each O(maxLen) map probes into
+  // the typedlit vocab literal) runs once per DISTINCT word; corpus text
+  // is scanned once into the staged map-side tf projection and the token
+  // table broadcasts onto it.
+
+  /** The Viterbi fold as one SQL expression over `wordCol` (non-empty
+    * word) and `vmapCol` (the piece→cost vocab as a map<string,bigint>
+    * literal — attach with `typedlit`). Result: the full best[0..len]
+    * history as array<struct<c: bigint, ts: array<string>>> (1-based;
+    * element len+1 is the word's segmentation).
+    *
+    * Same let-binding shape as [[bpeFoldSql]]: `aggregate(array(bk),
+    * acc, …)` binds the min-combo scalar once per step; lambda variables
+    * are suffixed so nesting never shadows. */
+  def unigramFoldSql(wordCol: String, vmapCol: String, maxLen: Int,
+                     unkCost: Long): String = {
+    require(maxLen >= 1 && maxLen < 32, s"maxLen=$maxLen (combo encoding)")
+    // min combo among pieces ending at position s9 (NULL if none match)
+    val bk =
+      s"""array_min(filter(transform(sequence(1, least(s9, $maxLen)),
+         |  L2 -> IF(element_at($vmapCol, substring($wordCol, s9 - L2 + 1, L2)) IS NULL,
+         |           cast(null as bigint),
+         |           (element_at(acc, s9 - L2 + 1).c
+         |            + element_at($vmapCol, substring($wordCol, s9 - L2 + 1, L2))) * 32
+         |           + 32 - L2)),
+         |  k3 -> k3 IS NOT NULL))""".stripMargin
+    s"""aggregate(sequence(1, length($wordCol)),
+       |  array(named_struct('c', cast(0 as bigint), 'ts', array_repeat('', 0))),
+       |  (acc, s9) -> aggregate(array($bk), acc, (a6, bk6) -> concat(a6, array(
+       |    IF(bk6 IS NULL,
+       |      named_struct('c', element_at(a6, s9).c + $unkCost,
+       |        'ts', concat(element_at(a6, s9).ts, array(substring($wordCol, s9, 1)))),
+       |      named_struct('c', bk6 div 32,
+       |        'ts', concat(element_at(a6, s9 - cast(32 - bk6 % 32 as int) + 1).ts,
+       |          array(substring($wordCol, s9 - cast(32 - bk6 % 32 as int) + 1,
+       |                          cast(32 - bk6 % 32 as int))))))))))""".stripMargin
+  }
+
+  /** Tokenize a DISTINCT-word relation (column `word`, non-empty) with
+    * the frozen scored piece vocabulary. Output: (word, tokens —
+    * space-joined, n_tokens, cost — the minimized total). The dictionary
+    * table corpus-sized paths broadcast-join against. */
+  def unigramTable(words: DataFrame, pieces: Seq[(String, Long)],
+                   unkCost: Long = 100L): DataFrame = {
+    require(pieces.nonEmpty && pieces.forall(_._1.nonEmpty))
+    val maxLen = pieces.map(_._1.length).max
+    words
+      .withColumn("__uv", typedlit(pieces.toMap))
+      .withColumn("__fin", expr(
+        s"element_at(${unigramFoldSql("word", "__uv", maxLen, unkCost)}, length(word) + 1)"))
+      .select(col("word"),
+        expr("array_join(__fin.ts, ' ')").as("tokens"),
+        expr("size(__fin.ts)").cast("long").as("n_tokens"),
+        col("__fin.c").as("cost"))
+  }
+
+  /** Per-document unigram statistics: (doc_id, n_words, n_uni_tokens).
+    * Same one-corpus-scan shape as [[docSubwordCounts]]. */
+  def docUnigramCounts(docs: DataFrame, idCol: String, textCol: String,
+                       pieces: Seq[(String, Long)],
+                       unkCost: Long = 100L): DataFrame = {
+    val tf = graft.sources.Tables.stage(
+      Ranking.termFrequencies(docs, idCol, textCol))
+    val ut = unigramTable(
+      tf.select(col("token").as("word")).distinct(), pieces, unkCost)
+    tf.join(broadcast(ut), tf("token") === ut("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_tokens")).as("n_uni_tokens"))
+  }
+
+  /** [[packBySubwords]] with the budget in unigram-LM tokens — what a
+    * SentencePiece-family mix must budget by. Output: (shard, bin,
+    * n_docs, uni_tokens). */
+  def packByUnigram(docs: DataFrame, shards: Int, budgetTokens: Int,
+                    pieces: Seq[(String, Long)],
+                    unkCost: Long = 100L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docUnigramCounts(docs, "doc_id", "text", pieces, unkCost)
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("cum", sum(col("n_uni_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_uni_tokens) div $budgetTokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_uni_tokens")).as("uni_tokens"))
+  }
 }

@@ -476,7 +476,63 @@ object TextAnalysis {
                    FROM documents)
       SELECT token, CAST(COUNT(*) AS BIGINT) AS n
       FROM occ GROUP BY token HAVING COUNT(*) >= 900
-      ORDER BY n DESC, token"""))
+      ORDER BY n DESC, token""")),
+
+    // ------------------------------------- unigram-LM (Viterbi) tokenize
+    // graft.operators.Subword.unigramTable: the THIRD deployed subword
+    // family — unigram-language-model segmentation (Kudo 2018, the
+    // SentencePiece convention of T5/ALBERT/mBART): a frozen vocabulary
+    // of pieces with integer costs; a word tokenizes to the MINIMUM-cost
+    // segmentation (Viterbi DP), ties toward the longest final piece,
+    // characters outside the vocab consumed one-at-a-time at the UNK
+    // cost. The fixture exercises whole-word-beats-split ('the' 9 <
+    // th+e 18), multi-piece optima ('customer' → cust+omer), the pinned
+    // tie-break ('ba' = 'b'+'a' = 24 → 'ba' wins), and the UNK fallback
+    // ('query' — 'q' is deliberately outside the vocab). The oracle
+    // replays the identical DP as a recursive CTE carrying the best[0..i]
+    // history per level, with the same combo = cost·32 + (32 − L)
+    // argmin encoding (a scalar MIN — correlated arg_min(struct) trips a
+    // DuckDB 1.0 binder bug). Fold runs on the DISTINCT word relation.
+    Q("x_token_unigram", (s, d) => {
+      val words = fanOut(documents(s, d))
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      graft.operators.Subword.unigramTable(words, demoUnigramPieces)
+        .orderBy(col("word"))
+    }, Some(s"""
+      ${duckUnigramPrefix}
+      SELECT word, array_to_string(b.ts, ' ') AS tokens,
+             CAST(len(b.ts) AS BIGINT) AS n_tokens, b.c AS cost
+      FROM ufin ORDER BY word""")),
+
+    // ------------------------------------- pack by unigram-token budget
+    // The SentencePiece twin of x_pack_subword / x_pack_bpe: bin budgets
+    // counted in Viterbi-optimal unigram tokens. Same staged-tf +
+    // broadcast-token-table single-corpus-scan shape; same greedy
+    // sequential bin rule.
+    Q("x_pack_unigram", (s, d) => {
+      graft.operators.Subword
+        .packByUnigram(documents(s, d), shards = 8, budgetTokens = 1024,
+          pieces = demoUnigramPieces)
+        .orderBy(col("shard"), col("bin"))
+    }, Some(s"""
+      ${duckUnigramPrefix},
+      unp AS (SELECT word, CAST(len(b.ts) AS BIGINT) AS n_tokens FROM ufin),
+      uocc AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      ucnt AS (
+        SELECT uocc.doc_id, CAST(SUM(unp.n_tokens) AS BIGINT) AS n_uni
+        FROM uocc JOIN unp ON uocc.word = unp.word
+        GROUP BY uocc.doc_id),
+      uc AS (
+        SELECT doc_id % 8 AS shard, n_uni,
+               CAST(SUM(n_uni) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM ucnt)
+      SELECT shard, CAST((cum - n_uni) // 1024 AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(n_uni) AS BIGINT) AS uni_tokens
+      FROM uc GROUP BY shard, bin ORDER BY shard, bin"""))
   )
 
   /** Spark-side count–min point estimate over array column `cellsCol`
@@ -513,6 +569,72 @@ object TextAnalysis {
        |      $cellsCol[CAST(257 + (($hCol // 256) % 256) AS BIGINT)],
        |      $cellsCol[CAST(513 + (($hCol // 65536) % 256) AS BIGINT)],
        |      $cellsCol[CAST(769 + (($hCol // 16777216) % 256) AS BIGINT)])""".stripMargin
+
+  /** The frozen fixture piece vocabulary (piece → integer cost) for the
+    * unigram-LM queries, maxLen 4. Single characters at cost 12 — all of
+    * the corpus alphabet EXCEPT 'q', so 'query' deterministically hits
+    * the UNK fallback — plus multi-char pieces priced so the corpus
+    * exercises whole-word optima ('the' 9 < 't'+'h'+'e' 36), multi-piece
+    * optima ('cust'+'omer'), and one exact cost tie ('ba' 24 =
+    * 'b'+'a' 24) pinning the longest-final-piece tie-break. A production
+    * vocabulary is a trained artifact (scores ∝ −log p, pre-scaled to
+    * integers) loaded the same way. */
+  private[queries] def demoUnigramPieces: Seq[(String, Long)] =
+    "abcdefghijklmnoprstuvwy".map(c => c.toString -> 12L) ++ Seq(
+      "th" -> 6L, "the" -> 9L, "in" -> 8L, "jo" -> 15L, "join" -> 20L,
+      "sc" -> 11L, "scan" -> 17L, "er" -> 7L, "ro" -> 10L, "row" -> 13L,
+      "cust" -> 18L, "omer" -> 25L, "ta" -> 10L, "ble" -> 12L,
+      "ba" -> 24L, "tch" -> 14L, "an" -> 7L, "or" -> 8L,
+      "val" -> 16L, "ue" -> 9L, "wind" -> 21L, "ow" -> 9L,
+      "str" -> 14L, "eam" -> 13L)
+
+  private def duckUniPieces: String =
+    demoUnigramPieces.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+  private def duckUniCosts: String =
+    demoUnigramPieces.map(_._2).mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[graft.operators.Subword.unigramFoldSql]] as a
+    * RECURSIVE-CTE prefix ending in `ufin(word, b)` with
+    * b = struct(c: total cost, ts: tokens): the identical Viterbi DP,
+    * one position per recursion level, the row carrying the best[0..i]
+    * HISTORY as a list of structs (a recursive CTE only sees the
+    * previous level, and best[i] needs best[i−maxLen..i−1]). The argmin
+    * is the same combo = cost·32 + (32 − L) scalar MIN the Spark fold
+    * uses — a correlated arg_min(struct) trips a DuckDB 1.0 binder bug
+    * ("Need named argument for struct pack") under decorrelation, a
+    * scalar MIN decorrelates fine; the winner decodes arithmetically. */
+  private def duckUnigramPrefix: String =
+    s"""WITH RECURSIVE uv AS (
+       |  SELECT unnest($duckUniPieces) AS piece, unnest($duckUniCosts) AS cost),
+       |uw3 AS (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  WHERE word <> ''),
+       |usteps AS (
+       |  SELECT word, 0 AS i,
+       |         [struct_pack(c := CAST(0 AS BIGINT), ts := CAST([] AS VARCHAR[]))] AS hist
+       |  FROM uw3
+       |  UNION ALL
+       |  SELECT t.word, t.p AS i,
+       |         list_append(t.hist,
+       |           CASE WHEN t.bk IS NULL THEN
+       |             struct_pack(c := t.hist[t.p].c + 100,
+       |                         ts := list_append(t.hist[t.p].ts, substr(t.word, t.p, 1)))
+       |           ELSE
+       |             struct_pack(c := t.bk // 32,
+       |                         ts := list_append(t.hist[t.p - (32 - t.bk % 32) + 1].ts,
+       |                                 substr(t.word, CAST(t.p - (32 - t.bk % 32) + 1 AS INT),
+       |                                        CAST(32 - t.bk % 32 AS INT))))
+       |           END)
+       |  FROM (
+       |    SELECT s.word, s.i + 1 AS p, s.hist,
+       |           (SELECT MIN((s.hist[s.i + 2 - lr.L].c + u2.cost) * 32 + 32 - lr.L)
+       |            FROM (SELECT unnest(range(1, 5)) AS L) lr
+       |            JOIN uv u2 ON u2.piece = substr(s.word, CAST(s.i + 2 - lr.L AS INT), CAST(lr.L AS INT))
+       |            WHERE lr.L <= s.i + 1) AS bk
+       |    FROM usteps s WHERE s.i < length(s.word)) t),
+       |ufin AS (SELECT word, hist[length(word) + 1] AS b FROM usteps
+       |         WHERE i = length(word))""".stripMargin
 
   /** The frozen fixture vocab for the subword queries: five whole words,
     * one initial prefix (`wind`), two multi-char continuations (`##ow`,

@@ -51,7 +51,7 @@ class PlanSanitySpec extends SparkSpec {
       // Subword.docSubwordCounts stages the tf projection (feeds the
       // distinct-word tokenize relation AND the per-doc aggregate);
       // docBpeCounts is the same shape with the BPE token table.
-      "x_pack_subword", "x_pack_bpe",
+      "x_pack_subword", "x_pack_bpe", "x_pack_unigram",
       // Ranking.qualityClassifier stages the feature projection (feeds
       // the weight aggregate AND the scoring probe).
       "x_quality_classifier",
@@ -122,9 +122,10 @@ class PlanSanitySpec extends SparkSpec {
       // shards IS the packing parallelism parameter (8 only for the
       // oracle fixture).
       "x_quality_gate", "q_percentile_bucketed", "x_pack_subword",
-      // x_pack_bpe / x_pipeline_modern: the same shard-window pack step
-      // (shards = the packing parallelism parameter, 8 for the fixture).
-      "x_pack_bpe", "x_pipeline_modern")
+      // x_pack_bpe / x_pack_unigram / x_pipeline_modern: the same
+      // shard-window pack step (shards = the packing parallelism
+      // parameter, 8 for the fixture).
+      "x_pack_bpe", "x_pack_unigram", "x_pipeline_modern")
   private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
     "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
     "l_linestatus", "shard", "lang", "source")

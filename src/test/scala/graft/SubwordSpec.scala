@@ -126,4 +126,51 @@ class SubwordSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(got.toSeq == Seq((0L, 0L, 2L, 8L), (0L, 1L, 2L, 8L)))
   }
+
+  private def uni(pieces: Seq[(String, Long)],
+                  words: String*): Map[String, (String, Long, Long)] =
+    Subword.unigramTable(words.toDF("word"), pieces)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("unigram Viterbi picks the GLOBAL minimum, not the greedy longest match") {
+    // 'abc' as one piece costs 20; ab+c costs 6 — greedy longest-match
+    // (wordpiece's rule) would take 'abc'; Viterbi must split.
+    val pieces = Seq("a" -> 4L, "b" -> 4L, "c" -> 1L, "ab" -> 5L, "abc" -> 20L)
+    val t = uni(pieces, "abc", "ab", "cab")
+    assert(t("abc") == (("ab c", 2L, 6L)))
+    assert(t("ab") == (("ab", 1L, 5L)))
+    // optimum may skip a greedy prefix: c+ab (1+5) beats c+a+b (9).
+    assert(t("cab") == (("c ab", 2L, 6L)))
+  }
+
+  test("unigram cost ties break toward the LONGEST final piece (the pinned contract)") {
+    // 'ba' = 24 exactly equals b+a = 24 — the combo encoding must pick 'ba'.
+    val pieces = Seq("a" -> 12L, "b" -> 12L, "ba" -> 24L)
+    assert(uni(pieces, "ba")("ba") == (("ba", 1L, 24L)))
+  }
+
+  test("unigram UNK fallback consumes one uncovered char at the frozen cost") {
+    val pieces = Seq("a" -> 1L, "aa" -> 1L)
+    val t = uni(pieces, "axa", "x", "aaxaa")
+    assert(t("axa") == (("a x a", 3L, 102L)))
+    assert(t("x") == (("x", 1L, 100L)))
+    // DP still optimizes around the UNK island: aa|x|aa = 1+100+1.
+    assert(t("aaxaa") == (("aa x aa", 3L, 102L)))
+  }
+
+  test("docUnigramCounts sums over occurrences; token table broadcasts") {
+    val pieces = Seq("a" -> 4L, "b" -> 4L, "c" -> 1L, "ab" -> 5L)
+    val docs = Seq((1L, "abc ab abc"), (2L, "c c")).toDF("doc_id", "text")
+    val got = Subword.docUnigramCounts(docs, "doc_id", "text", pieces)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 3 words, 2+1+2 tokens; doc 2: 2 words, 1+1.
+    assert(got(1L) == ((3L, 5L)))
+    assert(got(2L) == ((2L, 2L)))
+    val plan = Subword.docUnigramCounts(docs, "doc_id", "text", pieces)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram table must broadcast onto the tf relation:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
 }
