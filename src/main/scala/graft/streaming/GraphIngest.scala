@@ -176,4 +176,63 @@ object GraphIngest {
       val next = Graph.pageRankRefreshState(st.pr, edges, "src", "dst")
       (next.ranks, RankState(next, st.version + 1, batchId))
     }(onBatch)
+
+  /** Evolving k-core state: the staged (node, deg) core membership + the
+    * staged canonical edge relation it was peeled from, plus the previous
+    * fold's superseded handles (same deferred-reclaim contract as
+    * [[ComponentsState]]). */
+  final case class KCoreState(core: Tables.Staged, edges: Tables.Staged,
+                              k: Int, version: Long, foldedBatch: Long = -1L,
+                              superseded: Seq[Tables.Staged] = Nil)
+    extends Gate.Folded {
+    /** Drop the superseded state dirs — call AFTER durably recording
+      * the new paths; the next fold calls it as the backstop. */
+    def reclaim(): Unit = superseded.foreach(_.drop())
+  }
+
+  /** Peel the initial edge set once ([[Graph.kCore]]). */
+  def buildKCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+                 version: Long = 0L): KCoreState = {
+    val canon = Tables.stageTracked(Graph.canonicalEdges(edges, srcCol, dstCol))
+    KCoreState(Graph.kCoreTracked(canon.df, "lo", "hi", k), canon, k, version)
+  }
+
+  /** Fold each micro-batch's edges into the k-core; `onBatch` receives
+    * the UPDATED (node, deg) core membership.
+    *
+    * HONESTY NOTE — this fold is a FULL RE-PEEL over the union of edges
+    * seen so far, not a localized refresh: unlike PageRank's
+    * fixed-iteration semantics (rank_k is a function of the k-hop
+    * in-neighborhood, so a batch's influence is ball-bounded), k-core
+    * membership has NO locality bound — one new edge can lift one node
+    * over the threshold and resurrect an arbitrarily long chain of
+    * previously-peeled nodes (the cascade IS the semantics;
+    * StreamingGraphSpec pins a cross-batch resurrection). What the gate
+    * maintains incrementally is the lifecycle: the staged canonical edge
+    * union, the replay fence, and the deferred-reclaim discipline. */
+  def startKCore(stream: Stream, state: AtomicReference[KCoreState],
+                 srcCol: String, dstCol: String,
+                 checkpoint: Option[String] = None)(
+                 onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      st.reclaim() // predecessor's dirs — durable-record window closed
+      val edges = batch.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      val nextEdges = Tables.stageTracked(
+        st.edges.df.unionByName(Graph.canonicalEdges(edges, "src", "dst"))
+          .distinct())
+      val nextCore = Graph.kCoreTracked(nextEdges.df, "lo", "hi", st.k)
+      (nextCore.df, KCoreState(nextCore, nextEdges, st.k, st.version + 1,
+        batchId, Seq(st.core, st.edges)))
+    }(onBatch)
+
+  /** Reconstruct a [[KCoreState]] from its persisted directories after a
+    * restart. */
+  def restoreKCore(spark: org.apache.spark.sql.SparkSession,
+                   corePath: String, edgesPath: String, k: Int,
+                   version: Long, foldedBatch: Long): KCoreState =
+    KCoreState(
+      Tables.Staged(spark.read.parquet(corePath), Some(corePath)),
+      Tables.Staged(spark.read.parquet(edgesPath), Some(edgesPath)),
+      k, version, foldedBatch)
 }

@@ -127,4 +127,33 @@ class StreamingGraphSpec extends SparkSpec {
       assert(got.last == full, s"fold diverged after ${got.size} batches")
     }
   }
+
+  test("k-core gate: fold ≡ full re-peel; one edge resurrects a peeled chain") {
+    // path 1-2-3-4: its 2-core is EMPTY (the endpoints peel and the
+    // cascade eats the whole chain).
+    val initial = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      GraphIngest.buildKCore(initial.toDF("a", "b"), "a", "b", k = 2))
+    assert(state.get().core.df.isEmpty, "path graph has an empty 2-core")
+
+    val ms = MemoryStream[KMsg]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val q = GraphIngest.startKCore(mkStream(ms), state,
+      "value.src", "value.dst") { (core, _, _) =>
+        got += core.as[(Long, Long)].collect().toSet
+    }
+    // ONE closing edge lifts node 4 AND node 1 over the threshold and
+    // resurrects every previously-peeled node — the no-locality cascade
+    // the gate's honesty note documents.
+    send(ms, q, Seq((4L, 1L)))
+    val extra = randomEdges(20, 12)
+    send(ms, q, extra)
+    q.stop()
+    assert(got(0) == Set((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+    val all = initial ++ Seq((4L, 1L)) ++ extra
+    val want = Graph.kCore(all.toDF("a", "b"), "a", "b", 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got(1) == want, "fold must equal a full re-peel over the union")
+    assert(state.get().foldedBatch == 1L && state.get().version == 2L)
+  }
 }
