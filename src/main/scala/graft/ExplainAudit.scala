@@ -26,7 +26,8 @@ object ExplainAudit {
       "x_source_jsonl",
       "x_graph_pagerank", "x_dedup_canonical", "x_importance_weights",
       "x_importance_incremental", "x_ann_pq", "x_source_csv",
-      "q_retention_cohort")
+      "q_retention_cohort",
+      "x_heavy_hitters", "x_sketch_cms", "x_token_unigram")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

@@ -518,5 +518,56 @@ object Ranking {
     val rel = stage(classifierRelation(docs, idCol, textCol, isPositive, hexDigits))
     classifyAgainstWeights(rel, classifierWeights(rel, scale))
   }
+
+  /** EXACT global heavy hitters over a (token, tf) relation — every token
+    * whose total tf is ≥ `threshold`, with its exact count — pruned by a
+    * count–min sketch so the groupBy shuffle carries only CANDIDATE
+    * tokens' partial counts instead of the whole distinct token domain
+    * (at 100 TB the domain is the open web's vocabulary; the true heavy
+    * set is tiny).
+    *
+    * Exactness is preserved by the sketch's one-sided error
+    * ([[TypedAggregators.CmsCounts]]): estimates only OVER-estimate, so
+    * the map-side `est ≥ threshold` filter admits a SUPERSET of the true
+    * heavy hitters — no false negative is possible — and the exact
+    * count-then-HAVING pass removes the false positives. The sketch
+    * changes what shuffles, never the answer (the x_heavy_hitters oracle
+    * is the plain exact aggregate; StreamingFrequencySpec measures the
+    * shuffle shrink on a 20k-token domain).
+    *
+    * The sketch itself is one extra pass over `tf` (map-side partial
+    * depth·2^widthBits-cell buffers; rows never shuffle), collected as a
+    * by-contract-tiny literal (4096 longs at the defaults) and broadcast
+    * back inside the plan. Callers whose `tf` is a derived relation
+    * should stage it so the two passes share one source scan (the
+    * x_heavy_hitters shape). Output: (token, n), n DESC, token asc. */
+  def heavyHitters(tf: DataFrame, threshold: Long, depth: Int = 4,
+                   widthBits: Int = 8): DataFrame = {
+    import tf.sparkSession.implicits._
+    val width = 1 << widthBits
+    val cells = tf.select(col("token").cast("string"), col("tf").cast("long"))
+      .as[(String, Long)]
+      .select(new TypedAggregators.CmsCounts(depth, widthBits)
+        .toColumn.name("cells"))
+      .head()
+    // least over rows of the candidate's cells, row j indexed by bit
+    // slice j of the md5-derived 60-bit hash (≡ TypedAggregators.hash60).
+    val terms = (0 until depth).map { j =>
+      val div = 1L << (j * widthBits)
+      s"element_at(__cms, CAST(${j * width + 1} + ((__h div ${div}L) % $width) AS INT))"
+    }
+    val est =
+      if (terms.size == 1) terms.head
+      else terms.mkString("least(", ",\n      ", ")")
+    tf.withColumn("__h",
+        expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("__cms", typedlit(cells))
+      .filter(expr(est) >= threshold)
+      .groupBy(col("token"))
+      .agg(sum(col("tf").cast("long")).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(desc("n"), col("token"))
+      .select(col("token"), col("n"))
+  }
 }
 

@@ -452,25 +452,10 @@ object TextAnalysis {
     // feeds both the sketch build and the candidate scan — one corpus
     // scan + tokenization total.
     Q("x_heavy_hitters", (s, d) => {
-      import s.implicits._
-      val T = 900L
       val tf = graft.sources.Tables.stage(
         graft.operators.Ranking.termFrequencies(
           fanOut(documents(s, d)), "doc_id", "text"))
-      val cells = tf.select(col("token"), col("tf").cast("long"))
-        .as[(String, Long)]
-        .select(new graft.operators.TypedAggregators.CmsCounts(4, 8)
-          .toColumn.name("cells"))
-        .head()
-      tf.withColumn("__h",
-          expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"))
-        .withColumn("__cms", typedlit(cells))
-        .filter(expr(sparkCmsEst("__cms", "__h", hashed = true)) >= T)
-        .groupBy(col("token"))
-        .agg(sum(col("tf").cast("long")).as("n"))
-        .filter(col("n") >= T)
-        .orderBy(desc("n"), col("token"))
-        .select(col("token"), col("n"))
+      graft.operators.Ranking.heavyHitters(tf, threshold = 900L)
     }, Some("""
       WITH occ AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                    FROM documents)
@@ -536,17 +521,15 @@ object TextAnalysis {
   )
 
   /** Spark-side count–min point estimate over array column `cellsCol`
-    * (depth 4 × width 256): least over rows of element_at at bit-slice
-    * indexes of the md5-derived 60-bit hash (≡
+    * (depth 4 × width 256) for a literal probe token: least over rows of
+    * element_at at bit-slice indexes of the md5-derived 60-bit hash (≡
     * [[graft.operators.TypedAggregators.hash60]]: the md5 hex prefix of
-    * 15 digits parsed base 16 — `conv` states it in one call; DuckDB's
-    * twin is the digit fold in [[duckHash60]]). `hashed = true` means
-    * `probe` is already the hash column, not a string expression. */
-  private def sparkCmsEst(cellsCol: String, probe: String,
-                          hashed: Boolean = false): String = {
-    val h =
-      if (hashed) probe
-      else s"CAST(conv(substr(md5($probe), 1, 15), 16, 10) AS BIGINT)"
+    * 15 digits parsed base 16 — `conv` states it in one call, and
+    * constant-folds for a literal probe; DuckDB's twin is the digit fold
+    * in [[duckHash60]]). The per-ROW variant lives in
+    * [[graft.operators.Ranking.heavyHitters]]. */
+  private def sparkCmsEst(cellsCol: String, probe: String): String = {
+    val h = s"CAST(conv(substr(md5($probe), 1, 15), 16, 10) AS BIGINT)"
     s"""least(
        |  element_at($cellsCol, CAST(1 + ($h % 256) AS INT)),
        |  element_at($cellsCol, CAST(257 + (($h div 256) % 256) AS INT)),

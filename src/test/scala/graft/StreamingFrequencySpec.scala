@@ -108,6 +108,46 @@ class StreamingFrequencySpec extends SparkSpec {
     assert(byTok("rare0").batchWeight == 1L && byTok("w0").batchWeight == 5L)
   }
 
+  test("heavyHitters: the CMS prune shrinks the groupBy shuffle to ~candidates (measured)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // open-vocabulary fixture: 5 heavy tokens (20k occurrences each)
+    // interleaved with ~20k tail tokens (~5 each) — the regime where the
+    // exact groupBy would shuffle the whole distinct domain.
+    val tf = spark.range(200000).selectExpr(
+      "IF(id % 2 = 0, concat('h', id % 5), concat('t', id % 20001)) AS token",
+      "CAST(1 AS BIGINT) AS tf")
+    def measured(df: => org.apache.spark.sql.DataFrame): (Set[(String, Long)], Long) = {
+      val rows = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            rows.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = df.as[(String, Long)].collect().toSet
+        Thread.sleep(1500) // let the async listener bus drain
+        (out, rows.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (pruned, prunedRows) = measured(
+      graft.operators.Ranking.heavyHitters(tf, threshold = 5000L,
+        widthBits = 10))
+    val (plain, plainRows) = measured(
+      tf.groupBy(col("token")).agg(sum(col("tf")).as("n"))
+        .filter(col("n") >= 5000L)
+        .select(col("token"), col("n")))
+    // the sketch never changes the answer...
+    assert(pruned == plain)
+    assert(pruned.map(_._1) == Set("h0", "h1", "h2", "h3", "h4"))
+    // ...only what shuffles: the plain aggregate ships every partition's
+    // distinct-token partials (~the tail domain); the pruned one ships
+    // candidate partials + the 4096-cell sketch buffers.
+    assert(plainRows > 50000, s"fixture lost its teeth: plain=$plainRows")
+    assert(prunedRows * 10 < plainRows,
+      s"prune did not shrink the shuffle: pruned=$prunedRows plain=$plainRows")
+  }
+
   test("streamed gate ≡ foldBatch; restore + replay fence") {
     val corpus = (for { i <- 0 until 500 } yield s"w${i % 25}").toDF("t")
     val state = new java.util.concurrent.atomic.AtomicReference(
