@@ -461,7 +461,7 @@ object TextAnalysis {
                    FROM documents)
       SELECT token, CAST(COUNT(*) AS BIGINT) AS n
       FROM occ GROUP BY token HAVING COUNT(*) >= 900
-      ORDER BY n DESC, token""")),
+      ORDER BY n DESC, token"""), headline = true),
 
     // ------------------------------------- unigram-LM (Viterbi) tokenize
     // graft.operators.Subword.unigramTable: the THIRD deployed subword
