@@ -159,6 +159,54 @@ class SubwordSpec extends SparkSpec {
     assert(t("aaxaa") == (("aa x aa", 3L, 102L)))
   }
 
+  test("unigram fold equals an independent reference DP on random vocab/words") {
+    // reference Viterbi with the pinned combo tie-break, written
+    // imperatively — shares no code with the SQL fold.
+    def refUni(word: String, m: Map[String, Long], maxLen: Int,
+               unk: Long): (Long, Seq[String]) = {
+      val best = new Array[(Long, Seq[String])](word.length + 1)
+      best(0) = (0L, Nil)
+      for (p <- 1 to word.length) {
+        var cand: (Long, Long, Seq[String]) = null // (combo, cost, toks)
+        for (l <- 1 to math.min(p, maxLen)) {
+          val piece = word.substring(p - l, p)
+          m.get(piece).foreach { c =>
+            val cost = best(p - l)._1 + c
+            val combo = cost * 32 + 32 - l
+            if (cand == null || combo < cand._1)
+              cand = (combo, cost, best(p - l)._2 :+ piece)
+          }
+        }
+        best(p) =
+          if (cand == null)
+            (best(p - 1)._1 + unk, best(p - 1)._2 :+ word.substring(p - 1, p))
+          else (cand._2, cand._3)
+      }
+      best(word.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    // random multi-char pieces over {a,b,c} (d left uncovered → UNK path),
+    // random costs INCLUDING deliberate tie opportunities (coarse grid).
+    val singles = Seq("a" -> 10L, "b" -> 10L, "c" -> 10L)
+    val multis = Seq.fill(12) {
+      val len = 2 + rnd.nextInt(2)
+      val p = Seq.fill(len)("abc"(rnd.nextInt(3))).mkString
+      p -> (5L + 5L * rnd.nextInt(5))
+    }.distinct.filter { case (p, _) => !singles.exists(_._1 == p) }
+    val pieces = (singles ++ multis).distinctBy(_._1)
+    val m = pieces.toMap
+    val maxLen = pieces.map(_._1.length).max
+    val words = Seq.fill(60)(
+      Seq.fill(1 + rnd.nextInt(8))(alphabet(rnd.nextInt(4))).mkString).distinct
+    val got = uni(pieces, words: _*)
+    words.foreach { w =>
+      val (c, ts) = refUni(w, m, maxLen, 100L)
+      assert(got(w) == ((ts.mkString(" "), ts.size.toLong, c)),
+        s"word=$w pieces=$pieces")
+    }
+  }
+
   test("docUnigramCounts sums over occurrences; token table broadcasts") {
     val pieces = Seq("a" -> 4L, "b" -> 4L, "c" -> 1L, "ab" -> 5L)
     val docs = Seq((1L, "abc ab abc"), (2L, "c c")).toDF("doc_id", "text")
