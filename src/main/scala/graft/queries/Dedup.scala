@@ -173,6 +173,32 @@ object Dedup {
       WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.6
       ORDER BY da, db""")),
 
+    // --------------------------- edit-distance near-dup (entity resolution)
+    // TextDedup.editDistancePairs: character-level near-dup pairs for
+    // SHORT text fields (titles/names/addresses — the ER verify; the
+    // token-level families own long documents). Blocking is LOSSLESS by
+    // the metric's length bound — levenshtein(a,b) ≥ |len(a) − len(b)|,
+    // so with bucket width 64 > maxDist 40 every qualifying pair lands in
+    // the same or an adjacent length-div-64 bucket; one side explodes to
+    // {b−1, b, b+1} and the equi-join on (lang, bucket) sees each true
+    // pair exactly once. Verification = one codegen'd levenshtein per
+    // candidate (identical unit-cost DP in DuckDB) — never all-pairs.
+    Q("x_dedup_edit", (s, d) => {
+      graft.operators.TextDedup.editDistancePairs(
+        fanOut(documents(s, d)), "doc_id", "text", maxDist = 40,
+        blockCols = Seq("lang"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH d0 AS (SELECT doc_id, text, lang, length(text) // 64 AS bk
+                  FROM documents WHERE text IS NOT NULL),
+      pa AS (SELECT doc_id AS id_a, text AS ta, lang AS la,
+                    unnest([bk - 1, bk, bk + 1]) AS bka FROM d0),
+      pb AS (SELECT doc_id AS id_b, text AS tb, lang AS lb, bk AS bkb FROM d0)
+      SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+      FROM pa JOIN pb ON bka = bkb AND la = lb AND id_a < id_b
+      WHERE levenshtein(ta, tb) <= 40
+      ORDER BY id_a, id_b""")),
+
     // ------------------------------------------- incremental MinHash+LSH
     // The production ingest shape: near-dups of a NEW batch (doc_id%10=0
     // stands in for today's ingest) against the existing corpus. The

@@ -254,4 +254,49 @@ class TextDedupSpec extends SparkSpec {
     assert(groups.length == 1)
     assert(groups.head.getLong(0) == 1L && groups.head.getLong(1) == 2L)
   }
+
+  test("editDistancePairs: lossless length blocking ≡ brute force; block attrs respected") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    // random corpus with lengths clustered at the W = 16 bucket seams,
+    // plus PLANTED pairs that straddle a boundary (len 15 vs len 17 —
+    // different buckets, must still be found) and one identical-text
+    // cross-lang pair (must be excluded by the block attribute).
+    val planted = (0 until 5).flatMap { k =>
+      val s = randStr(15)
+      Seq((200L + 2 * k, s, "en"), (201L + 2 * k, s + "xy", "en"))
+    }
+    val crossLang = Seq((300L, "identical text here", "en"),
+      (301L, "identical text here", "de"))
+    val noise = (0 until 60).map { i =>
+      (i.toLong, randStr(12 + rnd.nextInt(12)), if (i % 2 == 0) "en" else "de")
+    }
+    val all = noise ++ planted ++ crossLang
+    val got = TextDedup.editDistancePairs(all.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", maxDist = 10, blockCols = Seq("lang"),
+        bucketWidth = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      a <- all; b <- all
+      if a._1 < b._1 && a._3 == b._3
+      d = lev(a._2, b._2) if d <= 10
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the planted straddling pairs are all found at distance 2...
+    (0 until 5).foreach(k => assert(got.contains((200L + 2 * k, 201L + 2 * k, 2L))))
+    // ...and the identical cross-lang pair is excluded by the block attr.
+    assert(!got.exists(p => p._1 == 300L && p._2 == 301L))
+    intercept[IllegalArgumentException] {
+      TextDedup.editDistancePairs(all.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", maxDist = 20, bucketWidth = 16)
+    }
+  }
 }
