@@ -175,28 +175,39 @@ object Dedup {
 
     // --------------------------- edit-distance near-dup (entity resolution)
     // TextDedup.editDistancePairs: character-level near-dup pairs for
-    // SHORT text fields (titles/names/addresses — the ER verify; the
-    // token-level families own long documents). Blocking is LOSSLESS by
-    // the metric's length bound — levenshtein(a,b) ≥ |len(a) − len(b)|,
-    // so with bucket width 64 > maxDist 40 every qualifying pair lands in
-    // the same or an adjacent length-div-64 bucket; one side explodes to
+    // SHORT text fields — the entity-resolution verify for titles/names/
+    // addresses; the token-level families own long documents (the |a|·|b|
+    // DP per candidate is exactly why the contract is short fields — run
+    // on the 300-char document bodies this oracle costs ~500 s at sf0.1,
+    // on the title field ~10 s). The fixture derives a varied-length
+    // title (first 3 + doc_id % 5 words). Blocking is LOSSLESS by the
+    // metric's length bound — levenshtein(a,b) ≥ |len(a) − len(b)|, so
+    // with bucket width 16 > maxDist 6 every qualifying pair lands in the
+    // same or an adjacent length-div-16 bucket; one side explodes to
     // {b−1, b, b+1} and the equi-join on (lang, bucket) sees each true
     // pair exactly once. Verification = one codegen'd levenshtein per
     // candidate (identical unit-cost DP in DuckDB) — never all-pairs.
     Q("x_dedup_edit", (s, d) => {
+      val titled = fanOut(documents(s, d))
+        .filter(col("text").isNotNull)
+        .withColumn("title", expr(
+          "array_join(slice(split(lower(text), ' '), 1, CAST(3 + doc_id % 5 AS INT)), ' ')"))
       graft.operators.TextDedup.editDistancePairs(
-        fanOut(documents(s, d)), "doc_id", "text", maxDist = 40,
-        blockCols = Seq("lang"))
+        titled, "doc_id", "title", maxDist = 6,
+        blockCols = Seq("lang"), bucketWidth = 16)
         .orderBy(col("id_a"), col("id_b"))
     }, Some("""
-      WITH d0 AS (SELECT doc_id, text, lang, length(text) // 64 AS bk
+      WITH t0 AS (SELECT doc_id, lang,
+                         array_to_string(string_split(lower(text), ' ')[1 : 3 + doc_id % 5],
+                                         ' ') AS title
                   FROM documents WHERE text IS NOT NULL),
-      pa AS (SELECT doc_id AS id_a, text AS ta, lang AS la,
+      d0 AS (SELECT doc_id, title, lang, length(title) // 16 AS bk FROM t0),
+      pa AS (SELECT doc_id AS id_a, title AS ta, lang AS la,
                     unnest([bk - 1, bk, bk + 1]) AS bka FROM d0),
-      pb AS (SELECT doc_id AS id_b, text AS tb, lang AS lb, bk AS bkb FROM d0)
+      pb AS (SELECT doc_id AS id_b, title AS tb, lang AS lb, bk AS bkb FROM d0)
       SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
       FROM pa JOIN pb ON bka = bkb AND la = lb AND id_a < id_b
-      WHERE levenshtein(ta, tb) <= 40
+      WHERE levenshtein(ta, tb) <= 6
       ORDER BY id_a, id_b""")),
 
     // ------------------------------------------- incremental MinHash+LSH
