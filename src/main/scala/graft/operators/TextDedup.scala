@@ -607,4 +607,62 @@ object TextDedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** The persisted-corpus half of [[editDistancePairs]]: the (id, txt,
+    * bk, block attrs) relation a caller stages/persists once per corpus
+    * version and probes per batch with [[editPairsAgainstIndex]]. */
+  def editIndex(docs: DataFrame, idCol: String, textCol: String,
+                blockCols: Seq[String] = Nil,
+                bucketWidth: Int = 16): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol).cast("long").as("id"),
+        col(textCol).as("txt")) ++ blockCols.map(col): _*)
+      .withColumn("bk", expr(s"length(txt) div $bucketWidth"))
+
+  /** INCREMENTAL edit-distance near-dup: pairs between a small new batch
+    * and the existing corpus — the per-batch production shape (the ER
+    * twin of [[minhashLshPairsAgainstIndex]]). The BATCH side explodes
+    * the {b−1, b, b+1} length-bucket probes and BROADCASTS onto ONE scan
+    * of the persisted [[editIndex]] relation — the corpus never shuffles,
+    * and the lossless-blocking theorem carries over verbatim (a
+    * qualifying pair's buckets differ by at most 1, so exactly one probe
+    * offset matches — each pair surfaces once). Identical verify
+    * arithmetic to the batch operator, so per-batch results are bitwise
+    * what [[editDistancePairs]] would emit for those pairs.
+    * Output: (id_batch, id_corpus, dist). */
+  def editPairsAgainstIndex(batch: DataFrame, idCol: String,
+                            textCol: String, index: DataFrame,
+                            maxDist: Int, blockCols: Seq[String] = Nil,
+                            bucketWidth: Int = 16,
+                            batchBlockCols: Option[Seq[String]] = None): DataFrame = {
+    require(maxDist >= 0 && bucketWidth > maxDist,
+      s"bucketWidth=$bucketWidth must exceed maxDist=$maxDist (lossless blocking)")
+    // batch-side paths for the block attributes may differ from the
+    // index's column names (a streamed batch addresses them as
+    // `value.<c>`); they align positionally with `blockCols`.
+    val batchBlk = batchBlockCols.getOrElse(blockCols)
+    require(batchBlk.size == blockCols.size,
+      "batchBlockCols must align with blockCols")
+    val probe = batch
+      .filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol).cast("long").as("__idb"),
+        col(textCol).as("__tb")) ++
+        batchBlk.zip(blockCols).map { case (bc, ic) =>
+          col(bc).as(s"__b_$ic")
+        }: _*)
+      .withColumn("__bkp", explode(expr(
+        s"""array((length(__tb) div $bucketWidth) - 1,
+           |      length(__tb) div $bucketWidth,
+           |      (length(__tb) div $bucketWidth) + 1)""".stripMargin)))
+    val blockEq = blockCols
+      .map(c => col(s"__b_$c") === col(c))
+      .foldLeft(lit(true))(_ && _)
+    index
+      .join(broadcast(probe), col("__bkp") === col("bk") && blockEq)
+      .withColumn("dist", expr("CAST(levenshtein(__tb, txt) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("__idb").as("id_batch"), col("id").as("id_corpus"),
+        col("dist"))
+  }
 }
