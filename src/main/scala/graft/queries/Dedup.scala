@@ -210,6 +210,45 @@ object Dedup {
       WHERE levenshtein(ta, tb) <= 6
       ORDER BY id_a, id_b""")),
 
+    // ---------------------- incremental edit-distance (ER ingest shape)
+    // TextDedup.editPairsAgainstIndex: the per-batch half of
+    // x_dedup_edit (doc_id % 10 = 0 stands in for today's ingest, as in
+    // x_dedup_incremental) — the BATCH side explodes the {b−1, b, b+1}
+    // length-bucket probes and BROADCASTS onto one scan of the staged
+    // corpus editIndex; the corpus never shuffles, and the lossless
+    // blocking theorem carries over (each qualifying pair matches
+    // exactly one probe offset). streaming.EntityIngest rides this
+    // exact operator per micro-batch.
+    Q("x_dedup_edit_incremental", (s, d) => {
+      val titled = fanOut(documents(s, d))
+        .filter(col("text").isNotNull)
+        .withColumn("title", expr(
+          "array_join(slice(split(lower(text), ' '), 1, CAST(3 + doc_id % 5 AS INT)), ' ')"))
+      val idx = graft.sources.Tables.stage(
+        graft.operators.TextDedup.editIndex(
+          titled.filter(col("doc_id") % 10 =!= 0), "doc_id", "title",
+          Seq("lang"), bucketWidth = 16))
+      graft.operators.TextDedup.editPairsAgainstIndex(
+        titled.filter(col("doc_id") % 10 === 0), "doc_id", "title", idx,
+        maxDist = 6, blockCols = Seq("lang"), bucketWidth = 16)
+        .orderBy(col("id_batch"), col("id_corpus"))
+    }, Some("""
+      WITH t0 AS (SELECT doc_id, lang,
+                         array_to_string(string_split(lower(text), ' ')[1 : 3 + doc_id % 5],
+                                         ' ') AS title
+                  FROM documents WHERE text IS NOT NULL),
+      c0 AS (SELECT doc_id, title, lang, length(title) // 16 AS bk
+             FROM t0 WHERE doc_id % 10 <> 0),
+      b1 AS (SELECT doc_id, title, lang, length(title) // 16 AS bk
+             FROM t0 WHERE doc_id % 10 = 0),
+      b0 AS (SELECT doc_id, title, lang, unnest([bk - 1, bk, bk + 1]) AS bkp
+             FROM b1)
+      SELECT b0.doc_id AS id_batch, c0.doc_id AS id_corpus,
+             CAST(levenshtein(b0.title, c0.title) AS BIGINT) AS dist
+      FROM b0 JOIN c0 ON b0.bkp = c0.bk AND b0.lang = c0.lang
+      WHERE levenshtein(b0.title, c0.title) <= 6
+      ORDER BY id_batch, id_corpus""")),
+
     // ------------------------------------------- incremental MinHash+LSH
     // The production ingest shape: near-dups of a NEW batch (doc_id%10=0
     // stands in for today's ingest) against the existing corpus. The
