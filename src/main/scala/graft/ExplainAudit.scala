@@ -27,7 +27,8 @@ object ExplainAudit {
       "x_graph_pagerank", "x_dedup_canonical", "x_importance_weights",
       "x_importance_incremental", "x_ann_pq", "x_source_csv",
       "q_retention_cohort",
-      "x_heavy_hitters", "x_sketch_cms", "x_token_unigram")
+      "x_heavy_hitters", "x_sketch_cms", "x_token_unigram",
+      "x_dedup_edit", "x_dedup_edit_incremental")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)
