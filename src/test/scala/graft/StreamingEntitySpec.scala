@@ -27,6 +27,9 @@ class StreamingEntitySpec extends SparkSpec {
   }
 
   test("streamed probes ≡ batch operator ≡ brute force; blocking params ride the state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
     val rnd = new scala.util.Random(23)
     def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(5)).toChar).mkString
     val corpus = (0 until 120).map { i =>
@@ -36,6 +39,9 @@ class StreamingEntitySpec extends SparkSpec {
       EntityIngest.buildIndex(corpus.toDF("id", "title", "lang"),
         "id", "title", maxDist = 6, blockCols = Seq("lang"),
         bucketWidth = 16))
+    def stageDirs: Int = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("stage_"))
+    assert(stageDirs == 1, s"index = one staged relation, got $stageDirs")
 
     // batch 0: typo'd re-listings of corpus records — including one whose
     // 2-char suffix pushes it across a length-bucket boundary (len 15 →
@@ -81,11 +87,15 @@ class StreamingEntitySpec extends SparkSpec {
       truth(b0).exists(_._1 == 1002L))
     assert(got(1) == truth(b1))
 
+    // probing is STAGING-FREE per batch (the family contract).
+    assert(stageDirs == 1, "no per-batch staging dirs may appear")
+
     // streamed ≡ the batch operator, bitwise.
     val viaBatch = TextDedup.editPairsAgainstIndex(
       b0.toDF("id", "title", "lang"), "id", "title",
       state.get().index, maxDist = 6, blockCols = Seq("lang"),
       bucketWidth = 16).as[(Long, Long, Long)].collect().toSet
     assert(viaBatch == got(0))
+    } finally spark.conf.unset("graft.stage.dir")
   }
 }
