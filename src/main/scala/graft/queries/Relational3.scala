@@ -19,6 +19,52 @@ import QueryDsl._
 object Relational3 {
 
   val all: Seq[Q] = Seq(
+    // ------------------------------------------------- recursive CTE (4.x)
+    // Hierarchical roll-up via the engine's own WITH RECURSIVE (new in
+    // Spark 4 — before it, iterative operators like graft's CC had to
+    // hand-build the loop; the relational surface now states bounded
+    // recursion declaratively, and DuckDB replays the identical SQL).
+    // The hierarchy is the decimal trie over p_partkey (parent = key
+    // div 10; keys 1-9 are roots — a stand-in for the BOM parent column
+    // the TPC-H-ish schema lacks, derived deterministically from the
+    // data): each part rolls up to its single-digit root; per root we
+    // emit the subtree size, the exact integer p_size sum, and the max
+    // depth. Every key reaches a root in ≤ ⌈log10(maxkey)⌉ steps, so
+    // the recursion is provably bounded. Scale shape: each recursion
+    // level is one equi-join of the frontier against the part relation
+    // (pushed-filter scans; frontier shrinks as the trie narrows) — the
+    // same per-level plan our hand-built iterative operators stage.
+    Q("q_recursive_cte", (s, d) => {
+      part(s, d).createOrReplaceTempView("part_rec")
+      s.sql("""
+        WITH RECURSIVE anc(key, root, depth) AS (
+          SELECT p_partkey, p_partkey, 0
+          FROM part_rec WHERE p_partkey < 10
+          UNION ALL
+          SELECT p.p_partkey, a.root, a.depth + 1
+          FROM part_rec p JOIN anc a ON p.p_partkey div 10 = a.key
+          WHERE p.p_partkey >= 10)
+        SELECT a.root,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p.p_size AS BIGINT)) AS BIGINT) AS size_sum,
+               CAST(MAX(a.depth) AS BIGINT) AS max_depth
+        FROM anc a JOIN part_rec p ON a.key = p.p_partkey
+        GROUP BY a.root ORDER BY a.root""")
+    }, Some("""
+      WITH RECURSIVE anc(key, root, depth) AS (
+        SELECT p_partkey, p_partkey, 0
+        FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT p.p_partkey, a.root, a.depth + 1
+        FROM part p JOIN anc a ON p.p_partkey // 10 = a.key
+        WHERE p.p_partkey >= 10)
+      SELECT a.root,
+             COUNT(*) AS n_parts,
+             CAST(SUM(CAST(p.p_size AS BIGINT)) AS BIGINT) AS size_sum,
+             CAST(MAX(a.depth) AS BIGINT) AS max_depth
+      FROM anc a JOIN part p ON a.key = p.p_partkey
+      GROUP BY a.root ORDER BY a.root""")),
+
     // -------------------------------------------------------- sessionization
     // Gaps-and-islands: a new session starts after a >30-minute silence.
     // One shuffle on user_id serves both the lag() and the running sum; the
