@@ -65,6 +65,34 @@ object Relational3 {
       FROM anc a JOIN part p ON a.key = p.p_partkey
       GROUP BY a.root ORDER BY a.root""")),
 
+    // --------------------------------------------- LATERAL subquery (top-k)
+    // The correlated-table-subquery surface: each customer's two highest-
+    // value orders via `, LATERAL (... ORDER BY ... LIMIT 2)` — stated
+    // declaratively and DECORRELATED by Catalyst into a broadcast
+    // equi-join + bounded per-group selection (verified: no per-row
+    // re-execution of the subquery — the 100 TB hazard hand-written
+    // lateral loops have). DuckDB runs the identical SQL. Determinism:
+    // the LIMIT is tie-broken inside the subquery (price DESC, then
+    // orderkey), and emitted prices are raw parquet values (no
+    // arithmetic), so the rows compare bitwise.
+    Q("q_lateral_topk", (s, d) => {
+      customer(s, d).createOrReplaceTempView("c_lat")
+      orders(s, d).createOrReplaceTempView("o_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM c_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM o_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")),
+
     // -------------------------------------------------------- sessionization
     // Gaps-and-islands: a new session starts after a >30-minute silence.
     // One shuffle on user_id serves both the lag() and the running sum; the
