@@ -28,7 +28,8 @@ object ExplainAudit {
       "x_importance_incremental", "x_ann_pq", "x_source_csv",
       "q_retention_cohort",
       "x_heavy_hitters", "x_sketch_cms", "x_token_unigram",
-      "x_dedup_edit", "x_dedup_edit_incremental")
+      "x_dedup_edit", "x_dedup_edit_incremental",
+      "q_recursive_cte", "q_lateral_topk")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

@@ -93,4 +93,13 @@ class RegistrySpec extends SparkSpec {
     val p = plan(q)
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q_lateral_topk decorrelates to an equi-join (no per-row subquery loop)") {
+    val q = SparkEntry.registry.find(_.name == "q_lateral_topk").get
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LATERAL must decorrelate, not nested-loop:\n${p.take(2000)}")
+  }
 }
