@@ -317,6 +317,10 @@ object TypedAggregators {
     private val mask = (width - 1).toLong
     override def zero: CmsBuf = CmsBuf(Map.empty)
     override def reduce(b: CmsBuf, a: (String, Long)): CmsBuf = {
+      // the one-sided estimate guarantee (est ≥ true, so est < T proves
+      // light) holds only while cells never lose mass — a negative
+      // weight would silently break every provedLight verdict.
+      require(a._2 >= 0L, s"negative CMS weight ${a._2} for '${a._1}'")
       val h = hash60(a._1)
       var m = b.m
       var j = 0

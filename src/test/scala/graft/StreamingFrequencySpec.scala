@@ -58,6 +58,15 @@ class StreamingFrequencySpec extends SparkSpec {
       .select(new TypedAggregators.CmsCounts(4, 8).toColumn)
       .head()
     assert(empty == Seq.fill(1024)(0L))
+    // negative weights would break the one-sided guarantee — fail fast.
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(("a", -1L)).toDF("t", "w")
+        .select(col("t").as[String], col("w").as[Long])
+        .select(new TypedAggregators.CmsCounts(4, 8).toColumn)
+        .head()
+    }
+    assert(ex.getMessage.contains("negative CMS weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative CMS weight")))
   }
 
   test("the engine-side conv(md5) hash the registry queries use equals hash60") {
