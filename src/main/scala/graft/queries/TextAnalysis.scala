@@ -344,6 +344,10 @@ object TextAnalysis {
     // float α·m²/sum estimate stays off-engine — no-libm discipline).
     // Scale shape: the aggregator runs as a map-side partial (64-entry
     // buffers merge across the shuffle); the corpus never shuffles rows.
+    // The register vector is emitted COMMA-JOINED (a bijection of the
+    // array — the bitwise check is unchanged): the driver's row-sorting
+    // comparator cannot hash array cells (the q_array_agg discipline,
+    // Relational2's array_join pattern; RegistrySpec lints it now).
     Q("x_distinct_sketch", (s, d) => {
       import s.implicits._
       val toks = fanOut(documents(s, d))
@@ -353,7 +357,9 @@ object TextAnalysis {
         .agg(new graft.operators.TypedAggregators.HllRegisters(6)
           .toColumn.name("registers"))
         .toDF("lang", "registers")
-        .select(col("lang"), col("registers"),
+        .select(col("lang"),
+          expr("array_join(transform(registers, x -> CAST(x AS STRING)), ',')")
+            .as("registers"),
           expr("""aggregate(registers, CAST(0 AS BIGINT),
                    (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT),
                                                CAST(55 - r AS INT)))""")
@@ -379,7 +385,7 @@ object TextAnalysis {
       dense AS (SELECT idx.lang, idx.j, COALESCE(regs.m, CAST(0 AS BIGINT)) AS m
                 FROM idx LEFT JOIN regs
                   ON idx.lang = regs.lang AND idx.j = regs.j)
-      SELECT lang, list(m ORDER BY j) AS registers,
+      SELECT lang, array_to_string(list(m ORDER BY j), ',') AS registers,
              CAST(SUM(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT) AS scale_sum
       FROM dense GROUP BY lang ORDER BY lang""")),
 
@@ -404,7 +410,11 @@ object TextAnalysis {
         .agg(new graft.operators.TypedAggregators.CmsCounts(4, 8)
           .toColumn.name("cells"))
         .toDF("lang", "cells")
-        .select(col("lang"), col("cells"),
+        .select(col("lang"),
+          // comma-joined bijection of the cell vector — driver-comparator
+          // rows must be scalar (RegistrySpec no-array-output lint)
+          expr("array_join(transform(cells, x -> CAST(x AS STRING)), ',')")
+            .as("cells"),
           expr("CAST(aggregate(cells, CAST(0 AS BIGINT), (acc, c) -> acc + c) div 4 AS BIGINT)")
             .as("total_weight"),
           expr(sparkCmsEst("cells", "'join'")).as("est_join"),
@@ -429,14 +439,14 @@ object TextAnalysis {
                        COALESCE(sums.cnt, CAST(0 AS BIGINT)) AS cnt
                 FROM grid LEFT JOIN sums
                   ON grid.lang = sums.lang AND grid.idx = sums.idx),
-      cl AS (SELECT lang, list(cnt ORDER BY idx) AS cells,
+      cl AS (SELECT lang, list(cnt ORDER BY idx) AS cells_arr,
                     CAST(SUM(cnt) // 4 AS BIGINT) AS total_weight
              FROM dense GROUP BY lang),
       ph AS (SELECT ${duckHash60("'join'")} AS hj,
                     ${duckHash60("'zzz-absent'")} AS ha)
-      SELECT lang, cells, total_weight,
-             ${duckCmsEst("cells", "hj")} AS est_join,
-             ${duckCmsEst("cells", "ha")} AS est_absent
+      SELECT lang, array_to_string(cells_arr, ',') AS cells, total_weight,
+             ${duckCmsEst("cells_arr", "hj")} AS est_join,
+             ${duckCmsEst("cells_arr", "ha")} AS est_absent
       FROM cl CROSS JOIN ph ORDER BY lang""")),
 
     // ------------------------ exact heavy hitters with a count–min prune

@@ -61,6 +61,27 @@ class RegistrySpec extends SparkSpec {
     assert(bad.isEmpty, s"bare SUMs found:\n${bad.mkString("\n")}")
   }
 
+  // Round-11's bug class, promoted from tribal knowledge to a lint: the
+  // driver's correctness comparator row-sorts with pandas, which cannot
+  // hash array/map/struct cells (x_distinct_sketch + x_sketch_cms were
+  // recorded `err` in CORRECTNESS_r11 for exactly this). Complex values
+  // must be serialized to a scalar bijection in BOTH engines (array_join /
+  // array_to_string — the q_array_agg discipline) before they leave a
+  // registry query.
+  test("no registry query emits a top-level array/map/struct column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = SparkEntry.registry.flatMap { q =>
+      q.fn(spark, sf("sf0.001")).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"driver comparator cannot sort complex cells — serialize to string:\n${bad.mkString("\n")}")
+  }
+
   test("p_filter_predicate pushes its predicate into the parquet scan") {
     val q = SparkEntry.registry.find(_.name == "p_filter_predicate").get
     val p = plan(q)
