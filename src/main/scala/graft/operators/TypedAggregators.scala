@@ -217,6 +217,33 @@ object TypedAggregators {
     override def outputEncoder: Encoder[KllSummary] = Encoders.product[KllSummary]
   }
 
+  /** [[QuantileSketch]] that FINISHES TO ITS BUFFER — the mergeable form a
+    * folding gate needs: the per-batch distributed aggregate returns the
+    * raw compactor hierarchy, which the driver-held state merges with
+    * `QuantileSketch.merge` (the same rule the shuffle already uses, so
+    * the gate's merge tree is just one more branch the proven rank-error
+    * bound already covers). Summaries remain partitioning-dependent —
+    * spec-pin bounds, never bitwise values. */
+  final class QuantileSketchBuf(k: Int) extends Aggregator[Double, KllBuf, KllBuf] {
+    private val inner = new QuantileSketch(k)
+    override def zero: KllBuf = inner.zero
+    override def reduce(b: KllBuf, v: Double): KllBuf = inner.reduce(b, v)
+    override def merge(x: KllBuf, y: KllBuf): KllBuf = inner.merge(x, y)
+    override def finish(b: KllBuf): KllBuf = b
+    override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    override def outputEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+  }
+
+  /** Single-partition, fixed-order insertion through [[QuantileSketch]] —
+    * the DETERMINISTIC replay form: given an explicit insertion order the
+    * alternating-parity compactor is a pure function of the value
+    * sequence, which is what makes a frozen-input compaction trace
+    * oracle-statable in closed form (x_quantile_sketch). */
+  def kllSketchOrdered(values: Seq[Double], k: Int): KllSummary = {
+    val a = new QuantileSketch(k)
+    a.finish(values.foldLeft(a.zero)(a.reduce))
+  }
+
   /** The md5-derived 60-bit hash every HLL register computation keys on:
     * the first 15 lowercase-hex characters of md5(UTF-8 bytes), parsed
     * base 16 — chosen over a faster hash because BOTH engines can state

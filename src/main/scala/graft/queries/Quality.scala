@@ -372,6 +372,70 @@ object Quality {
              CAST(CASE WHEN score >= (SELECT t FROM tpre) THEN 1 ELSE 0 END AS BIGINT) AS kept,
              (SELECT t FROM tpre) AS thr_pre,
              (SELECT t FROM tpost) AS thr_post
-      FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id"""))
+      FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
+
+    // --------------------- KLL quantile sketch: deterministic replay form
+    // The UNBOUNDED-domain quantile sketch (TypedAggregators.QuantileSketch
+    // — the escape hatch when BoundedHistogram's integer-domain contract
+    // can't hold; streaming.QuantileIngest folds it per batch). The
+    // summary is partitioning-dependent in general, so what the oracle
+    // pins is the sketch's DETERMINISTIC REPLAY FORM: single partition,
+    // insertion in doc_id order (kllSketchOrdered) over a frozen 24-value
+    // input with k = 8, where the alternating-parity compactor's full
+    // trace is statable in closed form — compactions at inserts 8
+    // (offset 0), 16 (offset 1, cascading level 1 → 2 at offset 0) and 24
+    // (offset 0): the final summary is 4 level-1 survivors at weight 2
+    // plus 4 level-2 survivors at weight 4 (TypedAggregatorSpec pins the
+    // same trace in Scala). Values n_chars·100 + doc_id are globally
+    // distinct, so stable-sort ties never arise in either engine.
+    // quantile(q) = smallest summarized value whose cumulative weight
+    // reaches ceil(n·q) — integer-exact. The 24-row fixture is the
+    // CONTRACT (a closed-form trace needs a frozen insertion sequence);
+    // scale behavior is owned by the distributed aggregator's bound spec.
+    Q("x_quantile_sketch", (s, d) => {
+      import s.implicits._
+      val vals = documents(s, d).filter(col("doc_id") < 24)
+        .select(col("doc_id"),
+          (col("n_chars") * 100 + col("doc_id")).cast("double").as("v"))
+        .as[(Long, Double)]
+      vals.repartition(1).mapPartitions { it =>
+        val ordered = it.toSeq.sortBy(_._1).map(_._2)
+        val sm = graft.operators.TypedAggregators.kllSketchOrdered(ordered, 8)
+        Iterator((
+          sm.items.map(x => s"${x.v.toLong}:${x.w}").mkString(","),
+          sm.n, sm.quantile(0.25).toLong, sm.quantile(0.5).toLong,
+          sm.quantile(0.9).toLong))
+      }.toDF("summary", "n", "q25", "q50", "q90")
+    }, Some("""
+      WITH src AS (
+        SELECT doc_id, CAST(n_chars * 100 + doc_id AS BIGINT) AS v,
+               row_number() OVER (ORDER BY doc_id) AS ins
+        FROM documents WHERE doc_id < 24),
+      g1 AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+             FROM src WHERE ins BETWEEN 1 AND 8),
+      c1 AS (SELECT v FROM g1 WHERE r % 2 = 0),
+      g2 AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+             FROM src WHERE ins BETWEEN 9 AND 16),
+      c2 AS (SELECT v FROM g2 WHERE r % 2 = 1),
+      l2g AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+              FROM (SELECT v FROM c1 UNION ALL SELECT v FROM c2)),
+      l2 AS (SELECT v, CAST(4 AS BIGINT) AS w FROM l2g WHERE r % 2 = 0),
+      g3 AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+             FROM src WHERE ins BETWEEN 17 AND 24),
+      l1 AS (SELECT v, CAST(2 AS BIGINT) AS w FROM g3 WHERE r % 2 = 0),
+      items AS (SELECT v, w FROM l1 UNION ALL SELECT v, w FROM l2),
+      ordered AS (SELECT v, w,
+                         CAST(SUM(w) OVER (ORDER BY v, w
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM items),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src)
+      SELECT (SELECT string_agg(v || ':' || w, ',' ORDER BY v, w) FROM ordered) AS summary,
+             (SELECT n FROM tot) AS n,
+             (SELECT MIN(v) FROM ordered
+              WHERE cum >= CAST(ceil((SELECT n FROM tot) * 0.25) AS BIGINT)) AS q25,
+             (SELECT MIN(v) FROM ordered
+              WHERE cum >= CAST(ceil((SELECT n FROM tot) * 0.5) AS BIGINT)) AS q50,
+             (SELECT MIN(v) FROM ordered
+              WHERE cum >= CAST(ceil((SELECT n FROM tot) * 0.9) AS BIGINT)) AS q90"""))
   )
 }

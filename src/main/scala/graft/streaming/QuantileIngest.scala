@@ -118,4 +118,84 @@ object QuantileIngest {
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       foldBatch(batch, st, valueCol, batchId)
     }(onBatch)
+
+  // ------------------------- unbounded-domain (KLL sketch) gate mode ----
+  // BoundedHistogram's contract requires a bounded INTEGER domain and
+  // fails fast past maxBins; real curation thresholds sit on float
+  // quality scores and heavy-tailed lengths where no bound exists. This
+  // mode swaps the exact histogram for the deterministic KLL compactor
+  // ([[TypedAggregators.QuantileSketch]]): memory is O(k·log(n/k))
+  // regardless of the value domain, and the per-batch threshold is
+  // within the sketch's PROVEN rank-error bound of the exact percentile
+  // over everything seen (n·levels/k — TypedAggregatorSpec pins it under
+  // any partitioning; the gate's state-merge is one more branch of the
+  // same merge tree, so the bound covers it with the post-fold n).
+  // Trade stated honestly: the bounded-histogram mode is EXACT and stays
+  // the right choice when the domain is bounded; this mode is the escape
+  // hatch, approximate within a stated bound, never silently degraded.
+
+  /** Folding sketch state: the raw compactor hierarchy + the quantile it
+    * serves. Driver-small (O(k·log(n/k)) doubles), persistable via its
+    * plain fields ([[TypedAggregators.KllBuf]] is a product). */
+  final case class SketchThresholdState(
+      buf: TypedAggregators.KllBuf, p: Double, k: Int,
+      keepAtOrAbove: Boolean, version: Long, foldedBatch: Long = -1L)
+      extends Gate.Folded {
+    def n: Long = buf.n
+    /** The sketch's percentile_disc estimate: the smallest summarized
+      * value whose cumulative weight reaches ceil(n·p). Empty state keeps
+      * everything (no population, no evidence). */
+    def threshold: Option[Double] =
+      if (buf.n == 0L) None
+      else Some(new TypedAggregators.QuantileSketch(k).finish(buf).quantile(p))
+  }
+
+  /** One distributed pass over a relation's `valueCol` → its KLL buffer
+    * (map-side compactors, rank-bounded merge across the shuffle). */
+  def sketchOf(df: DataFrame, valueCol: String, k: Int): TypedAggregators.KllBuf = {
+    import df.sparkSession.implicits._
+    df.select(col(valueCol).cast("double")).as[Double]
+      .select(new TypedAggregators.QuantileSketchBuf(k).toColumn)
+      .head()
+  }
+
+  /** Build the sketch state once from the existing corpus. */
+  def buildSketchState(corpus: DataFrame, valueCol: String, p: Double,
+                       k: Int = 200, keepAtOrAbove: Boolean = true,
+                       version: Long = 0L): SketchThresholdState = {
+    require(p > 0.0 && p <= 1.0, s"p=$p")
+    SketchThresholdState(sketchOf(corpus, valueCol, k), p, k,
+      keepAtOrAbove, version)
+  }
+
+  /** Reconstruct a persisted sketch state after a restart. */
+  def restoreSketchState(buf: TypedAggregators.KllBuf, p: Double, k: Int,
+                         keepAtOrAbove: Boolean, version: Long,
+                         foldedBatch: Long): SketchThresholdState =
+    SketchThresholdState(buf, p, k, keepAtOrAbove, version, foldedBatch)
+
+  /** Gate-then-fold for the sketch mode: the batch is gated on the
+    * PRE-batch threshold (same convention as the exact mode), then the
+    * whole batch's sketch merges into the state. */
+  def foldSketchBatch(batch: DataFrame, st: SketchThresholdState,
+                      valueCol: String, batchId: Long): (DataFrame, SketchThresholdState) = {
+    val kept = st.threshold match {
+      case None => batch
+      case Some(t) =>
+        if (st.keepAtOrAbove) batch.filter(col(valueCol).cast("double") >= t)
+        else batch.filter(col(valueCol).cast("double") <= t)
+    }
+    val bb = sketchOf(batch, valueCol, st.k)
+    val merged = new TypedAggregators.QuantileSketch(st.k).merge(st.buf, bb)
+    (kept, st.copy(buf = merged, version = st.version + 1, foldedBatch = batchId))
+  }
+
+  /** The sketch-mode folding loop (gate family's unbounded-domain
+    * quantile gate): replay-fenced like every folding gate. */
+  def startSketchGate(stream: Stream, state: AtomicReference[SketchThresholdState],
+                      valueCol: String, checkpoint: Option[String] = None)(
+                      onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      foldSketchBatch(batch, st, valueCol, batchId)
+    }(onBatch)
 }

@@ -153,4 +153,134 @@ class StreamingQuantileSpec extends SparkSpec {
     assert(calls == 1 && restored.get().foldedBatch == 2L)
     assert(restored.get().n == persisted.n + b0.size)
   }
+
+  // ---------------- unbounded-domain (KLL sketch) gate mode -------------
+
+  /** The deterministic compactor's rank-error bound at the current n
+    * (TypedAggregatorSpec's formula — levels ≈ log2(n/k) + slack). */
+  private def rankBound(n: Long, k: Int): Long = {
+    val levels = math.max(1,
+      (math.log(n.toDouble / k) / math.log(2.0)).ceil.toInt + 2)
+    (n * levels) / k
+  }
+
+  /** |exact rank of the estimate − target rank| — what the sketch bounds. */
+  private def rankErr(values: Seq[Double], est: Double, p: Double): Long =
+    math.abs(values.count(_ <= est).toLong -
+      math.ceil(values.size * p).toLong)
+
+  test("sketch gate: pre-batch threshold gates; post-fold threshold within the rank bound") {
+    // CONTINUOUS scores — the domain BoundedHistogram's contract refuses
+    // (every value distinct; no integer binning). Batches shift upward so
+    // the threshold must move.
+    val rnd = new scala.util.Random(7)
+    val k = 64
+    val corpus = Seq.tabulate(3000)(i => (i.toLong, rnd.nextDouble() * 1000.0))
+    val batches = Seq.tabulate(3) { b =>
+      Seq.tabulate(800)(i =>
+        (10000L + b * 1000 + i, rnd.nextDouble() * 1000.0 + 400.0 * (b + 1)))
+    }
+
+    var st = QuantileIngest.buildSketchState(
+      corpus.toDF("doc_id", "score"), "score", p = 0.5, k = k)
+    var seen = corpus.map(_._2)
+    assert(st.n == seen.size.toLong)
+    assert(rankErr(seen, st.threshold.get, 0.5) <= rankBound(seen.size, k))
+
+    batches.zipWithIndex.foreach { case (batch, b) =>
+      val preT = st.threshold.get
+      val (kept, next) = QuantileIngest.foldSketchBatch(
+        batch.toDF("doc_id", "score"), st, "score", batchId = b.toLong)
+      // gate: the PRE-batch threshold selects, exactly (keepAtOrAbove).
+      val expectKept = batch.filter(_._2 >= preT).map(_._1).toSet
+      assert(kept.select("doc_id").as[Long].collect().toSet == expectKept)
+      // fold: whole batch enters the population; the merged sketch's
+      // threshold stays within the deterministic rank-error bound of the
+      // exact percentile over everything seen (the merge tree the bound
+      // already covers — state ∪ batch is one more branch).
+      seen = seen ++ batch.map(_._2)
+      assert(next.n == seen.size.toLong)
+      val err = rankErr(seen, next.threshold.get, 0.5)
+      assert(err <= rankBound(seen.size, k),
+        s"batch $b: rank error $err > bound ${rankBound(seen.size, k)}")
+      st = next
+    }
+    // the upward-shifting mixture moved the threshold — non-vacuous.
+    assert(st.threshold.get > QuantileIngest.buildSketchState(
+      corpus.toDF("doc_id", "score"), "score", p = 0.5, k = k).threshold.get)
+  }
+
+  test("sketch gate streamed: gates on pre-batch threshold, folds, fences replays on restore") {
+    val rnd = new scala.util.Random(13)
+    val k = 64
+    val corpus = Seq.tabulate(1500)(i => (i.toLong, rnd.nextDouble() * 100.0))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      QuantileIngest.buildSketchState(corpus.toDF("doc_id", "score"),
+        "score", p = 0.8, k = k))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("score", DoubleType)))
+    val ms = MemoryStream[KMsg]
+    val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = QuantileIngest.startSketchGate(s, state, "value.score") {
+      (kept, _, _) =>
+        got += kept.select(col("value.doc_id")).as[Long].collect().toSet
+    }
+    def send(rows: Seq[(Long, Double)]): Unit = {
+      val payloads = rows.map { case (id, sc) => s"""{"doc_id":$id,"score":$sc}""" }
+      ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+
+    var seen = corpus.map(_._2)
+    val b0 = Seq.tabulate(400)(i => (5000L + i, rnd.nextDouble() * 150.0))
+    val b1 = Seq.tabulate(400)(i => (6000L + i, rnd.nextDouble() * 200.0))
+    for ((batch, bi) <- Seq(b0, b1).zipWithIndex) {
+      // the stream is idle between processAllAvailable calls — the
+      // pre-batch threshold is readable race-free.
+      val preT = state.get().threshold.get
+      send(batch)
+      assert(got(bi) == batch.filter(_._2 >= preT).map(_._1).toSet)
+      seen = seen ++ batch.map(_._2)
+      assert(state.get().n == seen.size.toLong)
+      assert(rankErr(seen, state.get().threshold.get, 0.8) <=
+        rankBound(seen.size, k))
+    }
+    q.stop()
+    assert(state.get().foldedBatch == 1L)
+
+    // restart: persist the driver-small buf + fence, restore, and a
+    // replayed batch at/below the fence must be SKIPPED.
+    val persisted = state.get()
+    val restored = new java.util.concurrent.atomic.AtomicReference(
+      QuantileIngest.restoreSketchState(persisted.buf, persisted.p,
+        persisted.k, persisted.keepAtOrAbove, persisted.version,
+        persisted.foldedBatch))
+    assert(restored.get().threshold == persisted.threshold)
+    val ms2 = MemoryStream[KMsg]
+    val s2 = Stream.fromKafkaShaped(spark, ms2.toDF(), schema)
+    var calls = 0
+    val q2 = QuantileIngest.startSketchGate(s2, restored, "value.score") {
+      (_, _, _) => calls += 1
+    }
+    val payloads = b0.map { case (id, sc) => s"""{"doc_id":$id,"score":$sc}""" }
+    for (base <- Seq(0L, 100L)) { // batchIds 0, 1 — both at/below fence 1
+      ms2.addData(payloads.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, base + i, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q2.processAllAvailable()
+    }
+    assert(calls == 0 && restored.get().n == persisted.n,
+      "replayed batches at/below the fence must not re-fold")
+    ms2.addData(payloads.zipWithIndex.map { case (j, i) =>
+      KMsg("t", 0, 200L + i, new Timestamp(3000L + i), null, j.getBytes("UTF-8"))
+    }.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(calls == 1 && restored.get().foldedBatch == 2L)
+    assert(restored.get().n == persisted.n + b0.size)
+  }
 }

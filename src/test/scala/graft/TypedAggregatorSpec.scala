@@ -100,6 +100,26 @@ class TypedAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("kllSketchOrdered: frozen-input compaction trace matches the closed form (k=8, n=24)") {
+    // The deterministic alternating-parity compactor is a pure function
+    // of the insertion SEQUENCE — this pins the exact trace the
+    // x_quantile_sketch oracle restates in closed form: with k = 8 and
+    // 24 inserts, compactions fire at inserts 8 (offset 0), 16 (offset 1,
+    // cascading level 1 → 2 at offset 0), and 24 (offset 0 again).
+    val rnd = new scala.util.Random(99)
+    val vs = rnd.shuffle((1 to 24).map(i => i * 137.0 + (i % 7))).toSeq
+    val sm = TypedAggregators.kllSketchOrdered(vs, 8)
+    def keep(xs: Seq[Double], offset: Int): Seq[Double] =
+      xs.sorted.zipWithIndex.collect { case (v, i) if i % 2 == offset => v }
+    val c1 = keep(vs.slice(0, 8), 0)    // compaction #1: parity0 false
+    val c2 = keep(vs.slice(8, 16), 1)   // compaction #2: parity0 true
+    val l2 = keep(c1 ++ c2, 0)          // cascade: parity1 false
+    val l1 = keep(vs.slice(16, 24), 0)  // compaction #3: parity0 false again
+    val expect = (l1.map(v => (v, 2L)) ++ l2.map(v => (v, 4L))).sortBy(identity)
+    assert(sm.items.map(i => (i.v, i.w)) == expect)
+    assert(sm.n == 24L && sm.items.map(_.w).sum == 24L)
+  }
+
   test("resize performs real nearest-neighbor resampling; undecodable passes through") {
     import spark.implicits._
     // 4×4 image of four 2×2 solid quadrants — nearest-neighbor to 2×2
