@@ -178,9 +178,16 @@ object Bench {
     val calibAfter = calibrate()
     val calib = math.min(calibBefore._1, calibAfter._1)
     val cruns = (calibBefore._2 ++ calibAfter._2).mkString("[", ",", "]")
+    // Calib-normalized seconds (query_sec / calib): cross-round deltas on
+    // these divide out machine drift — compare THESE between rounds, not
+    // the raw numbers (the observed ~16-25% cross-round swings on
+    // unchanged plans track the calib probe).
+    val qn = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0 || calib <= 0) -1.0 else v / calib)
+    }.mkString("{", ",", "}")
     // Stop Spark FIRST so no executor/shutdown logging can interleave after
     // the metric line — the driver wants it as the final clean stdout line.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gate_build":$gateBuild,"calib":$calib,"calib_runs":$cruns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_normalized":$qn,"runs":$rs,"gate_build":$gateBuild,"calib":$calib,"calib_runs":$cruns,"sf":"$sfDir"}""")
   }
 }
