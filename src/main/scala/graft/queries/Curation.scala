@@ -426,6 +426,46 @@ object Curation {
              MIN(day) AS min_day, MAX(day) AS max_day
       FROM h0 GROUP BY 1 ORDER BY bucket""")),
 
+    // --------------------------------------- 3-dimensional Morton key
+    // Layout.zValueN at d = 3: (customer, order-day, orderkey-residue)
+    // interleaved bit-by-bit as pure div/mod arithmetic — the layout for
+    // tables serving THREE predicate families (LayoutSpec proves scan
+    // pruning on each axis with scan metrics). Audit twin of x_zorder:
+    // group by the top-6-bit prefix (d=3 × 16 bits = 48-bit key), emit
+    // each bucket's 3-d bounding box — every bucket must be narrow in
+    // ALL THREE dims at once. The oracle restates the identical
+    // sum-of-bits expression via Layout.zValueNSql(divOp = "//").
+    Q("x_zorder3", (s, d) => {
+      orders(s, d)
+        .withColumn("day",
+          expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)"))
+        .withColumn("okm", expr("o_orderkey % 4096"))
+        .withColumn("z", graft.sources.Layout.zValueN(
+          Seq(("o_custkey", 16384L), ("day", 4096L), ("okm", 4096L))))
+        .withColumn("bucket", expr("z div 4398046511104"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+          min(col("okm")).as("min_ok"), max(col("okm")).as("max_ok"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+               o_orderkey % 4096 AS okm
+        FROM orders),
+      z AS (SELECT o_custkey, day, okm,
+                   ${graft.sources.Layout.zValueNSql(
+                     Seq(("o_custkey", 16384L), ("day", 4096L), ("okm", 4096L)),
+                     divOp = "//")} AS zv
+            FROM t)
+      SELECT (zv // 4398046511104) AS bucket, COUNT(*) AS n,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             MIN(day) AS min_day, MAX(day) AS max_day,
+             MIN(okm) AS min_ok, MAX(okm) AS max_ok
+      FROM z GROUP BY 1 ORDER BY bucket""")),
+
     // --------------------------------------------- token-budget packing
     // Greedy sequential packing of documents into fixed-token-budget bins
     // within a shard: bin = (running-token-count-before-me) div budget.

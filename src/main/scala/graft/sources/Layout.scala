@@ -81,6 +81,58 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** The d-DIMENSIONAL Morton interleave as engine-portable SQL text —
+    * shared by [[zValueN]] and its DuckDB oracle twin (pass `divOp =
+    * "//"` there; everything else is the identical literal arithmetic).
+    *
+    * Each input range-normalizes to `bitsPerDim = min(16, 62/d)` bits
+    * (so the maximum result bit index `bitsPerDim·d − 1` stays inside a
+    * signed 64-bit long: d=3 → 16 bits/dim, d=4 → 15, d=6 → 10), then
+    * the interleave is stated per BIT as pure div/mod/multiply —
+    * `((norm div 2^b) % 2) · 2^(b·d + j)` summed over all bits of all
+    * dims (the bit positions are disjoint, so + is |). No shift
+    * builtins, no UDF: one flat codegen-able integer expression any
+    * engine evaluates bit-identically. */
+  def zValueNSql(cols: Seq[(String, Long)], divOp: String = "div"): String = {
+    val d = cols.size
+    require(d >= 2, s"zValueN needs at least 2 dimensions, got $d")
+    val bitsPerDim = math.min(16L, 62L / d)
+    val terms = cols.zipWithIndex.flatMap { case ((c, bound), j) =>
+      require(bound > 0, s"bound for $c must be positive")
+      val norm = s"(CAST((($c) * ${1L << bitsPerDim}) $divOp $bound AS BIGINT))"
+      (0L until bitsPerDim).map { b =>
+        s"((($norm $divOp ${1L << b}) % 2) * ${1L << (b * d + j)})"
+      }
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Morton/Z-value of d ≥ 2 bounded non-negative integer columns — the
+    * d-dimensional generalization of [[zValue]] for tables that serve
+    * three or four predicate families at once (e.g. customer-keyed AND
+    * time-ranged AND region-filtered at 100 TB). Sorting by it gives
+    * every file a narrow bounding BOX in all d dimensions, so parquet
+    * zone maps prune scans filtered on ANY of the columns; the price of
+    * each extra dimension is a coarser per-dimension resolution at the
+    * same file count (d·bitsPerDim total bits split d ways — the
+    * standard multi-dim layout trade, stated rather than hidden).
+    * Values MUST lie in [0, bound) per column. Pure projection: no
+    * shuffle, no UDF, whole-stage codegen. */
+  def zValueN(cols: Seq[(String, Long)]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(zValueNSql(cols))
+
+  /** The d-dimensional twin of [[writeZOrdered]]: range-partition and
+    * sort by the [[zValueN]] key so every output file covers a
+    * box-shaped region of the d-space. */
+  def writeMortonOrdered(df: DataFrame, path: String, shards: Int,
+                         cols: Seq[(String, Long)]): Unit = {
+    df.withColumn("__z", zValueN(cols))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** HILBERT index of two bounded non-negative integer columns — the
     * space-filling sibling of [[zValue]] with strictly better locality:
     * consecutive Hilbert cells are always ADJACENT in (x, y) (the

@@ -162,6 +162,64 @@ class LayoutSpec extends SparkSpec {
     assert(readZx <= total / 2, s"z layout read $readZx of $total for the x band")
   }
 
+  test("zValueN matches the reference d-dim interleave; d=2 degenerates to zValue") {
+    import spark.implicits._
+    def refZ(vals: Seq[Long], bounds: Seq[Long]): Long = {
+      val d = vals.size; val bits = math.min(16L, 62L / d)
+      vals.zip(bounds).zipWithIndex.map { case ((v, bnd), j) =>
+        val nv = v * (1L << bits) / bnd
+        (0L until bits).map(b => ((nv >> b) & 1L) << (b * d + j)).sum
+      }.sum
+    }
+    val rnd = new scala.util.Random(29)
+    val pts3 = Seq.fill(300)((rnd.nextInt(16384).toLong,
+      rnd.nextInt(4096).toLong, rnd.nextInt(1000).toLong))
+    val got3 = pts3.toDF("x", "y", "w")
+      .withColumn("z", Layout.zValueN(Seq(("x", 16384L), ("y", 4096L), ("w", 1000L))))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (x, y, w, z) =>
+      assert(z == refZ(Seq(x, y, w), Seq(16384L, 4096L, 1000L)), s"($x,$y,$w)")
+    }
+    // four dims drop to 15 bits/dim — the max bit index must stay < 63.
+    val pts4 = Seq.fill(100)(Seq.fill(4)(rnd.nextInt(100000).toLong))
+    val got4 = pts4.map(p => (p(0), p(1), p(2), p(3))).toDF("a", "b", "c", "d")
+      .withColumn("z", Layout.zValueN(Seq(("a", 100000L), ("b", 100000L),
+        ("c", 100000L), ("d", 100000L))))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got4.foreach { case (a, b, c, d4, z) =>
+      assert(z == refZ(Seq(a, b, c, d4), Seq.fill(4)(100000L)) && z >= 0L)
+    }
+    // two dims reproduce the shift/mask zValue bit-for-bit.
+    val pts2 = Seq.fill(200)((rnd.nextInt(16384).toLong, rnd.nextInt(4096).toLong))
+    pts2.toDF("x", "y")
+      .withColumn("z2", Layout.zValue("x", 16384, "y", 4096))
+      .withColumn("zn", Layout.zValueN(Seq(("x", 16384L), ("y", 4096L))))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (x, y, z2, zn) => assert(z2 == zn, s"($x, $y)") }
+  }
+
+  test("writeMortonOrdered(d=3) prunes scans on EACH of the three columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    val n = 32L
+    val grid = spark.range(n * n * n)
+      .select(expr(s"id div ${n * n}").as("x"),
+        expr(s"(id div $n) % $n").as("y"), (col("id") % n).as("w"))
+    Layout.writeMortonOrdered(grid, s"$dir/z3", shards = 64,
+      Seq(("x", n), ("y", n), ("w", n)))
+    val total = n * n * n
+    // a band predicate on ANY single dimension prunes whole files — the
+    // multi-predicate-family property, now in three dimensions. The
+    // bound is looser than the 2-d test's: with d dims each file's
+    // per-dim resolution is d× coarser at the same file count, and
+    // range-sampled shard cuts straddle more bit-block boundaries.
+    for (c <- Seq("x", "y", "w")) {
+      val read = rowsReadByScan(
+        spark.read.parquet(s"$dir/z3").filter(col(c) < n / 8))
+      assert(read <= total / 2,
+        s"3-d morton read $read of $total for the $c band")
+    }
+  }
+
   test("withHilbert round-trips the reference d2xy walk; consecutive cells are adjacent") {
     import spark.implicits._
     // reference d→(x,y) at order 16 (the standard inverse walk).
