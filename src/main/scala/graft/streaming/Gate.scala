@@ -159,6 +159,13 @@ object Gate {
     path.split('/').find(_.startsWith("batch_")).flatMap(s =>
       scala.util.Try(s.stripPrefix("batch_").toLong).toOption)
 
+  /** The retention horizon a logged file records — its `expired_<h>`
+    * path segment ([[expireGrown]] consolidations; absent everywhere
+    * else). The max over the log is the earliest readable snapshot. */
+  private def horizonOf(path: String): Option[Long] =
+    path.split('/').find(_.startsWith("expired_")).flatMap(s =>
+      scala.util.Try(s.stripPrefix("expired_").toLong).toOption)
+
   private def sinkLog(spark: org.apache.spark.sql.SparkSession, root: String) =
     new org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog(
       org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog.VERSION,
@@ -209,9 +216,11 @@ object Gate {
 
   /** The fold lineage of a grown directory: the distinct fold ids the
     * manifest records, ascending — the valid arguments to
-    * [[readGrownAsOf]]. One log read, no directory listing. Empty when
-    * the root has no manifest yet (nothing has folded; the only
-    * readable snapshot is "now" via [[readGrown]]). */
+    * [[readGrownAsOf]] (after an [[expireGrown]], the horizon itself is
+    * also valid: its snapshot is exactly the consolidation). One log
+    * read, no directory listing. Empty when the root has no manifest yet
+    * (nothing has folded; the only readable snapshot is "now" via
+    * [[readGrown]]). */
   def grownFolds(spark: org.apache.spark.sql.SparkSession,
                  root: String): Seq[Long] =
     if (!manifestExists(spark, root)) Seq.empty
@@ -241,10 +250,117 @@ object Gate {
     require(manifestExists(spark, root),
       s"readGrownAsOf: no manifest at $root — time travel reads plan from " +
         "the sink log, which the first Gate.growDir fold bootstraps")
-    val files = sinkLog(spark, root).allFiles().toSeq
-      .filter(f => foldIdOf(f.path).forall(_ <= asOf))
+    val all = sinkLog(spark, root).allFiles().toSeq
+    // retention fence: an expireGrown consolidation subsumes every
+    // pre-horizon snapshot — those files are GONE, so reading "as of"
+    // anything earlier must refuse, never silently return the horizon's
+    // rows under an older label.
+    val horizon = all.flatMap(f => horizonOf(f.path)).maxOption.getOrElse(-1L)
+    require(asOf >= horizon,
+      s"readGrownAsOf: snapshot asOf=$asOf at $root is EXPIRED — " +
+        s"expireGrown consolidated history up to fold $horizon; the " +
+        s"earliest readable snapshot is asOf=$horizon")
+    val files = all.filter(f => foldIdOf(f.path).forall(_ <= asOf))
     if (files.isEmpty) readGrown(spark, root).limit(0)
     else spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** EXPIRE history before a horizon — the VACUUM-with-retention step
+    * between [[readGrownAsOf]] (keeps every fold's files forever) and
+    * [[compactGrown]] (truncates ALL history): consolidate the seed plus
+    * every fold ≤ `keepAfter` into one `expired_<keepAfter>` subdirectory
+    * and rebuild the log as (consolidation + later folds). Afterwards
+    * `readGrownAsOf(asOf < keepAfter)` REFUSES with the horizon named
+    * (the pre-horizon files are gone — returning the horizon's rows
+    * under an older label would be a silent lie), while
+    * `asOf ≥ keepAfter` still plans exactly: the consolidation carries
+    * every pre-horizon row and the retained `batch_<id>` paths keep
+    * their fold ids. Bounded history = bounded file count — the
+    * small-file prefix merges into one relation, which is the same
+    * OPTIMIZE benefit compactGrown buys, minus the history loss.
+    *
+    * Run it OFFLINE between batches (the compactGrown rotation
+    * discipline). Crash story, step by step, each state re-runnable with
+    * the same `keepAfter`:
+    *  1. the consolidation writes to a dot-prefixed temp dir (invisible
+    *     to listings and the log) and renames into place — a crash
+    *     leaves either no consolidation (rerun redoes it) or a complete
+    *     one the still-intact log simply doesn't reference yet (rerun
+    *     overwrites it; readers stayed on the originals throughout);
+    *  2. the log rebuild (delete + re-seed, the [[pruneGrown]]
+    *     whole-rebuild rule) — a crash in between leaves a log-less root
+    *     WITH a complete consolidation; the rerun detects that state and
+    *     re-seeds from (consolidation + post-horizon folds) without
+    *     touching data;
+    *  3. original prefix files delete LAST, only after the new log is
+    *     durable — a crash mid-delete leaves stragglers the manifest
+    *     reader never consults; the rerun's final sweep (or the next
+    *     rerun) removes them.
+    * Returns the consolidation directory. */
+  def expireGrown(spark: org.apache.spark.sql.SparkSession, root: String,
+                  keepAfter: Long): String = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, s"expired_$keepAfter")
+    val logless = !manifestExists(spark, root)
+    if (logless) {
+      // step-2 crash recovery ONLY: a complete consolidation at this
+      // exact horizon plus no log. Anything else is a misuse (retention
+      // is a log feature — a never-folded root has no history to expire).
+      require(fs.exists(dir),
+        s"expireGrown: no manifest at $root — retention is a log feature " +
+          "(and no crashed expiry at this horizon to repair)")
+    } else {
+      val all = sinkLog(spark, root).allFiles().toSeq
+      val prevHorizon = all.flatMap(f => horizonOf(f.path)).maxOption.getOrElse(-1L)
+      require(keepAfter >= prevHorizon,
+        s"expireGrown: $root is already expired up to fold $prevHorizon > $keepAfter")
+      val (prefix, suffix) = all.partition(f => foldIdOf(f.path).forall(_ <= keepAfter))
+      if (prefix.exists(f => horizonOf(f.path).isEmpty) || prevHorizon < keepAfter) {
+        // step 1: consolidate via an invisible dot-temp, rename into place.
+        val tmp = new org.apache.hadoop.fs.Path(root, s".expired_tmp_$keepAfter")
+        spark.read.parquet(prefix.map(_.path): _*)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(dir)) fs.delete(dir, true) // a prior crashed attempt
+        require(fs.rename(tmp, dir), s"expireGrown: rename $tmp -> $dir failed")
+        // step 2: rebuild the log whole (per-entry purge is unsafe across
+        // the log's own compaction — the pruneGrown rule).
+        fs.delete(new org.apache.hadoop.fs.Path(root, MetadataDir), true)
+        val consolidated = dataFiles(fs, dir, None).map(SinkFileStatus.apply)
+        require(sinkLog(spark, root).add(0L, consolidated ++ suffix),
+          s"expireGrown: re-seeding a fresh manifest at $root cannot collide")
+      } // else: a completed expiry at this horizon — only sweep leftovers.
+    }
+    if (logless) {
+      // step-2 crash repair: the consolidation is complete; re-seed the
+      // log from it plus the post-horizon fold dirs (originals are
+      // untouched in this state — deletion is ordered after the rebuild).
+      val suffixFiles = fs.listStatus(rootPath).filter(_.isDirectory).flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("batch_").toLong).toOption
+          .filter(id => s.getPath.getName.startsWith("batch_") && id > keepAfter)
+          .map(_ => dataFiles(fs, s.getPath, None)).getOrElse(Array.empty)
+      }
+      val consolidated = dataFiles(fs, dir, None)
+      require(sinkLog(spark, root).add(0L,
+        (consolidated ++ suffixFiles).map(SinkFileStatus.apply)),
+        s"expireGrown: re-seeding a fresh manifest at $root cannot collide")
+    }
+    // step 3: the originals — root-level seed files, batch_<id> dirs at
+    // or below the horizon, older expired_<h> consolidations — delete
+    // LAST; the durable new log never references them.
+    fs.listStatus(rootPath).foreach { s =>
+      val nm = s.getPath.getName
+      val stale =
+        if (nm.startsWith("_") || nm.startsWith(".")) false
+        else if (!s.isDirectory) true // pre-manifest seed data at the root
+        else if (nm.startsWith("batch_"))
+          scala.util.Try(nm.stripPrefix("batch_").toLong).toOption.exists(_ <= keepAfter)
+        else if (nm.startsWith("expired_"))
+          scala.util.Try(nm.stripPrefix("expired_").toLong).toOption.exists(_ < keepAfter)
+        else false
+      if (stale) fs.delete(s.getPath, s.isDirectory)
+    }
+    dir.toString
   }
 
   /** DELETE orphaned `batch_<id>` subdirectories with id ABOVE the

@@ -145,6 +145,80 @@ class GateManifestSpec extends SparkSpec {
       Set((0L, "seed0"), (1L, "seed1"), (0L, "b0")))
   }
 
+  test("expireGrown: expired snapshots refuse by horizon; later folds still plan exactly") {
+    val root = freshRoot()
+    (0L to 3L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    val seed = Set((0L, "seed0"), (1L, "seed1"))
+    val full = seed ++ (0L to 3L).map(b => (10 * b, s"b$b"))
+
+    val dir = Gate.expireGrown(spark, root, keepAfter = 1L)
+    assert(dir.endsWith("expired_1"))
+    // "now" and every snapshot at/after the horizon are bitwise intact…
+    assert(rows(root) == full)
+    assert(Gate.readGrownAsOf(spark, root, 1L).as[(Long, String)]
+      .collect().toSet == seed ++ Seq((0L, "b0"), (10L, "b1")))
+    (2L to 3L).foreach { b =>
+      assert(Gate.readGrownAsOf(spark, root, b).as[(Long, String)]
+        .collect().toSet == seed ++ (0L to b).map(i => (10 * i, s"b$i")))
+    }
+    // …pre-horizon snapshots refuse with the horizon named…
+    for (asOf <- Seq(-1L, 0L)) {
+      val e = intercept[IllegalArgumentException] {
+        Gate.readGrownAsOf(spark, root, asOf)
+      }
+      assert(e.getMessage.contains("EXPIRED") && e.getMessage.contains("asOf=1"))
+    }
+    // …the consolidated prefix physically superseded its originals…
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "batch_0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "batch_1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "batch_2")))
+    assert(Gate.grownFolds(spark, root) == Seq(2L, 3L))
+    // …growth continues, and a SECOND expiry at a later horizon folds the
+    // first consolidation in (the older expired_<h> dir is swept).
+    Gate.growDir(batchDf(4), root, 4L)
+    Gate.expireGrown(spark, root, keepAfter = 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "expired_1")))
+    assert(rows(root) == full + ((40L, "b4")))
+    assert(Gate.readGrownAsOf(spark, root, 3L).as[(Long, String)]
+      .collect().toSet == full)
+    intercept[IllegalArgumentException] { Gate.readGrownAsOf(spark, root, 1L) }
+    // an expiry below the standing horizon refuses.
+    intercept[IllegalArgumentException] { Gate.expireGrown(spark, root, 0L) }
+    // rerun at the SAME horizon is the completed-expiry no-op sweep.
+    Gate.expireGrown(spark, root, keepAfter = 2L)
+    assert(rows(root) == full + ((40L, "b4")))
+  }
+
+  test("expireGrown crash repair: a log-less root with a complete consolidation re-seeds") {
+    val root = freshRoot()
+    (0L to 2L).foreach(b => Gate.growDir(batchDf(b), root, b))
+    Gate.expireGrown(spark, root, keepAfter = 0L)
+    val full = Set((0L, "seed0"), (1L, "seed1")) ++
+      (0L to 2L).map(b => (10 * b, s"b$b"))
+    assert(rows(root) == full)
+    // simulate the step-2 crash window: the log is gone, the
+    // consolidation and every fold dir are on disk.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_spark_metadata"), true)
+    assert(!Gate.manifestExists(spark, root))
+    Gate.expireGrown(spark, root, keepAfter = 0L) // the rerun repairs
+    assert(Gate.manifestExists(spark, root))
+    assert(rows(root) == full)
+    assert(Gate.readGrownAsOf(spark, root, 2L).as[(Long, String)]
+      .collect().toSet == full)
+    intercept[IllegalArgumentException] { Gate.readGrownAsOf(spark, root, -1L) }
+    // a log-less root WITHOUT a consolidation at the horizon is misuse,
+    // not a crash state — refuse.
+    val fresh = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      Gate.expireGrown(spark, fresh, keepAfter = 0L)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("fence below every fold re-seeds the log to the bare root; replay from 0 works") {
     val root = freshRoot()
     (0L to 1L).foreach(b => Gate.growDir(batchDf(b), root, b))
