@@ -405,14 +405,19 @@ object Graph {
     var cur = stageTracked(
       ce.select(col("lo").as("src"), col("hi").as("dst"))
         .union(ce.select(col("hi").as("src"), col("lo").as("dst"))))
+    // the in-flight peel front, visible to the catch-all: staging `next`
+    // can throw mid-round, and the round's already-staged front must not
+    // leak its directory when it does.
+    var front: Option[graft.sources.Tables.Staged] = None
     try {
       var rounds = 0
       while (true) {
-        val front = stageTracked(
+        val f = stageTracked(
           cur.df.groupBy(col("src")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") < k).select(col("src").as("peel")))
-        if (front.df.isEmpty) {
-          front.drop()
+        front = Some(f)
+        if (f.df.isEmpty) {
+          f.drop(); front = None
           val result = cur.df.groupBy(col("src"))
             .agg(count(lit(1)).cast("bigint").as("deg"))
             .select(col("src").as("node"), col("deg"))
@@ -420,24 +425,26 @@ object Graph {
         }
         rounds += 1
         if (rounds > maxRounds) {
-          front.drop()
+          f.drop(); front = None
           throw new IllegalStateException(
             s"kCore: peel did not converge in $maxRounds rounds")
         }
         val next = stageTracked(
           cur.df
-            .join(front.df, col("src") === col("peel"), "left_anti")
-            .join(front.df.select(col("peel").as("__p2")),
+            .join(f.df, col("src") === col("peel"), "left_anti")
+            .join(f.df.select(col("peel").as("__p2")),
               col("dst") === col("__p2"), "left_anti"))
         // advance BEFORE reclaiming, so the catch-all always drops the
         // live round, never a superseded one twice.
         val old = cur
         cur = next
-        old.drop(); front.drop()
+        old.drop(); f.drop(); front = None
       }
       throw new IllegalStateException("unreachable")
     } catch {
-      case t: Throwable => cur.drop(); throw t
+      case t: Throwable =>
+        front.foreach(f => scala.util.Try(f.drop()))
+        cur.drop(); throw t
     }
   }
 

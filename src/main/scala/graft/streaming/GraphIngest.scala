@@ -227,12 +227,33 @@ object GraphIngest {
     }(onBatch)
 
   /** Reconstruct a [[KCoreState]] from its persisted directories after a
-    * restart. */
+    * restart.
+    *
+    * `superseded`: staged round dirs that were PENDING deferred reclaim
+    * when the process died (the pre-crash state's `superseded` paths, if
+    * the caller persisted them alongside core/edges) — pass them here and
+    * the first post-restart fold's backstop `reclaim()` sweeps them.
+    * Left empty, those dirs are a bounded DISK LEAK only (at most one
+    * fold's core+edges), never a correctness issue: folds re-peel from
+    * the persisted edge union, which never references them. Callers that
+    * don't persist the pending paths should sweep stale dirs under their
+    * `graft.stage.dir` on restart instead. */
   def restoreKCore(spark: org.apache.spark.sql.SparkSession,
                    corePath: String, edgesPath: String, k: Int,
-                   version: Long, foldedBatch: Long): KCoreState =
+                   version: Long, foldedBatch: Long,
+                   superseded: Seq[String] = Nil): KCoreState = {
+    // what PERSISTS at corePath is the final staged ARC relation of the
+    // peel (kCoreTracked's Staged pairs the (node, deg) aggregate VIEW
+    // with the arc dir it reads from) — restore must re-derive the view,
+    // not surface raw arcs as the core.
+    val arcs = spark.read.parquet(corePath)
+    val coreView = arcs.groupBy(col("src"))
+      .agg(count(lit(1)).cast("bigint").as("deg"))
+      .select(col("src").as("node"), col("deg"))
     KCoreState(
-      Tables.Staged(spark.read.parquet(corePath), Some(corePath)),
+      Tables.Staged(coreView, Some(corePath)),
       Tables.Staged(spark.read.parquet(edgesPath), Some(edgesPath)),
-      k, version, foldedBatch)
+      k, version, foldedBatch,
+      superseded.map(p => Tables.Staged(spark.read.parquet(p), Some(p))))
+  }
 }

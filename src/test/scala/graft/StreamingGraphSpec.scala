@@ -156,4 +156,38 @@ class StreamingGraphSpec extends SparkSpec {
     assert(got(1) == want, "fold must equal a full re-peel over the union")
     assert(state.get().foldedBatch == 1L && state.get().version == 2L)
   }
+
+  test("restoreKCore: pre-crash pending-reclaim dirs sweep when their paths are passed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val initial = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        GraphIngest.buildKCore(initial.toDF("a", "b"), "a", "b", k = 2))
+      val ms = MemoryStream[KMsg]
+      val q = GraphIngest.startKCore(mkStream(ms), state,
+        "value.src", "value.dst") { (_, _, _) => () }
+      send(ms, q, Seq((4L, 1L)))
+      q.stop()
+      // the fold superseded the initial core+edges dirs; a crash NOW
+      // leaves them pending deferred reclaim.
+      val live = state.get()
+      val pending = live.superseded.map(_.path.get)
+      assert(pending.nonEmpty)
+      pending.foreach(p => assert(new java.io.File(p).exists))
+
+      val restored = GraphIngest.restoreKCore(spark, live.core.path.get,
+        live.edges.path.get, k = 2, live.version, live.foldedBatch,
+        superseded = pending)
+      assert(restored.core.df.as[(Long, Long)].collect().toSet ==
+        live.core.df.as[(Long, Long)].collect().toSet)
+      // the first post-restart fold's backstop reclaim() sweeps them…
+      restored.reclaim()
+      pending.foreach(p =>
+        assert(!new java.io.File(p).exists, s"pre-crash dir $p leaked"))
+      // …and the live state dirs are untouched.
+      assert(new java.io.File(live.core.path.get).exists)
+      assert(new java.io.File(live.edges.path.get).exists)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
