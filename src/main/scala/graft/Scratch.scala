@@ -4,21 +4,18 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness (not part of the library surface).
   *
-  * Current experiment (round 11, session 3): NEW GATE COSTS —
-  * (a) the entity-resolution probe (`EntityIngest` /
-  * `TextDedup.editPairsAgainstIndex`): per-1000-record batch against a
-  * 100k-title corpus index, and how the cost scales with the batch's
-  * candidate volume (blocks × bucket width);
-  * (b) the frequency fold (`FrequencyIngest`): build cost over the sf0.1
-  * token stream and the per-batch fold — expected FLAT (state is 1024
-  * longs; the fold is one map-side sketch of the batch + a driver-side
-  * cell merge, independent of corpus size).
+  * Current experiment (round 12): the EDIT-DISTANCE HOT CELL — a corpus
+  * whose (lang, length-bucket) cells are mostly small except ONE
+  * deliberately hot cell (constant-length same-language titles). The
+  * quadratic-in-occupancy candidate volume should dominate the whole
+  * pair join; `cellCap` should restore the cold-corpus wall at the
+  * documented recall trade (pairs touching the capped cell are missed).
   *
-  * Prior recorded experiments (pipeline staging, incremental graph
-  * upkeep, new-operator wall, triangle wedge bound, substring-span
-  * scale, span-index gate steady state, streaming gate cost split,
-  * verify-join skew) live in git history of this file; their numbers
-  * stand in README.
+  * Prior recorded experiments (entity probe block-attr scale law,
+  * frequency fold cost, pipeline staging, incremental graph upkeep,
+  * new-operator wall, triangle wedge bound, substring-span scale,
+  * span-index gate steady state, streaming gate cost split, verify-join
+  * skew) live in git history of this file; their numbers stand in README.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -38,52 +35,46 @@ object Scratch {
     }
     def best3(f: => Unit): Double = { f; (1 to 3).map(_ => timed(f)._2).min }
 
-    // ---- (a) entity-resolution probe: 1000-record batch vs 100k index
     val vocabArr = "array('join','hash','row','batch','scan','customer'," +
       "'column','filter','value','table')"
-    def titles(n: Long) = spark.range(n).selectExpr(
+    // 95k COLD rows: variable-length word titles + a 12-hex unique tail
+    // (distinct records sit ~11 edits apart), blocked on (lang, cat) —
+    // 1000 block groups × ~4 length buckets keeps every cold cell tiny
+    // (the well-composed-blockCols regime the operator documents).
+    val cold = spark.range(95000L).selectExpr(
       "id",
-      // word prefix + a 12-hex-char unique tail: distinct records sit
-      // ~11 edits apart (random hex), so only planted typos pair.
       s"""concat(
          |  array_join(transform(sequence(1, CAST(3 + id % 5 AS INT)),
          |    j -> element_at($vocabArr,
          |           CAST((id * 7 + j * 13) % 10 + 1 AS INT))), ' '),
          |  ' ', substr(md5(CAST(id AS STRING)), 1, 12)) AS title""".stripMargin,
       "CAST(id % 5 AS STRING) AS lang",
-      "CAST(id % 50 AS STRING) AS cat")
-    // the batch = 1000 typo'd re-listings of existing records (same
-    // structured attrs — the ER premise).
-    val batch = titles(100000L).filter(expr("id % 100 = 0"))
-      .selectExpr("id + 1000000 AS id", "concat(title, ' xy') AS title",
-        "lang", "cat")
-    for (blocks <- Seq(Seq("lang"), Seq("lang", "cat"))) {
-      val (idx, tIdx) = timed(graft.streaming.EntityIngest.buildIndex(
-        titles(100000L), "id", "title", maxDist = 6,
-        blockCols = blocks, bucketWidth = 16))
-      var pairs = 0L
-      val tProbe = best3 {
-        pairs = graft.operators.TextDedup.editPairsAgainstIndex(
-          batch, "id", "title", idx.index, maxDist = 6,
-          blockCols = blocks, bucketWidth = 16).count()
+      // independent of lang (id % 200 would be: 5 | 200, lang ≡ cat mod 5
+      // — the composed key would collapse to 200 groups of ~475, every
+      // cold cell above any sane cap; measured before this comment).
+      "CAST((id div 5) % 200 AS STRING) AS cat")
+    // HOT cell: n CONSTANT-LENGTH titles in ONE (lang, cat, bucket) cell
+    // (fixed prefix + 8-hex tail, length 30). Tails are random hex, so
+    // ~no hot pairs pass maxDist — the cost is pure candidate volume,
+    // the skew mode blockCols composition cannot fix.
+    def hot(n: Long) = spark.range(n).selectExpr(
+      "id + 1000000 AS id",
+      "concat('hot boilerplate title ', substr(md5(CAST(id AS STRING)), 1, 8)) AS title",
+      "'9' AS lang", "'9' AS cat")
+    for (hotN <- Seq(0L, 2000L, 5000L)) {
+      val docs = cold.unionAll(hot(hotN))
+      for (cap <- Seq(None, Some(256)); if cap.isEmpty || hotN > 0) {
+        var pairs = 0L
+        val t = best3 {
+          pairs = graft.operators.TextDedup.editDistancePairs(
+            docs, "id", "title", maxDist = 6,
+            blockCols = Seq("lang", "cat"),
+            bucketWidth = 16, cellCap = cap).count()
+        }
+        println(f"| editDistancePairs 95k cold + $hotN hot, cap=$cap " +
+          f"($pairs pairs) | $t%.2f s |")
       }
-      println(f"| entity probe, blocks=${blocks.mkString("+")} " +
-        f"(1000-rec batch, $pairs pairs; index build $tIdx%.2f s) | $tProbe%.2f s |")
     }
-
-    // ---- (b) frequency fold: sf0.1 token stream, per-5000-token batch
-    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
-    val toks = docs.select(explode(expr("split(lower(text), ' ')")).as("t"))
-    val (st0, tBuild) = timed(graft.streaming.FrequencyIngest.buildState(
-      toks, "t", threshold = 10000L))
-    val batchToks = toks.limit(5000).cache(); batchToks.count()
-    var st = st0
-    val tFold = best3 {
-      st = graft.streaming.FrequencyIngest.foldBatch(
-        batchToks, st, "t", st.foldedBatch + 1)._2
-    }
-    println(f"| frequency state build (sf0.1, 2.7M tokens) | $tBuild%.2f s |")
-    println(f"| frequency fold (5000-token batch) | $tFold%.2f s |")
     spark.stop()
   }
 }

@@ -560,6 +560,69 @@ object TextDedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
+  /** SOFT exact dedup — SAMPLE duplicates instead of dropping them: every
+    * member of an exact-duplicate cluster of size n keeps with
+    * probability 1/n via a deterministic hash threshold (floor(2^32/n)
+    * as an 8-hex bound on md5 of the salted id — exact integer
+    * arithmetic both engines; the 'g' sentinel is [[graft.operators
+    * .Sampling.hexThreshold]]'s n = 1 full-keep trick), so the EXPECTED
+    * survivor count per cluster is 1 but the surviving copy is a uniform
+    * pseudo-random pick rather than always the min-id canonical — no
+    * first-crawled/lowest-id bias in what survives. Survivors carry
+    * `n_copies` (the exact cluster size) so a consumer can re-weight
+    * (duplication frequency is signal a hard canonical keep discards).
+    * Expectation, not guarantee: a cluster can keep 0 or ≥ 2 copies —
+    * the standard soft-dedup trade vs [[exactGroups]]' exactly-one.
+    *
+    * The salt ('soft:') keeps the keep-decision independent of
+    * [[graft.operators.Sampling.hashSample]]'s unsalted ladder and
+    * `assignSplits`' 'split:' ladder — sampling rate and split
+    * assignment never correlate with survivorship.
+    *
+    * Scale shape: one scan; the cluster-size window partitions by the
+    * 16-byte digest (high-cardinality — that IS the dedup shuffle), and
+    * only (id, digest) rows ride it — text never shuffles (the
+    * [[exactGroups]] discipline). Output: (idCol, n_copies, kept 1/0). */
+  def softDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(idCol).cast("long").as(idCol), md5(col(textCol)).as("__dg"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("__dg"))))
+      .withColumn("kept", expr(
+        s"""CAST(substring(md5(concat('soft:', CAST($idCol AS STRING))), 1, 8) <
+           |  CASE WHEN n_copies = 1 THEN 'g'
+           |       ELSE lower(lpad(hex(4294967296 div n_copies), 8, '0')) END
+           |AS BIGINT)""".stripMargin))
+      .drop("__dg")
+  }
+
+  /** Drop every row of a (blockCols, length-bucket) cell whose occupancy
+    * exceeds `cap` — the shared hot-cell guard of [[editDistancePairs]]
+    * and [[editIndex]]. The HOT CELLS enumerate via a partial-aggregated
+    * count (only distinct cell keys shuffle) and come back as a broadcast
+    * LEFT ANTI join, so the corpus side keeps its exact uncapped plan
+    * shape — no new exchange before the candidate join. A window count
+    * over the cell key was measured 3.5-9× slower end-to-end here: its
+    * exchange re-partitions the corpus and the tiny post-window stats
+    * flip the candidate join to a broadcast whose stream side has lost
+    * its parallelism for the levenshtein stage. The broadcast is bounded
+    * by construction: a cell must hold MORE than `cap` rows to be hot,
+    * so there are at most N/cap hot cells — with any useful cap, far
+    * fewer (heavy-hitter tail). */
+  private def capCells(base: DataFrame, blockCols: Seq[String],
+                       cap: Option[Int], bucketCol: String = "__bk"): DataFrame =
+    cap match {
+      case Some(c) =>
+        val key = blockCols :+ bucketCol
+        val hot = base.groupBy(key.map(col): _*)
+          .agg(count(lit(1)).as("__cf"))
+          .filter(col("__cf") > c)
+          .drop("__cf")
+        base.join(broadcast(hot), key, "left_anti")
+      case None => base
+    }
+
   /** Character-level near-duplicate pairs by EDIT DISTANCE with lossless
     * length blocking — the entity-resolution verify for SHORT text fields
     * (titles, names, addresses, product descriptions); the token-level
@@ -578,17 +641,42 @@ object TextDedup {
     * 100 TB the block sizes are what bound candidate volume, so compose
     * `blockCols` (exact-match attributes — the ER convention: a pair
     * differing there is a different entity) until blocks are small.
+    *
+    * `cellCap`: the hot-cell analogue of [[minhashLshPairs]]' `bandCap` —
+    * a (blockCols, length-bucket) CELL with m members emits O(m²)
+    * candidates, each paying the |a|·|b| levenshtein DP, so one popular
+    * cell (same-language same-length boilerplate titles) can straggler
+    * the whole verify join. The cap drops ALL rows of cells with more
+    * than `cap` members via a broadcast anti-join against the (tiny,
+    * ≤ N/cap by construction) hot-cell list — the corpus plan shape is
+    * untouched. Pairs with an endpoint in a capped cell
+    * are missed — the bandCap recall trade; exact dedup first and more
+    * `blockCols` are the cures (the measured block-attr scale law: one
+    * extra attr cut a hot probe 9.8 s → 1.15 s at equal recall).
+    * Measured (Scratch, 95k cold corpus): a single 5000-row hot cell
+    * took the uncapped wall 7.4 → 15.4 s; cap=256 restored 7.3 s.
+    *
+    * Character-unit contract: the blocking bound is stated in whatever
+    * unit `length`/`levenshtein` count, and Spark counts Unicode CODE
+    * POINTS in both, so the theorem holds for any Unicode text. The
+    * registry corpus and fixtures are ASCII (where every unit convention
+    * coincides); a cross-engine oracle over non-ASCII text must first
+    * verify the twin engine's `levenshtein` counts code points too — do
+    * not assume it.
     * Output: (id_a, id_b, dist), id_a < id_b. */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, blockCols: Seq[String] = Nil,
-                        bucketWidth: Int = 64): DataFrame = {
+                        bucketWidth: Int = 64,
+                        cellCap: Option[Int] = None): DataFrame = {
     require(maxDist >= 0 && bucketWidth > maxDist,
       s"bucketWidth=$bucketWidth must exceed maxDist=$maxDist (lossless blocking)")
-    val base = docs
-      .filter(col(textCol).isNotNull)
-      .select(Seq(col(idCol).cast("long").as("__id"), col(textCol).as("__t")) ++
-        blockCols.map(col): _*)
-      .withColumn("__bk", expr(s"length(__t) div $bucketWidth"))
+    val base = capCells(
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(Seq(col(idCol).cast("long").as("__id"), col(textCol).as("__t")) ++
+          blockCols.map(col): _*)
+        .withColumn("__bk", expr(s"length(__t) div $bucketWidth")),
+      blockCols, cellCap)
     val probe = base.select(
       Seq(col("__id").as("id_a"), col("__t").as("__ta"),
         explode(expr("array(__bk - 1, __bk, __bk + 1)")).as("__bka")) ++
@@ -610,15 +698,24 @@ object TextDedup {
 
   /** The persisted-corpus half of [[editDistancePairs]]: the (id, txt,
     * bk, block attrs) relation a caller stages/persists once per corpus
-    * version and probes per batch with [[editPairsAgainstIndex]]. */
+    * version and probes per batch with [[editPairsAgainstIndex]].
+    *
+    * `cellCap` applies [[editDistancePairs]]' hot-cell guard AT BUILD
+    * TIME (the one place the corpus shuffles anyway — per-batch probes
+    * then inherit the bound for free): probes into a capped cell find
+    * nothing, the same pairs-with-a-capped-endpoint-are-missed contract,
+    * amortized over every batch of the corpus version. */
   def editIndex(docs: DataFrame, idCol: String, textCol: String,
                 blockCols: Seq[String] = Nil,
-                bucketWidth: Int = 16): DataFrame =
-    docs
-      .filter(col(textCol).isNotNull)
-      .select(Seq(col(idCol).cast("long").as("id"),
-        col(textCol).as("txt")) ++ blockCols.map(col): _*)
-      .withColumn("bk", expr(s"length(txt) div $bucketWidth"))
+                bucketWidth: Int = 16,
+                cellCap: Option[Int] = None): DataFrame =
+    capCells(
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(Seq(col(idCol).cast("long").as("id"),
+          col(textCol).as("txt")) ++ blockCols.map(col): _*)
+        .withColumn("bk", expr(s"length(txt) div $bucketWidth")),
+      blockCols, cellCap, bucketCol = "bk")
 
   /** INCREMENTAL edit-distance near-dup: pairs between a small new batch
     * and the existing corpus — the per-batch production shape (the ER

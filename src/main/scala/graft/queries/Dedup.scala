@@ -75,6 +75,42 @@ object Dedup {
       SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
 
+    // --------------------------------------------------------- soft dedup
+    // TextDedup.softDedup: keep each member of an exact-dup cluster of
+    // size n with probability 1/n (deterministic salted-hash threshold,
+    // floor(2^32/n) — exact integer arithmetic both engines) — expected
+    // one UNIFORM survivor per cluster instead of always the min-id
+    // canonical, with n_copies emitted as the exact re-weight signal.
+    // Fixture: two partial replicas (doc_id % 7 → +1M ids, % 21 → +2M)
+    // give the corpus clusters of size 1, 2, and 3; both engines state
+    // the identical UNION ALL, so the window count and every keep
+    // decision replay bitwise.
+    Q("x_dedup_soft", (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val docs = base
+        .unionAll(base.filter(expr("doc_id % 7 = 0"))
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionAll(base.filter(expr("doc_id % 21 = 0"))
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.operators.TextDedup.softDedup(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 21 = 0),
+      c AS (SELECT doc_id,
+                   CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+            FROM u)
+      SELECT doc_id, n_copies,
+             CASE WHEN substr(md5('soft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                       (CASE WHEN n_copies = 1 THEN 'g'
+                             ELSE lower(lpad(hex(4294967296 // n_copies), 8, '0')) END)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+      FROM c ORDER BY doc_id""")),
+
     // ----------------------------------------------- n-gram Jaccard dedup
     // Inverted-index plan (graft.operators.TextDedup.jaccardPairs):
     // candidates share ≥1 eligible shingle; TRUE Jaccard over the full

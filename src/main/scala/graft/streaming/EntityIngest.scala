@@ -32,15 +32,19 @@ object EntityIngest {
 
   /** Stage the corpus (id, txt, bk, block attrs) relation once. `corpus`
     * is addressed by the two column names; `blockCols` are exact-match
-    * attributes (the ER convention). */
+    * attributes (the ER convention). `cellCap` applies the hot-cell guard
+    * at build time ([[TextDedup.editIndex]]'s contract: probes into a
+    * capped (block attrs, length-bucket) cell find nothing). */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
                  maxDist: Int, blockCols: Seq[String] = Nil,
-                 bucketWidth: Int = 16, version: Long = 0L): CorpusEditIndex = {
+                 bucketWidth: Int = 16, version: Long = 0L,
+                 cellCap: Option[Int] = None): CorpusEditIndex = {
     require(maxDist >= 0 && bucketWidth > maxDist,
       s"bucketWidth=$bucketWidth must exceed maxDist=$maxDist (lossless blocking)")
     CorpusEditIndex(
       graft.sources.Tables.stage(
-        TextDedup.editIndex(corpus, idCol, textCol, blockCols, bucketWidth)),
+        TextDedup.editIndex(corpus, idCol, textCol, blockCols, bucketWidth,
+          cellCap)),
       maxDist, blockCols, bucketWidth, version)
   }
 

@@ -299,4 +299,75 @@ class TextDedupSpec extends SparkSpec {
         "doc_id", "text", maxDist = 20, bucketWidth = 16)
     }
   }
+
+  test("softDedup: cluster sizes exact, keep rule = salted threshold, singletons always kept") {
+    // clusters: 'aa' ×3, 'bb' ×2, and 5 singletons.
+    val rows = Seq((1L, "aa"), (2L, "aa"), (3L, "aa"), (10L, "bb"), (11L, "bb")) ++
+      (20L to 24L).map(i => (i, s"uniq$i"))
+    val got = TextDedup.softDedup(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map { case (id, n, k) => id -> (n, k) }.toMap
+    val sizes = rows.groupBy(_._2).map { case (_, g) => g.map(_._1) -> g.size.toLong }
+    sizes.foreach { case (ids, n) => ids.foreach(id => assert(got(id)._1 == n)) }
+    // independent statement of the keep rule.
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.foreach { case (id, (n, kept)) =>
+      val th = if (n == 1L) "g"
+        else f"${4294967296L / n}%08x" // lower-hex, lpad 8
+      assert(kept == (if (md5hex(s"soft:$id").take(8) < th) 1L else 0L), s"id=$id")
+    }
+    (20L to 24L).foreach(id => assert(got(id)._2 == 1L, "singletons always keep"))
+  }
+
+  test("editDistancePairs/editIndex cellCap: hot cells dropped whole, cold pairs untouched") {
+    // One deliberately HOT (lang, bucket) cell — ten 'en' titles of
+    // length 16-18 (bucket 1 at W = 16), pairwise within maxDist — plus
+    // cold cells: an 'en' bucket-0 pair, a 'de' pair in the SAME bucket
+    // as the hot cell (different block attr → different cell), and a
+    // bucket-0 'en' probe at distance 2 from a hot-cell member (the
+    // adjacent-bucket endpoint case).
+    val hot = (0 until 10).map(i => (100L + i, s"boilerplate title${('a' + i).toChar}", "en"))
+    val coldEn = Seq((200L, "short name a", "en"), (201L, "short name b", "en"))
+    val coldDe = Seq((300L, "der gleiche titel x", "de"), (301L, "der gleiche titel y", "de"))
+    // len 15 → bucket 0, dist 3 (drop "lea") to hot member 100 in bucket 1
+    val probe = Seq((400L, "boilerplate tit", "en"))
+    val all = hot ++ coldEn ++ coldDe ++ probe
+    val df = all.toDF("doc_id", "text", "lang")
+
+    val un = TextDedup.editDistancePairs(df, "doc_id", "text",
+      maxDist = 4, blockCols = Seq("lang"), bucketWidth = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = TextDedup.editDistancePairs(df, "doc_id", "text",
+      maxDist = 4, blockCols = Seq("lang"), bucketWidth = 16,
+      cellCap = Some(8)).as[(Long, Long, Long)].collect().toSet
+
+    val hotIds = hot.map(_._1).toSet
+    // every uncapped pair with BOTH endpoints outside the hot cell survives…
+    assert(capped == un.filter(p => !hotIds(p._1) && !hotIds(p._2)))
+    // …the hot cell's own pairs and the adjacent-bucket probe's pair are
+    // dropped (endpoint-in-capped-cell contract), and the cold cells —
+    // including the same-bucket 'de' cell, which the block attr keeps a
+    // SEPARATE cell — are intact.
+    assert(un.exists(p => hotIds(p._1) && hotIds(p._2)))
+    assert(un.contains((100L, 400L, 3L)) && !capped.exists(p => p._2 == 400L))
+    assert(capped.contains((200L, 201L, 1L)))
+    assert(capped.exists(p => p._1 == 300L && p._2 == 301L))
+
+    // index-build form: probes into the capped cell find nothing; probes
+    // into cold cells are bitwise what the uncapped index yields.
+    val idxCap = TextDedup.editIndex(df, "doc_id", "text",
+      blockCols = Seq("lang"), bucketWidth = 16, cellCap = Some(8))
+    val idxUn = TextDedup.editIndex(df, "doc_id", "text",
+      blockCols = Seq("lang"), bucketWidth = 16)
+    val batch = Seq((500L, "boilerplate titlez", "en"),
+      (501L, "der gleiche titel z", "de")).toDF("doc_id", "text", "lang")
+    def pairsOf(idx: org.apache.spark.sql.DataFrame) =
+      TextDedup.editPairsAgainstIndex(batch, "doc_id", "text", idx,
+        maxDist = 4, blockCols = Seq("lang"), bucketWidth = 16)
+        .as[(Long, Long, Long)].collect().toSet
+    val pCap = pairsOf(idxCap)
+    val pUn = pairsOf(idxUn)
+    assert(!pCap.exists(p => hotIds(p._2)) && pUn.exists(p => hotIds(p._2)))
+    assert(pCap == pUn.filter(p => !hotIds(p._2)) && pCap.exists(_._1 == 501L))
+  }
 }
