@@ -386,6 +386,53 @@ object TypedAggregators {
     require(x.size == y.size, s"shape mismatch: ${x.size} vs ${y.size}")
     x.lazyZip(y).map(_ + _)
   }
+
+  final case class KmvBuf(vs: List[Long])
+
+  /** Mergeable DISTINCT-VALUE sketch with SET OPERATIONS: k minimum
+    * values (Bar-Yossef et al. 2002; the theta-sketch ancestor) over
+    * [[hash60]] — the state is the k smallest DISTINCT hash values of
+    * the input set, so like [[HllRegisters]] (and unlike [[CmsCounts]])
+    * it is a pure, order/partitioning-independent, IDEMPOTENT function
+    * of the input SET: bitwise oracle-checkable, fold ≡ recompute
+    * exactly, double-folds harmless.
+    *
+    * What KMV buys over HLL is the set algebra: the k smallest of A ∪ B
+    * compute from the two k-sets alone ([[kmvMerge]]), and membership of
+    * the merged k-set in both sides estimates the Jaccard/intersection
+    * (shared/k · |union estimate| — the cross-SOURCE overlap matrix a
+    * curation pipeline reads before mixing; x_sketch_kmv). All emitted
+    * values stay exact integers: the k-th minimum itself is the
+    * cardinality proxy (smaller k-th min = more distincts — the
+    * [[hllScaleSum]] discipline; the float (k−1)·2^60/v_k estimate stays
+    * off-engine). */
+  final class KmvValues(k: Int)
+      extends Aggregator[String, KmvBuf, Seq[Long]] {
+    require(k >= 1 && k <= 4096, s"k=$k")
+    private def insert(vs: List[Long], h: Long): List[Long] =
+      if (vs.lengthCompare(k) >= 0 && h >= vs.last) vs
+      else {
+        val (pre, post) = vs.span(_ < h)
+        if (post.nonEmpty && post.head == h) vs // set semantics: dedup
+        else (pre ::: (h :: post)).take(k)
+      }
+    override def zero: KmvBuf = KmvBuf(Nil)
+    override def reduce(b: KmvBuf, s: String): KmvBuf =
+      KmvBuf(insert(b.vs, hash60(s)))
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf =
+      KmvBuf(y.vs.foldLeft(x.vs)(insert))
+    override def finish(b: KmvBuf): Seq[Long] = b.vs
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** k smallest of the UNION from the two k-sets alone — exact for the
+    * union's k-set because any of the union's k smallest distinct values
+    * is among its own side's k smallest. Inputs sorted ascending
+    * (KmvValues emits them so); output likewise. */
+  def kmvMerge(x: Seq[Long], y: Seq[Long], k: Int): Seq[Long] =
+    (x ++ y).distinct.sorted.take(k)
 }
 
 final case class MeanStdResult(mean: Double, std: Double)

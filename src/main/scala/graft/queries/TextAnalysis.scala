@@ -449,6 +449,73 @@ object TextAnalysis {
              ${duckCmsEst("cells_arr", "ha")} AS est_absent
       FROM cl CROSS JOIN ph ORDER BY lang""")),
 
+    // ----------------- KMV distinct-value sketch with SET OPERATIONS
+    // Per-source k-minimum-values sketch (TypedAggregators.KmvValues,
+    // k = 64) over token hash60s, then the CROSS-SOURCE OVERLAP matrix
+    // from the sketch states alone: merged k-set of (a, b) = the union's
+    // exact k smallest (computable from the two k-sets — any of the
+    // union's k smallest is among its own side's k smallest), and the
+    // fraction of the merged k-set present in BOTH sides estimates the
+    // Jaccard — what a curation pipeline reads before source mixing
+    // ("how much does src_a overlap src_b"), and what HLL registers
+    // cannot answer (no set algebra beyond union). Like HLL the k-set
+    // state is a pure order/partitioning/idempotent function of the
+    // input SET, so sketch AND merged states are oracle-checked BITWISE.
+    // Emitted values stay exact integers: n_shared counts merged-k-set
+    // members in both sides; the k-th minimum is the monotone
+    // cardinality proxy (the hllScaleSum discipline — the float
+    // (k−1)·2^60/v_k estimate stays off-engine). Scale shape: the
+    // aggregator runs as a map-side partial (≤ 64-long buffers merge
+    // across the shuffle; token rows never shuffle); the staged 20-row
+    // sketch relation feeds both sides of the pair join (stagedQueries
+    // whitelist), so one corpus scan total; the pair algebra runs over
+    // |sources|² sketch rows, never data.
+    Q("x_sketch_kmv", (s, d) => {
+      import s.implicits._
+      val toks = fanOut(documents(s, d))
+        .select(col("source"), explode(expr("split(text, ' ')")).as("t"))
+        .as[(String, String)]
+      val ks = graft.sources.Tables.stage(
+        toks.groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.TypedAggregators.KmvValues(64)
+            .toColumn.name("kset"))
+          .toDF("source", "kset"))
+      val a = ks.select(col("source").as("source_a"), col("kset").as("__ka"))
+      val b = ks.select(col("source").as("source_b"), col("kset").as("__kb"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("__mg",
+          expr("slice(array_sort(array_union(__ka, __kb)), 1, 64)"))
+        .select(col("source_a"), col("source_b"),
+          expr("""CAST(size(filter(__mg,
+                 |  v -> array_contains(__ka, v) AND array_contains(__kb, v)))
+                 |AS BIGINT)""".stripMargin).as("n_shared"),
+          expr("element_at(__ka, size(__ka))").as("kth_a"),
+          expr("element_at(__kb, size(__kb))").as("kth_b"),
+          // comma-joined bijection (RegistrySpec no-array-output lint)
+          expr("array_join(transform(__mg, x -> CAST(x AS STRING)), ',')")
+            .as("kset_union"))
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      dh AS (SELECT DISTINCT source, ${duckHash60("t")} AS h FROM tok),
+      rk AS (SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+             FROM dh),
+      ks AS (SELECT source, list(h ORDER BY h) AS kset
+             FROM rk WHERE r <= 64 GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+                   a.kset AS ka, b.kset AS kb
+            FROM ks a JOIN ks b ON a.source < b.source),
+      m AS (SELECT *, list_sort(list_distinct(ka || kb))[1:64] AS mg FROM p)
+      SELECT source_a, source_b,
+             CAST(len(list_filter(mg,
+               v -> list_contains(ka, v) AND list_contains(kb, v)))
+               AS BIGINT) AS n_shared,
+             ka[len(ka)] AS kth_a, kb[len(kb)] AS kth_b,
+             array_to_string(mg, ',') AS kset_union
+      FROM m ORDER BY source_a, source_b""")),
+
     // ------------------------ exact heavy hitters with a count–min prune
     // Global tokens with count ≥ 900, answered EXACTLY: the count–min
     // sketch (collected once — 1024 longs, by-contract driver-tiny) is a

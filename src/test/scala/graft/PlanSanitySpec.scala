@@ -70,7 +70,10 @@ class PlanSanitySpec extends SparkSpec {
       // x_heavy_hitters stages the tf projection (feeds the count–min
       // sketch build AND the candidate scan — one corpus scan total), so
       // the visible plan starts there.
-      "x_heavy_hitters")
+      "x_heavy_hitters",
+      // x_sketch_kmv stages the 20-row per-source sketch relation (feeds
+      // both sides of the overlap pair join — one corpus scan total).
+      "x_sketch_kmv")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
