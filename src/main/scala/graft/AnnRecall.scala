@@ -175,6 +175,24 @@ object AnnRecall {
       .select("q_id", "c_id").distinct().count()
   }
 
+  /** Distinct (q, c) candidate pairs the MULTI-PROBE LSH path scores —
+    * the cost side of the recall-without-a-bigger-index trade. */
+  def lshMultiProbeScoredPairs(queries: DataFrame, corpus: DataFrame,
+                               bits: Int, bands: Int, dim: Int = 64): Long = {
+    val width = bits / bands
+    val cb = corpus.withColumn("__w", typedlit(Ann.hyperplaneWeights(bits, dim)))
+      .withColumn("sig", expr(Ann.hyperplaneSigSql(bits, dim, "embedding", "__w")))
+      .select(col("id").as("c_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> concat(CAST(b AS STRING), ':', substring(sig, $width*b + 1, $width)))""".stripMargin))
+          .as("band"))
+    Ann.multiProbeBandedRelation(queries, "q_id", "qe", bits, bands, dim)
+      .select("q_id", "band")
+      .join(cb, "band")
+      .select("q_id", "c_id").distinct().count()
+  }
+
   /** (q, c) pairs the IVF path scores (probed lists' members per query). */
   def ivfScoredPairs(queries: DataFrame, corpus: DataFrame,
                      centroids: DataFrame, nprobe: Int): Long = {

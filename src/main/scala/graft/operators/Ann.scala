@@ -191,6 +191,73 @@ object Ann {
           .as("band"))
   }
 
+  /** QUERY-side banded relation with MULTI-PROBE expansion (Lv et al.
+    * 2007): per band, the exact key plus all `width` single-bit-flip
+    * perturbations — a true neighbor differing from the query in exactly
+    * one bit of a band still collides there, so recall rises WITHOUT
+    * growing the index (more hash tables = more index storage + a bigger
+    * build; more probes = more candidate volume per query, paid only by
+    * the small probing side). Candidate volume is bounded by
+    * (width + 1)× the single-probe volume and in practice far less (the
+    * flipped keys are sparser buckets). The CORPUS side stays
+    * [[bandedRelation]] — index and probe must share (bits, bands, dim).
+    * The probe set CONTAINS the exact keys, so multi-probe candidates
+    * are a superset of single-probe's — recall can only rise
+    * (spec-pinned). */
+  def multiProbeBandedRelation(df: DataFrame, idAlias: String, vecAlias: String,
+                               bits: Int = 64, bands: Int = 16,
+                               dim: Int = 64): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val width = bits / bands
+    ensure(df)
+    df.withColumn("__w", typedlit(hyperplaneWeights(bits, dim)))
+      .withColumn("sig", expr(hyperplaneSigSql(bits, dim, "embedding", "__w")))
+      .select(col("id").as(idAlias), col("embedding").as(vecAlias),
+        explode(expr(
+          s"""flatten(transform(sequence(0, ${bands - 1}), b ->
+             |  transform(sequence(0, $width), i ->
+             |    concat(CAST(b AS STRING), ':',
+             |      IF(i = 0, substring(sig, $width*b + 1, $width),
+             |        concat(substring(sig, $width*b + 1, i - 1),
+             |               IF(substring(sig, $width*b + i, 1) = '1', '0', '1'),
+             |               substring(sig, $width*b + i + 1, $width - i)))))))""".stripMargin))
+          .as("band"))
+      .distinct() // a flip can reproduce another band's key only across
+                  // prefixes (the 'b:' prefix isolates bands), but two
+                  // probes of one band are always distinct; the distinct
+                  // here is defensive and cheap (probe side is small).
+  }
+
+  /** [[lshTopK]] with multi-probe queries: same candidate join and exact
+    * re-rank, query side expanded per [[multiProbeBandedRelation]]. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        bits: Int = 64, bands: Int = 16,
+                        dim: Int = 64): DataFrame = {
+    ensure(queries)
+    val qb = multiProbeBandedRelation(queries, "q_id", "qe", bits, bands, dim)
+    val cb = bandedRelation(corpus, "c_id", "ce", bits, bands, dim)
+    val scored = qb.join(cb, "band")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
+    rankTopK(scored, k)
+  }
+
+  /** [[lshTopKAgainstIndex]] with multi-probe queries — the ingest shape
+    * at higher recall for the SAME persisted index: only the broadcast
+    * probe side grows (≤ (width+1)×), the corpus band relation is
+    * byte-identical to the single-probe one. */
+  def lshTopKMultiProbeAgainstIndex(queries: DataFrame, corpusBanded: DataFrame,
+                                    k: Int, bits: Int = 64, bands: Int = 16,
+                                    dim: Int = 64): DataFrame = {
+    val qb = multiProbeBandedRelation(queries, "q_id", "qe", bits, bands, dim)
+    val scored = broadcast(qb).join(corpusBanded, "band")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
+    rankTopK(scored, k)
+  }
+
   /** [[lshTopK]] against a PREBUILT corpus band relation — the ingest
     * shape: `corpusBanded` is [[bandedRelation]]`(corpus, "c_id", "ce")`
     * staged once per corpus version, and each (small) query batch pays

@@ -187,6 +187,58 @@ object Similarity {
       SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
       ORDER BY q_id, rank""")),
 
+    // ----------------------------------------------- multi-probe LSH ANN
+    // graft.operators.Ann.lshTopKMultiProbe (Lv et al. 2007): per band,
+    // the query probes the exact key PLUS all width single-bit-flip
+    // perturbations — a true neighbor one bit away in a band still
+    // collides, so recall rises WITHOUT growing the index (the
+    // production trade vs more hash tables: probe volume is paid by the
+    // small query side; the persisted corpus band relation is
+    // byte-identical to single-probe's). The probe set contains the
+    // exact keys, so candidates are a SUPERSET of x_ann_lsh's at the
+    // same (16, 4) — the oracle twin restates the flip expansion in SQL
+    // and the comparison is exact.
+    Q("x_ann_lsh_multiprobe", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Ann
+        .lshTopKMultiProbe(e.filter(col("id") < 10), fanOut(e.filter(col("id") >= 10)),
+          k = 10, bits = 16, bands = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+               ${duckSig} AS sig
+        FROM embeddings),
+      cbands AS (
+        SELECT vec_id,
+               unnest(list_transform(range(0, 4),
+                 b -> CAST(b AS VARCHAR) || ':' || substr(sig, 4*b + 1, 4))) AS band
+        FROM e WHERE vec_id >= 10),
+      qprobes AS (
+        SELECT vec_id,
+               unnest(flatten(list_transform(range(0, 4), b ->
+                 list_transform(range(0, 5), i ->
+                   CAST(b AS VARCHAR) || ':' ||
+                   CASE WHEN i = 0 THEN substr(sig, 4*b + 1, 4)
+                        ELSE substr(sig, 4*b + 1, i - 1) ||
+                             (CASE WHEN substr(sig, 4*b + i, 1) = '1'
+                                   THEN '0' ELSE '1' END) ||
+                             substr(sig, 4*b + i + 1, 4 - i) END)))) AS band
+        FROM e WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM qprobes q JOIN cbands c ON q.band = c.band),
+      scored AS (
+        SELECT cand.q_id, cand.c_id,
+               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+        FROM cand JOIN e q ON cand.q_id = q.vec_id JOIN e c ON cand.c_id = c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank""")),
+
     // ----------------------------- embedding SELF-dedup via LSH (scale path)
     // x_dedup_embedding (queries/Dedup.scala) is the all-pairs oracle
     // baseline — a whitelisted cartesian that cannot run at 100 TB. THIS

@@ -719,7 +719,7 @@ object TextAnalysis {
     * even though a+t sits earlier in the word), and words no merge
     * touches (dup, key, row …). A production table is a trained artifact
     * loaded the same way. */
-  private[queries] def demoMerges: Seq[String] = Seq(
+  private[graft] def demoMerges: Seq[String] = Seq(
     "t h", "e r", "th e", "o r", "t er", "a n", "s t",
     "or t", "r e", "q u", "g e", "c h", "a t")
 

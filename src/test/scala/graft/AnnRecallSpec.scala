@@ -76,6 +76,33 @@ class AnnRecallSpec extends SparkSpec {
       s"wide-band LSH scored $pairs of $exhaustive pairs — pruning claim broken")
   }
 
+  test("multi-probe: recall never drops vs single-probe at equal params, cost bounded") {
+    // wide bands (128, 16: width 8) prune hard but single-probe recall
+    // pays for it; multi-probe recovers recall from the SAME index
+    // geometry by also probing the 8 one-bit-flip keys per band. The
+    // probe set CONTAINS the exact keys, so candidates are a superset —
+    // recall is structurally non-decreasing; pin that plus the cost
+    // ceiling ((width+1)× single-probe, in practice far less) and a
+    // strict improvement on this fixture.
+    val (q, c) = split(clustered(520), 20)
+    val exact = Ann.bruteTopK(q, c, k = 10)
+    val single = Ann.meanRecall(Ann.lshTopK(q, c, k = 10, bits = 128, bands = 16), exact)
+    val multi = Ann.meanRecall(
+      Ann.lshTopKMultiProbe(q, c, k = 10, bits = 128, bands = 16), exact)
+    assert(multi >= single, f"multi-probe recall $multi%.3f < single $single%.3f")
+    assert(multi >= 0.97, f"multi-probe recall@10: $multi%.3f < 0.97")
+    val sp = AnnRecall.lshScoredPairs(q, c, bits = 128, bands = 16)
+    val mp = AnnRecall.lshMultiProbeScoredPairs(q, c, bits = 128, bands = 16)
+    assert(mp >= sp && mp <= sp * 9,
+      s"multi-probe scored $mp vs single $sp — outside [1, width+1]x")
+    // and the index-probe split agrees with the one-shot form bitwise.
+    val cb = Ann.bandedRelation(c, "c_id", "ce", bits = 128, bands = 16)
+    val viaIndex = Ann.lshTopKMultiProbeAgainstIndex(q, cb, k = 10,
+      bits = 128, bands = 16)
+    assert(viaIndex.collect().toSet ==
+      Ann.lshTopKMultiProbe(q, c, k = 10, bits = 128, bands = 16).collect().toSet)
+  }
+
   test("knnGraph at the defaults retrieves the clustered corpus near-exactly") {
     // the self-join graph inherits lshTopK's recall story; pin it so a
     // banding regression in the graph path (e.g. a lost band key) fails
