@@ -283,6 +283,28 @@ object DedupIngest {
       onBatch(exactPairs, nearPairs, version, batchId)
     }
 
+  /** EXPIRE pre-horizon fold history on every growing directory —
+    * [[Gate.expireGrown]] per root, the VACUUM-with-retention sibling of
+    * [[compactGrowingState]]: bounded file counts WITHOUT losing all
+    * auditability. Live views, bloom filter, version, and replay fence
+    * are untouched (the consolidation preserves rows exactly — only
+    * files change); [[auditState]] below the horizon now REFUSES with
+    * the horizon named (its per-fold files are gone), at or above it
+    * replays exactly as before. The tombstone root expires too when it
+    * has a manifest — tombstones are always CURRENT, and the
+    * consolidation carries every retired id, so takedowns stay
+    * retroactive across the expiry. Run OFFLINE between batches (the
+    * rotation discipline); callers MUST swap to the RETURNED state —
+    * the old state's views reference deleted files. */
+  def expireGrowingState(spark: org.apache.spark.sql.SparkSession,
+                         st: GrowingState, keepAfter: Long): GrowingState = {
+    Seq(st.shingledPath, st.bandPath, st.digestsPath, st.tombstonesPath)
+      .filter(Gate.manifestExists(spark, _)) // a never-folded root has no
+                                             // history to expire
+      .foreach(Gate.expireGrown(spark, _, keepAfter))
+    st.copy(cs = liveCorpusState(spark, st, st.cs.exactFilter, st.cs.version))
+  }
+
   /** Compact a [[GrowingState]]'s three grown directories into fresh
     * consolidated staged relations ([[Gate.compactGrown]] per dir) —
     * the periodic maintenance a long-running growing gate needs before

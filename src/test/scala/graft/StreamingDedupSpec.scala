@@ -378,6 +378,40 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!e1.as[(Long, Long)].collect().toSet
         .contains((500001L, fresh.head._1)),
         "retired content must not resurface in audit replays")
+
+      // RETENTION: expire history before fold 1. Live probes are bitwise
+      // unchanged (rows preserved, files consolidated), audits at/above
+      // the horizon still replay, audits below it REFUSE (their per-fold
+      // files are gone), and tombstones remain retroactively current.
+      val (lbE, lbN) = DedupIngest.gateBatch(
+        b2.toDF("doc_id", "text"), st2.cs, "doc_id", "text")
+      val liveBefore = verdicts(lbE, lbN)
+      val st3 = DedupIngest.expireGrowingState(spark, st2, keepAfter = 1L)
+      val (laE, laN) = DedupIngest.gateBatch(
+        b2.toDF("doc_id", "text"), st3.cs, "doc_id", "text")
+      assert(verdicts(laE, laN) == liveBefore,
+        "expiry must not change live probe results")
+      val audit2 = DedupIngest.auditState(spark, st3, 1L)
+      val (e2, nr2) = DedupIngest.gateBatch(
+        b2.toDF("doc_id", "text"), audit2, "doc_id", "text")
+      assert(verdicts(e2, nr2) == recorded(2),
+        "audit at the horizon must still replay exactly after expiry")
+      val ex = intercept[IllegalArgumentException] {
+        DedupIngest.auditState(spark, st3, 0L)
+      }
+      assert(ex.getMessage.contains("EXPIRED"),
+        s"pre-horizon audit must refuse by name: ${ex.getMessage}")
+      // growth continues against the expired state.
+      val ((e3, _), st4) = DedupIngest.foldBatch(
+        Seq((700001L, fresh.head._2), (700002L, "wholly novel text")).toDF("doc_id", "text"),
+        st3, "doc_id", "text", 0.5, None, batchId = 3L)
+      assert(!e3.as[(Long, Long)].collect().toSet.contains((700001L, fresh.head._1)),
+        "tombstoned content must stay retired across the expiry")
+      assert(DedupIngest.gateBatch(
+        Seq((700003L, "wholly novel text")).toDF("doc_id", "text"), st4.cs,
+        "doc_id", "text")._1.as[(Long, Long)].collect().toSet ==
+        Set((700003L, 700002L)),
+        "post-expiry folds must keep growing the index")
     } finally spark.conf.unset("graft.stage.dir")
   }
 
