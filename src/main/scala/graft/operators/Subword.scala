@@ -225,6 +225,86 @@ object Subword {
         sum(col("n_bpe_tokens")).as("bpe_tokens"))
   }
 
+  /** TRAIN `k` BPE merges from a corpus — the TRAINING half of the BPE
+    * family ([[bpeTable]]/[[docBpeCounts]] APPLY a given merge list; this
+    * LEARNS one, Sennrich et al. 2016): start from characters, repeat k
+    * times "count adjacent piece pairs weighted by word frequency, merge
+    * the most frequent pair everywhere" (ties → lexicographically
+    * smallest (a, b) — pinned identically in both engines). Returns the
+    * learned merges in [[bpeTable]]'s "a b" format — train feeds apply
+    * directly — plus the per-iteration audit relation
+    * (iter, a, b, cnt, tokens_after), recomputed IN-PLAN from the staged
+    * level relations so the emitted rows are engine-computed, not
+    * driver-claimed.
+    *
+    * Segmentations ride a delimiter string ('|p1||p2||…|'): merging pair
+    * (a, b) is `replace(seg, '|a||b|', '|ab|')` — both engines replace
+    * left-to-right non-overlapping, which IS the BPE convention (in a
+    * run 'aaa', (a,a) merges once: [aa, a]), and the double delimiter
+    * makes adjacent occurrences ([a,b,a,b] → [ab, ab]) and cross-piece
+    * false matches ([ab, c] vs pair (b, c)) both correct — a
+    * single-delimiter form fails the first, an undelimited form the
+    * second (measured into the spec).
+    *
+    * Scale shape: the loop runs over the DISTINCT-WORD dictionary
+    * (Zipf-bounded — the tokenize-the-dictionary discipline), one
+    * dictionary-sized aggregate per merge; each level stages (the
+    * iterative-operator discipline — level i feeds the argmax, the next
+    * level, AND the audit, and Spark re-executes lazy subplans per
+    * reference); the per-iteration argmax is a by-contract-tiny
+    * single-row collect (the CC settle pattern). Words are restricted to
+    * ^[a-z0-9]+$ (the pre-tokenizer letter/digit-run convention — also
+    * what keeps the delimiter and replace literals collision-free). */
+  def trainBpe(docs: DataFrame, textCol: String, k: Int): (Seq[String], DataFrame) = {
+    require(k >= 1, s"k=$k")
+    val piecesExpr = "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')"
+    def pairsOf(lvl: DataFrame): DataFrame =
+      lvl.withColumn("p", expr(piecesExpr))
+        .filter(expr("size(p) > 1")) // sequence(1, 0) is DESCENDING, not empty
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(p) - 1),
+            |  i -> named_struct('a', element_at(p, i), 'b', element_at(p, i + 1)))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).cast("long").as("cnt"))
+    // argmax with the min-struct trick: max cnt, then LEX-SMALLEST (a, b)
+    // — max(struct(cnt, a, b)) would tie-break toward the LARGEST pair.
+    def argmax(pairs: DataFrame): DataFrame =
+      pairs.select(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), (-col("m.nc")).cast("long").as("cnt"))
+    var cur = graft.sources.Tables.stage(
+      docs.select(explode(expr(s"split(lower($textCol), ' ')")).as("w"))
+        .filter(expr("w rlike '^[a-z0-9]+$'"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+        .withColumn("seg", expr(
+          """concat('|', array_join(
+            |  transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||'), '|')""".stripMargin))
+        .select("freq", "seg"))
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val top = argmax(pairsOf(cur)).collect()
+      if (top.isEmpty || top.head.isNullAt(0)) exhausted = true // every word one piece
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        cur = graft.sources.Tables.stage(cur.withColumn("seg",
+          expr(s"replace(seg, '|$a||$b|', '|$a$b|')")))
+        levels += cur
+      }
+    }
+    require(merges.nonEmpty, "trainBpe: corpus yielded no mergeable pairs")
+    val audit = merges.indices.map { idx =>
+      val m = argmax(pairsOf(levels(idx)))
+      val t = levels(idx + 1).select(
+        sum(expr(s"freq * size($piecesExpr)")).cast("long").as("tokens_after"))
+      m.crossJoin(t).select(lit((idx + 1).toLong).as("iter"),
+        col("a"), col("b"), col("cnt"), col("tokens_after"))
+    }.reduce(_.unionAll(_)).orderBy(col("iter"))
+    (merges.map { case (a, b) => s"$a $b" }.toSeq, audit)
+  }
+
   // ----------------------------------------------------------- unigram LM
   // Unigram-language-model segmentation (Kudo 2018 — the SentencePiece
   // convention T5/ALBERT/mBART tokenizers follow), the third and last of

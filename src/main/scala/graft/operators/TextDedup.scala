@@ -560,6 +560,26 @@ object TextDedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
+  /** CORPUS-VERSION DIFF by content digest — the ingest-audit primitive
+    * ("what changed between yesterday's crawl and today's"): full outer
+    * join of the two versions' (id, digest) projections, status per id:
+    * 'added' (new only), 'removed' (old only), 'changed' (both, digest
+    * differs), 'unchanged'. Only 16-byte digests and ids shuffle — text
+    * never leaves the map side (the [[exactGroups]] discipline) — so the
+    * diff costs two scans plus one skinny-row join at any corpus size.
+    * Output: (idCol, status). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def proj(df: DataFrame, dg: String) = df.select(
+      col(idCol).cast("long").as(idCol), md5(col(textCol)).as(dg))
+    proj(oldDocs, "__do").join(proj(newDocs, "__dn"), Seq(idCol), "full_outer")
+      .select(col(idCol), expr(
+        """CASE WHEN __do IS NULL THEN 'added'
+          |     WHEN __dn IS NULL THEN 'removed'
+          |     WHEN __do = __dn THEN 'unchanged'
+          |     ELSE 'changed' END""".stripMargin).as("status"))
+  }
+
   /** SOFT exact dedup — SAMPLE duplicates instead of dropping them: every
     * member of an exact-duplicate cluster of size n keeps with
     * probability 1/n via a deterministic hash threshold (floor(2^32/n)

@@ -111,6 +111,40 @@ object Dedup {
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
       FROM c ORDER BY doc_id""")),
 
+    // -------------------------------------------------- corpus-version diff
+    // TextDedup.corpusDiff: the ingest-audit primitive — added/removed/
+    // changed/unchanged per id between two corpus versions, by content
+    // digest, with only (id, digest) rows ever shuffling. Fixture: v_new
+    // drops doc_id % 13 = 0 (removed), rewrites text of doc_id % 7 = 0
+    // (changed), and appends +1M ids for doc_id % 11 = 0 (added) — both
+    // engines state the identical version algebra.
+    Q("x_corpus_diff", (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val vNew = base.filter(expr("doc_id % 13 != 0"))
+        .select(col("doc_id"),
+          expr("IF(doc_id % 7 = 0, concat('edited ', text), text)").as("text"))
+        .unionAll(base.filter(expr("doc_id % 11 = 0"))
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.TextDedup.corpusDiff(base, vNew, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH v_old AS (SELECT doc_id, text FROM documents),
+      v_new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'edited ' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 13 != 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+      j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   md5(o.text) AS dgo, md5(n.text) AS dgn
+            FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id)
+      SELECT doc_id,
+             CASE WHEN dgo IS NULL THEN 'added'
+                  WHEN dgn IS NULL THEN 'removed'
+                  WHEN dgo = dgn THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM j ORDER BY doc_id""")),
+
     // ----------------------------------------------- n-gram Jaccard dedup
     // Inverted-index plan (graft.operators.TextDedup.jaccardPairs):
     // candidates share ≥1 eligible shingle; TRUE Jaccard over the full

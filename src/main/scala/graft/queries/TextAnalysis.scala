@@ -331,6 +331,37 @@ object TextAnalysis {
              COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
       FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // ------------------------------------------ BPE merge TRAINING
+    // graft.operators.Subword.trainBpe: the TRAINING half of the BPE
+    // family — x_token_bpe/x_pack_bpe APPLY a frozen merge list; this
+    // LEARNS one from the corpus (Sennrich et al. 2016): k rounds of
+    // "count adjacent piece pairs weighted by word frequency, merge the
+    // most frequent everywhere" over the distinct-word dictionary, ties
+    // pinned lexicographically-smallest in both engines. The learned
+    // artifact feeds bpeTable directly (train → apply composes). Merge
+    // application is replace('|a||b|', '|ab|') on double-delimited
+    // segmentations — both engines' replace is leftmost-non-overlapping,
+    // which IS the BPE convention (aaa merges once per round); the audit
+    // relation (iter, a, b, cnt, tokens_after) is recomputed in-plan
+    // from the staged per-round dictionaries (stagedQueries whitelist).
+    // The oracle replays the identical k rounds as chained MATERIALIZED
+    // CTEs (each round is referenced by the argmax, the next round, and
+    // the final row — inlining would re-execute subtrees exponentially,
+    // the x_pipeline_modern DuckDB lesson). tokens_after is the
+    // independent check on the replace semantics: it counts ACTUAL
+    // non-overlapping replacements, not raw (overlapping) pair counts.
+    Q("x_token_bpe_train", (s, d) => {
+      graft.operators.Subword.trainBpe(
+        fanOut(documents(s, d)), "text", k = 4)._2
+    }, Some(s"""
+      WITH ${duckTrainBpeCtes(4)}
+      ${(1 to 4).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS iter, m$i.a, m$i.b, m$i.cnt,
+           |  (SELECT CAST(SUM(freq * len(string_split(substr(seg, 2, length(seg) - 2), '||'))) AS BIGINT)
+           |   FROM s$i) AS tokens_after
+           |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")}
+      ORDER BY iter""")),
+
     // ----------------------- mergeable distinct-count sketch (HLL registers)
     // Per-language distinct-token cardinality via HyperLogLog registers
     // (TypedAggregators.HllRegisters, p = 6 → 64 registers): register j
@@ -612,6 +643,40 @@ object TextAnalysis {
        |  element_at($cellsCol, CAST(257 + (($h div 256) % 256) AS INT)),
        |  element_at($cellsCol, CAST(513 + (($h div 65536) % 256) AS INT)),
        |  element_at($cellsCol, CAST(769 + (($h div 16777216) % 256) AS INT)))""".stripMargin
+  }
+
+  /** The chained-CTE replay of [[graft.operators.Subword.trainBpe]]'s k
+    * training rounds (s0 = char segmentation of the word dictionary;
+    * per round: pc_i pair counts → m_i argmax → s_i merged). Rounds are
+    * MATERIALIZED — each is multi-referenced and DuckDB inlines CTEs per
+    * reference (the x_pipeline_modern exponential-re-execution lesson). */
+  private def duckTrainBpeCtes(k: Int): String = {
+    val s0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT freq, '|' || array_to_string(list_transform(
+        |    range(1, length(w) + 1), i -> substr(w, i, 1)), '||') || '|' AS seg
+        |  FROM w0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(p[1:len(p)-1]) AS a, unnest(p[2:len(p)]) AS b
+         |    FROM (SELECT freq, string_split(substr(seg, 2, length(seg) - 2), '||') AS p
+         |          FROM s$p)
+         |    WHERE len(p) > 1)
+         |  GROUP BY a, b),
+         |m$i AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT freq, replace(seg, '|' || m.a || '||' || m.b || '|',
+         |                            '|' || m.a || m.b || '|') AS seg
+         |  FROM s$p CROSS JOIN m$i m)""".stripMargin
+    }
+    (s0 +: rounds).mkString(",\n")
   }
 
   /** DuckDB md5-derived 60-bit hash of expression `e` — the digit-fold

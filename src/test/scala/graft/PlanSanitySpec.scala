@@ -73,7 +73,11 @@ class PlanSanitySpec extends SparkSpec {
       "x_heavy_hitters",
       // x_sketch_kmv stages the 20-row per-source sketch relation (feeds
       // both sides of the overlap pair join — one corpus scan total).
-      "x_sketch_kmv")
+      "x_sketch_kmv",
+      // x_token_bpe_train's audit relation is recomputed from the staged
+      // per-round dictionary relations (each round feeds the argmax, the
+      // next round, and the audit), so the visible plan starts there.
+      "x_token_bpe_train")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

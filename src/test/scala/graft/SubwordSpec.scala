@@ -127,6 +127,43 @@ class SubwordSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 0L, 2L, 8L), (0L, 1L, 2L, 8L)))
   }
 
+  test("trainBpe learns the hand-computed merges; ties break lexicographic") {
+    // dictionary {low: 3, banana: 1}:
+    //   round 1: (l,o)=3 ties (o,w)=3 → lex smallest (l,o); tokens 15→12
+    //   round 2: (lo,w)=3 wins; low fuses whole → tokens 9
+    //   round 3: (a,n)=2 ties (n,a)=2 → (a,n); banana → [b,an,an,a] → 7
+    val docs = Seq("low low banana", "low").toDF("text")
+    val (merges, audit) = Subword.trainBpe(docs, "text", k = 3)
+    assert(merges == Seq("l o", "lo w", "a n"))
+    assert(audit.as[(Long, String, String, Long, Long)].collect().toSeq ==
+      Seq((1L, "l", "o", 3L, 12L), (2L, "lo", "w", 3L, 9L), (3L, "a", "n", 2L, 7L)))
+    // train → apply composes: the learned list feeds bpeTable directly.
+    val t = Subword.bpeTable(Seq("low", "lot", "nano").toDF("word"), merges)
+      .as[(String, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(t == Map("low" -> "low", "lot" -> "lo t", "nano" -> "n an o"))
+  }
+
+  test("trainBpe: pair counts see overlaps, the merge replaces non-overlapping (aaa)") {
+    // 'aaa' ×2: pc counts the OVERLAPPING (a,a) pairs (2 per word → 4),
+    // but the round's replace merges leftmost-non-overlapping → [aa, a],
+    // so tokens_after = 2 pieces × 2 words = 4 — the two numbers pin the
+    // two different conventions, and a double-delimiter bug in either
+    // direction (missed adjacent occurrence / phantom overlap merge)
+    // breaks one of them.
+    val (m1, a1) = Subword.trainBpe(Seq("aaa aaa").toDF("text"), "text", k = 1)
+    assert(m1 == Seq("a a"))
+    assert(a1.as[(Long, String, String, Long, Long)].collect().toSeq ==
+      Seq((1L, "a", "a", 4L, 4L)))
+    // adjacent non-overlapping occurrences BOTH merge: abab → [ab, ab].
+    val (m2, a2) = Subword.trainBpe(Seq("abab").toDF("text"), "text", k = 1)
+    assert(m2 == Seq("a b"))
+    assert(a2.as[(Long, String, String, Long, Long)].collect().toSeq ==
+      Seq((1L, "a", "b", 2L, 2L)))
+    // exhaustion: a corpus fused to single pieces stops early, honestly.
+    val (m3, a3) = Subword.trainBpe(Seq("ab ab").toDF("text"), "text", k = 5)
+    assert(m3 == Seq("a b") && a3.count() == 1L)
+  }
+
   private def uni(pieces: Seq[(String, Long)],
                   words: String*): Map[String, (String, Long, Long)] =
     Subword.unigramTable(words.toDF("word"), pieces)
