@@ -59,6 +59,16 @@ object AnnRecall {
       println(f"| lsh | bits=$bits bands=$bands | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
     }
 
+    // multi-probe at the same geometries: recall recovered from the SAME
+    // index, cost paid in probe-side candidate volume.
+    for ((bits, bands) <- Seq((32, 8), (64, 16), (128, 16), (128, 32))) {
+      val (approx, sec) = timed(stage(
+        Ann.lshTopKMultiProbe(queries, corpus, k, bits, bands)))
+      val pairs = lshMultiProbeScoredPairs(queries, corpus, bits, bands)
+      val r = Ann.meanRecall(approx, exact)
+      println(f"| lsh-mp | bits=$bits bands=$bands | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
+    }
+
     for (nc <- Seq(4, 8, 16); np <- Seq(1, 2, 4) if np <= nc) {
       val cents = Ann.trainCentroids(corpus, nc)
       val (approx, sec) = timed(stage(Ann.ivfTopK(queries, corpus, cents, k, np)))

@@ -81,6 +81,40 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write with PARQUET BLOOM FILTERS on `cols` — POINT-LOOKUP pruning
+    * for columns the file order can't serve: the sort/Z/Hilbert layouts
+    * above prune RANGE predicates via zone maps, but a table has one
+    * physical order, and an equality probe on any other
+    * high-cardinality column (doc_id lookup in a time-ordered corpus)
+    * finds every row group's min/max spanning the whole domain — zone
+    * maps prune nothing. A per-row-group bloom filter answers "id
+    * definitely not here" regardless of order, so the reader skips all
+    * but the containing group(s) (plus the documented false-positive
+    * rate of groups). Dictionary-page pruning covers the same need only
+    * while the column stays dictionary-encoded — exactly what a
+    * high-NDV column stops being, which is why `ndv` must be stated
+    * honestly (undersizing inflates false positives, silently — the
+    * spec measures the pruning, not just the write flag).
+    *
+    * `cols` are (column, expected distinct count); `rowGroupBytes`
+    * bounds the pruning granule (smaller groups = finer skipping = more
+    * filter overhead — the standard trade). Scan-metric proof in
+    * `LayoutSpec`: a point lookup on shuffled ids reads a small
+    * fraction of what the same data without blooms reads. */
+  def writeBloomIndexed(df: DataFrame, path: String,
+                        cols: Seq[(String, Long)],
+                        rowGroupBytes: Long = 1L << 20): Unit = {
+    require(cols.nonEmpty, "writeBloomIndexed needs at least one column")
+    cols.foldLeft(
+      df.write.mode("overwrite")
+        .option("parquet.block.size", rowGroupBytes.toString)) {
+      case (w, (c, ndv)) =>
+        require(ndv > 0, s"expected NDV for $c must be positive")
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** The d-DIMENSIONAL Morton interleave as engine-portable SQL text —
     * shared by [[zValueN]] and its DuckDB oracle twin (pass `divOp =
     * "//"` there; everything else is the identical literal arithmetic).

@@ -220,6 +220,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeBloomIndexed prunes point lookups zone maps cannot (shuffled ids)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // shuffled unique ids: every row group's (min, max) spans ~the whole
+    // domain, so zone-map pruning is structurally impossible, and the
+    // high NDV defeats dictionary encoding (the other order-free prune).
+    val n = 2000000L
+    val data = spark.range(n)
+      .select((((col("id") * 1103515245L) + 12345L) % n).as("k"),
+        col("id").as("payload"))
+      .coalesce(1)
+    Layout.writeBloomIndexed(data, s"$dir/bloom", Seq(("k", n)),
+      rowGroupBytes = 1L << 18)
+    data.write.mode("overwrite")
+      .option("parquet.block.size", (1L << 18).toString)
+      .parquet(s"$dir/plain")
+    // same point lookup, same row-group geometry, bloom vs not.
+    val key = spark.read.parquet(s"$dir/bloom").limit(1)
+      .select(col("k")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head() // guaranteed-present probe
+    val readBloom = rowsReadByScan(
+      spark.read.parquet(s"$dir/bloom").filter(col("k") === key))
+    val readPlain = rowsReadByScan(
+      spark.read.parquet(s"$dir/plain").filter(col("k") === key))
+    assert(readPlain >= n / 2,
+      s"plain scan read $readPlain of $n — fixture broken: zone maps pruned shuffled ids?")
+    assert(readBloom <= readPlain / 4,
+      s"bloom scan read $readBloom vs plain $readPlain — bloom pruning not engaged")
+  }
+
   test("withHilbert round-trips the reference d2xy walk; consecutive cells are adjacent") {
     import spark.implicits._
     // reference d→(x,y) at order 16 (the standard inverse walk).
