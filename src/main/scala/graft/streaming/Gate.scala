@@ -432,6 +432,31 @@ object Gate {
     (consolidated.df, consolidated.path.get)
   }
 
+  /** [[compactGrown]] with a physical LAYOUT on the consolidated files —
+    * the OPTIMIZE … ORDER BY step: folds append in ARRIVAL order, so a
+    * probe that filters on any state column reads every file of the
+    * grown index; the compaction is the one moment the whole index
+    * rewrites anyway, so range-partitioning + sorting it there buys
+    * zone-map pruning for every probe until the next compaction, at
+    * zero extra passes. `shards` is EXPLICIT (a bare repartitionByRange
+    * is AQE-coalesced to one file — nothing left to prune; the
+    * Graph.stageSorted lesson). Scan-metric proof in `GateManifestSpec`;
+    * equality-probe columns that no single sort order can serve are
+    * [[graft.sources.Layout.writeBloomIndexed]]'s job instead. */
+  def compactGrownOrdered(spark: org.apache.spark.sql.SparkSession,
+                          root: String, orderCols: Seq[String],
+                          shards: Int): (DataFrame, String) = {
+    require(orderCols.nonEmpty && shards > 0,
+      s"compactGrownOrdered needs order columns and a positive shard count")
+    val consolidated = graft.sources.Tables.stageTracked(
+      readGrown(spark, root)
+        .repartitionByRange(shards, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*))
+    require(consolidated.path.isDefined,
+      "compactGrownOrdered requires parquet staging mode (set graft.stage.dir)")
+    (consolidated.df, consolidated.path.get)
+  }
+
   /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation
     * (LocalTableScan). Gate state holds centroid/codebook relations that
     * every micro-batch re-collects into a plan literal — left as a view

@@ -145,6 +145,50 @@ class GateManifestSpec extends SparkSpec {
       Set((0L, "seed0"), (1L, "seed1"), (0L, "b0")))
   }
 
+  test("compactGrownOrdered: rows identical, band probes prune by scan metrics") {
+    def rowsReadByScan(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      plan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val stageDir = Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", stageDir)
+    try {
+      val root = Files.createTempDirectory("graft-grown-ord").toString
+      // folds arrive in TIME order but carry SCATTERED keys — the
+      // growing-index reality that makes arrival-order files unprunable.
+      // key = (id·40847 + 1) mod n is a bijection (gcd(40847, n) = 1), so
+      // each fold's quarter of ids maps to keys spanning the whole
+      // domain (spark.range alone is monotonic — its files would be
+      // key-sorted already and the fixture would prove nothing).
+      val n = 40000L
+      def part(b: Long) = spark.range(n).filter(col("id") % 4 === b)
+        .select((((col("id") * 40847L) + 1L) % n).as("id"),
+          concat(lit("v"), col("id")).as("v"))
+      part(0L).write.mode("overwrite").parquet(root)
+      (1L to 3L).foreach(b => Gate.growDir(part(b), root, b))
+      val before = Gate.readGrown(spark, root).as[(Long, String)].collect().toSet
+      val (ordered, path) = Gate.compactGrownOrdered(spark, root, Seq("id"), shards = 16)
+      // same rows, consolidated + ordered files…
+      assert(ordered.as[(Long, String)].collect().toSet == before)
+      // …and a key band now prunes: arrival-order files each span the
+      // whole id domain (every fold carries all residues), so the
+      // un-ordered read must scan ~everything; the ordered layout reads
+      // little more than the band.
+      val band = col("id") >= 1000 && col("id") < 3000
+      val readOrdered = rowsReadByScan(spark.read.parquet(path).filter(band))
+      val readArrival = rowsReadByScan(Gate.readGrown(spark, root).filter(band))
+      assert(readArrival >= n / 2,
+        s"arrival-order read $readArrival of $n — fixture broken")
+      assert(readOrdered <= readArrival / 4,
+        s"ordered compaction read $readOrdered vs arrival $readArrival — no pruning")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("expireGrown: expired snapshots refuse by horizon; later folds still plan exactly") {
     val root = freshRoot()
     (0L to 3L).foreach(b => Gate.growDir(batchDf(b), root, b))
