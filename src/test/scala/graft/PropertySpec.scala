@@ -110,6 +110,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KmvValues: k-set algebra — commutative, associative, idempotent, duplicate-blind") {
+    import graft.operators.TypedAggregators
+    (1 to 25).foreach { _ =>
+      val k = rnd.nextInt(12) + 1
+      def randSet() = (0 until rnd.nextInt(80) + 1)
+        .map(_ => s"t${rnd.nextInt(50)}").distinct
+      def kset(tokens: Seq[String]) =
+        tokens.map(TypedAggregators.hash60).distinct.sorted.take(k)
+      val (xa, xb, xc) = (randSet(), randSet(), randSet())
+      val (a, b, c) = (kset(xa), kset(xb), kset(xc))
+      import TypedAggregators.kmvMerge
+      // the algebra every fold/overlap path leans on:
+      assert(kmvMerge(a, b, k) == kmvMerge(b, a, k))
+      assert(kmvMerge(kmvMerge(a, b, k), c, k) == kmvMerge(a, kmvMerge(b, c, k), k))
+      assert(kmvMerge(a, a, k) == a)
+      // merge of per-side k-sets ≡ the k-set of the true union.
+      assert(kmvMerge(a, b, k) == kset(xa ++ xb))
+      // duplicates occupy no slots (set semantics through the aggregator).
+      val agg = new TypedAggregators.KmvValues(k)
+      val withDups = rnd.shuffle(xa ++ xa ++ xa)
+      val parts = withDups.grouped(rnd.nextInt(8) + 4).toSeq
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == a)
+    }
+  }
+
   test("MinKLongs equals sort-based min-k under any partitioning/merge order") {
     import graft.operators.Ranking.{MinKLongs, Postings}
     (1 to 25).foreach { _ =>
