@@ -466,6 +466,50 @@ object Curation {
              MIN(okm) AS min_ok, MAX(okm) AS max_ok
       FROM z GROUP BY 1 ORDER BY bucket""")),
 
+    // --------------------------------------- 3-dimensional Hilbert key
+    // Layout.withHilbertN at d = 3 (Skilling 2004): the space-filling
+    // layout for three predicate families with strictly better locality
+    // than x_zorder3's Morton key (consecutive cells are UNIT-STEP
+    // adjacent — verified exhaustively in LayoutSpec; Morton jumps
+    // octant seams). An 8-bit walk here keeps the oracle chain short
+    // (LayoutSpec pins the full-width walk against the independent
+    // Skilling reference); the audit shape mirrors x_zorder3: bucket by
+    // the top 6 bits of the 24-bit key, emit per-bucket 3-d bounding
+    // boxes. The oracle replays the IDENTICAL 66-step walk as chained
+    // `SELECT * REPLACE` CTEs (Layout.hilbertNCtes — xor spelled per
+    // engine, every other step literal-identical).
+    Q("x_hilbert3", (s, d) => {
+      val dims = Seq(("o_custkey", 16384L), ("day", 4096L), ("okm", 4096L))
+      graft.sources.Layout.withHilbertN(
+        orders(s, d)
+          .withColumn("day",
+            expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)"))
+          .withColumn("okm", expr("o_orderkey % 4096")),
+        "hv", dims, bitsOverride = 8)
+        .withColumn("bucket", expr("hv div 262144"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+          min(col("okm")).as("min_ok"), max(col("okm")).as("max_ok"))
+        .orderBy(col("bucket"))
+    }, Some {
+      val dims = Seq(("o_custkey", 16384L), ("day", 4096L), ("okm", 4096L))
+      s"""
+      WITH t AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+               o_orderkey % 4096 AS okm
+        FROM orders),
+      ${graft.sources.Layout.hilbertNCtes("t", "hc", dims, "hv", bitsOverride = 8)}
+      SELECT (hv // 262144) AS bucket, COUNT(*) AS n,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             MIN(day) AS min_day, MAX(day) AS max_day,
+             MIN(okm) AS min_ok, MAX(okm) AS max_ok
+      FROM ${graft.sources.Layout.hilbertNLastCte("hc", dims, bitsOverride = 8)}
+      GROUP BY 1 ORDER BY bucket"""
+    }),
+
     // --------------------------------------------- token-budget packing
     // Greedy sequential packing of documents into fixed-token-budget bins
     // within a shard: bin = (running-token-count-before-me) div budget.

@@ -221,4 +221,133 @@ object Layout {
       .drop("__h")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Default bits/dimension for the d-dim curves: min(16, 62/d) keeps
+    * the top index bit inside a signed 64-bit long. */
+  def bitsPerDim(d: Int): Int = math.min(16L, 62L / d).toInt
+
+  /** The d-DIMENSIONAL Hilbert walk (Skilling 2004, "Programming the
+    * Hilbert curve") as an ENGINE-NEUTRAL sequential step list — the
+    * shared source of [[withHilbertN]] (Spark chained columns) and
+    * [[hilbertNCtes]] (DuckDB chained CTEs). Skilling's axes→index
+    * transform is per-bit conditional exchange/invert arithmetic: bit
+    * tests are `(h & q) != 0`, the low-mask AND is `% q`, and the only
+    * non-arithmetic primitive is integer XOR — spelled per engine
+    * (Spark `^`, DuckDB `xor()`), the same function on BIGINT in both.
+    * Steps MUST apply sequentially (each reads columns as left by its
+    * predecessors — exactly Spark's chained `withColumn` and a chained
+    * CTE's `SELECT * REPLACE`); textual nesting would blow up
+    * exponentially (the [[withHilbert]] lesson). */
+  private def hilbertNSteps(cols: Seq[(String, Long)], bits: Int,
+                            outCol: String, xor: (String, String) => String,
+                            div: String): Seq[(String, String)] = {
+    val d = cols.size
+    require(d >= 2, s"hilbertN needs at least 2 dimensions, got $d")
+    require(bits >= 2 && bits * d <= 62,
+      s"bits=$bits out of range for d=$d (need 2 <= bits, bits*d <= 62)")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // range-normalize each input to [0, 2^bits) — bound = 2^bits is the
+    // identity (the zValueN convention).
+    cols.zipWithIndex.foreach { case ((c, bound), j) =>
+      require(bound > 0, s"bound for $c must be positive")
+      steps += ((s"hn$j",
+        s"(CAST((($c) * ${1L << bits}) $div $bound AS BIGINT))"))
+    }
+    // inverse undo: q = 2^(bits-1) .. 2; per dimension i ascending.
+    for (e <- (bits - 1) to 1 by -1; i <- 0 until d) {
+      val q = 1L << e
+      val p = q - 1
+      val bit = s"(hn$i $div $q) % 2 = 1"
+      if (i == 0) {
+        steps += (("hn0",
+          s"(CASE WHEN $bit THEN ${xor("hn0", p.toString)} ELSE hn0 END)"))
+      } else {
+        val t = s"tq${e}i$i"
+        steps += ((t,
+          s"(CASE WHEN $bit THEN 0 ELSE ${xor("hn0", s"hn$i")} % $q END)"))
+        steps += (("hn0",
+          s"(CASE WHEN $bit THEN ${xor("hn0", p.toString)} ELSE ${xor("hn0", t)} END)"))
+        steps += ((s"hn$i",
+          s"(CASE WHEN $bit THEN hn$i ELSE ${xor(s"hn$i", t)} END)"))
+      }
+    }
+    // Gray encode (ascending — each step reads its predecessor's result).
+    for (i <- 1 until d)
+      steps += ((s"hn$i", xor(s"hn$i", s"hn${i - 1}")))
+    steps += (("tg", "CAST(0 AS BIGINT)"))
+    for (e <- (bits - 1) to 1 by -1) {
+      val q = 1L << e
+      steps += (("tg",
+        s"(CASE WHEN (hn${d - 1} $div $q) % 2 = 1 THEN ${xor("tg", (q - 1).toString)} ELSE tg END)"))
+    }
+    for (i <- 0 until d)
+      steps += ((s"hn$i", xor(s"hn$i", "tg")))
+    // interleave the transposed form: bit b of hn(j) → index bit
+    // (b·d + (d−1−j)) — hn0 carries the most significant bit per group.
+    val terms = for (b <- 0 until bits; j <- 0 until d)
+      yield s"(((hn$j $div ${1L << b}) % 2) * ${1L << (b * d + (d - 1 - j))})"
+    steps += ((outCol, terms.mkString("(", " + ", ")")))
+    steps.toSeq
+  }
+
+  /** d-dimensional HILBERT index of `cols` — the space-filling layout
+    * with strictly better locality than [[zValueN]] in any dimension
+    * count: consecutive Hilbert cells are ADJACENT in exactly one axis
+    * (unit step — spec-verified exhaustively on a 3-d cube), where the
+    * Morton curve jumps across octant seams at every scale. Same
+    * exact-integer discipline: values MUST lie in [0, bound); inputs
+    * normalize to `bits` = [[bitsPerDim]](d) bits each (override via
+    * `bitsOverride` — the oracle runs a narrower walk). Chained column
+    * definitions, one codegen projection, no shuffle, no UDF; the
+    * identical step list replays in DuckDB via [[hilbertNCtes]]. */
+  def withHilbertN(df: DataFrame, outCol: String, cols: Seq[(String, Long)],
+                   bitsOverride: Int = 0): DataFrame = {
+    val bits = if (bitsOverride > 0) bitsOverride else bitsPerDim(cols.size)
+    val steps = hilbertNSteps(cols, bits, outCol,
+      (a, b) => s"($a ^ $b)", "div")
+    val temps = steps.map(_._1).distinct.filterNot(_ == outCol)
+    steps.foldLeft(df) { case (cur, (name, e)) =>
+      cur.withColumn(name, org.apache.spark.sql.functions.expr(e))
+    }.drop(temps: _*)
+  }
+
+  /** The DuckDB twin of [[withHilbertN]]: the identical step list as
+    * chained CTEs `<prefix>0..<prefix>N` over `src` (which must expose
+    * the input columns); the final CTE carries `outCol`. Splice into a
+    * WITH and read from [[hilbertNLastCte]]. */
+  def hilbertNCtes(src: String, prefix: String, cols: Seq[(String, Long)],
+                   outCol: String, bitsOverride: Int = 0): String = {
+    val bits = if (bitsOverride > 0) bitsOverride else bitsPerDim(cols.size)
+    val steps = hilbertNSteps(cols, bits, outCol,
+      (a, b) => s"xor($a, $b)", "//")
+    val defined = scala.collection.mutable.Set.empty[String]
+    steps.zipWithIndex.map { case ((name, e), k) =>
+      val from = if (k == 0) src else s"$prefix${k - 1}"
+      val sel =
+        if (defined(name)) s"SELECT * REPLACE ($e AS $name) FROM $from"
+        else { defined += name; s"SELECT *, $e AS $name FROM $from" }
+      s"$prefix$k AS ($sel)"
+    }.mkString(",\n")
+  }
+
+  /** Name of the last CTE emitted by [[hilbertNCtes]] for these inputs. */
+  def hilbertNLastCte(prefix: String, cols: Seq[(String, Long)],
+                      bitsOverride: Int = 0): String = {
+    val bits = if (bitsOverride > 0) bitsOverride else bitsPerDim(cols.size)
+    val d = cols.size
+    // step count: d init + (bits-1)·(1 + 3(d-1)) rounds + (d-1) gray +
+    // (1 + bits-1) tg + d apply + 1 out.
+    val n = d + (bits - 1) * (1 + 3 * (d - 1)) + (d - 1) + bits + d + 1
+    s"$prefix${n - 1}"
+  }
+
+  /** The d-dimensional Hilbert twin of [[writeMortonOrdered]]. */
+  def writeHilbertNOrdered(df: DataFrame, path: String, shards: Int,
+                           cols: Seq[(String, Long)]): Unit = {
+    withHilbertN(df, "__h", cols)
+      .repartitionByRange(shards, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -220,6 +220,130 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** Independent Skilling (2004) axes→index reference walk. */
+  private def refHilbertN(xs0: Seq[Long], bits: Int): Long = {
+    val n = xs0.length
+    val x = xs0.toArray
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until n) x(i) ^= x(i - 1)
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    for (i <- 0 until n) x(i) ^= t
+    var d = 0L
+    for (b <- (bits - 1) to 0 by -1; j <- 0 until n)
+      d = (d << 1) | ((x(j) >> b) & 1L)
+    d
+  }
+
+  /** Skilling index→axes (the forward walk) — round-trip/adjacency truth. */
+  private def refHilbertNInv(dIdx: Long, bits: Int, n: Int): Seq[Long] = {
+    val x = new Array[Long](n)
+    var pos = n * bits - 1
+    for (b <- (bits - 1) to 0 by -1; j <- 0 until n) {
+      x(j) |= ((dIdx >> pos) & 1L) << b; pos -= 1
+    }
+    val t0 = x(n - 1) >> 1
+    for (i <- (n - 1) to 1 by -1) x(i) ^= x(i - 1)
+    x(0) ^= t0
+    var q = 2L
+    while (q <= (1L << (bits - 1))) {
+      val p = q - 1
+      for (i <- (n - 1) to 0 by -1) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q <<= 1
+    }
+    x.toSeq
+  }
+
+  test("d-dim Hilbert reference: bijective, round-trips, UNIT-STEP adjacent (3-d cube)") {
+    val bits = 4
+    val n = 3
+    val total = 1L << (bits * n)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    for (a <- 0L until 16; b <- 0L until 16; c <- 0L until 16) {
+      val d = refHilbertN(Seq(a, b, c), bits)
+      assert(d >= 0 && d < total)
+      seen += d
+      assert(refHilbertNInv(d, bits, n) == Seq(a, b, c), s"($a,$b,$c)")
+    }
+    assert(seen.size == total.toInt, "axes→index must be a bijection")
+    // THE Hilbert property (which Morton lacks): consecutive cells are
+    // adjacent — exactly one axis moves, by exactly one unit.
+    for (d <- 0L until (total - 1)) {
+      val p = refHilbertNInv(d, bits, n)
+      val q = refHilbertNInv(d + 1, bits, n)
+      assert(p.zip(q).map { case (a, b) => math.abs(a - b) }.sum == 1L,
+        s"jump between d=$d and ${d + 1}")
+    }
+  }
+
+  test("withHilbertN equals the reference at d=3 and d=4; DuckDB CTE twin is identical text-shape") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // bounds = 2^bits make normalization the identity — the SQL walk is
+    // compared against the raw reference values.
+    val pts3 = Seq.fill(300)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got3 = Layout.withHilbertN(pts3.toDF("x", "y", "w"), "h",
+      Seq(("x", 65536L), ("y", 65536L), ("w", 65536L)))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (x, y, w, h) =>
+      assert(h == refHilbertN(Seq(x, y, w), 16), s"($x,$y,$w)")
+    }
+    val pts4 = Seq.fill(120)(Seq.fill(4)(rnd.nextInt(1 << 15).toLong))
+    val got4 = Layout.withHilbertN(
+      pts4.map(p => (p(0), p(1), p(2), p(3))).toDF("a", "b", "c", "d"), "h",
+      (Seq("a", "b", "c", "d").map((_, (1L << 15)))))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got4.foreach { case (a, b, c, d4, h) =>
+      assert(h == refHilbertN(Seq(a, b, c, d4), 15) && h >= 0L)
+    }
+    // narrower walks (the oracle's economy mode) agree with the
+    // reference at the same width.
+    val got8 = Layout.withHilbertN(
+      pts3.map { case (x, y, w) => (x % 256, y % 256, w % 256) }
+        .toDF("x", "y", "w"), "h",
+      Seq(("x", 256L), ("y", 256L), ("w", 256L)), bitsOverride = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    got8.foreach { case (x, y, w, h) =>
+      assert(h == refHilbertN(Seq(x, y, w), 8))
+    }
+    // the CTE twin names line up with the generator's step count.
+    val ctes = Layout.hilbertNCtes("src", "hc",
+      Seq(("x", 256L), ("y", 256L), ("w", 256L)), "h", bitsOverride = 8)
+    val last = Layout.hilbertNLastCte("hc",
+      Seq(("x", 256L), ("y", 256L), ("w", 256L)), bitsOverride = 8)
+    assert(ctes.contains(s"$last AS (") && ctes.trim.endsWith(")"))
+  }
+
+  test("writeHilbertNOrdered(d=3) prunes scans on EACH axis; boxes no looser than Morton's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert3").toString
+    val n = 32L
+    val grid = spark.range(n * n * n)
+      .select(expr(s"id div ${n * n}").as("x"),
+        expr(s"(id div $n) % $n").as("y"), (col("id") % n).as("w"))
+    Layout.writeHilbertNOrdered(grid, s"$dir/h3", shards = 64,
+      Seq(("x", n), ("y", n), ("w", n)))
+    val total = n * n * n
+    for (c <- Seq("x", "y", "w")) {
+      val read = rowsReadByScan(
+        spark.read.parquet(s"$dir/h3").filter(col(c) < n / 8))
+      assert(read <= total / 2,
+        s"3-d hilbert read $read of $total for the $c band")
+    }
+  }
+
   test("writeBloomIndexed prunes point lookups zone maps cannot (shuffled ids)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     // shuffled unique ids: every row group's (min, max) spans ~the whole
