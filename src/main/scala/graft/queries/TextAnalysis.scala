@@ -360,7 +360,7 @@ object TextAnalysis {
            |  (SELECT CAST(SUM(freq * len(string_split(substr(seg, 2, length(seg) - 2), '||'))) AS BIGINT)
            |   FROM s$i) AS tokens_after
            |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")}
-      ORDER BY iter""")),
+      ORDER BY iter"""), headline = true),
 
     // ----------------------- mergeable distinct-count sketch (HLL registers)
     // Per-language distinct-token cardinality via HyperLogLog registers
@@ -545,7 +545,7 @@ object TextAnalysis {
                AS BIGINT) AS n_shared,
              ka[len(ka)] AS kth_a, kb[len(kb)] AS kth_b,
              array_to_string(mg, ',') AS kset_union
-      FROM m ORDER BY source_a, source_b""")),
+      FROM m ORDER BY source_a, source_b"""), headline = true),
 
     // ------------------------ exact heavy hitters with a count–min prune
     // Global tokens with count ≥ 900, answered EXACTLY: the count–min
