@@ -222,10 +222,10 @@ object Ann {
              |               IF(substring(sig, $width*b + i, 1) = '1', '0', '1'),
              |               substring(sig, $width*b + i + 1, $width - i)))))))""".stripMargin))
           .as("band"))
-      .distinct() // a flip can reproduce another band's key only across
-                  // prefixes (the 'b:' prefix isolates bands), but two
-                  // probes of one band are always distinct; the distinct
-                  // here is defensive and cheap (probe side is small).
+    // no dedup needed, BY CONSTRUCTION: within a band the exact key and
+    // the w single-bit flips are pairwise distinct, and the 'b:' prefix
+    // isolates bands — a distinct here would add a shuffle (with the
+    // embeddings riding) right before the broadcast, for nothing.
   }
 
   /** [[lshTopK]] with multi-probe queries: same candidate join and exact

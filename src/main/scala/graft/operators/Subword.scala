@@ -254,7 +254,14 @@ object Subword {
     * reference); the per-iteration argmax is a by-contract-tiny
     * single-row collect (the CC settle pattern). Words are restricted to
     * ^[a-z0-9]+$ (the pre-tokenizer letter/digit-run convention — also
-    * what keeps the delimiter and replace literals collision-free). */
+    * what keeps the delimiter and replace literals collision-free).
+    *
+    * Honest k contract: the loop is LINEAR in k — one driver round trip
+    * and one dictionary aggregate per merge — right for audit/demo
+    * vocabularies (tens to hundreds of merges). A production 30k-merge
+    * vocabulary wants a batched round (merge the top-m non-overlapping
+    * pairs per iteration, the standard practical relaxation) before
+    * this shape is economical; stated rather than hidden. */
   def trainBpe(docs: DataFrame, textCol: String, k: Int): (Seq[String], DataFrame) = {
     require(k >= 1, s"k=$k")
     val piecesExpr = "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')"
