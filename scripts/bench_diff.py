@@ -8,6 +8,13 @@ driver's BENCH_r{N}.json wrapper (uses its `tail` / `parsed` field).
 Normalized delta = (new_sec / new_calib) / (old_sec / old_calib) - 1 —
 the calib probe divides out machine drift, so this compares PLANS, not
 the box's mood (README §Bench calibration).
+
+Cold-run outliers: each query's FIRST run pays JIT + codegen compilation
+and can be 4-9x its steady state (measured in the r12 driver run). The
+per-query `queries` seconds are best-of-3 and immune; wall-clock and any
+naive mean are NOT. When `runs` are present, queries whose first run
+exceeds 2x their best are flagged so nobody mistakes warmup for a plan
+regression.
 """
 import json
 import sys
@@ -28,11 +35,67 @@ def load(path):
     if d is not None and "parsed" in d and isinstance(d["parsed"], dict):
         return d["parsed"]
     if d is not None and "tail" in d:
-        return json.loads('{"metric":"x"' + d["tail"].splitlines()[0])
+        r = _from_tail(d["tail"])
+        if r is not None:
+            return r
     for line in raw.splitlines():
         if '"metric"' in line:
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
     raise SystemExit(f"{path}: no bench metric line found")
+
+
+def _from_tail(tail):
+    """Reconstruct the metric dict from the driver's truncated tail.
+
+    The driver keeps only the END of Bench's metric line, usually cut
+    mid-way through the `queries` map (often mid-number). Try prefixes
+    that re-open the object at the plausible cut points; failing that,
+    re-derive `queries` as best-of-runs from the intact `runs` map."""
+    t = tail.splitlines()[0]
+    for prefix in ('{"metric":"x"',
+                   '{"metric":"x","queries":{"__trunc":0.',
+                   '{"metric":"x","queries":{"'):
+        try:
+            d = json.loads(prefix + t)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in d and "calib" in d:
+            d["queries"].pop("__trunc", None)
+            # the cut usually lands mid-queries: the keys before the cut
+            # are gone from `queries` but intact in `runs` (best-of-3 =
+            # min of the recorded runs, by Bench's own definition).
+            for q, r in d.get("runs", {}).items():
+                if isinstance(r, list) and r:
+                    d["queries"].setdefault(q, min(r))
+            d.setdefault("value", sum(d["queries"].values()))
+            return d
+    i = t.find('"runs"')
+    if i >= 0:
+        try:
+            d = json.loads("{" + t[i:])
+        except json.JSONDecodeError:
+            return None
+        runs = {q: r for q, r in d.get("runs", {}).items()
+                if isinstance(r, list) and r}
+        if runs:
+            d["queries"] = {q: min(r) for q, r in runs.items()}
+            d.setdefault("value", sum(d["queries"].values()))
+            return d
+    return None
+
+
+def cold_outliers(d):
+    """Queries whose first run exceeds 2x their best — warmup, not plan."""
+    out = []
+    for q, runs in sorted(d.get("runs", {}).items()):
+        if isinstance(runs, list) and len(runs) >= 2 and min(runs) > 0:
+            ratio = runs[0] / min(runs)
+            if ratio > 2.0:
+                out.append((q, ratio, runs[0], min(runs)))
+    return out
 
 
 def main():
@@ -47,17 +110,29 @@ def main():
           f"total: old={old['value']:.2f}s new={new['value']:.2f}s")
     rows = []
     for q, sec in sorted(new["queries"].items()):
-        if q in old["queries"]:
-            delta = (sec / cn) / (old["queries"][q] / co) - 1
-            rows.append((delta, f"{q:28s} old={old['queries'][q]:6.2f} "
-                                f"new={sec:6.2f}  norm {delta:+.0%}"))
-        else:
+        osec = old["queries"].get(q)
+        if osec is None:
             rows.append((0.0, f"{q:28s} NEW        new={sec:6.2f}"))
+        elif osec <= 0:
+            # a sub-centisecond query recorded as 0.0 — no meaningful
+            # normalization; emit the row raw instead of dying.
+            rows.append((0.0, f"{q:28s} old={osec:6.2f} "
+                              f"new={sec:6.2f}  norm n/a (old=0)"))
+        else:
+            delta = (sec / cn) / (osec / co) - 1
+            rows.append((delta, f"{q:28s} old={osec:6.2f} "
+                                f"new={sec:6.2f}  norm {delta:+.0%}"))
     for _, line in sorted(rows, key=lambda r: -r[0]):
         print(line)
     gone = sorted(set(old["queries"]) - set(new["queries"]))
     for q in gone:
         print(f"{q:28s} REMOVED    old={old['queries'][q]:6.2f}")
+    cold = cold_outliers(new)
+    if cold:
+        print("\ncold-run outliers in NEW (first run > 2x best — JIT/codegen "
+              "warmup; best-of-3 seconds above are unaffected):")
+        for q, ratio, first, best in cold:
+            print(f"  {q:28s} first={first:6.2f} best={best:6.2f}  x{ratio:.1f}")
 
 
 if __name__ == "__main__":

@@ -69,6 +69,24 @@ object AnnRecall {
       println(f"| lsh-mp | bits=$bits bands=$bands | $r%.3f | $pairs | ${pairs / exhaustive}%.3f | $sec%.1f |")
     }
 
+    // gate-path rows (the AnnIngest state-flag path): ONE staged index per
+    // geometry serves single- AND multi-probe — the recall delta is pure
+    // probe-side cost, nothing about the persisted index changes. These
+    // are the numbers an ingest operator sees (*AgainstIndex forms).
+    for ((bits, bands) <- Seq((64, 16), (128, 16))) {
+      val idx = stage(Ann.bandedRelation(corpus, "c_id", "ce", bits, bands, 64))
+      val (sp, sSec) = timed(stage(
+        Ann.lshTopKAgainstIndex(queries, idx, k, bits, bands)))
+      val (mp, mSec) = timed(stage(
+        Ann.lshTopKMultiProbeAgainstIndex(queries, idx, k, bits, bands)))
+      val spPairs = lshScoredPairs(queries, corpus, bits, bands)
+      val mpPairs = lshMultiProbeScoredPairs(queries, corpus, bits, bands)
+      val rSp = Ann.meanRecall(sp, exact)
+      val rMp = Ann.meanRecall(mp, exact)
+      println(f"| gate-sp | bits=$bits bands=$bands | $rSp%.3f | $spPairs | ${spPairs / exhaustive}%.3f | $sSec%.1f |")
+      println(f"| gate-mp | bits=$bits bands=$bands | $rMp%.3f | $mpPairs | ${mpPairs / exhaustive}%.3f | $mSec%.1f |")
+    }
+
     for (nc <- Seq(4, 8, 16); np <- Seq(1, 2, 4) if np <= nc) {
       val cents = Ann.trainCentroids(corpus, nc)
       val (approx, sec) = timed(stage(Ann.ivfTopK(queries, corpus, cents, k, np)))

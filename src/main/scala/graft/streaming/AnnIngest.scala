@@ -22,23 +22,39 @@ import graft.operators.Ann
   */
 object AnnIngest {
 
-  /** One corpus version's staged LSH index ([[Ann.bandedRelation]]). */
+  /** One corpus version's staged LSH index ([[Ann.bandedRelation]]).
+    * `multiProbe` rides the state (the [[ImageIngest]] `canonical`
+    * discipline: a probe-mode flag must rotate WITH the index it
+    * addresses): when set, probes route through
+    * [[Ann.lshTopKMultiProbeAgainstIndex]] — recall rises from the SAME
+    * persisted index, the corpus banding is byte-identical either way. */
   final case class CorpusAnnIndex(banded: DataFrame, bits: Int, bands: Int,
-                                  dim: Int, version: Long) extends Gate.Versioned
+                                  dim: Int, version: Long,
+                                  multiProbe: Boolean = false) extends Gate.Versioned
 
   /** Stage the corpus banded signature relation ONCE (per corpus
     * version). `corpus` is an (id, embedding) relation. */
   def buildIndex(corpus: DataFrame, bits: Int = 64, bands: Int = 16,
-                 dim: Int = 64, version: Long = 0L): CorpusAnnIndex =
+                 dim: Int = 64, version: Long = 0L,
+                 multiProbe: Boolean = false): CorpusAnnIndex =
     CorpusAnnIndex(
       graft.sources.Tables.stage(
         Ann.bandedRelation(corpus, "c_id", "ce", bits, bands, dim)),
-      bits, bands, dim, version)
+      bits, bands, dim, version, multiProbe)
+
+  /** The probe shared by both gate modes: the state's flag picks
+    * single-probe or multi-probe against the SAME banded index. */
+  private def probeTopK(q: DataFrame, banded: DataFrame, k: Int,
+                        bits: Int, bands: Int, dim: Int,
+                        multiProbe: Boolean): DataFrame =
+    if (multiProbe) Ann.lshTopKMultiProbeAgainstIndex(q, banded, k, bits, bands, dim)
+    else Ann.lshTopKAgainstIndex(q, banded, k, bits, bands, dim)
 
   /** Start the per-batch retrieval loop: each micro-batch's vectors probe
-    * the persisted index ([[Ann.lshTopKAgainstIndex]] — batch side
-    * broadcasts, corpus never shuffles) and `onBatch` receives the (q_id,
-    * rank, neighbor_id, cos) top-k relation plus (corpusVersion, batchId).
+    * the persisted index ([[Ann.lshTopKAgainstIndex]], or the multi-probe
+    * variant when the state says so — batch side broadcasts, corpus never
+    * shuffles) and `onBatch` receives the (q_id, rank, neighbor_id, cos)
+    * top-k relation plus (corpusVersion, batchId).
     *
     * `idCol`/`embCol` address the stream's payload (e.g. `value.vec_id`,
     * `value.embedding` for a JSON Kafka stream). */
@@ -47,8 +63,8 @@ object AnnIngest {
             checkpoint: Option[String] = None)(
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.start(stream, state, checkpoint) { (batch, st) =>
-      Ann.lshTopKAgainstIndex(vectors(batch, idCol, embCol),
-        st.banded, k, st.bits, st.bands, st.dim)
+      probeTopK(vectors(batch, idCol, embCol),
+        st.banded, k, st.bits, st.bands, st.dim, st.multiProbe)
     }(onBatch)
 
   /** The (id, embedding) probe projection shared by the gates here. */
@@ -64,14 +80,16 @@ object AnnIngest {
   final case class GrowingAnnIndex(banded: DataFrame, path: String,
                                    tombstonesPath: String,
                                    bits: Int, bands: Int, dim: Int,
-                                   version: Long, foldedBatch: Long = -1L)
+                                   version: Long, foldedBatch: Long = -1L,
+                                   multiProbe: Boolean = false)
     extends Gate.Folded
 
   /** Stage the initial corpus banding once, capturing its directory for
     * fold appends (plus an empty tombstone relation for [[retire]]).
     * `corpus` is an (id, embedding) relation. */
   def buildGrowingIndex(corpus: DataFrame, bits: Int = 64, bands: Int = 16,
-                        dim: Int = 64, version: Long = 0L): GrowingAnnIndex = {
+                        dim: Int = 64, version: Long = 0L,
+                        multiProbe: Boolean = false): GrowingAnnIndex = {
     val spark = corpus.sparkSession
     val st = graft.sources.Tables.stageTracked(
       Ann.bandedRelation(corpus, "c_id", "ce", bits, bands, dim))
@@ -81,7 +99,8 @@ object AnnIngest {
     require(st.path.isDefined && tb.path.isDefined,
       "buildGrowingIndex requires parquet staging mode (set graft.stage.dir): " +
         "the growing gate folds by appending to the persisted index directory")
-    GrowingAnnIndex(st.df, st.path.get, tb.path.get, bits, bands, dim, version)
+    GrowingAnnIndex(st.df, st.path.get, tb.path.get, bits, bands, dim, version,
+      multiProbe = multiProbe)
   }
 
   /** The probe-visible index: the grown banding with the tombstone
@@ -102,10 +121,11 @@ object AnnIngest {
   def restoreGrowingIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, tombstonesPath: String,
                           bits: Int = 64, bands: Int = 16, dim: Int = 64,
-                          version: Long = 0L, foldedBatch: Long = -1L): GrowingAnnIndex = {
+                          version: Long = 0L, foldedBatch: Long = -1L,
+                          multiProbe: Boolean = false): GrowingAnnIndex = {
     Gate.pruneGrown(spark, path, foldedBatch)
     val skeleton = GrowingAnnIndex(null, path, tombstonesPath,
-      bits, bands, dim, version, foldedBatch)
+      bits, bands, dim, version, foldedBatch, multiProbe)
     skeleton.copy(banded = liveBanded(spark, skeleton))
   }
 
@@ -135,7 +155,7 @@ object AnnIngest {
                    onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val q = vectors(batch, idCol, embCol)
-      val topk = Ann.lshTopKAgainstIndex(q, st.banded, k, st.bits, st.bands, st.dim)
+      val topk = probeTopK(q, st.banded, k, st.bits, st.bands, st.dim, st.multiProbe)
       Gate.growDir(Ann.bandedRelation(q, "c_id", "ce", st.bits, st.bands, st.dim),
         st.path, batchId)
       (topk, st.copy(banded = liveBanded(batch.sparkSession, st),

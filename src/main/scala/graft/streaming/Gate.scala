@@ -316,6 +316,8 @@ object Gate {
       require(keepAfter >= prevHorizon,
         s"expireGrown: $root is already expired up to fold $prevHorizon > $keepAfter")
       val (prefix, suffix) = all.partition(f => foldIdOf(f.path).forall(_ <= keepAfter))
+      require(prefix.nonEmpty,
+        s"expireGrown: nothing at or below fold $keepAfter to consolidate at $root")
       if (prefix.exists(f => horizonOf(f.path).isEmpty) || prevHorizon < keepAfter) {
         // step 1: consolidate via an invisible dot-temp, rename into place.
         val tmp = new org.apache.hadoop.fs.Path(root, s".expired_tmp_$keepAfter")

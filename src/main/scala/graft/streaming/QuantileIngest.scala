@@ -67,7 +67,10 @@ object QuantileIngest {
     * histogram (map-side partial maps, counter-wise merge). */
   def histogramOf(df: DataFrame, valueCol: String, maxBins: Int): Map[Long, Long] = {
     import df.sparkSession.implicits._
-    df.select(col(valueCol).cast("long")).as[Long]
+    // same NULL discipline as sketchOf: no rank evidence, and the Long
+    // encoder would NPE on a null cell.
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long")).as[Long]
       .select(new TypedAggregators.BoundedHistogram(maxBins).toColumn)
       .head()
   }
@@ -154,7 +157,11 @@ object QuantileIngest {
     * (map-side compactors, rank-bounded merge across the shuffle). */
   def sketchOf(df: DataFrame, valueCol: String, k: Int): TypedAggregators.KllBuf = {
     import df.sparkSession.implicits._
-    df.select(col(valueCol).cast("double")).as[Double]
+    // NULLs carry no rank evidence and would NPE the Double encoder —
+    // drop them here so streamed batches with missing scores fold the
+    // non-null population, mirroring what percentile_disc itself ranks.
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double")).as[Double]
       .select(new TypedAggregators.QuantileSketchBuf(k).toColumn)
       .head()
   }

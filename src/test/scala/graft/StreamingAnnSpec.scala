@@ -236,6 +236,109 @@ class StreamingAnnSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("multiProbe gate: streamed ≡ batch lshTopKMultiProbe; flag flips without restaging") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val e = Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.filter(col("id") >= 10)
+      val queries = e.filter(col("id") < 10)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        AnnIngest.buildIndex(corpus, multiProbe = true))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      assert(stageDirs == 1, s"index = one staged banded relation, got $stageDirs")
+
+      // batch-mode truths, same params, same corpus: the multi-probe gate
+      // must replay lshTopKMultiProbe bitwise, and after the flag flip the
+      // SAME staged index must replay single-probe lshTopK bitwise.
+      val expectedMp = Ann.lshTopKMultiProbe(queries, corpus, k = 5)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val expectedSp = Ann.lshTopK(queries, corpus, k = 5)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(expectedMp.nonEmpty, "fixture produced no neighbors — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+      val q = AnnIngest.start(s, state, "value.vec_id", "value.embedding", k = 5) {
+        (topk, _, _) => got ++= topk.as[(Long, Int, Long, Double)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("id").as("vec_id"), col("embedding"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(queries)
+      assert(got.toSet == expectedMp,
+        s"multi-probe streamed top-k diverges from batch lshTopKMultiProbe:\n" +
+          s" extra=${got.toSet -- expectedMp}\n missing=${expectedMp -- got.toSet}")
+
+      // probe-mode rotation: flip the flag WITHOUT rebuilding — the index
+      // is byte-identical across modes, so no new staging dir may appear.
+      state.set(state.get().copy(multiProbe = false, version = 1L))
+      got.clear()
+      send(queries)
+      assert(got.toSet == expectedSp,
+        s"single-probe streamed top-k diverges from batch lshTopK:\n" +
+          s" extra=${got.toSet -- expectedSp}\n missing=${expectedSp -- got.toSet}")
+      assert(stageDirs == 1, "flag flip must not restage the index")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("startGrowing multiProbe: first-batch probe ≡ batch lshTopKMultiProbe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val e = Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.filter(col("id") >= 10)
+      val queries = e.filter(col("id") < 10)
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        AnnIngest.buildGrowingIndex(corpus, multiProbe = true))
+
+      val expected = Ann.lshTopKMultiProbe(queries, corpus, k = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no neighbors — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+      val q = AnnIngest.startGrowing(s, state, "value.vec_id", "value.embedding",
+        k = 3) { (topk, _, _) =>
+          got ++= topk.as[(Long, Int, Long, Double)].collect()
+      }
+      val payloads = queries
+        .select(to_json(struct(col("id").as("vec_id"), col("embedding"))).as("j"))
+        .as[String].collect()
+      ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // the probe runs BEFORE the fold, so batch 1's top-k is against the
+      // seed corpus exactly — the growing gate's multi-probe path must
+      // replay the batch operator bitwise. The flag survives the fold.
+      assert(got.toSet == expected,
+        s"growing-gate multi-probe diverges from batch lshTopKMultiProbe:\n" +
+          s" extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(state.get().multiProbe, "fold must preserve the probe-mode flag")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("startGrowing: probe-then-grow; cross-batch retrieval; grown ≡ fresh; fenced") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
