@@ -408,6 +408,100 @@ object Subword {
         sum(col("tf") * col("n_tokens")).as("n_uni_tokens"))
   }
 
+  /** Unigram-LM vocabulary TRAINING (the learning half [[unigramTable]]
+    * applies) — Viterbi-EM over the distinct-word dictionary, the
+    * hard-EM variant of Kudo 2018's SentencePiece recipe, restated in
+    * EXACT INTEGERS so both engines replay every round bitwise (the
+    * no-libm discipline: a float −log p model is not bit-portable, an
+    * integer-log2 cost model is):
+    *
+    *  - SEED: every substring of every dictionary word up to `maxLen`
+    *    chars, counted at every position (overlaps counted — both
+    *    engines enumerate (start, len) pairs identically), weighted by
+    *    word frequency. The vocabulary is ALL single characters (full
+    *    coverage, so the UNK fallback never fires during training) plus
+    *    the top-`budget` multi-char substrings by (count DESC, piece
+    *    ASC — the pinned total order).
+    *  - COST MODEL: cost(p) = bits(total) − bits(cnt_p) + 1 with
+    *    bits(x) = length(bin(x)) — an exact integer ⌊log2⌋ surrogate
+    *    for −log p (the HLL rho trick; identical in DuckDB). Frequent
+    *    pieces are cheap; cost ≥ 1 always.
+    *  - E-STEP (round r): Viterbi-segment every dictionary word under
+    *    vocab r−1 (the [[unigramFoldSql]] DP — training and application
+    *    share one segmenter, so train → apply composes by
+    *    construction).
+    *  - M-STEP: re-count pieces from the Viterbi segmentations
+    *    (weighted by word frequency), re-cost with total = Σ counts
+    *    (= Σ freq·n_tokens), and PRUNE to budget: characters are always
+    *    kept (unused ones re-cost at cnt = 1 — the pinned floor);
+    *    multi-char pieces keep the top-`budget` USED ones — a piece the
+    *    optimal segmentations stop using drops out, which is exactly
+    *    Kudo's prune reinterpreted under hard EM.
+    *
+    * Returns the final scored pieces (feed [[unigramTable]] /
+    * [[packByUnigram]] directly) and the TRAJECTORY relation
+    * (round, piece, cost) for rounds 0..rounds, engine-computed from
+    * the staged per-round vocab relations — the full training history
+    * is what the oracle checks bitwise.
+    *
+    * Scale shape: the trainBpe discipline — every aggregate is over the
+    * Zipf-bounded dictionary (or its substring expansion, ≤ maxLen×
+    * chars per word), never the corpus; per-round vocab relations stage
+    * (each feeds the next round's typedlit literal, the trajectory, and
+    * the chars LEFT JOIN); the per-round collect is vocab-sized
+    * (≤ budget + |alphabet| rows, by contract). Honest-rounds contract:
+    * LINEAR driver rounds like trainBpe's k — right for bounded demo/
+    * audit vocabularies; a production 100k-piece unigram train wants
+    * the same batched relaxation noted there. */
+  def trainUnigram(docs: DataFrame, textCol: String, budget: Int, rounds: Int,
+                   maxLen: Int = 4, unkCost: Long = 100L)
+      : (Seq[(String, Long)], DataFrame) = {
+    require(budget >= 1 && rounds >= 1 && maxLen >= 2 && maxLen < 32)
+    val costExpr = "CAST(length(bin(total)) - length(bin(cnt)) + 1 AS BIGINT)"
+    val dict = graft.sources.Tables.stage(
+      docs.select(explode(expr(s"split(lower($textCol), ' ')")).as("w"))
+        .filter(expr("w rlike '^[a-z0-9]+$'"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq")))
+    val cand = graft.sources.Tables.stage(
+      dict.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($maxLen, length(w) - i + 1)),
+           |    L -> substring(w, i, L))))""".stripMargin)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt")))
+    val chars = cand.filter(expr("length(piece) = 1"))
+    def topMulti(counts: DataFrame): DataFrame =
+      counts.filter(expr("length(piece) > 1"))
+        .orderBy(col("cnt").desc, col("piece").asc).limit(budget)
+        .select(col("piece"), col("cnt"))
+    def costed(counts: DataFrame, tot: DataFrame): DataFrame =
+      counts.crossJoin(broadcast(tot))
+        .select(col("piece"), expr(costExpr).as("cost"))
+    val vocab0 = graft.sources.Tables.stage(costed(
+      chars.select(col("piece"), col("cnt")).unionAll(topMulti(cand)),
+      chars.agg(sum(col("cnt")).cast("long").as("total"))))
+    val vocabs = scala.collection.mutable.ArrayBuffer[DataFrame](vocab0)
+    var pieces = vocab0.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    for (_ <- 1 to rounds) {
+      val seg = unigramTable(dict.select(col("w").as("word")), pieces, unkCost)
+      val used = graft.sources.Tables.stage(
+        seg.join(dict, seg("word") === dict("w"))
+          .select(col("freq"), explode(expr("split(tokens, ' ')")).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt")))
+      val next = graft.sources.Tables.stage(costed(
+        chars.select(col("piece")).join(used, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
+          .unionAll(topMulti(used)),
+        used.agg(sum(col("cnt")).cast("long").as("total"))))
+      vocabs += next
+      pieces = next.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    }
+    val traj = vocabs.zipWithIndex.map { case (v, r) =>
+      v.select(lit(r.toLong).as("round"), col("piece"), col("cost"))
+    }.reduce(_.unionAll(_))
+    (pieces.sortBy(_._1), traj)
+  }
+
   /** [[packBySubwords]] with the budget in unigram-LM tokens — what a
     * SentencePiece-family mix must budget by. Output: (shard, bin,
     * n_docs, uni_tokens). */

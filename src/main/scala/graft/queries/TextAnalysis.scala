@@ -547,6 +547,81 @@ object TextAnalysis {
              array_to_string(mg, ',') AS kset_union
       FROM m ORDER BY source_a, source_b"""), headline = true),
 
+    // ----------------- KMV set DIFFERENCE (a-not-b) from the same k-sets
+    // The corpus-governance question corpusDiff answers exactly ("what is
+    // in source A that source B lacks"), at sketch cost for cross-org
+    // sharing: answered from the two 64-long k-sets alone, no data moves.
+    // Validity discipline (Beyer et al. SIGMOD'07 K*-style): below
+    // cut = least(kth_a, kth_b), membership is EXACT — v ≤ cut ∧ v ∈ A ⟹
+    // v ∈ ka (ka holds ALL of A's hashes ≤ its k-th minimum) — so the
+    // probe set is the merged k-set truncated to ≤ cut, and a_only/
+    // b_only/shared within it are true set-membership counts of the
+    // sampled hashes, not heuristics. |A\B|/|A∪B| ≈ n_a_only/n_valid;
+    // the ratio stays off-engine (exact integers only, the hllScaleSum
+    // discipline). Same bitwise-oracle status as x_sketch_kmv: every
+    // emitted value is a pure order/partitioning-independent set
+    // function of the inputs. Same scale shape too: map-side ≤64-long
+    // partial buffers, staged 20-row sketch relation feeds both join
+    // sides, pair algebra over |sources|² sketch rows, never data.
+    Q("x_sketch_kmv_diff", (s, d) => {
+      import s.implicits._
+      val toks = fanOut(documents(s, d))
+        .select(col("source"), explode(expr("split(text, ' ')")).as("t"))
+        .as[(String, String)]
+      val ks = graft.sources.Tables.stage(
+        toks.groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.TypedAggregators.KmvValues(64)
+            .toColumn.name("kset"))
+          .toDF("source", "kset"))
+      val a = ks.select(col("source").as("source_a"), col("kset").as("__ka"))
+      val b = ks.select(col("source").as("source_b"), col("kset").as("__kb"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("__cut",
+          expr("least(element_at(__ka, size(__ka)), element_at(__kb, size(__kb)))"))
+        .withColumn("__mgv",
+          expr("filter(slice(array_sort(array_union(__ka, __kb)), 1, 64), v -> v <= __cut)"))
+        .select(col("source_a"), col("source_b"),
+          expr("""CAST(size(filter(__mgv,
+                 |  v -> array_contains(__ka, v) AND NOT array_contains(__kb, v)))
+                 |AS BIGINT)""".stripMargin).as("n_a_only"),
+          expr("""CAST(size(filter(__mgv,
+                 |  v -> array_contains(__kb, v) AND NOT array_contains(__ka, v)))
+                 |AS BIGINT)""".stripMargin).as("n_b_only"),
+          expr("""CAST(size(filter(__mgv,
+                 |  v -> array_contains(__ka, v) AND array_contains(__kb, v)))
+                 |AS BIGINT)""".stripMargin).as("n_shared"),
+          expr("CAST(size(__mgv) AS BIGINT)").as("n_valid"),
+          col("__cut").as("cut"))
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      dh AS (SELECT DISTINCT source, ${duckHash60("t")} AS h FROM tok),
+      rk AS (SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+             FROM dh),
+      ks AS (SELECT source, list(h ORDER BY h) AS kset
+             FROM rk WHERE r <= 64 GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+                   a.kset AS ka, b.kset AS kb
+            FROM ks a JOIN ks b ON a.source < b.source),
+      m0 AS (SELECT *, least(ka[len(ka)], kb[len(kb)]) AS cut FROM p),
+      m AS (SELECT *, list_filter(list_sort(list_distinct(ka || kb))[1:64],
+                                  v -> v <= cut) AS mgv
+            FROM m0)
+      SELECT source_a, source_b,
+             CAST(len(list_filter(mgv,
+               v -> list_contains(ka, v) AND NOT list_contains(kb, v)))
+               AS BIGINT) AS n_a_only,
+             CAST(len(list_filter(mgv,
+               v -> list_contains(kb, v) AND NOT list_contains(ka, v)))
+               AS BIGINT) AS n_b_only,
+             CAST(len(list_filter(mgv,
+               v -> list_contains(ka, v) AND list_contains(kb, v)))
+               AS BIGINT) AS n_shared,
+             CAST(len(mgv) AS BIGINT) AS n_valid, cut
+      FROM m ORDER BY source_a, source_b""")),
+
     // ------------------------ exact heavy hitters with a count–min prune
     // Global tokens with count ≥ 900, answered EXACTLY: the count–min
     // sketch (collected once — 1024 longs, by-contract driver-tiny) is a
@@ -625,7 +700,35 @@ object TextAnalysis {
         FROM ucnt)
       SELECT shard, CAST((cum - n_uni) // 1024 AS BIGINT) AS bin,
              COUNT(*) AS n_docs, CAST(SUM(n_uni) AS BIGINT) AS uni_tokens
-      FROM uc GROUP BY shard, bin ORDER BY shard, bin"""))
+      FROM uc GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // ------------------------------------- unigram-LM vocab TRAINING
+    // graft.operators.Subword.trainUnigram: the learning half of the
+    // unigram family — x_token_unigram applies a frozen scored vocab;
+    // this LEARNS one by Viterbi-EM (the hard-EM variant of Kudo 2018's
+    // SentencePiece recipe), restated in exact integers (cost =
+    // length(bin(total)) − length(bin(cnt)) + 1, the HLL-rho integer
+    // ⌊log2⌋ — no libm). Seed = all ≤4-char substrings counted at every
+    // position; vocab = full char alphabet (UNK never fires) + top-24
+    // multi-char pieces by (cnt DESC, piece ASC); each round re-segments
+    // the dictionary with the SHARED Viterbi fold (train → apply
+    // composes by construction), re-counts, re-costs, re-prunes. The
+    // emitted trajectory (round, piece, cost) is the full training
+    // history, recomputed in-plan from the staged per-round vocab
+    // relations. Oracle = seed CTEs + one recursive DP per round against
+    // the previous round's MATERIALIZED vocab CTE (the trainBpe
+    // chained-round pattern; inlined vocab CTEs would re-execute whole
+    // rounds per DP level).
+    Q("x_token_unigram_train", (s, d) => {
+      graft.operators.Subword.trainUnigram(
+        fanOut(documents(s, d)), "text", budget = 24, rounds = 2)._2
+        .orderBy(col("round"), col("piece"))
+    }, Some(s"""
+      WITH RECURSIVE ${duckTrainUnigramCtes(24, 2, 4, 100L)}
+      ${(0 to 2).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, piece, cost FROM uvt$r")
+        .mkString("\nUNION ALL\n")}
+      ORDER BY round, piece"""))
   )
 
   /** Spark-side count–min point estimate over array column `cellsCol`
@@ -735,15 +838,57 @@ object TextAnalysis {
        |  SELECT DISTINCT word FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
        |  WHERE word <> ''),
-       |usteps AS (
-       |  SELECT word, 0 AS i,
+       |${duckUnigramDpCtes("", "uv", "uw3", 4, 100L)}""".stripMargin
+
+  /** The Viterbi DP recursion of [[duckUnigramPrefix]], parameterized so
+    * the TRAINING oracle can run one DP per EM round against that
+    * round's learned vocab CTE: defines `usteps$suffix` (recursive) and
+    * `ufin$suffix(word, b)`. `vocabCte` must expose (piece, cost);
+    * `wordsCte` must expose `word`.
+    *
+    * SHAPE (a DuckDB 1.0 bug forces it): the recursive leg must NOT
+    * reference the vocab CTE — a correlated MIN subquery joining a
+    * COMPUTED CTE inside a recursive CTE silently returns NULL on the
+    * FIRST iteration (measured: 'row' lost its position-1 candidates
+    * and fell to the UNK branch; the same subquery is correct in
+    * isolation, on later iterations, and when the vocab is a literal
+    * VALUES/unnest). So the per-(word, position) candidate (L, cost)
+    * lists are precomputed into `twords$suffix` BEFORE the recursion,
+    * and the recursive leg is fully self-contained: the argmin is a
+    * list_min over list_transform of the row's own candidate list —
+    * same combo = (c + cost)·32 + (32 − L) encoding, same decode.
+    * list_min([]) is NULL, which feeds the UNK branch exactly like the
+    * old no-candidate case. `ufin` is MATERIALIZED (training rounds
+    * read it repeatedly; DuckDB inlines per reference). */
+  private[queries] def duckUnigramDpCtes(suffix: String, vocabCte: String,
+                                         wordsCte: String, maxLen: Int,
+                                         unkCost: Long): String =
+    s"""tpos$suffix AS (
+       |  SELECT word, unnest(range(1, length(word) + 1)) AS p FROM $wordsCte),
+       |twords$suffix AS MATERIALIZED (
+       |  SELECT ps.word, list(COALESCE(c.cl, CAST([] AS STRUCT(L BIGINT, cost BIGINT)[]))
+       |                       ORDER BY ps.p) AS cls
+       |  FROM tpos$suffix ps
+       |  LEFT JOIN (
+       |    SELECT p2.word, p2.p,
+       |           list(struct_pack(L := lr.L, cost := CAST(v.cost AS BIGINT))) AS cl
+       |    FROM tpos$suffix p2
+       |    CROSS JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS L) lr
+       |    JOIN $vocabCte v
+       |      ON lr.L <= p2.p
+       |     AND v.piece = substr(p2.word, CAST(p2.p - lr.L + 1 AS INT), CAST(lr.L AS INT))
+       |    GROUP BY p2.word, p2.p) c
+       |    ON c.word = ps.word AND c.p = ps.p
+       |  GROUP BY ps.word),
+       |usteps$suffix AS (
+       |  SELECT word, cls, 0 AS i,
        |         [struct_pack(c := CAST(0 AS BIGINT), ts := CAST([] AS VARCHAR[]))] AS hist
-       |  FROM uw3
+       |  FROM twords$suffix
        |  UNION ALL
-       |  SELECT t.word, t.p AS i,
+       |  SELECT t.word, t.cls, t.p AS i,
        |         list_append(t.hist,
        |           CASE WHEN t.bk IS NULL THEN
-       |             struct_pack(c := t.hist[t.p].c + 100,
+       |             struct_pack(c := t.hist[t.p].c + $unkCost,
        |                         ts := list_append(t.hist[t.p].ts, substr(t.word, t.p, 1)))
        |           ELSE
        |             struct_pack(c := t.bk // 32,
@@ -752,14 +897,71 @@ object TextAnalysis {
        |                                        CAST(32 - t.bk % 32 AS INT))))
        |           END)
        |  FROM (
-       |    SELECT s.word, s.i + 1 AS p, s.hist,
-       |           (SELECT MIN((s.hist[s.i + 2 - lr.L].c + u2.cost) * 32 + 32 - lr.L)
-       |            FROM (SELECT unnest(range(1, 5)) AS L) lr
-       |            JOIN uv u2 ON u2.piece = substr(s.word, CAST(s.i + 2 - lr.L AS INT), CAST(lr.L AS INT))
-       |            WHERE lr.L <= s.i + 1) AS bk
-       |    FROM usteps s WHERE s.i < length(s.word)) t),
-       |ufin AS (SELECT word, hist[length(word) + 1] AS b FROM usteps
-       |         WHERE i = length(word))""".stripMargin
+       |    SELECT s.word, s.cls, s.i + 1 AS p, s.hist,
+       |           list_min(list_transform(s.cls[s.i + 1],
+       |             x2 -> (s.hist[s.i + 2 - x2.L].c + x2.cost) * 32 + 32 - x2.L)) AS bk
+       |    FROM usteps$suffix s WHERE s.i < length(s.word)) t),
+       |ufin$suffix AS MATERIALIZED (
+       |  SELECT word, hist[length(word) + 1] AS b FROM usteps$suffix
+       |  WHERE i = length(word))""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Subword.trainUnigram]] as a CTE
+    * chunk (no WITH keyword): the seed substring count, the seed vocab
+    * `uvt0`, then per EM round one Viterbi DP (via
+    * [[duckUnigramDpCtes]]) + piece re-count + re-cost/prune `uvt$r`.
+    * Every reused level is MATERIALIZED (vocab CTEs are read by the DP
+    * recursion per level — inlined they re-execute the whole previous
+    * round per DP step). The cost model is the same integer-log2
+    * surrogate: length(bin(total)) − length(bin(cnt)) + 1. */
+  private[queries] def duckTrainUnigramCtes(budget: Int, rounds: Int,
+                                            maxLen: Int, unkCost: Long): String = {
+    val costSel =
+      "CAST(length(bin(t.total)) - length(bin(u.cnt)) + 1 AS BIGINT) AS cost"
+    val seed =
+      s"""tdict AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+${"$"}')
+         |  GROUP BY word),
+         |tpos AS (
+         |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM tdict),
+         |tcand AS MATERIALIZED (
+         |  SELECT substr(word, CAST(i AS INT), CAST(L AS INT)) AS piece,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM tpos CROSS JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS L) ln
+         |  WHERE i + L - 1 <= length(word)
+         |  GROUP BY piece),
+         |tchars AS MATERIALIZED (
+         |  SELECT piece, cnt FROM tcand WHERE length(piece) = 1),
+         |ttot0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tchars),
+         |uvt0 AS MATERIALIZED (
+         |  SELECT u.piece, $costSel
+         |  FROM (SELECT piece, cnt FROM tchars
+         |        UNION ALL
+         |        SELECT piece, cnt FROM (
+         |          SELECT piece, cnt FROM tcand WHERE length(piece) > 1
+         |          ORDER BY cnt DESC, piece LIMIT $budget)) u
+         |  CROSS JOIN ttot0 t)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""${duckUnigramDpCtes(s"_t$r", s"uvt${r - 1}", "tdict", maxLen, unkCost)},
+         |usedt$r AS MATERIALIZED (
+         |  SELECT t AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT d.freq, unnest(f.b.ts) AS t
+         |        FROM ufin_t$r f JOIN tdict d ON f.word = d.word)
+         |  GROUP BY t),
+         |ttot$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM usedt$r),
+         |uvt$r AS MATERIALIZED (
+         |  SELECT u.piece, $costSel
+         |  FROM (SELECT c.piece, COALESCE(x.cnt, CAST(1 AS BIGINT)) AS cnt
+         |        FROM tchars c LEFT JOIN usedt$r x ON c.piece = x.piece
+         |        UNION ALL
+         |        SELECT piece, cnt FROM (
+         |          SELECT piece, cnt FROM usedt$r WHERE length(piece) > 1
+         |          ORDER BY cnt DESC, piece LIMIT $budget)) u
+         |  CROSS JOIN ttot$r t)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
 
   /** The frozen fixture vocab for the subword queries: five whole words,
     * one initial prefix (`wind`), two multi-char continuations (`##ow`,

@@ -72,12 +72,17 @@ class PlanSanitySpec extends SparkSpec {
       // the visible plan starts there.
       "x_heavy_hitters",
       // x_sketch_kmv stages the 20-row per-source sketch relation (feeds
-      // both sides of the overlap pair join — one corpus scan total).
-      "x_sketch_kmv",
+      // both sides of the overlap pair join — one corpus scan total);
+      // the diff variant reads the same staged shape.
+      "x_sketch_kmv", "x_sketch_kmv_diff",
       // x_token_bpe_train's audit relation is recomputed from the staged
       // per-round dictionary relations (each round feeds the argmax, the
       // next round, and the audit), so the visible plan starts there.
-      "x_token_bpe_train")
+      "x_token_bpe_train",
+      // x_token_unigram_train's trajectory is the union of the staged
+      // per-round vocab relations (each feeds the next round's literal,
+      // the chars join, and the trajectory) — same discipline.
+      "x_token_unigram_train")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

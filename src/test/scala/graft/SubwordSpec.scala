@@ -258,4 +258,32 @@ class SubwordSpec extends SparkSpec {
       s"unigram table must broadcast onto the tf relation:\n${plan.take(1200)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
+
+  test("trainUnigram: hand-computed Viterbi-EM trajectory on a pinned fixture") {
+    // dict: 'abab' freq 2 (two tokens of doc 1), 'cd' freq 1.
+    // chars: a=4 b=4 c=1 d=1 → total₀=10, bits(10)=4.
+    // multi candidates: ab=4; ba/aba/bab/abab=2; cd=1 → budget 2 keeps
+    // ab then (tie cnt=2, piece ASC) aba.
+    // costs₀ (bits(tot)−bits(cnt)+1): a,b→2  c,d→4  ab→2  aba→3.
+    // round 1 Viterbi: 'abab' → [ab, ab] (cost 4; aba+b = 5, chars = 8);
+    // 'cd' → [c, d]. used: ab=4, c=1, d=1 → total₁=6, bits(6)=3.
+    // vocab₁: chars a,b (unused → cnt 1) cost 3; c,d (cnt 1) cost 3;
+    // multi keeps only ab (cost 3−3+1=1); aba pruned (unused).
+    // round 2 re-segments identically → fixpoint.
+    val docs = Seq((1L, "abab abab"), (2L, "cd")).toDF("doc_id", "text")
+    val (pieces, traj) = Subword.trainUnigram(docs, "text", budget = 2, rounds = 2)
+    val got = traj.as[(Long, String, Long)].collect().toSet
+    val r0 = Set((0L, "a", 2L), (0L, "b", 2L), (0L, "c", 4L), (0L, "d", 4L),
+      (0L, "ab", 2L), (0L, "aba", 3L))
+    val r1 = Set(("a", 3L), ("b", 3L), ("c", 3L), ("d", 3L), ("ab", 1L))
+    val expected = r0 ++ r1.map(p => (1L, p._1, p._2)) ++ r1.map(p => (2L, p._1, p._2))
+    assert(got == expected, s"trajectory:\n got=$got\n expected=$expected")
+    // the learned artifact feeds the application path directly.
+    assert(pieces.toSet == r1)
+    val applied = Subword.unigramTable(Seq("abab", "cd").toDF("word"), pieces)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(applied("abab") == (("ab ab", 2L, 2L)))
+    assert(applied("cd") == (("c d", 2L, 6L)))
+  }
 }
