@@ -312,6 +312,119 @@ object Subword {
     (merges.map { case (a, b) => s"$a $b" }.toSeq, audit)
   }
 
+  /** WordPiece vocabulary TRAINING (the learning half [[wordpieceTable]]
+    * applies) — the third trained tokenizer family beside [[trainBpe]]
+    * and [[trainUnigram]]. Same merge LOOP as BPE, different merge
+    * OBJECTIVE (Schuster & Nakajima 2012, the BERT trainer): pick the
+    * adjacent pair maximizing the likelihood-gain score
+    * count(ab) / (count(a)·count(b)) — frequent-but-predictable pairs
+    * (high denominators) lose to genuinely cohesive ones. Restated in
+    * exact integers (the no-libm discipline): score = (cnt·2^30) div
+    * (cnt_a·cnt_b), floor division identical in both engines; ties →
+    * lexicographically smallest (a, b). Overflow is impossible under
+    * the guarded contract Σ freq·len < 2^31 (then cnt·2^30 < 2^61 and
+    * cnt_a·cnt_b < 2^62) — checked up front, never silently wrapped.
+    *
+    * Symbols ride the [[trainBpe]] double-delimiter segmentations, but
+    * in the WORDPIECE convention: the word-initial character is bare,
+    * every continuation is '##'-marked ('abc' → '|a||##b||##c|'), so
+    * initial and continuation units count separately (the convention's
+    * point) and a merge (x, y) — y is always a continuation by the
+    * position invariant — produces x + y-minus-'##' under x's own
+    * marker. Returned vocab = the character alphabet (both forms) plus
+    * every merged symbol, which is exactly what [[wordpieceTable]]'s
+    * greedy longest-match consumes: train → apply composes.
+    *
+    * The audit relation (iter, a, b, cnt, cnt_a, cnt_b, score,
+    * tokens_after) is recomputed in-plan from the staged per-round
+    * segmentations (the trainBpe discipline — engine-computed, not
+    * driver-claimed; tokens_after independently pins the replace
+    * semantics). Scale shape and honest-k contract identical to
+    * [[trainBpe]]: dictionary-sized aggregates, one tiny collect per
+    * round, linear in k. */
+  def trainWordpiece(docs: DataFrame, textCol: String, k: Int,
+                     scaleBits: Int = 30): (Seq[String], DataFrame) = {
+    require(k >= 1, s"k=$k")
+    val scale = 1L << scaleBits
+    val piecesExpr = "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')"
+    val dict = graft.sources.Tables.stage(
+      docs.select(explode(expr(s"split(lower($textCol), ' ')")).as("w"))
+        .filter(expr("w rlike '^[a-z0-9]+$'"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq")))
+    val totalChars = dict.agg(sum(expr("freq * length(w)")).cast("long"))
+      .head().getLong(0)
+    require(totalChars < (1L << 31),
+      s"trainWordpiece: $totalChars weighted chars overflow the 2^$scaleBits-scaled " +
+        "integer score; shrink the corpus or the scale")
+    def symsOf(lvl: DataFrame): DataFrame =
+      lvl.withColumn("p", expr(piecesExpr))
+    def pairCounts(lvl: DataFrame): DataFrame =
+      symsOf(lvl).filter(expr("size(p) > 1")) // sequence(1, 0) is DESCENDING
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(p) - 1),
+            |  i -> named_struct('a', element_at(p, i), 'b', element_at(p, i + 1)))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).cast("long").as("cnt"))
+    def symCounts(lvl: DataFrame): DataFrame =
+      symsOf(lvl).select(col("freq"), explode(col("p")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).cast("long").as("scnt"))
+    // pair scores: the broadcast is the by-contract-bounded symbol table.
+    def scored(lvl: DataFrame): DataFrame = {
+      val sc = symCounts(lvl)
+      pairCounts(lvl)
+        .join(broadcast(sc.select(col("sym").as("a"), col("scnt").as("cnt_a"))), "a")
+        .join(broadcast(sc.select(col("sym").as("b"), col("scnt").as("cnt_b"))), "b")
+        .withColumn("score", expr(s"(cnt * $scale) div (cnt_a * cnt_b)"))
+    }
+    // min-struct argmax (the trainBpe trick): (-score, a, b) prefix is a
+    // total order — the count fields ride along for the audit.
+    def argmax(sc: DataFrame): DataFrame =
+      sc.select(min(struct((-col("score")).as("ns"), col("a"), col("b"),
+          col("cnt"), col("cnt_a"), col("cnt_b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.cnt").as("cnt"),
+          col("m.cnt_a").as("cnt_a"), col("m.cnt_b").as("cnt_b"),
+          (-col("m.ns")).cast("long").as("score"))
+    var cur = graft.sources.Tables.stage(
+      dict.withColumn("seg", expr(
+        """concat('|', array_join(
+          |  transform(sequence(1, length(w)),
+          |    i -> IF(i = 1, substring(w, i, 1), concat('##', substring(w, i, 1)))),
+          |  '||'), '|')""".stripMargin))
+        .select("freq", "seg"))
+    val level0 = cur
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val top = argmax(scored(cur)).collect()
+      if (top.isEmpty || top.head.isNullAt(0)) exhausted = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        val m = a + b.stripPrefix("##")
+        cur = graft.sources.Tables.stage(cur.withColumn("seg",
+          expr(s"replace(seg, '|$a||$b|', '|$m|')")))
+        levels += cur
+      }
+    }
+    require(merges.nonEmpty, "trainWordpiece: corpus yielded no mergeable pairs")
+    val audit = merges.indices.map { idx =>
+      val m = argmax(scored(levels(idx)))
+      val t = levels(idx + 1).select(
+        sum(expr(s"freq * size($piecesExpr)")).cast("long").as("tokens_after"))
+      m.crossJoin(t).select(lit((idx + 1).toLong).as("iter"),
+        col("a"), col("b"), col("cnt"), col("cnt_a"), col("cnt_b"),
+        col("score"), col("tokens_after"))
+    }.reduce(_.unionAll(_)).orderBy(col("iter"))
+    val alphabet = level0.select(explode(expr(piecesExpr)).as("sym"))
+      .distinct().orderBy(col("sym"))
+      .collect().map(_.getString(0)).toSeq
+    val vocab = (alphabet ++ merges.map { case (a, b) => a + b.stripPrefix("##") })
+      .distinct
+    (vocab, audit)
+  }
+
   // ----------------------------------------------------------- unigram LM
   // Unigram-language-model segmentation (Kudo 2018 — the SentencePiece
   // convention T5/ALBERT/mBART tokenizers follow), the third and last of

@@ -728,7 +728,33 @@ object TextAnalysis {
       ${(0 to 2).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, piece, cost FROM uvt$r")
         .mkString("\nUNION ALL\n")}
-      ORDER BY round, piece"""))
+      ORDER BY round, piece""")),
+
+    // ------------------------------------- wordpiece vocab TRAINING
+    // graft.operators.Subword.trainWordpiece: the learning half of the
+    // wordpiece family (Schuster & Nakajima 2012, the BERT trainer) —
+    // completes the trained-artifact story for all three deployed
+    // tokenizer families. Same merge loop as x_token_bpe_train,
+    // different objective: the merged pair maximizes the likelihood
+    // score cnt(ab)/(cnt(a)·cnt(b)), stated exactly as (cnt·2^30) div
+    // (cnt_a·cnt_b) (floor div both engines; overflow impossible under
+    // the guarded Σ freq·len < 2^31 contract), ties lex-smallest.
+    // Symbols ride the ##-continuation convention, so initial and
+    // continuation units count separately and the learned vocab feeds
+    // wordpieceTable's greedy longest-match directly. tokens_after pins
+    // the replace semantics independently, as in the BPE audit.
+    Q("x_token_wordpiece_train", (s, d) => {
+      graft.operators.Subword.trainWordpiece(
+        fanOut(documents(s, d)), "text", k = 4)._2
+    }, Some(s"""
+      WITH ${duckTrainWordpieceCtes(4)}
+      ${(1 to 4).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS iter, wm$i.a, wm$i.b, wm$i.cnt,
+           |  wm$i.cnt_a, wm$i.cnt_b, wm$i.score,
+           |  (SELECT CAST(SUM(freq * len(string_split(substr(seg, 2, length(seg) - 2), '||'))) AS BIGINT)
+           |   FROM t$i) AS tokens_after
+           |FROM wm$i""".stripMargin).mkString("\nUNION ALL\n")}
+      ORDER BY iter"""))
   )
 
   /** Spark-side count–min point estimate over array column `cellsCol`
@@ -778,6 +804,55 @@ object TextAnalysis {
          |  SELECT freq, replace(seg, '|' || m.a || '||' || m.b || '|',
          |                            '|' || m.a || m.b || '|') AS seg
          |  FROM s$p CROSS JOIN m$i m)""".stripMargin
+    }
+    (s0 +: rounds).mkString(",\n")
+  }
+
+  /** The chained-CTE replay of
+    * [[graft.operators.Subword.trainWordpiece]]'s k rounds — the
+    * [[duckTrainBpeCtes]] skeleton with the wordpiece differences: t0
+    * segments under the ##-continuation convention, each round adds a
+    * symbol-count CTE, and the argmax ranks by the scaled-integer
+    * likelihood score (cnt·2^30) // (cnt_a·cnt_b) with the (a, b) lex
+    * tie-break. MATERIALIZED throughout (multi-referenced rounds). */
+  private def duckTrainWordpieceCtes(k: Int, scaleBits: Int = 30): String = {
+    val scale = 1L << scaleBits
+    val s0 =
+      """ww0 AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+        |t0 AS MATERIALIZED (
+        |  SELECT freq, '|' || array_to_string(list_transform(
+        |    range(1, length(w) + 1),
+        |    i -> CASE WHEN i = 1 THEN substr(w, CAST(i AS INT), 1)
+        |              ELSE '##' || substr(w, CAST(i AS INT), 1) END), '||') || '|' AS seg
+        |  FROM ww0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""wpc$i AS MATERIALIZED (
+         |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(p[1:len(p)-1]) AS a, unnest(p[2:len(p)]) AS b
+         |    FROM (SELECT freq, string_split(substr(seg, 2, length(seg) - 2), '||') AS p
+         |          FROM t$p)
+         |    WHERE len(p) > 1)
+         |  GROUP BY a, b),
+         |wsc$i AS MATERIALIZED (
+         |  SELECT sym, CAST(SUM(freq) AS BIGINT) AS scnt FROM (
+         |    SELECT freq, unnest(string_split(substr(seg, 2, length(seg) - 2), '||')) AS sym
+         |    FROM t$p)
+         |  GROUP BY sym),
+         |wm$i AS MATERIALIZED (
+         |  SELECT pc.a, pc.b, pc.cnt, sa.scnt AS cnt_a, sb.scnt AS cnt_b,
+         |         CAST((pc.cnt * $scale) // (sa.scnt * sb.scnt) AS BIGINT) AS score
+         |  FROM wpc$i pc
+         |  JOIN wsc$i sa ON pc.a = sa.sym
+         |  JOIN wsc$i sb ON pc.b = sb.sym
+         |  ORDER BY score DESC, pc.a ASC, pc.b ASC LIMIT 1),
+         |t$i AS MATERIALIZED (
+         |  SELECT freq, replace(seg, '|' || m.a || '||' || m.b || '|',
+         |                            '|' || m.a || substr(m.b, 3) || '|') AS seg
+         |  FROM t$p CROSS JOIN wm$i m)""".stripMargin
     }
     (s0 +: rounds).mkString(",\n")
   }

@@ -459,6 +459,45 @@ object Gate {
     (consolidated.df, consolidated.path.get)
   }
 
+  /** [[compactGrownOrdered]] with a MULTI-DIMENSIONAL layout — OPTIMIZE
+    * … ZORDER for growing indexes: a lexicographic (a, b) sort serves
+    * only prefix predicates (a filter on b alone still reads every
+    * file), but a growing index is probed on whichever state column the
+    * gate keys — so the compaction rewrite range-partitions and sorts
+    * by the d-dim Morton key of `dims` ((column, bound) pairs — values
+    * MUST lie in [0, bound)), giving every consolidated file a narrow
+    * bounding box in ALL d dimensions. Zone maps then prune probes
+    * filtered on ANY single dimension (scan-metric proof in
+    * `GateManifestSpec`, per axis). Same contract as
+    * [[compactGrownOrdered]] otherwise: parquet staging mode, explicit
+    * `shards`, fresh root, history truncated. */
+  def compactGrownMorton(spark: org.apache.spark.sql.SparkSession,
+                         root: String, dims: Seq[(String, Long)],
+                         shards: Int): (DataFrame, String) =
+    compactGrownByKey(readGrown(spark, root)
+      .withColumn("__lk", graft.sources.Layout.zValueN(dims)), shards)
+
+  /** [[compactGrownMorton]] on the d-dim HILBERT key — strictly better
+    * per-file locality at the same shard count (consecutive cells are
+    * always adjacent; the z-curve jumps quadrant seams), at the price
+    * of the bigger key projection. Same bounds contract. */
+  def compactGrownHilbert(spark: org.apache.spark.sql.SparkSession,
+                          root: String, dims: Seq[(String, Long)],
+                          shards: Int): (DataFrame, String) =
+    compactGrownByKey(graft.sources.Layout.withHilbertN(
+      readGrown(spark, root), "__lk", dims), shards)
+
+  private def compactGrownByKey(keyed: DataFrame, shards: Int): (DataFrame, String) = {
+    require(shards > 0, "compactGrown layout needs a positive shard count")
+    val consolidated = graft.sources.Tables.stageTracked(
+      keyed.repartitionByRange(shards, org.apache.spark.sql.functions.col("__lk"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("__lk"))
+        .drop("__lk"))
+    require(consolidated.path.isDefined,
+      "layout compaction requires parquet staging mode (set graft.stage.dir)")
+    (consolidated.df, consolidated.path.get)
+  }
+
   /** Materialize an (id, embedding) relation to a DRIVER-LOCAL relation
     * (LocalTableScan). Gate state holds centroid/codebook relations that
     * every micro-batch re-collects into a plan literal — left as a view

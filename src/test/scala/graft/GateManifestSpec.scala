@@ -189,6 +189,57 @@ class GateManifestSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("compactGrownMorton/Hilbert: per-AXIS probes prune after compaction") {
+    def rowsReadByScan(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      plan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val stageDir = Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", stageDir)
+    try {
+      // 2-D state keys (x, y) ∈ [0, 200)², scattered across folds via the
+      // multiplicative permutation (gcd(40847, 40000) = 1 — spark.range
+      // alone is monotonic and would prove nothing).
+      val n = 40000L
+      def part(b: Long) = spark.range(n).filter(col("id") % 4 === b)
+        .select((((col("id") * 40847L) + 1L) % n).as("k"))
+        .select(expr("k div 200").as("x"), (col("k") % 200L).as("y"),
+          concat(lit("v"), col("k")).as("v"))
+      val dims = Seq(("x", 200L), ("y", 200L))
+      for ((name, compact) <- Seq[(String, String => (org.apache.spark.sql.DataFrame, String))](
+        "morton" -> (r => Gate.compactGrownMorton(spark, r, dims, shards = 128)),
+        "hilbert" -> (r => Gate.compactGrownHilbert(spark, r, dims, shards = 128)))) {
+        val root = Files.createTempDirectory(s"graft-grown-$name").toString
+        part(0L).write.mode("overwrite").parquet(root)
+        (1L to 3L).foreach(b => Gate.growDir(part(b), root, b))
+        val before = Gate.readGrown(spark, root)
+          .as[(Long, Long, String)].collect().toSet
+        val (compacted, path) = compact(root)
+        assert(compacted.as[(Long, Long, String)].collect().toSet == before,
+          s"$name compaction changed the rows")
+        // a lexicographic (x, y) sort would serve only the x probe; the
+        // space-filling layout must prune BOTH single-axis bands.
+        for (axis <- Seq("x", "y")) {
+          val band = col(axis) >= 40 && col(axis) < 60 // 10% of the domain
+          val readLaid = rowsReadByScan(spark.read.parquet(path).filter(band))
+          val readArrival = rowsReadByScan(Gate.readGrown(spark, root).filter(band))
+          assert(readArrival >= n / 2,
+            s"$name/$axis arrival read $readArrival of $n — fixture broken")
+          // 128 files tile the plane ~16×8; a 10%-wide band overlaps ≤3
+          // strips of the finer axis (≤2 of the coarser) plus the
+          // range-boundary slop of sampled shard bounds — well under 2/5.
+          assert(readLaid <= readArrival * 2 / 5,
+            s"$name/$axis read $readLaid vs arrival $readArrival — axis not pruned")
+        }
+      }
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("expireGrown: expired snapshots refuse by horizon; later folds still plan exactly") {
     val root = freshRoot()
     (0L to 3L).foreach(b => Gate.growDir(batchDf(b), root, b))

@@ -82,7 +82,10 @@ class PlanSanitySpec extends SparkSpec {
       // x_token_unigram_train's trajectory is the union of the staged
       // per-round vocab relations (each feeds the next round's literal,
       // the chars join, and the trajectory) — same discipline.
-      "x_token_unigram_train")
+      "x_token_unigram_train",
+      // x_token_wordpiece_train's audit reads the staged per-round
+      // segmentations (the trainBpe discipline).
+      "x_token_wordpiece_train")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

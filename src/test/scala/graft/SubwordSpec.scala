@@ -259,6 +259,33 @@ class SubwordSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("trainWordpiece: likelihood score beats raw frequency; train → apply composes") {
+    // freqs: ab=8, ac=8, zq=2. Symbols: a(initial)=16, ##b=8, ##c=8,
+    // z=2, ##q=2. Scores (S = 2^30): (a,##b) = 8S/(16·8) = S/16;
+    // (a,##c) = S/16; (z,##q) = 2S/(2·2) = S/2. BPE would merge the
+    // cnt-8 pair; wordpiece merges the COHESIVE (z,##q) first — that
+    // asymmetry is the objective, pinned here. Round 2: (a,##b) vs
+    // (a,##c) tie at S/16 → lex smallest b wins.
+    val docs = Seq((1L, ("ab " * 8 + "ac " * 8 + "zq zq").trim))
+      .toDF("doc_id", "text")
+    val (vocab, audit) = Subword.trainWordpiece(docs, "text", k = 2)
+    val rows = audit
+      .as[(Long, String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "z", "##q", 2L, 2L, 2L, 1L << 29, 34L),
+      (2L, "a", "##b", 8L, 16L, 8L, 1L << 26, 26L)),
+      s"audit: $rows")
+    assert(vocab.toSet ==
+      Set("a", "z", "##b", "##c", "##q", "zq", "ab"), s"vocab: $vocab")
+    // the learned vocab feeds the greedy longest-match application.
+    val applied = Subword
+      .wordpieceTable(Seq("ab", "ac", "zq").toDF("word"), vocab)
+      .select(col("word"), col("pieces")).as[(String, String)].collect().toMap
+    assert(applied("ab") == "ab")
+    assert(applied("ac") == "a ##c")
+    assert(applied("zq") == "zq")
+  }
+
   test("trainUnigram: hand-computed Viterbi-EM trajectory on a pinned fixture") {
     // dict: 'abab' freq 2 (two tokens of doc 1), 'cd' freq 1.
     // chars: a=4 b=4 c=1 d=1 → total₀=10, bits(10)=4.
