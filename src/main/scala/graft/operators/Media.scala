@@ -644,6 +644,79 @@ object Media {
     ds.flatMap(r => audioShinglesRate(r.payload, hopsPerSec, winHops)
       .map(sh => AudioShingles(r.id, sh)))(Encoders.product[AudioShingles])
 
+  /** CONTENT-DEFINED audio chunks over a 16-bit PCM WAV — the
+    * arbitrary-trim upgrade of [[audioShingles64]], whose fixed window
+    * GRID makes it robust only to hop-multiple cuts (a 37-sample trim
+    * shifts every window off-grid and scrambles the contour; the
+    * documented alignment trade). Here boundaries come from the CONTENT:
+    * a Rabin-style rolling polynomial hash over the last `w` samples
+    * (r = Σ u_{i−k}·B^k mod M, u = sample + 32768, maintained
+    * incrementally with the B^w subtraction) cuts a chunk after sample i
+    * whenever r ≡ 0 (mod `divisor`) — the text CDC chunker
+    * (x_chunk_cdc) applied to the sample stream. A cut of ANY length at
+    * either end leaves every interior boundary at the same content
+    * position (the rolling hash sees only the last w samples), so all
+    * interior chunks survive verbatim and
+    * [[TextDedup.containmentPairs]] over the chunk-key sets catches
+    * arbitrarily-trimmed copies; only the head/tail chunks are damaged.
+    * No min/max chunk forcing — a forced cut would make boundaries
+    * depend on the PREVIOUS boundary and break content-locality (the
+    * property the operator exists for); expected chunk length is
+    * `divisor` samples, stated not hidden. NOT volume-robust (keys hash
+    * raw samples — volume robustness stays with the contour families;
+    * each invariance is a separate named operator, by design).
+    *
+    * Chunk key = fingerprint·2^20 + min(len, 2^20−1), fingerprint =
+    * fold (f·B2 + u) mod M over the chunk's samples — all exact integer
+    * arithmetic below 2^62, replayed closed-form by the DuckDB twin
+    * (M = 2^31−1; no wrap, no libm). None when the payload is not
+    * 16-bit PCM or shorter than w samples. */
+  def audioCdcChunks(b: Array[Byte], w: Int = 8, divisor: Int = 32,
+                     base: Long = 1000003L, base2: Long = 1000033L,
+                     mod: Long = 2147483647L): Option[Array[Long]] = {
+    require(w >= 2 && divisor >= 2 && base > 1 && base2 > 1 && mod > 1)
+    wavInfo(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+      dataChunk(b).flatMap { case (off, size) =>
+        val n = size / 2
+        if (n < w) None else {
+          var bw = 1L
+          var k = 0
+          while (k < w) { bw = bw * base % mod; k += 1 }
+          val ring = new Array[Long](w)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var r = 0L
+          var f = 0L
+          var len = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((b(off + 2 * i) & 0xff) | (b(off + 2 * i + 1) << 8)).toShort.toLong
+            val u = s + 32768L
+            val old = ring(i % w)
+            ring(i % w) = u
+            r = if (i < w) (r * base + u) % mod
+                else Math.floorMod(r * base + u - old * bw, mod)
+            f = (f * base2 + u) % mod
+            len += 1
+            if (i >= w - 1 && r % divisor == 0) {
+              out += f * 1048576L + math.min(len, 1048575L)
+              f = 0L; len = 0L
+            }
+            i += 1
+          }
+          if (len > 0) out += f * 1048576L + math.min(len, 1048575L)
+          Some(out.distinct.toArray)
+        }
+      }
+    }
+  }
+
+  /** Dataset form of [[audioCdcChunks]] — feed to
+    * [[TextDedup.containmentPairs]] for arbitrary-trim audio dedup. */
+  def audioCdcChunkSets(ds: Dataset[MediaRecord], w: Int = 8,
+                        divisor: Int = 32): Dataset[AudioShingles] =
+    ds.flatMap(r => audioCdcChunks(r.payload, w, divisor)
+      .map(sh => AudioShingles(r.id, sh)))(Encoders.product[AudioShingles])
+
   /** Exact audio features for one record. `decoded=false` rows (not a
     * parseable PCM WAV) carry −1 format fields and zero sums. */
   final case class AudioFeatures(

@@ -470,6 +470,96 @@ object Multimodal {
       WHERE GREATEST(c_ab, c_ba) >= 0.85
       ORDER BY da, db""")),
 
+    // --------------- ARBITRARY-trim audio dedup (content-defined chunks)
+    // The alignment gap the shingle families document away: their fixed
+    // window GRID survives only hop-multiple cuts. Media.audioCdcChunks
+    // applies the x_chunk_cdc recipe to the SAMPLE stream — a Rabin
+    // rolling hash over the last 8 samples cuts a chunk wherever
+    // r ≡ 0 (mod 32), so boundaries are functions of CONTENT alone and a
+    // trim of ANY length (37 / 13+29 samples here — deliberately not
+    // multiples of anything) damages only the head/tail chunks; interior
+    // chunk keys survive verbatim and containment over the key sets
+    // catches the copies. Fixture: groups of 3 share md5-derived
+    // per-SAMPLE amplitudes (CDC operates at sample level — per-window
+    // fixtures would under-exercise the hash); v1 = front-trim 37,
+    // v2 = front 13 + end 29. The oracle recomputes the rolling hash
+    // closed-form per position (the w-term fold over the sample-list
+    // slice — no recursion needed), re-derives the boundary set, folds
+    // each chunk's fingerprint, and restates containment. All integer
+    // arithmetic below 2^62; chunk-key collisions across groups are
+    // modeled identically by both engines (the x_dedup_video rule).
+    Q("x_dedup_audio_cdc", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          val (off, n) = v match {
+            case 0 => (0, 520)
+            case 1 => (37, 483)
+            case _ => (13, 478)
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = Array.tabulate(n) { i =>
+            val dig = md.digest(s"$base:${i + off}".getBytes("UTF-8"))
+            val h16 = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+            (h16 % 8192 - 4096).toShort
+          }
+          MediaRecord(id, "wav", Media.wavBytes(16000, samples))
+        }
+      graft.operators.TextDedup.containmentPairs(
+        Media.audioCdcChunkSets(recs).toDF(), threshold = 0.8)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v,
+                        CASE doc_id % 3 WHEN 1 THEN 37 WHEN 2 THEN 13
+                             ELSE 0 END AS off,
+                        CASE doc_id % 3 WHEN 1 THEN 483 WHEN 2 THEN 478
+                             ELSE 520 END AS n
+                 FROM documents),
+      idx AS (SELECT doc_id, base, off, unnest(range(0, n)) AS i FROM d),
+      smp AS (SELECT doc_id, i,
+                     (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, 5), k ->
+                          CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                       CAST(off + i AS VARCHAR)), k, 1)) - 1
+                            AS BIGINT))),
+                        (acc, hv) -> acc * 16 + hv) % 8192 - 4096)
+                     + 32768 AS u
+              FROM idx),
+      ull AS (SELECT doc_id, list(u ORDER BY i) AS ul, COUNT(*) AS n
+              FROM smp GROUP BY doc_id),
+      rr AS (SELECT doc_id, i,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                             ul[i - 6 : i + 1]),
+                      (acc, u2) -> (acc * 1000003 + u2) % 2147483647) AS r
+             FROM (SELECT doc_id, ul, unnest(range(7, n)) AS i FROM ull)),
+      bl AS (SELECT doc_id, list(i ORDER BY i) AS bl
+             FROM rr WHERE r % 32 = 0 GROUP BY doc_id),
+      asg AS (SELECT s.doc_id, s.i, s.u,
+                     len(list_filter(COALESCE(b.bl, CAST([] AS BIGINT[])),
+                                     p -> p < s.i)) AS cid
+              FROM smp s LEFT JOIN bl b ON s.doc_id = b.doc_id),
+      ckl AS (SELECT doc_id, cid, list(u ORDER BY i) AS us, COUNT(*) AS ln
+              FROM asg GROUP BY doc_id, cid),
+      ck AS (SELECT doc_id,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT), us),
+                      (acc, u2) -> (acc * 1000033 + u2) % 2147483647)
+                      * 1048576 + LEAST(ln, 1048575) AS key
+             FROM ckl),
+      sets AS (SELECT doc_id, list_distinct(list(key)) AS sh
+               FROM ck GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh) AS c_ab,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh) AS c_ba
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      SELECT da, db, c_ab, c_ba FROM p
+      WHERE GREATEST(c_ab, c_ba) >= 0.8
+      ORDER BY da, db""")),
+
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red
     // channel in a narrow left strip (clamped, not wrapped — v=1/v=2 are

@@ -193,6 +193,45 @@ class MediaSpec extends SparkSpec {
     assert(Media.audioShingles64(wav(0, 64), win = 4, hop = 4).isEmpty)
   }
 
+  test("audioCdcChunks: ARBITRARY trims contained where the window grid provably loses them") {
+    // md5-derived per-SAMPLE amplitudes — CDC anchors at sample level.
+    def amp(i: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(s"cdcfix:$i".getBytes("UTF-8"))
+      (((dig(0) & 0xff) << 8 | (dig(1) & 0xff)) % 8192 - 4096)
+    }
+    def wav(off: Int, n: Int): Array[Byte] =
+      Media.wavBytes(8000, Array.tabulate(n)(i => amp(i + off).toShort))
+    val full = Media.audioCdcChunks(wav(0, 520)).get
+    // a 37-sample front trim is a multiple of NOTHING (w=8, divisor=32):
+    // every interior boundary is content-local, so at most the head chunk
+    // differs — all other trimmed-side keys are in the full set.
+    val trimmed = Media.audioCdcChunks(wav(37, 483)).get
+    val lost = trimmed.toSet -- full.toSet
+    assert(lost.size <= 1, s"non-head chunks changed under trim: $lost")
+    assert(trimmed.toSet.intersect(full.toSet).size >= trimmed.length - 1)
+    assert(full.length >= 8, s"fixture degenerate: ${full.length} chunks")
+    // both-end trim (13 front + 29 back): at most head AND tail damaged.
+    val both = Media.audioCdcChunks(wav(13, 478)).get
+    assert((both.toSet -- full.toSet).size <= 2)
+    // the GRID shingles lose the same copy — the gap CDC exists for.
+    val gridFull = Media.audioShingles64(wav(0, 520), win = 4, hop = 4).get
+    val gridTrim = Media.audioShingles64(wav(37, 483), win = 4, hop = 4).get
+    assert(gridFull.toSet.intersect(gridTrim.toSet).size < gridTrim.length / 4,
+      "fixed-grid shingles unexpectedly survived a non-hop-aligned trim")
+    // a different signal shares nothing; too-short and non-PCM are None.
+    def amp2(i: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(s"cdcother:$i".getBytes("UTF-8"))
+      (((dig(0) & 0xff) << 8 | (dig(1) & 0xff)) % 8192 - 4096)
+    }
+    val other = Media.audioCdcChunks(Media.wavBytes(8000,
+      Array.tabulate(520)(i => amp2(i).toShort))).get
+    assert(full.toSet.intersect(other.toSet).isEmpty)
+    assert(Media.audioCdcChunks(wav(0, 4)).isEmpty)
+    assert(Media.audioCdcChunks(Array.fill[Byte](64)(7)).isEmpty)
+  }
+
   test("audioShinglesRate: resampled copies identical where sample-count windows provably lose them") {
     // window-constant md5-derived amplitudes at two rates: the 16 kHz
     // original holds each amplitude for 4 samples, its exact 2×
