@@ -26,11 +26,17 @@ object AudioIngest {
     * winHops))` selects the RESAMPLE-robust time-normalized grid
     * ([[Media.audioShinglesRate]] — win/hop are then ignored): a re-upload
     * at a different sample rate pairs where the sample-sized grid provably
-    * misses it. The flag rides the state so probes always hash the way the
-    * index was built. */
+    * misses it. `cdc = Some((w, divisor))` selects CONTENT-DEFINED chunk
+    * keys instead ([[Media.audioCdcChunks]]): re-uploads trimmed at
+    * ARBITRARY (non-hop-aligned) offsets pair where any fixed grid
+    * provably misses them. The mode flags ride the state so probes
+    * always hash the way the index was built; at most one may be set
+    * (each names a different invariance — composing them is a different
+    * operator, refused rather than silently approximated). */
   final case class CorpusAudioIndex(shingled: DataFrame, ex: DataFrame,
                                     win: Int, hop: Int, version: Long,
-                                    rateNorm: Option[(Int, Int)] = None)
+                                    rateNorm: Option[(Int, Int)] = None,
+                                    cdc: Option[(Int, Int)] = None)
     extends Gate.Versioned
 
   /** Parse + shingle the corpus once and stage the (id, sh) relation and
@@ -39,27 +45,32 @@ object AudioIngest {
   def buildIndex(corpus: DataFrame, idCol: String, payloadCol: String,
                  win: Int = 1024, hop: Int = 256,
                  version: Long = 0L,
-                 rateNorm: Option[(Int, Int)] = None): CorpusAudioIndex = {
+                 rateNorm: Option[(Int, Int)] = None,
+                 cdc: Option[(Int, Int)] = None): CorpusAudioIndex = {
+    require(rateNorm.isEmpty || cdc.isEmpty,
+      "rateNorm and cdc are distinct invariances — pick one per index")
     val sh = graft.sources.Tables.stage(
-      shingles(corpus, idCol, payloadCol, win, hop, rateNorm))
+      shingles(corpus, idCol, payloadCol, win, hop, rateNorm, cdc))
     CorpusAudioIndex(sh,
       graft.sources.Tables.stage(
         sh.select(col("id"), explode(col("sh")).as("s"))),
-      win, hop, version, rateNorm)
+      win, hop, version, rateNorm, cdc)
   }
 
-  /** (id, sh) contour-shingle relation for an (id, payload) relation;
+  /** (id, sh) shingle/chunk-key relation for an (id, payload) relation;
     * unparseable or too-short recordings drop out (as do, in rate mode,
     * recordings whose sample rate the hop grid cannot align to). */
   def shingles(df: DataFrame, idCol: String, payloadCol: String,
                win: Int, hop: Int,
-               rateNorm: Option[(Int, Int)] = None): DataFrame =
+               rateNorm: Option[(Int, Int)] = None,
+               cdc: Option[(Int, Int)] = None): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
       .flatMap { case (id, payload) =>
-        (rateNorm match {
-          case Some((hps, wh)) => Media.audioShinglesRate(payload, hps, wh)
-          case None            => Media.audioShingles64(payload, win, hop)
+        ((rateNorm, cdc) match {
+          case (Some((hps, wh)), _) => Media.audioShinglesRate(payload, hps, wh)
+          case (_, Some((w, dv)))   => Media.audioCdcChunks(payload, w, dv)
+          case _                    => Media.audioShingles64(payload, win, hop)
         }).map(sh => (id, sh))
       }(Encoders.product[(Long, Array[Long])])
       .toDF("id", "sh")
@@ -75,7 +86,7 @@ object AudioIngest {
             onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.start(stream, state, checkpoint) { (batch, st) =>
       TextDedup.containmentPairsAgainstIndex(
-        shingles(batch, idCol, payloadCol, st.win, st.hop, st.rateNorm),
+        shingles(batch, idCol, payloadCol, st.win, st.hop, st.rateNorm, st.cdc),
         st.shingled, st.ex, threshold)
     }(onBatch)
 }

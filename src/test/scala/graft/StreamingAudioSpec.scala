@@ -157,6 +157,65 @@ class StreamingAudioSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("cdc gate: an arbitrarily-trimmed re-upload is flagged where the grids miss it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // per-SAMPLE md5 amplitudes (CDC anchors at sample level); the
+      // re-upload of recording 3 is front-trimmed by 37 samples — a
+      // multiple of nothing, so every fixed grid loses it.
+      def sAmp(base: Long, i: Int): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = md.digest(s"cdcstream:$base:$i".getBytes("UTF-8"))
+        (((dig(0) & 0xff) << 8 | (dig(1) & 0xff)) % 8192 - 4096)
+      }
+      def sWav(base: Long, off: Int, n: Int): Array[Byte] =
+        Media.wavBytes(8000, Array.tabulate(n)(i => sAmp(base, i + off).toShort))
+      val corpus = (0L until 8L).map(b => (b, sWav(b, 0, 520)))
+        .toDF("rec_id", "payload")
+      val cdcState = new java.util.concurrent.atomic.AtomicReference(
+        AudioIngest.buildIndex(corpus, "rec_id", "payload",
+          cdc = Some((8, 32))))
+      val gridState = new java.util.concurrent.atomic.AtomicReference(
+        AudioIngest.buildIndex(corpus, "rec_id", "payload", win = 4, hop = 4))
+
+      val batch = Seq((700L, sWav(3L, 37, 483)))
+      val schema = StructType(Seq(
+        StructField("rec_id", LongType), StructField("payload", BinaryType)))
+      def run(state: java.util.concurrent.atomic.AtomicReference[AudioIngest.CorpusAudioIndex]): Set[(Long, Long)] = {
+        val ms = MemoryStream[KMsg]
+        val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+        val got = scala.collection.mutable.Set.empty[(Long, Long)]
+        val q = AudioIngest.start(s, state, "value.rec_id", "value.payload",
+          threshold = 0.8) { (pairs, _, _) =>
+          got ++= pairs.select("da", "db").as[(Long, Long)].collect()
+        }
+        val payloads = batch.toDF("rec_id", "payload")
+          .select(to_json(struct(col("rec_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+        q.stop()
+        got.toSet
+      }
+      assert(run(gridState).isEmpty,
+        "the fixed grid must provably lose the 37-sample trim")
+      assert(run(cdcState) == Set((700L, 3L)),
+        "the CDC gate must flag the arbitrarily-trimmed re-upload")
+      // streamed ≡ batch arithmetic at the same threshold.
+      val chFull = Media.audioCdcChunks(sWav(3L, 0, 520)).get.toSet
+      val chTrim = Media.audioCdcChunks(sWav(3L, 37, 483)).get.toSet
+      assert(chTrim.intersect(chFull).size.toDouble / chTrim.size >= 0.8)
+      // the two mode flags refuse to combine (distinct invariances).
+      intercept[IllegalArgumentException] {
+        AudioIngest.buildIndex(corpus, "rec_id", "payload",
+          rateNorm = Some((4000, 1)), cdc = Some((8, 32)))
+      }
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("containmentPairsAgainstIndex: batch broadcasts, corpus never shuffles") {
     val corpusSh = (0 until 40)
       .map(i => (i.toLong, Array.tabulate(10)(j => (i * 100 + j).toLong)))
