@@ -558,7 +558,7 @@ object Multimodal {
             FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
       SELECT da, db, c_ab, c_ba FROM p
       WHERE GREATEST(c_ab, c_ba) >= 0.8
-      ORDER BY da, db""")),
+      ORDER BY da, db"""), headline = true),
 
     // ------------------------------- perceptual image dedup (dHash pairs)
     // Groups of 4 docs share a base gradient; variants perturb the red

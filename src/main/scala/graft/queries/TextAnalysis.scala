@@ -728,7 +728,7 @@ object TextAnalysis {
       ${(0 to 2).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, piece, cost FROM uvt$r")
         .mkString("\nUNION ALL\n")}
-      ORDER BY round, piece""")),
+      ORDER BY round, piece"""), headline = true),
 
     // ------------------------------------- wordpiece vocab TRAINING
     // graft.operators.Subword.trainWordpiece: the learning half of the
