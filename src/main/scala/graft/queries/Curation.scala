@@ -839,6 +839,127 @@ object Curation {
              CAST(((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
                    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8
                AS INT) AS shard
-      FROM documents ORDER BY sort_key, doc_id"""))
+      FROM documents ORDER BY sort_key, doc_id""")),
+
+    // ------------------------------------------- URL canonicalization
+    // graft.operators.Web.withCanonicalUrl/withRegistrableDomain — the
+    // web-crawl curation staples: lowercase scheme+host, drop fragment
+    // and default ports, strip one trailing slash, drop utm_*/tracking
+    // params, SORT the rest, registrable domain via a pinned
+    // multi-suffix set. Pure codegen projection (split_part/substr/
+    // array ops, no UDF, no shuffle). The fixture synthesizes four
+    // messy spellings per id family — v0 (shouting host, :443, trailing
+    // slash, utm_ param) canonicalizes EQUAL to v1's clean form, v2
+    // exercises :80 + fragment + param sorting + the co.uk multi-label
+    // suffix, v3 keeps its NON-default port. The oracle replays every
+    // rule with DuckDB's string/list functions.
+    Q("x_url_canonical", (s, d) => {
+      val urls = fanOut(documents(s, d))
+        .select(col("doc_id"), expr(sparkUrlFixture).as("url"))
+      graft.operators.Web.withRegistrableDomain(
+        graft.operators.Web.withCanonicalUrl(urls, "url", "canonical"),
+        "canonical_host", "domain")
+        .select(col("doc_id"), col("canonical"), col("domain"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $duckUrlCtes
+      SELECT doc_id, canonical, domain FROM dom ORDER BY doc_id""")),
+
+    // ------------------------------------------- per-domain document cap
+    // No single site may dominate a training mix: canonicalize → extract
+    // the registrable domain → keep the `cap` smallest id-hashes per
+    // domain (Web.capPerDomain = the deterministic window-free
+    // stratifiedSample min-k; map-side k-heaps, one shuffle of k-row
+    // buffers per domain). The oracle's ROW_NUMBER is the spec, not the
+    // plan (the x_mix_manifest discipline).
+    Q("x_domain_cap", (s, d) => {
+      val urls = fanOut(documents(s, d))
+        .select(col("doc_id"), expr(sparkUrlFixture).as("url"))
+      graft.operators.Web.capPerDomain(urls, "url", "doc_id", cap = 10)
+        .orderBy(col("domain"), col("doc_id"))
+    }, Some(s"""
+      WITH $duckUrlCtes,
+      r AS (SELECT domain, doc_id,
+                   row_number() OVER (PARTITION BY domain
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM dom)
+      SELECT domain, doc_id FROM r WHERE rk <= 10
+      ORDER BY domain, doc_id"""))
   )
+
+  /** The messy-URL fixture: four spellings per id family (see
+    * x_url_canonical's comment). Spark SQL expression over doc_id. */
+  private def sparkUrlFixture: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN concat('https://WWW.Site', CAST((doc_id div 4) % 7 AS STRING),
+      |    '.COM:443/Articles/item', CAST(doc_id div 4 AS STRING),
+      |    '/?id=', CAST(doc_id div 4 AS STRING), '&utm_source=feed')
+      |  WHEN 1 THEN concat('https://www.site', CAST((doc_id div 4) % 7 AS STRING),
+      |    '.com/Articles/item', CAST(doc_id div 4 AS STRING),
+      |    '?id=', CAST(doc_id div 4 AS STRING))
+      |  WHEN 2 THEN concat('http://news.Example.CO.UK:80/x',
+      |    CAST(doc_id div 4 AS STRING), '?b=2&a=1&fbclid=zz#frag')
+      |  ELSE concat('http://site', CAST((doc_id div 4) % 7 AS STRING),
+      |    '.com:8080/p?a=', CAST(doc_id div 4 AS STRING))
+      |END""".stripMargin
+
+  /** DuckDB twin of the fixture + the full canonicalization chain,
+    * ending in `dom(doc_id, canonical, domain)`. Chained CTEs replay
+    * each pinned rule of [[graft.operators.Web.withCanonicalUrl]] /
+    * [[graft.operators.Web.withRegistrableDomain]] 1:1. */
+  private def duckUrlCtes: String =
+    """u AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'https://WWW.Site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.COM:443/Articles/item' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=feed'
+      |    WHEN 1 THEN 'https://www.site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.com/Articles/item' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+      |    WHEN 2 THEN 'http://news.Example.CO.UK:80/x'
+      |      || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1&fbclid=zz#frag'
+      |    ELSE 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.com:8080/p?a=' || CAST(doc_id // 4 AS VARCHAR)
+      |  END AS url FROM documents),
+      |s1 AS (SELECT doc_id, url, lower(split_part(url, '://', 1)) AS scheme,
+      |              substr(url, length(split_part(url, '://', 1)) + 4) AS rest
+      |       FROM u),
+      |s2 AS (SELECT *, split_part(rest, '#', 1) AS nofrag FROM s1),
+      |s3 AS (SELECT *, split_part(split_part(nofrag, '?', 1), '/', 1) AS hostport
+      |       FROM s2),
+      |s4 AS (SELECT *,
+      |         CASE WHEN scheme = 'http' AND lower(hostport) LIKE '%:80'
+      |                THEN substr(lower(hostport), 1, length(hostport) - 3)
+      |              WHEN scheme = 'https' AND lower(hostport) LIKE '%:443'
+      |                THEN substr(lower(hostport), 1, length(hostport) - 4)
+      |              ELSE lower(hostport) END AS host,
+      |         substr(nofrag, length(hostport) + 1) AS pq
+      |       FROM s3),
+      |s5 AS (SELECT *, split_part(pq, '?', 1) AS path0,
+      |         CASE WHEN strpos(pq, '?') > 0 THEN split_part(pq, '?', 2)
+      |              ELSE '' END AS rawq
+      |       FROM s4),
+      |s6 AS (SELECT *,
+      |         CASE WHEN path0 LIKE '%/'
+      |                THEN substr(path0, 1, length(path0) - 1)
+      |              ELSE path0 END AS path,
+      |         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |           p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |                AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))),
+      |           '&') AS q
+      |       FROM s5),
+      |s7 AS (SELECT doc_id, host,
+      |         scheme || '://' || host || path ||
+      |           CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+      |       FROM s6),
+      |s8 AS (SELECT doc_id, canonical, split_part(host, ':', 1) AS hh,
+      |              string_split(split_part(host, ':', 1), '.') AS ls
+      |       FROM s7),
+      |dom AS (SELECT doc_id, canonical,
+      |          CASE WHEN len(ls) <= 2 THEN hh
+      |               WHEN ls[len(ls) - 1] || '.' || ls[len(ls)]
+      |                    IN ('co.uk', 'org.uk', 'ac.uk', 'co.jp', 'com.au', 'com.br')
+      |                 THEN ls[len(ls) - 2] || '.' || ls[len(ls) - 1] || '.' || ls[len(ls)]
+      |               ELSE ls[len(ls) - 1] || '.' || ls[len(ls)] END AS domain
+      |        FROM s8)""".stripMargin
 }
