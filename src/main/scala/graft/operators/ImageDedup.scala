@@ -145,6 +145,78 @@ object ImageDedup {
     TextDedup.containmentPairs(dhashShingles(ds, tileW, tileH, hop).toDF(),
       threshold)
 
+  /** CONTENT-DEFINED image keypoints — the ARBITRARY-offset upgrade of
+    * [[dhashShingles]], whose hop-aligned tile grid is the image half of
+    * the alignment trade the audio CDC chunker closed
+    * ([[Media.audioCdcChunks]]): a crop by non-hop offsets shifts every
+    * tile window and scrambles every tile hash. Keypoints are functions
+    * of CONTENT alone: a pixel anchors where its gray (red channel — the
+    * fixtures are gray; a production deployment picks its one channel or
+    * luma ONCE, it only has to be the same on both sides) is a STRICT
+    * local maximum of its 3×3 neighborhood AND ≡ 0 mod `divisor` (the
+    * CDC-style density control); the descriptor is the polynomial fold
+    * of the 5×5 patch around the anchor (row-major, mod 2^31−1 — the
+    * audio chunker's constants). A crop of ANY offset preserves every
+    * anchor whose patch lies inside the cropped window — max test, mod
+    * test, and patch are all content-local — so interior keypoints
+    * survive verbatim and containment over the key sets flags the pair
+    * (from the cropped side, containment is exactly 1.0: every cropped
+    * anchor is an original anchor). The simplified-SIFT idea restated
+    * in exact integers. NOT luma-shift or resize robust (the dHash
+    * families own those) — one invariance per named operator.
+    * None when undecodable or smaller than 5×5. */
+  def keypointHashes(b: Array[Byte], divisor: Int = 4,
+                     base: Long = 1000003L,
+                     mod: Long = 2147483647L): Option[Array[Long]] =
+    Media.decodePixels(b).filter(p => p.width >= 5 && p.height >= 5).map { p =>
+      val w = p.width
+      val h = p.height
+      val g = Array.tabulate(w * h)(i => (p.argb(i) >> 16) & 0xff)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var y = 2
+      while (y < h - 2) {
+        var x = 2
+        while (x < w - 2) {
+          val c = g(y * w + x)
+          if (c % divisor == 0 &&
+              c > g((y - 1) * w + x - 1) && c > g((y - 1) * w + x) &&
+              c > g((y - 1) * w + x + 1) && c > g(y * w + x - 1) &&
+              c > g(y * w + x + 1) && c > g((y + 1) * w + x - 1) &&
+              c > g((y + 1) * w + x) && c > g((y + 1) * w + x + 1)) {
+            var hs = 0L
+            var dy = -2
+            while (dy <= 2) {
+              var dx = -2
+              while (dx <= 2) {
+                hs = (hs * base + g((y + dy) * w + x + dx)) % mod
+                dx += 1
+              }
+              dy += 1
+            }
+            out += hs
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out.distinct.toArray
+    }
+
+  /** (id, keypoint-key set) rows for decodable records. */
+  final case class Keypoints(id: Long, sh: Array[Long])
+
+  /** Dataset form of [[keypointHashes]] — feed to
+    * [[TextDedup.containmentPairs]] for arbitrary-crop image dedup. */
+  def keypointSets(ds: Dataset[MediaRecord],
+                   divisor: Int = 4): Dataset[Keypoints] =
+    ds.flatMap(r => keypointHashes(r.payload, divisor)
+      .map(k => Keypoints(r.id, k)))(Encoders.product[Keypoints])
+
+  /** End-to-end arbitrary-crop pairs: keypoints → set containment. */
+  def keypointPairs(ds: Dataset[MediaRecord], threshold: Double,
+                    divisor: Int = 4): DataFrame =
+    TextDedup.containmentPairs(keypointSets(ds, divisor).toDF(), threshold)
+
   /** Rotate a decoded pixel grid 90° clockwise (the old left column
     * becomes the new top row; dims swap). */
   private def rot90(p: Media.Pixels): Media.Pixels = {

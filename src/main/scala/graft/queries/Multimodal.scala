@@ -716,6 +716,99 @@ object Multimodal {
       WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
       ORDER BY da, db""")),
 
+    // ---------- ARBITRARY-offset crop dedup (content-defined keypoints)
+    // x_dedup_image_crop's tile grid survives only hop-multiple crops —
+    // the image half of the alignment gap the audio CDC chunker closed.
+    // ImageDedup.keypointHashes anchors on CONTENT: a pixel is a keypoint
+    // where its gray is a strict 3×3 local max AND ≡ 0 mod 4 (the CDC
+    // density control); the key is the 5×5 patch's polynomial fold mod
+    // 2^31−1. Max test, mod test, and patch are all content-local, so a
+    // crop/pad of ANY offset preserves every interior keypoint verbatim
+    // and containment flags the pair (cropped side containment = 1.0
+    // exactly). Groups of 3 share per-PIXEL md5-derived grays (PNG
+    // lossless ⇒ exact): v1 = crop at offsets (3, 2) — deliberately not
+    // multiples of the tile hop — v2 = pad with fresh content at offsets
+    // (3, 1). The oracle rebuilds each image's gray list closed-form and
+    // replays the max test + fold per interior position (the CDC-oracle
+    // list-slice style — no joins, no recursion). Cross-group key
+    // collisions are modeled identically by both engines.
+    Q("x_dedup_image_keypoint", (s, d) => {
+      import s.implicits._
+      val recs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          val v = (id % 3).toInt
+          def cell(tag: String, cx: Int, cy: Int): Int = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.digest(s"$tag:$base:$cx:$cy".getBytes("US-ASCII"))(0) & 0xff
+          }
+          val (w, h) = v match {
+            case 0 => (28, 24); case 1 => (23, 21); case _ => (31, 25)
+          }
+          MediaRecord(id, "png", Media.encodePng(w, h, (x, y) => {
+            val g =
+              if (v == 1) cell("i", x + 3, y + 2)
+              else if (v == 2 && (x < 3 || y < 1)) cell("p", x, y)
+              else if (v == 2) cell("i", x - 3, y - 1)
+              else cell("i", x, y)
+            (g << 16) | (g << 8) | g
+          }))
+        }
+      graft.operators.ImageDedup.keypointPairs(recs, threshold = 0.9)
+        .orderBy(col("da"), col("db"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v,
+                        CASE doc_id % 3 WHEN 1 THEN 23 WHEN 2 THEN 31
+                             ELSE 28 END AS w,
+                        CASE doc_id % 3 WHEN 1 THEN 21 WHEN 2 THEN 25
+                             ELSE 24 END AS h
+                 FROM documents),
+      px AS (SELECT doc_id, base, v, w, h, unnest(range(0, w * h)) AS i FROM d),
+      pc AS (SELECT doc_id, base, v, w, h, i, i % w AS x, i // w AS y FROM px),
+      pt AS (SELECT doc_id, base, w, h, i,
+               CASE WHEN v = 2 AND (x < 3 OR y < 1) THEN 'p' ELSE 'i' END AS tag,
+               CASE WHEN v = 1 THEN x + 3
+                    WHEN v = 2 AND NOT (x < 3 OR y < 1) THEN x - 3
+                    ELSE x END AS ox,
+               CASE WHEN v = 1 THEN y + 2
+                    WHEN v = 2 AND NOT (x < 3 OR y < 1) THEN y - 1
+                    ELSE y END AS oy
+             FROM pc),
+      ph AS (SELECT doc_id, w, h, i,
+               md5(tag || ':' || CAST(base AS VARCHAR) || ':' ||
+                   CAST(ox AS VARCHAR) || ':' || CAST(oy AS VARCHAR)) AS m
+             FROM pt),
+      pg AS (SELECT doc_id, w, h, i,
+               (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) AS g
+             FROM ph),
+      gl AS (SELECT doc_id, w, h, list(g ORDER BY i) AS gl
+             FROM pg GROUP BY doc_id, w, h),
+      xs AS (SELECT doc_id, w, h, gl, unnest(range(2, w - 2)) AS x FROM gl),
+      ys AS (SELECT doc_id, w, gl, x, unnest(range(2, h - 2)) AS y FROM xs),
+      kp AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 25), k ->
+                   CAST(gl[(y + k // 5 - 2) * w + x + k % 5 - 2 + 1]
+                        AS BIGINT))),
+                 (acc, gv) -> (acc * 1000003 + gv) % 2147483647) AS key
+             FROM ys
+             WHERE gl[y * w + x + 1] % 4 = 0
+               AND gl[y * w + x + 1] > list_max(list_transform(
+                     [[-1,-1],[-1,0],[-1,1],[0,-1],[0,1],[1,-1],[1,0],[1,1]],
+                     o -> gl[(y + o[1]) * w + x + o[2] + 1]))),
+      sets AS (SELECT doc_id, list_distinct(list(key)) AS sh
+               FROM kp GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh) AS c_ab,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh) AS c_ba
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      SELECT da, db, c_ab, c_ba FROM p
+      WHERE GREATEST(c_ab, c_ba) >= 0.9
+      ORDER BY da, db""")),
+
     // --------------------------------- VIDEO dedup (exact frame overlap)
     // Re-containerized copies and trimmed cuts of a video share
     // byte-identical FRAMES even though the container bytes differ

@@ -129,6 +129,65 @@ class ImageDedupSpec extends SparkSpec {
       "pad must contain every original tile")
   }
 
+  // ---- arbitrary-offset crop robustness (x_dedup_image_keypoint's
+  // construction): per-pixel md5-derived grays; v1 = crop at offsets
+  // (3, 2) — deliberately NOT multiples of the tile hop — v2 = pad with
+  // fresh content at offsets (3, 1).
+  private def kpPng(base: Long, v: Int): Array[Byte] = {
+    def cell(tag: String, cx: Int, cy: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$tag:$base:$cx:$cy".getBytes("US-ASCII"))(0) & 0xff
+    }
+    val (w, h) = v match {
+      case 0 => (48, 40); case 1 => (43, 37); case _ => (51, 41)
+    }
+    Media.encodePng(w, h, (x, y) => {
+      val g =
+        if (v == 1) cell("i", x + 3, y + 2)
+        else if (v == 2 && (x < 3 || y < 1)) cell("p", x, y)
+        else if (v == 2) cell("i", x - 3, y - 1)
+        else cell("i", x, y)
+      (g << 16) | (g << 8) | g
+    })
+  }
+
+  test("keypoints: ARBITRARY-offset crops caught where tile shingles provably lose them") {
+    val recs = spark.createDataset(for {
+      base <- 0L until 12L; v <- 0 until 3
+    } yield MediaRecord(base * 3 + v, "png", kpPng(base, v)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+
+    // hop-aligned tile shingles: the (3, 2) offset shifts every tile
+    // window — no within-group pair survives at the shipped threshold.
+    val tiles = ImageDedup.shinglePairs(recs, threshold = 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiles.forall { case (a, b) => a / 3 != b / 3 },
+      s"tile shingles unexpectedly caught an arbitrary-offset crop: $tiles")
+
+    // content-defined keypoints: every within-group pair flagged, no
+    // cross-group noise (a cross pair would need 90% descriptor
+    // collisions over md5-derived pixels).
+    val got = ImageDedup.keypointPairs(recs, threshold = 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 12L).flatMap(b =>
+      Seq((b * 3, b * 3 + 1), (b * 3, b * 3 + 2), (b * 3 + 1, b * 3 + 2))).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+
+    // key-set structure: interior keypoints survive BOTH transforms
+    // verbatim (crop ⊆ original ⊆ pad) — the content-locality claim.
+    val sets = ImageDedup.keypointSets(recs).collect()
+      .map(r => r.id -> r.sh.toSet).toMap
+    assert(sets(1L).nonEmpty && sets(1L).subsetOf(sets(0L)),
+      "cropped keypoints must be a subset of the original's")
+    assert(sets(0L).subsetOf(sets(2L)),
+      "pad must preserve every original keypoint")
+
+    // contract edges: undecodable and sub-5×5 payloads refuse cleanly.
+    assert(ImageDedup.keypointHashes(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageDedup.keypointHashes(
+      Media.encodePng(4, 4, (_, _) => 0x808080)).isEmpty)
+  }
+
   // ---- rotation/flip robustness (x_dedup_image_rot's construction):
   // 32×32 gray squares of 4×4-px coarse-random blocks; `map` re-frames
   // the payload's pixel lookup so rotated/mirrored COPIES are encoded as
