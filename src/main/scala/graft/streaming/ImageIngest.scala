@@ -70,6 +70,61 @@ object ImageIngest {
         dhashes(batch, idCol, payloadCol, st.canonical), st.banded, st.maxHamming)
     }(onBatch)
 
+  /** One corpus version's staged KEYPOINT index — the ARBITRARY-offset
+    * crop/pad-robust image gate ([[ImageDedup.keypointHashes]] +
+    * [[graft.operators.TextDedup.containmentPairsAgainstIndex]]), the
+    * image twin of [[AudioIngest]]'s cdc mode: content-defined anchors
+    * survive crops at ANY offset, where the whole-image dHash gate and
+    * the hop-aligned tile-shingle grid provably lose them
+    * (`StreamingImageSpec`). A separate state type rather than a flag on
+    * [[CorpusImageIndex]]: the index SHAPE differs (a containment set
+    * relation + exploded index, not a banded hash), and `divisor` rides
+    * the state so probes always anchor the way the index was built. */
+  final case class CorpusKeypointIndex(shingled: DataFrame, ex: DataFrame,
+                                       divisor: Int, version: Long)
+    extends Gate.Versioned
+
+  /** Decode + keypoint the corpus once and stage the (id, sh) relation
+    * and its exploded (id, s) index — payloads never shuffle and are
+    * never touched again. */
+  def buildKeypointIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+                         divisor: Int = 4,
+                         version: Long = 0L): CorpusKeypointIndex = {
+    val sh = graft.sources.Tables.stage(
+      keypoints(corpus, idCol, payloadCol, divisor))
+    CorpusKeypointIndex(sh,
+      graft.sources.Tables.stage(
+        sh.select(col("id"), explode(col("sh")).as("s"))),
+      divisor, version)
+  }
+
+  /** (id, sh) keypoint-key relation for an (id, payload) relation;
+    * undecodable or sub-5×5 images drop out. */
+  def keypoints(df: DataFrame, idCol: String, payloadCol: String,
+                divisor: Int): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .flatMap { case (id, payload) =>
+        ImageDedup.keypointHashes(payload, divisor).map(k => (id, k))
+      }(Encoders.product[(Long, Array[Long])])
+      .toDF("id", "sh")
+
+  /** Start the keypoint containment gate (family loop contract as
+    * [[start]]): each micro-batch's images are decoded, anchored with the
+    * INDEX's divisor, and probed by set containment; `onBatch` receives
+    * (da = batch id, db = corpus id, c_ab, c_ba) pairs plus
+    * (corpusVersion, batchId). */
+  def startKeypointGate(stream: Stream,
+                        state: AtomicReference[CorpusKeypointIndex],
+                        idCol: String, payloadCol: String, threshold: Double,
+                        checkpoint: Option[String] = None)(
+                        onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      graft.operators.TextDedup.containmentPairsAgainstIndex(
+        keypoints(batch, idCol, payloadCol, st.divisor),
+        st.shingled, st.ex, threshold)
+    }(onBatch)
+
   /** SELF-GROWING image index state: the staged banded-fingerprint
     * directory fold appends go to. Requires parquet staging mode
     * (`graft.stage.dir`) — same contract as the text and ANN growing

@@ -147,6 +147,75 @@ class StreamingImageSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("keypoint gate: an ARBITRARY-offset cropped re-upload is flagged where the dHash gate misses it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // per-pixel md5 grays; the re-upload of image 3 is cropped at
+      // offsets (3, 2) — a multiple of nothing, so both the whole-image
+      // grid and any hop-aligned tiling lose it.
+      def g(base: Long, x: Int, y: Int): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"kpstream:$base:$x:$y".getBytes("US-ASCII"))(0) & 0xff
+      }
+      def png(base: Long, ox: Int, oy: Int, w: Int, h: Int): Array[Byte] =
+        Media.encodePng(w, h, (x, y) => {
+          val v = g(base, x + ox, y + oy); (v << 16) | (v << 8) | v
+        })
+      val corpus = (0L until 8L).map(b => (b, png(b, 0, 0, 48, 40)))
+        .toDF("img_id", "payload")
+      val kpState = new java.util.concurrent.atomic.AtomicReference(
+        ImageIngest.buildKeypointIndex(corpus, "img_id", "payload"))
+      val dhState = new java.util.concurrent.atomic.AtomicReference(
+        ImageIngest.buildIndex(corpus, "img_id", "payload", maxHamming = 7))
+
+      val batch = Seq((700L, png(3L, 3, 2, 43, 37)))
+      val schema = StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType)))
+      val payloads = batch.toDF("img_id", "payload")
+        .select(to_json(struct(col("img_id"), col("payload"))).as("j"))
+        .as[String].collect()
+      def send(ms: MemoryStream[KMsg], q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+        q.stop()
+      }
+
+      // dHash gate: the (3, 2) offset re-frames the 9×8 grid — lost.
+      val dhGot = scala.collection.mutable.Set.empty[(Long, Long)]
+      val ms1 = MemoryStream[KMsg]
+      val q1 = ImageIngest.start(Stream.fromKafkaShaped(spark, ms1.toDF(), schema),
+        dhState, "value.img_id", "value.payload") { (pairs, _, _) =>
+        dhGot ++= pairs.select("da", "db").as[(Long, Long)].collect()
+      }
+      send(ms1, q1)
+      assert(dhGot.isEmpty,
+        s"the dHash gate must provably lose the arbitrary-offset crop: $dhGot")
+
+      // keypoint gate: interior anchors survive the crop verbatim —
+      // flagged, with containment exactly 1.0 from the cropped side.
+      val kpGot = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+      val ms2 = MemoryStream[KMsg]
+      val q2 = ImageIngest.startKeypointGate(
+        Stream.fromKafkaShaped(spark, ms2.toDF(), schema),
+        kpState, "value.img_id", "value.payload", threshold = 0.9) {
+        (pairs, _, _) =>
+          kpGot ++= pairs.select("da", "db", "c_ab").as[(Long, Long, Double)].collect()
+      }
+      send(ms2, q2)
+      assert(kpGot == Set((700L, 3L, 1.0)),
+        s"the keypoint gate must flag the crop at containment 1.0: $kpGot")
+
+      // streamed ≡ batch arithmetic: the gate's key sets ARE the batch
+      // operator's (subset structure checked on the driver).
+      val kFull = graft.operators.ImageDedup.keypointHashes(png(3L, 0, 0, 48, 40)).get.toSet
+      val kCrop = graft.operators.ImageDedup.keypointHashes(png(3L, 3, 2, 43, 37)).get.toSet
+      assert(kCrop.nonEmpty && kCrop.subsetOf(kFull))
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("dhashPairsAgainstIndex: batch broadcasts, corpus side never shuffles") {
     val hashes = (0 until 50).map(i => (i.toLong, i.toLong * 1234567L)).toDF("id", "h")
     val idx = graft.operators.ImageDedup.bandedKeys(hashes, maxHamming = 7)
