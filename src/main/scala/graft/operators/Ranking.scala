@@ -519,6 +519,111 @@ object Ranking {
     classifyAgainstWeights(rel, classifierWeights(rel, scale))
   }
 
+  // --------------------------------------------- n-gram LM quality scores
+
+  /** Per-document (doc_id, ng, tf) BIGRAM frequencies —
+    * [[termFrequencies]]' map-side run-length trick applied to the bigram
+    * array (the [[collocations]] gram extraction, keeping doc_id): one
+    * sorted array + gap counts per document, no per-occurrence explode
+    * through a shuffle. Documents with null text or fewer than 2 tokens
+    * emit nothing (no bigram exists to score). UNSTAGED so streaming
+    * callers can project micro-batches without a staging write —
+    * [[lmQualityScores]] stages it once for the batch path. */
+  def bigramFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
+      .filter(expr("size(__toks) >= 2"))
+      .withColumn("__bg", expr(
+        """array_sort(transform(sequence(1, size(__toks) - 1),
+          |  i -> concat_ws(' ', slice(__toks, i, 2))))""".stripMargin))
+      .withColumn("__e", expr(runEndsSql("__bg")))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(expr(
+          """transform(__e, (e, j) ->
+            |  named_struct('ng', element_at(__bg, e),
+            |               'tf', CAST(e - if(j = 0, 0, element_at(__e, j)) AS BIGINT)))""".stripMargin))
+          .as("__t"))
+      .select(col("doc_id"), col("__t.ng").as("ng"), col("__t.tf").as("tf"))
+
+  /** Train a bigram language model from a [[bigramFrequencies]] relation:
+    * (lm, ctx, total) where lm = (ng, cnt) global bigram counts,
+    * ctx = (prev, ctx) context counts (Σ over bigrams sharing the first
+    * token — exactly the number of positions where `prev` is followed by
+    * anything, derived from the SAME relation: no second corpus scan),
+    * and total = the one-row Σ cnt. All three are slices/rollups of the
+    * caller's (ideally staged) tf relation — the [[tfidfTopK]] no-rescan
+    * discipline. */
+  def ngramLm(tf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val lm = tf.groupBy(col("ng")).agg(sum(col("tf")).cast("long").as("cnt"))
+    val cx = lm.withColumn("prev", expr("split(ng, ' ')[0]"))
+      .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx"))
+    val tot = lm.agg(sum(col("cnt")).cast("long").as("total"))
+    (lm, cx, tot)
+  }
+
+  /** Score a (doc_id, ng, tf) relation against a FROZEN bigram LM — the
+    * CCNet/Gopher LM-perplexity quality filter restated in exact
+    * integers. Per bigram occurrence the surprisal surrogate is
+    *
+    *   bits(ctx(prev)) − bits(cnt(ng)),   bits(n) = length(bin(n)) = ⌊log2 n⌋+1
+    *
+    * — the integer-⌊log2⌋ stand-in for −log2 p(cur|prev) this repo's
+    * unigram trainer already uses (no ln/exp: libm is not bit-portable;
+    * the surrogate is within 1 bit of the real log and MONOTONE in the
+    * probability's binary magnitude, which is what a keep-threshold
+    * consumes). A bigram the LM never saw costs bits(total) + 1 — the
+    * below-every-seen-count floor — so streamed batches with novel text
+    * score deterministically (never NULL, never free). Per document:
+    * cost_bits = Σ tf·surprisal, n_bigrams = Σ tf, bits_per_gram = ONE
+    * double division of the two exact longs. LOW bits_per_gram =
+    * predictable/fluent under the LM; HIGH = gibberish (the filter
+    * direction CCNet keeps the low-perplexity side of).
+    *
+    * The LM relations broadcast (`broadcastVocab` — same
+    * vocabulary-fits-an-executor contract and opt-out as [[tfidfTopK]]);
+    * one per-doc shuffle. Overflow headroom: cost ≤ 64·n_tokens ≪ 2^63
+    * at any corpus size. */
+  def scoreAgainstLm(tfRel: DataFrame, lm: DataFrame, cx: DataFrame,
+                     tot: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+    val bcast = (d: DataFrame) => if (broadcastVocab) broadcast(d) else d
+    tfRel.withColumn("prev", expr("split(ng, ' ')[0]"))
+      .join(bcast(lm), Seq("ng"), "left")
+      .join(bcast(cx), Seq("prev"), "left")
+      .join(broadcast(tot))
+      .withColumn("__c", expr(
+        """tf * CAST(if(cnt IS NULL, length(bin(total)) + 1,
+          |              length(bin(ctx)) - length(bin(cnt))) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).cast("long").as("cost_bits"),
+        sum(col("tf")).cast("long").as("n_bigrams"))
+      .select(col("doc_id"), col("cost_bits"), col("n_bigrams"),
+        expr("CAST(cost_bits AS DOUBLE) / n_bigrams").as("bits_per_gram"))
+  }
+
+  /** Self-trained LM quality scores for a corpus (train on the corpus,
+    * score every document against it — the unsupervised half of the
+    * quality-filter family beside [[qualityClassifier]]'s supervised
+    * gate): the bigram projection stages ONCE and feeds both the LM
+    * rollups and the scoring join. One corpus scan. Output: (doc_id,
+    * cost_bits, n_bigrams, bits_per_gram), one row per document with
+    * ≥ 2 tokens.
+    *
+    * Self-training caveat (stated, not hidden): a SINGLETON context is
+    * perfectly predictive under its own LM (ctx = cnt = 1 ⇒ 0 bits), so
+    * a document of globally-unique tokens scores LOW here — the
+    * discriminative deployment is CCNet's: train on a curated reference,
+    * score candidates via [[scoreAgainstLm]], where unseen text pays the
+    * OOV floor (the x_quality_lm_incremental shape). The self-trained
+    * form measures within-corpus typicality of FREQUENT contexts'
+    * continuations. */
+  def lmQualityScores(docs: DataFrame, idCol: String, textCol: String,
+                      broadcastVocab: Boolean = true): DataFrame = {
+    val tf = stage(bigramFrequencies(docs, idCol, textCol))
+    val (lm, cx, tot) = ngramLm(tf)
+    scoreAgainstLm(tf, lm, cx, tot, broadcastVocab)
+  }
+
   /** EXACT global heavy hitters over a (token, tf) relation — every token
     * whose total tf is ≥ `threshold`, with its exact count — pruned by a
     * count–min sketch so the groupBy shuffle carries only CANDIDATE

@@ -326,6 +326,100 @@ object Quality {
              LEFT JOIN m3 ON t.doc_id = m3.doc_id
       ORDER BY t.doc_id""")),
 
+    // ------------------------------- n-gram LM quality scores (perplexity)
+    // The CCNet/Gopher LM-perplexity filter restated in exact integers
+    // (graft.operators.Ranking.lmQualityScores): a bigram LM trained on
+    // the corpus itself, each document scored by its average per-bigram
+    // surprisal surrogate bits(ctx(prev)) − bits(cnt(ng)) — the
+    // integer-⌊log2⌋ of 1/p(cur|prev) (no ln/exp: libm is not
+    // bit-portable; the ⌊log2⌋ is within 1 bit and monotone, which is
+    // what a keep-threshold consumes). LOW bits_per_gram = fluent under
+    // the corpus LM, HIGH = gibberish. Plan: the map-side bigram tf
+    // projection stages ONCE and feeds the LM rollups (vocab-sized,
+    // broadcast back) and the scoring join — one corpus scan, one
+    // per-doc shuffle. Docs with < 2 tokens drop (nothing to score).
+    Q("x_quality_lm", (s, d) => {
+      graft.operators.Ranking.lmQualityScores(fanOut(documents(s, d)),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+                 WHERE text IS NOT NULL),
+      bo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS ng
+             FROM t WHERE len(toks) >= 2),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
+             GROUP BY tf.doc_id)
+      SELECT doc_id, cost_bits, n_bigrams,
+             CAST(cost_bits AS DOUBLE) / n_bigrams AS bits_per_gram
+      FROM sc ORDER BY doc_id""")),
+
+    // ----------------------- LM scoring, reference → candidates (gate twin)
+    // The DISCRIMINATIVE deployment (CCNet's): the LM trains on a curated
+    // reference (doc_id % 10 <> 0), candidates (doc_id % 10 = 0) score
+    // against the FROZEN model — a bigram the reference never saw pays
+    // the OOV floor bits(total) + 1, so novel/gibberish text scores HIGH
+    // where the self-trained form's singleton-context caveat would let
+    // it through. Candidate bigrams project UNSTAGED (the streaming
+    // contract — micro-batches must score without a staging write);
+    // streamed batches through a future LM gate would emit exactly these
+    // rows.
+    Q("x_quality_lm_incremental", (s, d) => {
+      import graft.operators.Ranking
+      val docs = fanOut(documents(s, d))
+      val tf = stage(Ranking.bigramFrequencies(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"))
+      val (lm, cx, tot) = Ranking.ngramLm(tf)
+      Ranking.scoreAgainstLm(
+        Ranking.bigramFrequencies(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"),
+        lm, cx, tot)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+                 WHERE text IS NOT NULL),
+      rb AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS ng
+             FROM t WHERE len(toks) >= 2 AND doc_id % 10 <> 0),
+      tfr AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM rb GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tfr GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
+      cb AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS ng
+             FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0),
+      tfc AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM cb GROUP BY doc_id, ng),
+      sc AS (SELECT tfc.doc_id,
+                    CAST(SUM(tfc.tf *
+                      (CASE WHEN lm.cnt IS NULL THEN length(bin(tot.total)) + 1
+                            ELSE length(bin(cx.ctx)) - length(bin(lm.cnt))
+                       END)) AS BIGINT) AS cost_bits,
+                    CAST(SUM(tfc.tf) AS BIGINT) AS n_bigrams
+             FROM tfc
+             LEFT JOIN lm ON tfc.ng = lm.ng
+             LEFT JOIN cx ON string_split(tfc.ng, ' ')[1] = cx.prev
+             CROSS JOIN tot
+             GROUP BY tfc.doc_id)
+      SELECT doc_id, cost_bits, n_bigrams,
+             CAST(cost_bits AS DOUBLE) / n_bigrams AS bits_per_gram
+      FROM sc ORDER BY doc_id""")),
+
     // -------------------------- incremental quantile threshold (gate twin)
     // graft.streaming.QuantileIngest's batch-expressible core, oracle-
     // pinned like the other *_incremental gate queries: the corpus

@@ -92,4 +92,50 @@ object ScoreIngest {
         Ranking.classifierRelation(docs, "doc_id", "text", lit(false), st.hexDigits),
         st.weights)
     }(onBatch)
+
+  /** One corpus version's staged bigram LANGUAGE MODEL: the (ng, cnt)
+    * model, (prev, ctx) context counts, and one-row total — ALL staged
+    * (the corpus-scan lineage truncation the other two modes rely on;
+    * cx/tot additionally stage so no per-batch broadcast re-runs a
+    * vocabulary rollup). */
+  final case class CorpusLm(lm: DataFrame, cx: DataFrame, tot: DataFrame,
+                            version: Long) extends Gate.Versioned
+
+  /** Train and stage the bigram LM ONCE (per corpus version) from the
+    * curated reference corpus — the CCNet deployment shape
+    * ([[Ranking.scoreAgainstLm]]'s discriminative half): candidates pay
+    * the OOV floor for text the reference never produced. */
+  def buildLm(corpus: DataFrame, idCol: String, textCol: String,
+              version: Long = 0L): CorpusLm = {
+    val tf = graft.sources.Tables.stage(
+      Ranking.bigramFrequencies(corpus, idCol, textCol))
+    val (lm0, _, _) = Ranking.ngramLm(tf)
+    val lm = graft.sources.Tables.stage(lm0)
+    // context/total roll up from the STAGED model relation (vocab-sized),
+    // never the corpus-sized tf, and stage themselves.
+    val cx = graft.sources.Tables.stage(
+      lm.withColumn("prev", expr("split(ng, ' ')[0]"))
+        .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx")))
+    val tot = graft.sources.Tables.stage(
+      lm.agg(sum(col("cnt")).cast("long").as("total")))
+    CorpusLm(lm, cx, tot, version)
+  }
+
+  /** Per-batch LM perplexity-proxy scoring ([[Ranking.scoreAgainstLm]]):
+    * `onBatch` receives (doc_id, cost_bits, n_bigrams, bits_per_gram)
+    * for every batch document with ≥ 2 tokens — unseen bigrams pay the
+    * deterministic OOV floor, so streamed scores are exactly what the
+    * batch operator emits for the same rows against the same frozen
+    * model. */
+  def startLmGate(stream: Stream, state: AtomicReference[CorpusLm],
+                  idCol: String, textCol: String,
+                  checkpoint: Option[String] = None)(
+                  onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      Ranking.scoreAgainstLm(
+        Ranking.bigramFrequencies(docs, "doc_id", "text"),
+        st.lm, st.cx, st.tot)
+    }(onBatch)
 }

@@ -55,6 +55,9 @@ class PlanSanitySpec extends SparkSpec {
       // Ranking.qualityClassifier stages the feature projection (feeds
       // the weight aggregate AND the scoring probe).
       "x_quality_classifier",
+      // Ranking.lmQualityScores stages the bigram tf projection (feeds
+      // the LM/context rollups AND the scoring join — one corpus scan).
+      "x_quality_lm",
       // Graph.incrementalTriangles reads staged pair/edge/adjacency
       // relations only (no corpus attach in the triangle contract).
       "x_triangles_incremental",

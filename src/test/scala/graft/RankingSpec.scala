@@ -269,4 +269,50 @@ class RankingSpec extends SparkSpec {
     assert(linePlan.contains("BroadcastHashJoin") &&
       linePlan.contains("LeftAnti"), linePlan.take(3000))
   }
+
+  test("LM quality scores: hand-computed bits, OOV floor, gibberish separation") {
+    import spark.implicits._
+    // reference LM: bigram counts "the cat"=2, "the dog"=1, "cat sat"=1,
+    // "cat ran"=1, "dog sat"=1; contexts the=3, cat=2, dog=1; total=6.
+    // bits(n) = length(bin(n)): bits(1)=1, bits(2)=2, bits(3)=2, bits(6)=3.
+    val ref = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"))
+      .toDF("doc_id", "text")
+    val tf = Ranking.bigramFrequencies(ref, "doc_id", "text")
+    val (lm, cx, tot) = Ranking.ngramLm(tf)
+
+    // self-scored: each ref doc costs exactly 1 bit over 2 bigrams.
+    //  r1: "the cat" → bits(3)−bits(2)=0; "cat sat" → bits(2)−bits(1)=1
+    //  r2: "the cat" → 0;                "cat ran" → 1
+    //  r3: "the dog" → bits(3)−bits(1)=1; "dog sat" → bits(1)−bits(1)=0
+    val self = Ranking.lmQualityScores(ref, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(self(id) == ((id, 1L, 2L, 0.5)), s"doc $id: ${self(id)}")
+    }
+
+    // frozen-LM candidates: fluent text scores seen-bigram bits, unseen
+    // bigrams pay the OOV floor bits(total)+1 = 4 — gibberish separates.
+    //  c10 "the cat sat": 0 + 1 = 1 over 2
+    //  c20 "zq qz zq":    4 + 4 = 8 over 2 (both unseen)
+    //  c30 "the dog ran": bits(3)−bits(1)=1 + OOV 4 = 5 over 2
+    val cand = Seq(
+      (10L, "the cat sat"), (20L, "zq qz zq"), (30L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val got = Ranking.scoreAgainstLm(
+      Ranking.bigramFrequencies(cand, "doc_id", "text"), lm, cx, tot)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 1L, 2L, 0.5)), got(10L))
+    assert(got(20L) == ((20L, 8L, 2L, 4.0)), got(20L))
+    assert(got(30L) == ((30L, 5L, 2L, 2.5)), got(30L))
+    assert(got(20L)._4 > got(30L)._4 && got(30L)._4 > got(10L)._4,
+      "gibberish must score strictly above partially-novel above fluent")
+
+    // contract edges: <2-token and null-text docs emit nothing.
+    val edge = Ranking.lmQualityScores(
+      Seq((7L, "solo"), (8L, null.asInstanceOf[String]), (9L, "a b"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(edge == Set(9L), edge)
+  }
 }

@@ -161,4 +161,65 @@ class StreamingScoreSpec extends SparkSpec {
       assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("LM gate: per-batch ≡ batch scoring; OOV floor; staged once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildLm(corpus, "doc_id", "text"))
+      def stageDirs: Int = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("stage_"))
+      // build stages tf + lm + cx + tot — exactly four, once.
+      assert(stageDirs == 4, s"LM build = four staged relations, got $stageDirs")
+
+      // batch-mode truth against the same frozen model.
+      val st = state.get()
+      val expected = Ranking.scoreAgainstLm(
+        Ranking.bigramFrequencies(fresh, "doc_id", "text"),
+        st.lm, st.cx, st.tot)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(expected.nonEmpty, "fixture produced no scores — vacuous")
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Double)]
+      val q = ScoreIngest.startLmGate(s, state, "value.doc_id", "value.text") {
+        (scores, _, _) =>
+          got ++= scores.as[(Long, Long, Long, Double)].collect()
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(fresh)
+      assert(got.toSet == expected,
+        s"streamed LM scores diverge from batch operator:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
+      assert(stageDirs == 4, "micro-batches must create no staging dirs")
+
+      // OOV floor: an all-gibberish doc pays bits(total) + 1 per bigram —
+      // deterministic, never NULL, strictly above any seen-bigram cost.
+      got.clear()
+      send(Seq((888L, "qqqxyzzy wwwplugh vvvfrotz")).toDF("doc_id", "text"))
+      val total = st.tot.as[Long].head()
+      val floor = java.lang.Long.toBinaryString(total).length + 1L
+      val oov = got.toSeq.filter(_._1 == 888L)
+      assert(oov == Seq((888L, 2 * floor, 2L, floor.toDouble)),
+        s"gibberish doc must pay the OOV floor $floor per bigram: $oov")
+      q.stop()
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
