@@ -448,6 +448,70 @@ object Graph {
     }
   }
 
+  /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
+    * 2007) with every degree of freedom PINNED so the result is a pure
+    * function of the graph: labels start as node ids; each round every
+    * node adopts the most frequent label among its NEIGHBORS (its own
+    * current label does not vote), ties to the SMALLEST label; the
+    * iteration count is FIXED and part of the operator's meaning — the
+    * [[pageRank]] fixed-semantics discipline. Run-to-convergence LPA is
+    * not well-defined under synchronous update (a 2-node graph oscillates
+    * with period 2 forever — spec-pinned), and the usual randomized
+    * tie-breaks/orderings are exactly what a reproducible pipeline
+    * cannot have.
+    *
+    * Community use in a dedup pipeline: finer-than-CC grouping of a
+    * near-dup graph — CC merges everything a transitive chain touches;
+    * LPA splits chain-bridged dense groups (two 4-cliques joined by one
+    * bridge edge settle to two communities by round 3, the x_graph_lpa
+    * fixture).
+    *
+    * Scale shape: the adjacency and label relations are edge/node-sized
+    * (never the corpus); each round is one equi-join + one (node, label)
+    * count + one argmax — the argmax is `max(struct(cnt, -lbl))`, never
+    * a rank window. Rounds stage with superseded-round reclaim (the
+    * CC/kCore staging discipline — an unstaged 4-deep lazy chain would
+    * re-execute per reference). Output: (node, lbl), one row per node
+    * with ≥ 1 edge. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame =
+    labelPropagationTracked(edges, srcCol, dstCol, iterations).df
+
+  /** [[labelPropagation]] returning the Staged handle of the final label
+    * relation — callers in parquet-staging mode `.drop()` it once
+    * consumed (the CC tracked-variant convention). */
+  def labelPropagationTracked(edges: DataFrame, srcCol: String, dstCol: String,
+                              iterations: Int): graft.sources.Tables.Staged = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations=$iterations must be in [1, 50]")
+    val ce = canonicalEdges(edges, srcCol, dstCol)
+    val adj = stage(
+      ce.select(col("lo").as("src"), col("hi").as("dst"))
+        .union(ce.select(col("hi").as("src"), col("lo").as("dst"))))
+    var cur = stageTracked(
+      adj.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    try {
+      (1 to iterations).foreach { _ =>
+        val next = stageTracked(
+          adj.join(cur.df.select(col("node").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("src"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("src").as("node"), (-col("m.nl")).as("lbl")))
+        // advance BEFORE reclaiming, so the catch-all always drops the
+        // live round, never a superseded one twice.
+        val old = cur
+        cur = next
+        old.drop()
+      }
+      cur
+    } catch {
+      case t: Throwable => scala.util.Try(cur.drop()); throw t
+    }
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = stage(canonicalEdges(edges, srcCol, dstCol))
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("node"))

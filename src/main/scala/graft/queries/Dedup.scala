@@ -586,6 +586,61 @@ object Dedup {
       FROM a6 GROUP BY s ORDER BY node"""
     }),
 
+    // ----------------------- label propagation (community detection, LPA)
+    // Synchronous LPA with every degree of freedom pinned
+    // (Graph.labelPropagation): labels start as ids, each round a node
+    // adopts its neighbors' most frequent label (ties → smallest), FIXED
+    // 4 rounds. Fixture: per full 8-id group, TWO 4-cliques bridged by
+    // one edge (8g+3 — 8g+4) — CC would merge them; LPA settles each
+    // clique to its min id by round 3 (round 4 idempotent), splitting
+    // the chain-bridged dense groups, which is the community-vs-
+    // component distinction this operator exists for. The oracle unrolls
+    // exactly the same 4 rounds; its argmax is min over the integer
+    // combo (2^20 − c)·2^20 + lbl — valid because ids < 2^20 here (the
+    // engine's struct-max carries no such bound).
+    Q("x_graph_lpa", (s, d) => {
+      import org.apache.spark.sql.functions.typedlit
+      val docs = fanOut(documents(s, d)).select(col("doc_id"))
+      val n = documents(s, d).count()
+      val anchors = docs.filter(expr(s"doc_id % 8 = 0 AND doc_id + 7 < ${n}L"))
+      val off = typedlit(Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)))
+      val cl = anchors.select(col("doc_id").as("a"), explode(off).as("o"))
+      val edges = cl
+        .select((col("a") + col("o._1")).as("s"), (col("a") + col("o._2")).as("t"))
+        .union(cl.select((col("a") + col("o._1") + 4).as("s"),
+          (col("a") + col("o._2") + 4).as("t")))
+        .union(anchors.select((col("doc_id") + 3).as("s"),
+          (col("doc_id") + 4).as("t")))
+      graft.operators.Graph.labelPropagation(edges, "s", "t", iterations = 4)
+        .orderBy(col("node"))
+    }, Some {
+      val rounds = (1 to 4).map(i => s"""
+        c$i AS (SELECT a.src, l.lbl, COUNT(*) AS c
+                FROM adj a JOIN l${i - 1} l ON a.dst = l.node
+                GROUP BY a.src, l.lbl),
+        l$i AS (SELECT src AS node,
+                       CAST(MIN((1048576 - c) * 1048576 + lbl) % 1048576
+                            AS BIGINT) AS lbl
+                FROM c$i GROUP BY src)""").mkString(",")
+      s"""
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      g AS (SELECT doc_id AS a FROM documents CROSS JOIN nn
+            WHERE doc_id % 8 = 0 AND doc_id + 7 < nn.n),
+      off AS (SELECT i, j FROM (VALUES (0, 1), (0, 2), (0, 3),
+                                       (1, 2), (1, 3), (2, 3)) AS o(i, j)),
+      base AS (
+        SELECT a + i AS s, a + j AS t FROM g CROSS JOIN off
+        UNION ALL SELECT a + 4 + i, a + 4 + j FROM g CROSS JOIN off
+        UNION ALL SELECT a + 3, a + 4 FROM g),
+      e0 AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+             FROM base WHERE s <> t),
+      adj AS (SELECT lo AS src, hi AS dst FROM e0
+              UNION ALL SELECT hi, lo FROM e0),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+      $rounds
+      SELECT node, lbl FROM l4 ORDER BY node"""
+    }, headline = true),
+
     // ----------------------------------------- PageRank (graph centrality)
     // Fixed-point integer PageRank (3 iterations, scale 1e9, damping
     // 17/20) over the same near-dup pair graph: rank separates template

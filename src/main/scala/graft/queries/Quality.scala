@@ -342,7 +342,7 @@ object Quality {
       graft.operators.Ranking.lmQualityScores(fanOut(documents(s, d)),
         "doc_id", "text")
         .orderBy(col("doc_id"))
-    }, Some(s"""
+    }, headline = true, oracle = Some(s"""
       WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
                  WHERE text IS NOT NULL),
       bo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

@@ -226,6 +226,71 @@ object GraphIngest {
         batchId, Seq(st.core, st.edges)))
     }(onBatch)
 
+  /** Evolving LPA community state: the staged (node, lbl) label relation
+    * + the staged canonical edge union it was propagated from, plus the
+    * previous fold's superseded handles (the [[KCoreState]]
+    * deferred-reclaim contract). */
+  final case class LpaState(labels: Tables.Staged, edges: Tables.Staged,
+                            iterations: Int, version: Long,
+                            foldedBatch: Long = -1L,
+                            superseded: Seq[Tables.Staged] = Nil)
+    extends Gate.Folded {
+    /** Drop the superseded state dirs — call AFTER durably recording
+      * the new paths; the next fold calls it as the backstop. */
+    def reclaim(): Unit = superseded.foreach(_.drop())
+  }
+
+  /** Propagate the initial edge set once ([[Graph.labelPropagation]]). */
+  def buildLpa(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, version: Long = 0L): LpaState = {
+    val canon = Tables.stageTracked(Graph.canonicalEdges(edges, srcCol, dstCol))
+    LpaState(Graph.labelPropagationTracked(canon.df, "lo", "hi", iterations),
+      canon, iterations, version)
+  }
+
+  /** Fold each micro-batch's edges into the community labels; `onBatch`
+    * receives the UPDATED (node, lbl) relation.
+    *
+    * HONESTY NOTE — this fold RE-PROPAGATES over the union of edges seen
+    * so far. Unlike k-core, fixed-iteration LPA IS ball-local (round-k
+    * labels are a function of the k-hop neighborhood), so a
+    * pageRankRefresh-style history splice is POSSIBLE — it is not built
+    * because the measured pageRank crossover (README §incremental
+    * upkeep: refresh LOSES to recompute below ~10M edges; micro-batch
+    * state sits far below) says the splice's constant costs dominate at
+    * gate scale. What the gate maintains incrementally is the lifecycle:
+    * the staged edge union, the replay fence, deferred reclaim. */
+  def startLpa(stream: Stream, state: AtomicReference[LpaState],
+               srcCol: String, dstCol: String,
+               checkpoint: Option[String] = None)(
+               onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      st.reclaim() // predecessor's dirs — durable-record window closed
+      val edges = batch.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      val nextEdges = Tables.stageTracked(
+        st.edges.df.unionByName(Graph.canonicalEdges(edges, "src", "dst"))
+          .distinct())
+      val nextLabels = Graph.labelPropagationTracked(nextEdges.df, "lo", "hi",
+        st.iterations)
+      (nextLabels.df, LpaState(nextLabels, nextEdges, st.iterations,
+        st.version + 1, batchId, Seq(st.labels, st.edges)))
+    }(onBatch)
+
+  /** Reconstruct an [[LpaState]] from its persisted directories after a
+    * restart — what persists at `labelsPath` IS the final round's
+    * (node, lbl) relation, so no view re-derivation is needed; the
+    * `superseded` contract is [[restoreKCore]]'s. */
+  def restoreLpa(spark: org.apache.spark.sql.SparkSession,
+                 labelsPath: String, edgesPath: String, iterations: Int,
+                 version: Long, foldedBatch: Long,
+                 superseded: Seq[String] = Nil): LpaState =
+    LpaState(
+      Tables.Staged(spark.read.parquet(labelsPath), Some(labelsPath)),
+      Tables.Staged(spark.read.parquet(edgesPath), Some(edgesPath)),
+      iterations, version, foldedBatch,
+      superseded.map(p => Tables.Staged(spark.read.parquet(p), Some(p))))
+
   /** Reconstruct a [[KCoreState]] from its persisted directories after a
     * restart.
     *

@@ -416,4 +416,57 @@ class GraphSpec extends SparkSpec {
     // on BOTH sides, so whatever strategy Spark picks there is fine.
     assert(plan.contains("BroadcastHashJoin [__v#"), plan.take(1500))
   }
+
+  test("labelPropagation matches the synchronous brute-force rounds; oscillation pinned") {
+    import spark.implicits._
+    def brute(canon: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (canon.toSeq ++ canon.toSeq.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var lbl = adj.keys.map(v => v -> v).toMap
+      (1 to rounds).foreach { _ =>
+        lbl = adj.map { case (v, ns) =>
+          val counts = ns.map(lbl).groupBy(identity)
+            .map { case (l, ls) => l -> ls.size }
+          // most frequent neighbor label, ties to the smallest label.
+          v -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }
+      lbl
+    }
+    val rnd = new scala.util.Random(31)
+    (1 to 4).foreach { _ =>
+      val n = rnd.nextInt(16) + 8
+      val raw = Seq.fill(rnd.nextInt(50) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a != b }.toSet
+      for (it <- Seq(1, 3, 4)) {
+        val got = Graph.labelPropagation(raw.toDF("a", "b"), "a", "b", it)
+          .as[(Long, Long)].collect().toMap
+        assert(got == brute(canon, it), s"it=$it canon=$canon")
+      }
+    }
+
+    // the community-vs-component distinction: two 4-cliques joined by ONE
+    // bridge settle to two communities by round 3 (CC would merge them).
+    val cliquePairs = for {
+      h <- Seq(0L, 4L); i <- 0 until 3; j <- i + 1 until 4
+    } yield (h + i, h + j)
+    val bridged = cliquePairs :+ (3L, 4L)
+    val lpa = Graph.labelPropagation(bridged.toDF("a", "b"), "a", "b", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L), lpa.toString)
+    val cc = Graph.connectedComponents(bridged.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "CC must merge the bridged cliques")
+
+    // synchronous LPA on a single edge oscillates with period 2 forever —
+    // the documented reason the iteration count is part of the contract.
+    def two(it: Int) = Graph.labelPropagation(
+      Seq((0L, 1L)).toDF("a", "b"), "a", "b", it)
+      .as[(Long, Long)].collect().toMap
+    assert(two(1) == Map(0L -> 1L, 1L -> 0L) && two(2) == Map(0L -> 0L, 1L -> 1L),
+      "2-node oscillation is the pinned synchronous-update semantics")
+  }
 }

@@ -65,6 +65,9 @@ class PlanSanitySpec extends SparkSpec {
       // peel round's staged arc relation — the loop stages per round
       // (the CC discipline), so the visible plan starts there.
       "x_graph_kcore",
+      // Graph.labelPropagation's result IS the final staged round's
+      // label relation (same per-round staging discipline).
+      "x_graph_lpa",
       // x_pipeline_modern stages the cleaned corpus once (the one corpus
       // scan, through the span machinery); every later stage reads it or
       // a staged derivative, so the visible plan starts at staged

@@ -157,6 +157,77 @@ class StreamingGraphSpec extends SparkSpec {
     assert(state.get().foldedBatch == 1L && state.get().version == 2L)
   }
 
+  test("LPA gate: fold ≡ full re-propagation; a batch bridge re-communities both sides") {
+    // two 4-cliques, NO bridge yet: two separate communities labeled by
+    // their min ids (0 and 4).
+    val cliques = for {
+      h <- Seq(0L, 4L); i <- 0 until 3; j <- i + 1 until 4
+    } yield (h + i, h + j)
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      GraphIngest.buildLpa(cliques.toDF("a", "b"), "a", "b", iterations = 4))
+    assert(state.get().labels.df.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+          4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L))
+
+    val ms = MemoryStream[KMsg]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    val q = GraphIngest.startLpa(mkStream(ms), state,
+      "value.src", "value.dst") { (labels, _, _) =>
+        got += labels.as[(Long, Long)].collect().toMap
+    }
+    // batch 0: one bridge — the cliques stay separate communities (one
+    // bridge vote never outweighs three intra-clique votes).
+    send(ms, q, Seq((3L, 4L)))
+    // batch 1: densify the bridge until the right clique flips — every
+    // left-clique node now also neighbors the right side.
+    val densify = for (l <- 0L to 3L; r <- 4L to 7L) yield (l, r)
+    send(ms, q, densify)
+    val extra = randomEdges(20, 12)
+    send(ms, q, extra)
+    q.stop()
+    assert(got(0) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L),
+      s"one bridge must not merge the communities: ${got(0)}")
+    // each fold ≡ the batch operator over the union of edges seen so far.
+    val afterDensify = cliques ++ Seq((3L, 4L)) ++ densify
+    assert(got(1) == Graph.labelPropagation(
+      afterDensify.toDF("a", "b"), "a", "b", 4)
+      .as[(Long, Long)].collect().toMap,
+      "fold must equal full re-propagation over the union")
+    val all = afterDensify ++ extra
+    assert(got(2) == Graph.labelPropagation(all.toDF("a", "b"), "a", "b", 4)
+      .as[(Long, Long)].collect().toMap)
+    assert(state.get().foldedBatch == 2L && state.get().version == 3L)
+  }
+
+  test("restoreLpa: persisted labels/edges round-trip; pending dirs sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val initial = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        GraphIngest.buildLpa(initial.toDF("a", "b"), "a", "b", iterations = 3))
+      val ms = MemoryStream[KMsg]
+      val q = GraphIngest.startLpa(mkStream(ms), state,
+        "value.src", "value.dst") { (_, _, _) => () }
+      send(ms, q, Seq((3L, 4L)))
+      q.stop()
+      val live = state.get()
+      val pending = live.superseded.map(_.path.get)
+      assert(pending.nonEmpty)
+      val restored = GraphIngest.restoreLpa(spark, live.labels.path.get,
+        live.edges.path.get, iterations = 3, live.version, live.foldedBatch,
+        superseded = pending)
+      assert(restored.labels.df.as[(Long, Long)].collect().toSet ==
+        live.labels.df.as[(Long, Long)].collect().toSet)
+      restored.reclaim()
+      pending.foreach(p =>
+        assert(!new java.io.File(p).exists, s"pre-crash dir $p leaked"))
+      assert(new java.io.File(live.labels.path.get).exists)
+      assert(new java.io.File(live.edges.path.get).exists)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("restoreKCore: pre-crash pending-reclaim dirs sweep when their paths are passed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     spark.conf.set("graft.stage.dir", dir)
