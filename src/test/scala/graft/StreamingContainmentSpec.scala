@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Media
+import graft.streaming.{AudioIngest, ContainmentIngest, ImageIngest, Stream}
+
+/** Growing set-containment gate end-to-end
+  * (graft.streaming.ContainmentIngest) — ONE probe-then-grow loop
+  * generic over modality. Asserts:
+  *  1. a crop/trim of an EARLIER batch's content is flagged (only the
+  *     fold makes it a pair — the probe-then-grow claim), with the image
+  *     KEYPOINT projection;
+  *  2. the grown key sets ≡ a fresh build over everything ingested;
+  *  3. retire stops pairing immediately; restore answers identically;
+  *     the replay fence skips re-delivered batches;
+  *  4. the SAME loop runs the audio CDC projection unchanged — the
+  *     modality-generic claim. */
+class StreamingContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def g(tag: String, base: Long, x: Int, y: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$tag:$base:$x:$y".getBytes("US-ASCII"))(0) & 0xff
+  }
+  private def png(base: Long, ox: Int, oy: Int, w: Int, h: Int): Array[Byte] =
+    Media.encodePng(w, h, (x, y) => {
+      val v = g("cgrow", base, x + ox, y + oy); (v << 16) | (v << 8) | v
+    })
+
+  test("keypoint growing gate: arbitrary crop of an earlier batch flagged; retire; restore; fence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpus = (0L until 6L).map(b => (b, png(b, 0, 0, 48, 40)))
+        .toDF("img_id", "payload")
+      def proj(df: org.apache.spark.sql.DataFrame, idCol: String, pCol: String) =
+        ImageIngest.keypoints(df, idCol, pCol, divisor = 4)
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ContainmentIngest.buildGrowing(proj(corpus, "img_id", "payload")))
+
+      // b1: 3 fresh images; b2: an ARBITRARY (3, 2)-offset crop of a b1
+      // image — only the fold makes it a pair.
+      val b1 = (0 until 3).map(j => (100L + j, png(500L + j, 0, 0, 48, 40)))
+      val b2 = Seq((900L, png(500L, 3, 2, 43, 37)))
+
+      val schema = StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = ContainmentIngest.startGrowing(s, state,
+        b => proj(b, "value.img_id", "value.payload"), threshold = 0.9) {
+        (pairs, version, _) =>
+          versions += version
+          got += pairs.select("da", "db").as[(Long, Long)].collect().toSet
+      }
+      def send(rows: Seq[(Long, Array[Byte])]): Unit = {
+        val payloads = rows.toDF("img_id", "payload")
+          .select(to_json(struct(col("img_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      assert(got(0).isEmpty, s"fresh images must not pair: ${got(0)}")
+      send(b2)
+      assert(versions.toSeq == Seq(1L, 2L), s"fold versions: $versions")
+      assert(got(1) == Set((900L, 100L)),
+        s"crop of a b1 image not flagged by the grown index: ${got(1)}")
+
+      // grown key sets ≡ a fresh union build.
+      val union = corpus.union((b1 ++ b2).toDF("img_id", "payload"))
+      def keySet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), explode(col("sh")).as("s"))
+          .as[(Long, Long)].collect().toSet
+      assert(keySet(state.get().shingled) ==
+        keySet(proj(union, "img_id", "payload")),
+        "grown shingle relation must equal the fresh union build's")
+
+      // RETIRE the b1 original: the crop must stop pairing with it.
+      val retired = ContainmentIngest.retire(state.get(),
+        Seq(100L).toDF("img_id"), tag = 500L)
+      val pairsAfter = graft.operators.TextDedup.containmentPairsAgainstIndex(
+        proj(b2.toDF("img_id", "payload"), "img_id", "payload"),
+        retired.shingled, retired.ex, threshold = 0.9)
+        .select(col("db")).as[Long].collect()
+      assert(!pairsAfter.contains(100L),
+        s"retired image still pairs: ${pairsAfter.toSeq}")
+      state.set(retired)
+
+      // RESTART: rebuilt-from-dirs state answers identically.
+      val live = state.get()
+      val restored = ContainmentIngest.restoreGrowing(spark, live.shPath,
+        live.exPath, live.tombstonesPath, live.version, live.foldedBatch)
+      assert(keySet(restored.shingled) == keySet(live.shingled),
+        "restored index must equal the live index")
+
+      // replay fence.
+      val fenced = state.get().copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      val before = versions.size
+      send(b2)
+      assert(versions.size == before && (state.get() eq fenced),
+        "fenced batch must neither fold nor emit")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("the SAME loop runs the audio CDC projection unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      def sAmp(base: Long, i: Int): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = md.digest(s"cgrowaudio:$base:$i".getBytes("UTF-8"))
+        ((dig(0) & 0xff) << 8 | (dig(1) & 0xff)) % 8192 - 4096
+      }
+      def sWav(base: Long, off: Int, n: Int): Array[Byte] =
+        Media.wavBytes(8000, Array.tabulate(n)(i => sAmp(base, i + off).toShort))
+      def proj(df: org.apache.spark.sql.DataFrame, idCol: String, pCol: String) =
+        AudioIngest.shingles(df, idCol, pCol, win = 4, hop = 4,
+          rateNorm = None, cdc = Some((8, 32)))
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ContainmentIngest.buildGrowing(proj(
+          Seq.empty[(Long, Array[Byte])].toDF("rec_id", "payload"),
+          "rec_id", "payload")))
+
+      // b1: one fresh recording; b2: its 37-sample arbitrary front trim —
+      // flagged only because b1 folded.
+      val b1 = Seq((1L, sWav(3L, 0, 520)))
+      val b2 = Seq((700L, sWav(3L, 37, 483)))
+      val schema = StructType(Seq(
+        StructField("rec_id", LongType), StructField("payload", BinaryType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+      val q = ContainmentIngest.startGrowing(s, state,
+        b => proj(b, "value.rec_id", "value.payload"), threshold = 0.8) {
+        (pairs, _, _) =>
+          got += pairs.select("da", "db").as[(Long, Long)].collect().toSet
+      }
+      def send(rows: Seq[(Long, Array[Byte])]): Unit = {
+        val payloads = rows.toDF("rec_id", "payload")
+          .select(to_json(struct(col("rec_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      q.stop()
+      assert(got.toSeq == Seq(Set.empty, Set((700L, 1L))),
+        s"the trimmed re-upload must pair only after b1 folds: $got")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}
