@@ -145,7 +145,13 @@ object TextDedup {
     * max(c_ab, c_ba) ≥ threshold. */
   def containmentPairs(shingled: DataFrame, threshold: Double,
                        dfCap: Option[Int] = None): DataFrame = {
-    val ex = stage(shingled.select(col("id"), explode(col("sh")).as("s")))
+    // stage the (id, sh) relation FIRST: it feeds the exploded index AND
+    // both verify-join sides, so an unstaged payload-derived caller (the
+    // media decode chains) would re-execute its decode 3× — the r13 plan
+    // audit caught exactly that (only the exploded index was staged
+    // before). One decode + two staged writes instead.
+    val sh = stage(shingled)
+    val ex = stage(sh.select(col("id"), explode(col("sh")).as("s")))
     val index = dfCap match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
@@ -159,8 +165,8 @@ object TextDedup {
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
     cand
-      .join(shingled.as("sa"), col("da") === col("sa.id"))
-      .join(shingled.as("sb"), col("db") === col("sb.id"))
+      .join(sh.as("sa"), col("da") === col("sa.id"))
+      .join(sh.as("sb"), col("db") === col("sb.id"))
       // hash-based O(|A|+|B|); ≡ counting A's members in B because shingle
       // arrays are distinct by construction (shingleRelation).
       .withColumn("inter", expr("size(array_intersect(sa.sh, sb.sh))"))

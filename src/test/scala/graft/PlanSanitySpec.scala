@@ -30,6 +30,13 @@ class PlanSanitySpec extends SparkSpec {
       // (x_dedup_audio reuses the same generic pair machinery;
       // x_dedup_image_rot is the same join over canonical D4 hashes).
       "x_dedup_image", "x_dedup_audio", "x_dedup_image_rot",
+      // containmentPairs stages the (id, sh) relation itself since r13
+      // (it feeds the index AND both verify sides — unstaged, media
+      // callers re-decoded 3×), so every containment query's visible
+      // plan starts at the staged relation.
+      "x_dedup_audio_trim", "x_dedup_audio_resample", "x_dedup_audio_cdc",
+      "x_dedup_video", "x_dedup_video_percept", "x_dedup_image_crop",
+      "x_dedup_image_keypoint",
       // Ann.lshSelfPairs stages the signature relation for the same
       // one-relation-feeds-both-sides reason.
       "x_dedup_embedding_lsh",
