@@ -702,6 +702,83 @@ object TextAnalysis {
              COUNT(*) AS n_docs, CAST(SUM(n_uni) AS BIGINT) AS uni_tokens
       FROM uc GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // ------------------------------- tokenizer compression comparison
+    // The tokenizer-SELECTION metric: exact corpus chars-per-token under
+    // each deployed family's frozen fixture vocab (wordpiece greedy
+    // longest-match, BPE merge ranks, unigram Viterbi) — the number a
+    // pipeline owner compares when choosing which learned artifact to
+    // ship (more chars per token = the same corpus in fewer model
+    // tokens). All three reuse the dictionary discipline: ONE staged
+    // (word, occ) relation; each family tokenizes the DISTINCT words and
+    // the occurrence-weighted totals come from a broadcast join — the
+    // corpus text is scanned once, never re-tokenized per occurrence.
+    // The oracle replays each family's proven recursive twin inside its
+    // own parenthesized WITH (names collide across families — fin vs
+    // fin — so each lives in a subquery scope).
+    Q("x_token_compression", (s, d) => {
+      import graft.operators.Subword
+      val occ = stage(fanOut(documents(s, d))
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("occ")))
+      def total(tbl: org.apache.spark.sql.DataFrame, nCol: String,
+                name: String) =
+        occ.join(broadcast(tbl.select(col("word"), col(nCol).as("__n"))), "word")
+          .agg(
+            sum(expr("occ * length(word)")).cast("long").as("total_chars"),
+            sum(expr("occ * __n")).cast("long").as("total_tokens"))
+          .select(lit(name).as("tokenizer"),
+            col("total_chars"), col("total_tokens"),
+            expr("CAST(total_chars AS DOUBLE) / total_tokens")
+              .as("chars_per_token"))
+      total(Subword.wordpieceTable(occ.select("word"), demoVocab),
+          "n_pieces", "wordpiece")
+        .unionByName(total(Subword.bpeTable(occ.select("word"), demoMerges),
+          "n_tokens", "bpe"))
+        .unionByName(total(
+          Subword.unigramTable(occ.select("word"), demoUnigramPieces),
+          "n_tokens", "unigram"))
+        .orderBy(col("tokenizer"))
+    }, Some(s"""
+      SELECT tokenizer, total_chars, total_tokens,
+             CAST(total_chars AS DOUBLE) / total_tokens AS chars_per_token
+      FROM (
+        SELECT * FROM (
+          ${duckWordpiecePrefix},
+          occ AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS occ
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  WHERE word <> '' GROUP BY word)
+          SELECT 'wordpiece' AS tokenizer,
+                 CAST(SUM(occ * length(f.word)) AS BIGINT) AS total_chars,
+                 CAST(SUM(occ * (CASE WHEN f.unk THEN 1
+                                      ELSE len(f.pieces) END)) AS BIGINT)
+                   AS total_tokens
+          FROM fin f JOIN occ ON f.word = occ.word)
+        UNION ALL
+        SELECT * FROM (
+          ${duckBpePrefix},
+          occ AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS occ
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  WHERE word <> '' GROUP BY word)
+          SELECT 'bpe' AS tokenizer,
+                 CAST(SUM(occ * length(f.word)) AS BIGINT) AS total_chars,
+                 CAST(SUM(occ * len(f.syms)) AS BIGINT) AS total_tokens
+          FROM fin f JOIN occ ON f.word = occ.word)
+        UNION ALL
+        SELECT * FROM (
+          ${duckUnigramPrefix},
+          occ AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS occ
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  WHERE word <> '' GROUP BY word)
+          SELECT 'unigram' AS tokenizer,
+                 CAST(SUM(occ * length(u.word)) AS BIGINT) AS total_chars,
+                 CAST(SUM(occ * len(u.b.ts)) AS BIGINT) AS total_tokens
+          FROM ufin u JOIN occ ON u.word = occ.word))
+      ORDER BY tokenizer""")),
+
     // ------------------------------------- unigram-LM vocab TRAINING
     // graft.operators.Subword.trainUnigram: the learning half of the
     // unigram family — x_token_unigram applies a frozen scored vocab;

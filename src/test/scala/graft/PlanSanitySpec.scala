@@ -59,6 +59,9 @@ class PlanSanitySpec extends SparkSpec {
       // distinct-word tokenize relation AND the per-doc aggregate);
       // docBpeCounts is the same shape with the BPE token table.
       "x_pack_subword", "x_pack_bpe", "x_pack_unigram",
+      // x_token_compression stages the (word, occ) dictionary once — all
+      // three tokenizer tables and the weighted totals read it.
+      "x_token_compression",
       // Ranking.qualityClassifier stages the feature projection (feeds
       // the weight aggregate AND the scoring probe).
       "x_quality_classifier",
