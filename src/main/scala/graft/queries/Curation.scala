@@ -569,6 +569,58 @@ object Curation {
                '  +', ' ', 'g')) AS clean
       FROM t ORDER BY doc_id""")),
 
+    // ----------------------------------------- HTML → text extraction
+    // The FIRST stage of every web-curation pipeline (operators.Html):
+    // strip script/style/comments, split into blocks at closing
+    // block-level tags, decode entities (&amp; LAST — the double-decode
+    // trap), drop boilerplate blocks by the exact-integer LINK-DENSITY
+    // gate (100·anchor_chars < pct·visible_chars) and a minimum length,
+    // join survivors in order. One codegen'd projection chain; the
+    // oracle replays the identical regex chain spelled per dialect
+    // (patterns live in the RE2 ∩ Java subset: no backrefs, no
+    // lookaheads, no backslash classes). Fixture per doc: title, style/
+    // script junk (with a bare '<' inside the script), a comment, a
+    // link-dense nav div, two real text blocks carrying entities, and a
+    // link-only block — expected survivors: exactly the two text
+    // blocks.
+    Q("x_text_html", (s, d) => {
+      val docs = fanOut(documents(s, d))
+        .withColumn("__t", expr("split(text, ' ')"))
+        .withColumn("__html", expr(
+          """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+            |'</title><style>p { color: red }</style>',
+            |'<script>var x = 1 < 2;</script>',
+            |'</head><body><!-- crawler comment -->',
+            |'<div id="nav"><a href="/">Home</a> ',
+            |'<a href="/about">About &amp; more</a></div>',
+            |'<p>', concat_ws(' ', slice(__t, 1, 5)),
+            |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
+            |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+            |'<p><a href="/next">next page</a></p>',
+            |'</body></html>')""".stripMargin))
+      graft.operators.Html.extractText(docs, "doc_id", "__html",
+        minChars = 10, maxDensityPct = 34)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+      __html_src AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { color: red }</style>' ||
+          '<script>var x = 1 < 2;</script>' ||
+          '</head><body><!-- crawler comment -->' ||
+          '<div id="nav"><a href="/">Home</a> ' ||
+          '<a href="/about">About &amp; more</a></div>' ||
+          '<p>' || array_to_string(t[1:5], ' ') ||
+          ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
+          '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
+          '<p><a href="/next">next page</a></p>' ||
+          '</body></html>' AS h
+        FROM toks)
+      SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}
+      ORDER BY doc_id""")),
+
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE
     // scan: stack() unpivots the projected columns to (col_name, v) rows,

@@ -20,6 +20,9 @@ import graft.operators.{Media, TextDedup}
   * needs); micro-batches parse their own payloads only.
   */
 object AudioIngest {
+  // Frozen-corpus gate; for an arrive-and-grow corpus feed [[shingles]]
+  // (any mode) to [[ContainmentIngest.startGrowing]] — the generic
+  // probe-then-grow containment loop.
 
   /** One corpus version's staged shingle relation + exploded index, with
     * the window parameters probes must match. `rateNorm = Some((hopsPerSec,

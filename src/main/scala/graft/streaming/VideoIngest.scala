@@ -21,6 +21,9 @@ import graft.operators.{Media, MediaRecord, TextDedup}
   * demux their own payloads only.
   */
 object VideoIngest {
+  // Frozen-corpus gate; for an arrive-and-grow corpus feed the frame
+  // digest-set projection to [[ContainmentIngest.startGrowing]] — the
+  // generic probe-then-grow containment loop.
 
   /** One corpus version's staged digest-set relation + exploded index.
     * `perceptual` records which digester built it, so probes are

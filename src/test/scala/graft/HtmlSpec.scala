@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Html
+
+/** HTML → text extraction a-priori cases (the registry query
+  * `x_text_html` oracle-checks the full chain against DuckDB's RE2 on
+  * the corpus; these pin the CONTRACT claims on hand-built documents):
+  * script/style/comment removal, the entity decode order, the
+  * link-density and min-length gates, and order preservation. */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String, minChars: Int = 10,
+                      maxDensityPct: Int = 34): (Long, Long, String) = {
+    val r = Html.extractText(Seq((1L, html)).toDF("id", "h"), "id", "h",
+      minChars, maxDensityPct)
+      .as[(Long, Long, Long, String)].head()
+    (r._2, r._3, r._4)
+  }
+
+  test("script/style/comments vanish, even with a bare '<' inside") {
+    val (_, kept, text) = extract(
+      "<p>real content stays right here</p>" +
+        "<script>if (1 < 2) { alert('<p>fake</p>') }</script>" +
+        "<style>p { color: red }</style><!-- note <p>also fake</p> -->")
+    assert(kept == 1L && text == "real content stays right here", text)
+  }
+
+  test("entity decode order: &amp; last — &amp;lt; must NOT double-decode") {
+    val (_, _, text) = extract(
+      "<p>a &amp; b &lt;x&gt; &quot;q&quot; &#39;s&#39; &amp;lt; literal</p>")
+    assert(text == "a & b <x> \"q\" 's' &lt; literal", text)
+  }
+
+  test("link-density gate drops nav; min-length drops stubs; order preserved") {
+    val html =
+      "<div><a href='/'>Home</a> <a href='/a'>About</a> nav</div>" + // dense
+        "<p>first real paragraph of the page</p>" +
+        "<p>tiny</p>" + // < minChars
+        "<p>second real paragraph follows the first</p>" +
+        "<p><a href='/n'>continue reading here</a></p>" // pure link
+    val (blocks, kept, text) = extract(html)
+    assert(kept == 2L && blocks >= 5L, s"$blocks/$kept")
+    assert(text == "first real paragraph of the page\n" +
+      "second real paragraph follows the first", text)
+  }
+
+  test("density threshold is exact-integer: 100·anchor < pct·visible") {
+    // visible = '0123456789 01234567890123456789' (31 chars — stripped
+    // tags leave a joining space), anchor 10 chars → 1000 vs pct·31:
+    // kept at pct=33 (1023), dropped at pct=32 (992 — strict <).
+    val html = "<p><a href='/x'>0123456789</a>01234567890123456789</p>"
+    assert(extract(html, maxDensityPct = 33)._2 == 1L)
+    assert(extract(html, maxDensityPct = 32)._2 == 0L)
+  }
+
+  test("title becomes its own (short, dropped) block; <br> splits") {
+    val (_, kept, text) = extract(
+      "<html><head><title>T</title></head><body>" +
+        "first half of the line<br>second half of the line</body></html>")
+    assert(kept == 2L &&
+      text == "first half of the line\nsecond half of the line", text)
+  }
+}
