@@ -363,6 +363,114 @@ object Pipeline {
       FROM c9 JOIN k1 ON c9.doc_id = k1.doc_id
       ORDER BY c9.doc_id"""), headline = true),
 
+    // --------------------------------- WEB pipeline (HTML → curated text)
+    // The crawl-entry composition: raw HTML pages → Html.extractText
+    // (script/style/entity/boilerplate handling) → structure gate
+    // (n_kept ≥ 2 blocks) → self-trained bigram-LM quality gate (keep
+    // bits_per_gram ≤ 4.58, stated as the exact integers
+    // cost_bits·100 ≤ n_bigrams·458) → EXACT dedup on the EXTRACTED
+    // text. The dedup stage is the point: every doc_id % 5 = 4 page
+    // REPUBLISHES the previous doc's content under its own chrome
+    // (title differs → raw-byte digests differ), and extraction strips
+    // the chrome, so the copies collapse only because dedup runs AFTER
+    // extraction. Canonical = min doc_id per digest; n_copies emitted
+    // for re-weighting. The oracle replays the identical chain: the
+    // Html regex pipeline, the bigram-LM rollups, the integer gate, the
+    // digest group.
+    Q("x_pipeline_web", (s, d) => {
+      import graft.operators.{Html, Ranking}
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val prev = base.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__ptext"))
+      val pages = fanOut(base.join(prev, Seq("doc_id"), "left")
+        .withColumn("__page", expr(
+          "IF(doc_id % 5 = 4 AND __ptext IS NOT NULL, __ptext, text)")))
+        .withColumn("__t", expr("split(__page, ' ')"))
+        .withColumn("__html", expr(
+          """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+            |'</title><style>p { color: red }</style>',
+            |'<script>var x = 1 < 2;</script>',
+            |'</head><body><!-- crawler comment -->',
+            |'<div id="nav"><a href="/">Home</a> ',
+            |'<a href="/about">About &amp; more</a></div>',
+            |'<p>', concat_ws(' ', slice(__t, 1, 5)),
+            |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
+            |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+            |'<p><a href="/next">next page</a></p>',
+            |'</body></html>')""".stripMargin))
+      val ext = stage(Html.extractText(pages, "doc_id", "__html",
+        minChars = 10, maxDensityPct = 34))
+      val k1 = ext.filter(col("n_kept") >= 2)
+      val tf = stage(Ranking.bigramFrequencies(k1, "doc_id", "text"))
+      val (lm, cx, tot) = Ranking.ngramLm(tf)
+      val k2 = k1.join(
+        Ranking.scoreAgainstLm(tf, lm, cx, tot)
+          .filter(expr("cost_bits * 100 <= n_bigrams * 458"))
+          .select(col("doc_id"), col("cost_bits"), col("n_bigrams")),
+        "doc_id")
+      val dg = k2.withColumn("digest", md5(col("text")))
+      val canon = dg.groupBy(col("digest")).agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+      dg.join(canon, Seq("digest", "doc_id"))
+        .select(col("doc_id"), col("cost_bits"), col("n_bigrams"),
+          col("digest"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH src AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
+                    THEN p.text ELSE d.text END AS ptext
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t FROM src),
+      __html_src AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { color: red }</style>' ||
+          '<script>var x = 1 < 2;</script>' ||
+          '</head><body><!-- crawler comment -->' ||
+          '<div id="nav"><a href="/">Home</a> ' ||
+          '<a href="/about">About &amp; more</a></div>' ||
+          '<p>' || array_to_string(t[1:5], ' ') ||
+          ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
+          '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
+          '<p><a href="/next">next page</a></p>' ||
+          '</body></html>' AS h
+        FROM toks),
+      ext AS (
+        SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}),
+      k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
+      bo AS (SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1])) AS ng
+             FROM k1 WHERE len(string_split(text, ' ')) >= 2),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
+             GROUP BY tf.doc_id),
+      k2 AS (SELECT k1.doc_id, k1.text, sc.cost_bits, sc.n_bigrams
+             FROM k1 JOIN sc ON k1.doc_id = sc.doc_id
+             WHERE sc.cost_bits * 100 <= sc.n_bigrams * 458),
+      dgst AS (SELECT doc_id, md5(text) AS digest, cost_bits, n_bigrams
+               FROM k2),
+      canon AS (SELECT digest, MIN(doc_id) AS doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM dgst GROUP BY digest)
+      SELECT g.doc_id, g.cost_bits, g.n_bigrams, g.digest, c.n_copies
+      FROM dgst g JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
+      ORDER BY g.doc_id""")),
+
     // ------------------------------------------- JSONL interchange source
     // The corpus round-trips through gzip JSONL (the format LLM corpora
     // ship in; also the reference's gzip-JSON wire format) and every field

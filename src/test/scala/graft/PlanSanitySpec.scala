@@ -83,6 +83,9 @@ class PlanSanitySpec extends SparkSpec {
       // a staged derivative, so the visible plan starts at staged
       // relations.
       "x_pipeline_modern",
+      // x_pipeline_web stages the extracted relation and its bigram tf —
+      // every later stage reads one of them.
+      "x_pipeline_web",
       // x_heavy_hitters stages the tf projection (feeds the count–min
       // sketch build AND the candidate scan — one corpus scan total), so
       // the visible plan starts there.
