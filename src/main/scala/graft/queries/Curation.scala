@@ -619,7 +619,7 @@ object Curation {
           '</body></html>' AS h
         FROM toks)
       SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}
-      ORDER BY doc_id""")),
+      ORDER BY doc_id"""), headline = true),
 
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE

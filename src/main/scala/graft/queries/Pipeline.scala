@@ -469,7 +469,7 @@ object Pipeline {
                 FROM dgst GROUP BY digest)
       SELECT g.doc_id, g.cost_bits, g.n_bigrams, g.digest, c.n_copies
       FROM dgst g JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
-      ORDER BY g.doc_id""")),
+      ORDER BY g.doc_id"""), headline = true),
 
     // ------------------------------------------- JSONL interchange source
     // The corpus round-trips through gzip JSONL (the format LLM corpora
