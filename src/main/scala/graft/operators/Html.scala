@@ -101,6 +101,9 @@ object Html {
     require(minChars >= 1 && maxDensityPct >= 1 && maxDensityPct <= 100,
       s"minChars=$minChars maxDensityPct=$maxDensityPct out of range")
     df
+      // null html emits nothing (the bigramFrequencies convention) —
+      // unfiltered it would ride NULL through the whole chain.
+      .filter(col(htmlCol).isNotNull)
       .withColumn("__bl", expr(blocksSql(cleanSql(htmlCol, duck = false),
         duck = false)))
       .withColumn("__ki", expr(

@@ -408,7 +408,11 @@ object Pipeline {
           .filter(expr("cost_bits * 100 <= n_bigrams * 458"))
           .select(col("doc_id"), col("cost_bits"), col("n_bigrams")),
         "doc_id")
-      val dg = k2.withColumn("digest", md5(col("text")))
+      // dg feeds BOTH the canonical aggregate and the final join — stage
+      // it or the whole LM-scoring subtree re-executes per reference
+      // (the x_pipeline_modern lesson; the r13 plan audit caught the
+      // doubled subtree).
+      val dg = stage(k2.withColumn("digest", md5(col("text"))))
       val canon = dg.groupBy(col("digest")).agg(
         min(col("doc_id")).as("doc_id"),
         count(lit(1)).cast("long").as("n_copies"))

@@ -56,6 +56,14 @@ class HtmlSpec extends SparkSpec {
     assert(extract(html, maxDensityPct = 32)._2 == 0L)
   }
 
+  test("null html emits nothing (never a NULL-riddled row)") {
+    val out = Html.extractText(
+      Seq((1L, null.asInstanceOf[String]), (2L, "<p>kept real content</p>"))
+        .toDF("id", "h"), "id", "h")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L), out)
+  }
+
   test("title becomes its own (short, dropped) block; <br> splits") {
     val (_, kept, text) = extract(
       "<html><head><title>T</title></head><body>" +
