@@ -138,4 +138,70 @@ object ScoreIngest {
         Ranking.bigramFrequencies(docs, "doc_id", "text"),
         st.lm, st.cx, st.tot)
     }(onBatch)
+
+  /** FOLDING bigram-LM state: the staged (ng, cnt) model + its context/
+    * total rollups, growing with the stream — the LM family's other
+    * half beside the frozen [[CorpusLm]] gate (a reference corpus that
+    * itself accretes: each batch is scored against the PRE-batch model,
+    * then its bigram counts fold in — the quantile gate's gate-then-fold
+    * discipline). Counts are pure multiset sums, so a fold is EXACTLY a
+    * fresh [[buildLm]] over everything seen (spec-pinned bitwise);
+    * text novel in batch N stops paying the OOV floor at batch N+1.
+    * Deferred reclaim + replay fence per the [[GraphIngest.KCoreState]]
+    * contract. */
+  final case class FoldingLmState(lm: graft.sources.Tables.Staged,
+                                  cx: graft.sources.Tables.Staged,
+                                  tot: graft.sources.Tables.Staged,
+                                  version: Long, foldedBatch: Long = -1L,
+                                  superseded: Seq[graft.sources.Tables.Staged] = Nil)
+    extends Gate.Folded {
+    /** Drop the superseded state dirs — the next fold's backstop. */
+    def reclaim(): Unit = superseded.foreach(_.drop())
+  }
+
+  /** Train the initial foldable LM (tracked staging, so superseded
+    * versions can be reclaimed as the model grows). */
+  def buildFoldingLm(corpus: DataFrame, idCol: String, textCol: String,
+                     version: Long = 0L): FoldingLmState = {
+    val tf = graft.sources.Tables.stage(
+      Ranking.bigramFrequencies(corpus, idCol, textCol))
+    val (lm0, _, _) = Ranking.ngramLm(tf)
+    stageLmRollups(lm0, version, foldedBatch = -1L, superseded = Nil)
+  }
+
+  private def stageLmRollups(lm0: DataFrame, version: Long,
+                             foldedBatch: Long,
+                             superseded: Seq[graft.sources.Tables.Staged]): FoldingLmState = {
+    val lm = graft.sources.Tables.stageTracked(lm0)
+    val cx = graft.sources.Tables.stageTracked(
+      lm.df.withColumn("prev", expr("split(ng, ' ')[0]"))
+        .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx")))
+    val tot = graft.sources.Tables.stageTracked(
+      lm.df.agg(sum(col("cnt")).cast("long").as("total")))
+    FoldingLmState(lm, cx, tot, version, foldedBatch, superseded)
+  }
+
+  /** GATE-THEN-FOLD LM scoring: each micro-batch scores against the
+    * PRE-batch model (exactly [[startLmGate]]'s arithmetic), then its
+    * bigram counts merge in (integer sums — the grown model is bitwise
+    * a fresh build over the union). The pre-batch staged relations stay
+    * on disk until the NEXT fold's backstop reclaim, so the in-flight
+    * score relation is always readable. */
+  def startLmFolding(stream: Stream, state: AtomicReference[FoldingLmState],
+                     idCol: String, textCol: String,
+                     checkpoint: Option[String] = None)(
+                     onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      st.reclaim() // predecessor's dirs — durable-record window closed
+      val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      val btf = Ranking.bigramFrequencies(docs, "doc_id", "text")
+      val scores = Ranking.scoreAgainstLm(btf, st.lm.df, st.cx.df, st.tot.df)
+      val merged = st.lm.df.select(col("ng"), col("cnt"))
+        .unionByName(btf.groupBy(col("ng"))
+          .agg(sum(col("tf")).cast("long").as("cnt")))
+        .groupBy(col("ng")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      (scores, stageLmRollups(merged, st.version + 1, batchId,
+        superseded = Seq(st.lm, st.cx, st.tot)))
+    }(onBatch)
 }

@@ -222,4 +222,68 @@ class StreamingScoreSpec extends SparkSpec {
       q.stop()
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("folding LM gate: score-then-fold; fold ≡ fresh build; OOV stops at batch N+1; fenced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpus = Seq((1L, "the cat sat"), (2L, "the cat ran"),
+        (3L, "the dog sat")).toDF("doc_id", "text")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildFoldingLm(corpus, "doc_id", "text"))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, Double)]]
+      val q = ScoreIngest.startLmFolding(s, state, "value.doc_id", "value.text") {
+        (scores, _, _) =>
+          got += scores.as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+
+      // batch 1: 'zq qz' is NOVEL — pays the OOV floor against the
+      // pre-batch model (total = 6 → floor = bits(6)+1 = 4).
+      val b1 = Seq((10L, "zq qz zq")).toDF("doc_id", "text")
+      send(b1)
+      assert(got(0) == Seq((10L, 8L, 2L, 4.0)), s"b1 scores: ${got(0)}")
+
+      // the grown model ≡ a fresh build over corpus ∪ b1, bitwise.
+      val grown = state.get()
+      val fresh = ScoreIngest.buildFoldingLm(corpus.unionByName(b1),
+        "doc_id", "text")
+      def lmSet(st: ScoreIngest.FoldingLmState) =
+        st.lm.df.as[(String, Long)].collect().toSet
+      assert(lmSet(grown) == lmSet(fresh),
+        "fold must equal a fresh LM build over everything seen")
+
+      // batch 2: the SAME bigrams no longer pay the OOV floor — both are
+      // now singleton-context model bigrams (ctx = cnt = 1 ⇒ 0 bits;
+      // the trailing 'zq' has no successor, so ctx(zq) = 1, not 2).
+      got.clear()
+      send(Seq((20L, "zq qz zq")).toDF("doc_id", "text"))
+      assert(got(0) == Seq((20L, 0L, 2L, 0.0)),
+        s"post-fold scores must use the grown model: ${got(0)}")
+
+      // replay fence: a re-delivered batch neither scores nor re-folds
+      // (double-folding would double counts — NOT idempotent).
+      val fenced = state.get().copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      got.clear()
+      send(b1)
+      assert(got.isEmpty && (state.get() eq fenced),
+        "fenced batch must neither fold nor emit")
+      q.stop()
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
