@@ -788,4 +788,54 @@ object TextDedup {
       .select(col("__idb").as("id_batch"), col("id").as("id_corpus"),
         col("dist"))
   }
+
+  // ------------------------------------------------ LSH parameter planning
+
+  /** Probability a (bands × rowsPerBand) MinHash LSH scheme CANDIDATES a
+    * pair of Jaccard similarity `s`: 1 − (1 − s^r)^b (Leskovec/Rajaraman/
+    * Ullman, Mining of Massive Datasets ch. 3). Driver-side planning math
+    * — floats never enter an oracle-checked plan (verification is exact
+    * regardless: banding only proposes candidates). */
+  def lshCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(s >= 0 && s <= 1 && bands >= 1 && rowsPerBand >= 1,
+      s"s=$s bands=$bands rowsPerBand=$rowsPerBand")
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+  }
+
+  /** One candidate LSH geometry and its operating curve. `threshold` is
+    * the S-curve inflection (1/b)^(1/r) — pairs above it are mostly
+    * candidated, below mostly not; `recallAtTarget`/`fpAtDistant` are
+    * the candidate probabilities at the caller's target similarity and
+    * at target − 0.2 (the "clearly different" proxy). */
+  final case class LshPlan(numHashes: Int, bands: Int, rowsPerBand: Int,
+                           threshold: Double, recallAtTarget: Double,
+                           fpAtDistant: Double)
+
+  /** Pick the banding for a fixed signature length `numHashes` whose
+    * implicit threshold sits closest BELOW-or-at the target Jaccard
+    * (below ⇒ recall errs high; verification removes the extra
+    * candidates exactly, so the cost of aiming low is compute, never
+    * correctness — the right bias for a dedup gate). Falls back to the
+    * closest divisor overall when none sits below. Returns every
+    * divisor's plan too, so a deployment can trade recall against the
+    * fpAtDistant candidate cost explicitly. */
+  def lshPlan(numHashes: Int, targetJaccard: Double): (LshPlan, Seq[LshPlan]) = {
+    require(numHashes >= 2 && numHashes <= 4096, s"numHashes=$numHashes")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard=$targetJaccard must be in (0, 1)")
+    val all = (1 to numHashes)
+      .filter(b => numHashes % b == 0)
+      .map { b =>
+        val r = numHashes / b
+        val t = math.pow(1.0 / b, 1.0 / r)
+        LshPlan(numHashes, b, r, t,
+          lshCandidateProb(targetJaccard, b, r),
+          lshCandidateProb(math.max(0.0, targetJaccard - 0.2), b, r))
+      }
+    val below = all.filter(_.threshold <= targetJaccard)
+    val pick =
+      if (below.nonEmpty) below.maxBy(_.threshold)
+      else all.minBy(p => math.abs(p.threshold - targetJaccard))
+    (pick, all)
+  }
 }

@@ -370,4 +370,34 @@ class TextDedupSpec extends SparkSpec {
     assert(!pCap.exists(p => hotIds(p._2)) && pUn.exists(p => hotIds(p._2)))
     assert(pCap == pUn.filter(p => !hotIds(p._2)) && pCap.exists(_._1 == 501L))
   }
+
+  test("lshPlan: S-curve math, below-target bias, registry-geometry anchor") {
+    // the candidate probability is the textbook 1 − (1 − s^r)^b and
+    // MONOTONE in s (more similar → more likely candidated).
+    val probs = (0 to 10).map(i => TextDedup.lshCandidateProb(i / 10.0, 4, 3))
+    assert(probs.head == 0.0 && probs.last == 1.0)
+    assert(probs.zip(probs.tail).forall { case (a, b) => a <= b }, probs)
+
+    // the registry geometry (k=12, bands=4 ⇒ r=3): threshold
+    // (1/4)^(1/3) ≈ 0.63 — pairs at the shipped 0.5 verify threshold
+    // are proposed with prob ≈ 0.41, at 0.8 with 1 − 0.488⁴ ≈ 0.9433.
+    val (_, all12) = TextDedup.lshPlan(12, 0.63)
+    val g = all12.find(p => p.bands == 4).get
+    assert(math.abs(g.threshold - math.pow(0.25, 1.0 / 3)) < 1e-12)
+    assert(math.abs(TextDedup.lshCandidateProb(0.8, 4, 3) - 0.943287) < 1e-3)
+
+    // planner bias: the picked plan's threshold sits at-or-below target
+    // (recall errs HIGH; exact verification owns precision) and is the
+    // largest such divisor geometry.
+    for (t <- Seq(0.5, 0.7, 0.9); n <- Seq(12, 64, 128)) {
+      val (pick, all) = TextDedup.lshPlan(n, t)
+      assert(pick.bands * pick.rowsPerBand == n)
+      val below = all.filter(_.threshold <= t)
+      if (below.nonEmpty)
+        assert(pick.threshold == below.map(_.threshold).max,
+          s"n=$n t=$t pick=$pick")
+      // recall at target always ≥ the candidate prob at target − 0.2.
+      assert(pick.recallAtTarget >= pick.fpAtDistant)
+    }
+  }
 }
