@@ -15,20 +15,34 @@ import org.apache.spark.sql.functions._
   * projection at any scale AND replays verbatim in the DuckDB oracle
   * (the same chain spelled per dialect: `regexp_replace` takes a 'g'
   * flag there, string literals don't process backslashes, lists are
-  * 1-indexed via `[i]`). Patterns deliberately avoid backreferences and
-  * lookaheads (RE2 has neither) and backslash classes (escaping
-  * differs); case-insensitivity and dotall ride inline `(?i)`/`(?s)`
-  * flags, which both engines accept.
+  * 1-indexed via `[i]`, codepoint→char is `chr()` there vs UTF-8 byte
+  * synthesis through `decode(unhex(…))` here — same character out).
+  * Patterns deliberately avoid backreferences and lookaheads (RE2 has
+  * neither) and backslash classes (escaping differs); case-insensitivity
+  * and dotall ride inline `(?i)`/`(?s)` flags, which both engines accept.
   *
   * Pinned contract (each rule replayed by the oracle):
   *  1. `<script>…</script>`, `<style>…</style>` blocks and `<!--…-->`
   *     comments are removed first (dotall, case-insensitive, non-greedy);
   *  2. the document splits into blocks at closing block-level tags:
-  *     `</p> </li> </h1..6> </div>` and `<br…>`;
-  *  3. a block's VISIBLE text = remaining tags stripped to a space,
-  *     entities decoded (`&nbsp; &lt; &gt; &quot; &#39;` then `&amp;`
-  *     LAST — decoding `&amp;` earlier would double-decode
-  *     `&amp;lt;` to `<`), space runs collapsed, trimmed;
+  *     `</p> </li> </h1..6> </div> </title>` and `<br…>`;
+  *  3. a block's VISIBLE text = remaining tags stripped to a space, then
+  *     entities decoded in FOUR pinned passes:
+  *     3a. common named entities rewrite to their numeric form
+  *         (`&mdash;→&#8212;` etc — [[NamedAliases]]; safe before the
+  *         `&amp;` pass: `&amp;mdash;` contains no `&mdash;`),
+  *     3b. ONE numeric-reference pass: every `&#NNN;` (1-7 digits) /
+  *         `&#xHH;` (1-6 hex digits) whose codepoint is a Unicode scalar
+  *         value (1..0xD7FF or 0xE000..0x10FFFF) becomes that character;
+  *         out-of-range and surrogate refs survive VERBATIM; code 38
+  *         (`&`) rewrites to `&amp;` instead of decoding so the final
+  *         `&amp;` rule fires exactly once for it — single-decode
+  *         semantics throughout (`&#38;lt;` → literal `&lt;`, never `<`),
+  *     3c. `&nbsp;` → ASCII space (the readability choice; a numeric
+  *         `&#160;` yields the literal U+00A0), `&lt; &gt; &quot;`,
+  *     3d. `&amp;` LAST — decoding it earlier would double-decode
+  *         `&amp;lt;` to `<`;
+  *     then space runs collapse and the result is trimmed;
   *  4. a block KEEPS iff visible length ≥ `minChars` AND
   *     100·len(anchor visible text) < `maxDensityPct`·len(visible) —
   *     the exact-integer link-density gate (anchor text = every
@@ -37,19 +51,26 @@ import org.apache.spark.sql.functions._
   */
 object Html {
 
+  /** Numeric character reference pattern. Bounded repetition (RE2 ∩
+    * Java) caps the value: ≤ 7 decimal digits (< 10^7) / ≤ 6 hex digits
+    * (< 2^24) — both fit a BIGINT with room, so the parse can't
+    * overflow before the scalar-range check rejects it. */
+  val NumRefPattern: String = "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+
+  /** Step-3a named-entity → numeric-reference aliases (the refs the
+    * common crawl actually carries beyond the XML five). Decoded by the
+    * numeric pass, so there is exactly ONE codepoint→char code path. */
+  val NamedAliases: Seq[(String, String)] = Seq(
+    "&mdash;" -> "&#8212;", "&ndash;" -> "&#8211;",
+    "&hellip;" -> "&#8230;", "&rsquo;" -> "&#8217;",
+    "&lsquo;" -> "&#8216;", "&ldquo;" -> "&#8220;",
+    "&rdquo;" -> "&#8221;", "&apos;" -> "&#39;")
+
   /** regexp_replace with the global flag spelled per dialect (Spark
     * replaces all matches by default; DuckDB needs 'g'). */
   private def rre(duck: Boolean)(x: String, p: String, r: String): String =
     if (duck) s"regexp_replace($x, '$p', '$r', 'g')"
     else s"regexp_replace($x, '$p', '$r')"
-
-  /** Entity decode — `&amp;` LAST (the double-decode trap). The
-    * apostrophe replacement is spelled per dialect ('' doubling works in
-    * both, but keep it explicit here). */
-  private def entities(x: String): String =
-    s"replace(replace(replace(replace(replace(replace($x," +
-      " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')," +
-      " '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
 
   /** SQL for step 1: script/style/comment removal over html expr `h`. */
   def cleanSql(h: String, duck: Boolean): String = {
@@ -66,12 +87,95 @@ object Html {
     else s"split($cleaned, '$pat')"
   }
 
-  /** SQL for step 3: the visible text of a block expr (tags → space,
-    * entities decoded, space runs collapsed, trimmed). */
-  def visibleSql(x: String, duck: Boolean): String = {
-    val r = rre(duck) _
-    s"trim(${r(entities(r(x, "(?s)<[^>]*>", " ")), "  *", " ")})"
+  /** The codepoint of a numeric-reference expr `r` (`&#39;` /
+    * `&#x2019;`), BIGINT. Hex parse: Spark `conv(h, 16, 10)`, DuckDB
+    * `CAST('0x'||h …)`. */
+  private def refCodeSql(r: String, duck: Boolean): String = {
+    val hexDigits = s"substring($r, 4, length($r) - 4)"
+    val decDigits = s"substring($r, 3, length($r) - 3)"
+    val hexVal =
+      if (duck) s"CAST(concat('0x', $hexDigits) AS BIGINT)"
+      else s"CAST(conv($hexDigits, 16, 10) AS BIGINT)"
+    s"""(CASE WHEN substring($r, 3, 1) IN ('x', 'X') THEN $hexVal
+       |      ELSE CAST($decDigits AS BIGINT) END)""".stripMargin
   }
+
+  /** The character of codepoint expr `c`: DuckDB `chr`, Spark UTF-8
+    * byte synthesis (Spark's `chr` is ASCII-only) — the same string
+    * out of both. `c` must already be a valid scalar value. */
+  private def codeCharSql(c: String, duck: Boolean): String =
+    if (duck) s"chr(CAST($c AS INT))"
+    else {
+      def b(e: String) = s"lpad(conv($e, 10, 16), 2, '0')"
+      s"""decode(unhex(CASE
+         |  WHEN $c < 128 THEN ${b(c)}
+         |  WHEN $c < 2048 THEN concat(${b(s"192 + $c div 64")},
+         |    ${b(s"128 + $c % 64")})
+         |  WHEN $c < 65536 THEN concat(${b(s"224 + $c div 4096")},
+         |    ${b(s"128 + ($c div 64) % 64")}, ${b(s"128 + $c % 64")})
+         |  ELSE concat(${b(s"240 + $c div 262144")},
+         |    ${b(s"128 + ($c div 4096) % 64")},
+         |    ${b(s"128 + ($c div 64) % 64")}, ${b(s"128 + $c % 64")})
+         |END), 'UTF-8')""".stripMargin
+    }
+
+  /** Step-3b decode of ONE numeric reference expr `r`: the codepoint's
+    * character for scalar values, `&amp;` for code 38, `r` verbatim
+    * otherwise. */
+  private def decodeRefSql(r: String, duck: Boolean): String = {
+    val c = refCodeSql(r, duck)
+    s"""(CASE WHEN $c = 38 THEN '&amp;'
+       |      WHEN ($c BETWEEN 1 AND 55295) OR ($c BETWEEN 57344 AND 1114111)
+       |        THEN ${codeCharSql(c, duck)}
+       |      ELSE $r END)""".stripMargin
+  }
+
+  /** Step-3b over a whole string expr `x`: split at numeric refs (both
+    * engines keep trailing empty segments, so segments = refs + 1
+    * always), decode each ref, reassemble. Spark's indexed transform
+    * avoids the `sequence(1, 0)` descending trap; DuckDB's `range(1,1)`
+    * is genuinely empty. */
+  // NOTE: these templates are interpolated into OUTER stripMargin
+  // templates (extractText / duckExtractItems / oracle queries) — no
+  // generated line may START with '|' (a line-leading '||' loses its
+  // first pipe to the outer stripMargin), so '||' always trails a line.
+  private def numericSql(x: String, duck: Boolean): String =
+    if (duck)
+      s"(string_split_regex($x, '$NumRefPattern')[1] || COALESCE(" +
+        "array_to_string(list_transform(" +
+        s"range(1, len(regexp_extract_all($x, '$NumRefPattern')) + 1), ej -> " +
+        decodeRefSql(s"regexp_extract_all($x, '$NumRefPattern')[ej]",
+          duck = true) +
+        s" || string_split_regex($x, '$NumRefPattern')[ej + 1]), ''), ''))"
+    else
+      s"""concat(element_at(split($x, '$NumRefPattern'), 1),
+         | array_join(transform(regexp_extract_all($x, '$NumRefPattern', 0),
+         |   (er, ej) -> concat(${decodeRefSql("er", duck = false)},
+         |     element_at(split($x, '$NumRefPattern'), ej + 2))), ''))""".stripMargin
+
+  /** Steps 3-pre: tags → space and the step-3a alias rewrite, over a
+    * block expr. Split from [[finishSql]] so [[extractText]] can stage
+    * the expensive tag-strip regex ONCE per block (the numeric pass
+    * references its input three times). */
+  def prepSql(x: String, duck: Boolean): String =
+    NamedAliases.foldLeft(rre(duck)(x, "(?s)<[^>]*>", " ")) {
+      case (e, (k, v)) => s"replace($e, '$k', '$v')"
+    }
+
+  /** Steps 3b-3d + collapse/trim over a PREPPED expr (cheap to
+    * reference — pass an array element or column, not a regex chain). */
+  def finishSql(x: String, duck: Boolean): String = {
+    val named = s"replace(replace(replace(replace(${numericSql(x, duck)}," +
+      " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')"
+    s"trim(${rre(duck)(s"replace($named, '&amp;', '&')", "  *", " ")})"
+  }
+
+  /** SQL for the full step-3 visibility transform of a block expr —
+    * the contract form ([[extractText]] stages [[prepSql]] /
+    * [[finishSql]] separately for plan economy; this composition is
+    * what the spec pins). */
+  def visibleSql(x: String, duck: Boolean): String =
+    finishSql(prepSql(x, duck), duck)
 
   /** SQL for the anchor-inner concatenation of a block expr. DuckDB's
     * `array_to_string([])` is NULL where Spark's `array_join([])` is ''
@@ -82,20 +186,14 @@ object Html {
     else s"array_join($ex, ' ')"
   }
 
-  /** SQL for step 4's keep predicate over a block expr. */
-  def keepSql(x: String, minChars: Int, maxDensityPct: Int,
-              duck: Boolean): String = {
-    val v = visibleSql(x, duck)
-    val a = visibleSql(anchorsSql(x, duck), duck)
-    s"(length($v) >= $minChars AND " +
-      s"100 * length($a) < $maxDensityPct * length($v))"
-  }
-
   /** Extract text from an (id, html) relation: (doc_id, n_blocks,
     * n_kept, text) — one codegen-friendly projection chain per row, no
     * shuffle (the higher-order filter/transform run per document, the
-    * unit of work). `maxDensityPct` = 100·max link density (e.g. 33 =
-    * drop blocks whose text is ≥ 1/3 anchor text). */
+    * unit of work). The per-block visible/anchor texts are computed
+    * ONCE into arrays and the keep gate + output read the arrays — the
+    * gate and the join never re-run the regex chains. `maxDensityPct`
+    * = 100·max link density (e.g. 33 = drop blocks whose text is
+    * ≥ 1/3 anchor text). */
   def extractText(df: DataFrame, idCol: String, htmlCol: String,
                   minChars: Int = 10, maxDensityPct: Int = 34): DataFrame = {
     require(minChars >= 1 && maxDensityPct >= 1 && maxDensityPct <= 100,
@@ -106,32 +204,47 @@ object Html {
       .filter(col(htmlCol).isNotNull)
       .withColumn("__bl", expr(blocksSql(cleanSql(htmlCol, duck = false),
         duck = false)))
+      .withColumn("__vis", expr(
+        s"""transform(transform(__bl, bb -> ${prepSql("bb", duck = false)}),
+           |  yy -> ${finishSql("yy", duck = false)})""".stripMargin))
+      .withColumn("__va", expr(
+        s"""transform(transform(__bl,
+           |    bb -> ${prepSql(anchorsSql("bb", duck = false), duck = false)}),
+           |  yy -> ${finishSql("yy", duck = false)})""".stripMargin))
       .withColumn("__ki", expr(
         s"""filter(sequence(1, size(__bl)),
-           |  i -> ${keepSql("element_at(__bl, i)", minChars, maxDensityPct,
-                             duck = false)})""".stripMargin))
+           |  i -> length(element_at(__vis, i)) >= $minChars AND
+           |       100 * length(element_at(__va, i)) <
+           |         $maxDensityPct * length(element_at(__vis, i)))""".stripMargin))
       .select(
         col(idCol).cast("long").as("doc_id"),
         expr("CAST(size(__bl) AS BIGINT)").as("n_blocks"),
         expr("CAST(size(__ki) AS BIGINT)").as("n_kept"),
-        expr(s"""array_join(transform(__ki,
-                |  i -> ${visibleSql("element_at(__bl, i)", duck = false)}),
-                |  '\\n')""".stripMargin).as("text"))
+        expr("array_join(transform(__ki, i -> element_at(__vis, i)), '\\n')")
+          .as("text"))
   }
 
   /** The DuckDB twin of [[extractText]]'s projection as SELECT items
     * over an html expr (splice into the oracle query): returns the
-    * (n_blocks, n_kept, text) item list. */
+    * (n_blocks, n_kept, text) item list. Same staged shape: prepped
+    * arrays → visible arrays → keep indexes. */
   def duckExtractItems(h: String, minChars: Int, maxDensityPct: Int): String = {
     val bl = blocksSql(cleanSql(h, duck = true), duck = true)
-    val keep = keepSql("bl[i]", minChars, maxDensityPct, duck = true)
-    val vis = visibleSql("bl[i]", duck = true)
     s"""CAST(len(bl) AS BIGINT) AS n_blocks,
        |CAST(len(ki) AS BIGINT) AS n_kept,
-       |COALESCE(array_to_string(list_transform(ki, i -> $vis), chr(10)),
+       |COALESCE(array_to_string(list_transform(ki, i -> vis[i]), chr(10)),
        |         '') AS text
-       |FROM (SELECT doc_id, bl,
-       |             list_filter(range(1, len(bl) + 1), i -> $keep) AS ki
-       |      FROM (SELECT doc_id, $bl AS bl FROM __html_src))""".stripMargin
+       |FROM (SELECT doc_id, bl, vis,
+       |        list_filter(range(1, len(bl) + 1), i ->
+       |          length(vis[i]) >= $minChars AND
+       |          100 * length(va[i]) < $maxDensityPct * length(vis[i])) AS ki
+       |      FROM (SELECT doc_id, bl,
+       |              list_transform(p, yy -> ${finishSql("yy", duck = true)}) AS vis,
+       |              list_transform(pa, yy -> ${finishSql("yy", duck = true)}) AS va
+       |            FROM (SELECT doc_id, bl,
+       |                    list_transform(bl, bb -> ${prepSql("bb", duck = true)}) AS p,
+       |                    list_transform(bl,
+       |                      bb -> ${prepSql(anchorsSql("bb", duck = true), duck = true)}) AS pa
+       |                  FROM (SELECT doc_id, $bl AS bl FROM __html_src))))""".stripMargin
   }
 }

@@ -353,7 +353,11 @@ object Subword {
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq")))
     val totalChars = dict.agg(sum(expr("freq * length(w)")).cast("long"))
       .head().getLong(0)
-    require(totalChars < (1L << 31),
+    // score = (cnt·2^scaleBits) div (cnt_a·cnt_b) with every count
+    // ≤ totalChars, so the bound must move with the parameter:
+    // cnt·2^scaleBits < 2^62 ⇔ totalChars < 2^(62 − scaleBits).
+    require(scaleBits >= 1 && scaleBits <= 40, s"scaleBits=$scaleBits")
+    require(totalChars < (1L << (62 - scaleBits)),
       s"trainWordpiece: $totalChars weighted chars overflow the 2^$scaleBits-scaled " +
         "integer score; shrink the corpus or the scale")
     def symsOf(lvl: DataFrame): DataFrame =

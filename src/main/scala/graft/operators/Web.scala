@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** URL curation primitives — the web-crawl staples (CCNet/RefinedWeb
@@ -117,9 +117,4 @@ object Web {
       withCanonicalUrl(df, urlCol, "__w_canon"), "__w_canon_host", "domain")
     Sampling.stratifiedSample(withDomain, "domain", idCol, cap)
   }
-
-  /** Convenience column form of [[withCanonicalUrl]]'s output for ad-hoc
-    * use: canonicalize a single URL column. */
-  def canonicalUrl(df: DataFrame, urlCol: String): Column =
-    withCanonicalUrl(df, urlCol, "__w_out").col("__w_out")
 }

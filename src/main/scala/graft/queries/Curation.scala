@@ -596,6 +596,8 @@ object Curation {
             |'<p>', concat_ws(' ', slice(__t, 1, 5)),
             |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
             |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+            |'<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ',
+            |'&#38;lt; lit &#55296; kept</p>',
             |'<p><a href="/next">next page</a></p>',
             |'</body></html>')""".stripMargin))
       graft.operators.Html.extractText(docs, "doc_id", "__html",
@@ -603,7 +605,7 @@ object Curation {
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                    FROM documents),
+                    FROM documents WHERE text IS NOT NULL),
       __html_src AS (
         SELECT doc_id,
           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -615,6 +617,8 @@ object Curation {
           '<p>' || array_to_string(t[1:5], ' ') ||
           ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
           '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
+          '<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ' ||
+          '&#38;lt; lit &#55296; kept</p>' ||
           '<p><a href="/next">next page</a></p>' ||
           '</body></html>' AS h
         FROM toks)

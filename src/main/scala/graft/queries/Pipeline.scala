@@ -396,6 +396,8 @@ object Pipeline {
             |'<p>', concat_ws(' ', slice(__t, 1, 5)),
             |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
             |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+            |'<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ',
+            |'&#38;lt; lit &#55296; kept</p>',
             |'<p><a href="/next">next page</a></p>',
             |'</body></html>')""".stripMargin))
       val ext = stage(Html.extractText(pages, "doc_id", "__html",
@@ -426,7 +428,8 @@ object Pipeline {
                CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
                     THEN p.text ELSE d.text END AS ptext
         FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
-      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t FROM src),
+      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t FROM src
+               WHERE ptext IS NOT NULL),
       __html_src AS (
         SELECT doc_id,
           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -438,6 +441,8 @@ object Pipeline {
           '<p>' || array_to_string(t[1:5], ' ') ||
           ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
           '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
+          '<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ' ||
+          '&#38;lt; lit &#55296; kept</p>' ||
           '<p><a href="/next">next page</a></p>' ||
           '</body></html>' AS h
         FROM toks),
@@ -445,10 +450,10 @@ object Pipeline {
         SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}),
       k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
       bo AS (SELECT doc_id, unnest(list_transform(
-               range(1, len(string_split(text, ' '))),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i + 1])) AS ng
-             FROM k1 WHERE len(string_split(text, ' ')) >= 2),
+               range(1, len(string_split(lower(text), ' '))),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i + 1])) AS ng
+             FROM k1 WHERE len(string_split(lower(text), ' ')) >= 2),
       tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
              FROM bo GROUP BY doc_id, ng),
       lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),

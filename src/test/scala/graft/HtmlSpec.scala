@@ -34,6 +34,38 @@ class HtmlSpec extends SparkSpec {
     assert(text == "a & b <x> \"q\" 's' &lt; literal", text)
   }
 
+  test("numeric character references: decimal, hex, 2/3/4-byte UTF-8") {
+    val (_, _, text) = extract(
+      "<p>it&#8217;s &#x2019; caf&#233; dash&#x2014;here grin &#128512; end</p>")
+    assert(text == "it’s ’ café dash—here grin " +
+      "😀 end", text)
+  }
+
+  test("named aliases ride the numeric pass: &mdash; &hellip; &rsquo; &apos;") {
+    val (_, _, text) = extract(
+      "<p>a &mdash; b &hellip; c&rsquo;s &apos;q&apos; end of line</p>")
+    assert(text == "a — b … c’s 'q' end of line", text)
+  }
+
+  test("single-decode semantics: &#38; rewrites to &amp; — never cascades") {
+    // &#38;lt; must yield the literal text '&lt;', exactly like &amp;lt;
+    val (_, _, text) = extract(
+      "<p>x &#38;lt; y &amp;#8217; z stays literal here</p>")
+    assert(text == "x &lt; y &#8217; z stays literal here", text)
+  }
+
+  test("out-of-range and surrogate refs survive verbatim") {
+    val (_, _, text) = extract(
+      "<p>bad &#0; worse &#55296; huge &#9999999; all kept verbatim</p>")
+    assert(text == "bad &#0; worse &#55296; huge &#9999999; all kept verbatim",
+      text)
+  }
+
+  test("named &nbsp; is ASCII space; numeric &#160; is the literal U+00A0") {
+    val (_, _, text) = extract("<p>a&nbsp;b and then c&#160;d stays</p>")
+    assert(text == "a b and then c d stays", text)
+  }
+
   test("link-density gate drops nav; min-length drops stubs; order preserved") {
     val html =
       "<div><a href='/'>Home</a> <a href='/a'>About</a> nav</div>" + // dense
