@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *    https); other ports are kept — they address different servers;
   *  - ONE trailing slash is stripped from the path (so `/a/` ≡ `/a`
   *    and a bare `/` ≡ empty — the dedup-oriented choice, stated);
+  *  - percent-encodings in the path+query normalize (RFC 3986 §6.2.2):
+  *    a `%XX` of an UNRESERVED character (ALPHA / DIGIT / `-._~`)
+  *    decodes to the character (`%7Efoo` ≡ `~foo`, `%41` ≡ `A`); any
+  *    other `%XX` keeps its escape with the hex digits UPPERCASED
+  *    (`%2f` ≡ `%2F` — decoding a reserved char would change the URL);
+  *    a `%` not followed by two hex digits passes through verbatim;
   *  - tracking parameters are dropped (`utm_*` prefixes and the
   *    literal names below), remaining query params are SORTED (param
   *    order is almost never significant; sorting makes `?a=1&b=2` ≡
@@ -30,6 +36,10 @@ import org.apache.spark.sql.functions._
   *    deterministic, just not specially handled).
   */
 object Web {
+
+  /** Percent-escape pattern (RE2 ∩ Java — bounded, no classes that
+    * differ across engines). */
+  val PctPattern: String = "%[0-9a-fA-F]{2}"
 
   /** Query parameters dropped by canonicalization: anything whose name
     * starts with `utm_`, plus these exact names. */
@@ -41,6 +51,39 @@ object Web {
     * are); suffixes here take three labels, everything else two. */
   val MultiSuffixes: Seq[String] =
     Seq("co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br")
+
+  /** SQL for percent-encoding normalization over expr `x` (the
+    * path+query slice of a URL), spelled per dialect — the Html
+    * numeric-reference machinery's shape: split at escapes (both
+    * engines keep trailing empty segments, so segments = escapes + 1),
+    * rewrite each escape, reassemble. Escapes of unreserved codepoints
+    * (45 `-`, 46 `.`, 48-57 digits, 65-90 / 97-122 letters, 95 `_`,
+    * 126 `~`) decode — all ASCII, so Spark's `chr` is safe; everything
+    * else re-emits `%` + UPPERCASED hex. No generated line starts with
+    * '|' (the outer-stripMargin trap). */
+  def pctNormSql(x: String, duck: Boolean): String = {
+    def unres(c: String) =
+      s"($c = 45 OR $c = 46 OR ($c BETWEEN 48 AND 57) OR " +
+        s"($c BETWEEN 65 AND 90) OR $c = 95 OR ($c BETWEEN 97 AND 122) OR " +
+        s"$c = 126)"
+    if (duck) {
+      val ref = s"regexp_extract_all($x, '$PctPattern')[pj]"
+      val c = s"CAST(concat('0x', substr($ref, 2, 2)) AS INT)"
+      s"(string_split_regex($x, '$PctPattern')[1] || COALESCE(" +
+        "array_to_string(list_transform(" +
+        s"range(1, len(regexp_extract_all($x, '$PctPattern')) + 1), pj -> " +
+        s"(CASE WHEN ${unres(c)} THEN chr($c) " +
+        s"ELSE concat('%', upper(substr($ref, 2, 2))) END) " +
+        s"|| string_split_regex($x, '$PctPattern')[pj + 1]), ''), ''))"
+    } else {
+      val c = "CAST(conv(substring(pe, 2, 2), 16, 10) AS INT)"
+      s"concat(element_at(split($x, '$PctPattern'), 1), " +
+        s"array_join(transform(regexp_extract_all($x, '$PctPattern', 0), " +
+        s"(pe, pj) -> concat(CASE WHEN ${unres(c)} THEN chr($c) " +
+        "ELSE concat('%', upper(substring(pe, 2, 2))) END, " +
+        s"element_at(split($x, '$PctPattern'), pj + 2))), ''))"
+    }
+  }
 
   /** Append canonical-URL columns to `df`: `outCol` (the canonical
     * form) and `outCol_host` (the canonical lowercased port-stripped-
@@ -65,22 +108,26 @@ object Web {
           |     ELSE lower(__w_hostport) END""".stripMargin))
       .withColumn("__w_pq", expr(
         "substring(__w_nofrag, length(__w_hostport) + 1)"))
-      .withColumn("__w_path0", expr("split_part(__w_pq, '?', 1)"))
+      // percent-normalize the whole path+query at once — decoding
+      // never produces '?' '&' '=' '/' (reserved chars keep their
+      // escapes), so the splits below are unaffected by the ordering.
+      .withColumn("__w_pqn", expr(pctNormSql("__w_pq", duck = false)))
+      .withColumn("__w_path0", expr("split_part(__w_pqn, '?', 1)"))
       .withColumn("__w_path", expr(
         """CASE WHEN __w_path0 LIKE '%/'
           |       THEN substring(__w_path0, 1, length(__w_path0) - 1)
           |     ELSE __w_path0 END""".stripMargin))
       .withColumn("__w_q", expr(
         s"""array_join(array_sort(filter(
-           |  split(CASE WHEN instr(__w_pq, '?') > 0
-           |             THEN split_part(__w_pq, '?', 2) ELSE '' END, '&'),
+           |  split(CASE WHEN instr(__w_pqn, '?') > 0
+           |             THEN split_part(__w_pqn, '?', 2) ELSE '' END, '&'),
            |  p -> p != '' AND NOT startswith(p, 'utm_')
            |       AND NOT split_part(p, '=', 1) IN $tracking)), '&')""".stripMargin))
       .withColumn(outCol, expr(
         s"""concat(__w_scheme, '://', ${outCol}_host, __w_path,
            |  CASE WHEN __w_q = '' THEN '' ELSE concat('?', __w_q) END)""".stripMargin))
       .drop("__w_scheme", "__w_rest", "__w_nofrag", "__w_hostport",
-        "__w_pq", "__w_path0", "__w_path", "__w_q")
+        "__w_pq", "__w_pqn", "__w_path0", "__w_path", "__w_q")
   }
 
   /** Append the registrable domain of `hostCol` (a canonical host,
@@ -107,6 +154,53 @@ object Web {
       .drop("__w_ls", "__w_n")
   }
 
+  /** The loadable-PSL form of [[withRegistrableDomain]]: `psl` is a
+    * relation with a `suffix` column (the public-suffix list, loaded
+    * like a tokenizer vocab — a versioned deployment artifact; the
+    * pinned [[MultiSuffixes]] two-arg overload is the no-artifact
+    * fallback). Longest-match semantics over EXACT suffix entries of
+    * 1..[[MaxSuffixLabels]] labels: the host's registrable domain is
+    * its trailing (k+1) labels where k = the label count of the
+    * longest matching suffix; no entry matches → the PSL default rule
+    * `*` applies (last label is the public suffix, domain = last two
+    * labels); a host that IS a suffix (or has ≤ k+1 labels) is its own
+    * domain. Plan shape: one BROADCAST LEFT JOIN per candidate length
+    * — the suffix relation is list-sized by contract; the corpus never
+    * shuffles (wildcard `*.x` / exception `!y.x` PSL rules are not
+    * modeled — state them as exact entries). */
+  def withRegistrableDomain(df: DataFrame, hostCol: String, outCol: String,
+                            psl: DataFrame): DataFrame = {
+    val sfx = psl.select(col("suffix").cast("string").as("suffix")).distinct()
+    var out = df
+      .withColumn("__w_h", expr(s"split_part($hostCol, ':', 1)"))
+      .withColumn("__w_ls", expr("split(__w_h, '\\\\.')"))
+      .withColumn("__w_n", expr("size(__w_ls)"))
+    // k = 1 is never joined: a 1-label match and a non-match both land
+    // on the '*' default (kExpr's ELSE 1), so the lookup would be dead
+    // weight (Catalyst would eliminate the unused left join anyway).
+    for (k <- 2 to MaxSuffixLabels) {
+      out = out
+        .withColumn(s"__w_s$k", expr(
+          s"IF(__w_n >= $k, concat_ws('.', slice(__w_ls, __w_n - $k + 1, $k)), NULL)"))
+        .join(broadcast(sfx.select(col("suffix").as(s"__w_s$k"),
+          lit(1).as(s"__w_m$k"))), Seq(s"__w_s$k"), "left")
+    }
+    val kExpr = (MaxSuffixLabels to 2 by -1)
+      .map(k => s"WHEN __w_m$k = 1 THEN $k")
+      .mkString("CASE ", " ", " ELSE 1 END") // ELSE 1 = the PSL '*' default
+    out.withColumn("__w_k", expr(kExpr))
+      .withColumn(outCol, expr(
+        """IF(__w_n <= __w_k + 1, __w_h,
+          |   concat_ws('.', slice(__w_ls, __w_n - __w_k, __w_k + 1)))""".stripMargin))
+      .drop((Seq("__w_h", "__w_ls", "__w_n", "__w_k") ++
+        (2 to MaxSuffixLabels).flatMap(k => Seq(s"__w_s$k", s"__w_m$k"))): _*)
+  }
+
+  /** Longest suffix entry the loadable-PSL join considers, in labels.
+    * 4 covers every exact entry shape in the real PSL that matters for
+    * grouping (`act.edu.au` is 3; a handful of 4s exist). */
+  val MaxSuffixLabels: Int = 4
+
   /** Cap documents per registrable domain: canonicalize, extract the
     * domain, keep the `cap` smallest id-hashes per domain (the
     * deterministic [[Sampling.stratifiedSample]] min-k — window-free,
@@ -115,6 +209,16 @@ object Web {
                    cap: Int): DataFrame = {
     val withDomain = withRegistrableDomain(
       withCanonicalUrl(df, urlCol, "__w_canon"), "__w_canon_host", "domain")
+    Sampling.stratifiedSample(withDomain, "domain", idCol, cap)
+  }
+
+  /** [[capPerDomain]] with a loadable PSL (the four-arg
+    * [[withRegistrableDomain]]). */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+                   cap: Int, psl: DataFrame): DataFrame = {
+    val withDomain = withRegistrableDomain(
+      withCanonicalUrl(df, urlCol, "__w_canon"), "__w_canon_host", "domain",
+      psl)
     Sampling.stratifiedSample(withDomain, "domain", idCol, cap)
   }
 }

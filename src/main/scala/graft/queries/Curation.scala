@@ -902,13 +902,16 @@ object Curation {
     // web-crawl curation staples: lowercase scheme+host, drop fragment
     // and default ports, strip one trailing slash, drop utm_*/tracking
     // params, SORT the rest, registrable domain via a pinned
-    // multi-suffix set. Pure codegen projection (split_part/substr/
-    // array ops, no UDF, no shuffle). The fixture synthesizes four
-    // messy spellings per id family — v0 (shouting host, :443, trailing
-    // slash, utm_ param) canonicalizes EQUAL to v1's clean form, v2
-    // exercises :80 + fragment + param sorting + the co.uk multi-label
-    // suffix, v3 keeps its NON-default port. The oracle replays every
-    // rule with DuckDB's string/list functions.
+    // multi-suffix set, percent-escapes of UNRESERVED chars decoded and
+    // all other escapes hex-uppercased (RFC 3986 §6.2.2). Pure codegen
+    // projection (split_part/substr/array ops, no UDF, no shuffle). The
+    // fixture synthesizes four messy spellings per id family — v0
+    // (shouting host, :443, trailing slash, utm_ param) canonicalizes
+    // EQUAL to v1's percent-obfuscated form (%7e%69tem ≡ ~item — the
+    // unreserved decode), v2 exercises :80 + fragment + param sorting +
+    // the co.uk multi-label suffix, v3 keeps its NON-default port and
+    // its RESERVED escape with uppercased hex (%2f → %2F, never '/').
+    // The oracle replays every rule with DuckDB's string/list functions.
     Q("x_url_canonical", (s, d) => {
       val urls = fanOut(documents(s, d))
         .select(col("doc_id"), expr(sparkUrlFixture).as("url"))
@@ -940,6 +943,76 @@ object Curation {
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM dom)
       SELECT domain, doc_id FROM r WHERE rk <= 10
+      ORDER BY domain, doc_id""")),
+
+    // --------------------------------- per-domain cap with a LOADED PSL
+    // The public-suffix list as a versioned deployment artifact
+    // (Web.withRegistrableDomain's four-arg overload): a `suffix`
+    // relation joins by BROADCAST once per candidate label count
+    // (1..MaxSuffixLabels), LONGEST match wins, no match → the PSL '*'
+    // default (last label is public). The fixture plants a 3-label
+    // suffix (act.edu.au) absent from the pinned MultiSuffixes set, a
+    // longest-match ladder (au < edu.au < act.edu.au), and a host under
+    // an unknown TLD (.zz → default rule). The corpus never shuffles
+    // for the domain; the cap is the window-free min-k.
+    Q("x_domain_psl", (s, d) => {
+      import s.implicits._
+      val urls = fanOut(documents(s, d))
+        .select(col("doc_id"), expr(
+          """CASE CAST(doc_id % 5 AS INT)
+            |  WHEN 0 THEN concat('https://shop.example',
+            |    CAST((doc_id div 5) % 3 AS STRING), '.act.edu.au/p')
+            |  WHEN 1 THEN concat('https://www.site',
+            |    CAST((doc_id div 5) % 7 AS STRING), '.com/x')
+            |  WHEN 2 THEN concat('http://news.example',
+            |    CAST((doc_id div 5) % 7 AS STRING), '.co.uk/y')
+            |  WHEN 3 THEN concat('https://a.b.campus',
+            |    CAST((doc_id div 5) % 7 AS STRING), '.edu.au/z')
+            |  ELSE concat('http://weird.host',
+            |    CAST((doc_id div 5) % 7 AS STRING), '.zz/q')
+            |END""".stripMargin).as("url"))
+      val psl = Seq("com", "uk", "co.uk", "au", "edu.au", "act.edu.au")
+        .toDF("suffix")
+      graft.operators.Web.capPerDomain(urls, "url", "doc_id", cap = 10, psl)
+        .orderBy(col("domain"), col("doc_id"))
+    }, Some("""
+      WITH psl AS (
+        SELECT unnest(['com', 'uk', 'co.uk', 'au', 'edu.au', 'act.edu.au']) AS suffix),
+      u AS (SELECT doc_id,
+              CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 'https://shop.example' ||
+                  CAST((doc_id // 5) % 3 AS VARCHAR) || '.act.edu.au/p'
+                WHEN 1 THEN 'https://www.site' ||
+                  CAST((doc_id // 5) % 7 AS VARCHAR) || '.com/x'
+                WHEN 2 THEN 'http://news.example' ||
+                  CAST((doc_id // 5) % 7 AS VARCHAR) || '.co.uk/y'
+                WHEN 3 THEN 'https://a.b.campus' ||
+                  CAST((doc_id // 5) % 7 AS VARCHAR) || '.edu.au/z'
+                ELSE 'http://weird.host' ||
+                  CAST((doc_id // 5) % 7 AS VARCHAR) || '.zz/q'
+              END AS url FROM documents),
+      h AS (SELECT doc_id,
+              string_split(split_part(split_part(url, '://', 2), '/', 1), '.') AS l,
+              split_part(split_part(url, '://', 2), '/', 1) AS host
+            FROM u),
+      k AS (SELECT doc_id, host, l, len(l) AS n,
+              CASE WHEN len(l) >= 4 AND array_to_string(l[len(l)-3:len(l)], '.')
+                        IN (SELECT suffix FROM psl) THEN 4
+                   WHEN len(l) >= 3 AND array_to_string(l[len(l)-2:len(l)], '.')
+                        IN (SELECT suffix FROM psl) THEN 3
+                   WHEN len(l) >= 2 AND array_to_string(l[len(l)-1:len(l)], '.')
+                        IN (SELECT suffix FROM psl) THEN 2
+                   ELSE 1 END AS kk
+            FROM h),
+      dom AS (SELECT doc_id,
+                CASE WHEN n <= kk + 1 THEN host
+                     ELSE array_to_string(l[n-kk:n], '.') END AS domain
+              FROM k),
+      r AS (SELECT domain, doc_id,
+                   row_number() OVER (PARTITION BY domain
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM dom)
+      SELECT domain, doc_id FROM r WHERE rk <= 10
       ORDER BY domain, doc_id"""))
   )
 
@@ -948,15 +1021,15 @@ object Curation {
   private def sparkUrlFixture: String =
     """CASE CAST(doc_id % 4 AS INT)
       |  WHEN 0 THEN concat('https://WWW.Site', CAST((doc_id div 4) % 7 AS STRING),
-      |    '.COM:443/Articles/item', CAST(doc_id div 4 AS STRING),
+      |    '.COM:443/Articles/~item', CAST(doc_id div 4 AS STRING),
       |    '/?id=', CAST(doc_id div 4 AS STRING), '&utm_source=feed')
       |  WHEN 1 THEN concat('https://www.site', CAST((doc_id div 4) % 7 AS STRING),
-      |    '.com/Articles/item', CAST(doc_id div 4 AS STRING),
+      |    '.com/Articles/%7e%69tem', CAST(doc_id div 4 AS STRING),
       |    '?id=', CAST(doc_id div 4 AS STRING))
       |  WHEN 2 THEN concat('http://news.Example.CO.UK:80/x',
       |    CAST(doc_id div 4 AS STRING), '?b=2&a=1&fbclid=zz#frag')
       |  ELSE concat('http://site', CAST((doc_id div 4) % 7 AS STRING),
-      |    '.com:8080/p?a=', CAST(doc_id div 4 AS STRING))
+      |    '.com:8080/p%2fq?a=', CAST(doc_id div 4 AS STRING))
       |END""".stripMargin
 
   /** DuckDB twin of the fixture + the full canonicalization chain,
@@ -964,18 +1037,18 @@ object Curation {
     * each pinned rule of [[graft.operators.Web.withCanonicalUrl]] /
     * [[graft.operators.Web.withRegistrableDomain]] 1:1. */
   private def duckUrlCtes: String =
-    """u AS (SELECT doc_id,
+    s"""u AS (SELECT doc_id,
       |  CASE CAST(doc_id % 4 AS INT)
       |    WHEN 0 THEN 'https://WWW.Site' || CAST((doc_id // 4) % 7 AS VARCHAR)
-      |      || '.COM:443/Articles/item' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '.COM:443/Articles/~item' || CAST(doc_id // 4 AS VARCHAR)
       |      || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=feed'
       |    WHEN 1 THEN 'https://www.site' || CAST((doc_id // 4) % 7 AS VARCHAR)
-      |      || '.com/Articles/item' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '.com/Articles/%7e%69tem' || CAST(doc_id // 4 AS VARCHAR)
       |      || '?id=' || CAST(doc_id // 4 AS VARCHAR)
       |    WHEN 2 THEN 'http://news.Example.CO.UK:80/x'
       |      || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1&fbclid=zz#frag'
       |    ELSE 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
-      |      || '.com:8080/p?a=' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '.com:8080/p%2fq?a=' || CAST(doc_id // 4 AS VARCHAR)
       |  END AS url FROM documents),
       |s1 AS (SELECT doc_id, url, lower(split_part(url, '://', 1)) AS scheme,
       |              substr(url, length(split_part(url, '://', 1)) + 4) AS rest
@@ -991,10 +1064,12 @@ object Curation {
       |              ELSE lower(hostport) END AS host,
       |         substr(nofrag, length(hostport) + 1) AS pq
       |       FROM s3),
-      |s5 AS (SELECT *, split_part(pq, '?', 1) AS path0,
-      |         CASE WHEN strpos(pq, '?') > 0 THEN split_part(pq, '?', 2)
+      |s4a AS (SELECT *, ${graft.operators.Web.pctNormSql("pq", duck = true)} AS pqn
+      |        FROM s4),
+      |s5 AS (SELECT *, split_part(pqn, '?', 1) AS path0,
+      |         CASE WHEN strpos(pqn, '?') > 0 THEN split_part(pqn, '?', 2)
       |              ELSE '' END AS rawq
-      |       FROM s4),
+      |       FROM s4a),
       |s6 AS (SELECT *,
       |         CASE WHEN path0 LIKE '%/'
       |                THEN substr(path0, 1, length(path0) - 1)

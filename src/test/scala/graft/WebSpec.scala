@@ -43,6 +43,46 @@ class WebSpec extends SparkSpec {
     assert(canon("http://sub.example.com:8080/x").head._3 == "example.com")
   }
 
+  test("percent-encoding: unreserved escapes decode, reserved uppercase") {
+    // %7E → '~' and %41 → 'A' (unreserved decode, hex case-insensitive);
+    // %2F / %2C keep their escape with UPPERCASED hex (reserved).
+    assert(canon("http://a.com/%7efoo%2fbar?x=%41%2c").head._1 ==
+      "http://a.com/~foo%2Fbar?x=A%2C")
+    // a '%' not followed by two hex digits passes through verbatim;
+    // params still sort.
+    assert(canon("http://a.com/100%25x?b=%zz&a=50%").head._1 ==
+      "http://a.com/100%25x?a=50%&b=%zz")
+  }
+
+  test("loadable PSL: longest match, default rule, host == suffix, ports") {
+    val psl = Seq("com", "uk", "co.uk", "au", "edu.au", "act.edu.au")
+      .toDF("suffix")
+    val hosts = Seq(
+      (1L, "shop.example.act.edu.au"), // 3-label suffix absent from the
+      (2L, "a.b.example.edu.au"),      //   pinned MultiSuffixes set
+      (3L, "www.site.com"),
+      (4L, "news.example.co.uk"),
+      (5L, "weird.example.zz"),        // no entry → the '*' default rule
+      (6L, "edu.au"),                  // host IS a suffix → its own domain
+      (7L, "host.com:8080")).toDF("id", "h")
+    val out = Web.withRegistrableDomain(hosts, "h", "dom", psl)
+    assert(out.orderBy(col("id")).select(col("dom")).as[String].collect()
+      .toSeq == Seq("example.act.edu.au", "example.edu.au", "site.com",
+      "example.co.uk", "example.zz", "edu.au", "host.com"))
+    // every suffix lookup is a broadcast join; the corpus never shuffles.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // one broadcast lookup per candidate length 2..MaxSuffixLabels (a
+    // 1-label match is indistinguishable from the '*' default — never
+    // joined).
+    assert("BroadcastHashJoin".r.findAllIn(plan).size ==
+      Web.MaxSuffixLabels - 1, plan)
+    // duplicate PSL entries must not duplicate corpus rows (distinct is
+    // load-bearing on the build side of a left join).
+    val dup = psl.unionByName(psl)
+    assert(Web.withRegistrableDomain(hosts, "h", "dom", dup).count() == 7L)
+  }
+
   test("four messy spellings of one resource canonicalize equal") {
     val forms = Seq(
       "https://WWW.Site.COM:443/a/b/?id=7&utm_source=feed",
