@@ -521,21 +521,23 @@ object Ranking {
 
   // --------------------------------------------- n-gram LM quality scores
 
-  /** Per-document (doc_id, ng, tf) BIGRAM frequencies —
-    * [[termFrequencies]]' map-side run-length trick applied to the bigram
+  /** Per-document (doc_id, ng, tf) word n-GRAM frequencies —
+    * [[termFrequencies]]' map-side run-length trick applied to the n-gram
     * array (the [[collocations]] gram extraction, keeping doc_id): one
     * sorted array + gap counts per document, no per-occurrence explode
-    * through a shuffle. Documents with null text or fewer than 2 tokens
-    * emit nothing (no bigram exists to score). UNSTAGED so streaming
+    * through a shuffle. Documents with null text or fewer than `n` tokens
+    * emit nothing (no gram exists to score). UNSTAGED so streaming
     * callers can project micro-batches without a staging write —
     * [[lmQualityScores]] stages it once for the batch path. */
-  def bigramFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def ngramFrequencies(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 2, s"n=$n (a 1-gram LM has no context — use termFrequencies)")
     docs.filter(col(textCol).isNotNull)
       .withColumn("__toks", expr(s"split(lower($textCol), ' ')"))
-      .filter(expr("size(__toks) >= 2"))
+      .filter(expr(s"size(__toks) >= $n"))
       .withColumn("__bg", expr(
-        """array_sort(transform(sequence(1, size(__toks) - 1),
-          |  i -> concat_ws(' ', slice(__toks, i, 2))))""".stripMargin))
+        s"""array_sort(transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin))
       .withColumn("__e", expr(runEndsSql("__bg")))
       .select(
         col(idCol).cast("long").as("doc_id"),
@@ -545,26 +547,45 @@ object Ranking {
             |               'tf', CAST(e - if(j = 0, 0, element_at(__e, j)) AS BIGINT)))""".stripMargin))
           .as("__t"))
       .select(col("doc_id"), col("__t.ng").as("ng"), col("__t.tf").as("tf"))
+  }
 
-  /** Train a bigram language model from a [[bigramFrequencies]] relation:
-    * (lm, ctx, total) where lm = (ng, cnt) global bigram counts,
-    * ctx = (prev, ctx) context counts (Σ over bigrams sharing the first
-    * token — exactly the number of positions where `prev` is followed by
-    * anything, derived from the SAME relation: no second corpus scan),
-    * and total = the one-row Σ cnt. All three are slices/rollups of the
-    * caller's (ideally staged) tf relation — the [[tfidfTopK]] no-rescan
-    * discipline. */
-  def ngramLm(tf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** [[ngramFrequencies]] at n = 2 — the CCNet default and the gate
+    * queries' shape. */
+  def bigramFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngramFrequencies(docs, idCol, textCol, n = 2)
+
+  /** SQL for the (n−1)-token context prefix of an n-gram expr `ng`
+    * (space-joined words). Identical arithmetic in DuckDB:
+    * `array_to_string(string_split(ng, ' ')[1:n-1], ' ')`. */
+  def lmPrefixSql(n: Int): String =
+    if (n == 2) "split(ng, ' ')[0]"
+    else s"concat_ws(' ', slice(split(ng, ' '), 1, ${n - 1}))"
+
+  /** Train an order-`n` language model from an [[ngramFrequencies]]
+    * relation: (lm, ctx, total) where lm = (ng, cnt) global n-gram
+    * counts, ctx = (prev, ctx) context counts over the (n−1)-gram prefix
+    * (Σ over grams sharing the prefix — exactly the number of positions
+    * where `prev` is followed by anything, derived from the SAME
+    * relation: no second corpus scan), and total = the one-row Σ cnt.
+    * All three are slices/rollups of the caller's (ideally staged) tf
+    * relation — the [[tfidfTopK]] no-rescan discipline. */
+  def ngramLm(tf: DataFrame, n: Int): (DataFrame, DataFrame, DataFrame) = {
     val lm = tf.groupBy(col("ng")).agg(sum(col("tf")).cast("long").as("cnt"))
-    val cx = lm.withColumn("prev", expr("split(ng, ' ')[0]"))
+    val cx = lm.withColumn("prev", expr(lmPrefixSql(n)))
       .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx"))
     val tot = lm.agg(sum(col("cnt")).cast("long").as("total"))
     (lm, cx, tot)
   }
 
-  /** Score a (doc_id, ng, tf) relation against a FROZEN bigram LM — the
-    * CCNet/Gopher LM-perplexity quality filter restated in exact
-    * integers. Per bigram occurrence the surprisal surrogate is
+  /** [[ngramLm]] at the bigram default. */
+  def ngramLm(tf: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    ngramLm(tf, n = 2)
+
+  /** Score a (doc_id, ng, tf) relation against a FROZEN order-`n` LM —
+    * the CCNet/Gopher LM-perplexity quality filter restated in exact
+    * integers (CCNet's published recipe is 5-gram KenLM; `n` defaults to
+    * the bigram gate shape). Per n-gram occurrence the surprisal
+    * surrogate is
     *
     *   bits(ctx(prev)) − bits(cnt(ng)),   bits(n) = length(bin(n)) = ⌊log2 n⌋+1
     *
@@ -575,7 +596,7 @@ object Ranking {
     * consumes). A bigram the LM never saw costs bits(total) + 1 — the
     * below-every-seen-count floor — so streamed batches with novel text
     * score deterministically (never NULL, never free). Per document:
-    * cost_bits = Σ tf·surprisal, n_bigrams = Σ tf, bits_per_gram = ONE
+    * cost_bits = Σ tf·surprisal, n_grams = Σ tf, bits_per_gram = ONE
     * double division of the two exact longs. LOW bits_per_gram =
     * predictable/fluent under the LM; HIGH = gibberish (the filter
     * direction CCNet keeps the low-perplexity side of).
@@ -585,9 +606,10 @@ object Ranking {
     * one per-doc shuffle. Overflow headroom: cost ≤ 64·n_tokens ≪ 2^63
     * at any corpus size. */
   def scoreAgainstLm(tfRel: DataFrame, lm: DataFrame, cx: DataFrame,
-                     tot: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+                     tot: DataFrame, broadcastVocab: Boolean = true,
+                     n: Int = 2): DataFrame = {
     val bcast = (d: DataFrame) => if (broadcastVocab) broadcast(d) else d
-    tfRel.withColumn("prev", expr("split(ng, ' ')[0]"))
+    tfRel.withColumn("prev", expr(lmPrefixSql(n)))
       .join(bcast(lm), Seq("ng"), "left")
       .join(bcast(cx), Seq("prev"), "left")
       .join(broadcast(tot))
@@ -596,9 +618,9 @@ object Ranking {
           |              length(bin(ctx)) - length(bin(cnt))) AS BIGINT)""".stripMargin))
       .groupBy(col("doc_id"))
       .agg(sum(col("__c")).cast("long").as("cost_bits"),
-        sum(col("tf")).cast("long").as("n_bigrams"))
-      .select(col("doc_id"), col("cost_bits"), col("n_bigrams"),
-        expr("CAST(cost_bits AS DOUBLE) / n_bigrams").as("bits_per_gram"))
+        sum(col("tf")).cast("long").as("n_grams"))
+      .select(col("doc_id"), col("cost_bits"), col("n_grams"),
+        expr("CAST(cost_bits AS DOUBLE) / n_grams").as("bits_per_gram"))
   }
 
   /** Self-trained LM quality scores for a corpus (train on the corpus,
@@ -606,7 +628,7 @@ object Ranking {
     * quality-filter family beside [[qualityClassifier]]'s supervised
     * gate): the bigram projection stages ONCE and feeds both the LM
     * rollups and the scoring join. One corpus scan. Output: (doc_id,
-    * cost_bits, n_bigrams, bits_per_gram), one row per document with
+    * cost_bits, n_grams, bits_per_gram), one row per document with
     * ≥ 2 tokens.
     *
     * Self-training caveat (stated, not hidden): a SINGLETON context is
@@ -618,10 +640,10 @@ object Ranking {
     * form measures within-corpus typicality of FREQUENT contexts'
     * continuations. */
   def lmQualityScores(docs: DataFrame, idCol: String, textCol: String,
-                      broadcastVocab: Boolean = true): DataFrame = {
-    val tf = stage(bigramFrequencies(docs, idCol, textCol))
-    val (lm, cx, tot) = ngramLm(tf)
-    scoreAgainstLm(tf, lm, cx, tot, broadcastVocab)
+                      broadcastVocab: Boolean = true, n: Int = 2): DataFrame = {
+    val tf = stage(ngramFrequencies(docs, idCol, textCol, n))
+    val (lm, cx, tot) = ngramLm(tf, n)
+    scoreAgainstLm(tf, lm, cx, tot, broadcastVocab, n)
   }
 
   /** EXACT global heavy hitters over a (token, tf) relation — every token

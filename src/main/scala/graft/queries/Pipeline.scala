@@ -368,7 +368,7 @@ object Pipeline {
     // (script/style/entity/boilerplate handling) → structure gate
     // (n_kept ≥ 2 blocks) → self-trained bigram-LM quality gate (keep
     // bits_per_gram ≤ 4.58, stated as the exact integers
-    // cost_bits·100 ≤ n_bigrams·458) → EXACT dedup on the EXTRACTED
+    // cost_bits·100 ≤ n_grams·458) → EXACT dedup on the EXTRACTED
     // text. The dedup stage is the point: every doc_id % 5 = 4 page
     // REPUBLISHES the previous doc's content under its own chrome
     // (title differs → raw-byte digests differ), and extraction strips
@@ -407,8 +407,8 @@ object Pipeline {
       val (lm, cx, tot) = Ranking.ngramLm(tf)
       val k2 = k1.join(
         Ranking.scoreAgainstLm(tf, lm, cx, tot)
-          .filter(expr("cost_bits * 100 <= n_bigrams * 458"))
-          .select(col("doc_id"), col("cost_bits"), col("n_bigrams")),
+          .filter(expr("cost_bits * 100 <= n_grams * 458"))
+          .select(col("doc_id"), col("cost_bits"), col("n_grams")),
         "doc_id")
       // dg feeds BOTH the canonical aggregate and the final join — stage
       // it or the whole LM-scoring subtree re-executes per reference
@@ -419,7 +419,7 @@ object Pipeline {
         min(col("doc_id")).as("doc_id"),
         count(lit(1)).cast("long").as("n_copies"))
       dg.join(canon, Seq("digest", "doc_id"))
-        .select(col("doc_id"), col("cost_bits"), col("n_bigrams"),
+        .select(col("doc_id"), col("cost_bits"), col("n_grams"),
           col("digest"), col("n_copies"))
         .orderBy(col("doc_id"))
     }, Some(s"""
@@ -463,20 +463,20 @@ object Pipeline {
       sc AS (SELECT tf.doc_id,
                     CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
                          AS BIGINT) AS cost_bits,
-                    CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
              FROM tf
              JOIN lm ON tf.ng = lm.ng
              JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
              GROUP BY tf.doc_id),
-      k2 AS (SELECT k1.doc_id, k1.text, sc.cost_bits, sc.n_bigrams
+      k2 AS (SELECT k1.doc_id, k1.text, sc.cost_bits, sc.n_grams
              FROM k1 JOIN sc ON k1.doc_id = sc.doc_id
-             WHERE sc.cost_bits * 100 <= sc.n_bigrams * 458),
-      dgst AS (SELECT doc_id, md5(text) AS digest, cost_bits, n_bigrams
+             WHERE sc.cost_bits * 100 <= sc.n_grams * 458),
+      dgst AS (SELECT doc_id, md5(text) AS digest, cost_bits, n_grams
                FROM k2),
       canon AS (SELECT digest, MIN(doc_id) AS doc_id,
                        CAST(COUNT(*) AS BIGINT) AS n_copies
                 FROM dgst GROUP BY digest)
-      SELECT g.doc_id, g.cost_bits, g.n_bigrams, g.digest, c.n_copies
+      SELECT g.doc_id, g.cost_bits, g.n_grams, g.digest, c.n_copies
       FROM dgst g JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
       ORDER BY g.doc_id"""), headline = true),
 

@@ -357,13 +357,54 @@ object Quality {
       sc AS (SELECT tf.doc_id,
                     CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
                          AS BIGINT) AS cost_bits,
-                    CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
              FROM tf
              JOIN lm ON tf.ng = lm.ng
              JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
              GROUP BY tf.doc_id)
-      SELECT doc_id, cost_bits, n_bigrams,
-             CAST(cost_bits AS DOUBLE) / n_bigrams AS bits_per_gram
+      SELECT doc_id, cost_bits, n_grams,
+             CAST(cost_bits AS DOUBLE) / n_grams AS bits_per_gram
+      FROM sc ORDER BY doc_id""")),
+
+    // ------------------------------------ 5-gram LM quality scores (CCNet n)
+    // The SAME integer-surprisal LM filter at CCNet's published order
+    // (5-gram KenLM): Ranking.lmQualityScores(n = 5) — the generalized
+    // ngramFrequencies/ngramLm/scoreAgainstLm path where the context is
+    // the (n−1)-gram PREFIX (engine: concat_ws over slice; oracle:
+    // array_to_string over the 1:4 list slice — identical strings).
+    // Plan identical to x_quality_lm: one staged gram projection feeds
+    // the LM rollups and the scoring join; docs with < 5 tokens drop.
+    // At order 5 most grams are singletons in their context, so scores
+    // compress toward 0 bits on a self-trained corpus — the stated
+    // singleton-context caveat, WHY the discriminative deployment
+    // (x_quality_lm_incremental) is the shape that matters; this query
+    // pins the order-n machinery end to end.
+    Q("x_quality_lm5", (s, d) => {
+      graft.operators.Ranking.lmQualityScores(fanOut(documents(s, d)),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+                 WHERE text IS NOT NULL),
+      bo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+               i -> array_to_string(toks[i:i+4], ' '))) AS ng
+             FROM t WHERE len(toks) >= 5),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT array_to_string(string_split(ng, ' ')[1:4], ' ') AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY array_to_string(string_split(ng, ' ')[1:4], ' ')),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON array_to_string(string_split(tf.ng, ' ')[1:4], ' ') = cx.prev
+             GROUP BY tf.doc_id)
+      SELECT doc_id, cost_bits, n_grams,
+             CAST(cost_bits AS DOUBLE) / n_grams AS bits_per_gram
       FROM sc ORDER BY doc_id""")),
 
     // ----------------------- LM scoring, reference → candidates (gate twin)
@@ -410,14 +451,14 @@ object Quality {
                       (CASE WHEN lm.cnt IS NULL THEN length(bin(tot.total)) + 1
                             ELSE length(bin(cx.ctx)) - length(bin(lm.cnt))
                        END)) AS BIGINT) AS cost_bits,
-                    CAST(SUM(tfc.tf) AS BIGINT) AS n_bigrams
+                    CAST(SUM(tfc.tf) AS BIGINT) AS n_grams
              FROM tfc
              LEFT JOIN lm ON tfc.ng = lm.ng
              LEFT JOIN cx ON string_split(tfc.ng, ' ')[1] = cx.prev
              CROSS JOIN tot
              GROUP BY tfc.doc_id)
-      SELECT doc_id, cost_bits, n_bigrams,
-             CAST(cost_bits AS DOUBLE) / n_bigrams AS bits_per_gram
+      SELECT doc_id, cost_bits, n_grams,
+             CAST(cost_bits AS DOUBLE) / n_grams AS bits_per_gram
       FROM sc ORDER BY doc_id""")),
 
     // -------------------------- incremental quantile threshold (gate twin)

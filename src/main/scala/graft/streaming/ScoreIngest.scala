@@ -99,30 +99,30 @@ object ScoreIngest {
     * cx/tot additionally stage so no per-batch broadcast re-runs a
     * vocabulary rollup). */
   final case class CorpusLm(lm: DataFrame, cx: DataFrame, tot: DataFrame,
-                            version: Long) extends Gate.Versioned
+                            version: Long, n: Int = 2) extends Gate.Versioned
 
   /** Train and stage the bigram LM ONCE (per corpus version) from the
     * curated reference corpus — the CCNet deployment shape
     * ([[Ranking.scoreAgainstLm]]'s discriminative half): candidates pay
     * the OOV floor for text the reference never produced. */
   def buildLm(corpus: DataFrame, idCol: String, textCol: String,
-              version: Long = 0L): CorpusLm = {
+              version: Long = 0L, n: Int = 2): CorpusLm = {
     val tf = graft.sources.Tables.stage(
-      Ranking.bigramFrequencies(corpus, idCol, textCol))
-    val (lm0, _, _) = Ranking.ngramLm(tf)
+      Ranking.ngramFrequencies(corpus, idCol, textCol, n))
+    val (lm0, _, _) = Ranking.ngramLm(tf, n)
     val lm = graft.sources.Tables.stage(lm0)
     // context/total roll up from the STAGED model relation (vocab-sized),
     // never the corpus-sized tf, and stage themselves.
     val cx = graft.sources.Tables.stage(
-      lm.withColumn("prev", expr("split(ng, ' ')[0]"))
+      lm.withColumn("prev", expr(Ranking.lmPrefixSql(n)))
         .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx")))
     val tot = graft.sources.Tables.stage(
       lm.agg(sum(col("cnt")).cast("long").as("total")))
-    CorpusLm(lm, cx, tot, version)
+    CorpusLm(lm, cx, tot, version, n)
   }
 
   /** Per-batch LM perplexity-proxy scoring ([[Ranking.scoreAgainstLm]]):
-    * `onBatch` receives (doc_id, cost_bits, n_bigrams, bits_per_gram)
+    * `onBatch` receives (doc_id, cost_bits, n_grams, bits_per_gram)
     * for every batch document with ≥ 2 tokens — unseen bigrams pay the
     * deterministic OOV floor, so streamed scores are exactly what the
     * batch operator emits for the same rows against the same frozen
@@ -135,8 +135,8 @@ object ScoreIngest {
       val docs = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       Ranking.scoreAgainstLm(
-        Ranking.bigramFrequencies(docs, "doc_id", "text"),
-        st.lm, st.cx, st.tot)
+        Ranking.ngramFrequencies(docs, "doc_id", "text", st.n),
+        st.lm, st.cx, st.tot, n = st.n)
     }(onBatch)
 
   /** FOLDING bigram-LM state: the staged (ng, cnt) model + its context/
@@ -153,7 +153,8 @@ object ScoreIngest {
                                   cx: graft.sources.Tables.Staged,
                                   tot: graft.sources.Tables.Staged,
                                   version: Long, foldedBatch: Long = -1L,
-                                  superseded: Seq[graft.sources.Tables.Staged] = Nil)
+                                  superseded: Seq[graft.sources.Tables.Staged] = Nil,
+                                  n: Int = 2)
     extends Gate.Folded {
     /** Drop the superseded state dirs — the next fold's backstop. */
     def reclaim(): Unit = superseded.foreach(_.drop())
@@ -162,23 +163,24 @@ object ScoreIngest {
   /** Train the initial foldable LM (tracked staging, so superseded
     * versions can be reclaimed as the model grows). */
   def buildFoldingLm(corpus: DataFrame, idCol: String, textCol: String,
-                     version: Long = 0L): FoldingLmState = {
+                     version: Long = 0L, n: Int = 2): FoldingLmState = {
     val tf = graft.sources.Tables.stage(
-      Ranking.bigramFrequencies(corpus, idCol, textCol))
-    val (lm0, _, _) = Ranking.ngramLm(tf)
-    stageLmRollups(lm0, version, foldedBatch = -1L, superseded = Nil)
+      Ranking.ngramFrequencies(corpus, idCol, textCol, n))
+    val (lm0, _, _) = Ranking.ngramLm(tf, n)
+    stageLmRollups(lm0, version, foldedBatch = -1L, superseded = Nil, n = n)
   }
 
   private def stageLmRollups(lm0: DataFrame, version: Long,
                              foldedBatch: Long,
-                             superseded: Seq[graft.sources.Tables.Staged]): FoldingLmState = {
+                             superseded: Seq[graft.sources.Tables.Staged],
+                             n: Int): FoldingLmState = {
     val lm = graft.sources.Tables.stageTracked(lm0)
     val cx = graft.sources.Tables.stageTracked(
-      lm.df.withColumn("prev", expr("split(ng, ' ')[0]"))
+      lm.df.withColumn("prev", expr(Ranking.lmPrefixSql(n)))
         .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx")))
     val tot = graft.sources.Tables.stageTracked(
       lm.df.agg(sum(col("cnt")).cast("long").as("total")))
-    FoldingLmState(lm, cx, tot, version, foldedBatch, superseded)
+    FoldingLmState(lm, cx, tot, version, foldedBatch, superseded, n)
   }
 
   /** GATE-THEN-FOLD LM scoring: each micro-batch scores against the
@@ -195,13 +197,14 @@ object ScoreIngest {
       st.reclaim() // predecessor's dirs — durable-record window closed
       val docs = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
-      val btf = Ranking.bigramFrequencies(docs, "doc_id", "text")
-      val scores = Ranking.scoreAgainstLm(btf, st.lm.df, st.cx.df, st.tot.df)
+      val btf = Ranking.ngramFrequencies(docs, "doc_id", "text", st.n)
+      val scores = Ranking.scoreAgainstLm(btf, st.lm.df, st.cx.df, st.tot.df,
+        n = st.n)
       val merged = st.lm.df.select(col("ng"), col("cnt"))
         .unionByName(btf.groupBy(col("ng"))
           .agg(sum(col("tf")).cast("long").as("cnt")))
         .groupBy(col("ng")).agg(sum(col("cnt")).cast("long").as("cnt"))
       (scores, stageLmRollups(merged, st.version + 1, batchId,
-        superseded = Seq(st.lm, st.cx, st.tot)))
+        superseded = Seq(st.lm, st.cx, st.tot), n = st.n))
     }(onBatch)
 }

@@ -286,4 +286,57 @@ class StreamingScoreSpec extends SparkSpec {
       q.stop()
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("folding LM gate generalizes to order n: trigram fold ≡ fresh, OOV at the prefix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      // trigram model: lm = {abc:2, bcd:1, bce:1}, ctx prefixes are
+      // 2-GRAMS ({'a b':2, 'b c':2}), total = 4.
+      val corpus = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildFoldingLm(corpus, "doc_id", "text", n = 3))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, Double)]]
+      val q = ScoreIngest.startLmFolding(s, state, "value.doc_id", "value.text") {
+        (scores, _, _) =>
+          got += scores.as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      }
+      def send(df: org.apache.spark.sql.DataFrame): Unit = {
+        val payloads = df
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+
+      // novel trigrams pay the OOV floor bits(4) + 1 = 4 against the
+      // pre-batch model; a doc of < 3 tokens emits nothing.
+      send(Seq((10L, "x y z w"), (11L, "p q")).toDF("doc_id", "text"))
+      assert(got(0) == Seq((10L, 8L, 2L, 4.0)), s"b1 scores: ${got(0)}")
+
+      // the fold is the SAME multiset merge at any order: grown ≡ fresh.
+      val fresh = ScoreIngest.buildFoldingLm(
+        corpus.unionByName(Seq((10L, "x y z w"), (11L, "p q"))
+          .toDF("doc_id", "text")), "doc_id", "text", n = 3)
+      assert(state.get().n == 3 &&
+        state.get().lm.df.as[(String, Long)].collect().toSet ==
+          fresh.lm.df.as[(String, Long)].collect().toSet,
+        "order-n fold must equal a fresh order-n build")
+
+      // post-fold, the same trigrams are singleton-PREFIX predictions
+      // (ctx('x y') = cnt('x y z') = 1 ⇒ 0 bits).
+      got.clear()
+      send(Seq((20L, "x y z w")).toDF("doc_id", "text"))
+      assert(got(0) == Seq((20L, 0L, 2L, 0.0)), s"b2 scores: ${got(0)}")
+      q.stop()
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
