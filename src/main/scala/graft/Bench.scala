@@ -143,7 +143,19 @@ object Bench {
     val names = SparkEntry.headlines.map(_.name)
     // calibration sample 1: machine state at sweep start (see calibrate).
     val calibBefore = calibrate()
-    names.foreach(run) // warm-up: JIT + codegen cache + file listing
+    // TWO untimed warm-up sweeps: driver-round runs recorded first timed
+    // iterations up to 7.6× best DESPITE the single warm-up sweep that
+    // has been here since round 1 (r12/r13 artifacts) — JIT tiering and
+    // codegen caches evidently need a second full pass on a cold JVM, so
+    // the first RECORDED run of each query is now its third execution.
+    // The second sweep's wall is logged for diagnosis; recorded-field
+    // semantics are unchanged (still best of 3 timed interleaved sweeps).
+    // Per-run BlockManager eviction was tried here and measured instead:
+    // −12% steady-state (stale localCheckpoint blocks are evidently
+    // NOT what cold first runs pay for) — see README §Bench calibration.
+    names.foreach(run)
+    val w2 = names.map(n => n -> run(n))
+    System.err.println(s"[bench] warmup2: total=${w2.map(_._2).sum}")
     // Steady-state per query: best of 3 timed runs. Single-run times at this
     // scale are dominated by JIT/GC scheduling noise (observed 5× swings on
     // identical plans); min-of-3 measures the plan, not the JVM's mood.

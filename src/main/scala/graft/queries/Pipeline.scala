@@ -407,7 +407,7 @@ object Pipeline {
       val (lm, cx, tot) = Ranking.ngramLm(tf)
       val k2 = k1.join(
         Ranking.scoreAgainstLm(tf, lm, cx, tot)
-          .filter(expr("cost_bits * 100 <= n_grams * 458"))
+          .filter(expr("cost_bits * 100 <= n_grams * 415"))
           .select(col("doc_id"), col("cost_bits"), col("n_grams")),
         "doc_id")
       // dg feeds BOTH the canonical aggregate and the final join — stage
@@ -470,7 +470,7 @@ object Pipeline {
              GROUP BY tf.doc_id),
       k2 AS (SELECT k1.doc_id, k1.text, sc.cost_bits, sc.n_grams
              FROM k1 JOIN sc ON k1.doc_id = sc.doc_id
-             WHERE sc.cost_bits * 100 <= sc.n_grams * 458),
+             WHERE sc.cost_bits * 100 <= sc.n_grams * 415),
       dgst AS (SELECT doc_id, md5(text) AS digest, cost_bits, n_grams
                FROM k2),
       canon AS (SELECT digest, MIN(doc_id) AS doc_id,
@@ -478,6 +478,163 @@ object Pipeline {
                 FROM dgst GROUP BY digest)
       SELECT g.doc_id, g.cost_bits, g.n_grams, g.digest, c.n_copies
       FROM dgst g JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
+      ORDER BY g.doc_id"""), headline = true),
+
+    // ------------------------- CRAWL pipeline (URL curation → web chain)
+    // The full crawl-entry composition the URL operators exist for:
+    //
+    //   1. canonicalize URLs (Web.withCanonicalUrl — the hot domain is
+    //      spelled 'https://Seo.Farm.COM:443/…?utm_source=x', so the cap
+    //      only groups it if canonicalization runs first)
+    //   2. per-registrable-domain cap (cap = 25, window-free min-k) —
+    //      every doc_id % 10 = 0 page lives on the one seo-farm domain,
+    //      which the cap cuts to 25; organic sites spread over ~97
+    //      co.uk domains
+    //   3. Html.extractText on the SURVIVORS only (cap-before-extract:
+    //      never pay decode/extraction for pages the mix won't take)
+    //   4. structure gate (n_kept ≥ 2) → self-trained bigram-LM gate
+    //      (cost_bits·100 ≤ n_grams·420 — ~the 80th percentile: the
+    //      noisy tail drops, the gate is never decorative)
+    //   5. exact dedup on the EXTRACTED text — doc_id % 5 = 4 pages
+    //      republish the previous doc's body on a DIFFERENT domain, so
+    //      the cap and the dedup interact: a replica collapses iff its
+    //      original also survived the cap, and becomes the canonical
+    //      copy (n_copies = 1) iff the cap cut the original.
+    //
+    // Plan at 100 TB: the page relation stages once (the prev-join that
+    // plants replicas is a corpus self-join — never re-run per
+    // consumer); the cap output stages (it feeds the extract join AND
+    // the final domain attach); the keep-set joins the corpus on
+    // doc_id — ONE shuffle of the page relation, the honest cost of a
+    // global per-domain quota; every later stage reads staged
+    // survivor-sized relations.
+    Q("x_pipeline_crawl", (s, d) => {
+      import graft.operators.{Html, Ranking, Web}
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val prev = base.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__ptext"))
+      val pages = stage(fanOut(base.join(prev, Seq("doc_id"), "left")
+        .withColumn("__page", expr(
+          "IF(doc_id % 5 = 4 AND __ptext IS NOT NULL, __ptext, text)")))
+        .withColumn("url", expr(
+          """IF(doc_id % 10 = 0,
+            |   concat('https://Seo.Farm.COM:443/p', CAST(doc_id AS STRING),
+            |          '/?utm_source=x&id=', CAST(doc_id AS STRING)),
+            |   concat('https://www.site', CAST(doc_id % 97 AS STRING),
+            |          '.co.uk/d/', CAST(doc_id AS STRING)))""".stripMargin))
+        .withColumn("__t", expr("split(__page, ' ')"))
+        .withColumn("__html", expr(
+          """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+            |'</title><style>p { color: red }</style>',
+            |'<script>var x = 1 < 2;</script>',
+            |'</head><body><!-- crawler comment -->',
+            |'<div id="nav"><a href="/">Home</a> ',
+            |'<a href="/about">About &amp; more</a></div>',
+            |'<p>', concat_ws(' ', slice(__t, 1, 5)),
+            |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
+            |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+            |'<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ',
+            |'&#38;lt; lit &#55296; kept</p>',
+            |'<p><a href="/next">next page</a></p>',
+            |'</body></html>')""".stripMargin))
+        .select(col("doc_id"), col("url"), col("__html")))
+      // the cap output feeds the extract join AND the final domain
+      // attach — stage it or the min-k aggregation re-runs per consumer.
+      val kept = stage(Web.capPerDomain(
+        pages.select(col("doc_id"), col("url")), "url", "doc_id", cap = 25))
+      val ext = stage(Html.extractText(
+        pages.join(kept.select(col("doc_id")), Seq("doc_id")),
+        "doc_id", "__html", minChars = 10, maxDensityPct = 34))
+      val k1 = ext.filter(col("n_kept") >= 2)
+      val tf = stage(Ranking.bigramFrequencies(k1, "doc_id", "text"))
+      val (lm, cx, tot) = Ranking.ngramLm(tf)
+      val k2 = k1.join(
+        Ranking.scoreAgainstLm(tf, lm, cx, tot)
+          .filter(expr("cost_bits * 100 <= n_grams * 420"))
+          .select(col("doc_id"), col("cost_bits"), col("n_grams")),
+        "doc_id")
+      val dg = stage(k2.withColumn("digest", md5(col("text")))
+        .select(col("doc_id"), col("digest"), col("cost_bits"),
+          col("n_grams")))
+      val canon = dg.groupBy(col("digest")).agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+      dg.join(canon, Seq("digest", "doc_id"))
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("cost_bits"),
+          col("n_grams"), col("digest"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH src AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
+                    THEN p.text ELSE d.text END AS ptext
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t FROM src
+               WHERE ptext IS NOT NULL),
+      urls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'farm.com'
+                    ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk'
+               END AS domain
+        FROM toks),
+      r AS (SELECT domain, doc_id,
+                   row_number() OVER (PARTITION BY domain
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM urls),
+      kept AS (SELECT domain, doc_id FROM r WHERE rk <= 25),
+      pages AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { color: red }</style>' ||
+          '<script>var x = 1 < 2;</script>' ||
+          '</head><body><!-- crawler comment -->' ||
+          '<div id="nav"><a href="/">Home</a> ' ||
+          '<a href="/about">About &amp; more</a></div>' ||
+          '<p>' || array_to_string(t[1:5], ' ') ||
+          ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
+          '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
+          '<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ' ||
+          '&#38;lt; lit &#55296; kept</p>' ||
+          '<p><a href="/next">next page</a></p>' ||
+          '</body></html>' AS h
+        FROM toks),
+      __html_src AS (
+        SELECT p.doc_id, p.h FROM pages p JOIN kept k ON p.doc_id = k.doc_id),
+      ext AS (
+        SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}),
+      k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
+      bo AS (SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(lower(text), ' '))),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i + 1])) AS ng
+             FROM k1 WHERE len(string_split(lower(text), ' ')) >= 2),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
+             GROUP BY tf.doc_id),
+      k2 AS (SELECT k1.doc_id, k1.text, sc.cost_bits, sc.n_grams
+             FROM k1 JOIN sc ON k1.doc_id = sc.doc_id
+             WHERE sc.cost_bits * 100 <= sc.n_grams * 420),
+      dgst AS (SELECT doc_id, md5(text) AS digest, cost_bits, n_grams
+               FROM k2),
+      canon AS (SELECT digest, MIN(doc_id) AS doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM dgst GROUP BY digest)
+      SELECT g.doc_id, k.domain, g.cost_bits, g.n_grams, g.digest, c.n_copies
+      FROM dgst g
+      JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
+      JOIN kept k ON g.doc_id = k.doc_id
       ORDER BY g.doc_id"""), headline = true),
 
     // ------------------------------------------- JSONL interchange source

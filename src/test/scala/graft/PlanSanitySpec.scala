@@ -86,6 +86,14 @@ class PlanSanitySpec extends SparkSpec {
       // x_pipeline_web stages the extracted relation and its bigram tf —
       // every later stage reads one of them.
       "x_pipeline_web",
+      // x_pipeline_crawl stages the page relation (the replica-planting
+      // prev-join runs once), the domain-cap keep set (feeds the extract
+      // join AND the final domain attach), the extracted relation, its
+      // bigram tf, and the digest relation — the visible plan is
+      // staged-only.
+      "x_pipeline_crawl",
+      // x_quality_lm5 is x_quality_lm's staged-tf shape at order 5.
+      "x_quality_lm5",
       // x_heavy_hitters stages the tf projection (feeds the count–min
       // sketch build AND the candidate scan — one corpus scan total), so
       // the visible plan starts there.
