@@ -113,6 +113,54 @@ object ContainmentIngest {
     withLiveViews(ids.sparkSession, st.copy(version = st.version + 1))
   }
 
+  /** Compact BOTH grown roots into fresh consolidated staged
+    * directories ([[Gate.compactGrown]] semantics via the live views) —
+    * the periodic maintenance a long-running growing gate needs before
+    * per-batch subdirectories dominate file listing. The LIVE views
+    * materialize, so tombstoned rows drop out of storage for good and
+    * the tombstones reset empty; the replay fence and version lineage
+    * carry over (version bumps). Run OFFLINE between batches; swap the
+    * returned state in; delete the superseded roots once nothing
+    * references them. A crash ANYWHERE inside the compaction is
+    * repairable without the fence: the consolidations write FRESH
+    * staged dirs and the old roots are untouched until the caller
+    * swaps + deletes, so the repair is simply re-running the whole
+    * compaction from the old state. Probe results are bitwise-identical
+    * before and after (spec-pinned). */
+  def compactGrowing(st: GrowingContainmentIndex): GrowingContainmentIndex = {
+    val spark = st.shingled.sparkSession
+    val sh = Tables.stageTracked(st.shingled)
+    val ex = Tables.stageTracked(st.ex)
+    val tb = Tables.stageTracked(
+      spark.createDataset(Seq.empty[Long])(Encoders.scalaLong).toDF("id"))
+    require(sh.path.isDefined && ex.path.isDefined && tb.path.isDefined,
+      "compactGrowing requires parquet staging mode (set graft.stage.dir)")
+    withLiveViews(spark, GrowingContainmentIndex(null, null, sh.path.get,
+      ex.path.get, tb.path.get, st.version + 1, st.foldedBatch))
+  }
+
+  /** Retention ([[Gate.expireGrown]] over the paired roots): consolidate
+    * every fold ≤ `keepAfter` of BOTH index roots (and the tombstone
+    * root once it has folded) into one `expired_<horizon>` segment each
+    * — time travel below the horizon refuses by name, the live index is
+    * unchanged. The two roots fold under the SAME batch ids, so one
+    * horizon is meaningful for both; a crash between the two expiries
+    * leaves one root expired and one not, and the repair is re-running
+    * at the SAME horizon (each [[Gate.expireGrown]] crash window is
+    * re-runnable; the already-expired root passes through idempotently).
+    * Tombstones stay retroactively current — the consolidation carries
+    * every retired id. Callers MUST swap to the returned state (the old
+    * views reference deleted per-fold files). */
+  def expireGrowing(spark: org.apache.spark.sql.SparkSession,
+                    st: GrowingContainmentIndex,
+                    keepAfter: Long): GrowingContainmentIndex = {
+    Seq(st.shPath, st.exPath, st.tombstonesPath)
+      .filter(Gate.manifestExists(spark, _)) // a never-folded root has no
+                                             // history to expire
+      .foreach(Gate.expireGrown(spark, _, keepAfter))
+    withLiveViews(spark, st)
+  }
+
   /** Reconstruct a [[GrowingContainmentIndex]] after a restart: prune
     * BOTH grown roots to the recorded fence (a crash between the two
     * appends leaves exactly one root ahead — pruning repairs it), then

@@ -113,6 +113,92 @@ class StreamingContainmentSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("compaction + retention over the paired roots: probes bitwise-unchanged, crash windows repair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      def proj(df: org.apache.spark.sql.DataFrame, idCol: String, pCol: String) =
+        ImageIngest.keypoints(df, idCol, pCol, divisor = 4)
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ContainmentIngest.buildGrowing(proj(
+          (0L until 2L).map(b => (b, png(b, 0, 0, 48, 40)))
+            .toDF("img_id", "payload"), "img_id", "payload")))
+      val b1 = (0 until 3).map(j => (100L + j, png(600L + j, 0, 0, 48, 40)))
+      val b2 = Seq((901L, png(600L, 3, 2, 43, 37)))
+      val schema = StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val q = ContainmentIngest.startGrowing(s, state,
+        b => proj(b, "value.img_id", "value.payload"), threshold = 0.9) {
+        (pairs, _, _) => pairs.count(); ()
+      }
+      def send(rows: Seq[(Long, Array[Byte])]): Unit = {
+        val payloads = rows.toDF("img_id", "payload")
+          .select(to_json(struct(col("img_id"), col("payload"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1) // fold 0
+      send(b2) // fold 1
+      q.stop()
+
+      // the reference probe: a crop of a folded image + a fresh image.
+      val probe = proj(Seq((7000L, png(601L, 5, 4, 40, 33)),
+        (7001L, png(777L, 0, 0, 48, 40))).toDF("img_id", "payload"),
+        "img_id", "payload")
+      def pairsOf(st: ContainmentIngest.GrowingContainmentIndex) =
+        graft.operators.TextDedup.containmentPairsAgainstIndex(
+          probe, st.shingled, st.ex, threshold = 0.9)
+          .select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+      val before = pairsOf(state.get())
+      assert(before == Set((7000L, 101L)), s"reference pairs: $before")
+
+      // CRASH WINDOW between the two expiries: one root expired at
+      // horizon 0, the other not — re-running at the SAME horizon
+      // completes the pair (the already-expired root passes through).
+      graft.streaming.Gate.expireGrown(spark, state.get().shPath, 0L)
+      val expired = ContainmentIngest.expireGrowing(spark, state.get(), 0L)
+      assert(pairsOf(expired) == before,
+        "retention must not change the live probe answer")
+      // time travel below the horizon refuses on BOTH roots.
+      for (root <- Seq(expired.shPath, expired.exPath)) {
+        val e = intercept[IllegalArgumentException] {
+          graft.streaming.Gate.readGrownAsOf(spark, root, -1L)
+        }
+        assert(e.getMessage.contains("0"), s"refusal must name the horizon: ${e.getMessage}")
+      }
+      state.set(expired)
+
+      // RETIRE one folded image, then COMPACT: the probe answer equals
+      // the post-retire answer bitwise, the retired rows are gone from
+      // STORAGE (not just filtered), tombstones reset, fence carries.
+      val retired = ContainmentIngest.retire(state.get(),
+        Seq(101L).toDF("img_id"), tag = 900L)
+      val postRetire = pairsOf(retired)
+      assert(postRetire.isEmpty, s"retired id must stop pairing: $postRetire")
+      val compacted = ContainmentIngest.compactGrowing(retired)
+      assert(pairsOf(compacted) == postRetire,
+        "compaction must not change the probe answer")
+      assert(compacted.shPath != retired.shPath &&
+        compacted.exPath != retired.exPath, "compaction writes fresh roots")
+      assert(spark.read.parquet(compacted.shPath)
+        .filter(col("id") === 101L).isEmpty,
+        "tombstoned rows must leave storage at compaction")
+      assert(compacted.foldedBatch == retired.foldedBatch,
+        "the replay fence must carry across compaction")
+
+      // a crash INSIDE compactGrowing is repairable by re-running it:
+      // the inputs (old roots) were never touched.
+      val again = ContainmentIngest.compactGrowing(retired)
+      assert(pairsOf(again) == postRetire,
+        "re-running a compaction from the old state must answer identically")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("the SAME loop runs the audio CDC projection unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     spark.conf.set("graft.stage.dir", dir)
