@@ -5,18 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway perf-profiling harness — rewritten per investigation.
   *
-  * CURRENT PROBE (round 13, session 2): scale rehearsal for this
-  * session's newcomers under the README §replica-stress convention
-  * (first 10% of sf0.1 docs replicated 20× under fresh ids):
-  *  - lmQualityScores: replicas add bigram FREQUENCY, not vocabulary —
-  *    the LM/context rollups and their broadcasts are unchanged, so wall
-  *    should grow like the corpus tokenize (linear in volume), never
-  *    like the vocab joins;
-  *  - labelPropagation on the sf0.1 simhash pair graph (the pageRank
-  *    graph, avg degree ~66): the staged-round wall of 4 LPA rounds vs
-  *    the 3-iteration pageRank baseline on the same graph;
-  *  - keypointPairs volume growth on synthetic PNG groups (decode is
-  *    the linear map-side cost; the containment join rides short keys).
+  * CURRENT PROBE (round 14): validate `TextDedup.lshPlan`'s operating
+  * curve against MEASURED banding recall/candidate rates. Corpus =
+  * pairs constructed at EXACT Jaccard (shared token windows, disjoint
+  * per-pair namespaces so cross-pair candidates are impossible):
+  * 20,000 pairs at J = 0.75 and 20,000 at J = 0.25, banded at three
+  * divisor geometries of a 24-hash signature, verify threshold 0 so
+  * the output IS the candidate set. Also times each geometry's pair
+  * join on the sf0.1 corpus shingles (the COST side of the planner's
+  * recall-vs-candidates tradeoff). Results → README §LSH planner
+  * validation; the 500-pair spec floor lives in TextDedupSpec.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -31,89 +29,49 @@ object Scratch {
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.OFF)
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.operators.TextDedup
+    import graft.sources.Tables
+
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    def warmTimed(label: String)(f: => Unit): Unit = {
-      f // warmup
-      val (_, t) = timed(f)
-      println(f"[stress] $label: $t%.2f s")
+
+    // ---- controlled-Jaccard corpus: measured vs predicted curve ----
+    val n = 20000L
+    def half(ns: String, off: Long, idOff: Int, from: Int, to: Int) =
+      spark.range(n).selectExpr(
+        s"$off + id * 2 + $idOff AS id",
+        s"""transform(sequence($from, $to),
+           |  j -> concat('$ns', CAST(id AS STRING), ':', CAST(j AS STRING)))
+           |  AS sh""".stripMargin)
+    val sh = Tables.stage(
+      half("p", 0L, 0, 0, 34).union(half("p", 0L, 1, 5, 39))      // J = 0.75
+        .union(half("q", 10000000L, 0, 0, 34))
+        .union(half("q", 10000000L, 1, 21, 55)))                  // J = 0.25
+    println("[lshplan] geometry  predicted@0.75  measured@0.75  " +
+      "predicted@0.25  measured@0.25")
+    for ((b, r) <- Seq((4, 6), (6, 4), (8, 3))) {
+      val out = TextDedup.minhashLshPairs(sh, k = 24, bands = b,
+        threshold = 0.0).select(col("da")).as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect()
+      val recall = out.count(_ < 10000000L).toDouble / n
+      val distant = out.count(_ >= 10000000L).toDouble / n
+      println(f"[lshplan] ${b}x$r      " +
+        f"${TextDedup.lshCandidateProb(0.75, b, r)}%.4f          $recall%.4f         " +
+        f"${TextDedup.lshCandidateProb(0.25, b, r)}%.4f          $distant%.4f")
     }
+
+    // ---- cost side: candidate volume + wall on the sf0.1 corpus ----
     val d = "/root/testdata/sf0.1"
-    import graft.sources.Tables
-
-    def docs = Tables.fanOut(Tables.documents(spark, d))
-    val base = Tables.documents(spark, d)
-    val nBase = base.count()
-    val stress = Tables.fanOut(Tables.stage(base.unionByName(
-      base.filter(col("doc_id") < nBase / 10)
-        .crossJoin(spark.range(1, 20).select(col("id").as("rep")))
-        .withColumn("doc_id", col("doc_id") + lit(1000000L) * col("rep"))
-        .drop("rep"))))
-    val nStress = stress.count()
-    println(s"[stress] base=$nBase stress=$nStress docs")
-
-    // lmQualityScores: 1× vs 20%×20. Also report the vocab sizes, to
-    // show the broadcasted model does NOT grow with the replicas.
-    warmTimed("lm_quality 1x")(graft.operators.Ranking
-      .lmQualityScores(docs, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    warmTimed("lm_quality 20%x20")(graft.operators.Ranking
-      .lmQualityScores(stress, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    val v1 = graft.operators.Ranking
-      .bigramFrequencies(docs, "doc_id", "text").select("ng").distinct().count()
-    val v2 = graft.operators.Ranking
-      .bigramFrequencies(stress, "doc_id", "text").select("ng").distinct().count()
-    println(s"[stress] lm vocab 1x=$v1 20%x20=$v2 (must be equal)")
-
-    // LPA vs pageRank on the same sf0.1 simhash pair graph.
-    {
-      val pairs = Tables.stage(graft.operators.TextDedup
-        .simhashPairs(docs, "doc_id", "text", maxHamming = 7))
-      warmTimed("lpa it=4 simhash graph")(graft.operators.Graph
-        .labelPropagation(pairs, "da", "db", iterations = 4)
-        .write.format("noop").mode("overwrite").save())
-      warmTimed("pagerank it=3 simhash graph")(graft.operators.Graph
-        .pageRank(Tables.documents(spark, d), "doc_id", pairs, "da", "db",
-          iterations = 3, scale = 1000000000L)
-        .write.format("noop").mode("overwrite").save())
-      val nCommunities = graft.operators.Graph
-        .labelPropagation(pairs, "da", "db", iterations = 4)
-        .select("lbl").distinct().count()
-      println(s"[stress] lpa communities on simhash graph: $nCommunities")
-    }
-
-    // keypointPairs: 1× vs 4× image volume (fresh groups, same geometry
-    // as x_dedup_image_keypoint's fixture).
-    {
-      import org.apache.spark.sql.Encoders
-      import graft.operators.{Media, MediaRecord}
-      def recs(mult: Int) = Tables.fanOut(spark.range(nBase * mult).toDF())
-        .select(col("id")).as[Long](Encoders.scalaLong)
-        .map { id =>
-          val gBase = id / 3
-          val v = (id % 3).toInt
-          def cell(tag: String, cx: Int, cy: Int): Int = {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            md.digest(s"$tag:$gBase:$cx:$cy".getBytes("US-ASCII"))(0) & 0xff
-          }
-          val (w, h) = v match {
-            case 0 => (28, 24); case 1 => (23, 21); case _ => (31, 25)
-          }
-          MediaRecord(id, "png", Media.encodePng(w, h, (x, y) => {
-            val g =
-              if (v == 1) cell("i", x + 3, y + 2)
-              else if (v == 2 && (x < 3 || y < 1)) cell("p", x, y)
-              else if (v == 2) cell("i", x - 3, y - 1)
-              else cell("i", x, y)
-            (g << 16) | (g << 8) | g
-          }))
-        }(Encoders.product[MediaRecord])
-      for (mult <- Seq(1, 4))
-        warmTimed(s"keypoint_pairs ${mult}x")(graft.operators.ImageDedup
-          .keypointPairs(recs(mult), threshold = 0.9)
-          .write.format("noop").mode("overwrite").save())
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+    val corpusSh = Tables.stage(
+      TextDedup.shingleProjection(docs, "doc_id", "text", n = 3))
+    for ((b, r) <- Seq((4, 6), (6, 4), (8, 3))) {
+      def run() = TextDedup.minhashLshPairs(corpusSh, k = 24, bands = b,
+        threshold = 0.5).count()
+      run() // warmup
+      val (pairs, t) = timed(run())
+      println(f"[lshplan] sf0.1 ${b}x$r: verified pairs=$pairs wall=$t%.2f s")
     }
     spark.stop()
   }

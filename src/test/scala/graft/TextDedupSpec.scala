@@ -400,4 +400,41 @@ class TextDedupSpec extends SparkSpec {
       assert(pick.recallAtTarget >= pick.fpAtDistant)
     }
   }
+
+  test("lshPlan curve vs MEASURED banding recall on a controlled-Jaccard corpus") {
+    // The planner's operating curve is driver-side math — this pins it
+    // against OBSERVATION: pairs constructed at EXACT Jaccard (shared
+    // token windows — A = s0..s34, B = s5..s39 ⇒ 30/40 = 0.75; distant
+    // pairs s0..s34 vs s21..s55 ⇒ 14/56 = 0.25), disjoint token
+    // namespaces so no cross-pair candidates exist, threshold 0 so the
+    // verify stage passes every candidate — the output IS the candidate
+    // set and measured recall IS the banding's. 500 pairs per level;
+    // md5 minhashing is deterministic, so the measured rates are fixed
+    // numbers and the brackets are stable, not flaky. Scratch runs the
+    // same harness at 20k pairs for the README table.
+    val n = 500
+    def half(ns: String, off: Long, idOff: Int, from: Int, to: Int) =
+      spark.range(n).selectExpr(
+        s"$off + id * 2 + $idOff AS id",
+        s"""transform(sequence($from, $to),
+           |  j -> concat('$ns', CAST(id AS STRING), ':', CAST(j AS STRING)))
+           |  AS sh""".stripMargin)
+    val sh = graft.sources.Tables.stage(
+      half("p", 0L, 0, 0, 34).union(half("p", 0L, 1, 5, 39))
+        .union(half("q", 1000000L, 0, 0, 34))
+        .union(half("q", 1000000L, 1, 21, 55)))
+    for ((b, r) <- Seq((4, 6), (6, 4), (8, 3))) {
+      val out = TextDedup.minhashLshPairs(sh, k = 24, bands = b,
+        threshold = 0.0)
+        .select(col("da")).as[Long].collect()
+      val recall = out.count(_ < 1000000L).toDouble / n
+      val distant = out.count(_ >= 1000000L).toDouble / n
+      val pRecall = TextDedup.lshCandidateProb(0.75, b, r)
+      val pDistant = TextDedup.lshCandidateProb(0.25, b, r)
+      assert(math.abs(recall - pRecall) <= 0.06,
+        f"($b×$r) measured recall $recall%.3f vs predicted $pRecall%.3f")
+      assert(math.abs(distant - pDistant) <= 0.04,
+        f"($b×$r) measured distant rate $distant%.3f vs predicted $pDistant%.3f")
+    }
+  }
 }
