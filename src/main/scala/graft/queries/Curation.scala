@@ -1013,7 +1013,80 @@ object Curation {
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM dom)
       SELECT domain, doc_id FROM r WHERE rk <= 10
-      ORDER BY domain, doc_id"""))
+      ORDER BY domain, doc_id""")),
+
+    // -------------------- incremental per-domain accounting (gate twin)
+    // graft.streaming.DomainIngest's batch-expressible core, oracle-
+    // pinned like the other *_incremental gate queries: the corpus
+    // (doc_id % 10 <> 0) builds per-registrable-domain counts, the
+    // batch (doc_id % 10 = 0) is flagged against those PRE-batch counts
+    // (prior + saturated at cap = 12 — the ~37-domain fixture leaves
+    // counts straddling the cap, so BOTH verdicts occur), and the
+    // post-fold count ≡ a full recompute over corpus ∪ batch (exactly
+    // what the folding gate's integer-sum merge guarantees — the oracle
+    // restates it as the plain GROUP BY over everything). The (id,
+    // domain) projection runs the full canonicalization chain (the
+    // fixture host is spelled 'WWW.Site{k}.COM:443' + a utm_ param);
+    // the oracle states the expected domain DIRECTLY from the id — an
+    // independent expectation, not a replay. Set semantics within the
+    // batch: every batch doc of one domain sees the same prior.
+    Q("x_domain_cap_incremental", (s, d) => {
+      import graft.streaming.DomainIngest
+      val urls = fanOut(documents(s, d))
+        .select(col("doc_id"), expr(
+          """concat('https://WWW.Site', CAST(doc_id % 37 AS STRING),
+            |       '.COM:443/d/', CAST(doc_id AS STRING),
+            |       '?utm_source=z')""".stripMargin).as("url"))
+      val dm = stage(DomainIngest.domains(urls, "doc_id", "url"))
+      val pre = dm.filter(col("id") % 10 =!= 0)
+        .groupBy(col("domain")).agg(count(lit(1)).cast("long").as("cnt"))
+      val post = dm.groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("post"))
+      dm.filter(col("id") % 10 === 0)
+        .join(broadcast(pre), Seq("domain"), "left")
+        .join(broadcast(post), Seq("domain"))
+        .select(col("id").as("doc_id"), col("domain"),
+          coalesce(col("cnt"), lit(0L)).as("prior"),
+          (coalesce(col("cnt"), lit(0L)) >= 12L).as("saturated"),
+          col("post"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH u AS (SELECT doc_id,
+                   'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS domain
+                 FROM documents),
+      pre AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS cnt FROM u
+              WHERE doc_id % 10 <> 0 GROUP BY domain),
+      allc AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS post FROM u
+               GROUP BY domain)
+      SELECT u.doc_id, u.domain, COALESCE(pre.cnt, 0) AS prior,
+             COALESCE(pre.cnt, 0) >= 12 AS saturated, allc.post
+      FROM u
+      LEFT JOIN pre ON u.domain = pre.domain
+      JOIN allc ON u.domain = allc.domain
+      WHERE u.doc_id % 10 = 0 ORDER BY u.doc_id""")),
+
+    // ----------------------------------------------- URL-level exact dedup
+    // The crawl-frontier primitive: two spellings of one resource are ONE
+    // fetch — group by the CANONICAL form (Web.withCanonicalUrl: the
+    // whole round-14 rule set including percent-normalization, so
+    // '%7e%69tem' ≡ '~item' collapses v0/v1 of the fixture while the
+    // non-default-port v3 stays distinct), keep the smallest doc_id as
+    // the canonical fetch, emit the variant count for frontier
+    // re-weighting. Plan: one codegen projection + one shuffle of
+    // (canonical, doc_id) — URLs only, never page bodies.
+    Q("x_url_dedup", (s, d) => {
+      val urls = fanOut(documents(s, d))
+        .select(col("doc_id"), expr(sparkUrlFixture).as("url"))
+      graft.operators.Web.withCanonicalUrl(urls, "url", "canonical")
+        .groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).cast("long").as("n_variants"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $duckUrlCtes
+      SELECT canonical, MIN(doc_id) AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_variants
+      FROM dom GROUP BY canonical ORDER BY doc_id"""))
   )
 
   /** The messy-URL fixture: four spellings per id family (see

@@ -94,6 +94,10 @@ class PlanSanitySpec extends SparkSpec {
       "x_pipeline_crawl",
       // x_quality_lm5 is x_quality_lm's staged-tf shape at order 5.
       "x_quality_lm5",
+      // x_domain_cap_incremental stages the (id, domain) projection —
+      // it feeds the pre-batch counts, the post-fold counts, AND the
+      // batch probe (three consumers, one corpus scan).
+      "x_domain_cap_incremental",
       // x_heavy_hitters stages the tf projection (feeds the count–min
       // sketch build AND the candidate scan — one corpus scan total), so
       // the visible plan starts there.
