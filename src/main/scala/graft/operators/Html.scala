@@ -224,6 +224,42 @@ object Html {
           .as("text"))
   }
 
+  /** Head-metadata extraction: (doc_id, title, description) — the
+    * crawl-metadata stage beside [[extractText]] (titles feed dedup
+    * keys and quality features; descriptions feed retrieval snippets).
+    * Pinned contract: step-1 cleaning runs FIRST (a `<script>` may
+    * contain a fake `<title>`), `title` = the first
+    * `<title …>…</title>` inner, `description` = the first
+    * `<meta … name="description" … content="…">` value — the
+    * `name`-before-`content`, double-quoted attribute subset (stated:
+    * single-quoted/reordered attributes are NOT matched — the
+    * RE2 ∩ Java no-backref discipline keeps the pattern replayable),
+    * both through the full step-3 visibility transform (entity decode
+    * + space collapse + trim). Missing title/meta → ''. One codegen
+    * projection; null html emits nothing. */
+  def extractTitle(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val titlePat = "(?is)<title[^>]*>(.*?)</title>"
+    val metaPat = "(?is)<meta[^>]*name=\"description\"[^>]*content=\"([^\"]*)\""
+    def item(pat: String) = visibleSql(
+      s"regexp_extract(${cleanSql(htmlCol, duck = false)}, '$pat', 1)",
+      duck = false)
+    df.filter(col(htmlCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        expr(item(titlePat)).as("title"),
+        expr(item(metaPat)).as("description"))
+  }
+
+  /** DuckDB twin of [[extractTitle]]'s items over an html expr. DuckDB
+    * `regexp_extract(x, p, 1)` returns '' (not NULL) on no match —
+    * same as Spark. */
+  def duckTitleItems(h: String): String = {
+    val titlePat = "(?is)<title[^>]*>(.*?)</title>"
+    val metaPat = "(?is)<meta[^>]*name=\"description\"[^>]*content=\"([^\"]*)\""
+    def item(pat: String) = visibleSql(
+      s"regexp_extract(${cleanSql(h, duck = true)}, '$pat', 1)", duck = true)
+    s"${item(titlePat)} AS title, ${item(metaPat)} AS description"
+  }
+
   /** The DuckDB twin of [[extractText]]'s projection as SELECT items
     * over an html expr (splice into the oracle query): returns the
     * (n_blocks, n_kept, text) item list. Same staged shape: prepped

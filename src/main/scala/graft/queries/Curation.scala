@@ -625,6 +625,47 @@ object Curation {
       SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}
       ORDER BY doc_id"""), headline = true),
 
+    // ----------------------------------------- head-metadata extraction
+    // Html.extractTitle: (doc_id, title, description) — titles feed
+    // dedup keys and quality features, descriptions feed snippets.
+    // Clean-FIRST is load-bearing (the fixture plants a fake <title>
+    // inside a <script>); both fields run the full step-3 visibility
+    // transform (the fixture title carries &amp;, a numeric ref, and a
+    // named alias; the description a &hellip;); docs with
+    // doc_id % 11 = 0 have NO meta tag → description = '' (the pinned
+    // missing-field value, same as both engines' no-match
+    // regexp_extract).
+    Q("x_text_title", (s, d) => {
+      val docs = fanOut(documents(s, d))
+        .withColumn("__html", expr(
+          """concat('<html><head>',
+            |'<script>var t = "<title>fake</title>";</script>',
+            |'<title>Doc ', CAST(doc_id AS STRING),
+            |' &amp; more &#8212; site', CAST(doc_id % 7 AS STRING),
+            |'</title>',
+            |IF(doc_id % 11 = 0, '',
+            |   concat('<meta name="description" content="summary of doc ',
+            |          CAST(doc_id AS STRING), ' &hellip; done">')),
+            |'</head><body><p>', substring(text, 1, 40), '</p></body></html>')""".stripMargin))
+      graft.operators.Html.extractTitle(docs, "doc_id", "__html")
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head>' ||
+          '<script>var t = "<title>fake</title>";</script>' ||
+          '<title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          ' &amp; more &#8212; site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '</title>' ||
+          CASE WHEN doc_id % 11 = 0 THEN ''
+               ELSE '<meta name="description" content="summary of doc ' ||
+                    CAST(doc_id AS VARCHAR) || ' &hellip; done">' END ||
+          '</head><body><p>' || substr(text, 1, 40) || '</p></body></html>'
+          AS h
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, ${graft.operators.Html.duckTitleItems("h")}
+      FROM h ORDER BY doc_id""")),
+
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE
     // scan: stack() unpivots the projected columns to (col_name, v) rows,

@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{ScoreIngest, Stream, WebIngest}
+
+/** The composed crawl-ingest loop (graft.streaming.WebIngest — the
+  * streaming twin of x_pipeline_crawl). Asserts the composition, not
+  * the per-operator arithmetic (each stage's exact math is pinned by
+  * its own spec/oracle):
+  *  1. per-row manifest verdicts: structure gate, frozen-LM gate
+  *     (fluent vs all-OOV margins), domain priors with PRE-batch
+  *     semantics and saturation at the cap;
+  *  2. dedup-after-extraction IN STREAMING: a batch-N+1 replica of
+  *     batch-N content under DIFFERENT chrome collapses (raw bytes
+  *     differ, extracted digests match), and within one batch the
+  *     smallest id is canonical;
+  *  3. only canonical survivors' digests grow the corpus root; domain
+  *     counts fold for EVERY fetched row (bandwidth accounting);
+  *  4. the replay fence governs the whole composed body. */
+class StreamingWebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def page(title: String, bodies: String*): String =
+    s"<html><head><title>$title</title></head><body>" +
+      bodies.map(b => s"<p>$b</p>").mkString + "</body></html>"
+
+  test("composed web ingest: gates, cross-batch dedup, domain accounting, fence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val ref = Seq((1L, "the cat sat on the mat"),
+        (2L, "the cat ran to the mat"),
+        (3L, "the dog sat on a mat")).toDF("doc_id", "text")
+      val lm = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildLm(ref, "doc_id", "text"))
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        WebIngest.buildState(
+          Seq.empty[(Long, String, String)].toDF("doc_id", "url", "text"),
+          "doc_id", "url", "text", cap = 2L))
+
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("url", StringType), StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, String, Long, Boolean, Option[Long], Option[Long],
+          Boolean, Boolean, Option[Long], Boolean)]]
+      val q = WebIngest.start(s, state, lm, "value.doc_id", "value.url",
+        "value.html", minBlocks = 2L, threshPct = 300L) { (m, _, _) =>
+        got += m.select(col("doc_id"), col("domain"), col("prior"),
+          col("saturated"), col("n_kept"), col("cost_bits"),
+          col("kept_structure"), col("kept_lm"), col("dup_of"), col("kept"))
+          .as[(Long, String, Long, Boolean, Option[Long], Option[Long],
+            Boolean, Boolean, Option[Long], Boolean)]
+          .collect().toSeq.sortBy(_._1)
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+
+      val fluent = page("Chrome1",  // < minChars: titles must NOT join the digest
+        "the cat sat on the mat", "the cat ran to the mat")
+      val b1 = Seq(
+        (10L, "https://a.example.com/1", fluent),
+        (11L, "https://b.example.com/2",
+          page("G", "zzqq wwxx yyvv uuoo ppnn", "qqzz xxww vvyy oojj kkhh")),
+        (12L, "https://c.other.zz/3", "<html><body><p>tiny</p></body></html>"))
+      send(b1)
+      val m1 = got(0)
+      // fluent page: all gates green, canonical.
+      assert(m1(0)._1 == 10L && m1(0)._2 == "example.com" &&
+        m1(0)._3 == 0L && !m1(0)._4 && m1(0)._7 && m1(0)._8 &&
+        m1(0)._9.isEmpty && m1(0)._10, s"page 10: ${m1(0)}")
+      // gibberish: structure ok, LM drops it (all-OOV pays the floor).
+      assert(m1(1)._1 == 11L && m1(1)._7 && !m1(1)._8 && !m1(1)._10,
+        s"page 11: ${m1(1)}")
+      // tiny: structure gate drops it before the LM ever sees it.
+      assert(m1(2)._1 == 12L && !m1(2)._7 && m1(2)._6.isEmpty && !m1(2)._10,
+        s"page 12: ${m1(2)}")
+
+      // only the canonical survivor's digest grew the corpus root.
+      val grown1 = graft.streaming.Gate.readGrown(spark, state.get().digestsPath)
+        .select(col("owner")).as[Long].collect().toSet
+      assert(grown1 == Set(10L), s"grown owners after b1: $grown1")
+
+      // b2: a replica of page 10's CONTENT under different chrome on a
+      // SATURATED domain; a fresh fluent page + its same-batch copy.
+      val fresh = page("Fresh",
+        "the dog sat on a mat", "the cat sat on the mat")
+      send(Seq(
+        (20L, "https://z.example.com/4",
+          page("NewChrome",
+            "the cat sat on the mat", "the cat ran to the mat") +
+            "<div><a href='/'>Home</a></div>"),
+        (21L, "https://d.other.zz/5", fresh),
+        (22L, "https://e.other.zz/6", fresh)))
+      val m2 = got(1)
+      // PRE-batch priors: example.com fetched 2 in b1 (cap 2 ⇒
+      // saturated); other.zz fetched 1.
+      assert(m2(0)._1 == 20L && m2(0)._3 == 2L && m2(0)._4, s"20: ${m2(0)}")
+      assert(m2(1)._3 == 1L && !m2(1)._4, s"21: ${m2(1)}")
+      // cross-batch dedup AFTER extraction: different chrome, same
+      // extracted text ⇒ dup of batch-1's page 10.
+      assert(m2(0)._9.contains(10L) && !m2(0)._10, s"20 dup: ${m2(0)}")
+      // within-batch: min id canonical, the copy points at it.
+      assert(m2(1)._9.isEmpty && m2(1)._10, s"21: ${m2(1)}")
+      assert(m2(2)._9.contains(21L) && !m2(2)._10, s"22: ${m2(2)}")
+
+      // folds: digests grew by the ONE new canonical; counts carry
+      // every fetched row.
+      val grown2 = graft.streaming.Gate.readGrown(spark, state.get().digestsPath)
+        .select(col("owner")).as[Long].collect().toSet
+      assert(grown2 == Set(10L, 21L), s"grown owners after b2: $grown2")
+      val counts = state.get().counts.df.as[(String, Long)].collect().toSet
+      assert(counts == Set(("example.com", 3L), ("other.zz", 3L)),
+        s"folded counts: $counts")
+
+      // replay fence over the COMPOSED body.
+      val fenced = state.get().copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      val before = got.size
+      send(b1)
+      assert(got.size == before && (state.get() eq fenced),
+        "fenced batch must neither fold nor emit")
+      q.stop()
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}
