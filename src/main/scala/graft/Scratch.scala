@@ -73,6 +73,86 @@ object Scratch {
       val (pairs, t) = timed(run())
       println(f"[lshplan] sf0.1 ${b}x$r: verified pairs=$pairs wall=$t%.2f s")
     }
+
+    // ---- replica-stress rehearsal, r14 newcomers (README convention:
+    // first 10% of sf0.1 docs replicated 20× under fresh ids) ----
+    def warmTimed(label: String)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime(); f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val base = Tables.documents(spark, d)
+    val nBase = base.count()
+    val stress = Tables.fanOut(Tables.stage(base.unionByName(
+      base.filter(col("doc_id") < nBase / 10)
+        .crossJoin(spark.range(1, 20).select(col("id").as("rep")))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L) * col("rep"))
+        .drop("rep"))))
+    println(s"[stress] base=$nBase stress=${stress.count()} docs")
+
+    // html extraction (the crawl chrome over the text) — per-row map,
+    // must scale with VOLUME only.
+    def pages(src: org.apache.spark.sql.DataFrame) = src
+      .withColumn("__t", expr("split(text, ' ')"))
+      .withColumn("__html", expr(
+        """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+          |'</title><script>var x = 1 < 2;</script></head><body>',
+          |'<div id="nav"><a href="/">Home</a></div>',
+          |'<p>', concat_ws(' ', slice(__t, 1, 5)),
+          |' &amp; &#8217; &mdash;</p>',
+          |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+          |'</body></html>')""".stripMargin))
+    warmTimed("extractText 1x")(graft.operators.Html
+      .extractText(pages(Tables.fanOut(base)), "doc_id", "__html")
+      .write.format("noop").mode("overwrite").save())
+    warmTimed("extractText 20%x20")(graft.operators.Html
+      .extractText(pages(stress), "doc_id", "__html")
+      .write.format("noop").mode("overwrite").save())
+    warmTimed("extractTitle 20%x20")(graft.operators.Html
+      .extractTitle(pages(stress), "doc_id", "__html")
+      .write.format("noop").mode("overwrite").save())
+
+    // 5-gram LM: replicas add gram FREQUENCY, not vocabulary — the
+    // broadcast model must not grow.
+    warmTimed("lm5_quality 1x")(graft.operators.Ranking
+      .lmQualityScores(Tables.fanOut(base), "doc_id", "text", n = 5)
+      .write.format("noop").mode("overwrite").save())
+    warmTimed("lm5_quality 20%x20")(graft.operators.Ranking
+      .lmQualityScores(stress, "doc_id", "text", n = 5)
+      .write.format("noop").mode("overwrite").save())
+    val v1 = graft.operators.Ranking
+      .ngramFrequencies(Tables.fanOut(base), "doc_id", "text", 5)
+      .select("ng").distinct().count()
+    val v2 = graft.operators.Ranking
+      .ngramFrequencies(stress, "doc_id", "text", 5)
+      .select("ng").distinct().count()
+    println(s"[stress] lm5 vocab 1x=$v1 20%x20=$v2 (must be equal)")
+
+    // domain accounting: corpus-count build at 2.9× volume + the
+    // per-batch probe+fold arithmetic a gate pays (1000-row batch).
+    {
+      val stageDir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+      spark.conf.set("graft.stage.dir", stageDir)
+      def urls(src: org.apache.spark.sql.DataFrame) = src.select(col("doc_id"),
+        concat(lit("https://www.site"), (col("doc_id") % 997).cast("string"),
+          lit(".co.uk/d/"), col("doc_id").cast("string")).as("url"))
+      val (st, tBuild) = timed(graft.streaming.DomainIngest
+        .buildCounts(urls(stress), "doc_id", "url", cap = 200L))
+      println(f"[stress] domain buildCounts 20%%x20: $tBuild%.2f s")
+      val batch = urls(base.filter(col("doc_id") < 1000))
+      val (_, tProbe) = timed {
+        val bd = graft.streaming.DomainIngest.domains(batch, "doc_id", "url")
+        bd.join(broadcast(st.counts.df), Seq("domain"), "left")
+          .select(col("id"), coalesce(col("cnt"), lit(0L)).as("prior"))
+          .write.format("noop").mode("overwrite").save()
+        Tables.stage(st.counts.df
+          .unionByName(bd.groupBy(col("domain"))
+            .agg(count(lit(1)).cast("long").as("cnt")))
+          .groupBy(col("domain")).agg(sum(col("cnt")).cast("long").as("cnt")))
+      }
+      println(f"[stress] domain probe+fold 1000-row batch: $tProbe%.2f s")
+      spark.conf.unset("graft.stage.dir")
+    }
     spark.stop()
   }
 }
