@@ -920,6 +920,115 @@ object Curation {
              string_agg(tok, ' ' ORDER BY p0) AS chunk_text
       FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk""")),
 
+    // ------------------------------------------- sentence segmentation
+    // graft.operators.Sentences.sentenceRelation — the pinned
+    // rule-based splitter C4-granularity cleaning runs at: boundaries
+    // = [.!?]-runs followed by spaces, trailing terminator runs
+    // stripped AFTER the split (so a text-final sentence behaves like
+    // a medial one), empties drop. The fixture re-punctuates the
+    // corpus text deterministically (every 7th token ends '.', every
+    // 14th '!', every 21st '?' — CASE order pins the 42nd-token
+    // collision); the oracle replays the same rebuild and split with
+    // DuckDB's list functions (parallel unnests zip by position — the
+    // x_chunk discipline).
+    Q("x_text_sentences", (s, d) => {
+      val docs = fanOut(documents(s, d))
+        .withColumn("__toks", expr("split(text, ' ')"))
+        .withColumn("__pt", expr(
+          """concat_ws(' ', transform(__toks, (t, i) ->
+            |  CASE WHEN (i + 1) % 21 = 0 THEN concat(t, '?')
+            |       WHEN (i + 1) % 14 = 0 THEN concat(t, '!')
+            |       WHEN (i + 1) % 7 = 0 THEN concat(t, '.')
+            |       ELSE t END))""".stripMargin))
+      graft.operators.Sentences.sentenceRelation(docs, "doc_id", "__pt")
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      p AS (SELECT doc_id, array_to_string(list_transform(range(1, len(toks) + 1),
+              i -> CASE WHEN i % 21 = 0 THEN toks[i] || '?'
+                        WHEN i % 14 = 0 THEN toks[i] || '!'
+                        WHEN i % 7 = 0 THEN toks[i] || '.'
+                        ELSE toks[i] END), ' ') AS pt
+            FROM t),
+      sg AS (SELECT doc_id, ${graft.operators.Sentences.sentencesSql("pt", duck = true)} AS sl
+             FROM p)
+      SELECT doc_id, CAST(unnest(range(0, len(sl))) AS BIGINT) AS sent_idx,
+             CAST(len(string_split(unnest(sl), ' ')) AS BIGINT) AS n_words,
+             unnest(sl) AS sentence
+      FROM sg ORDER BY doc_id, sent_idx""")),
+
+    // ------------------------------- C4 three-sentence-span dedup
+    // Raffel et al. 2020 §2.2 ("we discarded all but one of any
+    // three-sentence span occurring more than once"), restated exactly
+    // (graft.operators.Sentences.spanDedup): per doc, every 3
+    // consecutive sentences key an md5; a cross-corpus duplicated span
+    // keeps its CANONICAL occurrence only (min (doc_id, sent_idx) —
+    // min-struct, never a window) and every sentence covered by a
+    // non-canonical copy is removed; clean text = survivors rejoined
+    // in order. Fixture: every doc is prefixed with the SAME
+    // three-sentence boilerplate ("subscribe … follow … sign up …"),
+    // so that span duplicates corpus-wide and survives only in the
+    // smallest doc — the C4 newsletter/boilerplate case verbatim;
+    // spans straddling boilerplate and content are unique and remove
+    // nothing. Only (digest, doc_id, sent_idx) shuffles — never text.
+    // Oracle canonical pick = MIN(doc_id·2^20 + idx) — needs
+    // sent_idx < 2^20, an oracle-only bound (the LPA packing
+    // precedent).
+    Q("x_dedup_sentence", (s, d) => {
+      val docs = fanOut(documents(s, d))
+        .withColumn("__toks", expr("split(text, ' ')"))
+        .withColumn("__pt", expr(
+          """concat('subscribe to our newsletter today. follow us for more news. sign up now and stay informed. ',
+            |  concat_ws(' ', transform(__toks, (t, i) ->
+            |    CASE WHEN (i + 1) % 21 = 0 THEN concat(t, '?')
+            |         WHEN (i + 1) % 14 = 0 THEN concat(t, '!')
+            |         WHEN (i + 1) % 7 = 0 THEN concat(t, '.')
+            |         ELSE t END)))""".stripMargin))
+      graft.operators.Sentences.spanDedup(docs, "doc_id", "__pt")
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      p AS (SELECT doc_id,
+              'subscribe to our newsletter today. follow us for more news. sign up now and stay informed. ' ||
+              array_to_string(list_transform(range(1, len(toks) + 1),
+                i -> CASE WHEN i % 21 = 0 THEN toks[i] || '?'
+                          WHEN i % 14 = 0 THEN toks[i] || '!'
+                          WHEN i % 7 = 0 THEN toks[i] || '.'
+                          ELSE toks[i] END), ' ') AS pt
+            FROM t),
+      sg AS (SELECT doc_id, ${graft.operators.Sentences.sentencesSql("pt", duck = true)} AS sl
+             FROM p),
+      sent AS (SELECT doc_id, CAST(unnest(range(0, len(sl))) AS BIGINT) AS idx,
+                      unnest(sl) AS s
+               FROM sg),
+      spans AS (SELECT doc_id,
+                  CAST(unnest(range(0, greatest(len(sl) - 2, 0))) AS BIGINT) AS i,
+                  unnest(list_transform(range(1, greatest(len(sl) - 2, 0) + 1),
+                    k -> md5(sl[k] || ' | ' || sl[k+1] || ' | ' || sl[k+2]))) AS digest
+                FROM sg),
+      dup AS (SELECT digest, MIN(doc_id * 1048576 + i) AS canon
+              FROM spans GROUP BY digest HAVING COUNT(*) > 1),
+      removed AS (
+        SELECT DISTINCT doc_id, idx FROM (
+          SELECT s.doc_id, s.i AS idx FROM spans s JOIN dup d ON s.digest = d.digest
+          WHERE s.doc_id * 1048576 + s.i <> d.canon
+          UNION ALL
+          SELECT s.doc_id, s.i + 1 FROM spans s JOIN dup d ON s.digest = d.digest
+          WHERE s.doc_id * 1048576 + s.i <> d.canon
+          UNION ALL
+          SELECT s.doc_id, s.i + 2 FROM spans s JOIN dup d ON s.digest = d.digest
+          WHERE s.doc_id * 1048576 + s.i <> d.canon))
+      SELECT se.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sents,
+             CAST(SUM(CASE WHEN r.idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             COALESCE(string_agg(CASE WHEN r.idx IS NULL THEN se.s END,
+                                 '. ' ORDER BY se.idx), '') AS clean_text
+      FROM sent se
+      LEFT JOIN removed r ON se.doc_id = r.doc_id AND se.idx = r.idx
+      GROUP BY se.doc_id ORDER BY se.doc_id""")),
+
     // --------------------------------------- deterministic global shuffle
     // Reproducible training-example order: content-hash sort key + shard
     // from the first hash byte (Sampling.deterministicShuffle). A pure

@@ -94,6 +94,9 @@ class PlanSanitySpec extends SparkSpec {
       "x_pipeline_crawl",
       // x_quality_lm5 is x_quality_lm's staged-tf shape at order 5.
       "x_quality_lm5",
+      // Sentences.spanDedup stages the sentence relation (feeds the
+      // span keys AND the reassembly aggregate).
+      "x_dedup_sentence",
       // x_domain_cap_incremental stages the (id, domain) projection —
       // it feeds the pre-batch counts, the post-fold counts, AND the
       // batch probe (three consumers, one corpus scan).
