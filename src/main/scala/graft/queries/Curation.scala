@@ -1027,7 +1027,7 @@ object Curation {
                                  '. ' ORDER BY se.idx), '') AS clean_text
       FROM sent se
       LEFT JOIN removed r ON se.doc_id = r.doc_id AND se.idx = r.idx
-      GROUP BY se.doc_id ORDER BY se.doc_id""")),
+      GROUP BY se.doc_id ORDER BY se.doc_id"""), headline = true),
 
     // --------------------------------------- deterministic global shuffle
     // Reproducible training-example order: content-hash sort key + shard

@@ -77,6 +77,19 @@ object WebIngest {
     WebState(counts, dg.path.get, cap, version)
   }
 
+  /** Compact the folding state's GROWN digest root into one
+    * consolidated staged dir ([[Gate.compactGrown]]) — the counts side
+    * is already a single staged relation per version, so only the
+    * append-per-batch root accretes files. Fence and counts carry;
+    * version bumps; the old root is untouched until the caller swaps +
+    * deletes (crash repair = re-run from the old state — the
+    * [[ContainmentIngest.compactGrowing]] contract). */
+  def compactState(st: WebState): WebState = {
+    val spark = st.counts.df.sparkSession
+    val (_, path) = Gate.compactGrown(spark, st.digestsPath)
+    st.copy(digestsPath = path, version = st.version + 1)
+  }
+
   /** Start the composed loop over a raw-page stream. */
   def start(stream: Stream, state: AtomicReference[WebState],
             lm: AtomicReference[ScoreIngest.CorpusLm],

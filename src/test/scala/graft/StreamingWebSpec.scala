@@ -126,6 +126,15 @@ class StreamingWebSpec extends SparkSpec {
       assert(counts == Set(("example.com", 3L), ("other.zz", 3L)),
         s"folded counts: $counts")
 
+      // compaction: the digest root consolidates; the dedup answer for
+      // a replica of already-grown content is unchanged; fence carries.
+      val compacted = WebIngest.compactState(state.get())
+      assert(compacted.digestsPath != state.get().digestsPath &&
+        compacted.foldedBatch == state.get().foldedBatch)
+      val grownC = graft.streaming.Gate.readGrown(spark, compacted.digestsPath)
+        .select(col("owner")).as[Long].collect().toSet
+      assert(grownC == grown2, s"compacted owners: $grownC")
+
       // replay fence over the COMPOSED body.
       val fenced = state.get().copy(foldedBatch = Long.MaxValue)
       state.set(fenced)
