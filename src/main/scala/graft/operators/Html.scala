@@ -58,13 +58,20 @@ object Html {
   val NumRefPattern: String = "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
 
   /** Step-3a named-entity → numeric-reference aliases (the refs the
-    * common crawl actually carries beyond the XML five). Decoded by the
-    * numeric pass, so there is exactly ONE codepoint→char code path. */
+    * common crawl actually carries beyond the XML five — punctuation,
+    * legal marks, currency). Decoded by the numeric pass, so there is
+    * exactly ONE codepoint→char code path; adding an entity is one
+    * (name, codepoint) row, never new decode logic. */
   val NamedAliases: Seq[(String, String)] = Seq(
     "&mdash;" -> "&#8212;", "&ndash;" -> "&#8211;",
     "&hellip;" -> "&#8230;", "&rsquo;" -> "&#8217;",
     "&lsquo;" -> "&#8216;", "&ldquo;" -> "&#8220;",
-    "&rdquo;" -> "&#8221;", "&apos;" -> "&#39;")
+    "&rdquo;" -> "&#8221;", "&apos;" -> "&#39;",
+    "&copy;" -> "&#169;", "&reg;" -> "&#174;",
+    "&trade;" -> "&#8482;", "&deg;" -> "&#176;",
+    "&middot;" -> "&#183;", "&laquo;" -> "&#171;",
+    "&raquo;" -> "&#187;", "&bull;" -> "&#8226;",
+    "&euro;" -> "&#8364;", "&pound;" -> "&#163;")
 
   /** regexp_replace with the global flag spelled per dialect (Spark
     * replaces all matches by default; DuckDB needs 'g'). */

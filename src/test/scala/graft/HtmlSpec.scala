@@ -47,6 +47,12 @@ class HtmlSpec extends SparkSpec {
     assert(text == "a — b … c’s 'q' end of line", text)
   }
 
+  test("legal/currency aliases: &copy; &reg; &trade; &euro; &pound; &laquo;&raquo;") {
+    val (_, _, text) = extract(
+      "<p>&copy; 2026 corp&reg; mark&trade; 5&euro; 3&pound; &laquo;q&raquo; 20&deg; a&middot;b &bull; end</p>")
+    assert(text == "© 2026 corp® mark™ 5€ 3£ «q» 20° a·b • end", text)
+  }
+
   test("single-decode semantics: &#38; rewrites to &amp; — never cascades") {
     // &#38;lt; must yield the literal text '&lt;', exactly like &amp;lt;
     val (_, _, text) = extract(
