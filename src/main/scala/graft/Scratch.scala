@@ -153,6 +153,65 @@ object Scratch {
       println(f"[stress] domain probe+fold 1000-row batch: $tProbe%.2f s")
       spark.conf.unset("graft.stage.dir")
     }
+
+    // ---- x_pipeline_crawl wall decomposition (cumulative prefixes of
+    // the exact query chain at sf0.1; README §crawl decomposition) ----
+    {
+      import graft.operators.{Html, Ranking, Web}
+      def run(upTo: Int): Double = {
+        val basePages = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val prev = basePages.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__ptext"))
+        val t0 = System.nanoTime()
+        val pages = Tables.stage(Tables.fanOut(
+          basePages.join(prev, Seq("doc_id"), "left")
+            .withColumn("__page", expr(
+              "IF(doc_id % 5 = 4 AND __ptext IS NOT NULL, __ptext, text)")))
+          .withColumn("url", expr(
+            """IF(doc_id % 10 = 0,
+              |   concat('https://Seo.Farm.COM:443/p', CAST(doc_id AS STRING),
+              |          '/?utm_source=x&id=', CAST(doc_id AS STRING)),
+              |   concat('https://www.site', CAST(doc_id % 97 AS STRING),
+              |          '.co.uk/d/', CAST(doc_id AS STRING)))""".stripMargin))
+          .withColumn("__t", expr("split(__page, ' ')"))
+          .withColumn("__html", expr(
+            """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+              |'</title></head><body><p>', concat_ws(' ', slice(__t, 1, 5)),
+              |'</p><p>', concat_ws(' ', slice(__t, 6, 100000)),
+              |'</p></body></html>')""".stripMargin))
+          .select(col("doc_id"), col("url"), col("__html")))
+        if (upTo >= 2) {
+          val kept = Tables.stage(Web.capPerDomain(
+            pages.select(col("doc_id"), col("url")), "url", "doc_id", cap = 25))
+          if (upTo >= 3) {
+            val ext = Tables.stage(Html.extractText(
+              pages.join(kept.select(col("doc_id")), Seq("doc_id")),
+              "doc_id", "__html", 10, 34))
+            if (upTo >= 4) {
+              val k1 = ext.filter(col("n_kept") >= 2)
+              val tf = Tables.stage(Ranking.bigramFrequencies(k1, "doc_id", "text"))
+              val (lm, cx, tot) = Ranking.ngramLm(tf)
+              val k2 = k1.join(Ranking.scoreAgainstLm(tf, lm, cx, tot)
+                .filter(expr("cost_bits * 100 <= n_grams * 420"))
+                .select(col("doc_id"), col("cost_bits"), col("n_grams")), "doc_id")
+              val dg = Tables.stage(k2.withColumn("digest", md5(col("text")))
+                .select(col("doc_id"), col("digest"), col("cost_bits"), col("n_grams")))
+              val canon = dg.groupBy(col("digest")).agg(
+                min(col("doc_id")).as("doc_id"),
+                count(lit(1)).cast("long").as("n_copies"))
+              dg.join(canon, Seq("digest", "doc_id")).join(kept, Seq("doc_id"))
+                .write.format("noop").mode("overwrite").save()
+            } else ext.write.format("noop").mode("overwrite").save()
+          } else kept.write.format("noop").mode("overwrite").save()
+        } else pages.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      for ((label, k) <- Seq("pages stage" -> 1, "+cap" -> 2, "+extract" -> 3,
+        "+lm+dedup (full)" -> 4)) {
+        run(k) // warmup
+        println(f"[crawl] $label: ${run(k)}%.2f s cumulative")
+      }
+    }
     spark.stop()
   }
 }
