@@ -83,6 +83,20 @@ class WebSpec extends SparkSpec {
     assert(Web.withRegistrableDomain(hosts, "h", "dom", dup).count() == 7L)
   }
 
+  test("canonicalization is idempotent: canon(canon(u)) == canon(u)") {
+    // a second pass over an already-canonical URL must change nothing —
+    // the property that makes the canonical form a stable JOIN KEY
+    // (unreserved decodes don't re-fire, uppercased escapes stay, sorted
+    // params stay sorted, the stripped slash stays stripped).
+    val messy = Seq(
+      "HTTPS://WWW.Example.COM:443/A/%7eb/?z=1&a=%41&utm_campaign=x#sec",
+      "http://a.com/100%25x?b=%zz&a=50%",
+      "http://news.Example.CO.UK:80/x?b=2&a=1&fbclid=zz#frag",
+      "http://site.com:8080/p%2fq?a=7")
+    val once = canon(messy: _*).map(_._1)
+    assert(canon(once: _*).map(_._1) == once, once)
+  }
+
   test("four messy spellings of one resource canonicalize equal") {
     val forms = Seq(
       "https://WWW.Site.COM:443/a/b/?id=7&utm_source=feed",
