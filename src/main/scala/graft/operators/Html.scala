@@ -267,6 +267,53 @@ object Html {
     s"${item(titlePat)} AS title, ${item(metaPat)} AS description"
   }
 
+  /** The hyperlink pattern: group 1 = the href value of the pinned
+    * double-quoted attribute subset `<a … href="…" …>` (single-quoted /
+    * unquoted attributes are NOT matched — the same RE2 ∩ Java
+    * no-backref discipline [[extractTitle]]'s meta pattern states). */
+  val HrefPattern: String = "(?is)<a[^>]*href=\"([^\"]*)\""
+
+  /** Hyperlink extraction: (doc_id, pos, href) — one row per matched
+    * `<a href="…">`, in document order (`pos` 1-based) — the outlink
+    * feed of a crawl frontier and the edge source of the hyperlink
+    * graph (Brin & Page 1998; modern curation ranks domains by link
+    * centrality before fetching).
+    *
+    * Pinned contract: step-1 cleaning runs FIRST (a `<script>` may
+    * carry a fake link — same clean-first rule as [[extractTitle]]);
+    * hrefs match [[HrefPattern]]; each value passes the FULL step-3
+    * visibility transform (real pages escape `&` as `&amp;` inside
+    * query strings per the HTML spec, so entity decode is load-bearing;
+    * the tag-strip leg cannot fire inside an attribute value — no `<`
+    * survives the match). Empty hrefs survive as `''` rows; docs with
+    * no links (and null-html docs) emit nothing. One codegen projection
+    * + posexplode — no shuffle, no UDF. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.filter(col(htmlCol).isNotNull)
+      .withColumn("__lk", expr(
+        s"transform(regexp_extract_all(${cleanSql(htmlCol, duck = false)}, " +
+          s"'$HrefPattern', 1), hh -> ${visibleSql("hh", duck = false)})"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(col("__lk")).as(Seq("__p", "href")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        col("href"))
+
+  /** DuckDB twin of [[extractLinks]] over a relation exposing
+    * (doc_id, h): the per-doc href LIST (same clean + extract +
+    * visibility chain), zip-unnested with its 1-based positions
+    * (DuckDB parallel unnests in one SELECT zip by position). Splice
+    * as `SELECT … FROM (${duckLinkItems("h")}) z`. */
+  def duckLinkItems(h: String): String = {
+    val ex = s"regexp_extract_all(${cleanSql(h, duck = true)}, " +
+      s"'$HrefPattern', 1)"
+    s"""SELECT doc_id,
+       |       unnest(range(1, len(l) + 1)) AS pos,
+       |       unnest(l) AS href
+       |FROM (SELECT doc_id,
+       |        list_transform($ex, hh -> ${visibleSql("hh", duck = true)}) AS l
+       |      FROM __link_src)""".stripMargin
+  }
+
   /** The DuckDB twin of [[extractText]]'s projection as SELECT items
     * over an html expr (splice into the oracle query): returns the
     * (n_blocks, n_kept, text) item list. Same staged shape: prepped

@@ -666,6 +666,47 @@ object Curation {
       SELECT doc_id, ${graft.operators.Html.duckTitleItems("h")}
       FROM h ORDER BY doc_id""")),
 
+    // ------------------------------------------------- hyperlink extraction
+    // Html.extractLinks: (doc_id, pos, href) — the outlink feed of a
+    // crawl frontier and the edge source of the hyperlink graph.
+    // Clean-FIRST is load-bearing (the fixture plants a fake <a> inside
+    // a <script>); hrefs decode entities (&amp; inside query strings is
+    // the HTML-spec spelling — undecoded it would poison URL joins
+    // downstream); docs with doc_id % 9 = 0 carry no links and emit
+    // NOTHING (never an empty-href placeholder row). One codegen
+    // projection + posexplode; the oracle zips DuckDB's parallel
+    // unnests by position.
+    Q("x_text_links", (s, d) => {
+      val docs = fanOut(documents(s, d))
+        .withColumn("__html", expr(
+          """concat('<html><body>',
+            |'<script>var a = "<a href=\"/fake\">x</a>";</script>',
+            |IF(doc_id % 9 = 0, '<p>no links on this page at all</p>',
+            |   concat('<p><a class="m" href="https://www.site',
+            |          CAST(doc_id % 7 AS STRING), '.com/d/',
+            |          CAST(doc_id AS STRING), '?ref=rss">self</a> and ',
+            |          '<a href="/search?q=a&amp;id=',
+            |          CAST(doc_id AS STRING), '">find</a></p>')),
+            |'</body></html>')""".stripMargin))
+      graft.operators.Html.extractLinks(docs, "doc_id", "__html")
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH __link_src AS (
+        SELECT doc_id,
+          '<html><body>' ||
+          '<script>var a = "<a href="/fake">x</a>";</script>' ||
+          CASE WHEN doc_id % 9 = 0 THEN '<p>no links on this page at all</p>'
+               ELSE '<p><a class="m" href="https://www.site' ||
+                    CAST(doc_id % 7 AS VARCHAR) || '.com/d/' ||
+                    CAST(doc_id AS VARCHAR) || '?ref=rss">self</a> and ' ||
+                    '<a href="/search?q=a&amp;id=' ||
+                    CAST(doc_id AS VARCHAR) || '">find</a></p>' END ||
+          '</body></html>' AS h
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, pos, href
+      FROM (${graft.operators.Html.duckLinkItems("h")}) z
+      ORDER BY doc_id, pos""")),
+
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE
     // scan: stack() unpivots the projected columns to (col_name, v) rows,

@@ -102,6 +102,30 @@ class HtmlSpec extends SparkSpec {
     assert(out == Set(2L), out)
   }
 
+  test("extractLinks: clean-first, document order, entity decode in hrefs") {
+    val html =
+      "<script>var l = '<a href=\"/fake\">x</a>';</script>" +
+        "<p><a class=\"n\" href=\"https://A.example.COM:443/p?x=1&amp;y=2\">one</a>" +
+        " and <a href='/single-quoted-skipped'>two</a>" +
+        " then <a href=\"/rel/path\">three</a></p>"
+    val out = Html.extractLinks(Seq((7L, html)).toDF("id", "h"), "id", "h")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    // the script's fake link is cleaned away; the single-quoted href is
+    // outside the pinned attribute subset; &amp; decodes inside the href.
+    assert(out == Seq(
+      (7L, 1L, "https://A.example.COM:443/p?x=1&y=2"),
+      (7L, 2L, "/rel/path")), out)
+  }
+
+  test("extractLinks: no links / null html emit nothing; empty href survives") {
+    val out = Html.extractLinks(Seq(
+      (1L, "<p>plain text, no anchors at all</p>"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "<p><a href=\"\">anchor with empty target</a></p>")).toDF("id", "h"),
+      "id", "h").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((3L, 1L, "")), out)
+  }
+
   test("title becomes its own (short, dropped) block; <br> splits") {
     val (_, kept, text) = extract(
       "<html><head><title>T</title></head><body>" +
