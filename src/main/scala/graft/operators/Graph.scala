@@ -676,6 +676,69 @@ object Graph {
       .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
   }
 
+  /** DIRECTED PageRank over a hyperlink edge list (Brin & Page 1998)
+    * — the web-centrality form of [[pageRank]]: mass flows ALONG edges
+    * only. Symmetrizing (what [[pageRank]] does for near-dup graphs,
+    * where similarity IS mutual) would let any page rank itself up just
+    * by linking out; on a crawl graph an incoming link confers
+    * authority, an outgoing one spends it.
+    *
+    * Same exact-integer arithmetic as [[pageRank]] (ranks BIGINT at
+    * `scale` fixed-point, damping = the exact rational 17/20,
+    * truncating division at every step — bitwise on any engine).
+    * Pinned contract:
+    *  - duplicate edges and self-loops drop (a page linking the same
+    *    target five times confers mass once);
+    *  - `r'(v) = (3·scale) div 20 + Σ_{u→v} (r(u)·17) div (20·outdeg(u))`;
+    *  - DANGLING mass is NOT redistributed: a page with no outlinks
+    *    leaks its damped mass — the "remove dangling nodes"
+    *    simplification of the original paper, stated as part of the
+    *    contract (redistribution needs a global Σr term per iteration,
+    *    one extra all-node aggregate; the leak-variant is what a crawl
+    *    frontier prioritizer actually wants — dead ends should not
+    *    recycle authority);
+    *  - iteration state lives on the edge-incident nodes (src AND
+    *    dst-only nodes — a dst-only node accumulates rank but holds
+    *    outdeg 0); the corpus attaches ONCE at the end by broadcast,
+    *    isolated vertices hold the base term.
+    * Overflow headroom: |edge nodes|·scale·17 < 2^63, as [[pageRank]].
+    *
+    * Output: (node, pr) for EVERY vertex, pr at `scale` fixed-point. */
+  def pageRankDirected(vertices: DataFrame, idCol: String,
+                       edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 3,
+                       scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
+    val base = scale * 3 / 20
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct())
+    val od = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
+    // every edge endpoint holds rank; dst-only nodes carry outdeg 0 and
+    // contribute nothing (their mass leaks — the pinned dangling rule).
+    val nd = stage(e.select(col("s").as("node"))
+      .union(e.select(col("d").as("node"))).distinct()
+      .join(od, Seq("node"), "left")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree")))
+    var nr = nd.select(col("node"), col("degree"), lit(scale).as("r"))
+    for (_ <- 1 to iterations) {
+      // only src nodes match the join, and every src has degree >= 1 —
+      // the division is never by zero.
+      val contrib = e.join(nr, col("s") === col("node"))
+        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
+      val in = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
+      nr = nd.join(in, col("node") === col("d"), "left")
+        .select(col("node"), col("degree"),
+          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    vertices.select(col(idCol).cast("long").as("__v"))
+      .join(broadcast(nr.select(col("node"), col("r"))),
+        col("__v") === col("node"), "left")
+      .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+  }
+
   /** PERSONALIZED PageRank — the seed-expansion form of [[pageRank]]
     * (same exact integer arithmetic): restart mass concentrates on a
     * SEED set instead of spreading uniformly, so rank measures proximity

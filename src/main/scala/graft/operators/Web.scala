@@ -201,6 +201,51 @@ object Web {
     * grouping (`act.edu.au` is 3; a handful of 4s exist). */
   val MaxSuffixLabels: Int = 4
 
+  /** DuckDB twin of [[withCanonicalUrl]] as chained CTEs over an input
+    * relation `src` exposing a `url` column plus the pass-through
+    * columns in `carry` — ends in CTE `<pre>c(carry…, host, canonical)`.
+    * CTE names are prefixed with `pre` so two chains (e.g. page URLs
+    * and extracted hrefs) compose in one WITH. Each CTE replays one
+    * pinned rule 1:1 (the duckUrlCtes shape, parameterized). */
+  def duckCanonicalCtes(src: String, carry: Seq[String], pre: String): String = {
+    val cc = carry.map(_ + ", ").mkString
+    s"""${pre}1 AS (SELECT ${cc}url, lower(split_part(url, '://', 1)) AS scheme,
+       |              substr(url, length(split_part(url, '://', 1)) + 4) AS rest
+       |       FROM $src),
+       |${pre}2 AS (SELECT *, split_part(rest, '#', 1) AS nofrag FROM ${pre}1),
+       |${pre}3 AS (SELECT *, split_part(split_part(nofrag, '?', 1), '/', 1) AS hostport
+       |       FROM ${pre}2),
+       |${pre}4 AS (SELECT *,
+       |         CASE WHEN scheme = 'http' AND lower(hostport) LIKE '%:80'
+       |                THEN substr(lower(hostport), 1, length(hostport) - 3)
+       |              WHEN scheme = 'https' AND lower(hostport) LIKE '%:443'
+       |                THEN substr(lower(hostport), 1, length(hostport) - 4)
+       |              ELSE lower(hostport) END AS host,
+       |         substr(nofrag, length(hostport) + 1) AS pq
+       |       FROM ${pre}3),
+       |${pre}4a AS (SELECT *, ${pctNormSql("pq", duck = true)} AS pqn
+       |        FROM ${pre}4),
+       |${pre}5 AS (SELECT *, split_part(pqn, '?', 1) AS path0,
+       |         CASE WHEN strpos(pqn, '?') > 0 THEN split_part(pqn, '?', 2)
+       |              ELSE '' END AS rawq
+       |       FROM ${pre}4a),
+       |${pre}6 AS (SELECT *,
+       |         CASE WHEN path0 LIKE '%/'
+       |                THEN substr(path0, 1, length(path0) - 1)
+       |              ELSE path0 END AS path,
+       |         COALESCE(array_to_string(list_sort(list_filter(
+       |           string_split(rawq, '&'),
+       |           p -> p <> '' AND NOT starts_with(p, 'utm_')
+       |                AND NOT split_part(p, '=', 1) IN
+       |                  ${TrackingParams.map(t => s"'$t'").mkString("(", ", ", ")")})),
+       |           '&'), '') AS q
+       |       FROM ${pre}5),
+       |${pre}c AS (SELECT ${cc}host,
+       |         scheme || '://' || host || path ||
+       |           CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+       |       FROM ${pre}6)""".stripMargin
+  }
+
   /** Cap documents per registrable domain: canonicalize, extract the
     * domain, keep the `cap` smallest id-hashes per domain (the
     * deterministic [[Sampling.stratifiedSample]] min-k — window-free,

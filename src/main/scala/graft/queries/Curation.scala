@@ -707,6 +707,97 @@ object Curation {
       FROM (${graft.operators.Html.duckLinkItems("h")}) z
       ORDER BY doc_id, pos""")),
 
+    // ----------------------------------------- hyperlink-graph PageRank
+    // The Brin–Page composition end-to-end: extract outlinks from HTML
+    // (Html.extractLinks, clean-first), canonicalize BOTH the hrefs and
+    // the pages' own URLs (Web.withCanonicalUrl — the fixture spells
+    // targets as 'https://WWW.Site….COM:443/…?utm_source=feed', so
+    // resolution only works post-canonicalization), resolve edges by an
+    // equi-join on the canonical URL (off-corpus links drop — the crawl
+    // frontier's "not fetched yet" set), then DIRECTED PageRank
+    // (Graph.pageRankDirected: dup edges collapse, self-links drop,
+    // dangling mass leaks — all pinned). Every stage is the audited
+    // operator; the only corpus-keyed shuffle is the canonical-URL
+    // equi-join; iteration state is edge-subgraph-sized. Targets are
+    // (3·id+1)%1024 and (7·id+2)%1024 (dangling beyond the corpus at
+    // small sf), every 10th page links the hub page 1, and one external
+    // link per page never resolves.
+    Q("x_linkgraph_rank", (s, d) => {
+      val pages = fanOut(documents(s, d))
+        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+        .withColumn("url", expr(
+          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+        .withColumn("__html", expr(
+          """concat('<script>var a = "<a href=\"/fake\">x</a>";</script>',
+            |'<p>read <a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+            |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">one</a> and ',
+            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+            |'.com/d/', CAST(__t2 AS STRING), '#sec">two</a>',
+            |IF(doc_id % 10 = 0,
+            |   '<a href="https://www.site1.com/d/1">hub</a>', ''),
+            |' plus <a href="https://other.example.org/offsite">ext</a></p>')""".stripMargin))
+      val links = graft.operators.Html.extractLinks(pages, "doc_id", "__html")
+      val lc = graft.operators.Web.withCanonicalUrl(links, "href", "__c")
+        .select(col("doc_id").as("src"), col("__c").as("canon"))
+      val pc = graft.operators.Web.withCanonicalUrl(
+        pages.select(col("doc_id"), col("url")), "url", "__c")
+        .select(col("doc_id").as("dst"), col("__c").as("canon"))
+      val edges = lc.join(pc, "canon").select(col("src"), col("dst"))
+      graft.operators.Graph.pageRankDirected(documents(s, d), "doc_id",
+        edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }, Some {
+      val rounds = (1 to 3).map(i => s"""
+        r$i AS (SELECT nd.node, nd.degree,
+                       CAST(150000000 AS BIGINT) +
+                       COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                                CAST(0 AS BIGINT)) AS r
+                FROM nd LEFT JOIN (SELECT e0.d AS dst, rr.r, rr.degree
+                                   FROM e0 JOIN r${i - 1} rr ON e0.s = rr.node) p
+                  ON p.dst = nd.node
+                GROUP BY nd.node, nd.degree)""").mkString(",")
+      s"""
+      WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE text IS NOT NULL),
+      __link_src AS (
+        SELECT doc_id,
+          '<script>var a = "<a href="/fake">x</a>";</script>' ||
+          '<p>read <a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(t1 AS VARCHAR) || '?utm_source=feed">one</a> and ' ||
+          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
+          '.com/d/' || CAST(t2 AS VARCHAR) || '#sec">two</a>' ||
+          CASE WHEN doc_id % 10 = 0
+               THEN '<a href="https://www.site1.com/d/1">hub</a>' ELSE '' END ||
+          ' plus <a href="https://other.example.org/offsite">ext</a></p>' AS h
+        FROM pages),
+      lk AS (SELECT doc_id AS src_id, href AS url
+             FROM (${graft.operators.Html.duckLinkItems("h")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("lk", Seq("src_id"), "lc")},
+      pu AS (SELECT doc_id AS dst_id, url FROM pages),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("dst_id"), "pc")},
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT l.src_id AS s, p.dst_id AS d
+        FROM lcc l JOIN pcc p ON l.canonical = p.canonical
+        WHERE l.src_id <> p.dst_id),
+      od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM e0 GROUP BY s),
+      nd AS MATERIALIZED (
+        SELECT n.node, COALESCE(od.degree, CAST(0 AS BIGINT)) AS degree
+        FROM (SELECT s AS node FROM e0 UNION SELECT d FROM e0) n
+        LEFT JOIN od ON od.node = n.node),
+      r0 AS (SELECT node, degree, CAST(1000000000 AS BIGINT) AS r FROM nd),
+      $rounds
+      SELECT v.doc_id AS node, COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
+      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
+      ORDER BY node"""
+    }, headline = true),
+
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE
     // scan: stack() unpivots the projected columns to (col_name, v) rows,
@@ -1338,10 +1429,11 @@ object Curation {
       |         CASE WHEN path0 LIKE '%/'
       |                THEN substr(path0, 1, length(path0) - 1)
       |              ELSE path0 END AS path,
-      |         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |         COALESCE(array_to_string(list_sort(list_filter(
+      |           string_split(rawq, '&'),
       |           p -> p <> '' AND NOT starts_with(p, 'utm_')
       |                AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))),
-      |           '&') AS q
+      |           '&'), '') AS q
       |       FROM s5),
       |s7 AS (SELECT doc_id, host,
       |         scheme || '://' || host || path ||

@@ -280,6 +280,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankDirected: hand-computed chain — direction, dangling leak, dup edges") {
+    import spark.implicits._
+    // 1→2→3 at scale 1000 (base 150), 2 iterations, computed by hand:
+    //   r1 = (1:150, 2:1000, 3:1000); r2 = (1:150, 2:277, 3:1000).
+    // Node 3 is DANGLING (outdeg 0): it accumulates but never emits —
+    // the pinned mass leak. Node 4 is isolated → base. The duplicate
+    // (1,2) edge and the self-loop (2,2) must not change anything.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 2L), (2L, 2L)).toDF("s", "t")
+    val got = Graph.pageRankDirected(
+      Seq(1L, 2L, 3L, 4L).toDF("doc_id"), "doc_id", edges, "s", "t",
+      iterations = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150L, 2L -> 277L, 3L -> 1000L, 4L -> 150L), got)
+  }
+
+  test("pageRankDirected matches the exact integer reference on seeded digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val scale = 1000000L
+    val base = scale * 3 / 20
+    (1 to 4).foreach { _ =>
+      val n = rnd.nextInt(20) + 5
+      val raw = Seq.fill(rnd.nextInt(60) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.filter { case (a, b) => a != b }.distinct
+      val odeg = canon.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var r: Map[Long, Long] = nodes.map(_ -> scale).toMap
+      (1 to 3).foreach { _ =>
+        r = nodes.map { v =>
+          val in = canon.collect { case (u, w) if w == v =>
+            r(u) * 17L / (20L * odeg(u)) }.sum
+          v -> (base + in)
+        }.toMap
+      }
+      val exp = (0L until n.toLong).map(v => v -> r.getOrElse(v, base)).toMap
+      val got = Graph.pageRankDirected(
+        (0L until n.toLong).toDF("doc_id"), "doc_id",
+        raw.toDF("a", "b"), "a", "b", iterations = 3, scale = scale)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == exp.keySet, "vertex coverage")
+      got.foreach { case (v, pr) => assert(pr == exp(v), s"pr($v)") }
+    }
+  }
+
   test("incrementalTriangles ≡ full recompute on randomized edge splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
