@@ -74,8 +74,10 @@ object Ann {
   }
 
   /** Rank a scored (q_id, c_id, cos) relation to per-query top-k rows
-    * (q_id, rank, neighbor_id, cos) via [[TopKNeighbors]]. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    * (q_id, rank, neighbor_id, cos) via [[TopKNeighbors]] — public so
+    * any scorer (BM25 term scores, fused lists) reuses the two-phase
+    * map-side-k-heap shape instead of a rank window. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKNeighbors(k), Encoders.product[ScoredNeighbor])
     scored.groupBy(col("q_id"))
       .agg(topk(col("c_id"), col("cos")).as("top"))

@@ -696,5 +696,37 @@ object Ranking {
       .orderBy(desc("n"), col("token"))
       .select(col("token"), col("n"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval merge: each ranked list contributes
+    * `scale div (kRrf + rank)` to a candidate's fused score, so a
+    * document surfacing in SEVERAL retrievers (lexical BM25, embedding
+    * ANN, …) outranks one dominating a single list. The classic
+    * 1/(k+rank) is restated at `scale` fixed-point so the fusion is
+    * EXACT INTEGER arithmetic — order-independent sums, bitwise on any
+    * engine (the floor quantization is part of the contract; with the
+    * default scale 2^20 all ranks < 2^14 quantize distinctly).
+    *
+    * Inputs: each list is (q_id, rank, neighbor_id) — ranks 1-based,
+    * from any per-query top-k (the two-phase [[graft.operators.Ann.TopKNeighbors]]
+    * shape; lists may cover different candidate universes). Output:
+    * (q_id, doc_id, n_lists, rrf_score), one row per candidate a list
+    * surfaced. Plan: union of k-bounded list relations → ONE shuffle on
+    * (q_id, doc_id) — the fused relation is (queries × k × lists)-sized,
+    * never corpus-sized. */
+  def rrfFuse(lists: Seq[DataFrame], kRrf: Int = 60,
+              scale: Long = 1L << 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kRrf >= 0 && scale > 0, s"kRrf=$kRrf scale=$scale out of range")
+    val shaped = lists.map(_.select(
+      col("q_id").cast("long").as("q_id"),
+      col("neighbor_id").cast("long").as("doc_id"),
+      expr(s"CAST($scale div ($kRrf + CAST(rank AS BIGINT)) AS BIGINT)")
+        .as("__c")))
+    shaped.reduce(_ unionAll _)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_score"))
+      .select(col("q_id"), col("doc_id"), col("n_lists"), col("rrf_score"))
+  }
 }
 

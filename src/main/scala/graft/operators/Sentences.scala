@@ -68,11 +68,10 @@ object Sentences {
     * aggregate; clean text reassembles in the same per-doc aggregate
     * that counts removals. The sentence relation stages once and
     * feeds the span keys AND the reassembly. */
-  def spanDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sent = graft.sources.Tables.stage(
-      sentenceRelation(docs, idCol, textCol))
-    // span keys: (doc_id, i) -> digest of sentences i, i+1, i+2.
-    val spans = sent
+  /** Span keys of a (doc_id, sent_idx, n_words, sentence) relation:
+    * (doc_id, sent_idx, digest) — digest of sentences i, i+1, i+2. */
+  def spansOf(sent: DataFrame): DataFrame =
+    sent
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("sent_idx"), col("sentence"))))
         .as("__ss"))
@@ -93,6 +92,26 @@ object Sentences {
           |  sp -> sp.sent_idx + 3 <= size(__ss)))""".stripMargin).as("sp"))
       .select(col("doc_id"), col("sp.sent_idx").as("sent_idx"),
         col("sp.digest").as("digest"))
+
+  /** The (id, sh) CONTAINMENT projection of three-sentence spans —
+    * each document's DISTINCT span-digest set, the text shape the
+    * modality-generic growing gate
+    * ([[graft.streaming.ContainmentIngest]]) probes and folds exactly
+    * like audio CDC chunks or image keypoints: a re-post carrying a
+    * consecutive run of an ingested document's sentences has its span
+    * set contained in the original's and flags at the threshold. Docs
+    * with < 3 sentences carry no span and emit nothing (they cannot
+    * plagiarize a span). */
+  def spanShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spansOf(sentenceRelation(docs, idCol, textCol))
+      .groupBy(col("doc_id").as("id"))
+      .agg(collect_set(col("digest")).as("sh"))
+      .select(col("id"), col("sh"))
+
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sent = graft.sources.Tables.stage(
+      sentenceRelation(docs, idCol, textCol))
+    val spans = spansOf(sent)
     // duplicated digests + their canonical occurrence (min-struct).
     val dup = spans.groupBy(col("digest"))
       .agg(count(lit(1)).as("__n"),

@@ -407,6 +407,77 @@ object Quality {
              CAST(cost_bits AS DOUBLE) / n_grams AS bits_per_gram
       FROM sc ORDER BY doc_id""")),
 
+    // -------------------------- CCNet head/middle/tail perplexity buckets
+    // The published CCNet split (Wenzek et al. 2020 §3.3): per language,
+    // documents partition into head (best third by LM score), middle,
+    // and tail at the 1/3 and 2/3 PERCENTILES of the per-doc score —
+    // downstream mixes train on head+middle and drop (or down-weight)
+    // the tail. Composition of audited pieces: integer LM surprisal
+    // (Ranking.lmQualityScores; score100 = (100·cost_bits) div n_grams
+    // — one integer per doc, bounded domain) → per-lang exact discrete
+    // percentiles over the (lang, score100) HISTOGRAM
+    // (Quantiles.groupPercentilesDisc — the window sees one row per
+    // distinct score, never the corpus) → broadcast threshold attach +
+    // one CASE projection. Percentile positions use the same double
+    // literals in both engines (ceil of one IEEE product — bitwise).
+    // Docs with < 2 tokens never score (the LM contract) and drop here.
+    Q("x_quality_ccnet", (s, d) => {
+      val sc = graft.operators.Ranking.lmQualityScores(
+        fanOut(documents(s, d)), "doc_id", "text")
+        .select(col("doc_id"), expr("(100L * cost_bits) div n_grams").as("score100"))
+      val scored = documents(s, d).select(col("doc_id"), col("lang"))
+        .join(sc, "doc_id")
+      val th = graft.operators.Quantiles.groupPercentilesDisc(
+        scored, "lang", "score100",
+        Seq("p33" -> (1.0 / 3.0), "p66" -> (2.0 / 3.0)))
+      scored.join(broadcast(th), "lang")
+        .withColumn("bucket", expr(
+          """CASE WHEN score100 <= p33 THEN 'head'
+            |     WHEN score100 <= p66 THEN 'middle'
+            |     ELSE 'tail' END""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("score100"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+                 WHERE text IS NOT NULL),
+      bo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS ng
+             FROM t WHERE len(toks) >= 2),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
+             GROUP BY tf.doc_id),
+      s100 AS (SELECT sc.doc_id, d.lang,
+                      (100 * cost_bits) // n_grams AS score100
+               FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+      ranked AS (SELECT lang, score100,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY score100) AS rn,
+                        COUNT(*) OVER (PARTITION BY lang) AS n
+                 FROM s100),
+      th AS (SELECT lang,
+                    MIN(CASE WHEN rn = CAST(ceil(n * 0.3333333333333333) AS BIGINT)
+                             THEN score100 END) AS p33,
+                    MIN(CASE WHEN rn = CAST(ceil(n * 0.6666666666666666) AS BIGINT)
+                             THEN score100 END) AS p66
+             FROM ranked GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.score100,
+             CASE WHEN s.score100 <= th.p33 THEN 'head'
+                  WHEN s.score100 <= th.p66 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s100 s JOIN th USING (lang)
+      ORDER BY s.doc_id"""), headline = true),
+
     // ----------------------- LM scoring, reference → candidates (gate twin)
     // The DISCRIMINATIVE deployment (CCNet's): the LM trains on a curated
     // reference (doc_id % 10 <> 0), candidates (doc_id % 10 = 0) score

@@ -116,6 +116,94 @@ object Search {
       WHERE tf > 0
       ORDER BY doc_id, term""")),
 
+    // ------------------------------------- hybrid retrieval (RRF fusion)
+    // The standard two-retriever stack fused by reciprocal-rank fusion
+    // (Ranking.rrfFuse, Cormack 2009): per query, an EMBEDDING list
+    // (exact cosine top-20, Ann.bruteTopK — the whitelisted brute
+    // baseline; a production stack swaps in the banded LSH probe, same
+    // (q_id, rank, neighbor_id) shape) and a LEXICAL list (BM25 term
+    // scores ranked by the same two-phase top-k — never a rank window).
+    // Fusion is exact-integer: 2^20 div (60 + rank) summed per
+    // candidate, one shuffle of (queries × k × 2) rows. Queries are
+    // vec_id 0..2 ≡ the terms data/query/stream (doc_id ≡ vec_id);
+    // the two lists cover different candidate universes (embedding
+    // corpus starts at vec_id 10, lexical sees every doc) — RRF fuses
+    // them without score calibration, which is its whole point.
+    Q("x_search_rrf", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val sem = graft.operators.Ann
+        .bruteTopK(e.filter(col("id") < 3), fanOut(e.filter(col("id") >= 10)),
+          k = 20)
+        .select(col("q_id"), col("rank"), col("neighbor_id"))
+      val lexScored = graft.operators.Ranking
+        .bm25TermScores(fanOut(documents(s, d)), "doc_id", "text",
+          terms = Seq("data", "query", "stream"))
+        .select(
+          expr("CASE term WHEN 'data' THEN 0L WHEN 'query' THEN 1L ELSE 2L END")
+            .as("q_id"),
+          col("doc_id").as("c_id"), col("score").as("cos"))
+      val lex = graft.operators.Ann.rankTopK(lexScored, 20)
+        .select(col("q_id"), col("rank"), col("neighbor_id"))
+      graft.operators.Ranking.rrfFuse(Seq(sem, lex), kRrf = 60,
+        scale = 1048576L)
+        .orderBy(col("q_id"), col("rrf_score").desc, col("doc_id"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings),
+      sem_scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS nid,
+               (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v)) / (q.nrm * c.nrm) AS sc
+        FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id >= 10),
+      sem AS (
+        SELECT q_id, nid,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY sc DESC, nid ASC) AS rank
+        FROM sem_scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY sc DESC, nid ASC) <= 20),
+      t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      qt AS (SELECT * FROM (VALUES (0, 'data'), (1, 'query'), (2, 'stream'))
+             AS qt(q_id, term)),
+      ltf AS (SELECT doc_id, q_id, term, len(toks) AS dl,
+                     len(list_filter(toks, x -> x = term)) AS tf
+              FROM t CROSS JOIN qt),
+      ldf AS (SELECT term, COUNT(*) AS df FROM ltf WHERE tf > 0 GROUP BY term),
+      lst AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(len($duckToks)) AS BIGINT) AS total_len
+              FROM documents),
+      lex_scored AS (
+        SELECT q_id, doc_id AS nid,
+               (CAST(CAST(22 AS HUGEINT) * tf * total_len AS DOUBLE)
+                 / CAST(CAST(10 AS HUGEINT) * total_len * tf
+                        + CAST(3 AS HUGEINT) * total_len
+                        + CAST(9 AS HUGEINT) * dl * n_docs AS DOUBLE))
+                * (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) AS sc
+        FROM ltf JOIN ldf USING (term) CROSS JOIN lst
+        WHERE tf > 0),
+      lex AS (
+        SELECT q_id, nid,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY sc DESC, nid ASC) AS rank
+        FROM lex_scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY sc DESC, nid ASC) <= 20),
+      u AS (SELECT q_id, nid, rank FROM sem
+            UNION ALL SELECT q_id, nid, rank FROM lex)
+      SELECT CAST(q_id AS BIGINT) AS q_id, nid AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             COALESCE(CAST(SUM(1048576 // (60 + rank)) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS rrf_score
+      FROM u GROUP BY q_id, nid
+      ORDER BY q_id, rrf_score DESC, doc_id"""), headline = true),
+
     // --------------------------------------- C4-style cross-doc line dedup
     // Remove every 4-token "line" occurring in ≥2 distinct documents;
     // reassemble survivors in order. Banned lines aggregate by 16-byte

@@ -174,7 +174,11 @@ class PlanSanitySpec extends SparkSpec {
       // x_pack_bpe / x_pack_unigram / x_pipeline_modern: the same
       // shard-window pack step (shards = the packing parallelism
       // parameter, 8 for the fixture).
-      "x_pack_bpe", "x_pack_unigram", "x_pipeline_modern")
+      "x_pack_bpe", "x_pack_unigram", "x_pipeline_modern",
+      // x_quality_ccnet: its lang window runs over the (lang, score100)
+      // HISTOGRAM (groupPercentilesDisc — one row per distinct integer
+      // score, domain bounded by the 100·bits range), never the corpus.
+      "x_quality_ccnet")
   private val lowCardKeys = Set("o_orderpriority", "o_orderstatus",
     "event_type", "r_name", "n_name", "c_mktsegment", "l_returnflag",
     "l_linestatus", "shard", "lang", "source")

@@ -315,4 +315,26 @@ class RankingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(edge == Set(9L), edge)
   }
+
+  test("rrfFuse: exact integer contributions, cross-list boost, disjoint universes") {
+    import spark.implicits._
+    // list A ranks docs (10, 11, 12); list B ranks (11, 13). With
+    // kRrf = 60 and scale = 1048576: contribution(rank) = 1048576 div
+    // (60 + rank) → r1 = 17189, r2 = 16912, r3 = 16644.
+    val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+      .toDF("q_id", "rank", "neighbor_id")
+    val b = Seq((0L, 1, 11L), (0L, 2, 13L))
+      .toDF("q_id", "rank", "neighbor_id")
+    val got = Ranking.rrfFuse(Seq(a, b))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got == Map(
+      10L -> (1L, 17189L),         // rank 1 in A only
+      11L -> (2L, 16912L + 17189L), // rank 2 in A + rank 1 in B — top fused
+      12L -> (1L, 16644L),
+      13L -> (1L, 16912L)), got)
+    // the cross-list doc outranks every single-list doc, including A's #1.
+    val best = got.maxBy(_._2._2)._1
+    assert(best == 11L, s"fused winner $best")
+  }
 }

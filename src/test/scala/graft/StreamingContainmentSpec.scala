@@ -249,4 +249,51 @@ class StreamingContainmentSpec extends SparkSpec {
         s"the trimmed re-upload must pair only after b1 folds: $got")
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("the SAME loop runs the sentence-span projection (text plagiarism gate)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      def proj(df: org.apache.spark.sql.DataFrame, idCol: String, tCol: String) =
+        graft.operators.Sentences.spanShingles(df, idCol, tCol)
+
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ContainmentIngest.buildGrowing(proj(
+          Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")))
+
+      // b1: a six-sentence article. b2: a re-post quoting sentences 2..5
+      // verbatim (every span of the quote is a span of the original —
+      // containment 1.0) plus a genuinely fresh two-sentence doc (one
+      // span of its own, never flagged).
+      val sents = (0 to 5).map(i => s"original sentence number $i here")
+      val b1 = Seq((1L, sents.map(_ + ".").mkString(" ")))
+      val b2 = Seq(
+        (700L, sents.slice(2, 6).map(_ + ".").mkString(" ")),
+        (701L, "a fresh first sentence. then a second one. and a third."))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+      val q = ContainmentIngest.startGrowing(s, state,
+        b => proj(b, "value.doc_id", "value.text"), threshold = 0.8) {
+        (pairs, _, _) =>
+          got += pairs.select("da", "db").as[(Long, Long)].collect().toSet
+      }
+      def send(rows: Seq[(Long, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "text")
+          .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      q.stop()
+      assert(got.toSeq == Seq(Set.empty, Set((700L, 1L))),
+        s"only the quoting re-post pairs, and only after b1 folds: $got")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
