@@ -798,6 +798,95 @@ object Curation {
       ORDER BY node"""
     }, headline = true),
 
+    // ------------------------------------------- crawl-frontier discovery
+    // The batch twin of streaming.FrontierIngest (gate #31): pages with
+    // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical
+    // URLs = the seen set); the doc_id % 3 = 0 pages arrive as one
+    // batch — outlinks extract (clean-first), resolve (absolute http(s)
+    // pass; root-relative resolves against the page's canonical
+    // scheme+host; mailto/path-relative drop — pinned), canonicalize,
+    // and the NOVEL frontier = candidates in neither the seen set nor
+    // the batch's own fetched URLs, one row per canonical with
+    // discoverer = min referring page and n_refs counting referring
+    // PAGES. Anti-joins on canonical strings only — page bodies never
+    // shuffle.
+    Q("x_frontier_incremental", (s, d) => {
+      val pages = fanOut(documents(s, d))
+        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+        .withColumn("url", expr(
+          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+      val batch = pages.filter(expr("doc_id % 3 = 0"))
+        .withColumn("__html", expr(
+          """concat('<p><a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+            |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">a</a> ',
+            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+            |'.com/d/', CAST(__t2 AS STRING), '">b</a> ',
+            |'<a href="/about">c</a> ',
+            |'<a href="mailto:x@y.example">m</a> ',
+            |'<a href="https://other.example.org/ref">d</a></p>')""".stripMargin))
+      val seen = graft.operators.Web.withCanonicalUrl(
+        pages.filter(expr("doc_id % 3 != 0")).select(col("doc_id"), col("url")),
+        "url", "__c")
+        .select(col("__c").as("curl")).distinct()
+      val fetched = graft.streaming.FrontierIngest
+        .pageUrls(batch, "doc_id", "url")
+        .select(col("curl")).distinct()
+      val cand = graft.streaming.FrontierIngest
+        .outlinks(batch, "doc_id", "url", "__html")
+        .groupBy(col("curl"))
+        .agg(min(col("ref_id")).as("discoverer"),
+          count(lit(1)).cast("long").as("n_refs"))
+      cand.join(seen, Seq("curl"), "left_anti")
+        .join(fetched, Seq("curl"), "left_anti")
+        .select(col("curl").as("url"), col("discoverer"), col("n_refs"))
+        .orderBy(col("url"))
+    }, Some(s"""
+      WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE text IS NOT NULL),
+      __link_src AS (
+        SELECT doc_id,
+          '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(t1 AS VARCHAR) || '?utm_source=feed">a</a> ' ||
+          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
+          '.com/d/' || CAST(t2 AS VARCHAR) || '">b</a> ' ||
+          '<a href="/about">c</a> ' ||
+          '<a href="mailto:x@y.example">m</a> ' ||
+          '<a href="https://other.example.org/ref">d</a></p>' AS h
+        FROM pages WHERE doc_id % 3 = 0),
+      pu AS (SELECT doc_id AS pid, url FROM pages),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("pid"), "pc")},
+      seen AS MATERIALIZED (
+        SELECT DISTINCT canonical FROM pcc WHERE pid % 3 <> 0),
+      fetched AS MATERIALIZED (
+        SELECT DISTINCT canonical FROM pcc WHERE pid % 3 = 0),
+      lk0 AS (SELECT doc_id, href FROM (${graft.operators.Html.duckLinkItems("h")}) z),
+      au AS (SELECT ref_id, aurl AS url FROM (
+               SELECT l.doc_id AS ref_id,
+                      CASE WHEN l.href LIKE 'http://%' OR l.href LIKE 'https://%'
+                             THEN l.href
+                           WHEN l.href LIKE '/%'
+                             THEN split_part(p.canonical, '://', 1) || '://' ||
+                                  p.host || l.href
+                           ELSE NULL END AS aurl
+               FROM lk0 l JOIN pcc p ON p.pid = l.doc_id)
+             WHERE aurl IS NOT NULL),
+      ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},
+      cand AS (SELECT canonical, CAST(MIN(ref_id) AS BIGINT) AS discoverer,
+                      CAST(COUNT(*) AS BIGINT) AS n_refs
+               FROM (SELECT DISTINCT canonical, ref_id FROM lcc)
+               GROUP BY canonical)
+      SELECT canonical AS url, discoverer, n_refs
+      FROM cand
+      WHERE canonical NOT IN (SELECT canonical FROM seen)
+        AND canonical NOT IN (SELECT canonical FROM fetched)
+      ORDER BY url"""), headline = true),
+
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE
     // scan: stack() unpivots the projected columns to (col_name, v) rows,

@@ -425,8 +425,12 @@ object Quality {
       val sc = graft.operators.Ranking.lmQualityScores(
         fanOut(documents(s, d)), "doc_id", "text")
         .select(col("doc_id"), expr("(100L * cost_bits) div n_grams").as("score100"))
-      val scored = documents(s, d).select(col("doc_id"), col("lang"))
-        .join(sc, "doc_id")
+      // staged: the LM-scoring subtree feeds BOTH the threshold
+      // computation and the output join — unstaged, Spark re-executes
+      // it per reference (the x_pipeline_modern lesson; measured here
+      // as a doubled plan, 15 exchanges → 8).
+      val scored = graft.sources.Tables.stage(
+        documents(s, d).select(col("doc_id"), col("lang")).join(sc, "doc_id"))
       val th = graft.operators.Quantiles.groupPercentilesDisc(
         scored, "lang", "score100",
         Seq("p33" -> (1.0 / 3.0), "p66" -> (2.0 / 3.0)))

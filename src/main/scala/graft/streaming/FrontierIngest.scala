@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Html, Web}
+import graft.sources.Tables
+
+/** Streaming crawl-frontier DISCOVERY — the loop that feeds a crawler's
+  * fetch queue: each micro-batch of fetched pages has its outlinks
+  * extracted ([[Html.extractLinks]], clean-first), resolved and
+  * canonicalized ([[Web.withCanonicalUrl]]), and probed against the
+  * growing SEEN set; URLs never seen before emit as the batch's newly
+  * discovered frontier, then the batch's own page URLs AND its
+  * discoveries fold in.
+  *
+  * Pinned contract:
+  *  - link resolution: absolute `http(s)://…` hrefs pass; ROOT-RELATIVE
+  *    hrefs (`/path`) resolve against the fetching page's canonical
+  *    scheme + host; everything else (protocol-relative, path-relative,
+  *    fragments, mailto:) is out of scope and DROPS — stated, the
+  *    RE2 ∩ Java-style bounded-contract discipline;
+  *  - gate-then-fold (the [[DomainIngest]] discipline): novelty is
+  *    judged against the PRE-batch seen set, with SET semantics within
+  *    a batch — per canonical URL the batch emits ONE row, `discoverer`
+  *    = the smallest referring page id (deterministic canonical pick)
+  *    and `n_refs` = referring pages in the batch (links counted once
+  *    per (page, url) — a page linking the same target five times
+  *    discovers it once);
+  *  - a URL both FETCHED and discovered in the same batch is not novel
+  *    (fetching beats discovery — it is already past the queue);
+  *  - the fold appends the batch's fetched canonical URLs and its novel
+  *    discoveries under the batch id (replay-overwrite idempotent); the
+  *    replay fence skips re-delivered batches, so a crash-replayed
+  *    batch neither double-emits nor double-folds.
+  *
+  * Scale: the seen set is one grown root of canonical-URL strings
+  * (equi-joined by left-anti on the canonical — never page bodies);
+  * extraction/canonicalization are per-row codegen projections; the
+  * per-batch novel relation is batch-link-bounded BY CONTRACT and is
+  * settled ONCE driver-side so the emission and the fold agree (the
+  * CurateIngest verdict discipline). Requires parquet staging mode. */
+object FrontierIngest {
+
+  /** Growing frontier state: the live seen-URL view + its root. */
+  final case class FrontierState(seen: DataFrame, seenPath: String,
+                                 version: Long, foldedBatch: Long = -1L)
+    extends Gate.Folded
+
+  /** Canonical page URLs of a fetched batch: (id, curl, scheme, host). */
+  def pageUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    Web.withCanonicalUrl(
+      df.select(col(idCol).cast("long").as("id"), col(urlCol).as("url")),
+      "url", "__c")
+      .select(col("id"), col("__c").as("curl"),
+        expr("split_part(__c, '://', 1)").as("scheme"),
+        col("__c_host").as("host"))
+
+  /** Resolved + canonicalized outlinks of a fetched batch:
+    * (curl, ref_id) — one row per (page, distinct target). */
+  def outlinks(df: DataFrame, idCol: String, urlCol: String,
+               htmlCol: String): DataFrame = {
+    val pages = df.select(col(idCol).cast("long").as("id"),
+      col(urlCol).as("url"), col(htmlCol).as("__h"))
+    val ctx = pageUrls(pages, "id", "url").select(col("id"), col("scheme"),
+      col("host"))
+    val resolved = Html.extractLinks(pages, "id", "__h")
+      .join(ctx, col("doc_id") === col("id"))
+      .withColumn("__abs", expr(
+        """CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+          |     WHEN href LIKE '/%' THEN concat(scheme, '://', host, href)
+          |     ELSE NULL END""".stripMargin))
+      .filter(col("__abs").isNotNull)
+    Web.withCanonicalUrl(resolved, "__abs", "__c")
+      .select(col("__c").as("curl"), col("id").as("ref_id"))
+      .distinct()
+  }
+
+  /** Seed the seen set from an already-fetched corpus ONCE (tracked
+    * staging — the growing-root contract; pass an empty relation to
+    * start from nothing). */
+  def buildFrontier(corpus: DataFrame, urlCol: String,
+                    version: Long = 0L): FrontierState = {
+    val spark = corpus.sparkSession
+    val seed = Tables.stageTracked(
+      corpus.select(col(urlCol).as("url"))
+        .transform(Web.withCanonicalUrl(_, "url", "__c"))
+        .select(col("__c").as("url")).distinct())
+    require(seed.path.isDefined,
+      "buildFrontier requires parquet staging mode (set graft.stage.dir): " +
+        "the frontier gate folds by appending to the persisted seen root")
+    val st = FrontierState(null, seed.path.get, version)
+    st.copy(seen = Gate.readGrown(spark, st.seenPath))
+  }
+
+  /** Restore from a persisted seen root (prunes folds past the fence —
+    * the crash-repair path). */
+  def restoreFrontier(spark: org.apache.spark.sql.SparkSession,
+                      seenPath: String, version: Long = 0L,
+                      foldedBatch: Long = -1L): FrontierState = {
+    Gate.pruneGrown(spark, seenPath, foldedBatch)
+    FrontierState(Gate.readGrown(spark, seenPath), seenPath, version,
+      foldedBatch)
+  }
+
+  /** DISCOVER-THEN-FOLD: `onBatch` receives the batch's novel frontier
+    * (url, discoverer, n_refs), judged against the PRE-batch seen set;
+    * then the batch's page URLs + discoveries fold in. */
+  def startFrontier(stream: Stream, state: AtomicReference[FrontierState],
+                    idCol: String, urlCol: String, htmlCol: String,
+                    checkpoint: Option[String] = None)(
+                    onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val pages = pageUrls(batch, idCol, urlCol)
+      val cand = outlinks(batch, idCol, urlCol, htmlCol)
+        .groupBy(col("curl"))
+        .agg(min(col("ref_id")).as("discoverer"),
+          count(lit(1)).cast("long").as("n_refs"))
+      // settle the novel set ONCE driver-side (batch-link-bounded by
+      // contract) — the emitted relation and the fold must agree.
+      val novel = cand
+        .join(st.seen.select(col("url").as("curl")), Seq("curl"), "left_anti")
+        .join(pages.select(col("curl")).distinct(), Seq("curl"), "left_anti")
+        .select(col("curl").as("url"), col("discoverer"), col("n_refs"))
+        .as[(String, Long, Long)].collect().toSeq
+      val novelDf = novel.toDF("url", "discoverer", "n_refs")
+      Gate.growDir(
+        pages.select(col("curl").as("url")).distinct()
+          .unionByName(novelDf.select(col("url"))).distinct(),
+        st.seenPath, batchId)
+      (novelDf, st.copy(seen = Gate.readGrown(spark, st.seenPath),
+        version = st.version + 1, foldedBatch = batchId))
+    }(onBatch)
+}

@@ -119,7 +119,11 @@ class PlanSanitySpec extends SparkSpec {
       "x_token_unigram_train",
       // x_token_wordpiece_train's audit reads the staged per-round
       // segmentations (the trainBpe discipline).
-      "x_token_wordpiece_train")
+      "x_token_wordpiece_train",
+      // x_quality_ccnet stages the (doc_id, lang, score100) LM-scored
+      // relation — it feeds the percentile thresholds AND the bucket
+      // join (two consumers, one scoring pass).
+      "x_quality_ccnet")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{FrontierIngest, Stream}
+
+/** Crawl-frontier discovery gate (graft.streaming.FrontierIngest —
+  * gate family #31). Asserts the family contract plus the gate's pins:
+  *  1. gate-then-fold: novelty is judged against the PRE-batch seen
+  *     set — a messy respelling of a SEEDED url is not novel, and a
+  *     url discovered in batch N is not novel in batch N+1;
+  *  2. link resolution: absolute http(s) hrefs pass, root-relative
+  *     hrefs resolve against the fetching page's canonical scheme+host,
+  *     everything else (mailto:, path-relative) drops;
+  *  3. a url both FETCHED and discovered in one batch is not novel;
+  *  4. set semantics in a batch: one row per canonical url, discoverer
+  *     = min referring page id, n_refs counts referring PAGES;
+  *  5. restore from the seen root answers identically. */
+class StreamingFrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("frontier gate: discovery vs seen set, resolution rules, fold, restore") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpus = Seq("https://www.site0.com/d/0").toDF("url")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        FrontierIngest.buildFrontier(corpus, "url"))
+
+      val h1 =
+        "<p><a href=\"https://WWW.Site0.COM:443/d/0?utm_source=feed\">seen</a>" +
+          " <a href=\"https://www.site2.com/d/2\">new</a>" +
+          " <a href=\"/about\">rel</a>" +
+          " <a href=\"https://www.site1.com/d/1\">self</a>" +
+          " <a href=\"mailto:x@y.example\">mail</a></p>"
+      val b1 = Seq((1L, "https://WWW.Site1.COM:443/d/1?utm_source=x", h1))
+      // batch 2: pages 2 and 3 both link site4/d/4 (n_refs = 2,
+      // discoverer = 2); site2/d/2 was discovered in b1 — no longer novel.
+      val h2 = "<p><a href=\"https://www.site2.com/d/2\">old</a>" +
+        " <a href=\"https://www.site4.com/d/4\">fresh</a></p>"
+      val h3 = "<p><a href=\"https://www.site4.com/d/4\">fresh too</a></p>"
+      val b2 = Seq(
+        (2L, "https://www.site3.com/d/3", h2),
+        (3L, "https://www.site3.com/d/3b", h3))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long, Long)]]
+      val q = FrontierIngest.startFrontier(s, state,
+        "value.doc_id", "value.url", "value.html") { (novel, _, _) =>
+        got += novel.as[(String, Long, Long)].collect().toSet
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      q.stop()
+
+      assert(got.toSeq == Seq(
+        Set(("https://www.site2.com/d/2", 1L, 1L),
+          ("https://www.site1.com/about", 1L, 1L)),
+        Set(("https://www.site4.com/d/4", 2L, 2L))),
+        s"novel emissions: $got")
+
+      // the folded seen set = seed + b1 page + b1 discoveries + b2 pages
+      // + b2 discovery.
+      val st = state.get()
+      val seen = st.seen.as[String].collect().toSet
+      assert(seen == Set(
+        "https://www.site0.com/d/0",
+        "https://www.site1.com/d/1",
+        "https://www.site2.com/d/2",
+        "https://www.site1.com/about",
+        "https://www.site3.com/d/3",
+        "https://www.site3.com/d/3b",
+        "https://www.site4.com/d/4"), seen)
+
+      // restore from the root answers identically.
+      val restored = FrontierIngest.restoreFrontier(spark, st.seenPath,
+        st.version, st.foldedBatch)
+      assert(restored.seen.as[String].collect().toSet == seen)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}
