@@ -298,6 +298,53 @@ object Html {
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
         col("href"))
 
+  /** The full-anchor pattern: every `<a … href="…" …>…</a>` element
+    * (double-quoted href subset, non-greedy inner — nested inline tags
+    * stay inside the match and are stripped by the visibility
+    * transform). */
+  val AnchorPattern: String = "(?is)<a[^>]*href=\"[^\"]*\"[^>]*>.*?</a>"
+
+  /** [[extractLinks]] + the ANCHOR TEXT: (doc_id, pos, href, anchor) —
+    * anchor text is the web-IR signal that describes the TARGET (the
+    * original PageRank paper indexes it on the linked page). Same
+    * pinned rules: clean-first, double-quoted href subset, both fields
+    * through the step-3 visibility transform (the whole `<a …>…</a>`
+    * match runs the transform for `anchor` — its own tags strip to
+    * spaces, entities decode, spaces collapse). Anchors without an
+    * href (or single-quoted) are NOT matched. */
+  def extractLinksWithText(df: DataFrame, idCol: String,
+                           htmlCol: String): DataFrame =
+    df.filter(col(htmlCol).isNotNull)
+      .withColumn("__am", expr(
+        s"regexp_extract_all(${cleanSql(htmlCol, duck = false)}, " +
+          s"'$AnchorPattern', 0)"))
+      .withColumn("__lk", expr(
+        s"transform(__am, mm -> named_struct(" +
+          s"'href', ${visibleSql(s"regexp_extract(mm, '$HrefPattern', 1)", duck = false)}, " +
+          s"'anchor', ${visibleSql("mm", duck = false)}))"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(col("__lk")).as(Seq("__p", "__s")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        col("__s.href").as("href"), col("__s.anchor").as("anchor"))
+
+  /** DuckDB twin of [[extractLinksWithText]] over a relation exposing
+    * (doc_id, h): (doc_id, pos, href, anchor), zip-unnested. */
+  def duckLinkTextItems(h: String): String = {
+    val ex = s"regexp_extract_all(${cleanSql(h, duck = true)}, " +
+      s"'$AnchorPattern')"
+    val hrefOf = visibleSql(s"regexp_extract(mm, '$HrefPattern', 1)",
+      duck = true)
+    val anchorOf = visibleSql("mm", duck = true)
+    s"""SELECT doc_id,
+       |       unnest(range(1, len(hl) + 1)) AS pos,
+       |       unnest(hl) AS href,
+       |       unnest(al) AS anchor
+       |FROM (SELECT doc_id,
+       |        list_transform(am, mm -> $hrefOf) AS hl,
+       |        list_transform(am, mm -> $anchorOf) AS al
+       |      FROM (SELECT doc_id, $ex AS am FROM __link_src))""".stripMargin
+  }
+
   /** DuckDB twin of [[extractLinks]] over a relation exposing
     * (doc_id, h): the per-doc href LIST (same clean + extract +
     * visibility chain), zip-unnested with its 1-based positions

@@ -798,6 +798,86 @@ object Curation {
       ORDER BY node"""
     }, headline = true),
 
+    // ---------------------------------------------- anchor-text profiles
+    // The web-IR signal the original PageRank paper indexes on the
+    // TARGET page: every <a href="…">text</a> is extracted with its
+    // anchor text (Html.extractLinksWithText — clean-first, visibility
+    // transform on BOTH fields), hrefs canonicalize and resolve to
+    // corpus pages by the canonical-URL equi-join, and each target
+    // aggregates its in-link anchor profile: n_links, n_pages (distinct
+    // referrers), and the first 20 anchor texts by (referrer, pos) —
+    // the cap is part of the contract (a hub's profile is in-degree-
+    // bounded; 20 keeps the collect deterministic AND bounded, the
+    // MinK discipline in sorted-slice form). Anchor text never joins a
+    // shuffle key; only canonical strings do.
+    Q("x_anchor_text", (s, d) => {
+      val pages = fanOut(documents(s, d))
+        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+        .withColumn("url", expr(
+          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+        .withColumn("__html", expr(
+          """concat('<p><a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+            |'.COM:443/d/', CAST(__t1 AS STRING),
+            |'?utm_source=feed">about page ', CAST(__t1 AS STRING), '</a> ',
+            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+            |'.com/d/', CAST(__t2 AS STRING), '">see &amp; visit ',
+            |CAST(__t2 AS STRING), '</a>',
+            |IF(doc_id % 10 = 0,
+            |   '<a href="https://www.site1.com/d/1">the hub</a>', ''),
+            |'</p>')""".stripMargin))
+      val links = graft.operators.Html
+        .extractLinksWithText(pages, "doc_id", "__html")
+      val lc = graft.operators.Web.withCanonicalUrl(links, "href", "__c")
+        .select(col("doc_id").as("src"), col("pos"), col("anchor"),
+          col("__c").as("canon"))
+      val pc = graft.operators.Web.withCanonicalUrl(
+        pages.select(col("doc_id"), col("url")), "url", "__c")
+        .select(col("doc_id").as("dst"), col("__c").as("canon"))
+      lc.join(pc, "canon")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_links"),
+          countDistinct(col("src")).as("n_pages"),
+          expr("""array_join(transform(
+            |  slice(sort_array(collect_list(struct(src, pos, anchor))), 1, 20),
+            |  e -> e.anchor), ' | ')""".stripMargin).as("anchors"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE text IS NOT NULL),
+      __link_src AS (
+        SELECT doc_id,
+          '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(t1 AS VARCHAR) ||
+          '?utm_source=feed">about page ' || CAST(t1 AS VARCHAR) || '</a> ' ||
+          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
+          '.com/d/' || CAST(t2 AS VARCHAR) || '">see &amp; visit ' ||
+          CAST(t2 AS VARCHAR) || '</a>' ||
+          CASE WHEN doc_id % 10 = 0
+               THEN '<a href="https://www.site1.com/d/1">the hub</a>'
+               ELSE '' END ||
+          '</p>' AS h
+        FROM pages),
+      lk AS (SELECT doc_id AS src, pos, anchor, href AS url
+             FROM (${graft.operators.Html.duckLinkTextItems("h")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("lk", Seq("src", "pos", "anchor"), "lc")},
+      pu AS (SELECT doc_id AS dst, url FROM pages),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("dst"), "pc")},
+      j AS (SELECT p.dst, l.src, l.pos, l.anchor
+            FROM lcc l JOIN pcc p USING (canonical))
+      SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_links,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_pages,
+             array_to_string(list_transform(
+               list(struct_pack(src := src, pos := pos, anchor := anchor)
+                    ORDER BY src, pos)[1:20],
+               e -> e.anchor), ' | ') AS anchors
+      FROM j GROUP BY dst ORDER BY doc_id"""), headline = true),
+
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical

@@ -126,6 +126,19 @@ class HtmlSpec extends SparkSpec {
     assert(out == Seq((3L, 1L, "")), out)
   }
 
+  test("extractLinksWithText: anchor text through the visibility transform") {
+    val html = "<p><a href=\"/a\">Read &amp; enjoy</a> mid " +
+      "<a class=\"z\" href=\"/b\"><b>bold</b> words</a>" +
+      "<a href='/skip'>no href match</a></p>"
+    val out = Html.extractLinksWithText(Seq((5L, html)).toDF("id", "h"),
+      "id", "h").as[(Long, Long, String, String)].collect().toSeq.sorted
+    // nested inline tags strip to spaces and collapse; entities decode;
+    // the single-quoted anchor is outside the pinned subset.
+    assert(out == Seq(
+      (5L, 1L, "/a", "Read & enjoy"),
+      (5L, 2L, "/b", "bold words")), out)
+  }
+
   test("title becomes its own (short, dropped) block; <br> splits") {
     val (_, kept, text) = extract(
       "<html><head><title>T</title></head><body>" +
