@@ -967,6 +967,114 @@ object Curation {
         AND canonical NOT IN (SELECT canonical FROM fetched)
       ORDER BY url"""), headline = true),
 
+    // ------------------------------------------- link-graph maintenance
+    // The batch twin of streaming.LinkGraphIngest (gate #32): the seed
+    // corpus (doc_id % 3 ≠ 0) holds a URL→id map, its internally
+    // resolvable edges, and its DANGLING outlinks as pending; the
+    // doc_id % 3 = 0 pages arrive as one batch. Newly resolved edges =
+    // (pending ∪ batch outlinks) joined against the map AS OF the batch
+    // (seed ∪ batch pages, min id per URL), minus self-loops, minus
+    // already-resolved seed edges — so fetch-then-link AND
+    // link-then-fetch both produce the edge (retro-resolution), and
+    // emission is exactly-once. Canonical URL strings are the only
+    // join keys.
+    Q("x_linkgraph_incremental", (s, d) => {
+      val pages = fanOut(documents(s, d))
+        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+        .withColumn("url", expr(
+          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+        .withColumn("__html", expr(
+          """concat('<p><a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+            |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">a</a> ',
+            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+            |'.com/d/', CAST(__t2 AS STRING), '">b</a> ',
+            |'<a href="/about">c</a></p>')""".stripMargin))
+      val seed = pages.filter(expr("doc_id % 3 != 0"))
+      val batch = pages.filter(expr("doc_id % 3 = 0"))
+      val fi = graft.streaming.FrontierIngest
+      // staged: the seed link relation feeds the resolved edges AND the
+      // pending set; the seed map feeds resolution and the full map.
+      val seedMap = graft.sources.Tables.stage(
+        fi.pageUrls(seed, "doc_id", "url")
+          .groupBy(col("curl").as("url")).agg(min(col("id")).as("id")))
+      val seedLinks = graft.sources.Tables.stage(
+        fi.outlinks(seed, "doc_id", "url", "__html")
+          .select(col("curl").as("url"), col("ref_id")))
+      val seedEdges = seedLinks.join(seedMap, Seq("url"))
+        .filter(col("ref_id") =!= col("id"))
+        .select(col("ref_id").as("s"), col("id").as("d")).distinct()
+      val pending = seedLinks.join(seedMap.select(col("url")),
+        Seq("url"), "left_anti")
+      val bl = fi.outlinks(batch, "doc_id", "url", "__html")
+        .select(col("curl").as("url"), col("ref_id"))
+      val fullMap = seedMap
+        .unionByName(fi.pageUrls(batch, "doc_id", "url")
+          .select(col("curl").as("url"), col("id")))
+        .groupBy(col("url")).agg(min(col("id")).as("id"))
+      pending.unionByName(bl).distinct()
+        .join(fullMap, Seq("url"))
+        .filter(col("ref_id") =!= col("id"))
+        .select(col("ref_id").as("s"), col("id").as("d"), col("url"))
+        .join(seedEdges, Seq("s", "d"), "left_anti")
+        .orderBy(col("s"), col("d"), col("url"))
+    }, Some(s"""
+      WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE text IS NOT NULL),
+      __link_src AS (
+        SELECT doc_id,
+          '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(t1 AS VARCHAR) || '?utm_source=feed">a</a> ' ||
+          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
+          '.com/d/' || CAST(t2 AS VARCHAR) || '">b</a> ' ||
+          '<a href="/about">c</a></p>' AS h
+        FROM pages),
+      pu AS (SELECT doc_id AS pid, url FROM pages),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("pid"), "pc")},
+      lk0 AS (SELECT doc_id, href FROM (${graft.operators.Html.duckLinkItems("h")}) z),
+      au AS (SELECT ref_id, aurl AS url FROM (
+               SELECT l.doc_id AS ref_id,
+                      CASE WHEN l.href LIKE 'http://%' OR l.href LIKE 'https://%'
+                             THEN l.href
+                           WHEN l.href LIKE '/%'
+                             THEN split_part(p.canonical, '://', 1) || '://' ||
+                                  p.host || l.href
+                           ELSE NULL END AS aurl
+               FROM lk0 l JOIN pcc p ON p.pid = l.doc_id)
+             WHERE aurl IS NOT NULL),
+      ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},
+      links AS MATERIALIZED (
+        SELECT DISTINCT canonical AS url, ref_id FROM lcc),
+      map_seed AS MATERIALIZED (
+        SELECT canonical AS url, CAST(MIN(pid) AS BIGINT) AS id
+        FROM pcc WHERE pid % 3 <> 0 GROUP BY canonical),
+      seed_links AS (SELECT * FROM links WHERE ref_id % 3 <> 0),
+      seed_edges AS MATERIALIZED (
+        SELECT DISTINCT l.ref_id AS s, m.id AS d
+        FROM seed_links l JOIN map_seed m USING (url)
+        WHERE l.ref_id <> m.id),
+      pending AS (SELECT url, ref_id FROM seed_links
+                  WHERE url NOT IN (SELECT url FROM map_seed)),
+      map_full AS MATERIALIZED (
+        SELECT canonical AS url, CAST(MIN(pid) AS BIGINT) AS id
+        FROM pcc GROUP BY canonical),
+      cand AS (SELECT DISTINCT url, ref_id FROM (
+                 SELECT url, ref_id FROM pending
+                 UNION ALL
+                 SELECT url, ref_id FROM links WHERE ref_id % 3 = 0)),
+      resolved AS (SELECT c.ref_id AS s, m.id AS d, c.url
+                   FROM cand c JOIN map_full m USING (url)
+                   WHERE c.ref_id <> m.id)
+      SELECT s, d, url FROM resolved r
+      WHERE NOT EXISTS (SELECT 1 FROM seed_edges e
+                        WHERE e.s = r.s AND e.d = r.d)
+      ORDER BY s, d, url""")),
+
     // ------------------------------------------------------ data profile
     // Per-column profile (row/non-null/distinct counts + min/max) in ONE
     // scan: stack() unpivots the projected columns to (col_name, v) rows,

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{LinkGraphIngest, Stream}
+
+/** Self-maintaining hyperlink graph (graft.streaming.LinkGraphIngest —
+  * gate family #32). Asserts the family contract plus the gate's pins:
+  *  1. fetch-then-link AND link-then-fetch both produce the edge —
+  *     a dangling link waits in pending and resolves RETROACTIVELY
+  *     when a later batch fetches its target;
+  *  2. exactly-once edge emission (resolved edges never re-emit);
+  *  3. a re-fetched URL resolves to the SMALLEST page id;
+  *  4. consumed pending rows stop resolving (append-only tombstones);
+  *  5. restore from the four roots answers identically. */
+class StreamingLinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("link graph: retro-resolution, exactly-once edges, min-id refetch, restore") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val uA = "https://www.site1.com/d/1"
+      val uB = "https://www.site2.com/d/2"
+      val uC = "https://www.site3.com/d/3"
+      // seed corpus: page A links the not-yet-fetched B — a dangling
+      // link into the initial pending set.
+      val corpus = Seq(
+        (1L, uA, s"""<p><a href="$uB">to b</a></p>"""))
+        .toDF("doc_id", "url", "html")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        LinkGraphIngest.buildLinkGraph(corpus, "doc_id", "url", "html"))
+      assert(state.get().edges.count() == 0)
+      assert(state.get().pending.as[(String, Long)].collect().toSeq ==
+        Seq((uB, 1L)))
+
+      // b1 fetches B: its messy link to A resolves at once (2→1), its
+      // link to C goes pending, and the SEED's dangling A→B link
+      // retro-resolves (1→2).
+      val b1 = Seq((2L, uB,
+        "<p><a href=\"https://WWW.Site1.COM:443/d/1?utm_source=z\">a</a> " +
+          s"""<a href="$uC">c</a></p>"""))
+      // b2 fetches C (no links) — retro edge 2→3 — and RE-fetches A's
+      // url under id 9 (no links): the map must keep resolving A as 1.
+      val b2 = Seq(
+        (3L, uC, "<p>no links at all here</p>"),
+        (9L, uA, "<p>refetched, still no links</p>"))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, String)]]
+      val q = LinkGraphIngest.startLinkGraph(s, state,
+        "value.doc_id", "value.url", "value.html") { (edges, _, _) =>
+        got += edges.as[(Long, Long, String)].collect().toSet
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      q.stop()
+
+      assert(got.toSeq == Seq(
+        Set((2L, 1L, uA), (1L, 2L, uB)),
+        Set((2L, 3L, uC))),
+        s"emissions: $got")
+
+      val st = state.get()
+      assert(st.edges.as[(Long, Long)].collect().toSet ==
+        Set((2L, 1L), (1L, 2L), (2L, 3L)))
+      assert(st.pending.count() == 0, "everything resolved")
+
+      val restored = LinkGraphIngest.restoreLinkGraph(spark, st.urlsPath,
+        st.edgesPath, st.pendingPath, st.consumedPath, st.version,
+        st.foldedBatch)
+      assert(restored.edges.as[(Long, Long)].collect().toSet ==
+        st.edges.as[(Long, Long)].collect().toSet)
+      assert(restored.pending.count() == 0)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}
