@@ -739,6 +739,54 @@ object Graph {
       .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * list — the second classic link-graph centrality beside
+    * [[pageRankDirected]]: an AUTHORITY is pointed at by good hubs, a
+    * HUB points at good authorities. UNNORMALIZED exact-integer
+    * iteration (pinned): the classic per-round L2 normalization is a
+    * positive scalar, so dropping it preserves every ranking and keeps
+    * the arithmetic bitwise on any engine —
+    *   `a_i(v) = Σ_{u→v} h_{i-1}(u)`, then `h_i(v) = Σ_{v→w} a_i(w)`
+    * (authorities update from the OLD hubs, hubs from the NEW
+    * authorities — the published update order). Duplicate edges and
+    * self-loops drop. Values grow like (scale · degreeᵏ): the caller
+    * bounds overflow with `scale` and `iterations` —
+    * `scale · (max in+out degree)^(2·iterations) < 2^63` is the safe
+    * envelope, checked cheaply here as Σdeg per round would cost a
+    * pass; the default (scale 1000, 2 iterations) holds to ~50k-degree
+    * hubs. Non-edge vertices hold (0, 0): no link evidence, no score
+    * (contrast [[pageRankDirected]]'s restart base — HITS has no
+    * teleport). Output: (node, hub, auth) for EVERY vertex. */
+  def hits(vertices: DataFrame, idCol: String,
+           edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 2, scale: Long = 1000L): DataFrame = {
+    require(iterations >= 1 && scale >= 1, s"iterations=$iterations scale=$scale")
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct())
+    val nodes = stage(e.select(col("s").as("node"))
+      .union(e.select(col("d").as("node"))).distinct())
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val a = e.join(hub, col("s") === col("node"))
+        .groupBy(col("d")).agg(sum(col("h")).as("va"))
+      auth = nodes.join(a, col("node") === col("d"), "left")
+        .select(col("node"), coalesce(col("va"), lit(0L)).as("a"))
+      val h = e.join(auth, col("d") === col("node"))
+        .groupBy(col("s")).agg(sum(col("a")).as("vh"))
+      hub = nodes.join(h, col("node") === col("s"), "left")
+        .select(col("node"), coalesce(col("vh"), lit(0L)).as("h"))
+    }
+    vertices.select(col(idCol).cast("long").as("__v"))
+      .join(broadcast(hub.join(auth, "node")),
+        col("__v") === col("node"), "left")
+      .select(col("__v").as("node"),
+        coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
   /** PERSONALIZED PageRank — the seed-expansion form of [[pageRank]]
     * (same exact integer arithmetic): restart mass concentrates on a
     * SEED set instead of spreading uniformly, so rank measures proximity

@@ -691,6 +691,58 @@ object Dedup {
       FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
       ORDER BY node"""), headline = true),
 
+    // ------------------------------- HITS hubs & authorities (Kleinberg)
+    // The second classic link-graph centrality beside directed PageRank
+    // (Graph.hits): UNNORMALIZED exact-integer iteration — the per-round
+    // L2 normalization is a positive scalar, so dropping it preserves
+    // every ranking and keeps the arithmetic bitwise. Update order
+    // pinned: authorities from the OLD hubs, hubs from the NEW
+    // authorities. Edges are a pure arithmetic fixture over doc ids
+    // (each doc points at (3·id+1)%512 and (5·id+2)%512 — many docs
+    // concentrate onto 512 targets, the hub/authority separation);
+    // dup edges collapse, self-loops drop, isolated vertices hold
+    // (0, 0) — HITS has no teleport. The oracle unrolls both rounds.
+    Q("x_graph_hits", (s, d) => {
+      val e = documents(s, d).select(
+        col("doc_id").as("s"), expr("(doc_id * 3 + 1) % 512").as("t"))
+        .unionAll(documents(s, d).select(
+          col("doc_id").as("s"), expr("(doc_id * 5 + 2) % 512").as("t")))
+      graft.operators.Graph.hits(documents(s, d), "doc_id", e, "s", "t",
+        iterations = 2, scale = 1000L)
+        .orderBy(col("node"))
+    }, Some {
+      val rounds = (1 to 2).map(i => s"""
+        a$i AS (SELECT nd.node,
+                       COALESCE(CAST(SUM(x.h) AS BIGINT), CAST(0 AS BIGINT)) AS a
+                FROM nd LEFT JOIN (SELECT e0.d AS dst, hh.h
+                                   FROM e0 JOIN h${i - 1} hh ON e0.s = hh.node) x
+                  ON x.dst = nd.node
+                GROUP BY nd.node),
+        h$i AS (SELECT nd.node,
+                       COALESCE(CAST(SUM(x.a) AS BIGINT), CAST(0 AS BIGINT)) AS h
+                FROM nd LEFT JOIN (SELECT e0.s AS src, aa.a
+                                   FROM e0 JOIN a$i aa ON e0.d = aa.node) x
+                  ON x.src = nd.node
+                GROUP BY nd.node)""").mkString(",")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT doc_id AS s, (doc_id * 3 + 1) % 512 AS d FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 5 + 2) % 512 FROM documents)
+        WHERE s <> d),
+      nd AS MATERIALIZED (SELECT s AS node FROM e0 UNION SELECT d FROM e0),
+      h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM nd),
+      $rounds
+      SELECT v.doc_id AS node,
+             COALESCE(h2.h, CAST(0 AS BIGINT)) AS hub,
+             COALESCE(a2.a, CAST(0 AS BIGINT)) AS auth
+      FROM documents v
+      LEFT JOIN h2 ON h2.node = v.doc_id
+      LEFT JOIN a2 ON a2.node = v.doc_id
+      ORDER BY node"""
+    }),
+
     // ------------------------- incremental PageRank (per-batch refresh)
     // The per-batch twin of x_graph_pagerank: prior iterate HISTORY
     // (Graph.pageRankState) is the persisted state; the odd-parity half

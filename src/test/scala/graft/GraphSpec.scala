@@ -325,6 +325,50 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: hand-computed wedge — update order, zero floor, dup/self edges") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4 at scale 10, ONE iteration, by hand:
+    //   a1: a(3) = h0(1)+h0(2) = 20, a(4) = h0(3) = 10, a(1) = a(2) = 0;
+    //   h1 (from the NEW authorities): h(1) = h(2) = a(3) = 20,
+    //   h(3) = a(4) = 10, h(4) = 0.
+    // The duplicate (1,3) and the self-loop (4,4) must change nothing;
+    // the isolated vertex 9 holds (0, 0) — HITS has no teleport.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 4L))
+      .toDF("s", "t")
+    val got = Graph.hits(Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id"), "doc_id",
+      edges, "s", "t", iterations = 1, scale = 10L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((20L, 0L)), 2L -> ((20L, 0L)), 3L -> ((10L, 20L)),
+      4L -> ((0L, 10L)), 9L -> ((0L, 0L))), got)
+  }
+
+  test("hits matches the exact integer reference on seeded digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    (1 to 4).foreach { _ =>
+      val n = rnd.nextInt(18) + 5
+      val raw = Seq.fill(rnd.nextInt(50) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.filter { case (a, b) => a != b }.distinct
+      val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var h: Map[Long, Long] = nodes.map(_ -> 1000L).toMap
+      var a: Map[Long, Long] = Map.empty
+      (1 to 2).foreach { _ =>
+        a = nodes.map(v => v -> canon.collect {
+          case (u, w) if w == v => h(u) }.sum).toMap
+        h = nodes.map(v => v -> canon.collect {
+          case (u, w) if u == v => a(w) }.sum).toMap
+      }
+      val exp = (0L until n.toLong)
+        .map(v => v -> ((h.getOrElse(v, 0L), a.getOrElse(v, 0L)))).toMap
+      val got = Graph.hits((0L until n.toLong).toDF("doc_id"), "doc_id",
+        raw.toDF("a", "b"), "a", "b", iterations = 2, scale = 1000L)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == exp)
+    }
+  }
+
   test("incrementalTriangles ≡ full recompute on randomized edge splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
