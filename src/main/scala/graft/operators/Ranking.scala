@@ -161,6 +161,36 @@ object Ranking {
     override def outputEncoder = Encoders.product[Postings]
   }
 
+  final case class Tagged(pk: Long, s: String)
+  final case class TaggedList(items: List[Tagged])
+
+  /** Keep the `k` entries with the SMALLEST packed keys, carrying a
+    * string payload — the bounded replacement for
+    * sort-then-slice-a-collect_list when the group can be a mega-hub
+    * (an anchor-text profile's group is a target page's whole in-link
+    * set; collect-then-slice holds it all in one aggregation buffer,
+    * this holds k rows per partial buffer, merged map-side). `pk` must
+    * be distinct within a group by contract (pack a unique (src, pos)
+    * pair). */
+  final class MinKTagged(k: Int)
+      extends Aggregator[Tagged, TaggedList, TaggedList] {
+    require(k > 0, s"k=$k must be positive")
+    private def insert(items: List[Tagged], a: Tagged): List[Tagged] =
+      if (items.lengthCompare(k) >= 0 && a.pk >= items.last.pk) items
+      else {
+        val (pre, post) = items.span(_.pk < a.pk)
+        (pre ::: (a :: post)).take(k)
+      }
+    override def zero: TaggedList = TaggedList(Nil)
+    override def reduce(b: TaggedList, a: Tagged): TaggedList =
+      TaggedList(insert(b.items, a))
+    override def merge(x: TaggedList, y: TaggedList): TaggedList =
+      TaggedList(y.items.foldLeft(x.items)(insert))
+    override def finish(b: TaggedList): TaggedList = b
+    override def bufferEncoder = Encoders.product[TaggedList]
+    override def outputEncoder = Encoders.product[TaggedList]
+  }
+
   /** Inverted index with bounded postings: (token, df, first
     * `maxPostings` doc ids ascending). df is exact (count over the
     * doc×distinct-token relation); the posting cap is the min-k

@@ -805,11 +805,12 @@ object Curation {
     // transform on BOTH fields), hrefs canonicalize and resolve to
     // corpus pages by the canonical-URL equi-join, and each target
     // aggregates its in-link anchor profile: n_links, n_pages (distinct
-    // referrers), and the first 20 anchor texts by (referrer, pos) —
-    // the cap is part of the contract (a hub's profile is in-degree-
-    // bounded; 20 keeps the collect deterministic AND bounded, the
-    // MinK discipline in sorted-slice form). Anchor text never joins a
-    // shuffle key; only canonical strings do.
+    // referrers), and the first 20 anchor texts by (referrer, pos).
+    // The cap is a TYPED min-k aggregator over the packed key
+    // src·2^20 + pos (Ranking.MinKTagged — map-side k-buffers, never a
+    // mega-hub's whole in-link set in one collect_list buffer; packing
+    // needs pos < 2^20, the per-page link-count contract). Anchor text
+    // never joins a shuffle key; only canonical strings do.
     Q("x_anchor_text", (s, d) => {
       val pages = fanOut(documents(s, d))
         .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
@@ -835,13 +836,18 @@ object Curation {
       val pc = graft.operators.Web.withCanonicalUrl(
         pages.select(col("doc_id"), col("url")), "url", "__c")
         .select(col("doc_id").as("dst"), col("__c").as("canon"))
+      val minkt = udaf(new graft.operators.Ranking.MinKTagged(20),
+        org.apache.spark.sql.Encoders.product[graft.operators.Ranking.Tagged])
       lc.join(pc, "canon")
+        .select(col("dst"), col("src"),
+          (col("src") * 1048576L + col("pos")).as("pk"), col("anchor"))
         .groupBy(col("dst").as("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_links"),
           countDistinct(col("src")).as("n_pages"),
-          expr("""array_join(transform(
-            |  slice(sort_array(collect_list(struct(src, pos, anchor))), 1, 20),
-            |  e -> e.anchor), ' | ')""".stripMargin).as("anchors"))
+          minkt(col("pk"), col("anchor")).as("__mk"))
+        .select(col("doc_id"), col("n_links"), col("n_pages"),
+          expr("array_join(transform(__mk.items, e -> e.s), ' | ')")
+            .as("anchors"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH pages AS MATERIALIZED (

@@ -316,6 +316,16 @@ class RankingSpec extends SparkSpec {
     assert(edge == Set(9L), edge)
   }
 
+  test("MinKTagged keeps the k smallest packed keys with payloads, any merge order") {
+    val agg = new Ranking.MinKTagged(3)
+    def t(pk: Long) = Ranking.Tagged(pk, s"s$pk")
+    val left = List(t(7), t(9), t(12)).foldLeft(agg.zero)(agg.reduce)
+    val right = List(t(1), t(8), t(30)).foldLeft(agg.zero)(agg.reduce)
+    val exp = List(t(1), t(7), t(8))
+    assert(agg.merge(left, right).items == exp)
+    assert(agg.merge(right, left).items == exp)
+  }
+
   test("rrfFuse: exact integer contributions, cross-list boost, disjoint universes") {
     import spark.implicits._
     // list A ranks docs (10, 11, 12); list B ranks (11, 13). With
