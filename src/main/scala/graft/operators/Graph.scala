@@ -787,6 +787,64 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth"))
   }
 
+  /** DETERMINISTIC random walks over a directed edge list — the
+    * sampling primitive graph-embedding pipelines feed on (DeepWalk,
+    * Perozzi 2014; node2vec's p=q=1 case): one walk of `steps` hops
+    * starts at every node with out-degree ≥ 1. "Random" is a pinned
+    * HASH choice, not an RNG (the [[graft.operators.Sampling]]
+    * discipline — any engine, any partitioning, any re-run produces
+    * the SAME walks, which is what makes them oracle-checkable and
+    * re-trainable):
+    *
+    *   next = neighbors[ hash60(salt ':' start ':' step) mod outdeg ]
+    *
+    * where neighbors are the distinct out-neighbors SORTED ascending
+    * (rank = the walk-independent adjacency index), hash60 = the first
+    * 15 md5 hex digits of the seed string (the CMS/sampling hash60
+    * convention — 60 bits, non-negative), and the seed keys on the
+    * WALK (start node), not the current node, so two walks crossing
+    * the same node diverge. A walk reaching a SINK (out-degree 0)
+    * stops early — rows simply end (stated; no self-loop padding).
+    * Duplicate edges collapse; self-loops drop.
+    *
+    * Output: (start, step, node) — step 0 is the start node itself,
+    * steps 1..`steps` the visited nodes. Plan: the indexed adjacency
+    * stages once ((node, idx, nbr) + out-degrees — the rank window
+    * partitions by NODE, the max-cardinality key, never a skew risk);
+    * each hop is one equi-join of the frontier against it. Lineage
+    * grows linearly in `steps`. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  steps: Int, salt: String = "walk"): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps=$steps out of range")
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct())
+    val adj = stage(e
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("d"))).cast("long") - 1L))
+    val degRel = stage(adj.groupBy(col("s").as("dn"))
+      .agg(count(lit(1)).cast("long").as("deg")))
+    var frontier = degRel.select(col("dn").as("start"), lit(0L).as("step"),
+      col("dn").as("node"))
+    var out = frontier
+    for (i <- 1 to steps) {
+      val h = s"CAST(conv(substr(md5(concat('$salt', ':', " +
+        s"CAST(start AS STRING), ':', $i)), 1, 15), 16, 10) AS BIGINT)"
+      // pick the target index FIRST (one row per live walk), then
+      // equi-join on (node, idx) — a hub's million-neighbor list never
+      // fans out under a walk, it is probed at exactly one index.
+      frontier = frontier
+        .join(degRel, col("node") === col("dn"))
+        .withColumn("__tix", expr(h) % col("deg"))
+        .join(adj, col("node") === col("s") && col("__tix") === col("idx"))
+        .select(col("start"), lit(i.toLong).as("step"), col("d").as("node"))
+      out = out.unionByName(frontier)
+    }
+    out
+  }
+
   /** PERSONALIZED PageRank — the seed-expansion form of [[pageRank]]
     * (same exact integer arithmetic): restart mass concentrates on a
     * SEED set instead of spreading uniformly, so rank measures proximity

@@ -743,6 +743,54 @@ object Dedup {
       ORDER BY node"""
     }),
 
+    // ---------------------------------- deterministic random walks (DeepWalk)
+    // Graph.randomWalks: the sampling primitive graph-embedding
+    // pipelines feed on (Perozzi 2014) — one `steps`-hop walk per
+    // non-sink node, with "random" = a PINNED hash choice
+    // (neighbors[hash60('walk:start:step') mod outdeg] over the sorted
+    // adjacency — any engine/partitioning/re-run reproduces bitwise,
+    // the Sampling discipline). Walks hitting a sink stop early. Same
+    // arithmetic edge fixture as x_graph_hits; 3 steps. The oracle
+    // unrolls the hops with the identical md5 arithmetic (Spark
+    // conv(hex) ≡ DuckDB CAST('0x'… AS BIGINT)).
+    Q("x_graph_walks", (s, d) => {
+      val e = documents(s, d).select(
+        col("doc_id").as("s"), expr("(doc_id * 3 + 1) % 512").as("t"))
+        .unionAll(documents(s, d).select(
+          col("doc_id").as("s"), expr("(doc_id * 5 + 2) % 512").as("t")))
+      graft.operators.Graph.randomWalks(e, "s", "t", steps = 3)
+        .orderBy(col("start"), col("step"))
+    }, Some {
+      val hops = (1 to 3).map(i => s"""
+        w$i AS (SELECT f.start, CAST($i AS BIGINT) AS step, a.d AS node
+                FROM w${i - 1} f
+                JOIN dg ON f.node = dg.dn
+                JOIN adj a ON f.node = a.s AND
+                  (CAST(concat('0x', substr(md5('walk:' ||
+                     CAST(f.start AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT)
+                   % dg.deg) = a.idx)""").mkString(",")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT doc_id AS s, (doc_id * 3 + 1) % 512 AS d FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 5 + 2) % 512 FROM documents)
+        WHERE s <> d),
+      adj AS MATERIALIZED (
+        SELECT s, d,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY d) AS BIGINT)
+                 - 1 AS idx
+        FROM e0),
+      dg AS MATERIALIZED (
+        SELECT s AS dn, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY s),
+      w0 AS (SELECT dn AS start, CAST(0 AS BIGINT) AS step, dn AS node FROM dg),
+      $hops
+      SELECT start, step, node FROM (
+        SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+      ORDER BY start, step"""
+    }),
+
     // ------------------------- incremental PageRank (per-batch refresh)
     // The per-batch twin of x_graph_pagerank: prior iterate HISTORY
     // (Graph.pageRankState) is the persisted state; the odd-parity half

@@ -187,6 +187,78 @@ object Similarity {
       SELECT q_id, rank, c_id AS neighbor_id, cos FROM ranked WHERE rank <= 10
       ORDER BY q_id, rank""")),
 
+    // -------------------------------------- retrieval evaluation (in-engine)
+    // Measure the ANN retriever against its own exact gold — the eval a
+    // retrieval stack runs before trusting an index: gold = brute cosine
+    // top-10 per query, system = the banded LSH top-10 (the 16-bit/4-band
+    // geometry, where recall is genuinely < 1 so the metric is
+    // non-trivial). Per query: n_hits (|gold ∩ system|, recall@10 · 10),
+    // first_gold_rank (the system rank of the TOP gold neighbor, 0 if
+    // missed), rr_scaled = 2^20 div that rank (the scaled reciprocal rank
+    // — exact integers, the no-libm discipline; mean over queries ≈
+    // MRR·2^20). LEFT join on (q_id, neighbor_id) over two k-bounded
+    // relations — eval cost is queries × k, never corpus-scaled.
+    Q("x_search_eval", (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 10)
+      val c = fanOut(e.filter(col("id") >= 10))
+      val gold = graft.operators.Ann.bruteTopK(q, c, k = 10)
+        .select(col("q_id"), col("rank").as("g_rank"), col("neighbor_id"))
+      val sys = graft.operators.Ann
+        .lshTopK(q, c, k = 10, bits = 16, bands = 4, dim = 64)
+        .select(col("q_id"), col("rank").as("s_rank"), col("neighbor_id"))
+      gold.join(sys, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("s_rank")).as("n_hits"),
+          max(when(col("g_rank") === 1,
+            coalesce(col("s_rank").cast("long"), lit(0L)))).as("first_gold_rank"),
+          max(when(col("g_rank") === 1,
+            coalesce(expr("1048576 div CAST(s_rank AS BIGINT)"), lit(0L))))
+            .as("rr_scaled"))
+        .orderBy(col("q_id"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+               ${duckSig} AS sig
+        FROM embeddings),
+      gold AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                            c.vec_id ASC) AS rank
+          FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+        WHERE rank <= 10),
+      bands AS (
+        SELECT vec_id,
+               unnest(list_transform(range(0, 4),
+                 b -> CAST(b AS VARCHAR) || ':' || substr(sig, 4*b + 1, 4))) AS band
+        FROM e),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM bands q JOIN bands c ON q.band = c.band
+        WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      sys AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT cand.q_id, cand.c_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                   ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                            cand.c_id ASC) AS rank
+          FROM cand JOIN e q ON cand.q_id = q.vec_id
+                    JOIN e c ON cand.c_id = c.vec_id)
+        WHERE rank <= 10)
+      SELECT g.q_id,
+             CAST(COUNT(s.rank) AS BIGINT) AS n_hits,
+             CAST(MAX(CASE WHEN g.rank = 1
+                           THEN COALESCE(s.rank, 0) END) AS BIGINT)
+               AS first_gold_rank,
+             CAST(MAX(CASE WHEN g.rank = 1
+                           THEN COALESCE(1048576 // s.rank, 0) END) AS BIGINT)
+               AS rr_scaled
+      FROM gold g LEFT JOIN sys s
+        ON g.q_id = s.q_id AND g.neighbor_id = s.neighbor_id
+      GROUP BY g.q_id ORDER BY g.q_id""")),
+
     // ----------------------------------------------- multi-probe LSH ANN
     // graft.operators.Ann.lshTopKMultiProbe (Lv et al. 2007): per band,
     // the query probes the exact key PLUS all width single-bit-flip

@@ -369,6 +369,57 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("randomWalks matches the hash-choice reference; sinks stop; no walk from sinks") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rnd = new scala.util.Random(101)
+    (1 to 3).foreach { _ =>
+      val n = rnd.nextInt(15) + 5
+      val raw = Seq.fill(rnd.nextInt(40) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.filter { case (a, b) => a != b }.distinct
+      val adj = canon.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(_._2).sorted }
+      val steps = 3
+      // driver-side reference with the IDENTICAL hash arithmetic.
+      val exp = adj.keys.flatMap { start =>
+        var cur = start
+        val rest = (1 to steps).iterator.map { i =>
+          adj.get(cur) match {
+            case Some(nb) =>
+              cur = nb((h60(s"walk:$start:$i") % nb.size).toInt)
+              Some((start, i.toLong, cur))
+            case None => None
+          }
+        }.takeWhile(_.isDefined).map(_.get).toList
+        (start, 0L, start) :: rest
+      }.toSet
+      val got = Graph.randomWalks(raw.toDF("a", "b"), "a", "b", steps)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exp, s"n=$n")
+    }
+  }
+
+  test("randomWalks is deterministic across runs and keys on the walk, not the node") {
+    import spark.implicits._
+    // 1 and 4 both sit at node 2 after step 1 — their step-2 choices
+    // hash on DIFFERENT walk ids, so crossing walks may diverge; the
+    // contract is only that re-running reproduces bitwise.
+    val edges = Seq((1L, 2L), (4L, 2L), (2L, 5L), (2L, 6L), (2L, 7L))
+      .toDF("a", "b")
+    val r1 = Graph.randomWalks(edges, "a", "b", steps = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val r2 = Graph.randomWalks(edges, "a", "b", steps = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 == r2)
+    // every walk from a non-sink start has its full step-0/1 prefix.
+    assert(Set(1L, 4L, 2L).subsetOf(r1.filter(_._2 == 0L).map(_._1)))
+  }
+
   test("incrementalTriangles ≡ full recompute on randomized edge splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

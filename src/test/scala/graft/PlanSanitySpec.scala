@@ -123,7 +123,11 @@ class PlanSanitySpec extends SparkSpec {
       // x_quality_ccnet stages the (doc_id, lang, score100) LM-scored
       // relation — it feeds the percentile thresholds AND the bucket
       // join (two consumers, one scoring pass).
-      "x_quality_ccnet")
+      "x_quality_ccnet",
+      // x_graph_walks stages the indexed adjacency + degree relations
+      // (one corpus scan in the staging job; every hop joins BOTH), so
+      // the visible plan starts there.
+      "x_graph_walks")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
