@@ -201,6 +201,76 @@ object Web {
     * grouping (`act.edu.au` is 3; a handful of 4s exist). */
   val MaxSuffixLabels: Int = 4
 
+  /** SQL for DOT-SEGMENT removal over a PATH expr (no query string) —
+    * RFC 3986 §5.2.4 restated as a pinned bounded regex chain that is
+    * identical in both engines (the Html-chain discipline: no
+    * lookarounds, global replace per pass, fixed pass count):
+    *  - `/./` collapses (4 passes + a final `/.$`);
+    *  - `/<segment>/../` collapses (8 passes + a final
+    *    `/<segment>/..$`) — leftmost-nonoverlapping global replace
+    *    resolves one NESTING level per pass, so ≤ 8 levels of `..`
+    *    normalize (deeper chains survive verbatim — the bounded
+    *    contract, stated);
+    *  - leading `/../` clamps at the root (2 passes; RFC: remove).
+    * `.`/`..` as literal directory names are indistinguishable from
+    * traversal by design (web servers treat them as traversal). */
+  def dotNormSql(x: String, duck: Boolean): String = {
+    def r(e: String, p: String, rep: String) =
+      if (duck) s"regexp_replace($e, '$p', '$rep', 'g')"
+      else s"regexp_replace($e, '$p', '$rep')"
+    // patterns spell '.' as the class [.] — NO backslashes anywhere
+    // (Spark SQL string literals process backslash escapes, DuckDB's
+    // don't; a class is identical text in both).
+    var e = x
+    for (_ <- 1 to 4) e = r(e, "/[.]/", "/")
+    e = r(e, "/[.]$$", "/")
+    for (_ <- 1 to 8) e = r(e, "/[^/]+/[.][.]/", "/")
+    e = r(e, "/[^/]+/[.][.]$$", "/")
+    for (_ <- 1 to 2) e = r(e, "^/[.][.]/", "/")
+    r(e, "^/[.][.]$$", "/")
+  }
+
+  /** SQL resolving an href expr `h` against its page's canonical
+    * `scheme`, `host`, and `path` exprs (RFC 3986 §5, the pinned
+    * subset) — NULL for out-of-scope refs:
+    *  - absolute `http(s)://…` pass verbatim;
+    *  - protocol-relative `//…` takes the page scheme;
+    *  - any OTHER scheme (`mailto:`, `javascript:`, `tel:` — a
+    *    letter-led token before `:` ahead of any `/`) → NULL;
+    *  - empty and fragment-only (`#…`) hrefs → NULL;
+    *  - root-relative `/…` joins scheme://host;
+    *  - everything else is PATH-RELATIVE: merged against the page's
+    *    base directory (path up to its last `/`; an empty page path
+    *    acts as `/`).
+    * Dot segments in the PATH part normalize via [[dotNormSql]] (the
+    * query part, after the first `?`, is untouched); fragments and
+    * query canonicalization are [[withCanonicalUrl]]'s job
+    * downstream. */
+  def resolveRefSql(h: String, scheme: String, host: String, path: String,
+                    duck: Boolean): String = {
+    val baseDir =
+      if (duck) s"regexp_replace(CASE WHEN $path = '' THEN '/' ELSE $path END, '[^/]*$$', '')"
+      else s"regexp_replace(CASE WHEN $path = '' THEN '/' ELSE $path END, '[^/]*$$', '')"
+    def norm(p: String) = {
+      val ps = s"split_part($p, '?', 1)"
+      val qs =
+        if (duck) s"CASE WHEN strpos($p, '?') > 0 THEN '?' || split_part($p, '?', 2) ELSE '' END"
+        else s"CASE WHEN instr($p, '?') > 0 THEN concat('?', split_part($p, '?', 2)) ELSE '' END"
+      s"(${dotNormSql(ps, duck)} || $qs)"
+    }
+    val cat = (a: String, b: String) =>
+      if (duck) s"($a || $b)" else s"concat($a, $b)"
+    s"""CASE
+       |  WHEN $h LIKE 'http://%' OR $h LIKE 'https://%' THEN $h
+       |  WHEN $h LIKE '//%' THEN ${cat(s"($scheme || ':')", h)}
+       |  WHEN $h = '' OR $h LIKE '#%' THEN NULL
+       |  WHEN regexp_extract($h, '^[a-zA-Z][a-zA-Z0-9+.-]*:', 0) <> '' THEN NULL
+       |  WHEN $h LIKE '/%' THEN
+       |    ${cat(s"($scheme || '://' || $host)", norm(h))}
+       |  ELSE ${cat(s"($scheme || '://' || $host)", norm(s"($baseDir || $h)"))}
+       |END""".stripMargin
+  }
+
   /** DuckDB twin of [[withCanonicalUrl]] as chained CTEs over an input
     * relation `src` exposing a `url` column plus the pass-through
     * columns in `carry` — ends in CTE `<pre>c(carry…, host, canonical)`.
@@ -240,7 +310,7 @@ object Web {
        |                  ${TrackingParams.map(t => s"'$t'").mkString("(", ", ", ")")})),
        |           '&'), '') AS q
        |       FROM ${pre}5),
-       |${pre}c AS (SELECT ${cc}host,
+       |${pre}c AS (SELECT ${cc}host, path,
        |         scheme || '://' || host || path ||
        |           CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
        |       FROM ${pre}6)""".stripMargin

@@ -888,10 +888,11 @@ object Curation {
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical
     // URLs = the seen set); the doc_id % 3 = 0 pages arrive as one
-    // batch — outlinks extract (clean-first), resolve (absolute http(s)
-    // pass; root-relative resolves against the page's canonical
-    // scheme+host; mailto/path-relative drop — pinned), canonicalize,
-    // and the NOVEL frontier = candidates in neither the seen set nor
+    // batch — outlinks extract (clean-first), resolve (Web.resolveRefSql:
+    // absolute, protocol-relative, root-relative, AND path-relative
+    // with dot-segment removal — '../d/N' from a /d/M page lands on
+    // page N's own URL; mailto/fragment-only drop), canonicalize, and
+    // the NOVEL frontier = candidates in neither the seen set nor
     // the batch's own fetched URLs, one row per canonical with
     // discoverer = min referring page and n_refs counting referring
     // PAGES. Anti-joins on canonical strings only — page bodies never
@@ -904,12 +905,15 @@ object Curation {
           """concat('https://www.site', CAST(doc_id % 7 AS STRING),
             |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
       val batch = pages.filter(expr("doc_id % 3 = 0"))
+        .withColumn("__t3", expr("(doc_id * 11 + 3) % 1024"))
         .withColumn("__html", expr(
           """concat('<p><a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
             |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">a</a> ',
             |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
             |'.com/d/', CAST(__t2 AS STRING), '">b</a> ',
             |'<a href="/about">c</a> ',
+            |'<a href="../d/', CAST(__t3 AS STRING), '">p</a> ',
+            |'<a href="sub/./x/../page.html">q</a> ',
             |'<a href="mailto:x@y.example">m</a> ',
             |'<a href="https://other.example.org/ref">d</a></p>')""".stripMargin))
       val seen = graft.operators.Web.withCanonicalUrl(
@@ -942,6 +946,9 @@ object Curation {
           '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
           '.com/d/' || CAST(t2 AS VARCHAR) || '">b</a> ' ||
           '<a href="/about">c</a> ' ||
+          '<a href="../d/' || CAST((doc_id * 11 + 3) % 1024 AS VARCHAR) ||
+          '">p</a> ' ||
+          '<a href="sub/./x/../page.html">q</a> ' ||
           '<a href="mailto:x@y.example">m</a> ' ||
           '<a href="https://other.example.org/ref">d</a></p>' AS h
         FROM pages WHERE doc_id % 3 = 0),
@@ -954,12 +961,9 @@ object Curation {
       lk0 AS (SELECT doc_id, href FROM (${graft.operators.Html.duckLinkItems("h")}) z),
       au AS (SELECT ref_id, aurl AS url FROM (
                SELECT l.doc_id AS ref_id,
-                      CASE WHEN l.href LIKE 'http://%' OR l.href LIKE 'https://%'
-                             THEN l.href
-                           WHEN l.href LIKE '/%'
-                             THEN split_part(p.canonical, '://', 1) || '://' ||
-                                  p.host || l.href
-                           ELSE NULL END AS aurl
+                      ${graft.operators.Web.resolveRefSql("l.href",
+                        "split_part(p.canonical, '://', 1)", "p.host",
+                        "p.path", duck = true)} AS aurl
                FROM lk0 l JOIN pcc p ON p.pid = l.doc_id)
              WHERE aurl IS NOT NULL),
       ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},
@@ -1045,12 +1049,9 @@ object Curation {
       lk0 AS (SELECT doc_id, href FROM (${graft.operators.Html.duckLinkItems("h")}) z),
       au AS (SELECT ref_id, aurl AS url FROM (
                SELECT l.doc_id AS ref_id,
-                      CASE WHEN l.href LIKE 'http://%' OR l.href LIKE 'https://%'
-                             THEN l.href
-                           WHEN l.href LIKE '/%'
-                             THEN split_part(p.canonical, '://', 1) || '://' ||
-                                  p.host || l.href
-                           ELSE NULL END AS aurl
+                      ${graft.operators.Web.resolveRefSql("l.href",
+                        "split_part(p.canonical, '://', 1)", "p.host",
+                        "p.path", duck = true)} AS aurl
                FROM lk0 l JOIN pcc p ON p.pid = l.doc_id)
              WHERE aurl IS NOT NULL),
       ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},

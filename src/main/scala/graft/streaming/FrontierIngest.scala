@@ -18,11 +18,12 @@ import graft.sources.Tables
   * discoveries fold in.
   *
   * Pinned contract:
-  *  - link resolution: absolute `http(s)://…` hrefs pass; ROOT-RELATIVE
-  *    hrefs (`/path`) resolve against the fetching page's canonical
-  *    scheme + host; everything else (protocol-relative, path-relative,
-  *    fragments, mailto:) is out of scope and DROPS — stated, the
-  *    RE2 ∩ Java-style bounded-contract discipline;
+  *  - link resolution = [[Web.resolveRefSql]]'s RFC 3986 §5 subset:
+  *    absolute `http(s)://…`, protocol-relative `//…` (page scheme),
+  *    root-relative `/…`, and PATH-RELATIVE hrefs (merged against the
+  *    page's canonical base directory, dot segments removed by the
+  *    bounded [[Web.dotNormSql]] chain); other schemes (`mailto:` …),
+  *    empty, and fragment-only hrefs DROP — stated;
   *  - gate-then-fold (the [[DomainIngest]] discipline): novelty is
   *    judged against the PRE-batch seen set, with SET semantics within
   *    a batch — per canonical URL the batch emits ONE row, `discoverer`
@@ -50,29 +51,37 @@ object FrontierIngest {
                                  version: Long, foldedBatch: Long = -1L)
     extends Gate.Folded
 
-  /** Canonical page URLs of a fetched batch: (id, curl, scheme, host). */
+  /** Canonical page URLs of a fetched batch:
+    * (id, curl, scheme, host, path) — path is the canonical
+    * path-without-query, the base [[Web.resolveRefSql]] resolves
+    * relative hrefs against. */
   def pageUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     Web.withCanonicalUrl(
       df.select(col(idCol).cast("long").as("id"), col(urlCol).as("url")),
       "url", "__c")
       .select(col("id"), col("__c").as("curl"),
         expr("split_part(__c, '://', 1)").as("scheme"),
-        col("__c_host").as("host"))
+        col("__c_host").as("host"),
+        expr("""split_part(substring(__c,
+          |  length(split_part(__c, '://', 1)) + 4 + length(__c_host)),
+          |  '?', 1)""".stripMargin).as("path"))
 
   /** Resolved + canonicalized outlinks of a fetched batch:
-    * (curl, ref_id) — one row per (page, distinct target). */
+    * (curl, ref_id) — one row per (page, distinct target). Resolution
+    * = [[Web.resolveRefSql]]'s RFC 3986 §5 subset: absolute http(s),
+    * protocol-relative, root-relative, and PATH-RELATIVE hrefs (merged
+    * against the page's base directory, dot segments removed); other
+    * schemes / empty / fragment-only drop. */
   def outlinks(df: DataFrame, idCol: String, urlCol: String,
                htmlCol: String): DataFrame = {
     val pages = df.select(col(idCol).cast("long").as("id"),
       col(urlCol).as("url"), col(htmlCol).as("__h"))
     val ctx = pageUrls(pages, "id", "url").select(col("id"), col("scheme"),
-      col("host"))
+      col("host"), col("path"))
     val resolved = Html.extractLinks(pages, "id", "__h")
       .join(ctx, col("doc_id") === col("id"))
       .withColumn("__abs", expr(
-        """CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
-          |     WHEN href LIKE '/%' THEN concat(scheme, '://', host, href)
-          |     ELSE NULL END""".stripMargin))
+        Web.resolveRefSql("href", "scheme", "host", "path", duck = false)))
       .filter(col("__abs").isNotNull)
     Web.withCanonicalUrl(resolved, "__abs", "__c")
       .select(col("__c").as("curl"), col("id").as("ref_id"))

@@ -13,9 +13,9 @@ import graft.streaming.{FrontierIngest, Stream}
   *  1. gate-then-fold: novelty is judged against the PRE-batch seen
   *     set — a messy respelling of a SEEDED url is not novel, and a
   *     url discovered in batch N is not novel in batch N+1;
-  *  2. link resolution: absolute http(s) hrefs pass, root-relative
-  *     hrefs resolve against the fetching page's canonical scheme+host,
-  *     everything else (mailto:, path-relative) drops;
+  *  2. link resolution: absolute http(s) hrefs pass, root-relative AND
+  *     path-relative hrefs resolve against the fetching page's
+  *     canonical scheme+host+base-dir, other schemes (mailto:) drop;
   *  3. a url both FETCHED and discovered in one batch is not novel;
   *  4. set semantics in a batch: one row per canonical url, discoverer
   *     = min referring page id, n_refs counts referring PAGES;
@@ -35,6 +35,7 @@ class StreamingFrontierSpec extends SparkSpec {
         "<p><a href=\"https://WWW.Site0.COM:443/d/0?utm_source=feed\">seen</a>" +
           " <a href=\"https://www.site2.com/d/2\">new</a>" +
           " <a href=\"/about\">rel</a>" +
+          " <a href=\"deep/page.html\">pathrel</a>" +
           " <a href=\"https://www.site1.com/d/1\">self</a>" +
           " <a href=\"mailto:x@y.example\">mail</a></p>"
       val b1 = Seq((1L, "https://WWW.Site1.COM:443/d/1?utm_source=x", h1))
@@ -72,7 +73,8 @@ class StreamingFrontierSpec extends SparkSpec {
 
       assert(got.toSeq == Seq(
         Set(("https://www.site2.com/d/2", 1L, 1L),
-          ("https://www.site1.com/about", 1L, 1L)),
+          ("https://www.site1.com/about", 1L, 1L),
+          ("https://www.site1.com/d/deep/page.html", 1L, 1L)),
         Set(("https://www.site4.com/d/4", 2L, 2L))),
         s"novel emissions: $got")
 
@@ -85,6 +87,7 @@ class StreamingFrontierSpec extends SparkSpec {
         "https://www.site1.com/d/1",
         "https://www.site2.com/d/2",
         "https://www.site1.com/about",
+        "https://www.site1.com/d/deep/page.html",
         "https://www.site3.com/d/3",
         "https://www.site3.com/d/3b",
         "https://www.site4.com/d/4"), seen)

@@ -83,6 +83,49 @@ class WebSpec extends SparkSpec {
     assert(Web.withRegistrableDomain(hosts, "h", "dom", dup).count() == 7L)
   }
 
+  private def resolve(cases: (String, String, String, String)*): Seq[Option[String]] = {
+    val df = cases.zipWithIndex.map { case ((h, s, ho, p), i) =>
+      (i.toLong, h, s, ho, p) }.toDF("id", "h", "sch", "hst", "pth")
+    df.orderBy(col("id"))
+      .select(expr(Web.resolveRefSql("h", "sch", "hst", "pth", duck = false)))
+      .as[Option[String]].collect().toSeq
+  }
+
+  test("resolveRefSql: every RFC 3986 §5 rule of the pinned subset") {
+    val got = resolve(
+      ("https://x.org/a", "http", "h.com", "/d/5"),   // absolute passes
+      ("//cdn.x.org/a", "https", "h.com", "/d/5"),    // protocol-relative
+      ("/top", "http", "h.com", "/d/5"),              // root-relative
+      ("other.html", "http", "h.com", "/d/5"),        // path-relative
+      ("../up/x", "http", "h.com", "/a/b/c"),         // dot segments
+      ("sub/./y/../z", "http", "h.com", "/d/5"),      // mixed dots
+      ("../../../etc", "http", "h.com", "/a/b"),      // clamps at root
+      ("q.html?x=1", "http", "h.com", "/d/5"),        // query preserved
+      ("rel", "http", "h.com", ""),                   // empty page path = '/'
+      ("mailto:a@b.c", "http", "h.com", "/d/5"),      // other scheme
+      ("#frag", "http", "h.com", "/d/5"),             // fragment-only
+      ("", "http", "h.com", "/d/5"))                  // empty
+    assert(got == Seq(
+      Some("https://x.org/a"),
+      Some("https://cdn.x.org/a"),
+      Some("http://h.com/top"),
+      Some("http://h.com/d/other.html"),
+      Some("http://h.com/a/up/x"),
+      Some("http://h.com/d/sub/z"),
+      Some("http://h.com/etc"),
+      Some("http://h.com/d/q.html?x=1"),
+      Some("http://h.com/rel"),
+      None, None, None), got)
+  }
+
+  test("dotNormSql: bounded normalization, identical text in both dialects' regex subset") {
+    val got = spark.sql(
+      s"SELECT ${Web.dotNormSql("p", duck = false)} FROM VALUES " +
+        "('/a/b/../c'), ('/a/./b'), ('/../x'), ('/a/b/c/../../d'), ('/a/..') AS t(p)")
+      .as[String].collect().toSeq
+    assert(got == Seq("/a/c", "/a/b", "/x", "/a/d", "/"), got)
+  }
+
   test("canonicalization is idempotent: canon(canon(u)) == canon(u)") {
     // a second pass over an already-canonical URL must change nothing —
     // the property that makes the canonical form a stable JOIN KEY
