@@ -29,7 +29,9 @@ object ExplainAudit {
       "q_retention_cohort",
       "x_heavy_hitters", "x_sketch_cms", "x_token_unigram",
       "x_dedup_edit", "x_dedup_edit_incremental",
-      "q_recursive_cte", "q_lateral_topk")
+      "q_recursive_cte", "q_lateral_topk",
+      "x_graph_hits", "x_graph_walks", "x_linkgraph_incremental",
+      "x_search_eval", "x_text_links")
     (SparkEntry.headlines ++
       SparkEntry.registry.filter(q => extra(q.name))).foreach { q =>
       val df = q.fn(spark, d)

@@ -769,11 +769,15 @@ object Graph {
       .union(e.select(col("d").as("node"))).distinct())
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val a = e.join(hub, col("s") === col("node"))
         .groupBy(col("d")).agg(sum(col("h")).as("va"))
       auth = nodes.join(a, col("node") === col("d"), "left")
         .select(col("node"), coalesce(col("va"), lit(0L)).as("a"))
+      // the FINAL authorities feed the last hub update AND the output
+      // join — staged, the subtree executes once (the subplan-reuse
+      // discipline); intermediate authorities have one consumer.
+      if (i == iterations) auth = stage(auth)
       val h = e.join(auth, col("d") === col("node"))
         .groupBy(col("s")).agg(sum(col("a")).as("vh"))
       hub = nodes.join(h, col("node") === col("s"), "left")
