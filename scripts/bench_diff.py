@@ -55,15 +55,22 @@ def _from_tail(tail):
     that re-open the object at the plausible cut points; failing that,
     re-derive `queries` as best-of-runs from the intact `runs` map."""
     t = tail.splitlines()[0]
+    # cut points seen in driver wrappers, in order of how much survives:
+    # before `queries`, mid-`queries` (at a key or mid-number), and
+    # mid-`runs` (at a key or inside a run ARRAY — the r14 shape).
     for prefix in ('{"metric":"x"',
                    '{"metric":"x","queries":{"__trunc":0.',
-                   '{"metric":"x","queries":{"'):
+                   '{"metric":"x","queries":{"',
+                   '{"metric":"x","queries":{},"runs":{"__trunc":[0.',
+                   '{"metric":"x","queries":{},"runs":{"'):
         try:
             d = json.loads(prefix + t)
         except json.JSONDecodeError:
             continue
         if "queries" in d and "calib" in d:
             d["queries"].pop("__trunc", None)
+            if isinstance(d.get("runs"), dict):
+                d["runs"].pop("__trunc", None)
             # the cut usually lands mid-queries: the keys before the cut
             # are gone from `queries` but intact in `runs` (best-of-3 =
             # min of the recorded runs, by Bench's own definition).

@@ -220,14 +220,18 @@ object Web {
       else s"regexp_replace($e, '$p', '$rep')"
     // patterns spell '.' as the class [.] — NO backslashes anywhere
     // (Spark SQL string literals process backslash escapes, DuckDB's
-    // don't; a class is identical text in both).
+    // don't; a class is identical text in both). These are PLAIN (not
+    // s-interpolated) literals, so the end anchor is a single `$` —
+    // resolveRefSql's interpolated strings need `$$` for the same
+    // character; converting either form later must keep the emitted
+    // pattern text identical.
     var e = x
     for (_ <- 1 to 4) e = r(e, "/[.]/", "/")
-    e = r(e, "/[.]$$", "/")
+    e = r(e, "/[.]$", "/")
     for (_ <- 1 to 8) e = r(e, "/[^/]+/[.][.]/", "/")
-    e = r(e, "/[^/]+/[.][.]$$", "/")
+    e = r(e, "/[^/]+/[.][.]$", "/")
     for (_ <- 1 to 2) e = r(e, "^/[.][.]/", "/")
-    r(e, "^/[.][.]$$", "/")
+    r(e, "^/[.][.]$", "/")
   }
 
   /** SQL resolving an href expr `h` against its page's canonical

@@ -229,8 +229,12 @@ object Relational3 {
         .select(explode(expr(
           "sequence(date_trunc('hour', mn), date_trunc('hour', mx), interval 1 hour)"))
           .as("hr"))
-      broadcast(hours)
-        .join(perHour, Seq("hr"), "left")
+      // broadcast the BUILD side: Spark cannot build the preserved
+      // (left) side of a left-outer join — a broadcast(hours) hint
+      // there is silently dropped (HintErrorLogger) and plans a
+      // shuffle join. The per-hour aggregate is the small side.
+      hours
+        .join(broadcast(perHour), Seq("hr"), "left")
         .select(col("hr"),
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("total"), lit(0.0d)).as("total"))

@@ -26,8 +26,11 @@ import graft.sources.Tables
   *    live pending = pending ANTI consumed, the retire discipline).
   *
   * Pinned contract:
-  *  - link resolution rules are [[FrontierIngest.outlinks]]'s (absolute
-  *    http(s) + root-relative; the rest drops);
+  *  - link resolution rules are [[FrontierIngest.outlinks]]'s — the
+  *    full RFC 3986 §5 pinned subset of [[graft.operators.Web.resolveRefSql]]
+  *    (absolute http(s), protocol-relative, root-relative, and
+  *    path-relative with bounded dot-segment removal; other schemes,
+  *    fragment-only, and empty hrefs drop);
   *  - a URL fetched more than once resolves to the SMALLEST page id
   *    (min over the live map — deterministic under any fold order);
   *  - each batch resolves (live pending ∪ batch outlinks) against
@@ -141,8 +144,14 @@ object LinkGraphIngest {
         .distinct()
         .as[(Long, Long, String)].collect().toSeq
       val newEdgesDf = newEdges.toDF("s", "d", "url")
-      val consumed = cand.join(fullMap.select(col("url")), Seq("url"))
-        .select(col("url"), col("ref_id"))
+      // tombstone only LIVE pending rows that resolved this batch —
+      // batch links that resolve immediately never enter the pending
+      // root (stillPending anti-joins the map), so tombstoning them
+      // would grow consumed O(all resolved links) instead of
+      // O(retro-resolved).
+      val consumed = st.pending
+        .join(fullMap.select(col("url")), Seq("url"))
+        .select(col("url"), col("ref_id")).distinct()
         .as[(String, Long)].collect().toSeq
       val stillPending = bl
         .join(fullMap.select(col("url")), Seq("url"), "left_anti")
