@@ -569,6 +569,68 @@ object Curation {
                '  +', ' ', 'g')) AS clean
       FROM t ORDER BY doc_id""")),
 
+    // --------------------------------------- typed PII redaction counts
+    // operators.Pii: the Dolma/RefinedWeb-style scrub — emails, IPv4,
+    // phones masked with TYPED placeholders in a pinned class order,
+    // each class counted on the text as redacted by the earlier classes
+    // (counts and replacements always agree). One codegen'd projection;
+    // the oracle replays the identical pattern text (RE2 ∩ Java, no
+    // backslash classes). The corpus is synthetic, so the PII is planted
+    // deterministically from doc_id: emails on 2/3 of docs, IPs on
+    // half, three phone spellings (E.164 / parenthesized / hyphenated
+    // NANP) on 3/4 — every (class, presence) combination occurs.
+    Q("x_pii_redact", (s, d) => {
+      val dirty = fanOut(documents(s, d))
+        .withColumn("dirty", expr(
+          """concat(text,
+            |  CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN ''
+            |    ELSE concat(' email u', CAST(doc_id AS STRING),
+            |                '@mail-site', CAST(doc_id % 7 AS STRING),
+            |                '.com') END,
+            |  CASE CAST(doc_id % 2 AS INT) WHEN 0
+            |    THEN concat(' ip 10.', CAST(doc_id % 256 AS STRING),
+            |                '.0.', CAST(doc_id % 100 AS STRING))
+            |    ELSE '' END,
+            |  CASE CAST(doc_id % 4 AS INT)
+            |    WHEN 0 THEN concat(' call +1415555',
+            |                       CAST(1000 + doc_id % 1000 AS STRING))
+            |    WHEN 1 THEN concat(' call (415) 555-',
+            |                       CAST(1000 + doc_id % 1000 AS STRING))
+            |    WHEN 2 THEN concat(' call 415-555-',
+            |                       CAST(1000 + doc_id % 1000 AS STRING))
+            |    ELSE '' END,
+            |  ' end')""".stripMargin))
+      graft.operators.Pii.withRedacted(dirty, "dirty")
+        .select(col("doc_id"), md5(col("redacted")).as("digest"),
+          col("n_email"), col("n_ip"), col("n_phone"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val (red, ne, ni, np) = graft.operators.Pii.itemsSql("dirty", duck = true)
+      s"""
+      WITH t AS (
+        SELECT doc_id, text ||
+          CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN ''
+            ELSE ' email u' || CAST(doc_id AS VARCHAR) ||
+                 '@mail-site' || CAST(doc_id % 7 AS VARCHAR) || '.com' END ||
+          CASE CAST(doc_id % 2 AS INT) WHEN 0
+            THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                 '.0.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END ||
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN ' call +1415555' ||
+                        CAST(1000 + doc_id % 1000 AS VARCHAR)
+            WHEN 1 THEN ' call (415) 555-' ||
+                        CAST(1000 + doc_id % 1000 AS VARCHAR)
+            WHEN 2 THEN ' call 415-555-' ||
+                        CAST(1000 + doc_id % 1000 AS VARCHAR)
+            ELSE '' END ||
+          ' end' AS dirty
+        FROM documents)
+      SELECT doc_id, md5($red) AS digest,
+             $ne AS n_email, $ni AS n_ip, $np AS n_phone
+      FROM t ORDER BY doc_id"""
+    }),
+
     // ----------------------------------------- HTML → text extraction
     // The FIRST stage of every web-curation pipeline (operators.Html):
     // strip script/style/comments, split into blocks at closing
@@ -702,7 +764,7 @@ object Curation {
                     '<a href="/search?q=a&amp;id=' ||
                     CAST(doc_id AS VARCHAR) || '">find</a></p>' END ||
           '</body></html>' AS h
-        FROM documents WHERE text IS NOT NULL)
+        FROM documents)
       SELECT doc_id, pos, href
       FROM (${graft.operators.Html.duckLinkItems("h")}) z
       ORDER BY doc_id, pos""")),
@@ -764,7 +826,7 @@ object Curation {
           (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
           'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
             '.com/d/' || CAST(doc_id AS VARCHAR) AS url
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents),
       __link_src AS (
         SELECT doc_id,
           '<script>var a = "<a href="/fake">x</a>";</script>' ||
@@ -855,7 +917,7 @@ object Curation {
           (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
           'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
             '.com/d/' || CAST(doc_id AS VARCHAR) AS url
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents),
       __link_src AS (
         SELECT doc_id,
           '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
@@ -938,7 +1000,7 @@ object Curation {
           (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
           'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
             '.com/d/' || CAST(doc_id AS VARCHAR) AS url
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents),
       __link_src AS (
         SELECT doc_id,
           '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
@@ -1035,7 +1097,7 @@ object Curation {
           (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
           'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
             '.com/d/' || CAST(doc_id AS VARCHAR) AS url
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents),
       __link_src AS (
         SELECT doc_id,
           '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||

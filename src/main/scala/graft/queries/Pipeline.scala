@@ -31,6 +31,10 @@ object Pipeline {
        |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  /** DuckDB-side (redacted, n_email, n_ip, n_phone) exprs over k1's
+    * `text` for the crawl pipeline's PII stage. */
+  private val crawlPii = graft.operators.Pii.itemsSql("text", duck = true)
+
   private val stopEn = "'the','a','and','of','to','is'"
   private val stopEs = "'el','la','de','los','y','en'"
   private val stopFr = "'le','les','des','et','un','une'"
@@ -492,14 +496,26 @@ object Pipeline {
     //      co.uk domains
     //   3. Html.extractText on the SURVIVORS only (cap-before-extract:
     //      never pay decode/extraction for pages the mix won't take)
-    //   4. structure gate (n_kept ≥ 2) → self-trained bigram-LM gate
-    //      (cost_bits·100 ≤ n_grams·420 — ~the 80th percentile: the
-    //      noisy tail drops, the gate is never decorative)
-    //   5. exact dedup on the EXTRACTED text — doc_id % 5 = 4 pages
+    //   4. structure gate (n_kept ≥ 2) → PII redaction (operators.Pii:
+    //      the fixture plants a doc_id-derived email + IP block in
+    //      every page, so the LM and the dedup both run on REDACTED
+    //      text) → self-trained bigram-LM gate (cost_bits·100 ≤
+    //      n_grams·400 — ~the 80th percentile of the POST-redaction
+    //      distribution: the masked tokens are predictable and lower
+    //      every cost, so the pre-redaction 420 went degenerate;
+    //      re-tuned so the gate keeps biting — 385/475 at sf0.01)
+    //   5. exact dedup on the REDACTED text — doc_id % 5 = 4 pages
     //      republish the previous doc's body on a DIFFERENT domain, so
     //      the cap and the dedup interact: a replica collapses iff its
     //      original also survived the cap, and becomes the canonical
-    //      copy (n_copies = 1) iff the cap cut the original.
+    //      copy (n_copies = 1) iff the cap cut the original. The
+    //      redaction is LOAD-BEARING here: the planted email/IP derive
+    //      from each page's OWN doc_id, so a replica's raw extracted
+    //      text differs from its original and collapses only after
+    //      masking (skip the scrub and every n_copies reads 1). The
+    //      second planted email keys on length(page-text) parity —
+    //      shared by replica and original — so n_pii varies across
+    //      docs without splitting clusters.
     //
     // Plan at 100 TB: the page relation stages once (the prev-join that
     // plants replicas is a corpus self-join — never re-run per
@@ -535,6 +551,11 @@ object Pipeline {
             |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
             |'<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ',
             |'&#38;lt; lit &#55296; kept</p>',
+            |'<p>contact admin', CAST(doc_id AS STRING), '@site',
+            |CAST(doc_id % 97 AS STRING), '.co.uk from 10.',
+            |CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING),
+            |IF(length(__page) % 2 = 0, ' and ops@example.org', ''),
+            |' for info</p>',
             |'<p><a href="/next">next page</a></p>',
             |'</body></html>')""".stripMargin))
         .select(col("doc_id"), col("url"), col("__html")))
@@ -546,23 +567,30 @@ object Pipeline {
         pages.join(kept.select(col("doc_id")), Seq("doc_id")),
         "doc_id", "__html", minChars = 10, maxDensityPct = 34))
       val k1 = ext.filter(col("n_kept") >= 2)
-      val tf = stage(Ranking.bigramFrequencies(k1, "doc_id", "text"))
+      // redact BEFORE the LM and the digest — staged once (it feeds
+      // the LM tf relation AND the dedup digest; unstaged, the regex
+      // scrub re-runs per consumer).
+      val red = stage(graft.operators.Pii.withRedacted(k1, "text",
+        out = "rtext")
+        .select(col("doc_id"), col("rtext"),
+          (col("n_email") + col("n_ip") + col("n_phone")).as("n_pii")))
+      val tf = stage(Ranking.bigramFrequencies(red, "doc_id", "rtext"))
       val (lm, cx, tot) = Ranking.ngramLm(tf)
-      val k2 = k1.join(
+      val k2 = red.join(
         Ranking.scoreAgainstLm(tf, lm, cx, tot)
-          .filter(expr("cost_bits * 100 <= n_grams * 420"))
+          .filter(expr("cost_bits * 100 <= n_grams * 400"))
           .select(col("doc_id"), col("cost_bits"), col("n_grams")),
         "doc_id")
-      val dg = stage(k2.withColumn("digest", md5(col("text")))
+      val dg = stage(k2.withColumn("digest", md5(col("rtext")))
         .select(col("doc_id"), col("digest"), col("cost_bits"),
-          col("n_grams")))
+          col("n_grams"), col("n_pii")))
       val canon = dg.groupBy(col("digest")).agg(
         min(col("doc_id")).as("doc_id"),
         count(lit(1)).cast("long").as("n_copies"))
       dg.join(canon, Seq("digest", "doc_id"))
         .join(kept, Seq("doc_id"))
         .select(col("doc_id"), col("domain"), col("cost_bits"),
-          col("n_grams"), col("digest"), col("n_copies"))
+          col("n_grams"), col("n_pii"), col("digest"), col("n_copies"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH src AS (
@@ -570,8 +598,9 @@ object Pipeline {
                CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
                     THEN p.text ELSE d.text END AS ptext
         FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
-      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t FROM src
-               WHERE ptext IS NOT NULL),
+      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t,
+                      length(ptext) AS plen
+               FROM src WHERE ptext IS NOT NULL),
       urls AS (
         SELECT doc_id,
                CASE WHEN doc_id % 10 = 0 THEN 'farm.com'
@@ -596,6 +625,12 @@ object Pipeline {
           '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
           '<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ' ||
           '&#38;lt; lit &#55296; kept</p>' ||
+          '<p>contact admin' || CAST(doc_id AS VARCHAR) || '@site' ||
+          CAST(doc_id % 97 AS VARCHAR) || '.co.uk from 10.' ||
+          CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+          CAST(doc_id % 100 AS VARCHAR) ||
+          CASE WHEN plen % 2 = 0 THEN ' and ops@example.org' ELSE '' END ||
+          ' for info</p>' ||
           '<p><a href="/next">next page</a></p>' ||
           '</body></html>' AS h
         FROM toks),
@@ -604,11 +639,15 @@ object Pipeline {
       ext AS (
         SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}),
       k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
+      rd AS MATERIALIZED (
+        SELECT doc_id, ${crawlPii._1} AS rtext,
+               ${crawlPii._2} + ${crawlPii._3} + ${crawlPii._4} AS n_pii
+        FROM k1),
       bo AS (SELECT doc_id, unnest(list_transform(
-               range(1, len(string_split(lower(text), ' '))),
-               i -> string_split(lower(text), ' ')[i] || ' ' ||
-                    string_split(lower(text), ' ')[i + 1])) AS ng
-             FROM k1 WHERE len(string_split(lower(text), ' ')) >= 2),
+               range(1, len(string_split(lower(rtext), ' '))),
+               i -> string_split(lower(rtext), ' ')[i] || ' ' ||
+                    string_split(lower(rtext), ' ')[i + 1])) AS ng
+             FROM rd WHERE len(string_split(lower(rtext), ' ')) >= 2),
       tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
              FROM bo GROUP BY doc_id, ng),
       lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
@@ -623,15 +662,16 @@ object Pipeline {
              JOIN lm ON tf.ng = lm.ng
              JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
              GROUP BY tf.doc_id),
-      k2 AS (SELECT k1.doc_id, k1.text, sc.cost_bits, sc.n_grams
-             FROM k1 JOIN sc ON k1.doc_id = sc.doc_id
-             WHERE sc.cost_bits * 100 <= sc.n_grams * 420),
-      dgst AS (SELECT doc_id, md5(text) AS digest, cost_bits, n_grams
+      k2 AS (SELECT rd.doc_id, rd.rtext, rd.n_pii, sc.cost_bits, sc.n_grams
+             FROM rd JOIN sc ON rd.doc_id = sc.doc_id
+             WHERE sc.cost_bits * 100 <= sc.n_grams * 400),
+      dgst AS (SELECT doc_id, md5(rtext) AS digest, cost_bits, n_grams, n_pii
                FROM k2),
       canon AS (SELECT digest, MIN(doc_id) AS doc_id,
                        CAST(COUNT(*) AS BIGINT) AS n_copies
                 FROM dgst GROUP BY digest)
-      SELECT g.doc_id, k.domain, g.cost_bits, g.n_grams, g.digest, c.n_copies
+      SELECT g.doc_id, k.domain, g.cost_bits, g.n_grams, g.n_pii,
+             g.digest, c.n_copies
       FROM dgst g
       JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
       JOIN kept k ON g.doc_id = k.doc_id

@@ -88,8 +88,9 @@ class PlanSanitySpec extends SparkSpec {
       "x_pipeline_web",
       // x_pipeline_crawl stages the page relation (the replica-planting
       // prev-join runs once), the domain-cap keep set (feeds the extract
-      // join AND the final domain attach), the extracted relation, its
-      // bigram tf, and the digest relation — the visible plan is
+      // join AND the final domain attach), the extracted relation, the
+      // PII-redacted relation (feeds the LM tf AND the dedup digest),
+      // its bigram tf, and the digest relation — the visible plan is
       // staged-only.
       "x_pipeline_crawl",
       // x_quality_lm5 is x_quality_lm's staged-tf shape at order 5.
