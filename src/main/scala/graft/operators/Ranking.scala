@@ -549,6 +549,160 @@ object Ranking {
     classifyAgainstWeights(rel, classifierWeights(rel, scale))
   }
 
+  // ------------------------------------------- language identification
+
+  /** (doc_id, lang, bk, tf) hashed CHAR-n-gram feature relation for
+    * multi-class language identification — the fastText lang-id feature
+    * space (CCNet pairs its LM filter with exactly this classifier;
+    * char n-grams, not words, because lang-id must work on text whose
+    * vocabulary the trainer never saw). `langCol` is the LABEL: the
+    * string class for training rows, null for unlabeled rows (they
+    * still project features and can be scored). Computed entirely
+    * map-side — one sorted gram array + run-length gaps per document,
+    * never a per-occurrence explode through a shuffle; grams hash to
+    * 16^hexDigits buckets. Docs with null text or fewer than `n` chars
+    * emit nothing (no evidence — they never classify). */
+  def langFeatureRelation(docs: DataFrame, idCol: String, textCol: String,
+                          langCol: Column, n: Int = 3,
+                          hexDigits: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"n=$n must be in [1, 8]")
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits=$hexDigits must be in [1, 8]")
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__lt", expr(s"lower($textCol)"))
+      .filter(expr(s"length(__lt) >= $n"))
+      .withColumn("__g", expr(
+        s"""array_sort(transform(sequence(1, length(__lt) - ${n - 1}),
+           |  i -> substring(__lt, i, $n)))""".stripMargin))
+      .withColumn("__e", expr(runEndsSql("__g")))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        langCol.cast("string").as("lang"),
+        explode(expr(
+          """transform(__e, (e, j) ->
+            |  named_struct('feat', element_at(__g, e),
+            |               'tf', CAST(e - if(j = 0, 0, element_at(__e, j)) AS BIGINT)))""".stripMargin))
+          .as("__ft"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("__ft.feat")), 1, hexDigits).as("bk"),
+        col("__ft.tf").as("tf"))
+  }
+
+  /** DENSE per-(lang, bucket) signed fixed-point weights from the
+    * LABELED rows of a [[langFeatureRelation]] — the multi-class form
+    * of [[classifierWeights]]:
+    * `w(lang, b) = (mass(lang, b) · scale) div mass(b) − prior(lang)`
+    * with `prior(lang) = (mass(lang) · scale) div total` — each
+    * bucket's per-class ratio centered at that class's corpus prior,
+    * so `argmax_lang Σ tf·w` is the exact-integer stand-in for the
+    * multinomial log-odds argmax (no ln/exp: libm is not bit-portable).
+    * DENSE means every (lang, trained-bucket) pair gets a row — a
+    * class that never saw a bucket carries the REAL negative signal
+    * `−prior(lang)` there, which is what makes rare grams
+    * discriminative. ≤ |langs|·16^hexDigits rows — broadcastable; the
+    * lang-prior cross attach is |langs| rows against the bucket
+    * rollup, never corpus-sized. Same t·scale < 2^63 headroom contract
+    * as [[bucketWeights]], runtime-guarded. */
+  def langWeights(rel: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale=$scale must be positive")
+    val maxP = Long.MaxValue / scale
+    val labeled = rel.filter(col("lang").isNotNull)
+    val bk = labeled.groupBy(col("bk")).agg(sum(col("tf")).as("a"))
+    val tot = labeled.agg(sum(col("tf")).as("g"))
+    val prior = labeled.groupBy(col("lang")).agg(sum(col("tf")).as("m"))
+      .join(broadcast(tot))
+      .select(col("lang"), expr(
+        s"""if(m > ${maxP}L,
+           |   raise_error('langWeights overflow: class mass * scale $scale'
+           |     || ' exceeds 2^63; lower scale'),
+           |   (m * ${scale}L) div g)""".stripMargin).as("prior"))
+    val p = labeled.groupBy(col("lang"), col("bk")).agg(sum(col("tf")).as("p"))
+    bk.crossJoin(broadcast(prior))
+      .join(p, Seq("lang", "bk"), "left")
+      .select(col("lang"), col("bk"), expr(
+        s"""if(coalesce(p, 0L) > ${maxP}L,
+           |   raise_error(concat('langWeights overflow: bucket ', bk,
+           |     ' class mass * scale $scale exceeds 2^63;'
+           |     || ' raise hexDigits or lower scale')),
+           |   (coalesce(p, 0L) * ${scale}L) div a - prior)""".stripMargin)
+        .as("w"))
+  }
+
+  /** Classify a (doc_id, bk, tf) feature relation against FROZEN dense
+    * [[langWeights]]: per (doc, lang) `score = Σ tf·w` in exact BIGINT,
+    * winner = argmax with the smallest-lang tie-break — ONE min-struct
+    * aggregation over (−score, lang), never a rank window. The weights
+    * broadcast; buckets outside the trained set contribute nothing to
+    * ANY class (the argmax never sees them), so streamed batches with
+    * novel grams classify exactly like the batch operator. Output:
+    * (doc_id, lang_pred, score). */
+  def classifyLangs(rel: DataFrame, weights: DataFrame): DataFrame =
+    rel.join(broadcast(weights), Seq("bk"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(expr("tf * w")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("l"))).as("__m"))
+      .select(col("doc_id"), col("__m.l").as("lang_pred"),
+        (-col("__m.ns")).as("score"))
+
+  /** End-to-end multi-class language identification: train dense
+    * weights on the rows `labelCol` labels, classify EVERY doc with
+    * ≥ n chars. The feature relation stages ONCE and feeds both the
+    * weight aggregation and the scoring join (the [[qualityClassifier]]
+    * discipline). Output: (doc_id, lang_pred, score). */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             labelCol: Column, n: Int = 3, hexDigits: Int = 3,
+             scale: Long = 1000000L): DataFrame = {
+    val rel = stage(langFeatureRelation(docs, idCol, textCol, labelCol,
+      n, hexDigits))
+    classifyLangs(rel.select(col("doc_id"), col("bk"), col("tf")),
+      langWeights(rel, scale))
+  }
+
+  /** DuckDB twin CTEs for [[langId]], spliceable into a WITH chain.
+    * `src` must expose (doc_id, lt, lang) — lowered text + the label
+    * (NULL for unlabeled rows). Emits CTEs `lf` (features,
+    * MATERIALIZED — the weight rollups and the scoring join both read
+    * it), `ltr/lbk/lto/lpr/lp/lw` (training), `lsc` (per-(doc, lang)
+    * scores) and `lpick` (doc_id, lang_pred, score) — the argmax
+    * restated as max-score-then-min-lang, exactly [[classifyLangs]]'s
+    * min-struct tie-break. `//` is DuckDB floor-div vs Spark's
+    * truncating `div`: identical here because every divided quantity
+    * is nonnegative (masses and priors). */
+  def duckLangCtes(src: String, n: Int = 3, hexDigits: Int = 3,
+                   scale: Long = 1000000L): String = s"""
+      lf AS MATERIALIZED (
+        SELECT doc_id, lang, substring(md5(g), 1, $hexDigits) AS bk,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, lang, unnest(list_transform(
+                range(1, length(lt) - ${n - 2}),
+                i -> substring(lt, i, $n))) AS g
+              FROM $src WHERE length(lt) >= $n) lfz
+        GROUP BY doc_id, lang, substring(md5(g), 1, $hexDigits)),
+      ltr AS (SELECT bk, lang, tf FROM lf WHERE lang IS NOT NULL),
+      lbk AS (SELECT bk, CAST(SUM(tf) AS BIGINT) AS a FROM ltr GROUP BY bk),
+      lto AS (SELECT CAST(SUM(tf) AS BIGINT) AS g FROM ltr),
+      lpr AS (SELECT lang,
+                     (CAST(SUM(tf) AS BIGINT) * $scale) // (SELECT g FROM lto)
+                       AS prior
+              FROM ltr GROUP BY lang),
+      lp AS (SELECT lang, bk, CAST(SUM(tf) AS BIGINT) AS p
+             FROM ltr GROUP BY lang, bk),
+      lw AS (SELECT lpr.lang, lbk.bk,
+                    (COALESCE(lp.p, 0) * $scale) // lbk.a - lpr.prior AS w
+             FROM lbk CROSS JOIN lpr
+             LEFT JOIN lp ON lp.lang = lpr.lang AND lp.bk = lbk.bk),
+      lsc AS (SELECT lf.doc_id, lw.lang,
+                     CAST(SUM(lf.tf * lw.w) AS BIGINT) AS score
+              FROM lf JOIN lw ON lf.bk = lw.bk
+              GROUP BY lf.doc_id, lw.lang),
+      lmx AS (SELECT doc_id, MAX(score) AS best FROM lsc GROUP BY doc_id),
+      lpick AS (SELECT lsc.doc_id, MIN(lsc.lang) AS lang_pred,
+                       MAX(lsc.score) AS score
+                FROM lsc JOIN lmx
+                  ON lsc.doc_id = lmx.doc_id AND lsc.score = lmx.best
+                GROUP BY lsc.doc_id)"""
+
   // --------------------------------------------- n-gram LM quality scores
 
   /** Per-document (doc_id, ng, tf) word n-GRAM frequencies —

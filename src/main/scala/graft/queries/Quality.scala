@@ -482,6 +482,83 @@ object Quality {
       FROM s100 s JOIN th USING (lang)
       ORDER BY s.doc_id"""), headline = true),
 
+    // ------------------- CCNet buckets on the DERIVED language (composed)
+    // The full CCNet §3 deployment: a real pipeline never reads a lang
+    // column — it DERIVES one. Composition: trained char-trigram lang-id
+    // (Ranking.langId over the rotated-alphabet fixture — the
+    // x_lang_id_trained machinery, seed-labeled 2/7) → integer LM
+    // surprisal over the SAME transformed text → per-DERIVED-lang exact
+    // head/middle/tail percentile buckets (the x_quality_ccnet
+    // machinery keyed on lang_pred instead of the fixture column). The
+    // scored relation stages once (thresholds + bucket join — the
+    // ccnet lesson); the lang-id feature relation stages inside langId.
+    Q("x_quality_ccnet_derived", (s, d) => {
+      import graft.operators.{Quantiles, Ranking}
+      val base = fanOut(documents(s, d)).filter(col("text").isNotNull)
+        .withColumn("__lt", expr(TextAnalysis.langXformSql))
+        .withColumn("__lbl", expr(TextAnalysis.langSeedSql))
+      val pred = Ranking.langId(base, "doc_id", "__lt", col("__lbl"))
+        .select(col("doc_id"), col("lang_pred"))
+      val sc = Ranking.lmQualityScores(base, "doc_id", "__lt")
+        .select(col("doc_id"),
+          expr("(100L * cost_bits) div n_grams").as("score100"))
+      val scored = graft.sources.Tables.stage(pred.join(sc, "doc_id"))
+      val th = Quantiles.groupPercentilesDisc(
+        scored, "lang_pred", "score100",
+        Seq("p33" -> (1.0 / 3.0), "p66" -> (2.0 / 3.0)))
+      scored.join(broadcast(th), "lang_pred")
+        .withColumn("bucket", expr(
+          """CASE WHEN score100 <= p33 THEN 'head'
+            |     WHEN score100 <= p66 THEN 'middle'
+            |     ELSE 'tail' END""".stripMargin))
+        .select(col("doc_id"), col("lang_pred"), col("score100"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH lsrc AS MATERIALIZED (
+        SELECT doc_id, ${TextAnalysis.langXformSql} AS lt,
+               ${TextAnalysis.langSeedSql} AS lang
+        FROM documents WHERE text IS NOT NULL),
+      ${graft.operators.Ranking.duckLangCtes("lsrc")},
+      t AS (SELECT doc_id, string_split(lt, ' ') AS toks FROM lsrc),
+      bo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS ng
+             FROM t WHERE len(toks) >= 2),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
+             GROUP BY tf.doc_id),
+      s100 AS (SELECT sc.doc_id, p.lang_pred,
+                      (100 * cost_bits) // n_grams AS score100
+               FROM sc JOIN lpick p ON p.doc_id = sc.doc_id),
+      ranked AS (SELECT lang_pred, score100,
+                        row_number() OVER (PARTITION BY lang_pred
+                          ORDER BY score100) AS rn,
+                        COUNT(*) OVER (PARTITION BY lang_pred) AS n
+                 FROM s100),
+      th AS (SELECT lang_pred,
+                    MIN(CASE WHEN rn = CAST(ceil(n * 0.3333333333333333) AS BIGINT)
+                             THEN score100 END) AS p33,
+                    MIN(CASE WHEN rn = CAST(ceil(n * 0.6666666666666666) AS BIGINT)
+                             THEN score100 END) AS p66
+             FROM ranked GROUP BY lang_pred)
+      SELECT s.doc_id, s.lang_pred, s.score100,
+             CASE WHEN s.score100 <= th.p33 THEN 'head'
+                  WHEN s.score100 <= th.p66 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s100 s JOIN th USING (lang_pred)
+      ORDER BY s.doc_id""")),
+
     // ----------------------- LM scoring, reference → candidates (gate twin)
     // The DISCRIMINATIVE deployment (CCNet's): the LM trains on a curated
     // reference (doc_id % 10 <> 0), candidates (doc_id % 10 = 0) score

@@ -27,6 +27,31 @@ object TextAnalysis {
   private val stopFr = "'le','les','des','et','un','une'"
   private val stopDe = "'der','die','das','und','ein','zu'"
 
+  /** Alphabet rotated by `k` — the lang-id fixture's "language". */
+  private[queries] def rotAlpha(k: Int): String =
+    (0 until 26).map(i => ('a' + ((i + k) % 26)).toChar).mkString
+
+  /** Per-lang alphabet rotation for the TRAINED lang-id fixtures: the
+    * corpus text carries the same vocabulary under every lang label
+    * (the label is synthetic metadata), so the fixture SYNTHESIZES
+    * genuinely lang-distinct text by rotating the alphabet per label —
+    * five disjoint char-trigram distributions a classifier can actually
+    * learn. `translate` has identical 3-arg semantics in both engines;
+    * the emitted SQL text is identical too. */
+  private[queries] val langXformSql: String = {
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    s"""CASE lang WHEN 'de' THEN translate(lower(text), '$a', '${rotAlpha(1)}')
+       |          WHEN 'es' THEN translate(lower(text), '$a', '${rotAlpha(5)}')
+       |          WHEN 'fr' THEN translate(lower(text), '$a', '${rotAlpha(9)}')
+       |          WHEN 'zh' THEN translate(lower(text), '$a', '${rotAlpha(13)}')
+       |          ELSE lower(text) END""".stripMargin
+  }
+
+  /** The training-seed label: ~2/7 of docs keep their true lang, the
+    * rest classify unlabeled. Identical text in both engines. */
+  private[queries] val langSeedSql: String =
+    "CASE WHEN doc_id % 7 < 2 THEN lang ELSE NULL END"
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------ quality stats
     Q("x_text_stats", (s, d) => {
@@ -97,6 +122,42 @@ object TextAnalysis {
                   WHEN s_fr >= s_de THEN 'fr'
                   ELSE 'de' END AS lang_pred
       FROM sc ORDER BY doc_id""")),
+
+    // -------------------------------------- language-ID (TRAINED, fastText)
+    // The deployable form (CCNet pairs its LM with exactly this): a
+    // multi-class linear classifier over hashed CHAR-trigram features,
+    // trained on a ~2/7 labeled seed in exact integers
+    // (Ranking.langId — per-(lang, bucket) ratio weights centered at
+    // each class prior, argmax by min-struct, never a rank window) and
+    // applied to the WHOLE corpus. The fixture rotates the alphabet per
+    // true lang (langXformSql) so the five classes carry genuinely
+    // distinct trigram distributions; `hit` audits accuracy per row.
+    // One corpus scan feeds the staged feature relation (weights +
+    // scoring); the weight table is ≤ |langs|·4096 rows, broadcast.
+    Q("x_lang_id_trained", (s, d) => {
+      val docs = fanOut(documents(s, d)).filter(col("text").isNotNull)
+        .withColumn("__lt", expr(langXformSql))
+        .withColumn("__lbl", expr(langSeedSql))
+      val pred = graft.operators.Ranking.langId(
+        docs, "doc_id", "__lt", col("__lbl"))
+      docs.select(col("doc_id"), col("lang").as("lang_true"))
+        .join(pred, "doc_id")
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("score"),
+          expr("CAST(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END AS BIGINT)")
+            .as("hit"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH lsrc AS (
+        SELECT doc_id, lang AS lang_true, $langXformSql AS lt,
+               $langSeedSql AS lang
+        FROM documents WHERE text IS NOT NULL),
+      ${graft.operators.Ranking.duckLangCtes("lsrc")}
+      SELECT s.doc_id, s.lang_true, p.lang_pred, p.score,
+             CAST(CASE WHEN p.lang_pred = s.lang_true THEN 1 ELSE 0 END
+                  AS BIGINT) AS hit
+      FROM lpick p JOIN lsrc s ON s.doc_id = p.doc_id
+      ORDER BY s.doc_id""")),
 
     // ----------------------------------------------- tokenizer-style counts
     // BPE-ish pre-tokenization: letter runs, digit runs, single punctuation

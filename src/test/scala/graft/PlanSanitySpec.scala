@@ -125,6 +125,9 @@ class PlanSanitySpec extends SparkSpec {
       // relation — it feeds the percentile thresholds AND the bucket
       // join (two consumers, one scoring pass).
       "x_quality_ccnet",
+      // x_quality_ccnet_derived stages the same scored relation keyed
+      // on the DERIVED lang (trained lang-id + LM compose before it).
+      "x_quality_ccnet_derived",
       // x_graph_walks stages the indexed adjacency + degree relations
       // (one corpus scan in the staging job; every hop joins BOTH), so
       // the visible plan starts there.
