@@ -849,6 +849,85 @@ object Graph {
     out
   }
 
+  /** node2vec-BIASED deterministic walks (Grover & Leskovec 2016) —
+    * [[randomWalks]] with the SECOND-ORDER transition bias: from
+    * `node`, having arrived from `prev`, each sorted out-neighbor x
+    * weighs
+    *
+    *   wRet    if x = prev                  (node2vec's 1/p "return")
+    *   wCommon else if (prev, x) is an edge (distance 1 from prev)
+    *   wOut    otherwise                    (node2vec's 1/q "explore")
+    *
+    * — integer weights instead of the paper's 1/p, 1/q reals (set
+    * (wRet, wCommon, wOut) ∝ (q, p·q, p) to express any rational p, q
+    * exactly). The hop takes the neighbor at the CUMULATIVE-weight
+    * position of r = hash60(salt ':' start ':' step) mod W (W = Σ
+    * weights over the sorted list): the row with cum − w ≤ r < cum —
+    * the weighted generalization of the unbiased index pick. Step 1
+    * has no prev: every neighbor weighs wOut (uniform — node2vec's
+    * first step). With (1, 1, 1) the pick degenerates to
+    * `r = hash mod deg = the index` and the walks equal
+    * [[randomWalks]]'s BITWISE (spec-pinned).
+    *
+    * Plan: unlike the unbiased probe (one row per live walk), the
+    * second-order bias inherently inspects EVERY neighbor of the
+    * current node — each hop fans the frontier out by out-degree,
+    * marks distance-1 neighbors with one (prev, x) edge equi-join, and
+    * resolves the pick with two same-partition windows keyed on the
+    * WALK (start — the max-cardinality key; frames bounded by
+    * out-degree). That per-hop Σ deg(frontier) cost is the honest
+    * node2vec price — the published algorithm pre-computes per-EDGE
+    * transition tables of the same total size. Weights must be ≥ 1
+    * (W > 0 needs every class positive); W ≤ maxdeg·max(w) must stay
+    * under 2^63 — trivially true at any real degree. */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  steps: Int, wRet: Long, wCommon: Long, wOut: Long,
+                  salt: String = "walk"): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps=$steps out of range")
+    require(wRet >= 1 && wCommon >= 1 && wOut >= 1,
+      s"weights ($wRet, $wCommon, $wOut) must all be >= 1")
+    val e = stage(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct())
+    val adj = stage(e
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("d"))).cast("long") - 1L))
+    val degRel = stage(adj.groupBy(col("s").as("dn"))
+      .agg(count(lit(1)).cast("long").as("deg")))
+    val cmn = e.select(col("s").as("__ps"), col("d").as("__pd"),
+      lit(true).as("__cmn"))
+    var frontier = degRel.select(col("dn").as("start"), lit(0L).as("step"),
+      col("dn").as("node"), lit(null).cast("long").as("prev"))
+    var out = frontier.select(col("start"), col("step"), col("node"))
+    for (i <- 1 to steps) {
+      val h = s"CAST(conv(substr(md5(concat('$salt', ':', " +
+        s"CAST(start AS STRING), ':', $i)), 1, 15), 16, 10) AS BIGINT)"
+      val byWalk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start"))
+      val cand = frontier
+        .join(adj, col("node") === col("s"))
+        .join(cmn, col("prev") === col("__ps") && col("d") === col("__pd"),
+          "left")
+        .withColumn("w",
+          when(col("d") === col("prev"), lit(wRet))
+            .when(coalesce(col("__cmn"), lit(false)), lit(wCommon))
+            .otherwise(lit(wOut)))
+        .withColumn("cum", sum(col("w")).over(byWalk.orderBy(col("idx"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum(col("w")).over(byWalk))
+        .withColumn("r", expr(h) % col("tot"))
+      frontier = cand
+        .filter(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
+        .select(col("start"), lit(i.toLong).as("step"),
+          col("d").as("node"), col("node").as("prev"))
+      out = out.unionByName(frontier.select(col("start"), col("step"),
+        col("node")))
+    }
+    out
+  }
+
   /** PERSONALIZED PageRank — the seed-expansion form of [[pageRank]]
     * (same exact integer arithmetic): restart mass concentrates on a
     * SEED set instead of spreading uniformly, so rank measures proximity

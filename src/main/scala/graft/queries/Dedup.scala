@@ -791,6 +791,70 @@ object Dedup {
       ORDER BY start, step"""
     }),
 
+    // ------------------------- node2vec-biased walks (2nd-order bias)
+    // Graph.biasedWalks: the (p, q)-biased sampling node2vec embeds
+    // from (Grover 2016), in exact integers — weights (wRet=1,
+    // wCommon=6, wOut=3) ∝ (q, pq, p) at p = 3, q = 1: returning is
+    // discouraged, staying in the previous node's neighborhood
+    // (BFS-ish) is favored. The hop takes the sorted neighbor at the
+    // cumulative-weight position of hash60('walk:start:step') mod W;
+    // (1,1,1) degenerates bitwise to x_graph_walks (spec-pinned).
+    // Same arithmetic edge fixture; the oracle unrolls the hops with
+    // the identical weight CASE, window cumsum, and md5 arithmetic.
+    Q("x_graph_walks_biased", (s, d) => {
+      val e = documents(s, d).select(
+        col("doc_id").as("s"), expr("(doc_id * 3 + 1) % 512").as("t"))
+        .unionAll(documents(s, d).select(
+          col("doc_id").as("s"), expr("(doc_id * 5 + 2) % 512").as("t")))
+      graft.operators.Graph.biasedWalks(e, "s", "t", steps = 3,
+        wRet = 1L, wCommon = 6L, wOut = 3L)
+        .orderBy(col("start"), col("step"))
+    }, Some {
+      def h(i: Int) = s"""(CAST(concat('0x', substr(md5('walk:' ||
+               CAST(start AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % tot)"""
+      val hops = (1 to 3).map(i => s"""
+        c$i AS (SELECT f.start, f.node, f.prev, a.d, a.idx,
+                       CASE WHEN a.d = f.prev THEN 1
+                            WHEN ce.s IS NOT NULL THEN 6
+                            ELSE 3 END AS w
+                FROM b${i - 1} f
+                JOIN adj a ON f.node = a.s
+                LEFT JOIN e0 ce ON ce.s = f.prev AND ce.d = a.d),
+        k$i AS (SELECT start, node, prev, d, w,
+                       CAST(SUM(w) OVER (PARTITION BY start ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                       CAST(SUM(w) OVER (PARTITION BY start) AS BIGINT) AS tot
+                FROM c$i),
+        b$i AS (SELECT start, CAST($i AS BIGINT) AS step, d AS node,
+                       node AS prev
+                FROM k$i
+                WHERE cum - w <= ${h(i)} AND ${h(i)} < cum)""").mkString(",")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT doc_id AS s, (doc_id * 3 + 1) % 512 AS d FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 5 + 2) % 512 FROM documents)
+        WHERE s <> d),
+      adj AS MATERIALIZED (
+        SELECT s, d,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY d) AS BIGINT)
+                 - 1 AS idx
+        FROM e0),
+      dg AS (SELECT s AS dn, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM e0 GROUP BY s),
+      b0 AS (SELECT dn AS start, CAST(0 AS BIGINT) AS step, dn AS node,
+                    CAST(NULL AS BIGINT) AS prev
+             FROM dg),
+      $hops
+      SELECT start, step, node FROM (
+        SELECT start, step, node FROM b0 UNION ALL
+        SELECT start, step, node FROM b1 UNION ALL
+        SELECT start, step, node FROM b2 UNION ALL
+        SELECT start, step, node FROM b3)
+      ORDER BY start, step"""
+    }),
+
     // ------------------------- incremental PageRank (per-batch refresh)
     // The per-batch twin of x_graph_pagerank: prior iterate HISTORY
     // (Graph.pageRankState) is the persisted state; the odd-parity half

@@ -420,6 +420,86 @@ class GraphSpec extends SparkSpec {
     assert(Set(1L, 4L, 2L).subsetOf(r1.filter(_._2 == 0L).map(_._1)))
   }
 
+  test("biasedWalks at (1,1,1) degenerates bitwise to randomWalks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(202)
+    val n = 20
+    val raw = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val edges = raw.toDF("a", "b")
+    val un = Graph.randomWalks(edges, "a", "b", steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val bi = Graph.biasedWalks(edges, "a", "b", steps = 3,
+      wRet = 1L, wCommon = 1L, wOut = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bi == un, "all-equal weights must reproduce the unbiased pick")
+  }
+
+  test("biasedWalks matches the weighted-cumulative reference on random digraphs") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val (wRet, wCommon, wOut) = (1L, 6L, 3L)
+    val rnd = new scala.util.Random(303)
+    (1 to 3).foreach { _ =>
+      val n = rnd.nextInt(12) + 5
+      val raw = Seq.fill(rnd.nextInt(40) + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.filter { case (a, b) => a != b }.distinct.toSet
+      val adj = canon.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(_._2).toSeq.sorted }
+      val steps = 3
+      // driver-side reference: weight each sorted neighbor by the
+      // node2vec CASE, pick at the cumulative position of hash mod W.
+      val exp = adj.keys.flatMap { start =>
+        var cur = start
+        var prev = -1L // step 1 has no prev (no node id is negative)
+        val rest = (1 to steps).iterator.map { i =>
+          adj.get(cur) match {
+            case Some(nb) =>
+              val ws = nb.map { x =>
+                if (x == prev) wRet
+                else if (canon.contains((prev, x))) wCommon
+                else wOut
+              }
+              val r = h60(s"walk:$start:$i") % ws.sum
+              var acc = 0L; var pick = -1
+              ws.indices.foreach { j =>
+                if (pick < 0) { acc += ws(j); if (r < acc) pick = j }
+              }
+              prev = cur; cur = nb(pick)
+              Some((start, i.toLong, cur))
+            case None => None
+          }
+        }.takeWhile(_.isDefined).map(_.get).toList
+        (start, 0L, start) :: rest
+      }.toSet
+      val got = Graph.biasedWalks(raw.toDF("a", "b"), "a", "b", steps,
+        wRet, wCommon, wOut)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exp, s"n=$n")
+    }
+  }
+
+  test("biasedWalks: return weight steers the hop (a-priori 2-cycle)") {
+    import spark.implicits._
+    // walk 5 -> 2; node 2's sorted neighbors are [1, 5 (=prev)]; 1 is
+    // NOT a neighbor of 5. r = h60('walk:5:2') mod 65 = 22 for BOTH
+    // weightings (the hash keys on the walk, not the weights), so with
+    // wRet = 64 the cumulative slices are [1, 65) -> returns to 5, and
+    // with wOut = 64 they are [64, 65) -> explores to 1 — same hash,
+    // opposite picks.
+    val edges = Seq((5L, 2L), (2L, 5L), (2L, 1L)).toDF("a", "b")
+    def at2(wRet: Long, wCommon: Long, wOut: Long): Long =
+      Graph.biasedWalks(edges, "a", "b", steps = 2, wRet, wCommon, wOut)
+        .filter("start = 5 AND step = 2").as[(Long, Long, Long)]
+        .head()._3
+    assert(at2(64L, 1L, 1L) == 5L, "heavy return weight must go back")
+    assert(at2(1L, 1L, 64L) == 1L, "heavy explore weight must move on")
+  }
+
   test("incrementalTriangles ≡ full recompute on randomized edge splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

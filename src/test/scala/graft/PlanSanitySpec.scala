@@ -130,8 +130,9 @@ class PlanSanitySpec extends SparkSpec {
       "x_quality_ccnet_derived",
       // x_graph_walks stages the indexed adjacency + degree relations
       // (one corpus scan in the staging job; every hop joins BOTH), so
-      // the visible plan starts there.
-      "x_graph_walks")
+      // the visible plan starts there. The biased variant adds the
+      // staged edge relation for the distance-1 mark join.
+      "x_graph_walks", "x_graph_walks_biased")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
