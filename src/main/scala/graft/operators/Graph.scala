@@ -690,24 +690,34 @@ object Graph {
     *  - duplicate edges and self-loops drop (a page linking the same
     *    target five times confers mass once);
     *  - `r'(v) = (3·scale) div 20 + Σ_{u→v} (r(u)·17) div (20·outdeg(u))`;
-    *  - DANGLING mass is NOT redistributed: a page with no outlinks
-    *    leaks its damped mass — the "remove dangling nodes"
+    *  - DANGLING mass is NOT redistributed by default: a page with no
+    *    outlinks leaks its damped mass — the "remove dangling nodes"
     *    simplification of the original paper, stated as part of the
-    *    contract (redistribution needs a global Σr term per iteration,
-    *    one extra all-node aggregate; the leak-variant is what a crawl
-    *    frontier prioritizer actually wants — dead ends should not
-    *    recycle authority);
+    *    contract (the leak-variant is what a crawl frontier
+    *    prioritizer actually wants — dead ends should not recycle
+    *    authority). `redistributeDangling = true` opts into the
+    *    published rule instead: each iteration adds
+    *    `(D·17) div (20·N)` to EVERY node, with D = Σ r over outdeg-0
+    *    nodes and N = |edge-incident nodes| — the cost is one Σr
+    *    aggregate over the dangling subset per iteration plus a
+    *    per-iteration staging write (the rank relation gains a second
+    *    consumer, and an unstaged lazy chain would re-execute
+    *    per reference); mass is then conserved up to truncation
+    *    (each `div` loses < 1 scaled unit, so
+    *    `N·scale − Σ pr < (|E| + N)·iterations` — spec-pinned);
     *  - iteration state lives on the edge-incident nodes (src AND
     *    dst-only nodes — a dst-only node accumulates rank but holds
     *    outdeg 0); the corpus attaches ONCE at the end by broadcast,
     *    isolated vertices hold the base term.
-    * Overflow headroom: |edge nodes|·scale·17 < 2^63, as [[pageRank]].
+    * Overflow headroom: |edge nodes|·scale·17 < 2^63, as [[pageRank]]
+    * (the dangling sum D obeys the same bound — it is a Σr slice).
     *
     * Output: (node, pr) for EVERY vertex, pr at `scale` fixed-point. */
   def pageRankDirected(vertices: DataFrame, idCol: String,
                        edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 3,
-                       scale: Long = 1000000000L): DataFrame = {
+                       scale: Long = 1000000000L,
+                       redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
     val base = scale * 3 / 20
@@ -722,6 +732,7 @@ object Graph {
       .union(e.select(col("d").as("node"))).distinct()
       .join(od, Seq("node"), "left")
       .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree")))
+    val nCnt = nd.agg(count(lit(1)).cast("long").as("nn"))
     var nr = nd.select(col("node"), col("degree"), lit(scale).as("r"))
     for (_ <- 1 to iterations) {
       // only src nodes match the join, and every src has degree >= 1 —
@@ -729,9 +740,26 @@ object Graph {
       val contrib = e.join(nr, col("s") === col("node"))
         .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
       val in = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
-      nr = nd.join(in, col("node") === col("d"), "left")
-        .select(col("node"), col("degree"),
-          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+      nr = if (!redistributeDangling) {
+        nd.join(in, col("node") === col("d"), "left")
+          .select(col("node"), col("degree"),
+            (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+      } else {
+        // the per-node dangling share: two 1-row aggregates crossed by
+        // broadcast (the q_subquery_scalar shape), attached to every
+        // node. The round STAGES because nr now has two consumers
+        // (next round's contrib + this share) — unstaged, the lazy
+        // chain re-executes per reference and doubles per iteration.
+        val share = nr.filter(col("degree") === 0L)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          .crossJoin(broadcast(nCnt))
+          .select(expr("(dm * 17L) div (20L * nn)").as("__sh"))
+        stage(nd.join(in, col("node") === col("d"), "left")
+          .crossJoin(broadcast(share))
+          .select(col("node"), col("degree"),
+            (lit(base) + coalesce(col("cin"), lit(0L)) + col("__sh"))
+              .as("r")))
+      }
     }
     vertices.select(col(idCol).cast("long").as("__v"))
       .join(broadcast(nr.select(col("node"), col("r"))),

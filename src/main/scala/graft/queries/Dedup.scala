@@ -855,6 +855,71 @@ object Dedup {
       ORDER BY start, step"""
     }),
 
+    // --------------- directed PageRank, dangling mass REDISTRIBUTED
+    // The published-variant twin of x_linkgraph_rank:
+    // pageRankDirected(redistributeDangling = true) recycles each
+    // iteration's dangling mass uniformly — (D·17) div (20·N) to every
+    // edge-incident node, D = Σr over the outdeg-0 pages — instead of
+    // leaking it (both behaviors are pinned contracts; the leak is the
+    // frontier-prioritizer default, the redistribution is what the
+    // literature's mass-conservation statement expects — conserved up
+    // to div truncation, the bound spec-pinned in GraphSpec). Fixture:
+    // only doc_id % 3 <> 0 pages link out, so a THIRD of the corpus
+    // plus every 500..599 arithmetic target is a genuine sink holding
+    // real mass. The oracle unrolls the three rounds with the dangling
+    // share as a 1-row crossed CTE per round.
+    Q("x_linkgraph_rank_dangling", (s, d) => {
+      val src = documents(s, d).filter(col("doc_id") % 3 =!= 0)
+      val e = src.select(
+        col("doc_id").as("s"), expr("(doc_id * 7 + 3) % 600").as("t"))
+        .unionAll(src.select(
+          col("doc_id").as("s"), expr("(doc_id * 11 + 5) % 600").as("t")))
+      graft.operators.Graph.pageRankDirected(documents(s, d), "doc_id",
+        e, "s", "t", iterations = 3, scale = 1000000000L,
+        redistributeDangling = true)
+        .orderBy(col("node"))
+    }, Some {
+      val rounds = (1 to 3).map(i => s"""
+        dm$i AS (SELECT (COALESCE(CAST(SUM(CASE WHEN degree = 0 THEN r END)
+                                  AS BIGINT), CAST(0 AS BIGINT)) * 17)
+                        // (20 * (SELECT nn FROM ncnt)) AS sh
+                 FROM r${i - 1}),
+        r$i AS MATERIALIZED (
+          SELECT nd.node, nd.degree,
+                 CAST(150000000 AS BIGINT)
+                 + COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                            CAST(0 AS BIGINT))
+                 + dm$i.sh AS r
+          FROM nd CROSS JOIN dm$i
+          LEFT JOIN (SELECT e0.d AS dst, rr.r, rr.degree
+                     FROM e0 JOIN r${i - 1} rr ON e0.s = rr.node) p
+            ON p.dst = nd.node
+          GROUP BY nd.node, nd.degree, dm$i.sh)""").mkString(",")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT doc_id AS s, (doc_id * 7 + 3) % 600 AS d FROM documents
+          WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT doc_id, (doc_id * 11 + 5) % 600 FROM documents
+          WHERE doc_id % 3 <> 0)
+        WHERE s <> d),
+      od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM e0 GROUP BY s),
+      nd AS MATERIALIZED (
+        SELECT n.node, COALESCE(od.degree, CAST(0 AS BIGINT)) AS degree
+        FROM (SELECT s AS node FROM e0 UNION SELECT d FROM e0) n
+        LEFT JOIN od ON od.node = n.node),
+      ncnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nd),
+      r0 AS MATERIALIZED (
+        SELECT node, degree, CAST(1000000000 AS BIGINT) AS r FROM nd),
+      $rounds
+      SELECT v.doc_id AS node,
+             COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
+      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
+      ORDER BY node"""
+    }),
+
     // ------------------------- incremental PageRank (per-batch refresh)
     // The per-batch twin of x_graph_pagerank: prior iterate HISTORY
     // (Graph.pageRankState) is the persisted state; the odd-parity half

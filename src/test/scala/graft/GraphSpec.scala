@@ -325,6 +325,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankDirected redistributes dangling mass exactly; conservation bound holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val scale = 1000000L
+    val base = scale * 3 / 20
+    (1 to 4).foreach { _ =>
+      val n = rnd.nextInt(20) + 5
+      // bias toward sinks: only even sources link out.
+      val raw = Seq.fill(rnd.nextInt(60) + 10)(
+        (rnd.nextInt(n).toLong / 2 * 2, rnd.nextInt(n).toLong))
+      val canon = raw.filter { case (a, b) => a != b }.distinct
+      val odeg = canon.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val nn = nodes.size.toLong
+      var r: Map[Long, Long] = nodes.map(_ -> scale).toMap
+      (1 to 3).foreach { _ =>
+        val dm = nodes.filter(v => !odeg.contains(v)).map(r).sum
+        val sh = dm * 17L / (20L * nn)
+        r = nodes.map { v =>
+          val in = canon.collect { case (u, w) if w == v =>
+            r(u) * 17L / (20L * odeg(u)) }.sum
+          v -> (base + in + sh)
+        }.toMap
+      }
+      val exp = (0L until n.toLong).map(v => v -> r.getOrElse(v, base)).toMap
+      val got = Graph.pageRankDirected(
+        (0L until n.toLong).toDF("doc_id"), "doc_id",
+        raw.toDF("a", "b"), "a", "b", iterations = 3, scale = scale,
+        redistributeDangling = true)
+        .as[(Long, Long)].collect().toMap
+      got.foreach { case (v, pr) => assert(pr == exp(v), s"pr($v)") }
+      // conservation over the edge-incident nodes: exact arithmetic
+      // would hold Σr = N·scale; truncation only LOSES, < 1 scaled
+      // unit per division, (|E| + N) divisions per iteration.
+      val tot = nodes.map(got).sum
+      assert(tot <= nn * scale, "truncation can only lose mass")
+      assert(nn * scale - tot < (canon.size + nn) * 3L,
+        s"deficit ${nn * scale - tot} exceeds the truncation bound")
+    }
+  }
+
   test("hits: hand-computed wedge — update order, zero floor, dup/self edges") {
     import spark.implicits._
     // 1→3, 2→3, 3→4 at scale 10, ONE iteration, by hand:
