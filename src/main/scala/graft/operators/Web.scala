@@ -201,6 +201,49 @@ object Web {
     * grouping (`act.edu.au` is 3; a handful of 4s exist). */
   val MaxSuffixLabels: Int = 4
 
+  /** SQL for the host of a CANONICAL url expr (scheme://host[/path]).
+    * Identical text in both engines (split_part is 1-based in both). */
+  def canonicalHostSql(c: String): String =
+    s"split_part(split_part($c, '://', 2), '/', 1)"
+
+  /** SQL for the path (query stripped) of a CANONICAL url expr. The
+    * canonical form drops the trailing slash, so a ROOT url yields ''
+    * (the all-paths robots rule is therefore the EMPTY prefix — every
+    * path starts with ''). The `+ 4` covers '://' plus the 1-based
+    * substring start (the pinned off-by-one, see [[resolveRefSql]]). */
+  def canonicalPathSql(c: String): String =
+    s"""split_part(substring($c,
+       |  length(split_part($c, '://', 1)) + 4
+       |  + length(${canonicalHostSql(c)})), '?', 1)""".stripMargin
+
+  /** robots.txt Disallow gate over CANONICAL urls — the loadable-
+    * relation discipline of [[withRegistrableDomain]]'s PSL overload:
+    * `rules` is a two-column (host, prefix) relation stating the
+    * crawler's parsed Disallow lines (a versioned deployment artifact,
+    * loaded like a tokenizer vocab). A url DROPS iff some rule's host
+    * equals its canonical host AND its canonical path starts with the
+    * rule's prefix.
+    *
+    * Pinned subset (stated, the 1994 convention / RFC 9309 literal
+    * core): literal path-prefix rules only — no `*`/`$` wildcards, no
+    * `Allow:` overrides, no crawl-delay; hosts compare exactly (the
+    * canonical host, port-normalized); `Disallow: /` covers every
+    * non-root path, and the EMPTY prefix covers the root too (the
+    * canonical form drops the trailing slash).
+    *
+    * Plan: rules broadcast; ONE hash LEFT ANTI join keyed on host with
+    * the prefix test as the join residual — the corpus never shuffles,
+    * a host with no rules passes untouched. */
+  def filterRobotsAllowed(df: DataFrame, urlCol: String,
+                          rules: DataFrame): DataFrame = {
+    val r = rules.select(col(rules.columns(0)).cast("string").as("__rh"),
+      col(rules.columns(1)).cast("string").as("__rp")).distinct()
+    df.join(broadcast(r),
+      expr(s"${canonicalHostSql(urlCol)} = __rh") &&
+        expr(s"startswith(${canonicalPathSql(urlCol)}, __rp)"),
+      "left_anti")
+  }
+
   /** SQL for DOT-SEGMENT removal over a PATH expr (no query string) —
     * RFC 3986 §5.2.4 restated as a pinned bounded regex chain that is
     * identical in both engines (the Html-chain discipline: no

@@ -957,9 +957,17 @@ object Curation {
     // the NOVEL frontier = candidates in neither the seen set nor
     // the batch's own fetched URLs, one row per canonical with
     // discoverer = min referring page and n_refs counting referring
-    // PAGES. Anti-joins on canonical strings only — page bodies never
-    // shuffle.
+    // PAGES. A loadable robots Disallow relation
+    // (Web.filterRobotsAllowed — literal host + path-prefix rules,
+    // broadcast LEFT ANTI) gates the candidates BEFORE the novelty
+    // probe: every batch page links its host's /private/N path, and
+    // every site host disallows /private — discovered, resolved,
+    // canonical, NOVEL, and never emitted; /about on the same hosts
+    // passes (prefix selectivity), and the other.example.org/ref rule
+    // kills the one cross-site link (host selectivity). Anti-joins on
+    // canonical strings only — page bodies never shuffle.
     Q("x_frontier_incremental", (s, d) => {
+      import s.implicits._
       val pages = fanOut(documents(s, d))
         .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
         .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
@@ -974,10 +982,14 @@ object Curation {
             |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
             |'.com/d/', CAST(__t2 AS STRING), '">b</a> ',
             |'<a href="/about">c</a> ',
+            |'<a href="/private/', CAST(doc_id AS STRING), '">z</a> ',
             |'<a href="../d/', CAST(__t3 AS STRING), '">p</a> ',
             |'<a href="sub/./x/../page.html">q</a> ',
             |'<a href="mailto:x@y.example">m</a> ',
             |'<a href="https://other.example.org/ref">d</a></p>')""".stripMargin))
+      val robots = (0 to 6).map(k => (s"www.site$k.com", "/private"))
+        .toDF("host", "prefix")
+        .unionByName(Seq(("other.example.org", "/ref")).toDF("host", "prefix"))
       val seen = graft.operators.Web.withCanonicalUrl(
         pages.filter(expr("doc_id % 3 != 0")).select(col("doc_id"), col("url")),
         "url", "__c")
@@ -985,8 +997,10 @@ object Curation {
       val fetched = graft.streaming.FrontierIngest
         .pageUrls(batch, "doc_id", "url")
         .select(col("curl")).distinct()
-      val cand = graft.streaming.FrontierIngest
-        .outlinks(batch, "doc_id", "url", "__html")
+      val cand = graft.operators.Web.filterRobotsAllowed(
+        graft.streaming.FrontierIngest
+          .outlinks(batch, "doc_id", "url", "__html"),
+        "curl", robots)
         .groupBy(col("curl"))
         .agg(min(col("ref_id")).as("discoverer"),
           count(lit(1)).cast("long").as("n_refs"))
@@ -1008,6 +1022,7 @@ object Curation {
           '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
           '.com/d/' || CAST(t2 AS VARCHAR) || '">b</a> ' ||
           '<a href="/about">c</a> ' ||
+          '<a href="/private/' || CAST(doc_id AS VARCHAR) || '">z</a> ' ||
           '<a href="../d/' || CAST((doc_id * 11 + 3) % 1024 AS VARCHAR) ||
           '">p</a> ' ||
           '<a href="sub/./x/../page.html">q</a> ' ||
@@ -1029,9 +1044,20 @@ object Curation {
                FROM lk0 l JOIN pcc p ON p.pid = l.doc_id)
              WHERE aurl IS NOT NULL),
       ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},
+      rob AS (SELECT 'www.site' || CAST(k AS VARCHAR) || '.com' AS host,
+                     '/private' AS prefix
+              FROM range(0, 7) t(k)
+              UNION ALL SELECT 'other.example.org', '/ref'),
+      allowed AS (
+        SELECT canonical, ref_id
+        FROM (SELECT DISTINCT canonical, ref_id FROM lcc) l
+        WHERE NOT EXISTS (SELECT 1 FROM rob r
+          WHERE r.host = ${graft.operators.Web.canonicalHostSql("l.canonical")}
+            AND starts_with(${graft.operators.Web.canonicalPathSql("l.canonical")},
+                            r.prefix))),
       cand AS (SELECT canonical, CAST(MIN(ref_id) AS BIGINT) AS discoverer,
                       CAST(COUNT(*) AS BIGINT) AS n_refs
-               FROM (SELECT DISTINCT canonical, ref_id FROM lcc)
+               FROM allowed
                GROUP BY canonical)
       SELECT canonical AS url, discoverer, n_refs
       FROM cand

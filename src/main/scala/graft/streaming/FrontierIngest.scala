@@ -117,16 +117,30 @@ object FrontierIngest {
 
   /** DISCOVER-THEN-FOLD: `onBatch` receives the batch's novel frontier
     * (url, discoverer, n_refs), judged against the PRE-batch seen set;
-    * then the batch's page URLs + discoveries fold in. */
+    * then the batch's page URLs + discoveries fold in.
+    *
+    * `robots` (optional) is a FROZEN (host, prefix) Disallow relation
+    * — [[Web.filterRobotsAllowed]]'s pinned literal-prefix subset,
+    * applied to the batch's resolved outlinks BEFORE the novelty
+    * probe: a disallowed url is never emitted novel and never folds
+    * into seen via discovery (rules can change between deployments —
+    * an unblocked url must still be discoverable later). Fetched pages
+    * fold regardless: fetching is the caller's decision, the gate
+    * curates DISCOVERIES. The frozen-probe discipline: the relation is
+    * fixed for the query's lifetime, broadcast per batch. */
   def startFrontier(stream: Stream, state: AtomicReference[FrontierState],
                     idCol: String, urlCol: String, htmlCol: String,
-                    checkpoint: Option[String] = None)(
+                    checkpoint: Option[String] = None,
+                    robots: Option[DataFrame] = None)(
                     onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
       val pages = pageUrls(batch, idCol, urlCol)
-      val cand = outlinks(batch, idCol, urlCol, htmlCol)
+      val links = outlinks(batch, idCol, urlCol, htmlCol)
+      val allowed = robots.map(Web.filterRobotsAllowed(links, "curl", _))
+        .getOrElse(links)
+      val cand = allowed
         .groupBy(col("curl"))
         .agg(min(col("ref_id")).as("discoverer"),
           count(lit(1)).cast("long").as("n_refs"))

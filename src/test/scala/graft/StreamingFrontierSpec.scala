@@ -98,4 +98,63 @@ class StreamingFrontierSpec extends SparkSpec {
       assert(restored.seen.as[String].collect().toSet == seen)
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("frontier gate: robots Disallow rules block discoveries, never the fold of fetches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        FrontierIngest.buildFrontier(
+          Seq.empty[String].toDF("url"), "url"))
+      val robots = Seq(("www.site1.com", "/private")).toDF("host", "prefix")
+
+      // page 1 links its own /private/1 (disallowed), /ok (allowed),
+      // and a cross-host /private (NOT covered — host selectivity).
+      val h1 = "<p><a href=\"/private/1\">p</a> <a href=\"/ok\">o</a>" +
+        " <a href=\"https://www.site9.com/private/z\">other</a></p>"
+      val b1 = Seq((1L, "https://www.site1.com/d/1", h1))
+      // a later batch re-links the disallowed path — still blocked
+      // (rules are frozen for the query; the url never entered seen,
+      // so an unblocking redeploy could still discover it).
+      val h2 = "<p><a href=\"https://www.site1.com/private/1\">again</a></p>"
+      val b2 = Seq((2L, "https://www.site1.com/d/2", h2))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long, Long)]]
+      val q = FrontierIngest.startFrontier(s, state,
+        "value.doc_id", "value.url", "value.html",
+        robots = Some(robots)) { (novel, _, _) =>
+        got += novel.as[(String, Long, Long)].collect().toSet
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      q.stop()
+
+      assert(got.toSeq == Seq(
+        Set(("https://www.site1.com/ok", 1L, 1L),
+          ("https://www.site9.com/private/z", 1L, 1L)),
+        Set.empty),
+        s"novel emissions: $got")
+      // the disallowed url never folded into seen via discovery — only
+      // the fetched pages and the allowed discoveries did.
+      val seen = state.get().seen.as[String].collect().toSet
+      assert(seen == Set(
+        "https://www.site1.com/d/1", "https://www.site1.com/d/2",
+        "https://www.site1.com/ok", "https://www.site9.com/private/z"),
+        seen)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
