@@ -1377,6 +1377,251 @@ object Graph {
     PageRankState(stageSorted(st.edges, "s"), stageSorted(st.ranks, "node"),
       st.iterations, st.scale)
 
+  // ------------------------- incremental DIRECTED PageRank (link graph)
+
+  /** Reusable [[pageRankDirected]] state for
+    * [[pageRankDirectedRefresh]] — the rank maintenance a
+    * self-maintaining hyperlink graph
+    * ([[graft.streaming.LinkGraphIngest]]) folds per batch. Same
+    * per-iteration history design as [[PageRankState]]
+    * (`ranks` = (node, degree, rs), rs[i] the exact rank after
+    * iteration i; degree = OUT-degree, 0 for dst-only nodes), with one
+    * structural difference: the edge relation stages TWICE — sorted by
+    * `s` (the out-expansion probes) AND by `d` (the in-edge probes:
+    * directed rank reads IN-neighbors, which a src-sorted layout
+    * cannot prune). The doubled layout is the honest price of pruned
+    * directed refreshes; compaction re-sorts both sides.
+    *
+    * The LEAK dangling rule only ([[pageRankDirected]]'s default):
+    * `redistributeDangling` breaks the refresh's locality theorem — a
+    * global Σr term makes every rank depend on every dangling node, so
+    * there is no ball to splice; the redistributing variant must
+    * recompute (stated, not silently approximated). */
+  final case class PageRankDirectedState(edgesBySrc: DataFrame,
+                                         edgesByDst: DataFrame,
+                                         ranks: DataFrame,
+                                         iterations: Int, scale: Long)
+
+  /** Run [[pageRankDirected]]'s exact loop once, keeping every iterate
+    * — the build-once step of the directed incremental pair (same
+    * staging/overflow contract; history costs `iterations` extra
+    * BIGINTs per edge-incident node, the layout one extra edge sort). */
+  def pageRankDirectedState(edges: DataFrame, srcCol: String, dstCol: String,
+                            iterations: Int = 3,
+                            scale: Long = 1000000000L): PageRankDirectedState = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20")
+    val base = scale * 3 / 20
+    val eS = stageSorted(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct(), "s")
+    val eD = stageSorted(eS, "d")
+    val od = eS.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
+    val nd = eS.select(col("s").as("node"))
+      .union(eS.select(col("d").as("node"))).distinct()
+      .join(od, Seq("node"), "left")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+    var nr = nd.select(col("node"), col("degree"), lit(scale).as("r"),
+      array().cast("array<long>").as("rs"))
+    for (_ <- 1 to iterations) {
+      val contrib = eS.join(nr.select(col("node"), col("degree"), col("r")),
+          col("s") === col("node"))
+        .select(col("d"), expr("(r * 17L) div (20L * degree)").as("c"))
+      val in = contrib.groupBy(col("d")).agg(sum(col("c")).as("cin"))
+      nr = nr.join(in, col("node") === col("d"), "left")
+        .select(col("node"), col("degree"),
+          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"),
+          concat(col("rs"),
+            array(lit(base) + coalesce(col("cin"), lit(0L)))).as("rs"))
+    }
+    PageRankDirectedState(eS, eD,
+      stageSorted(nr.select(col("node"), col("degree"), col("rs")), "node"),
+      iterations, scale)
+  }
+
+  private final case class DirRefreshCore(delta: DataFrame,
+                                          recs: Vector[DataFrame],
+                                          ball: DataFrame)
+
+  /** The directed sibling of `refreshCore`. Exactness: r_i(v) changes
+    * only if some IN-neighbor u of v changed r_{i-1} or OUT-degree.
+    * Degrees change only at batch SOURCES (B_0); changed_1 = outN(B_0)
+    * and changed_{i+1} ⊆ outN(changed_i ∪ B_0), so with the MONOTONE
+    * ball B_1 = outN(B_0) ∪ B_0, B_{i+1} = outN(B_i) ∪ B_i, every node
+    * outside B_i keeps its stored r_i verbatim (recomputing a ball
+    * node an iteration didn't change lands on the same value — its
+    * inputs are all recomputed-correct or frozen-correct).
+    *
+    * Per iteration: TWO pruned edge probes (out-edges of B_i — degrees
+    * + the B_{i+1} expansion; IN-edges of B_i — the contributions,
+    * pruned by the d-sorted layout) plus one pruned history probe for
+    * boundary in-neighbors. The undirected core needs one edge probe
+    * (symmetry makes reversed out-edges the in-edges); the doubled
+    * probe is the honest directed price. Iterations run on the driver
+    * (ball-sized by contract; Scala `/` on non-negative longs ≡ SQL
+    * `div`). Dense handoff as the undirected core
+    * ([[RefreshDenseFraction]]). */
+  private def refreshDirectedCore(spark: org.apache.spark.sql.SparkSession,
+                                  st: PageRankDirectedState, newEdges: DataFrame,
+                                  srcCol: String, dstCol: String): Either[DataFrame, DirRefreshCore] = {
+    val k = st.iterations
+    val scale = st.scale
+    val base = scale * 3 / 20
+    def inIds(c: org.apache.spark.sql.Column, ids: Seq[Long]): org.apache.spark.sql.Column =
+      if (ids.isEmpty) lit(false)
+      else {
+        val ranges = compressRanges(ids, maxRanges = 32)
+        ranges.map { case (lo, hi) => c.between(lo, hi) }.reduce(_ || _) &&
+          c.isInCollection(ids)
+      }
+    val batchPairs = newEdges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // settle probe: every stored out-edge of the batch sources — gives
+    // novelty AND the stored out-degrees for free.
+    val existing = st.edgesBySrc
+      .filter(inIds(col("s"), batchPairs.map(_._1).distinct))
+      .select(col("s"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val novel = batchPairs.filterNot(existing)
+    val delta = stage(spark.createDataset(novel)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)]).toDF("s", "d"))
+    val allES = st.edgesBySrc.union(delta)
+    val allED = st.edgesByDst.union(delta)
+    val dIncRows = novel.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    val b0Ids = dIncRows.map(_._1)
+    val storedDeg = existing.toSeq.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val a0Rows = dIncRows.map { case (n, di) =>
+      (n, storedDeg.getOrElse(n, 0L) + di) }
+    val b0Set = b0Ids.toSet
+    // B_1 = outN(B_0) ∪ B_0 — derivable from the settle probe alone.
+    var biIds: Seq[Long] =
+      (existing.toSeq.filter(e => b0Set(e._1)).map(_._2) ++ novel.map(_._2)
+        ++ b0Ids).distinct.sorted
+    if (biIds.size > st.ranks.count() * RefreshDenseFraction)
+      return Left(allES)
+    // recMap: node -> (current OUT-degree, r_{i-1}) over B_{i-1}; r_0 =
+    // scale everywhere.
+    var recMap: Map[Long, (Long, Long)] =
+      a0Rows.map { case (n, dg) => n -> (dg, scale) }.toMap
+    var recMaps = Vector.empty[Seq[(Long, Long, Long)]]
+    for (i <- 1 to k) {
+      // probe 1: out-edges of B_i under the union — per-node counts are
+      // the CURRENT degrees of every ball node (B_0's increments
+      // included, since delta rides the union), dsts are the B_{i+1}
+      // expansion.
+      val outEdges = allES.filter(inIds(col("s"), biIds))
+        .select(col("s"), col("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degCount = outEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      // probe 2: IN-edges of B_i (the d-sorted layout prunes on d).
+      val inEdges = allED.filter(inIds(col("d"), biIds))
+        .select(col("s"), col("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // boundary in-neighbors outside B_{i-1} read frozen history
+      // (r_{i-1} = rs[i-1], r_0 = scale; degree unchanged outside B_0).
+      val needOldIds = inEdges.map(_._1).distinct.filterNot(recMap.contains).sorted.toSeq
+      val oldRows = st.ranks.filter(inIds(col("node"), needOldIds))
+        .select(col("node"), col("degree"),
+          (if (i == 1) lit(scale) else element_at(col("rs"), i - 1)).as("r"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val contrib = new scala.collection.mutable.HashMap[Long, Long]()
+      inEdges.foreach { case (u, v) =>
+        val (du, ru) = recMap.getOrElse(u, oldRows(u))
+        contrib.update(v, contrib.getOrElse(v, 0L) + (ru * 17L) / (20L * du))
+      }
+      val next = biIds.map { x =>
+        (x, degCount.getOrElse(x, 0L), base + contrib.getOrElse(x, 0L))
+      }
+      recMaps = recMaps :+ next
+      recMap = next.map { case (n, dg, r) => n -> ((dg, r)) }.toMap
+      biIds = (outEdges.map(_._2) ++ biIds).distinct.sorted.toSeq
+    }
+    val recs = recMaps.map(rows => spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .toDF("node", "degree", "r"))
+    // the monotone ball: every iteration's cover is a subset of the
+    // LAST recomputed set's ids.
+    val ball = spark.createDataset(recMaps.last.map(r => Tuple1(r._1)))(
+      org.apache.spark.sql.Encoders.product[Tuple1[Long]]).toDF("node")
+    Right(DirRefreshCore(delta, recs, ball))
+  }
+
+  /** Incremental [[pageRankDirected]] under a batch of new edges —
+    * ranks bit-identical to a full recompute over the union edge set
+    * (the [[pageRankRefresh]] contract, directed). Output: (node, pr)
+    * for EVERY vertex. */
+  def pageRankDirectedRefresh(vertices: DataFrame, idCol: String,
+                              st: PageRankDirectedState, newEdges: DataFrame,
+                              srcCol: String, dstCol: String): DataFrame = {
+    val base = st.scale * 3 / 20
+    refreshDirectedCore(vertices.sparkSession, st, newEdges, srcCol, dstCol) match {
+      case Left(unionView) =>
+        pageRankDirected(vertices, idCol, unionView, "s", "d",
+          st.iterations, st.scale)
+      case Right(c) =>
+        // splice: recomputed ball ranks over stored finals outside the
+        // ball; `merged` is corpus-sized — never broadcast it (the
+        // round-10 lattice lesson).
+        val merged = c.recs.last.select(col("node"), col("r"))
+          .union(st.ranks
+            .select(col("node"), element_at(col("rs"), st.iterations).as("r"))
+            .join(broadcast(c.ball), Seq("node"), "left_anti"))
+        vertices.select(col(idCol).cast("long").as("__v"))
+          .join(merged, col("__v") === col("node"), "left")
+          .select(col("__v").as("node"), coalesce(col("r"), lit(base)).as("pr"))
+    }
+  }
+
+  /** [[pageRankDirectedRefresh]]'s FOLDING twin: fold the batch and
+    * return the updated state so refreshes CHAIN per micro-batch —
+    * the rank maintenance of [[graft.streaming.LinkGraphIngest]]'s
+    * grown edge roots. Chained folds ≡ [[pageRankDirectedState]] over
+    * the union edge set, bitwise (GraphSpec). The growing-union edge
+    * discipline of [[pageRankRefreshState]], applied to BOTH sorted
+    * layouts; [[compactPageRankDirectedState]] is the periodic
+    * re-sort. */
+  def pageRankDirectedRefreshState(st: PageRankDirectedState,
+                                   newEdges: DataFrame,
+                                   srcCol: String, dstCol: String): PageRankDirectedState = {
+    val spark = st.ranks.sparkSession
+    refreshDirectedCore(spark, st, newEdges, srcCol, dstCol) match {
+      case Left(unionView) =>
+        pageRankDirectedState(unionView, "s", "d", st.iterations, st.scale)
+      case Right(c) =>
+        var ballRows = c.recs.last.select(col("node"), col("degree"))
+        for (i <- 1 to st.iterations)
+          ballRows = ballRows.join(
+            c.recs(i - 1).select(col("node"), col("r").as(s"__r$i")),
+            Seq("node"), "left")
+        val ballStored = st.ranks.select(col("node"), col("rs").as("__olds"))
+          .join(broadcast(c.ball), Seq("node"))
+        val ballRanks = ballRows
+          .join(ballStored, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            array((1 to st.iterations).map(i =>
+              coalesce(col(s"__r$i"), element_at(col("__olds"), i))): _*).as("rs"))
+        val untouched = st.ranks.join(broadcast(c.ball), Seq("node"), "left_anti")
+        PageRankDirectedState(
+          st.edgesBySrc.union(c.delta), st.edgesByDst.union(c.delta),
+          stageSorted(untouched.unionByName(ballRanks), "node"),
+          st.iterations, st.scale)
+    }
+  }
+
+  /** Re-sort a [[PageRankDirectedState]] whose edge relations have
+    * accumulated per-fold deltas — the periodic OPTIMIZE of the
+    * directed chaining fold. */
+  def compactPageRankDirectedState(st: PageRankDirectedState): PageRankDirectedState =
+    PageRankDirectedState(stageSorted(st.edgesBySrc, "s"),
+      stageSorted(st.edgesByDst, "d"),
+      stageSorted(st.ranks, "node"), st.iterations, st.scale)
+
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
     * 64-bit hashes under two DIFFERENTLY-KEYED hashings). One small
     * action per round; xor commutes so the physical row order never

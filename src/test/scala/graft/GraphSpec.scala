@@ -597,6 +597,54 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankDirectedRefresh ≡ full directed recompute on randomized splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val all = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (prevRaw, batchRaw) = all.splitAt(60)
+      // overlap, a brand-new source, and a brand-new dst-only node
+      val batch = batchRaw ++ prevRaw.take(5) :+
+        (100L, rnd.nextInt(n).toLong) :+ (rnd.nextInt(n).toLong, 101L)
+      val vertices = ((0L until n.toLong) :+ 100L :+ 101L).toDF("doc_id")
+      val st = Graph.pageRankDirectedState(prevRaw.toDF("a", "b"), "a", "b",
+        iterations = 3, scale = 1000000000L)
+      val inc = Graph.pageRankDirectedRefresh(vertices, "doc_id", st,
+        batch.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toSet
+      val full = Graph.pageRankDirected(vertices, "doc_id",
+        (prevRaw ++ batch).toDF("a", "b"), "a", "b",
+        iterations = 3, scale = 1000000000L)
+        .as[(Long, Long)].collect().toSet
+      assert(inc == full, s"trial $trial diverged")
+    }
+  }
+
+  test("pageRankDirectedRefreshState: chained folds ≡ fresh state, bitwise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val n = 25
+    val all = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val (seed, rest) = all.splitAt(40)
+    val (b1, b2) = rest.splitAt(25)
+    var st = Graph.pageRankDirectedState(seed.toDF("a", "b"), "a", "b",
+      iterations = 3, scale = 1000000000L)
+    st = Graph.pageRankDirectedRefreshState(st, b1.toDF("a", "b"), "a", "b")
+    st = Graph.pageRankDirectedRefreshState(st, b2.toDF("a", "b"), "a", "b")
+    val fresh = Graph.pageRankDirectedState(all.toDF("a", "b"), "a", "b",
+      iterations = 3, scale = 1000000000L)
+    def rows(s: Graph.PageRankDirectedState) =
+      s.ranks.select(col("node"), col("degree"),
+        expr("array_join(transform(rs, x -> CAST(x AS STRING)), ',')"))
+        .as[(Long, Long, String)].collect().toSet
+    assert(rows(st) == rows(fresh), "fold diverged from fresh build")
+    // an empty batch folds to the identical state
+    val st2 = Graph.pageRankDirectedRefreshState(st,
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(rows(st2) == rows(st))
+  }
+
   test("pageRankRefresh: empty batch returns stored ranks; no broadcast HINT on the corpus attach") {
     import spark.implicits._
     val vertices = (0L to 50L).toDF("doc_id")
