@@ -172,7 +172,15 @@ object Html {
   /** Steps 3b-3d + collapse/trim over a PREPPED expr (cheap to
     * reference — pass an array element or column, not a regex chain). */
   def finishSql(x: String, duck: Boolean): String = {
-    val named = s"replace(replace(replace(replace(${numericSql(x, duck)}," +
+    // GUARDED numeric pass: on a block with no '&#' anywhere the pass
+    // is the identity (the pattern can only match at a '&#'), so the
+    // two regex walks + per-ref re-splits are skipped behind one cheap
+    // instr — most real blocks carry no numeric refs (the r15 bisect:
+    // the unguarded pass was x_text_html's +34% r13→r14 raw
+    // regression; the guard reclaims it). Same CASE text per dialect.
+    val num = s"CASE WHEN instr($x, '&#') = 0 THEN $x" +
+      s" ELSE ${numericSql(x, duck)} END"
+    val named = s"replace(replace(replace(replace($num," +
       " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')"
     s"trim(${rre(duck)(s"replace($named, '&amp;', '&')", "  *", " ")})"
   }
