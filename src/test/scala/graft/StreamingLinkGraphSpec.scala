@@ -91,4 +91,64 @@ class StreamingLinkGraphSpec extends SparkSpec {
       assert(restored.pending.count() == 0)
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("link graph + directed rank maintenance: per-batch folds ≡ rank over the live edges") {
+    import graft.operators.Graph
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val urls = (1 to 6).map(i => i.toLong -> s"https://www.site$i.com/d/$i").toMap
+      def page(id: Long, links: Long*): (Long, String, String) =
+        (id, urls(id),
+          links.map(l => s"""<a href="${urls(l)}">x</a>""").mkString("<p>", " ", "</p>"))
+      // seed fetches page 1 (link to 2 waits pending); batches fetch
+      // 2..6 with back/forward links — every batch emits edges
+      // (including retro-resolutions) that fold into the rank state.
+      val corpus = Seq(page(1L, 2L)).toDF("doc_id", "url", "html")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        LinkGraphIngest.buildLinkGraph(corpus, "doc_id", "url", "html"))
+      var rank = Graph.pageRankDirectedState(
+        Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d",
+        iterations = 3, scale = 1000000000L)
+      val b1 = Seq(page(2L, 1L, 3L), page(3L, 1L))
+      val b2 = Seq(page(4L, 2L, 5L), page(5L, 4L), page(6L, 1L, 4L))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val q = LinkGraphIngest.startLinkGraph(s, state,
+        "value.doc_id", "value.url", "value.html") { (edges, _, _) =>
+        // the composition the operator pair exists for: each batch's
+        // newly resolved (incl. retro-resolved) edges fold into the
+        // directed rank state.
+        rank = Graph.pageRankDirectedRefreshState(rank,
+          edges.select(col("s"), col("d")), "s", "d")
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1)
+      send(b2)
+      q.stop()
+
+      // the folded rank state ≡ a fresh directed build over the gate's
+      // LIVE edge relation, bitwise.
+      val fresh = Graph.pageRankDirectedState(state.get().edges, "s", "d",
+        iterations = 3, scale = 1000000000L)
+      def rows(st: Graph.PageRankDirectedState) =
+        st.ranks.select(col("node"), col("degree"),
+          expr("array_join(transform(rs, x -> CAST(x AS STRING)), ',')"))
+          .as[(Long, Long, String)].collect().toSet
+      assert(rows(rank) == rows(fresh), "folded rank diverged from fresh")
+      assert(rows(rank).nonEmpty)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
