@@ -629,7 +629,7 @@ object Curation {
       SELECT doc_id, md5($red) AS digest,
              $ne AS n_email, $ni AS n_ip, $np AS n_phone
       FROM t ORDER BY doc_id"""
-    }),
+    }, headline = true),
 
     // ----------------------------------------- HTML → text extraction
     // The FIRST stage of every web-curation pipeline (operators.Html):

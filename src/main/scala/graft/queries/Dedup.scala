@@ -853,7 +853,7 @@ object Dedup {
         SELECT start, step, node FROM b2 UNION ALL
         SELECT start, step, node FROM b3)
       ORDER BY start, step"""
-    }),
+    }, headline = true),
 
     // --------------- directed PageRank, dangling mass REDISTRIBUTED
     // The published-variant twin of x_linkgraph_rank:
@@ -975,7 +975,7 @@ object Dedup {
              COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
       FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
       ORDER BY node"""
-    }),
+    }, headline = true),
 
     // ------------------------- incremental PageRank (per-batch refresh)
     // The per-batch twin of x_graph_pagerank: prior iterate HISTORY

@@ -157,7 +157,7 @@ object TextAnalysis {
              CAST(CASE WHEN p.lang_pred = s.lang_true THEN 1 ELSE 0 END
                   AS BIGINT) AS hit
       FROM lpick p JOIN lsrc s ON s.doc_id = p.doc_id
-      ORDER BY s.doc_id""")),
+      ORDER BY s.doc_id"""), headline = true),
 
     // ----------------------------------------------- tokenizer-style counts
     // BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
