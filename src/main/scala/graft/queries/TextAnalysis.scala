@@ -159,6 +159,50 @@ object TextAnalysis {
       FROM lpick p JOIN lsrc s ON s.doc_id = p.doc_id
       ORDER BY s.doc_id"""), headline = true),
 
+    // ------------------------- lang-ID, reference → candidates (gate twin)
+    // The streaming deployment (streaming.ScoreIngest.startLangGate,
+    // gate family #33): weights train on the LABELED reference subset
+    // (doc_id % 10 ≠ 0) and the candidate batch (doc_id % 10 = 0)
+    // classifies against the FROZEN weights — candidate features
+    // project UNSTAGED (micro-batches must classify without a staging
+    // write); streamed batches through the gate emit exactly these
+    // rows. Candidate grams outside the trained bucket set contribute
+    // to no class; a candidate sharing no trained bucket would emit
+    // nothing (none here — the rotated alphabets share the hash space).
+    Q("x_lang_id_incremental", (s, d) => {
+      import graft.operators.Ranking
+      val docs = fanOut(documents(s, d)).filter(col("text").isNotNull)
+        .withColumn("__lt", expr(langXformSql))
+      val w = Ranking.langWeights(graft.sources.Tables.stage(
+        Ranking.langFeatureRelation(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "__lt",
+          col("lang"))))
+      val cand = docs.filter(col("doc_id") % 10 === 0)
+      Ranking.classifyLangs(
+        Ranking.langFeatureRelation(cand, "doc_id", "__lt",
+          lit(null).cast("string"))
+          .select(col("doc_id"), col("bk"), col("tf")),
+        w)
+        .join(cand.select(col("doc_id"), col("lang").as("lang_true")),
+          "doc_id")
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("score"),
+          expr("CAST(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END AS BIGINT)")
+            .as("hit"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH lsrc AS (
+        SELECT doc_id, lang AS lang_true, $langXformSql AS lt,
+               CASE WHEN doc_id % 10 <> 0 THEN lang ELSE NULL END AS lang
+        FROM documents WHERE text IS NOT NULL),
+      ${graft.operators.Ranking.duckLangCtes("lsrc")}
+      SELECT s.doc_id, s.lang_true, p.lang_pred, p.score,
+             CAST(CASE WHEN p.lang_pred = s.lang_true THEN 1 ELSE 0 END
+                  AS BIGINT) AS hit
+      FROM lpick p JOIN lsrc s ON s.doc_id = p.doc_id
+      WHERE s.doc_id % 10 = 0
+      ORDER BY s.doc_id""")),
+
     // ----------------------------------------------- tokenizer-style counts
     // BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
     // (the GPT-2 pre-tokenizer shape, regex kept RE2/Java-compatible).

@@ -207,4 +207,120 @@ object ScoreIngest {
       (scores, stageLmRollups(merged, st.version + 1, batchId,
         superseded = Seq(st.lm, st.cx, st.tot), n = st.n))
     }(onBatch)
+
+  // ------------------------------------------- language-ID gates (#33)
+
+  /** One corpus version's staged DENSE lang-id weight relation
+    * ([[Ranking.langWeights]] over char-n-gram buckets). */
+  final case class LangWeights(weights: DataFrame, n: Int, hexDigits: Int,
+                               scale: Long, version: Long)
+    extends Gate.Versioned
+
+  /** Train and stage the multi-class lang-id weights ONCE (per corpus
+    * version); `labelCol` carries the language label on the curated
+    * reference rows, null elsewhere. */
+  def buildLangWeights(corpus: DataFrame, idCol: String, textCol: String,
+                       labelCol: Column, n: Int = 3, hexDigits: Int = 3,
+                       scale: Long = 1000000L, version: Long = 0L): LangWeights =
+    LangWeights(
+      graft.sources.Tables.stage(Ranking.langWeights(
+        graft.sources.Tables.stage(Ranking.langFeatureRelation(
+          corpus, idCol, textCol, labelCol, n, hexDigits)),
+        scale)),
+      n, hexDigits, scale, version)
+
+  /** Per-batch LANGUAGE ROUTING ([[Ranking.classifyLangs]]): `onBatch`
+    * receives (doc_id, lang_pred, score) for every batch document with
+    * ≥ n chars — the lang-id every per-language downstream gate (CCNet
+    * buckets, per-lang quality thresholds) consumes at ingest. Batch
+    * grams outside the trained bucket set contribute to NO class, so
+    * streamed verdicts are exactly the batch operator's; docs sharing
+    * no trained bucket emit nothing (no evidence — pinned). */
+  def startLangGate(stream: Stream, state: AtomicReference[LangWeights],
+                    idCol: String, textCol: String,
+                    checkpoint: Option[String] = None)(
+                    onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.start(stream, state, checkpoint) { (batch, st) =>
+      val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      // the label is irrelevant at probe time (weights are frozen).
+      Ranking.classifyLangs(
+        Ranking.langFeatureRelation(docs, "doc_id", "text",
+          lit(null).cast("string"), st.n, st.hexDigits)
+          .select(col("doc_id"), col("bk"), col("tf")),
+        st.weights)
+    }(onBatch)
+
+  /** FOLDING lang-id state: the staged LABELED (lang, bk, cnt) counts
+    * are the foldable core (multiset sums — a fold is bitwise a fresh
+    * count build over the union), the dense weight relation recomputes
+    * from them per fold (≤ |langs|·16^hexDigits rows — cheap by
+    * construction). Deferred reclaim + replay fence per the
+    * [[FoldingLmState]] contract. */
+  final case class FoldingLangState(counts: graft.sources.Tables.Staged,
+                                    weights: graft.sources.Tables.Staged,
+                                    n: Int, hexDigits: Int, scale: Long,
+                                    version: Long, foldedBatch: Long = -1L,
+                                    superseded: Seq[graft.sources.Tables.Staged] = Nil)
+    extends Gate.Folded {
+    def reclaim(): Unit = superseded.foreach(_.drop())
+  }
+
+  /** Train the initial foldable lang-id (tracked staging). */
+  def buildFoldingLang(corpus: DataFrame, idCol: String, textCol: String,
+                       labelCol: Column, n: Int = 3, hexDigits: Int = 3,
+                       scale: Long = 1000000L,
+                       version: Long = 0L): FoldingLangState = {
+    val labeled = Ranking.langFeatureRelation(
+      corpus, idCol, textCol, labelCol, n, hexDigits)
+      .filter(col("lang").isNotNull)
+      .groupBy(col("lang"), col("bk"))
+      .agg(sum(col("tf")).cast("long").as("cnt"))
+    stageLangRollups(labeled, n, hexDigits, scale, version,
+      foldedBatch = -1L, superseded = Nil)
+  }
+
+  private def stageLangRollups(counts0: DataFrame, n: Int, hexDigits: Int,
+                               scale: Long, version: Long, foldedBatch: Long,
+                               superseded: Seq[graft.sources.Tables.Staged]): FoldingLangState = {
+    val counts = graft.sources.Tables.stageTracked(counts0)
+    val weights = graft.sources.Tables.stageTracked(
+      Ranking.langWeights(
+        counts.df.select(col("lang"), col("bk"), col("cnt").as("tf")),
+        scale))
+    FoldingLangState(counts, weights, n, hexDigits, scale, version,
+      foldedBatch, superseded)
+  }
+
+  /** GATE-THEN-FOLD lang-id: each micro-batch classifies against the
+    * PRE-batch weights (exactly [[startLangGate]]'s arithmetic), then
+    * its LABELED rows (`labelCol` non-null in the payload — the
+    * editorially tagged subset) fold into the counts; the dense
+    * weights rebuild from the folded counts, bitwise a fresh
+    * [[buildFoldingLang]] over the union (spec-pinned). A batch-N
+    * novel language starts classifying at batch N+1 — the quantile
+    * discipline. */
+  def startLangFolding(stream: Stream, state: AtomicReference[FoldingLangState],
+                       idCol: String, textCol: String, labelCol: String,
+                       checkpoint: Option[String] = None)(
+                       onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
+    Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
+      st.reclaim() // predecessor's dirs — durable-record window closed
+      val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), col(labelCol).cast("string").as("lbl"))
+      val feats = Ranking.langFeatureRelation(docs, "doc_id", "text",
+        col("lbl"), st.n, st.hexDigits)
+      val preds = Ranking.classifyLangs(
+        feats.select(col("doc_id"), col("bk"), col("tf")),
+        st.weights.df)
+      val merged = st.counts.df
+        .unionByName(feats.filter(col("lang").isNotNull)
+          .groupBy(col("lang"), col("bk"))
+          .agg(sum(col("tf")).cast("long").as("cnt")))
+        .groupBy(col("lang"), col("bk"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+      (preds, stageLangRollups(merged, st.n, st.hexDigits, st.scale,
+        st.version + 1, batchId,
+        superseded = Seq(st.counts, st.weights)))
+    }(onBatch)
 }

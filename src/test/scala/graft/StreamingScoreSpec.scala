@@ -339,4 +339,119 @@ class StreamingScoreSpec extends SparkSpec {
       q.stop()
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("lang gate: per-batch ≡ batch classification against the frozen weights") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpus = Seq(
+        (1L, "aaa aab aba baa", "aa"),
+        (2L, "xxx xxy xyx yxx", "xx")).toDF("doc_id", "text", "lbl")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildLangWeights(corpus, "doc_id", "text", col("lbl")))
+
+      val batch = Seq((10L, "aab aba aab"), (11L, "xxy xyx"))
+        .toDF("doc_id", "text")
+      // the batch operator's verdicts against the SAME frozen weights.
+      val exp = Ranking.classifyLangs(
+        Ranking.langFeatureRelation(batch, "doc_id", "text",
+          lit(null).cast("string"))
+          .select(col("doc_id"), col("bk"), col("tf")),
+        state.get().weights)
+        .as[(Long, String, Long)].collect().toSet
+      assert(exp.map(r => r._1 -> r._2) == Set(10L -> "aa", 11L -> "xx"))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String, Long)]]
+      val q = ScoreIngest.startLangGate(s, state, "value.doc_id", "value.text") {
+        (preds, _, _) => got += preds.as[(Long, String, Long)].collect().toSet
+      }
+      val payloads = batch
+        .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .as[String].collect()
+      ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(got.toSeq == Seq(exp), s"streamed: $got vs batch: $exp")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("folding lang gate: classify-then-fold; fold ≡ fresh; novel lang learns at batch N+1; fenced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val corpus = Seq(
+        (1L, "aaa aab aba baa", "aa"),
+        (2L, "xxx xxy xyx yxx", "xx")).toDF("doc_id", "text", "lbl")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildFoldingLang(corpus, "doc_id", "text", col("lbl")))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lbl", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+      val q = ScoreIngest.startLangFolding(s, state,
+        "value.doc_id", "value.text", "value.lbl") { (preds, _, _) =>
+        got += preds.select(col("doc_id"), col("lang_pred"))
+          .as[(Long, String)].collect().toMap
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "text", "lbl")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lbl"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+
+      // batch 1 introduces NOVEL language 'zz' (labeled) plus an
+      // unlabeled doc in the same style: the gate classifies against
+      // the PRE-batch weights, which know only aa/xx — the zz-style
+      // docs share NO trained bucket, so they emit NOTHING (the
+      // no-evidence contract; gate-then-fold means the batch's own
+      // labels cannot influence its verdicts).
+      val b1 = Seq(
+        (10L, "zzz zzy zyz yzz", "zz"),
+        (11L, "zzy zyz", null.asInstanceOf[String]))
+      send(b1)
+      assert(got(0).isEmpty,
+        s"pre-fold weights must hold no zz evidence: ${got(0)}")
+
+      // the folded counts ≡ a fresh build over corpus ∪ b1's LABELED
+      // rows, bitwise (the unlabeled doc contributes nothing).
+      val fresh = ScoreIngest.buildFoldingLang(
+        corpus.unionByName(Seq((10L, "zzz zzy zyz yzz", "zz"))
+          .toDF("doc_id", "text", "lbl")),
+        "doc_id", "text", col("lbl"))
+      def cSet(st: ScoreIngest.FoldingLangState) =
+        st.counts.df.as[(String, String, Long)].collect().toSet
+      def wSet(st: ScoreIngest.FoldingLangState) =
+        st.weights.df.as[(String, String, Long)].collect().toSet
+      assert(cSet(state.get()) == cSet(fresh), "folded counts diverged")
+      assert(wSet(state.get()) == wSet(fresh), "rebuilt weights diverged")
+
+      // batch 2: the same zz-style unlabeled doc now classifies 'zz'.
+      got.clear()
+      send(Seq((20L, "zzy zyz", null.asInstanceOf[String])))
+      assert(got(0) == Map(20L -> "zz"), s"post-fold: ${got(0)}")
+
+      // replay fence: a re-delivered batch neither emits nor re-folds.
+      val fenced = state.get().copy(foldedBatch = Long.MaxValue)
+      state.set(fenced)
+      got.clear()
+      send(b1)
+      assert(got.isEmpty && (state.get() eq fenced))
+      q.stop()
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
