@@ -17,7 +17,11 @@ import graft.sources.Tables
   *
   *   1. EXTRACT: [[Html.extractText]] + the structure gate
   *      (n_kept ≥ `minBlocks`) — chrome, boilerplate, and entity refs
-  *      are gone before anything downstream sees text;
+  *      are gone before anything downstream sees text — then
+  *      [[graft.operators.Pii]] redaction on the survivors (the
+  *      x_pipeline_crawl order: the LM and the digest both see
+  *      REDACTED text, so two copies differing only in planted PII
+  *      collapse; on PII-free text the scrub is exactly the identity);
   *   2. LM QUALITY GATE: [[Ranking.scoreAgainstLm]] against the FROZEN
   *      reference LM ([[ScoreIngest.CorpusLm]] — CCNet's
   *      train-on-reference deployment); keep iff
@@ -36,8 +40,8 @@ import graft.sources.Tables
   *
   * `onBatch` receives ONE manifest relation with every batch row and
   * why it survived or didn't: (doc_id, domain, prior, saturated,
-  * n_blocks, n_kept, kept_structure, cost_bits, n_grams, kept_lm,
-  * digest, dup_of, kept) — cost/digest columns NULL where an earlier
+  * n_blocks, n_kept, kept_structure, n_pii, cost_bits, n_grams,
+  * kept_lm, digest, dup_of, kept) — cost/digest columns NULL where an earlier
   * gate already dropped the row; `dup_of` = the canonical owner's id
   * (NULL when this row IS canonical or never reached dedup); `kept` =
   * survived everything and is canonical.
@@ -62,8 +66,11 @@ object WebIngest {
 
   /** Seed the folding state from already-accepted documents:
     * (id, url, text) — counts from the urls, the digest root from
-    * md5(text) with the id as canonical owner. Pass an empty relation
-    * to start from nothing. */
+    * md5(text) with the id as canonical owner. `textCol` must carry
+    * the REDACTED accepted text (the loop digests post-PII text; a
+    * raw-text seed would never collapse against streamed copies whose
+    * only difference was masked). Pass an empty relation to start
+    * from nothing. */
   def buildState(accepted: DataFrame, idCol: String, urlCol: String,
                  textCol: String, cap: Long, version: Long = 0L): WebState = {
     require(cap >= 1, s"cap=$cap")
@@ -108,10 +115,17 @@ object WebIngest {
       // the micro-batch contract).
       val ext = Html.extractText(pages, "doc_id", "html", minChars,
         maxDensityPct)
-      val k1 = ext.filter(col("n_kept") >= minBlocks)
-      // 2. LM score the structure survivors against the frozen model.
+      // 1b. PII redaction on the structure survivors (the
+      // x_pipeline_crawl order: scrub BEFORE the LM and the digest —
+      // on PII-free text the scrub is exactly the identity, so batches
+      // without PII behave as before).
+      val k1 = graft.operators.Pii.withRedacted(
+        ext.filter(col("n_kept") >= minBlocks), "text", out = "rtext")
+        .withColumn("n_pii",
+          col("n_email") + col("n_ip") + col("n_phone"))
+      // 2. LM score the redacted survivors against the frozen model.
       val scores = Ranking.scoreAgainstLm(
-        Ranking.ngramFrequencies(k1, "doc_id", "text", m.n),
+        Ranking.ngramFrequencies(k1, "doc_id", "rtext", m.n),
         m.lm, m.cx, m.tot, n = m.n)
         .withColumn("kept_lm",
           expr(s"cost_bits * 100 <= n_grams * ${threshPct}L"))
@@ -126,7 +140,7 @@ object WebIngest {
       // corpus then within-batch (min id canonical).
       val dg = k1.join(scores.filter(col("kept_lm"))
           .select(col("doc_id")), "doc_id")
-        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .select(col("doc_id"), md5(col("rtext")).as("digest"))
       val wmin = dg.groupBy(col("digest"))
         .agg(min(col("doc_id")).as("__canon"))
       // probe the GROWN side with a broadcast of the batch digests
@@ -149,13 +163,14 @@ object WebIngest {
       val manifest = flags
         .join(ext.select(col("doc_id"), col("n_blocks"), col("n_kept")),
           Seq("doc_id"), "left")
+        .join(k1.select(col("doc_id"), col("n_pii")), Seq("doc_id"), "left")
         .join(scores.select(col("doc_id"), col("cost_bits"), col("n_grams"),
           col("kept_lm")), Seq("doc_id"), "left")
         .join(dup, Seq("doc_id"), "left")
         .select(col("doc_id"), col("domain"), col("prior"), col("saturated"),
           col("n_blocks"), col("n_kept"),
           (coalesce(col("n_kept"), lit(0L)) >= minBlocks).as("kept_structure"),
-          col("cost_bits"), col("n_grams"),
+          col("n_pii"), col("cost_bits"), col("n_grams"),
           coalesce(col("kept_lm"), lit(false)).as("kept_lm"),
           col("digest"), col("dup_of"))
         .withColumn("kept",

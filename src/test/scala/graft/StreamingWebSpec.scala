@@ -145,4 +145,53 @@ class StreamingWebSpec extends SparkSpec {
       q.stop()
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("composed web ingest: PII-divergent copies collapse after redaction; n_pii counted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val ref = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+      val lm = new java.util.concurrent.atomic.AtomicReference(
+        ScoreIngest.buildLm(ref, "doc_id", "text"))
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        WebIngest.buildState(
+          Seq.empty[(Long, String, String)].toDF("doc_id", "url", "text"),
+          "doc_id", "url", "text", cap = 10L))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("url", StringType), StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, Option[Long], Option[Long], Boolean)]]
+      // the LM gate is held open (threshPct huge): this test pins the
+      // PII/dedup interaction, not the LM.
+      val q = WebIngest.start(s, state, lm, "value.doc_id", "value.url",
+        "value.html", minBlocks = 2L, threshPct = 100000L) { (m, _, _) =>
+        got += m.select(col("doc_id"), col("n_pii"), col("dup_of"), col("kept"))
+          .as[(Long, Option[Long], Option[Long], Boolean)]
+          .collect().toSeq.sortBy(_._1)
+      }
+      // 30 and 31 differ ONLY in the planted email + phone — their raw
+      // digests differ, the REDACTED digests match; 32 carries no PII.
+      def piiPage(email: String, phone: String): String = page("T",
+        "the cat sat on the mat", s"mail $email or call $phone today")
+      ms.addData(Seq(
+        (30L, "https://a.x.com/1", piiPage("bob@x.example.com", "+14155550101")),
+        (31L, "https://b.x.com/2", piiPage("eve@y.example.org", "415-555-0102")),
+        (32L, "https://c.x.com/3", page("T",
+          "the cat sat on the mat", "the cat ran to the mat")))
+        .toDF("doc_id", "url", "html")
+        .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+        .as[String].collect().zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val m = got(0)
+      assert(m(0) == ((30L, Some(2L), None, true)), s"30: ${m(0)}")
+      assert(m(1) == ((31L, Some(2L), Some(30L), false)),
+        s"31 must collapse onto 30 post-redaction: ${m(1)}")
+      assert(m(2) == ((32L, Some(0L), None, true)), s"32: ${m(2)}")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
