@@ -1,22 +1,28 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway perf-profiling harness — rewritten per investigation.
   *
-  * CURRENT PROBE (round 15): the r14 verdict flagged x_text_html
-  * (+66% raw) and x_text_stats (+60%) between the r13 and r14 DRIVER
-  * runs, suspecting the numeric-entity pass added in r14. This probe
-  * times exactly those two queries (2 warm-ups + 5 timed runs each,
-  * best + all published) plus the Bench calibration sort, so the SAME
-  * binary-independent probe can run in a r13 worktree and in the
-  * current tree on an idle box — a controlled A/B that the full bench
-  * sweep (34 queries, ~12 min, easily contaminated) cannot give.
-  * Results → README §Bench calibration.
+  * CURRENT PROBE (round 15, part 2): incremental DIRECTED PageRank at
+  * scale — the directed twin of the round-11 lattice measurement
+  * (README §Incremental upkeep). 10M directed edges over 5M nodes
+  * (out-degree 2: id → id+1, id → id+7919 mod N), a localized
+  * 1000-edge batch, parquet staging (the sorted-state pruning needs
+  * files). Times: full pageRankDirected recompute, state build (once),
+  * refresh (ranks out), fold (state advanced). The directed refresh
+  * pays TWO pruned edge probes per iteration (out-edges + in-edges via
+  * the dst-sorted layout) where symmetry gave the undirected core one
+  * — this probe prices that honestly. Results → README §Incremental
+  * upkeep.
+  *
+  * (Part 1 of this round's Scratch — the r13-vs-r15 x_text_html bisect
+  * probe — is recorded in README §Bench calibration and the commit
+  * history; this file is the per-investigation convention.)
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,28 +34,47 @@ object Scratch {
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.OFF)
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-stage")
+    spark.conf.set("graft.stage.dir", dir.toString)
+    import graft.operators.Graph
 
-    def calib(): Double = {
+    def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      spark.range(10000000L).selectExpr("id * 2654435761 % 1000000007 AS h")
-        .orderBy("h").write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
-    def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val names = Seq("x_text_html", "x_text_stats")
-    val c0 = (1 to 3).map(_ => calib()).min
-    names.foreach(n => (1 to 2).foreach(_ => run(n))) // warm-ups
-    val timed = names.map(n => n -> (1 to 5).map(_ => run(n)))
-    val c1 = (1 to 3).map(_ => calib()).min
-    println(f"[probe] calib=${math.min(c0, c1)}%.3f (before=$c0%.3f after=$c1%.3f)")
-    timed.foreach { case (n, ts) =>
-      println(f"[probe] $n%s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
-    }
+
+    val n = 5000000L
+    val edges = spark.range(n).selectExpr(
+      "id AS s", s"(id + 1) % $n AS d")
+      .unionAll(spark.range(n).selectExpr(
+        "id AS s", s"(id + 7919) % $n AS d"))
+    // localized batch: 1000 new edges among a 20k-node neighborhood,
+    // plus two brand-new nodes (a source and a dst-only sink).
+    val batch = spark.range(1000L).selectExpr(
+      "1000000 + id * 17 AS s", "1000000 + id * 13 + 5 AS d")
+      .unionAll(spark.range(1L).selectExpr(
+        s"$n AS s", "1000500 AS d"))
+      .unionAll(spark.range(1L).selectExpr(
+        "1000501 AS s", s"${n + 1} AS d"))
+    val vertices = spark.range(n).toDF("doc_id")
+
+    timed("full pageRankDirected (10M edges, 3 iters)")(
+      Graph.pageRankDirected(vertices, "doc_id",
+        edges.unionAll(batch), "s", "d")
+        .write.format("noop").mode("overwrite").save())
+    val st = timed("pageRankDirectedState build (once)")(
+      Graph.pageRankDirectedState(edges, "s", "d"))
+    timed("pageRankDirectedRefresh (1002-edge batch)")(
+      Graph.pageRankDirectedRefresh(vertices, "doc_id", st, batch, "s", "d")
+        .write.format("noop").mode("overwrite").save())
+    val st2 = timed("pageRankDirectedRefreshState fold")(
+      Graph.pageRankDirectedRefreshState(st, batch, "s", "d"))
+    // the fold's staged writes are eager; confirm the advanced state
+    // answers (and price one pruned read of it).
+    timed("folded-state ranks count")(println(
+      s"[probe] folded rank rows = ${st2.ranks.count()}"))
     spark.stop()
   }
 }
