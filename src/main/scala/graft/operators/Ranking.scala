@@ -807,6 +807,53 @@ object Ranking {
         expr("CAST(cost_bits AS DOUBLE) / n_grams").as("bits_per_gram"))
   }
 
+  /** Per-KEY order-`n` language models from a (key, doc_id, ng, tf)
+    * relation — the CCNet deployment proper (Wenzek 2020 §3 trains ONE
+    * LM PER LANGUAGE on the reference and scores candidates against
+    * their own language's model). Same rollup shapes as [[ngramLm]]
+    * with the key carried: lm = (key, ng, cnt), ctx = (key, prev,
+    * ctx), tot = (key, total). All three are slices of the caller's
+    * (ideally staged) keyed tf relation — no second corpus scan. */
+  def ngramLmByKey(tf: DataFrame, keyCol: String,
+                   n: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    val lm = tf.groupBy(col(keyCol), col("ng"))
+      .agg(sum(col("tf")).cast("long").as("cnt"))
+    val cx = lm.withColumn("prev", expr(lmPrefixSql(n)))
+      .groupBy(col(keyCol), col("prev"))
+      .agg(sum(col("cnt")).cast("long").as("ctx"))
+    val tot = lm.groupBy(col(keyCol))
+      .agg(sum(col("cnt")).cast("long").as("total"))
+    (lm, cx, tot)
+  }
+
+  /** Score a KEYED (key, doc_id, ng, tf) relation against frozen
+    * per-key models ([[ngramLmByKey]]'s output) — [[scoreAgainstLm]]'s
+    * exact arithmetic with every join carrying the key, so each doc
+    * pays ITS OWN model's surprisal and ITS OWN model's OOV floor
+    * (`bits(total_key) + 1`). Pinned: a doc whose key has NO reference
+    * model DROPS (the tot join is inner — there is no floor to pay
+    * against a model that does not exist; route such docs to a
+    * fallback key upstream if they must score). Output: (doc_id, key,
+    * cost_bits, n_grams, bits_per_gram). */
+  def scoreAgainstLmByKey(tfRel: DataFrame, keyCol: String,
+                          lm: DataFrame, cx: DataFrame, tot: DataFrame,
+                          broadcastVocab: Boolean = true,
+                          n: Int = 2): DataFrame = {
+    val bcast = (d: DataFrame) => if (broadcastVocab) broadcast(d) else d
+    tfRel.withColumn("prev", expr(lmPrefixSql(n)))
+      .join(bcast(lm), Seq(keyCol, "ng"), "left")
+      .join(bcast(cx), Seq(keyCol, "prev"), "left")
+      .join(bcast(tot), Seq(keyCol))
+      .withColumn("__c", expr(
+        """tf * CAST(if(cnt IS NULL, length(bin(total)) + 1,
+          |              length(bin(ctx)) - length(bin(cnt))) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"), col(keyCol))
+      .agg(sum(col("__c")).cast("long").as("cost_bits"),
+        sum(col("tf")).cast("long").as("n_grams"))
+      .select(col("doc_id"), col(keyCol), col("cost_bits"), col("n_grams"),
+        expr("CAST(cost_bits AS DOUBLE) / n_grams").as("bits_per_gram"))
+  }
+
   /** Self-trained LM quality scores for a corpus (train on the corpus,
     * score every document against it — the unsupervised half of the
     * quality-filter family beside [[qualityClassifier]]'s supervised

@@ -559,6 +559,112 @@ object Quality {
       FROM s100 s JOIN th USING (lang_pred)
       ORDER BY s.doc_id"""), headline = true),
 
+    // ---------------- CCNet proper: PER-LANGUAGE reference LMs (composed)
+    // Wenzek 2020 §3 trains ONE LM PER LANGUAGE on the curated
+    // reference and scores candidates against THEIR OWN language's
+    // model — the per-key generalization of x_quality_lm_incremental
+    // composed with the derived lang: trained lang-id over the whole
+    // corpus (seed 2/7) → per-DERIVED-lang LMs from the reference
+    // subset (doc_id % 10 ≠ 0) → candidates (doc_id % 10 = 0) score
+    // against their lang's LM (Ranking.scoreAgainstLmByKey — each doc
+    // pays its own model's surprisal AND its own model's OOV floor
+    // bits(total_lang)+1) → per-lang head/middle/tail buckets over the
+    // candidate scores. Staged: the lang predictions (two tf attaches),
+    // the keyed reference tf (three LM slices), the scored relation
+    // (thresholds + bucket join).
+    Q("x_quality_ccnet_perlang", (s, d) => {
+      import graft.operators.{Quantiles, Ranking}
+      val base = fanOut(documents(s, d)).filter(col("text").isNotNull)
+        .withColumn("__lt", expr(TextAnalysis.langXformSql))
+        .withColumn("__lbl", expr(TextAnalysis.langSeedSql))
+      val pred = graft.sources.Tables.stage(
+        Ranking.langId(base, "doc_id", "__lt", col("__lbl"))
+          .select(col("doc_id"), col("lang_pred")))
+      val rtf = graft.sources.Tables.stage(
+        Ranking.bigramFrequencies(
+          base.filter(col("doc_id") % 10 =!= 0), "doc_id", "__lt")
+          .join(pred, "doc_id"))
+      val (lm, cx, tot) = Ranking.ngramLmByKey(rtf, "lang_pred")
+      val ctf = Ranking.bigramFrequencies(
+        base.filter(col("doc_id") % 10 === 0), "doc_id", "__lt")
+        .join(pred, "doc_id")
+      val scored = graft.sources.Tables.stage(
+        Ranking.scoreAgainstLmByKey(ctf, "lang_pred", lm, cx, tot)
+          .select(col("doc_id"), col("lang_pred"),
+            expr("(100L * cost_bits) div n_grams").as("score100")))
+      val th = Quantiles.groupPercentilesDisc(
+        scored, "lang_pred", "score100",
+        Seq("p33" -> (1.0 / 3.0), "p66" -> (2.0 / 3.0)))
+      scored.join(broadcast(th), "lang_pred")
+        .withColumn("bucket", expr(
+          """CASE WHEN score100 <= p33 THEN 'head'
+            |     WHEN score100 <= p66 THEN 'middle'
+            |     ELSE 'tail' END""".stripMargin))
+        .select(col("doc_id"), col("lang_pred"), col("score100"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH lsrc AS MATERIALIZED (
+        SELECT doc_id, ${TextAnalysis.langXformSql} AS lt,
+               ${TextAnalysis.langSeedSql} AS lang
+        FROM documents WHERE text IS NOT NULL),
+      ${graft.operators.Ranking.duckLangCtes("lsrc")},
+      t AS (SELECT doc_id, string_split(lt, ' ') AS toks FROM lsrc),
+      bo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS ng
+             FROM t WHERE len(toks) >= 2),
+      tfx AS MATERIALIZED (
+        SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bo GROUP BY doc_id, ng),
+      rtf AS MATERIALIZED (
+        SELECT p.lang_pred, f.doc_id, f.ng, f.tf
+        FROM tfx f JOIN lpick p USING (doc_id)
+        WHERE f.doc_id % 10 <> 0),
+      lmk AS MATERIALIZED (
+        SELECT lang_pred, ng, CAST(SUM(tf) AS BIGINT) AS cnt
+        FROM rtf GROUP BY lang_pred, ng),
+      cxk AS (SELECT lang_pred, string_split(ng, ' ')[1] AS prev,
+                     CAST(SUM(cnt) AS BIGINT) AS ctx
+              FROM lmk GROUP BY lang_pred, string_split(ng, ' ')[1]),
+      totk AS (SELECT lang_pred, CAST(SUM(cnt) AS BIGINT) AS total
+               FROM lmk GROUP BY lang_pred),
+      sc AS (SELECT c.doc_id, c.lang_pred,
+                    CAST(SUM(c.tf * (CASE WHEN l.cnt IS NULL
+                           THEN length(bin(t2.total)) + 1
+                           ELSE length(bin(x.ctx)) - length(bin(l.cnt))
+                           END)) AS BIGINT) AS cost_bits,
+                    CAST(SUM(c.tf) AS BIGINT) AS n_grams
+             FROM (SELECT p.lang_pred, f.doc_id, f.ng, f.tf
+                   FROM tfx f JOIN lpick p USING (doc_id)
+                   WHERE f.doc_id % 10 = 0) c
+             LEFT JOIN lmk l
+               ON l.lang_pred = c.lang_pred AND l.ng = c.ng
+             LEFT JOIN cxk x
+               ON x.lang_pred = c.lang_pred
+              AND x.prev = string_split(c.ng, ' ')[1]
+             JOIN totk t2 ON t2.lang_pred = c.lang_pred
+             GROUP BY c.doc_id, c.lang_pred),
+      s100 AS (SELECT doc_id, lang_pred,
+                      (100 * cost_bits) // n_grams AS score100
+               FROM sc),
+      ranked AS (SELECT lang_pred, score100,
+                        row_number() OVER (PARTITION BY lang_pred
+                          ORDER BY score100) AS rn,
+                        COUNT(*) OVER (PARTITION BY lang_pred) AS n
+                 FROM s100),
+      th AS (SELECT lang_pred,
+                    MIN(CASE WHEN rn = CAST(ceil(n * 0.3333333333333333) AS BIGINT)
+                             THEN score100 END) AS p33,
+                    MIN(CASE WHEN rn = CAST(ceil(n * 0.6666666666666666) AS BIGINT)
+                             THEN score100 END) AS p66
+             FROM ranked GROUP BY lang_pred)
+      SELECT s.doc_id, s.lang_pred, s.score100,
+             CASE WHEN s.score100 <= th.p33 THEN 'head'
+                  WHEN s.score100 <= th.p66 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s100 s JOIN th USING (lang_pred)
+      ORDER BY s.doc_id""")),
+
     // ----------------------- LM scoring, reference → candidates (gate twin)
     // The DISCRIMINATIVE deployment (CCNet's): the LM trains on a curated
     // reference (doc_id % 10 <> 0), candidates (doc_id % 10 = 0) score

@@ -128,6 +128,9 @@ class PlanSanitySpec extends SparkSpec {
       // x_quality_ccnet_derived stages the same scored relation keyed
       // on the DERIVED lang (trained lang-id + LM compose before it).
       "x_quality_ccnet_derived",
+      // x_quality_ccnet_perlang stages predictions, keyed reference tf,
+      // and the candidate scores — the per-language-LM composition.
+      "x_quality_ccnet_perlang",
       // x_graph_walks stages the indexed adjacency + degree relations
       // (one corpus scan in the staging job; every hop joins BOTH), so
       // the visible plan starts there. The biased variant adds the
