@@ -149,6 +149,35 @@ object Sampling {
     override def outputEncoder = Encoders.product[HashedIdList]
   }
 
+  final case class HashedStr(h: String, s: String)
+  final case class HashedStrList(items: List[HashedStr])
+
+  /** [[MinKByHash]] for STRING payloads (urls, digests): keeps the k
+    * smallest (hash, payload) pairs — map-side k-buffers, k·P-row
+    * merge, never a rank window or a whole-group collect. The
+    * frontier-quota selection rides it ((md5('fq:'||url), url) order —
+    * the salted-hash sampling discipline). */
+  final class MinKStrings(k: Int)
+      extends Aggregator[HashedStr, HashedStrList, HashedStrList] {
+    require(k > 0, s"k=$k must be positive")
+    private def before(a: HashedStr, b: HashedStr): Boolean =
+      a.h < b.h || (a.h == b.h && a.s < b.s)
+    private def insert(items: List[HashedStr], a: HashedStr): List[HashedStr] =
+      if (items.lengthCompare(k) >= 0 && !before(a, items.last)) items
+      else {
+        val (pre, post) = items.span(before(_, a))
+        (pre ::: (a :: post)).take(k)
+      }
+    override def zero: HashedStrList = HashedStrList(Nil)
+    override def reduce(b: HashedStrList, a: HashedStr): HashedStrList =
+      HashedStrList(insert(b.items, a))
+    override def merge(x: HashedStrList, y: HashedStrList): HashedStrList =
+      HashedStrList(y.items.foldLeft(x.items)(insert))
+    override def finish(b: HashedStrList): HashedStrList = b
+    override def bufferEncoder = Encoders.product[HashedStrList]
+    override def outputEncoder = Encoders.product[HashedStrList]
+  }
+
   /** Exactly `k` rows per stratum (fewer if the stratum is smaller),
     * selected as the k smallest id-hashes — the deterministic equivalent of
     * per-group uniform sampling. Output: (strataCol, idCol), exploded back

@@ -24,6 +24,21 @@ object Curation {
   private val SampleRate = 0.10
   private val SampleThreshold = graft.operators.Sampling.hexThreshold(SampleRate)
 
+  /** DuckDB twin of [[graft.operators.Web.withRegistrableDomain]]'s
+    * pinned multi-suffix logic over a HOST expr (port stripped; the
+    * label list is spelled out per reference — no CTE needed). */
+  private def duckDomainOfHost(h: String): String = {
+    val multi = graft.operators.Web.MultiSuffixes
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+    val hp = s"split_part($h, ':', 1)"
+    val ls = s"string_split($hp, '.')"
+    s"""(CASE WHEN len($ls) <= 2 THEN $hp
+       |      WHEN $ls[len($ls) - 1] || '.' || $ls[len($ls)] IN $multi
+       |        THEN $ls[len($ls) - 2] || '.' ||
+       |             $ls[len($ls) - 1] || '.' || $ls[len($ls)]
+       |      ELSE $ls[len($ls) - 1] || '.' || $ls[len($ls)] END)""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.sources.Layout.zValue]]'s shift/mask rounds
     * (operators only — every step parenthesized, `//` for `div`). */
   private def duckSpread(v0: String): String = {
@@ -1064,6 +1079,131 @@ object Curation {
       WHERE canonical NOT IN (SELECT canonical FROM seen)
         AND canonical NOT IN (SELECT canonical FROM fetched)
       ORDER BY url"""), headline = true),
+
+    // --------------------------- frontier discovery budget (politeness)
+    // startFrontier's domainCap twin: the seen set is bounded to `cap`
+    // urls per REGISTRABLE domain — novel discoveries fill only their
+    // domain's remaining quota, smallest md5('fq:'||url) first (the
+    // salted-hash sampling discipline; ROW_NUMBER in the oracle is the
+    // spec, not the plan — the Spark side rides the bounded MinKStrings
+    // aggregator, map-side k-buffers, never a whole-group collect).
+    // Fixture: the seed seen set holds ~47 urls per site domain, cap =
+    // 50 leaves a 2-3 url quota that the ~80-candidate-per-domain
+    // novel set overflows (the gate bites); the lone example.org
+    // candidate rides a zero-prior domain (contrast).
+    Q("x_frontier_quota", (s, d) => {
+      import s.implicits._
+      val cap = 50
+      val pages = fanOut(documents(s, d))
+        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+        .withColumn("url", expr(
+          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+      val batch = pages.filter(expr("doc_id % 3 = 0"))
+        .withColumn("__html", expr(
+          """concat('<p><a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+            |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">a</a> ',
+            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+            |'.com/d/', CAST(__t2 AS STRING), '">b</a> ',
+            |'<a href="https://other.example.org/ref">d</a></p>')""".stripMargin))
+      val seen = graft.sources.Tables.stage(graft.operators.Web
+        .withCanonicalUrl(
+          pages.filter(expr("doc_id % 3 != 0")).select(col("doc_id"), col("url")),
+          "url", "__c")
+        .select(col("__c").as("curl")).distinct())
+      val fetched = graft.streaming.FrontierIngest
+        .pageUrls(batch, "doc_id", "url")
+        .select(col("curl")).distinct()
+      val novel = graft.operators.Web.withRegistrableDomain(
+        graft.streaming.FrontierIngest
+          .outlinks(batch, "doc_id", "url", "__html")
+          .groupBy(col("curl"))
+          .agg(min(col("ref_id")).as("discoverer"),
+            count(lit(1)).cast("long").as("n_refs"))
+          .join(seen.select(col("curl")), Seq("curl"), "left_anti")
+          .join(fetched, Seq("curl"), "left_anti")
+          .withColumn("__h", expr(
+            graft.operators.Web.canonicalHostSql("curl"))),
+        "__h", "domain")
+      val prior = graft.operators.Web.withRegistrableDomain(
+        seen.withColumn("__h", expr(
+          graft.operators.Web.canonicalHostSql("curl"))),
+        "__h", "domain")
+        .groupBy(col("domain")).agg(count(lit(1)).as("prior"))
+      val mink = udaf(new graft.operators.Sampling.MinKStrings(cap),
+        org.apache.spark.sql.Encoders.product[graft.operators.Sampling.HashedStr])
+      val picked = novel
+        .withColumn("__fh", md5(concat(lit("fq:"), col("curl"))))
+        .groupBy(col("domain"))
+        .agg(mink(col("__fh"), col("curl")).as("__top"))
+        .join(broadcast(prior), Seq("domain"), "left")
+        .select(col("domain"),
+          coalesce(col("prior"), lit(0L)).as("prior"),
+          posexplode(col("__top.items.s")).as(Seq("__pos", "curl")))
+        .filter(col("__pos") < lit(cap.toLong) - col("prior"))
+      picked
+        .join(novel.select(col("curl"), col("discoverer"), col("n_refs")),
+          Seq("curl"))
+        .select(col("domain"), col("prior"), col("curl").as("url"),
+          col("discoverer"), col("n_refs"))
+        .orderBy(col("url"))
+    }, Some(s"""
+      WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      __link_src AS (
+        SELECT doc_id,
+          '<p><a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(t1 AS VARCHAR) || '?utm_source=feed">a</a> ' ||
+          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
+          '.com/d/' || CAST(t2 AS VARCHAR) || '">b</a> ' ||
+          '<a href="https://other.example.org/ref">d</a></p>' AS h
+        FROM pages WHERE doc_id % 3 = 0),
+      pu AS (SELECT doc_id AS pid, url FROM pages),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("pid"), "pc")},
+      seen AS MATERIALIZED (
+        SELECT DISTINCT canonical FROM pcc WHERE pid % 3 <> 0),
+      fetched AS MATERIALIZED (
+        SELECT DISTINCT canonical FROM pcc WHERE pid % 3 = 0),
+      lk0 AS (SELECT doc_id, href FROM (${graft.operators.Html.duckLinkItems("h")}) z),
+      au AS (SELECT ref_id, aurl AS url FROM (
+               SELECT l.doc_id AS ref_id,
+                      ${graft.operators.Web.resolveRefSql("l.href",
+                        "split_part(p.canonical, '://', 1)", "p.host",
+                        "p.path", duck = true)} AS aurl
+               FROM lk0 l JOIN pcc p ON p.pid = l.doc_id)
+             WHERE aurl IS NOT NULL),
+      ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},
+      nov AS MATERIALIZED (
+        SELECT canonical AS url,
+               CAST(MIN(ref_id) AS BIGINT) AS discoverer,
+               CAST(COUNT(*) AS BIGINT) AS n_refs,
+               ${duckDomainOfHost(
+                 "split_part(split_part(canonical, '://', 2), '/', 1)")}
+                 AS domain
+        FROM (SELECT DISTINCT canonical, ref_id FROM lcc)
+        WHERE canonical NOT IN (SELECT canonical FROM seen)
+          AND canonical NOT IN (SELECT canonical FROM fetched)
+        GROUP BY canonical),
+      sd AS (SELECT canonical,
+                    ${duckDomainOfHost(
+                      "split_part(split_part(canonical, '://', 2), '/', 1)")}
+                      AS domain
+             FROM seen),
+      pri AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS prior
+              FROM sd GROUP BY domain),
+      rk AS (SELECT n.url, n.discoverer, n.n_refs, n.domain,
+                    COALESCE(p.prior, CAST(0 AS BIGINT)) AS prior,
+                    row_number() OVER (PARTITION BY n.domain
+                      ORDER BY md5('fq:' || n.url), n.url) AS r
+             FROM nov n LEFT JOIN pri p USING (domain))
+      SELECT domain, prior, url, discoverer, n_refs
+      FROM rk WHERE r <= 50 - prior
+      ORDER BY url""")),
 
     // ------------------------------------------- link-graph maintenance
     // The batch twin of streaming.LinkGraphIngest (gate #32): the seed

@@ -46,6 +46,12 @@ import graft.sources.Tables
   * CurateIngest verdict discipline). Requires parquet staging mode. */
 object FrontierIngest {
 
+  /** Driver-side md5 hex (lowercase) — identical to both engines'
+    * `md5()` string form; the quota's deterministic tie-break. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Growing frontier state: the live seen-URL view + its root. */
   final case class FrontierState(seen: DataFrame, seenPath: String,
                                  version: Long, foldedBatch: Long = -1L)
@@ -127,11 +133,25 @@ object FrontierIngest {
     * an unblocked url must still be discoverable later). Fetched pages
     * fold regardless: fetching is the caller's decision, the gate
     * curates DISCOVERIES. The frozen-probe discipline: the relation is
-    * fixed for the query's lifetime, broadcast per batch. */
+    * fixed for the query's lifetime, broadcast per batch.
+    *
+    * `domainCap` (optional) is the DISCOVERY BUDGET — the politeness
+    * quota a real frontier runs under: the seen set is bounded to
+    * `cap` urls per REGISTRABLE DOMAIN. Fetched pages always fold
+    * (the bandwidth-accounting stance); a batch's novel discoveries
+    * fill only their domain's remaining quota, smallest
+    * md5('fq:'||url) first (deterministic on any engine/replay — the
+    * salted-hash sampling discipline); over-quota discoveries drop
+    * UN-FOLDED, so a later compaction/raise of the cap can still
+    * discover them. The per-domain priors come from ONE scan of the
+    * grown seen root semi-joined to the batch's (batch-bounded)
+    * domain set; the quota itself settles driver-side with the novel
+    * set. */
   def startFrontier(stream: Stream, state: AtomicReference[FrontierState],
                     idCol: String, urlCol: String, htmlCol: String,
                     checkpoint: Option[String] = None,
-                    robots: Option[DataFrame] = None)(
+                    robots: Option[DataFrame] = None,
+                    domainCap: Option[Long] = None)(
                     onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val spark = batch.sparkSession
@@ -146,11 +166,33 @@ object FrontierIngest {
           count(lit(1)).cast("long").as("n_refs"))
       // settle the novel set ONCE driver-side (batch-link-bounded by
       // contract) — the emitted relation and the fold must agree.
-      val novel = cand
+      val novRel = cand
         .join(st.seen.select(col("url").as("curl")), Seq("curl"), "left_anti")
         .join(pages.select(col("curl")).distinct(), Seq("curl"), "left_anti")
-        .select(col("curl").as("url"), col("discoverer"), col("n_refs"))
-        .as[(String, Long, Long)].collect().toSeq
+      val novel: Seq[(String, Long, Long)] = domainCap match {
+        case None =>
+          novRel.select(col("curl").as("url"), col("discoverer"),
+            col("n_refs")).as[(String, Long, Long)].collect().toSeq
+        case Some(cap) =>
+          val cands = Web.withRegistrableDomain(
+            novRel.withColumn("__h", expr(Web.canonicalHostSql("curl"))),
+            "__h", "__dom")
+            .select(col("curl").as("url"), col("discoverer"), col("n_refs"),
+              col("__dom"))
+            .as[(String, Long, Long, String)].collect().toSeq
+          val domRel = cands.map(_._4).distinct.toDF("__dom")
+          val prior = Web.withRegistrableDomain(
+            st.seen.withColumn("__h", expr(Web.canonicalHostSql("url"))),
+            "__h", "__dom")
+            .join(broadcast(domRel), Seq("__dom"))
+            .groupBy(col("__dom")).agg(count(lit(1)).as("n"))
+            .as[(String, Long)].collect().toMap
+          cands.groupBy(_._4).toSeq.flatMap { case (dm, rows) =>
+            val left = math.max(0L, cap - prior.getOrElse(dm, 0L))
+            rows.sortBy(r => (md5hex("fq:" + r._1), r._1))
+              .take(math.min(left, Int.MaxValue.toLong).toInt)
+          }.map(r => (r._1, r._2, r._3)).sortBy(_._1)
+      }
       val novelDf = novel.toDF("url", "discoverer", "n_refs")
       Gate.growDir(
         pages.select(col("curl").as("url")).distinct()

@@ -157,4 +157,57 @@ class StreamingFrontierSpec extends SparkSpec {
         seen)
     } finally spark.conf.unset("graft.stage.dir")
   }
+
+  test("frontier gate: domain discovery budget — quota fills smallest-hash first, over-quota drops unfolded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      def h(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(("fq:" + s).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      // seed: site1.com already holds TWO seen urls; cap 3 leaves one
+      // slot. site2.com is fresh (quota 3).
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        FrontierIngest.buildFrontier(
+          Seq("https://www.site1.com/d/1", "https://www.site1.com/d/2")
+            .toDF("url"), "url"))
+      // page 1 (on site1) discovers three site1 urls + one site2 url.
+      val cands = Seq("/p/a", "/p/b", "/p/c").map(p => s"https://www.site1.com$p")
+      val html = (cands :+ "https://www.site2.com/x")
+        .map(u => s"""<a href="$u">l</a>""").mkString("<p>", " ", "</p>")
+      val b1 = Seq((1L, "https://www.site1.com/d/1", html))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+      val q = FrontierIngest.startFrontier(s, state,
+        "value.doc_id", "value.url", "value.html",
+        domainCap = Some(3L)) { (novel, _, _) =>
+        got += novel.select(col("url")).as[String].collect().toSet
+      }
+      val payloads = b1.toDF("doc_id", "url", "html")
+        .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+        .as[String].collect()
+      ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+
+      // site1's one remaining slot goes to the smallest 'fq:'-salted
+      // hash; site2's url rides its empty quota.
+      val pick = cands.minBy(u => (h(u), u))
+      assert(got.toSeq == Seq(Set(pick, "https://www.site2.com/x")),
+        s"emitted: $got, expected pick $pick")
+      // over-quota urls never folded — the seen set holds exactly the
+      // seeds + the fetched page url + the two kept discoveries.
+      val seen = state.get().seen.as[String].collect().toSet
+      assert(seen == Set(
+        "https://www.site1.com/d/1", "https://www.site1.com/d/2",
+        pick, "https://www.site2.com/x"), seen)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
 }
