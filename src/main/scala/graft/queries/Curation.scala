@@ -1087,10 +1087,13 @@ object Curation {
     // salted-hash sampling discipline; ROW_NUMBER in the oracle is the
     // spec, not the plan — the Spark side rides the bounded MinKStrings
     // aggregator, map-side k-buffers, never a whole-group collect).
-    // Fixture: the seed seen set holds ~47 urls per site domain, cap =
-    // 50 leaves a 2-3 url quota that the ~80-candidate-per-domain
-    // novel set overflows (the gate bites); the lone example.org
-    // candidate rides a zero-prior domain (contrast).
+    // Fixture: at sf0.01 the seed seen set holds ~47 urls per site
+    // domain, cap = 50 leaves a 2-3 url quota that the ~80-candidate-
+    // per-domain novel set overflows (the gate bites); the lone
+    // example.org candidate rides a zero-prior domain (contrast). At
+    // sf0.1 the site domains are fully SATURATED (prior ~476 ≥ cap) and
+    // only the zero-prior row emits — the steady-state regime, equally
+    // pinned.
     Q("x_frontier_quota", (s, d) => {
       import s.implicits._
       val cap = 50

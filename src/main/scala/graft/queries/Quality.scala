@@ -663,7 +663,7 @@ object Quality {
                   WHEN s.score100 <= th.p66 THEN 'middle'
                   ELSE 'tail' END AS bucket
       FROM s100 s JOIN th USING (lang_pred)
-      ORDER BY s.doc_id""")),
+      ORDER BY s.doc_id"""), headline = true),
 
     // ----------------------- LM scoring, reference → candidates (gate twin)
     // The DISCRIMINATIVE deployment (CCNet's): the LM trains on a curated
