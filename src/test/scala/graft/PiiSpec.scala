@@ -58,4 +58,21 @@ class PiiSpec extends SparkSpec {
     val (r7, _, _, p7) = redactOne("+1234567")
     assert(r7 == "+1234567" && p7 == 0L)
   }
+
+  test("pii: redaction is idempotent (placeholders never re-match)") {
+    // the property the pipeline splice relies on: re-running the scrub
+    // over already-redacted text is the identity (placeholders carry
+    // no digits or '@'), so a double-applied stage can never corrupt.
+    val texts = Seq(
+      "write bob@x.example.com ping 10.2.0.77 call +14155550123",
+      "mixed <EMAIL> with eve@y.org and 415-555-0123 plus <IP>",
+      "clean text with no pii at all")
+    texts.foreach { t =>
+      val (once, _, _, _) = redactOne(t)
+      val (twice, e2, i2, p2) = redactOne(once)
+      assert(twice == once, s"not idempotent on: $t")
+      assert((e2, i2, p2) == ((0L, 0L, 0L)),
+        s"second pass must count nothing on: $once")
+    }
+  }
 }
