@@ -30,8 +30,8 @@ def load(path):
             break
         except json.JSONDecodeError:
             continue
-    if d is not None and "queries" in d:
-        return d
+    if d is not None and ("queries" in d or "best" in d):
+        return _fill_best(d)
     if d is not None and "parsed" in d and isinstance(d["parsed"], dict):
         return d["parsed"]
     if d is not None and "tail" in d:
@@ -47,6 +47,17 @@ def load(path):
     raise SystemExit(f"{path}: no bench metric line found")
 
 
+def _fill_best(d):
+    """r16+ lines carry a compact `best` map at the line's END (the part
+    the driver's tail-keeping wrapper preserves) — it is authoritative
+    over a front-truncated `queries`."""
+    if isinstance(d.get("best"), dict):
+        q = d.setdefault("queries", {})
+        q.update({k: v for k, v in d["best"].items() if k != "__trunc"})
+        d.setdefault("value", sum(q.values()))
+    return d
+
+
 def _from_tail(tail):
     """Reconstruct the metric dict from the driver's truncated tail.
 
@@ -58,16 +69,24 @@ def _from_tail(tail):
     # cut points seen in driver wrappers, in order of how much survives:
     # before `queries`, mid-`queries` (at a key or mid-number), and
     # mid-`runs` (at a key or inside a run ARRAY — the r14 shape).
+    # r16+ field order puts `runs` FIRST and the compact `best` + calib
+    # at the tail end, so the same reopening prefixes cover both orders
+    # (duplicate JSON keys resolve to the LAST occurrence — the real,
+    # surviving map wins over the reopening stub).
     for prefix in ('{"metric":"x"',
                    '{"metric":"x","queries":{"__trunc":0.',
                    '{"metric":"x","queries":{"',
                    '{"metric":"x","queries":{},"runs":{"__trunc":[0.',
-                   '{"metric":"x","queries":{},"runs":{"'):
+                   '{"metric":"x","queries":{},"runs":{"',
+                   '{"metric":"x","queries":{},"calib_runs":[0.',
+                   '{"metric":"x","queries":{},"queries_normalized":{"__trunc":0.',
+                   '{"metric":"x","queries":{},"queries_normalized":{"'):
         try:
             d = json.loads(prefix + t)
         except json.JSONDecodeError:
             continue
-        if "queries" in d and "calib" in d:
+        if ("queries" in d or "best" in d) and "calib" in d:
+            d = _fill_best(d)
             d["queries"].pop("__trunc", None)
             if isinstance(d.get("runs"), dict):
                 d["runs"].pop("__trunc", None)
@@ -79,6 +98,26 @@ def _from_tail(tail):
                     d["queries"].setdefault(q, min(r))
             d.setdefault("value", sum(d["queries"].values()))
             return d
+    # generic resync: the cut can land mid-key or mid-value anywhere; try
+    # reopening the object at each `,"` boundary in the survived text
+    # (nested maps make early boundaries fail to parse — later ones, at
+    # the true top level, succeed; take the FIRST that parses with the
+    # compact record intact).
+    pos = t.find(',"')
+    while pos >= 0:
+        try:
+            d = json.loads('{"metric":"x"' + t[pos:])
+        except json.JSONDecodeError:
+            d = None
+        if d is not None and ("queries" in d or "best" in d) and "calib" in d:
+            d = _fill_best(d)
+            for q, r in d.get("runs", {}).items():
+                if isinstance(r, list) and r and q != "__trunc":
+                    d.setdefault("queries", {}).setdefault(q, min(r))
+            d["queries"].pop("__trunc", None)
+            d.setdefault("value", sum(d["queries"].values()))
+            return d
+        pos = t.find(',"', pos + 1)
     i = t.find('"runs"')
     if i >= 0:
         try:

@@ -200,6 +200,13 @@ object Bench {
     // Stop Spark FIRST so no executor/shutdown logging can interleave after
     // the metric line — the driver wants it as the final clean stdout line.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_normalized":$qn,"runs":$rs,"gate_build":$gateBuild,"calib":$calib,"calib_runs":$cruns,"sf":"$sfDir"}""")
+    // Field order is deliberate: the driver's BENCH wrapper keeps only the
+    // TAIL of the line (r14/r15 both lost the LEAD keys; the cut landed
+    // mid-`runs`, and fields after `runs` — calib, sf — survived). So the
+    // bulky per-run arrays go FIRST and the compact comparable record —
+    // `best` (best-of-3 per key) + `calib` — trails the line where the
+    // kept tail preserves it. `best` duplicates `queries` so a cut landing
+    // mid-`queries` still leaves `best` intact for bench_diff.
+    println(s"""{"metric":"total","runs":$rs,"calib_runs":$cruns,"queries_normalized":$qn,"queries":$qs,"best":$qs,"gate_build":$gateBuild,"calib":$calib,"value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }

@@ -227,9 +227,14 @@ object Web {
     * Pinned subset (stated, the 1994 convention / RFC 9309 literal
     * core): literal path-prefix rules only — no `*`/`$` wildcards, no
     * `Allow:` overrides, no crawl-delay; hosts compare exactly (the
-    * canonical host, port-normalized); `Disallow: /` covers every
-    * non-root path, and the EMPTY prefix covers the root too (the
-    * canonical form drops the trailing slash).
+    * canonical host, port-normalized). The gate NORMALIZES the
+    * standard all-paths spelling at load: a lone `/` prefix becomes
+    * the EMPTY prefix (the canonical form drops the trailing slash,
+    * so the root's canonical path is `''` — a literal `/` test would
+    * silently let the site root through; every path starts with `''`,
+    * so the normalized rule blocks the whole host as intended).
+    * For `*`/`$` wildcards and `Allow:` longest-match precedence use
+    * [[filterRobotsAllowedRfc]].
     *
     * Plan: rules broadcast; ONE hash LEFT ANTI join keyed on host with
     * the prefix test as the join residual — the corpus never shuffles,
@@ -237,7 +242,9 @@ object Web {
   def filterRobotsAllowed(df: DataFrame, urlCol: String,
                           rules: DataFrame): DataFrame = {
     val r = rules.select(col(rules.columns(0)).cast("string").as("__rh"),
-      col(rules.columns(1)).cast("string").as("__rp")).distinct()
+      when(col(rules.columns(1)) === "/", lit(""))
+        .otherwise(col(rules.columns(1)).cast("string")).as("__rp"))
+      .distinct()
     df.join(broadcast(r),
       expr(s"${canonicalHostSql(urlCol)} = __rh") &&
         expr(s"startswith(${canonicalPathSql(urlCol)}, __rp)"),

@@ -1,0 +1,276 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.{SerializableWritable, TaskContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC-1.0) web-archive source — the format every
+  * real 100 TB web corpus run starts from (CommonCrawl publishes its
+  * crawls as `.warc.gz` files). This is the crawl pipelines' input
+  * layer: fetched pages enter as WARC `response` records and leave the
+  * parser as a (record_id, target_uri, http_status, body, …) relation
+  * that [[graft.operators.Html]] extraction consumes directly.
+  *
+  * Pinned WARC subset (stated — the CommonCrawl shape):
+  *  - one gzip MEMBER per record, members concatenated per file (the
+  *    CommonCrawl convention; a multi-member stream decompresses as one
+  *    stream under both `gzip -d` and `GZIPInputStream`);
+  *  - each record = a `WARC/1.0` version line, a CRLF-terminated header
+  *    block (`WARC-Type`, `WARC-Record-ID`, `WARC-Date`,
+  *    `WARC-Target-URI`, `Content-Type`, `Content-Length`), an empty
+  *    line, `Content-Length` payload BYTES, then the `\r\n\r\n` record
+  *    separator;
+  *  - only `WARC-Type: response` records with an `application/http`
+  *    content type parse into rows; `warcinfo` / `request` / other
+  *    records are consumed and SKIPPED (the reader proves the skip —
+  *    every written file leads with a `warcinfo` member);
+  *  - the HTTP payload splits at its first `\r\n\r\n`: the status code
+  *    comes from the status line, `http_content_type` from the header
+  *    block (case-insensitive name), `body` is the raw bytes after the
+  *    split (Content-Length-bounded — chunked transfer encoding is NOT
+  *    decoded; the writer never produces it);
+  *  - a TRUNCATED or malformed record (bad version line, unparsable
+  *    Content-Length, short payload) stops that FILE's parse; records
+  *    before the damage are kept (stated — the salvage convention). A
+  *    record whose payload is complete but whose trailing separator is
+  *    damaged still emits, then parse stops.
+  *
+  * Scale contract (the [[Jsonl]] discipline):
+  *  - gzip members are not seekable without an index, so ingest runs
+  *    ONE TASK PER FILE — the file count IS the parallelism. At 100 TB
+  *    CommonCrawl ships ~100k files of ~1 GB; write with `files` ≥
+  *    executors × cores for the same effect.
+  *  - the reader loads a whole file per task (`binaryFile` source) —
+  *    size files so one fits comfortably in an executor core's share
+  *    (≤1 GB with the default 4 GB/core is the CommonCrawl geometry).
+  *  - WARC is an INTERCHANGE boundary, not the at-rest format: parse
+  *    once, project (uri, body, status), write parquet; every
+  *    downstream pass then gets pushdown/pruning/splittable scans.
+  *  - no predicate reaches the WARC scan (opaque bytes) — filter AFTER
+  *    the parse projection, in the same stage (no shuffle between).
+  */
+object Warc {
+
+  /** One parsed `response` record. `body` is the raw HTTP payload body
+    * bytes — UTF-8 text for HTML pages, but image/audio payloads ride
+    * the same column untouched (the multimodal binary convention). */
+  final case class WarcRecord(record_id: String, warc_type: String,
+                              warc_date: String, target_uri: String,
+                              http_status: Int, http_content_type: String,
+                              body: Array[Byte])
+
+  /** Deterministic fixture date — callers pass a real crawl timestamp
+    * in deployment; the default keeps round-trip fixtures replayable. */
+  val DefaultDate = "2026-01-01T00:00:00Z"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** One gzip member holding exactly `bytes`. */
+  private def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(bo)
+    gz.write(bytes); gz.close()
+    bo.toByteArray
+  }
+
+  private val Crlf2 = "\r\n\r\n".getBytes("UTF-8")
+
+  /** A `response` record for (uri, body): HTTP/1.1 200 payload with a
+    * pinned text/html content type; record id = md5 of the uri (the
+    * deterministic-fixture discipline — deployments carry real uuids,
+    * the parser never interprets the id). */
+  private def responseRecord(uri: String, body: Array[Byte],
+                             date: String): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:${md5hex(uri)}>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+      http ++ Crlf2
+  }
+
+  /** The per-file lead `warcinfo` record — real WARC files carry one;
+    * the reader must skip it (and provably does: every round-tripped
+    * file starts with it, yet only `response` rows come back). */
+  private def warcinfoRecord(pid: Int, date: String): Array[Byte] = {
+    val fields = "software: graft\r\n".getBytes("UTF-8")
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: warcinfo\r\n" +
+      s"WARC-Record-ID: <urn:graft:warcinfo:$pid>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${fields.length}\r\n\r\n").getBytes("UTF-8") ++
+      fields ++ Crlf2
+  }
+
+  /** Write `df`'s (urlCol, bodyCol) rows as `files` `.warc.gz` files
+    * under `path` (replacing it): per file, a `warcinfo` member then
+    * one `response` member per row. Executors write their own files
+    * (partition-id-named — task retries overwrite, never duplicate).
+    * Rows with a NULL url or body are SKIPPED (a null page is not a
+    * fetch — stated). Body strings write as UTF-8 bytes. */
+  def write(df: DataFrame, urlCol: String, bodyCol: String, path: String,
+            files: Int, date: String = DefaultDate): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val spark = df.sparkSession
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(urlCol).cast("string"), col(bodyCol).cast("string"))
+      .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
+      .repartition(files)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val f = new Path(path, f"part-$pid%05d.warc.gz")
+        val out = f.getFileSystem(conf.value).create(f, true)
+        try {
+          out.write(gzMember(warcinfoRecord(pid, date)))
+          it.foreach { r =>
+            out.write(gzMember(responseRecord(r.getString(0),
+              r.getString(1).getBytes("UTF-8"), date)))
+          }
+        } finally out.close()
+      }
+  }
+
+  /** CRLF-terminated line off a raw stream (None at EOF). Header lines
+    * are ASCII-in-practice; UTF-8 decode is the pinned superset. */
+  private def readLine(in: InputStream): Option[String] = {
+    var b = in.read()
+    if (b < 0) return None
+    val bo = new ByteArrayOutputStream(64)
+    while (b >= 0 && b != '\n') { bo.write(b); b = in.read() }
+    val s = bo.toByteArray
+    val n = if (s.nonEmpty && s(s.length - 1) == '\r') s.length - 1
+            else s.length
+    Some(new String(s, 0, n, "UTF-8"))
+  }
+
+  private def readN(in: InputStream, n: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n - off)
+      if (k < 0) return None
+      off += k
+    }
+    Some(buf)
+  }
+
+  /** Index of the first `\r\n\r\n` in `a`, or -1. */
+  private def headerEnd(a: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < a.length) {
+      if (a(i) == '\r' && a(i + 1) == '\n' &&
+          a(i + 2) == '\r' && a(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse one `.warc.gz` file's bytes into its `response` records —
+    * the pinned salvage semantics above. Pure function of the bytes
+    * (executor-side, one call per file task). */
+  def parseFile(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
+    val in =
+      try new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+      catch { case _: java.io.IOException => return out.toSeq }
+    try {
+      var ok = true
+      while (ok) {
+        readLine(in) match {
+          case None => ok = false                        // clean EOF
+          case Some("WARC/1.0") =>
+            var hdrs = Map.empty[String, String]
+            var bad = false
+            var done = false
+            while (!done && !bad) {
+              readLine(in) match {
+                case Some("") => done = true
+                case Some(l) =>
+                  val i = l.indexOf(':')
+                  if (i <= 0) bad = true
+                  else hdrs += (l.substring(0, i).trim.toLowerCase ->
+                    l.substring(i + 1).trim)
+                case None => bad = true                  // truncated header
+              }
+            }
+            val len = hdrs.get("content-length")
+              .flatMap(x => scala.util.Try(x.toInt).toOption)
+              .filter(_ >= 0)
+            if (bad || len.isEmpty) ok = false
+            else readN(in, len.get) match {
+              case None => ok = false                    // truncated payload
+              case Some(payload) =>
+                if (hdrs.getOrElse("warc-type", "") == "response" &&
+                    hdrs.getOrElse("content-type", "")
+                      .startsWith("application/http")) {
+                  val he = headerEnd(payload)
+                  if (he >= 0) {
+                    val head = new String(payload, 0, he, "UTF-8")
+                    val lines = head.split("\r\n")
+                    val status = lines.headOption
+                      .map(_.split(" ", 3))
+                      .filter(p => p.length >= 2 && p(0).startsWith("HTTP/"))
+                      .flatMap(p => scala.util.Try(p(1).toInt).toOption)
+                    val ctype = lines.drop(1)
+                      .find(_.toLowerCase.startsWith("content-type:"))
+                      .map(_.substring("content-type:".length).trim)
+                      .getOrElse("")
+                    status.foreach { st =>
+                      out += WarcRecord(
+                        hdrs.getOrElse("warc-record-id", ""),
+                        "response",
+                        hdrs.getOrElse("warc-date", ""),
+                        hdrs.getOrElse("warc-target-uri", ""),
+                        st, ctype,
+                        java.util.Arrays.copyOfRange(
+                          payload, he + 4, payload.length))
+                    }
+                  }
+                }
+                // the \r\n\r\n record separator: a complete record with
+                // a damaged separator still emitted above; parse stops.
+                if (!readN(in, 4).exists(_.sameElements(Crlf2))) ok = false
+            }
+          case Some(_) => ok = false                     // bad version line
+        }
+      }
+    } catch { case _: java.io.IOException => () } finally in.close()
+    out.toSeq
+  }
+
+  /** Read every `.warc.gz` under `path` into the parsed relation —
+    * one task per file (the gzip-parallelism contract). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+      .load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(parseFile _)
+      .toDF()
+  }
+
+  /** Write (urlCol, bodyCol) as WARC under `path`, read it back parsed.
+    * The write is eager; the returned frame scans the WARC copy. */
+  def roundTrip(df: DataFrame, urlCol: String, bodyCol: String,
+                path: String, files: Int,
+                date: String = DefaultDate): DataFrame = {
+    write(df, urlCol, bodyCol, path, files, date)
+    read(df.sparkSession, path)
+  }
+}

@@ -181,11 +181,15 @@ object FrontierIngest {
               col("__dom"))
             .as[(String, Long, Long, String)].collect().toSeq
           val domRel = cands.map(_._4).distinct.toDF("__dom")
+          // countDistinct, not count: a root restored from an older
+          // deployment may carry duplicate URL rows (pre-r16 folds
+          // appended a fetched URL even when discovery had already
+          // folded it) — the quota prior must count URLs, not rows.
           val prior = Web.withRegistrableDomain(
             st.seen.withColumn("__h", expr(Web.canonicalHostSql("url"))),
             "__h", "__dom")
             .join(broadcast(domRel), Seq("__dom"))
-            .groupBy(col("__dom")).agg(count(lit(1)).as("n"))
+            .groupBy(col("__dom")).agg(countDistinct(col("url")).as("n"))
             .as[(String, Long)].collect().toMap
           cands.groupBy(_._4).toSeq.flatMap { case (dm, rows) =>
             val left = math.max(0L, cap - prior.getOrElse(dm, 0L))
@@ -194,8 +198,13 @@ object FrontierIngest {
           }.map(r => (r._1, r._2, r._3)).sortBy(_._1)
       }
       val novelDf = novel.toDF("url", "discoverer", "n_refs")
+      // Fold only URLs genuinely new to the root: a fetched page whose
+      // URL was discovered in an earlier batch is already seen — the
+      // anti-join keeps the grown root duplicate-free, so row counts
+      // over it stay URL counts (the domainCap prior depends on it).
       Gate.growDir(
         pages.select(col("curl").as("url")).distinct()
+          .join(st.seen.select(col("url")), Seq("url"), "left_anti")
           .unionByName(novelDf.select(col("url"))).distinct(),
         st.seenPath, batchId)
       (novelDf, st.copy(seen = Gate.readGrown(spark, st.seenPath),

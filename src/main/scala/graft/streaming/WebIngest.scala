@@ -66,10 +66,12 @@ object WebIngest {
 
   /** Seed the folding state from already-accepted documents:
     * (id, url, text) — counts from the urls, the digest root from
-    * md5(text) with the id as canonical owner. `textCol` must carry
-    * the REDACTED accepted text (the loop digests post-PII text; a
-    * raw-text seed would never collapse against streamed copies whose
-    * only difference was masked). Pass an empty relation to start
+    * md5(text) with the id as canonical owner. The loop digests
+    * post-PII text, so the seed text runs through [[graft.operators.Pii]]
+    * redaction HERE (a raw-text seed would never collapse against
+    * streamed copies whose only difference was masked; redaction is
+    * idempotent on already-redacted text — PiiSpec — so a caller that
+    * pre-redacted is unaffected). Pass an empty relation to start
     * from nothing. */
   def buildState(accepted: DataFrame, idCol: String, urlCol: String,
                  textCol: String, cap: Long, version: Long = 0L): WebState = {
@@ -78,7 +80,9 @@ object WebIngest {
       DomainIngest.domains(accepted, idCol, urlCol)
         .groupBy(col("domain")).agg(count(lit(1)).cast("long").as("cnt")))
     val dg = Tables.stageTracked(accepted.select(
-      md5(col(textCol)).as("digest"), col(idCol).cast("long").as("owner")))
+      md5(expr(graft.operators.Pii.redactSql(textCol, duck = false)))
+        .as("digest"),
+      col(idCol).cast("long").as("owner")))
     require(counts.path.isDefined && dg.path.isDefined,
       "WebIngest.buildState requires parquet staging mode (set graft.stage.dir)")
     WebState(counts, dg.path.get, cap, version)

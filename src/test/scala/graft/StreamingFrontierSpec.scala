@@ -158,6 +158,70 @@ class StreamingFrontierSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("frontier gate: a discovered-then-fetched url folds ONCE — the root stays duplicate-free and quota priors count urls, not rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      def h(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(("fq:" + s).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        FrontierIngest.buildFrontier(Seq.empty[String].toDF("url"), "url"))
+      // b1: page /d/1 discovers /a. b2: /a is FETCHED (the discovered
+      // url enters as a page — the gate's core flow) and discovers /b.
+      // b3: a fresh fetch discovers /e /f — the prior must count 3
+      // distinct urls (/d/1, /a, /b), NOT 4 rows (a double-folded /a),
+      // so exactly one more discovery fits under cap 4.
+      val b1 = Seq((1L, "https://www.site1.com/d/1",
+        "<p><a href=\"/a\">a</a></p>"))
+      val cands2 = Seq("/b").map(p => s"https://www.site1.com$p")
+      val h2 = cands2.map(u => s"""<a href="$u">l</a>""")
+        .mkString("<p>", " ", "</p>")
+      val b2 = Seq((2L, "https://www.site1.com/a", h2))
+      val cands3 = Seq("/e", "/f").map(p => s"https://www.site1.com$p")
+      val h3 = cands3.map(u => s"""<a href="$u">l</a>""")
+        .mkString("<p>", " ", "</p>")
+      val b3 = Seq((3L, "https://www.site1.com/d/3", h3))
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+      val q = FrontierIngest.startFrontier(s, state,
+        "value.doc_id", "value.url", "value.html",
+        domainCap = Some(4L)) { (novel, _, _) =>
+        got += novel.select(col("url")).as[String].collect().toSet
+      }
+      def send(rows: Seq[(Long, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+          .as[String].collect()
+        ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+          KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      send(b1); send(b2); send(b3)
+      q.stop()
+
+      val pick2 = cands2.minBy(u => (h(u), u))
+      val pick3 = cands3.minBy(u => (h(u), u))
+      assert(got.toSeq == Seq(
+        Set("https://www.site1.com/a"), Set(pick2), Set(pick3)),
+        s"emitted: $got (expected picks $pick2, $pick3)")
+      // the root is duplicate-free: /a appears once despite being both
+      // discovered (b1) and fetched (b2); /d/3's fetch folded normally.
+      val rows = state.get().seen.as[String].collect().toSeq
+      assert(rows.size == rows.distinct.size,
+        s"seen root carries duplicate rows: ${rows.sorted}")
+      assert(rows.toSet == Set("https://www.site1.com/d/1",
+        "https://www.site1.com/a", pick2,
+        "https://www.site1.com/d/3", pick3), rows.sorted)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("frontier gate: domain discovery budget — quota fills smallest-hash first, over-quota drops unfolded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     spark.conf.set("graft.stage.dir", dir)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.streaming.{ScoreIngest, Stream, WebIngest}
+import graft.streaming.{Gate, ScoreIngest, Stream, WebIngest}
 
 /** The composed crawl-ingest loop (graft.streaming.WebIngest — the
   * streaming twin of x_pipeline_crawl). Asserts the composition, not
@@ -192,6 +192,29 @@ class StreamingWebSpec extends SparkSpec {
       assert(m(1) == ((31L, Some(2L), Some(30L), false)),
         s"31 must collapse onto 30 post-redaction: ${m(1)}")
       assert(m(2) == ((32L, Some(0L), None, true)), s"32: ${m(2)}")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("buildState redacts the seed text itself: a raw-text seed and a pre-redacted seed build identical digest roots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val raw = Seq(
+        (1L, "https://a.x.com/1", "mail bob@x.example.com or call +14155550101"),
+        (2L, "https://b.x.com/2", "no pii here at all"))
+        .toDF("doc_id", "url", "text")
+      val pre = raw.withColumn("text",
+        expr(graft.operators.Pii.redactSql("text", duck = false)))
+      val stRaw = WebIngest.buildState(raw, "doc_id", "url", "text", cap = 10L)
+      val stPre = WebIngest.buildState(pre, "doc_id", "url", "text", cap = 10L)
+      def digs(st: WebIngest.WebState): Set[(String, Long)] =
+        Gate.readGrown(spark, st.digestsPath).as[(String, Long)].collect().toSet
+      val a = digs(stRaw)
+      assert(a == digs(stPre), "raw-text seed must digest post-redaction")
+      // and the digests genuinely reflect the REDACTED text
+      val want = pre.select(md5(col("text")), col("doc_id"))
+        .as[(String, Long)].collect().toSet
+      assert(a == want, s"$a vs $want")
     } finally spark.conf.unset("graft.stage.dir")
   }
 }

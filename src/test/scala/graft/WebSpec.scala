@@ -165,4 +165,17 @@ class WebSpec extends SparkSpec {
     assert(got.keySet == Set("example.com"))
     assert(got("example.com").length == 3)
   }
+
+  test("robots gate normalizes the standard all-paths spelling: 'Disallow: /' blocks the site ROOT too") {
+    val urls = Seq(
+      "https://www.blocked.com",          // the root — canonical path ''
+      "https://www.blocked.com/x/y",
+      "https://www.open.com/x").toDF("url")
+    val canon = Web.withCanonicalUrl(urls, "url", "curl").select("curl")
+    val rules = Seq(("www.blocked.com", "/")).toDF("host", "prefix")
+    val kept = Web.filterRobotsAllowed(canon, "curl", rules)
+      .as[String].collect().toSet
+    assert(kept == Set("https://www.open.com/x"),
+      s"'/' must block every path INCLUDING the root: $kept")
+  }
 }
