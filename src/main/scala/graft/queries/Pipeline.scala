@@ -35,6 +35,180 @@ object Pipeline {
     * `text` for the crawl pipeline's PII stage. */
   private val crawlPii = graft.operators.Pii.itemsSql("text", duck = true)
 
+  /** The crawl pipeline's synthetic page relation (doc_id, url, __html)
+    * — shared by x_pipeline_crawl (parquet-built pages) and
+    * x_pipeline_warc (the same pages round-tripped through WARC).
+    * doc_id % 5 = 4 pages republish the previous doc's body on a
+    * DIFFERENT domain (cap×dedup interaction); doc_id % 10 = 0 pages
+    * live on the one messy-spelled seo-farm domain. UNSTAGED — each
+    * caller stages (or writes) it once. */
+  private def crawlPages(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val prev = base.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("__ptext"))
+    fanOut(base.join(prev, Seq("doc_id"), "left")
+      .withColumn("__page", expr(
+        "IF(doc_id % 5 = 4 AND __ptext IS NOT NULL, __ptext, text)")))
+      .withColumn("url", expr(
+        """IF(doc_id % 10 = 0,
+          |   concat('https://Seo.Farm.COM:443/p', CAST(doc_id AS STRING),
+          |          '/?utm_source=x&id=', CAST(doc_id AS STRING)),
+          |   concat('https://www.site', CAST(doc_id % 97 AS STRING),
+          |          '.co.uk/d/', CAST(doc_id AS STRING)))""".stripMargin))
+      .withColumn("__t", expr("split(__page, ' ')"))
+      .withColumn("__html", expr(
+        """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+          |'</title><style>p { color: red }</style>',
+          |'<script>var x = 1 < 2;</script>',
+          |'</head><body><!-- crawler comment -->',
+          |'<div id="nav"><a href="/">Home</a> ',
+          |'<a href="/about">About &amp; more</a></div>',
+          |'<p>', concat_ws(' ', slice(__t, 1, 5)),
+          |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
+          |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
+          |'<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ',
+          |'&#38;lt; lit &#55296; kept</p>',
+          |'<p>contact admin', CAST(doc_id AS STRING), '@site',
+          |CAST(doc_id % 97 AS STRING), '.co.uk from 10.',
+          |CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING),
+          |IF(length(__page) % 2 = 0, ' and ops@example.org', ''),
+          |' for info</p>',
+          |'<p><a href="/next">next page</a></p>',
+          |'</body></html>')""".stripMargin))
+      .select(col("doc_id"), col("url"), col("__html"))
+  }
+
+  /** The crawl chain downstream of the page relation: canonicalize →
+    * per-domain cap 25 → extract on survivors → structure gate → PII
+    * redaction → self-trained LM gate → exact dedup on redacted text.
+    * `pages` must be STAGED by the caller (it feeds the cap AND the
+    * extract join). Plan notes on x_pipeline_crawl's Q entry. */
+  private def crawlChain(pages: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.{Html, Ranking, Web}
+    // the cap output feeds the extract join AND the final domain
+    // attach — stage it or the min-k aggregation re-runs per consumer.
+    val kept = stage(Web.capPerDomain(
+      pages.select(col("doc_id"), col("url")), "url", "doc_id", cap = 25))
+    val ext = stage(Html.extractText(
+      pages.join(kept.select(col("doc_id")), Seq("doc_id")),
+      "doc_id", "__html", minChars = 10, maxDensityPct = 34))
+    val k1 = ext.filter(col("n_kept") >= 2)
+    // redact BEFORE the LM and the digest — staged once (it feeds
+    // the LM tf relation AND the dedup digest; unstaged, the regex
+    // scrub re-runs per consumer).
+    val red = stage(graft.operators.Pii.withRedacted(k1, "text",
+      out = "rtext")
+      .select(col("doc_id"), col("rtext"),
+        (col("n_email") + col("n_ip") + col("n_phone")).as("n_pii")))
+    val tf = stage(Ranking.bigramFrequencies(red, "doc_id", "rtext"))
+    val (lm, cx, tot) = Ranking.ngramLm(tf)
+    val k2 = red.join(
+      Ranking.scoreAgainstLm(tf, lm, cx, tot)
+        .filter(expr("cost_bits * 100 <= n_grams * 400"))
+        .select(col("doc_id"), col("cost_bits"), col("n_grams")),
+      "doc_id")
+    val dg = stage(k2.withColumn("digest", md5(col("rtext")))
+      .select(col("doc_id"), col("digest"), col("cost_bits"),
+        col("n_grams"), col("n_pii")))
+    val canon = dg.groupBy(col("digest")).agg(
+      min(col("doc_id")).as("doc_id"),
+      count(lit(1)).cast("long").as("n_copies"))
+    dg.join(canon, Seq("digest", "doc_id"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("domain"), col("cost_bits"),
+        col("n_grams"), col("n_pii"), col("digest"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One oracle for both crawl-pipeline queries — x_pipeline_warc's
+    * claim is exactly that the WARC round trip is the identity. */
+  private lazy val crawlOracle = s"""
+      WITH src AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
+                    THEN p.text ELSE d.text END AS ptext
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t,
+                      length(ptext) AS plen
+               FROM src WHERE ptext IS NOT NULL),
+      urls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'farm.com'
+                    ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk'
+               END AS domain
+        FROM toks),
+      r AS (SELECT domain, doc_id,
+                   row_number() OVER (PARTITION BY domain
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM urls),
+      kept AS (SELECT domain, doc_id FROM r WHERE rk <= 25),
+      pages AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { color: red }</style>' ||
+          '<script>var x = 1 < 2;</script>' ||
+          '</head><body><!-- crawler comment -->' ||
+          '<div id="nav"><a href="/">Home</a> ' ||
+          '<a href="/about">About &amp; more</a></div>' ||
+          '<p>' || array_to_string(t[1:5], ' ') ||
+          ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
+          '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
+          '<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ' ||
+          '&#38;lt; lit &#55296; kept</p>' ||
+          '<p>contact admin' || CAST(doc_id AS VARCHAR) || '@site' ||
+          CAST(doc_id % 97 AS VARCHAR) || '.co.uk from 10.' ||
+          CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+          CAST(doc_id % 100 AS VARCHAR) ||
+          CASE WHEN plen % 2 = 0 THEN ' and ops@example.org' ELSE '' END ||
+          ' for info</p>' ||
+          '<p><a href="/next">next page</a></p>' ||
+          '</body></html>' AS h
+        FROM toks),
+      __html_src AS (
+        SELECT p.doc_id, p.h FROM pages p JOIN kept k ON p.doc_id = k.doc_id),
+      ext AS (
+        SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}),
+      k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
+      rd AS MATERIALIZED (
+        SELECT doc_id, ${crawlPii._1} AS rtext,
+               ${crawlPii._2} + ${crawlPii._3} + ${crawlPii._4} AS n_pii
+        FROM k1),
+      bo AS (SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(lower(rtext), ' '))),
+               i -> string_split(lower(rtext), ' ')[i] || ' ' ||
+                    string_split(lower(rtext), ' ')[i + 1])) AS ng
+             FROM rd WHERE len(string_split(lower(rtext), ' ')) >= 2),
+      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM bo GROUP BY doc_id, ng),
+      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
+      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
+                    CAST(SUM(cnt) AS BIGINT) AS ctx
+             FROM lm GROUP BY string_split(ng, ' ')[1]),
+      sc AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
+                         AS BIGINT) AS cost_bits,
+                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
+             FROM tf
+             JOIN lm ON tf.ng = lm.ng
+             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
+             GROUP BY tf.doc_id),
+      k2 AS (SELECT rd.doc_id, rd.rtext, rd.n_pii, sc.cost_bits, sc.n_grams
+             FROM rd JOIN sc ON rd.doc_id = sc.doc_id
+             WHERE sc.cost_bits * 100 <= sc.n_grams * 400),
+      dgst AS (SELECT doc_id, md5(rtext) AS digest, cost_bits, n_grams, n_pii
+               FROM k2),
+      canon AS (SELECT digest, MIN(doc_id) AS doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM dgst GROUP BY digest)
+      SELECT g.doc_id, k.domain, g.cost_bits, g.n_grams, g.n_pii,
+             g.digest, c.n_copies
+      FROM dgst g
+      JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
+      JOIN kept k ON g.doc_id = k.doc_id
+      ORDER BY g.doc_id"""
+
   private val stopEn = "'the','a','and','of','to','is'"
   private val stopEs = "'el','la','de','los','y','en'"
   private val stopFr = "'le','les','des','et','un','une'"
@@ -524,158 +698,36 @@ object Pipeline {
     // doc_id — ONE shuffle of the page relation, the honest cost of a
     // global per-domain quota; every later stage reads staged
     // survivor-sized relations.
-    Q("x_pipeline_crawl", (s, d) => {
-      import graft.operators.{Html, Ranking, Web}
-      val base = documents(s, d).select(col("doc_id"), col("text"))
-      val prev = base.select((col("doc_id") + 1).as("doc_id"),
-        col("text").as("__ptext"))
-      val pages = stage(fanOut(base.join(prev, Seq("doc_id"), "left")
-        .withColumn("__page", expr(
-          "IF(doc_id % 5 = 4 AND __ptext IS NOT NULL, __ptext, text)")))
-        .withColumn("url", expr(
-          """IF(doc_id % 10 = 0,
-            |   concat('https://Seo.Farm.COM:443/p', CAST(doc_id AS STRING),
-            |          '/?utm_source=x&id=', CAST(doc_id AS STRING)),
-            |   concat('https://www.site', CAST(doc_id % 97 AS STRING),
-            |          '.co.uk/d/', CAST(doc_id AS STRING)))""".stripMargin))
-        .withColumn("__t", expr("split(__page, ' ')"))
-        .withColumn("__html", expr(
-          """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
-            |'</title><style>p { color: red }</style>',
-            |'<script>var x = 1 < 2;</script>',
-            |'</head><body><!-- crawler comment -->',
-            |'<div id="nav"><a href="/">Home</a> ',
-            |'<a href="/about">About &amp; more</a></div>',
-            |'<p>', concat_ws(' ', slice(__t, 1, 5)),
-            |' &amp; &lt;tag&gt; &quot;quoted&quot;</p>',
-            |'<p>', concat_ws(' ', slice(__t, 6, 100000)), '</p>',
-            |'<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ',
-            |'&#38;lt; lit &#55296; kept</p>',
-            |'<p>contact admin', CAST(doc_id AS STRING), '@site',
-            |CAST(doc_id % 97 AS STRING), '.co.uk from 10.',
-            |CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING),
-            |IF(length(__page) % 2 = 0, ' and ops@example.org', ''),
-            |' for info</p>',
-            |'<p><a href="/next">next page</a></p>',
-            |'</body></html>')""".stripMargin))
-        .select(col("doc_id"), col("url"), col("__html")))
-      // the cap output feeds the extract join AND the final domain
-      // attach — stage it or the min-k aggregation re-runs per consumer.
-      val kept = stage(Web.capPerDomain(
-        pages.select(col("doc_id"), col("url")), "url", "doc_id", cap = 25))
-      val ext = stage(Html.extractText(
-        pages.join(kept.select(col("doc_id")), Seq("doc_id")),
-        "doc_id", "__html", minChars = 10, maxDensityPct = 34))
-      val k1 = ext.filter(col("n_kept") >= 2)
-      // redact BEFORE the LM and the digest — staged once (it feeds
-      // the LM tf relation AND the dedup digest; unstaged, the regex
-      // scrub re-runs per consumer).
-      val red = stage(graft.operators.Pii.withRedacted(k1, "text",
-        out = "rtext")
-        .select(col("doc_id"), col("rtext"),
-          (col("n_email") + col("n_ip") + col("n_phone")).as("n_pii")))
-      val tf = stage(Ranking.bigramFrequencies(red, "doc_id", "rtext"))
-      val (lm, cx, tot) = Ranking.ngramLm(tf)
-      val k2 = red.join(
-        Ranking.scoreAgainstLm(tf, lm, cx, tot)
-          .filter(expr("cost_bits * 100 <= n_grams * 400"))
-          .select(col("doc_id"), col("cost_bits"), col("n_grams")),
-        "doc_id")
-      val dg = stage(k2.withColumn("digest", md5(col("rtext")))
-        .select(col("doc_id"), col("digest"), col("cost_bits"),
-          col("n_grams"), col("n_pii")))
-      val canon = dg.groupBy(col("digest")).agg(
-        min(col("doc_id")).as("doc_id"),
-        count(lit(1)).cast("long").as("n_copies"))
-      dg.join(canon, Seq("digest", "doc_id"))
-        .join(kept, Seq("doc_id"))
-        .select(col("doc_id"), col("domain"), col("cost_bits"),
-          col("n_grams"), col("n_pii"), col("digest"), col("n_copies"))
-        .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH src AS (
-        SELECT d.doc_id,
-               CASE WHEN d.doc_id % 5 = 4 AND p.text IS NOT NULL
-                    THEN p.text ELSE d.text END AS ptext
-        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
-      toks AS (SELECT doc_id, string_split(ptext, ' ') AS t,
-                      length(ptext) AS plen
-               FROM src WHERE ptext IS NOT NULL),
-      urls AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 10 = 0 THEN 'farm.com'
-                    ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk'
-               END AS domain
-        FROM toks),
-      r AS (SELECT domain, doc_id,
-                   row_number() OVER (PARTITION BY domain
-                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-            FROM urls),
-      kept AS (SELECT domain, doc_id FROM r WHERE rk <= 25),
-      pages AS (
-        SELECT doc_id,
-          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-          '</title><style>p { color: red }</style>' ||
-          '<script>var x = 1 < 2;</script>' ||
-          '</head><body><!-- crawler comment -->' ||
-          '<div id="nav"><a href="/">Home</a> ' ||
-          '<a href="/about">About &amp; more</a></div>' ||
-          '<p>' || array_to_string(t[1:5], ' ') ||
-          ' &amp; &lt;tag&gt; &quot;quoted&quot;</p>' ||
-          '<p>' || array_to_string(t[6:len(t)], ' ') || '</p>' ||
-          '<p>it&#8217;s caf&#233; &#x2019; quote &mdash; dash ' ||
-          '&#38;lt; lit &#55296; kept</p>' ||
-          '<p>contact admin' || CAST(doc_id AS VARCHAR) || '@site' ||
-          CAST(doc_id % 97 AS VARCHAR) || '.co.uk from 10.' ||
-          CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
-          CAST(doc_id % 100 AS VARCHAR) ||
-          CASE WHEN plen % 2 = 0 THEN ' and ops@example.org' ELSE '' END ||
-          ' for info</p>' ||
-          '<p><a href="/next">next page</a></p>' ||
-          '</body></html>' AS h
-        FROM toks),
-      __html_src AS (
-        SELECT p.doc_id, p.h FROM pages p JOIN kept k ON p.doc_id = k.doc_id),
-      ext AS (
-        SELECT doc_id, ${graft.operators.Html.duckExtractItems("h", 10, 34)}),
-      k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
-      rd AS MATERIALIZED (
-        SELECT doc_id, ${crawlPii._1} AS rtext,
-               ${crawlPii._2} + ${crawlPii._3} + ${crawlPii._4} AS n_pii
-        FROM k1),
-      bo AS (SELECT doc_id, unnest(list_transform(
-               range(1, len(string_split(lower(rtext), ' '))),
-               i -> string_split(lower(rtext), ' ')[i] || ' ' ||
-                    string_split(lower(rtext), ' ')[i + 1])) AS ng
-             FROM rd WHERE len(string_split(lower(rtext), ' ')) >= 2),
-      tf AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS tf
-             FROM bo GROUP BY doc_id, ng),
-      lm AS (SELECT ng, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY ng),
-      cx AS (SELECT string_split(ng, ' ')[1] AS prev,
-                    CAST(SUM(cnt) AS BIGINT) AS ctx
-             FROM lm GROUP BY string_split(ng, ' ')[1]),
-      sc AS (SELECT tf.doc_id,
-                    CAST(SUM(tf.tf * (length(bin(cx.ctx)) - length(bin(lm.cnt))))
-                         AS BIGINT) AS cost_bits,
-                    CAST(SUM(tf.tf) AS BIGINT) AS n_grams
-             FROM tf
-             JOIN lm ON tf.ng = lm.ng
-             JOIN cx ON string_split(tf.ng, ' ')[1] = cx.prev
-             GROUP BY tf.doc_id),
-      k2 AS (SELECT rd.doc_id, rd.rtext, rd.n_pii, sc.cost_bits, sc.n_grams
-             FROM rd JOIN sc ON rd.doc_id = sc.doc_id
-             WHERE sc.cost_bits * 100 <= sc.n_grams * 400),
-      dgst AS (SELECT doc_id, md5(rtext) AS digest, cost_bits, n_grams, n_pii
-               FROM k2),
-      canon AS (SELECT digest, MIN(doc_id) AS doc_id,
-                       CAST(COUNT(*) AS BIGINT) AS n_copies
-                FROM dgst GROUP BY digest)
-      SELECT g.doc_id, k.domain, g.cost_bits, g.n_grams, g.n_pii,
-             g.digest, c.n_copies
-      FROM dgst g
-      JOIN canon c ON g.digest = c.digest AND g.doc_id = c.doc_id
-      JOIN kept k ON g.doc_id = k.doc_id
-      ORDER BY g.doc_id"""), headline = true),
+    Q("x_pipeline_crawl", (s, d) =>
+      crawlChain(stage(crawlPages(s, d))), Some(crawlOracle),
+      headline = true),
+
+    // ----------------------- CRAWL pipeline fed from WARC (the REAL
+    // input layer): the SAME pages, round-tripped through the pinned
+    // WARC/1.0 subset (sources/Warc — one gzip member per response
+    // record, the CommonCrawl shape), re-parsed, and run through the
+    // identical chain. doc_id re-derives from each page's OWN url (a
+    // real WARC ingest has no side-channel ids), the html consumed
+    // downstream is the PARSED payload body — so a lossy header/body
+    // escape anywhere surfaces as a hash mismatch against the same
+    // oracle as x_pipeline_crawl (round trip = identity is the claim).
+    // Plan: the parsed relation stages once (it feeds the cap AND the
+    // extract join); parse parallelism = WARC file count (8 here; at
+    // 100 TB CommonCrawl's ~100k files give the same effect).
+    Q("x_pipeline_warc", (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_crawl/${new java.io.File(d).getName}"
+      graft.sources.Warc.write(crawlPages(s, d), "url", "__html", tmp,
+        files = 8)
+      val pages = stage(graft.sources.Warc.read(s, tmp)
+        .select(
+          expr("""CAST(CASE WHEN startswith(target_uri, 'https://Seo.Farm.COM')
+                 |  THEN split_part(split_part(target_uri, '/p', 2), '/', 1)
+                 |  ELSE split_part(target_uri, '/d/', 2)
+                 |END AS BIGINT)""".stripMargin).as("doc_id"),
+          col("target_uri").as("url"),
+          expr("decode(body, 'UTF-8')").as("__html")))
+      crawlChain(pages)
+    }, Some(crawlOracle)),
 
     // ------------------------------------------- JSONL interchange source
     // The corpus round-trips through gzip JSONL (the format LLM corpora
@@ -699,6 +751,36 @@ object Pipeline {
     }, Some("""
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS meta_ok,
              CAST(1 AS BIGINT) AS chars_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------- WARC archive source
+    // The corpus round-trips through the pinned WARC/1.0 response-record
+    // subset (sources/Warc — per-record gzip members, the CommonCrawl
+    // shape every real 100 TB web corpus ships in) and every field is
+    // verified against the parquet original: body bytes (UTF-8 decode
+    // <=> text), record type, HTTP status, and the payload content type
+    // all flag; the digest column ties the hash to actual content. Four
+    // files = four parse tasks on re-ingest (gzip members are not
+    // seekable; the file count IS the parallelism — the Jsonl contract).
+    Q("x_source_warc", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_stage/${new java.io.File(d).getName}"
+      val pages = docs.withColumn("url",
+        expr("concat('https://corpus.example.com/doc/', CAST(doc_id AS STRING))"))
+      val back = graft.sources.Warc.roundTrip(pages, "url", "text", tmp,
+        files = 4)
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+      docs.alias("o").join(back.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN decode(w.body, 'UTF-8') <=> o.text THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN w.warc_type = 'response' AND w.http_status = 200 THEN 1 ELSE 0 END AS BIGINT)").as("rec_ok"),
+          expr("CAST(CASE WHEN w.http_content_type = 'text/html; charset=utf-8' THEN 1 ELSE 0 END AS BIGINT)").as("mime_ok"),
+          expr("md5(decode(w.body, 'UTF-8'))").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS rec_ok,
+             CAST(1 AS BIGINT) AS mime_ok, md5(text) AS digest
       FROM documents ORDER BY doc_id""")),
 
     // ------------------------------------------- CSV interchange (egress)

@@ -93,6 +93,12 @@ class PlanSanitySpec extends SparkSpec {
       // its bigram tf, and the digest relation — the visible plan is
       // staged-only.
       "x_pipeline_crawl",
+      // x_pipeline_warc is the same chain fed from the staged WARC-parsed
+      // relation — its ONE data scan is the binaryFile WARC read inside
+      // the staging job (WARC is the interchange boundary; the parquet
+      // scan lives in the producing write), so the visible plan is
+      // staged-only by construction.
+      "x_pipeline_warc",
       // x_quality_lm5 is x_quality_lm's staged-tf shape at order 5.
       "x_quality_lm5",
       // Sentences.spanDedup stages the sentence relation (feeds the

@@ -98,4 +98,69 @@ class SourceFormatsSpec extends SparkSpec {
       graft.sources.Csv.roundTrip(nasty, dir, files = 0)
     }
   }
+
+  test("Warc.roundTrip: response records survive; warcinfo skipped; unicode bodies exact") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.example.com/x?q=1", "<html>plain</html>"),
+      (2L, "https://b.example.com/café", "café 日本語 😀 body"),
+      (3L, "https://c.example.com/empty", ""),
+      (4L, "https://d.example.com/crlfish", "has \r\n\r\n inside? no — body is length-bounded"),
+      (5L, null.asInstanceOf[String], "skipped: null url"),
+      (6L, "https://e.example.com/nullbody", null.asInstanceOf[String]))
+      .toDF("id", "url", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    val back = graft.sources.Warc.roundTrip(pages, "url", "body", dir, files = 2)
+    // the files on disk are real multi-member gzip (.warc.gz).
+    val gz = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".warc.gz"))
+    assert(gz.length == 2, new java.io.File(dir).listFiles.map(_.getName).mkString(","))
+    // every file leads with a warcinfo member — the reader provably
+    // skips it (only response rows come back).
+    val got = back
+      .select(col("target_uri"), expr("decode(body, 'UTF-8')"),
+        col("http_status"), col("warc_type"), col("http_content_type"))
+      .as[(String, String, Int, String, String)].collect().toSet
+    val want = pages.where(col("url").isNotNull && col("body").isNotNull)
+      .select(col("url"), col("body")).as[(String, String)].collect()
+      .map { case (u, b) => (u, b, 200, "response", "text/html; charset=utf-8") }
+      .toSet
+    assert(got == want, s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.sources.Warc.write(pages, "url", "body", dir, files = 0)
+    }
+  }
+
+  test("Warc.parseFile: salvage semantics — records before damage kept, request records skipped, truncation stops the file") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def rec(wtype: String, uri: String, body: String,
+            ctype: String = "application/http; msgtype=response"): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n")
+        .getBytes("UTF-8") ++ body.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Record-ID: <urn:x:1>\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: $ctype\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    // request records (real WARC files interleave them) are skipped.
+    val mixed = gz(rec("request", "https://a/x", "GET ignored")) ++
+      gz(rec("response", "https://a/x", "kept one")) ++
+      gz(rec("response", "https://a/y", "kept two"))
+    val ok = graft.sources.Warc.parseFile(mixed)
+    assert(ok.map(r => (r.target_uri, new String(r.body, "UTF-8"))) ==
+      Seq(("https://a/x", "kept one"), ("https://a/y", "kept two")))
+    // truncated second record: the first survives, parse stops.
+    val full = rec("response", "https://a/z", "after damage never seen")
+    val damaged = gz(rec("response", "https://a/x", "kept one")) ++
+      gz(full.take(full.length / 2))
+    val sal = graft.sources.Warc.parseFile(damaged)
+    assert(sal.map(r => new String(r.body, "UTF-8")) == Seq("kept one"))
+    // garbage bytes parse to zero records, never throw.
+    assert(graft.sources.Warc.parseFile("not gzip at all".getBytes).isEmpty)
+  }
 }
