@@ -335,6 +335,65 @@ object Html {
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
         col("__s.href").as("href"), col("__s.anchor").as("anchor"))
 
+  /** Every `<img …>` element carrying a double-quoted `src` — attribute
+    * ORDER is free (`alt` may precede `src`); the tag must not span `>`
+    * (no `>` inside attribute values — stated, same subset rule as
+    * [[HrefPattern]]); self-closing `/>` matches (`/` ∈ `[^>]`). */
+  val ImgPattern: String = "(?is)<img[^>]*src=\"[^\"]*\"[^>]*>"
+
+  /** The src / alt attribute values inside a matched `<img>` tag. */
+  val SrcAttr: String = "(?is)src=\"([^\"]*)\""
+  val AltAttr: String = "(?is)alt=\"([^\"]*)\""
+
+  /** Image-reference extraction: (doc_id, pos, src, alt) — one row per
+    * matched `<img src="…">` in document order. This is the assembly
+    * step of multimodal (image, caption) dataset curation (LAION-style:
+    * pages yield candidate pairs of image URL + alt text; the image side
+    * then dedups via [[ImageDedup]] and the pair survives on the
+    * canonical copy).
+    *
+    * Pinned contract (the [[extractLinksWithText]] rules): step-1
+    * cleaning runs FIRST (a `<script>` may carry a fake `<img>` string);
+    * tags match [[ImgPattern]] (double-quoted src, either attribute
+    * order); BOTH `src` and `alt` pass the full step-3 visibility
+    * transform (alt text is prose — entities decode, spaces collapse;
+    * srcs escape `&` as `&amp;` inside query strings per the HTML
+    * spec); a missing/unquoted `alt` yields `''` (both engines'
+    * no-match `regexp_extract`). One codegen projection + posexplode —
+    * no shuffle, no UDF. */
+  def extractImages(df: DataFrame, idCol: String,
+                    htmlCol: String): DataFrame =
+    df.filter(col(htmlCol).isNotNull)
+      .withColumn("__im", expr(
+        s"regexp_extract_all(${cleanSql(htmlCol, duck = false)}, " +
+          s"'$ImgPattern', 0)"))
+      .withColumn("__iv", expr(
+        s"transform(__im, mm -> named_struct(" +
+          s"'src', ${visibleSql(s"regexp_extract(mm, '$SrcAttr', 1)", duck = false)}, " +
+          s"'alt', ${visibleSql(s"regexp_extract(mm, '$AltAttr', 1)", duck = false)}))"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(col("__iv")).as(Seq("__p", "__s")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        col("__s.src").as("src"), col("__s.alt").as("alt"))
+
+  /** DuckDB twin of [[extractImages]] over a relation exposing
+    * (doc_id, h) named `__img_src`: (doc_id, pos, src, alt),
+    * zip-unnested. */
+  def duckImageItems(h: String): String = {
+    val ex = s"regexp_extract_all(${cleanSql(h, duck = true)}, " +
+      s"'$ImgPattern')"
+    val srcOf = visibleSql(s"regexp_extract(mm, '$SrcAttr', 1)", duck = true)
+    val altOf = visibleSql(s"regexp_extract(mm, '$AltAttr', 1)", duck = true)
+    s"""SELECT doc_id,
+       |       unnest(range(1, len(sl) + 1)) AS pos,
+       |       unnest(sl) AS src,
+       |       unnest(al) AS alt
+       |FROM (SELECT doc_id,
+       |        list_transform(im, mm -> $srcOf) AS sl,
+       |        list_transform(im, mm -> $altOf) AS al
+       |      FROM (SELECT doc_id, $ex AS im FROM __img_src))""".stripMargin
+  }
+
   /** DuckDB twin of [[extractLinksWithText]] over a relation exposing
     * (doc_id, h): (doc_id, pos, href, anchor), zip-unnested. */
   def duckLinkTextItems(h: String): String = {

@@ -251,6 +251,89 @@ object Web {
       "left_anti")
   }
 
+  /** SQL building the anchored match regex for a robots.txt rule
+    * pattern expr `p` — identical semantics in both engines (the
+    * [[dotNormSql]] discipline: no backslashes anywhere; every escaped
+    * metachar becomes a character CLASS, which is identical text in
+    * both dialects' regex subset):
+    *
+    *  - a TRAILING `$` anchors the match at the path's end (RFC 9309
+    *    §2.2.3); `$` elsewhere is literal;
+    *  - `*` matches any character run (→ `.*`; the escape chain runs
+    *    first, so the inserted `.` stays a wildcard);
+    *  - a trailing `/` (after `$`-stripping) matches the directory
+    *    itself OR anything below it (→ `(/|$)`): the canonical form
+    *    drops trailing slashes, so `/foo/` must cover the canonical
+    *    `/foo` and `/foo/bar` but NOT `/foobar`, and the all-paths
+    *    rule `/` covers the root's canonical `''` too;
+    *  - regex metachars in the pattern (`. + ( ) { } | ? [ $`) are
+    *    literal. UNSUPPORTED in patterns (stated): `]`, `\`, and `^`
+    *    — none occur in real robots path rules.
+    *
+    * The produced regex is applied with FIND semantics anchored by the
+    * leading `^` (Spark `regexp_like` and DuckDB `regexp_matches` both
+    * search; the explicit anchors make them agree). */
+  def robotsRegexSql(p: String, duck: Boolean): String = {
+    // strip ONE trailing '$' (the anchor), remember it.
+    val anch = s"$p LIKE '%$$'"
+    val body = s"CASE WHEN $anch THEN substring($p, 1, length($p) - 1) ELSE $p END"
+    // strip ONE trailing '/' (the directory form), remember it.
+    val dir = s"($body) LIKE '%/'"
+    val body2 = s"CASE WHEN $dir THEN substring($body, 1, length($body) - 1) ELSE $body END"
+    // escape chain: '[' FIRST (later inserts carry brackets), '*' LAST
+    // (its inserted '.' must survive the '.' escape).
+    val esc = Seq("[" -> "[[]", "." -> "[.]", "+" -> "[+]", "(" -> "[(]",
+      ")" -> "[)]", "{" -> "[{]", "}" -> "[}]", "|" -> "[|]",
+      "?" -> "[?]", "$" -> "[$]", "*" -> ".*")
+      .foldLeft(s"($body2)") { case (e, (f, t)) =>
+        s"replace($e, '$f', '$t')"
+      }
+    s"concat('^', $esc, CASE WHEN $anch THEN '$$' " +
+      s"WHEN $dir THEN '(/|$$)' ELSE '' END)"
+  }
+
+  /** robots.txt gate with RFC 9309 MATCHING over CANONICAL urls —
+    * the full-precedence upgrade of [[filterRobotsAllowed]]: `rules` is
+    * a three-column (host, pattern, allow) relation of parsed
+    * `Allow:`/`Disallow:` lines (allow = true for Allow). A url is
+    * kept iff its host has no matching rule, or the MOST SPECIFIC
+    * matching rule (longest raw pattern in octets, RFC 9309 §2.2.2;
+    * Allow wins exact ties) is an Allow. Patterns support `*` and a
+    * trailing `$` ([[robotsRegexSql]]); EMPTY patterns are dropped at
+    * load (an empty Disallow means "disallow nothing" — RFC 9309
+    * §2.2.3 — and an empty Allow is its vacuous mirror).
+    *
+    * Plan: rules aggregate per host into a broadcast array relation;
+    * ONE broadcast LEFT join on the canonical host + a single integer
+    * fold over that host's rules per row (precedence combo =
+    * 2·len + allow; max over matches, keep iff odd or none) — the
+    * corpus never shuffles, hosts without rules skip the fold (null
+    * array → null verdict). The fold is an interpreted HOF, priced
+    * per RULES-BEARING row only — robots relations are small by
+    * contract (a deployment artifact, like a tokenizer vocab). */
+  def filterRobotsAllowedRfc(df: DataFrame, urlCol: String,
+                             rules: DataFrame): DataFrame = {
+    val r = rules.select(col(rules.columns(0)).cast("string").as("__rh"),
+      col(rules.columns(1)).cast("string").as("__rp"),
+      col(rules.columns(2)).cast("boolean").as("__ra"))
+      .filter(length(col("__rp")) > 0)
+      .distinct()
+      .withColumn("__rx", expr(robotsRegexSql("__rp", duck = false)))
+      .withColumn("__cmb", (length(col("__rp")) * 2 +
+        when(col("__ra"), 1).otherwise(0)).cast("int"))
+      .groupBy(col("__rh"))
+      .agg(collect_list(struct(col("__rx").as("rx"), col("__cmb").as("cmb")))
+        .as("__rules"))
+    df.join(broadcast(r),
+        expr(s"${canonicalHostSql(urlCol)} = __rh"), "left")
+      .withColumn("__v", expr(
+        s"""aggregate(__rules, -1,
+           |  (acc9, rr) -> IF(regexp_like(${canonicalPathSql(urlCol)}, rr.rx),
+           |                   greatest(acc9, rr.cmb), acc9))""".stripMargin))
+      .filter(col("__v").isNull || col("__v") < 0 || col("__v") % 2 === 1)
+      .drop("__rh", "__rules", "__v")
+  }
+
   /** SQL for DOT-SEGMENT removal over a PATH expr (no query string) —
     * RFC 3986 §5.2.4 restated as a pinned bounded regex chain that is
     * identical in both engines (the Html-chain discipline: no

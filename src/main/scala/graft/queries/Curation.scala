@@ -591,9 +591,13 @@ object Curation {
     // (counts and replacements always agree). One codegen'd projection;
     // the oracle replays the identical pattern text (RE2 ∩ Java, no
     // backslash classes). The corpus is synthetic, so the PII is planted
-    // deterministically from doc_id: emails on 2/3 of docs, IPs on
-    // half, three phone spellings (E.164 / parenthesized / hyphenated
-    // NANP) on 3/4 — every (class, presence) combination occurs.
+    // deterministically from doc_id: emails on 2/3 of docs, IPv4 on
+    // half, IPv6 on 1/3 (both the compressed `::` and the full 8-group
+    // spelling), cards on 3/8 (bare / hyphenated / space-separated
+    // 16-digit), three phone spellings (E.164 / parenthesized /
+    // hyphenated NANP) on 3/4 — every (class, presence) combination
+    // occurs, and the separated-card plants prove the cards-before-
+    // phones order (their quads would otherwise be NANP bait).
     Q("x_pii_redact", (s, d) => {
       val dirty = fanOut(documents(s, d))
         .withColumn("dirty", expr(
@@ -606,6 +610,19 @@ object Curation {
             |    THEN concat(' ip 10.', CAST(doc_id % 256 AS STRING),
             |                '.0.', CAST(doc_id % 100 AS STRING))
             |    ELSE '' END,
+            |  CASE CAST(doc_id % 6 AS INT)
+            |    WHEN 1 THEN concat(' ip6 2001:db8:', CAST(doc_id % 10 AS STRING),
+            |                       '::', CAST(doc_id % 16 AS STRING))
+            |    WHEN 3 THEN concat(' ip6 fe80:1:2:3:4:5:6:',
+            |                       CAST(doc_id % 10 AS STRING))
+            |    ELSE '' END,
+            |  CASE CAST(doc_id % 8 AS INT)
+            |    WHEN 0 THEN ' card 4111111111111111'
+            |    WHEN 1 THEN concat(' card 4111-1111-1111-',
+            |                       CAST(1000 + doc_id % 1000 AS STRING))
+            |    WHEN 2 THEN concat(' card 4111 1111 1111 ',
+            |                       CAST(1000 + doc_id % 1000 AS STRING))
+            |    ELSE '' END,
             |  CASE CAST(doc_id % 4 AS INT)
             |    WHEN 0 THEN concat(' call +1415555',
             |                       CAST(1000 + doc_id % 1000 AS STRING))
@@ -617,10 +634,11 @@ object Curation {
             |  ' end')""".stripMargin))
       graft.operators.Pii.withRedacted(dirty, "dirty")
         .select(col("doc_id"), md5(col("redacted")).as("digest"),
-          col("n_email"), col("n_ip"), col("n_phone"))
+          col("n_email"), col("n_ip"), col("n_ipv6"), col("n_card"),
+          col("n_phone"))
         .orderBy(col("doc_id"))
     }, Some {
-      val (red, ne, ni, np) = graft.operators.Pii.itemsSql("dirty", duck = true)
+      val (red, cs) = graft.operators.Pii.itemsSql("dirty", duck = true)
       s"""
       WITH t AS (
         SELECT doc_id, text ||
@@ -630,6 +648,19 @@ object Curation {
           CASE CAST(doc_id % 2 AS INT) WHEN 0
             THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
                  '.0.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END ||
+          CASE CAST(doc_id % 6 AS INT)
+            WHEN 1 THEN ' ip6 2001:db8:' || CAST(doc_id % 10 AS VARCHAR) ||
+                        '::' || CAST(doc_id % 16 AS VARCHAR)
+            WHEN 3 THEN ' ip6 fe80:1:2:3:4:5:6:' ||
+                        CAST(doc_id % 10 AS VARCHAR)
+            ELSE '' END ||
+          CASE CAST(doc_id % 8 AS INT)
+            WHEN 0 THEN ' card 4111111111111111'
+            WHEN 1 THEN ' card 4111-1111-1111-' ||
+                        CAST(1000 + doc_id % 1000 AS VARCHAR)
+            WHEN 2 THEN ' card 4111 1111 1111 ' ||
+                        CAST(1000 + doc_id % 1000 AS VARCHAR)
             ELSE '' END ||
           CASE CAST(doc_id % 4 AS INT)
             WHEN 0 THEN ' call +1415555' ||
@@ -642,7 +673,8 @@ object Curation {
           ' end' AS dirty
         FROM documents)
       SELECT doc_id, md5($red) AS digest,
-             $ne AS n_email, $ni AS n_ip, $np AS n_phone
+             ${cs(0)} AS n_email, ${cs(1)} AS n_ip, ${cs(2)} AS n_ipv6,
+             ${cs(3)} AS n_card, ${cs(4)} AS n_phone
       FROM t ORDER BY doc_id"""
     }, headline = true),
 
@@ -972,14 +1004,18 @@ object Curation {
     // the NOVEL frontier = candidates in neither the seen set nor
     // the batch's own fetched URLs, one row per canonical with
     // discoverer = min referring page and n_refs counting referring
-    // PAGES. A loadable robots Disallow relation
-    // (Web.filterRobotsAllowed — literal host + path-prefix rules,
-    // broadcast LEFT ANTI) gates the candidates BEFORE the novelty
-    // probe: every batch page links its host's /private/N path, and
-    // every site host disallows /private — discovered, resolved,
-    // canonical, NOVEL, and never emitted; /about on the same hosts
-    // passes (prefix selectivity), and the other.example.org/ref rule
-    // kills the one cross-site link (host selectivity). Anti-joins on
+    // PAGES. A loadable robots relation with FULL RFC 9309 matching
+    // (Web.filterRobotsAllowedRfc — `*`/`$` wildcards, Allow
+    // longest-match precedence, Allow wins ties) gates the candidates
+    // BEFORE the novelty probe: every batch page links its host's
+    // /private/N path and every site host disallows /private — BUT an
+    // Allow '/private/3*' override (longer rule → wins) un-blocks ids
+    // starting with '3', which therefore EMIT as discoveries (the
+    // override is observable in the output, not just un-blocking);
+    // site2.com adds a wildcard-anchored Disallow '/d/*4$' that kills
+    // exactly its /d/<t> discoveries with t ending in 4; /about on the
+    // same hosts passes, and the other.example.org '/ref' rule kills
+    // the one cross-site link (host selectivity). Anti-joins on
     // canonical strings only — page bodies never shuffle.
     Q("x_frontier_incremental", (s, d) => {
       import s.implicits._
@@ -1002,9 +1038,11 @@ object Curation {
             |'<a href="sub/./x/../page.html">q</a> ',
             |'<a href="mailto:x@y.example">m</a> ',
             |'<a href="https://other.example.org/ref">d</a></p>')""".stripMargin))
-      val robots = (0 to 6).map(k => (s"www.site$k.com", "/private"))
-        .toDF("host", "prefix")
-        .unionByName(Seq(("other.example.org", "/ref")).toDF("host", "prefix"))
+      val robots = ((0 to 6).map(k => (s"www.site$k.com", "/private", false)) ++
+        (0 to 6).map(k => (s"www.site$k.com", "/private/3*", true)) ++
+        Seq(("other.example.org", "/ref", false),
+          ("www.site2.com", "/d/*4$", false)))
+        .toDF("host", "pattern", "allow")
       val seen = graft.operators.Web.withCanonicalUrl(
         pages.filter(expr("doc_id % 3 != 0")).select(col("doc_id"), col("url")),
         "url", "__c")
@@ -1012,7 +1050,7 @@ object Curation {
       val fetched = graft.streaming.FrontierIngest
         .pageUrls(batch, "doc_id", "url")
         .select(col("curl")).distinct()
-      val cand = graft.operators.Web.filterRobotsAllowed(
+      val cand = graft.operators.Web.filterRobotsAllowedRfc(
         graft.streaming.FrontierIngest
           .outlinks(batch, "doc_id", "url", "__html"),
         "curl", robots)
@@ -1060,16 +1098,26 @@ object Curation {
              WHERE aurl IS NOT NULL),
       ${graft.operators.Web.duckCanonicalCtes("au", Seq("ref_id"), "lc")},
       rob AS (SELECT 'www.site' || CAST(k AS VARCHAR) || '.com' AS host,
-                     '/private' AS prefix
+                     '/private' AS pattern, false AS allow
               FROM range(0, 7) t(k)
-              UNION ALL SELECT 'other.example.org', '/ref'),
+              UNION ALL
+              SELECT 'www.site' || CAST(k AS VARCHAR) || '.com',
+                     '/private/3*', true
+              FROM range(0, 7) t(k)
+              UNION ALL SELECT 'other.example.org', '/ref', false
+              UNION ALL SELECT 'www.site2.com', '/d/*4$$', false),
       allowed AS (
         SELECT canonical, ref_id
         FROM (SELECT DISTINCT canonical, ref_id FROM lcc) l
-        WHERE NOT EXISTS (SELECT 1 FROM rob r
+        WHERE COALESCE((
+          SELECT MAX(length(r.pattern) * 2 +
+                     CASE WHEN r.allow THEN 1 ELSE 0 END) % 2
+          FROM rob r
           WHERE r.host = ${graft.operators.Web.canonicalHostSql("l.canonical")}
-            AND starts_with(${graft.operators.Web.canonicalPathSql("l.canonical")},
-                            r.prefix))),
+            AND regexp_matches(
+                  ${graft.operators.Web.canonicalPathSql("l.canonical")},
+                  ${graft.operators.Web.robotsRegexSql("r.pattern", duck = true)})
+        ), 1) = 1),
       cand AS (SELECT canonical, CAST(MIN(ref_id) AS BIGINT) AS discoverer,
                       CAST(COUNT(*) AS BIGINT) AS n_refs
                FROM allowed

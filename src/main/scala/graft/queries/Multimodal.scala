@@ -1038,6 +1038,108 @@ object Multimodal {
                CAST(len(list_filter(range(1, 65),
                  i -> substr(a.bs, i, 1) != substr(b.bs, i, 1))) AS BIGINT) AS hamming
         FROM canon a JOIN canon b ON a.doc_id < b.doc_id)
-      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db"""))
+      SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db""")),
+
+    // ------------------- image-text PAIR ASSEMBLY (LAION-style curation)
+    // The multimodal-dataset step that composes the web and image
+    // operators: pages yield (img src, alt caption) candidates via
+    // Html.extractImages (clean-FIRST — the fixture plants a fake <img>
+    // inside a <script>; both attribute orders occur; doc_id % 11 = 0
+    // pages omit alt → '' pinned; the alt carries entities and the src
+    // escapes & as &amp; per the HTML spec, so the visibility transform
+    // is load-bearing on BOTH fields), the src canonicalizes against the
+    // image store's clean spelling (the page spells it messy —
+    // host-case, :443, utm params — so the equi-join only works POST-
+    // canonicalization), and the image side dedups by REAL decoded-pixel
+    // dHash: payload pixels derive from seed = doc_id % 37, so ~1/37 of
+    // the store is re-hosted duplicates — a re-hosted image under a
+    // DIFFERENT caption resolves to the same canon_img (the verdict's
+    // target case). The oracle models the hash grouping by seed (md5-
+    // derived pixels: distinct seeds ⇒ distinct dHashes — if that ever
+    // collided, groups would merge and n_copies would hash-mismatch, so
+    // the oracle ASSERTS injectivity rather than assuming it) and
+    // replays the extraction twin for the captions.
+    //
+    // Plan at 100 TB: extraction/canonicalization are per-row codegen;
+    // the hash relation stages once (it feeds the canon aggregate AND
+    // the pair join); all joins are equi-joins on short keys (canonical
+    // url, 64-bit hash, id) — pages and payloads never pair
+    // quadratically.
+    Q("x_multimodal_pairs", (s, d) => {
+      import s.implicits._
+      import graft.operators.{Html, ImageDedup, Web}
+      val docs = fanOut(documents(s, d)).select(col("doc_id"))
+      val pages = docs
+        .withColumn("__u", expr(
+          """concat('https://IMG.Host', CAST(doc_id % 7 AS STRING),
+            |'.COM:443/i/', CAST(doc_id AS STRING),
+            |'.png?utm_source=feed&amp;v=1')""".stripMargin))
+        .withColumn("__a", expr(
+          """IF(doc_id % 11 = 0, '',
+            |   concat('alt="Fig &#8212; ', CAST(doc_id AS STRING),
+            |          ' &amp; caption"'))""".stripMargin))
+        .withColumn("__html", expr(
+          """concat('<html><head><script>var f = "<img src="https://evil.example/x.png">";</script>',
+            |'</head><body><p>body text</p><img ',
+            |IF(doc_id % 2 = 0,
+            |   concat('src="', __u, '" ', __a),
+            |   concat(__a, ' src="', __u, '"')),
+            |'/></body></html>')""".stripMargin))
+      val ex = Web.withCanonicalUrl(
+        Html.extractImages(pages, "doc_id", "__html"), "src", "curl")
+      val imgUrls = Web.withCanonicalUrl(
+        docs.withColumn("__iu", expr(
+          """concat('https://img.host', CAST(doc_id % 7 AS STRING),
+            |'.com/i/', CAST(doc_id AS STRING), '.png?v=1')""".stripMargin)),
+        "__iu", "icurl")
+        .select(col("doc_id").as("img_id"), col("icurl"))
+      val recs = docs.as[Long].map { id =>
+        val seed = id % 37
+        MediaRecord(id, "png", Media.encodePng(12, 12, (x, y) => {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"mmp:$seed:$x:$y".getBytes("UTF-8"))
+          val g = java.lang.Byte.toUnsignedInt(h(0))
+          (g << 16) | (g << 8) | g
+        }))
+      }
+      // staged: the hash relation feeds the canon aggregate AND the join.
+      val hashes = stage(ImageDedup.dhashRelation(recs))
+      val canon = hashes.groupBy(col("h")).agg(
+        min(col("id")).as("canon_img"),
+        count(lit(1)).cast("long").as("n_copies"))
+      ex.join(imgUrls, col("curl") === col("icurl"))
+        .join(hashes, col("img_id") === col("id"))
+        .join(canon, Seq("h"))
+        .select(col("doc_id"), col("canon_img"),
+          col("alt").as("caption"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id FROM documents),
+      __img_src AS (
+        SELECT doc_id,
+          '<html><head><script>var f = "<img src="https://evil.example/x.png">";</script>' ||
+          '</head><body><p>body text</p><img ' ||
+          CASE WHEN doc_id % 2 = 0
+               THEN 'src="' || u || '" ' || a
+               ELSE a || ' src="' || u || '"' END ||
+          '/></body></html>' AS h
+        FROM (SELECT doc_id,
+                'https://IMG.Host' || CAST(doc_id % 7 AS VARCHAR) ||
+                '.COM:443/i/' || CAST(doc_id AS VARCHAR) ||
+                '.png?utm_source=feed&amp;v=1' AS u,
+                CASE WHEN doc_id % 11 = 0 THEN ''
+                     ELSE 'alt="Fig &#8212; ' || CAST(doc_id AS VARCHAR) ||
+                          ' &amp; caption"' END AS a
+              FROM d)),
+      ex AS (${graft.operators.Html.duckImageItems("h")}),
+      grp AS (SELECT doc_id, doc_id % 37 AS seed FROM d),
+      canon AS (SELECT seed, MIN(doc_id) AS canon_img,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM grp GROUP BY seed)
+      SELECT e.doc_id, c.canon_img, e.alt AS caption, c.n_copies
+      FROM ex e
+      JOIN grp g ON e.doc_id = g.doc_id
+      JOIN canon c ON g.seed = c.seed
+      ORDER BY e.doc_id"""))
   )
 }

@@ -31,8 +31,8 @@ object Pipeline {
        |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  /** DuckDB-side (redacted, n_email, n_ip, n_phone) exprs over k1's
-    * `text` for the crawl pipeline's PII stage. */
+  /** DuckDB-side (redacted, per-class counts) exprs over k1's `text`
+    * for the crawl pipeline's PII stage. */
   private val crawlPii = graft.operators.Pii.itemsSql("text", duck = true)
 
   /** The crawl pipeline's synthetic page relation (doc_id, url, __html)
@@ -101,7 +101,8 @@ object Pipeline {
     val red = stage(graft.operators.Pii.withRedacted(k1, "text",
       out = "rtext")
       .select(col("doc_id"), col("rtext"),
-        (col("n_email") + col("n_ip") + col("n_phone")).as("n_pii")))
+        graft.operators.Pii.Classes.map(c => col(c._3))
+          .reduce(_ + _).as("n_pii")))
     val tf = stage(Ranking.bigramFrequencies(red, "doc_id", "rtext"))
     val (lm, cx, tot) = Ranking.ngramLm(tf)
     val k2 = red.join(
@@ -173,7 +174,7 @@ object Pipeline {
       k1 AS (SELECT doc_id, text FROM ext WHERE n_kept >= 2),
       rd AS MATERIALIZED (
         SELECT doc_id, ${crawlPii._1} AS rtext,
-               ${crawlPii._2} + ${crawlPii._3} + ${crawlPii._4} AS n_pii
+               ${crawlPii._2.mkString(" + ")} AS n_pii
         FROM k1),
       bo AS (SELECT doc_id, unnest(list_transform(
                range(1, len(string_split(lower(rtext), ' '))),

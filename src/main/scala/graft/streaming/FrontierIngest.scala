@@ -135,6 +135,13 @@ object FrontierIngest {
     * curates DISCOVERIES. The frozen-probe discipline: the relation is
     * fixed for the query's lifetime, broadcast per batch.
     *
+    * `robotsRfc` (optional) is the RFC 9309 upgrade — a FROZEN
+    * (host, pattern, allow) relation through
+    * [[Web.filterRobotsAllowedRfc]] (`*`/`$` wildcards, `Allow:`
+    * longest-match precedence), same placement and same
+    * never-folds-disallowed semantics. Both gates may be passed; they
+    * compose (each is a filter).
+    *
     * `domainCap` (optional) is the DISCOVERY BUDGET — the politeness
     * quota a real frontier runs under: the seen set is bounded to
     * `cap` urls per REGISTRABLE DOMAIN. Fetched pages always fold
@@ -151,15 +158,19 @@ object FrontierIngest {
                     idCol: String, urlCol: String, htmlCol: String,
                     checkpoint: Option[String] = None,
                     robots: Option[DataFrame] = None,
-                    domainCap: Option[Long] = None)(
+                    domainCap: Option[Long] = None,
+                    robotsRfc: Option[DataFrame] = None)(
                     onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
       val pages = pageUrls(batch, idCol, urlCol)
       val links = outlinks(batch, idCol, urlCol, htmlCol)
-      val allowed = robots.map(Web.filterRobotsAllowed(links, "curl", _))
+      val afterLiteral = robots.map(Web.filterRobotsAllowed(links, "curl", _))
         .getOrElse(links)
+      val allowed = robotsRfc
+        .map(Web.filterRobotsAllowedRfc(afterLiteral, "curl", _))
+        .getOrElse(afterLiteral)
       val cand = allowed
         .groupBy(col("curl"))
         .agg(min(col("ref_id")).as("discoverer"),

@@ -125,8 +125,8 @@ object WebIngest {
       // without PII behave as before).
       val k1 = graft.operators.Pii.withRedacted(
         ext.filter(col("n_kept") >= minBlocks), "text", out = "rtext")
-        .withColumn("n_pii",
-          col("n_email") + col("n_ip") + col("n_phone"))
+        .withColumn("n_pii", graft.operators.Pii.Classes.map(c => col(c._3))
+          .reduce(_ + _))
       // 2. LM score the redacted survivors against the frozen model.
       val scores = Ranking.scoreAgainstLm(
         Ranking.ngramFrequencies(k1, "doc_id", "rtext", m.n),

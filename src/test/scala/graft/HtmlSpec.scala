@@ -139,6 +139,30 @@ class HtmlSpec extends SparkSpec {
       (5L, 2L, "/b", "bold words")), out)
   }
 
+  test("extractImages: clean-first, both attribute orders, missing alt → '', entity decode both fields") {
+    val html =
+      "<script>var f = '<img src=\"/fake.png\">';</script>" +
+        "<p><img src=\"https://CDN.example.COM/i/1.png?a=1&amp;b=2\" " +
+        "alt=\"Fig &amp; caption &#8212; deco\"/>" +
+        " <img alt=\"alt first\" src=\"/rel/2.png\">" +
+        " <img src=\"/noalt/3.png\">" +
+        " <img alt='single-quoted src skipped' src='/skip.png'></p>"
+    val out = Html.extractImages(Seq((9L, html)).toDF("id", "h"), "id", "h")
+      .as[(Long, Long, String, String)].collect().toSeq.sorted
+    assert(out == Seq(
+      (9L, 1L, "https://CDN.example.COM/i/1.png?a=1&b=2", "Fig & caption — deco"),
+      (9L, 2L, "/rel/2.png", "alt first"),
+      (9L, 3L, "/noalt/3.png", "")), out)
+  }
+
+  test("extractImages: no images / null html emit nothing") {
+    val out = Html.extractImages(Seq(
+      (1L, "<p>plain text</p>"),
+      (2L, null.asInstanceOf[String])).toDF("id", "h"), "id", "h")
+      .collect().toSeq
+    assert(out.isEmpty, out)
+  }
+
   test("title becomes its own (short, dropped) block; <br> splits") {
     val (_, kept, text) = extract(
       "<html><head><title>T</title></head><body>" +

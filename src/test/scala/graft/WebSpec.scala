@@ -166,6 +166,65 @@ class WebSpec extends SparkSpec {
     assert(got("example.com").length == 3)
   }
 
+  test("RFC 9309 robots gate: wildcards, $ anchor, Allow longest-match precedence, directory form") {
+    val urls = Seq(
+      // h1: Disallow /private, Allow /private/pub* (longer → wins inside)
+      "https://h1.com/private/secret",   // blocked (only Disallow matches)
+      "https://h1.com/private/pub/x",    // kept (Allow wins by length)
+      "https://h1.com/open",             // kept (no rule matches)
+      // h2: Disallow *.tmp$ (wildcard + anchor)
+      "https://h2.com/a/file.tmp",       // blocked
+      "https://h2.com/a/file.tmpx",      // kept ($ anchor)
+      "https://h2.com/tmp/file.txt",     // kept (pattern needs .tmp at END)
+      // h3: Disallow /dir/ (directory form — canonical drops the slash)
+      "https://h3.com/dir",              // blocked (the directory itself)
+      "https://h3.com/dir/sub",          // blocked (below it)
+      "https://h3.com/directory",        // kept (NOT /dir + more chars)
+      // h4: Disallow / (all paths incl. root) but Allow /ok*
+      "https://h4.com",                  // blocked (root, canonical path '')
+      "https://h4.com/x",                // blocked
+      "https://h4.com/ok/y",             // kept (Allow longer)
+      // h5: metachars in the pattern are literal
+      "https://h5.com/a(1)+b.c",         // blocked (literal match)
+      "https://h5.com/a(1)-b.c",         // kept
+      // no rules for h6 at all
+      "https://h6.com/anything").toDF("url")
+    val canon = Web.withCanonicalUrl(urls, "url", "curl").select("curl")
+    val rules = Seq(
+      ("h1.com", "/private", false), ("h1.com", "/private/pub*", true),
+      ("h2.com", "*.tmp$", false),
+      ("h3.com", "/dir/", false),
+      ("h4.com", "/", false), ("h4.com", "/ok*", true),
+      ("h5.com", "/a(1)+b.c", false),
+      // empty patterns drop at load (RFC: empty Disallow = no rule)
+      ("h6.com", "", false)).toDF("host", "pattern", "allow")
+    val kept = Web.filterRobotsAllowedRfc(canon, "curl", rules)
+      .as[String].collect().toSet
+    assert(kept == Set(
+      "https://h1.com/private/pub/x", "https://h1.com/open",
+      "https://h2.com/a/file.tmpx", "https://h2.com/tmp/file.txt",
+      "https://h3.com/directory",
+      "https://h4.com/ok/y",
+      "https://h5.com/a(1)-b.c",
+      "https://h6.com/anything"), kept)
+  }
+
+  test("RFC 9309 robots gate: Allow/Disallow exact-length tie → Allow wins; plan stays broadcast + shuffle-free") {
+    val urls = Seq("https://t.com/abc", "https://t.com/abd").toDF("url")
+    val canon = Web.withCanonicalUrl(urls, "url", "curl").select("curl")
+    val rules = Seq(
+      ("t.com", "/abc", false), ("t.com", "/ab*", true),  // tie at 4 → Allow
+      ("t.com", "/abd$", false), ("t.com", "/a", true)    // len 5 > 4 → blocks
+    ).toDF("host", "pattern", "allow")
+    val gated = Web.filterRobotsAllowedRfc(canon, "curl", rules)
+    assert(gated.as[String].collect().toSet == Set("https://t.com/abc"))
+    // the CORPUS attaches by broadcast join — only the tiny rules
+    // relation pays its per-host aggregation exchange.
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules must broadcast onto the corpus:\n${plan.take(800)}")
+  }
+
   test("robots gate normalizes the standard all-paths spelling: 'Disallow: /' blocks the site ROOT too") {
     val urls = Seq(
       "https://www.blocked.com",          // the root — canonical path ''
