@@ -846,8 +846,32 @@ object Graph {
     * each hop is one equi-join of the frontier against it. Lineage
     * grows linearly in `steps`. */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                  steps: Int, salt: String = "walk"): DataFrame = {
+                  steps: Int, salt: String = "walk"): DataFrame =
+    randomWalksMulti(edges, srcCol, dstCol, steps, numWalks = 1, salt)
+      .drop("walk")
+
+  /** The walk-index SEED KEY: walk 0 keys on the bare start (so
+    * numWalks = 1 reproduces the single-walk functions BITWISE —
+    * spec-pinned), walk w ≥ 1 on `start#w` ('#' never occurs in a
+    * numeric id — no two (start, walk) pairs collide). */
+  private def walkSeedKeySql: String =
+    "IF(walk = 0, CAST(start AS STRING), " +
+      "concat(CAST(start AS STRING), '#', CAST(walk AS STRING)))"
+
+  /** [[randomWalks]] with `numWalks` INDEPENDENT walks per non-sink
+    * node — DeepWalk/node2vec training runs r ≈ 10-80 walks per node,
+    * not one. The hash seed gains the walk index ([[walkSeedKeySql]]),
+    * so walks with different indexes diverge from step 1 while every
+    * engine/partitioning/re-run still reproduces them bitwise. Output:
+    * (start, walk, step, node). Same plan as the single-walk form —
+    * the staged adjacency/degree relations build ONCE and every hop is
+    * one (node, idx) equi-join probing each walk at exactly one index;
+    * r walks only scale the frontier rows, never the staged state. */
+  def randomWalksMulti(edges: DataFrame, srcCol: String, dstCol: String,
+                       steps: Int, numWalks: Int = 1,
+                       salt: String = "walk"): DataFrame = {
     require(steps >= 1 && steps <= 64, s"steps=$steps out of range")
+    require(numWalks >= 1 && numWalks <= 1024, s"numWalks=$numWalks")
     val e = stage(edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -858,12 +882,14 @@ object Graph {
           .partitionBy(col("s")).orderBy(col("d"))).cast("long") - 1L))
     val degRel = stage(adj.groupBy(col("s").as("dn"))
       .agg(count(lit(1)).cast("long").as("deg")))
-    var frontier = degRel.select(col("dn").as("start"), lit(0L).as("step"),
-      col("dn").as("node"))
+    var frontier = degRel.select(col("dn").as("start"))
+      .withColumn("walk", explode(expr(s"sequence(0L, ${numWalks - 1}L)")))
+      .select(col("start"), col("walk"), lit(0L).as("step"),
+        col("start").as("node"))
     var out = frontier
     for (i <- 1 to steps) {
       val h = s"CAST(conv(substr(md5(concat('$salt', ':', " +
-        s"CAST(start AS STRING), ':', $i)), 1, 15), 16, 10) AS BIGINT)"
+        s"$walkSeedKeySql, ':', $i)), 1, 15), 16, 10) AS BIGINT)"
       // pick the target index FIRST (one row per live walk), then
       // equi-join on (node, idx) — a hub's million-neighbor list never
       // fans out under a walk, it is probed at exactly one index.
@@ -871,7 +897,8 @@ object Graph {
         .join(degRel, col("node") === col("dn"))
         .withColumn("__tix", expr(h) % col("deg"))
         .join(adj, col("node") === col("s") && col("__tix") === col("idx"))
-        .select(col("start"), lit(i.toLong).as("step"), col("d").as("node"))
+        .select(col("start"), col("walk"), lit(i.toLong).as("step"),
+          col("d").as("node"))
       out = out.unionByName(frontier)
     }
     out
@@ -897,61 +924,95 @@ object Graph {
     * `r = hash mod deg = the index` and the walks equal
     * [[randomWalks]]'s BITWISE (spec-pinned).
     *
-    * Plan: unlike the unbiased probe (one row per live walk), the
-    * second-order bias inherently inspects EVERY neighbor of the
-    * current node — each hop fans the frontier out by out-degree,
-    * marks distance-1 neighbors with one (prev, x) edge equi-join, and
-    * resolves the pick with two same-partition windows keyed on the
-    * WALK (start — the max-cardinality key; frames bounded by
-    * out-degree). That per-hop Σ deg(frontier) cost is the honest
-    * node2vec price — the published algorithm pre-computes per-EDGE
-    * transition tables of the same total size. Weights must be ≥ 1
-    * (W > 0 needs every class positive); W ≤ maxdeg·max(w) must stay
-    * under 2^63 — trivially true at any real degree. */
+    * Plan: the second-order transition distributions PRE-COMPUTE into
+    * two staged tables — exactly node2vec's published per-edge table:
+    * `first` = (node, d, w=wOut, cum, tot) for the prev-less step 1,
+    * `trans` = (prev, node, d, w, cum, tot) with one row per (edge,
+    * neighbor-of-head) — and every hop is ONE equi-join of the frontier
+    * against them on (prev, node) with the cum-containment residual.
+    * The windows that build cum/tot run ONCE at build time (partition
+    * key (prev, node) — |E| cardinality, frames bounded by out-degree),
+    * never per hop or per walk, so r-walks-per-node amortizes the table
+    * instead of multiplying a recompute (the r15 wall decomposition).
+    * Table size = Σ_{(u,v)∈E} deg(v) — the published node2vec memory
+    * price. Weights must be ≥ 1 (W > 0 needs every class positive);
+    * W ≤ maxdeg·max(w) must stay under 2^63 — trivially true at any
+    * real degree. */
   def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
                   steps: Int, wRet: Long, wCommon: Long, wOut: Long,
-                  salt: String = "walk"): DataFrame = {
+                  salt: String = "walk"): DataFrame =
+    biasedWalksMulti(edges, srcCol, dstCol, steps, wRet, wCommon, wOut,
+      numWalks = 1, salt).drop("walk")
+
+  /** [[biasedWalks]] with `numWalks` independent walks per non-sink
+    * node (the DeepWalk/node2vec r-walks deployment) — walk seeds per
+    * [[walkSeedKeySql]], so numWalks = 1 ≡ [[biasedWalks]] bitwise and
+    * (1,1,1) ≡ [[randomWalksMulti]] bitwise (both spec-pinned).
+    * Output: (start, walk, step, node). Plan as [[biasedWalks]]: the
+    * staged first-hop and (prev, node) transition tables build once;
+    * hops equi-join them. */
+  def biasedWalksMulti(edges: DataFrame, srcCol: String, dstCol: String,
+                       steps: Int, wRet: Long, wCommon: Long, wOut: Long,
+                       numWalks: Int = 1, salt: String = "walk"): DataFrame = {
     require(steps >= 1 && steps <= 64, s"steps=$steps out of range")
+    require(numWalks >= 1 && numWalks <= 1024, s"numWalks=$numWalks")
     require(wRet >= 1 && wCommon >= 1 && wOut >= 1,
       s"weights ($wRet, $wCommon, $wOut) must all be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
     val e = stage(edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
       .distinct())
     val adj = stage(e
       .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("s")).orderBy(col("d"))).cast("long") - 1L))
-    val degRel = stage(adj.groupBy(col("s").as("dn"))
-      .agg(count(lit(1)).cast("long").as("deg")))
+        W.partitionBy(col("s")).orderBy(col("d"))).cast("long") - 1L))
+    // FIRST-HOP table: no prev → every neighbor weighs wOut (node2vec's
+    // uniform first step); pick at r mod (deg·wOut) — NOT r mod deg,
+    // the pinned single-walk arithmetic.
+    val byNode = W.partitionBy(col("node"))
+    val first = stage(adj
+      .select(col("s").as("node"), col("d"), col("idx"))
+      .withColumn("w", lit(wOut))
+      .withColumn("cum", sum(col("w")).over(byNode.orderBy(col("idx"))
+        .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("w")).over(byNode))
+      .select(col("node"), col("d"), col("w"), col("cum"), col("tot")))
+    // SECOND-ORDER table: one row per (edge prev→node, neighbor d of
+    // node) — the node2vec transition distribution, staged ONCE.
     val cmn = e.select(col("s").as("__ps"), col("d").as("__pd"),
       lit(true).as("__cmn"))
-    var frontier = degRel.select(col("dn").as("start"), lit(0L).as("step"),
-      col("dn").as("node"), lit(null).cast("long").as("prev"))
-    var out = frontier.select(col("start"), col("step"), col("node"))
+    val byEdge = W.partitionBy(col("prev"), col("node"))
+    val trans = stage(e.select(col("s").as("prev"), col("d").as("node"))
+      .join(adj.select(col("s").as("node"), col("d"), col("idx")),
+        Seq("node"))
+      .join(cmn, col("prev") === col("__ps") && col("d") === col("__pd"),
+        "left")
+      .withColumn("w",
+        when(col("d") === col("prev"), lit(wRet))
+          .when(coalesce(col("__cmn"), lit(false)), lit(wCommon))
+          .otherwise(lit(wOut)))
+      .withColumn("cum", sum(col("w")).over(byEdge.orderBy(col("idx"))
+        .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("w")).over(byEdge))
+      .select(col("prev"), col("node"), col("d"), col("w"), col("cum"),
+        col("tot")))
+    def h(i: Int) = s"CAST(conv(substr(md5(concat('$salt', ':', " +
+      s"$walkSeedKeySql, ':', $i)), 1, 15), 16, 10) AS BIGINT)"
+    var frontier = adj.select(col("s").as("start")).distinct()
+      .withColumn("walk", explode(expr(s"sequence(0L, ${numWalks - 1}L)")))
+      .select(col("start"), col("walk"), col("start").as("node"))
+    var out = frontier.select(col("start"), col("walk"),
+      lit(0L).as("step"), col("node"))
     for (i <- 1 to steps) {
-      val h = s"CAST(conv(substr(md5(concat('$salt', ':', " +
-        s"CAST(start AS STRING), ':', $i)), 1, 15), 16, 10) AS BIGINT)"
-      val byWalk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("start"))
-      val cand = frontier
-        .join(adj, col("node") === col("s"))
-        .join(cmn, col("prev") === col("__ps") && col("d") === col("__pd"),
-          "left")
-        .withColumn("w",
-          when(col("d") === col("prev"), lit(wRet))
-            .when(coalesce(col("__cmn"), lit(false)), lit(wCommon))
-            .otherwise(lit(wOut)))
-        .withColumn("cum", sum(col("w")).over(byWalk.orderBy(col("idx"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .withColumn("tot", sum(col("w")).over(byWalk))
-        .withColumn("r", expr(h) % col("tot"))
-      frontier = cand
+      val table = if (i == 1) first else trans
+      val keys = if (i == 1) Seq("node") else Seq("prev", "node")
+      frontier = frontier.join(table, keys)
+        .withColumn("r", expr(h(i)) % col("tot"))
         .filter(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
-        .select(col("start"), lit(i.toLong).as("step"),
-          col("d").as("node"), col("node").as("prev"))
-      out = out.unionByName(frontier.select(col("start"), col("step"),
-        col("node")))
+        .select(col("start"), col("walk"), col("d").as("node"),
+          col("node").as("prev"))
+      out = out.unionByName(frontier.select(col("start"), col("walk"),
+        lit(i.toLong).as("step"), col("node")))
     }
     out
   }

@@ -855,6 +855,80 @@ object Dedup {
       ORDER BY start, step"""
     }, headline = true),
 
+    // ------------------- MULTI-WALK node2vec (r walks per start node)
+    // Graph.biasedWalksMulti: the deployment shape — DeepWalk/node2vec
+    // trains on r ≈ 10-80 walks per node, so the walk key is
+    // (start, walk) and the hash seed gains the walk index (walk 0
+    // keys on the bare start: numWalks = 1 ≡ biasedWalks BITWISE,
+    // spec-pinned). The second-order transition distributions live in
+    // TWO staged tables built ONCE (first-hop uniform + the (prev,
+    // node, d, w, cum, tot) per-edge table — node2vec's published
+    // precompute); each hop is one equi-join with the cum-containment
+    // residual, so r walks amortize the table instead of multiplying
+    // the r15 per-hop window recompute. Same fixture/weights as
+    // x_graph_walks_biased, 3 walks each; the oracle unrolls the hops
+    // with the per-(start, walk) seed key and the identical weight
+    // CASE / cumsum / md5 arithmetic.
+    Q("x_graph_walks_multi", (s, d) => {
+      val e = documents(s, d).select(
+        col("doc_id").as("s"), expr("(doc_id * 3 + 1) % 512").as("t"))
+        .unionAll(documents(s, d).select(
+          col("doc_id").as("s"), expr("(doc_id * 5 + 2) % 512").as("t")))
+      graft.operators.Graph.biasedWalksMulti(e, "s", "t", steps = 3,
+        wRet = 1L, wCommon = 6L, wOut = 3L, numWalks = 3)
+        .orderBy(col("start"), col("walk"), col("step"))
+    }, Some {
+      def h(i: Int) = s"""(CAST(concat('0x', substr(md5('walk:' || sk ||
+               ':$i'), 1, 15)) AS BIGINT) % tot)"""
+      val hops = (1 to 3).map(i => s"""
+        c$i AS (SELECT f.start, f.walk, f.sk, f.node, f.prev, a.d, a.idx,
+                       CASE WHEN a.d = f.prev THEN 1
+                            WHEN ce.s IS NOT NULL THEN 6
+                            ELSE 3 END AS w
+                FROM b${i - 1} f
+                JOIN adj a ON f.node = a.s
+                LEFT JOIN e0 ce ON ce.s = f.prev AND ce.d = a.d),
+        k$i AS (SELECT start, walk, sk, node, prev, d, w,
+                       CAST(SUM(w) OVER (PARTITION BY start, walk
+                            ORDER BY idx ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum,
+                       CAST(SUM(w) OVER (PARTITION BY start, walk)
+                            AS BIGINT) AS tot
+                FROM c$i),
+        b$i AS (SELECT start, walk, sk, CAST($i AS BIGINT) AS step,
+                       d AS node, node AS prev
+                FROM k$i
+                WHERE cum - w <= ${h(i)} AND ${h(i)} < cum)""").mkString(",")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT doc_id AS s, (doc_id * 3 + 1) % 512 AS d FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 5 + 2) % 512 FROM documents)
+        WHERE s <> d),
+      adj AS MATERIALIZED (
+        SELECT s, d,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY d) AS BIGINT)
+                 - 1 AS idx
+        FROM e0),
+      dg AS (SELECT s AS dn, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM e0 GROUP BY s),
+      b0 AS (SELECT dn AS start, CAST(wk AS BIGINT) AS walk,
+                    CASE WHEN wk = 0 THEN CAST(dn AS VARCHAR)
+                         ELSE CAST(dn AS VARCHAR) || '#' ||
+                              CAST(wk AS VARCHAR) END AS sk,
+                    CAST(0 AS BIGINT) AS step, dn AS node,
+                    CAST(NULL AS BIGINT) AS prev
+             FROM dg CROSS JOIN range(0, 3) t(wk)),
+      $hops
+      SELECT start, walk, step, node FROM (
+        SELECT start, walk, step, node FROM b0 UNION ALL
+        SELECT start, walk, step, node FROM b1 UNION ALL
+        SELECT start, walk, step, node FROM b2 UNION ALL
+        SELECT start, walk, step, node FROM b3)
+      ORDER BY start, walk, step"""
+    }),
+
     // --------------- directed PageRank, dangling mass REDISTRIBUTED
     // The published-variant twin of x_linkgraph_rank:
     // pageRankDirected(redistributeDangling = true) recycles each

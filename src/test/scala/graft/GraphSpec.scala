@@ -541,6 +541,79 @@ class GraphSpec extends SparkSpec {
     assert(at2(1L, 1L, 64L) == 1L, "heavy explore weight must move on")
   }
 
+  test("multi-walk: numWalks = 1 reproduces the single-walk functions bitwise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(404)
+    val raw = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val edges = raw.toDF("a", "b")
+    val un = Graph.randomWalks(edges, "a", "b", steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val unM = Graph.randomWalksMulti(edges, "a", "b", steps = 3, numWalks = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(unM.forall(_._2 == 0L))
+    assert(unM.map(r => (r._1, r._3, r._4)) == un)
+    val bi = Graph.biasedWalks(edges, "a", "b", steps = 3, 1L, 6L, 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    val biM = Graph.biasedWalksMulti(edges, "a", "b", steps = 3, 1L, 6L, 3L,
+      numWalks = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(biM.map(r => (r._1, r._3, r._4)) == bi)
+  }
+
+  test("multi-walk: walk w >= 1 seeds on start#w — matches the reference; walks genuinely diverge") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val (wRet, wCommon, wOut) = (1L, 6L, 3L)
+    val rnd = new scala.util.Random(505)
+    val n = 14
+    val raw = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val canon = raw.filter { case (a, b) => a != b }.distinct.toSet
+    val adjR = canon.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).toSeq.sorted }
+    val steps = 3
+    val numWalks = 3
+    val exp = (for {
+      start <- adjR.keys
+      w <- 0 until numWalks
+    } yield {
+      val sk = if (w == 0) s"$start" else s"$start#$w"
+      var cur = start
+      var prev = -1L
+      val rest = (1 to steps).iterator.map { i =>
+        adjR.get(cur) match {
+          case Some(nb) =>
+            val ws = nb.map { x =>
+              if (x == prev) wRet
+              else if (canon.contains((prev, x))) wCommon
+              else wOut
+            }
+            val r = h60(s"walk:$sk:$i") % ws.sum
+            var acc = 0L; var pick = -1
+            ws.indices.foreach { j =>
+              if (pick < 0) { acc += ws(j); if (r < acc) pick = j }
+            }
+            prev = cur; cur = nb(pick)
+            Some((start, w.toLong, i.toLong, cur))
+          case None => None
+        }
+      }.takeWhile(_.isDefined).map(_.get).toList
+      (start, w.toLong, 0L, start) :: rest
+    }).flatten.toSet
+    val got = Graph.biasedWalksMulti(raw.toDF("a", "b"), "a", "b", steps,
+      wRet, wCommon, wOut, numWalks)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exp)
+    // the walks are genuinely independent: at least one start's three
+    // walks visit different step-1 nodes (the fixture is dense enough).
+    val byStart = got.filter(_._3 == 1L).groupBy(_._1)
+      .map { case (_, rs) => rs.map(_._4).size }
+    assert(byStart.exists(_ > 1), "all walk indexes collapsed — seeds broken")
+  }
+
   test("incrementalTriangles ≡ full recompute on randomized edge splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -141,7 +141,10 @@ class PlanSanitySpec extends SparkSpec {
       // (one corpus scan in the staging job; every hop joins BOTH), so
       // the visible plan starts there. The biased variant adds the
       // staged edge relation for the distance-1 mark join.
-      "x_graph_walks", "x_graph_walks_biased")
+      "x_graph_walks", "x_graph_walks_biased",
+      // x_graph_walks_multi reads the staged first-hop + (prev, node)
+      // transition tables (built once; every hop equi-joins them).
+      "x_graph_walks_multi")
 
   test("no unexpected CartesianProduct in any registered plan") {
     SparkEntry.registry.foreach { q =>
