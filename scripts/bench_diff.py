@@ -58,6 +58,38 @@ def _fill_best(d):
     return d
 
 
+def _finish_tail(d):
+    """Normalize a reopened-tail parse into the canonical metric dict.
+
+    A reopening prefix like '{"metric":"x","queries":{"' can swallow
+    the RUNS arrays into `queries` (list values) when the cut landed
+    mid-runs — move list-valued entries back to `runs`, then rebuild
+    `queries` as best-of-runs and total them."""
+    d = _fill_best(d)
+    q = d.setdefault("queries", {})
+    runs = d["runs"] if isinstance(d.get("runs"), dict) else {}
+    d["runs"] = runs
+    for k in list(q):
+        if isinstance(q[k], list):
+            v = q.pop(k)
+            if k != "__trunc":
+                runs.setdefault(k, v)
+    q.pop("__trunc", None)
+    runs.pop("__trunc", None)
+    # `queries` IS min(runs) by Bench's own definition, so runs-derived
+    # minima OVERWRITE reopened values — a cut landing mid-
+    # `queries_normalized` can mis-bind normalized values into the
+    # reopened `queries` stub, and the overwrite corrects it losslessly.
+    for k, r in runs.items():
+        if isinstance(r, list) and r:
+            q[k] = min(r)
+    if not q:
+        return None  # nothing salvageable — caller keeps scanning
+    d.setdefault("value", sum(v for v in q.values()
+                              if isinstance(v, (int, float))))
+    return d
+
+
 def _from_tail(tail):
     """Reconstruct the metric dict from the driver's truncated tail.
 
@@ -73,31 +105,35 @@ def _from_tail(tail):
     # at the tail end, so the same reopening prefixes cover both orders
     # (duplicate JSON keys resolve to the LAST occurrence — the real,
     # surviving map wins over the reopening stub).
-    for prefix in ('{"metric":"x"',
-                   '{"metric":"x","queries":{"__trunc":0.',
-                   '{"metric":"x","queries":{"',
-                   '{"metric":"x","queries":{},"runs":{"__trunc":[0.',
-                   '{"metric":"x","queries":{},"runs":{"',
-                   '{"metric":"x","queries":{},"calib_runs":[0.',
-                   '{"metric":"x","queries":{},"queries_normalized":{"__trunc":0.',
-                   '{"metric":"x","queries":{},"queries_normalized":{"'):
+    # mid-key cuts of the FIRST surviving field re-key it as runs /
+    # queries (t.find('":') locates the partial key's end).
+    kcut = t.find('":')
+    midkey = [p + t[kcut:] for p in ('{"metric":"x","runs',
+                                     '{"metric":"x","queries')] \
+        if 0 <= kcut < 24 else []
+    for cand in ['{"metric":"x"' + t,
+                 '{"metric":"x","' + t,
+                 '{"metric":"x","runs":' + t,
+                 '{"metric":"x","runs"' + t,
+                 '{"metric":"x","runs":{' + t,
+                 '{"metric":"x","runs":{"' + t,
+                 '{"metric":"x","queries":{' + t,
+                 '{"metric":"x","queries":{"__trunc":0.' + t,
+                 '{"metric":"x","queries":{"' + t,
+                 '{"metric":"x","queries":{},"runs":{"__trunc":[0.' + t,
+                 '{"metric":"x","queries":{},"runs":{"' + t,
+                 '{"metric":"x","queries":{},"calib_runs":[0.' + t,
+                 '{"metric":"x","queries":{},"queries_normalized":{"__trunc":0.' + t,
+                 '{"metric":"x","queries":{},"queries_normalized":{"' + t] + midkey:
         try:
-            d = json.loads(prefix + t)
+            d = json.loads(cand)
         except json.JSONDecodeError:
             continue
-        if ("queries" in d or "best" in d) and "calib" in d:
-            d = _fill_best(d)
-            d["queries"].pop("__trunc", None)
-            if isinstance(d.get("runs"), dict):
-                d["runs"].pop("__trunc", None)
-            # the cut usually lands mid-queries: the keys before the cut
-            # are gone from `queries` but intact in `runs` (best-of-3 =
-            # min of the recorded runs, by Bench's own definition).
-            for q, r in d.get("runs", {}).items():
-                if isinstance(r, list) and r:
-                    d["queries"].setdefault(q, min(r))
-            d.setdefault("value", sum(d["queries"].values()))
-            return d
+        if ("queries" in d or "best" in d or
+                isinstance(d.get("runs"), dict)) and "calib" in d:
+            r = _finish_tail(d)
+            if r is not None:
+                return r
     # generic resync: the cut can land mid-key or mid-value anywhere; try
     # reopening the object at each `,"` boundary in the survived text
     # (nested maps make early boundaries fail to parse — later ones, at
@@ -109,14 +145,11 @@ def _from_tail(tail):
             d = json.loads('{"metric":"x"' + t[pos:])
         except json.JSONDecodeError:
             d = None
-        if d is not None and ("queries" in d or "best" in d) and "calib" in d:
-            d = _fill_best(d)
-            for q, r in d.get("runs", {}).items():
-                if isinstance(r, list) and r and q != "__trunc":
-                    d.setdefault("queries", {}).setdefault(q, min(r))
-            d["queries"].pop("__trunc", None)
-            d.setdefault("value", sum(d["queries"].values()))
-            return d
+        if d is not None and ("queries" in d or "best" in d or
+                isinstance(d.get("runs"), dict)) and "calib" in d:
+            r = _finish_tail(d)
+            if r is not None:
+                return r
         pos = t.find(',"', pos + 1)
     i = t.find('"runs"')
     if i >= 0:

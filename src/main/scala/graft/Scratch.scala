@@ -1,25 +1,22 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway perf-profiling harness — rewritten per investigation.
   *
-  * CURRENT PROBE (round 15, part 2): incremental DIRECTED PageRank at
-  * scale — the directed twin of the round-11 lattice measurement
-  * (README §Incremental upkeep). 10M directed edges over 5M nodes
-  * (out-degree 2: id → id+1, id → id+7919 mod N), a localized
-  * 1000-edge batch, parquet staging (the sorted-state pruning needs
-  * files). Times: full pageRankDirected recompute, state build (once),
-  * refresh (ranks out), fold (state advanced). The directed refresh
-  * pays TWO pruned edge probes per iteration (out-edges + in-edges via
-  * the dst-sorted layout) where symmetry gave the undirected core one
-  * — this probe prices that honestly. Results → README §Incremental
-  * upkeep.
-  *
-  * (Part 1 of this round's Scratch — the r13-vs-r15 x_text_html bisect
-  * probe — is recorded in README §Bench calibration and the commit
-  * history; this file is the per-investigation convention.)
+  * CURRENT PROBE (round 16): the x_ann_brute_topk drift attribution.
+  * The driver's calibration-normalized reading rose two rounds running
+  * (r14 0.67 s → mid-r15 +12% → r15 0.91 s) — but `git diff` shows the
+  * ENTIRE code path (Ann.bruteTopK, the query, Tables, the session
+  * config, the native cosine expression) is byte-identical across
+  * r14 → r15 → r16, so a code regression is impossible; the suspects
+  * are the bench sweep's composition (headliners grew 34 → 40 in r15 —
+  * the interleaved 3-sweep discipline changes the cache/JIT context a
+  * mid-sweep query runs in) and driver-box drift. This probe measures
+  * the query ISOLATED on an idle box: 2 untimed warmups, best of 5
+  * timed runs, the Bench calibration probe before and after.
+  * Attribution rule: isolated best-of-5 / calib at or below the r14
+  * level ⇒ the drift is sweep-context/machine, not the operator.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -34,47 +31,36 @@ object Scratch {
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.OFF)
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-stage")
-    spark.conf.set("graft.stage.dir", dir.toString)
-    import graft.operators.Graph
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def timed[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    // the Bench calibration probe: single-thread 10M long sort.
+    def calibrate(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val a = Array.tabulate(10000000)(i => ((i * 2654435761L) % 100000007L))
+        java.util.Arrays.sort(a)
+        if (a(0) == -1) println("") // keep the sort observable
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
     }
 
-    val n = 5000000L
-    val edges = spark.range(n).selectExpr(
-      "id AS s", s"(id + 1) % $n AS d")
-      .unionAll(spark.range(n).selectExpr(
-        "id AS s", s"(id + 7919) % $n AS d"))
-    // localized batch: 1000 new edges among a 20k-node neighborhood,
-    // plus two brand-new nodes (a source and a dst-only sink).
-    val batch = spark.range(1000L).selectExpr(
-      "1000000 + id * 17 AS s", "1000000 + id * 13 + 5 AS d")
-      .unionAll(spark.range(1L).selectExpr(
-        s"$n AS s", "1000500 AS d"))
-      .unionAll(spark.range(1L).selectExpr(
-        "1000501 AS s", s"${n + 1} AS d"))
-    val vertices = spark.range(n).toDF("doc_id")
+    val fn = SparkEntry.queries("x_ann_brute_topk")
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
-    timed("full pageRankDirected (10M edges, 3 iters)")(
-      Graph.pageRankDirected(vertices, "doc_id",
-        edges.unionAll(batch), "s", "d")
-        .write.format("noop").mode("overwrite").save())
-    val st = timed("pageRankDirectedState build (once)")(
-      Graph.pageRankDirectedState(edges, "s", "d"))
-    timed("pageRankDirectedRefresh (1002-edge batch)")(
-      Graph.pageRankDirectedRefresh(vertices, "doc_id", st, batch, "s", "d")
-        .write.format("noop").mode("overwrite").save())
-    val st2 = timed("pageRankDirectedRefreshState fold")(
-      Graph.pageRankDirectedRefreshState(st, batch, "s", "d"))
-    // the fold's staged writes are eager; confirm the advanced state
-    // answers (and price one pruned read of it).
-    timed("folded-state ranks count")(println(
-      s"[probe] folded rank rows = ${st2.ranks.count()}"))
+    val calibBefore = calibrate()
+    run(); run() // 2 untimed warmups
+    val times = (1 to 5).map(_ => run())
+    val calibAfter = calibrate()
+    println(f"[probe] x_ann_brute_topk sf=$sfDir")
+    println(f"[probe] runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
+    println(f"[probe] best: ${times.min}%.3f s  calib: " +
+      f"${math.min(calibBefore, calibAfter)}%.3f s (before $calibBefore%.3f / after $calibAfter%.3f)")
+    println(f"[probe] normalized best: ${times.min / math.min(calibBefore, calibAfter)}%.3f")
     spark.stop()
   }
 }

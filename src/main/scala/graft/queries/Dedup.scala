@@ -927,7 +927,7 @@ object Dedup {
         SELECT start, walk, step, node FROM b2 UNION ALL
         SELECT start, walk, step, node FROM b3)
       ORDER BY start, walk, step"""
-    }),
+    }, headline = true),
 
     // --------------- directed PageRank, dangling mass REDISTRIBUTED
     // The published-variant twin of x_linkgraph_rank:

@@ -1140,6 +1140,6 @@ object Multimodal {
       FROM ex e
       JOIN grp g ON e.doc_id = g.doc_id
       JOIN canon c ON g.seed = c.seed
-      ORDER BY e.doc_id"""))
+      ORDER BY e.doc_id"""), headline = true)
   )
 }

@@ -728,7 +728,7 @@ object Pipeline {
           col("target_uri").as("url"),
           expr("decode(body, 'UTF-8')").as("__html")))
       crawlChain(pages)
-    }, Some(crawlOracle)),
+    }, Some(crawlOracle), headline = true),
 
     // ------------------------------------------- JSONL interchange source
     // The corpus round-trips through gzip JSONL (the format LLM corpora
