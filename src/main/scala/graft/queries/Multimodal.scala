@@ -1140,6 +1140,67 @@ object Multimodal {
       FROM ex e
       JOIN grp g ON e.doc_id = g.doc_id
       JOIN canon c ON g.seed = c.seed
-      ORDER BY e.doc_id"""), headline = true)
+      ORDER BY e.doc_id"""), headline = true),
+
+    // ------------------- WARC image archive → perceptual dedup
+    // The multimodal half of the archive layer: image payloads ride
+    // WARC response records as RAW BYTES (Content-Length-bounded —
+    // \r\n\r\n inside a PNG is data, never a separator), round-trip
+    // through Warc.writeBinary/read bit-exactly (bytes_ok compares
+    // md5 against the pre-archive original ENGINE-side; the oracle
+    // states 1 — the x_source_jsonl flag design), and feed dHash dedup
+    // directly off the parsed relation. Payload pixels derive from
+    // seed = doc_id % 37 (the x_multimodal_pairs bijection, fresh
+    // salt), so the oracle models the hash grouping by seed — a
+    // collision would merge groups and hash-mismatch n_copies.
+    // Plan: parse = one task per archive file; the hash relation
+    // stages once (feeds the canon aggregate AND the output join);
+    // equi-joins on 64-bit hashes and ids only.
+    Q("x_warc_images", (s, d) => {
+      import s.implicits._
+      import graft.operators.ImageDedup
+      val imgs = fanOut(documents(s, d)).select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 37
+          (id, s"https://img.archive.example/i/$id.png",
+            Media.encodePng(12, 12, (x, y) => {
+              val h = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"wmi:$seed:$x:$y".getBytes("UTF-8"))
+              val g = java.lang.Byte.toUnsignedInt(h(0))
+              (g << 16) | (g << 8) | g
+            }))
+        }.toDF("doc_id", "url", "payload")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_img/${new java.io.File(d).getName}"
+      graft.sources.Warc.writeBinary(imgs, "url", "payload", "image/png",
+        tmp, files = 4)
+      val back = graft.sources.Warc.read(s, tmp)
+        .filter(col("http_content_type") === "image/png")
+        .withColumn("doc_id", expr(
+          "CAST(split_part(split_part(target_uri, '/i/', 2), '.png', 1) AS BIGINT)"))
+      val flags = back.select(col("doc_id"), md5(col("body")).as("__bm"))
+        .join(imgs.select(col("doc_id"), md5(col("payload")).as("__pm")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN __bm <=> __pm THEN 1 ELSE 0 END AS BIGINT)")
+            .as("bytes_ok"))
+      val recs = back.select(col("doc_id"), col("body"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => MediaRecord(id, "png", b) }
+      val hashes = stage(ImageDedup.dhashRelation(recs))
+      val canon = hashes.groupBy(col("h")).agg(
+        min(col("id")).as("canon_img"),
+        count(lit(1)).cast("long").as("n_copies"))
+      hashes.join(canon, Seq("h"))
+        .select(col("id").as("doc_id"), col("canon_img"), col("n_copies"))
+        .join(flags, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH grp AS (SELECT doc_id, doc_id % 37 AS seed FROM documents),
+      canon AS (SELECT seed, MIN(doc_id) AS canon_img,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM grp GROUP BY seed)
+      SELECT g.doc_id, c.canon_img, c.n_copies, CAST(1 AS BIGINT) AS bytes_ok
+      FROM grp g JOIN canon c ON g.seed = c.seed
+      ORDER BY g.doc_id"""))
   )
 }

@@ -81,14 +81,18 @@ object Warc {
 
   private val Crlf2 = "\r\n\r\n".getBytes("UTF-8")
 
-  /** A `response` record for (uri, body): HTTP/1.1 200 payload with a
-    * pinned text/html content type; record id = md5 of the uri (the
-    * deterministic-fixture discipline — deployments carry real uuids,
-    * the parser never interprets the id). */
+  /** A `response` record for (uri, body) with payload content type
+    * `ctype`; record id = md5 of the uri (the deterministic-fixture
+    * discipline — deployments carry real uuids, the parser never
+    * interprets the id). The body is RAW BYTES, Content-Length-bounded
+    * — `\r\n\r\n` sequences inside a binary body are data, never
+    * separators (the parser reads exactly `Content-Length` bytes). */
   private def responseRecord(uri: String, body: Array[Byte],
-                             date: String): Array[Byte] = {
+                             date: String,
+                             ctype: String = "text/html; charset=utf-8")
+      : Array[Byte] = {
     val http = (s"HTTP/1.1 200 OK\r\n" +
-      s"Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Type: $ctype\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
     (s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
@@ -121,20 +125,21 @@ object Warc {
     * Rows with a NULL url or body are SKIPPED (a null page is not a
     * fetch — stated). Body strings write as UTF-8 bytes. */
   def write(df: DataFrame, urlCol: String, bodyCol: String, path: String,
-            files: Int, date: String = DefaultDate): Unit = {
+            files: Int, date: String = DefaultDate,
+            prefix: String = "part", replace: Boolean = true): Unit = {
     require(files > 0, s"files=$files must be positive")
     val spark = df.sparkSession
     val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     val fs = root.getFileSystem(conf.value)
-    fs.delete(root, true)
+    if (replace) fs.delete(root, true)
     fs.mkdirs(root)
     df.select(col(urlCol).cast("string"), col(bodyCol).cast("string"))
       .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
       .repartition(files)
       .foreachPartition { (it: Iterator[Row]) =>
         val pid = TaskContext.getPartitionId()
-        val f = new Path(path, f"part-$pid%05d.warc.gz")
+        val f = new Path(path, f"$prefix-$pid%05d.warc.gz")
         val out = f.getFileSystem(conf.value).create(f, true)
         try {
           out.write(gzMember(warcinfoRecord(pid, date)))
@@ -259,6 +264,65 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+      .load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(parseFile _)
+      .toDF()
+  }
+
+  /** [[write]] for BINARY payloads (image/audio/video archives — the
+    * multimodal half of a real crawl): `bodyCol` must be BinaryType,
+    * `ctype` is the records' payload content type (e.g. `image/png`).
+    * Bytes ride Content-Length-bounded — any byte sequence, including
+    * `\r\n\r\n`, round-trips exactly. Null url/body rows skip. */
+  def writeBinary(df: DataFrame, urlCol: String, bodyCol: String,
+                  ctype: String, path: String, files: Int,
+                  date: String = DefaultDate, prefix: String = "part",
+                  replace: Boolean = true): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val spark = df.sparkSession
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (replace) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(urlCol).cast("string"), col(bodyCol).cast("binary"))
+      .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
+      .repartition(files)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val f = new Path(path, f"$prefix-$pid%05d.warc.gz")
+        val out = f.getFileSystem(conf.value).create(f, true)
+        try {
+          out.write(gzMember(warcinfoRecord(pid, date)))
+          it.foreach { r =>
+            out.write(gzMember(responseRecord(r.getString(0),
+              r.getAs[Array[Byte]](1), date, ctype)))
+          }
+        } finally out.close()
+      }
+  }
+
+  /** STREAMING read over a growing `.warc.gz` directory — the archive
+    * ingest path: crawl archives land as files (new WARC segments per
+    * crawl batch), Structured Streaming's file source picks each NEW
+    * file up exactly once, and the parse runs one task per file (the
+    * same contract as [[read]]; `binaryFile` has a fixed schema, so no
+    * inference pass). Feed the result to the curation gates via
+    * `Stream.fromDataFrame` — see graft.streaming.WarcIngest. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // streaming file sources demand an explicit schema even for
+    // fixed-schema formats — this is binaryFile's own, verbatim.
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .schema(binSchema)
       .load(path)
       .select(col("content")).as[Array[Byte]]
       .flatMap(parseFile _)

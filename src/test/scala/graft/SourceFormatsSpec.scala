@@ -130,6 +130,32 @@ class SourceFormatsSpec extends SparkSpec {
     }
   }
 
+  test("Warc.writeBinary: hostile binary payloads round-trip bit-exactly (embedded CRLFCRLF, gzip magic, all byte values)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(707)
+    val payloads = Seq(
+      // every byte value once, in order
+      (1L, "https://b.example/i/1", Array.tabulate(256)(_.toByte)),
+      // the record separator INSIDE a body — must be data, not structure
+      (2L, "https://b.example/i/2",
+        "head\r\n\r\nmiddle\r\n\r\ntail".getBytes("UTF-8")),
+      // gzip magic at the start (a nested archive payload)
+      (3L, "https://b.example/i/3",
+        Array[Byte](0x1f, 0x8b.toByte, 8, 0) ++
+          Array.fill(64)(rnd.nextInt.toByte)),
+      (4L, "https://b.example/i/4", Array.empty[Byte]))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcbin").toString
+    graft.sources.Warc.writeBinary(payloads.toDF("id", "url", "body"),
+      "url", "body", "application/octet-stream", dir, files = 2)
+    val back = graft.sources.Warc.read(spark, dir)
+      .select(col("target_uri"), col("http_content_type"), col("body"))
+      .as[(String, String, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3.toSeq)).toSet
+    val want = payloads
+      .map(p => (p._2, "application/octet-stream", p._3.toSeq)).toSet
+    assert(back == want)
+  }
+
   test("Warc.parseFile: salvage semantics — records before damage kept, request records skipped, truncation stops the file") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bo = new java.io.ByteArrayOutputStream()
