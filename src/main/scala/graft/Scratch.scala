@@ -2,21 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway perf-profiling harness — rewritten per investigation.
-  *
-  * CURRENT PROBE (round 16): the x_ann_brute_topk drift attribution.
-  * The driver's calibration-normalized reading rose two rounds running
-  * (r14 0.67 s → mid-r15 +12% → r15 0.91 s) — but `git diff` shows the
-  * ENTIRE code path (Ann.bruteTopK, the query, Tables, the session
-  * config, the native cosine expression) is byte-identical across
-  * r14 → r15 → r16, so a code regression is impossible; the suspects
-  * are the bench sweep's composition (headliners grew 34 → 40 in r15 —
-  * the interleaved 3-sweep discipline changes the cache/JIT context a
-  * mid-sweep query runs in) and driver-box drift. This probe measures
-  * the query ISOLATED on an idle box: 2 untimed warmups, best of 5
-  * timed runs, the Bench calibration probe before and after.
-  * Attribution rule: isolated best-of-5 / calib at or below the r14
-  * level ⇒ the drift is sweep-context/machine, not the operator.
+/** Perf-probe harness: isolates ONE registry query on an idle box —
+  * 2 untimed warmups, best of 5 timed runs, the Bench calibration
+  * probe before and after. `SPARK_GRAFT_PROBE` picks the key
+  * (default x_ann_brute_topk — the r16 drift attribution, closed in
+  * README §Bench calibration: the code path was byte-identical
+  * r14 → r16 and the isolated reading came in at HALF the in-sweep
+  * figure, so the driver deltas were sweep-context + machine).
+  * The full bench sweep is too contaminable for bisects (the r15
+  * lesson) — use THIS, per key, against a worktree binary when a
+  * driver delta needs attribution.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -45,7 +40,8 @@ object Scratch {
       ts.min
     }
 
-    val fn = SparkEntry.queries("x_ann_brute_topk")
+    val key = sys.env.getOrElse("SPARK_GRAFT_PROBE", "x_ann_brute_topk")
+    val fn = SparkEntry.queries(key)
     def run(): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -56,7 +52,7 @@ object Scratch {
     run(); run() // 2 untimed warmups
     val times = (1 to 5).map(_ => run())
     val calibAfter = calibrate()
-    println(f"[probe] x_ann_brute_topk sf=$sfDir")
+    println(f"[probe] $key sf=$sfDir")
     println(f"[probe] runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
     println(f"[probe] best: ${times.min}%.3f s  calib: " +
       f"${math.min(calibBefore, calibAfter)}%.3f s (before $calibBefore%.3f / after $calibAfter%.3f)")

@@ -334,6 +334,60 @@ object Web {
       .drop("__rh", "__rules", "__v")
   }
 
+  /** One `<url>…</url>` entry of a sitemaps.org sitemap. */
+  val SitemapEntryPattern: String = "(?is)<url>.*?</url>"
+
+  /** The `<loc>` / `<lastmod>` values inside an entry — `[^<]*` keeps
+    * the match inside the element (XML forbids a raw `<` in content). */
+  val SitemapLocPattern: String = "(?is)<loc>([^<]*)</loc>"
+  val SitemapLastmodPattern: String = "(?is)<lastmod>([^<]*)</lastmod>"
+
+  /** sitemap.xml URL extraction (the sitemaps.org protocol, pinned
+    * subset) — the crawl-SEEDING source beside link discovery: one row
+    * per `<url>` entry, `(doc_id, pos, loc, lastmod)` in document
+    * order. `loc` runs the [[Html.visibleSql]] entity decode (the
+    * protocol REQUIRES `&` in URLs escaped as `&amp;` — decode is
+    * load-bearing, exactly as for hrefs); `lastmod` is `''` when
+    * absent (the no-match `regexp_extract` convention). Entries
+    * without a `<loc>` surface with `loc = ''` — a protocol violation
+    * the caller filters, never a silent drop. Feed the output through
+    * [[withCanonicalUrl]] and the frontier's seen-probe like any other
+    * discovery. Gzip'd sitemaps (`sitemap.xml.gz`) decompress at the
+    * source layer (the [[graft.sources.Warc]]/Jsonl discipline), not
+    * here. One codegen projection + posexplode — no shuffle, no UDF. */
+  def extractSitemapUrls(df: DataFrame, idCol: String,
+                         xmlCol: String): DataFrame =
+    df.filter(col(xmlCol).isNotNull)
+      .withColumn("__sm", expr(
+        s"regexp_extract_all($xmlCol, '$SitemapEntryPattern', 0)"))
+      .withColumn("__sv", expr(
+        s"transform(__sm, mm -> named_struct(" +
+          s"'loc', ${graft.operators.Html.visibleSql(
+            s"regexp_extract(mm, '$SitemapLocPattern', 1)", duck = false)}, " +
+          s"'lastmod', regexp_extract(mm, '$SitemapLastmodPattern', 1)))"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(col("__sv")).as(Seq("__p", "__s")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        col("__s.loc").as("loc"), col("__s.lastmod").as("lastmod"))
+
+  /** DuckDB twin of [[extractSitemapUrls]] over a relation exposing
+    * (doc_id, x) named `__sitemap_src`: (doc_id, pos, loc, lastmod),
+    * zip-unnested. */
+  def duckSitemapItems(x: String): String = {
+    val ex = s"regexp_extract_all($x, '$SitemapEntryPattern')"
+    val locOf = graft.operators.Html.visibleSql(
+      s"regexp_extract(mm, '$SitemapLocPattern', 1)", duck = true)
+    val lmOf = s"regexp_extract(mm, '$SitemapLastmodPattern', 1)"
+    s"""SELECT doc_id,
+       |       unnest(range(1, len(ll) + 1)) AS pos,
+       |       unnest(ll) AS loc,
+       |       unnest(ml) AS lastmod
+       |FROM (SELECT doc_id,
+       |        list_transform(sm, mm -> $locOf) AS ll,
+       |        list_transform(sm, mm -> $lmOf) AS ml
+       |      FROM (SELECT doc_id, $ex AS sm FROM __sitemap_src))""".stripMargin
+  }
+
   /** SQL for DOT-SEGMENT removal over a PATH expr (no query string) —
     * RFC 3986 §5.2.4 restated as a pinned bounded regex chain that is
     * identical in both engines (the Html-chain discipline: no

@@ -993,6 +993,64 @@ object Curation {
                e -> e.anchor), ' | ') AS anchors
       FROM j GROUP BY dst ORDER BY doc_id"""), headline = true),
 
+    // ------------------------------------------------ sitemap seeding
+    // The crawl-SEEDING source beside link discovery
+    // (Web.extractSitemapUrls — the sitemaps.org protocol, pinned
+    // subset): one row per <url> entry with its <loc> (entity decode
+    // load-bearing — the protocol REQUIRES & spelled &amp; in URLs)
+    // and optional <lastmod> ('' when absent). The fixture's first
+    // entry spells its url MESSY (host case, :443, a tracking param
+    // behind the escaped &) so canonicalization is observable; docs
+    // with doc_id % 13 = 0 carry a third cross-host entry. Extraction
+    // + canonicalization are per-row codegen; the oracle replays both
+    // generators verbatim.
+    Q("x_web_sitemap", (s, d) => {
+      val xml = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("__xml", expr(
+          """concat('<?xml version="1.0" encoding="UTF-8"?>',
+            |'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+            |'<url><loc>https://WWW.Site', CAST(doc_id % 7 AS STRING),
+            |'.COM:443/d/', CAST(doc_id AS STRING), '?id=',
+            |CAST(doc_id AS STRING), '&amp;utm_source=sitemap</loc>',
+            |'<lastmod>2026-0', CAST(1 + doc_id % 9 AS STRING),
+            |'-01</lastmod></url>',
+            |'<url><loc>https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/about</loc></url>',
+            |IF(doc_id % 13 = 0,
+            |   concat('<url><loc>https://www.extra.org/e/',
+            |          CAST(doc_id AS STRING), '</loc></url>'), ''),
+            |'</urlset>')""".stripMargin))
+      val ex = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractSitemapUrls(xml, "doc_id", "__xml"),
+        "loc", "__c")
+      ex.select(col("doc_id"), col("pos"), col("__c").as("url"),
+        col("lastmod"))
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH __sitemap_src AS (
+        SELECT doc_id,
+          '<?xml version="1.0" encoding="UTF-8"?>' ||
+          '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+          '<url><loc>https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(doc_id AS VARCHAR) || '?id=' ||
+          CAST(doc_id AS VARCHAR) || '&amp;utm_source=sitemap</loc>' ||
+          '<lastmod>2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+          '-01</lastmod></url>' ||
+          '<url><loc>https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.com/about</loc></url>' ||
+          CASE WHEN doc_id % 13 = 0
+               THEN '<url><loc>https://www.extra.org/e/' ||
+                    CAST(doc_id AS VARCHAR) || '</loc></url>'
+               ELSE '' END ||
+          '</urlset>' AS x
+        FROM documents),
+      sm AS (SELECT doc_id, pos, loc AS url, lastmod
+             FROM (${graft.operators.Web.duckSitemapItems("x")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("sm",
+        Seq("doc_id", "pos", "lastmod"), "sc")}
+      SELECT doc_id, pos, canonical AS url, lastmod
+      FROM scc ORDER BY doc_id, pos""")),
+
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical

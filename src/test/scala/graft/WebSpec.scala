@@ -225,6 +225,23 @@ class WebSpec extends SparkSpec {
       s"rules must broadcast onto the corpus:\n${plan.take(800)}")
   }
 
+  test("extractSitemapUrls: entity decode in loc, missing lastmod → '', loc-less entry surfaces empty, null xml skips") {
+    val xml = """<?xml version="1.0"?><urlset>""" +
+      "<url><loc>https://a.example.com/p?x=1&amp;y=2</loc>" +
+      "<lastmod>2026-01-02</lastmod></url>" +
+      "<url><loc>https://a.example.com/q</loc></url>" +
+      "<url><lastmod>2026-03-04</lastmod></url>" +
+      "</urlset>"
+    val out = Web.extractSitemapUrls(
+      Seq((1L, xml), (2L, null.asInstanceOf[String])).toDF("id", "x"),
+      "id", "x")
+      .as[(Long, Long, String, String)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, 1L, "https://a.example.com/p?x=1&y=2", "2026-01-02"),
+      (1L, 2L, "https://a.example.com/q", ""),
+      (1L, 3L, "", "2026-03-04")), out)
+  }
+
   test("robots gate normalizes the standard all-paths spelling: 'Disallow: /' blocks the site ROOT too") {
     val urls = Seq(
       "https://www.blocked.com",          // the root — canonical path ''
