@@ -158,6 +158,48 @@ class StreamingFrontierSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.dir")
   }
 
+  test("frontier gate: RFC 9309 rules — an Allow override inside a Disallow subtree un-blocks its discoveries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    spark.conf.set("graft.stage.dir", dir)
+    try {
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        FrontierIngest.buildFrontier(Seq.empty[String].toDF("url"), "url"))
+      val rfc = Seq(
+        ("www.site1.com", "/private", false),
+        ("www.site1.com", "/private/ok*", true)).toDF("host", "pattern", "allow")
+      val h1 = "<p><a href=\"/private/1\">p</a> " +
+        "<a href=\"/private/ok/2\">o</a> <a href=\"/pub\">q</a></p>"
+      val b1 = Seq((1L, "https://www.site1.com/d/1", h1))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType),
+        StructField("html", StringType)))
+      val ms = MemoryStream[KMsg]
+      val s = Stream.fromKafkaShaped(spark, ms.toDF(), schema)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+      val q = FrontierIngest.startFrontier(s, state,
+        "value.doc_id", "value.url", "value.html",
+        robotsRfc = Some(rfc)) { (novel, _, _) =>
+        got += novel.select(col("url")).as[String].collect().toSet
+      }
+      val payloads = b1.toDF("doc_id", "url", "html")
+        .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+        .as[String].collect()
+      ms.addData(payloads.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      // /private/1 blocked (only Disallow matches); /private/ok/2
+      // allowed (the longer Allow wins); /pub untouched.
+      assert(got.toSeq == Seq(Set(
+        "https://www.site1.com/private/ok/2",
+        "https://www.site1.com/pub")), got)
+      val seen = state.get().seen.as[String].collect().toSet
+      assert(!seen.contains("https://www.site1.com/private/1"),
+        "a disallowed discovery must never fold into seen")
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+
   test("frontier gate: a discovered-then-fetched url folds ONCE — the root stays duplicate-free and quota priors count urls, not rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     spark.conf.set("graft.stage.dir", dir)
