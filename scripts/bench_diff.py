@@ -54,7 +54,12 @@ def _fill_best(d):
     if isinstance(d.get("best"), dict):
         q = d.setdefault("queries", {})
         q.update({k: v for k, v in d["best"].items() if k != "__trunc"})
-        d.setdefault("value", sum(q.values()))
+        # a reopened-tail q can still carry the '__trunc' stub or
+        # list-valued (mis-bound runs) entries here — the value
+        # fallback must not sum junk (or crash on a list).
+        d.setdefault("value", sum(v for k, v in q.items()
+                                  if k != "__trunc"
+                                  and isinstance(v, (int, float))))
     return d
 
 

@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * The full bench sweep is too contaminable for bisects (the r15
   * lesson) — use THIS, per key, against a worktree binary when a
   * driver delta needs attribution.
+  *
+  * `x_gate_dedup_stream` is a Bench-only key (the streaming gate
+  * bench, not a registry query) — the probe routes it through the
+  * SAME [[Bench.gateBench]] code path the sweep times (state build
+  * untimed, identical workload), so the isolated reading is directly
+  * comparable to the sweep's figure.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -28,29 +34,33 @@ object Scratch {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    // the Bench calibration probe: single-thread 10M long sort.
-    def calibrate(): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val a = Array.tabulate(10000000)(i => ((i * 2654435761L) % 100000007L))
-        java.util.Arrays.sort(a)
-        if (a(0) == -1) println("") // keep the sort observable
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.min
-    }
+    // THE Bench calibration probe — shared, not a reimplementation: a
+    // probe that times anything beyond the sort (the old local copy
+    // timed allocation+fill too) inflates calib and deflates every
+    // normalized probe figure relative to bench-normalized ones, which
+    // biases exactly the cross-comparison this harness exists for
+    // (drift attribution: "isolated is faster ⇒ sweep spread").
+    def calibrate(): Double = Bench.calibrate()._1
 
     val key = sys.env.getOrElse("SPARK_GRAFT_PROBE", "x_ann_brute_topk")
-    val fn = SparkEntry.queries(key)
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-
     val calibBefore = calibrate()
-    run(); run() // 2 untimed warmups
-    val times = (1 to 5).map(_ => run())
+    val times: Seq[Double] =
+      if (key == "x_gate_dedup_stream") {
+        // one extra full pass as warmup (gateBench's internal rep plus
+        // this ≈ the registry keys' 2 untimed warmups), then 5 timed.
+        val (_, build) = Bench.gateBench(spark, sfDir, reps = 1)
+        System.err.println(f"[probe] gate state build: $build%.3f s (warmup pass)")
+        Bench.gateBench(spark, sfDir, reps = 5)._1
+      } else {
+        val fn = SparkEntry.queries(key)
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run(); run() // 2 untimed warmups
+        (1 to 5).map(_ => run())
+      }
     val calibAfter = calibrate()
     println(f"[probe] $key sf=$sfDir")
     println(f"[probe] runs: ${times.map(t => f"$t%.3f").mkString(", ")}")

@@ -150,10 +150,31 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children(0), children(1)))
 
+  val gunzipDescriptor: Descriptor = (
+    FunctionIdentifier("gunzip"),
+    new ExpressionInfo(classOf[Gunzip].getName, "gunzip"),
+    (children: Seq[Expression]) => Gunzip(children.head))
+
+  val gzipBytesDescriptor: Descriptor = (
+    FunctionIdentifier("gzip_bytes"),
+    new ExpressionInfo(classOf[GzipBytes].getName, "gzip_bytes"),
+    (children: Seq[Expression]) => GzipBytes(children.head))
+
+  val charsetDecodeDescriptor: Descriptor = (
+    FunctionIdentifier("charset_decode"),
+    new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
+    (children: Seq[Expression]) => CharsetDecode(children(0), children(1)))
+
+  val charsetEncodeDescriptor: Descriptor = (
+    FunctionIdentifier("charset_encode"),
+    new ExpressionInfo(classOf[CharsetEncode].getName, "charset_encode"),
+    (children: Seq[Expression]) => CharsetEncode(children(0), children(1)))
+
   val all: Seq[Descriptor] =
     Seq(cosineSimDescriptor, simHashDescriptor, simHashWordsDescriptor,
       minHashDescriptor, nfcNormalizeDescriptor, bloomAggDescriptor,
-      bloomContainsDescriptor)
+      bloomContainsDescriptor, gunzipDescriptor, gzipBytesDescriptor,
+      charsetDecodeDescriptor, charsetEncodeDescriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -272,8 +272,10 @@ object Web {
     *
     * The produced regex is applied with FIND semantics anchored by the
     * leading `^` (Spark `regexp_like` and DuckDB `regexp_matches` both
-    * search; the explicit anchors make them agree). */
-  def robotsRegexSql(p: String, duck: Boolean): String = {
+    * search; the explicit anchors make them agree). The emitted SQL is
+    * ENGINE-NEUTRAL (one text for both dialects — the class-escape
+    * discipline is what buys that), so there is no `duck` parameter. */
+  def robotsRegexSql(p: String): String = {
     // strip ONE trailing '$' (the anchor), remember it.
     val anch = s"$p LIKE '%$$'"
     val body = s"CASE WHEN $anch THEN substring($p, 1, length($p) - 1) ELSE $p END"
@@ -297,8 +299,12 @@ object Web {
     * a three-column (host, pattern, allow) relation of parsed
     * `Allow:`/`Disallow:` lines (allow = true for Allow). A url is
     * kept iff its host has no matching rule, or the MOST SPECIFIC
-    * matching rule (longest raw pattern in octets, RFC 9309 §2.2.2;
-    * Allow wins exact ties) is an Allow. Patterns support `*` and a
+    * matching rule (longest raw pattern; Allow wins exact ties) is an
+    * Allow. Pattern length is counted in CHARACTERS (both engines'
+    * `length`), including a trailing `$` anchor — a stated convention:
+    * RFC 9309 §2.2.2 says octets, which differs only for non-ASCII
+    * rule patterns (pct-encoded in real robots files, so ASCII in
+    * practice); the tie-break spec relies on `$` counting. Patterns support `*` and a
     * trailing `$` ([[robotsRegexSql]]); EMPTY patterns are dropped at
     * load (an empty Disallow means "disallow nothing" — RFC 9309
     * §2.2.3 — and an empty Allow is its vacuous mirror).
@@ -318,7 +324,7 @@ object Web {
       col(rules.columns(2)).cast("boolean").as("__ra"))
       .filter(length(col("__rp")) > 0)
       .distinct()
-      .withColumn("__rx", expr(robotsRegexSql("__rp", duck = false)))
+      .withColumn("__rx", expr(robotsRegexSql("__rp")))
       .withColumn("__cmb", (length(col("__rp")) * 2 +
         when(col("__ra"), 1).otherwise(0)).cast("int"))
       .groupBy(col("__rh"))
@@ -332,6 +338,125 @@ object Web {
            |                   greatest(acc9, rr.cmb), acc9))""".stripMargin))
       .filter(col("__v").isNull || col("__v") < 0 || col("__v") % 2 === 1)
       .drop("__rh", "__rules", "__v")
+  }
+
+  /** robots.txt BODY parser (RFC 9309 §2) — the step that turns raw
+    * fetched robots.txt text into the (host, pattern, allow) relation
+    * [[filterRobotsAllowedRfc]] consumes; without it the frontier's
+    * robots input is a hand-maintained artifact. One engine-neutral
+    * projection chain (replayed 1:1 by [[duckRobotsParseCtes]]), per
+    * row over a (host, body) relation — robots bodies are small by
+    * contract (RFC caps parsing at 500 KiB), so the O(lines²) prefix
+    * sums inside the array transforms are irrelevant; no shuffle, no
+    * UDF.
+    *
+    * Pinned parse (RFC 9309 §2.1-2.2.1):
+    *  - lines split at LF; a trailing CR strips (CRLF files); a `#`
+    *    starts a comment to end-of-line; fields are case-insensitive
+    *    and space-tolerant (`Disallow : /x` parses);
+    *  - only `user-agent` / `allow` / `disallow` lines are
+    *    significant; anything else (`sitemap:`, `crawl-delay:`,
+    *    garbage) is IGNORED and does not break a group (§2.2.4);
+    *  - GROUPS: consecutive `user-agent` lines share one group; a
+    *    `user-agent` line after a rule line starts a new group; rules
+    *    before any `user-agent` line belong to no group and DROP;
+    *  - GROUP SELECTION for `agent` (the crawler's product token):
+    *    all groups carrying an EXACT case-insensitive `user-agent`
+    *    token match are selected and their rules MERGE (§2.2.1
+    *    "combine"); if none match, the `*` groups apply; if neither,
+    *    the host emits no rules (everything allowed). Substring /
+    *    prefix product-token matching is NOT modeled (stated — exact
+    *    token or `*`, the conservative subset);
+    *  - rules emit in document order with `pos` (1-based among
+    *    selected rules); EMPTY patterns surface with `pattern = ''`
+    *    faithfully — [[filterRobotsAllowedRfc]] drops them at load
+    *    (empty Disallow = no rule), the parser does not editorialize.
+    *
+    * Output: (host, pos, pattern, allow). */
+  def parseRobots(df: DataFrame, hostCol: String, bodyCol: String,
+                  agent: String): DataFrame = {
+    val ag = agent.toLowerCase.replace("'", "''")
+    df.filter(col(bodyCol).isNotNull)
+      .withColumn("__rb_sig", expr(
+        s"""filter(transform(split($bodyCol, chr(10)),
+           |  l0 -> named_struct(
+           |    'k', lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+           |    'v', trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+           |           instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+           |    'c', instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+           |  s0 -> s0.c > 0 AND s0.k IN ('user-agent', 'allow', 'disallow'))""".stripMargin))
+      // sequence(1, 0) is DESCENDING [1, 0], not empty — guard (the
+      // pinned Spark trap).
+      .withColumn("__rb_idx", expr(
+        "IF(size(__rb_sig) < 1, array(), sequence(1, size(__rb_sig)))"))
+      .withColumn("__rb_gid", expr(
+        """transform(__rb_idx, i9 -> size(filter(sequence(1, i9), j9 ->
+          |  element_at(__rb_sig, j9).k = 'user-agent' AND
+          |  (j9 = 1 OR element_at(__rb_sig, j9 - 1).k != 'user-agent'))))""".stripMargin))
+      .withColumn("__rb_exact", expr(
+        s"""array_distinct(transform(filter(__rb_idx, i8 ->
+           |  element_at(__rb_sig, i8).k = 'user-agent' AND
+           |  lower(element_at(__rb_sig, i8).v) = '$ag'),
+           |  i8 -> element_at(__rb_gid, i8)))""".stripMargin))
+      .withColumn("__rb_star", expr(
+        """array_distinct(transform(filter(__rb_idx, i7 ->
+          |  element_at(__rb_sig, i7).k = 'user-agent' AND
+          |  element_at(__rb_sig, i7).v = '*'),
+          |  i7 -> element_at(__rb_gid, i7)))""".stripMargin))
+      .withColumn("__rb_sel", expr(
+        "IF(size(__rb_exact) > 0, __rb_exact, __rb_star)"))
+      .withColumn("__rb_rules", expr(
+        """transform(filter(__rb_idx, i6 ->
+          |  element_at(__rb_sig, i6).k != 'user-agent' AND
+          |  array_contains(__rb_sel, element_at(__rb_gid, i6))),
+          |  i6 -> named_struct('pattern', element_at(__rb_sig, i6).v,
+          |                     'allow', element_at(__rb_sig, i6).k = 'allow'))""".stripMargin))
+      .select(col(hostCol).as("host"),
+        posexplode(col("__rb_rules")).as(Seq("__p", "__r")))
+      .select(col("host"), (col("__p") + 1).cast("long").as("pos"),
+        col("__r.pattern").as("pattern"), col("__r.allow").as("allow"))
+  }
+
+  /** DuckDB twin of [[parseRobots]] as chained CTEs over a relation
+    * `src` exposing (host, body) — ends in CTE `<pre>r(host, pos,
+    * pattern, allow)`. Each CTE replays one pinned rule 1:1; DuckDB
+    * `range(a, b)` is EXCLUSIVE of `b` where Spark `sequence` is
+    * inclusive — every bound below carries the `+ 1`. */
+  def duckRobotsParseCtes(src: String, pre: String, agent: String): String = {
+    val ag = agent.toLowerCase.replace("'", "''")
+    s"""${pre}s AS (SELECT host,
+       |    list_filter(list_transform(string_split(body, chr(10)),
+       |      l0 -> struct_pack(
+       |        k := lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+       |        v := trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+       |               instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+       |        c := instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+       |      s0 -> s0.c > 0 AND s0.k IN ('user-agent', 'allow', 'disallow')) AS sig
+       |  FROM $src),
+       |${pre}g AS (SELECT host, sig,
+       |    list_transform(range(1, len(sig) + 1), i9 -> len(list_filter(range(1, i9 + 1),
+       |      j9 -> sig[j9].k = 'user-agent' AND
+       |            (j9 = 1 OR sig[j9 - 1].k != 'user-agent')))) AS gid
+       |  FROM ${pre}s),
+       |${pre}e AS (SELECT host, sig, gid,
+       |    list_distinct(list_transform(list_filter(range(1, len(sig) + 1),
+       |      i8 -> sig[i8].k = 'user-agent' AND lower(sig[i8].v) = '$ag'),
+       |      i8 -> gid[i8])) AS exact,
+       |    list_distinct(list_transform(list_filter(range(1, len(sig) + 1),
+       |      i7 -> sig[i7].k = 'user-agent' AND sig[i7].v = '*'),
+       |      i7 -> gid[i7])) AS star
+       |  FROM ${pre}g),
+       |${pre}u AS (SELECT host,
+       |    list_transform(list_filter(range(1, len(sig) + 1),
+       |      i6 -> sig[i6].k != 'user-agent' AND
+       |            list_contains(CASE WHEN len(exact) > 0 THEN exact ELSE star END, gid[i6])),
+       |      i6 -> struct_pack(pattern := sig[i6].v, allow := sig[i6].k = 'allow')) AS rules
+       |  FROM ${pre}e),
+       |${pre}r AS (SELECT host,
+       |    unnest(range(1, len(rules) + 1)) AS pos,
+       |    unnest(list_transform(rules, r0 -> r0.pattern)) AS pattern,
+       |    unnest(list_transform(rules, r0 -> r0.allow)) AS allow
+       |  FROM ${pre}u)""".stripMargin
   }
 
   /** One `<url>…</url>` entry of a sitemaps.org sitemap. */

@@ -1051,6 +1051,71 @@ object Curation {
       SELECT doc_id, pos, canonical AS url, lastmod
       FROM scc ORDER BY doc_id, pos""")),
 
+    // ------------------------------------------- robots.txt BODY parsing
+    // RFC 9309 §2 group resolution (Web.parseRobots) — the step that
+    // turns raw fetched robots.txt bodies into the (host, pattern,
+    // allow) relation the RFC gate consumes. The fixture exercises
+    // every pinned rule: comment lines and INLINE comments strip; CRLF
+    // and LF line endings mix; field names vary case and carry spaces
+    // before the colon ('Disallow : /x'); sitemap:/crawl-delay: lines
+    // are ignored WITHOUT breaking their group; a rule before any
+    // user-agent line drops; two consecutive user-agent lines share
+    // one group; agent selection is exact-token case-insensitive
+    // ('GraftBot' finds 'graftbot' groups) and MERGES multiple exact
+    // groups (doc_id % 3 = 0 adds a second graftbot group later in the
+    // file); exact groups EXCLUDE the '*' group's rules; docs with NO
+    // exact group (doc_id % 5 = 4) fall back to '*' — whose empty
+    // 'Disallow:' surfaces faithfully as pattern '' (the consumer
+    // drops it, the parser doesn't editorialize). Pure per-row
+    // projection + posexplode; the oracle replays the identical chain.
+    Q("x_web_robots_parse", (s, d) => {
+      val bodies = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("host", expr(
+          "concat('h', CAST(doc_id AS STRING), '.example.com')"))
+        .withColumn("__body", expr(
+          """concat(
+            |  '# robots fixture', chr(13), chr(10),
+            |  'Sitemap: https://example.com/sitemap.xml', chr(10),
+            |  'Disallow: /orphan', chr(10),
+            |  IF(doc_id % 5 != 4, concat(
+            |    'User-Agent: GraftBot', chr(13), chr(10),
+            |    'user-agent: otherbot', chr(10),
+            |    'Disallow : /private/', CAST(doc_id AS STRING), chr(10),
+            |    'Allow: /private/', CAST(doc_id % 10 AS STRING),
+            |    '0   # inline', chr(10)), ''),
+            |  chr(10),
+            |  'User-agent: *', chr(10),
+            |  'Disallow: /tmp', chr(10),
+            |  'Disallow:', chr(10),
+            |  'crawl-delay: 10', chr(10),
+            |  IF(doc_id % 3 = 0 AND doc_id % 5 != 4, concat(
+            |    'User-agent: graftbot', chr(10), 'Allow: /extra'), ''))""".stripMargin))
+      graft.operators.Web.parseRobots(bodies, "host", "__body", "GraftBot")
+        .orderBy(col("host"), col("pos"))
+    }, Some(s"""
+      WITH bodies AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+          '# robots fixture' || chr(13) || chr(10) ||
+          'Sitemap: https://example.com/sitemap.xml' || chr(10) ||
+          'Disallow: /orphan' || chr(10) ||
+          CASE WHEN doc_id % 5 != 4 THEN
+            'User-Agent: GraftBot' || chr(13) || chr(10) ||
+            'user-agent: otherbot' || chr(10) ||
+            'Disallow : /private/' || CAST(doc_id AS VARCHAR) || chr(10) ||
+            'Allow: /private/' || CAST(doc_id % 10 AS VARCHAR) ||
+            '0   # inline' || chr(10) ELSE '' END ||
+          chr(10) ||
+          'User-agent: *' || chr(10) ||
+          'Disallow: /tmp' || chr(10) ||
+          'Disallow:' || chr(10) ||
+          'crawl-delay: 10' || chr(10) ||
+          CASE WHEN doc_id % 3 = 0 AND doc_id % 5 != 4 THEN
+            'User-agent: graftbot' || chr(10) || 'Allow: /extra'
+          ELSE '' END AS body
+        FROM documents),
+      ${graft.operators.Web.duckRobotsParseCtes("bodies", "rb", "GraftBot")}
+      SELECT host, pos, pattern, allow FROM rbr ORDER BY host, pos""")),
+
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical
@@ -1174,7 +1239,7 @@ object Curation {
           WHERE r.host = ${graft.operators.Web.canonicalHostSql("l.canonical")}
             AND regexp_matches(
                   ${graft.operators.Web.canonicalPathSql("l.canonical")},
-                  ${graft.operators.Web.robotsRegexSql("r.pattern", duck = true)})
+                  ${graft.operators.Web.robotsRegexSql("r.pattern")})
         ), 1) = 1),
       cand AS (SELECT canonical, CAST(MIN(ref_id) AS BIGINT) AS discoverer,
                       CAST(COUNT(*) AS BIGINT) AS n_refs

@@ -709,9 +709,12 @@ object Pipeline {
     // record, the CommonCrawl shape), re-parsed, and run through the
     // identical chain. doc_id re-derives from each page's OWN url (a
     // real WARC ingest has no side-channel ids), the html consumed
-    // downstream is the PARSED payload body — so a lossy header/body
-    // escape anywhere surfaces as a hash mismatch against the same
-    // oracle as x_pipeline_crawl (round trip = identity is the claim).
+    // downstream is the PARSED payload body through the PINNED DECODE
+    // LAYER (Warc.withDecodedText — the writer stamps charset=utf-8,
+    // so the Content-Type-param path resolves every record) — so a
+    // lossy header/body escape OR a charset mis-resolution surfaces
+    // as a hash mismatch against the same oracle as x_pipeline_crawl
+    // (round trip = identity is the claim).
     // Plan: the parsed relation stages once (it feeds the cap AND the
     // extract join); parse parallelism = WARC file count (8 here; at
     // 100 TB CommonCrawl's ~100k files give the same effect).
@@ -719,14 +722,15 @@ object Pipeline {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_crawl/${new java.io.File(d).getName}"
       graft.sources.Warc.write(crawlPages(s, d), "url", "__html", tmp,
         files = 8)
-      val pages = stage(graft.sources.Warc.read(s, tmp)
+      val pages = stage(graft.sources.Warc
+        .withDecodedText(graft.sources.Warc.read(s, tmp), outCol = "__dt")
         .select(
           expr("""CAST(CASE WHEN startswith(target_uri, 'https://Seo.Farm.COM')
                  |  THEN split_part(split_part(target_uri, '/p', 2), '/', 1)
                  |  ELSE split_part(target_uri, '/d/', 2)
                  |END AS BIGINT)""".stripMargin).as("doc_id"),
           col("target_uri").as("url"),
-          expr("decode(body, 'UTF-8')").as("__html")))
+          col("__dt").as("__html")))
       crawlChain(pages)
     }, Some(crawlOracle), headline = true),
 
@@ -782,6 +786,74 @@ object Pipeline {
     }, Some("""
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS rec_ok,
              CAST(1 AS BIGINT) AS mime_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id""")),
+
+    // --------------------------------- WARC payload DECODE layer
+    // Real CommonCrawl records carry gzip'd payload bodies and a long
+    // tail of legacy charsets — decoding everything as UTF-8 silently
+    // poisons digests, LM scores, and dedup with mojibake. This pins
+    // the full resolution (Warc.withDecodedText): the corpus pages
+    // round-trip through writeHttp under FOUR archive shapes by
+    // doc_id % 4 — (0) plain UTF-8 with a charset param, (1)
+    // windows-1252 with a charset param, (2) windows-1252 with NO
+    // param and a <meta http-equiv> tag (the sniff path is
+    // load-bearing: latin-1-decoding those bytes as UTF-8 would mangle
+    // every é/—), (3) UTF-8 under Content-Encoding: gzip (the
+    // transfer-decode path). Every page carries a non-ASCII suffix
+    // (é, em dash — both cp1252-mappable) so a charset mix-up is
+    // VISIBLE in the digest, and the corpus text is ASCII-sanitized
+    // first so the cp1252 encode is lossless by construction (the
+    // round-trip claim needs an invertible fixture — stated). Flags
+    // verify decoded text ≡ the engine-built page, the parsed
+    // Content-Encoding, and the Content-Type; the digest ties the
+    // hash to post-decode content. The oracle restates the page from
+    // the parquet original alone — the whole archive round trip plus
+    // decode must be the identity.
+    Q("x_warc_charset", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_cs/${new java.io.File(d).getName}"
+      val metaTag = "<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=windows-1252\"><p>"
+      val pagesSrc = docs
+        .withColumn("url",
+          expr("concat('https://cs.example.com/doc/', CAST(doc_id AS STRING))"))
+        .withColumn("__v", expr("doc_id % 4"))
+        .withColumn("__html", expr(
+          s"""concat(IF(__v = 2, '$metaTag', '<p>'),
+             |  regexp_replace(text, '[^ -~]', ''),
+             |  decode(unhex('2063616666C3A920E280942066696E'), 'UTF-8'))""".stripMargin))
+        .withColumn("__ct", expr(
+          """CASE WHEN __v = 1 THEN 'text/html; charset=windows-1252'
+            |     WHEN __v = 2 THEN 'text/html'
+            |     ELSE 'text/html; charset=utf-8' END""".stripMargin))
+        .withColumn("__ce", expr("IF(__v = 3, 'gzip', '')"))
+        .withColumn("__body", expr(
+          """CASE WHEN __v IN (1, 2)
+            |       THEN charset_encode(__html, 'windows-1252')
+            |     WHEN __v = 3 THEN gzip_bytes(charset_encode(__html, 'utf-8'))
+            |     ELSE charset_encode(__html, 'utf-8') END""".stripMargin))
+      graft.sources.Warc.writeHttp(pagesSrc, "url", "__body", "__ct", "__ce",
+        tmp, files = 4)
+      val back = graft.sources.Warc
+        .withDecodedText(graft.sources.Warc.read(s, tmp), outCol = "__dec")
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+      pagesSrc.alias("o").join(back.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN w.__dec <=> o.__html THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN w.http_content_encoding <=> o.__ce THEN 1 ELSE 0 END AS BIGINT)").as("enc_ok"),
+          expr("CAST(CASE WHEN w.http_content_type <=> o.__ct THEN 1 ELSE 0 END AS BIGINT)").as("mime_ok"),
+          expr("md5(w.__dec)").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS enc_ok,
+             CAST(1 AS BIGINT) AS mime_ok,
+             md5(CASE WHEN doc_id % 4 = 2
+                      THEN '<meta http-equiv="Content-Type" content="text/html; charset=windows-1252"><p>'
+                      ELSE '<p>' END ||
+                 regexp_replace(text, '[^ -~]', '', 'g') ||
+                 decode(unhex('2063616666C3A920E280942066696E'))) AS digest
       FROM documents ORDER BY doc_id""")),
 
     // ------------------------------------------- CSV interchange (egress)

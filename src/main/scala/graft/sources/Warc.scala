@@ -33,11 +33,17 @@ import org.apache.spark.sql.functions._
   *    block (case-insensitive name), `body` is the raw bytes after the
   *    split (Content-Length-bounded — chunked transfer encoding is NOT
   *    decoded; the writer never produces it);
-  *  - a TRUNCATED or malformed record (bad version line, unparsable
-  *    Content-Length, short payload) stops that FILE's parse; records
-  *    before the damage are kept (stated — the salvage convention). A
-  *    record whose payload is complete but whose trailing separator is
-  *    damaged still emits, then parse stops.
+  *  - a record with damaged FRAMING (bad version line, malformed or
+  *    truncated WARC header block, unparsable Content-Length, short
+  *    payload) stops that FILE's parse; records before the damage are
+  *    kept (stated — the salvage convention). A record whose payload
+  *    is complete but whose trailing separator is damaged still
+  *    emits, then parse stops. A record whose WARC framing is intact
+  *    but whose HTTP PAYLOAD is malformed (no `\r\n\r\n` header
+  *    separator, unparsable status line) is SKIPPED and parse
+  *    CONTINUES — intact framing means the next record boundary is
+  *    still trustworthy, so later records are salvageable; only
+  *    framing damage makes the rest of the file unreadable.
   *
   * Scale contract (the [[Jsonl]] discipline):
   *  - gzip members are not seekable without an index, so ingest runs
@@ -56,11 +62,16 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   /** One parsed `response` record. `body` is the raw HTTP payload body
-    * bytes — UTF-8 text for HTML pages, but image/audio payloads ride
-    * the same column untouched (the multimodal binary convention). */
+    * bytes — exactly as archived: if the server sent
+    * `Content-Encoding: gzip`, these are the COMPRESSED bytes
+    * (`http_content_encoding` carries the header, `''` when absent);
+    * [[withDecodedText]] is the pinned decode layer. Image/audio
+    * payloads ride the same column untouched (the multimodal binary
+    * convention). */
   final case class WarcRecord(record_id: String, warc_type: String,
                               warc_date: String, target_uri: String,
                               http_status: Int, http_content_type: String,
+                              http_content_encoding: String,
                               body: Array[Byte])
 
   /** Deterministic fixture date — callers pass a real crawl timestamp
@@ -89,10 +100,13 @@ object Warc {
     * separators (the parser reads exactly `Content-Length` bytes). */
   private def responseRecord(uri: String, body: Array[Byte],
                              date: String,
-                             ctype: String = "text/html; charset=utf-8")
+                             ctype: String = "text/html; charset=utf-8",
+                             cenc: String = "",
+                             status: String = "200 OK")
       : Array[Byte] = {
-    val http = (s"HTTP/1.1 200 OK\r\n" +
+    val http = (s"HTTP/1.1 $status\r\n" +
       s"Content-Type: $ctype\r\n" +
+      (if (cenc.nonEmpty) s"Content-Encoding: $cenc\r\n" else "") +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
     (s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
@@ -236,13 +250,17 @@ object Warc {
                       .find(_.toLowerCase.startsWith("content-type:"))
                       .map(_.substring("content-type:".length).trim)
                       .getOrElse("")
+                    val cenc = lines.drop(1)
+                      .find(_.toLowerCase.startsWith("content-encoding:"))
+                      .map(_.substring("content-encoding:".length).trim)
+                      .getOrElse("")
                     status.foreach { st =>
                       out += WarcRecord(
                         hdrs.getOrElse("warc-record-id", ""),
                         "response",
                         hdrs.getOrElse("warc-date", ""),
                         hdrs.getOrElse("warc-target-uri", ""),
-                        st, ctype,
+                        st, ctype, cenc,
                         java.util.Arrays.copyOfRange(
                           payload, he + 4, payload.length))
                     }
@@ -301,6 +319,101 @@ object Warc {
           }
         } finally out.close()
       }
+  }
+
+  /** [[writeBinary]] with PER-ROW HTTP headers — the fixture/egress
+    * writer for heterogeneous archives (what a real crawl produces):
+    * `ctypeCol` carries each record's `Content-Type` (charset param
+    * and all), `cencCol` its `Content-Encoding` (`''` = no header —
+    * the writer never invents one). The BODY bytes are written
+    * verbatim: a `Content-Encoding: gzip` row must already carry
+    * gzip'd bytes (`gzip_bytes(...)` — the writer does not compress;
+    * that keeps write and read strictly inverse and the archived
+    * bytes exactly what the "server" sent). Null url/body rows skip. */
+  def writeHttp(df: DataFrame, urlCol: String, bodyCol: String,
+                ctypeCol: String, cencCol: String, path: String,
+                files: Int, date: String = DefaultDate,
+                prefix: String = "part", replace: Boolean = true): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val spark = df.sparkSession
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (replace) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(urlCol).cast("string"), col(bodyCol).cast("binary"),
+        col(ctypeCol).cast("string"), col(cencCol).cast("string"))
+      .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
+      .repartition(files)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val f = new Path(path, f"$prefix-$pid%05d.warc.gz")
+        val out = f.getFileSystem(conf.value).create(f, true)
+        try {
+          out.write(gzMember(warcinfoRecord(pid, date)))
+          it.foreach { r =>
+            out.write(gzMember(responseRecord(r.getString(0),
+              r.getAs[Array[Byte]](1), date,
+              ctype = Option(r.getString(2)).getOrElse(""),
+              cenc = Option(r.getString(3)).getOrElse(""))))
+          }
+        } finally out.close()
+      }
+  }
+
+  /** The HTTP payload DECODE LAYER over a parsed relation ([[read]] /
+    * [[readStream]] output) — appends `outCol`, the payload body as
+    * TEXT under the pinned resolution (what every text operator
+    * downstream consumes; skipping this and calling
+    * `decode(body, 'UTF-8')` turns every legacy-charset or gzip'd
+    * record into mojibake that silently poisons digests, LM scores,
+    * and dedup):
+    *
+    *  1. TRANSFER decode (`Content-Encoding`, case-insensitive):
+    *     absent/`identity` → raw bytes; `gzip`/`x-gzip` → gunzip
+    *     (corrupt stream → NULL text — the undecodable sentinel);
+    *     any OTHER encoding (`br`, `deflate`, `compress`) → NULL
+    *     text (outside the pinned subset — stated, never mis-decoded;
+    *     chunked transfer is a transfer-hop artifact real archives
+    *     strip, [[parseFile]]'s stated exclusion).
+    *  2. CHARSET resolution, first match wins (the WHATWG/CCNet
+    *     order): the `Content-Type` header's `charset=` parameter
+    *     (optional quotes); else a `<meta … charset=…>` sniff —
+    *     covering both `<meta charset="x">` and the http-equiv
+    *     `content="text/html; charset=x"` form — over the first 1024
+    *     decoded-as-latin-1 bytes (ISO-8859-1 maps every byte, so the
+    *     sniff itself cannot fail; 1024 is the pinned window — HTML5's
+    *     prescan bound); else UTF-8.
+    *  3. DECODE in the resolved charset: malformed/unmappable byte
+    *     sequences become U+FFFD (never a null or a task failure);
+    *     an unknown/misspelled charset NAME falls back to UTF-8
+    *     (both pinned in [[graft.functions.Transcode]]).
+    *
+    * One codegen projection (native expressions — gunzip /
+    * charset_decode), no UDF, no shuffle; runs in the same stage as
+    * the parse. Registers the graft functions on the session (the
+    * registry-session contract). */
+  def withDecodedText(df: DataFrame, outCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("__w_ce", lower(trim(col("http_content_encoding"))))
+      .withColumn("__w_b", expr(
+        """CASE WHEN __w_ce IN ('', 'identity') THEN body
+          |     WHEN __w_ce IN ('gzip', 'x-gzip') THEN gunzip(body)
+          |     ELSE CAST(NULL AS BINARY) END""".stripMargin))
+      .withColumn("__w_csp", expr(
+        """lower(regexp_extract(http_content_type,
+          |  '(?i)charset="?([^";, ]+)', 1))""".stripMargin))
+      .withColumn("__w_meta", expr(
+        """lower(regexp_extract(
+          |  charset_decode(substring(__w_b, 1, 1024), 'iso-8859-1'),
+          |  '(?i)<meta[^>]*charset="?([^"/>;, ]+)', 1))""".stripMargin))
+      .withColumn(outCol, expr(
+        """CASE WHEN __w_b IS NULL THEN CAST(NULL AS STRING)
+          |     ELSE charset_decode(__w_b,
+          |            CASE WHEN __w_csp != '' THEN __w_csp
+          |                 WHEN __w_meta != '' THEN __w_meta
+          |                 ELSE 'utf-8' END) END""".stripMargin))
+      .drop("__w_ce", "__w_b", "__w_csp", "__w_meta")
   }
 
   /** STREAMING read over a growing `.warc.gz` directory — the archive

@@ -23,9 +23,11 @@ import graft.sources.Warc
   *    long) — archives carry no integer ids, and the record id is the
   *    one field WARC guarantees unique per record, so the derived id
   *    is replay-stable across any re-read of the same archive;
-  *  - `html` = the payload body UTF-8-decoded (the pinned subset
-  *    writes charset=utf-8; foreign-charset archives need a transcode
-  *    step HERE — stated, not silently mis-decoded).
+  *  - `html` = the payload body through the PINNED DECODE LAYER
+  *    ([[Warc.withDecodedText]]): gzip Content-Encoding decoded,
+  *    charset resolved Content-Type param → meta sniff → UTF-8,
+  *    damaged sequences → U+FFFD, undecodable transfer encodings →
+  *    NULL (dropped here — an undecodable payload is not a page).
   *
   * Scale: parse parallelism = segment count per micro-batch (one task
   * per file — the gzip contract); the projection is per-row codegen on
@@ -36,15 +38,18 @@ object WarcIngest {
   /** The streaming (doc_id, url, html) page view over a growing WARC
     * directory. */
   def pages(spark: SparkSession, dir: String): DataFrame =
-    Warc.readStream(spark, dir)
-      .filter(col("warc_type") === "response" &&
-        col("http_status") === 200 &&
-        col("http_content_type").startsWith("text/html"))
+    Warc.withDecodedText(
+      Warc.readStream(spark, dir)
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html")),
+      outCol = "html")
+      .filter(col("html").isNotNull)
       .select(
         expr("CAST(conv(substr(md5(record_id), 1, 15), 16, 10) AS BIGINT)")
           .as("doc_id"),
         col("target_uri").as("url"),
-        expr("decode(body, 'UTF-8')").as("html"))
+        col("html"))
 
   /** [[pages]] wrapped as a [[Stream]] — plug into WebIngest /
     * FrontierIngest / LinkGraphIngest directly. */

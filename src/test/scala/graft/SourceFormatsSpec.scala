@@ -189,4 +189,58 @@ class SourceFormatsSpec extends SparkSpec {
     // garbage bytes parse to zero records, never throw.
     assert(graft.sources.Warc.parseFile("not gzip at all".getBytes).isEmpty)
   }
+
+  test("Warc.withDecodedText: charset resolution + transfer decode, pinned edge semantics") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val gz = graft.functions.Transcode.gzip _
+    def rows(uri: String, ct: String, ce: String, body: Array[Byte]) =
+      (uri, ct, ce, body)
+    val cafe = "café — fin" // é + em dash, cp1252-mappable
+    val fix = Seq(
+      // 1: charset param wins even when a CONTRADICTORY meta tag exists
+      rows("https://t/1", "text/html; charset=windows-1252", "",
+        ("<meta charset=\"utf-8\">" + cafe).getBytes("windows-1252")),
+      // 2: no param → meta sniff (http-equiv form)
+      rows("https://t/2", "text/html", "",
+        ("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">" + cafe)
+          .getBytes("windows-1252")),
+      // 3: no param, meta BEYOND the 1024-byte prescan window → UTF-8
+      rows("https://t/3", "text/html", "",
+        (("x" * 1100) + "<meta charset=\"windows-1252\">abc").getBytes("UTF-8")),
+      // 4: unknown charset name → UTF-8 fallback (never a drop)
+      rows("https://t/4", "text/html; charset=not-a-charset", "", cafe.getBytes("UTF-8")),
+      // 5: gzip transfer encoding decodes before the charset pass
+      rows("https://t/5", "text/html; charset=utf-8", "gzip", gz(cafe.getBytes("UTF-8"))),
+      // 6: CORRUPT gzip → NULL text (sentinel, not a task failure)
+      rows("https://t/6", "text/html; charset=utf-8", "gzip",
+        Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)),
+      // 7: unsupported transfer encoding → NULL text (outside the subset)
+      rows("https://t/7", "text/html; charset=utf-8", "br", cafe.getBytes("UTF-8")),
+      // 8: malformed bytes under the resolved charset → U+FFFD, not null
+      rows("https://t/8", "text/html; charset=utf-8", "",
+        Array[Byte]('a', 0xC3.toByte) /* truncated UTF-8 sequence */ ))
+      .toDF("url", "ct", "ce", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cs").toString
+    graft.sources.Warc.writeHttp(fix, "url", "body", "ct", "ce", dir, files = 1)
+    val got = graft.sources.Warc
+      .withDecodedText(graft.sources.Warc.read(spark, dir))
+      .select(col("target_uri"), col("text"))
+      .as[(String, String)].collect().toMap
+    assert(got("https://t/1") == "<meta charset=\"utf-8\">" + cafe)
+    assert(got("https://t/2").endsWith(cafe) && got("https://t/2").contains("windows-1252"))
+    // beyond-window meta: bytes decode as UTF-8 (here identical — the
+    // point is the sniff did NOT fire; the tag text survives verbatim)
+    assert(got("https://t/3") == ("x" * 1100) + "<meta charset=\"windows-1252\">abc")
+    assert(got("https://t/4") == cafe)
+    assert(got("https://t/5") == cafe)
+    assert(got("https://t/6") == null)
+    assert(got("https://t/7") == null)
+    assert(got("https://t/8") == "a\uFFFD")
+    // the parsed relation surfaces the Content-Encoding header ('' absent)
+    val ces = graft.sources.Warc.read(spark, dir)
+      .select(col("target_uri"), col("http_content_encoding"))
+      .as[(String, String)].collect().toMap
+    assert(ces("https://t/5") == "gzip" && ces("https://t/1") == "")
+  }
 }

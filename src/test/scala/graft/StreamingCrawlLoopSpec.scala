@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Graph
+import graft.operators.{Graph, Web}
 import graft.streaming.{FrontierIngest, LinkGraphIngest, ScoreIngest,
   Stream, WebIngest}
 
@@ -75,8 +75,23 @@ class StreamingCrawlLoopSpec extends SparkSpec {
         uD(2) -> ((15L, page("T", Nil, "delta three content", "delta tail block"))),
         uD(3) -> ((16L, page("T", Nil, "delta four content", "delta tail block"))))
 
-      val robots = Seq(("www.c.com", "/private*", false))
-        .toDF("host", "pattern", "allow")
+      // the robots relation comes from a RAW robots.txt BODY through
+      // the RFC 9309 parser (Web.parseRobots) — the frontier's robots
+      // input is end-to-end real. The '*' group's 'Disallow: /' would
+      // block EVERY c.com url, so group selection (graftbot's exact
+      // group wins, star excluded) is load-bearing: a selection bug
+      // would empty the frontier, not just unblock /private.
+      val robotsBody =
+        "# crawl fixture\r\n" +
+          "User-agent: graftbot\r\n" +
+          "Disallow: /private*\r\n" +
+          "\r\n" +
+          "User-agent: *\r\n" +
+          "Disallow: /\r\n"
+      val robots = Web.parseRobots(
+        Seq(("www.c.com", robotsBody)).toDF("host", "body"),
+        "host", "body", agent = "GraftBot")
+        .select(col("host"), col("pattern"), col("allow"))
       val ref = Seq((1L, "the quick brown fox jumps over the lazy dog"))
         .toDF("doc_id", "text")
       val lm = new java.util.concurrent.atomic.AtomicReference(

@@ -254,4 +254,57 @@ class WebSpec extends SparkSpec {
     assert(kept == Set("https://www.open.com/x"),
       s"'/' must block every path INCLUDING the root: $kept")
   }
+
+  test("parseRobots: RFC 9309 group resolution — a-priori corner cases beyond the oracle fixture") {
+    def parse(body: String, agent: String = "GraftBot"): Seq[(Long, String, Boolean)] =
+      Web.parseRobots(Seq(("h.com", body)).toDF("host", "body"),
+        "host", "body", agent)
+        .orderBy(col("pos"))
+        .select(col("pos"), col("pattern"), col("allow"))
+        .as[(Long, String, Boolean)].collect().toSeq
+
+    // NO matching group at all (no '*', agent not named) → zero rules:
+    // the host allows everything, not "falls back to the nearest group".
+    assert(parse("User-agent: otherbot\nDisallow: /\n").isEmpty)
+    // null body rows skip (a host whose robots fetch failed).
+    assert(Web.parseRobots(
+      Seq(("h.com", null.asInstanceOf[String])).toDF("host", "body"),
+      "host", "body", "GraftBot").count() == 0)
+    // an empty body parses to zero rules, never throws.
+    assert(parse("").isEmpty)
+    // TWO exact groups merge, document order preserved across them.
+    assert(parse(
+      "User-agent: graftbot\nDisallow: /a\n\n" +
+        "User-agent: *\nDisallow: /star\n\n" +
+        "User-agent: GRAFTBOT\nAllow: /b\n") ==
+      Seq((1L, "/a", false), (2L, "/b", true)))
+    // a user-agent line AFTER rules starts a NEW group; the rule
+    // between groups belongs to the FIRST.
+    assert(parse(
+      "User-agent: graftbot\nDisallow: /first\n" +
+        "User-agent: other\nDisallow: /second\n") ==
+      Seq((1L, "/first", false)))
+    // unknown fields do NOT break a group (sitemap between UA and rule).
+    assert(parse(
+      "User-agent: graftbot\nSitemap: https://h.com/s.xml\nDisallow: /x\n") ==
+      Seq((1L, "/x", false)))
+    // exact token match, not substring: agent 'graft' does NOT match
+    // a 'graftbot' group — it falls to '*'.
+    assert(parse(
+      "User-agent: graftbot\nDisallow: /exact\n\nUser-agent: *\nDisallow: /star\n",
+      agent = "graft") == Seq((1L, "/star", false)))
+    // parse → gate composition: the parsed relation feeds
+    // filterRobotsAllowedRfc directly (drop pos), and the '*' group's
+    // Disallow / never leaks into the selected graftbot rules.
+    val rules = Web.parseRobots(
+      Seq(("www.h.com",
+        "User-agent: graftbot\nDisallow: /private*\n\nUser-agent: *\nDisallow: /\n"))
+        .toDF("host", "body"), "host", "body", "GraftBot")
+      .select(col("host"), col("pattern"), col("allow"))
+    val kept = Web.filterRobotsAllowedRfc(
+      Seq("https://www.h.com/ok", "https://www.h.com/private/x")
+        .toDF("url"), "url", rules)
+      .select(col("url")).as[String].collect().toSet
+    assert(kept == Set("https://www.h.com/ok"))
+  }
 }
