@@ -462,6 +462,9 @@ object Web {
   /** One `<url>…</url>` entry of a sitemaps.org sitemap. */
   val SitemapEntryPattern: String = "(?is)<url>.*?</url>"
 
+  /** One `<sitemap>…</sitemap>` entry of a sitemaps.org INDEX file. */
+  val SitemapIndexEntryPattern: String = "(?is)<sitemap>.*?</sitemap>"
+
   /** The `<loc>` / `<lastmod>` values inside an entry — `[^<]*` keeps
     * the match inside the element (XML forbids a raw `<` in content). */
   val SitemapLocPattern: String = "(?is)<loc>([^<]*)</loc>"
@@ -482,9 +485,26 @@ object Web {
     * here. One codegen projection + posexplode — no shuffle, no UDF. */
   def extractSitemapUrls(df: DataFrame, idCol: String,
                          xmlCol: String): DataFrame =
+    sitemapEntries(df, idCol, xmlCol, SitemapEntryPattern)
+
+  /** `<sitemapindex>` extraction — the OTHER sitemaps.org file shape:
+    * the protocol caps a sitemap at 50k URLs, so every large site
+    * publishes an INDEX of `<sitemap><loc>…</loc></sitemap>` entries
+    * pointing at child sitemaps, and real seeding hits the index
+    * shape FIRST. Same pinned subset as [[extractSitemapUrls]] (entity
+    * decode on loc, `''` lastmod/loc conventions); recursion is
+    * by COMPOSITION — extract child locs, canonicalize, fetch, run
+    * the urlset pass (one level per fetch round, exactly like link
+    * discovery; the protocol forbids index-of-index nesting). */
+  def extractSitemapIndex(df: DataFrame, idCol: String,
+                          xmlCol: String): DataFrame =
+    sitemapEntries(df, idCol, xmlCol, SitemapIndexEntryPattern)
+
+  private def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String,
+                             entryPattern: String): DataFrame =
     df.filter(col(xmlCol).isNotNull)
       .withColumn("__sm", expr(
-        s"regexp_extract_all($xmlCol, '$SitemapEntryPattern', 0)"))
+        s"regexp_extract_all($xmlCol, '$entryPattern', 0)"))
       .withColumn("__sv", expr(
         s"transform(__sm, mm -> named_struct(" +
           s"'loc', ${graft.operators.Html.visibleSql(
@@ -498,8 +518,17 @@ object Web {
   /** DuckDB twin of [[extractSitemapUrls]] over a relation exposing
     * (doc_id, x) named `__sitemap_src`: (doc_id, pos, loc, lastmod),
     * zip-unnested. */
-  def duckSitemapItems(x: String): String = {
-    val ex = s"regexp_extract_all($x, '$SitemapEntryPattern')"
+  def duckSitemapItems(x: String): String =
+    duckSitemapEntryItems(x, SitemapEntryPattern, "__sitemap_src")
+
+  /** DuckDB twin of [[extractSitemapIndex]] over a relation exposing
+    * (doc_id, x) named `src`. */
+  def duckSitemapIndexItems(x: String, src: String): String =
+    duckSitemapEntryItems(x, SitemapIndexEntryPattern, src)
+
+  private def duckSitemapEntryItems(x: String, entryPattern: String,
+                                    src: String): String = {
+    val ex = s"regexp_extract_all($x, '$entryPattern')"
     val locOf = graft.operators.Html.visibleSql(
       s"regexp_extract(mm, '$SitemapLocPattern', 1)", duck = true)
     val lmOf = s"regexp_extract(mm, '$SitemapLastmodPattern', 1)"
@@ -510,7 +539,7 @@ object Web {
        |FROM (SELECT doc_id,
        |        list_transform(sm, mm -> $locOf) AS ll,
        |        list_transform(sm, mm -> $lmOf) AS ml
-       |      FROM (SELECT doc_id, $ex AS sm FROM __sitemap_src))""".stripMargin
+       |      FROM (SELECT doc_id, $ex AS sm FROM $src))""".stripMargin
   }
 
   /** SQL for DOT-SEGMENT removal over a PATH expr (no query string) —

@@ -1051,6 +1051,122 @@ object Curation {
       SELECT doc_id, pos, canonical AS url, lastmod
       FROM scc ORDER BY doc_id, pos""")),
 
+    // ------------------------------------------ sitemap INDEX recursion
+    // The sitemaps.org protocol caps one file at 50k URLs, so every
+    // large site publishes a <sitemapindex> of child sitemaps — real
+    // seeding hits the INDEX shape first. This composes the full
+    // two-level walk: extractSitemapIndex over the per-site index →
+    // canonicalize child locs (the index spells them MESSY — host
+    // case, :443, a tracking param behind the protocol-required
+    // &amp;) → equi-join the child-sitemap store on the CANONICAL url
+    // (the fetch step; an unreferenced child — every site carries a
+    // third child only when site % 7 = 0 — never joins) →
+    // extractSitemapUrls over each child's urlset → canonicalize the
+    // page urls. Recursion is by composition, one level per fetch
+    // round (the protocol forbids index-of-index nesting — stated).
+    // child_id packs (site, k) as site·4+k so the extraction's one
+    // id column carries both through (k ≤ 3 — the fixture bound).
+    // Everything is per-row codegen + ONE equi-join on canonical
+    // strings; xml bodies never shuffle.
+    Q("x_web_sitemap_index", (s, d) => {
+      val idx = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("__xml", expr(
+          """concat('<?xml version="1.0" encoding="UTF-8"?>',
+            |'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+            |'<sitemap><loc>https://WWW.Map', CAST(doc_id % 5 AS STRING),
+            |'.COM:443/sm/', CAST(doc_id AS STRING),
+            |'/m1.xml?v=1&amp;utm_source=idx</loc>',
+            |'<lastmod>2026-02-01</lastmod></sitemap>',
+            |'<sitemap><loc>https://WWW.Map', CAST(doc_id % 5 AS STRING),
+            |'.COM:443/sm/', CAST(doc_id AS STRING),
+            |'/m2.xml?v=1&amp;utm_source=idx</loc></sitemap>',
+            |IF(doc_id % 7 = 0, concat(
+            |  '<sitemap><loc>https://WWW.Map', CAST(doc_id % 5 AS STRING),
+            |  '.COM:443/sm/', CAST(doc_id AS STRING),
+            |  '/m3.xml?v=1&amp;utm_source=idx</loc></sitemap>'), ''),
+            |'</sitemapindex>')""".stripMargin))
+      val store = fanOut(documents(s, d).select(col("doc_id")))
+        .withColumn("k", explode(expr("array(1, 2, 3)")))
+        .withColumn("child_id", expr("doc_id * 4 + k"))
+        .withColumn("url", expr(
+          """concat('https://www.map', CAST(doc_id % 5 AS STRING),
+            |'.com/sm/', CAST(doc_id AS STRING), '/m', CAST(k AS STRING),
+            |'.xml?v=1')""".stripMargin))
+        .withColumn("__cxml", expr(
+          """concat('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+            |'<url><loc>https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.co.uk/p/', CAST(doc_id * 8 + k * 2 AS STRING),
+            |'?a=1&amp;b=2</loc>',
+            |'<lastmod>2026-03-0', CAST(1 + k AS STRING), '</lastmod></url>',
+            |'<url><loc>https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.co.uk/p/', CAST(doc_id * 8 + k * 2 + 1 AS STRING),
+            |'</loc></url>',
+            |'</urlset>')""".stripMargin))
+      val locs = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractSitemapIndex(idx, "doc_id", "__xml"),
+        "loc", "__c").select(col("__c"))
+      val storec = graft.operators.Web.withCanonicalUrl(
+        store.select(col("child_id"), col("url"), col("__cxml")),
+        "url", "__c")
+      val fetched = storec.join(locs, Seq("__c"))
+        .select(col("child_id"), col("__cxml"))
+      val urls = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractSitemapUrls(fetched, "child_id", "__cxml"),
+        "loc", "__u")
+      urls.select(expr("doc_id div 4").as("site"),
+        expr("doc_id % 4").as("child"),
+        col("pos").as("upos"), col("__u").as("url"), col("lastmod"))
+        .orderBy(col("site"), col("child"), col("upos"))
+    }, Some(s"""
+      WITH idx AS (
+        SELECT doc_id,
+          '<?xml version="1.0" encoding="UTF-8"?>' ||
+          '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+          '<sitemap><loc>https://WWW.Map' || CAST(doc_id % 5 AS VARCHAR) ||
+          '.COM:443/sm/' || CAST(doc_id AS VARCHAR) ||
+          '/m1.xml?v=1&amp;utm_source=idx</loc>' ||
+          '<lastmod>2026-02-01</lastmod></sitemap>' ||
+          '<sitemap><loc>https://WWW.Map' || CAST(doc_id % 5 AS VARCHAR) ||
+          '.COM:443/sm/' || CAST(doc_id AS VARCHAR) ||
+          '/m2.xml?v=1&amp;utm_source=idx</loc></sitemap>' ||
+          CASE WHEN doc_id % 7 = 0 THEN
+            '<sitemap><loc>https://WWW.Map' || CAST(doc_id % 5 AS VARCHAR) ||
+            '.COM:443/sm/' || CAST(doc_id AS VARCHAR) ||
+            '/m3.xml?v=1&amp;utm_source=idx</loc></sitemap>'
+          ELSE '' END ||
+          '</sitemapindex>' AS x
+        FROM documents),
+      ie AS (SELECT doc_id AS site, pos, loc AS url
+             FROM (${graft.operators.Web.duckSitemapIndexItems("x", "idx")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("ie", Seq("site", "pos"), "ic")},
+      store AS (
+        SELECT doc_id, k, doc_id * 4 + k AS child_id,
+          'https://www.map' || CAST(doc_id % 5 AS VARCHAR) ||
+          '.com/sm/' || CAST(doc_id AS VARCHAR) || '/m' || CAST(k AS VARCHAR) ||
+          '.xml?v=1' AS url,
+          '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+          '<url><loc>https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.co.uk/p/' || CAST(doc_id * 8 + k * 2 AS VARCHAR) ||
+          '?a=1&amp;b=2</loc>' ||
+          '<lastmod>2026-03-0' || CAST(1 + k AS VARCHAR) || '</lastmod></url>' ||
+          '<url><loc>https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.co.uk/p/' || CAST(doc_id * 8 + k * 2 + 1 AS VARCHAR) ||
+          '</loc></url>' ||
+          '</urlset>' AS cxml
+        FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+      ${graft.operators.Web.duckCanonicalCtes("store",
+        Seq("child_id", "cxml"), "sc")},
+      __sitemap_src AS (
+        SELECT s9.child_id AS doc_id, s9.cxml AS x
+        FROM scc s9 JOIN icc i9 ON s9.canonical = i9.canonical),
+      ue AS (SELECT doc_id AS child_id, pos, loc AS url, lastmod
+             FROM (${graft.operators.Web.duckSitemapItems("x")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("ue",
+        Seq("child_id", "pos", "lastmod"), "uc")}
+      SELECT child_id // 4 AS site, child_id % 4 AS child, pos AS upos,
+             canonical AS url, lastmod
+      FROM ucc ORDER BY site, child, upos""")),
+
     // ------------------------------------------- robots.txt BODY parsing
     // RFC 9309 §2 group resolution (Web.parseRobots) — the step that
     // turns raw fetched robots.txt bodies into the (host, pattern,

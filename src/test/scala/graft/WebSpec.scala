@@ -255,6 +255,27 @@ class WebSpec extends SparkSpec {
       s"'/' must block every path INCLUDING the root: $kept")
   }
 
+  test("extractSitemapIndex: <sitemap> entries only, urlset entries ignored (shape separation)") {
+    val xml =
+      """<sitemapindex><sitemap><loc>https://h.com/a.xml&amp;v=1</loc>
+        |<lastmod>2026-01-02</lastmod></sitemap>
+        |<sitemap><loc>https://h.com/b.xml</loc></sitemap></sitemapindex>
+        |<urlset><url><loc>https://h.com/NOT-A-CHILD</loc></url></urlset>""".stripMargin
+    val got = Web.extractSitemapIndex(
+      Seq((1L, xml)).toDF("doc_id", "xml"), "doc_id", "xml")
+      .orderBy(col("pos"))
+      .select(col("pos"), col("loc"), col("lastmod"))
+      .as[(Long, String, String)].collect().toSeq
+    // entity decode on loc is load-bearing; missing lastmod → ''.
+    assert(got == Seq((1L, "https://h.com/a.xml&v=1", "2026-01-02"),
+      (2L, "https://h.com/b.xml", "")))
+    // and the urlset extractor symmetrically ignores <sitemap> entries.
+    val urls = Web.extractSitemapUrls(
+      Seq((1L, xml)).toDF("doc_id", "xml"), "doc_id", "xml")
+      .select(col("loc")).as[String].collect().toSeq
+    assert(urls == Seq("https://h.com/NOT-A-CHILD"))
+  }
+
   test("parseRobots: RFC 9309 group resolution — a-priori corner cases beyond the oracle fixture") {
     def parse(body: String, agent: String = "GraftBot"): Seq[(Long, String, Boolean)] =
       Web.parseRobots(Seq(("h.com", body)).toDF("host", "body"),
