@@ -1017,6 +1017,45 @@ object Graph {
     out
   }
 
+  /** SKIP-GRAM training pairs from walks — the relation word2vec-style
+    * embedding training (DeepWalk §4.2 / node2vec §3) actually
+    * consumes: for every walk and every position i, each position j
+    * with 1 ≤ |i − j| ≤ `window` contributes one ordered (center =
+    * node_i, context = node_j) pair. `walks` is any
+    * [[randomWalksMulti]]/[[biasedWalksMulti]] output — (start, walk,
+    * step, node); walks that stopped early at a sink contribute their
+    * shorter span (steps are contiguous, so position distance = step
+    * distance). Output: (center, context, dist, n_pairs) — the
+    * counted multiset (dist for 1/d context weighting schemes).
+    *
+    * Plan: ONE shuffle collects each walk into a ≤ steps+1 array
+    * (bounded by the walk-length contract, never by degree — a hub's
+    * fan-in spreads over many (start, walk) keys), pairs enumerate
+    * inside the array via index transforms (window-free), and the
+    * count aggregates map-side. Never a self-join of the walk
+    * relation: the equi-join would shuffle it twice and re-pair
+    * per-row what the array enumerates in place. */
+  def walkSkipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 64, s"window=$window out of range")
+    walks
+      .groupBy(col("start"), col("walk"))
+      .agg(sort_array(collect_list(struct(col("step"), col("node"))))
+        .as("__w"))
+      .withColumn("__ns", expr("transform(__w, x0 -> x0.node)"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(__ns)), i0 ->
+           |  transform(filter(sequence(greatest(1, i0 - $window),
+           |                            least(size(__ns), i0 + $window)),
+           |                   j0 -> j0 != i0),
+           |    j0 -> named_struct('c', element_at(__ns, i0),
+           |                       'x', element_at(__ns, j0),
+           |                       'dd', abs(j0 - i0)))))""".stripMargin))
+        .as("__p"))
+      .groupBy(col("__p.c").as("center"), col("__p.x").as("context"),
+        expr("CAST(__p.dd AS BIGINT)").as("dist"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
   /** PERSONALIZED PageRank — the seed-expansion form of [[pageRank]]
     * (same exact integer arithmetic): restart mass concentrates on a
     * SEED set instead of spreading uniformly, so rank measures proximity

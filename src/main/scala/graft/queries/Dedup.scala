@@ -929,6 +929,76 @@ object Dedup {
       ORDER BY start, walk, step"""
     }, headline = true),
 
+    // --------------------- skip-gram pairs from walks (word2vec feed)
+    // Graph.walkSkipGrams: the (center, context) pair relation
+    // word2vec-style training actually consumes (DeepWalk §4.2) —
+    // without it the walk surface isn't consumable. Walks =
+    // randomWalksMulti (2 walks per node, 3 steps, the arithmetic
+    // fixture); window 2, so step pairs at distance 1 and 2 pair both
+    // directions and dist rides along for 1/d weighting. The operator
+    // collects each walk into ONE bounded array (≤ steps+1) and
+    // enumerates pairs in place — never a self-join of the walk
+    // relation; walks that stop at a sink contribute their shorter
+    // span. The oracle replays the multi-walk hops (the walk-indexed
+    // seed key) and pairs them with an explicit step self-join — same
+    // multiset, opposite plan.
+    Q("x_graph_skipgrams", (s, d) => {
+      val e = documents(s, d).select(
+        col("doc_id").as("s"), expr("(doc_id * 3 + 1) % 512").as("t"))
+        .unionAll(documents(s, d).select(
+          col("doc_id").as("s"), expr("(doc_id * 5 + 2) % 512").as("t")))
+      graft.operators.Graph.walkSkipGrams(
+        graft.operators.Graph.randomWalksMulti(e, "s", "t",
+          steps = 3, numWalks = 2),
+        window = 2)
+        .orderBy(col("center"), col("context"), col("dist"))
+    }, Some {
+      val hops = (1 to 3).map(i => s"""
+        w$i AS (SELECT f.start, f.walk, f.sk, CAST($i AS BIGINT) AS step,
+                       a.d AS node
+                FROM w${i - 1} f
+                JOIN dg ON f.node = dg.dn
+                JOIN adj a ON f.node = a.s AND
+                  (CAST(concat('0x', substr(md5('walk:' || f.sk ||
+                     ':$i'), 1, 15)) AS BIGINT)
+                   % dg.deg) = a.idx)""").mkString(",")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT doc_id AS s, (doc_id * 3 + 1) % 512 AS d FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 5 + 2) % 512 FROM documents)
+        WHERE s <> d),
+      adj AS MATERIALIZED (
+        SELECT s, d,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY d) AS BIGINT)
+                 - 1 AS idx
+        FROM e0),
+      dg AS MATERIALIZED (
+        SELECT s AS dn, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY s),
+      w0 AS (SELECT dn AS start, CAST(wk AS BIGINT) AS walk,
+                    CASE WHEN wk = 0 THEN CAST(dn AS VARCHAR)
+                         ELSE CAST(dn AS VARCHAR) || '#' ||
+                              CAST(wk AS VARCHAR) END AS sk,
+                    CAST(0 AS BIGINT) AS step, dn AS node
+             FROM dg CROSS JOIN range(0, 2) t(wk)),
+      $hops,
+      walks AS MATERIALIZED (
+        SELECT start, walk, step, node FROM w0
+        UNION ALL SELECT start, walk, step, node FROM w1
+        UNION ALL SELECT start, walk, step, node FROM w2
+        UNION ALL SELECT start, walk, step, node FROM w3),
+      pr AS (SELECT a.node AS center, b.node AS context,
+                    abs(a.step - b.step) AS dist
+             FROM walks a JOIN walks b
+               ON a.start = b.start AND a.walk = b.walk
+              AND a.step <> b.step AND abs(a.step - b.step) <= 2)
+      SELECT center, context, CAST(dist AS BIGINT) AS dist,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pr GROUP BY center, context, dist
+      ORDER BY center, context, dist"""
+    }),
+
     // --------------- directed PageRank, dangling mass REDISTRIBUTED
     // The published-variant twin of x_linkgraph_rank:
     // pageRankDirected(redistributeDangling = true) recycles each

@@ -851,4 +851,31 @@ class GraphSpec extends SparkSpec {
     assert(two(1) == Map(0L -> 1L, 1L -> 0L) && two(2) == Map(0L -> 0L, 1L -> 1L),
       "2-node oscillation is the pinned synchronous-update semantics")
   }
+
+  test("walkSkipGrams: pair counts closed-form on a forced path; sink-shortened walks contribute their span") {
+    import spark.implicits._
+    // the path 1→2→3→4 forces every walk (out-degree 1 throughout), so
+    // the walk set is a-priori: start 1 → [1,2,3,4]; start 2 → [2,3,4]
+    // (stops at the sink); start 3 → [3,4]. Node 4 is a sink — no walk.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val walks = Graph.randomWalksMulti(edges, "s", "d", steps = 3, numWalks = 1)
+    val got = Graph.walkSkipGrams(walks, window = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    // closed form: enumerate pairs of each walk by hand.
+    def pairsOf(w: Seq[Long]): Seq[(Long, Long, Long)] =
+      for {
+        i <- w.indices; j <- w.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (w(i), w(j), math.abs(i - j).toLong)
+    val want = (pairsOf(Seq(1L, 2L, 3L, 4L)) ++ pairsOf(Seq(2L, 3L, 4L)) ++
+      pairsOf(Seq(3L, 4L)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"got $got want $want")
+    // spot anchors: total pair mass 10 + 6 + 2; (3, 4, 1) rides all
+    // three walks; the window bound excludes (1, 4) at distance 3.
+    assert(got.values.sum == 18L)
+    assert(got((3L, 4L, 1L)) == 3L)
+    assert(!got.contains((1L, 4L, 3L)))
+  }
 }
