@@ -1230,7 +1230,8 @@ object Curation {
           ELSE '' END AS body
         FROM documents),
       ${graft.operators.Web.duckRobotsParseCtes("bodies", "rb", "GraftBot")}
-      SELECT host, pos, pattern, allow FROM rbr ORDER BY host, pos""")),
+      SELECT host, pos, pattern, allow FROM rbr ORDER BY host, pos"""),
+      headline = true),
 
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with

@@ -997,7 +997,7 @@ object Dedup {
              CAST(COUNT(*) AS BIGINT) AS n_pairs
       FROM pr GROUP BY center, context, dist
       ORDER BY center, context, dist"""
-    }),
+    }, headline = true),
 
     // --------------- directed PageRank, dangling mass REDISTRIBUTED
     // The published-variant twin of x_linkgraph_rank:

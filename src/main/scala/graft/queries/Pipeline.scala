@@ -854,7 +854,102 @@ object Pipeline {
                       ELSE '<p>' END ||
                  regexp_replace(text, '[^ -~]', '', 'g') ||
                  decode(unhex('2063616666C3A920E280942066696E'))) AS digest
-      FROM documents ORDER BY doc_id""")),
+      FROM documents ORDER BY doc_id"""), headline = true),
+
+    // --------------------------------- WARC redirect aliases (3xx)
+    // Real crawls fetch through redirects: a 301 response carries the
+    // alias edge (target_uri → Location) that lets a page fetched via
+    // a redirected spelling collapse with its canonical twin — the
+    // pinned WARC projection used to DROP 3xx rows wholesale, losing
+    // those edges. Every doc_id % 3 = 0 page also has an OLD spelling
+    // archived as a 301 whose Location is RELATIVE ('/d/<id>' — RFC
+    // 9110 allows it; resolution against the record's own uri is the
+    // same RFC 3986 subset hrefs use, FrontierIngest.aliasLinks).
+    // The query parses the archive, splits pages from redirects,
+    // resolves each alias's target against the fetched pages' canonical
+    // urls, and emits (resolved doc_id, canonical old spelling) — the
+    // oracle restates both from the parquet original alone, so a lost
+    // Location header, a broken relative resolution, or a
+    // canonicalization slip all hash-mismatch.
+    Q("x_warc_redirects", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_rd/${new java.io.File(d).getName}"
+      val pages = docs.select(col("doc_id"),
+        expr("""concat('https://www.r', CAST(doc_id % 7 AS STRING),
+               |'.com/d/', CAST(doc_id AS STRING))""".stripMargin).as("url"),
+        expr("CAST(concat('<html><body><p>', text, '</p></body></html>') AS BINARY)")
+          .as("__b"),
+        lit("text/html; charset=utf-8").as("__ct"), lit("").as("__ce"),
+        lit("200 OK").as("__st"), lit("").as("__loc"))
+      val redirs = docs.filter(expr("doc_id % 3 = 0")).select(col("doc_id"),
+        expr("""concat('https://www.R', CAST(doc_id % 7 AS STRING),
+               |'.COM:443/old/', CAST(doc_id AS STRING))""".stripMargin).as("url"),
+        expr("CAST('' AS BINARY)").as("__b"),
+        lit("text/html").as("__ct"), lit("").as("__ce"),
+        lit("301 Moved Permanently").as("__st"),
+        expr("concat('/d/', CAST(doc_id AS STRING))").as("__loc"))
+      graft.sources.Warc.writeHttp(pages.unionByName(redirs), "url", "__b",
+        "__ct", "__ce", tmp, files = 4,
+        statusCol = Some("__st"), locationCol = Some("__loc"))
+      val parsed = stage(graft.sources.Warc.read(s, tmp)
+        .select(col("target_uri"), col("http_status"), col("http_location")))
+      val aliases = graft.streaming.FrontierIngest.aliasLinks(
+        parsed.filter(col("http_status").between(300, 399)),
+        "target_uri", "http_location")
+      val pmap = graft.operators.Web.withCanonicalUrl(
+        parsed.filter(col("http_status") === 200)
+          .select(col("target_uri").as("url")), "url", "__c")
+        .select(col("__c").as("to_url"),
+          expr("CAST(split_part(__c, '/d/', 2) AS BIGINT)").as("doc_id"))
+      aliases.join(pmap, Seq("to_url"))
+        .select(col("doc_id"), col("from_url"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             'https://www.r' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/old/' || CAST(doc_id AS VARCHAR) AS from_url
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""")),
+
+    // ----------------------------------- WARC CDX single-record audit
+    // Takedown/audit workflows re-fetch INDIVIDUAL records from 100k
+    // archives; gzip members are unseekable, so without an index each
+    // fetch pays a whole-file parse. The writers emit a CDX-style
+    // sidecar at write time (record_id, uri, file, offset, length —
+    // offsets are free as members are written, the CommonCrawl
+    // convention); this query drives the audit path end-to-end: pick
+    // the doc_id % 101 = 0 records, derive their record ids (md5 of
+    // the url — the writer's id discipline), join the index
+    // (broadcast — the wanted set is k-bounded by the audit
+    // contract), ranged-read exactly those members
+    // (Warc.readRanged: one seek + one member inflate per record),
+    // and verify the payload against the parquet original. Bytes
+    // read = Σ selected member lengths, not Σ archive sizes —
+    // WarcCdxSpec pins the bound; the oracle pins the content.
+    Q("x_warc_cdx", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_cdx/${new java.io.File(d).getName}"
+      val pages = docs.withColumn("url",
+        expr("concat('https://cdx.example.com/doc/', CAST(doc_id AS STRING))"))
+      graft.sources.Warc.write(pages, "url", "text", tmp, files = 4)
+      val wanted = docs.filter(expr("doc_id % 101 = 0"))
+        .select(expr("""concat('<urn:graft:',
+               |md5(concat('https://cdx.example.com/doc/',
+               |           CAST(doc_id AS STRING))), '>')""".stripMargin)
+          .as("record_id"))
+      val sel = graft.sources.Warc.readCdx(s, tmp)
+        .join(broadcast(wanted), Seq("record_id"))
+      val recs = graft.sources.Warc.readRanged(s, tmp,
+        sel.select(col("file"), col("offset"), col("length")))
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+      docs.alias("o").join(recs.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN decode(w.body, 'UTF-8') <=> o.text THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("md5(decode(w.body, 'UTF-8'))").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, md5(text) AS digest
+      FROM documents WHERE doc_id % 101 = 0 ORDER BY doc_id""")),
 
     // ------------------------------------------- CSV interchange (egress)
     // RFC-4180 CSV round trip over the HARD case — free text with commas,

@@ -72,6 +72,7 @@ object Warc {
                               warc_date: String, target_uri: String,
                               http_status: Int, http_content_type: String,
                               http_content_encoding: String,
+                              http_location: String,
                               body: Array[Byte])
 
   /** Deterministic fixture date — callers pass a real crawl timestamp
@@ -102,11 +103,13 @@ object Warc {
                              date: String,
                              ctype: String = "text/html; charset=utf-8",
                              cenc: String = "",
-                             status: String = "200 OK")
+                             status: String = "200 OK",
+                             location: String = "")
       : Array[Byte] = {
     val http = (s"HTTP/1.1 $status\r\n" +
       s"Content-Type: $ctype\r\n" +
       (if (cenc.nonEmpty) s"Content-Encoding: $cenc\r\n" else "") +
+      (if (location.nonEmpty) s"Location: $location\r\n" else "") +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
     (s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
@@ -132,9 +135,48 @@ object Warc {
       fields ++ Crlf2
   }
 
+  /** Per-partition file writer shared by the three writers: the
+    * `.warc.gz` member stream PLUS its CDX-style sidecar index
+    * `<prefix>-<pid>.cdx` — one tab-separated line per response
+    * record: `record_id \t target_uri \t file \t offset \t length`
+    * (offset/length of the record's GZIP MEMBER in the archive file —
+    * known as members are emitted, free at write time). The index is
+    * what makes single-record re-reads possible without reparsing the
+    * archive ([[readRanged]]): gzip members are unseekable WITHOUT it,
+    * so takedown/audit workflows would otherwise pay a whole-file
+    * parse per record (the CommonCrawl CDX convention). Both files are
+    * partition-id-named — task retries overwrite, never duplicate; the
+    * reader's `*.warc.gz` glob never sees the sidecar. URIs carry no
+    * tabs by contract (canonical crawl urls — stated). */
+  private def writePartitionFiles(path: String, prefix: String, pid: Int,
+                                  conf: org.apache.hadoop.conf.Configuration,
+                                  date: String,
+                                  recs: Iterator[(String, Array[Byte])])
+      : Unit = {
+    val name = f"$prefix-$pid%05d.warc.gz"
+    val f = new Path(path, name)
+    val fs = f.getFileSystem(conf)
+    val out = fs.create(f, true)
+    val idx = new StringBuilder
+    try {
+      val info = gzMember(warcinfoRecord(pid, date))
+      out.write(info)
+      var off = info.length.toLong
+      recs.foreach { case (uri, recordBytes) =>
+        val member = gzMember(recordBytes)
+        out.write(member)
+        idx.append(s"<urn:graft:${md5hex(uri)}>\t$uri\t$name\t$off\t${member.length}\n")
+        off += member.length
+      }
+    } finally out.close()
+    val fi = fs.create(new Path(path, f"$prefix-$pid%05d.cdx"), true)
+    try fi.write(idx.toString.getBytes("UTF-8")) finally fi.close()
+  }
+
   /** Write `df`'s (urlCol, bodyCol) rows as `files` `.warc.gz` files
     * under `path` (replacing it): per file, a `warcinfo` member then
-    * one `response` member per row. Executors write their own files
+    * one `response` member per row, plus the CDX sidecar
+    * ([[writePartitionFiles]]). Executors write their own files
     * (partition-id-named — task retries overwrite, never duplicate).
     * Rows with a NULL url or body are SKIPPED (a null page is not a
     * fetch — stated). Body strings write as UTF-8 bytes. */
@@ -152,16 +194,11 @@ object Warc {
       .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
       .repartition(files)
       .foreachPartition { (it: Iterator[Row]) =>
-        val pid = TaskContext.getPartitionId()
-        val f = new Path(path, f"$prefix-$pid%05d.warc.gz")
-        val out = f.getFileSystem(conf.value).create(f, true)
-        try {
-          out.write(gzMember(warcinfoRecord(pid, date)))
-          it.foreach { r =>
-            out.write(gzMember(responseRecord(r.getString(0),
-              r.getString(1).getBytes("UTF-8"), date)))
-          }
-        } finally out.close()
+        writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
+          conf.value, date,
+          it.map(r => (r.getString(0),
+            responseRecord(r.getString(0),
+              r.getString(1).getBytes("UTF-8"), date))))
       }
   }
 
@@ -254,13 +291,20 @@ object Warc {
                       .find(_.toLowerCase.startsWith("content-encoding:"))
                       .map(_.substring("content-encoding:".length).trim)
                       .getOrElse("")
+                    // 3xx responses carry the redirect target here —
+                    // the alias edge canonicalization and the link
+                    // graph need ('' when absent).
+                    val loc = lines.drop(1)
+                      .find(_.toLowerCase.startsWith("location:"))
+                      .map(_.substring("location:".length).trim)
+                      .getOrElse("")
                     status.foreach { st =>
                       out += WarcRecord(
                         hdrs.getOrElse("warc-record-id", ""),
                         "response",
                         hdrs.getOrElse("warc-date", ""),
                         hdrs.getOrElse("warc-target-uri", ""),
-                        st, ctype, cenc,
+                        st, ctype, cenc, loc,
                         java.util.Arrays.copyOfRange(
                           payload, he + 4, payload.length))
                     }
@@ -288,6 +332,52 @@ object Warc {
       .toDF()
   }
 
+  /** The CDX-style record index written beside the archives
+    * ([[writePartitionFiles]]): one row per response record —
+    * (record_id, target_uri, file, offset, length), offset/length of
+    * the record's gzip member inside `file`. A whole-corpus relation
+    * of tiny rows: join it by record id or url to plan single-record
+    * re-reads ([[readRanged]]) without reparsing archives. */
+  def readCdx(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("text").option("pathGlobFilter", "*.cdx").load(path)
+      .select(split(col("value"), "\t").as("__p"))
+      .select(expr("element_at(__p, 1)").as("record_id"),
+        expr("element_at(__p, 2)").as("target_uri"),
+        expr("element_at(__p, 3)").as("file"),
+        expr("CAST(element_at(__p, 4) AS BIGINT)").as("offset"),
+        expr("CAST(element_at(__p, 5) AS BIGINT)").as("length"))
+
+  /** RANGED single-record reads driven by an index selection — the
+    * takedown/audit path: `sel` exposes (file, offset, length) rows
+    * ([[readCdx]] filtered/joined down to the records wanted,
+    * k-bounded by that workflow's contract). Each row seeks into its
+    * archive and inflates exactly ONE gzip member, so bytes read =
+    * Σ selected member lengths, NOT Σ archive sizes — at 100k × 1 GB
+    * archives, fetching k records costs k seeks instead of k full
+    * parses (the whole reason the sidecar exists; WarcCdxSpec pins
+    * the byte bound). Output = the parsed [[WarcRecord]] relation of
+    * exactly the selected records. */
+  def readRanged(spark: SparkSession, path: String,
+                 sel: DataFrame): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    sel.select(col("file").cast("string"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (file, off, len) =>
+          val p = new Path(path, file)
+          val in = p.getFileSystem(conf.value).open(p)
+          try {
+            in.seek(off)
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(buf)
+            parseFile(buf)
+          } finally in.close()
+        }
+      }.toDF()
+  }
+
   /** [[write]] for BINARY payloads (image/audio/video archives — the
     * multimodal half of a real crawl): `bodyCol` must be BinaryType,
     * `ctype` is the records' payload content type (e.g. `image/png`).
@@ -308,16 +398,11 @@ object Warc {
       .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
       .repartition(files)
       .foreachPartition { (it: Iterator[Row]) =>
-        val pid = TaskContext.getPartitionId()
-        val f = new Path(path, f"$prefix-$pid%05d.warc.gz")
-        val out = f.getFileSystem(conf.value).create(f, true)
-        try {
-          out.write(gzMember(warcinfoRecord(pid, date)))
-          it.foreach { r =>
-            out.write(gzMember(responseRecord(r.getString(0),
-              r.getAs[Array[Byte]](1), date, ctype)))
-          }
-        } finally out.close()
+        writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
+          conf.value, date,
+          it.map(r => (r.getString(0),
+            responseRecord(r.getString(0), r.getAs[Array[Byte]](1), date,
+              ctype))))
       }
   }
 
@@ -329,11 +414,19 @@ object Warc {
     * verbatim: a `Content-Encoding: gzip` row must already carry
     * gzip'd bytes (`gzip_bytes(...)` — the writer does not compress;
     * that keeps write and read strictly inverse and the archived
-    * bytes exactly what the "server" sent). Null url/body rows skip. */
+    * bytes exactly what the "server" sent). Null url/body rows skip.
+    * `statusCol`/`locationCol` (optional) carry a per-row HTTP status
+    * line tail (e.g. `301 Moved Permanently`) and a `Location` header
+    * (`''` = no header) — the redirect-archiving shape: real crawls
+    * record 3xx responses, and the alias edges they carry are what
+    * lets a page fetched via a redirected spelling collapse with its
+    * canonical twin downstream. */
   def writeHttp(df: DataFrame, urlCol: String, bodyCol: String,
                 ctypeCol: String, cencCol: String, path: String,
                 files: Int, date: String = DefaultDate,
-                prefix: String = "part", replace: Boolean = true): Unit = {
+                prefix: String = "part", replace: Boolean = true,
+                statusCol: Option[String] = None,
+                locationCol: Option[String] = None): Unit = {
     require(files > 0, s"files=$files must be positive")
     val spark = df.sparkSession
     val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
@@ -341,23 +434,23 @@ object Warc {
     val fs = root.getFileSystem(conf.value)
     if (replace) fs.delete(root, true)
     fs.mkdirs(root)
+    val statusC = statusCol.map(c => col(c).cast("string"))
+      .getOrElse(lit("200 OK"))
+    val locC = locationCol.map(c => col(c).cast("string")).getOrElse(lit(""))
     df.select(col(urlCol).cast("string"), col(bodyCol).cast("binary"),
-        col(ctypeCol).cast("string"), col(cencCol).cast("string"))
+        col(ctypeCol).cast("string"), col(cencCol).cast("string"),
+        statusC, locC)
       .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
       .repartition(files)
       .foreachPartition { (it: Iterator[Row]) =>
-        val pid = TaskContext.getPartitionId()
-        val f = new Path(path, f"$prefix-$pid%05d.warc.gz")
-        val out = f.getFileSystem(conf.value).create(f, true)
-        try {
-          out.write(gzMember(warcinfoRecord(pid, date)))
-          it.foreach { r =>
-            out.write(gzMember(responseRecord(r.getString(0),
-              r.getAs[Array[Byte]](1), date,
+        writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
+          conf.value, date,
+          it.map(r => (r.getString(0),
+            responseRecord(r.getString(0), r.getAs[Array[Byte]](1), date,
               ctype = Option(r.getString(2)).getOrElse(""),
-              cenc = Option(r.getString(3)).getOrElse(""))))
-          }
-        } finally out.close()
+              cenc = Option(r.getString(3)).getOrElse(""),
+              status = Option(r.getString(4)).getOrElse("200 OK"),
+              location = Option(r.getString(5)).getOrElse("")))))
       }
   }
 

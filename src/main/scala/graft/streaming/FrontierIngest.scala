@@ -94,6 +94,44 @@ object FrontierIngest {
       .distinct()
   }
 
+  /** Canonical REDIRECT ALIAS rows of a batch: (from_url, to_url),
+    * both canonical — the 3xx + `Location` edges a real crawl records
+    * (a page fetched via a redirected spelling never collapses with
+    * its canonical twin unless these fold into the url→id map —
+    * [[LinkGraphIngest]]'s alias discipline). `toCol` may be RELATIVE
+    * (RFC 9110 §10.2.2 allows it): it resolves against the from-url's
+    * canonical base via the same RFC 3986 §5 subset as hrefs;
+    * unresolvable (other-scheme / empty) and self-aliases drop. */
+  def aliasLinks(df: DataFrame, fromCol: String, toCol: String): DataFrame = {
+    val src = df.select(col(fromCol).cast("string").as("__au"),
+        col(toCol).cast("string").as("__loc"))
+      .filter(col("__au").isNotNull && col("__loc").isNotNull &&
+        col("__loc") =!= "")
+      .distinct()
+    // canonical context JOINED back (the [[outlinks]] shape — the join
+    // keeps resolveRefSql's many scheme/host/path references plain
+    // ATTRIBUTES; inlining the canonical projection chain per
+    // reference explodes the expression tree exponentially, the
+    // chained-withColumns trap).
+    val ctx = Web.withCanonicalUrl(
+      src.select(col("__au")).distinct(), "__au", "__c")
+      .select(col("__au").as("__cu"), col("__c"),
+        expr("split_part(__c, '://', 1)").as("__scheme"),
+        col("__c_host").as("__host"),
+        expr("""split_part(substring(__c,
+          |  length(split_part(__c, '://', 1)) + 4 + length(__c_host)),
+          |  '?', 1)""".stripMargin).as("__path"))
+    val resolved = src.join(ctx, col("__au") === col("__cu"))
+      .withColumn("__abs", expr(
+        Web.resolveRefSql("__loc", "__scheme", "__host", "__path",
+          duck = false)))
+      .filter(col("__abs").isNotNull)
+    Web.withCanonicalUrl(resolved, "__abs", "__t")
+      .select(col("__c").as("from_url"), col("__t").as("to_url"))
+      .filter(col("from_url") =!= col("to_url"))
+      .distinct()
+  }
+
   /** Seed the seen set from an already-fetched corpus ONCE (tracked
     * staging — the growing-root contract; pass an empty relation to
     * start from nothing). */

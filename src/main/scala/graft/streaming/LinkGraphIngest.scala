@@ -51,11 +51,21 @@ import graft.sources.Tables
   * over the live edge view. Requires parquet staging mode. */
 object LinkGraphIngest {
 
-  /** Growing link-graph state: live views + the four roots. */
+  /** Growing link-graph state: live views + the six roots. The ALIAS
+    * roots carry redirect edges (from_url, to_url) whose target is not
+    * yet fetched — the pending/consumed discipline applied to 3xx
+    * `Location` aliases: when a later batch fetches `to_url`, the
+    * alias RESOLVES into a url-map row (from_url → id(to_url)), so a
+    * page reached via the redirected spelling collapses with its
+    * canonical twin retroactively. Alias CHAINS (A→B→C with B never
+    * fetched directly) resolve one level per batch fold — the same
+    * retro cadence as pending links (stated). */
   final case class LinkGraphState(urls: DataFrame, edges: DataFrame,
-                                  pending: DataFrame,
+                                  pending: DataFrame, aliases: DataFrame,
                                   urlsPath: String, edgesPath: String,
                                   pendingPath: String, consumedPath: String,
+                                  aliasesPath: String,
+                                  aliasConsumedPath: String,
                                   version: Long, foldedBatch: Long = -1L)
     extends Gate.Folded
 
@@ -64,20 +74,46 @@ object LinkGraphIngest {
     val pendingLive = Gate.readGrown(spark, st.pendingPath)
       .join(Gate.readGrown(spark, st.consumedPath),
         Seq("url", "ref_id"), "left_anti")
+    val aliasLive = Gate.readGrown(spark, st.aliasesPath)
+      .join(Gate.readGrown(spark, st.aliasConsumedPath),
+        Seq("from_url", "to_url"), "left_anti")
     st.copy(urls = Gate.readGrown(spark, st.urlsPath),
       edges = Gate.readGrown(spark, st.edgesPath).distinct(),
-      pending = pendingLive)
+      pending = pendingLive, aliases = aliasLive)
   }
+
+  private def emptyRel(spark: org.apache.spark.sql.SparkSession,
+                       a: String, b: String,
+                       bType: org.apache.spark.sql.types.DataType)
+      : DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(a,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(b, bType))))
 
   /** Seed from an already-fetched corpus ONCE: its URL map, its
     * internally-resolvable edges, and its dangling outlinks as the
-    * initial pending set. */
+    * initial pending set. `aliases` (optional) is a CANONICAL
+    * (from_url, to_url) redirect relation ([[FrontierIngest.aliasLinks]]
+    * output): entries whose target is in the corpus resolve into the
+    * url map now; the rest seed the alias root and resolve
+    * retroactively. */
   def buildLinkGraph(corpus: DataFrame, idCol: String, urlCol: String,
-                     htmlCol: String, version: Long = 0L): LinkGraphState = {
+                     htmlCol: String, version: Long = 0L,
+                     aliases: Option[DataFrame] = None): LinkGraphState = {
     val spark = corpus.sparkSession
-    val pages = Tables.stageTracked(
-      FrontierIngest.pageUrls(corpus, idCol, urlCol)
-        .groupBy(col("curl").as("url")).agg(min(col("id")).as("id")))
+    val al = aliases.map(_.select(col("from_url"), col("to_url")).distinct())
+      .getOrElse(emptyRel(spark, "from_url", "to_url",
+        org.apache.spark.sql.types.StringType))
+    val direct = FrontierIngest.pageUrls(corpus, idCol, urlCol)
+      .groupBy(col("curl").as("url")).agg(min(col("id")).as("id"))
+    val aliasResolved = al
+      .join(direct.select(col("url").as("to_url"), col("id")), Seq("to_url"))
+      .select(col("from_url").as("url"), col("id"))
+    val pages = Tables.stageTracked(direct.unionByName(aliasResolved)
+      .groupBy(col("url")).agg(min(col("id")).as("id")))
     val links = Tables.stageTracked(
       FrontierIngest.outlinks(corpus, idCol, urlCol, htmlCol)
         .select(col("curl").as("url"), col("ref_id")))
@@ -88,50 +124,83 @@ object LinkGraphIngest {
       .select(col("ref_id").as("s"), col("id").as("d")).distinct()
     val dangling = links.df.join(pages.df.select(col("url")),
       Seq("url"), "left_anti")
+    val aliasWaiting = al.join(
+      direct.select(col("url").as("to_url")), Seq("to_url"), "left_anti")
+      .select(col("from_url"), col("to_url"))
     val ed = Tables.stageTracked(resolved)
     val pd = Tables.stageTracked(dangling)
-    val cd = Tables.stageTracked(
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("url",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("ref_id",
-            org.apache.spark.sql.types.LongType)))))
-    val st = LinkGraphState(null, null, null, pages.path.get, ed.path.get,
-      pd.path.get, cd.path.get, version)
+    val cd = Tables.stageTracked(emptyRel(spark, "url", "ref_id",
+      org.apache.spark.sql.types.LongType))
+    val ad = Tables.stageTracked(aliasWaiting)
+    val acd = Tables.stageTracked(emptyRel(spark, "from_url", "to_url",
+      org.apache.spark.sql.types.StringType))
+    val st = LinkGraphState(null, null, null, null, pages.path.get,
+      ed.path.get, pd.path.get, cd.path.get, ad.path.get, acd.path.get,
+      version)
     liveViews(spark, st)
   }
 
-  /** Restore from the four roots (prunes folds past the fence). */
+  /** Restore from the six roots (prunes folds past the fence). */
   def restoreLinkGraph(spark: org.apache.spark.sql.SparkSession,
                        urlsPath: String, edgesPath: String,
                        pendingPath: String, consumedPath: String,
+                       aliasesPath: String, aliasConsumedPath: String,
                        version: Long = 0L,
                        foldedBatch: Long = -1L): LinkGraphState = {
-    Seq(urlsPath, edgesPath, pendingPath, consumedPath)
+    Seq(urlsPath, edgesPath, pendingPath, consumedPath, aliasesPath,
+      aliasConsumedPath)
       .foreach(Gate.pruneGrown(spark, _, foldedBatch))
-    liveViews(spark, LinkGraphState(null, null, null, urlsPath, edgesPath,
-      pendingPath, consumedPath, version, foldedBatch))
+    liveViews(spark, LinkGraphState(null, null, null, null, urlsPath,
+      edgesPath, pendingPath, consumedPath, aliasesPath, aliasConsumedPath,
+      version, foldedBatch))
   }
 
   /** RESOLVE-THEN-FOLD: `onBatch` receives the batch's newly resolved
     * edges (s, d, url) — including RETRO-resolutions of earlier
-    * batches' dangling links the batch's pages satisfy. */
+    * batches' dangling links the batch's pages satisfy.
+    *
+    * `aliasCols` (optional) names a (fromCol, toCol) RAW-url column
+    * pair in the batch: rows whose to-column is non-null/non-empty are
+    * REDIRECT rows (3xx + `Location` — what a WARC-fed fetch layer
+    * delivers beside pages), not pages; they carry no extractable
+    * html and never enter pageUrls/outlinks. Their canonical alias
+    * edge ([[FrontierIngest.aliasLinks]]) resolves against the map AS
+    * OF the batch — immediately when the target is already fetched
+    * (the alias map row joins this batch's own link resolution, so a
+    * pending link to the redirected spelling collapses in the SAME
+    * fold), retroactively via the alias root otherwise. */
   def startLinkGraph(stream: Stream, state: AtomicReference[LinkGraphState],
                      idCol: String, urlCol: String, htmlCol: String,
-                     checkpoint: Option[String] = None)(
+                     checkpoint: Option[String] = None,
+                     aliasCols: Option[(String, String)] = None)(
                      onBatch: (DataFrame, Long, Long) => Unit): StreamingQuery =
     Gate.startFolding(stream, state, checkpoint) { (batch, st, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
-      val bp = FrontierIngest.pageUrls(batch, idCol, urlCol)
+      val isAlias = aliasCols.map { case (_, t) =>
+        col(t).isNotNull && col(t) =!= "" }.getOrElse(lit(false))
+      val pagesRows = batch.filter(!isAlias)
+      val ba = aliasCols.map { case (f, t) =>
+        FrontierIngest.aliasLinks(batch.filter(isAlias), f, t)
+      }.getOrElse(emptyRel(spark, "from_url", "to_url",
+        org.apache.spark.sql.types.StringType))
+      val bp = FrontierIngest.pageUrls(pagesRows, idCol, urlCol)
         .select(col("curl").as("url"), col("id"))
-      val bl = FrontierIngest.outlinks(batch, idCol, urlCol, htmlCol)
+      val bl = FrontierIngest.outlinks(pagesRows, idCol, urlCol, htmlCol)
         .select(col("curl").as("url"), col("ref_id"))
-      // the map AS OF this batch: grown rows + the batch's own pages,
-      // min id per url (re-fetches resolve deterministically).
-      val fullMap = st.urls.unionByName(bp)
+      // the DIRECT map AS OF this batch: grown rows (incl. previously
+      // resolved alias entries) + the batch's own pages, min id per
+      // url (re-fetches resolve deterministically).
+      val directMap = st.urls.unionByName(bp)
+        .groupBy(col("url")).agg(min(col("id")).as("id"))
+      // alias resolution BEFORE link resolution: an alias whose target
+      // is (now) fetched becomes a url-map row this same fold.
+      val aliasCand = st.aliases.unionByName(ba).distinct()
+      val aliasResolved = aliasCand
+        .join(directMap.select(col("url").as("to_url"), col("id")),
+          Seq("to_url"))
+        .select(col("from_url").as("url"), col("id"))
+      val fullMap = directMap.unionByName(aliasResolved)
         .groupBy(col("url")).agg(min(col("id")).as("id"))
       val cand = st.pending.unionByName(bl).distinct()
       val resolvedAll = cand.join(fullMap, Seq("url"))
@@ -148,7 +217,7 @@ object LinkGraphIngest {
       // batch links that resolve immediately never enter the pending
       // root (stillPending anti-joins the map), so tombstoning them
       // would grow consumed O(all resolved links) instead of
-      // O(retro-resolved).
+      // O(retro-resolved). Aliases follow the same discipline.
       val consumed = st.pending
         .join(fullMap.select(col("url")), Seq("url"))
         .select(col("url"), col("ref_id")).distinct()
@@ -156,10 +225,24 @@ object LinkGraphIngest {
       val stillPending = bl
         .join(fullMap.select(col("url")), Seq("url"), "left_anti")
         .select(col("url"), col("ref_id"))
-      Gate.growDir(bp, st.urlsPath, batchId)
+      val aliasConsumed = st.aliases
+        .join(directMap.select(col("url").as("to_url")), Seq("to_url"))
+        .select(col("from_url"), col("to_url")).distinct()
+        .as[(String, String)].collect().toSeq
+      val stillAlias = ba
+        .join(directMap.select(col("url").as("to_url")), Seq("to_url"),
+          "left_anti")
+        .select(col("from_url"), col("to_url"))
+      // the urls root grows the batch pages AND this fold's resolved
+      // alias entries — later batches' directMap then carries them.
+      Gate.growDir(bp.unionByName(aliasResolved.select(col("url"), col("id"))),
+        st.urlsPath, batchId)
       Gate.growDir(newEdgesDf.select(col("s"), col("d")), st.edgesPath, batchId)
       Gate.growDir(stillPending, st.pendingPath, batchId)
       Gate.growDir(consumed.toDF("url", "ref_id"), st.consumedPath, batchId)
+      Gate.growDir(stillAlias, st.aliasesPath, batchId)
+      Gate.growDir(aliasConsumed.toDF("from_url", "to_url"),
+        st.aliasConsumedPath, batchId)
       (newEdgesDf, liveViews(spark,
         st.copy(version = st.version + 1, foldedBatch = batchId)))
     }(onBatch)

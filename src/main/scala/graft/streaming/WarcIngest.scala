@@ -51,6 +51,19 @@ object WarcIngest {
         col("target_uri").as("url"),
         col("html"))
 
+  /** The streaming (from_url, to_url) REDIRECT-ALIAS view over the
+    * same archive: 3xx responses with a `Location` header,
+    * canonicalized and resolved ([[FrontierIngest.aliasLinks]] —
+    * relative Locations resolve against the record's own uri). Feed
+    * [[LinkGraphIngest]]'s alias fold so pages fetched via redirected
+    * spellings collapse with their canonical twins. */
+  def aliases(spark: SparkSession, dir: String): DataFrame =
+    FrontierIngest.aliasLinks(
+      Warc.readStream(spark, dir)
+        .filter(col("warc_type") === "response" &&
+          col("http_status").between(300, 399)),
+      "target_uri", "http_location")
+
   /** [[pages]] wrapped as a [[Stream]] — plug into WebIngest /
     * FrontierIngest / LinkGraphIngest directly. */
   def stream(spark: SparkSession, dir: String): Stream =

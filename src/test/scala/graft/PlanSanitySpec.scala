@@ -99,6 +99,10 @@ class PlanSanitySpec extends SparkSpec {
       // scan lives in the producing write), so the visible plan is
       // staged-only by construction.
       "x_pipeline_warc",
+      // x_warc_redirects stages the parsed (uri, status, location)
+      // relation — it feeds BOTH the alias extraction and the page
+      // map; same WARC-interchange-boundary reasoning as above.
+      "x_warc_redirects",
       // x_quality_lm5 is x_quality_lm's staged-tf shape at order 5.
       "x_quality_lm5",
       // Sentences.spanDedup stages the sentence relation (feeds the
@@ -142,6 +146,9 @@ class PlanSanitySpec extends SparkSpec {
       // the visible plan starts there. The biased variant adds the
       // staged edge relation for the distance-1 mark join.
       "x_graph_walks", "x_graph_walks_biased",
+      // x_graph_skipgrams pairs walks built from the same staged
+      // adjacency/degree relations — the visible plan starts there.
+      "x_graph_skipgrams",
       // x_graph_walks_multi reads the staged first-hop + (prev, node)
       // transition tables (built once; every hop equi-joins them).
       "x_graph_walks_multi")

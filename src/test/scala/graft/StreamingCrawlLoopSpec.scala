@@ -51,6 +51,11 @@ class StreamingCrawlLoopSpec extends SparkSpec {
       def u(host: String, p: String) = s"https://www.$host/$p"
       val uA1 = u("a.com", "d/1"); val uA2 = u("a.com", "d/2")
       val uB1 = u("b.example.org", "d/1")
+      // a1 links b1 ONLY through its OLD spelling — the server answers
+      // that url with a 301 to uB1, so the a1 → b1 edge exists only if
+      // the redirect alias folds into the url→id map (retroactively:
+      // the alias arrives in round 2, b1 itself is fetched in round 3).
+      val uB1old = u("b.example.org", "old/1")
       val uPriv = u("c.com", "private/x")
       val uD = (1 to 4).map(i => u("d.com", s"d/$i"))
       val bodyShared = "the quick brown fox jumps over the lazy dog again"
@@ -59,9 +64,15 @@ class StreamingCrawlLoopSpec extends SparkSpec {
           bodies.map(b => s"<p>$b</p>").mkString +
           links.map(l => s"""<a href="$l">l</a>""").mkString("<p>", " ", "</p>") +
           "</body></html>"
+      // 3xx responses the world serves: url → Location target. The
+      // fetch layer delivers them to the FRONTIER (the url was fetched
+      // — it folds as seen, no links extract from the empty body) and
+      // to the LINK gate as alias rows; never to WebIngest (the 200 +
+      // text/html page projection — WarcIngest.pages' filter).
+      val redirects = Map(uB1old -> uB1)
       // the static web, keyed by url. ids are the fetch order.
       val world = Map(
-        uA1 -> ((10L, page("T", Seq(uB1, uPriv, uA2),
+        uA1 -> ((10L, page("T", Seq(uB1old, uPriv, uA2),
           bodyShared, "alpha content block one here"))),
         uA2 -> ((11L, page("T", uD :+ uB1,
           "mail bob@x.example.com today", "beta content block two here"))),
@@ -73,7 +84,9 @@ class StreamingCrawlLoopSpec extends SparkSpec {
         uD(0) -> ((13L, page("T", Nil, "delta one content", "delta tail block"))),
         uD(1) -> ((14L, page("T", Nil, "delta two content", "delta tail block"))),
         uD(2) -> ((15L, page("T", Nil, "delta three content", "delta tail block"))),
-        uD(3) -> ((16L, page("T", Nil, "delta four content", "delta tail block"))))
+        uD(3) -> ((16L, page("T", Nil, "delta four content", "delta tail block"))),
+        // the 301: an empty body, id by fetch order like any response.
+        uB1old -> ((17L, "")))
 
       // the robots relation comes from a RAW robots.txt BODY through
       // the RFC 9309 parser (Web.parseRobots) — the frontier's robots
@@ -111,9 +124,11 @@ class StreamingCrawlLoopSpec extends SparkSpec {
         Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d",
         iterations = 3, scale = 1000000000L)
 
+      // `loc` = the 3xx Location (absent/null on page rows — from_json
+      // nulls missing fields, so page JSON never has to spell it).
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("url", StringType),
-        StructField("html", StringType)))
+        StructField("html", StringType), StructField("loc", StringType)))
       val msF = MemoryStream[KMsg]; val msW = MemoryStream[KMsg]
       val msL = MemoryStream[KMsg]
       var novel = Seq.empty[String]
@@ -135,16 +150,18 @@ class StreamingCrawlLoopSpec extends SparkSpec {
       }
       val qL = LinkGraphIngest.startLinkGraph(
         Stream.fromKafkaShaped(spark, msL.toDF(), schema), linkState,
-        "value.doc_id", "value.url", "value.html") { (edges, _, _) =>
+        "value.doc_id", "value.url", "value.html",
+        aliasCols = Some(("value.url", "value.loc"))) { (edges, _, _) =>
         rank = Graph.pageRankDirectedRefreshState(rank,
           edges.select(col("s"), col("d")), "s", "d")
       }
 
       def send(ms: MemoryStream[KMsg],
                q: org.apache.spark.sql.streaming.StreamingQuery,
-               rows: Seq[(Long, String, String)]): Unit = {
-        val payloads = rows.toDF("doc_id", "url", "html")
-          .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+               rows: Seq[(Long, String, String, String)]): Unit = {
+        val payloads = rows.toDF("doc_id", "url", "html", "loc")
+          .select(to_json(struct(col("doc_id"), col("url"), col("html"),
+            col("loc"))).as("j"))
           .as[String].collect()
         ms.addData(payloads.zipWithIndex.map { case (j, i) =>
           KMsg("t", 0, i.toLong, new Timestamp(1000L + i), null,
@@ -159,11 +176,14 @@ class StreamingCrawlLoopSpec extends SparkSpec {
       var rounds = 0
       while (toFetch.nonEmpty && rounds < 10) {
         val batch = toFetch.map { url =>
-          val (id, html) = world(url); (id, url, html)
+          val (id, html) = world(url)
+          (id, url, html, redirects.get(url).orNull)
         }
         fetched ++= toFetch
         send(msF, qF, batch)
-        send(msW, qW, batch)
+        // WebIngest consumes PAGES only (the 200 + text/html
+        // projection) — 3xx rows never reach curation.
+        send(msW, qW, batch.filter(_._4 == null))
         send(msL, qL, batch)
         // batch N's novel frontier IS batch N+1's fetch set (urls the
         // world doesn't serve would 404 — none here by construction).
@@ -173,22 +193,31 @@ class StreamingCrawlLoopSpec extends SparkSpec {
       }
       qF.stop(); qW.stop(); qL.stop()
 
-      // 1. the fetched closure: a1 → {a2, b1} (c.com/private robots-
-      // blocked) → a2 discovers d.com under budget 2 → the two
-      // smallest-'fq:'-hash d urls; their pages link nothing → done.
+      // 1. the fetched closure: a1 → {a2, b1old} (c.com/private robots-
+      // blocked) → b1old 301s; a2 discovers b1 + d.com under budget 2
+      // → b1 and the two smallest-'fq:'-hash d urls; nothing further.
       val dPicks = uD.sortBy(x => (md5hex("fq:" + x), x)).take(2)
-      assert(fetched.toSet == Set(uA1, uA2, uB1) ++ dPicks,
+      assert(fetched.toSet == Set(uA1, uA2, uB1old, uB1) ++ dPicks,
         s"fetched: $fetched (expected d picks $dPicks)")
-      assert(rounds == 3, s"a1 / a2+b1 / 2 d-pages — got $rounds")
+      assert(rounds == 3, s"a1 / a2+b1old / b1+2 d-pages — got $rounds")
 
-      // 2. live edges ≡ a fresh batch build over the same fetched pages.
+      // 2. live edges ≡ a fresh batch build over the same fetched PAGES
+      // + the alias relation (the fresh build sees the same redirects a
+      // real re-parse of the archive would yield). The a1 → b1 edge
+      // exists in BOTH only through the alias: a1 spells b1 as uB1old.
+      val freshAliases = FrontierIngest.aliasLinks(
+        redirects.toSeq.toDF("f", "t"), "f", "t")
       val freshLg = LinkGraphIngest.buildLinkGraph(
-        fetched.toSeq.map(url => { val (id, h) = world(url); (id, url, h) })
+        fetched.toSeq.filterNot(redirects.contains)
+          .map(url => { val (id, h) = world(url); (id, url, h) })
           .toDF("doc_id", "url", "html"),
-        "doc_id", "url", "html")
+        "doc_id", "url", "html", aliases = Some(freshAliases))
       assert(linkState.get().edges.as[(Long, Long)].collect().toSet ==
         freshLg.edges.as[(Long, Long)].collect().toSet,
         "loop-folded edges diverged from the fresh batch build")
+      assert(linkState.get().edges.as[(Long, Long)].collect().toSet
+        .contains((10L, 12L)),
+        "the alias-mediated a1 → b1 edge must exist (redirect collapse)")
       // links to never-fetched pages (robots-blocked, over-budget) wait
       // pending in BOTH builds.
       assert(linkState.get().pending.select(col("url")).as[String]

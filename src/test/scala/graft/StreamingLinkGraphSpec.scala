@@ -84,8 +84,8 @@ class StreamingLinkGraphSpec extends SparkSpec {
       assert(st.pending.count() == 0, "everything resolved")
 
       val restored = LinkGraphIngest.restoreLinkGraph(spark, st.urlsPath,
-        st.edgesPath, st.pendingPath, st.consumedPath, st.version,
-        st.foldedBatch)
+        st.edgesPath, st.pendingPath, st.consumedPath, st.aliasesPath,
+        st.aliasConsumedPath, st.version, st.foldedBatch)
       assert(restored.edges.as[(Long, Long)].collect().toSet ==
         st.edges.as[(Long, Long)].collect().toSet)
       assert(restored.pending.count() == 0)
