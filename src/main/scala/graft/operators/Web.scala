@@ -376,41 +376,53 @@ object Web {
   def parseRobots(df: DataFrame, hostCol: String, bodyCol: String,
                   agent: String): DataFrame = {
     val ag = agent.toLowerCase.replace("'", "''")
+    // PERF SHAPE (measured — 65 ms/row before, the round-8 HOF lesson
+    // generalized): intermediates held in withColumn chains get
+    // INLINED into their references, so every `element_at(sig, j)`
+    // inside the O(lines²) lambdas re-ran the whole line tokenization
+    // per element access. Each intermediate is therefore bound ONCE
+    // as a LAMBDA VARIABLE via `transform(array(X), v -> …)` nesting
+    // — a lambda variable is an evaluated value, inline-proof by
+    // construction. Lambda variable names are all distinct (the
+    // nested-HOF shadowing trap).
+    val sig =
+      s"""filter(transform(split($bodyCol, chr(10)),
+         |  l0 -> named_struct(
+         |    'k', lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+         |    'v', trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+         |           instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+         |    'c', instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+         |  s0 -> s0.c > 0 AND s0.k IN ('user-agent', 'allow', 'disallow'))""".stripMargin
+    // sequence(1, 0) is DESCENDING [1, 0], not empty — guard (the
+    // pinned Spark trap).
+    def idx(sg: String) =
+      s"IF(size($sg) < 1, array(), sequence(1, size($sg)))"
+    def gid(sg: String) =
+      s"""transform(${idx(sg)}, i9 -> size(filter(sequence(1, i9), j9 ->
+         |  element_at($sg, j9).k = 'user-agent' AND
+         |  (j9 = 1 OR element_at($sg, j9 - 1).k != 'user-agent'))))""".stripMargin
+    def grp(sg: String, gd: String, iv: String, pred: String) =
+      s"""array_distinct(transform(filter(${idx(sg)}, $iv ->
+         |  element_at($sg, $iv).k = 'user-agent' AND $pred),
+         |  $iv -> element_at($gd, $iv)))""".stripMargin
+    def sel(sg: String, gd: String) = {
+      val exact = grp(sg, gd, "i8", s"lower(element_at($sg, i8).v) = '$ag'")
+      val star = grp(sg, gd, "i7", s"element_at($sg, i7).v = '*'")
+      s"IF(size($exact) > 0, $exact, $star)"
+    }
+    def rules(sg: String, gd: String, sl: String) =
+      s"""transform(filter(${idx(sg)}, i6 ->
+         |  element_at($sg, i6).k != 'user-agent' AND
+         |  array_contains($sl, element_at($gd, i6))),
+         |  i6 -> named_struct('pattern', element_at($sg, i6).v,
+         |                     'allow', element_at($sg, i6).k = 'allow'))""".stripMargin
+    val full =
+      s"""element_at(transform(array($sig), sg ->
+         |  element_at(transform(array(${gid("sg")}), gd ->
+         |    element_at(transform(array(${sel("sg", "gd")}), sl ->
+         |      ${rules("sg", "gd", "sl")}), 1)), 1)), 1)""".stripMargin
     df.filter(col(bodyCol).isNotNull)
-      .withColumn("__rb_sig", expr(
-        s"""filter(transform(split($bodyCol, chr(10)),
-           |  l0 -> named_struct(
-           |    'k', lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
-           |    'v', trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
-           |           instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
-           |    'c', instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
-           |  s0 -> s0.c > 0 AND s0.k IN ('user-agent', 'allow', 'disallow'))""".stripMargin))
-      // sequence(1, 0) is DESCENDING [1, 0], not empty — guard (the
-      // pinned Spark trap).
-      .withColumn("__rb_idx", expr(
-        "IF(size(__rb_sig) < 1, array(), sequence(1, size(__rb_sig)))"))
-      .withColumn("__rb_gid", expr(
-        """transform(__rb_idx, i9 -> size(filter(sequence(1, i9), j9 ->
-          |  element_at(__rb_sig, j9).k = 'user-agent' AND
-          |  (j9 = 1 OR element_at(__rb_sig, j9 - 1).k != 'user-agent'))))""".stripMargin))
-      .withColumn("__rb_exact", expr(
-        s"""array_distinct(transform(filter(__rb_idx, i8 ->
-           |  element_at(__rb_sig, i8).k = 'user-agent' AND
-           |  lower(element_at(__rb_sig, i8).v) = '$ag'),
-           |  i8 -> element_at(__rb_gid, i8)))""".stripMargin))
-      .withColumn("__rb_star", expr(
-        """array_distinct(transform(filter(__rb_idx, i7 ->
-          |  element_at(__rb_sig, i7).k = 'user-agent' AND
-          |  element_at(__rb_sig, i7).v = '*'),
-          |  i7 -> element_at(__rb_gid, i7)))""".stripMargin))
-      .withColumn("__rb_sel", expr(
-        "IF(size(__rb_exact) > 0, __rb_exact, __rb_star)"))
-      .withColumn("__rb_rules", expr(
-        """transform(filter(__rb_idx, i6 ->
-          |  element_at(__rb_sig, i6).k != 'user-agent' AND
-          |  array_contains(__rb_sel, element_at(__rb_gid, i6))),
-          |  i6 -> named_struct('pattern', element_at(__rb_sig, i6).v,
-          |                     'allow', element_at(__rb_sig, i6).k = 'allow'))""".stripMargin))
+      .withColumn("__rb_rules", expr(full))
       .select(col(hostCol).as("host"),
         posexplode(col("__rb_rules")).as(Seq("__p", "__r")))
       .select(col("host"), (col("__p") + 1).cast("long").as("pos"),
