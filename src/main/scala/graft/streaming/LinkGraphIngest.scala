@@ -155,6 +155,34 @@ object LinkGraphIngest {
       version, foldedBatch))
   }
 
+  /** COMPACTION — the OPTIMIZE step of the growing lifecycle (the
+    * ContainmentIngest.compactGrowing discipline): fresh staged roots
+    * from the LIVE views — the url map consolidates to min id per url
+    * (re-fetch duplicate rows purge), edges dedup, pending/alias
+    * roots purge their tombstones, and both tombstone roots reset
+    * empty. Version bumps; the replay fence carries. A crash
+    * mid-compaction leaves the OLD roots untouched — re-run and swap
+    * atomically (the caller owns the swap; old roots reclaim after). */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+                   st: LinkGraphState): LinkGraphState = {
+    val urls = Tables.stageTracked(
+      st.urls.groupBy(col("url")).agg(min(col("id")).as("id")))
+    val edges = Tables.stageTracked(st.edges)
+    val pend = Tables.stageTracked(
+      st.pending.select(col("url"), col("ref_id")))
+    val cons = Tables.stageTracked(emptyRel(spark, "url", "ref_id",
+      org.apache.spark.sql.types.LongType))
+    val ad = Tables.stageTracked(
+      st.aliases.select(col("from_url"), col("to_url")))
+    val acd = Tables.stageTracked(emptyRel(spark, "from_url", "to_url",
+      org.apache.spark.sql.types.StringType))
+    require(urls.path.isDefined,
+      "compactState requires parquet staging mode (set graft.stage.dir)")
+    liveViews(spark, LinkGraphState(null, null, null, null, urls.path.get,
+      edges.path.get, pend.path.get, cons.path.get, ad.path.get,
+      acd.path.get, st.version + 1, st.foldedBatch))
+  }
+
   /** RESOLVE-THEN-FOLD: `onBatch` receives the batch's newly resolved
     * edges (s, d, url) — including RETRO-resolutions of earlier
     * batches' dangling links the batch's pages satisfy.

@@ -89,6 +89,41 @@ class StreamingLinkGraphSpec extends SparkSpec {
       assert(restored.edges.as[(Long, Long)].collect().toSet ==
         st.edges.as[(Long, Long)].collect().toSet)
       assert(restored.pending.count() == 0)
+
+      // compaction: live views identical, the url map consolidates to
+      // min id per url (the re-fetched A under id 9 purges), tombstone
+      // roots reset, and the compacted state keeps folding (a further
+      // batch retro-resolves against the compacted map).
+      val compacted = LinkGraphIngest.compactState(spark, restored)
+      assert(compacted.edges.as[(Long, Long)].collect().toSet ==
+        st.edges.as[(Long, Long)].collect().toSet)
+      assert(compacted.urls.as[(String, Long)].collect().toSet ==
+        Set((uA, 1L), (uB, 2L), (uC, 3L)),
+        "min-id consolidation must purge the re-fetch duplicate row")
+      assert(graft.streaming.Gate.readGrown(spark, compacted.consumedPath)
+        .count() == 0)
+      assert(compacted.pending.count() == 0 && compacted.aliases.count() == 0)
+      // a NEW stream restarts batch ids at 0 — reset the replay fence
+      // for the new id space (a checkpoint-resumed stream would keep
+      // its ids and the carried fence; the caller owns that choice).
+      val state2 = new java.util.concurrent.atomic.AtomicReference(
+        compacted.copy(foldedBatch = -1L))
+      val ms2 = MemoryStream[KMsg]
+      val q2 = LinkGraphIngest.startLinkGraph(
+        Stream.fromKafkaShaped(spark, ms2.toDF(), schema), state2,
+        "value.doc_id", "value.url", "value.html") { (_, _, _) => () }
+      val p2 = Seq((4L, "https://www.site4.com/d/4",
+        s"""<p><a href="$uA">back to a</a></p>"""))
+        .toDF("doc_id", "url", "html")
+        .select(to_json(struct(col("doc_id"), col("url"), col("html"))).as("j"))
+        .as[String].collect()
+      ms2.addData(p2.zipWithIndex.map { case (j, i) =>
+        KMsg("t", 0, i.toLong, new Timestamp(2000L + i), null, j.getBytes("UTF-8"))
+      }.toIndexedSeq: _*)
+      q2.processAllAvailable(); q2.stop()
+      assert(state2.get().edges.as[(Long, Long)].collect().toSet ==
+        Set((2L, 1L), (1L, 2L), (2L, 3L), (4L, 1L)),
+        "post-compaction fold must resolve against the compacted map")
     } finally spark.conf.unset("graft.stage.dir")
   }
 
