@@ -951,6 +951,41 @@ object Pipeline {
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, md5(text) AS digest
       FROM documents WHERE doc_id % 101 = 0 ORDER BY doc_id""")),
 
+    // ------------------------------------------- WET extracted-text egress
+    // CommonCrawl delivers extracted text as WET files (`conversion`
+    // records — no HTTP envelope, payload = UTF-8 text, WARC-Refers-To
+    // back-links the originating response record); writing them makes
+    // a graft-curated corpus consumable by every WET reader. The
+    // corpus round-trips through Warc.writeText/readWet and every
+    // field verifies: text bytes, the conversion-record shape
+    // (status 0, text/plain), and the refers-to BACK-LINK — restated
+    // engine-side from the url via the writer's md5 id discipline, so
+    // a broken link formula hash-mismatches. `.warc.wet.gz` segments
+    // never match the `*.warc.gz` response glob (suffix separation,
+    // spec'd in SourceFormatsSpec).
+    Q("x_source_wet", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_wet_stage/${new java.io.File(d).getName}"
+      val pages = docs.withColumn("url",
+        expr("concat('https://wet.example.com/doc/', CAST(doc_id AS STRING))"))
+      graft.sources.Warc.writeText(pages, "url", "text", tmp, files = 4)
+      val back = graft.sources.Warc.readWet(s, tmp)
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+      docs.alias("o").join(back.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN decode(w.body, 'UTF-8') <=> o.text THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN w.warc_type = 'conversion' AND w.http_status = 0 AND w.http_content_type = 'text/plain' THEN 1 ELSE 0 END AS BIGINT)").as("rec_ok"),
+          expr("""CAST(CASE WHEN w.warc_refers_to =
+                 |  concat('<urn:graft:', md5(concat('https://wet.example.com/doc/',
+                 |    CAST(doc_id AS STRING))), '>') THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("ref_ok"),
+          expr("md5(decode(w.body, 'UTF-8'))").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS rec_ok,
+             CAST(1 AS BIGINT) AS ref_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id""")),
+
     // ------------------------------------------- CSV interchange (egress)
     // RFC-4180 CSV round trip over the HARD case — free text with commas,
     // quotes, and (potentially) newlines — same losslessness design as

@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *    `WARC-Target-URI`, `Content-Type`, `Content-Length`), an empty
   *    line, `Content-Length` payload BYTES, then the `\r\n\r\n` record
   *    separator;
-  *  - only `WARC-Type: response` records with an `application/http`
-  *    content type parse into rows; `warcinfo` / `request` / other
-  *    records are consumed and SKIPPED (the reader proves the skip —
-  *    every written file leads with a `warcinfo` member);
+  *  - `WARC-Type: response` records with an `application/http`
+  *    content type parse into rows, and `WARC-Type: conversion`
+  *    records (the WET extracted-text shape — no HTTP envelope,
+  *    payload = text, `WARC-Refers-To` back-link) parse with
+  *    http_status 0; `warcinfo` / `request` / other records are
+  *    consumed and SKIPPED (the reader proves the skip — every
+  *    written file leads with a `warcinfo` member);
   *  - the HTTP payload splits at its first `\r\n\r\n`: the status code
   *    comes from the status line, `http_content_type` from the header
   *    block (case-insensitive name), `body` is the raw bytes after the
@@ -73,6 +76,7 @@ object Warc {
                               http_status: Int, http_content_type: String,
                               http_content_encoding: String,
                               http_location: String,
+                              warc_refers_to: String,
                               body: Array[Byte])
 
   /** Deterministic fixture date — callers pass a real crawl timestamp
@@ -151,9 +155,11 @@ object Warc {
   private def writePartitionFiles(path: String, prefix: String, pid: Int,
                                   conf: org.apache.hadoop.conf.Configuration,
                                   date: String,
-                                  recs: Iterator[(String, Array[Byte])])
+                                  recs: Iterator[(String, Array[Byte])],
+                                  suffix: String = ".warc.gz",
+                                  idPrefix: String = "")
       : Unit = {
-    val name = f"$prefix-$pid%05d.warc.gz"
+    val name = f"$prefix-$pid%05d$suffix"
     val f = new Path(path, name)
     val fs = f.getFileSystem(conf)
     val out = fs.create(f, true)
@@ -165,11 +171,14 @@ object Warc {
       recs.foreach { case (uri, recordBytes) =>
         val member = gzMember(recordBytes)
         out.write(member)
-        idx.append(s"<urn:graft:${md5hex(uri)}>\t$uri\t$name\t$off\t${member.length}\n")
+        idx.append(s"<urn:graft:$idPrefix${md5hex(uri)}>\t$uri\t$name\t$off\t${member.length}\n")
         off += member.length
       }
     } finally out.close()
-    val fi = fs.create(new Path(path, f"$prefix-$pid%05d.cdx"), true)
+    // sidecar named after the archive minus '.gz' — WARC and WET
+    // segments sharing a directory never collide.
+    val fi = fs.create(new Path(path,
+      name.stripSuffix(".gz") + ".cdx"), true)
     try fi.write(idx.toString.getBytes("UTF-8")) finally fi.close()
   }
 
@@ -305,10 +314,24 @@ object Warc {
                         hdrs.getOrElse("warc-date", ""),
                         hdrs.getOrElse("warc-target-uri", ""),
                         st, ctype, cenc, loc,
+                        hdrs.getOrElse("warc-refers-to", ""),
                         java.util.Arrays.copyOfRange(
                           payload, he + 4, payload.length))
                     }
                   }
+                } else if (hdrs.getOrElse("warc-type", "") == "conversion") {
+                  // WET records (the CommonCrawl extracted-text
+                  // companion): no HTTP envelope — the payload IS the
+                  // text; status 0 by convention; `warc_refers_to`
+                  // links back to the originating response record.
+                  out += WarcRecord(
+                    hdrs.getOrElse("warc-record-id", ""),
+                    "conversion",
+                    hdrs.getOrElse("warc-date", ""),
+                    hdrs.getOrElse("warc-target-uri", ""),
+                    0, hdrs.getOrElse("content-type", ""), "", "",
+                    hdrs.getOrElse("warc-refers-to", ""),
+                    payload)
                 }
                 // the \r\n\r\n record separator: a complete record with
                 // a damaged separator still emitted above; parse stops.
@@ -507,6 +530,65 @@ object Warc {
           |                 WHEN __w_meta != '' THEN __w_meta
           |                 ELSE 'utf-8' END) END""".stripMargin))
       .drop("__w_ce", "__w_b", "__w_csp", "__w_meta")
+  }
+
+  /** One WET `conversion` record — the CommonCrawl extracted-text
+    * companion format: no HTTP envelope, the payload IS the UTF-8
+    * text; `WARC-Refers-To` links back to the originating response
+    * record (the [[write]] id discipline: md5 of the uri). */
+  private def conversionRecord(uri: String, text: Array[Byte],
+                               date: String): Array[Byte] =
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: <urn:graft:wet:${md5hex(uri)}>\r\n" +
+      s"WARC-Refers-To: <urn:graft:${md5hex(uri)}>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n").getBytes("UTF-8") ++
+      text ++ Crlf2
+
+  /** Write (urlCol, textCol) as WET files (`.warc.wet.gz` —
+    * CommonCrawl's extracted-text delivery format, `conversion`
+    * records): the EGRESS side of extraction, so a graft-curated
+    * corpus inter-operates with every WET consumer. Same per-file
+    * warcinfo lead, per-record gzip members, partition-id naming, and
+    * CDX sidecar as [[write]]; [[read]]'s `*.warc.gz` glob never
+    * matches WET segments — the two formats separate by suffix even
+    * in one directory. Null url/text rows skip. */
+  def writeText(df: DataFrame, urlCol: String, textCol: String,
+                path: String, files: Int, date: String = DefaultDate,
+                prefix: String = "part", replace: Boolean = true): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val spark = df.sparkSession
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (replace) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(urlCol).cast("string"), col(textCol).cast("string"))
+      .where(col(urlCol).isNotNull && col(textCol).isNotNull)
+      .repartition(files)
+      .foreachPartition { (it: Iterator[Row]) =>
+        writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
+          conf.value, date,
+          it.map(r => (r.getString(0),
+            conversionRecord(r.getString(0),
+              r.getString(1).getBytes("UTF-8"), date))),
+          suffix = ".warc.wet.gz", idPrefix = "wet:")
+      }
+  }
+
+  /** Read every `.warc.wet.gz` under `path` into the parsed relation
+    * (`conversion` rows: body = the text bytes, http_status 0,
+    * warc_refers_to set) — one task per file, the [[read]] contract. */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.wet.gz")
+      .load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(parseFile _)
+      .toDF()
   }
 
   /** STREAMING read over a growing `.warc.gz` directory — the archive

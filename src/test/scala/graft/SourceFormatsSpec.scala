@@ -190,6 +190,40 @@ class SourceFormatsSpec extends SparkSpec {
     assert(graft.sources.Warc.parseFile("not gzip at all".getBytes).isEmpty)
   }
 
+  test("WET conversion records: round trip, refers-to back-link, suffix separation from response archives") {
+    import spark.implicits._
+    val rows = Seq(
+      ("https://w.example/a", "extracted text alpha"),
+      ("https://w.example/b", "unicode café 日本語 text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet").toString
+    // BOTH formats into ONE directory — the suffix globs must separate.
+    graft.sources.Warc.write(rows.toDF("url", "body"), "url", "body", dir,
+      files = 1, replace = true)
+    graft.sources.Warc.writeText(rows.toDF("url", "text"), "url", "text",
+      dir, files = 1, replace = false)
+    val wet = graft.sources.Warc.readWet(spark, dir)
+      .select(col("target_uri"), expr("decode(body, 'UTF-8')"),
+        col("warc_type"), col("http_status"), col("http_content_type"),
+        col("warc_refers_to"))
+      .as[(String, String, String, Int, String, String)].collect()
+      .sortBy(_._1)
+    assert(wet.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq ==
+      rows.sortBy(_._1).map { case (u, t) =>
+        (u, t, "conversion", 0, "text/plain") })
+    // refers-to = the RESPONSE record's id for the same uri.
+    val respIds = graft.sources.Warc.read(spark, dir)
+      .select(col("target_uri"), col("record_id"))
+      .as[(String, String)].collect().toMap
+    wet.foreach(r => assert(r._6 == respIds(r._1),
+      s"refers-to must back-link the response record: $r"))
+    // the response reader never sees WET segments and vice versa.
+    assert(graft.sources.Warc.read(spark, dir).count() == 2)
+    assert(graft.sources.Warc.readWet(spark, dir).count() == 2)
+    // the CDX sidecars coexist (named after the archive minus .gz) and
+    // index BOTH formats' members.
+    assert(graft.sources.Warc.readCdx(spark, dir).count() == 4)
+  }
+
   test("Warc.withDecodedText: charset resolution + transfer decode, pinned edge semantics") {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
