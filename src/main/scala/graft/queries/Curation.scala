@@ -1051,6 +1051,145 @@ object Curation {
       SELECT doc_id, pos, canonical AS url, lastmod
       FROM scc ORDER BY doc_id, pos""")),
 
+    // ------------------------------------------ gzip'd sitemap seeding
+    // The sitemaps.org protocol explicitly serves `sitemap.xml.gz`;
+    // the decode layer's native expressions make the compressed
+    // seeding path one projection: fetched BYTES → gunzip →
+    // charset_decode → extractSitemapUrls → canonicalize. The fixture
+    // compresses the exact x_web_sitemap xml engine-side
+    // (gzip_bytes ∘ charset_encode — the "server" side), so the claim
+    // is the round trip composed with extraction ≡ plain-xml
+    // extraction — the oracle IS x_web_sitemap's, bit for bit. A
+    // corrupt-gz row (doc_id % 31 = 0 gets its gz bytes truncated)
+    // yields NULL xml and contributes NOTHING (the undecodable
+    // sentinel filters, never a crash) — those docs are absent from
+    // the oracle too.
+    Q("x_web_sitemap_gz", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val xml = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("__xml", expr(
+          """concat('<?xml version="1.0" encoding="UTF-8"?>',
+            |'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+            |'<url><loc>https://WWW.Site', CAST(doc_id % 7 AS STRING),
+            |'.COM:443/d/', CAST(doc_id AS STRING), '?id=',
+            |CAST(doc_id AS STRING), '&amp;utm_source=sitemap</loc>',
+            |'<lastmod>2026-0', CAST(1 + doc_id % 9 AS STRING),
+            |'-01</lastmod></url>',
+            |'<url><loc>https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/about</loc></url>',
+            |IF(doc_id % 13 = 0,
+            |   concat('<url><loc>https://www.extra.org/e/',
+            |          CAST(doc_id AS STRING), '</loc></url>'), ''),
+            |'</urlset>')""".stripMargin))
+        .withColumn("__gz", expr(
+          """CASE WHEN doc_id % 31 = 0
+            |  THEN substring(gzip_bytes(charset_encode(__xml, 'utf-8')), 1, 10)
+            |  ELSE gzip_bytes(charset_encode(__xml, 'utf-8')) END""".stripMargin))
+        // charset_decode is null-intolerant: a corrupt member's NULL
+        // gunzip propagates to NULL xml without a second gunzip call.
+        .withColumn("__dec", expr("charset_decode(gunzip(__gz), 'utf-8')"))
+      val ex = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractSitemapUrls(xml, "doc_id", "__dec"),
+        "loc", "__c")
+      ex.select(col("doc_id"), col("pos"), col("__c").as("url"),
+        col("lastmod"))
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH __sitemap_src AS (
+        SELECT doc_id,
+          '<?xml version="1.0" encoding="UTF-8"?>' ||
+          '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+          '<url><loc>https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(doc_id AS VARCHAR) || '?id=' ||
+          CAST(doc_id AS VARCHAR) || '&amp;utm_source=sitemap</loc>' ||
+          '<lastmod>2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+          '-01</lastmod></url>' ||
+          '<url><loc>https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.com/about</loc></url>' ||
+          CASE WHEN doc_id % 13 = 0
+               THEN '<url><loc>https://www.extra.org/e/' ||
+                    CAST(doc_id AS VARCHAR) || '</loc></url>'
+               ELSE '' END ||
+          '</urlset>' AS x
+        FROM documents WHERE doc_id % 31 != 0),
+      sm AS (SELECT doc_id, pos, loc AS url, lastmod
+             FROM (${graft.operators.Web.duckSitemapItems("x")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("sm",
+        Seq("doc_id", "pos", "lastmod"), "sc")}
+      SELECT doc_id, pos, canonical AS url, lastmod
+      FROM scc ORDER BY doc_id, pos""")),
+
+    // ------------------------------------------ recrawl scheduling
+    // What sitemap lastmod exists FOR (sitemaps.org: "crawlers can use
+    // lastmod to avoid recrawling unchanged documents"): the refetch
+    // pick joins extracted sitemap entries against the crawl's fetch
+    // log on the CANONICAL url and keeps entries that are NEW (never
+    // fetched — left join miss) or STALE (lastmod after the recorded
+    // fetch date; ISO dates compare lexically, identically in both
+    // engines). Every doc's /d/<id> page advertises lastmod month
+    // 1 + id % 9; the fetch log covers doc_id % 2 = 0 pages fetched in
+    // month 1 + id % 3 (day 15) — so staleness flips with the month
+    // arithmetic, never fetched /about pages emit as 'new', and
+    // fresh-enough pages drop. One projection + ONE left join on
+    // canonical strings; no window, no shuffle of page bodies.
+    Q("x_recrawl_schedule", (s, d) => {
+      val xml = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("__xml", expr(
+          """concat('<urlset>',
+            |'<url><loc>https://WWW.Site', CAST(doc_id % 7 AS STRING),
+            |'.COM:443/d/', CAST(doc_id AS STRING), '</loc>',
+            |'<lastmod>2026-0', CAST(1 + doc_id % 9 AS STRING),
+            |'-01</lastmod></url>',
+            |'<url><loc>https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/about/', CAST(doc_id AS STRING), '</loc>',
+            |'<lastmod>2026-01-01</lastmod></url>',
+            |'</urlset>')""".stripMargin))
+      val entries = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractSitemapUrls(xml, "doc_id", "__xml"),
+        "loc", "__c")
+        .select(col("__c").as("url"), col("lastmod"))
+      val fetchLog = documents(s, d).filter(expr("doc_id % 2 = 0"))
+        .select(
+          expr("""concat('https://www.site', CAST(doc_id % 7 AS STRING),
+                 |'.com/d/', CAST(doc_id AS STRING))""".stripMargin).as("url"),
+          expr("concat('2026-0', CAST(1 + doc_id % 3 AS STRING), '-15')")
+            .as("fetched"))
+      entries.join(fetchLog, Seq("url"), "left")
+        .filter(col("fetched").isNull || col("lastmod") > col("fetched"))
+        .select(col("url"), col("lastmod"),
+          coalesce(col("fetched"), lit("")).as("fetched"),
+          expr("IF(fetched IS NULL, 'new', 'stale')").as("reason"))
+        .orderBy(col("url"), col("lastmod"))
+    }, Some(s"""
+      WITH xmls AS (
+        SELECT doc_id,
+          '<urlset>' ||
+          '<url><loc>https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(doc_id AS VARCHAR) || '</loc>' ||
+          '<lastmod>2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+          '-01</lastmod></url>' ||
+          '<url><loc>https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.com/about/' || CAST(doc_id AS VARCHAR) || '</loc>' ||
+          '<lastmod>2026-01-01</lastmod></url>' ||
+          '</urlset>' AS x
+        FROM documents),
+      sm AS (SELECT doc_id, pos, loc AS url, lastmod
+             FROM (${graft.operators.Web.duckSitemapItems("x")
+                      .replace("__sitemap_src", "xmls")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("sm",
+        Seq("doc_id", "pos", "lastmod"), "rc")},
+      entries AS (SELECT canonical AS url, lastmod FROM rcc),
+      flog AS (
+        SELECT 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+               '2026-0' || CAST(1 + doc_id % 3 AS VARCHAR) || '-15' AS fetched
+        FROM documents WHERE doc_id % 2 = 0)
+      SELECT e.url, e.lastmod, COALESCE(f.fetched, '') AS fetched,
+             CASE WHEN f.fetched IS NULL THEN 'new' ELSE 'stale' END AS reason
+      FROM entries e LEFT JOIN flog f ON e.url = f.url
+      WHERE f.fetched IS NULL OR e.lastmod > f.fetched
+      ORDER BY e.url, e.lastmod""")),
+
     // ------------------------------------------ sitemap INDEX recursion
     // The sitemaps.org protocol caps one file at 50k URLs, so every
     // large site publishes a <sitemapindex> of child sitemaps — real
