@@ -471,6 +471,207 @@ object Web {
        |  FROM ${pre}u)""".stripMargin
   }
 
+  /** `Sitemap:` directive extraction from raw robots.txt bodies — the
+    * third crawl-seeding source beside link discovery and direct
+    * sitemap URLs: RFC 9309 §2.3 / sitemaps.org define `Sitemap:`
+    * lines as GROUP-INDEPENDENT (they apply regardless of user-agent
+    * groups), so no group machinery runs — one line-split projection.
+    * Same pinned line tokenization as [[parseRobots]] (CR strip, `#`
+    * begins a comment ANYWHERE on the line — a fragment-carrying
+    * sitemap URL truncates at `#`, which is the spec'd comment rule,
+    * not a bug; key lowercased/trimmed/space-tolerant; value = the
+    * rest after the FIRST colon, trimmed — `https://` colons survive).
+    * Empty-value `Sitemap:` lines drop (no URL to fetch). The value
+    * keeps its case (URLs are case-sensitive past the host) — feed it
+    * through [[withCanonicalUrl]] like any discovery.
+    *
+    * Output: (host, pos, loc) — pos 1-based among the body's sitemap
+    * lines in document order. One codegen projection + posexplode; no
+    * shuffle, no UDF. */
+  def extractRobotsSitemaps(df: DataFrame, hostCol: String,
+                            bodyCol: String): DataFrame = {
+    val sig =
+      s"""filter(transform(split($bodyCol, chr(10)),
+         |  l0 -> named_struct(
+         |    'k', lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+         |    'v', trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+         |           instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+         |    'c', instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+         |  s0 -> s0.c > 0 AND s0.k = 'sitemap' AND s0.v != '')""".stripMargin
+    df.filter(col(bodyCol).isNotNull)
+      .withColumn("__rs", expr(sig))
+      .select(col(hostCol).as("host"),
+        posexplode(col("__rs")).as(Seq("__p", "__s")))
+      .select(col("host"), (col("__p") + 1).cast("long").as("pos"),
+        col("__s.v").as("loc"))
+  }
+
+  /** DuckDB twin of [[extractRobotsSitemaps]] over a relation `src`
+    * exposing (host, body) — ends in CTE `<pre>r(host, pos, loc)`. */
+  def duckRobotsSitemapsCtes(src: String, pre: String): String =
+    s"""${pre}v AS (SELECT host,
+       |    list_filter(list_transform(string_split(body, chr(10)),
+       |      l0 -> struct_pack(
+       |        k := lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+       |        v := trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+       |               instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+       |        c := instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+       |      s0 -> s0.c > 0 AND s0.k = 'sitemap' AND s0.v != '') AS sg
+       |  FROM $src),
+       |${pre}r AS (SELECT host,
+       |    unnest(range(1, len(sg) + 1)) AS pos,
+       |    unnest(list_transform(sg, r0 -> r0.v)) AS loc
+       |  FROM ${pre}v)""".stripMargin
+
+  /** `Crawl-delay:` extraction from raw robots.txt bodies — the
+    * de-facto politeness extension (Bing/Yandex convention; RFC 9309
+    * deliberately leaves it undefined — stated). The delay is
+    * GROUP-SCOPED like allow/disallow, so group selection replays
+    * [[parseRobots]]'s pinned §2.2.1 rules exactly (exact-token agent
+    * match merging multiple groups, `*` fallback, consecutive
+    * user-agent lines sharing a group, comment/CR stripping). The
+    * emitted delay is the FIRST line in the selected groups (document
+    * order) whose value is a PURE DIGIT RUN (`^[0-9]+$` — the pinned
+    * integer-seconds subset: `10.5`/garbage values are ignored lines.
+    * Digits-only is deliberately the parseability test, never a bare
+    * TRY_CAST — DuckDB ROUNDS `'10.5'` to 11 where Spark yields
+    * NULL); hosts with no selected group or no
+    * parseable line emit NO row (the caller's politeness default
+    * applies — [[scheduleFetches]]). Same inline-proof lambda-variable
+    * chain as parseRobots (the 260× plan-pathology lesson: every
+    * intermediate binds once as a lambda variable, never a withColumn
+    * an O(n²) HOF would inline).
+    *
+    * Output: (host, delay_s BIGINT). */
+  def parseCrawlDelay(df: DataFrame, hostCol: String, bodyCol: String,
+                      agent: String): DataFrame = {
+    val ag = agent.toLowerCase.replace("'", "''")
+    val sig =
+      s"""filter(transform(split($bodyCol, chr(10)),
+         |  l0 -> named_struct(
+         |    'k', lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+         |    'v', trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+         |           instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+         |    'c', instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+         |  s0 -> s0.c > 0 AND s0.k IN ('user-agent', 'crawl-delay'))""".stripMargin
+    def idx(sg: String) =
+      s"IF(size($sg) < 1, array(), sequence(1, size($sg)))"
+    def gid(sg: String) =
+      s"""transform(${idx(sg)}, i9 -> size(filter(sequence(1, i9), j9 ->
+         |  element_at($sg, j9).k = 'user-agent' AND
+         |  (j9 = 1 OR element_at($sg, j9 - 1).k != 'user-agent'))))""".stripMargin
+    def grp(sg: String, gd: String, iv: String, pred: String) =
+      s"""array_distinct(transform(filter(${idx(sg)}, $iv ->
+         |  element_at($sg, $iv).k = 'user-agent' AND $pred),
+         |  $iv -> element_at($gd, $iv)))""".stripMargin
+    def sel(sg: String, gd: String) = {
+      val exact = grp(sg, gd, "i8", s"lower(element_at($sg, i8).v) = '$ag'")
+      val star = grp(sg, gd, "i7", s"element_at($sg, i7).v = '*'")
+      s"IF(size($exact) > 0, $exact, $star)"
+    }
+    // digits-only is the parseability test — NEVER a bare try_cast:
+    // DuckDB TRY_CAST('10.5' AS BIGINT) ROUNDS to 11 where Spark's
+    // returns NULL (measured — the engines disagree on decimal
+    // strings). The try_cast after the digit gate only catches
+    // overflow-length digit runs (NULL in both engines).
+    def delays(sg: String, gd: String, sl: String) =
+      s"""filter(transform(filter(${idx(sg)}, i6 ->
+         |  element_at($sg, i6).k = 'crawl-delay' AND
+         |  array_contains($sl, element_at($gd, i6))),
+         |  i6 -> element_at($sg, i6).v),
+         |  d0 -> d0 rlike '^[0-9]+$$'
+         |        AND try_cast(d0 AS BIGINT) IS NOT NULL)""".stripMargin
+    // try_element_at: a host with no parseable delay has an EMPTY
+    // filtered list — ANSI element_at throws there (the pinned
+    // windows-transform trap), NULL is the wanted no-row signal.
+    val full =
+      s"""try_cast(element_at(transform(array($sig), sg ->
+         |  element_at(transform(array(${gid("sg")}), gd ->
+         |    element_at(transform(array(${sel("sg", "gd")}), sl ->
+         |      try_element_at(${delays("sg", "gd", "sl")}, 1)), 1)), 1)), 1)
+         |AS BIGINT)""".stripMargin
+    df.filter(col(bodyCol).isNotNull)
+      .withColumn("delay_s", expr(full))
+      .filter(col("delay_s").isNotNull)
+      .select(col(hostCol).as("host"), col("delay_s"))
+  }
+
+  /** DuckDB twin of [[parseCrawlDelay]] over a relation `src` exposing
+    * (host, body) — ends in CTE `<pre>d(host, delay_s)`. Same
+    * `range`-exclusive `+ 1` discipline as [[duckRobotsParseCtes]]. */
+  def duckCrawlDelayCtes(src: String, pre: String, agent: String): String = {
+    val ag = agent.toLowerCase.replace("'", "''")
+    s"""${pre}s AS (SELECT host,
+       |    list_filter(list_transform(string_split(body, chr(10)),
+       |      l0 -> struct_pack(
+       |        k := lower(trim(split_part(split_part(replace(l0, chr(13), ''), '#', 1), ':', 1))),
+       |        v := trim(substring(split_part(replace(l0, chr(13), ''), '#', 1),
+       |               instr(split_part(replace(l0, chr(13), ''), '#', 1), ':') + 1)),
+       |        c := instr(split_part(replace(l0, chr(13), ''), '#', 1), ':'))),
+       |      s0 -> s0.c > 0 AND s0.k IN ('user-agent', 'crawl-delay')) AS sig
+       |  FROM $src),
+       |${pre}g AS (SELECT host, sig,
+       |    list_transform(range(1, len(sig) + 1), i9 -> len(list_filter(range(1, i9 + 1),
+       |      j9 -> sig[j9].k = 'user-agent' AND
+       |            (j9 = 1 OR sig[j9 - 1].k != 'user-agent')))) AS gid
+       |  FROM ${pre}s),
+       |${pre}e AS (SELECT host, sig, gid,
+       |    list_distinct(list_transform(list_filter(range(1, len(sig) + 1),
+       |      i8 -> sig[i8].k = 'user-agent' AND lower(sig[i8].v) = '$ag'),
+       |      i8 -> gid[i8])) AS exact,
+       |    list_distinct(list_transform(list_filter(range(1, len(sig) + 1),
+       |      i7 -> sig[i7].k = 'user-agent' AND sig[i7].v = '*'),
+       |      i7 -> gid[i7])) AS star
+       |  FROM ${pre}g),
+       |${pre}u AS (SELECT host,
+       |    list_filter(list_transform(list_filter(range(1, len(sig) + 1),
+       |      i6 -> sig[i6].k = 'crawl-delay' AND
+       |            list_contains(CASE WHEN len(exact) > 0 THEN exact ELSE star END, gid[i6])),
+       |      i6 -> sig[i6].v),
+       |      d0 -> regexp_matches(d0, '^[0-9]+$$')
+       |            AND TRY_CAST(d0 AS BIGINT) IS NOT NULL) AS dl
+       |  FROM ${pre}e),
+       |${pre}d AS (SELECT host, CAST(dl[1] AS BIGINT) AS delay_s
+       |  FROM ${pre}u WHERE len(dl) > 0)""".stripMargin
+  }
+
+  /** Per-host POLITENESS SCHEDULING of a fetch batch — what
+    * crawl-delay exists for: each url gets a dispatch slot offset
+    * (seconds from the host's first request) so the fetcher never
+    * exceeds one request per `delay_s` seconds per host. `delays` is
+    * the (host, delay_s) relation ([[parseCrawlDelay]] output or any
+    * loaded policy — broadcast, deployment-artifact-sized by
+    * contract); hosts without a row use `defaultDelayS`. Urls
+    * canonicalize first (the host key must match the delay relation's
+    * canonical hosts); duplicates collapse. Within a host, dispatch
+    * order is canonical-url sort (deterministic); slot = rank ·
+    * delay.
+    *
+    * Plan: one broadcast LEFT join + ONE shuffle on host; per-host
+    * url lists ride a sorted `collect_list` + posexplode — bounded by
+    * the frontier's per-domain cap (the [[capPerDomain]] /
+    * FrontierIngest quota contract: a fetch batch carries at most
+    * cap urls per host), so no window over raw rows and no unbounded
+    * group state.
+    *
+    * Output: (host, url, delay_s, slot_s). */
+  def scheduleFetches(df: DataFrame, urlCol: String, delays: DataFrame,
+                      defaultDelayS: Long): DataFrame = {
+    val canon = withCanonicalUrl(df, urlCol, "__cu")
+      .select(col("__cu_host").as("host"), col("__cu").as("url"))
+      .distinct()
+    canon
+      .join(broadcast(delays.select(col("host"),
+        col("delay_s").cast("long").as("__dly"))), Seq("host"), "left")
+      .groupBy(col("host"),
+        coalesce(col("__dly"), lit(defaultDelayS)).as("delay_s"))
+      .agg(sort_array(collect_list(col("url"))).as("__us"))
+      .select(col("host"), col("delay_s"),
+        posexplode(col("__us")).as(Seq("__p", "url")))
+      .select(col("host"), col("url"), col("delay_s"),
+        (col("__p") * col("delay_s")).cast("long").as("slot_s"))
+  }
+
   /** One `<url>…</url>` entry of a sitemaps.org sitemap. */
   val SitemapEntryPattern: String = "(?is)<url>.*?</url>"
 

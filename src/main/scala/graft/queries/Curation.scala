@@ -1372,6 +1372,207 @@ object Curation {
       SELECT host, pos, pattern, allow FROM rbr ORDER BY host, pos"""),
       headline = true),
 
+    // --------------------------------------- robots Sitemap: directives
+    // The third crawl-seeding source (RFC 9309 §2.3: `Sitemap:` lines
+    // are GROUP-INDEPENDENT — they extract regardless of user-agent
+    // groups): robots body → Web.extractRobotsSitemaps → canonicalize
+    // the advertised loc (bodies spell it MESSY: host case, :443, a
+    // utm_ param) → equi-join the fetched-sitemap store on the
+    // CANONICAL url → extractSitemapUrls over each fetched child →
+    // canonicalize the page urls. The fixture exercises the pinned
+    // line rules: a lowercase space-before-colon 'sitemap :' line with
+    // an inline comment (doc_id % 4 = 0 — its /extra.xml child is NOT
+    // in the store, so it surfaces via the LEFT join as an unfetched
+    // row with upos 0, never silently dropped); an empty-value
+    // 'Sitemap:' line (doc_id % 5 = 0) drops at extraction (no URL to
+    // fetch); group lines around the directives don't perturb it.
+    // site recovers from the host string (h<id>.example.com). One
+    // extraction + one LEFT equi-join on canonical strings + one
+    // child extraction; xml bodies never shuffle.
+    Q("x_robots_sitemaps", (s, d) => {
+      val bodies = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("host", expr(
+          "concat('h', CAST(doc_id AS STRING), '.example.com')"))
+        .withColumn("__body", expr(
+          """concat(
+            |  '# seeding fixture', chr(13), chr(10),
+            |  'User-agent: *', chr(10),
+            |  'Disallow: /tmp', chr(10),
+            |  'Sitemap: https://H', CAST(doc_id AS STRING),
+            |  '.Example.COM:443/sm/', CAST(doc_id AS STRING),
+            |  '.xml?utm_source=robots&v=1', chr(13), chr(10),
+            |  IF(doc_id % 4 = 0, concat('sitemap : https://h',
+            |    CAST(doc_id AS STRING),
+            |    '.example.com/extra.xml   # tail', chr(10)), ''),
+            |  IF(doc_id % 5 = 0, concat('Sitemap:', chr(10)), ''),
+            |  'User-agent: GraftBot', chr(10),
+            |  'Disallow: /private')""".stripMargin))
+      val locs = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractRobotsSitemaps(bodies, "host", "__body"),
+        "loc", "__c")
+        .select(
+          expr("CAST(split_part(substring(host, 2), '.', 1) AS BIGINT)")
+            .as("site"),
+          col("pos"), col("__c").as("sm_url"))
+      val store = graft.operators.Web.withCanonicalUrl(
+        documents(s, d).select(col("doc_id"))
+          .withColumn("__u", expr(
+            """concat('https://h', CAST(doc_id AS STRING),
+              |'.example.com/sm/', CAST(doc_id AS STRING),
+              |'.xml?v=1')""".stripMargin))
+          .withColumn("__xml", expr(
+            """concat('<urlset>',
+              |'<url><loc>https://h', CAST(doc_id AS STRING),
+              |'.example.com/p/', CAST(doc_id * 2 AS STRING), '</loc>',
+              |'<lastmod>2026-02-0', CAST(1 + doc_id % 9 AS STRING),
+              |'</lastmod></url>',
+              |'<url><loc>https://h', CAST(doc_id AS STRING),
+              |'.example.com/p/', CAST(doc_id * 2 + 1 AS STRING),
+              |'</loc></url>',
+              |'</urlset>')""".stripMargin)),
+        "__u", "__su")
+        .select(col("__su").as("sm_url"), col("__xml"))
+      val joined = locs.join(store, Seq("sm_url"), "left")
+      // extractSitemapUrls re-keys on the packed __sid (site·4 + the
+      // robots-line pos, pos ≤ 2) — its output's own `pos` is the
+      // within-child entry position (upos).
+      val fetchedOut = graft.operators.Web.withCanonicalUrl(
+        graft.operators.Web.extractSitemapUrls(
+          joined.filter(col("__xml").isNotNull)
+            .withColumn("__sid", expr("site * 4 + pos")),
+          "__sid", "__xml"),
+        "loc", "__pc")
+        .select(expr("doc_id div 4").as("site"),
+          expr("doc_id % 4").as("spos"),
+          col("pos").as("upos"), col("__pc").as("url"), col("lastmod"))
+      val unfetched = joined.filter(col("__xml").isNull)
+        .select(col("site"), col("pos").as("spos"),
+          lit(0L).as("upos"), col("sm_url").as("url"), lit("").as("lastmod"))
+      fetchedOut.unionAll(unfetched)
+        .orderBy(col("site"), col("spos"), col("upos"), col("url"))
+    }, Some(s"""
+      WITH bodies AS (
+        SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+          '# seeding fixture' || chr(13) || chr(10) ||
+          'User-agent: *' || chr(10) ||
+          'Disallow: /tmp' || chr(10) ||
+          'Sitemap: https://H' || CAST(doc_id AS VARCHAR) ||
+          '.Example.COM:443/sm/' || CAST(doc_id AS VARCHAR) ||
+          '.xml?utm_source=robots&v=1' || chr(13) || chr(10) ||
+          CASE WHEN doc_id % 4 = 0 THEN 'sitemap : https://h' ||
+            CAST(doc_id AS VARCHAR) ||
+            '.example.com/extra.xml   # tail' || chr(10) ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN 'Sitemap:' || chr(10) ELSE '' END ||
+          'User-agent: GraftBot' || chr(10) ||
+          'Disallow: /private' AS body
+        FROM documents),
+      ${graft.operators.Web.duckRobotsSitemapsCtes("bodies", "rs")},
+      le AS (SELECT CAST(split_part(substring(host, 2), '.', 1) AS BIGINT)
+                      AS site,
+                    pos, loc AS url
+             FROM rsr),
+      ${graft.operators.Web.duckCanonicalCtes("le", Seq("site", "pos"), "lc")},
+      locs AS (SELECT site, pos, canonical AS sm_url FROM lcc),
+      st AS (SELECT doc_id,
+          'https://h' || CAST(doc_id AS VARCHAR) || '.example.com/sm/' ||
+          CAST(doc_id AS VARCHAR) || '.xml?v=1' AS url,
+          '<urlset>' ||
+          '<url><loc>https://h' || CAST(doc_id AS VARCHAR) ||
+          '.example.com/p/' || CAST(doc_id * 2 AS VARCHAR) || '</loc>' ||
+          '<lastmod>2026-02-0' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+          '</lastmod></url>' ||
+          '<url><loc>https://h' || CAST(doc_id AS VARCHAR) ||
+          '.example.com/p/' || CAST(doc_id * 2 + 1 AS VARCHAR) ||
+          '</loc></url>' ||
+          '</urlset>' AS xml
+        FROM documents),
+      ${graft.operators.Web.duckCanonicalCtes("st", Seq("doc_id", "xml"), "sc")},
+      store AS (SELECT canonical AS sm_url, xml FROM scc),
+      joined AS (SELECT l.site, l.pos AS spos, l.sm_url, s.xml
+                 FROM locs l LEFT JOIN store s ON l.sm_url = s.sm_url),
+      fsrc AS (SELECT site * 4 + spos AS doc_id, xml AS x
+               FROM joined WHERE xml IS NOT NULL),
+      ue AS (SELECT doc_id AS sid, pos AS upos, loc AS url, lastmod
+             FROM (${graft.operators.Web.duckSitemapItems("x")
+                      .replace("__sitemap_src", "fsrc")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("ue",
+        Seq("sid", "upos", "lastmod"), "uc")}
+      SELECT sid // 4 AS site, sid % 4 AS spos, upos,
+             canonical AS url, lastmod
+      FROM ucc
+      UNION ALL
+      SELECT site, spos, CAST(0 AS BIGINT) AS upos, sm_url AS url,
+             '' AS lastmod
+      FROM joined WHERE xml IS NULL
+      ORDER BY site, spos, upos, url"""), headline = true),
+
+    // --------------------------------------- crawl-delay politeness
+    // Crawl-delay extraction (Web.parseCrawlDelay — group-scoped like
+    // allow/disallow, the Bing/Yandex de-facto convention) composed
+    // into per-host fetch scheduling (Web.scheduleFetches): each
+    // host's urls get dispatch slots rank·delay so the fetcher never
+    // exceeds one request per delay_s per host. The fixture exercises
+    // the pinned rules: an exact GraftBot group's delay (1 + id % 5)
+    // OVERRIDES the '*' group's (doc_id % 3 = 0 hosts carry both);
+    // unparseable values ('fast', '10.5') are ignored LINES — the '*'
+    // group still yields its later integer 2 (doc_id % 3 = 1); hosts
+    // with no crawl-delay anywhere (doc_id % 3 = 2) take the caller
+    // default 3. Batch urls spell hosts messy (case, :443, utm_) and
+    // carry a duplicate spelling that collapses at canonicalization.
+    Q("x_crawl_politeness", (s, d) => {
+      val bodies = fanOut(documents(s, d)).select(col("doc_id"))
+        .withColumn("host", expr(
+          "concat('h', CAST(doc_id AS STRING), '.example.com')"))
+        .withColumn("__body", expr(
+          """concat(
+            |  IF(doc_id % 3 = 0, concat(
+            |    'User-agent: GraftBot', chr(13), chr(10),
+            |    'Crawl-delay: ', CAST(1 + doc_id % 5 AS STRING), chr(10),
+            |    'Disallow: /x', chr(10), chr(10)), ''),
+            |  'User-agent: *', chr(10),
+            |  'Crawl-delay: fast   # unparseable', chr(10),
+            |  'crawl-delay : 10.5', chr(10),
+            |  IF(doc_id % 3 != 2, concat('Crawl-delay: 2', chr(10)), ''),
+            |  'Disallow: /tmp')""".stripMargin))
+      val delays = graft.operators.Web.parseCrawlDelay(
+        bodies, "host", "__body", "GraftBot")
+      val batch = fanOut(documents(s, d)).select(col("doc_id"))
+        .select(col("doc_id"), explode(expr("array(0, 1, 2, 0)")).as("__j"))
+        .withColumn("url", expr(
+          """concat('https://H', CAST(doc_id AS STRING),
+            |'.Example.COM:443/p/', CAST(__j AS STRING),
+            |'?utm_source=x')""".stripMargin))
+      graft.operators.Web.scheduleFetches(batch, "url", delays, 3L)
+        .orderBy(col("host"), col("url"))
+    }, Some(s"""
+      WITH bodies AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+          CASE WHEN doc_id % 3 = 0 THEN
+            'User-agent: GraftBot' || chr(13) || chr(10) ||
+            'Crawl-delay: ' || CAST(1 + doc_id % 5 AS VARCHAR) || chr(10) ||
+            'Disallow: /x' || chr(10) || chr(10) ELSE '' END ||
+          'User-agent: *' || chr(10) ||
+          'Crawl-delay: fast   # unparseable' || chr(10) ||
+          'crawl-delay : 10.5' || chr(10) ||
+          CASE WHEN doc_id % 3 != 2 THEN 'Crawl-delay: 2' || chr(10)
+               ELSE '' END ||
+          'Disallow: /tmp' AS body
+        FROM documents),
+      ${graft.operators.Web.duckCrawlDelayCtes("bodies", "cd", "GraftBot")},
+      batch AS (SELECT doc_id, unnest([0, 1, 2, 0]) AS j FROM documents),
+      bu AS (SELECT doc_id,
+          'https://H' || CAST(doc_id AS VARCHAR) || '.Example.COM:443/p/' ||
+          CAST(j AS VARCHAR) || '?utm_source=x' AS url
+        FROM batch),
+      ${graft.operators.Web.duckCanonicalCtes("bu", Seq(), "bc")},
+      cu AS (SELECT DISTINCT host, canonical AS url FROM bcc),
+      dl AS (SELECT cu.host, cu.url, COALESCE(cdd.delay_s, 3) AS delay_s
+             FROM cu LEFT JOIN cdd ON cu.host = cdd.host)
+      SELECT host, url, delay_s,
+             (ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+               * delay_s AS slot_s
+      FROM dl ORDER BY host, url"""), headline = true),
+
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical

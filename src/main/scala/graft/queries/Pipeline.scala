@@ -856,6 +856,52 @@ object Pipeline {
                  decode(unhex('2063616666C3A920E280942066696E'))) AS digest
       FROM documents ORDER BY doc_id"""), headline = true),
 
+    // --------------------------------- chunked transfer decoding
+    // CommonCrawl strips transfer codings, but raw heritrix-style
+    // archives keep them: a `Transfer-Encoding: chunked` payload that
+    // isn't dechunked leaks hex size lines and CRLFs into every
+    // downstream digest/LM/dedup. This pins the parser's transparent
+    // dechunk (RFC 9112 §7.1, empty-trailer subset) across the
+    // composition matrix by doc_id % 4: (0) chunked plain text, (1)
+    // gzip Content-Encoding unchunked, (2) chunked AND gzip'd — the
+    // layering order is load-bearing: dechunk FIRST (transfer
+    // coding), THEN gunzip (content coding, via withDecodedText) —
+    // (3) plain. chunkBytes = 7 forces many chunks plus a short final
+    // one (multi-digit hex sizes and the partial-tail path both
+    // exercise). The oracle restates the page from the parquet
+    // original alone — chunk framing must vanish without a trace.
+    Q("x_warc_chunked", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_ch/${new java.io.File(d).getName}"
+      val pagesSrc = docs
+        .withColumn("url",
+          expr("concat('https://ch.example.com/doc/', CAST(doc_id AS STRING))"))
+        .withColumn("__html", expr("concat('<p>', text, ' tail')"))
+        .withColumn("__ck", expr("doc_id % 2 = 0"))
+        .withColumn("__ce", expr("IF(doc_id % 4 IN (1, 2), 'gzip', '')"))
+        .withColumn("__body", expr(
+          """CASE WHEN doc_id % 4 IN (1, 2)
+            |       THEN gzip_bytes(charset_encode(__html, 'utf-8'))
+            |     ELSE charset_encode(__html, 'utf-8') END""".stripMargin))
+        .withColumn("__ct", lit("text/html; charset=utf-8"))
+      graft.sources.Warc.writeHttp(pagesSrc, "url", "__body", "__ct", "__ce",
+        tmp, files = 4, chunkedCol = Some("__ck"), chunkBytes = 7)
+      val back = graft.sources.Warc
+        .withDecodedText(graft.sources.Warc.read(s, tmp), outCol = "__dec")
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+      pagesSrc.alias("o").join(back.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(CASE WHEN w.__dec <=> o.__html THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("CAST(CASE WHEN w.http_content_encoding <=> o.__ce THEN 1 ELSE 0 END AS BIGINT)").as("enc_ok"),
+          expr("md5(w.__dec)").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS enc_ok,
+             md5('<p>' || text || ' tail') AS digest
+      FROM documents ORDER BY doc_id""")),
+
     // --------------------------------- WARC redirect aliases (3xx)
     // Real crawls fetch through redirects: a 301 response carries the
     // alias edge (target_uri → Location) that lets a page fetched via
@@ -950,6 +996,68 @@ object Pipeline {
     }, Some("""
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, md5(text) AS digest
       FROM documents WHERE doc_id % 101 = 0 ORDER BY doc_id""")),
+
+    // --------------------------------- WARC revisit dedup (§6.7.2)
+    // Write-time payload dedup, the storage half real archives run:
+    // within a shard, repeats of a payload digest write bodyless
+    // `revisit` records naming the original (identical-payload-digest
+    // profile); resolveRevisits is the read-side join that restores
+    // them. The fixture groups pages in threes sharing one payload
+    // (body = '<base>:' || base text — the base-id prefix keeps digest
+    // groups ≡ id groups even if two corpus texts collide); the dedup
+    // scope is PINNED deterministic — shard = hash60(url) % files,
+    // original = MIN url per (shard, digest) — so the oracle replays
+    // the whole assignment: which row is the response, which are
+    // revisits, and each revisit's WARC-Refers-To id (md5 of the
+    // original's url, the writer discipline). After resolution every
+    // row carries the shared body — text_ok and the digest tie the
+    // hash to restored content. The parsed relation stages once
+    // (resolveRevisits reads it three ways: pass-through, originals,
+    // revisits).
+    Q("x_warc_revisit", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_rv/${new java.io.File(d).getName}"
+      val pages = docs.select(col("doc_id"),
+          expr("doc_id - doc_id % 3").as("__b"))
+        .join(docs.select(col("doc_id").as("__b"), col("text")), Seq("__b"))
+        .select(col("doc_id"),
+          expr("concat('https://rv.example.com/doc/', CAST(doc_id AS STRING))")
+            .as("url"),
+          expr("concat(CAST(__b AS STRING), ':', text)").as("__t"))
+      graft.sources.Warc.writeDedup(pages, "url", "__t", tmp, files = 3)
+      val resolved = graft.sources.Warc.resolveRevisits(
+          stage(graft.sources.Warc.read(s, tmp)))
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+      pages.alias("o").join(resolved.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"), col("w.warc_type").as("warc_type"),
+          col("w.warc_refers_to").as("refers_to"),
+          expr("CAST(CASE WHEN decode(w.body, 'UTF-8') <=> o.__t THEN 1 ELSE 0 END AS BIGINT)").as("text_ok"),
+          expr("md5(decode(w.body, 'UTF-8'))").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH grp AS (
+        SELECT d.doc_id,
+               'https://rv.example.com/doc/' || CAST(d.doc_id AS VARCHAR)
+                 AS url,
+               CAST(d.doc_id - d.doc_id % 3 AS VARCHAR) || ':' || b.text
+                 AS t,
+               CAST(concat('0x', substr(md5(
+                 'https://rv.example.com/doc/' || CAST(d.doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 3 AS shard
+        FROM documents d
+        JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+      m AS (SELECT doc_id, url, t,
+                   MIN(url) OVER (PARTITION BY shard, md5(t)) AS ourl
+            FROM grp)
+      SELECT doc_id,
+             CASE WHEN url = ourl THEN 'response' ELSE 'revisit' END
+               AS warc_type,
+             CASE WHEN url = ourl THEN ''
+                  ELSE '<urn:graft:' || md5(ourl) || '>' END AS refers_to,
+             CAST(1 AS BIGINT) AS text_ok,
+             md5(t) AS digest
+      FROM m ORDER BY doc_id""")),
 
     // ------------------------------------------- WET extracted-text egress
     // CommonCrawl delivers extracted text as WET files (`conversion`

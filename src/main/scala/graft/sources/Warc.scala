@@ -34,8 +34,16 @@ import org.apache.spark.sql.functions._
   *  - the HTTP payload splits at its first `\r\n\r\n`: the status code
   *    comes from the status line, `http_content_type` from the header
   *    block (case-insensitive name), `body` is the raw bytes after the
-  *    split (Content-Length-bounded — chunked transfer encoding is NOT
-  *    decoded; the writer never produces it);
+  *    split (Content-Length-bounded). A `Transfer-Encoding: chunked`
+  *    payload is DECHUNKED transparently (RFC 9112 §7.1, empty-trailer
+  *    subset — raw heritrix-style archives keep the coding even though
+  *    CommonCrawl strips it); any other transfer coding, or a chunked
+  *    framing violation, SKIPS the record like a malformed payload;
+  *  - `WARC-Type: revisit` records (ISO 28500 §6.7.2, the
+  *    identical-payload-digest dedup profile [[writeDedup]] emits)
+  *    parse like responses — head-only payload, empty body,
+  *    `warc_refers_to` naming the record that holds the bytes;
+  *    [[resolveRevisits]] is the read-side join that restores them;
   *  - a record with damaged FRAMING (bad version line, malformed or
   *    truncated WARC header block, unparsable Content-Length, short
   *    payload) stops that FILE's parse; records before the damage are
@@ -87,6 +95,10 @@ object Warc {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  private def md5hexBytes(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+
   /** One gzip member holding exactly `bytes`. */
   private def gzMember(bytes: Array[Byte]): Array[Byte] = {
     val bo = new ByteArrayOutputStream(bytes.length / 2 + 64)
@@ -97,24 +109,52 @@ object Warc {
 
   private val Crlf2 = "\r\n\r\n".getBytes("UTF-8")
 
+  /** Wrap `body` in HTTP/1.1 chunked transfer framing: `chunkBytes`-
+    * sized chunks (hex size line, data, CRLF each), then the
+    * `0\r\n\r\n` terminator (empty trailer section — the pinned
+    * subset). */
+  private def chunkify(body: Array[Byte], chunkBytes: Int): Array[Byte] = {
+    val bo = new ByteArrayOutputStream(body.length + 64)
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunkBytes, body.length - off)
+      bo.write(s"${n.toHexString}\r\n".getBytes("UTF-8"))
+      bo.write(body, off, n)
+      bo.write("\r\n".getBytes("UTF-8"))
+      off += n
+    }
+    bo.write("0\r\n\r\n".getBytes("UTF-8"))
+    bo.toByteArray
+  }
+
   /** A `response` record for (uri, body) with payload content type
     * `ctype`; record id = md5 of the uri (the deterministic-fixture
     * discipline — deployments carry real uuids, the parser never
     * interprets the id). The body is RAW BYTES, Content-Length-bounded
     * — `\r\n\r\n` sequences inside a binary body are data, never
-    * separators (the parser reads exactly `Content-Length` bytes). */
+    * separators (the parser reads exactly `Content-Length` bytes).
+    * `chunked = true` frames the body in chunked transfer coding
+    * instead ([[chunkify]]). */
   private def responseRecord(uri: String, body: Array[Byte],
                              date: String,
                              ctype: String = "text/html; charset=utf-8",
                              cenc: String = "",
                              status: String = "200 OK",
-                             location: String = "")
+                             location: String = "",
+                             chunked: Boolean = false,
+                             chunkBytes: Int = 100)
       : Array[Byte] = {
+    // chunked responses carry Transfer-Encoding INSTEAD of an HTTP
+    // Content-Length (RFC 9112 §6.2 forbids both); the WARC record's
+    // own Content-Length still frames the raw payload exactly.
+    val entity = if (chunked) chunkify(body, chunkBytes) else body
     val http = (s"HTTP/1.1 $status\r\n" +
       s"Content-Type: $ctype\r\n" +
       (if (cenc.nonEmpty) s"Content-Encoding: $cenc\r\n" else "") +
       (if (location.nonEmpty) s"Location: $location\r\n" else "") +
-      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+      (if (chunked) "Transfer-Encoding: chunked\r\n"
+       else s"Content-Length: ${body.length}\r\n") +
+      "\r\n").getBytes("UTF-8") ++ entity
     (s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
       s"WARC-Record-ID: <urn:graft:${md5hex(uri)}>\r\n" +
@@ -155,9 +195,8 @@ object Warc {
   private def writePartitionFiles(path: String, prefix: String, pid: Int,
                                   conf: org.apache.hadoop.conf.Configuration,
                                   date: String,
-                                  recs: Iterator[(String, Array[Byte])],
-                                  suffix: String = ".warc.gz",
-                                  idPrefix: String = "")
+                                  recs: Iterator[(String, String, Array[Byte])],
+                                  suffix: String = ".warc.gz")
       : Unit = {
     val name = f"$prefix-$pid%05d$suffix"
     val f = new Path(path, name)
@@ -168,10 +207,10 @@ object Warc {
       val info = gzMember(warcinfoRecord(pid, date))
       out.write(info)
       var off = info.length.toLong
-      recs.foreach { case (uri, recordBytes) =>
+      recs.foreach { case (id, uri, recordBytes) =>
         val member = gzMember(recordBytes)
         out.write(member)
-        idx.append(s"<urn:graft:$idPrefix${md5hex(uri)}>\t$uri\t$name\t$off\t${member.length}\n")
+        idx.append(s"$id\t$uri\t$name\t$off\t${member.length}\n")
         off += member.length
       }
     } finally out.close()
@@ -205,7 +244,8 @@ object Warc {
       .foreachPartition { (it: Iterator[Row]) =>
         writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
           conf.value, date,
-          it.map(r => (r.getString(0),
+          it.map(r => (s"<urn:graft:${md5hex(r.getString(0))}>",
+            r.getString(0),
             responseRecord(r.getString(0),
               r.getString(1).getBytes("UTF-8"), date))))
       }
@@ -233,6 +273,64 @@ object Warc {
       off += k
     }
     Some(buf)
+  }
+
+  /** Decode an HTTP/1.1 chunked transfer entity (RFC 9112 §7.1):
+    * hex-size line (chunk extensions after `;` ignored), data, CRLF,
+    * repeated; the `0` last-chunk must be followed by exactly one
+    * CRLF (EMPTY trailer section — the pinned subset; trailer fields
+    * are outside it). Returns None on ANY framing violation — bad hex,
+    * short data, missing CRLF, trailing bytes — so the caller skips
+    * the record (the tier-2 salvage contract: intact WARC framing,
+    * malformed HTTP payload). */
+  private def dechunk(a: Array[Byte]): Option[Array[Byte]] = {
+    val bo = new ByteArrayOutputStream(a.length.max(16))
+    var i = 0
+    def line(): Option[String] = {
+      var j = i
+      while (j + 1 < a.length && !(a(j) == '\r' && a(j + 1) == '\n')) j += 1
+      if (j + 1 >= a.length) None
+      else { val s = new String(a, i, j - i, "UTF-8"); i = j + 2; Some(s) }
+    }
+    while (true) {
+      line() match {
+        case None => return None
+        case Some(sz) =>
+          val hex = sz.split(";", 2)(0).trim
+          val n =
+            try Integer.parseInt(hex, 16)
+            catch { case _: NumberFormatException => return None }
+          if (n < 0) return None
+          if (n == 0)
+            return if (i + 2 == a.length && a(i) == '\r' && a(i + 1) == '\n')
+              Some(bo.toByteArray)
+            else None
+          if (i + n + 2 > a.length) return None
+          bo.write(a, i, n)
+          if (!(a(i + n) == '\r' && a(i + n + 1) == '\n')) return None
+          i += n + 2
+      }
+    }
+    None
+  }
+
+  /** Parsed fields off an HTTP response head block: status code (None
+    * when the status line is unparsable), content type, content
+    * encoding, location, transfer encoding (all lowercased names,
+    * values trimmed, `''` when absent). */
+  private def parseHttpHead(head: String)
+      : (Option[Int], String, String, String, String) = {
+    val lines = head.split("\r\n")
+    val status = lines.headOption
+      .map(_.split(" ", 3))
+      .filter(p => p.length >= 2 && p(0).startsWith("HTTP/"))
+      .flatMap(p => scala.util.Try(p(1).toInt).toOption)
+    def hdr(name: String): String = lines.drop(1)
+      .find(_.toLowerCase.startsWith(name + ":"))
+      .map(_.substring(name.length + 1).trim)
+      .getOrElse("")
+    (status, hdr("content-type"), hdr("content-encoding"),
+      hdr("location"), hdr("transfer-encoding").toLowerCase)
   }
 
   /** Index of the first `\r\n\r\n` in `a`, or -1. */
@@ -281,45 +379,42 @@ object Warc {
             else readN(in, len.get) match {
               case None => ok = false                    // truncated payload
               case Some(payload) =>
-                if (hdrs.getOrElse("warc-type", "") == "response" &&
+                val wtype = hdrs.getOrElse("warc-type", "")
+                if ((wtype == "response" || wtype == "revisit") &&
                     hdrs.getOrElse("content-type", "")
                       .startsWith("application/http")) {
                   val he = headerEnd(payload)
                   if (he >= 0) {
                     val head = new String(payload, 0, he, "UTF-8")
-                    val lines = head.split("\r\n")
-                    val status = lines.headOption
-                      .map(_.split(" ", 3))
-                      .filter(p => p.length >= 2 && p(0).startsWith("HTTP/"))
-                      .flatMap(p => scala.util.Try(p(1).toInt).toOption)
-                    val ctype = lines.drop(1)
-                      .find(_.toLowerCase.startsWith("content-type:"))
-                      .map(_.substring("content-type:".length).trim)
-                      .getOrElse("")
-                    val cenc = lines.drop(1)
-                      .find(_.toLowerCase.startsWith("content-encoding:"))
-                      .map(_.substring("content-encoding:".length).trim)
-                      .getOrElse("")
-                    // 3xx responses carry the redirect target here —
-                    // the alias edge canonicalization and the link
-                    // graph need ('' when absent).
-                    val loc = lines.drop(1)
-                      .find(_.toLowerCase.startsWith("location:"))
-                      .map(_.substring("location:".length).trim)
-                      .getOrElse("")
+                    // 3xx responses carry the redirect target in
+                    // `location` — the alias edge canonicalization and
+                    // the link graph need it ('' when absent).
+                    val (status, ctype, cenc, loc, te) = parseHttpHead(head)
+                    val raw = java.util.Arrays.copyOfRange(
+                      payload, he + 4, payload.length)
+                    // transfer decode: ''/identity pass through;
+                    // chunked dechunks; any OTHER transfer coding (or
+                    // a chunked framing violation) SKIPS the record —
+                    // tier-2 salvage, parse continues (a revisit's
+                    // head-only payload carries no transfer coding).
+                    val body: Option[Array[Byte]] =
+                      if (te.isEmpty || te == "identity") Some(raw)
+                      else if (te == "chunked") dechunk(raw)
+                      else None
                     status.foreach { st =>
-                      out += WarcRecord(
-                        hdrs.getOrElse("warc-record-id", ""),
-                        "response",
-                        hdrs.getOrElse("warc-date", ""),
-                        hdrs.getOrElse("warc-target-uri", ""),
-                        st, ctype, cenc, loc,
-                        hdrs.getOrElse("warc-refers-to", ""),
-                        java.util.Arrays.copyOfRange(
-                          payload, he + 4, payload.length))
+                      body.foreach { b =>
+                        out += WarcRecord(
+                          hdrs.getOrElse("warc-record-id", ""),
+                          wtype,
+                          hdrs.getOrElse("warc-date", ""),
+                          hdrs.getOrElse("warc-target-uri", ""),
+                          st, ctype, cenc, loc,
+                          hdrs.getOrElse("warc-refers-to", ""),
+                          b)
+                      }
                     }
                   }
-                } else if (hdrs.getOrElse("warc-type", "") == "conversion") {
+                } else if (wtype == "conversion") {
                   // WET records (the CommonCrawl extracted-text
                   // companion): no HTTP envelope — the payload IS the
                   // text; status 0 by convention; `warc_refers_to`
@@ -423,7 +518,8 @@ object Warc {
       .foreachPartition { (it: Iterator[Row]) =>
         writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
           conf.value, date,
-          it.map(r => (r.getString(0),
+          it.map(r => (s"<urn:graft:${md5hex(r.getString(0))}>",
+            r.getString(0),
             responseRecord(r.getString(0), r.getAs[Array[Byte]](1), date,
               ctype))))
       }
@@ -449,8 +545,11 @@ object Warc {
                 files: Int, date: String = DefaultDate,
                 prefix: String = "part", replace: Boolean = true,
                 statusCol: Option[String] = None,
-                locationCol: Option[String] = None): Unit = {
+                locationCol: Option[String] = None,
+                chunkedCol: Option[String] = None,
+                chunkBytes: Int = 100): Unit = {
     require(files > 0, s"files=$files must be positive")
+    require(chunkBytes > 0, s"chunkBytes=$chunkBytes must be positive")
     val spark = df.sparkSession
     val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
@@ -460,21 +559,140 @@ object Warc {
     val statusC = statusCol.map(c => col(c).cast("string"))
       .getOrElse(lit("200 OK"))
     val locC = locationCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    val chunkC = chunkedCol.map(c => col(c).cast("boolean"))
+      .getOrElse(lit(false))
     df.select(col(urlCol).cast("string"), col(bodyCol).cast("binary"),
         col(ctypeCol).cast("string"), col(cencCol).cast("string"),
-        statusC, locC)
+        statusC, locC, chunkC)
       .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
       .repartition(files)
       .foreachPartition { (it: Iterator[Row]) =>
         writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
           conf.value, date,
-          it.map(r => (r.getString(0),
+          it.map(r => (s"<urn:graft:${md5hex(r.getString(0))}>",
+            r.getString(0),
             responseRecord(r.getString(0), r.getAs[Array[Byte]](1), date,
               ctype = Option(r.getString(2)).getOrElse(""),
               cenc = Option(r.getString(3)).getOrElse(""),
               status = Option(r.getString(4)).getOrElse("200 OK"),
-              location = Option(r.getString(5)).getOrElse("")))))
+              location = Option(r.getString(5)).getOrElse(""),
+              chunked = !r.isNullAt(6) && r.getBoolean(6),
+              chunkBytes = chunkBytes))))
       }
+  }
+
+  /** One `revisit` record (ISO 28500 §6.7.2, the
+    * identical-payload-digest profile — how real archives avoid
+    * re-storing unchanged payloads): the HTTP HEAD is kept (status,
+    * content type) but the body is NOT — `WARC-Refers-To` names the
+    * record that holds it, `WARC-Payload-Digest` states the shared
+    * digest. Revisit ids are `rv:`-prefixed so they never collide
+    * with the original's id. */
+  private def revisitRecord(uri: String, origUri: String, digestHex: String,
+                            date: String,
+                            ctype: String = "text/html; charset=utf-8")
+      : Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: $ctype\r\n" +
+      "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: revisit\r\n" +
+      s"WARC-Record-ID: <urn:graft:rv:${md5hex(uri)}>\r\n" +
+      s"WARC-Refers-To: <urn:graft:${md5hex(origUri)}>\r\n" +
+      "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+      s"WARC-Payload-Digest: md5:$digestHex\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+      http ++ Crlf2
+  }
+
+  /** [[write]] with WRITE-TIME payload dedup via `revisit` records —
+    * the storage half of the archive dedup real crawlers run (ISO
+    * 28500 §6.7.2 identical-payload-digest; Heritrix's dedup module):
+    * within each shard, the FIRST occurrence of a payload digest
+    * writes a full `response` record; every repeat writes a bodyless
+    * `revisit` record whose `WARC-Refers-To` names the original.
+    * [[resolveRevisits]] is the read-side inverse.
+    *
+    * Dedup scope is pinned DETERMINISTIC (oracle-replayable):
+    *  - shard = `hash60(url) % files` (the md5-derived 60-bit row
+    *    hash — engine-neutral, so an oracle can replay the
+    *    assignment); rows shuffle ON the shard key and sort within
+    *    partitions by (shard, url);
+    *  - the original of a (shard, digest) group is therefore its
+    *    MINIMUM url; two hash-colliding shards sharing a partition
+    *    dedup independently (the seen-map keys on (shard, digest),
+    *    never on the partition).
+    * Cross-shard repeats each write their own original — the honest
+    * price of shuffle-free-scale dedup scope (global dedup would be a
+    * pre-pass with [[graft.operators.TextDedup]], stated). Urls are
+    * distinct per write by contract (the CDX id discipline). */
+  def writeDedup(df: DataFrame, urlCol: String, bodyCol: String,
+                 path: String, files: Int, date: String = DefaultDate,
+                 prefix: String = "part", replace: Boolean = true): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val spark = df.sparkSession
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (replace) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(urlCol).cast("string"), col(bodyCol).cast("string"),
+        expr(s"pmod(CAST(conv(substring(md5($urlCol), 1, 15), 16, 10) " +
+          s"AS BIGINT), $files)").as("__shard"))
+      .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
+      .repartition(files, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col(urlCol))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val seen = scala.collection.mutable.Map.empty[(Long, String), String]
+        writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
+          conf.value, date,
+          it.map { r =>
+            val uri = r.getString(0)
+            val body = r.getString(1).getBytes("UTF-8")
+            val sh = r.getLong(2)
+            val dg = md5hexBytes(body)
+            seen.get((sh, dg)) match {
+              case Some(orig) =>
+                (s"<urn:graft:rv:${md5hex(uri)}>", uri,
+                  revisitRecord(uri, orig, dg, date))
+              case None =>
+                seen((sh, dg)) = uri
+                (s"<urn:graft:${md5hex(uri)}>", uri,
+                  responseRecord(uri, body, date))
+            }
+          })
+      }
+  }
+
+  /** Read-side inverse of [[writeDedup]]: resolve each `revisit` row's
+    * payload from its original via ONE equi-join on
+    * `warc_refers_to = record_id` — the revisit keeps its own identity
+    * (id, uri, date, status) and takes the original's body /
+    * content-type / content-encoding. A revisit whose original is not
+    * in `df` (cross-write references) keeps a NULL body — surfaced,
+    * never silently dropped (stated). Non-revisit rows pass through
+    * untouched. The join shuffles on record ids only — bodies move
+    * once, on the original side. */
+  def resolveRevisits(df: DataFrame): DataFrame = {
+    val base = df.filter(col("warc_type") =!= "revisit")
+    val orig = df.filter(col("warc_type") === "response")
+      .select(col("record_id").as("__oid"), col("body").as("__obody"),
+        col("http_content_type").as("__octype"),
+        col("http_content_encoding").as("__ocenc"))
+    val rv = df.filter(col("warc_type") === "revisit")
+      .join(orig, col("warc_refers_to") === col("__oid"), "left")
+      .select(col("record_id"), col("warc_type"), col("warc_date"),
+        col("target_uri"), col("http_status"),
+        coalesce(col("__octype"), col("http_content_type"))
+          .as("http_content_type"),
+        coalesce(col("__ocenc"), col("http_content_encoding"))
+          .as("http_content_encoding"),
+        col("http_location"), col("warc_refers_to"),
+        col("__obody").as("body"))
+    base.select(rv.columns.map(col): _*).unionByName(rv)
   }
 
   /** The HTTP payload DECODE LAYER over a parsed relation ([[read]] /
@@ -572,10 +790,11 @@ object Warc {
       .foreachPartition { (it: Iterator[Row]) =>
         writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
           conf.value, date,
-          it.map(r => (r.getString(0),
+          it.map(r => (s"<urn:graft:wet:${md5hex(r.getString(0))}>",
+            r.getString(0),
             conversionRecord(r.getString(0),
               r.getString(1).getBytes("UTF-8"), date))),
-          suffix = ".warc.wet.gz", idPrefix = "wet:")
+          suffix = ".warc.wet.gz")
       }
   }
 

@@ -328,4 +328,79 @@ class WebSpec extends SparkSpec {
       .select(col("url")).as[String].collect().toSet
     assert(kept == Set("https://www.h.com/ok"))
   }
+
+  test("extractRobotsSitemaps: group-independent, comment/case/space rules, empty value drops") {
+    def sitemaps(body: String): Seq[(Long, String)] =
+      Web.extractRobotsSitemaps(Seq(("h.com", body)).toDF("host", "body"),
+        "host", "body")
+        .orderBy(col("pos")).select(col("pos"), col("loc"))
+        .as[(Long, String)].collect().toSeq
+
+    // directives extract from ANYWHERE — before groups, inside a
+    // group, after it (RFC 9309 §2.3: group-independent); the value's
+    // https:// colon survives (first-colon split); case-insensitive
+    // key with space before the colon; inline comment strips; empty
+    // value drops; CRLF tolerated.
+    assert(sitemaps(
+      "Sitemap: https://h.com/a.xml\r\n" +
+        "User-agent: *\n" +
+        "sitemap : https://h.com/b.xml   # inline\n" +
+        "Disallow: /x\n" +
+        "Sitemap:\n" +
+        "SITEMAP: https://h.com/c.xml\n") ==
+      Seq((1L, "https://h.com/a.xml"), (2L, "https://h.com/b.xml"),
+        (3L, "https://h.com/c.xml")))
+    // no directive → no rows; null body skips.
+    assert(sitemaps("User-agent: *\nDisallow: /\n").isEmpty)
+    assert(Web.extractRobotsSitemaps(
+      Seq(("h.com", null.asInstanceOf[String])).toDF("host", "body"),
+      "host", "body").count() == 0)
+  }
+
+  test("parseCrawlDelay: group selection, first parseable line, digit gate, no-delay hosts absent") {
+    def delay(body: String, agent: String = "GraftBot"): Option[Long] = {
+      val r = Web.parseCrawlDelay(Seq(("h.com", body)).toDF("host", "body"),
+        "host", "body", agent)
+        .select(col("delay_s")).as[Long].collect()
+      assert(r.length <= 1)
+      r.headOption
+    }
+    // exact group beats '*'; first parseable line wins within the
+    // merged selection (document order).
+    assert(delay(
+      "User-agent: graftbot\nCrawl-delay: 7\nCrawl-delay: 4\n\n" +
+        "User-agent: *\nCrawl-delay: 2\n") == Some(7L))
+    // '*' fallback when the agent has no exact group.
+    assert(delay("User-agent: *\nCrawl-delay: 2\n", agent = "x") == Some(2L))
+    // digits-only parseability: 'fast' and '10.5' are ignored LINES —
+    // the later integer still wins (never DuckDB-rounded 11, never 0).
+    assert(delay(
+      "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 10.5\nCrawl-delay: 3\n")
+      == Some(3L))
+    // no parseable delay in the selected groups → NO row (not 0).
+    assert(delay("User-agent: *\nCrawl-delay: soon\n").isEmpty)
+    // rules-only group → no row; delay in an UNSELECTED group → no row.
+    assert(delay("User-agent: *\nDisallow: /\n").isEmpty)
+    assert(delay(
+      "User-agent: otherbot\nCrawl-delay: 9\n").isEmpty)
+  }
+
+  test("scheduleFetches: per-host slots rank·delay, default delay, canonical dedup") {
+    val delays = Seq(("www.a.com", 5L)).toDF("host", "delay_s")
+    val batch = Seq(
+      "https://WWW.A.COM:443/p2?utm_source=x", // messy spelling of /p2
+      "https://www.a.com/p1",
+      "https://www.a.com/p2",                  // dup after canonicalization
+      "https://www.b.com/q1",
+      "https://www.b.com/q0").toDF("url")
+    val out = Web.scheduleFetches(batch, "url", delays, defaultDelayS = 1L)
+      .orderBy(col("host"), col("slot_s"))
+      .select(col("host"), col("url"), col("delay_s"), col("slot_s"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("www.a.com", "https://www.a.com/p1", 5L, 0L),
+      ("www.a.com", "https://www.a.com/p2", 5L, 5L),
+      ("www.b.com", "https://www.b.com/q0", 1L, 0L),
+      ("www.b.com", "https://www.b.com/q1", 1L, 1L)))
+  }
 }
