@@ -672,6 +672,39 @@ object Web {
         (col("__p") * col("delay_s")).cast("long").as("slot_s"))
   }
 
+  /** CRAWL-TRAP detection — the per-host URL-space explosion guard
+    * every real crawler needs (calendar pages, session-id paths,
+    * faceted-search permutations: hosts that mint unbounded DISTINCT
+    * urls over a bounded content set, silently eating the fetch
+    * budget). Score = distinct canonical urls per distinct content
+    * digest, ×100 exact integer: a healthy host reads 100; a host
+    * serving every page under k spellings the canonicalizer can't
+    * collapse reads ~k·100. Tracking-param traps (`?utm_…`) read 100
+    * — [[withCanonicalUrl]] already collapses those, which is exactly
+    * the division of labor: canonicalization kills the KNOWN
+    * dup-spelling classes, the trap score surfaces the unknown ones.
+    *
+    * Plan (no multi-distinct Expand): a url resolves to exactly ONE
+    * fetch, so distinct urls PARTITION by digest — two cascaded
+    * hash aggregates (host+digest → distinct urls; host → sum +
+    * count), each a single-distinct two-phase agg; text never rides
+    * past the first projection (digest immediately).
+    *
+    * Output: (host, n_urls, n_content, urls_per_content_x100).
+    * Gate usage: broadcast the over-threshold hosts, LEFT ANTI the
+    * frontier (the [[capPerDomain]] discipline). */
+  def trapScores(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    withCanonicalUrl(df, urlCol, "__tw")
+      .select(col("__tw_host").as("host"), col("__tw").as("__u"),
+        md5(col(textCol)).as("__dg"))
+      .groupBy(col("host"), col("__dg"))
+      .agg(countDistinct(col("__u")).as("__nu"))
+      .groupBy(col("host"))
+      .agg(sum(col("__nu")).cast("long").as("n_urls"),
+        count(lit(1)).as("n_content"))
+      .select(col("host"), col("n_urls"), col("n_content"),
+        expr("n_urls * 100 div n_content").as("urls_per_content_x100"))
+
   /** One `<url>…</url>` entry of a sitemaps.org sitemap. */
   val SitemapEntryPattern: String = "(?is)<url>.*?</url>"
 

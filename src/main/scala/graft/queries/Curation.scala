@@ -1573,6 +1573,67 @@ object Curation {
                * delay_s AS slot_s
       FROM dl ORDER BY host, url"""), headline = true),
 
+    // --------------------------------------- crawl-trap detection
+    // Per-host URL-space explosion (Web.trapScores): distinct
+    // canonical urls per distinct content digest, ×100 exact. Three
+    // host classes by site % 7: (0) a TRUE trap — every doc publishes
+    // 4 urls with k IN THE PATH, spellings canonicalization cannot
+    // and should not collapse → ratio 400; (1) a FALSE trap — the 4
+    // spellings differ only by a utm_ tracking param, which
+    // withCanonicalUrl collapses BEFORE counting → ratio 100 (the
+    // division of labor the operator states); (else) healthy 1:1 →
+    // 100. Two cascaded single-distinct aggregates — no Expand, text
+    // leaves the plan at the first projection (digest immediately).
+    Q("x_crawl_traps", (s, d) => {
+      val pages = fanOut(documents(s, d))
+        .withColumn("__s", expr("doc_id % 50"))
+        .select(col("doc_id"), col("text"), col("__s"),
+          explode(expr(
+            "sequence(0, IF(__s % 7 IN (0, 1), 3, 0))")).as("__k"))
+        .withColumn("url", expr(
+          """CASE WHEN __s % 7 = 0 THEN
+            |  concat('https://WWW.Site', CAST(__s AS STRING),
+            |         '.COM:443/d/', CAST(doc_id AS STRING), '/',
+            |         CAST(__k AS STRING))
+            |WHEN __s % 7 = 1 THEN
+            |  concat('https://www.site', CAST(__s AS STRING),
+            |         '.com/d/', CAST(doc_id AS STRING),
+            |         '?utm_source=', CAST(__k AS STRING))
+            |ELSE
+            |  concat('https://www.site', CAST(__s AS STRING),
+            |         '.com/d/', CAST(doc_id AS STRING))
+            |END""".stripMargin))
+      graft.operators.Web.trapScores(pages, "url", "text")
+        .orderBy(col("host"))
+    }, Some(s"""
+      WITH p0 AS (
+        SELECT doc_id, text, doc_id % 50 AS s,
+               unnest(CASE WHEN (doc_id % 50) % 7 IN (0, 1)
+                           THEN [0, 1, 2, 3] ELSE [0] END) AS k
+        FROM documents),
+      pu AS (SELECT md5(text) AS dg,
+               CASE WHEN s % 7 = 0 THEN
+                 'https://WWW.Site' || CAST(s AS VARCHAR) ||
+                 '.COM:443/d/' || CAST(doc_id AS VARCHAR) || '/' ||
+                 CAST(k AS VARCHAR)
+               WHEN s % 7 = 1 THEN
+                 'https://www.site' || CAST(s AS VARCHAR) ||
+                 '.com/d/' || CAST(doc_id AS VARCHAR) ||
+                 '?utm_source=' || CAST(k AS VARCHAR)
+               ELSE
+                 'https://www.site' || CAST(s AS VARCHAR) ||
+                 '.com/d/' || CAST(doc_id AS VARCHAR)
+               END AS url
+             FROM p0),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("dg"), "tc")},
+      g1 AS (SELECT host, dg, COUNT(DISTINCT canonical) AS nu
+             FROM tcc GROUP BY host, dg)
+      SELECT host, CAST(SUM(nu) AS BIGINT) AS n_urls,
+             CAST(COUNT(*) AS BIGINT) AS n_content,
+             (CAST(SUM(nu) AS BIGINT) * 100) // CAST(COUNT(*) AS BIGINT)
+               AS urls_per_content_x100
+      FROM g1 GROUP BY host ORDER BY host""")),
+
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical

@@ -385,6 +385,34 @@ class WebSpec extends SparkSpec {
       "User-agent: otherbot\nCrawl-delay: 9\n").isEmpty)
   }
 
+  test("trapScores: url-space explosion per content, canonical collapse first, no Expand") {
+    val pages = Seq(
+      // trap host: 3 distinct paths, one body
+      ("https://www.trap.com/d/1/a", "same body"),
+      ("https://www.trap.com/d/1/b", "same body"),
+      ("https://www.trap.com/d/1/c", "same body"),
+      // utm spellings collapse BEFORE counting → not a trap
+      ("https://www.utm.com/d/1?utm_a=1", "body u"),
+      ("https://www.utm.com/d/1?utm_a=2", "body u"),
+      // healthy host: two pages, two bodies
+      ("https://www.ok.com/d/1", "body 1"),
+      ("https://www.ok.com/d/2", "body 2")).toDF("url", "text")
+    val out = Web.trapScores(pages, "url", "text")
+      .orderBy(col("host"))
+      .select(col("host"), col("n_urls"), col("n_content"),
+        col("urls_per_content_x100"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("www.ok.com", 2L, 2L, 100L),
+      ("www.trap.com", 3L, 1L, 300L),
+      ("www.utm.com", 1L, 1L, 100L)))
+    // single-distinct cascade — the plan must carry NO Expand node
+    // (a two-distinct agg would).
+    val plan = Web.trapScores(pages, "url", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
   test("scheduleFetches: per-host slots rank·delay, default delay, canonical dedup") {
     val delays = Seq(("www.a.com", 5L)).toDF("host", "delay_s")
     val batch = Seq(
