@@ -1634,6 +1634,98 @@ object Curation {
                AS urls_per_content_x100
       FROM g1 GROUP BY host ORDER BY host""")),
 
+    // ---------------------- incremental trap accounting (gate twin)
+    // graft.streaming.TrapIngest's batch-expressible core: the corpus
+    // (doc_id % 7 ≠ 0) stages the distinct (host, content-digest,
+    // url-digest) triple set; the batch (doc_id % 7 = 0) is flagged
+    // against the PRE-batch per-host scores (trapped at threshold
+    // 300); the post-fold score ≡ a full recompute over corpus ∪
+    // batch — the SET-union fold's guarantee (idempotent, unlike the
+    // count-folding gates: re-fetching unchanged content must not
+    // inflate a trap score). Host classes by (doc_id % 10) % 3 as in
+    // x_crawl_traps: true trap (k in the path, ratio 400), false trap
+    // (utm spellings collapse at canonicalization, 100), healthy
+    // (100). The oracle states the CANONICAL urls directly from the
+    // id — an independent expectation, not a replay.
+    Q("x_trap_incremental", (s, d) => {
+      import graft.streaming.TrapIngest
+      val pages = fanOut(documents(s, d))
+        .withColumn("__s", expr("doc_id % 10"))
+        .select(col("doc_id"), col("text"), col("__s"),
+          explode(expr(
+            "sequence(0, IF(__s % 3 IN (0, 1), 3, 0))")).as("__k"))
+        .withColumn("url", expr(
+          """CASE WHEN __s % 3 = 0 THEN
+            |  concat('https://WWW.Site', CAST(__s AS STRING),
+            |         '.COM:443/d/', CAST(doc_id AS STRING), '/',
+            |         CAST(__k AS STRING))
+            |WHEN __s % 3 = 1 THEN
+            |  concat('https://www.site', CAST(__s AS STRING),
+            |         '.com/d/', CAST(doc_id AS STRING),
+            |         '?utm_source=', CAST(__k AS STRING))
+            |ELSE
+            |  concat('https://www.site', CAST(__s AS STRING),
+            |         '.com/d/', CAST(doc_id AS STRING))
+            |END""".stripMargin))
+      val pr = stage(TrapIngest.pairs(pages, "doc_id", "url", "text"))
+      val pre = TrapIngest.scoresOf(pr.filter(col("id") % 7 =!= 0)
+          .select(col("host"), col("dg"), col("uh")).distinct())
+        .select(col("host"), col("urls_per_content_x100").as("__pre"))
+      val post = TrapIngest.scoresOf(
+          pr.select(col("host"), col("dg"), col("uh")).distinct())
+        .select(col("host"), col("urls_per_content_x100").as("post_x100"))
+      pr.filter(col("id") % 7 === 0)
+        .select(col("id").as("doc_id"), col("host")).distinct()
+        .join(broadcast(pre), Seq("host"), "left")
+        .join(broadcast(post), Seq("host"))
+        .select(col("doc_id"), col("host"),
+          coalesce(col("__pre"), lit(100L)).as("prior_x100"),
+          (coalesce(col("__pre"), lit(100L)) >= 300L).as("trapped"),
+          col("post_x100"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH p0 AS (
+        SELECT doc_id, text, doc_id % 10 AS s,
+               unnest(CASE WHEN (doc_id % 10) % 3 IN (0, 1)
+                           THEN [0, 1, 2, 3] ELSE [0] END) AS k
+        FROM documents),
+      cp AS (SELECT doc_id,
+               'www.site' || CAST(s AS VARCHAR) || '.com' AS host,
+               md5(text) AS dg,
+               md5(CASE WHEN s % 3 = 0 THEN
+                     'https://www.site' || CAST(s AS VARCHAR) ||
+                     '.com/d/' || CAST(doc_id AS VARCHAR) || '/' ||
+                     CAST(k AS VARCHAR)
+                   ELSE
+                     'https://www.site' || CAST(s AS VARCHAR) ||
+                     '.com/d/' || CAST(doc_id AS VARCHAR)
+                   END) AS uh
+             FROM p0),
+      pre1 AS (SELECT host, dg, COUNT(DISTINCT uh) AS nu FROM cp
+               WHERE doc_id % 7 <> 0 GROUP BY host, dg),
+      pre AS (SELECT host,
+                (CAST(SUM(nu) AS BIGINT) * 100) // CAST(COUNT(*) AS BIGINT)
+                  AS prior_x100
+              FROM pre1 GROUP BY host),
+      post1 AS (SELECT host, dg, COUNT(DISTINCT uh) AS nu FROM cp
+                GROUP BY host, dg),
+      post AS (SELECT host,
+                 (CAST(SUM(nu) AS BIGINT) * 100) // CAST(COUNT(*) AS BIGINT)
+                   AS post_x100
+               FROM post1 GROUP BY host),
+      b AS (SELECT DISTINCT doc_id,
+                   'www.site' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                     AS host
+            FROM documents WHERE doc_id % 7 = 0)
+      SELECT b.doc_id, b.host,
+             COALESCE(pre.prior_x100, 100) AS prior_x100,
+             COALESCE(pre.prior_x100, 100) >= 300 AS trapped,
+             post.post_x100
+      FROM b
+      LEFT JOIN pre ON b.host = pre.host
+      JOIN post ON b.host = post.host
+      ORDER BY b.doc_id""")),
+
     // ------------------------------------------- crawl-frontier discovery
     // The batch twin of streaming.FrontierIngest (gate #31): pages with
     // doc_id % 3 ≠ 0 are the already-fetched corpus (their canonical

@@ -112,6 +112,10 @@ class PlanSanitySpec extends SparkSpec {
       // it feeds the pre-batch counts, the post-fold counts, AND the
       // batch probe (three consumers, one corpus scan).
       "x_domain_cap_incremental",
+      // x_trap_incremental stages the (id, host, dg, uh) projection —
+      // the same three-consumer shape (pre scores, post scores, batch
+      // probe; one corpus scan).
+      "x_trap_incremental",
       // x_heavy_hitters stages the tf projection (feeds the count–min
       // sketch build AND the candidate scan — one corpus scan total), so
       // the visible plan starts there.
