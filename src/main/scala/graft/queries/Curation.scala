@@ -1861,6 +1861,90 @@ object Curation {
         AND canonical NOT IN (SELECT canonical FROM fetched)
       ORDER BY url"""), headline = true),
 
+    // --------------------------- frontier fetch prioritization (OPIC)
+    // WHICH novel discoveries to fetch first — the crawl-ordering
+    // question (Cho/Garcia-Molina 1998; Abiteboul's OPIC is this
+    // cash-splitting form): every page distributes a fixed budget
+    // 2^20 div outdeg to each outlink, a candidate's priority = Σ
+    // contributions from its referring pages, and the batch fetch set
+    // is the global top-K by (priority DESC, url ASC). Exact integers
+    // end to end. A hub page referred by ~n/5 pages outranks every
+    // 1-2-referrer candidate; pages with an extra 4th link (doc_id %
+    // 3 = 0) contribute 2^20 div 4 — outdeg weighting is observable,
+    // not just n_refs. Plan: the outlink relation stages once (feeds
+    // the outdeg aggregate AND the contribution join); novel = LEFT
+    // ANTI against the fetched urls; top-K is TakeOrderedAndProject
+    // (map-side K-heaps + one driver merge — the distributed top-k,
+    // never a global sort; K = the batch fetch budget).
+    Q("x_frontier_priority", (s, d) => {
+      val pages = fanOut(documents(s, d))
+        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+        .withColumn("url", expr(
+          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+        .withColumn("__html", expr(
+          """concat('<p><a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+            |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=f">a</a> ',
+            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+            |'.com/d/', CAST(__t2 AS STRING), '">b</a> ',
+            |'<a href="https://www.hub.org/h/', CAST(doc_id % 5 AS STRING),
+            |'">h</a>',
+            |IF(doc_id % 3 = 0,
+            |   concat(' <a href="https://www.extra.org/e/',
+            |          CAST(doc_id AS STRING), '">e</a>'), ''),
+            |'</p>')""".stripMargin))
+      val lk = stage(graft.streaming.FrontierIngest
+        .outlinks(pages, "doc_id", "url", "__html"))
+      val deg = lk.groupBy(col("ref_id"))
+        .agg(count(lit(1)).cast("long").as("__deg"))
+      val seen = graft.streaming.FrontierIngest
+        .pageUrls(pages, "doc_id", "url")
+        .select(col("curl")).distinct()
+      lk.join(deg, Seq("ref_id"))
+        .withColumn("__cash", expr("1048576 div __deg"))
+        .groupBy(col("curl"))
+        .agg(sum(col("__cash")).cast("long").as("priority"),
+          count(lit(1)).cast("long").as("n_refs"))
+        .join(seen, Seq("curl"), "left_anti")
+        .orderBy(col("priority").desc, col("curl"))
+        .limit(100)
+        .select(col("curl").as("url"), col("priority"), col("n_refs"))
+    }, Some("""
+      WITH links AS (
+        SELECT doc_id AS ref_id,
+               'https://www.site' ||
+               CAST(((doc_id * 3 + 1) % 1024) % 7 AS VARCHAR) ||
+               '.com/d/' || CAST((doc_id * 3 + 1) % 1024 AS VARCHAR) AS curl
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://www.site' ||
+               CAST(((doc_id * 7 + 2) % 1024) % 7 AS VARCHAR) ||
+               '.com/d/' || CAST((doc_id * 7 + 2) % 1024 AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://www.hub.org/h/' || CAST(doc_id % 5 AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://www.extra.org/e/' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 3 = 0),
+      deg AS (SELECT ref_id, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM links GROUP BY ref_id),
+      seen AS (SELECT 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+                      '.com/d/' || CAST(doc_id AS VARCHAR) AS curl
+               FROM documents),
+      pri AS (SELECT l.curl,
+                     CAST(SUM(1048576 // d.deg) AS BIGINT) AS priority,
+                     CAST(COUNT(*) AS BIGINT) AS n_refs
+              FROM links l JOIN deg d ON l.ref_id = d.ref_id
+              WHERE l.curl NOT IN (SELECT curl FROM seen)
+              GROUP BY l.curl)
+      SELECT curl AS url, priority, n_refs
+      FROM pri ORDER BY priority DESC, url LIMIT 100""")),
+
     // --------------------------- frontier discovery budget (politeness)
     // startFrontier's domainCap twin: the seen set is bounded to `cap`
     // urls per REGISTRABLE domain — novel discoveries fill only their
