@@ -1432,7 +1432,11 @@ object Curation {
               |'</urlset>')""".stripMargin)),
         "__u", "__su")
         .select(col("__su").as("sm_url"), col("__xml"))
-      val joined = locs.join(store, Seq("sm_url"), "left")
+      // STAGED: the fetched and unfetched output branches BOTH read
+      // the joined relation — unstaged, the whole robots-extraction +
+      // canonicalization + store chain would execute once per branch
+      // (measured ~2× wall).
+      val joined = stage(locs.join(store, Seq("sm_url"), "left"))
       // extractSitemapUrls re-keys on the packed __sid (site·4 + the
       // robots-line pos, pos ≤ 2) — its output's own `pos` is the
       // within-child entry position (upos).

@@ -116,6 +116,10 @@ class PlanSanitySpec extends SparkSpec {
       // the same three-consumer shape (pre scores, post scores, batch
       // probe; one corpus scan).
       "x_trap_incremental",
+      // x_robots_sitemaps stages the locs⋈store relation — it feeds
+      // the fetched-walk branch AND the unfetched-surface branch (two
+      // consumers of the whole extraction+canonicalization chain).
+      "x_robots_sitemaps",
       // x_heavy_hitters stages the tf projection (feeds the count–min
       // sketch build AND the candidate scan — one corpus scan total), so
       // the visible plan starts there.
