@@ -1059,6 +1059,83 @@ object Pipeline {
              md5(t) AS digest
       FROM m ORDER BY doc_id""")),
 
+    // --------------------------------- conditional recrawl (RFC 9110 §13)
+    // Refetching 100k archives without validators re-downloads every
+    // unchanged byte; real crawlers revalidate — If-None-Match from the
+    // archived ETag, If-Modified-Since from the archived Last-Modified
+    // (a 304 then costs headers, not bodies). The parser surfaces both
+    // headers from the archived HTTP head; the fetch PLAN joins the
+    // recrawl candidate list against the parsed archive on canonical
+    // urls: mode 'etag' when an ETag was archived (preferred validator
+    // — RFC 9110 §13.1.1; the Last-Modified still rides along),
+    // 'modified' when only Last-Modified, 'unconditional' for archived
+    // pages without validators, 'full' for novel urls (left-join
+    // miss). Validators by doc_id % 3: both / Last-Modified only /
+    // neither; doc_id % 5 = 0 adds a never-archived /new/ candidate.
+    // One projection + ONE left join on canonical strings; the oracle
+    // restates the whole plan from the parquet original.
+    Q("x_recrawl_conditional", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_cond/${new java.io.File(d).getName}"
+      val pages = docs
+        .withColumn("url",
+          expr("concat('https://cond.example.com/doc/', CAST(doc_id AS STRING))"))
+        .withColumn("__b", expr("CAST(concat('<p>', text) AS BINARY)"))
+        .withColumn("__ct", lit("text/html; charset=utf-8"))
+        .withColumn("__ce", lit(""))
+        .withColumn("__et", expr(
+          """IF(doc_id % 3 = 0,
+            |   concat('"e', CAST(doc_id AS STRING), '"'), '')""".stripMargin))
+        .withColumn("__lm", expr(
+          """IF(doc_id % 3 IN (0, 1),
+            |   concat('Mon, 0', CAST(1 + doc_id % 9 AS STRING),
+            |          ' Jun 2026 00:00:00 GMT'), '')""".stripMargin))
+      graft.sources.Warc.writeHttp(pages, "url", "__b", "__ct", "__ce",
+        tmp, files = 4, etagCol = Some("__et"), lastModifiedCol = Some("__lm"))
+      val archived = graft.sources.Warc.read(s, tmp)
+        .select(col("target_uri").as("url"),
+          col("http_etag"), col("http_last_modified"))
+      val candidates = docs
+        .select(expr("concat('https://cond.example.com/doc/', CAST(doc_id AS STRING))")
+          .as("url"))
+        .unionAll(docs.filter(expr("doc_id % 5 = 0"))
+          .select(expr("concat('https://cond.example.com/new/', CAST(doc_id AS STRING))")
+            .as("url")))
+      candidates.join(archived, Seq("url"), "left")
+        .select(col("url"),
+          expr("""CASE WHEN http_etag IS NULL THEN 'full'
+                 |     WHEN http_etag != '' THEN 'etag'
+                 |     WHEN http_last_modified != '' THEN 'modified'
+                 |     ELSE 'unconditional' END""".stripMargin).as("mode"),
+          coalesce(col("http_etag"), lit("")).as("if_none_match"),
+          coalesce(col("http_last_modified"), lit("")).as("if_modified_since"))
+        .orderBy(col("url"))
+    }, Some("""
+      WITH cand AS (
+        SELECT doc_id,
+               'https://cond.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 AS url,
+               TRUE AS known
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://cond.example.com/new/' || CAST(doc_id AS VARCHAR),
+               FALSE
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT url,
+             CASE WHEN NOT known THEN 'full'
+                  WHEN doc_id % 3 = 0 THEN 'etag'
+                  WHEN doc_id % 3 = 1 THEN 'modified'
+                  ELSE 'unconditional' END AS mode,
+             CASE WHEN known AND doc_id % 3 = 0
+                  THEN '"e' || CAST(doc_id AS VARCHAR) || '"'
+                  ELSE '' END AS if_none_match,
+             CASE WHEN known AND doc_id % 3 IN (0, 1)
+                  THEN 'Mon, 0' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+                       ' Jun 2026 00:00:00 GMT'
+                  ELSE '' END AS if_modified_since
+      FROM cand ORDER BY url""")),
+
     // ------------------------------------------- WET extracted-text egress
     // CommonCrawl delivers extracted text as WET files (`conversion`
     // records — no HTTP envelope, payload = UTF-8 text, WARC-Refers-To

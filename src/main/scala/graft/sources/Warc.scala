@@ -84,6 +84,8 @@ object Warc {
                               http_status: Int, http_content_type: String,
                               http_content_encoding: String,
                               http_location: String,
+                              http_etag: String,
+                              http_last_modified: String,
                               warc_refers_to: String,
                               body: Array[Byte])
 
@@ -142,7 +144,9 @@ object Warc {
                              status: String = "200 OK",
                              location: String = "",
                              chunked: Boolean = false,
-                             chunkBytes: Int = 100)
+                             chunkBytes: Int = 100,
+                             etag: String = "",
+                             lastModified: String = "")
       : Array[Byte] = {
     // chunked responses carry Transfer-Encoding INSTEAD of an HTTP
     // Content-Length (RFC 9112 §6.2 forbids both); the WARC record's
@@ -152,6 +156,8 @@ object Warc {
       s"Content-Type: $ctype\r\n" +
       (if (cenc.nonEmpty) s"Content-Encoding: $cenc\r\n" else "") +
       (if (location.nonEmpty) s"Location: $location\r\n" else "") +
+      (if (etag.nonEmpty) s"ETag: $etag\r\n" else "") +
+      (if (lastModified.nonEmpty) s"Last-Modified: $lastModified\r\n" else "") +
       (if (chunked) "Transfer-Encoding: chunked\r\n"
        else s"Content-Length: ${body.length}\r\n") +
       "\r\n").getBytes("UTF-8") ++ entity
@@ -319,7 +325,7 @@ object Warc {
     * encoding, location, transfer encoding (all lowercased names,
     * values trimmed, `''` when absent). */
   private def parseHttpHead(head: String)
-      : (Option[Int], String, String, String, String) = {
+      : (Option[Int], String, String, String, String, String, String) = {
     val lines = head.split("\r\n")
     val status = lines.headOption
       .map(_.split(" ", 3))
@@ -330,7 +336,8 @@ object Warc {
       .map(_.substring(name.length + 1).trim)
       .getOrElse("")
     (status, hdr("content-type"), hdr("content-encoding"),
-      hdr("location"), hdr("transfer-encoding").toLowerCase)
+      hdr("location"), hdr("transfer-encoding").toLowerCase,
+      hdr("etag"), hdr("last-modified"))
   }
 
   /** Index of the first `\r\n\r\n` in `a`, or -1. */
@@ -389,7 +396,8 @@ object Warc {
                     // 3xx responses carry the redirect target in
                     // `location` — the alias edge canonicalization and
                     // the link graph need it ('' when absent).
-                    val (status, ctype, cenc, loc, te) = parseHttpHead(head)
+                    val (status, ctype, cenc, loc, te, etag, lastMod) =
+                      parseHttpHead(head)
                     val raw = java.util.Arrays.copyOfRange(
                       payload, he + 4, payload.length)
                     // transfer decode: ''/identity pass through;
@@ -408,7 +416,7 @@ object Warc {
                           wtype,
                           hdrs.getOrElse("warc-date", ""),
                           hdrs.getOrElse("warc-target-uri", ""),
-                          st, ctype, cenc, loc,
+                          st, ctype, cenc, loc, etag, lastMod,
                           hdrs.getOrElse("warc-refers-to", ""),
                           b)
                       }
@@ -424,7 +432,7 @@ object Warc {
                     "conversion",
                     hdrs.getOrElse("warc-date", ""),
                     hdrs.getOrElse("warc-target-uri", ""),
-                    0, hdrs.getOrElse("content-type", ""), "", "",
+                    0, hdrs.getOrElse("content-type", ""), "", "", "", "",
                     hdrs.getOrElse("warc-refers-to", ""),
                     payload)
                 }
@@ -547,7 +555,9 @@ object Warc {
                 statusCol: Option[String] = None,
                 locationCol: Option[String] = None,
                 chunkedCol: Option[String] = None,
-                chunkBytes: Int = 100): Unit = {
+                chunkBytes: Int = 100,
+                etagCol: Option[String] = None,
+                lastModifiedCol: Option[String] = None): Unit = {
     require(files > 0, s"files=$files must be positive")
     require(chunkBytes > 0, s"chunkBytes=$chunkBytes must be positive")
     val spark = df.sparkSession
@@ -561,9 +571,12 @@ object Warc {
     val locC = locationCol.map(c => col(c).cast("string")).getOrElse(lit(""))
     val chunkC = chunkedCol.map(c => col(c).cast("boolean"))
       .getOrElse(lit(false))
+    val etagC = etagCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    val lastModC = lastModifiedCol.map(c => col(c).cast("string"))
+      .getOrElse(lit(""))
     df.select(col(urlCol).cast("string"), col(bodyCol).cast("binary"),
         col(ctypeCol).cast("string"), col(cencCol).cast("string"),
-        statusC, locC, chunkC)
+        statusC, locC, chunkC, etagC, lastModC)
       .where(col(urlCol).isNotNull && col(bodyCol).isNotNull)
       .repartition(files)
       .foreachPartition { (it: Iterator[Row]) =>
@@ -577,7 +590,9 @@ object Warc {
               status = Option(r.getString(4)).getOrElse("200 OK"),
               location = Option(r.getString(5)).getOrElse(""),
               chunked = !r.isNullAt(6) && r.getBoolean(6),
-              chunkBytes = chunkBytes))))
+              chunkBytes = chunkBytes,
+              etag = Option(r.getString(7)).getOrElse(""),
+              lastModified = Option(r.getString(8)).getOrElse("")))))
       }
   }
 
@@ -690,7 +705,8 @@ object Warc {
           .as("http_content_type"),
         coalesce(col("__ocenc"), col("http_content_encoding"))
           .as("http_content_encoding"),
-        col("http_location"), col("warc_refers_to"),
+        col("http_location"), col("http_etag"), col("http_last_modified"),
+        col("warc_refers_to"),
         col("__obody").as("body"))
     base.select(rv.columns.map(col): _*).unionByName(rv)
   }

@@ -342,6 +342,27 @@ class SourceFormatsSpec extends SparkSpec {
       Seq(("https://c/ext", "hello"), ("https://c/last", "survives")))
   }
 
+  test("cache validators surface: ETag / Last-Modified headers, '' when absent") {
+    import spark.implicits._
+    val fix = Seq(
+      ("https://v/1", "b1", "\"abc\"", "Mon, 01 Jun 2026 00:00:00 GMT"),
+      ("https://v/2", "b2", "", "Mon, 02 Jun 2026 00:00:00 GMT"),
+      ("https://v/3", "b3", "", ""))
+      .toDF("url", "body", "et", "lm")
+      .withColumn("b", expr("CAST(body AS BINARY)"))
+      .withColumn("ct", lit("text/plain")).withColumn("ce", lit(""))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-vl").toString
+    graft.sources.Warc.writeHttp(fix, "url", "b", "ct", "ce", dir, files = 1,
+      etagCol = Some("et"), lastModifiedCol = Some("lm"))
+    val m = graft.sources.Warc.read(spark, dir)
+      .select(col("target_uri"), col("http_etag"), col("http_last_modified"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("https://v/1") == ("\"abc\"", "Mon, 01 Jun 2026 00:00:00 GMT"))
+    assert(m("https://v/2") == ("", "Mon, 02 Jun 2026 00:00:00 GMT"))
+    assert(m("https://v/3") == ("", ""))
+  }
+
   test("revisit records: write-time payload dedup, deterministic scope, read-side resolution") {
     import spark.implicits._
     // three urls share one payload, one differs; files = 1 puts every
