@@ -98,13 +98,26 @@ class StreamingCrawlLoopSpec extends SparkSpec {
         "# crawl fixture\r\n" +
           "User-agent: graftbot\r\n" +
           "Disallow: /private*\r\n" +
+          "Crawl-delay: 7\r\n" +
           "\r\n" +
           "User-agent: *\r\n" +
-          "Disallow: /\r\n"
+          "Disallow: /\r\n" +
+          "Crawl-delay: 9\r\n"
       val robots = Web.parseRobots(
         Seq(("www.c.com", robotsBody)).toDF("host", "body"),
         "host", "body", agent = "GraftBot")
         .select(col("host"), col("pattern"), col("allow"))
+      // crawl-delays come from the SAME raw bodies (group selection is
+      // load-bearing here too: the '*' group's 9 must not shadow the
+      // graftbot group's 7); d.com publishes its own delay 5; hosts
+      // without a body (a.com, b.example.org) take the default 1.
+      val delays = Web.parseCrawlDelay(
+        Seq(("www.c.com", robotsBody),
+          ("www.d.com", "User-agent: GraftBot\nCrawl-delay: 5\n"))
+          .toDF("host", "body"),
+        "host", "body", agent = "GraftBot")
+      assert(delays.as[(String, Long)].collect().toSet ==
+        Set(("www.c.com", 7L), ("www.d.com", 5L)))
       val ref = Seq((1L, "the quick brown fox jumps over the lazy dog"))
         .toDF("doc_id", "text")
       val lm = new java.util.concurrent.atomic.AtomicReference(
@@ -172,6 +185,7 @@ class StreamingCrawlLoopSpec extends SparkSpec {
 
       // THE LOOP: fetch, learn the frontier, fetch what it discovered.
       var toFetch = Seq(uA1)
+      var lastSchedule = Seq.empty[(String, String, Long)]
       val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
       var rounds = 0
       while (toFetch.nonEmpty && rounds < 10) {
@@ -186,8 +200,15 @@ class StreamingCrawlLoopSpec extends SparkSpec {
         send(msW, qW, batch.filter(_._4 == null))
         send(msL, qL, batch)
         // batch N's novel frontier IS batch N+1's fetch set (urls the
-        // world doesn't serve would 404 — none here by construction).
+        // world doesn't serve would 404 — none here by construction);
+        // each fetch set dispatches under the per-host politeness
+        // schedule (crawl-delays parsed above).
         toFetch = novel.filter(world.contains)
+        if (toFetch.nonEmpty)
+          lastSchedule = Web.scheduleFetches(
+            toFetch.toDF("url"), "url", delays, defaultDelayS = 1L)
+            .select(col("host"), col("url"), col("slot_s"))
+            .as[(String, String, Long)].collect().toSeq.sortBy(r => (r._1, r._3))
         novel = Seq.empty
         rounds += 1
       }
@@ -197,6 +218,14 @@ class StreamingCrawlLoopSpec extends SparkSpec {
       // blocked) → b1old 301s; a2 discovers b1 + d.com under budget 2
       // → b1 and the two smallest-'fq:'-hash d urls; nothing further.
       val dPicks = uD.sortBy(x => (md5hex("fq:" + x), x)).take(2)
+
+      // the final round's dispatch: b1 alone on its host at slot 0;
+      // the two d.com picks spaced by d.com's own delay 5 (url order).
+      val dSorted = dPicks.sorted
+      assert(lastSchedule == Seq(
+        ("www.b.example.org", uB1, 0L),
+        ("www.d.com", dSorted(0), 0L),
+        ("www.d.com", dSorted(1), 5L)), s"schedule: $lastSchedule")
       assert(fetched.toSet == Set(uA1, uA2, uB1old, uB1) ++ dPicks,
         s"fetched: $fetched (expected d picks $dPicks)")
       assert(rounds == 3, s"a1 / a2+b1old / b1+2 d-pages — got $rounds")
