@@ -909,4 +909,34 @@ object Media {
       }
     }(Encoders.product[Frame])
   }
+
+  /** MAGIC-BYTE content-type sniffing over a BINARY payload expr — the
+    * trust-nothing step a real crawl needs before routing payloads
+    * (Content-Type headers mislabel constantly; CommonCrawl publishes
+    * a detected type NEXT TO the served one for the same reason).
+    * Pinned signature subset, first match wins:
+    * PNG (89504E47…), JPEG (FFD8FF), GIF (GIF8), PDF (%PDF),
+    * gzip (1F8B), zip (PK..), RIFF (wav/avi container), and HTML by
+    * prefix sniff — the first 64 bytes decoded as latin-1 (total, can
+    * never fail), left-trimmed, lowercased, starting with `<!doctype`
+    * or `<html` (the WHATWG-ish core). Anything else →
+    * `application/octet-stream` (never a guess). One codegen
+    * projection; `hex` is uppercase in both engines (the pinned
+    * cross-engine convention); requires the graft functions
+    * (`charset_decode`) registered on the session. */
+  def mimeSniffSql(b: String): String =
+    s"""CASE
+       |  WHEN startswith(hex(substring($b, 1, 4)), '89504E47') THEN 'image/png'
+       |  WHEN startswith(hex(substring($b, 1, 3)), 'FFD8FF') THEN 'image/jpeg'
+       |  WHEN startswith(hex(substring($b, 1, 4)), '47494638') THEN 'image/gif'
+       |  WHEN startswith(hex(substring($b, 1, 4)), '25504446') THEN 'application/pdf'
+       |  WHEN startswith(hex(substring($b, 1, 2)), '1F8B') THEN 'application/gzip'
+       |  WHEN startswith(hex(substring($b, 1, 4)), '504B0304') THEN 'application/zip'
+       |  WHEN startswith(hex(substring($b, 1, 4)), '52494646') THEN 'audio/x-riff'
+       |  WHEN startswith(ltrim(lower(charset_decode(substring($b, 1, 64),
+       |         'iso-8859-1'))), '<!doctype') THEN 'text/html'
+       |  WHEN startswith(ltrim(lower(charset_decode(substring($b, 1, 64),
+       |         'iso-8859-1'))), '<html') THEN 'text/html'
+       |  ELSE 'application/octet-stream'
+       |END""".stripMargin
 }

@@ -1136,6 +1136,85 @@ object Pipeline {
                   ELSE '' END AS if_modified_since
       FROM cand ORDER BY url""")),
 
+    // --------------------------------- magic-byte MIME sniffing
+    // Content-Type headers mislabel constantly — CommonCrawl publishes
+    // a DETECTED type beside the served one for exactly this reason;
+    // routing payloads (html → extraction, image → dHash, gzip →
+    // decode) off the header alone mis-feeds every downstream stage.
+    // Media.mimeSniffSql classifies archived payloads by pinned magic
+    // signatures (PNG/JPEG/GIF/PDF/gzip/zip/RIFF) + an HTML prefix
+    // sniff (first 64 bytes as latin-1, left-trimmed, lowercased —
+    // total, never fails), else application/octet-stream (never a
+    // guess). The fixture serves six payload shapes with deliberately
+    // wrong headers on half of them (a PNG served as text/html, a
+    // gzip served as text/html, an html doc served as text/plain) —
+    // the mismatch flag is the signal a real pipeline routes on. One
+    // codegen projection over the parsed archive; the oracle restates
+    // everything closed-form from doc_id.
+    Q("x_mime_sniff", (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_mime/${new java.io.File(d).getName}"
+      val pages = docs
+        .withColumn("url",
+          expr("concat('https://mime.example.com/doc/', CAST(doc_id AS STRING))"))
+        .withColumn("__v", expr("doc_id % 6"))
+        .withColumn("__b", expr(
+          """CASE CAST(__v AS INT)
+            |  WHEN 0 THEN concat(unhex('89504E470D0A1A0A'),
+            |                     charset_encode(text, 'utf-8'))
+            |  WHEN 1 THEN concat(unhex('FFD8FFE000104A464946'),
+            |                     charset_encode(text, 'utf-8'))
+            |  WHEN 2 THEN charset_encode(
+            |                concat('  <!DOCTYPE html><p>', text), 'utf-8')
+            |  WHEN 3 THEN charset_encode(
+            |                concat('%PDF-1.4 ', text), 'utf-8')
+            |  WHEN 4 THEN gzip_bytes(charset_encode(text, 'utf-8'))
+            |  ELSE charset_encode(concat('plain ', text), 'utf-8')
+            |END""".stripMargin))
+        .withColumn("__ct", expr(
+          """CASE CAST(__v AS INT)
+            |  WHEN 0 THEN 'image/png'
+            |  WHEN 1 THEN 'text/html'
+            |  WHEN 2 THEN 'text/plain'
+            |  WHEN 3 THEN 'application/pdf'
+            |  WHEN 4 THEN 'text/html'
+            |  ELSE 'text/plain'
+            |END""".stripMargin))
+        .withColumn("__ce", lit(""))
+      graft.sources.Warc.writeHttp(pages, "url", "__b", "__ct", "__ce",
+        tmp, files = 4)
+      graft.sources.Warc.read(s, tmp)
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+        .select(col("doc_id"), col("http_content_type").as("served"),
+          expr(graft.operators.Media.mimeSniffSql("body")).as("detected"))
+        .withColumn("mismatch", expr(
+          """NOT (detected = served
+            |  OR (detected = 'application/octet-stream'
+            |      AND served LIKE 'text/plain%'))""".stripMargin))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'text/html'
+               WHEN 2 THEN 'text/plain'
+               WHEN 3 THEN 'application/pdf'
+               WHEN 4 THEN 'text/html'
+               ELSE 'text/plain'
+             END AS served,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'text/html'
+               WHEN 3 THEN 'application/pdf'
+               WHEN 4 THEN 'application/gzip'
+               ELSE 'application/octet-stream'
+             END AS detected,
+             CAST(doc_id % 6 AS INT) IN (1, 2, 4) AS mismatch
+      FROM documents ORDER BY doc_id""")),
+
     // ------------------------------------------- WET extracted-text egress
     // CommonCrawl delivers extracted text as WET files (`conversion`
     // records — no HTTP envelope, payload = UTF-8 text, WARC-Refers-To
