@@ -1184,7 +1184,7 @@ object Pipeline {
         .withColumn("__ce", lit(""))
       graft.sources.Warc.writeHttp(pages, "url", "__b", "__ct", "__ce",
         tmp, files = 4)
-      graft.sources.Warc.read(s, tmp)
+      val back = graft.sources.Warc.read(s, tmp)
         .withColumn("doc_id",
           expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
         .select(col("doc_id"), col("http_content_type").as("served"),
@@ -1193,6 +1193,15 @@ object Pipeline {
           """NOT (detected = served
             |  OR (detected = 'application/octet-stream'
             |      AND served LIKE 'text/plain%'))""".stripMargin))
+      // the join back to the source pages pins the header round trip
+      // (and is the query's parquet anchor — the archive scan itself
+      // is the binaryFile read).
+      pages.alias("o").join(back.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"), col("w.served").as("served"),
+          col("w.detected").as("detected"),
+          col("w.mismatch").as("mismatch"),
+          expr("CAST(CASE WHEN w.served <=> o.__ct THEN 1 ELSE 0 END AS BIGINT)")
+            .as("hdr_ok"))
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id,
@@ -1212,7 +1221,8 @@ object Pipeline {
                WHEN 4 THEN 'application/gzip'
                ELSE 'application/octet-stream'
              END AS detected,
-             CAST(doc_id % 6 AS INT) IN (1, 2, 4) AS mismatch
+             CAST(doc_id % 6 AS INT) IN (1, 2, 4) AS mismatch,
+             CAST(1 AS BIGINT) AS hdr_ok
       FROM documents ORDER BY doc_id""")),
 
     // ------------------------------------------- WET extracted-text egress
@@ -1248,6 +1258,105 @@ object Pipeline {
     }, Some("""
       SELECT doc_id, CAST(1 AS BIGINT) AS text_ok, CAST(1 AS BIGINT) AS rec_ok,
              CAST(1 AS BIGINT) AS ref_ok, md5(text) AS digest
+      FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------- WAT metadata egress
+    // CommonCrawl's third delivery format: WAT `metadata` records —
+    // JSON envelopes of per-page metadata (title, links) beside the
+    // WARC responses and WET text; writing them completes the
+    // WARC/WAT/WET triple, so a graft crawl inter-operates with every
+    // WAT consumer. The envelope assembles ENGINE-SIDE (extractTitle +
+    // extractLinks → one to_json projection — raw hrefs in document
+    // order, true to the format); Warc.writeMeta frames it
+    // (`.warc.wat.gz`, refers-to back-link, shared CDX sidecar);
+    // readWat + from_json re-extract every field. The oracle restates
+    // the ENTIRE envelope byte-for-byte closed-form from doc_id
+    // (Spark's to_json layout is deterministic: struct order, compact
+    // separators) — a drifted field order, a lost link, or a broken
+    // back-link all hash-mismatch. Body text is [<>]-sanitized so the
+    // link/title extraction is closed-form by construction (stated).
+    Q("x_source_wat", (s, d) => {
+      val docs = documents(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_wat/${new java.io.File(d).getName}"
+      val pages = docs.select(col("doc_id"), col("text"))
+        .withColumn("url",
+          expr("concat('https://wat.example.com/doc/', CAST(doc_id AS STRING))"))
+        .withColumn("__html", expr(
+          """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+            |'</title></head><body><p>',
+            |regexp_replace(text, '[<>]', ''),
+            |'</p><a href="https://www.site', CAST(doc_id % 7 AS STRING),
+            |'.com/d/', CAST(doc_id AS STRING), '">a</a> ',
+            |'<a href="/next/', CAST(doc_id + 1 AS STRING),
+            |'">b</a></body></html>')""".stripMargin))
+      val titles = graft.operators.Html.extractTitle(pages, "doc_id", "__html")
+        .select(col("doc_id"), col("title"))
+      val links = graft.operators.Html.extractLinks(pages, "doc_id", "__html")
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          """transform(array_sort(collect_list(named_struct('p', pos,
+            |'h', href))), s9 -> s9.h)""".stripMargin).as("__ls"))
+      val meta = pages.select(col("doc_id"), col("url"))
+        .join(titles, Seq("doc_id")).join(links, Seq("doc_id"))
+        .withColumn("__json", expr(
+          """to_json(named_struct(
+            |  'Envelope', named_struct(
+            |    'WARC-Header-Metadata', named_struct('WARC-Target-URI', url),
+            |    'Payload-Metadata', named_struct(
+            |      'HTML-Metadata', named_struct(
+            |        'Title', title,
+            |        'Links', transform(__ls,
+            |          l9 -> named_struct('url', l9)))))))""".stripMargin))
+      graft.sources.Warc.writeMeta(meta, "url", "__json", tmp, files = 4)
+      val watSchema = "Envelope STRUCT<`WARC-Header-Metadata` STRUCT<" +
+        "`WARC-Target-URI` STRING>, `Payload-Metadata` STRUCT<" +
+        "`HTML-Metadata` STRUCT<Title STRING, " +
+        "Links ARRAY<STRUCT<url STRING>>>>>"
+      val back = graft.sources.Warc.readWat(s, tmp)
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/doc/', 2) AS BIGINT)"))
+        .withColumn("__j", expr("decode(body, 'UTF-8')"))
+        .withColumn("__e", expr(s"from_json(__j, '$watSchema')"))
+        .select(col("doc_id"),
+          expr("__e.Envelope.`Payload-Metadata`.`HTML-Metadata`.Title")
+            .as("title"),
+          expr("""CAST(size(__e.Envelope.`Payload-Metadata`
+                 |.`HTML-Metadata`.Links) AS BIGINT)""".stripMargin)
+            .as("n_links"),
+          expr("""array_join(transform(__e.Envelope.`Payload-Metadata`
+                 |.`HTML-Metadata`.Links, l9 -> l9.url), '|')""".stripMargin)
+            .as("links"),
+          expr("""CAST(CASE WHEN warc_refers_to =
+                 |  concat('<urn:graft:', md5(target_uri), '>')
+                 |  AND warc_type = 'metadata'
+                 |  AND http_content_type = 'application/json'
+                 |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("ref_ok"),
+          expr("md5(__j)").as("digest"), col("target_uri"))
+      // parquet anchor + url round trip: join back to the source pages.
+      pages.select(col("doc_id"), col("url")).alias("o")
+        .join(back.alias("w"), Seq("doc_id"))
+        .select(col("doc_id"), col("w.title").as("title"),
+          col("w.n_links").as("n_links"), col("w.links").as("links"),
+          expr("""CAST(CASE WHEN w.ref_ok = 1 AND w.target_uri <=> o.url
+                 |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("ref_ok"),
+          col("w.digest").as("digest"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             CAST(2 AS BIGINT) AS n_links,
+             'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/d/' || CAST(doc_id AS VARCHAR) ||
+             '|/next/' || CAST(doc_id + 1 AS VARCHAR) AS links,
+             CAST(1 AS BIGINT) AS ref_ok,
+             md5('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"' ||
+                 'https://wat.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+                 '"},"Payload-Metadata":{"HTML-Metadata":{"Title":"Doc ' ||
+                 CAST(doc_id AS VARCHAR) ||
+                 '","Links":[{"url":"https://www.site' ||
+                 CAST(doc_id % 7 AS VARCHAR) || '.com/d/' ||
+                 CAST(doc_id AS VARCHAR) || '"},{"url":"/next/' ||
+                 CAST(doc_id + 1 AS VARCHAR) || '"}]}}}}') AS digest
       FROM documents ORDER BY doc_id""")),
 
     // ------------------------------------------- CSV interchange (egress)

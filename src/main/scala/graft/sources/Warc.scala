@@ -422,14 +422,16 @@ object Warc {
                       }
                     }
                   }
-                } else if (wtype == "conversion") {
-                  // WET records (the CommonCrawl extracted-text
-                  // companion): no HTTP envelope — the payload IS the
-                  // text; status 0 by convention; `warc_refers_to`
-                  // links back to the originating response record.
+                } else if (wtype == "conversion" || wtype == "metadata") {
+                  // WET `conversion` (extracted text) and WAT
+                  // `metadata` (JSON envelope) records — the
+                  // CommonCrawl companions: no HTTP envelope, the
+                  // payload IS the content; status 0 by convention;
+                  // `warc_refers_to` links back to the originating
+                  // response record.
                   out += WarcRecord(
                     hdrs.getOrElse("warc-record-id", ""),
-                    "conversion",
+                    wtype,
                     hdrs.getOrElse("warc-date", ""),
                     hdrs.getOrElse("warc-target-uri", ""),
                     0, hdrs.getOrElse("content-type", ""), "", "", "", "",
@@ -812,6 +814,69 @@ object Warc {
               r.getString(1).getBytes("UTF-8"), date))),
           suffix = ".warc.wet.gz")
       }
+  }
+
+  /** One WAT `metadata` record — the CommonCrawl metadata companion
+    * format: `Content-Type: application/json`, the payload IS the
+    * JSON envelope; `WARC-Refers-To` links back to the originating
+    * response record (the [[write]] id discipline). */
+  private def metadataRecord(uri: String, json: Array[Byte],
+                             date: String): Array[Byte] =
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: metadata\r\n" +
+      s"WARC-Record-ID: <urn:graft:wat:${md5hex(uri)}>\r\n" +
+      s"WARC-Refers-To: <urn:graft:${md5hex(uri)}>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/json\r\n" +
+      s"Content-Length: ${json.length}\r\n\r\n").getBytes("UTF-8") ++
+      json ++ Crlf2
+
+  /** Write (urlCol, jsonCol) as WAT files (`.warc.wat.gz` —
+    * CommonCrawl's metadata delivery format, `metadata` records with
+    * JSON envelopes): the metadata EGRESS beside [[writeText]]'s WET,
+    * completing the WARC/WAT/WET triple. The caller assembles the
+    * envelope JSON engine-side (a `to_json` projection — see
+    * x_source_wat); the writer frames it. Same per-file warcinfo
+    * lead, per-record gzip members, partition-id naming, and CDX
+    * sidecar as [[write]]; the `.warc.gz` / `.warc.wet.gz` globs
+    * never match WAT segments (suffix separation). Null url/json
+    * rows skip. */
+  def writeMeta(df: DataFrame, urlCol: String, jsonCol: String,
+                path: String, files: Int, date: String = DefaultDate,
+                prefix: String = "part", replace: Boolean = true): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val spark = df.sparkSession
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (replace) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(urlCol).cast("string"), col(jsonCol).cast("string"))
+      .where(col(urlCol).isNotNull && col(jsonCol).isNotNull)
+      .repartition(files)
+      .foreachPartition { (it: Iterator[Row]) =>
+        writePartitionFiles(path, prefix, TaskContext.getPartitionId(),
+          conf.value, date,
+          it.map(r => (s"<urn:graft:wat:${md5hex(r.getString(0))}>",
+            r.getString(0),
+            metadataRecord(r.getString(0),
+              r.getString(1).getBytes("UTF-8"), date))),
+          suffix = ".warc.wat.gz")
+      }
+  }
+
+  /** Read every `.warc.wat.gz` under `path` into the parsed relation
+    * (`metadata` rows: body = the JSON envelope bytes, http_status 0,
+    * warc_refers_to set) — one task per file, the [[read]] contract. */
+  def readWat(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.wat.gz")
+      .load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(parseFile _)
+      .toDF()
   }
 
   /** Read every `.warc.wet.gz` under `path` into the parsed relation

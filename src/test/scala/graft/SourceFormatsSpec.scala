@@ -216,12 +216,27 @@ class SourceFormatsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     wet.foreach(r => assert(r._6 == respIds(r._1),
       s"refers-to must back-link the response record: $r"))
-    // the response reader never sees WET segments and vice versa.
+    // WAT metadata segments into the SAME directory: all three globs
+    // must separate by suffix.
+    graft.sources.Warc.writeMeta(
+      rows.map { case (u, _) => (u, s"""{"u":"$u"}""") }.toDF("url", "json"),
+      "url", "json", dir, files = 1, replace = false)
+    val wat = graft.sources.Warc.readWat(spark, dir)
+      .select(col("target_uri"), expr("decode(body, 'UTF-8')"),
+        col("warc_type"), col("http_content_type"), col("warc_refers_to"))
+      .as[(String, String, String, String, String)].collect().sortBy(_._1)
+    assert(wat.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      rows.sortBy(_._1).map { case (u, _) =>
+        (u, s"""{"u":"$u"}""", "metadata", "application/json") })
+    wat.foreach(r => assert(r._5 == respIds(r._1),
+      s"WAT refers-to must back-link the response record: $r"))
+    // each reader sees ONLY its own format.
     assert(graft.sources.Warc.read(spark, dir).count() == 2)
     assert(graft.sources.Warc.readWet(spark, dir).count() == 2)
+    assert(graft.sources.Warc.readWat(spark, dir).count() == 2)
     // the CDX sidecars coexist (named after the archive minus .gz) and
-    // index BOTH formats' members.
-    assert(graft.sources.Warc.readCdx(spark, dir).count() == 4)
+    // index all THREE formats' members.
+    assert(graft.sources.Warc.readCdx(spark, dir).count() == 6)
   }
 
   test("Warc.withDecodedText: charset resolution + transfer decode, pinned edge semantics") {
