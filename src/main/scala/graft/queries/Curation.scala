@@ -832,80 +832,58 @@ object Curation {
     // small sf), every 10th page links the hub page 1, and one external
     // link per page never resolves.
     Q("x_linkgraph_rank", (s, d) => {
-      val pages = fanOut(documents(s, d))
-        .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
-        .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
-        .withColumn("url", expr(
-          """concat('https://www.site', CAST(doc_id % 7 AS STRING),
-            |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
-        .withColumn("__html", expr(
-          """concat('<script>var a = "<a href=\"/fake\">x</a>";</script>',
-            |'<p>read <a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
-            |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">one</a> and ',
-            |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
-            |'.com/d/', CAST(__t2 AS STRING), '#sec">two</a>',
-            |IF(doc_id % 10 = 0,
-            |   '<a href="https://www.site1.com/d/1">hub</a>', ''),
-            |' plus <a href="https://other.example.org/offsite">ext</a></p>')""".stripMargin))
+      val pages = linkFixturePages(s, d)
       val links = graft.operators.Html.extractLinks(pages, "doc_id", "__html")
-      val lc = graft.operators.Web.withCanonicalUrl(links, "href", "__c")
-        .select(col("doc_id").as("src"), col("__c").as("canon"))
-      val pc = graft.operators.Web.withCanonicalUrl(
-        pages.select(col("doc_id"), col("url")), "url", "__c")
-        .select(col("doc_id").as("dst"), col("__c").as("canon"))
-      val edges = lc.join(pc, "canon").select(col("src"), col("dst"))
-      graft.operators.Graph.pageRankDirected(documents(s, d), "doc_id",
-        edges, "src", "dst", iterations = 3)
-        .orderBy(col("node"))
-    }, Some {
-      val rounds = (1 to 3).map(i => s"""
-        r$i AS (SELECT nd.node, nd.degree,
-                       CAST(150000000 AS BIGINT) +
-                       COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
-                                CAST(0 AS BIGINT)) AS r
-                FROM nd LEFT JOIN (SELECT e0.d AS dst, rr.r, rr.degree
-                                   FROM e0 JOIN r${i - 1} rr ON e0.s = rr.node) p
-                  ON p.dst = nd.node
-                GROUP BY nd.node, nd.degree)""").mkString(",")
-      s"""
-      WITH pages AS MATERIALIZED (
-        SELECT doc_id,
-          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
-          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
-            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
-        FROM documents),
-      __link_src AS (
-        SELECT doc_id,
-          '<script>var a = "<a href="/fake">x</a>";</script>' ||
-          '<p>read <a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
-          '.COM:443/d/' || CAST(t1 AS VARCHAR) || '?utm_source=feed">one</a> and ' ||
-          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
-          '.com/d/' || CAST(t2 AS VARCHAR) || '#sec">two</a>' ||
-          CASE WHEN doc_id % 10 = 0
-               THEN '<a href="https://www.site1.com/d/1">hub</a>' ELSE '' END ||
-          ' plus <a href="https://other.example.org/offsite">ext</a></p>' AS h
-        FROM pages),
-      lk AS (SELECT doc_id AS src_id, href AS url
-             FROM (${graft.operators.Html.duckLinkItems("h")}) z),
-      ${graft.operators.Web.duckCanonicalCtes("lk", Seq("src_id"), "lc")},
-      pu AS (SELECT doc_id AS dst_id, url FROM pages),
-      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("dst_id"), "pc")},
-      e0 AS MATERIALIZED (
-        SELECT DISTINCT l.src_id AS s, p.dst_id AS d
-        FROM lcc l JOIN pcc p ON l.canonical = p.canonical
-        WHERE l.src_id <> p.dst_id),
-      od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
-             FROM e0 GROUP BY s),
-      nd AS MATERIALIZED (
-        SELECT n.node, COALESCE(od.degree, CAST(0 AS BIGINT)) AS degree
-        FROM (SELECT s AS node FROM e0 UNION SELECT d FROM e0) n
-        LEFT JOIN od ON od.node = n.node),
-      r0 AS (SELECT node, degree, CAST(1000000000 AS BIGINT) AS r FROM nd),
-      $rounds
-      SELECT v.doc_id AS node, COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
-      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
-      ORDER BY node"""
-    }, headline = true),
+      linkRankFromLinks(s, d, pages, links)
+    }, Some(linkRankOracle), headline = true),
+
+    // ---------------------------------- webgraph from WAT alone
+    // How CommonCrawl's webgraph releases are actually built: the
+    // link structure comes from the WAT METADATA archives — page
+    // bodies are never read. The same link fixture round-trips
+    // through Warc.writeMeta (one JSON envelope of raw hrefs per
+    // page, document order) and the graph rebuilds from readWat +
+    // from_json + explode: src ids recover from each record's OWN
+    // target_uri, hrefs canonicalize and resolve to pages by the
+    // canonical equi-join, and the SAME directed exact-integer rank
+    // runs — against the SAME oracle as x_linkgraph_rank (round trip
+    // through the metadata archive = identity is the claim; a lost
+    // link, a drifted envelope, or a broken uri recovery all
+    // hash-mismatch). Bodies never shuffle — the envelope relation is
+    // links-sized.
+    Q("x_linkgraph_wat", (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_warc_lgwat/${new java.io.File(d).getName}"
+      val pages = linkFixturePages(s, d)
+      val meta = pages.select(col("doc_id"), col("url"))
+        .join(
+          graft.operators.Html.extractLinks(pages, "doc_id", "__html")
+            .groupBy(col("doc_id"))
+            .agg(expr(
+              """transform(array_sort(collect_list(named_struct('p', pos,
+                |'h', href))), s9 -> s9.h)""".stripMargin).as("__ls")),
+          Seq("doc_id"))
+        .withColumn("__json", expr(
+          """to_json(named_struct(
+            |  'Envelope', named_struct(
+            |    'Payload-Metadata', named_struct(
+            |      'HTML-Metadata', named_struct(
+            |        'Links', transform(__ls,
+            |          l9 -> named_struct('url', l9)))))))""".stripMargin))
+      graft.sources.Warc.writeMeta(meta, "url", "__json", tmp, files = 4)
+      val watSchema = "Envelope STRUCT<`Payload-Metadata` STRUCT<" +
+        "`HTML-Metadata` STRUCT<Links ARRAY<STRUCT<url STRING>>>>>"
+      val links = graft.sources.Warc.readWat(s, tmp)
+        .withColumn("doc_id",
+          expr("CAST(split_part(target_uri, '/d/', 2) AS BIGINT)"))
+        .withColumn("__e",
+          expr(s"from_json(decode(body, 'UTF-8'), '$watSchema')"))
+        .select(col("doc_id"), explode(expr(
+          "__e.Envelope.`Payload-Metadata`.`HTML-Metadata`.Links"))
+          .as("__l"))
+        .select(col("doc_id"), col("__l.url").as("href"))
+      linkRankFromLinks(s, d, linkFixturePages(s, d), links)
+    }, Some(linkRankOracle)),
+
 
     // ---------------------------------------------- anchor-text profiles
     // The web-IR signal the original PageRank paper indexes on the
@@ -2754,6 +2732,100 @@ object Curation {
              CAST(COUNT(*) AS BIGINT) AS n_variants
       FROM dom GROUP BY canonical ORDER BY doc_id"""))
   )
+
+  /** The shared link fixture: messy-spelling outlinks over the corpus
+    * pages (t1 with host case + :443 + utm, t2 with a fragment, a hub
+    * link every 10th page, one never-resolving external link, and a
+    * script-embedded fake href that clean-first extraction must
+    * ignore). */
+  private def linkFixturePages(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame =
+    fanOut(documents(s, d))
+      .withColumn("__t1", expr("(doc_id * 3 + 1) % 1024"))
+      .withColumn("__t2", expr("(doc_id * 7 + 2) % 1024"))
+      .withColumn("url", expr(
+        """concat('https://www.site', CAST(doc_id % 7 AS STRING),
+          |'.com/d/', CAST(doc_id AS STRING))""".stripMargin))
+      .withColumn("__html", expr(
+        """concat('<script>var a = "<a href=\"/fake\">x</a>";</script>',
+          |'<p>read <a href="https://WWW.Site', CAST(__t1 % 7 AS STRING),
+          |'.COM:443/d/', CAST(__t1 AS STRING), '?utm_source=feed">one</a> and ',
+          |'<a href="https://www.site', CAST(__t2 % 7 AS STRING),
+          |'.com/d/', CAST(__t2 AS STRING), '#sec">two</a>',
+          |IF(doc_id % 10 = 0,
+          |   '<a href="https://www.site1.com/d/1">hub</a>', ''),
+          |' plus <a href="https://other.example.org/offsite">ext</a></p>')""".stripMargin))
+
+  /** canonical-equi-join edge resolution + the exact-integer directed
+    * rank — shared by the html-extracted (x_linkgraph_rank) and the
+    * WAT-round-tripped (x_linkgraph_wat) link relations; `links`
+    * exposes (doc_id, href). */
+  private def linkRankFromLinks(s: org.apache.spark.sql.SparkSession,
+                                d: String,
+                                pages: org.apache.spark.sql.DataFrame,
+                                links: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lc = graft.operators.Web.withCanonicalUrl(links, "href", "__c")
+      .select(col("doc_id").as("src"), col("__c").as("canon"))
+    val pc = graft.operators.Web.withCanonicalUrl(
+      pages.select(col("doc_id"), col("url")), "url", "__c")
+      .select(col("doc_id").as("dst"), col("__c").as("canon"))
+    val edges = lc.join(pc, "canon").select(col("src"), col("dst"))
+    graft.operators.Graph.pageRankDirected(documents(s, d), "doc_id",
+      edges, "src", "dst", iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB twin of the whole fixture + rank chain (both callers). */
+  private def linkRankOracle: String = {
+      val rounds = (1 to 3).map(i => s"""
+        r$i AS (SELECT nd.node, nd.degree,
+                       CAST(150000000 AS BIGINT) +
+                       COALESCE(CAST(SUM((p.r * 17) // (20 * p.degree)) AS BIGINT),
+                                CAST(0 AS BIGINT)) AS r
+                FROM nd LEFT JOIN (SELECT e0.d AS dst, rr.r, rr.degree
+                                   FROM e0 JOIN r${i - 1} rr ON e0.s = rr.node) p
+                  ON p.dst = nd.node
+                GROUP BY nd.node, nd.degree)""").mkString(",")
+      s"""
+      WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+          (doc_id * 3 + 1) % 1024 AS t1, (doc_id * 7 + 2) % 1024 AS t2,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      __link_src AS (
+        SELECT doc_id,
+          '<script>var a = "<a href="/fake">x</a>";</script>' ||
+          '<p>read <a href="https://WWW.Site' || CAST(t1 % 7 AS VARCHAR) ||
+          '.COM:443/d/' || CAST(t1 AS VARCHAR) || '?utm_source=feed">one</a> and ' ||
+          '<a href="https://www.site' || CAST(t2 % 7 AS VARCHAR) ||
+          '.com/d/' || CAST(t2 AS VARCHAR) || '#sec">two</a>' ||
+          CASE WHEN doc_id % 10 = 0
+               THEN '<a href="https://www.site1.com/d/1">hub</a>' ELSE '' END ||
+          ' plus <a href="https://other.example.org/offsite">ext</a></p>' AS h
+        FROM pages),
+      lk AS (SELECT doc_id AS src_id, href AS url
+             FROM (${graft.operators.Html.duckLinkItems("h")}) z),
+      ${graft.operators.Web.duckCanonicalCtes("lk", Seq("src_id"), "lc")},
+      pu AS (SELECT doc_id AS dst_id, url FROM pages),
+      ${graft.operators.Web.duckCanonicalCtes("pu", Seq("dst_id"), "pc")},
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT l.src_id AS s, p.dst_id AS d
+        FROM lcc l JOIN pcc p ON l.canonical = p.canonical
+        WHERE l.src_id <> p.dst_id),
+      od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM e0 GROUP BY s),
+      nd AS MATERIALIZED (
+        SELECT n.node, COALESCE(od.degree, CAST(0 AS BIGINT)) AS degree
+        FROM (SELECT s AS node FROM e0 UNION SELECT d FROM e0) n
+        LEFT JOIN od ON od.node = n.node),
+      r0 AS (SELECT node, degree, CAST(1000000000 AS BIGINT) AS r FROM nd),
+      $rounds
+      SELECT v.doc_id AS node, COALESCE(r3.r, CAST(150000000 AS BIGINT)) AS pr
+      FROM documents v LEFT JOIN r3 ON r3.node = v.doc_id
+      ORDER BY node"""
+    }
 
   /** The messy-URL fixture: four spellings per id family (see
     * x_url_canonical's comment). Spark SQL expression over doc_id. */
