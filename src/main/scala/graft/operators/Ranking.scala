@@ -546,7 +546,17 @@ object Ranking {
                         isPositive: Column, hexDigits: Int = 3,
                         scale: Long = 1000000L): DataFrame = {
     val rel = stage(classifierRelation(docs, idCol, textCol, isPositive, hexDigits))
-    classifyAgainstWeights(rel, classifierWeights(rel, scale))
+    // Pre-aggregate to the bounded (bk, pos) key space and stage it
+    // (≤ 2·16^hexDigits rows) before the weight builder:
+    // classifierWeights makes TWO passes over its input (the one-row
+    // prior + the per-bucket rollup), and each re-executes the input
+    // subplan — two corpus-feature passes when fed the raw staged
+    // features. Grouped sums of grouped sums are the same integers, so
+    // weights are bitwise unchanged (guide §2.3). The doc-level rel
+    // still feeds the scoring join unchanged. */
+    val counts = stage(rel.groupBy(col("bk"), col("pos"))
+      .agg(sum(col("tf")).cast("long").as("tf")))
+    classifyAgainstWeights(rel, classifierWeights(counts, scale))
   }
 
   // ------------------------------------------- language identification
@@ -655,8 +665,22 @@ object Ranking {
              scale: Long = 1000000L): DataFrame = {
     val rel = stage(langFeatureRelation(docs, idCol, textCol, labelCol,
       n, hexDigits))
+    // Pre-aggregate the LABELED mass to the bounded (lang, bucket) key
+    // space and stage THAT (≤ |langs|·16^hexDigits rows) before the
+    // weight builder: langWeights derives bucket mass / class mass /
+    // total / per-(lang,bk) mass in four rollups, and each reference
+    // re-executes its input subplan — four corpus-feature passes when
+    // fed the raw staged features (measured r17: the 712k-row feature
+    // relation re-aggregated 4× in x_quality_ccnet_derived). Grouped
+    // sums of grouped sums are the same integers, so weights are
+    // bitwise unchanged — this is exactly the (lang, bk, cnt) counts
+    // discipline the streaming fold gate already pins (guide §2.3,
+    // aggregate before you shuffle). */
+    val counts = stage(rel.filter(col("lang").isNotNull)
+      .groupBy(col("lang"), col("bk"))
+      .agg(sum(col("tf")).cast("long").as("tf")))
     classifyLangs(rel.select(col("doc_id"), col("bk"), col("tf")),
-      langWeights(rel, scale))
+      langWeights(counts, scale))
   }
 
   /** DuckDB twin CTEs for [[langId]], spliceable into a WITH chain.
@@ -745,16 +769,33 @@ object Ranking {
     if (n == 2) "split(ng, ' ')[0]"
     else s"concat_ws(' ', slice(split(ng, ' '), 1, ${n - 1}))"
 
+  /** The raw (ng, cnt) vocabulary rollup of an [[ngramFrequencies]]
+    * relation — [[ngramLm]]'s first aggregate, exposed UNSTAGED for
+    * callers that own the materialization lifecycle themselves
+    * (the streaming LM builders stage it tracked, per corpus version /
+    * per fold). */
+  def ngramCounts(tf: DataFrame): DataFrame =
+    tf.groupBy(col("ng")).agg(sum(col("tf")).cast("long").as("cnt"))
+
   /** Train an order-`n` language model from an [[ngramFrequencies]]
     * relation: (lm, ctx, total) where lm = (ng, cnt) global n-gram
     * counts, ctx = (prev, ctx) context counts over the (n−1)-gram prefix
     * (Σ over grams sharing the prefix — exactly the number of positions
     * where `prev` is followed by anything, derived from the SAME
     * relation: no second corpus scan), and total = the one-row Σ cnt.
-    * All three are slices/rollups of the caller's (ideally staged) tf
-    * relation — the [[tfidfTopK]] no-rescan discipline. */
+    *
+    * `lm` STAGES (vocab-sized — bounded by the n-gram vocabulary, the
+    * same fits-an-executor contract its broadcast consumers already
+    * assume): Spark re-executes a lazy subplan per reference, so an
+    * unstaged lm would re-run the corpus-sized tf aggregation THREE
+    * times per scoring consumer (once as lm itself, once inside cx,
+    * once inside tot — measured r17: the 256k-row tf → 112k-row vocab
+    * aggregate appeared 3× in x_quality_ccnet_derived's executed plan,
+    * guide §2.4). cx/tot roll up from the staged vocab relation —
+    * exactly the discipline the streaming LM builders already pin
+    * (ScoreIngest.buildLm), now shared by the batch path. */
   def ngramLm(tf: DataFrame, n: Int): (DataFrame, DataFrame, DataFrame) = {
-    val lm = tf.groupBy(col("ng")).agg(sum(col("tf")).cast("long").as("cnt"))
+    val lm = stage(ngramCounts(tf))
     val cx = lm.withColumn("prev", expr(lmPrefixSql(n)))
       .groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("ctx"))
     val tot = lm.agg(sum(col("cnt")).cast("long").as("total"))
@@ -816,8 +857,11 @@ object Ranking {
     * (ideally staged) keyed tf relation — no second corpus scan. */
   def ngramLmByKey(tf: DataFrame, keyCol: String,
                    n: Int = 2): (DataFrame, DataFrame, DataFrame) = {
-    val lm = tf.groupBy(col(keyCol), col("ng"))
-      .agg(sum(col("tf")).cast("long").as("cnt"))
+    // lm stages for the same reason as [[ngramLm]]'s: cx/tot re-derive
+    // from it, and an unstaged lm re-runs the corpus-sized keyed vocab
+    // aggregation once per reference (guide §2.4).
+    val lm = stage(tf.groupBy(col(keyCol), col("ng"))
+      .agg(sum(col("tf")).cast("long").as("cnt")))
     val cx = lm.withColumn("prev", expr(lmPrefixSql(n)))
       .groupBy(col(keyCol), col("prev"))
       .agg(sum(col("cnt")).cast("long").as("ctx"))

@@ -307,9 +307,14 @@ object Curation {
     Q("x_classifier_incremental", (s, d) => {
       val docs = documents(s, d)
       val w = graft.sources.Tables.stage(graft.operators.Ranking.classifierWeights(
-        graft.operators.Ranking.classifierRelation(
+        // pre-aggregate to the bounded (bk, pos) space before the
+        // two-pass weight builder — one corpus-feature pass instead of
+        // two, same integers (the qualityClassifier discipline).
+        graft.sources.Tables.stage(graft.operators.Ranking.classifierRelation(
           fanOut(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text",
-          isPositive = col("source").isin("src0", "src1", "src2"))))
+          isPositive = col("source").isin("src0", "src1", "src2"))
+          .groupBy(col("bk"), col("pos"))
+          .agg(sum(col("tf")).cast("long").as("tf")))))
       graft.operators.Ranking.classifyAgainstWeights(
         graft.operators.Ranking.classifierRelation(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", lit(false)),

@@ -70,7 +70,14 @@ object ScoreIngest {
                       scale: Long = 1000000L, version: Long = 0L): ClassifierWeights =
     ClassifierWeights(
       graft.sources.Tables.stage(Ranking.classifierWeights(
-        Ranking.classifierRelation(corpus, idCol, textCol, isPositive, hexDigits),
+        // pre-aggregate to the bounded (bk, pos) space before the
+        // two-pass weight builder — one corpus-feature pass instead of
+        // two, same integers (the qualityClassifier discipline).
+        graft.sources.Tables.stage(
+          Ranking.classifierRelation(corpus, idCol, textCol, isPositive,
+            hexDigits)
+            .groupBy(col("bk"), col("pos"))
+            .agg(sum(col("tf")).cast("long").as("tf"))),
         scale)),
       hexDigits, scale, version)
 
@@ -109,8 +116,9 @@ object ScoreIngest {
               version: Long = 0L, n: Int = 2): CorpusLm = {
     val tf = graft.sources.Tables.stage(
       Ranking.ngramFrequencies(corpus, idCol, textCol, n))
-    val (lm0, _, _) = Ranking.ngramLm(tf, n)
-    val lm = graft.sources.Tables.stage(lm0)
+    // the RAW vocab rollup — this builder owns the staging itself
+    // (ngramLm now stages internally; staging twice would double-write).
+    val lm = graft.sources.Tables.stage(Ranking.ngramCounts(tf))
     // context/total roll up from the STAGED model relation (vocab-sized),
     // never the corpus-sized tf, and stage themselves.
     val cx = graft.sources.Tables.stage(
@@ -166,8 +174,9 @@ object ScoreIngest {
                      version: Long = 0L, n: Int = 2): FoldingLmState = {
     val tf = graft.sources.Tables.stage(
       Ranking.ngramFrequencies(corpus, idCol, textCol, n))
-    val (lm0, _, _) = Ranking.ngramLm(tf, n)
-    stageLmRollups(lm0, version, foldedBatch = -1L, superseded = Nil, n = n)
+    // the RAW vocab rollup — stageLmRollups stages it TRACKED itself.
+    stageLmRollups(Ranking.ngramCounts(tf), version,
+      foldedBatch = -1L, superseded = Nil, n = n)
   }
 
   private def stageLmRollups(lm0: DataFrame, version: Long,
@@ -224,8 +233,14 @@ object ScoreIngest {
                        scale: Long = 1000000L, version: Long = 0L): LangWeights =
     LangWeights(
       graft.sources.Tables.stage(Ranking.langWeights(
+        // pre-aggregate the labeled mass to the bounded (lang, bucket)
+        // space before the four-rollup weight builder — one corpus
+        // pass instead of four, same integers (the langId discipline).
         graft.sources.Tables.stage(Ranking.langFeatureRelation(
-          corpus, idCol, textCol, labelCol, n, hexDigits)),
+          corpus, idCol, textCol, labelCol, n, hexDigits)
+          .filter(col("lang").isNotNull)
+          .groupBy(col("lang"), col("bk"))
+          .agg(sum(col("tf")).cast("long").as("tf"))),
         scale)),
       n, hexDigits, scale, version)
 

@@ -112,7 +112,12 @@ class StreamingScoreSpec extends SparkSpec {
           isPositive = col("source").isin("src0", "src1", "src2")))
       def stageDirs: Int = new java.io.File(dir).listFiles()
         .count(_.getName.startsWith("stage_"))
-      assert(stageDirs == 1, s"classifier = one staged relation, got $stageDirs")
+      // two PER-VERSION staged relations since r17: the (bk, pos) counts
+      // pre-aggregate (one corpus-feature pass feeds the two-pass weight
+      // builder) + the weights themselves. The discipline under test is
+      // unchanged: staging happens at corpus-version build time ONLY —
+      // the per-batch assertions below still pin zero new dirs per batch.
+      assert(stageDirs == 2, s"classifier = counts + weights staged, got $stageDirs")
 
       val expected = Ranking.classifyAgainstWeights(
         Ranking.classifierRelation(fresh, "doc_id", "text", lit(false)),
@@ -144,13 +149,13 @@ class StreamingScoreSpec extends SparkSpec {
       send(fresh.filter(col("doc_id") % 20 =!= 0))
       assert(got.toSet == expected,
         s"streamed verdicts diverge:\n extra=${got.toSet -- expected}\n missing=${expected -- got.toSet}")
-      assert(stageDirs == 1, "micro-batches must create no staging dirs")
+      assert(stageDirs == 2, "micro-batches must create no staging dirs")
 
       // ROTATE with the label inverted: verdicts must flip to the new
       // weights at the next batch.
       state.set(ScoreIngest.buildClassifier(corpus, "doc_id", "text",
         isPositive = !col("source").isin("src0", "src1", "src2"), version = 1L))
-      assert(stageDirs == 2, "rotation rebuilds exactly one staged relation")
+      assert(stageDirs == 4, "rotation rebuilds exactly one counts+weights pair")
       val expected1 = Ranking.classifyAgainstWeights(
         Ranking.classifierRelation(fresh, "doc_id", "text", lit(false)),
         state.get().weights)
@@ -158,7 +163,7 @@ class StreamingScoreSpec extends SparkSpec {
       got.clear()
       send(fresh)
       assert(got.toSet == expected1, "post-rotation verdicts must match v1")
-      assert(stageDirs == 2, "post-rotation micro-batches staged new dirs")
+      assert(stageDirs == 4, "post-rotation micro-batches staged new dirs")
     } finally spark.conf.unset("graft.stage.dir")
   }
 
