@@ -131,6 +131,13 @@ object Bench {
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.OFF)
     def run(name: String): Double = {
+      // Honesty fence (r17): any relation a query fn might leave in the
+      // CacheManager would be plan-matched and silently reused by the
+      // next run of the same query — every timed run must compute from
+      // the parquet inputs. No current query persists (staging is
+      // localCheckpoint-based, which never cross-run-matches), so this
+      // is a no-op today; it pins the methodology.
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

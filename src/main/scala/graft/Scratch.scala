@@ -54,6 +54,11 @@ object Scratch {
       } else {
         val fn = SparkEntry.queries(key)
         def run(): Double = {
+          // a persist-based staged relation from a previous run would
+          // otherwise be plan-matched by the CacheManager and silently
+          // reused — every timed run must compute from the parquet
+          // inputs (the no-cross-run-caching rule).
+          spark.sharedState.cacheManager.clearCache()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9

@@ -640,20 +640,63 @@ object Ranking {
 
   /** Classify a (doc_id, bk, tf) feature relation against FROZEN dense
     * [[langWeights]]: per (doc, lang) `score = Σ tf·w` in exact BIGINT,
-    * winner = argmax with the smallest-lang tie-break — ONE min-struct
-    * aggregation over (−score, lang), never a rank window. The weights
-    * broadcast; buckets outside the trained set contribute nothing to
-    * ANY class (the argmax never sees them), so streamed batches with
-    * novel grams classify exactly like the batch operator. Output:
-    * (doc_id, lang_pred, score). */
-  def classifyLangs(rel: DataFrame, weights: DataFrame): DataFrame =
-    rel.join(broadcast(weights), Seq("bk"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(expr("tf * w")).as("score"))
-      .groupBy(col("doc_id"))
-      .agg(min(struct((-col("score")).as("ns"), col("lang").as("l"))).as("__m"))
-      .select(col("doc_id"), col("__m.l").as("lang_pred"),
-        (-col("__m.ns")).as("score"))
+    * winner = argmax with the smallest-lang tie-break — never a rank
+    * window. The weights broadcast; buckets outside the trained set
+    * contribute nothing to ANY class (the argmax never sees them), so
+    * streamed batches with novel grams classify exactly like the batch
+    * operator. Output: (doc_id, lang_pred, score).
+    *
+    * Execution shape (r17): the DENSE weight relation pivots to ONE row
+    * per bucket carrying a per-class weight column (classes collected
+    * driver-side — bounded by the class-count contract, the same
+    * driver-settled discipline as the dedup settle joins), so the
+    * scoring join produces |features| rows with |langs| running sums
+    * instead of |features|·|langs| rows through a string-keyed
+    * aggregate (measured r17: the joined relation was 3.56M rows and
+    * its aggregate 17.5 s summed at sf0.1; the pivoted form aggregates
+    * 712k rows keyed by doc_id alone). The argmax is
+    * `least(struct(−score_i, lang_i)…)` over the per-class columns —
+    * the SAME (−score, lang) struct ordering as the previous min-struct
+    * aggregate, so scores, winners, and tie-breaks are bitwise
+    * unchanged. Density is load-bearing for the equivalence: every
+    * trained bucket carries every class's weight (langWeights' cross
+    * join guarantees it), so a per-class column is never NULL and a
+    * class is never silently absent from one bucket's argmax. Falls
+    * back to the join-then-aggregate shape past 64 classes (per-class
+    * sum columns codegen linearly in the class count). */
+  def classifyLangs(rel: DataFrame, weights: DataFrame): DataFrame = {
+    val langs = weights.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (langs.isEmpty || langs.length > 64) {
+      // degenerate / very-wide class space: the row-per-(feature, class)
+      // shape (pre-r17) — correct at any class count.
+      rel.join(broadcast(weights), Seq("bk"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(expr("tf * w")).as("score"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("ns"), col("lang").as("l"))).as("__m"))
+        .select(col("doc_id"), col("__m.l").as("lang_pred"),
+          (-col("__m.ns")).as("score"))
+    } else {
+      val wCols = langs.zipWithIndex.map { case (l, i) =>
+        max(when(col("lang") === lit(l), col("w"))).as(s"__w$i")
+      }
+      val wv = weights.groupBy(col("bk")).agg(wCols.head, wCols.tail: _*)
+      val sCols = langs.indices.map(i =>
+        sum(col("tf") * col(s"__w$i")).as(s"__s$i"))
+      val scored = rel.join(broadcast(wv), Seq("bk"))
+        .groupBy(col("doc_id"))
+        .agg(sCols.head, sCols.tail: _*)
+      val structs = langs.zipWithIndex.map { case (l, i) =>
+        struct((-col(s"__s$i")).as("ns"), lit(l).as("l"))
+      }
+      scored
+        .withColumn("__m",
+          if (structs.length == 1) structs.head else least(structs: _*))
+        .select(col("doc_id"), col("__m.l").as("lang_pred"),
+          (-col("__m.ns")).as("score"))
+    }
+  }
 
   /** End-to-end multi-class language identification: train dense
     * weights on the rows `labelCol` labels, classify EVERY doc with

@@ -162,6 +162,13 @@ object Tables {
         }
         Staged(df.sparkSession.read.parquet(path), Some(path))
       case None => Staged(df.localCheckpoint(false), None)
+      // A lazy-persist variant (defer materialization into the consuming
+      // action) was A/B-measured here in r17 and REJECTED: its apparent
+      // −40-70% probe wins were entirely cross-run CacheManager plan-match
+      // reuse (a banned memoization); with a cache clear before every
+      // timed run it measured 1.3-1.6× SLOWER than localCheckpoint on
+      // every probed key, and deep staging chains (x_pipeline_modern)
+      // hung/OOM'd in planning. See OPTIMIZATION_r17.md.
     }
   private val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
