@@ -664,9 +664,15 @@ object Ranking {
     * class is never silently absent from one bucket's argmax. Falls
     * back to the join-then-aggregate shape past 64 classes (per-class
     * sum columns codegen linearly in the class count). */
-  def classifyLangs(rel: DataFrame, weights: DataFrame): DataFrame = {
-    val langs = weights.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
+  def classifyLangs(rel: DataFrame, weights: DataFrame,
+                    langsOpt: Option[Seq[String]] = None): DataFrame = {
+    // the class list: caller-provided when it already settled the
+    // bounded (lang, bk) counts driver-side (langId); otherwise one
+    // tiny driver collect over the weight relation (the streaming gate
+    // path, where the weights are staged and the distinct is cheap).
+    val langs = langsOpt.map(_.distinct.sorted.toArray).getOrElse(
+      weights.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted)
     if (langs.isEmpty || langs.length > 64) {
       // degenerate / very-wide class space: the row-per-(feature, class)
       // shape (pre-r17) — correct at any class count.
@@ -709,21 +715,28 @@ object Ranking {
     val rel = stage(langFeatureRelation(docs, idCol, textCol, labelCol,
       n, hexDigits))
     // Pre-aggregate the LABELED mass to the bounded (lang, bucket) key
-    // space and stage THAT (≤ |langs|·16^hexDigits rows) before the
-    // weight builder: langWeights derives bucket mass / class mass /
-    // total / per-(lang,bk) mass in four rollups, and each reference
-    // re-executes its input subplan — four corpus-feature passes when
-    // fed the raw staged features (measured r17: the 712k-row feature
-    // relation re-aggregated 4× in x_quality_ccnet_derived). Grouped
-    // sums of grouped sums are the same integers, so weights are
-    // bitwise unchanged — this is exactly the (lang, bk, cnt) counts
-    // discipline the streaming fold gate already pins (guide §2.3,
-    // aggregate before you shuffle). */
-    val counts = stage(rel.filter(col("lang").isNotNull)
+    // space and SETTLE it driver-side (≤ |langs|·16^hexDigits rows —
+    // the same bound that makes the weight relation broadcastable, so
+    // driver-safe by the identical contract): langWeights derives
+    // bucket mass / class mass / total / per-(lang,bk) mass in four
+    // rollups, and each reference re-executes its input subplan — four
+    // corpus-feature passes when fed the raw staged features (measured
+    // r17: the 712k-row feature relation re-aggregated 4× in
+    // x_quality_ccnet_derived). Grouped sums of grouped sums are the
+    // same integers, so weights are bitwise unchanged — the (lang, bk,
+    // cnt) counts discipline the streaming fold gate already pins
+    // (guide §2.3, aggregate before you shuffle). The settled rows
+    // also hand classifyLangs its class list for free (no separate
+    // driver job against the lazy weight chain). */
+    val grouped = rel.filter(col("lang").isNotNull)
       .groupBy(col("lang"), col("bk"))
-      .agg(sum(col("tf")).cast("long").as("tf")))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+    val countRows = grouped.collect()
+    val counts = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(countRows: _*), grouped.schema)
+    val langs = countRows.map(_.getString(0)).distinct.sorted.toSeq
     classifyLangs(rel.select(col("doc_id"), col("bk"), col("tf")),
-      langWeights(counts, scale))
+      langWeights(counts, scale), Some(langs))
   }
 
   /** DuckDB twin CTEs for [[langId]], spliceable into a WITH chain.
