@@ -120,6 +120,19 @@ object Bench {
       // the In filter pushed as points, not a min/max range — scattered
       // ball ids make the range fallback prune nothing.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
+      // Use the SORT-BASED shuffle writer even at small reducer counts
+      // (r18, guide §2.2/§6 small-files): below the 200-partition default
+      // threshold Spark's bypass-merge writer creates R+2 files PER MAP
+      // TASK (32×34 ≈ 1100 file creates for a kilobyte-scale shuffle) —
+      // ProbeMetrics attributed 1.5-1.9 s of cumulative shuffleWriteTime
+      // to single tiny exchanges, the dominant fixed cost of every staged
+      // materialization at sf0.1 (A/B: x_line_dedup −42%, classifier
+      // −25%, no key regressed). NOT a local-only tune: production
+      // reducer counts sit far above 200, where the bypass writer never
+      // runs — this pins the local code path to the one a 100 TB cluster
+      // executes anyway. Scale-independent constant, honored at any
+      // SPARK_GRAFT_CPUS.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,8 @@ object ProbeMetrics {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
+      // sort-based shuffle writer everywhere — see Bench for the rationale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,14 +38,18 @@ object ProbeMetrics {
       else Seq(sys.env.getOrElse("SPARK_GRAFT_PROBE", "x_pipeline_modern"))
 
     val caught = new java.util.concurrent.CopyOnWriteArrayList[(String, QueryExecution, Long)]()
-    var capture = false
+    // AtomicBoolean, not a plain var: written on the main thread, read on
+    // the async listener-bus thread — a plain field has no visibility
+    // guarantee and could drop or over-include executions at the window
+    // edges (r17 advice).
+    val capture = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
-        if (capture) caught.add((fn, qe, ns))
+        if (capture.get()) caught.add((fn, qe, ns))
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
     })
 
-    keys.foreach { key => probe(spark, sfDir, key, caught, b => capture = b) }
+    keys.foreach { key => probe(spark, sfDir, key, caught, capture.set) }
     spark.stop()
   }
 

@@ -22,6 +22,8 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      // sort-based shuffle writer everywhere — see Bench for the rationale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -17,6 +17,8 @@ object StreamDemo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // sort-based shuffle writer everywhere — see Bench for the rationale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       // must be set before ANY read of events.parquet (TIMESTAMP(NANOS))
       // or Spark 4 throws ILLEGAL_PARQUET_TYPE at schema inference.

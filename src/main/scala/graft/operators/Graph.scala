@@ -1271,6 +1271,10 @@ object Graph {
     // against the FULL edge relation instead, and that SMJ sorted all
     // 20M stored rows at the 10M-edge lattice — most of the refresh wall
     // after the other probes were pruned.
+    // the dense-handoff gate's stored-node count depends on nothing
+    // batch-side — start it NOW so it overlaps the settle probes
+    // (guide §2.6).
+    val ranksCount = graft.sources.Tables.defer(() => st.ranks.count())
     val batchPairs = newEdges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -1339,7 +1343,7 @@ object Graph {
         .distinct.sorted
     // DENSE HANDOFF: parquet footers make the stored-node count a
     // metadata read, and B_1 is already driver-side.
-    if (biIds.size > st.ranks.count() * RefreshDenseFraction)
+    if (biIds.size > ranksCount() * RefreshDenseFraction)
       return Left(allE)
     // THE ITERATIONS RUN ON THE DRIVER: every in-flight relation is
     // ball-sized by contract, so each iteration is exactly TWO pruned
@@ -1473,9 +1477,14 @@ object Graph {
     * range-sorted staged relation per side — the periodic OPTIMIZE of
     * the chaining fold (run it every ~rotation, like
     * [[graft.streaming.Gate.compactGrown]]). */
-  def compactPageRankState(st: PageRankState): PageRankState =
-    PageRankState(stageSorted(st.edges, "s"), stageSorted(st.ranks, "node"),
-      st.iterations, st.scale)
+  def compactPageRankState(st: PageRankState): PageRankState = {
+    // the two re-sorts read disjoint frozen relations — concurrent
+    // (guide §2.6).
+    val Seq(e, r) = graft.sources.Tables.inParallel(Seq(
+      () => stageSorted(st.edges, "s"),
+      () => stageSorted(st.ranks, "node")))
+    PageRankState(e, r, st.iterations, st.scale)
+  }
 
   // ------------------------- incremental DIRECTED PageRank (link graph)
 
@@ -1516,7 +1525,11 @@ object Graph {
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
       .distinct(), "s")
-    val eD = stageSorted(eS, "d")
+    // the d-sorted layout and the rank-history build both read ONLY the
+    // staged eS — independent branches, so the d-sort's shuffle+sort job
+    // overlaps the whole iteration chain instead of running before it
+    // (guide §2.6; the r17 verdict's sequential-staging item).
+    val eDDeferred = graft.sources.Tables.defer(() => stageSorted(eS, "d"))
     val od = eS.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
     val nd = eS.select(col("s").as("node"))
       .union(eS.select(col("d").as("node"))).distinct()
@@ -1535,9 +1548,9 @@ object Graph {
           concat(col("rs"),
             array(lit(base) + coalesce(col("cin"), lit(0L)))).as("rs"))
     }
-    PageRankDirectedState(eS, eD,
-      stageSorted(nr.select(col("node"), col("degree"), col("rs")), "node"),
-      iterations, scale)
+    val ranks =
+      stageSorted(nr.select(col("node"), col("degree"), col("rs")), "node")
+    PageRankDirectedState(eS, eDDeferred(), ranks, iterations, scale)
   }
 
   private final case class DirRefreshCore(delta: DataFrame,
@@ -1575,6 +1588,10 @@ object Graph {
         ranges.map { case (lo, hi) => c.between(lo, hi) }.reduce(_ || _) &&
           c.isInCollection(ids)
       }
+    // the dense-handoff gate's stored-node count depends on nothing
+    // batch-side — start it NOW so it overlaps the settle probes
+    // (guide §2.6).
+    val ranksCount = graft.sources.Tables.defer(() => st.ranks.count())
     val batchPairs = newEdges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -1603,7 +1620,7 @@ object Graph {
     var biIds: Seq[Long] =
       (existing.toSeq.filter(e => b0Set(e._1)).map(_._2) ++ novel.map(_._2)
         ++ b0Ids).distinct.sorted
-    if (biIds.size > st.ranks.count() * RefreshDenseFraction)
+    if (biIds.size > ranksCount() * RefreshDenseFraction)
       return Left(allES)
     // recMap: node -> (current OUT-degree, r_{i-1}) over B_{i-1}; r_0 =
     // scale everywhere.
@@ -1614,15 +1631,18 @@ object Graph {
       // probe 1: out-edges of B_i under the union — per-node counts are
       // the CURRENT degrees of every ball node (B_0's increments
       // included, since delta rides the union), dsts are the B_{i+1}
-      // expansion.
-      val outEdges = allES.filter(inIds(col("s"), biIds))
-        .select(col("s"), col("d"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // expansion. probe 2: IN-edges of B_i (the d-sorted layout prunes
+      // on d). Both probes read only frozen state + the SAME biIds —
+      // independent, so they run CONCURRENTLY (guide §2.6; halves each
+      // iteration's probe wall).
+      val Seq(outEdges, inEdges) = graft.sources.Tables.inParallel(Seq(
+        () => allES.filter(inIds(col("s"), biIds))
+          .select(col("s"), col("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))),
+        () => allED.filter(inIds(col("d"), biIds))
+          .select(col("s"), col("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))))
       val degCount = outEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-      // probe 2: IN-edges of B_i (the d-sorted layout prunes on d).
-      val inEdges = allED.filter(inIds(col("d"), biIds))
-        .select(col("s"), col("d"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
       // boundary in-neighbors outside B_{i-1} read frozen history
       // (r_{i-1} = rs[i-1], r_0 = scale; degree unchanged outside B_0).
       val needOldIds = inEdges.map(_._1).distinct.filterNot(recMap.contains).sorted.toSeq
@@ -1717,10 +1737,15 @@ object Graph {
   /** Re-sort a [[PageRankDirectedState]] whose edge relations have
     * accumulated per-fold deltas — the periodic OPTIMIZE of the
     * directed chaining fold. */
-  def compactPageRankDirectedState(st: PageRankDirectedState): PageRankDirectedState =
-    PageRankDirectedState(stageSorted(st.edgesBySrc, "s"),
-      stageSorted(st.edgesByDst, "d"),
-      stageSorted(st.ranks, "node"), st.iterations, st.scale)
+  def compactPageRankDirectedState(st: PageRankDirectedState): PageRankDirectedState = {
+    // three re-sorts over disjoint frozen relations — concurrent
+    // (guide §2.6).
+    val Seq(eS, eD, r) = graft.sources.Tables.inParallel(Seq(
+      () => stageSorted(st.edgesBySrc, "s"),
+      () => stageSorted(st.edgesByDst, "d"),
+      () => stageSorted(st.ranks, "node")))
+    PageRankDirectedState(eS, eD, r, st.iterations, st.scale)
+  }
 
   /** Order-independent edge-set fingerprint: (row count, xor of per-edge
     * 64-bit hashes under two DIFFERENTLY-KEYED hashings). One small

@@ -533,6 +533,37 @@ object Ranking {
       .select(col("doc_id"), col("score"), col("n_feats"),
         (col("score") >= 0L).as("keep"))
 
+  /** Collect a BY-CONTRACT-BOUNDED counts relation to the driver and
+    * re-enter it as a LOCAL relation: the relation's downstream readers
+    * (the two-pass weight builders) then scan a LocalTableScan instead of
+    * re-executing the corpus-sized aggregation per reference — ONE corpus
+    * pass (the collect job) total, no checkpoint write (r17 measured the
+    * checkpoint of an ≤8k-row counts relation at 0.35-0.59 s of pure
+    * fixed latency per query; the r18 verdict item). The guard is
+    * load-bearing (r17 verdict #4 → r18 item 7): the bound is otherwise a
+    * documented assumption, and a caller-widened key space would OOM the
+    * driver instead of failing loudly. `spark.driver.maxResultSize`
+    * bounds the collect itself; this check refuses to BUILD a local
+    * relation (and later broadcast) past `maxRows`. */
+  private[graft] def settleBounded(grouped: DataFrame, maxRows: Int,
+                                   what: String): (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val rows = grouped.collect()
+    require(rows.length <= maxRows,
+      s"$what: ${rows.length} collected rows exceed the driver-settle bound " +
+        s"$maxRows — the bounded-key-space contract does not hold; lower " +
+        s"hexDigits or route through the staged-counts path")
+    (grouped.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), grouped.schema), rows)
+  }
+
+  /** Widest hashed-bucket space the driver-settled counts path accepts:
+    * 16^5 = 1M buckets (so ≤2M classifier rows / ≤|langs|·1M lang rows —
+    * the same order as the broadcast the weight relation already rides).
+    * Wider spaces fall back to STAGED counts — same integers, no driver
+    * bound assumed. Tests override `maxSettleHexDigits` to force the
+    * fallback on the default bucket space and pin bitwise equivalence. */
+  private[graft] val DefaultMaxSettleHexDigits = 5
+
   /** fastText-style linear quality classifier, trained AND applied in
     * exact integer arithmetic: `isPositive` labels the curated reference
     * subset (the Wikipedia-side of C4's classifier), features are hashed
@@ -544,18 +575,28 @@ object Ranking {
     * document. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                         isPositive: Column, hexDigits: Int = 3,
-                        scale: Long = 1000000L): DataFrame = {
+                        scale: Long = 1000000L,
+                        maxSettleHexDigits: Int = DefaultMaxSettleHexDigits): DataFrame = {
     val rel = stage(classifierRelation(docs, idCol, textCol, isPositive, hexDigits))
-    // Pre-aggregate to the bounded (bk, pos) key space and stage it
-    // (≤ 2·16^hexDigits rows) before the weight builder:
-    // classifierWeights makes TWO passes over its input (the one-row
-    // prior + the per-bucket rollup), and each re-executes the input
-    // subplan — two corpus-feature passes when fed the raw staged
-    // features. Grouped sums of grouped sums are the same integers, so
-    // weights are bitwise unchanged (guide §2.3). The doc-level rel
-    // still feeds the scoring join unchanged. */
-    val counts = stage(rel.groupBy(col("bk"), col("pos"))
-      .agg(sum(col("tf")).cast("long").as("tf")))
+    // Pre-aggregate to the bounded (bk, pos) key space (≤ 2·16^hexDigits
+    // rows) before the weight builder: classifierWeights makes TWO passes
+    // over its input (the one-row prior + the per-bucket rollup), and
+    // each re-executes the input subplan — two corpus-feature passes when
+    // fed the raw staged features. Grouped sums of grouped sums are the
+    // same integers, so weights are bitwise unchanged (guide §2.3). The
+    // counts SETTLE driver-side (r18: the r17 checkpoint of this tiny
+    // relation cost 0.35-0.59 s fixed latency per query — the
+    // x_quality_classifier regression; the collect job replaces the
+    // checkpoint write AND hands the weight builder a LocalTableScan);
+    // past the settle bound they stage instead (same integers, no driver
+    // bound assumed).
+    val grouped = rel.groupBy(col("bk"), col("pos"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+    val counts =
+      if (hexDigits <= maxSettleHexDigits)
+        settleBounded(grouped, maxRows = 2 * (1 << (4 * maxSettleHexDigits)),
+          what = "qualityClassifier")._1
+      else stage(grouped)
     classifyAgainstWeights(rel, classifierWeights(counts, scale))
   }
 
@@ -687,7 +728,24 @@ object Ranking {
       val wCols = langs.zipWithIndex.map { case (l, i) =>
         max(when(col("lang") === lit(l), col("w"))).as(s"__w$i")
       }
-      val wv = weights.groupBy(col("bk")).agg(wCols.head, wCols.tail: _*)
+      // DENSITY GUARD (r17 advice): the pivoted argmax is only
+      // equivalent when every bucket carries every class's weight — a
+      // missing (lang, bk) row would leave a NULL per-class column,
+      // NULL the class's sum, and least() would pick it (NULL struct
+      // fields sort FIRST), silently mis-classifying. langWeights'
+      // cross join guarantees density; a sparse third-party weight
+      // relation must fail loudly instead. The check rides the
+      // broadcast build (≤16^hexDigits rows) as a filter —
+      // raise_error in an unreferenced projection would be pruned.
+      val wv = weights.groupBy(col("bk"))
+        .agg(wCols.head, (wCols.tail :+ count(col("w")).as("__cnt")): _*)
+        .filter(expr(
+          s"""CASE WHEN __cnt = ${langs.length} THEN true
+             |     ELSE raise_error(concat('classifyLangs: non-dense weights — ',
+             |       'bucket ', bk, ' carries ', CAST(__cnt AS STRING),
+             |       ' of ${langs.length} class weights'))
+             |END""".stripMargin))
+        .drop("__cnt")
       val sCols = langs.indices.map(i =>
         sum(col("tf") * col(s"__w$i")).as(s"__s$i"))
       val scored = rel.join(broadcast(wv), Seq("bk"))
@@ -711,7 +769,8 @@ object Ranking {
     * discipline). Output: (doc_id, lang_pred, score). */
   def langId(docs: DataFrame, idCol: String, textCol: String,
              labelCol: Column, n: Int = 3, hexDigits: Int = 3,
-             scale: Long = 1000000L): DataFrame = {
+             scale: Long = 1000000L,
+             maxSettleHexDigits: Int = DefaultMaxSettleHexDigits): DataFrame = {
     val rel = stage(langFeatureRelation(docs, idCol, textCol, labelCol,
       n, hexDigits))
     // Pre-aggregate the LABELED mass to the bounded (lang, bucket) key
@@ -727,16 +786,42 @@ object Ranking {
     // cnt) counts discipline the streaming fold gate already pins
     // (guide §2.3, aggregate before you shuffle). The settled rows
     // also hand classifyLangs its class list for free (no separate
-    // driver job against the lazy weight chain). */
+    // driver job against the lazy weight chain). The settle is GUARDED
+    // (r18, verdict item 7): |langs| is data, not contract, so the
+    // bound is enforced post-collect instead of assumed; bucket spaces
+    // wider than the settle bound stage the counts instead (same
+    // integers — classifyLangs then collects its class list from the
+    // staged-derived weights).
+    if (hexDigits <= maxSettleHexDigits) {
+      val (w, langs) = settledLangWeights(rel, scale)
+      classifyLangs(rel.select(col("doc_id"), col("bk"), col("tf")),
+        w, Some(langs))
+    } else {
+      val grouped = rel.filter(col("lang").isNotNull)
+        .groupBy(col("lang"), col("bk"))
+        .agg(sum(col("tf")).cast("long").as("tf"))
+      classifyLangs(rel.select(col("doc_id"), col("bk"), col("tf")),
+        langWeights(stage(grouped), scale), None)
+    }
+  }
+
+  /** Dense [[langWeights]] plus the class list from the LABELED rows of
+    * a [[langFeatureRelation]], the bounded (lang, bk) mass settled
+    * driver-side (ONE pass over `rel` — the collect job; the four weight
+    * rollups then read a LocalTableScan). Callers that train and score
+    * from DIFFERENT relations (reference → candidates) pass the
+    * training relation UNSTAGED when it has no other consumer — the
+    * feature projection then executes exactly once, inside the collect.
+    * Guarded by the [[settleBounded]] driver bound. */
+  def settledLangWeights(rel: DataFrame,
+                         scale: Long = 1000000L): (DataFrame, Seq[String]) = {
     val grouped = rel.filter(col("lang").isNotNull)
       .groupBy(col("lang"), col("bk"))
       .agg(sum(col("tf")).cast("long").as("tf"))
-    val countRows = grouped.collect()
-    val counts = docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(countRows: _*), grouped.schema)
-    val langs = countRows.map(_.getString(0)).distinct.sorted.toSeq
-    classifyLangs(rel.select(col("doc_id"), col("bk"), col("tf")),
-      langWeights(counts, scale), Some(langs))
+    val (counts, countRows) =
+      settleBounded(grouped, maxRows = 1 << 22, what = "settledLangWeights")
+    (langWeights(counts, scale),
+      countRows.map(_.getString(0)).distinct.sorted.toSeq)
   }
 
   /** DuckDB twin CTEs for [[langId]], spliceable into a WITH chain.

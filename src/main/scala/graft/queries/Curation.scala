@@ -306,15 +306,23 @@ object Curation {
     // stand-in: doc_id % 10 = 0 classified against the rest.
     Q("x_classifier_incremental", (s, d) => {
       val docs = documents(s, d)
-      val w = graft.sources.Tables.stage(graft.operators.Ranking.classifierWeights(
-        // pre-aggregate to the bounded (bk, pos) space before the
-        // two-pass weight builder — one corpus-feature pass instead of
-        // two, same integers (the qualityClassifier discipline).
-        graft.sources.Tables.stage(graft.operators.Ranking.classifierRelation(
-          fanOut(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text",
-          isPositive = col("source").isin("src0", "src1", "src2"))
-          .groupBy(col("bk"), col("pos"))
-          .agg(sum(col("tf")).cast("long").as("tf")))))
+      // pre-aggregate to the bounded (bk, pos) space and SETTLE it
+      // driver-side — one corpus-feature pass (the collect job) instead
+      // of two, same integers (the qualityClassifier discipline). The
+      // feature projection's only consumer is the settled counts, so it
+      // stays UNSTAGED (executes once, inside the collect); the weight
+      // builder's two passes read the LocalTableScan, so staging the
+      // weights would checkpoint a trivial local-relation plan (r18 —
+      // the old shape paid two checkpoint executions here).
+      val w = graft.operators.Ranking.classifierWeights(
+        graft.operators.Ranking.settleBounded(
+          graft.operators.Ranking.classifierRelation(
+            fanOut(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text",
+            isPositive = col("source").isin("src0", "src1", "src2"))
+            .groupBy(col("bk"), col("pos"))
+            .agg(sum(col("tf")).cast("long").as("tf")),
+          maxRows = 2 * (1 << (4 * 3)),
+          what = "x_classifier_incremental")._1)
       graft.operators.Ranking.classifyAgainstWeights(
         graft.operators.Ranking.classifierRelation(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", lit(false)),

@@ -340,17 +340,25 @@ object Pipeline {
           concat_ws(" ", col("ctoks")).as("text_clean"),
           size(col("ctoks")).cast("long").as("n_tokens_clean")))
       // B: classifier on the cleaned text (staged features feed weights
-      // AND scoring inside qualityClassifier). scored and every kept_i
-      // survivor relation below STAGE: each is referenced from 2-3 later
-      // join sides, and Spark re-executes a lazy subplan per reference
-      // (no automatic subplan reuse) — measured at sf0.1, staging the
-      // reuse points cut the end-to-end wall 9.1 → 6.4 s (README).
-      val scored = stage(graft.operators.Ranking.qualityClassifier(clean,
+      // AND scoring inside qualityClassifier). Every kept_i survivor
+      // relation below STAGES: each is referenced from 2-3 later join
+      // sides, and Spark re-executes a lazy subplan per reference (no
+      // automatic subplan reuse) — measured at sf0.1, staging the reuse
+      // points cut the end-to-end wall 9.1 → 6.4 s (README). `scored`
+      // itself is NOT staged (r18): its only consumer is kept1's join —
+      // the score column RIDES the kept_i chain to the final output
+      // (8 bytes/row through already-staged relations), so the old
+      // second consumer (the final score attach) reads staged kept3
+      // instead of re-executing the scoring subtree, and the separate
+      // scored checkpoint (measured 0.60 s wall for ms-level work —
+      // ProbeMetrics r18) disappears.
+      val scored = graft.operators.Ranking.qualityClassifier(clean,
         "doc_id", "text_clean",
         isPositive = col("source").isin("src0", "src1", "src2"))
-        .select(col("doc_id"), col("score"), col("keep")))
+        .select(col("doc_id"), col("score"), col("keep"))
       val kept1 = stage(clean.join(
-        scored.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi"))
+        scored.filter(col("keep")).select(col("doc_id"), col("score")),
+        Seq("doc_id")))
       // C: near-dup clusters + canonical keep.
       val sh = graft.operators.TextDedup.shingleRelation(
         kept1.select(col("doc_id"), col("text_clean")), "doc_id", "text_clean", n = 3)
@@ -395,7 +403,10 @@ object Pipeline {
         .withColumn("shard", col("doc_id") % 8)
         .withColumn("cum", sum(col("n_bpe_tokens")).over(w9))
         .withColumn("bin", expr("(cum - n_bpe_tokens) div 512"))
-        .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+        // score attach reads the STAGED kept3 (counts' doc_ids are all
+        // ⊆ kept4 ⊆ kept3, and kept3 carries the score column kept1
+        // introduced — same rows, same values as the old scored join).
+        .join(kept3.select(col("doc_id"), col("score")), Seq("doc_id"))
         .select(col("doc_id"), col("score"), col("n_words"),
           col("n_bpe_tokens"), col("shard"), col("bin"))
         .orderBy(col("doc_id"))

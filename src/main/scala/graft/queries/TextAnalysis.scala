@@ -173,16 +173,22 @@ object TextAnalysis {
       import graft.operators.Ranking
       val docs = fanOut(documents(s, d)).filter(col("text").isNotNull)
         .withColumn("__lt", expr(langXformSql))
-      val w = Ranking.langWeights(graft.sources.Tables.stage(
+      // the training features feed ONLY the settled counts, so they stay
+      // UNSTAGED — the projection executes once, inside the collect job
+      // (r18; the old shape staged them, then classifyLangs' class-list
+      // collect re-executed the four lazy weight rollups and the final
+      // plan executed them AGAIN — the repeated-subplan pattern r17
+      // eliminated elsewhere, flagged by its advice file here).
+      val (w, langs) = Ranking.settledLangWeights(
         Ranking.langFeatureRelation(
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "__lt",
-          col("lang"))))
+          col("lang")))
       val cand = docs.filter(col("doc_id") % 10 === 0)
       Ranking.classifyLangs(
         Ranking.langFeatureRelation(cand, "doc_id", "__lt",
           lit(null).cast("string"))
           .select(col("doc_id"), col("bk"), col("tf")),
-        w)
+        w, Some(langs))
         .join(cand.select(col("doc_id"), col("lang").as("lang_true")),
           "doc_id")
         .select(col("doc_id"), col("lang_true"), col("lang_pred"),

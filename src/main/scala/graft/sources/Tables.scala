@@ -172,6 +172,50 @@ object Tables {
     }
   private val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run INDEPENDENT materializations concurrently (guide §2.6: actions
+    * are only sequential because driver code calls them sequentially —
+    * Spark's scheduler happily runs several jobs at once, and a later
+    * job's tasks back-fill executors freed by the current job's tail).
+    * Each `stage()` call materializes its shuffle stages eagerly at
+    * query construction, so a chain of stagings whose DAG has
+    * independent branches pays every branch's fixed job latency in
+    * SERIES unless the branches are submitted from separate threads
+    * (the r17 verdict's top item: ~0.1-0.6 s fixed wall per staged
+    * execution at sf0.1, all sequential).
+    *
+    * Only for thunks with NO data dependence on each other. Failures
+    * rethrow (first awaited failure wins; the sibling jobs run to
+    * completion harmlessly). The pool is unbounded-cached (daemon
+    * threads): nested inParallel calls can never deadlock on a fixed
+    * pool, and idle threads reap after 60 s. */
+  def inParallel[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.lengthCompare(1) <= 0) thunks.map(_())
+    else thunks.map(defer).map(_())
+
+  /** [[inParallel]]'s one-sided form: start `thunk` NOW on the shared
+    * pool, return a handle that joins on call — for one independent job
+    * to overlap a longer driver-side sequence. */
+  def defer[A](thunk: () => A): () => A = {
+    val f = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => thunk(), parallelPool)
+    () =>
+      try f.join()
+      catch {
+        // unwrap the CompletionException so callers see the real
+        // failure (require/Spark exceptions), matching serial behavior.
+        case e: java.util.concurrent.CompletionException
+          if e.getCause != null => throw e.getCause
+      }
+  }
+  private lazy val parallelPool: java.util.concurrent.ExecutorService = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, s"graft-parallel-${n.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    })
+  }
+
   /** A staged relation plus the handle to reclaim its backing storage once
     * superseded (parquet-staging mode only — see [[stageTracked]]).
     *

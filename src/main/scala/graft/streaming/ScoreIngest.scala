@@ -220,8 +220,12 @@ object ScoreIngest {
   // ------------------------------------------- language-ID gates (#33)
 
   /** One corpus version's staged DENSE lang-id weight relation
-    * ([[Ranking.langWeights]] over char-n-gram buckets). */
-  final case class LangWeights(weights: DataFrame, n: Int, hexDigits: Int,
+    * ([[Ranking.langWeights]] over char-n-gram buckets). `langs` is the
+    * class list, settled ONCE at build (r17 advice: without it,
+    * classifyLangs runs a distinct-collect driver job per MICRO-BATCH
+    * against the weight relation). */
+  final case class LangWeights(weights: DataFrame, langs: Seq[String],
+                               n: Int, hexDigits: Int,
                                scale: Long, version: Long)
     extends Gate.Versioned
 
@@ -230,19 +234,21 @@ object ScoreIngest {
     * reference rows, null elsewhere. */
   def buildLangWeights(corpus: DataFrame, idCol: String, textCol: String,
                        labelCol: Column, n: Int = 3, hexDigits: Int = 3,
-                       scale: Long = 1000000L, version: Long = 0L): LangWeights =
+                       scale: Long = 1000000L, version: Long = 0L): LangWeights = {
+    // pre-aggregate the labeled mass to the bounded (lang, bucket)
+    // space before the four-rollup weight builder — one corpus
+    // pass instead of four, same integers (the langId discipline).
+    val counts = graft.sources.Tables.stage(Ranking.langFeatureRelation(
+      corpus, idCol, textCol, labelCol, n, hexDigits)
+      .filter(col("lang").isNotNull)
+      .groupBy(col("lang"), col("bk"))
+      .agg(sum(col("tf")).cast("long").as("tf")))
     LangWeights(
-      graft.sources.Tables.stage(Ranking.langWeights(
-        // pre-aggregate the labeled mass to the bounded (lang, bucket)
-        // space before the four-rollup weight builder — one corpus
-        // pass instead of four, same integers (the langId discipline).
-        graft.sources.Tables.stage(Ranking.langFeatureRelation(
-          corpus, idCol, textCol, labelCol, n, hexDigits)
-          .filter(col("lang").isNotNull)
-          .groupBy(col("lang"), col("bk"))
-          .agg(sum(col("tf")).cast("long").as("tf"))),
-        scale)),
+      graft.sources.Tables.stage(Ranking.langWeights(counts, scale)),
+      counts.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq,
       n, hexDigits, scale, version)
+  }
 
   /** Per-batch LANGUAGE ROUTING ([[Ranking.classifyLangs]]): `onBatch`
     * receives (doc_id, lang_pred, score) for every batch document with
@@ -263,7 +269,7 @@ object ScoreIngest {
         Ranking.langFeatureRelation(docs, "doc_id", "text",
           lit(null).cast("string"), st.n, st.hexDigits)
           .select(col("doc_id"), col("bk"), col("tf")),
-        st.weights)
+        st.weights, Some(st.langs))
     }(onBatch)
 
   /** FOLDING lang-id state: the staged LABELED (lang, bk, cnt) counts
@@ -274,6 +280,7 @@ object ScoreIngest {
     * [[FoldingLmState]] contract. */
   final case class FoldingLangState(counts: graft.sources.Tables.Staged,
                                     weights: graft.sources.Tables.Staged,
+                                    langs: Seq[String],
                                     n: Int, hexDigits: Int, scale: Long,
                                     version: Long, foldedBatch: Long = -1L,
                                     superseded: Seq[graft.sources.Tables.Staged] = Nil)
@@ -303,7 +310,12 @@ object ScoreIngest {
       Ranking.langWeights(
         counts.df.select(col("lang"), col("bk"), col("cnt").as("tf")),
         scale))
-    FoldingLangState(counts, weights, n, hexDigits, scale, version,
+    // class list settles at fold time (one tiny job over the staged
+    // bounded counts) so the per-batch probe never runs a driver
+    // collect against the weight relation (r17 advice).
+    val langs = counts.df.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    FoldingLangState(counts, weights, langs, n, hexDigits, scale, version,
       foldedBatch, superseded)
   }
 
@@ -327,7 +339,7 @@ object ScoreIngest {
         col("lbl"), st.n, st.hexDigits)
       val preds = Ranking.classifyLangs(
         feats.select(col("doc_id"), col("bk"), col("tf")),
-        st.weights.df)
+        st.weights.df, Some(st.langs))
       val merged = st.counts.df
         .unionByName(feats.filter(col("lang").isNotNull)
           .groupBy(col("lang"), col("bk"))

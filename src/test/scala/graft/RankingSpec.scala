@@ -202,6 +202,24 @@ class RankingSpec extends SparkSpec {
     assert(got(4L)._4 > got(3L)._4 && got(4L)._4 < got(1L)._4)
   }
 
+  test("qualityClassifier: driver-settle ≡ staged-counts fallback, bitwise") {
+    import spark.implicits._
+    val cdocs = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "clean prose good good", true),
+      (3L, "spam junk spam junk", false),
+      (4L, "good clean spam junk", false)).toDF("doc_id", "text", "pos")
+    def all(maxSettle: Int) = graft.operators.Ranking
+      .qualityClassifier(cdocs, "doc_id", "text", col("pos"),
+        maxSettleHexDigits = maxSettle)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // the settle path (counts collected to a local relation) and the
+    // wide-bucket-space fallback (counts staged) must emit identical
+    // rows — grouped sums of grouped sums either way (r18).
+    assert(all(graft.operators.Ranking.DefaultMaxSettleHexDigits) == all(0))
+  }
+
   test("qualityClassifier: exact reference, keep threshold, novel vocab") {
     import spark.implicits._
     val scale = 1000000L

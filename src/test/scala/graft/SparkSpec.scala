@@ -28,6 +28,8 @@ object SparkSpec {
       // the In filter pushed as points, not a min/max range — scattered
       // ball ids make the range fallback prune nothing.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
+      // sort-based shuffle writer everywhere — see Bench for the rationale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
