@@ -111,7 +111,12 @@ object Sentences {
   def spanDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sent = graft.sources.Tables.stage(
       sentenceRelation(docs, idCol, textCol))
-    val spans = spansOf(sent)
+    // staged: the span keys feed the duplicate aggregate AND the removal
+    // join — unstaged, the per-doc collect_list + window Generate over
+    // the corpus-sized sentence relation executed twice (r18
+    // ProbeMetrics: two byte-identical ObjectHashAggregate→Generate
+    // subtrees in the executed plan; verdict item 6).
+    val spans = graft.sources.Tables.stage(spansOf(sent))
     // duplicated digests + their canonical occurrence (min-struct).
     val dup = spans.groupBy(col("digest"))
       .agg(count(lit(1)).as("__n"),

@@ -227,10 +227,15 @@ object Curation {
     // Batch stand-in: doc_id % 10 = 0 scored against the rest.
     Q("x_importance_incremental", (s, d) => {
       val docs = documents(s, d)
-      val w = graft.sources.Tables.stage(graft.operators.Ranking.bucketWeights(
+      // UNSTAGED (r18): bucketWeights is a single-pass aggregate, so the
+      // lazy weight chain executes the reference feature projection
+      // exactly once, inside the final plan's broadcast build — the old
+      // checkpoint was a whole staged execution for a ≤4096-row relation
+      // with one consumer.
+      val w = graft.operators.Ranking.bucketWeights(
         graft.operators.Ranking.importanceRelation(
           fanOut(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text",
-          isTarget = col("lang") === "en")))
+          isTarget = col("lang") === "en"))
       graft.operators.Ranking.scoreAgainstWeights(
         graft.operators.Ranking.importanceRelation(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", lit(false)),

@@ -570,8 +570,8 @@ object Quality {
     // pays its own model's surprisal AND its own model's OOV floor
     // bits(total_lang)+1) → per-lang head/middle/tail buckets over the
     // candidate scores. Staged: the lang predictions (two tf attaches),
-    // the keyed reference tf (three LM slices), the scored relation
-    // (thresholds + bucket join).
+    // the keyed vocab rollup (inside ngramLmByKey — cx/tot re-derive
+    // from it), the scored relation (thresholds + bucket join).
     Q("x_quality_ccnet_perlang", (s, d) => {
       import graft.operators.{Quantiles, Ranking}
       val base = fanOut(documents(s, d)).filter(col("text").isNotNull)
@@ -580,10 +580,14 @@ object Quality {
       val pred = graft.sources.Tables.stage(
         Ranking.langId(base, "doc_id", "__lt", col("__lbl"))
           .select(col("doc_id"), col("lang_pred")))
-      val rtf = graft.sources.Tables.stage(
-        Ranking.bigramFrequencies(
-          base.filter(col("doc_id") % 10 =!= 0), "doc_id", "__lt")
-          .join(pred, "doc_id"))
+      // UNSTAGED (r18): since r17 moved cx/tot onto the staged keyed
+      // vocab rollup inside ngramLmByKey, the reference tf has exactly
+      // ONE consumer (the lm staging) — its own checkpoint bought
+      // nothing and cost a full staged execution (ProbeMetrics: 0.63 s
+      // wall for the redundant materialization).
+      val rtf = Ranking.bigramFrequencies(
+        base.filter(col("doc_id") % 10 =!= 0), "doc_id", "__lt")
+        .join(pred, "doc_id")
       val (lm, cx, tot) = Ranking.ngramLmByKey(rtf, "lang_pred")
       val ctf = Ranking.bigramFrequencies(
         base.filter(col("doc_id") % 10 === 0), "doc_id", "__lt")
@@ -678,8 +682,12 @@ object Quality {
     Q("x_quality_lm_incremental", (s, d) => {
       import graft.operators.Ranking
       val docs = fanOut(documents(s, d))
-      val tf = stage(Ranking.bigramFrequencies(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"))
+      // UNSTAGED (r18): since r17 moved cx/tot onto ngramLm's staged
+      // vocab rollup, the reference tf has exactly ONE consumer (the lm
+      // staging) — its checkpoint bought nothing (candidates score via
+      // their own unstaged projection below).
+      val tf = Ranking.bigramFrequencies(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
       val (lm, cx, tot) = Ranking.ngramLm(tf)
       Ranking.scoreAgainstLm(
         Ranking.bigramFrequencies(
