@@ -91,9 +91,15 @@ object Pipeline {
     // attach — stage it or the min-k aggregation re-runs per consumer.
     val kept = stage(Web.capPerDomain(
       pages.select(col("doc_id"), col("url")), "url", "doc_id", cap = 25))
-    val ext = stage(Html.extractText(
+    // extraction UNSTAGED (r18): its only consumer is the redaction
+    // staging (through the structure gate), so the extract chain
+    // executes exactly once inside red's checkpoint — its own staging
+    // was a whole extra execution buying no reuse (contrast
+    // x_pipeline_web, where k1 feeds TWO consumers and ext stays
+    // staged).
+    val ext = Html.extractText(
       pages.join(kept.select(col("doc_id")), Seq("doc_id")),
-      "doc_id", "__html", minChars = 10, maxDensityPct = 34))
+      "doc_id", "__html", minChars = 10, maxDensityPct = 34)
     val k1 = ext.filter(col("n_kept") >= 2)
     // redact BEFORE the LM and the digest — staged once (it feeds
     // the LM tf relation AND the dedup digest; unstaged, the regex
